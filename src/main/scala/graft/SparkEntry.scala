@@ -1,13 +1,421 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.core.Tables.FsCatalog
+import graft.functions.PathFunctions._
+import graft.operators.{MergeOps, ScheduleOps, SearchOps, Views}
+import graft.oracle.Oracle
+
+/** Driver contract — one `queries` entry (plus DuckDB `oracleSql` twin)
+  * per implemented operator from SURVEY.md §2.
+  *
+  * Catalog-backed queries run over the derived filesystem catalog
+  * ([[Tables.FsCatalog]]); their oracle SQL prefixes [[Oracle.cte]], which
+  * constructs the same relations in DuckDB from the same parquet tables.
+  *
+  * Determinism rules applied throughout (the driver hash-compares values):
+  *   - top-K queries carry a unique tiebreaker column in the ORDER BY;
+  *   - double aggregates are cast to DECIMAL per-row before SUM so the
+  *     result is order-independent and engine-exact;
+  *   - no raw `events.ts` projection (ns → µs truncation in Spark).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private val mergeTs = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+  private val asOfLit = "2024-02-11 16:00:00" // t0 + 1000 h
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The derived filesystem catalog, built once per query invocation. */
+  final case class Cat(directory: DataFrame, file: DataFrame, hash: DataFrame,
+                       fileCategory: DataFrame, directoryControl: DataFrame,
+                       hashControl: DataFrame, vwLl: DataFrame, vwFileDetail: DataFrame)
+
+  def cat(s: SparkSession, dir: String): Cat = {
+    val d = FsCatalog.directory(s, dir)
+    val f = FsCatalog.file(s, dir)
+    val h = FsCatalog.hash(s, dir)
+    val fc = FsCatalog.fileCategory(s)
+    Cat(d, f, h, fc,
+      FsCatalog.directoryControl(s, dir), FsCatalog.hashControl(s, dir),
+      Views.vwLl(d, f, h), Views.vwFileDetail(d, f, h, fc))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: duplicates of
+    * the first hashed file's path (readme.md:24-36 semantics, SURVEY J7). */
+  def entry(spark: SparkSession): DataFrame = {
+    val c = cat(spark, "/root/testdata/sf0.001")
+    val path = c.vwFileDetail.filter(col("sha1_hash").isNotNull)
+      .orderBy(col("id")).select("full_path").head().getString(0)
+    SearchOps.searchDuplicateFileSimple(c.vwFileDetail, path)
+  }
+
+  // ---- Spark side --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 6)))
+            .cast(DecimalType(18, 6)).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "f1_search_name" -> ((s, dir) => SearchOps.searchName(cat(s, dir).vwLl, "%a%")),
+
+    "f2_search_name_file" -> ((s, dir) =>
+      SearchOps.searchNameFile(cat(s, dir).vwLl, "order_4%.log")),
+
+    "f3_search_name_dir" -> ((s, dir) =>
+      SearchOps.searchNameDir(cat(s, dir).directory, "%_1%")),
+
+    "f4_search_hash" -> ((s, dir) =>
+      SearchOps.searchHash(cat(s, dir).vwLl, md5Hex("2-HIGH#2"), None)),
+
+    "f8_path_exists" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val foundDir = SearchOps.dirPathExists(c.directory, "/AFRICA/NATION_0/")
+      val foundFile = SearchOps.filePathExists(c.vwLl, "/NOPE/f.txt")
+      import s.implicits._
+      Seq((foundDir, foundFile)).toDF("found_dir", "found_file")
+    }),
+
+    "f9_filter_category" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.vwFileDetail.filter(col("dir_path").like("/A%") &&
+        col("size") > 2 && extension(col("name")).isin("txt", "dat"))
+        .select("full_path", "name", "size", "category")
+    }),
+
+    "v1_vw_ll" -> ((s, dir) => cat(s, dir).vwLl),
+
+    "v2_vw_file_detail" -> ((s, dir) => cat(s, dir).vwFileDetail),
+
+    "v3_dir_detail" -> ((s, dir) => {
+      val c = cat(s, dir)
+      Views.dirDetail(c.directory, c.file)
+    }),
+
+    "a2_dir_activity" -> ((s, dir) => {
+      cat(s, dir).vwLl.groupBy(col("dir_id")).agg(
+        count(lit(1)).as("n_items"),
+        min(col("ctime")).as("first_ctime"), max(col("ctime")).as("last_ctime"),
+        min(col("mtime")).as("first_mtime"), max(col("mtime")).as("last_mtime"))
+    }),
+
+    "a3_dup_hash_groups" -> ((s, dir) => {
+      cat(s, dir).vwFileDetail
+        .filter(col("sha1_hash").isNotNull)
+        .groupBy(col("sha1_hash"), col("size"))
+        .agg(count(lit(1)).as("duplicate_count"))
+        .filter(col("duplicate_count") > 1)
+    }),
+
+    "j5_duplicate_file" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val needle = c.vwLl.filter(col("file_id").isin(100L, 102L))
+      SearchOps.duplicatesOf(c.vwLl, needle, hashMatch = true, nameMatch = false)
+    }),
+
+    "j7_duplicate_simple" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val needle = c.vwFileDetail.filter(col("id") === 100L)
+        .select(col("sha1_hash").as("n_sha1"), col("size").as("n_size")).distinct()
+      c.vwFileDetail.join(broadcast(needle),
+        col("sha1_hash") === col("n_sha1") && col("size") === col("n_size"))
+        .drop("n_sha1", "n_size")
+    }),
+
+    "j8_search_full_path" -> ((s, dir) =>
+      SearchOps.searchFullPath(cat(s, dir).vwLl,
+        Seq("/AFRICA/NATION_0", "/ASIA/NATION_2/archive", "/NOPE/x"))),
+
+    "j9_unscheduled_drives" -> ((s, dir) => {
+      val c = cat(s, dir)
+      import s.implicits._
+      val drive = Tables.region(s, dir)
+        .select(concat(lit("/"), col("r_name")).as("dir_path"))
+        .unionByName(Seq("/TMP").toDF("dir_path"))
+      ScheduleOps.unscheduledDrives(drive, c.directoryControl)
+    }),
+
+    "j12_files_not_hashed" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.file.join(c.hash.select(col("file_id")), col("id") === col("file_id"), "left_anti")
+        .select("id", "name", "dir_id", "size")
+    }),
+
+    "j14_descendant_dirs" -> ((s, dir) =>
+      SearchOps.descendantDirs(cat(s, dir).directory, Seq("/EUROPE"))),
+
+    "t1_dirs_to_crawl" -> ((s, dir) =>
+      ScheduleOps.dirsToCrawl(cat(s, dir).directoryControl,
+        lit(java.sql.Timestamp.valueOf(asOfLit)), 20)),
+
+    "t2_files_to_hash" -> ((s, dir) => {
+      val c = cat(s, dir)
+      ScheduleOps.filesToHash(c.hashControl, c.vwFileDetail, 50)
+    }),
+
+    "p1_path_scalars" -> ((s, dir) => {
+      cat(s, dir).vwLl.filter(col("type") === "dir" || col("file_id") % 50 === 0)
+        .select(col("full_path"),
+          basepath(col("full_path")).as("parent"),
+          basename(col("full_path")).as("base"),
+          extension(col("name")).as("ext"),
+          stripTrailingSlashes(concat(col("full_path"), lit("///"))).as("stripped"),
+          pathOs(col("full_path")).as("os"),
+          (col("size").cast("double") * math.pow(1024, -1)).as("size_kb"))
+    }),
+
+    "m1_upsert_files" -> ((s, dir) => {
+      val c = cat(s, dir)
+      MergeOps.upsertFiles(c.file, m1Staged(s, dir, c), mergeTs).drop("id")
+    }),
+
+    "m1_missing_files" -> ((s, dir) => {
+      val c = cat(s, dir)
+      // staged snapshot: files of dirs 200..204 minus those with id%10=9 —
+      // the anti-join must surface exactly the vanished ones (SURVEY J10).
+      val staged = c.file.filter(col("dir_id").between(200L, 204L) && col("id") % 10 =!= 9)
+      MergeOps.missingFiles(c.file, staged).select("id", "name", "dir_id")
+    }),
+
+    "m6_delete_dir_archive" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val (_, _, dirArchive, _) = MergeOps.deleteDirectories(
+        c.directory, c.file, Seq("/EUROPE/NATION_3"), deleteSubdirs = true, mergeTs)
+      dirArchive
+    }),
+
+    "m6_delete_file_archive" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val (_, _, _, fileArchive) = MergeOps.deleteDirectories(
+        c.directory, c.file, Seq("/EUROPE/NATION_3"), deleteSubdirs = true, mergeTs)
+      fileArchive
+    }),
+
+    "m7_crawl_frequency" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val activity = c.vwLl.groupBy(col("dir_id")).agg(max(col("ctime")).as("last_ctime"))
+        .join(c.directory.select(col("id"), col("inserted_on")),
+          col("dir_id") === col("id")).drop("id")
+      ScheduleOps.crawlFrequency(activity,
+          lit(java.sql.Timestamp.valueOf(asOfLit)))
+        .select("dir_id", "last_ctime", "crawl_frequency")
+    })
+  )
+
+  // deterministic staged batch for the M1 verify query: every 4th file
+  // changed (size+1, mtime+1h), every 97th orderkey appears as a new file.
+  private def m1Staged(s: SparkSession, dir: String, c: Cat): DataFrame = {
+    val changed = c.file.filter(col("id") % 4 === 0)
+      .select(col("name"), col("dir_id"),
+        (col("size") + 1).cast(DecimalType(18, 6)).as("size"),
+        col("ctime"),
+        (col("mtime") + expr("INTERVAL 1 HOUR")).as("mtime"),
+        col("atime"))
+    val fresh = Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
+      .select(concat(lit("new_"), col("o_orderkey").cast("string")).as("name"),
+        (lit(200L) + col("o_orderkey") % 25).as("dir_id"),
+        lit(1.5).cast(DecimalType(18, 6)).as("size"),
+        lit(t0).as("ctime"), lit(t0).as("mtime"),
+        lit(null).cast("timestamp").as("atime"))
+    changed.unionByName(fresh)
+  }
+
+  // ---- DuckDB oracle side ------------------------------------------------
+
+  private val C = Oracle.cte
+  private val asOf = s"TIMESTAMP '$asOfLit'"
+  private val mTs = "TIMESTAMP '2024-06-01 00:00:00'"
+
+  // the M1 change predicate, null-safe, shared across the m1 oracle columns
+  private val m1Changed =
+    "(f.size IS DISTINCT FROM s.size OR f.ctime IS DISTINCT FROM s.ctime " +
+      "OR f.mtime IS DISTINCT FROM s.mtime OR f.atime IS DISTINCT FROM s.atime)"
+  private def m1Pick(c: String) =
+    s"CASE WHEN s.name IS NOT NULL AND (f.id IS NULL OR $m1Changed) THEN s.$c ELSE f.$c END AS $c"
+
+  private val pathOsSql =
+    """CASE WHEN starts_with(trim(full_path), '/') AND NOT contains(trim(full_path), '\') THEN 'nix'
+      |     WHEN regexp_matches(trim(full_path), '^[A-Za-z]:') AND NOT contains(trim(full_path), '/') THEN 'win'
+      |     WHEN contains(trim(full_path), '/') AND NOT contains(trim(full_path), '\') THEN 'nix?'
+      |     WHEN contains(trim(full_path), '\') AND NOT contains(trim(full_path), '/') THEN 'win?'
+      |     ELSE '' END""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "f1_search_name" -> (C +
+      s"SELECT * FROM vw_ll WHERE name LIKE '%a%' OR ${Oracle.basenameSql("dir_path")} LIKE '%a%'"),
+
+    "f2_search_name_file" -> (C +
+      "SELECT * FROM vw_ll WHERE name LIKE 'order_4%.log'"),
+
+    "f3_search_name_dir" -> (C +
+      s"SELECT * FROM directory WHERE ${Oracle.basenameSql("dir_path")} LIKE '%_1%'"),
+
+    "f4_search_hash" -> (C +
+      s"SELECT * FROM vw_ll WHERE md5_hash = '${md5Hex("2-HIGH#2")}' OR sha1_hash = '${md5Hex("2-HIGH#2")}'"),
+
+    "f8_path_exists" -> (C +
+      "SELECT EXISTS(SELECT 1 FROM directory WHERE dir_path = '/AFRICA/NATION_0') AS found_dir, " +
+      "EXISTS(SELECT 1 FROM vw_ll WHERE type = 'file' AND dir_path = '/NOPE' AND name = 'f.txt') AS found_file"),
+
+    "f9_filter_category" -> (C +
+      s"""SELECT full_path, name, size, category FROM vw_file_detail
+         |WHERE dir_path LIKE '/A%' AND size > 2
+         |  AND ${Oracle.extensionSql("name")} IN ('txt', 'dat')""".stripMargin),
+
+    "v1_vw_ll" -> (C + "SELECT * FROM vw_ll"),
+
+    "v2_vw_file_detail" -> (C + "SELECT * FROM vw_file_detail"),
+
+    "v3_dir_detail" -> (C +
+      s"""SELECT d.id AS dir_id, d.dir_path, d.ctime, d.mtime,
+         |  coalesce(sd.subdirs, 0) AS subdirs, coalesce(fa.files, 0) AS files,
+         |  CAST(coalesce(fa.sz, 0) AS DECIMAL(18,6)) AS total_size,
+         |  fa.first_file_ctime, fa.last_file_ctime, fa.first_file_mtime, fa.last_file_mtime
+         |FROM directory d
+         |LEFT JOIN (SELECT dir_id, count(id) AS files, sum(coalesce(size, 0)) AS sz,
+         |             min(ctime) AS first_file_ctime, max(ctime) AS last_file_ctime,
+         |             min(mtime) AS first_file_mtime, max(mtime) AS last_file_mtime
+         |           FROM file GROUP BY dir_id) fa ON d.id = fa.dir_id
+         |LEFT JOIN (SELECT ${Oracle.basepathSql("dir_path")} AS parent_path, count(*) AS subdirs
+         |           FROM directory GROUP BY 1) sd ON d.dir_path = sd.parent_path""".stripMargin),
+
+    "a2_dir_activity" -> (C +
+      """SELECT dir_id, count(*) AS n_items,
+        |  min(ctime) AS first_ctime, max(ctime) AS last_ctime,
+        |  min(mtime) AS first_mtime, max(mtime) AS last_mtime
+        |FROM vw_ll GROUP BY dir_id""".stripMargin),
+
+    "a3_dup_hash_groups" -> (C +
+      """SELECT sha1_hash, size, count(*) AS duplicate_count FROM vw_file_detail
+        |WHERE sha1_hash IS NOT NULL GROUP BY sha1_hash, size HAVING count(*) > 1""".stripMargin),
+
+    "j5_duplicate_file" -> (C +
+      """SELECT DISTINCT h.* FROM vw_ll h
+        |JOIN (SELECT * FROM vw_ll WHERE file_id IN (100, 102)) n
+        |  ON h.file_id = n.file_id
+        |  OR (n.sha1_hash IS NOT NULL AND h.sha1_hash = n.sha1_hash AND h.size = n.size)
+        |  OR ((h.sha1_hash IS NULL OR n.sha1_hash IS NULL) AND n.md5_hash IS NOT NULL
+        |      AND h.md5_hash = n.md5_hash AND h.size = n.size)""".stripMargin),
+
+    "j7_duplicate_simple" -> (C +
+      """SELECT h.* FROM vw_file_detail h
+        |JOIN (SELECT DISTINCT sha1_hash, size FROM vw_file_detail WHERE id = 100) n
+        |  ON h.sha1_hash = n.sha1_hash AND h.size = n.size""".stripMargin),
+
+    "j8_search_full_path" -> (C +
+      """SELECT v.* FROM vw_ll v
+        |JOIN (VALUES ('/AFRICA', 'NATION_0'), ('/ASIA/NATION_2', 'archive'),
+        |             ('/NOPE', 'x')) AS p(d, n)
+        |  ON v.dir_path = p.d AND v.name = p.n""".stripMargin),
+
+    "j9_unscheduled_drives" -> (C +
+      """, drive AS (SELECT '/' || r_name AS dir_path FROM region UNION ALL SELECT '/TMP')
+        |SELECT d.dir_path FROM drive d
+        |WHERE NOT EXISTS (SELECT 1 FROM directory_control c WHERE c.dir_path = d.dir_path)""".stripMargin),
+
+    "j12_files_not_hashed" -> (C +
+      """SELECT id, name, dir_id, size FROM file f
+        |WHERE NOT EXISTS (SELECT 1 FROM hash h WHERE h.file_id = f.id)""".stripMargin),
+
+    "j14_descendant_dirs" -> (C +
+      "SELECT * FROM directory WHERE starts_with(dir_path, '/EUROPE/') OR starts_with(dir_path, '/EUROPE\\')"),
+
+    "t1_dirs_to_crawl" -> (C +
+      s"""SELECT dir_path, dir_id, file_count, subdir_count,
+         |  CAST(date_diff('second', next_crawl, $asOf) AS DOUBLE) / 3600
+         |    + floor(file_count / 100.0) + floor(subdir_count / 100.0) AS priority
+         |FROM directory_control
+         |WHERE next_crawl < $asOf AND process_assigned_on IS NULL AND NOT dir_missing
+         |ORDER BY priority DESC, dir_path LIMIT 20""".stripMargin),
+
+    "t2_files_to_hash" -> (C +
+      """SELECT hc.file_id, v.full_path, hc.file_size
+        |FROM (SELECT file_id, file_size FROM hash_control
+        |      WHERE process_assigned_on IS NULL AND NOT file_missing
+        |      ORDER BY file_size, file_id LIMIT 50) hc
+        |JOIN vw_file_detail v ON v.id = hc.file_id""".stripMargin),
+
+    "p1_path_scalars" -> (C +
+      s"""SELECT full_path,
+         |  ${Oracle.basepathSql("full_path")} AS parent,
+         |  ${Oracle.basenameSql("full_path")} AS base,
+         |  ${Oracle.extensionSql("name")} AS ext,
+         |  regexp_replace(trim(full_path || '///'), '([^:])?[\\\\|/]+$$', '\\1') AS stripped,
+         |  $pathOsSql AS os,
+         |  CAST(size AS DOUBLE) * 0.0009765625 AS size_kb
+         |FROM vw_ll WHERE type = 'dir' OR file_id % 50 = 0""".stripMargin),
+
+    "m1_upsert_files" -> (C +
+      s""", staged AS (
+         |  SELECT name, dir_id, CAST(size + 1 AS DECIMAL(18,6)) AS size, ctime,
+         |         mtime + INTERVAL 1 HOUR AS mtime, atime
+         |  FROM file WHERE id % 4 = 0
+         |  UNION ALL
+         |  SELECT 'new_' || CAST(o_orderkey AS VARCHAR), CAST(200 + o_orderkey % 25 AS BIGINT),
+         |         CAST(1.5 AS DECIMAL(18,6)), TIMESTAMP '2024-01-01 00:00:00',
+         |         TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+         |  FROM orders WHERE o_orderkey % 97 = 0
+         |)
+         |SELECT coalesce(f.name, s.name) AS name, coalesce(f.dir_id, s.dir_id) AS dir_id,
+         |  ${m1Pick("size")}, ${m1Pick("ctime")}, ${m1Pick("mtime")}, ${m1Pick("atime")},
+         |  CASE WHEN f.id IS NULL THEN $mTs ELSE f.inserted_on END AS inserted_on,
+         |  CASE WHEN f.id IS NULL THEN $mTs
+         |       WHEN s.name IS NOT NULL AND $m1Changed THEN $mTs
+         |       ELSE f.updated_on END AS updated_on
+         |FROM file f FULL OUTER JOIN staged s ON f.name = s.name AND f.dir_id = s.dir_id""".stripMargin),
+
+    "m1_missing_files" -> (C +
+      """SELECT f.id, f.name, f.dir_id FROM file f
+        |WHERE f.dir_id BETWEEN 200 AND 204
+        |  AND NOT EXISTS (SELECT 1 FROM file s
+        |    WHERE s.dir_id BETWEEN 200 AND 204 AND s.id % 10 <> 9
+        |      AND s.dir_id = f.dir_id AND s.name = f.name)""".stripMargin),
+
+    "m6_delete_dir_archive" -> (C +
+      s"""SELECT id, dir_path, ctime, mtime,
+         |  inserted_on AS original_inserted_on, updated_on AS original_updated_on,
+         |  $mTs AS deleted_on
+         |FROM directory
+         |WHERE dir_path = '/EUROPE/NATION_3' OR starts_with(dir_path, '/EUROPE/NATION_3/')
+         |   OR starts_with(dir_path, '/EUROPE/NATION_3\\')""".stripMargin),
+
+    "m6_delete_file_archive" -> (C +
+      s"""SELECT f.id, f.name, f.dir_id, f.size, f.ctime, f.mtime, f.atime,
+         |  f.inserted_on AS original_inserted_on, f.updated_on AS original_updated_on,
+         |  $mTs AS deleted_on
+         |FROM file f JOIN directory d ON f.dir_id = d.id
+         |WHERE d.dir_path = '/EUROPE/NATION_3' OR starts_with(d.dir_path, '/EUROPE/NATION_3/')
+         |   OR starts_with(d.dir_path, '/EUROPE/NATION_3\\')""".stripMargin),
+
+    "m7_crawl_frequency" -> (C +
+      s"""SELECT a.dir_id, a.last_ctime,
+         |  CAST(greatest(900, least(604800,
+         |    floor(CAST(date_diff('second', coalesce(a.last_ctime, d.inserted_on), $asOf) AS DOUBLE) / 30)
+         |  )) AS BIGINT) AS crawl_frequency
+         |FROM (SELECT dir_id, max(ctime) AS last_ctime FROM vw_ll GROUP BY dir_id) a
+         |JOIN directory d ON d.id = a.dir_id""".stripMargin)
+  )
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's mutation pipelines (SURVEY §2.8 M1/M2/M4/M6) as pure
+  * DataFrame transforms: (current state, staged batch) → next state.
+  *
+  * The reference runs these as multi-statement PL/pgSQL CTE dataflows
+  * (`FileDbDAL/DirectoryCrawl.py:771-1045`); with no transactional table
+  * format on the classpath we express each round as a deterministic
+  * relational transform whose output overwrites (or appends to) the
+  * state table. Idempotent keys give the same re-runnability the
+  * reference gets from `ON CONFLICT DO NOTHING` (SURVEY §7.4.3).
+  *
+  * Scale: each round is one full-outer / anti join keyed on the entity
+  * key. At 100 TB the state side is large but the staged batch is one
+  * micro-batch (bounded by queue caps ~10k rows, BASELINE.md) → Catalyst
+  * broadcasts the staged side; the state table is only rewritten where
+  * partition keys match (partition `file` state by bucket(dir_id) so a
+  * merge round touches only affected partitions).
+  */
+object MergeOps {
+
+  private val fileCols = Seq("id", "name", "dir_id", "size", "ctime",
+    "mtime", "atime", "inserted_on", "updated_on")
+
+  /** M1 upsert core (`DirectoryCrawl.py:835-855`): merge staged file
+    * metadata into `file`, keyed `(name, dir_id)`. Updates apply ONLY when
+    * size/ctime/mtime/atime actually changed (null-safe compare) — the
+    * reference's write-amplification guard — and only a changed row gets
+    * its `updated_on` bumped. New keys are inserted with
+    * `inserted_on = updated_on = asOf`.
+    *
+    * `staged` columns: name, dir_id, size, ctime, mtime, atime.
+    */
+  def upsertFiles(current: DataFrame, staged: DataFrame,
+                  asOf: java.sql.Timestamp, nextId: Long = 1000000L): DataFrame = {
+    val s = staged.select(
+      col("name").as("s_name"), col("dir_id").as("s_dir_id"),
+      col("size").as("s_size"), col("ctime").as("s_ctime"),
+      col("mtime").as("s_mtime"), col("atime").as("s_atime"))
+      .dropDuplicates("s_name", "s_dir_id")
+    val joined = current.join(s,
+      col("name") === col("s_name") && col("dir_id") === col("s_dir_id"),
+      "full_outer")
+
+    val changed = !(col("size") <=> col("s_size")) ||
+      !(col("ctime") <=> col("s_ctime")) ||
+      !(col("mtime") <=> col("s_mtime")) ||
+      !(col("atime") <=> col("s_atime"))
+    val isNew = col("id").isNull
+    val isStaged = col("s_name").isNotNull
+    val ts = lit(asOf)
+
+    joined.select(
+      // New files get deterministic ids derived from their key — at scale a
+      // max(id)+row_number pass would serialize; a keyed hash doesn't
+      // (SURVEY §7.4.2). nextId offsets keep them out of the existing range.
+      when(isNew, pmod(xxhash64(col("s_name"), col("s_dir_id")), lit(Long.MaxValue - nextId)) + nextId)
+        .otherwise(col("id")).as("id"),
+      coalesce(col("name"), col("s_name")).as("name"),
+      coalesce(col("dir_id"), col("s_dir_id")).as("dir_id"),
+      when(isStaged && (isNew || changed), col("s_size")).otherwise(col("size")).as("size"),
+      when(isStaged && (isNew || changed), col("s_ctime")).otherwise(col("ctime")).as("ctime"),
+      when(isStaged && (isNew || changed), col("s_mtime")).otherwise(col("mtime")).as("mtime"),
+      when(isStaged && (isNew || changed), col("s_atime")).otherwise(col("atime")).as("atime"),
+      when(isNew, ts).otherwise(col("inserted_on")).as("inserted_on"),
+      when(isNew, ts).otherwise(when(isStaged && changed, ts).otherwise(col("updated_on")))
+        .as("updated_on"))
+  }
+
+  /** M1 removal branch (J10, `DirectoryCrawl.py:816-833`): files recorded
+    * under the staged batch's directories but absent from the staged
+    * snapshot — i.e. deleted on disk since the last crawl. Scoped to the
+    * batch's dirs first (semi-join) so the probe never scans the whole
+    * `file` table (SURVEY §4 "manual rewrites" (c)). */
+  def missingFiles(current: DataFrame, staged: DataFrame): DataFrame = {
+    val stagedDirs = staged.select("dir_id").distinct()
+    current
+      .join(stagedDirs, Seq("dir_id"), "left_semi")
+      .join(staged.select("dir_id", "name"), Seq("dir_id", "name"), "left_anti")
+  }
+
+  /** M1 hash-scheduling branch (J12, `DirectoryCrawl.py:857-873`): staged
+    * files that are new or content-changed and have no hash yet → rows for
+    * `hash_control`. */
+  def filesNeedingHash(file: DataFrame, hash: DataFrame,
+                       asOf: java.sql.Timestamp): DataFrame =
+    file.join(hash.select(col("file_id")), col("id") === col("file_id"), "left_anti")
+      .select(col("id").as("file_id"), col("mtime"),
+        col("size").as("file_size"),
+        lit(null).cast("timestamp").as("process_assigned_on"),
+        lit(false).as("file_missing"), lit(asOf).as("inserted_on"))
+
+  /** M2 upsert core (`DirectoryCrawl.py:915-931`): merge staged dirs into
+    * `directory`, keyed `dir_path`; update only on ctime/mtime change.
+    * `staged` columns: dir_path, ctime, mtime. */
+  def upsertDirs(current: DataFrame, staged: DataFrame,
+                 asOf: java.sql.Timestamp, nextId: Long = 1000000L): DataFrame = {
+    val s = staged.select(col("dir_path").as("s_path"),
+      col("ctime").as("s_ctime"), col("mtime").as("s_mtime"))
+      .dropDuplicates("s_path")
+    val joined = current.join(s, col("dir_path") === col("s_path"), "full_outer")
+    val changed = !(col("ctime") <=> col("s_ctime")) || !(col("mtime") <=> col("s_mtime"))
+    val isNew = col("id").isNull
+    val isStaged = col("s_path").isNotNull
+    val ts = lit(asOf)
+    joined.select(
+      when(isNew, pmod(xxhash64(col("s_path")), lit(Long.MaxValue - nextId)) + nextId)
+        .otherwise(col("id")).as("id"),
+      coalesce(col("dir_path"), col("s_path")).as("dir_path"),
+      when(isStaged && (isNew || changed), col("s_ctime")).otherwise(col("ctime")).as("ctime"),
+      when(isStaged && (isNew || changed), col("s_mtime")).otherwise(col("mtime")).as("mtime"),
+      when(isNew, ts).otherwise(col("inserted_on")).as("inserted_on"),
+      when(isNew, ts).otherwise(when(isStaged && changed, ts).otherwise(col("updated_on")))
+        .as("updated_on"))
+  }
+
+  /** M4 (`DirectoryCrawl.py:771-795`): merge staged hashes into `hash`
+    * (insert-if-absent, keyed `file_id`) and drop the drained rows from
+    * `hash_control`. Returns (newHash, newHashControl). */
+  def mergeHashes(hash: DataFrame, hashControl: DataFrame,
+                  stagedHashes: DataFrame): (DataFrame, DataFrame) = {
+    val newRows = stagedHashes
+      .join(hash.select("file_id"), Seq("file_id"), "left_anti")
+      .dropDuplicates("file_id")
+    val merged = hash.unionByName(newRows.select(hash.columns.map(col): _*))
+    val drained = hashControl.join(stagedHashes.select("file_id"), Seq("file_id"), "left_anti")
+    (merged, drained)
+  }
+
+  /** M6 (`FileDbDAL/File.py:263-344`, `Directory.py:195-358`): delete the
+    * directories matching `dirPaths` (plus, when `deleteSubdirs`, their
+    * whole descendant closure via the path-prefix join — SURVEY §7.4.5)
+    * and all files homed in them. Archives carry the original audit
+    * timestamps plus `deleted_on`.
+    *
+    * Returns (remainingDirs, remainingFiles, dirArchive, fileArchive).
+    */
+  def deleteDirectories(directory: DataFrame, file: DataFrame,
+                        dirPaths: Seq[String], deleteSubdirs: Boolean,
+                        asOf: java.sql.Timestamp): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val roots = dirPaths.distinct
+    val exact = col("dir_path").isin(roots: _*)
+    val target = if (deleteSubdirs)
+      roots.map(r => exact || col("dir_path").startsWith(r + "/") ||
+        col("dir_path").startsWith(r + "\\")).reduce(_ || _)
+    else exact
+    val doomedDirs = directory.filter(target)
+    val remainingDirs = directory.filter(!target)
+    val doomedFiles = file.join(doomedDirs.select(col("id").as("dd_id")),
+      col("dir_id") === col("dd_id"), "left_semi")
+    val remainingFiles = file.join(doomedDirs.select(col("id").as("dd_id")),
+      col("dir_id") === col("dd_id"), "left_anti")
+    val ts = lit(asOf)
+    val dirArchive = doomedDirs.select(col("id"), col("dir_path"),
+      col("ctime"), col("mtime"),
+      col("inserted_on").as("original_inserted_on"),
+      col("updated_on").as("original_updated_on"),
+      ts.as("deleted_on"))
+    val fileArchive = doomedFiles.select(col("id"), col("name"), col("dir_id"),
+      col("size"), col("ctime"), col("mtime"), col("atime"),
+      col("inserted_on").as("original_inserted_on"),
+      col("updated_on").as("original_updated_on"),
+      ts.as("deleted_on"))
+    (remainingDirs, remainingFiles, dirArchive, fileArchive)
+  }
+}

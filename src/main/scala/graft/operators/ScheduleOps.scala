@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's work-scheduling query surface (SURVEY §2.5 T1/T2, §2.4
+  * A5, §2.8 M7): priority-ordered top-K selection over the crawl schedule
+  * and the hash queue.
+  *
+  * The reference claims rows via `UPDATE … RETURNING` because many OS
+  * processes race for work (`FileDbDAL/DirectoryCrawl.py:640-741`). In
+  * Spark the whole due-frontier is selected in one batch and partitioned
+  * across executors, so the claim step disappears (SURVEY §7.4.1); the
+  * selection queries below keep the exact ordering semantics.
+  *
+  * Scale: `orderBy(...).limit(k)` compiles to `TakeOrderedAndProject` — a
+  * per-partition top-K + driver merge, no global sort, no shuffle. That
+  * holds at any input size as long as k stays bounded (it is: the
+  * reference uses k≤10).
+  */
+object ScheduleOps {
+
+  /** Crawl priority (`DirectoryCrawl.py:662-667`): hours overdue plus
+    * size-of-directory terms. Deviation (documented): the reference's
+    * `round(file_count/100)` is integer division in Postgres (a no-op
+    * round); we use `floor(x/100.0)` — explicit, and identical across
+    * engines for every input. */
+  def crawlPriority(asOf: Column): Column =
+    (unix_timestamp(asOf) - unix_timestamp(col("next_crawl"))).cast("double") / 3600d +
+      floor(col("file_count") / 100d) + floor(col("subdir_count") / 100d)
+
+  /** `get_dirs_to_crawl` (T1, `DirectoryCrawl.py:640-687`): due,
+    * unclaimed, not-missing dirs, highest priority first. `dir_path` is a
+    * unique tiebreaker so the top-K set is deterministic. */
+  def dirsToCrawl(directoryControl: DataFrame, asOf: Column, limit: Int): DataFrame =
+    directoryControl
+      .filter(col("next_crawl") < asOf &&
+        col("process_assigned_on").isNull && !col("dir_missing"))
+      .withColumn("priority", crawlPriority(asOf))
+      .orderBy(col("priority").desc, col("dir_path"))
+      .limit(limit)
+      .select("dir_path", "dir_id", "file_count", "subdir_count", "priority")
+
+  /** `get_files_to_hash` (T2, `DirectoryCrawl.py:689-741`): smallest files
+    * first (maximize files/s), joined to the file-detail view for full
+    * paths. `file_id` tiebreaks equal sizes. */
+  def filesToHash(hashControl: DataFrame, vwFileDetail: DataFrame, limit: Int): DataFrame =
+    hashControl
+      .filter(col("process_assigned_on").isNull && !col("file_missing"))
+      .orderBy(col("file_size"), col("file_id"))
+      .limit(limit)
+      .select("file_id", "file_size")
+      .join(vwFileDetail.select(col("id"), col("full_path")),
+        col("file_id") === col("id"))
+      .select("file_id", "full_path", "file_size")
+
+  /** Drives not yet scheduled (J9, `DirectoryCrawl.py:423-450`): anti-join
+    * of crawl roots against the schedule. */
+  def unscheduledDrives(drive: DataFrame, directoryControl: DataFrame): DataFrame =
+    drive.join(directoryControl.select("dir_path"), Seq("dir_path"), "left_anti")
+
+  /** Adaptive crawl frequency (M7, `SQLUtil.py:443-563` with the
+    * `DirectoryCrawl.py:1011-1019` call-site params): seconds since the
+    * directory's last content change (max ctime of its contents, falling
+    * back to `inserted_on`), divided by `divideSeconds`, clamped to
+    * [minSeconds, maxSeconds]. */
+  def crawlFrequency(dirActivity: DataFrame, asOf: Column,
+                     divideSeconds: Int = 30,
+                     minSeconds: Int = 900,
+                     maxSeconds: Int = 604800): DataFrame =
+    dirActivity.withColumn("crawl_frequency",
+      greatest(lit(minSeconds.toLong), least(lit(maxSeconds.toLong),
+        floor((unix_timestamp(asOf) -
+          unix_timestamp(coalesce(col("last_ctime"), col("inserted_on"))))
+          / divideSeconds.toLong))).cast("long"))
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.PathFunctions._
+
+/** The reference's search surface (`FileDbDAL/Search.py:70-345`,
+  * `API/Search.py:26-37`) as DataFrame operators.
+  *
+  * The duplicate-file/dir searches are the reference's flagship queries.
+  * Its formulation is a self-join with an OR-of-conjunctions predicate —
+  * on Spark that would force a broadcast nested-loop join. We decompose it
+  * into a UNION of equi-joins (id-match ∪ sha1+size ∪ md5+size ∪ name),
+  * each of which hash-joins with the (tiny) needle side broadcast, then
+  * de-duplicate. Same result set, no BNLJ (SURVEY §4 "manual rewrites").
+  */
+object SearchOps {
+
+  /** `search_name` (`Search.py:70-88`): match file OR dir basename.
+    * `pattern` is a SQL LIKE pattern (apply
+    * [[graft.functions.PathFunctions.parseWildcardSearch]] to user input
+    * first). */
+  def searchName(vwLl: DataFrame, pattern: String): DataFrame =
+    vwLl.filter(col("name").like(pattern) || basename(col("dir_path")).like(pattern))
+
+  /** `search_name_file` (`Search.py:90-105`): files only. */
+  def searchNameFile(vwLl: DataFrame, pattern: String): DataFrame =
+    vwLl.filter(col("name").like(pattern))
+
+  /** `search_name_dir` (`Search.py:107-122`). */
+  def searchNameDir(directory: DataFrame, pattern: String): DataFrame =
+    directory.filter(basename(col("dir_path")).like(pattern))
+
+  /** `search_full_path` (`Search.py:124-154`): batch exact-path lookup.
+    * The paths list is driver-side and small → derive (dir_path, name)
+    * keys in Scala and broadcast-join. */
+  def searchFullPath(vwLl: DataFrame, fullPaths: Seq[String]): DataFrame = {
+    val keys = fullPaths.distinct.map(p => (basepathScala(p), basenameScala(p)))
+    val spark = vwLl.sparkSession
+    import spark.implicits._
+    val probe = keys.toDF("p_dir", "p_name")
+    vwLl.join(broadcast(probe),
+      col("dir_path") === col("p_dir") && col("name") === col("p_name"))
+      .drop("p_dir", "p_name")
+  }
+
+  /** `search_dir` (`Search.py:188-218`): exact dir-path lookup. */
+  def searchDir(directory: DataFrame, fullPaths: Seq[String]): DataFrame =
+    directory.filter(col("dir_path").isin(fullPaths.distinct: _*))
+
+  /** `search_hash` (`Search.py:220-246`): algo null → match either hash;
+    * 'MD5' / 'SHA1' / 'SHA-1' select one column. */
+  def searchHash(vwLl: DataFrame, hash: String, algorithm: Option[String] = None): DataFrame = {
+    val algo = algorithm.map(_.toUpperCase)
+    val md5Ok = algo.isEmpty || algo.contains("MD5")
+    val sha1Ok = algo.isEmpty || algo.contains("SHA1") || algo.contains("SHA-1")
+    val cond = (if (md5Ok) col("md5_hash") === hash else lit(false)) ||
+      (if (sha1Ok) col("sha1_hash") === hash else lit(false))
+    vwLl.filter(cond)
+  }
+
+  /** `dir_path_exists` / `file_path_exists` (`Directory.py:180-193`,
+    * `File.py:249-261`). */
+  def dirPathExists(directory: DataFrame, path: String): Boolean =
+    !directory.filter(col("dir_path") === parseExactSearch(path)).isEmpty
+  def filePathExists(vwLl: DataFrame, path: String): Boolean = {
+    val p = parseExactSearch(path)
+    !vwLl.filter(col("type") === "file" &&
+      col("dir_path") === basepathScala(p) && col("name") === basenameScala(p)).isEmpty
+  }
+
+  /** `search_duplicate_file` (`Search.py:248-295`) as union-of-equi-joins.
+    *
+    * Needle = rows of `vw_ll` at the exact path. Haystack rows qualify via
+    * any of: same file_id (the reference writes `f.id=n.id` against a view
+    * with no `id` column — intended: `file_id`, SURVEY §7.4.6);
+    * sha1+size match (both sha1 non-null); md5+size match (sha1 missing on
+    * either side, both md5 non-null); name match (flag-gated).
+    */
+  def searchDuplicateFile(vwLl: DataFrame, fullPath: String,
+                          hashMatch: Boolean = true, nameMatch: Boolean = false): DataFrame = {
+    val p = parseExactSearch(fullPath)
+    val needle = vwLl.filter(
+      col("dir_path") === basepathScala(p) && col("name") === basenameScala(p))
+    duplicatesOf(vwLl, needle, hashMatch, nameMatch)
+  }
+
+  /** `search_duplicate_dir` (`Search.py:297-345`): needle = all rows of one
+    * directory. */
+  def searchDuplicateDir(vwLl: DataFrame, dirPath: String,
+                         hashMatchFiles: Boolean = true, nameMatchFiles: Boolean = false): DataFrame =
+    duplicatesOf(vwLl, vwLl.filter(col("dir_path") === parseExactSearch(dirPath)),
+      hashMatchFiles, nameMatchFiles)
+
+  /** Union-of-equi-joins duplicate search core (shared by the file/dir
+    * entry points; also used directly by the verify queries, which key the
+    * needle by id because full paths are data-dependent). */
+  def duplicatesOf(vwLl: DataFrame, needle: DataFrame,
+                   hashMatch: Boolean, nameMatch: Boolean): DataFrame = {
+    val n = needle.select(
+      col("file_id").as("n_file_id"), col("name").as("n_name"),
+      col("size").as("n_size"), col("md5_hash").as("n_md5"), col("sha1_hash").as("n_sha1"))
+
+    val byId = vwLl.join(broadcast(n.select("n_file_id").distinct()),
+      col("file_id") === col("n_file_id")).drop("n_file_id")
+
+    val bySha1 = vwLl.join(
+      broadcast(n.filter(col("n_sha1").isNotNull).select("n_sha1", "n_size").distinct()),
+      col("sha1_hash") === col("n_sha1") && col("size") === col("n_size"))
+      .drop("n_sha1", "n_size")
+
+    // md5 fallback: fires when sha1 is missing on EITHER side (Search.py:280-285)
+    val byMd5 = vwLl.join(
+      broadcast(n.filter(col("n_md5").isNotNull)
+        .select("n_md5", "n_size", "n_sha1").distinct()),
+      col("md5_hash") === col("n_md5") && col("size") === col("n_size") &&
+        (col("sha1_hash").isNull || col("n_sha1").isNull))
+      .drop("n_md5", "n_size", "n_sha1")
+
+    val byName = vwLl.join(broadcast(n.select("n_name").distinct()),
+      col("name") === col("n_name")).drop("n_name")
+
+    val base = byId
+    val withHash = if (hashMatch) base.unionByName(bySha1).unionByName(byMd5) else base
+    val all = if (nameMatch) withHash.unionByName(byName) else withHash
+    all.dropDuplicates("type", "file_id", "full_path")
+  }
+
+  /** The simplified readme flagship (`API/Search.py:26-37`,
+    * `readme.md:24-36`): duplicates of one path by (sha1, size) over
+    * `vw_file_detail`. */
+  def searchDuplicateFileSimple(vwFileDetail: DataFrame, fullPath: String): DataFrame = {
+    val p = parseExactSearch(fullPath)
+    val needle = vwFileDetail
+      .filter(col("dir_path") === basepathScala(p) && col("name") === basenameScala(p))
+      .select(col("sha1_hash").as("n_sha1"), col("size").as("n_size")).distinct()
+    vwFileDetail.join(broadcast(needle),
+      col("sha1_hash") === col("n_sha1") && col("size") === col("n_size"))
+      .drop("n_sha1", "n_size")
+  }
+
+  /** Descendant closure via path-prefix theta join (SURVEY J14,
+    * `Directory.py:216-225`): all dirs under any of `parents`. The parents
+    * side is small → broadcast; `startsWith` keeps ancestry resolution
+    * shuffle-free (paths encode the hierarchy). */
+  def descendantDirs(directory: DataFrame, parents: Seq[String]): DataFrame = {
+    val spark = directory.sparkSession
+    import spark.implicits._
+    val p = parents.map(parseExactSearch).distinct.toDF("parent_path")
+    directory.join(broadcast(p),
+      col("dir_path").startsWith(concat(col("parent_path"), lit("/"))) ||
+        col("dir_path").startsWith(concat(col("parent_path"), lit("\\"))))
+      .drop("parent_path")
+  }
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query output
+written by graft.Verify, run the corresponding oracle SQL in DuckDB over
+the same parquet tables and compare (rows sorted, columns sorted by name).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = sorted(got.columns)
+            got_rows = sorted(
+                tuple(norm(v) for v in row)
+                for row in got.select(*[f'"{c}"' for c in got_cols]).fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_bad += 1
+            continue
+        try:
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = sorted(
+                tuple(norm(v) for v in row)
+                for row in exp.select(*[f'"{c}"' for c in exp_cols]).fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns differ\n  spark={got_cols}\n  duck ={exp_cols}")
+            n_bad += 1
+        elif got_rows != exp_rows:
+            diff_a = [r for r in got_rows if r not in set(exp_rows)][:3]
+            diff_b = [r for r in exp_rows if r not in set(got_rows)][:3]
+            print(f"FAIL {name}: rows differ (spark={len(got_rows)}, duck={len(exp_rows)})")
+            print(f"  spark-only: {diff_a}")
+            print(f"  duck-only : {diff_b}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(got_rows)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
