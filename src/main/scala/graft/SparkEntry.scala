@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.core.Tables.FsCatalog
 import graft.functions.PathFunctions._
-import graft.operators.{MergeOps, ScheduleOps, SearchOps, Views}
+import graft.operators.{DedupOps, MergeOps, MultimodalOps, ScheduleOps, SearchOps, SimilarityOps, TextOps, Views}
 import graft.oracle.Oracle
 
 /** Driver contract — one `queries` entry (plus DuckDB `oracleSql` twin)
@@ -214,7 +214,50 @@ object SparkEntry {
       ScheduleOps.crawlFrequency(activity,
           lit(java.sql.Timestamp.valueOf(asOfLit)))
         .select("dir_id", "last_ctime", "crawl_frequency")
-    })
+    }),
+
+    // ---- training-data pipeline operators (documents / embeddings) ------
+
+    "x1_token_stats" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+
+    "x2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+
+    "x3_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+
+    "x4_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
+
+    "x5_exact_dedup" -> ((s, dir) => DedupOps.exactDupGroups(Tables.documents(s, dir))),
+
+    "x6_normalized_dedup" -> ((s, dir) =>
+      DedupOps.normalizedDupGroups(Tables.documents(s, dir))),
+
+    "x7_minhash_signatures" -> ((s, dir) =>
+      DedupOps.minhashSignatures(
+        Tables.documents(s, dir)
+          .filter(size(TextOps.words(col("text"))) >= DedupOps.shingleWords))),
+
+    "x8_lsh_dup_pairs" -> ((s, dir) =>
+      DedupOps.lshDupPairs(Tables.documents(s, dir), 0.5)),
+
+    "x9_simhash" -> ((s, dir) => DedupOps.simhash(Tables.documents(s, dir))),
+
+    "x10_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashDupPairs(Tables.documents(s, dir), 3)),
+
+    "x11_cosine_dup_pairs" -> ((s, dir) =>
+      SimilarityOps.cosineDupPairs(Tables.embeddings(s, dir), 0.40)),
+
+    "x12_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), 8)
+    }),
+
+    "x13_ann_lsh_pairs" -> ((s, dir) =>
+      SimilarityOps.lshDupPairs(Tables.embeddings(s, dir), 0.30)),
+
+    "x14_media_meta" -> ((s, dir) =>
+      MultimodalOps.extractMediaMeta(
+        Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload"))))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -416,6 +459,28 @@ object SparkEntry {
          |    floor(CAST(date_diff('second', coalesce(a.last_ctime, d.inserted_on), $asOf) AS DOUBLE) / 30)
          |  )) AS BIGINT) AS crawl_frequency
          |FROM (SELECT dir_id, max(ctime) AS last_ctime FROM vw_ll GROUP BY dir_id) a
-         |JOIN directory d ON d.id = a.dir_id""".stripMargin)
+         |JOIN directory d ON d.id = a.dir_id""".stripMargin),
+
+    // ---- training-data pipeline oracles ---------------------------------
+
+    "x1_token_stats" -> TextOps.tokenCountsSql,
+    "x2_lang_id" -> TextOps.langIdSql,
+    "x3_quality_score" -> TextOps.qualityScoreSql,
+    "x4_fingerprints" -> TextOps.fingerprintsSql,
+    "x5_exact_dedup" -> DedupOps.exactDupGroupsSql,
+    "x6_normalized_dedup" -> DedupOps.normalizedDupGroupsSql,
+    "x7_minhash_signatures" -> DedupOps.minhashSignaturesSql,
+    "x8_lsh_dup_pairs" -> DedupOps.lshDupPairsSql(0.5),
+    "x9_simhash" -> DedupOps.simhashSql,
+    "x10_simhash_pairs" -> DedupOps.simhashDupPairsSql(3),
+    "x11_cosine_dup_pairs" -> SimilarityOps.cosineDupPairsSql(0.40),
+    "x12_ann_topk" -> SimilarityOps.bruteForceTopKSql("vec_id % 100 = 0", 8),
+    "x13_ann_lsh_pairs" -> SimilarityOps.lshDupPairsSql(0.30),
+    "x14_media_meta" -> {
+      val (w, h, f) = MultimodalOps.stubDecodeSql("text")
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         |  $w AS width, $h AS height, $f AS format
+         |FROM documents""".stripMargin
+    }
   )
 }

@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+import graft.operators.TextOps.words
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard — each with a DuckDB SQL twin for the
+  * correctness oracle (keep both sides in sync).
+  *
+  * Scale design (the whole point of these operators):
+  *   - Exact dedup is one hash-groupBy — partial aggregation map-side,
+  *     single shuffle on the content hash.
+  *   - MinHash signatures are computed per-row (no explode, no shuffle):
+  *     shingling + k hash-mins run inside one generated projection.
+  *   - LSH banding explodes to b rows per doc (b≈4) and self-joins on the
+  *     band hash — the shuffle key is the band bucket, so only docs
+  *     sharing a bucket ever meet. Candidate verification (exact Jaccard)
+  *     touches candidate pairs only, never the full cross product.
+  *   - SimHash pairs use pigeonhole byte-blocking: 4 equi-joins on one
+  *     byte each — exact for Hamming distance ≤ 3, no cross join.
+  */
+object DedupOps {
+
+  // ---- exact --------------------------------------------------------------
+
+  /** Exact-duplicate groups by content hash: one row per distinct content,
+    * with the representative (min doc_id) and the duplicate count. */
+  def exactDupGroups(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.groupBy(md5(text).as("content_hash"))
+      .agg(min(col("doc_id")).as("representative"), count(lit(1)).as("n_docs"))
+
+  def exactDupGroupsSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS representative,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Bag-of-words-normalized duplicate groups (catches word-order shuffles):
+    * only groups with >1 member. */
+  def normalizedDupGroups(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.groupBy(md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+        .as("content_hash"))
+      .agg(min(col("doc_id")).as("representative"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+
+  def normalizedDupGroupsSql: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS content_hash,
+      |  min(doc_id) AS representative, count(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  val numHashes = 16
+  val numBands = 4 // 4 bands × 4 rows
+  val rowsPerBand: Int = numHashes / numBands
+  val shingleWords = 3
+
+  /** Word n-gram shingles of a text column, as an array (per-row, no
+    * explode). Empty array when the doc is shorter than n words. */
+  def shingles(text: Column, n: Int = shingleWords): Column = {
+    val w = words(text)
+    val count = size(w) - (n - 1)
+    when(count > 0,
+      transform(sequence(lit(1), count),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin: `(doc_id, sh)` relation of DISTINCT word shingles. */
+  def shinglesSqlCte: String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+       |  JOIN range(1, 600) r(i) ON i <= len(ws) - ${shingleWords - 1}
+       |)""".stripMargin
+
+  /** MinHash signature: k independent hash-family minima over the shingle
+    * set, computed per-row inside one projection. */
+  def minhashSignatures(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val sh = array_distinct(shingles(text))
+    val mins = (0 until numHashes).map { seed =>
+      array_min(transform(sh, s => HashFunctions.hash60(s, seed))).as(s"m$seed")
+    }
+    df.select((col("doc_id") +: mins): _*)
+  }
+
+  def minhashSignaturesSql: String = {
+    val mins = (0 until numHashes)
+      .map(seed => s"min(${HashFunctions.hash60Sql("sh", seed)}) AS m$seed")
+      .mkString(",\n    ")
+    s"""WITH ${shinglesSqlCte}
+       |SELECT doc_id,
+       |    $mins
+       |FROM sh GROUP BY doc_id""".stripMargin
+  }
+
+  /** Band hashes: b rows per doc, `(doc_id, band, band_hash)`. Docs sharing
+    * any `(band, band_hash)` bucket are LSH candidates. */
+  def lshBands(signatures: DataFrame): DataFrame = {
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"m$i").cast("string"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", cols: _*)).as("band_hash"))
+    }
+    signatures.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** LSH candidate pairs verified with exact Jaccard over the shingle sets.
+    * Returns `(doc_a, doc_b, jaccard)` with `jaccard >= threshold`,
+    * `doc_a < doc_b`. Jaccard is exact-integer arithmetic (|∩| / |∪|). */
+  def lshDupPairs(df: DataFrame, threshold: Double,
+                  text: Column = col("text")): DataFrame = {
+    val sigs = minhashSignatures(df, text)
+    val bands = lshBands(sigs)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardFor(df, cand, text).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard for a given candidate-pair set: |A∩B| via a shingle
+    * equi-join restricted to the candidates, |A∪B| = |A|+|B|−|A∩B|. */
+  def jaccardFor(df: DataFrame, candidates: DataFrame,
+                 text: Column = col("text")): DataFrame = {
+    val sh = df.select(col("doc_id"), explode(array_distinct(shingles(text))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+  }
+
+  def lshDupPairsSql(threshold: Double): String = {
+    val bandHash = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val mins = (0 until numHashes)
+      .map(seed => s"min(${HashFunctions.hash60Sql("sh", seed)}) AS m$seed")
+      .mkString(", ")
+    s"""WITH ${shinglesSqlCte},
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandHash
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.doc_a
+       |JOIN sizes zb ON zb.doc_id = i.doc_b
+       |WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= $threshold""".stripMargin
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  val simhashBits = 32
+
+  /** 32-bit SimHash over the distinct-word set: bit j is set when the
+    * signed sum of bit j across token hashes is positive. */
+  def simhash(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val tok = df.select(col("doc_id"), explode(array_distinct(words(text))).as("w"))
+      .withColumn("h", HashFunctions.hash60(col("w")))
+    val sums = (0 until simhashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agged = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val sig = (0 until simhashBits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def simhashSqlCte: String = {
+    val sums = (0 until simhashBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val sig = (0 until simhashBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
+       |  FROM documents
+       |),
+       |bitsums AS (
+       |  SELECT doc_id, $sums
+       |  FROM (SELECT doc_id, ${HashFunctions.hash60Sql("w")} AS h FROM tok)
+       |  GROUP BY doc_id
+       |),
+       |sim AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bitsums)""".stripMargin
+  }
+
+  def simhashSql: String =
+    s"WITH ${simhashSqlCte}\nSELECT doc_id, simhash FROM sim"
+
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`, found
+    * via pigeonhole byte-blocking: with 4 blocks, any pair differing in at
+    * most 3 bits must agree on at least one whole signature byte
+    * (pigeonhole: 3 differing bits cannot touch all 4 bytes), so 4
+    * equi-joins on one byte each cover the space exactly — no cross join,
+    * and each join's shuffle key (the byte) distributes by content. For a
+    * larger distance budget, raise the block count to maxDist+1 instead. */
+  def simhashDupPairs(df: DataFrame, maxDist: Int = 3,
+                      text: Column = col("text")): DataFrame = {
+    require(maxDist <= 3, "4-byte blocking is exact only for Hamming distance <= 3")
+    val sim = simhash(df, text)
+    val blocked = (0 until 4).map { b =>
+      val byteOf = (c: Column) => shiftright(c, b * 8).bitwiseAND(lit(255L))
+      sim.as("a").join(sim.as("b"),
+        byteOf(col("a.simhash")) === byteOf(col("b.simhash")) &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+    }.reduce(_ unionByName _).distinct()
+    blocked
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Oracle twin uses the naive all-pairs form — same result set, and the
+    * oracle only ever runs at small SF. */
+  def simhashDupPairsSql(maxDist: Int = 3): String =
+    s"""WITH ${simhashSqlCte}
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine as the exactness baseline, random-hyperplane LSH
+  * bucketing as the scale path.
+  *
+  * Numeric portability: every dot product casts float elements to double
+  * BEFORE multiplying (float*float rounds differently than
+  * double*double), and the fold is sequential in array order, so Spark
+  * and the DuckDB oracle compute bit-identical sums; projected cosines
+  * are rounded to 9 dp to absorb any engine-level reassociation.
+  *
+  * Scale: brute-force pairs is O(n²) — correct baseline, never the 100 TB
+  * plan. The LSH path buckets vectors by a b-bit hyperplane signature
+  * (per-row projection, no shuffle) and only joins within buckets; at
+  * 1000 executors the bucket id is the shuffle key and collisions per
+  * bucket stay O(n/2^b). Brute-force top-K against a SMALL query set
+  * broadcasts the queries — one pass over the corpus, no shuffle of the
+  * big side (the window ranks only k·|queries| candidate rows).
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB twin of [[dot]]: list_dot_product over DOUBLE[] casts. */
+  def dotSql(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** `(vec_id, embedding, norm)` with the L2 norm precomputed once per
+    * vector — O(n·d) instead of O(n²·d) norm work in the pair joins. The
+    * expression `sqrt(dot(e,e))` is the same IEEE op sequence the oracle
+    * uses inline, so precomputing does not change a single bit. */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+
+  /** All embedding pairs with cosine ≥ threshold (near-duplicate
+    * detection). Exact O(n²) baseline — see scaladoc for the LSH path. */
+  def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val n = withNorm(emb)
+    val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("norm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 9).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  def cosineDupPairsSql(threshold: Double): String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${cosineSql("a.embedding", "b.embedding")}, 9) AS cos_sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 9) >= $threshold""".stripMargin
+
+  /** Brute-force cosine top-K: for each query vector, the k nearest
+    * corpus vectors (excluding itself), ties broken by vec_id. The query
+    * side is broadcast; ranking happens per query partition. */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
+    val scored = withNorm(emb).join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("embedding")) / (col("qn") * col("norm")), 9).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  def bruteForceTopKSql(queryFilter: String, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE $queryFilter),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    round(${cosineSql("q.qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, neighbor_id, cos_sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+
+  // ---- random-hyperplane LSH (multi-table) --------------------------------
+
+  val lshTables = 4
+  val bitsPerTable = 8
+  val dim = 64
+
+  /** Deterministic ±1 hyperplane weights (lshTables × bitsPerTable planes),
+    * derived from md5 so both engines embed the same literals. */
+  lazy val hyperplanes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until lshTables * bitsPerTable).map { b =>
+      (0 until dim).map { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$b,$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+
+  private def projPositive(emb: Column, plane: Int): Column =
+    aggregate(zip_with(emb, typedlit(hyperplanes(plane)),
+      (x, wc) => x.cast("double") * wc), lit(0.0), (acc, x) => acc + x) > 0
+
+  /** Bucket id of hash table `t`: the table's b sign-bits packed into a
+    * long. Per-row projection, no shuffle. */
+  def lshBucket(emb: Column, t: Int): Column =
+    (0 until bitsPerTable).map { i =>
+      when(projPositive(emb, t * bitsPerTable + i), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBucketSql(emb: String, t: Int): String =
+    (0 until bitsPerTable).map { i =>
+      val w = hyperplanes(t * bitsPerTable + i)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST($emb AS DOUBLE[]), $w) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** ANN near-dup pairs, multi-table LSH: candidates collide in at least
+    * one of the L hash tables (union of L bucket equi-joins — recall grows
+    * with L while each join stays selective), then exact-cosine verified.
+    * At scale the shuffle key is (table, bucket); no cross product ever
+    * forms. */
+  def lshDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val n = withNorm(emb)
+    val buckets = n.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(array((0 until lshTables).map { t =>
+        struct(lit(t).as("tbl"), lshBucket(col("embedding"), t).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("a.norm").as("na"),
+        col("b.embedding").as("eb"), col("b.norm").as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand.select(col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 9).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  def lshDupPairsSql(threshold: Double): String = {
+    val tables = (0 until lshTables).map { t =>
+      s"SELECT vec_id, embedding, $t AS tbl, CAST(${lshBucketSql("embedding", t)} AS BIGINT) AS bucket FROM embeddings"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH buckets AS (
+       |  $tables
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    a.embedding AS ea, b.embedding AS eb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b, round(${cosineSql("ea", "eb")}, 9) AS cos_sim
+       |FROM cand
+       |WHERE round(${cosineSql("ea", "eb")}, 9) >= $threshold""".stripMargin
+  }
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language ID, quality scoring, and
+  * document fingerprinting over the `documents` table.
+  *
+  * All operators are pure narrow transformations (per-row column
+  * expressions, no shuffle, fully codegen'd) — at 100 TB they run
+  * map-side at scan speed, and any downstream groupBy benefits from
+  * partial aggregation. Every operator has a DuckDB SQL twin (the
+  * `*Sql` methods) so results are oracle-checkable; keep both sides in
+  * sync when editing.
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` (single-space-delimited corpus). */
+  def words(text: Column): Column = split(trim(text), " ")
+
+  // BPE-ish pre-tokenizer: letter runs | digit runs | single other glyph.
+  // Public-pattern analog of byte-level BPE pre-tokenization regexes.
+  val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Token counts: whitespace tokens and regex (BPE-ish) tokens. */
+  def tokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.select(col("doc_id"),
+      size(words(text)).as("ws_tokens"),
+      regexp_count(text, lit(tokenPattern)).as("re_tokens"),
+      length(text).as("n_chars"))
+
+  def tokenCountsSql: String =
+    s"""SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$tokenPattern')) AS INT) AS re_tokens,
+       |  CAST(length(text) AS INT) AS n_chars
+       |FROM documents""".stripMargin
+
+  /** Function-word profiles per language (public frequency lists),
+    * alphabetical by language code — the tie-break order. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "is", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3", "you3"))
+
+  /** N-gram/stopword-heuristic language ID: per-language score = count of
+    * tokens in that language's function-word profile; winner = highest
+    * score, ties broken alphabetically; all-zero → "und". */
+  def langId(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val w = words(text)
+    val scored = langProfiles.foldLeft(df.select(col("doc_id"), w.as("ws"))) {
+      case (acc, (lang, profile)) =>
+        acc.withColumn(s"s_$lang",
+          size(filter(col("ws"), t => t.isin(profile.map(lit(_)): _*))))
+    }
+    val mx = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val pick = langProfiles.foldRight(lit("und")) { case ((lang, _), el) =>
+      when(col(s"s_$lang") === mx, lit(lang)).otherwise(el)
+    }
+    scored.select(
+      (Seq(col("doc_id"), when(mx === 0, "und").otherwise(pick).as("detected_lang")) ++
+        langProfiles.map { case (l, _) => col(s"s_$l") }): _*)
+  }
+
+  def langIdSql: String = {
+    val scores = langProfiles.map { case (lang, profile) =>
+      val inList = profile.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ($inList))) AS INT) AS s_$lang"
+    }.mkString(",\n    ")
+    val mx = "greatest(" + langProfiles.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val pick = langProfiles.map { case (l, _) =>
+      s"WHEN s_$l = $mx THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN $mx = 0 THEN 'und' $pick ELSE 'und' END AS detected_lang,
+       |  ${langProfiles.map { case (l, _) => s"s_$l" }.mkString(", ")}
+       |FROM scored""".stripMargin
+  }
+
+  // English stopwords used by the quality heuristic (subset of public lists)
+  val qualityStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "is", "in")
+
+  /** Quality scoring: document length, punctuation ratio, stopword ratio,
+    * mean word length — combined into a [0,1] score. All arithmetic is
+    * per-row IEEE double → bit-identical across engines. */
+  def qualityScore(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val w = words(text)
+    val nWords = size(w).cast("double")
+    val nChars = length(text).cast("double")
+    val punct = regexp_count(text, lit("[^a-z0-9 ]")).cast("double")
+    val stops = size(filter(w, t => t.isin(qualityStopwords.map(lit(_)): _*))).cast("double")
+    val avgWordLen = length(regexp_replace(text, " ", "")).cast("double") / nWords
+    val punctRatio = punct / nChars
+    val stopRatio = stops / nWords
+    val score = least(nWords / 100d, lit(1d)) * 0.4 +
+      (lit(1d) - punctRatio) * 0.3 + least(stopRatio * 5d, lit(1d)) * 0.3
+    df.select(col("doc_id"), nWords.as("n_words"), avgWordLen.as("avg_word_len"),
+      punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  def qualityScoreSql: String = {
+    val stopList = qualityStopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n_words,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |    / len(string_split(trim(text), ' ')) AS avg_word_len,
+       |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+       |    / length(text) AS punct_ratio,
+       |  CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(trim(text), ' ')) AS stopword_ratio,
+       |  least(len(string_split(trim(text), ' ')) / 100.0, 1.0) * 0.4
+       |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text)) * 0.3
+       |    + least(CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |            / len(string_split(trim(text), ' ')) * 5.0, 1.0) * 0.3 AS quality_score
+       |FROM documents""".stripMargin
+  }
+
+  /** Document fingerprints: a bag-of-words canonical hash (order-
+    * independent — catches shuffled near-dups) and a min-shingle rolling
+    * hash (winnowing-style, robust to small edits). */
+  def fingerprints(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val canonical = concat_ws(" ", array_sort(array_distinct(words(text))))
+    df.select(col("doc_id"),
+      HashFunctions.hash60(canonical).as("bow_fingerprint"),
+      minShingleHash(text).as("min_shingle_hash"))
+  }
+
+  /** Min over hash60 of all character 5-grams — the "rolling hash"
+    * fingerprint. Implemented with a generated index sequence (narrow,
+    * codegen'd; no explode/shuffle). */
+  def minShingleHash(text: Column, n: Int = 5): Column = {
+    val t = trim(text)
+    val idx = sequence(lit(1), greatest(length(t) - (n - 1), lit(1)))
+    array_min(transform(idx, i => HashFunctions.hash60(t.substr(i, lit(n)))))
+  }
+
+  def fingerprintsSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, min(${HashFunctions.hash60Sql("substr(trim(text), i, 5)")}) AS min_shingle_hash
+       |  FROM documents JOIN range(1, 600) r(i)
+       |    ON i <= greatest(length(trim(text)) - 4, 1)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  ${HashFunctions.hash60Sql("array_to_string(list_sort(list_distinct(string_split(trim(d.text), ' '))), ' ')")} AS bow_fingerprint,
+       |  g.min_shingle_hash
+       |FROM documents d JOIN grams g ON d.doc_id = g.doc_id""".stripMargin
+}
