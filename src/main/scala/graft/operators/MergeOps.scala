@@ -77,10 +77,17 @@ object MergeOps {
     * `file` table (SURVEY §4 "manual rewrites" (c)). */
   def missingFiles(current: DataFrame, staged: DataFrame): DataFrame = {
     val stagedDirs = staged.select("dir_id").distinct()
-    current
-      .join(stagedDirs, Seq("dir_id"), "left_semi")
-      .join(staged.select("dir_id", "name"), Seq("dir_id", "name"), "left_anti")
+    missingFilesIn(current, staged, stagedDirs)
   }
+
+  /** Like [[missingFiles]] but scoped to an explicit crawled-dir set — a
+    * dir whose files ALL vanished stages zero rows, so scoping by staged
+    * rows alone would never flag them. */
+  def missingFilesIn(current: DataFrame, staged: DataFrame,
+                     crawledDirIds: DataFrame): DataFrame =
+    current
+      .join(crawledDirIds.select("dir_id"), Seq("dir_id"), "left_semi")
+      .join(staged.select("dir_id", "name"), Seq("dir_id", "name"), "left_anti")
 
   /** M1 hash-scheduling branch (J12, `DirectoryCrawl.py:857-873`): staged
     * files that are new or content-changed and have no hash yet → rows for
@@ -117,15 +124,32 @@ object MergeOps {
         .as("updated_on"))
   }
 
-  /** M4 (`DirectoryCrawl.py:771-795`): merge staged hashes into `hash`
-    * (insert-if-absent, keyed `file_id`) and drop the drained rows from
-    * `hash_control`. Returns (newHash, newHashControl). */
+  /** M4+M5 (`DirectoryCrawl.py:771-795`, `Hash.py:110-179`): merge staged
+    * hashes into `hash` keyed `file_id` and drop the drained rows from
+    * `hash_control`. The reference's batch path is insert-if-absent (M4)
+    * and its per-file path is change-only upsert (M5); re-hashing a
+    * changed file must land the new digest, so the batch merge here uses
+    * the M5 semantics — update only when a digest actually changed
+    * (documented intended-semantics deviation, SURVEY §7.4.6).
+    * Returns (newHash, newHashControl). */
   def mergeHashes(hash: DataFrame, hashControl: DataFrame,
                   stagedHashes: DataFrame): (DataFrame, DataFrame) = {
-    val newRows = stagedHashes
-      .join(hash.select("file_id"), Seq("file_id"), "left_anti")
-      .dropDuplicates("file_id")
-    val merged = hash.unionByName(newRows.select(hash.columns.map(col): _*))
+    val s = stagedHashes.dropDuplicates("file_id").select(
+      col("file_id").as("s_fid"), col("md5_hash").as("s_md5"),
+      col("md5_hash_time").as("s_md5_t"), col("sha1_hash").as("s_sha1"),
+      col("sha1_hash_time").as("s_sha1_t"))
+    val j = hash.join(s, col("file_id") === col("s_fid"), "full_outer")
+    val isNew = col("file_id").isNull
+    val changed = !(col("md5_hash") <=> col("s_md5")) || !(col("sha1_hash") <=> col("s_sha1"))
+    val staged = col("s_fid").isNotNull
+    val take = staged && (isNew || changed)
+    val merged = j.select(
+      coalesce(col("id"), col("s_fid")).as("id"),
+      coalesce(col("file_id"), col("s_fid")).as("file_id"),
+      when(take, col("s_md5")).otherwise(col("md5_hash")).as("md5_hash"),
+      when(take, col("s_md5_t")).otherwise(col("md5_hash_time")).as("md5_hash_time"),
+      when(take, col("s_sha1")).otherwise(col("sha1_hash")).as("sha1_hash"),
+      when(take, col("s_sha1_t")).otherwise(col("sha1_hash_time")).as("sha1_hash_time"))
     val drained = hashControl.join(stagedHashes.select("file_id"), Seq("file_id"), "left_anti")
     (merged, drained)
   }
