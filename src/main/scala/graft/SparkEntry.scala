@@ -257,7 +257,13 @@ object SparkEntry {
 
     "x14_media_meta" -> ((s, dir) =>
       MultimodalOps.extractMediaMeta(
-        Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload"))))
+        Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))),
+
+    "x15_events_hourly" -> ((s, dir) =>
+      graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
+
+    "x16_user_sessions" -> ((s, dir) =>
+      graft.streaming.EventStreams.userSessions(Tables.events(s, dir), 30))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -481,6 +487,8 @@ object SparkEntry {
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
          |  $w AS width, $h AS height, $f AS format
          |FROM documents""".stripMargin
-    }
+    },
+    "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
+    "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)
   )
 }

@@ -35,7 +35,16 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
-  def events(spark: SparkSession, d: String): DataFrame = table(spark, d, "events")
+  /** `events.ts` is nanosecond-precision, which Spark's parquet reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and truncate
+    * to a µs timestamp. Oracle queries never project raw `ts`, and every
+    * derived value (hour truncation, epoch seconds) is unaffected by the
+    * ns→µs floor. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 

@@ -61,7 +61,8 @@ object MergeOps {
         .otherwise(col("id")).as("id"),
       coalesce(col("name"), col("s_name")).as("name"),
       coalesce(col("dir_id"), col("s_dir_id")).as("dir_id"),
-      when(isStaged && (isNew || changed), col("s_size")).otherwise(col("size")).as("size"),
+      when(isStaged && (isNew || changed), col("s_size")).otherwise(col("size"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("size"),
       when(isStaged && (isNew || changed), col("s_ctime")).otherwise(col("ctime")).as("ctime"),
       when(isStaged && (isNew || changed), col("s_mtime")).otherwise(col("mtime")).as("mtime"),
       when(isStaged && (isNew || changed), col("s_atime")).otherwise(col("atime")).as("atime"),

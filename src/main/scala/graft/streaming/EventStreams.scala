@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time processing over the `events` table — watermarked windowed
+  * aggregation and stateful sessionization, usable identically in batch
+  * (for the correctness oracle) and as Structured Streaming transforms
+  * (`readStream` the same relation and reuse these functions unchanged).
+  *
+  * Beyond-reference surface: the reference has no event-time semantics
+  * (SURVEY §2.9 "no watermarks needed") — these operators extend the
+  * engine toward the streaming side of a training-data pipeline
+  * (event logs, interaction streams).
+  *
+  * Scale: tumbling windows aggregate with partial map-side combine on
+  * (window, event_type); the shuffle key cardinality is bounded by
+  * |windows|×|types|, so this holds at any input volume. Values are cast
+  * to DECIMAL per-row pre-SUM (order-independent, engine-exact).
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregate: per (hour, event_type) — count, distinct
+    * users, exact decimal value sum. In streaming mode add
+    * `.withWatermark("ts", "1 hour")` upstream; the aggregation logic is
+    * identical. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DecimalType(18, 6)).as("sum_value"))
+      .select(col("w.start").as("ts_hour"), col("event_type"),
+        col("n_events"), col("n_users"), col("sum_value"))
+
+  def hourlyByTypeSql: String =
+    """SELECT date_trunc('hour', ts) AS ts_hour, event_type,
+      |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Per-user sessionization with a fixed inactivity gap: window function
+    * formulation (lag + cumulative session counter) so the SAME semantics
+    * run in batch and in the oracle; the streaming twin is
+    * `session_window(ts, gap)` / `flatMapGroupsWithState`. Returns one row
+    * per session. */
+  def userSessions(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        // second precision: raw ns timestamps must not be projected
+        // (Spark truncates ns→µs on read; epoch-seconds are safe)
+        min(unix_timestamp(col("ts"))).as("session_start_epoch"),
+        max(unix_timestamp(col("ts"))).as("session_end_epoch"))
+      .withColumn("duration_sec",
+        col("session_end_epoch") - col("session_start_epoch"))
+  }
+
+  def userSessionsSql(gapMinutes: Int): String = {
+    val gapSec = gapMinutes * 60
+    s"""WITH marked AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       |           OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > $gapSec
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |),
+       |numbered AS (
+       |  SELECT user_id, ts,
+       |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+       |  FROM marked
+       |)
+       |SELECT user_id, session_no, count(*) AS n_events,
+       |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_epoch,
+       |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end_epoch,
+       |  max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec
+       |FROM numbered GROUP BY user_id, session_no""".stripMargin
+  }
+}

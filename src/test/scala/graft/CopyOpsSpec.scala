@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CopyOps
+
+/** S8/T3: copy sink with validation + overwrite flags; T4 queue drain. */
+class CopyOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: Path = _
+  private val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = Files.createTempDirectory("graft_copy")
+    Files.write(dir.resolve("src.txt"), "copy me".getBytes)
+    Files.write(dir.resolve("existing.txt"), "already here".getBytes)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("T3 selection computes destination with coalesce(new_name, basename)") {
+    val s = spark
+    import s.implicits._
+    val queue = Seq(
+      (1L, "/a/src.txt", "/dest", null.asInstanceOf[String], "N", false, t1),
+      (2L, "/a/other.txt", "/dest", "renamed.txt", "Y", false, t1))
+      .toDF("id", "source_path", "dest_dir", "new_file_name", "overwrite", "move_file", "inserted_on")
+    val sel = CopyOps.filesToCopy(queue, 10).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("dest_path")).toMap
+    assert(sel(1L) === "/dest/src.txt")
+    assert(sel(2L) === "/dest/renamed.txt")
+  }
+
+  test("copy validates content; overwrite flags Y/N/W behave per reference") {
+    val okRes = CopyOps.copyOne(s"$dir/src.txt", s"$dir/out/copy1.txt", "N", move = false, t1)
+    assert(okRes.status === 0)
+    assert(Files.readAllLines(dir.resolve("out/copy1.txt")).get(0) === "copy me")
+
+    // N: refuse to clobber
+    val clash = CopyOps.copyOne(s"$dir/src.txt", s"$dir/existing.txt", "N", move = false, t1)
+    assert(clash.status === 2)
+    // Y: replace
+    val replace = CopyOps.copyOne(s"$dir/src.txt", s"$dir/existing.txt", "Y", move = false, t1)
+    assert(replace.status === 0)
+    assert(Files.readAllLines(dir.resolve("existing.txt")).get(0) === "copy me")
+    // W: keep both
+    val keepBoth = CopyOps.copyOne(s"$dir/src.txt", s"$dir/existing.txt", "W", move = false, t1)
+    assert(keepBoth.status === 0)
+    assert(Files.exists(dir.resolve("existing.txt (1)")))
+    // missing source
+    val missing = CopyOps.copyOne(s"$dir/ghost.txt", s"$dir/out/x.txt", "N", move = false, t1)
+    assert(missing.status === 1)
+  }
+
+  test("distributed copy batch returns result codes as data") {
+    val s = spark
+    import s.implicits._
+    Files.write(dir.resolve("batch1.txt"), "b1".getBytes)
+    Files.write(dir.resolve("batch2.txt"), "b2".getBytes)
+    val work = Seq(
+      (s"$dir/batch1.txt", s"$dir/out/batch1.txt", "N", false),
+      (s"$dir/batch2.txt", s"$dir/out/batch2.txt", "N", true), // move
+      (s"$dir/nope.txt", s"$dir/out/nope.txt", "N", false))
+      .toDF("source_path", "dest_path", "overwrite", "move_file")
+    val res = CopyOps.executeCopies(spark, work, t1).collect()
+      .map(r => r.getAs[String]("source_path") -> r.getAs[Int]("status")).toMap
+    assert(res(s"$dir/batch1.txt") === 0)
+    assert(res(s"$dir/batch2.txt") === 0)
+    assert(!Files.exists(dir.resolve("batch2.txt"))) // moved
+    assert(res(s"$dir/nope.txt") === 1)
+  }
+
+  test("T4 drain takes FIFO batch and leaves the rest") {
+    val s = spark
+    import s.implicits._
+    val queue = (1 to 10).map(i =>
+        (i.toLong, Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d")))
+      .toDF("id", "inserted_on")
+    val (batch, remaining) = CopyOps.drainRemovalQueue(queue, 4)
+    assert(batch.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(remaining.count() === 6)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the BASELINE.md performance gates: these
+  * pin the PLAN SHAPE, not timings — the properties that survive a 100×
+  * scale-up. If a refactor regresses one of these, the bench will follow.
+  *
+  *   - duplicate search: union-of-equi-joins, never a nested-loop join;
+  *   - top-K scheduling: TakeOrderedAndProject, never a global Sort+Limit;
+  *   - view joins: directory/needle sides broadcast (no big-side shuffle);
+  *   - scans: filter pushdown + column pruning reach the parquet reader.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("duplicate-file search plans as broadcast hash joins, no BNLJ") {
+    val c = SparkEntry.cat(spark, sfDir)
+    val needle = c.vwLl.filter(col("file_id").isin(100L, 102L))
+    val plan = physicalPlan(
+      graft.operators.SearchOps.duplicatesOf(c.vwLl, needle,
+        hashMatch = true, nameMatch = false))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"OR-join decomposition must avoid BNLJ:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "needle side should broadcast")
+  }
+
+  test("T1 scheduling compiles to TakeOrderedAndProject (no global sort)") {
+    val c = SparkEntry.cat(spark, sfDir)
+    val plan = physicalPlan(graft.operators.ScheduleOps.dirsToCrawl(
+      c.directoryControl, lit(java.sql.Timestamp.valueOf("2024-02-11 16:00:00")), 20))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-K operator:\n$plan")
+  }
+
+  test("vw_ll plans with broadcast dimension joins") {
+    val c = SparkEntry.cat(spark, sfDir)
+    val plan = physicalPlan(c.vwLl)
+    assert(plan.contains("BroadcastHashJoin"), "directory side should broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"no BNLJ in the view:\n$plan")
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val plan = physicalPlan(
+      graft.core.Tables.lineitem(spark, sfDir)
+        .filter(col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"),
+      s"filter must reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan must prune to the 2 projected columns:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scalar path functions") {
+    val c = SparkEntry.cat(spark, sfDir)
+    val df = c.directory.select(
+      graft.functions.PathFunctions.basepath(col("dir_path")),
+      graft.functions.PathFunctions.basename(col("dir_path")))
+    df.collect() // finalize the adaptive plan
+    val plan = physicalPlan(df)
+    // WholeStageCodegen spans print as "*(id)" in the final plan
+    assert(plan.contains("*("),
+      s"path functions must stay inside codegen:\n$plan")
+  }
+
+  test("exact dedup aggregates partially before the shuffle") {
+    val plan = physicalPlan(graft.operators.DedupOps.exactDupGroups(
+      graft.core.Tables.documents(spark, sfDir)))
+    // partial_ aggregate before exchange = map-side combine
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"expected partial aggregation:\n$plan")
+  }
+}
