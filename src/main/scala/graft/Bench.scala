@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: JIT/codegen + parquet footer caches, so per-query times
+    // measure the query, not session start
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Seq("region", "nation", "customer", "orders", "lineitem",
+      "documents", "embeddings", "events").foreach { t =>
+      try graft.core.Tables.table(spark, sfDir, t).limit(1).collect()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

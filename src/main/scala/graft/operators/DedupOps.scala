@@ -77,19 +77,50 @@ object DedupOps {
        |  JOIN range(1, 600) r(i) ON i <= len(ws) - ${shingleWords - 1}
        |)""".stripMargin
 
-  /** MinHash signature: k independent hash-family minima over the shingle
-    * set, computed per-row inside one projection. */
-  def minhashSignatures(df: DataFrame, text: Column = col("text")): DataFrame = {
-    val sh = array_distinct(shingles(text))
-    val mins = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => HashFunctions.hash60(s, seed))).as(s"m$seed")
+  // Affine MinHash family over a 32-bit md5 base hash: h_i = (a_i·h + b_i)
+  // mod p. ONE md5 per shingle feeds all k family members (the classic
+  // a·x+b construction) — 16× less hashing than k independent md5s, and
+  // products stay < 2^62 so the arithmetic is exact BIGINT in both
+  // engines. Constants are md5-derived so both engines embed identical
+  // literals.
+  val minhashPrime: Long = 2147483647L // 2^31 - 1
+  lazy val minhashCoeffs: IndexedSeq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      def h(tag: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$tag$i".getBytes("UTF-8"))
+        val hex = d.map("%02x".format(_)).mkString.substring(0, 7)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      ((h("a") % (minhashPrime - 1)) + 1, h("b") % minhashPrime)
     }
-    df.select((col("doc_id") +: mins): _*)
+
+  /** 32-bit base hash of a shingle (both engines: first 8 hex of md5). */
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def baseHashSql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 8)) AS BIGINT)"
+
+  /** MinHash signature via explode → one base md5 per (doc, shingle) →
+    * k affine minima inside one partial-aggregating groupBy. The shuffle
+    * carries only k mins per doc; the md5 work happens map-side exactly
+    * once per shingle. */
+  def minhashSignatures(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val exploded = df
+      .select(col("doc_id"), explode(array_distinct(shingles(text))).as("sh"))
+      .select(col("doc_id"), baseHash(col("sh")).as("h"))
+    val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % minhashPrime).as(s"m$i")
+    }
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   def minhashSignaturesSql: String = {
-    val mins = (0 until numHashes)
-      .map(seed => s"min(${HashFunctions.hash60Sql("sh", seed)}) AS m$seed")
+    val mins = minhashCoeffs.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"min((${baseHashSql("sh")} * $a + $b) % $minhashPrime) AS m$i"
+      }
       .mkString(",\n    ")
     s"""WITH ${shinglesSqlCte}
        |SELECT doc_id,
@@ -115,7 +146,11 @@ object DedupOps {
     * `doc_a < doc_b`. Jaccard is exact-integer arithmetic (|∩| / |∪|). */
   def lshDupPairs(df: DataFrame, threshold: Double,
                   text: Column = col("text")): DataFrame = {
-    val sigs = minhashSignatures(df, text)
+    // signatures feed BOTH sides of the bucket self-join — checkpoint the
+    // (tiny: one row per doc) signature table so the expensive shingle
+    // hashing runs once, not once per join side. (At cluster scale use a
+    // persisted/bucketed table instead of a local checkpoint.)
+    val sigs = minhashSignatures(df, text).localCheckpoint(true)
     val bands = lshBands(sigs)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -124,6 +159,7 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint(true)
     jaccardFor(df, cand, text).filter(col("jaccard") >= threshold)
   }
 
@@ -131,7 +167,12 @@ object DedupOps {
     * equi-join restricted to the candidates, |A∪B| = |A|+|B|−|A∩B|. */
   def jaccardFor(df: DataFrame, candidates: DataFrame,
                  text: Column = col("text")): DataFrame = {
-    val sh = df.select(col("doc_id"), explode(array_distinct(shingles(text))).as("sh"))
+    // only docs that appear in a candidate pair need their shingle sets
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b"))).distinct()
+    val sh = df.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(array_distinct(shingles(text))).as("sh"))
+      .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -151,8 +192,10 @@ object DedupOps {
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    val mins = (0 until numHashes)
-      .map(seed => s"min(${HashFunctions.hash60Sql("sh", seed)}) AS m$seed")
+    val mins = minhashCoeffs.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"min((${baseHashSql("sh")} * $a + $b) % $minhashPrime) AS m$i"
+      }
       .mkString(", ")
     s"""WITH ${shinglesSqlCte},
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),

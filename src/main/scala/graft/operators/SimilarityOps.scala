@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Sequential-fold dot product of two float-array columns, in double.
+    * (A fully unrolled 64-term expression tree was tried and is ~3×
+    * SLOWER: it blows past the codegen method-size limits and the giant
+    * interpreted tree loses to one zip_with pass. Keep the fold.) */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -43,9 +46,13 @@ object SimilarityOps {
     * vector — O(n·d) instead of O(n²·d) norm work in the pair joins. The
     * expression `sqrt(dot(e,e))` is the same IEEE op sequence the oracle
     * uses inline, so precomputing does not change a single bit. */
-  def withNorm(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding"),
+  def withNorm(emb: DataFrame): DataFrame = {
+    // pre-cast to array<double> once per vector — the pair joins then
+    // multiply doubles directly instead of casting 2·dim elements per pair
+    val e = emb.withColumn("embedding", col("embedding").cast("array<double>"))
+    e.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+  }
 
   /** All embedding pairs with cosine ≥ threshold (near-duplicate
     * detection). Exact O(n²) baseline — see scaladoc for the LSH path. */
