@@ -216,6 +216,45 @@ object SparkEntry {
         .select("dir_id", "last_ctime", "crawl_frequency")
     }),
 
+    "f5_wildcard_search" -> ((s, dir) =>
+      SearchOps.searchNameFile(cat(s, dir).vwLl,
+        parseWildcardSearch("order_1*2?.txt"))),
+
+    "f7_ilike_filter" -> ((s, dir) =>
+      cat(s, dir).directoryControl
+        .filter(lower(col("dir_path")).like("/africa%"))
+        .select("dir_path", "dir_id", "file_count")),
+
+    "j13_staging_gate" -> ((s, dir) => {
+      val c = cat(s, dir)
+      // dirs are finalizable only when no staged rows remain outstanding;
+      // synthetic outstanding set = files with id % 97 = 0
+      val outstanding = c.file.filter(col("id") % 97 === 0).select("dir_id")
+      c.directoryControl.join(outstanding, Seq("dir_id"), "left_anti")
+        .select("dir_path", "dir_id")
+    }),
+
+    "t5_result_paging" -> ((s, dir) =>
+      SearchOps.resultPage(cat(s, dir).vwFileDetail,
+        Seq(("size", false), ("id", true), ("no_such_column", true)), 100)
+        .select("id", "full_path", "size")),
+
+    "u3_union_distinct" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.file.filter(col("dir_id") === 200L).select("id")
+        .union(c.file.filter(col("size") > 5).select("id")).distinct()
+    }),
+
+    "a4_distinct" -> ((s, dir) =>
+      cat(s, dir).file.select(col("dir_id"), extension(col("name")).as("ext")).distinct()),
+
+    "m10_rescrape" -> ((s, dir) =>
+      cat(s, dir).directoryControl.select(
+        col("dir_path"),
+        when(lower(col("dir_path")).like("/europe%"),
+          lit(java.sql.Timestamp.valueOf(asOfLit)))
+          .otherwise(col("next_crawl")).as("next_crawl"))),
+
     // ---- training-data pipeline operators (documents / embeddings) ------
 
     "x1_token_stats" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
@@ -466,6 +505,36 @@ object SparkEntry {
          |  )) AS BIGINT) AS crawl_frequency
          |FROM (SELECT dir_id, max(ctime) AS last_ctime FROM vw_ll GROUP BY dir_id) a
          |JOIN directory d ON d.id = a.dir_id""".stripMargin),
+
+    "f5_wildcard_search" -> (C +
+      "SELECT * FROM vw_ll WHERE name LIKE 'order_1%2_.txt'"),
+
+    "f7_ilike_filter" -> (C +
+      """SELECT dir_path, dir_id, file_count FROM directory_control
+        |WHERE lower(dir_path) LIKE '/africa%'""".stripMargin),
+
+    "j13_staging_gate" -> (C +
+      """SELECT dc.dir_path, dc.dir_id FROM directory_control dc
+        |WHERE NOT EXISTS (SELECT 1 FROM file s
+        |  WHERE s.id % 97 = 0 AND s.dir_id = dc.dir_id)""".stripMargin),
+
+    "t5_result_paging" -> (C +
+      """SELECT id, full_path, size FROM vw_file_detail
+        |ORDER BY size DESC, id LIMIT 100""".stripMargin),
+
+    "u3_union_distinct" -> (C +
+      """SELECT id FROM file WHERE dir_id = 200
+        |UNION
+        |SELECT id FROM file WHERE size > 5""".stripMargin),
+
+    "a4_distinct" -> (C +
+      s"SELECT DISTINCT dir_id, ${Oracle.extensionSql("name")} AS ext FROM file"),
+
+    "m10_rescrape" -> (C +
+      s"""SELECT dir_path,
+         |  CASE WHEN lower(dir_path) LIKE '/europe%' THEN $asOf
+         |       ELSE next_crawl END AS next_crawl
+         |FROM directory_control""".stripMargin),
 
     // ---- training-data pipeline oracles ---------------------------------
 

@@ -139,6 +139,18 @@ object SearchOps {
       .drop("n_sha1", "n_size")
   }
 
+  /** T5 result paging (`API/Schedule.py:20-44`, `API/Util.py:58-90`):
+    * user-supplied ORDER BY sanitized against the relation's own columns
+    * (allowlist), then LIMIT. Unknown columns are dropped, not errors —
+    * the reference's lenient sanitization. */
+  def resultPage(df: DataFrame, orderCols: Seq[(String, Boolean)], limit: Int): DataFrame = {
+    val allowed = df.columns.toSet
+    val sorted = orderCols.collect {
+      case (c, asc) if allowed(c) => if (asc) col(c).asc else col(c).desc
+    }
+    (if (sorted.nonEmpty) df.orderBy(sorted: _*) else df).limit(limit)
+  }
+
   /** Descendant closure via path-prefix theta join (SURVEY J14,
     * `Directory.py:216-225`): all dirs under any of `parents`. The parents
     * side is small → broadcast; `startsWith` keeps ancestry resolution
