@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.PathFunctions._
+import graft.functions.PathExpressions.{basenameFast, basepathFast}
 
 /** The reference's three base views plus the `vwf_dir_contents` table
   * function, as DataFrame builders (`FileDbDAL/SQLUtil.py:223-357`).
@@ -37,7 +38,7 @@ object Views {
         col("md5_hash"), col("sha1_hash"), col("dir_path"))
     val child = directory.select(col("dir_path").as("c_path"),
       col("ctime").as("c_ctime"), col("mtime").as("c_mtime"))
-      .withColumn("parent_path", basepath(col("c_path")))
+      .withColumn("parent_path", basepathFast(col("c_path")))
     val parent = directory.select(col("id").as("p_id"), col("dir_path").as("p_path"))
     val dirs = child
       .join(broadcast(parent), child("parent_path") === parent("p_path"))
@@ -45,7 +46,7 @@ object Views {
         lit("dir").as("type"),
         col("c_path").as("full_path"),
         lit(0L).as("file_id"),
-        basename(col("c_path")).as("name"),
+        basenameFast(col("c_path")).as("name"),
         col("p_id").as("dir_id"),
         lit(0).cast(DecimalType(18, 6)).as("size"),
         col("c_ctime").as("ctime"), col("c_mtime").as("mtime"),
@@ -87,7 +88,7 @@ object Views {
       min(col("ctime")).as("first_file_ctime"), max(col("ctime")).as("last_file_ctime"),
       min(col("mtime")).as("first_file_mtime"), max(col("mtime")).as("last_file_mtime"))
     val subdirAgg = directory
-      .select(basepath(col("dir_path")).as("parent_path"))
+      .select(basepathFast(col("dir_path")).as("parent_path"))
       .groupBy(col("parent_path")).agg(count(lit(1)).as("subdirs"))
     directory
       .join(fileAgg, directory("id") === fileAgg("dir_id"), "left")
@@ -119,13 +120,13 @@ object Views {
         col("size").as("file_size"), file("ctime"), file("mtime"), col("atime"),
         col("md5_hash"), col("md5_hash_time"), col("sha1_hash"), col("sha1_hash_time"))
     val sub = directory
-      .withColumn("parent_path", basepath(col("dir_path")))
+      .withColumn("parent_path", basepathFast(col("dir_path")))
       .join(broadcast(d), col("parent_path") === col("d_path"))
       .select(
         lit("dir").as("type"),
         col("dir_path").as("full_path"),
         col("d_id").as("dir_id"), col("id").as("item_id"),
-        basename(col("dir_path")).as("name"),
+        basenameFast(col("dir_path")).as("name"),
         lit(0).cast(DecimalType(18, 6)).as("file_size"),
         col("ctime"), col("mtime"), lit(null).cast("timestamp").as("atime"),
         lit(null).cast("string").as("md5_hash"),
