@@ -216,6 +216,18 @@ object SparkEntry {
         .select("dir_id", "last_ctime", "crawl_frequency")
     }),
 
+    "v4_dir_contents" -> ((s, dir) => {
+      val c = cat(s, dir)
+      Views.vwfDirContents(c.directory, c.file, c.hash, Seq(201L, 202L, 302L))
+    }),
+
+    "m6_delete_files" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val (_, _, _, archive) = MergeOps.deleteFilesById(
+        c.file, c.hash, c.hashControl, Seq(100L, 105L, 110L), mergeTs)
+      archive
+    }),
+
     "f5_wildcard_search" -> ((s, dir) =>
       SearchOps.searchNameFile(cat(s, dir).vwLl,
         parseWildcardSearch("order_1*2?.txt"))),
@@ -505,6 +517,29 @@ object SparkEntry {
          |  )) AS BIGINT) AS crawl_frequency
          |FROM (SELECT dir_id, max(ctime) AS last_ctime FROM vw_ll GROUP BY dir_id) a
          |JOIN directory d ON d.id = a.dir_id""".stripMargin),
+
+    "v4_dir_contents" -> (C +
+      s"""SELECT 'file' AS type, d.dir_path || '/' || f.name AS full_path,
+         |  f.dir_id, f.id AS item_id, f.name, f.size AS file_size,
+         |  f.ctime, f.mtime, f.atime,
+         |  h.md5_hash, h.md5_hash_time, h.sha1_hash, h.sha1_hash_time
+         |FROM file f
+         |JOIN directory d ON d.id = f.dir_id AND f.dir_id IN (201, 202, 302)
+         |LEFT JOIN hash h ON h.file_id = f.id
+         |UNION ALL
+         |SELECT 'dir', c.dir_path, p.id, c.id, ${Oracle.basenameSql("c.dir_path")},
+         |  CAST(0 AS DECIMAL(18,6)), c.ctime, c.mtime, CAST(NULL AS TIMESTAMP),
+         |  CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+         |  CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP)
+         |FROM directory c
+         |JOIN directory p ON p.dir_path = ${Oracle.basepathSql("c.dir_path")}
+         |  AND p.id IN (201, 202, 302)""".stripMargin),
+
+    "m6_delete_files" -> (C +
+      s"""SELECT id, name, dir_id, size, ctime, mtime, atime,
+         |  inserted_on AS original_inserted_on, updated_on AS original_updated_on,
+         |  $mTs AS deleted_on
+         |FROM file WHERE id IN (100, 105, 110)""".stripMargin),
 
     "f5_wildcard_search" -> (C +
       "SELECT * FROM vw_ll WHERE name LIKE 'order_1%2_.txt'"),

@@ -155,6 +155,53 @@ object MergeOps {
     (merged, drained)
   }
 
+  /** M6 file-deletion family (`FileDbDAL/File.py:263-344` — the reference
+    * ships text/text[]/int/int[] overloads; Scala overloading mirrors
+    * them). Deletes the files, archives them, and cleans their hash +
+    * hash_control rows. Returns (remainingFiles, remainingHash,
+    * remainingHashControl, fileArchive). */
+  def deleteFilesById(file: DataFrame, hash: DataFrame, hashControl: DataFrame,
+                      ids: Seq[Long], asOf: java.sql.Timestamp)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val doomed = file.filter(col("id").isin(ids.distinct: _*))
+    deleteFileRows(file, hash, hashControl, doomed, asOf)
+  }
+
+  /** Overload keyed by full path (needs the directory table to resolve). */
+  def deleteFilesByPath(directory: DataFrame, file: DataFrame, hash: DataFrame,
+                        hashControl: DataFrame, fullPaths: Seq[String],
+                        asOf: java.sql.Timestamp)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.PathFunctions.{basenameScala, basepathScala}
+    val keys = fullPaths.distinct.map(p => (basepathScala(p), basenameScala(p)))
+    val spark = file.sparkSession
+    import spark.implicits._
+    val probe = keys.toDF("p_dir", "p_name")
+    val doomed = file
+      .join(directory.select(col("id").as("d_id"), col("dir_path")),
+        col("dir_id") === col("d_id"))
+      .join(broadcast(probe),
+        col("dir_path") === col("p_dir") && col("name") === col("p_name"))
+      .select(file.columns.map(col): _*)
+    deleteFileRows(file, hash, hashControl, doomed, asOf)
+  }
+
+  private def deleteFileRows(file: DataFrame, hash: DataFrame,
+                             hashControl: DataFrame, doomed: DataFrame,
+                             asOf: java.sql.Timestamp)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val ts = lit(asOf)
+    val doomedIds = doomed.select(col("id").as("file_id"))
+    val archive = doomed.select(col("id"), col("name"), col("dir_id"),
+      col("size"), col("ctime"), col("mtime"), col("atime"),
+      col("inserted_on").as("original_inserted_on"),
+      col("updated_on").as("original_updated_on"), ts.as("deleted_on"))
+    (file.join(doomedIds, col("id") === col("file_id"), "left_anti"),
+      hash.join(doomedIds, Seq("file_id"), "left_anti"),
+      hashControl.join(doomedIds, Seq("file_id"), "left_anti"),
+      archive)
+  }
+
   /** M6 (`FileDbDAL/File.py:263-344`, `Directory.py:195-358`): delete the
     * directories matching `dirPaths` (plus, when `deleteSubdirs`, their
     * whole descendant closure via the path-prefix join — SURVEY §7.4.5)
