@@ -72,6 +72,35 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
+    // multi-join analytic shapes (engine breadth + realistic bench load)
+    "q2_revenue_by_region" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val cu = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("o_orderpriority"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q3_top_customers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+        .limit(10)
+    }),
+
     "f1_search_name" -> ((s, dir) => SearchOps.searchName(cat(s, dir).vwLl, "%a%")),
 
     "f2_search_name_file" -> ((s, dir) =>
@@ -363,6 +392,24 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_revenue_by_region" ->
+      """SELECT r_name, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, o_orderpriority""".stripMargin,
+
+    "q3_top_customers" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
 
     "f1_search_name" -> (C +
       s"SELECT * FROM vw_ll WHERE name LIKE '%a%' OR ${Oracle.basenameSql("dir_path")} LIKE '%a%'"),
