@@ -72,6 +72,53 @@ object SimilarityOps {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 9) >= $threshold""".stripMargin
 
+  /** Local tight-loop dot (same sequential order as [[dot]]'s fold). */
+  def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Spark `round(x, 9)` twin for executor-side code (HALF_UP over the
+    * canonical decimal representation — matches Round's double path). */
+  def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** [[cosineDupPairs]] in broadcast form: one side of the pair space is
+    * collected (it must be a bounded tile — here the whole corpus, ~1 MB)
+    * and broadcast; executors stream their partition's vectors against it
+    * in primitive-array loops. Identical output (same op order, same
+    * rounding), ~100× less per-pair overhead than the declarative
+    * per-pair fold. At 100 TB this becomes block-matrix tiling: partition
+    * both sides into bounded tiles and run this per tile pair. */
+  def cosineDupPairsBroadcast(emb: DataFrame, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>")).as[(Long, Array[Double])]
+    val corpus = typed.collect().sortBy(_._1)
+    val norms = corpus.map { case (_, v) => math.sqrt(dotLocal(v, v)) }
+    val bc = spark.sparkContext.broadcast((corpus, norms))
+    typed.mapPartitions { it =>
+      val (corp, ns) = bc.value
+      it.flatMap { case (id, v) =>
+        val myNorm = math.sqrt(dotLocal(v, v))
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var j = 0
+        while (j < corp.length) {
+          val (oid, ov) = corp(j)
+          if (oid > id) {
+            val c = round9(dotLocal(v, ov) / (myNorm * ns(j)))
+            if (c >= threshold) out += ((id, oid, c))
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("vec_a", "vec_b", "cos_sim")
+  }
+
   /** Brute-force cosine top-K: for each query vector, the k nearest
     * corpus vectors (excluding itself), ties broken by vec_id. The query
     * side is broadcast; ranking happens per query partition. */
