@@ -339,6 +339,15 @@ object SparkEntry {
       MultimodalOps.extractMediaMeta(
         Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))),
 
+    "x17_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // standalone n-gram Jaccard over a deterministic candidate set
+      // (adjacent doc ids); zero-overlap pairs drop out (inner joins)
+      val cand = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"))
+      DedupOps.jaccardFor(docs, cand)
+    }),
+
     "x15_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
 
@@ -639,6 +648,9 @@ object SparkEntry {
          |  $w AS width, $h AS height, $f AS format
          |FROM documents""".stripMargin
     },
+    "x17_ngram_jaccard" -> DedupOps.jaccardForSql(
+      "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents"),
+
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)
   )

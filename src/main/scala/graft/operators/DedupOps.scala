@@ -223,6 +223,25 @@ object DedupOps {
        |WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= $threshold""".stripMargin
   }
 
+  /** DuckDB twin of [[jaccardFor]] for a candidate-set SQL snippet whose
+    * columns are (doc_a, doc_b). */
+  def jaccardForSql(candidatesSql: String): String =
+    s"""WITH ${shinglesSqlCte},
+       |cand AS ($candidatesSql),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.doc_a
+       |JOIN sizes zb ON zb.doc_id = i.doc_b""".stripMargin
+
   // ---- SimHash ------------------------------------------------------------
 
   val simhashBits = 32
