@@ -104,6 +104,21 @@ object Views {
         col("first_file_mtime"), col("last_file_mtime"))
   }
 
+  /** Register the reference's relations as temp views so `spark.sql`
+    * queries have name parity with the Postgres surface (`vw_ll`,
+    * `vw_file_detail`, `dir_detail` + base tables). */
+  def registerAll(directory: DataFrame, file: DataFrame, hash: DataFrame,
+                  fileCategory: DataFrame): Unit = {
+    directory.createOrReplaceTempView("directory")
+    file.createOrReplaceTempView("file")
+    hash.createOrReplaceTempView("hash")
+    fileCategory.createOrReplaceTempView("file_category")
+    vwLl(directory, file, hash).createOrReplaceTempView("vw_ll")
+    vwFileDetail(directory, file, hash, fileCategory)
+      .createOrReplaceTempView("vw_file_detail")
+    dirDetail(directory, file).createOrReplaceTempView("dir_detail")
+  }
+
   /** `vwf_dir_contents(int[])` (`SQLUtil.py:292-357`): files and immediate
     * subdirs of the given directory ids. */
   def vwfDirContents(directory: DataFrame, file: DataFrame, hash: DataFrame,
