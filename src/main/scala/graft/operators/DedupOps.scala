@@ -293,7 +293,9 @@ object DedupOps {
   def simhashDupPairs(df: DataFrame, maxDist: Int = 3,
                       text: Column = col("text")): DataFrame = {
     require(maxDist <= 3, "4-byte blocking is exact only for Hamming distance <= 3")
-    val sim = simhash(df, text)
+    // one row per doc; checkpoint so the 4 block self-joins (8 plan
+    // references) don't each recompute the explode+32-sum aggregation
+    val sim = simhash(df, text).localCheckpoint(true)
     val blocked = (0 until 4).map { b =>
       val byteOf = (c: Column) => shiftright(c, b * 8).bitwiseAND(lit(255L))
       sim.as("a").join(sim.as("b"),
