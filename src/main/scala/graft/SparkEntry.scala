@@ -136,6 +136,11 @@ object SparkEntry {
       Views.dirDetail(c.directory, c.file)
     }),
 
+    "v3b_dir_detail_faithful" -> ((s, dir) => {
+      val c = cat(s, dir)
+      Views.dirDetailFaithful(c.directory, c.file)
+    }),
+
     "a2_dir_activity" -> ((s, dir) => {
       cat(s, dir).vwLl.groupBy(col("dir_id")).agg(
         count(lit(1)).as("n_items"),
@@ -457,6 +462,17 @@ object SparkEntry {
          |           FROM file GROUP BY dir_id) fa ON d.id = fa.dir_id
          |LEFT JOIN (SELECT ${Oracle.basepathSql("dir_path")} AS parent_path, count(*) AS subdirs
          |           FROM directory GROUP BY 1) sd ON d.dir_path = sd.parent_path""".stripMargin),
+
+    "v3b_dir_detail_faithful" -> (C +
+      s"""SELECT d.id AS dir_id, d.dir_path, d.ctime, d.mtime,
+         |  count(sd.id) AS subdirs, count(f.id) AS files,
+         |  CAST(sum(coalesce(f.size, 0)) AS DECIMAL(18,6)) AS total_size,
+         |  min(f.ctime) AS first_file_ctime, max(f.ctime) AS last_file_ctime,
+         |  min(f.mtime) AS first_file_mtime, max(f.mtime) AS last_file_mtime
+         |FROM directory d
+         |LEFT JOIN file f ON d.id = f.dir_id
+         |LEFT JOIN directory sd ON d.dir_path = ${Oracle.basepathSql("sd.dir_path")}
+         |GROUP BY d.id, d.dir_path, d.ctime, d.mtime""".stripMargin),
 
     "a2_dir_activity" -> (C +
       """SELECT dir_id, count(*) AS n_items,

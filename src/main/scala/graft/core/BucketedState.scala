@@ -59,13 +59,33 @@ class BucketedState(val spark: SparkSession, val root: String,
 
   /** Rewrite ONLY the partitions present in `df` (which must already be
     * restricted to the affected buckets). Dynamic partition overwrite
-    * leaves every other bucket directory untouched on disk. */
-  def overwriteBuckets(df: DataFrame, keyCol: String): Unit =
+    * leaves every other bucket directory untouched on disk.
+    *
+    * `expected`: buckets the merge round touched. Dynamic overwrite can't
+    * express "this bucket is now EMPTY" (no rows → no partition written →
+    * stale rows survive), so expected buckets that produced zero output
+    * rows are cleared explicitly afterwards. */
+  def overwriteBuckets(df: DataFrame, keyCol: String,
+                       expected: Seq[Int] = Nil): Unit = {
+    val written =
+      if (expected.nonEmpty)
+        df.select(bucketOf(col(keyCol)).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+      else Set.empty[Int]
     df.withColumn(bucketCol, bucketOf(col(keyCol)))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(bucketCol)
       .parquet(path)
+    expected.filterNot(written).foreach { b =>
+      val dir = new java.io.File(s"$path/$bucketCol=$b")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (dir.exists()) rm(dir)
+    }
+  }
 
   /** The M1-shaped merge round against this layout: staged rows touch
     * only their buckets; everything else is untouched bytes on disk. */

@@ -104,6 +104,34 @@ object Views {
         col("first_file_mtime"), col("last_file_mtime"))
   }
 
+  /** `dir_detail` in FAITHFUL mode: replicates the reference's actual
+    * formulation (`SQLUtil.py:269-286`) including its bug — the two LEFT
+    * JOINs form a partial cross product, so `files`/`subdirs`/
+    * `total_size` are inflated whenever a dir has both files AND
+    * subdirs. Kept alongside the intended-semantics [[dirDetail]] per the
+    * faithful-vs-fixed policy (SURVEY §7.4.6): the fixed form is the
+    * default; this one exists for output-parity comparisons against the
+    * reference. */
+  def dirDetailFaithful(directory: DataFrame, file: DataFrame): DataFrame = {
+    val f = file.select(col("dir_id").as("f_dir"), col("id").as("f_id"),
+      col("size").as("f_size"), col("ctime").as("f_ctime"), col("mtime").as("f_mtime"))
+    val sd = directory.select(
+      basepathFast(col("dir_path")).as("sd_parent"), col("id").as("sd_id"))
+    directory
+      .join(f, directory("id") === col("f_dir"), "left")
+      .join(sd, directory("dir_path") === col("sd_parent"), "left")
+      .groupBy(directory("id").as("dir_id"), directory("dir_path"),
+        directory("ctime"), directory("mtime"))
+      .agg(count(col("sd_id")).as("subdirs"),
+        count(col("f_id")).as("files"),
+        sum(coalesce(col("f_size"), lit(0).cast(DecimalType(18, 6))))
+          .cast(DecimalType(18, 6)).as("total_size"),
+        min(col("f_ctime")).as("first_file_ctime"),
+        max(col("f_ctime")).as("last_file_ctime"),
+        min(col("f_mtime")).as("first_file_mtime"),
+        max(col("f_mtime")).as("last_file_mtime"))
+  }
+
   /** Register the reference's relations as temp views so `spark.sql`
     * queries have name parity with the Postgres surface (`vw_ll`,
     * `vw_file_detail`, `dir_detail` + base tables). */

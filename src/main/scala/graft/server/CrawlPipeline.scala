@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.StateStore
+import graft.core.{BucketedState, Schemas, StateStore}
 import graft.operators.{MergeOps, ScheduleOps}
 import graft.sources.{FsScrape, HashSource}
 
@@ -33,7 +33,11 @@ object CrawlPipeline {
       minFrequencySeconds: Int = 900,
       maxFrequencySeconds: Int = 604800,
       missingRetrySeconds: Int = 86400, // DirectoryCrawl.py:1020-1024
-      deleteMissing: Boolean = true)
+      deleteMissing: Boolean = true,
+      // >0 = keep `file` state hash-bucketed by dir_id and rewrite only
+      // the buckets a round touches (O(batch), not O(table) — the 100 TB
+      // merge shape; see BucketedState). 0 = whole-table swap writes.
+      fileBuckets: Int = 0)
 
   final case class RoundStats(
       dueDirs: Long, stagedFiles: Long, stagedDirs: Long,
@@ -111,8 +115,18 @@ object CrawlPipeline {
     val crawledDirIds = due.join(dirIds, Seq("dir_path")).select("dir_id")
 
     // M1 removal branch (J10): files under crawled dirs absent from the
-    // snapshot → archive + delete (+ hash/hash_control cleanup, M6 shape)
-    val fileTable = state.read("file")
+    // snapshot → archive + delete (+ hash/hash_control cleanup, M6 shape).
+    // In bucketed mode the merge only ever reads/writes the buckets of
+    // the crawled dirs (staged + vanished rows all live there).
+    val bucketed = if (cfg.fileBuckets > 0)
+      Some(new BucketedState(spark, state.root, "file", cfg.fileBuckets)) else None
+    val affectedBuckets: Seq[Int] = bucketed.map { bs =>
+      crawledDirIds.select(bs.bucketOf(col("dir_id")).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+    }.getOrElse(Nil)
+    val fileTable = bucketed
+      .map(_.readBuckets(Schemas.file, affectedBuckets))
+      .getOrElse(state.read("file"))
     val vanished = if (cfg.deleteMissing)
       MergeOps.missingFilesIn(fileTable, stagedFiles, crawledDirIds)
     else fileTable.limit(0)
@@ -136,8 +150,13 @@ object CrawlPipeline {
       if (nVanished > 0)
         upserted.join(vanished.select(col("id")), Seq("id"), "left_anti")
       else upserted
-    state.write("file", newFile)
-    val fileAfter = state.read("file")
+    bucketed match {
+      case Some(bs) => bs.overwriteBuckets(newFile, "dir_id", affectedBuckets)
+      case None => state.write("file", newFile)
+    }
+    val fileAfter = bucketed
+      .map(_.readBuckets(Schemas.file, affectedBuckets))
+      .getOrElse(state.read("file"))
 
     // M1 hash-scheduling branch: staged files that are not hashed yet
     // (J12) OR changed this round (DirectoryCrawl.py:856-873 re-queues on
@@ -237,11 +256,12 @@ object CrawlPipeline {
 
   /** One hash round (§3.3): T2 smallest-first selection → S4 streamed
     * dual-hash → M4 merge into `hash` + drain `hash_control`. */
-  def hashRound(state: StateStore, now: Timestamp, limit: Int = 10000): Long = {
+  def hashRound(state: StateStore, now: Timestamp, limit: Int = 10000,
+                cfg: Config = Config()): Long = {
     val spark = state.spark
     val work = ScheduleOps.filesToHash(
       state.read("hash_control"),
-      fullPaths(state), limit)
+      fullPaths(state, cfg), limit)
     if (work.isEmpty) return 0L
     val hashed = HashSource.hashBatch(spark, work, now)
     hashed.write.mode("overwrite").parquet(s"${state.root}/.stage_hash")
@@ -283,9 +303,13 @@ object CrawlPipeline {
 
   /** `(id, full_path)` of every file — the vw_file_detail projection the
     * hash selector joins against. */
-  private def fullPaths(state: StateStore): DataFrame = {
+  private def fullPaths(state: StateStore, cfg: Config = Config()): DataFrame = {
     val d = state.read("directory").select(col("id").as("d_id"), col("dir_path"))
-    state.read("file")
+    val file = if (cfg.fileBuckets > 0)
+      new BucketedState(state.spark, state.root, "file", cfg.fileBuckets)
+        .read(Schemas.file)
+    else state.read("file")
+    file
       .join(d, col("dir_id") === col("d_id"))
       .select(col("id"),
         graft.functions.PathFunctions.pathJoin(col("dir_path"), col("name")).as("full_path"))

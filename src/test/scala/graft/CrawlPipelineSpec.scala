@@ -152,6 +152,39 @@ class CrawlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(queued === Set("c.bin", "e.bin"))
   }
 
+  test("bucketed file-state mode: same catalog, partial rewrites, empty-bucket cleanup") {
+    val cfg = Config(fileBuckets = 8)
+    val root = Files.createTempDirectory("graft_bstate")
+    val fx = Files.createTempDirectory("graft_bfixture")
+    val sub = Files.createDirectories(fx.resolve("sub"))
+    Files.write(fx.resolve("r1.bin"), "rootfile".getBytes)
+    Files.write(sub.resolve("s1.bin"), "subfile1".getBytes)
+    Files.write(sub.resolve("s2.bin"), "subfile2".getBytes)
+    val st = new StateStore(spark, root.toString)
+
+    CrawlPipeline.seedDrives(st, Seq(fx.toString), t1)
+    CrawlPipeline.runToFixpoint(st, t1, cfg)
+    assert(CrawlPipeline.hashRound(st, t1, cfg = cfg) === 3)
+
+    val bs = new graft.core.BucketedState(spark, root.toString, "file", 8)
+    val files = bs.read(graft.core.Schemas.file)
+    assert(files.count() === 3)
+    // bucketed layout on disk
+    assert(new java.io.File(s"$root/file").listFiles()
+      .exists(_.getName.startsWith("bucket=")))
+
+    // delete EVERY file of sub/ → its bucket's rows must vanish even
+    // though dynamic overwrite writes no rows for an emptied bucket
+    Files.delete(sub.resolve("s1.bin"))
+    Files.delete(sub.resolve("s2.bin"))
+    CrawlPipeline.runToFixpoint(st, t2, cfg)
+
+    val after = bs.read(graft.core.Schemas.file)
+    assert(after.select("name").collect().map(_.getString(0)).toSet === Set("r1.bin"))
+    // both vanished files archived
+    assert(st.read("file_archive").filter(col("deleted_on") === lit(t2)).count() === 2)
+  }
+
   test("missing drive root is flagged, retried later, not fatal") {
     val ghostState = new StateStore(spark,
       Files.createTempDirectory("graft_ghost").toString)
