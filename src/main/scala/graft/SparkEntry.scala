@@ -340,6 +340,14 @@ object SparkEntry {
     "x13_ann_lsh_pairs" -> ((s, dir) =>
       SimilarityOps.lshDupPairs(Tables.embeddings(s, dir), 0.30)),
 
+    // no oracleSql twin (k-means isn't SQL-expressible) → rows-only check
+    "x18_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.IvfOps.train(emb, k = 16, iterations = 2)
+      graft.operators.IvfOps.topK(emb,
+        emb.filter(col("vec_id") % 100 === 0), model, k = 8, nProbe = 6)
+    }),
+
     "x14_media_meta" -> ((s, dir) =>
       MultimodalOps.extractMediaMeta(
         Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))),

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor over an embedding
+  * column — the coarse-quantizer scale path beside the hyperplane LSH in
+  * [[SimilarityOps]].
+  *
+  * Train: deterministic seeding (lowest vec_ids) + a few Lloyd rounds;
+  * centroids are tiny (K×dim) so they broadcast, and each round is one
+  * map (assign) + one groupBy (recenter) over the corpus. Probe: each
+  * query scans only its nProbe nearest inverted lists — the candidate
+  * join key is the centroid id, so at 100 TB the shuffle moves
+  * O(corpus/K × nProbe) rows per query batch instead of the full corpus.
+  *
+  * Determinism: seeding, assignment tie-breaks (lowest centroid id), and
+  * fold order are all fixed, so results are stable across runs. (No SQL
+  * oracle — k-means isn't reasonably SQL-expressible; the driver records
+  * a rows-only check and IvfOpsSpec pins recall + determinism.)
+  */
+object IvfOps {
+
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def nearest(v: Array[Double], n: Int): Seq[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) => (SimilarityOps.dotLocal(v, c) /
+          (math.sqrt(SimilarityOps.dotLocal(v, v)) * math.sqrt(SimilarityOps.dotLocal(c, c))), i)
+        }
+        .sortBy { case (sim, i) => (-sim, i) }
+        .take(n).map(_._2).toSeq
+  }
+
+  private def typed(emb: DataFrame): Dataset[(Long, Array[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>")).as[(Long, Array[Double])]
+  }
+
+  /** Deterministic k-means training: seeds = the K lowest vec_ids. */
+  def train(emb: DataFrame, k: Int, iterations: Int = 2): IvfModel = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = typed(emb)
+    var centroids = ds.orderBy(col("vec_id")).limit(k).collect().map(_._2)
+    for (_ <- 0 until iterations) {
+      val bc = spark.sparkContext.broadcast(IvfModel(centroids))
+      val means = ds
+        .map { case (_, v) => (bc.value.nearest(v, 1).head, v) }
+        .groupByKey(_._1)
+        .mapGroups { (cid, rows) =>
+          val sum = new Array[Double](centroids(0).length)
+          var n = 0L
+          rows.foreach { case (_, v) =>
+            var i = 0
+            while (i < v.length) { sum(i) += v(i); i += 1 }
+            n += 1
+          }
+          (cid, sum.map(_ / n))
+        }.collect().toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    IvfModel(centroids)
+  }
+
+  /** Corpus → (vec_id, centroid_id, embedding) inverted-list assignment. */
+  def assign(emb: DataFrame, model: IvfModel): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    typed(emb)
+      .map { case (id, v) => (id, bc.value.nearest(v, 1).head, v) }
+      .toDF("vec_id", "centroid_id", "embedding")
+  }
+
+  /** ANN top-K: probe the nProbe nearest inverted lists per query, exact
+    * cosine inside the candidate set, rank with vec_id tiebreak. */
+  def topK(emb: DataFrame, queries: DataFrame, model: IvfModel,
+           k: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val assigned = assign(emb, model)
+    // query side is small: compute probe lists driver-side
+    val probes = typed(queries).collect().flatMap { case (qid, qv) =>
+      model.nearest(qv, nProbe).map(cid => (qid, cid, qv))
+    }.toSeq.toDF("query_id", "centroid_id", "qe")
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(SimilarityOps.dot(col("qe"), col("embedding")) /
+          (sqrt(SimilarityOps.dot(col("qe"), col("qe"))) *
+            sqrt(SimilarityOps.dot(col("embedding"), col("embedding")))), 9).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+}

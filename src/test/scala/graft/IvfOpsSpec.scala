@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.{IvfOps, SimilarityOps}
+
+/** IVF ANN: deterministic across runs, and recall against the exact
+  * brute-force top-K is meaningfully above chance. */
+class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("ivf topK is deterministic and recalls most exact neighbors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val model = IvfOps.train(emb, k = 16, iterations = 2)
+
+    def run() = IvfOps.topK(emb, queries, model, k = 8, nProbe = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val a = run()
+    assert(a === run(), "ivf results must be deterministic")
+
+    // recall vs exact brute force: probing 6/16 lists must find well over
+    // the ~37% a random 6-list scan would
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = a.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("assignment covers the corpus exactly once") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = IvfOps.train(emb, k = 16, iterations = 1)
+    val assigned = IvfOps.assign(emb, model)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("vec_id").distinct().count() === emb.count())
+    // every list id in range
+    val cids = assigned.select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    assert(cids.forall(c => c >= 0 && c < 16))
+  }
+}
