@@ -109,8 +109,58 @@ object CrawlPipeline {
     state.write("directory", newDirectory)
     val directory = state.read("directory")
 
+    val bucketed = if (cfg.fileBuckets > 0)
+      Some(new BucketedState(spark, state.root, "file", cfg.fileBuckets)) else None
+    def readFileFull(): DataFrame =
+      bucketed.map(_.read(Schemas.file)).getOrElse(state.read("file"))
+
+    // J11: subdirs recorded under a crawled parent but absent from its
+    // scrape vanished on disk — delete their whole closure (recursive via
+    // the path-prefix join inside deleteDirectories) with archiving.
+    // The per-round vanished set is bounded by the batch, so collecting
+    // the root paths driver-side is safe. Write order matters: every plan
+    // below reads the ORIGINAL directory/file tables, so those two swap
+    // LAST.
+    val removedDirPaths: Seq[String] = if (cfg.deleteMissing) {
+      directory
+        .withColumn("parent_path",
+          graft.functions.PathExpressions.basepathFast(col("dir_path")))
+        .join(due.select(col("dir_path").as("parent_path")), Seq("parent_path"), "left_semi")
+        .join(dirs0.select("dir_path"), Seq("dir_path"), "left_anti")
+        .join(due.select("dir_path"), Seq("dir_path"), "left_anti") // crawled dirs handle themselves
+        .select("dir_path").limit(100000).collect().map(_.getString(0)).toSeq
+    } else Nil
+    if (removedDirPaths.nonEmpty) {
+      val (remainingDirs, remainingFiles, dirArchive, fileArchive) =
+        MergeOps.deleteDirectories(directory, readFileFull(),
+          removedDirPaths, deleteSubdirs = true, now)
+      state.append("directory_archive", dirArchive)
+      state.append("file_archive", fileArchive)
+      val doomedFileIds = fileArchive.select(col("id").as("file_id"))
+      state.write("hash",
+        state.read("hash").join(doomedFileIds, Seq("file_id"), "left_anti"))
+      state.write("hash_control",
+        state.read("hash_control").join(doomedFileIds, Seq("file_id"), "left_anti"))
+      state.write("directory_control",
+        state.read("directory_control")
+          .join(dirArchive.select(col("dir_path")), Seq("dir_path"), "left_anti"))
+      bucketed match {
+        case Some(bs) =>
+          val affected = fileArchive.select(bs.bucketOf(col("dir_id")).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          if (affected.nonEmpty)
+            bs.overwriteBuckets(
+              bs.readBuckets(Schemas.file, affected)
+                .join(doomedFileIds, col("id") === col("file_id"), "left_anti"),
+              "dir_id", affected)
+        case None => state.write("file", remainingFiles)
+      }
+      state.write("directory", remainingDirs) // LAST — upstream plans read it
+    }
+    val directoryAfterRemoval = state.read("directory")
+
     // resolve staged files to dir ids
-    val dirIds = directory.select(col("id").as("dir_id"), col("dir_path"))
+    val dirIds = directoryAfterRemoval.select(col("id").as("dir_id"), col("dir_path"))
     val stagedFiles = files0.join(dirIds, Seq("dir_path")).drop("dir_path")
     val crawledDirIds = due.join(dirIds, Seq("dir_path")).select("dir_id")
 
@@ -118,8 +168,6 @@ object CrawlPipeline {
     // snapshot → archive + delete (+ hash/hash_control cleanup, M6 shape).
     // In bucketed mode the merge only ever reads/writes the buckets of
     // the crawled dirs (staged + vanished rows all live there).
-    val bucketed = if (cfg.fileBuckets > 0)
-      Some(new BucketedState(spark, state.root, "file", cfg.fileBuckets)) else None
     val affectedBuckets: Seq[Int] = bucketed.map { bs =>
       crawledDirIds.select(bs.bucketOf(col("dir_id")).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
