@@ -65,10 +65,13 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
+          // DECIMAL inside the SUM (order-independent, exact); DOUBLE in the
+          // final projection (engine-portable hash — the driver canonicalizes
+          // decimals differently from DuckDB, doubles identically)
           sum(col("l_extendedprice").cast(DecimalType(18, 6)))
-            .cast(DecimalType(18, 6)).as("sum_base_price"),
+            .cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
-            .cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("sum_disc_price"),
+            .cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -86,7 +89,7 @@ object SparkEntry {
         .groupBy(col("r_name"), col("o_orderpriority"))
         .agg(
           sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
-            .cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("revenue"),
+            .cast(DecimalType(18, 6))).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -96,7 +99,7 @@ object SparkEntry {
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
         .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
-          .cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("revenue"))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_custkey"))
         .limit(10)
     }),
@@ -187,7 +190,7 @@ object SparkEntry {
     "j12_files_not_hashed" -> ((s, dir) => {
       val c = cat(s, dir)
       c.file.join(c.hash.select(col("file_id")), col("id") === col("file_id"), "left_anti")
-        .select("id", "name", "dir_id", "size")
+        .select(col("id"), col("name"), col("dir_id"), col("size").cast("double").as("size"))
     }),
 
     "j14_descendant_dirs" -> ((s, dir) =>
@@ -200,6 +203,7 @@ object SparkEntry {
     "t2_files_to_hash" -> ((s, dir) => {
       val c = cat(s, dir)
       ScheduleOps.filesToHash(c.hashControl, c.vwFileDetail, 50)
+        .withColumn("file_size", col("file_size").cast("double"))
     }),
 
     "p1_path_scalars" -> ((s, dir) => {
@@ -216,6 +220,7 @@ object SparkEntry {
     "m1_upsert_files" -> ((s, dir) => {
       val c = cat(s, dir)
       MergeOps.upsertFiles(c.file, m1Staged(s, dir, c), mergeTs).drop("id")
+        .withColumn("size", col("size").cast("double"))
     }),
 
     "m1_missing_files" -> ((s, dir) => {
@@ -237,7 +242,7 @@ object SparkEntry {
       val c = cat(s, dir)
       val (_, _, _, fileArchive) = MergeOps.deleteDirectories(
         c.directory, c.file, Seq("/EUROPE/NATION_3"), deleteSubdirs = true, mergeTs)
-      fileArchive
+      fileArchive.withColumn("size", col("size").cast("double"))
     }),
 
     "m7_crawl_frequency" -> ((s, dir) => {
@@ -259,7 +264,7 @@ object SparkEntry {
       val c = cat(s, dir)
       val (_, _, _, archive) = MergeOps.deleteFilesById(
         c.file, c.hash, c.hashControl, Seq(100L, 105L, 110L), mergeTs)
-      archive
+      archive.withColumn("size", col("size").cast("double"))
     }),
 
     "f5_wildcard_search" -> ((s, dir) =>
@@ -396,8 +401,9 @@ object SparkEntry {
   private val m1Changed =
     "(f.size IS DISTINCT FROM s.size OR f.ctime IS DISTINCT FROM s.ctime " +
       "OR f.mtime IS DISTINCT FROM s.mtime OR f.atime IS DISTINCT FROM s.atime)"
-  private def m1Pick(c: String) =
-    s"CASE WHEN s.name IS NOT NULL AND (f.id IS NULL OR $m1Changed) THEN s.$c ELSE f.$c END AS $c"
+  private def m1PickExpr(c: String) =
+    s"CASE WHEN s.name IS NOT NULL AND (f.id IS NULL OR $m1Changed) THEN s.$c ELSE f.$c END"
+  private def m1Pick(c: String) = s"${m1PickExpr(c)} AS $c"
 
   private val pathOsSql =
     """CASE WHEN starts_with(trim(full_path), '/') AND NOT contains(trim(full_path), '\') THEN 'nix'
@@ -410,14 +416,14 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q2_revenue_by_region" ->
       """SELECT r_name, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -428,7 +434,7 @@ object SparkEntry {
 
     "q3_top_customers" ->
       """SELECT o_custkey,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey
         |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
@@ -461,7 +467,7 @@ object SparkEntry {
     "v3_dir_detail" -> (C +
       s"""SELECT d.id AS dir_id, d.dir_path, d.ctime, d.mtime,
          |  coalesce(sd.subdirs, 0) AS subdirs, coalesce(fa.files, 0) AS files,
-         |  CAST(coalesce(fa.sz, 0) AS DECIMAL(18,6)) AS total_size,
+         |  CAST(coalesce(fa.sz, 0) AS DOUBLE) AS total_size,
          |  fa.first_file_ctime, fa.last_file_ctime, fa.first_file_mtime, fa.last_file_mtime
          |FROM directory d
          |LEFT JOIN (SELECT dir_id, count(id) AS files, sum(coalesce(size, 0)) AS sz,
@@ -474,7 +480,7 @@ object SparkEntry {
     "v3b_dir_detail_faithful" -> (C +
       s"""SELECT d.id AS dir_id, d.dir_path, d.ctime, d.mtime,
          |  count(sd.id) AS subdirs, count(f.id) AS files,
-         |  CAST(sum(coalesce(f.size, 0)) AS DECIMAL(18,6)) AS total_size,
+         |  CAST(sum(coalesce(f.size, 0)) AS DOUBLE) AS total_size,
          |  min(f.ctime) AS first_file_ctime, max(f.ctime) AS last_file_ctime,
          |  min(f.mtime) AS first_file_mtime, max(f.mtime) AS last_file_mtime
          |FROM directory d
@@ -517,7 +523,7 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM directory_control c WHERE c.dir_path = d.dir_path)""".stripMargin),
 
     "j12_files_not_hashed" -> (C +
-      """SELECT id, name, dir_id, size FROM file f
+      """SELECT id, name, dir_id, CAST(size AS DOUBLE) AS size FROM file f
         |WHERE NOT EXISTS (SELECT 1 FROM hash h WHERE h.file_id = f.id)""".stripMargin),
 
     "j14_descendant_dirs" -> (C +
@@ -532,7 +538,7 @@ object SparkEntry {
          |ORDER BY priority DESC, dir_path LIMIT 20""".stripMargin),
 
     "t2_files_to_hash" -> (C +
-      """SELECT hc.file_id, v.full_path, hc.file_size
+      """SELECT hc.file_id, v.full_path, CAST(hc.file_size AS DOUBLE) AS file_size
         |FROM (SELECT file_id, file_size FROM hash_control
         |      WHERE process_assigned_on IS NULL AND NOT file_missing
         |      ORDER BY file_size, file_id LIMIT 50) hc
@@ -560,7 +566,8 @@ object SparkEntry {
          |  FROM orders WHERE o_orderkey % 97 = 0
          |)
          |SELECT coalesce(f.name, s.name) AS name, coalesce(f.dir_id, s.dir_id) AS dir_id,
-         |  ${m1Pick("size")}, ${m1Pick("ctime")}, ${m1Pick("mtime")}, ${m1Pick("atime")},
+         |  CAST(${m1PickExpr("size")} AS DOUBLE) AS size,
+         |  ${m1Pick("ctime")}, ${m1Pick("mtime")}, ${m1Pick("atime")},
          |  CASE WHEN f.id IS NULL THEN $mTs ELSE f.inserted_on END AS inserted_on,
          |  CASE WHEN f.id IS NULL THEN $mTs
          |       WHEN s.name IS NOT NULL AND $m1Changed THEN $mTs
@@ -583,7 +590,8 @@ object SparkEntry {
          |   OR starts_with(dir_path, '/EUROPE/NATION_3\\')""".stripMargin),
 
     "m6_delete_file_archive" -> (C +
-      s"""SELECT f.id, f.name, f.dir_id, f.size, f.ctime, f.mtime, f.atime,
+      s"""SELECT f.id, f.name, f.dir_id, CAST(f.size AS DOUBLE) AS size,
+         |  f.ctime, f.mtime, f.atime,
          |  f.inserted_on AS original_inserted_on, f.updated_on AS original_updated_on,
          |  $mTs AS deleted_on
          |FROM file f JOIN directory d ON f.dir_id = d.id
@@ -600,7 +608,7 @@ object SparkEntry {
 
     "v4_dir_contents" -> (C +
       s"""SELECT 'file' AS type, d.dir_path || '/' || f.name AS full_path,
-         |  f.dir_id, f.id AS item_id, f.name, f.size AS file_size,
+         |  f.dir_id, f.id AS item_id, f.name, CAST(f.size AS DOUBLE) AS file_size,
          |  f.ctime, f.mtime, f.atime,
          |  h.md5_hash, h.md5_hash_time, h.sha1_hash, h.sha1_hash_time
          |FROM file f
@@ -608,7 +616,7 @@ object SparkEntry {
          |LEFT JOIN hash h ON h.file_id = f.id
          |UNION ALL
          |SELECT 'dir', c.dir_path, p.id, c.id, ${Oracle.basenameSql("c.dir_path")},
-         |  CAST(0 AS DECIMAL(18,6)), c.ctime, c.mtime, CAST(NULL AS TIMESTAMP),
+         |  CAST(0 AS DOUBLE), c.ctime, c.mtime, CAST(NULL AS TIMESTAMP),
          |  CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
          |  CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP)
          |FROM directory c
@@ -616,7 +624,7 @@ object SparkEntry {
          |  AND p.id IN (201, 202, 302)""".stripMargin),
 
     "m6_delete_files" -> (C +
-      s"""SELECT id, name, dir_id, size, ctime, mtime, atime,
+      s"""SELECT id, name, dir_id, CAST(size AS DOUBLE) AS size, ctime, mtime, atime,
          |  inserted_on AS original_inserted_on, updated_on AS original_updated_on,
          |  $mTs AS deleted_on
          |FROM file WHERE id IN (100, 105, 110)""".stripMargin),

@@ -33,7 +33,10 @@ object Views {
         lit("file").as("type"),
         pathJoin(col("dir_path"), col("name")).as("full_path"),
         file("id").as("file_id"),
-        col("name"), col("dir_id"), col("size"),
+        // final projection is DOUBLE (exact for these magnitudes): the
+        // base table keeps DECIMAL for order-independent SUMs, but view
+        // consumers compare/emit scalars, where DOUBLE is engine-portable.
+        col("name"), col("dir_id"), col("size").cast("double").as("size"),
         file("ctime"), file("mtime"), col("atime"),
         col("md5_hash"), col("sha1_hash"), col("dir_path"))
     val child = directory.select(col("dir_path").as("c_path"),
@@ -48,7 +51,7 @@ object Views {
         lit(0L).as("file_id"),
         basenameFast(col("c_path")).as("name"),
         col("p_id").as("dir_id"),
-        lit(0).cast(DecimalType(18, 6)).as("size"),
+        lit(0d).as("size"),
         col("c_ctime").as("ctime"), col("c_mtime").as("mtime"),
         lit(null).cast("timestamp").as("atime"),
         lit(null).cast("string").as("md5_hash"),
@@ -71,7 +74,7 @@ object Views {
       .join(broadcast(fileCategory), col("ext") === fileCategory("extension"), "left")
       .select(
         pathJoin(col("dir_path"), col("name")).as("full_path"),
-        file("id"), col("name"), col("dir_id"), col("size"),
+        file("id"), col("name"), col("dir_id"), col("size").cast("double").as("size"),
         file("ctime"), file("mtime"), col("atime"),
         col("md5_hash"), col("sha1_hash"), col("dir_path"), col("category"))
   }
@@ -99,7 +102,7 @@ object Views {
         coalesce(col("subdirs"), lit(0L)).as("subdirs"),
         coalesce(col("files"), lit(0L)).as("files"),
         coalesce(col("sz"), lit(0).cast(DecimalType(18, 6)))
-          .cast(DecimalType(18, 6)).as("total_size"),
+          .cast("double").as("total_size"),
         col("first_file_ctime"), col("last_file_ctime"),
         col("first_file_mtime"), col("last_file_mtime"))
   }
@@ -125,7 +128,7 @@ object Views {
       .agg(count(col("sd_id")).as("subdirs"),
         count(col("f_id")).as("files"),
         sum(coalesce(col("f_size"), lit(0).cast(DecimalType(18, 6))))
-          .cast(DecimalType(18, 6)).as("total_size"),
+          .cast("double").as("total_size"),
         min(col("f_ctime")).as("first_file_ctime"),
         max(col("f_ctime")).as("last_file_ctime"),
         min(col("f_mtime")).as("first_file_mtime"),
@@ -160,7 +163,7 @@ object Views {
         lit("file").as("type"),
         pathJoin(col("d_path"), col("name")).as("full_path"),
         file("dir_id"), file("id").as("item_id"), col("name"),
-        col("size").as("file_size"), file("ctime"), file("mtime"), col("atime"),
+        col("size").cast("double").as("file_size"), file("ctime"), file("mtime"), col("atime"),
         col("md5_hash"), col("md5_hash_time"), col("sha1_hash"), col("sha1_hash_time"))
     val sub = directory
       .withColumn("parent_path", basepathFast(col("dir_path")))
@@ -170,7 +173,7 @@ object Views {
         col("dir_path").as("full_path"),
         col("d_id").as("dir_id"), col("id").as("item_id"),
         basenameFast(col("dir_path")).as("name"),
-        lit(0).cast(DecimalType(18, 6)).as("file_size"),
+        lit(0d).as("file_size"),
         col("ctime"), col("mtime"), lit(null).cast("timestamp").as("atime"),
         lit(null).cast("string").as("md5_hash"),
         lit(null).cast("timestamp").as("md5_hash_time"),

@@ -87,22 +87,26 @@ object Oracle {
          false AS file_missing, $t0 AS inserted_on
   FROM file WHERE id % 5 = 0
 ), vw_ll AS (
+  -- view `size` is DOUBLE on both engines (exact for these magnitudes);
+  -- the base `file.size` stays DECIMAL for order-independent SUMs
   SELECT 'file' AS type, d.dir_path || '/' || f.name AS full_path,
-         f.id AS file_id, f.name, f.dir_id, f.size, f.ctime, f.mtime, f.atime,
+         f.id AS file_id, f.name, f.dir_id, CAST(f.size AS DOUBLE) AS size,
+         f.ctime, f.mtime, f.atime,
          h.md5_hash, h.sha1_hash, d.dir_path
   FROM file f
   JOIN directory d ON d.id = f.dir_id
   LEFT JOIN hash h ON h.file_id = f.id
   UNION ALL
   SELECT 'dir', c.dir_path, CAST(0 AS BIGINT), ${basenameSql("c.dir_path")},
-         p.id, CAST(0 AS DECIMAL(18,6)), c.ctime, c.mtime,
+         p.id, CAST(0 AS DOUBLE), c.ctime, c.mtime,
          CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
          p.dir_path
   FROM directory c
   JOIN directory p ON p.dir_path = ${basepathSql("c.dir_path")}
 ), vw_file_detail AS (
   SELECT d.dir_path || '/' || f.name AS full_path,
-         f.id, f.name, f.dir_id, f.size, f.ctime, f.mtime, f.atime,
+         f.id, f.name, f.dir_id, CAST(f.size AS DOUBLE) AS size,
+         f.ctime, f.mtime, f.atime,
          h.md5_hash, h.sha1_hash, d.dir_path, fc.category
   FROM file f
   JOIN directory d ON d.id = f.dir_id

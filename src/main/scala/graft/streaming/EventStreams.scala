@@ -30,15 +30,17 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
+        // DECIMAL inside the SUM (order-independent), DOUBLE projected out
+        // (engine-portable hashing; exact for these magnitudes)
         sum(col("value").cast(DecimalType(18, 6)))
-          .cast(DecimalType(18, 6)).as("sum_value"))
+          .cast("double").as("sum_value"))
       .select(col("w.start").as("ts_hour"), col("event_type"),
         col("n_events"), col("n_users"), col("sum_value"))
 
   def hourlyByTypeSql: String =
     """SELECT date_trunc('hour', ts) AS ts_hour, event_type,
       |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Per-user sessionization with a fixed inactivity gap: window function
