@@ -335,7 +335,7 @@ object SparkEntry {
       DedupOps.simhashDupPairs(Tables.documents(s, dir), 3)),
 
     "x11_cosine_dup_pairs" -> ((s, dir) =>
-      SimilarityOps.cosineDupPairsBroadcast(Tables.embeddings(s, dir), 0.40)),
+      SimilarityOps.cosineDupPairsTiled(Tables.embeddings(s, dir), 0.40)),
 
     "x12_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)

@@ -213,14 +213,28 @@ object MergeOps {
   def deleteDirectories(directory: DataFrame, file: DataFrame,
                         dirPaths: Seq[String], deleteSubdirs: Boolean,
                         asOf: java.sql.Timestamp): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val roots = dirPaths.distinct
-    val exact = col("dir_path").isin(roots: _*)
-    val target = if (deleteSubdirs)
-      roots.map(r => exact || col("dir_path").startsWith(r + "/") ||
-        col("dir_path").startsWith(r + "\\")).reduce(_ || _)
-    else exact
-    val doomedDirs = directory.filter(target)
-    val remainingDirs = directory.filter(!target)
+    val spark = directory.sparkSession
+    import spark.implicits._
+    deleteDirectoriesDf(directory, file,
+      dirPaths.distinct.toDF("root_path"), deleteSubdirs, asOf)
+  }
+
+  /** [[deleteDirectories]] with the roots as a DataFrame (column
+    * `root_path`) — the scale form: the roots stay distributed end-to-end
+    * (no driver collect, no O(|roots|) literal expression tree; a mass
+    * deletion round with 100k vanished roots is one broadcast prefix
+    * join, the same shape as `SearchOps.descendantDirs`). */
+  def deleteDirectoriesDf(directory: DataFrame, file: DataFrame,
+                          roots: DataFrame, deleteSubdirs: Boolean,
+                          asOf: java.sql.Timestamp): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val r = broadcast(roots.select(col("root_path")).distinct())
+    val cond = if (deleteSubdirs)
+      col("dir_path") === col("root_path") ||
+        col("dir_path").startsWith(concat(col("root_path"), lit("/"))) ||
+        col("dir_path").startsWith(concat(col("root_path"), lit("\\")))
+    else col("dir_path") === col("root_path")
+    val doomedDirs = directory.join(r, cond, "left_semi")
+    val remainingDirs = directory.join(r, cond, "left_anti")
     val doomedFiles = file.join(doomedDirs.select(col("id").as("dd_id")),
       col("dir_id") === col("dd_id"), "left_semi")
     val remainingFiles = file.join(doomedDirs.select(col("id").as("dd_id")),

@@ -98,11 +98,21 @@ object SearchOps {
   def duplicatesOf(vwLl: DataFrame, needle: DataFrame,
                    hashMatch: Boolean, nameMatch: Boolean): DataFrame = {
     val n = needle.select(
+      col("type").as("n_type"), col("full_path").as("n_path"),
       col("file_id").as("n_file_id"), col("name").as("n_name"),
       col("size").as("n_size"), col("md5_hash").as("n_md5"), col("sha1_hash").as("n_sha1"))
 
-    val byId = vwLl.join(broadcast(n.select("n_file_id").distinct()),
+    // identity branch: file rows match by file_id — restricted to files,
+    // because vw_ll dir rows share the sentinel file_id=0 (a dir needle
+    // would otherwise match EVERY dir row); dir rows match by full_path,
+    // the only identity a vw_ll dir row carries.
+    val byId = vwLl.filter(col("type") === "file").join(
+      broadcast(n.filter(col("n_type") === "file").select("n_file_id").distinct()),
       col("file_id") === col("n_file_id")).drop("n_file_id")
+
+    val byPath = vwLl.filter(col("type") === "dir").join(
+      broadcast(n.filter(col("n_type") === "dir").select("n_path").distinct()),
+      col("full_path") === col("n_path")).drop("n_path")
 
     val bySha1 = vwLl.join(
       broadcast(n.filter(col("n_sha1").isNotNull).select("n_sha1", "n_size").distinct()),
@@ -120,7 +130,7 @@ object SearchOps {
     val byName = vwLl.join(broadcast(n.select("n_name").distinct()),
       col("name") === col("n_name")).drop("n_name")
 
-    val base = byId
+    val base = byId.unionByName(byPath)
     val withHash = if (hashMatch) base.unionByName(bySha1).unionByName(byMd5) else base
     val all = if (nameMatch) withHash.unionByName(byName) else withHash
     all.dropDuplicates("type", "file_id", "full_path")

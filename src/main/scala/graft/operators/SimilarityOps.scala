@@ -85,13 +85,12 @@ object SimilarityOps {
   def round9(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** [[cosineDupPairs]] in broadcast form: one side of the pair space is
-    * collected (it must be a bounded tile — here the whole corpus, ~1 MB)
-    * and broadcast; executors stream their partition's vectors against it
-    * in primitive-array loops. Identical output (same op order, same
-    * rounding), ~100× less per-pair overhead than the declarative
-    * per-pair fold. At 100 TB this becomes block-matrix tiling: partition
-    * both sides into bounded tiles and run this per tile pair. */
+  /** [[cosineDupPairs]] in broadcast form — an explicit SMALL-CORPUS fast
+    * path only: the corpus is collected to the driver and broadcast, so
+    * it must fit in driver memory. The default/scale entry is
+    * [[cosineDupPairsTiled]], which produces identical output with no
+    * driver collect; use this one when the corpus is known-bounded (e.g.
+    * a per-partition block in an outer pipeline). */
   def cosineDupPairsBroadcast(emb: DataFrame, threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -119,13 +118,75 @@ object SimilarityOps {
     }.toDF("vec_a", "vec_b", "cos_sim")
   }
 
+  /** [[cosineDupPairs]] as bounded tile-pair execution — the 100 TB shape
+    * of the exact kernel, with NO driver collect anywhere:
+    *
+    *   - each vector belongs to tile `floorMod(vec_id, nTiles)`;
+    *   - a vector is replicated to every unordered tile pair its tile
+    *     participates in (factor nTiles — the standard O(n·√P) block
+    *     matrix replication);
+    *   - `groupByKey` on the tile pair shuffles each pair's two tiles to
+    *     one task, which runs the primitive-loop kernel over them.
+    *
+    * Each task holds 2n/nTiles vectors, so memory per task is bounded by
+    * choosing nTiles ∝ √(corpus/desired tile size); total dot-product work
+    * is identical to the broadcast form and identical in value (the kernel
+    * is commutative in argument order: same multiplies, same summation
+    * order, same HALF_UP round9). */
+  def cosineDupPairsTiled(emb: DataFrame, threshold: Double, nTiles: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nT = nTiles
+    val typed = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val replicated = typed.flatMap { case (id, v) =>
+      val t = java.lang.Math.floorMod(id, nT.toLong).toInt
+      (0 until nT).map(o => (math.min(t, o), math.max(t, o))).distinct
+        .map { case (s, u) => (s, u, id, v) }
+    }
+    replicated.groupByKey { case (s, u, _, _) => (s, u) }
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double])]) =>
+        val (s, u) = key
+        val rows = it.map { case (_, _, id, v) => (id, v) }.toArray
+        val norms = rows.map { case (_, v) => math.sqrt(dotLocal(v, v)) }
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        def emit(i: Int, j: Int): Unit = {
+          val (ia, va) = rows(i); val (ib, vb) = rows(j)
+          val c = round9(dotLocal(va, vb) / (norms(i) * norms(j)))
+          if (c >= threshold)
+            out += (if (ia < ib) (ia, ib, c) else (ib, ia, c))
+        }
+        if (s == u) {
+          // one tile: all unordered pairs within it
+          var i = 0
+          while (i < rows.length) {
+            var j = i + 1
+            while (j < rows.length) { emit(i, j); j += 1 }
+            i += 1
+          }
+        } else {
+          // two tiles: cross pairs only (within-tile pairs are handled by
+          // that tile's own (t, t) group)
+          val sideA = rows.indices.filter(i => java.lang.Math.floorMod(rows(i)._1, nT.toLong).toInt == s)
+          val sideB = rows.indices.filter(i => java.lang.Math.floorMod(rows(i)._1, nT.toLong).toInt == u)
+          sideA.foreach(i => sideB.foreach(j => emit(i, j)))
+        }
+        out.result().iterator
+      }
+      .toDF("vec_a", "vec_b", "cos_sim")
+  }
+
   /** Brute-force cosine top-K: for each query vector, the k nearest
     * corpus vectors (excluding itself), ties broken by vec_id. The query
     * side is broadcast; ranking happens per query partition. */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = withNorm(queries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
-    val scored = withNorm(emb).join(broadcast(q), col("vec_id") =!= col("query_id"))
+    // exactness baseline: deliberately a full corpus × query broadcast scan
+    // (self-pairs dropped by post-filter). Real ANN demand at scale routes
+    // through lshDupPairs / IvfOps, which join on bucket keys instead.
+    val scored = withNorm(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qe"), col("embedding")) / (col("qn") * col("norm")), 9).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))

@@ -76,13 +76,17 @@ object CrawlPipeline {
     val spark = state.spark
     val ts = lit(now)
 
-    // T1 frontier selection (claim-free batch ownership)
+    // T1 frontier selection (claim-free batch ownership). The frontier is
+    // pinned (localCheckpoint, bounded by batchSize) because later plans
+    // reuse it after directory_control has been swap-written mid-round —
+    // a stale file listing would otherwise FAILED_READ_FILE.
     val ctl = state.read("directory_control")
     val due = ctl.filter(col("next_crawl") <= ts && !col("dir_missing"))
       .withColumn("priority", ScheduleOps.crawlPriority(ts))
       .orderBy(col("priority").desc, col("dir_path"))
       .limit(cfg.batchSize)
       .select("dir_path")
+      .localCheckpoint(true)
     val nDue = due.count()
     if (nDue == 0) return RoundStats(0, 0, 0, 0, 0)
 
@@ -116,24 +120,29 @@ object CrawlPipeline {
 
     // J11: subdirs recorded under a crawled parent but absent from its
     // scrape vanished on disk — delete their whole closure (recursive via
-    // the path-prefix join inside deleteDirectories) with archiving.
-    // The per-round vanished set is bounded by the batch, so collecting
-    // the root paths driver-side is safe. Write order matters: every plan
-    // below reads the ORIGINAL directory/file tables, so those two swap
-    // LAST.
-    val removedDirPaths: Seq[String] = if (cfg.deleteMissing) {
+    // the path-prefix join inside deleteDirectoriesDf) with archiving.
+    // The vanished roots stay a DataFrame end-to-end (no driver collect —
+    // a mass-deletion round is a broadcast prefix join, not a 100k-term
+    // literal filter). localCheckpoint pins the root set so the many
+    // consumers below don't re-derive it, and so it survives the
+    // directory-table swap. Write order matters: every plan below reads
+    // the ORIGINAL directory/file tables, so those two swap LAST.
+    val removedRoots: DataFrame = if (cfg.deleteMissing) {
       directory
         .withColumn("parent_path",
           graft.functions.PathExpressions.basepathFast(col("dir_path")))
         .join(due.select(col("dir_path").as("parent_path")), Seq("parent_path"), "left_semi")
-        .join(dirs0.select("dir_path"), Seq("dir_path"), "left_anti")
-        .join(due.select("dir_path"), Seq("dir_path"), "left_anti") // crawled dirs handle themselves
-        .select("dir_path").limit(100000).collect().map(_.getString(0)).toSeq
-    } else Nil
-    if (removedDirPaths.nonEmpty) {
+        // a drive root self-parents (basepath of a top-level path is
+        // itself) — roots are never deleted here, only flagged missing
+        .filter(col("parent_path") =!= col("dir_path"))
+        .join(dirs0.select("dir_path"), Seq("dir_path"), "left_anti") // parent scrape lists it → alive
+        .join(selfDirs.select("dir_path"), Seq("dir_path"), "left_anti") // it scraped itself → alive
+        .select(col("dir_path").as("root_path")).localCheckpoint(true)
+    } else spark.emptyDataFrame.withColumn("root_path", lit(""))
+    if (cfg.deleteMissing && !removedRoots.isEmpty) {
       val (remainingDirs, remainingFiles, dirArchive, fileArchive) =
-        MergeOps.deleteDirectories(directory, readFileFull(),
-          removedDirPaths, deleteSubdirs = true, now)
+        MergeOps.deleteDirectoriesDf(directory, readFileFull(),
+          removedRoots, deleteSubdirs = true, now)
       state.append("directory_archive", dirArchive)
       state.append("file_archive", fileArchive)
       val doomedFileIds = fileArchive.select(col("id").as("file_id"))
@@ -158,6 +167,9 @@ object CrawlPipeline {
       state.write("directory", remainingDirs) // LAST — upstream plans read it
     }
     val directoryAfterRemoval = state.read("directory")
+    // fresh handle: the removal block may have swap-written the control
+    // table, invalidating `ctl`'s captured file listing
+    val ctlAfterRemoval = state.read("directory_control")
 
     // resolve staged files to dir ids
     val dirIds = directoryAfterRemoval.select(col("id").as("dir_id"), col("dir_path"))
@@ -233,12 +245,12 @@ object CrawlPipeline {
       .groupBy("dir_path").agg(max(col("ctime")).as("last_ctime"))
     val freq = due
       .join(activity, Seq("dir_path"), "left")
-      .join(ctl.select(col("dir_path"), col("inserted_on")), Seq("dir_path"))
+      .join(ctlAfterRemoval.select(col("dir_path"), col("inserted_on")), Seq("dir_path"))
     val withFreq = ScheduleOps.crawlFrequency(freq, ts, cfg.divideSeconds,
       cfg.minFrequencySeconds, cfg.maxFrequencySeconds)
       .select(col("dir_path"), col("crawl_frequency").as("new_freq"))
 
-    val crawledUpdate = ctl
+    val crawledUpdate = ctlAfterRemoval
       .join(due.select(col("dir_path"), lit(true).as("crawled")), Seq("dir_path"), "left")
       .join(missing0.select(col("dir_path"), lit(true).as("went_missing")), Seq("dir_path"), "left")
       .join(withFreq, Seq("dir_path"), "left")
@@ -269,7 +281,7 @@ object CrawlPipeline {
     // schedule newly discovered subdirs (M2 insert branch — never reschedule
     // existing entries: DirectoryCrawl.py:933-945)
     val newCtl = dirs0.select("dir_path").distinct()
-      .join(ctl.select("dir_path"), Seq("dir_path"), "left_anti")
+      .join(ctlAfterRemoval.select("dir_path"), Seq("dir_path"), "left_anti")
       .join(dirIds, Seq("dir_path"))
       .select(col("dir_path"), col("dir_id"),
         lit(0).as("file_count"), lit(0).as("subdir_count"),

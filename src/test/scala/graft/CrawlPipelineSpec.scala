@@ -185,6 +185,41 @@ class CrawlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.read("file_archive").filter(col("deleted_on") === lit(t2)).count() === 2)
   }
 
+  test("deep subtree vanishes: whole closure removed via the prefix join, no driver collect") {
+    val root = Files.createTempDirectory("graft_dstate")
+    val fx = Files.createTempDirectory("graft_dfixture")
+    // fx/keep.bin, fx/deep/l1/l2/l3 with a file at every level
+    val l3 = Files.createDirectories(fx.resolve("deep/l1/l2/l3"))
+    Files.write(fx.resolve("keep.bin"), "keep".getBytes)
+    Files.write(fx.resolve("deep/f0.bin"), "d0".getBytes)
+    Files.write(fx.resolve("deep/l1/f1.bin"), "d1".getBytes)
+    Files.write(fx.resolve("deep/l1/l2/f2.bin"), "d2".getBytes)
+    Files.write(l3.resolve("f3.bin"), "d3".getBytes)
+    val st = new StateStore(spark, root.toString)
+
+    CrawlPipeline.seedDrives(st, Seq(fx.toString), t1)
+    CrawlPipeline.runToFixpoint(st, t1)
+    assert(st.read("directory").count() === 5)
+    assert(st.read("file").count() === 5)
+
+    // the subtree vanishes wholesale: the re-crawl of fx sees `deep`
+    // missing and must remove the entire descendant closure (dirs l1..l3
+    // were never re-crawled themselves — only the prefix join reaches them)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete(): Unit
+    }
+    rm(fx.resolve("deep").toFile)
+    CrawlPipeline.runToFixpoint(st, t2)
+
+    assert(st.read("directory").collect().map(_.getString(1)).toSet === Set(fx.toString))
+    assert(st.read("file").select("name").collect().map(_.getString(0)).toSet === Set("keep.bin"))
+    assert(st.read("directory_archive").filter(col("deleted_on") === lit(t2)).count() === 4)
+    assert(st.read("file_archive").filter(col("deleted_on") === lit(t2)).count() === 4)
+    // schedule rows for the vanished dirs are gone too
+    assert(st.read("directory_control").count() === 1)
+  }
+
   test("missing drive root is flagged, retried later, not fatal") {
     val ghostState = new StateStore(spark,
       Files.createTempDirectory("graft_ghost").toString)

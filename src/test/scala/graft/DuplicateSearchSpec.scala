@@ -99,6 +99,16 @@ class DuplicateSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names(dups).contains("md5only.bin"))
   }
 
+  test("dir needle matches by path identity, not the file_id=0 sentinel") {
+    // needle = vw_ll rows with dir_path='/fixture': the two child dirs plus
+    // /fixture itself (a root is its own basepath, so it self-parents).
+    // The byId branch must NOT treat their sentinel file_id=0 as an id
+    // match against every dir in the catalog (e.g. C:\fx\sub).
+    val dups = SearchOps.searchDuplicateDir(vwLl, "/fixture")
+    val paths = dups.collect().map(_.getAs[String]("full_path")).sorted.toSeq
+    assert(paths === Seq("/fixture", "/fixture/a", "/fixture/b"))
+  }
+
   test("hash-disabled search returns only identity matches") {
     val dups = SearchOps.searchDuplicateFile(vwLl, "/fixture/a/dup1.bin",
       hashMatch = false)

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilarityOps
+
+/** The three exact cosine-pair formulations must be value-identical: the
+  * declarative fold ([[SimilarityOps.cosineDupPairs]]), the small-corpus
+  * broadcast kernel, and the tiled (no-driver-collect) block form that is
+  * the scale/default path. */
+class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var emb: DataFrame = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random 16-dim vectors, ids NOT aligned to the
+    // tile count so tiles are uneven
+    emb = (0L until 97L).map { id =>
+      val v = Array.tabulate(16) { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:$j".getBytes("UTF-8"))
+        (((h(0) & 0xff) - 128) / 128.0).toFloat
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding").cache()
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pairs(df: DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+
+  test("tiled == broadcast == declarative, bit-identical cosines") {
+    val declarative = pairs(SimilarityOps.cosineDupPairs(emb, 0.2))
+    val broadcastK = pairs(SimilarityOps.cosineDupPairsBroadcast(emb, 0.2))
+    val tiled = pairs(SimilarityOps.cosineDupPairsTiled(emb, 0.2, nTiles = 5))
+    assert(declarative.nonEmpty)
+    assert(broadcastK === declarative)
+    assert(tiled === declarative)
+  }
+
+  test("tiled emits each qualifying pair exactly once across tile pairs") {
+    val tiled = pairs(SimilarityOps.cosineDupPairsTiled(emb, -1.0, nTiles = 3))
+    // threshold -1 keeps every pair: n*(n-1)/2 of them, no dup, no self
+    assert(tiled.size === 97 * 96 / 2)
+    assert(tiled.distinct.size === tiled.size)
+    assert(tiled.forall { case (a, b, _) => a < b })
+  }
+
+  test("tiled plan contains no driver collect (it is a shuffle exchange)") {
+    val plan = SimilarityOps.cosineDupPairsTiled(emb, 0.2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange") || plan.contains("Sort"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
