@@ -206,6 +206,12 @@ object SparkEntry {
         .withColumn("file_size", col("file_size").cast("double"))
     }),
 
+    "t6_view_scrape_schedule" -> ((s, dir) =>
+      ScheduleOps.viewScrapeSchedule(cat(s, dir).directoryControl, "/A*",
+        recursive = true,
+        orderBy = Seq(("file_count", false), ("no_such_col", true), ("dir_path", true)),
+        rowLimit = 25)),
+
     "p1_path_scalars" -> ((s, dir) => {
       cat(s, dir).vwLl.filter(col("type") === "dir" || col("file_id") % 50 === 0)
         .select(col("full_path"),
@@ -543,6 +549,12 @@ object SparkEntry {
         |      WHERE process_assigned_on IS NULL AND NOT file_missing
         |      ORDER BY file_size, file_id LIMIT 50) hc
         |JOIN vw_file_detail v ON v.id = hc.file_id""".stripMargin),
+
+    "t6_view_scrape_schedule" -> (C +
+      """SELECT dir_path, dir_id, file_count, subdir_count, next_crawl,
+        |  crawl_frequency, process_assigned_on, last_crawled, last_active, inserted_on
+        |FROM directory_control WHERE lower(dir_path) LIKE '/a%'
+        |ORDER BY file_count DESC, dir_path LIMIT 25""".stripMargin),
 
     "p1_path_scalars" -> (C +
       s"""SELECT full_path,

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.core.StateStore
 import graft.functions.PathFunctions
-import graft.operators.{SearchOps, Views}
+import graft.operators.{MergeOps, ScheduleOps, SearchOps, Views}
+import graft.sources.HashSource
 
 /** Interactive shell (SURVEY §7.1.9) mirroring the reference CLI's command
   * grammar (`CLI/__init__.py:41-52,90-226,291-311`): `search <criteria>
@@ -45,6 +46,15 @@ class Shell(state: StateStore, out: String => Unit = println) {
       case ("cd", Seq(p, _*)) => cwd = resolve(p)
       case ("search", args) => search(args)
       case ("scrape", Seq(p, _*)) => rescrape(resolve(p))
+      case ("hash_file", Seq(p, rest @ _*)) =>
+        hashFile(resolve(p), insertDb = rest.headOption.exists(_.equalsIgnoreCase("insert")))
+      case ("reschedule_dir", Seq(p, rest @ _*)) =>
+        rescheduleDir(resolve(p), rest.headOption.map(_.toLong))
+      case ("view_scrape_schedule", Seq(p, rest @ _*)) =>
+        viewScrapeSchedule(resolve(p), rest)
+      case ("delete_file", Seq(p, _*)) => deleteFile(resolve(p))
+      case ("delete_dir", Seq(p, rest @ _*)) =>
+        deleteDir(resolve(p), rest.headOption.exists(_.equalsIgnoreCase("subdirs")))
       case ("help", _) => out(helpText)
       case (cmd, _) => out(s"unknown command: $cmd (try 'help')")
     }
@@ -84,6 +94,114 @@ class Shell(state: StateStore, out: String => Unit = println) {
     out(s"rescheduled dirs matching $pattern")
   }
 
+  /** `hash_file` (`API/Hash.py:6-22`, `CLI/__init__.py:229-241`): hash one
+    * file on demand; with `insert`, merge the digests into the hash state
+    * (single-row M4/M5 path) when the file is cataloged. */
+  private def hashFile(path: String, insertDb: Boolean): Unit =
+    HashSource.hashFile(path) match {
+      case Left(err) => out(s"hash_file failed: $err")
+      case Right((md5, sha1)) =>
+        out("md5_hash\tsha1_hash")
+        out(s"$md5\t$sha1")
+        if (insertDb) {
+          val d = state.read("directory").select(col("id").as("d_id"), col("dir_path"))
+          val fileId = state.read("file")
+            .join(d, col("dir_id") === col("d_id"))
+            .filter(col("dir_path") === PathFunctions.basepathScala(path) &&
+              col("name") === PathFunctions.basenameScala(path))
+            .select("id").limit(1).collect().headOption.map(_.getLong(0))
+          fileId match {
+            case None => out(s"not cataloged, hash not inserted: $path")
+            case Some(id) =>
+              val s = spark
+              import s.implicits._
+              val now = new java.sql.Timestamp(System.currentTimeMillis())
+              val staged = Seq((id, id, md5, now, sha1, now)).toDF(
+                "id", "file_id", "md5_hash", "md5_hash_time", "sha1_hash", "sha1_hash_time")
+              val (newHash, newCtl) = MergeOps.mergeHashes(
+                state.read("hash"), state.read("hash_control"), staged)
+              state.write("hash", newHash)
+              state.write("hash_control", newCtl)
+              out(s"hash inserted for file id $id")
+          }
+        }
+    }
+
+  /** `reschedule_dir <path> [freqSeconds]` (`API/Schedule.py:7-9`). */
+  private def rescheduleDir(pattern: String, frequency: Option[Long]): Unit = {
+    state.write("directory_control", ScheduleOps.rescheduleDir(
+      state.read("directory_control"), pattern, current_timestamp(), frequency))
+    out(s"rescheduled dirs matching $pattern" +
+      frequency.fold("")(f => s" (frequency ${f}s)"))
+  }
+
+  /** `view_scrape_schedule <path> [recursive] [col[:desc] ...] [limit=N]`
+    * (`API/Schedule.py:11-44`). */
+  private def viewScrapeSchedule(pattern: String, rest: Seq[String]): Unit = {
+    val recursive = rest.exists(_.equalsIgnoreCase("recursive"))
+    val limit = rest.collectFirst {
+      case a if a.startsWith("limit=") => a.stripPrefix("limit=").toInt
+    }.getOrElse(100)
+    val orderBy = rest
+      .filterNot(a => a.equalsIgnoreCase("recursive") || a.startsWith("limit="))
+      .map { a =>
+        val desc = a.endsWith(":desc")
+        (a.stripSuffix(":desc").stripSuffix(":asc"), !desc)
+      }
+    show(ScheduleOps.viewScrapeSchedule(
+      state.read("directory_control"), pattern, recursive, orderBy, limit))
+  }
+
+  /** `delete_file` (`API/Scrape.py:27-42`): remove one file row with
+    * archiving + hash cleanup; prints Y/N like the reference's bool. */
+  private def deleteFile(path: String): Unit = {
+    val (remFile, remHash, remCtl, archive) = MergeOps.deleteFilesByPath(
+      state.read("directory"), state.read("file"), state.read("hash"),
+      state.read("hash_control"), Seq(path),
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    // pin the doomed set before any table swap invalidates its inputs
+    val pinnedArchive = archive.localCheckpoint(true)
+    if (pinnedArchive.isEmpty) out("N (no matching file)")
+    else {
+      val ids = pinnedArchive.select(col("id").as("file_id"))
+      state.append("file_archive", pinnedArchive)
+      state.write("hash", state.read("hash").join(ids, Seq("file_id"), "left_anti"))
+      state.write("hash_control",
+        state.read("hash_control").join(ids, Seq("file_id"), "left_anti"))
+      state.write("file",
+        state.read("file").join(ids, col("id") === col("file_id"), "left_anti"))
+      out("Y")
+    }
+  }
+
+  /** `delete_dir [subdirs]` (`API/Scrape.py:44-60`): remove a directory
+    * (optionally its closure) with archives + hash/schedule cleanup. */
+  private def deleteDir(path: String, subdirs: Boolean): Unit = {
+    val (_, _, dirArchive, fileArchive) = MergeOps.deleteDirectories(
+      state.read("directory"), state.read("file"), Seq(path), subdirs,
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    val pinnedDirs = dirArchive.localCheckpoint(true)
+    val pinnedFiles = fileArchive.localCheckpoint(true)
+    if (pinnedDirs.isEmpty) out("N (no matching dir)")
+    else {
+      val dirIds = pinnedDirs.select(col("id").as("dd_id"))
+      val fileIds = pinnedFiles.select(col("id").as("file_id"))
+      state.append("directory_archive", pinnedDirs)
+      state.append("file_archive", pinnedFiles)
+      state.write("hash", state.read("hash").join(fileIds, Seq("file_id"), "left_anti"))
+      state.write("hash_control",
+        state.read("hash_control").join(fileIds, Seq("file_id"), "left_anti"))
+      state.write("directory_control",
+        state.read("directory_control")
+          .join(pinnedDirs.select("dir_path"), Seq("dir_path"), "left_anti"))
+      state.write("file",
+        state.read("file").join(fileIds, col("id") === col("file_id"), "left_anti"))
+      state.write("directory",
+        state.read("directory").join(dirIds, col("id") === col("dd_id"), "left_anti"))
+      out(s"Y (${pinnedDirs.count()} dirs, ${pinnedFiles.count()} files archived)")
+    }
+  }
+
   private def show(df: DataFrame): Unit = {
     val rows = df.limit(maxRows + 1).collect()
     val hdr = df.columns.mkString("\t")
@@ -119,6 +237,11 @@ class Shell(state: StateStore, out: String => Unit = println) {
       |  search duplicate_file <path>    duplicates of a file
       |  search duplicate_dir <path>     duplicates of a dir's contents
       |  scrape <pattern>                reschedule matching dirs for crawl
+      |  hash_file <path> [insert]       hash a file now; 'insert' stores it
+      |  reschedule_dir <path> [freq]    make dirs due now (opt. new frequency)
+      |  view_scrape_schedule <path> [recursive] [col[:desc] ...] [limit=N]
+      |  delete_file <path>              delete + archive one file
+      |  delete_dir <path> [subdirs]     delete + archive a dir (opt. closure)
       |  cd <path> / pwd                 path context
       |  exit""".stripMargin
 }

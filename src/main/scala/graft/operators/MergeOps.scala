@@ -219,6 +219,19 @@ object MergeOps {
       dirPaths.distinct.toDF("root_path"), deleteSubdirs, asOf)
   }
 
+  /** [[deleteDirectories]] keyed by directory id (`FileDbDAL/Directory
+    * .py:196-358` ships int/int[] overloads beside the text ones; this is
+    * their twin — the file side has both at [[deleteFilesById]]/
+    * [[deleteFilesByPath]]). Ids resolve to paths first so the
+    * `deleteSubdirs` closure still rides the prefix join. */
+  def deleteDirectoriesById(directory: DataFrame, file: DataFrame,
+                            ids: Seq[Long], deleteSubdirs: Boolean,
+                            asOf: java.sql.Timestamp): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val roots = directory.filter(col("id").isin(ids.distinct: _*))
+      .select(col("dir_path").as("root_path"))
+    deleteDirectoriesDf(directory, file, roots, deleteSubdirs, asOf)
+  }
+
   /** [[deleteDirectories]] with the roots as a DataFrame (column
     * `root_path`) — the scale form: the roots stay distributed end-to-end
     * (no driver collect, no O(|roots|) literal expression tree; a mass

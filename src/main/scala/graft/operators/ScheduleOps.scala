@@ -59,6 +59,46 @@ object ScheduleOps {
   def unscheduledDrives(drive: DataFrame, directoryControl: DataFrame): DataFrame =
     drive.join(directoryControl.select("dir_path"), Seq("dir_path"), "left_anti")
 
+  /** `view_scrape_schedule` (`API/Schedule.py:11-44`): wildcard-translated
+    * ILIKE path filter (recursive appends '%'), ORDER BY sanitized against
+    * the reference's allowlist (unknown columns dropped; empty →
+    * `dir_path asc`), row limit clamped to ≥1. Composes the F7
+    * case-insensitive filter with the T5 paging semantics. */
+  def viewScrapeSchedule(directoryControl: DataFrame, path: String,
+                         recursive: Boolean = false,
+                         orderBy: Seq[(String, Boolean)] = Nil,
+                         rowLimit: Int = 100): DataFrame = {
+    val parsed = graft.functions.PathFunctions.parseWildcardSearch(path)
+    val like = if (recursive && !parsed.endsWith("%")) parsed + "%" else parsed
+    val validOrderCols = Set("dir_path", "file_count", "subdir_count",
+      "next_crawl", "crawl_frequency", "last_crawled", "last_active", "inserted_on")
+    val requested = orderBy.collect {
+      case (c, asc) if validOrderCols(c) => if (asc) col(c).asc else col(c).desc
+    }
+    val sorted = if (requested.nonEmpty) requested else Seq(col("dir_path").asc)
+    directoryControl
+      .filter(lower(col("dir_path")).like(like.toLowerCase))
+      .select("dir_path", "dir_id", "file_count", "subdir_count", "next_crawl",
+        "crawl_frequency", "process_assigned_on", "last_crawled", "last_active",
+        "inserted_on")
+      .orderBy(sorted: _*)
+      .limit(math.max(rowLimit, 1))
+  }
+
+  /** `reschedule_dir` (`API/Schedule.py:7-9` — a stub in the reference;
+    * intended semantics per `API/Scrape.py:18-25` schedule_scrape_dir):
+    * matching dirs (wildcard ILIKE) become due at `asOf`, optionally with
+    * a new crawl frequency. Returns the next directory_control state. */
+  def rescheduleDir(directoryControl: DataFrame, path: String,
+                    asOf: Column, frequencySeconds: Option[Long] = None): DataFrame = {
+    val like = graft.functions.PathFunctions.parseWildcardSearch(path)
+    val hit = lower(col("dir_path")).like(like.toLowerCase)
+    val due = directoryControl.withColumn("next_crawl",
+      when(hit, asOf).otherwise(col("next_crawl")))
+    frequencySeconds.fold(due)(f => due.withColumn("crawl_frequency",
+      when(hit, lit(f)).otherwise(col("crawl_frequency"))))
+  }
+
   /** Adaptive crawl frequency (M7, `SQLUtil.py:443-563` with the
     * `DirectoryCrawl.py:1011-1019` call-site params): seconds since the
     * directory's last content change (max ctime of its contents, falling

@@ -106,4 +106,35 @@ class MergeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // queue drained for every staged id
     assert(drained.collect().map(_.getLong(0)).toSeq === Seq.empty)
   }
+
+  test("deleteDirectoriesById == deleteDirectoriesByPath (closure + archives)") {
+    val s = spark
+    import s.implicits._
+    val directory = Seq(
+      (1L, "/top"), (2L, "/top/mid"), (3L, "/top/mid/leaf"), (4L, "/other"))
+      .toDF("id", "dir_path")
+      .selectExpr("id", "dir_path", "timestamp'2024-01-01' AS ctime",
+        "timestamp'2024-01-01' AS mtime", "timestamp'2024-01-01' AS inserted_on",
+        "timestamp'2024-01-01' AS updated_on")
+    val file = Seq((10L, "f1", 2L), (11L, "f2", 3L), (12L, "f3", 4L))
+      .toDF("id", "name", "dir_id")
+      .selectExpr("id", "name", "dir_id", "CAST(1 AS DECIMAL(18,6)) AS size",
+        "timestamp'2024-01-01' AS ctime", "timestamp'2024-01-01' AS mtime",
+        "CAST(NULL AS TIMESTAMP) AS atime",
+        "timestamp'2024-01-01' AS inserted_on", "timestamp'2024-01-01' AS updated_on")
+
+    val byPath = MergeOps.deleteDirectories(directory, file,
+      Seq("/top/mid"), deleteSubdirs = true, t2)
+    val byId = MergeOps.deleteDirectoriesById(directory, file,
+      Seq(2L), deleteSubdirs = true, t2)
+    def snap(r: (DataFrame, DataFrame, DataFrame, DataFrame)) = (
+      r._1.select("id").collect().map(_.getLong(0)).sorted.toSeq,
+      r._2.select("id").collect().map(_.getLong(0)).sorted.toSeq,
+      r._3.select("id").collect().map(_.getLong(0)).sorted.toSeq,
+      r._4.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(snap(byId) === snap(byPath))
+    // closure really fired: mid+leaf deleted with their files archived
+    assert(snap(byId)._3 === Seq(2L, 3L))
+    assert(snap(byId)._4 === Seq(10L, 11L))
+  }
 }
