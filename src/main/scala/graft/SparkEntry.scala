@@ -96,10 +96,17 @@ object SparkEntry {
     "q3_top_customers" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey"))
+      // pre-aggregate revenue by l_orderkey BELOW the join: the join then
+      // shuffles one row per order instead of one per lineitem (~6×
+      // smaller at any scale). Decimal addition is associative-exact, so
+      // the two-level sum equals the oracle's flat sum bit-for-bit.
+      val perOrder = li.groupBy(col("l_orderkey"))
         .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
-          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+          .cast(DecimalType(18, 6))).as("order_rev"))
+      perOrder.join(o.select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("order_rev")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_custkey"))
         .limit(10)
     }),
@@ -116,9 +123,11 @@ object SparkEntry {
       SearchOps.searchHash(cat(s, dir).vwLl, md5Hex("2-HIGH#2"), None)),
 
     "f8_path_exists" -> ((s, dir) => {
-      val c = cat(s, dir)
-      val foundDir = SearchOps.dirPathExists(c.directory, "/AFRICA/NATION_0/")
-      val foundFile = SearchOps.filePathExists(c.vwLl, "/NOPE/f.txt")
+      // existence probes hit the base tables with pushed filters — never
+      // build the full vw_ll catalog to answer a LIMIT 1 probe
+      val d = FsCatalog.directory(s, dir)
+      val foundDir = SearchOps.dirPathExists(d, "/AFRICA/NATION_0/")
+      val foundFile = SearchOps.filePathExists(d, FsCatalog.file(s, dir), "/NOPE/f.txt")
       import s.implicits._
       Seq((foundDir, foundFile)).toDF("found_dir", "found_file")
     }),
@@ -351,7 +360,8 @@ object SparkEntry {
     "x13_ann_lsh_pairs" -> ((s, dir) =>
       SimilarityOps.lshDupPairs(Tables.embeddings(s, dir), 0.30)),
 
-    // no oracleSql twin (k-means isn't SQL-expressible) → rows-only check
+    // oracle twin is generated at runtime (the deterministic centroids
+    // embed as SQL literals) — see [[dynamicOracleSql]]
     "x18_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val model = graft.operators.IvfOps.train(emb, k = 16, iterations = 2)
@@ -459,7 +469,8 @@ object SparkEntry {
 
     "f8_path_exists" -> (C +
       "SELECT EXISTS(SELECT 1 FROM directory WHERE dir_path = '/AFRICA/NATION_0') AS found_dir, " +
-      "EXISTS(SELECT 1 FROM vw_ll WHERE type = 'file' AND dir_path = '/NOPE' AND name = 'f.txt') AS found_file"),
+      "EXISTS(SELECT 1 FROM file f JOIN directory d ON f.dir_id = d.id " +
+      "WHERE d.dir_path = '/NOPE' AND f.name = 'f.txt') AS found_file"),
 
     "f9_filter_category" -> (C +
       s"""SELECT full_path, name, size, category FROM vw_file_detail
@@ -698,4 +709,15 @@ object SparkEntry {
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)
   )
+
+  /** Oracle SQL that depends on the data (trained models): k-means isn't
+    * SQL-expressible, but a TRAINED model's centroids are deterministic
+    * literals — so the x18 IVF twin is generated per scale factor and
+    * merged into the oracle map by [[Verify]]. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val model = graft.operators.IvfOps.train(
+      Tables.embeddings(spark, sfDir), k = 16, iterations = 2)
+    Map("x18_ann_ivf" -> graft.operators.IvfOps.topKSql(
+      model, "vec_id % 100 = 0", k = 8, nProbe = 6))
+  }
 }

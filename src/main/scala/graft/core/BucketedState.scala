@@ -96,7 +96,9 @@ class BucketedState(val spark: SparkSession, val root: String,
       .distinct().collect().map(_.getInt(0)).toSeq
     val slice = readBuckets(schema, affected)
     val merged = merge(slice, staged)
-    overwriteBuckets(merged, keyCol)
+    // pass the affected set so a bucket the merge EMPTIED is physically
+    // cleared (dynamic overwrite writes nothing for a zero-row bucket)
+    overwriteBuckets(merged, keyCol, affected)
     affected
   }
 }

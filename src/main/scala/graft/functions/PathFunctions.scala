@@ -26,16 +26,19 @@ object PathFunctions {
     * by a char -> unchanged, faithful to the reference).
     */
   def basepath(p: Column): Column = {
-    val stripped = regexp_replace(p, "(.)[/\\\\][^/\\\\]+$", "$1")
+    // (?s) + \z: '.' must cross newlines and the anchor must be true
+    // end-of-input — POSIX filenames may contain '\n', and Java's default
+    // '.'/'$' would silently diverge from the byte-scan fast twin and RE2
+    val stripped = regexp_replace(p, "(?s)(.)[/\\\\][^/\\\\]+\\z", "$1")
     when(stripped.endsWith(":"), concat(stripped, lit("\\"))).otherwise(stripped)
   }
 
   /** Last path segment (`SQLUtil.py:31-44`). "C:\W\calc.exe" -> "calc.exe". */
-  def basename(p: Column): Column = regexp_replace(p, "^.+[/\\\\]", "")
+  def basename(p: Column): Column = regexp_replace(p, "(?s)^.+[/\\\\]", "")
 
   /** Lower-cased extension (`SQLUtil.py:46-61`). Reference quirk preserved:
     * a dotless name is returned whole (lower-cased). */
-  def extension(p: Column): Column = lower(regexp_replace(p, "^.+\\.", ""))
+  def extension(p: Column): Column = lower(regexp_replace(p, "(?s)^.+\\.", ""))
 
   /** Join path segments, inferring the separator from the content — the
     * Python twin's semantics (`API/Util.py:146-161`), which handle mixed-OS
@@ -74,7 +77,7 @@ object PathFunctions {
     * is backslash, pipe, slash): "/home/test/" -> "/home/test", "C:\" -> "C:",
     * "/" -> "". */
   def stripTrailingSlashes(p: Column): Column =
-    regexp_replace(trim(p), "([^:])?[\\\\|/]+$", "$1")
+    regexp_replace(trim(p), "(?s)([^:])?[\\\\|/]+\\z", "$1")
 
   // --- size-literal -> MB-unit converters (`SQLUtil.py:76-114`; decimal 1000s)
   def kb(x: Column): Column = x / 1000d
@@ -106,16 +109,16 @@ object PathFunctions {
 
   /** Scala twin of [[stripTrailingSlashes]] (`API/Util.py:163-168`). */
   def stripTrailingSlashesScala(path: String): String =
-    path.trim.replaceAll("([^:])?[\\\\|/]+$", "$1")
+    path.trim.replaceAll("(?s)([^:])?[\\\\|/]+\\z", "$1")
 
   /** Scala twin of [[basepath]]. */
   def basepathScala(p: String): String = {
-    val stripped = p.replaceAll("(.)[/\\\\][^/\\\\]+$", "$1")
+    val stripped = p.replaceAll("(?s)(.)[/\\\\][^/\\\\]+\\z", "$1")
     if (stripped.endsWith(":")) stripped + "\\" else stripped
   }
 
   /** Scala twin of [[basename]]. */
-  def basenameScala(p: String): String = p.replaceAll("^.+[/\\\\]", "")
+  def basenameScala(p: String): String = p.replaceAll("(?s)^.+[/\\\\]", "")
 
   /** Lenient bool parse (`API/Util.py:13-31`): true/t/yes/y/1 -> true, else false. */
   def parseBool(v: String): Boolean =
@@ -127,7 +130,7 @@ object PathFunctions {
     spark.udf.register("basepath", (p: String) => if (p == null) null else basepathScala(p))
     spark.udf.register("basename", (p: String) => if (p == null) null else basenameScala(p))
     spark.udf.register("extension", (p: String) =>
-      if (p == null) null else p.replaceAll("^.+\\.", "").toLowerCase)
+      if (p == null) null else p.replaceAll("(?s)^.+\\.", "").toLowerCase)
     spark.udf.register("strip_trailing_slashes", (p: String) =>
       if (p == null) null else stripTrailingSlashesScala(p))
   }

@@ -69,12 +69,17 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** DuckDB twin: `(doc_id, sh)` relation of DISTINCT word shingles. */
+  /** DuckDB twin: `(doc_id, sh)` relation of DISTINCT word shingles.
+    * The index list is generated per row (`generate_series` over the
+    * document's own word count), so the oracle is unbounded in document
+    * length — exactly like the Spark side's `sequence` — instead of
+    * capping at a fixed join range. */
   def shinglesSqlCte: String =
     s"""sh AS (
-       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(ws) - ${shingleWords - 1}, 0)),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
-       |  JOIN range(1, 600) r(i) ON i <= len(ws) - ${shingleWords - 1}
        |)""".stripMargin
 
   // Affine MinHash family over a 32-bit md5 base hash: h_i = (a_i·h + b_i)

@@ -76,6 +76,44 @@ object IvfOps {
       .toDF("vec_id", "centroid_id", "embedding")
   }
 
+  /** DuckDB twin of [[assign]]+[[topK]] for a TRAINED model: the (tiny,
+    * deterministic) centroids are embedded as DOUBLE[] literals, and the
+    * assignment / probe / rank dataflow is replayed relationally. Every
+    * arithmetic step mirrors the Spark side bit-for-bit: list_dot_product
+    * over DOUBLE[] == the sequential fold, Double.toString literals
+    * round-trip exactly, and tie-breaks order by (sim DESC, id). */
+  def topKSql(model: IvfModel, queryFilter: String, k: Int, nProbe: Int): String = {
+    val centroidRows = model.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    val e = "CAST(e.embedding AS DOUBLE[])"
+    val sim = s"list_dot_product($e, c.cv) / " +
+      s"(sqrt(list_dot_product($e, $e)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    s"""WITH centroids AS (
+       |  SELECT * FROM (VALUES $centroidRows) AS c(cid, cv)
+       |), sims AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $sim DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN centroids c
+       |), corpus_assign AS (
+       |  SELECT vec_id, embedding, cid AS centroid_id FROM sims WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cid AS centroid_id
+       |  FROM sims WHERE ($queryFilter) AND rn <= $nProbe
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(${SimilarityOps.cosineSql("p.qe", "a.embedding")}, 9) AS cos_sim
+       |  FROM probes p JOIN corpus_assign a USING (centroid_id)
+       |  WHERE a.vec_id <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, cos_sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
   /** ANN top-K: probe the nProbe nearest inverted lists per query, exact
     * cosine inside the candidate set, rank with vec_id tiebreak. */
   def topK(emb: DataFrame, queries: DataFrame, model: IvfModel,

@@ -69,6 +69,17 @@ object SearchOps {
       col("dir_path") === basepathScala(p) && col("name") === basenameScala(p)).isEmpty
   }
 
+  /** [[filePathExists]] against the base tables (no view build): both
+    * equality filters push into the scans; the directory side is a single
+    * (or zero) row, broadcast. The probe never materializes the catalog. */
+  def filePathExists(directory: DataFrame, file: DataFrame, path: String): Boolean = {
+    val p = parseExactSearch(path)
+    val d = directory.filter(col("dir_path") === basepathScala(p))
+      .select(col("id").as("d_id"))
+    !file.filter(col("name") === basenameScala(p))
+      .join(broadcast(d), col("dir_id") === col("d_id"), "left_semi").isEmpty
+  }
+
   /** `search_duplicate_file` (`Search.py:248-295`) as union-of-equi-joins.
     *
     * Needle = rows of `vw_ll` at the exact path. Haystack rows qualify via

@@ -146,9 +146,12 @@ object TextOps {
 
   def fingerprintsSql: String =
     s"""WITH grams AS (
+       |  -- per-row generate_series: unbounded in document length, same as
+       |  -- the Spark side's sequence() (no fixed range cap)
        |  SELECT doc_id, min(${HashFunctions.hash60Sql("substr(trim(text), i, 5)")}) AS min_shingle_hash
-       |  FROM documents JOIN range(1, 600) r(i)
-       |    ON i <= greatest(length(trim(text)) - 4, 1)
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(trim(text)) - 4, 1))) AS i
+       |        FROM documents)
        |  GROUP BY doc_id
        |)
        |SELECT d.doc_id,

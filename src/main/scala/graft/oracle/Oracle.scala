@@ -23,17 +23,19 @@ object Oracle {
   /** DuckDB `basepath(p)` expression (twin of
     * [[graft.functions.PathFunctions.basepath]]). */
   def basepathSql(p: String): String = {
-    val stripped = s"regexp_replace($p, '(.)[/\\\\][^/\\\\]+$$', '\\1')"
+    // (?s): '.' crosses newlines, matching the Java (?s)…\z twins and the
+    // byte-scan fast expressions (RE2's '$' is already end-of-text)
+    val stripped = s"regexp_replace($p, '(?s)(.)[/\\\\][^/\\\\]+$$', '\\1')"
     s"(CASE WHEN $stripped LIKE '%:' THEN $stripped || '\\' ELSE $stripped END)"
   }
 
   /** DuckDB `basename(p)` twin. */
   def basenameSql(p: String): String =
-    s"regexp_replace($p, '^.+[/\\\\]', '')"
+    s"regexp_replace($p, '(?s)^.+[/\\\\]', '')"
 
   /** DuckDB `extension(p)` twin (dotless name returned whole, lower-cased). */
   def extensionSql(p: String): String =
-    s"lower(regexp_replace($p, '^.+\\.', ''))"
+    s"lower(regexp_replace($p, '(?s)^.+\\.', ''))"
 
   private val hashKey =
     "o_orderpriority || '#' || CAST(CAST(floor(o_totalprice / 10000) AS INT) AS VARCHAR)"

@@ -83,4 +83,27 @@ class BucketedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketFiles(3) !== before(3))
     assert(bucketFiles(4) !== before(4))
   }
+
+  test("mergeRound physically clears a bucket the merge emptied") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_bucketed_empty").toString
+    val state = new BucketedState(spark, root, "file", numBuckets = 4)
+    val seed = (1 to 20).map { i =>
+      (i.toLong, s"f$i.txt", (i % 4).toLong, BigDecimal(1), t1, t1, t1)
+    }.toDF("id", "name", "dir_id", "size", "ctime", "mtime", "atime")
+      .withColumn("size", col("size").cast("decimal(18,6)"))
+      .withColumn("inserted_on", lit(t1)).withColumn("updated_on", lit(t1))
+    state.writeAll(seed, "dir_id")
+
+    // staged batch names dir 2 (bucket 2); the merge deletes every row of
+    // that slice — dynamic overwrite writes no partition for it, so the
+    // expected-bucket cleanup must remove the stale directory
+    val staged = Seq(("whatever.txt", 2L)).toDF("name", "dir_id")
+    state.mergeRound(staged, "dir_id", (cur, _) => cur.limit(0), Schemas.file)
+
+    assert(!Files.exists(Paths.get(root, "file", "bucket=2")))
+    assert(state.read(Schemas.file).filter(col("dir_id") === 2L).count() === 0)
+    assert(state.read(Schemas.file).count() === 15) // other buckets intact
+  }
 }

@@ -27,7 +27,10 @@ class PathExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "/home/user/file.txt", "/home", "/", "", "a", "a/b", "a\\b",
     "/a/b/", "//x", "\\\\server\\share\\f.txt", "/home/ünïcôde/фаил.txt",
     "relative/path.txt", "noslash.txt", "/a//b", "x:/y", ":",
-    "trailing/sep/", "/.hidden", "..", "/..")
+    "trailing/sep/", "/.hidden", "..", "/..",
+    // newlines are legal in POSIX names: the (?s)…\z regex twins must keep
+    // agreeing with the byte scan across and around them
+    "a\nb/c", "/dir/na\nme.txt", "weird\n/x\ny/z", "/a/b\n", "\n", "a/\nb")
 
   test("native expressions equal regex twins on the full input matrix") {
     val s = spark
