@@ -33,12 +33,17 @@ object StreamingIngest {
   val stageSchema: StructType = org.apache.spark.sql.Encoders
     .product[graft.sources.FsScrape.ScrapeRecord].schema
 
-  /** Start the merge stream over a staging directory. Each micro-batch:
-    * M2 dir upsert → M1 file upsert keyed through the refreshed dir ids.
+  /** Start the merge stream over a staging directory. Each micro-batch
+    * runs the full crawl-round state machine — M2 dir upsert, J11
+    * vanished-subdir closure, J10 vanished-file archival, M1 file upsert,
+    * J12 hash scheduling (and, with `hashInline`, the M4 hash merge) — so
+    * the streaming front end reaches the same fixpoint state as
+    * `CrawlPipeline.crawlRound` over the same scrape drops.
     * `asOfOverride` pins batch timestamps for deterministic tests. */
   def start(state: StateStore, stageDir: String, checkpointDir: String,
             triggerMs: Long = 5000, maxFilesPerTrigger: Int = 100,
-            asOfOverride: Option[Timestamp] = None): StreamingQuery = {
+            asOfOverride: Option[Timestamp] = None,
+            hashInline: Boolean = false): StreamingQuery = {
     val spark = state.spark
     val stream = spark.readStream
       .schema(stageSchema)
@@ -51,21 +56,66 @@ object StreamingIngest {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(state, batch,
-          asOfOverride.getOrElse(new Timestamp(System.currentTimeMillis())))
+          asOfOverride.getOrElse(new Timestamp(System.currentTimeMillis())),
+          hashInline = hashInline)
       }
       .start()
   }
 
-  /** One micro-batch merge round (shared with tests; pure batch logic). */
-  def mergeBatch(state: StateStore, batch: DataFrame, asOf: Timestamp): Unit = {
+  /** One micro-batch merge round (shared with tests; pure batch logic).
+    *
+    * Removal semantics mirror `CrawlPipeline.crawlRound`: a batch only
+    * asserts completeness for directories whose `self` record it carries —
+    * a drop without self records upserts files without triggering any
+    * removal. Intermediate results are pinned (`localCheckpoint`) before
+    * state swaps, never collected. */
+  def mergeBatch(state: StateStore, batch: DataFrame, asOf: Timestamp,
+                 deleteMissing: Boolean = true, hashInline: Boolean = false): Unit = {
     if (batch.isEmpty) return
-    val dirs = batch.filter(col("kind") === "dir").select(
-        col("fullPath").as("dir_path"), col("ctime"), col("mtime"))
-      .unionByName(batch.filter(col("kind") === "self").select(
-        col("fullPath").as("dir_path"), col("ctime"), col("mtime")))
-      .dropDuplicates("dir_path")
+    val ts = lit(asOf)
+    val selfDirs = batch.filter(col("kind") === "self").select(
+      col("fullPath").as("dir_path"), col("ctime"), col("mtime"))
+    val subDirs = batch.filter(col("kind") === "dir").select(
+      col("fullPath").as("dir_path"), col("ctime"), col("mtime"))
+    val dirStage = subDirs.unionByName(selfDirs).dropDuplicates("dir_path")
     state.write("directory",
-      MergeOps.upsertDirs(state.read("directory"), dirs, asOf))
+      MergeOps.upsertDirs(state.read("directory"), dirStage, asOf))
+    val directory = state.read("directory")
+
+    // J11: recorded subdirs of a crawled (self-carrying) dir absent from
+    // its scrape vanished — delete their whole closure (crawled roots
+    // themselves never self-delete; same rule as crawlRound)
+    if (deleteMissing) {
+      val removedRoots = directory
+        .withColumn("parent_path",
+          graft.functions.PathExpressions.basepathFast(col("dir_path")))
+        .join(selfDirs.select(col("dir_path").as("parent_path")), Seq("parent_path"), "left_semi")
+        .filter(col("parent_path") =!= col("dir_path"))
+        .join(subDirs.select("dir_path"), Seq("dir_path"), "left_anti")
+        .join(selfDirs.select("dir_path"), Seq("dir_path"), "left_anti")
+        .select(col("dir_path").as("root_path")).localCheckpoint(true)
+      if (!removedRoots.isEmpty) {
+        val (_, _, dirArchive, fileArchive) = MergeOps.deleteDirectoriesDf(
+          directory, state.read("file"), removedRoots, deleteSubdirs = true, asOf)
+        val pinnedDirs = dirArchive.localCheckpoint(true)
+        val pinnedFiles = fileArchive.localCheckpoint(true)
+        val doomedIds = pinnedFiles.select(col("id").as("file_id"))
+        state.append("directory_archive", pinnedDirs)
+        state.append("file_archive", pinnedFiles)
+        state.write("hash",
+          state.read("hash").join(doomedIds, Seq("file_id"), "left_anti"))
+        state.write("hash_control",
+          state.read("hash_control").join(doomedIds, Seq("file_id"), "left_anti"))
+        state.write("directory_control",
+          state.read("directory_control")
+            .join(pinnedDirs.select("dir_path"), Seq("dir_path"), "left_anti"))
+        state.write("file",
+          state.read("file").join(doomedIds, col("id") === col("file_id"), "left_anti"))
+        state.write("directory",
+          state.read("directory").join(pinnedDirs.select(col("id").as("dd_id")),
+            col("id") === col("dd_id"), "left_anti"))
+      }
+    }
 
     val dirIds = state.read("directory").select(col("id").as("dir_id"), col("dir_path"))
     val files = batch.filter(col("kind") === "file").select(
@@ -73,7 +123,56 @@ object StreamingIngest {
         col("sizeMb").cast(DecimalType(18, 6)).as("size"),
         col("ctime"), col("mtime"), col("atime"))
       .join(dirIds, Seq("dir_path")).drop("dir_path")
+    val crawledDirIds = selfDirs.select("dir_path").join(dirIds, Seq("dir_path"))
+      .select("dir_id")
+
+    // J10: files under crawled dirs absent from the snapshot → archive +
+    // hash cleanup + drop
+    val vanished = if (deleteMissing)
+      MergeOps.missingFilesIn(state.read("file"), files, crawledDirIds)
+        .localCheckpoint(true)
+    else state.read("file").limit(0)
+    val anyVanished = deleteMissing && !vanished.isEmpty
+    if (anyVanished) {
+      state.append("file_archive", vanished.select(
+        col("id"), col("name"), col("dir_id"), col("size"),
+        col("ctime"), col("mtime"), col("atime"),
+        col("inserted_on").as("original_inserted_on"),
+        col("updated_on").as("original_updated_on"), ts.as("deleted_on")))
+      val vanishedIds = vanished.select(col("id").as("file_id"))
+      state.write("hash",
+        state.read("hash").join(vanishedIds, Seq("file_id"), "left_anti"))
+      state.write("hash_control",
+        state.read("hash_control").join(vanishedIds, Seq("file_id"), "left_anti"))
+    }
+
+    // M1 upsert (change-only updates) — then drop vanished rows
+    val upserted = MergeOps.upsertFiles(state.read("file"), files, asOf)
     state.write("file",
-      MergeOps.upsertFiles(state.read("file"), files, asOf))
+      if (anyVanished) upserted.join(vanished.select(col("id")), Seq("id"), "left_anti")
+      else upserted)
+
+    // J12 hash scheduling: staged files with no digest yet, or changed
+    // this batch (their updated_on was stamped asOf by the upsert)
+    val fileAfter = state.read("file")
+    val stagedKeys = files.select("dir_id", "name").distinct()
+    val stagedCurrent = fileAfter.join(stagedKeys, Seq("dir_id", "name"), "left_semi")
+    val unhashed = stagedCurrent.join(state.read("hash").select(col("file_id")),
+      col("id") === col("file_id"), "left_anti")
+    val changedNow = stagedCurrent.filter(col("updated_on") === ts)
+    val needHash = unhashed.unionByName(changedNow).dropDuplicates("id")
+      .select(col("id").as("file_id"), col("mtime"),
+        col("size").as("file_size"),
+        lit(null).cast("timestamp").as("process_assigned_on"),
+        lit(false).as("file_missing"), ts.as("inserted_on"))
+      .join(state.read("hash_control").select("file_id"), Seq("file_id"), "left_anti")
+    state.write("hash_control", state.read("hash_control").unionByName(needHash))
+
+    // M4: drain the queue inline when requested (the batch pipeline runs
+    // this as its own round; a streaming deployment can also keep it as a
+    // separate consumer — both read the same hash_control queue)
+    if (hashInline) {
+      while (graft.server.CrawlPipeline.hashRound(state, asOf) > 0) ()
+    }
   }
 }

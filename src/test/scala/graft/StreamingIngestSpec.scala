@@ -71,4 +71,74 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a.head.getAs[Timestamp]("updated_on") === t1)
     } finally q.stop()
   }
+
+  test("stream reaches state parity with the batch pipeline — hashes and removals included") {
+    val s = spark
+    import s.implicits._
+    val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val t3 = Timestamp.valueOf("2024-01-03 00:00:00")
+    val fx = Files.createTempDirectory("graft_parity_fx")
+    val sub = Files.createDirectories(fx.resolve("sub"))
+    Files.write(fx.resolve("x.bin"), "xx-content".getBytes)
+    Files.write(sub.resolve("y.bin"), "yy-content".getBytes)
+    Files.write(sub.resolve("z.bin"), "zz-content".getBytes)
+
+    val batchState = new StateStore(spark, Files.createTempDirectory("graft_parity_b").toString)
+    val streamState = new StateStore(spark, Files.createTempDirectory("graft_parity_s").toString)
+    val stageDir = Files.createTempDirectory("graft_parity_stage").toString
+    val ckpt = Files.createTempDirectory("graft_parity_ckpt").toString
+
+    import graft.server.CrawlPipeline
+    import graft.sources.FsScrape
+
+    def dropScrape(paths: String*): Unit =
+      FsScrape.scrapeBatch(spark, paths.toDF("dir_path")).toDF()
+        .coalesce(1).write.mode("append").parquet(stageDir)
+    def runStream(asOf: Timestamp): Unit = {
+      val q = StreamingIngest.start(streamState, stageDir, ckpt,
+        triggerMs = 200, asOfOverride = Some(asOf), hashInline = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // compare the timestamp-insensitive projection of the whole state
+    def snapshot(st: StateStore): (Set[String], Set[(String, Long)], Set[(String, String)], Set[String], Set[String]) = (
+      st.read("directory").select("dir_path").collect().map(_.getString(0)).toSet,
+      st.read("file").select("name", "dir_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet,
+      st.read("file").select(col("id").as("f_id"), col("name"))
+        .join(st.read("hash"), col("f_id") === col("file_id"))
+        .select("name", "md5_hash").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet,
+      st.read("file_archive").select("name").collect().map(_.getString(0)).toSet,
+      st.read("directory_archive").select("dir_path").collect().map(_.getString(0)).toSet)
+
+    // phase 1: full catalog + hashes
+    dropScrape(fx.toString)
+    dropScrape(sub.toString)
+    CrawlPipeline.seedDrives(batchState, Seq(fx.toString), t1)
+    CrawlPipeline.runToFixpoint(batchState, t1)
+    CrawlPipeline.hashRound(batchState, t1)
+    runStream(t1)
+    assert(snapshot(streamState) === snapshot(batchState))
+    assert(snapshot(streamState)._3.size === 3) // all three files hashed
+
+    // phase 2: one file vanishes → J10 removal + archive on both sides
+    Files.delete(sub.resolve("y.bin"))
+    dropScrape(sub.toString)
+    CrawlPipeline.runToFixpoint(batchState, t2)
+    runStream(t2)
+    assert(snapshot(streamState) === snapshot(batchState))
+    assert(snapshot(streamState)._4 === Set("y.bin"))
+
+    // phase 3: the whole subdir vanishes → J11 closure on both sides
+    Files.delete(sub.resolve("z.bin"))
+    Files.delete(sub)
+    dropScrape(fx.toString)
+    CrawlPipeline.runToFixpoint(batchState, t3)
+    runStream(t3)
+    assert(snapshot(streamState) === snapshot(batchState))
+    assert(snapshot(streamState)._5 === Set(sub.toString))
+    assert(snapshot(streamState)._2 === Set(("x.bin",
+      streamState.read("directory").filter(col("dir_path") === fx.toString)
+        .head().getLong(0))))
+  }
 }
