@@ -382,6 +382,9 @@ object SparkEntry {
       DedupOps.jaccardFor(docs, cand)
     }),
 
+    "x19_training_selection" -> ((s, dir) =>
+      TextOps.trainingSelection(Tables.documents(s, dir), "en", 0.5)),
+
     "x15_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
 
@@ -705,6 +708,8 @@ object SparkEntry {
     },
     "x17_ngram_jaccard" -> DedupOps.jaccardForSql(
       "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents"),
+
+    "x19_training_selection" -> TextOps.trainingSelectionSql("en", 0.5),
 
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)

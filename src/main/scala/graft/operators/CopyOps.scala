@@ -104,6 +104,53 @@ object CopyOps {
     }
   }
 
+  /** `copy_directory` queue expansion (`FileDbDAL/FileHandler.py:62-82` —
+    * the reference installs the table but its server never drains it; the
+    * intended dataflow is one directory request → per-file copy work).
+    * Each request resolves to a root (by `dir_path`, or `dir_id` through
+    * the catalog), fans out over the root's descendant closure (broadcast
+    * prefix join — requests are few, the catalog is big), and emits one
+    * copy-file queue row per file with the relative layout preserved
+    * under `new_parent_dir/new_dir_name` (name defaults to the root's
+    * basename, the reference's blank-name rule).
+    *
+    * Queue columns: id, dir_id (nullable), dir_path (nullable),
+    * new_parent_dir, new_dir_name (nullable), move_dir, overwrite,
+    * inserted_on. Output matches [[filesToCopy]]'s input contract. */
+  def expandDirectoryCopies(queue: DataFrame, directory: DataFrame,
+                            file: DataFrame): DataFrame = {
+    val byId = directory.select(col("id").as("r_id"), col("dir_path").as("r_path"))
+    val requests = queue
+      .join(broadcast(byId), col("dir_id") === col("r_id"), "left")
+      .select(col("id").as("req_id"),
+        coalesce(col("dir_path"), col("r_path")).as("root_path"),
+        col("new_parent_dir"), col("new_dir_name"),
+        col("move_dir"), col("overwrite"), col("inserted_on"))
+      .filter(col("root_path").isNotNull)
+    val closure = directory
+      .select(col("id").as("d_id"), col("dir_path").as("d_path"))
+      .join(broadcast(requests),
+        col("d_path") === col("root_path") ||
+          col("d_path").startsWith(concat(col("root_path"), lit("/"))) ||
+          col("d_path").startsWith(concat(col("root_path"), lit("\\"))))
+    val destRoot = PathFunctions.pathJoin(col("new_parent_dir"),
+      coalesce(col("new_dir_name"), PathFunctions.basename(col("root_path"))))
+    file
+      .join(closure, col("dir_id") === col("d_id"))
+      .select(
+        // deterministic work ids: keyed by (request, source file)
+        pmod(xxhash64(col("req_id"), col("id")), lit(Long.MaxValue)).as("id"),
+        PathFunctions.pathJoin(col("d_path"), col("name")).as("source_path"),
+        // dest dir = mapped root + the source dir's path relative to it
+        concat(destRoot,
+          col("d_path").substr(length(col("root_path")) + 1, lit(Int.MaxValue)))
+          .as("dest_dir"),
+        lit(null).cast("string").as("new_file_name"),
+        col("overwrite"),
+        col("move_dir").as("move_file"),
+        col("inserted_on"))
+  }
+
   /** T4 removal-queue drain: FIFO `ORDER BY inserted_on LIMIT n` batch
     * (`DirectoryCrawl.py:1110-1190`); returns (batch, remainingQueue). */
   def drainRemovalQueue(queue: DataFrame, limit: Int): (DataFrame, DataFrame) = {

@@ -47,24 +47,28 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "est", "un"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3", "you3"))
 
+  /** Per-language function-word score of a text column. */
+  def langScore(text: Column, profile: Seq[String]): Column =
+    size(filter(words(text), t => t.isin(profile.map(lit(_)): _*)))
+
+  /** Winning language as a single Column (ties alphabetical, all-zero →
+    * "und") — reusable inside composed pipelines without a join. */
+  def detectedLang(text: Column): Column = {
+    val scores = langProfiles.map { case (lang, p) => lang -> langScore(text, p) }
+    val mx = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), el) =>
+      when(s === mx, lit(lang)).otherwise(el)
+    }
+    when(mx === 0, "und").otherwise(pick)
+  }
+
   /** N-gram/stopword-heuristic language ID: per-language score = count of
     * tokens in that language's function-word profile; winner = highest
     * score, ties broken alphabetically; all-zero → "und". */
-  def langId(df: DataFrame, text: Column = col("text")): DataFrame = {
-    val w = words(text)
-    val scored = langProfiles.foldLeft(df.select(col("doc_id"), w.as("ws"))) {
-      case (acc, (lang, profile)) =>
-        acc.withColumn(s"s_$lang",
-          size(filter(col("ws"), t => t.isin(profile.map(lit(_)): _*))))
-    }
-    val mx = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
-    val pick = langProfiles.foldRight(lit("und")) { case ((lang, _), el) =>
-      when(col(s"s_$lang") === mx, lit(lang)).otherwise(el)
-    }
-    scored.select(
-      (Seq(col("doc_id"), when(mx === 0, "und").otherwise(pick).as("detected_lang")) ++
-        langProfiles.map { case (l, _) => col(s"s_$l") }): _*)
-  }
+  def langId(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.select(
+      (Seq(col("doc_id"), detectedLang(text).as("detected_lang")) ++
+        langProfiles.map { case (l, p) => langScore(text, p).as(s"s_$l") }): _*)
 
   def langIdSql: String = {
     val scores = langProfiles.map { case (lang, profile) =>
@@ -89,9 +93,22 @@ object TextOps {
   // English stopwords used by the quality heuristic (subset of public lists)
   val qualityStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "is", "in")
 
+  /** The combined [0,1] quality score as a single Column — reusable in
+    * composed pipelines. All arithmetic is per-row IEEE double →
+    * bit-identical across engines. */
+  def qualityScoreCol(text: Column): Column = {
+    val w = words(text)
+    val nWords = size(w).cast("double")
+    val punctRatio = regexp_count(text, lit("[^a-z0-9 ]")).cast("double") /
+      length(text).cast("double")
+    val stopRatio = size(filter(w,
+      t => t.isin(qualityStopwords.map(lit(_)): _*))).cast("double") / nWords
+    least(nWords / 100d, lit(1d)) * 0.4 +
+      (lit(1d) - punctRatio) * 0.3 + least(stopRatio * 5d, lit(1d)) * 0.3
+  }
+
   /** Quality scoring: document length, punctuation ratio, stopword ratio,
-    * mean word length — combined into a [0,1] score. All arithmetic is
-    * per-row IEEE double → bit-identical across engines. */
+    * mean word length — combined into a [0,1] score. */
   def qualityScore(df: DataFrame, text: Column = col("text")): DataFrame = {
     val w = words(text)
     val nWords = size(w).cast("double")
@@ -99,13 +116,9 @@ object TextOps {
     val punct = regexp_count(text, lit("[^a-z0-9 ]")).cast("double")
     val stops = size(filter(w, t => t.isin(qualityStopwords.map(lit(_)): _*))).cast("double")
     val avgWordLen = length(regexp_replace(text, " ", "")).cast("double") / nWords
-    val punctRatio = punct / nChars
-    val stopRatio = stops / nWords
-    val score = least(nWords / 100d, lit(1d)) * 0.4 +
-      (lit(1d) - punctRatio) * 0.3 + least(stopRatio * 5d, lit(1d)) * 0.3
     df.select(col("doc_id"), nWords.as("n_words"), avgWordLen.as("avg_word_len"),
-      punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
-      score.as("quality_score"))
+      (punct / nChars).as("punct_ratio"), (stops / nWords).as("stopword_ratio"),
+      qualityScoreCol(text).as("quality_score"))
   }
 
   def qualityScoreSql: String = {
@@ -123,6 +136,63 @@ object TextOps {
        |    + least(CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ($stopList))) AS DOUBLE)
        |            / len(string_split(trim(text), ' ')) * 5.0, 1.0) * 0.3 AS quality_score
        |FROM documents""".stripMargin
+  }
+
+  /** The composed curation pipeline a training-data job runs end-to-end:
+    * language filter → quality filter → exact dedup (canonical
+    * representative = lowest doc_id per text hash) → token accounting.
+    *
+    * One scan, one shuffle: every feature is a per-row Column over the
+    * same projection (no self-joins), the filters run before the dedup
+    * groupBy (cheapest order — narrow work first, shuffle over survivors
+    * only), and the groupBy partial-aggregates map-side. Rows sharing a
+    * text_hash share ALL feature values (pure functions of text), so
+    * `min` picks the canonical row without a window function. */
+  def trainingSelection(df: DataFrame, lang: String = "en",
+                        minQuality: Double = 0.5): DataFrame =
+    df.select(col("doc_id"),
+        detectedLang(col("text")).as("detected_lang"),
+        qualityScoreCol(col("text")).as("quality_score"),
+        size(words(col("text"))).as("ws_tokens"),
+        HashFunctions.hash60(col("text")).as("text_hash"))
+      .filter(col("detected_lang") === lang && col("quality_score") >= minQuality)
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("detected_lang")).as("detected_lang"),
+        min(col("quality_score")).as("quality_score"),
+        min(col("ws_tokens")).as("ws_tokens"))
+      .select("doc_id", "detected_lang", "quality_score", "ws_tokens", "text_hash")
+
+  def trainingSelectionSql(lang: String = "en", minQuality: Double = 0.5): String = {
+    val scores = langProfiles.map { case (l, profile) =>
+      val inList = profile.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ($inList))) AS INT) AS s_$l"
+    }.mkString(",\n    ")
+    val mx = "greatest(" + langProfiles.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val pick = langProfiles.map { case (l, _) => s"WHEN s_$l = $mx THEN '$l'" }.mkString(" ")
+    val stopList = qualityStopwords.map(w => s"'$w'").mkString(", ")
+    val quality =
+      s"""least(len(string_split(trim(text), ' ')) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ($stopList))) AS DOUBLE)
+         |              / len(string_split(trim(text), ' ')) * 5.0, 1.0) * 0.3""".stripMargin
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    $scores
+       |  FROM documents
+       |), enriched AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $mx = 0 THEN 'und' $pick ELSE 'und' END AS detected_lang,
+       |    $quality AS quality_score,
+       |    CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+       |    ${HashFunctions.hash60Sql("text")} AS text_hash
+       |  FROM scored
+       |)
+       |SELECT min(doc_id) AS doc_id, min(detected_lang) AS detected_lang,
+       |  min(quality_score) AS quality_score, min(ws_tokens) AS ws_tokens, text_hash
+       |FROM enriched
+       |WHERE detected_lang = '$lang' AND quality_score >= $minQuality
+       |GROUP BY text_hash""".stripMargin
   }
 
   /** Document fingerprints: a bag-of-words canonical hash (order-

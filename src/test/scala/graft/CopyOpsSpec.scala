@@ -80,6 +80,42 @@ class CopyOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res(s"$dir/nope.txt") === 1)
   }
 
+  test("copy_directory request expands to per-file work over the closure, then executes") {
+    val s = spark
+    import s.implicits._
+    // real tree: cdir/{top.txt, nest/{deep.txt}}; catalog mirrors it
+    val cdir = Files.createTempDirectory("graft_cdir")
+    val nest = Files.createDirectories(cdir.resolve("nest"))
+    Files.write(cdir.resolve("top.txt"), "top".getBytes)
+    Files.write(nest.resolve("deep.txt"), "deep".getBytes)
+    val destRoot = Files.createTempDirectory("graft_cdest")
+
+    val directory = Seq((1L, cdir.toString), (2L, nest.toString), (3L, "/elsewhere"))
+      .toDF("id", "dir_path")
+    val file = Seq((10L, "top.txt", 1L), (11L, "deep.txt", 2L), (12L, "other.txt", 3L))
+      .toDF("id", "name", "dir_id")
+    // one request keyed by dir_id (resolution through the catalog), with a
+    // rename; move_dir=false
+    val queue = Seq((7L, Some(1L), null.asInstanceOf[String],
+        destRoot.toString, "copied", false, "N", t1))
+      .toDF("id", "dir_id", "dir_path", "new_parent_dir", "new_dir_name",
+        "move_dir", "overwrite", "inserted_on")
+
+    val expanded = CopyOps.expandDirectoryCopies(queue, directory, file)
+    val byName = expanded.collect()
+      .map(r => r.getAs[String]("source_path") -> r.getAs[String]("dest_dir")).toMap
+    assert(byName.size === 2) // /elsewhere excluded
+    assert(byName(s"$cdir/top.txt") === s"$destRoot/copied")
+    assert(byName(s"$cdir/nest/deep.txt") === s"$destRoot/copied/nest")
+
+    // end-to-end through the file-copy machinery
+    val res = CopyOps.executeCopies(spark,
+      CopyOps.filesToCopy(expanded, 100), t1).collect()
+    assert(res.forall(_.getAs[Int]("status") === 0))
+    assert(Files.readAllLines(destRoot.resolve("copied/top.txt")).get(0) === "top")
+    assert(Files.readAllLines(destRoot.resolve("copied/nest/deep.txt")).get(0) === "deep")
+  }
+
   test("T4 drain takes FIFO batch and leaves the rest") {
     val s = spark
     import s.implicits._
