@@ -385,6 +385,9 @@ object SparkEntry {
     "x19_training_selection" -> ((s, dir) =>
       TextOps.trainingSelection(Tables.documents(s, dir), "en", 0.5)),
 
+    "x20_quantize_embeddings" -> ((s, dir) =>
+      SimilarityOps.quantizeEmbeddings(Tables.embeddings(s, dir))),
+
     "x15_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
 
@@ -710,6 +713,7 @@ object SparkEntry {
       "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents"),
 
     "x19_training_selection" -> TextOps.trainingSelectionSql("en", 0.5),
+    "x20_quantize_embeddings" -> SimilarityOps.quantizeEmbeddingsSql,
 
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)

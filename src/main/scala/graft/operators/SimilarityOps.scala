@@ -207,6 +207,30 @@ object SimilarityOps {
        |FROM scored
        |QUALIFY rank <= $k""".stripMargin
 
+  /** Int8 scalar quantization of the embedding column — the storage/
+    * bandwidth step of a large-scale ANN pipeline (code + per-vector norm
+    * reconstruct the vector to ±norm/254 per element). Per-row narrow
+    * projection, no shuffle. Quantizer is `floor(x/norm·127 + 0.5)`
+    * (floor, not round — IEEE-identical across engines, no rounding-mode
+    * hazards); zero vectors quantize to zero codes. */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    val nrm = sqrt(dot(e, e))
+    val q = transform(e, x =>
+      when(nrm === 0d, lit(0))
+        .otherwise(floor(x / nrm * 127d + 0.5d).cast("int")))
+    emb.select(col("vec_id"), nrm.as("norm"), q.as("qcode"))
+  }
+
+  def quantizeEmbeddingsSql: String = {
+    val e = "CAST(embedding AS DOUBLE[])"
+    val nrm = s"sqrt(${dotSql("embedding", "embedding")})"
+    s"""SELECT vec_id, $nrm AS norm,
+       |  list_transform($e, x -> CASE WHEN $nrm = 0 THEN 0
+       |    ELSE CAST(floor(x / $nrm * 127 + 0.5) AS INT) END) AS qcode
+       |FROM embeddings""".stripMargin
+  }
+
   // ---- random-hyperplane LSH (multi-table) --------------------------------
 
   val lshTables = 4

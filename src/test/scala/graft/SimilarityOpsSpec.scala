@@ -55,6 +55,22 @@ class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tiled.forall { case (a, b, _) => a < b })
   }
 
+  test("int8 quantization reconstructs within the per-element bound") {
+    val rows = SimilarityOps.quantizeEmbeddings(emb)
+      .join(emb.withColumnRenamed("embedding", "orig"), "vec_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val norm = r.getAs[Double]("norm")
+      val q = r.getSeq[Int](r.fieldIndex("qcode"))
+      val orig = r.getSeq[Float](r.fieldIndex("orig")).map(_.toDouble)
+      q.zip(orig).foreach { case (code, x) =>
+        assert(math.abs(code * norm / 127d - x) <= norm / 127d + 1e-12)
+        assert(math.abs(code) <= 128)
+      }
+    }
+  }
+
   test("tiled plan contains no driver collect (it is a shuffle exchange)") {
     val plan = SimilarityOps.cosineDupPairsTiled(emb, 0.2)
       .queryExecution.executedPlan.toString
