@@ -22,19 +22,26 @@ import org.apache.spark.sql.types.DecimalType
 object EventStreams {
 
   /** Tumbling-window aggregate: per (hour, event_type) — count, distinct
-    * users, exact decimal value sum. In streaming mode add
-    * `.withWatermark("ts", "1 hour")` upstream; the aggregation logic is
-    * identical. */
+    * users, exact decimal value sum. Deliberately a TWO-PHASE aggregation
+    * (per-user partial, then a chained window re-aggregation through
+    * `window_time`): batch results are identical to a `countDistinct`
+    * formulation — and it's exactly the shape Catalyst expands distinct
+    * aggregates into, so it costs the same — but unlike `countDistinct`
+    * it is legal in Structured Streaming (chained windowed aggregations,
+    * Spark ≥3.4). In streaming mode add `.withWatermark("ts", "1 hour")`
+    * upstream; the transform is reused unchanged (EventStreamsSpec). */
   def hourlyByType(events: DataFrame): DataFrame =
     events
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        // DECIMAL inside the SUM (order-independent), DOUBLE projected out
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        // DECIMAL inside the SUMs (order-independent), DOUBLE projected out
         // (engine-portable hashing; exact for these magnitudes)
-        sum(col("value").cast(DecimalType(18, 6)))
-          .cast("double").as("sum_value"))
-      .select(col("w.start").as("ts_hour"), col("event_type"),
+        sum(col("value").cast(DecimalType(18, 6))).as("v"))
+      .groupBy(window(window_time(col("w")), "1 hour").as("w2"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(col("v")).cast("double").as("sum_value"))
+      .select(col("w2.start").as("ts_hour"), col("event_type"),
         col("n_events"), col("n_users"), col("sum_value"))
 
   def hourlyByTypeSql: String =

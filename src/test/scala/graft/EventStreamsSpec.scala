@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+final case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+/** The windowed aggregation must run UNCHANGED as a watermarked
+  * Structured Streaming query (SURVEY §2.9: same transform, batch and
+  * stream) and produce the batch answer for every window the watermark
+  * has closed. */
+class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Ev(ts("2024-01-01 10:05:00"), "click", 1L, 1.5),
+    Ev(ts("2024-01-01 10:20:00"), "click", 2L, 2.5),
+    Ev(ts("2024-01-01 10:40:00"), "view", 1L, 0.5),
+    Ev(ts("2024-01-01 11:10:00"), "click", 1L, 3.0),
+    Ev(ts("2024-01-01 11:30:00"), "view", 3L, 1.0),
+    // late-but-within-watermark straggler for the 11:00 window
+    Ev(ts("2024-01-01 11:15:00"), "click", 2L, 2.0),
+    // watermark pusher: closes every earlier hour
+    Ev(ts("2024-01-01 14:00:00"), "tick", 9L, 0.0))
+
+  test("hourlyByType streams with a watermark and matches the batch answer on closed windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val streamed = EventStreams.hourlyByType(
+      input.toDF().withWatermark("ts", "1 hour"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("hourly_out").outputMode("append").start()
+    try {
+      input.addData(events.take(5): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(5): _*)
+      query.processAllAvailable()
+      input.addData(Ev(ts("2024-01-01 17:00:00"), "tick", 9L, 0.0))
+      query.processAllAvailable()
+
+      val batch = EventStreams.hourlyByType(events.toDF())
+        .filter(col("ts_hour") < ts("2024-01-01 14:00:00")) // closed windows only
+        .collect().map(_.toSeq).toSet
+      val stream = spark.table("hourly_out")
+        .filter(col("ts_hour") < ts("2024-01-01 14:00:00"))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(stream === batch)
+    } finally query.stop()
+  }
+}
