@@ -38,15 +38,25 @@ object SparkEntry {
                        fileCategory: DataFrame, directoryControl: DataFrame,
                        hashControl: DataFrame, vwLl: DataFrame, vwFileDetail: DataFrame)
 
-  def cat(s: SparkSession, dir: String): Cat = {
-    val d = FsCatalog.directory(s, dir)
-    val f = FsCatalog.file(s, dir)
-    val h = FsCatalog.hash(s, dir)
-    val fc = FsCatalog.fileCategory(s)
-    Cat(d, f, h, fc,
-      FsCatalog.directoryControl(s, dir), FsCatalog.hashControl(s, dir),
-      Views.vwLl(d, f, h), Views.vwFileDetail(d, f, h, fc))
-  }
+  // The reference keeps these tables MATERIALIZED in Postgres; deriving
+  // them from the TPC-H parquet on every query would charge each query the
+  // catalog-build cost. The faithful analog: derive once per (session,
+  // sfDir) and cache the base tables. The views stay computed per query —
+  // they are views in the reference too.
+  private val catCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Cat]
+
+  def cat(s: SparkSession, dir: String): Cat =
+    catCache.getOrElseUpdate((s, dir), {
+      val d = FsCatalog.directory(s, dir).cache()
+      val f = FsCatalog.file(s, dir).cache()
+      val h = FsCatalog.hash(s, dir).cache()
+      val fc = FsCatalog.fileCategory(s)
+      Cat(d, f, h, fc,
+        FsCatalog.directoryControl(s, dir).cache(),
+        FsCatalog.hashControl(s, dir).cache(),
+        Views.vwLl(d, f, h), Views.vwFileDetail(d, f, h, fc))
+    })
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: duplicates of
     * the first hashed file's path (readme.md:24-36 semantics, SURVEY J7). */
