@@ -398,6 +398,17 @@ object SparkEntry {
     "x20_quantize_embeddings" -> ((s, dir) =>
       SimilarityOps.quantizeEmbeddings(Tables.embeddings(s, dir))),
 
+    "x22_ann_quantized" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), 8)
+    }),
+
+    // salted two-stage aggregation equals the plain GROUP BY — the oracle
+    // proves the skew-mitigation path is semantics-preserving
+    "x21_salted_counts" -> ((s, dir) =>
+      graft.operators.SkewOps.saltedCount(
+        Tables.events(s, dir), Seq("event_type"), "user_id", buckets = 16)),
+
     "x15_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
 
@@ -724,6 +735,9 @@ object SparkEntry {
 
     "x19_training_selection" -> TextOps.trainingSelectionSql("en", 0.5),
     "x20_quantize_embeddings" -> SimilarityOps.quantizeEmbeddingsSql,
+    "x21_salted_counts" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "x22_ann_quantized" -> SimilarityOps.quantizedTopKSql("vec_id % 100 = 0", 8),
 
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)

@@ -231,6 +231,43 @@ object SimilarityOps {
        |FROM embeddings""".stripMargin
   }
 
+  /** ANN top-K over the int8 codes of [[quantizeEmbeddings]]: since codes
+    * are unit-direction scaled to 127, the norms cancel and
+    * `approx_cos = Σ qa·qb / 127²` — an integer dot product (exact in
+    * double: products ≤ 127², sums ≪ 2^53). 16× less data moves than the
+    * float corpus; candidates can then be re-ranked exactly. */
+  def quantizedTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val codes = quantizeEmbeddings(emb).select(col("vec_id"), col("qcode"))
+    val q = quantizeEmbeddings(queries)
+      .select(col("vec_id").as("query_id"), col("qcode").as("qq"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (aggregate(zip_with(col("qq"), col("qcode"),
+          (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x) / lit(127d * 127d)).as("approx_cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("approx_cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  def quantizedTopKSql(queryFilter: String, k: Int): String =
+    s"""WITH codes AS (
+       |  ${quantizeEmbeddingsSql.replace("\n", "\n  ")}
+       |), q AS (
+       |  SELECT vec_id AS query_id, qcode AS qq FROM codes WHERE $queryFilter
+       |), scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(CAST(q.qq AS DOUBLE[]), CAST(c.qcode AS DOUBLE[])) / 16129.0 AS approx_cos
+       |  FROM codes c JOIN q ON c.vec_id <> q.query_id
+       |)
+       |SELECT query_id, neighbor_id, approx_cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY approx_cos DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+
   // ---- random-hyperplane LSH (multi-table) --------------------------------
 
   val lshTables = 4

@@ -71,6 +71,21 @@ class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantized top-K recalls most exact neighbors") {
+    import org.apache.spark.sql.functions.col
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val k = 5
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = neighbors(SimilarityOps.bruteForceTopK(emb, queries, k))
+    val approx = neighbors(SimilarityOps.quantizedTopK(emb, queries, k))
+    val recall = exact.map { case (q, ns) =>
+      (ns intersect approx.getOrElse(q, Set.empty)).size.toDouble / ns.size
+    }.sum / exact.size
+    assert(recall >= 0.6, s"quantized recall too low: $recall")
+  }
+
   test("tiled plan contains no driver collect (it is a shuffle exchange)") {
     val plan = SimilarityOps.cosineDupPairsTiled(emb, 0.2)
       .queryExecution.executedPlan.toString
