@@ -137,4 +137,32 @@ class MergeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(byId)._3 === Seq(2L, 3L))
     assert(snap(byId)._4 === Seq(10L, 11L))
   }
+
+  test("mass deletion: 100k roots stay a join, not a literal expression tree") {
+    val s = spark
+    import s.implicits._
+    val directory = Seq((1L, "/keep"), (2L, "/gone/a"), (3L, "/gone/a/sub"))
+      .toDF("id", "dir_path")
+      .selectExpr("id", "dir_path", "timestamp'2024-01-01' AS ctime",
+        "timestamp'2024-01-01' AS mtime", "timestamp'2024-01-01' AS inserted_on",
+        "timestamp'2024-01-01' AS updated_on")
+    val file = directory.limit(0).selectExpr("id", "'f' AS name", "id AS dir_id",
+      "CAST(1 AS DECIMAL(18,6)) AS size", "ctime", "mtime",
+      "CAST(NULL AS TIMESTAMP) AS atime", "inserted_on", "updated_on")
+    // 100k deletion roots (one real, the rest misses) — the round-1 OR-chain
+    // formulation built a 100k-term boolean tree here; the join form must
+    // keep the plan CONSTANT-SIZED and finish promptly
+    val roots = spark.range(0, 100000L)
+      .selectExpr("concat('/miss/', id) AS root_path")
+      .unionByName(Seq("/gone/a").toDF("root_path"))
+    val t0 = System.nanoTime()
+    val (remainingDirs, _, dirArchive, _) = MergeOps.deleteDirectoriesDf(
+      directory, file, roots, deleteSubdirs = true, t2)
+    val planSize = dirArchive.queryExecution.executedPlan.toString.length
+    assert(planSize < 20000, s"plan blew up to $planSize chars")
+    assert(dirArchive.select("dir_path").collect().map(_.getString(0)).sorted
+      === Array("/gone/a", "/gone/a/sub"))
+    assert(remainingDirs.collect().map(_.getString(1)).toSeq === Seq("/keep"))
+    assert((System.nanoTime() - t0) / 1e9 < 60.0)
+  }
 }
