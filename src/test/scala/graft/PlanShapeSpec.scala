@@ -49,6 +49,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-K operator:\n$plan")
   }
 
+  test("schedule view (t6) compiles to TakeOrderedAndProject") {
+    val c = SparkEntry.cat(spark, sfDir)
+    val plan = physicalPlan(graft.operators.ScheduleOps.viewScrapeSchedule(
+      c.directoryControl, "/A*", recursive = true,
+      orderBy = Seq(("file_count", false)), rowLimit = 25))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-K operator:\n$plan")
+  }
+
+  test("training selection (x19) is one scan + one shuffle with partial aggregation") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.TextOps.trainingSelection(docs))
+    assert(plan.split("Exchange").length - 1 <= 1, s"expected a single shuffle:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"expected map-side partial aggregation:\n$plan")
+    assert(!plan.contains("Join"), s"feature columns must not self-join:\n$plan")
+  }
+
   test("vw_ll plans with broadcast dimension joins") {
     val c = SparkEntry.cat(spark, sfDir)
     val plan = physicalPlan(c.vwLl)
