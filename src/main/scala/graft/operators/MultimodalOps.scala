@@ -80,6 +80,34 @@ object MultimodalOps {
       concat(to_binary(lit(f"$width%08x$height%08x"), lit("hex")), col("payload")))
       .withColumn("width", lit(width)).withColumn("height", lit(height))
 
+  /** STUB feature extraction: payload → fixed-dim embedding, one "model"
+    * instance per partition (the batched-inference pattern — swap the
+    * md5-expansion body for a real encoder call; the Spark-side contract
+    * is the schema, the per-partition model reuse, and the batch shape). */
+  def stubFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
+    val session = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("features", ArrayType(FloatType))))
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        // one model instance per partition (expensive-setup pattern)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val feats = Array.tabulate(dim) { i =>
+            md.reset()
+            md.update(payload)
+            md.update(i.toByte)
+            (((md.digest()(0) & 0xff) - 128) / 128.0).toFloat
+          }
+          Row(id, feats.toSeq)
+        }
+      }
+    session.createDataFrame(rdd, schema)
+  }
+
   /** STUB frame sampling: every `stride`-th chunk of the payload stands in
     * for a video frame — real chunked iteration, fake frame decode. */
   def stubFrameSample(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {

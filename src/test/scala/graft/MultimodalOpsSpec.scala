@@ -65,4 +65,19 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f1.toMap.apply(0) === "imag")
     assert(f1.toMap.apply(2) === "tes-")
   }
+
+  test("stubFeatures emits fixed-dim deterministic embeddings per payload") {
+    val a = MultimodalOps.stubFeatures(payloads, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = MultimodalOps.stubFeatures(payloads, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (id, v) =>
+      assert(v.length === 16)
+      assert(v === b(id)) // deterministic
+      assert(v.forall(x => x >= -1f && x <= 1f))
+    }
+    // distinct payloads → distinct features
+    assert(a.values.toSeq.distinct.size === a.size)
+  }
 }
