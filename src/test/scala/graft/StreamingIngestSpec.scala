@@ -140,5 +140,16 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snapshot(streamState)._2 === Set(("x.bin",
       streamState.read("directory").filter(col("dir_path") === fx.toString)
         .head().getLong(0))))
+
+    // at-least-once posture: replaying the LAST batch (same drop, same
+    // asOf) must be a complete no-op — including the removal branches
+    // (no double-archival) and the hash queue (no re-enqueue)
+    val before = snapshot(streamState)
+    val archiveRows = streamState.read("file_archive").count()
+    val lastDrop = FsScrape.scrapeBatch(spark, Seq(fx.toString).toDF("dir_path")).toDF()
+    StreamingIngest.mergeBatch(streamState, lastDrop, t3, hashInline = true)
+    assert(snapshot(streamState) === before)
+    assert(streamState.read("file_archive").count() === archiveRows)
+    assert(streamState.read("hash_control").count() === 0)
   }
 }
