@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{DecimalType, StructType}
 
-import graft.core.StateStore
+import graft.core.{BucketedState, Schemas, StateStore}
 import graft.operators.MergeOps
 
 /** Structured-Streaming front end for the ingest dataflow (SURVEY §2.9).
@@ -43,7 +43,8 @@ object StreamingIngest {
   def start(state: StateStore, stageDir: String, checkpointDir: String,
             triggerMs: Long = 5000, maxFilesPerTrigger: Int = 100,
             asOfOverride: Option[Timestamp] = None,
-            hashInline: Boolean = false): StreamingQuery = {
+            hashInline: Boolean = false,
+            fileBuckets: Int = 0): StreamingQuery = {
     val spark = state.spark
     val stream = spark.readStream
       .schema(stageSchema)
@@ -57,7 +58,7 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(state, batch,
           asOfOverride.getOrElse(new Timestamp(System.currentTimeMillis())),
-          hashInline = hashInline)
+          hashInline = hashInline, fileBuckets = fileBuckets)
       }
       .start()
   }
@@ -70,9 +71,17 @@ object StreamingIngest {
     * removal. Intermediate results are pinned (`localCheckpoint`) before
     * state swaps, never collected. */
   def mergeBatch(state: StateStore, batch: DataFrame, asOf: Timestamp,
-                 deleteMissing: Boolean = true, hashInline: Boolean = false): Unit = {
+                 deleteMissing: Boolean = true, hashInline: Boolean = false,
+                 fileBuckets: Int = 0): Unit = {
     if (batch.isEmpty) return
     val ts = lit(asOf)
+    // fileBuckets > 0: the file table stays hash-bucketed by dir_id and a
+    // micro-batch rewrites ONLY its affected buckets (O(batch), not
+    // O(table) — a 5 s trigger must not rewrite a 10^11-row table)
+    val bucketed = if (fileBuckets > 0)
+      Some(new BucketedState(state.spark, state.root, "file", fileBuckets)) else None
+    def readFileFull(): DataFrame =
+      bucketed.map(_.read(Schemas.file)).getOrElse(state.read("file"))
     val selfDirs = batch.filter(col("kind") === "self").select(
       col("fullPath").as("dir_path"), col("ctime"), col("mtime"))
     val subDirs = batch.filter(col("kind") === "dir").select(
@@ -96,7 +105,7 @@ object StreamingIngest {
         .select(col("dir_path").as("root_path")).localCheckpoint(true)
       if (!removedRoots.isEmpty) {
         val (_, _, dirArchive, fileArchive) = MergeOps.deleteDirectoriesDf(
-          directory, state.read("file"), removedRoots, deleteSubdirs = true, asOf)
+          directory, readFileFull(), removedRoots, deleteSubdirs = true, asOf)
         val pinnedDirs = dirArchive.localCheckpoint(true)
         val pinnedFiles = fileArchive.localCheckpoint(true)
         val doomedIds = pinnedFiles.select(col("id").as("file_id"))
@@ -109,8 +118,19 @@ object StreamingIngest {
         state.write("directory_control",
           state.read("directory_control")
             .join(pinnedDirs.select("dir_path"), Seq("dir_path"), "left_anti"))
-        state.write("file",
-          state.read("file").join(doomedIds, col("id") === col("file_id"), "left_anti"))
+        bucketed match {
+          case Some(bs) =>
+            val affected = pinnedFiles.select(bs.bucketOf(col("dir_id")).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            if (affected.nonEmpty)
+              bs.overwriteBuckets(
+                bs.readBuckets(Schemas.file, affected)
+                  .join(doomedIds, col("id") === col("file_id"), "left_anti"),
+                "dir_id", affected)
+          case None =>
+            state.write("file",
+              state.read("file").join(doomedIds, col("id") === col("file_id"), "left_anti"))
+        }
         state.write("directory",
           state.read("directory").join(pinnedDirs.select(col("id").as("dd_id")),
             col("id") === col("dd_id"), "left_anti"))
@@ -126,10 +146,21 @@ object StreamingIngest {
     val crawledDirIds = selfDirs.select("dir_path").join(dirIds, Seq("dir_path"))
       .select("dir_id")
 
+    // bucketed mode: the merge reads/writes ONLY the buckets of the
+    // batch's dirs (staged + crawled rows all live there)
+    val affectedBuckets: Seq[Int] = bucketed.map { bs =>
+      files.select(bs.bucketOf(col("dir_id")).as("b"))
+        .unionByName(crawledDirIds.select(bs.bucketOf(col("dir_id")).as("b")))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    }.getOrElse(Nil)
+    def fileSlice(): DataFrame = bucketed
+      .map(_.readBuckets(Schemas.file, affectedBuckets))
+      .getOrElse(state.read("file"))
+
     // J10: files under crawled dirs absent from the snapshot → archive +
     // hash cleanup + drop
     val vanished = if (deleteMissing)
-      MergeOps.missingFilesIn(state.read("file"), files, crawledDirIds)
+      MergeOps.missingFilesIn(fileSlice(), files, crawledDirIds)
         .localCheckpoint(true)
     else state.read("file").limit(0)
     val anyVanished = deleteMissing && !vanished.isEmpty
@@ -147,14 +178,18 @@ object StreamingIngest {
     }
 
     // M1 upsert (change-only updates) — then drop vanished rows
-    val upserted = MergeOps.upsertFiles(state.read("file"), files, asOf)
-    state.write("file",
+    val upserted = MergeOps.upsertFiles(fileSlice(), files, asOf)
+    val newFile =
       if (anyVanished) upserted.join(vanished.select(col("id")), Seq("id"), "left_anti")
-      else upserted)
+      else upserted
+    bucketed match {
+      case Some(bs) => bs.overwriteBuckets(newFile, "dir_id", affectedBuckets)
+      case None => state.write("file", newFile)
+    }
 
     // J12 hash scheduling: staged files with no digest yet, or changed
     // this batch (their updated_on was stamped asOf by the upsert)
-    val fileAfter = state.read("file")
+    val fileAfter = fileSlice()
     val stagedKeys = files.select("dir_id", "name").distinct()
     val stagedCurrent = fileAfter.join(stagedKeys, Seq("dir_id", "name"), "left_semi")
     val unhashed = stagedCurrent.join(state.read("hash").select(col("file_id")),
@@ -172,7 +207,8 @@ object StreamingIngest {
     // this as its own round; a streaming deployment can also keep it as a
     // separate consumer — both read the same hash_control queue)
     if (hashInline) {
-      while (graft.server.CrawlPipeline.hashRound(state, asOf) > 0) ()
+      val cfg = graft.server.CrawlPipeline.Config(fileBuckets = fileBuckets)
+      while (graft.server.CrawlPipeline.hashRound(state, asOf, cfg = cfg) > 0) ()
     }
   }
 }

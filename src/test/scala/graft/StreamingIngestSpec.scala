@@ -152,4 +152,38 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamState.read("file_archive").count() === archiveRows)
     assert(streamState.read("hash_control").count() === 0)
   }
+
+  test("bucketed streaming state: partial-bucket rewrites, same end state") {
+    val s = spark
+    import s.implicits._
+    val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val fx = Files.createTempDirectory("graft_bstream_fx")
+    val sub = Files.createDirectories(fx.resolve("sub"))
+    Files.write(fx.resolve("r.bin"), "rr".getBytes)
+    Files.write(sub.resolve("s.bin"), "ss".getBytes)
+
+    val st = new StateStore(spark, Files.createTempDirectory("graft_bstream").toString)
+    import graft.sources.FsScrape
+    def drop(paths: String*): org.apache.spark.sql.DataFrame =
+      FsScrape.scrapeBatch(spark, paths.toDF("dir_path")).toDF()
+
+    StreamingIngest.mergeBatch(st, drop(fx.toString, sub.toString), t1,
+      hashInline = true, fileBuckets = 8)
+    val bs = new graft.core.BucketedState(spark, st.root, "file", 8)
+    assert(bs.read(graft.core.Schemas.file).count() === 2)
+    assert(st.read("hash").count() === 2) // inline hash drained the queue
+    // bucketed layout on disk
+    assert(new java.io.File(s"${st.root}/file").listFiles()
+      .exists(_.getName.startsWith("bucket=")))
+
+    // subtree vanishes → closure removal must clear its bucket rows
+    Files.delete(sub.resolve("s.bin"))
+    Files.delete(sub)
+    StreamingIngest.mergeBatch(st, drop(fx.toString), t2,
+      hashInline = true, fileBuckets = 8)
+    assert(bs.read(graft.core.Schemas.file).select("name")
+      .collect().map(_.getString(0)).toSet === Set("r.bin"))
+    assert(st.read("file_archive").filter(col("name") === "s.bin").count() === 1)
+    assert(st.read("hash").count() === 1)
+  }
 }
