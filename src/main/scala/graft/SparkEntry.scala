@@ -324,6 +324,23 @@ object SparkEntry {
     "a4_distinct" -> ((s, dir) =>
       cat(s, dir).file.select(col("dir_id"), extension(col("name")).as("ext")).distinct()),
 
+    // A6-adjacent (reference has none): rollup = GROUPING SETS twin,
+    // subtotal rows carry NULL group keys in both engines
+    "a6_rollup" -> ((s, dir) =>
+      cat(s, dir).file
+        .select(extension(col("name")).as("ext"), (col("dir_id") % 10).as("dir_mod"))
+        .rollup(col("ext"), col("dir_mod"))
+        .agg(count(lit(1)).as("n"))),
+
+    // U4 (reference has none): set intersection / difference over id sets
+    "u4_intersect_except" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val big = c.file.filter(col("size") > 5).select("id")
+      val hashed = c.hash.select(col("file_id").as("id"))
+      big.intersect(hashed).withColumn("op", lit("intersect"))
+        .unionByName(big.except(hashed).withColumn("op", lit("except")))
+    }),
+
     "m10_rescrape" -> ((s, dir) =>
       cat(s, dir).directoryControl.select(
         col("dir_path"),
@@ -702,6 +719,20 @@ object SparkEntry {
 
     "a4_distinct" -> (C +
       s"SELECT DISTINCT dir_id, ${Oracle.extensionSql("name")} AS ext FROM file"),
+
+    "a6_rollup" -> (C +
+      s"""SELECT ext, dir_mod, count(*) AS n FROM (
+         |  SELECT ${Oracle.extensionSql("name")} AS ext, dir_id % 10 AS dir_mod FROM file
+         |) GROUP BY ROLLUP (ext, dir_mod)""".stripMargin),
+
+    "u4_intersect_except" -> (C +
+      """SELECT id, 'intersect' AS op FROM (
+        |  SELECT id FROM file WHERE size > 5
+        |  INTERSECT SELECT file_id FROM hash)
+        |UNION ALL
+        |SELECT id, 'except' FROM (
+        |  SELECT id FROM file WHERE size > 5
+        |  EXCEPT SELECT file_id FROM hash)""".stripMargin),
 
     "m10_rescrape" -> (C +
       s"""SELECT dir_path,
