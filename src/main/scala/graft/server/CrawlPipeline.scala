@@ -131,7 +131,11 @@ object CrawlPipeline {
       directory
         .withColumn("parent_path",
           graft.functions.PathExpressions.basepathFast(col("dir_path")))
-        .join(due.select(col("dir_path").as("parent_path")), Seq("parent_path"), "left_semi")
+        // key on dirs that actually SCRAPED (self record), not merely due:
+        // a parent whose scrape failed (missing/unmounted) asserts nothing
+        // about its children — deleting them would turn a transient mount
+        // failure into data loss
+        .join(selfDirs.select(col("dir_path").as("parent_path")), Seq("parent_path"), "left_semi")
         // a drive root self-parents (basepath of a top-level path is
         // itself) — roots are never deleted here, only flagged missing
         .filter(col("parent_path") =!= col("dir_path"))
@@ -174,7 +178,10 @@ object CrawlPipeline {
     // resolve staged files to dir ids
     val dirIds = directoryAfterRemoval.select(col("id").as("dir_id"), col("dir_path"))
     val stagedFiles = files0.join(dirIds, Seq("dir_path")).drop("dir_path")
-    val crawledDirIds = due.join(dirIds, Seq("dir_path")).select("dir_id")
+    // completeness is asserted only by dirs that actually scraped — a due
+    // dir whose scrape failed must not have its files declared vanished
+    val crawledDirIds = selfDirs.select("dir_path").join(dirIds, Seq("dir_path"))
+      .select("dir_id")
 
     // M1 removal branch (J10): files under crawled dirs absent from the
     // snapshot → archive + delete (+ hash/hash_control cleanup, M6 shape).

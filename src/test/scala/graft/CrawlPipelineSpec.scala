@@ -220,6 +220,39 @@ class CrawlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.read("directory_control").count() === 1)
   }
 
+  test("unmounted tree survives: failed scrapes delete nothing, remount restores") {
+    val root = Files.createTempDirectory("graft_ustate")
+    val fx = Files.createTempDirectory("graft_ufixture")
+    val sub = Files.createDirectories(fx.resolve("sub"))
+    Files.write(fx.resolve("a.bin"), "aa".getBytes)
+    Files.write(sub.resolve("b.bin"), "bb".getBytes)
+    val st = new StateStore(spark, root.toString)
+    CrawlPipeline.seedDrives(st, Seq(fx.toString), t1)
+    CrawlPipeline.runToFixpoint(st, t1)
+    assert(st.read("file").count() === 2)
+
+    // "unmount": the whole tree is gone; every due dir's scrape fails.
+    // A failed scrape asserts NOTHING about children or files — the
+    // catalog must survive untouched, only missing-flagged.
+    val parked = fx.resolveSibling("parked_" + fx.getFileName)
+    Files.move(fx, parked)
+    CrawlPipeline.runToFixpoint(st, t2)
+    assert(st.read("directory").count() === 2, "dirs must survive the unmount")
+    assert(st.read("file").count() === 2, "files must survive the unmount")
+    assert(st.read("file_archive").count() === 0)
+    assert(st.read("directory_control").filter(col("dir_missing")).count() > 0)
+
+    // remount and recover: flags clear, catalog unchanged
+    Files.move(parked, fx)
+    val t3 = Timestamp.valueOf("2024-01-03 00:00:00")
+    st.write("directory_control",
+      st.read("directory_control").withColumn("next_crawl", lit(t3))
+        .withColumn("dir_missing", lit(false)))
+    CrawlPipeline.runToFixpoint(st, t3)
+    assert(st.read("file").count() === 2)
+    assert(st.read("directory").count() === 2)
+  }
+
   test("missing drive root is flagged, retried later, not fatal") {
     val ghostState = new StateStore(spark,
       Files.createTempDirectory("graft_ghost").toString)
