@@ -376,6 +376,11 @@ object SparkEntry {
     "x10_simhash_pairs" -> ((s, dir) =>
       DedupOps.simhashDupPairs(Tables.documents(s, dir), 3)),
 
+    "x23_dup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.dupClusters(docs, DedupOps.simhashDupPairs(docs, 3))
+    }),
+
     "x11_cosine_dup_pairs" -> ((s, dir) =>
       SimilarityOps.cosineDupPairsTiled(Tables.embeddings(s, dir), 0.40)),
 
@@ -752,6 +757,7 @@ object SparkEntry {
     "x8_lsh_dup_pairs" -> DedupOps.lshDupPairsSql(0.5),
     "x9_simhash" -> DedupOps.simhashSql,
     "x10_simhash_pairs" -> DedupOps.simhashDupPairsSql(3),
+    "x23_dup_clusters" -> DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3)),
     "x11_cosine_dup_pairs" -> SimilarityOps.cosineDupPairsSql(0.40),
     "x12_ann_topk" -> SimilarityOps.bruteForceTopKSql("vec_id % 100 = 0", 8),
     "x13_ann_lsh_pairs" -> SimilarityOps.lshDupPairsSql(0.30),

@@ -323,4 +323,65 @@ object DedupOps {
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
+
+  // ---- duplicate clustering (connected components) ------------------------
+
+  /** Near-dup PAIRS → duplicate CLUSTERS: every doc labeled with the
+    * smallest doc_id in its connected component (the canonical
+    * representative a dedup pass keeps).
+    *
+    * Min-label propagation: each round every node takes the min of its
+    * own label and its neighbors' labels — converges in O(component
+    * diameter) rounds, and dup-cluster diameters are tiny in practice
+    * (`maxIters` is a safety bound, not the expected count). Each round is
+    * one join + one partial-aggregating groupBy on the (small) edge set;
+    * labels are pinned per round, never collected — the classic
+    * large-graph CC shape, scale-bound by the edge count only. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("n_id")).agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("doc_id") === col("n_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** DuckDB twin of [[dupClusters]]: recursive transitive closure over the
+    * symmetrized pair set, label = min(self ∪ reachable). `pairsSql` is a
+    * full SELECT producing (doc_a, doc_b) — nested as a subquery so pair
+    * generators with their own WITH clauses compose. */
+  def dupClustersSql(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$pairsSql
+       |  ) t
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT d.doc_id,
+       |  CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT) AS cluster_id
+       |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
 }
