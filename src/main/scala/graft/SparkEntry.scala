@@ -417,8 +417,13 @@ object SparkEntry {
     "x19_training_selection" -> ((s, dir) =>
       TextOps.trainingSelection(Tables.documents(s, dir), "en", 0.5)),
 
+    // driver projection stringifies the code array — every hitherto-green
+    // query emits scalars only, so list canonicalization in the driver's
+    // hasher is unproven; the operator itself returns the array form
     "x20_quantize_embeddings" -> ((s, dir) =>
-      SimilarityOps.quantizeEmbeddings(Tables.embeddings(s, dir))),
+      SimilarityOps.quantizeEmbeddings(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("norm"),
+          concat_ws(",", col("qcode")).as("qcode_str"))),
 
     "x22_ann_quantized" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -771,7 +776,9 @@ object SparkEntry {
       "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents"),
 
     "x19_training_selection" -> TextOps.trainingSelectionSql("en", 0.5),
-    "x20_quantize_embeddings" -> SimilarityOps.quantizeEmbeddingsSql,
+    "x20_quantize_embeddings" ->
+      s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str
+         |FROM (${SimilarityOps.quantizeEmbeddingsSql.replace("\n", "\n      ")}) t""".stripMargin,
     "x21_salted_counts" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "x22_ann_quantized" -> SimilarityOps.quantizedTopKSql("vec_id % 100 = 0", 8),
