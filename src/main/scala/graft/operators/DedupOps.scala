@@ -341,26 +341,39 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // iterate ONLY over pair endpoints — a doc in no pair is its own
+    // cluster and never changes; this keeps every round's join sized by
+    // the edge set, and the driver loop does ONE action per round (the
+    // changed-count materializes the persisted next generation)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      // neighbor minimum (one-hop propagation) ...
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("n_id")).agg(min(col("label")).as("nbr_min"))
+      // ... plus pointer jumping (label of my label): doubles the
+      // propagation distance per round, so chain components converge in
+      // O(log diameter) rounds instead of O(diameter)
+      val hop = labels.select(col("doc_id").as("l_key"), col("label").as("ll"))
       val next = labels
         .join(nbrMin, col("doc_id") === col("n_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = next
-        .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+        .join(hop, col("label") === col("l_key"), "left")
+        .select(col("doc_id"), col("label").as("old"),
+          least(col("label"),
+            coalesce(col("nbr_min"), col("label")),
+            coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(true) // truncates lineage — plans stay round-sized
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("doc_id", "label")
       iter += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
   /** DuckDB twin of [[dupClusters]]: recursive transitive closure over the
