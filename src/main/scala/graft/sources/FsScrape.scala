@@ -52,7 +52,12 @@ object FsScrape {
       val self = ScrapeRecord("self", dirPath, "", dirPath, null,
         ts(selfAttrs.creationTime.toMillis), ts(selfAttrs.lastModifiedTime.toMillis),
         ts(selfAttrs.lastAccessTime.toMillis))
-      val entries = Files.list(dir).iterator().asScala.toSeq
+      // Files.list holds an open directory handle — close it or a
+      // long-running crawl exhausts file descriptors
+      val listing = Files.list(dir)
+      val entries =
+        try listing.iterator().asScala.toSeq
+        finally listing.close()
       self +: entries.flatMap { p =>
         try {
           val attrs = Files.readAttributes(p, classOf[BasicFileAttributes])
