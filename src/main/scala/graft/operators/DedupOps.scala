@@ -379,7 +379,10 @@ object DedupOps {
   /** DuckDB twin of [[dupClusters]]: recursive transitive closure over the
     * symmetrized pair set, label = min(self ∪ reachable). `pairsSql` is a
     * full SELECT producing (doc_a, doc_b) — nested as a subquery so pair
-    * generators with their own WITH clauses compose. */
+    * generators with their own WITH clauses compose. NOTE: the closure
+    * materializes O(Σ|component|²) rows — fine at the driver's gate SF,
+    * deliberately NOT how the Spark side computes (which is per-round
+    * min propagation, linear in edges). */
   def dupClustersSql(pairsSql: String): String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM (
