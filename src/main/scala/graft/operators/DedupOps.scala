@@ -59,8 +59,15 @@ object DedupOps {
   val shingleWords = 3
 
   /** Word n-gram shingles of a text column, as an array (per-row, no
-    * explode). Empty array when the doc is shorter than n words. */
-  def shingles(text: Column, n: Int = shingleWords): Column = {
+    * explode). Empty array when the doc is shorter than n words.
+    * Backed by the native codegen expression — the HOF chain below is the
+    * documented semantics; ShingleParitySpec pins byte-equality. */
+  def shingles(text: Column, n: Int = shingleWords): Column =
+    graft.functions.ShingleExpressions.shinglesFast(text, n)
+
+  /** The declarative (higher-order-function) formulation — the semantic
+    * reference for [[shingles]]; CodegenFallback, so not the hot path. */
+  def shinglesHof(text: Column, n: Int = shingleWords): Column = {
     val w = words(text)
     val count = size(w) - (n - 1)
     when(count > 0,
