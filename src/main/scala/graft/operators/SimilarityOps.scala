@@ -24,11 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential-fold dot product of two float-array columns, in double.
-    * (A fully unrolled 64-term expression tree was tried and is ~3×
-    * SLOWER: it blows past the codegen method-size limits and the giant
-    * interpreted tree loses to one zip_with pass. Keep the fold.) */
+  /** Sequential-fold dot product of two float-array columns, in double —
+    * backed by the native codegen [[graft.functions.DotExpr]] (the HOF
+    * fold below is the documented semantics; VectorParitySpec pins
+    * bit-equality). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotFast(a, b)
+
+  /** The declarative (higher-order-function) fold — the semantic
+    * reference for [[dot]]; CodegenFallback, so not the hot path.
+    * (A fully unrolled 64-term expression tree was tried and is ~3×
+    * SLOWER: it blows past the codegen method-size limits; the win is a
+    * compiled LOOP, not a bigger tree.) */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -243,9 +251,7 @@ object SimilarityOps {
     codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (aggregate(zip_with(col("qq"), col("qcode"),
-          (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0), (acc, x) => acc + x) / lit(127d * 127d)).as("approx_cos"))
+        (dot(col("qq"), col("qcode")) / lit(127d * 127d)).as("approx_cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("approx_cos").desc, col("neighbor_id"))))
@@ -286,8 +292,7 @@ object SimilarityOps {
     }
 
   private def projPositive(emb: Column, plane: Int): Column =
-    aggregate(zip_with(emb, typedlit(hyperplanes(plane)),
-      (x, wc) => x.cast("double") * wc), lit(0.0), (acc, x) => acc + x) > 0
+    dot(emb, typedlit(hyperplanes(plane))) > 0
 
   /** Bucket id of hash table `t`: the table's b sign-bits packed into a
     * long. Per-row projection, no shuffle. */
