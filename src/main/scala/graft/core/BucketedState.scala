@@ -39,7 +39,7 @@ class BucketedState(val spark: SparkSession, val root: String,
   /** Full-table read (bucket column dropped). */
   def read(schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (new java.io.File(path).exists())
-      spark.read.parquet(path).select(schema.fieldNames.map(col): _*)
+      spark.read.parquet(path).select(schema.fieldNames.toIndexedSeq.map(col): _*)
     else empty(schema)
 
   /** Read only the given buckets — partition pruning keeps the scan to
@@ -49,7 +49,7 @@ class BucketedState(val spark: SparkSession, val root: String,
     if (new java.io.File(path).exists())
       spark.read.parquet(path)
         .filter(col(bucketCol).isin(buckets: _*))
-        .select(schema.fieldNames.map(col): _*)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     else empty(schema)
 
   /** Initial full write, bucketed by `keyCol`. */

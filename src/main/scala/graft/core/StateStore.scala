@@ -53,7 +53,7 @@ class StateStore(val spark: SparkSession, val root: String) {
   /** Append rows (archive tables are append-only). */
   def append(table: String, df: DataFrame): Unit = {
     val schema = Schemas.all(table)
-    val aligned = df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    val aligned = df.select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
     aligned.write.mode("append").parquet(path(table))
   }
 

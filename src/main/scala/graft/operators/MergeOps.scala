@@ -182,7 +182,7 @@ object MergeOps {
         col("dir_id") === col("d_id"))
       .join(broadcast(probe),
         col("dir_path") === col("p_dir") && col("name") === col("p_name"))
-      .select(file.columns.map(col): _*)
+      .select(file.columns.toIndexedSeq.map(col): _*)
     deleteFileRows(file, hash, hashControl, doomed, asOf)
   }
 
