@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 object VectorUtils {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -36,12 +36,25 @@ object VectorUtils {
 case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // nullable even over non-null children: mismatched dimensions yield NULL
+  // (the HOF twin's zip_with pads with null → aggregate folds to NULL), so
+  // dimension-corrupt data surfaces as NULL, never a silently-partial dot
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorUtils.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    if (av.numElements() != bv.numElements()) null else VectorUtils.dot(av, bv)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorUtils.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() == $b.numElements()) {
+        ${ev.value} = graft.functions.VectorUtils.dot($a, $b);
+      } else {
+        ${ev.isNull} = true;
+      }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotExpr =

@@ -135,7 +135,10 @@ object CopyOps {
           col("d_path").startsWith(concat(col("root_path"), lit("\\"))))
     val destRoot = PathFunctions.pathJoin(col("new_parent_dir"),
       coalesce(col("new_dir_name"), PathFunctions.basename(col("root_path"))))
-    file
+    // project file down before the join: the full catalog `file` schema
+    // carries its own inserted_on/updated_on, which would collide with the
+    // request's inserted_on in the output projection
+    file.select(col("id"), col("name"), col("dir_id"))
       .join(closure, col("dir_id") === col("d_id"))
       .select(
         // deterministic work ids: keyed by (request, source file)

@@ -39,7 +39,9 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 6))).as("v"))
       .groupBy(window(window_time(col("w")), "1 hour").as("w2"), col("event_type"))
       .agg(sum(col("n")).as("n_events"),
-        count(lit(1)).as("n_users"),
+        // count(user_id), not count(*): the NULL-user group from phase 1
+        // must not count as a user — count(DISTINCT user_id) ignores NULLs
+        count(col("user_id")).as("n_users"),
         sum(col("v")).cast("double").as("sum_value"))
       .select(col("w2.start").as("ts_hour"), col("event_type"),
         col("n_events"), col("n_users"), col("sum_value"))

@@ -177,6 +177,25 @@ object StreamingIngest {
         state.read("hash_control").join(vanishedIds, Seq("file_id"), "left_anti"))
     }
 
+    // J12 change detection from the merge inputs themselves, NOT
+    // updated_on === asOf: with a pinned asOf across micro-batches (the
+    // deterministic-test configuration) timestamp equality re-queues every
+    // file touched in an earlier batch. A staged row "changed" iff its
+    // attributes differ from the pre-merge record — the same null-safe
+    // comparison upsertFiles uses. Pinned before the state swap
+    // (stale-listing hazard: handles created pre-write fail post-write).
+    val changedKeys = fileSlice()
+      .join(files.select(col("dir_id"), col("name"),
+          col("size").as("s_size"), col("ctime").as("s_ctime"),
+          col("mtime").as("s_mtime"), col("atime").as("s_atime"))
+          .dropDuplicates("dir_id", "name"),
+        Seq("dir_id", "name"))
+      .filter(!(col("size") <=> col("s_size")) ||
+        !(col("ctime") <=> col("s_ctime")) ||
+        !(col("mtime") <=> col("s_mtime")) ||
+        !(col("atime") <=> col("s_atime")))
+      .select(col("id")).localCheckpoint(true)
+
     // M1 upsert (change-only updates) — then drop vanished rows
     val upserted = MergeOps.upsertFiles(fileSlice(), files, asOf)
     val newFile =
@@ -188,13 +207,13 @@ object StreamingIngest {
     }
 
     // J12 hash scheduling: staged files with no digest yet, or changed
-    // this batch (their updated_on was stamped asOf by the upsert)
+    // this batch (attribute delta pinned above, pre-merge)
     val fileAfter = fileSlice()
     val stagedKeys = files.select("dir_id", "name").distinct()
     val stagedCurrent = fileAfter.join(stagedKeys, Seq("dir_id", "name"), "left_semi")
     val unhashed = stagedCurrent.join(state.read("hash").select(col("file_id")),
       col("id") === col("file_id"), "left_anti")
-    val changedNow = stagedCurrent.filter(col("updated_on") === ts)
+    val changedNow = stagedCurrent.join(changedKeys, Seq("id"), "left_semi")
     val needHash = unhashed.unionByName(changedNow).dropDuplicates("id")
       .select(col("id").as("file_id"), col("mtime"),
         col("size").as("file_size"),

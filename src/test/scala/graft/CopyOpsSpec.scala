@@ -92,8 +92,15 @@ class CopyOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val directory = Seq((1L, cdir.toString), (2L, nest.toString), (3L, "/elsewhere"))
       .toDF("id", "dir_path")
-    val file = Seq((10L, "top.txt", 1L), (11L, "deep.txt", 2L), (12L, "other.txt", 3L))
-      .toDF("id", "name", "dir_id")
+    // full catalog file schema — the table carries its own
+    // inserted_on/updated_on, which must not collide with the request's
+    // inserted_on in the expansion output
+    val file = Seq(
+        (10L, "top.txt", 1L, BigDecimal("0.000003"), t1, t1, t1, t1, t1),
+        (11L, "deep.txt", 2L, BigDecimal("0.000004"), t1, t1, t1, t1, t1),
+        (12L, "other.txt", 3L, BigDecimal("0.000005"), t1, t1, t1, t1, t1))
+      .toDF("id", "name", "dir_id", "size", "ctime", "mtime", "atime",
+        "inserted_on", "updated_on")
     // one request keyed by dir_id (resolution through the catalog), with a
     // rename; move_dir=false
     val queue = Seq((7L, Some(1L), null.asInstanceOf[String],

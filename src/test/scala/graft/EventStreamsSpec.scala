@@ -42,6 +42,22 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // watermark pusher: closes every earlier hour
     Ev(ts("2024-01-01 14:00:00"), "tick", 9L, 0.0))
 
+  test("NULL user_id counts toward n_events but never as a user (count DISTINCT semantics)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "click", Some(1L), 1.0),
+      (ts("2024-01-01 10:06:00"), "click", Option.empty[Long], 2.0),
+      (ts("2024-01-01 10:07:00"), "click", Option.empty[Long], 3.0),
+      (ts("2024-01-01 10:08:00"), "view", Option.empty[Long], 4.0))
+      .toDF("ts", "event_type", "user_id", "value")
+    val out = EventStreams.hourlyByType(rows).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_users"))).toSet
+    // the two-phase form must match count(DISTINCT user_id): NULLs ignored
+    assert(out === Set(("click", 3L, 1L), ("view", 1L, 0L)))
+  }
+
   test("hourlyByType streams with a watermark and matches the batch answer on closed windows") {
     val s = spark
     import s.implicits._

@@ -153,6 +153,40 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamState.read("hash_control").count() === 0)
   }
 
+  test("pinned asOf across batches: unchanged replay of a just-changed file is not re-queued") {
+    val s = spark
+    import s.implicits._
+    val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    // synthetic drops (fixed ctime/mtime/atime): the real filesystem bumps
+    // atime on hash reads, which is a genuine attribute change and would
+    // mask what this test pins down
+    val st = new StateStore(spark, Files.createTempDirectory("graft_requeue").toString)
+    def dropOf(size: String): org.apache.spark.sql.DataFrame =
+      Seq(rec("self", "/data", ""), rec("file", "/data", "a.bin", size)).toDS().toDF()
+    def drainQueue(): Unit =
+      st.write("hash_control", st.read("hash_control").limit(0))
+
+    StreamingIngest.mergeBatch(st, dropOf("0.000010"), t1)
+    assert(st.read("hash_control").count() === 1)
+    // simulate the hash consumer: digest recorded, queue drained
+    val fid = st.read("file").head().getAs[Long]("id")
+    st.write("hash", Seq((1L, fid, "md5x", t1, "sha1x", t1))
+      .toDF("id", "file_id", "md5_hash", "md5_hash_time", "sha1_hash", "sha1_hash_time"))
+    drainQueue()
+
+    // the file changes at t2 → correctly re-queued despite having a hash
+    StreamingIngest.mergeBatch(st, dropOf("0.000020"), t2)
+    assert(st.read("hash_control").count() === 1)
+    assert(st.read("file").head().getAs[Timestamp]("updated_on") === t2)
+    drainQueue()
+
+    // replay an UNCHANGED drop at the SAME pinned asOf: stored
+    // updated_on === t2, but no attribute differs — must not re-enter the
+    // queue (the old updated_on===ts detection re-queued here)
+    StreamingIngest.mergeBatch(st, dropOf("0.000020"), t2)
+    assert(st.read("hash_control").count() === 0)
+  }
+
   test("bucketed streaming state: partial-bucket rewrites, same end state") {
     val s = spark
     import s.implicits._

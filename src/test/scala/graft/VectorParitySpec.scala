@@ -45,6 +45,16 @@ class VectorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mismatched dimensions yield NULL on both forms, never a partial dot") {
+    val s = spark
+    import s.implicits._
+    val r = Seq((Array(1f, 2f, 3f), Array(1f, 2f)))
+      .toDF("a", "b").select(
+        SimilarityOps.dotHof(col("a"), col("b")).as("hof"),
+        SimilarityOps.dot(col("a"), col("b")).as("fast")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("null array propagates null on both forms") {
     val s = spark
     import s.implicits._
