@@ -337,45 +337,70 @@ object DedupOps {
     * smallest doc_id in its connected component (the canonical
     * representative a dedup pass keeps).
     *
-    * Min-label propagation: each round every node takes the min of its
-    * own label and its neighbors' labels — converges in O(component
-    * diameter) rounds, and dup-cluster diameters are tiny in practice
-    * (`maxIters` is a safety bound, not the expected count). Each round is
-    * one join + one partial-aggregating groupBy on the (small) edge set;
-    * labels are pinned per round, never collected — the classic
-    * large-graph CC shape, scale-bound by the edge count only. */
+    * Borůvka-style hook-and-contract: each round every current label-node
+    * hooks to min(self, min neighbor); the hooking forest is collapsed to
+    * its roots by pointer jumping (h ← h∘h on the node-sized hook map —
+    * WITHOUT this an ascending chain contracts by one edge per round);
+    * docs relabel through the collapsed map; and the edge set is
+    * REWRITTEN onto the root labels (self-loops dropped, duplicates
+    * collapsed). Contraction is the whole point: near-clique dup
+    * components — the common shape for duplicate text — collapse after
+    * one round, so the full edge set is scanned once, not once per round
+    * (min-label propagation without contraction re-joined all edges every
+    * round and was ~10× slower on the simhash pair set). Every hooking
+    * tree has ≥ 2 nodes, so component count at least halves per outer
+    * round (classic Borůvka bound — `maxIters` = 20 covers 2^20
+    * components); the inner jump loop runs log(tree depth) self-joins of
+    * the hook map, which is ≤ one row per distinct doc — far smaller than
+    * the edge set — so AQE broadcasts it at bench scale and shuffle-joins
+    * at cluster scale. Hooks strictly decrease and the component-min node
+    * always roots its tree, so the fixpoint label is exactly the
+    * component minimum. */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // no distinct here: duplicate input edges are harmless (min is
+    // idempotent) and deduping 2M+ pairs up front is a full extra shuffle;
+    // the per-round contraction distinct does the real shrinking
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .localCheckpoint(true)
-    // iterate ONLY over pair endpoints — a doc in no pair is its own
-    // cluster and never changes; this keeps every round's join sized by
-    // the edge set, and the driver loop does ONE action per round (the
-    // changed-count materializes the persisted next generation)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    // only pair endpoints iterate — a doc in no pair is its own cluster
+    var labels = edges.select(col("u").as("doc_id"))
+      .union(edges.select(col("v"))).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      // neighbor minimum (one-hop propagation) ...
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("label")), Seq("src"))
-        .groupBy(col("dst").as("n_id")).agg(min(col("label")).as("nbr_min"))
-      // ... plus pointer jumping (label of my label): doubles the
-      // propagation distance per round, so chain components converge in
-      // O(log diameter) rounds instead of O(diameter)
-      val hop = labels.select(col("doc_id").as("l_key"), col("label").as("ll"))
-      val next = labels
-        .join(nbrMin, col("doc_id") === col("n_id"), "left")
-        .join(hop, col("label") === col("l_key"), "left")
-        .select(col("doc_id"), col("label").as("old"),
-          least(col("label"),
-            coalesce(col("nbr_min"), col("label")),
-            coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(true) // truncates lineage — plans stay round-sized
-      converged = next.filter(col("label") =!= col("old")).isEmpty
-      labels = next.select("doc_id", "label")
+    while (iter < maxIters && !edges.isEmpty) {
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      // hook: current label-node u → min(u, min neighbor) ...
+      var hook = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("nl"))
+        .localCheckpoint(true)
+      // ... then pointer-jump the hooking forest to its roots: h ← h∘h
+      // doubles the collapsed depth each pass, so deep chains flatten in
+      // log rounds over the node-sized map
+      var jumping = true
+      while (jumping) {
+        val jumped = hook
+          .join(hook.select(col("u").as("ju"), col("nl").as("jl")),
+            col("nl") === col("ju"), "left")
+          .select(col("u"), col("nl"), coalesce(col("jl"), col("nl")).as("nl2"))
+          .localCheckpoint(true)
+        jumping = !jumped.filter(col("nl") =!= col("nl2")).isEmpty
+        hook = jumped.select(col("u"), col("nl2").as("nl"))
+      }
+      labels = labels
+        .join(hook.select(col("u").as("label"), col("nl")), Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint(true)
+      // contract: rewrite edges onto hooked labels, drop self-loops
+      edges = edges
+        .join(hook.select(col("u"), col("nl").as("lu")), Seq("u"))
+        .join(hook.select(col("u").as("v"), col("nl").as("lv")), Seq("v"))
+        .select(least(col("lu"), col("lv")).as("u"),
+          greatest(col("lu"), col("lv")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
       iter += 1
     }
     docs.select(col("doc_id"))

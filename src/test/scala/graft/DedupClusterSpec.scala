@@ -33,6 +33,22 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("long chain + clique: contraction converges past one round") {
+    val s = spark
+    import s.implicits._
+    // 60-node chain (forces several hook-and-contract rounds) + a 5-clique
+    // overlapping nothing + reversed/duplicated edges
+    val chain = (1L until 60L).map(i => (i + 1, i))
+    val clique = (for { a <- 100L to 104L; b <- 100L to 104L if a < b } yield (a, b))
+    val docs = ((1L to 60L) ++ (100L to 104L) ++ Seq(999L)).toDF("doc_id")
+    val pairs = (chain ++ clique ++ chain.map(_.swap)).toDF("doc_a", "doc_b")
+    val out = DedupOps.dupClusters(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((1L to 60L).map(_ -> 1L) ++
+      (100L to 104L).map(_ -> 100L) ++ Seq(999L -> 999L)).toMap
+    assert(out === expected)
+  }
+
   test("empty pair set: every doc is its own cluster") {
     val s = spark
     import s.implicits._
