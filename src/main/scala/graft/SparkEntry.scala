@@ -215,6 +215,12 @@ object SparkEntry {
     "j14_descendant_dirs" -> ((s, dir) =>
       SearchOps.descendantDirs(cat(s, dir).directory, Seq("/EUROPE"))),
 
+    "j15_asof_join" -> ((s, dir) =>
+      graft.operators.TemporalJoins.purchaseClickAsOf(Tables.events(s, dir))),
+
+    "j16_band_join" -> ((s, dir) =>
+      graft.operators.TemporalJoins.valueBandPairs(Tables.events(s, dir))),
+
     "t1_dirs_to_crawl" -> ((s, dir) =>
       ScheduleOps.dirsToCrawl(cat(s, dir).directoryControl,
         lit(java.sql.Timestamp.valueOf(asOfLit)), 20)),
@@ -599,6 +605,10 @@ object SparkEntry {
 
     "j14_descendant_dirs" -> (C +
       "SELECT * FROM directory WHERE starts_with(dir_path, '/EUROPE/') OR starts_with(dir_path, '/EUROPE\\')"),
+
+    "j15_asof_join" -> graft.operators.TemporalJoins.purchaseClickAsOfSql,
+
+    "j16_band_join" -> graft.operators.TemporalJoins.valueBandPairsSql(),
 
     "t1_dirs_to_crawl" -> (C +
       s"""SELECT dir_path, dir_id, file_count, subdir_count,

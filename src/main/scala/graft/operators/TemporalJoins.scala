@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of and range/band joins over event streams.
+  *
+  * The reference has no temporal-join surface (SURVEY §2.3 J15 — n/a by
+  * its own accounting); these are first-class extensions for event
+  * analytics, built for the 100 TB shape rather than the textbook one:
+  *
+  *   - [[asOfJoin]] is a union + ONE running-window pass partitioned by
+  *     key: a single shuffle that carries each row exactly once. The
+  *     textbook form — equi-join on key, filter `r.ts <= l.ts`, pick the
+  *     per-left max — materializes |L_k|·|R_k| rows per key before
+  *     collapsing, which is quadratic on dense keys; a time-theta join
+  *     without an equi key degenerates to a BroadcastNestedLoopJoin.
+  *     Neither survives scale.
+  *   - [[bandJoin]] buckets the value axis at the band width so the only
+  *     join is an equi-join on (keys, bucket): each right row lands in
+  *     one bucket and each left interval `(v, v+width]` spans at most two,
+  *     so every true pair meets exactly once — no dedup shuffle, no
+  *     quadratic candidate set, and the shuffle key distributes by value
+  *     (bounded skew per bucket).
+  */
+object TemporalJoins {
+
+  /** Backward-inclusive as-of join: for every left row, match the single
+    * right row with the greatest `rightTs <= leftTs` in the same `keys`
+    * group (the pandas `merge_asof` / DuckDB `ASOF JOIN` contract); right
+    * columns are NULL when no prior right row exists (left-join form).
+    *
+    * `rightCols` are carried from the matched right row, renamed via the
+    * map's values. Right rows must be unique per (keys, rightTs) for the
+    * match to be well-defined — true for `events`, where (user_id, ts)
+    * is unique.
+    *
+    * Mechanics: tag both sides, union, and take `last(right-struct,
+    * ignoreNulls)` over a running window ordered by (ts, side) with right
+    * sorting before left on ties — that makes the boundary inclusive.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightCols: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(rightCols.keys.toSeq.map(col): _*)
+    // build the union explicitly so both sides carry identical schemas:
+    // left rows hold their own columns + a NULL right-struct, right rows
+    // hold NULL left columns + the payload struct
+    val lSel = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
+    val rSel = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) :+
+        payload.as("__r"): _*)
+    val unioned = lSel.withColumn("__r",
+        lit(null).cast(rSel.schema("__r").dataType))
+      .unionByName(rSel, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    matched.select(
+      (keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
+        rightCols.map { case (src, out) => col(s"__m.$src").as(out) }.toSeq): _*)
+  }
+
+  /** Band (range) join: pairs `(l, r)` in the same `keys` group with
+    * `l.val < r.val <= l.val + width` — the one-sided fixed-width band.
+    * Inputs must have disjoint non-key column names.
+    *
+    * Each right row is bucketed once at `floor(val / width)`; each left
+    * row probes its own bucket and the next (its band spans at most two
+    * buckets), so every qualifying pair meets exactly once and the exact
+    * band predicate is evaluated only on same-bucket candidates.
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftVal: String, rightVal: String, width: Double): DataFrame = {
+    val lb = floor(col(leftVal) / width).cast("long")
+    val l2 = left.withColumn("__bucket", explode(array(lb, lb + 1)))
+    val r2 = right.withColumn("__bucket", floor(col(rightVal) / width).cast("long"))
+    l2.join(r2, keys :+ "__bucket")
+      .filter(col(rightVal) > col(leftVal) &&
+        col(rightVal) <= col(leftVal) + width)
+      .drop("__bucket")
+  }
+
+  // ---- query twins ---------------------------------------------------------
+
+  /** j15: every purchase matched to the user's most recent prior-or-same
+    * click; gap in epoch microseconds (ns→µs floor agrees across engines). */
+  def purchaseClickAsOf(events: DataFrame): DataFrame = {
+    val l = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"), col("ts"))
+    val r = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("c_us"))
+    asOfJoin(l, r, Seq("user_id"), "ts", "ts",
+        Map("c_event" -> "c_event", "c_us" -> "c_us"))
+      .select(col("p_event"), col("user_id"), col("c_event"),
+        (unix_micros(col("ts")) - col("c_us")).as("gap_us"))
+  }
+
+  def purchaseClickAsOfSql: String =
+    """SELECT l.event_id AS p_event, l.user_id, r.event_id AS c_event,
+      |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  /** j16: same-type event pairs within a half-unit value band, aggregated
+    * per type. The per-row DECIMAL cast keeps the sum order-independent
+    * (exact integer arithmetic), cast back to DOUBLE only at the end. */
+  def valueBandPairs(events: DataFrame, width: Double = 0.5): DataFrame = {
+    val l = events.select(col("event_type"), col("value").as("l_value"))
+    val r = events.select(col("event_type"), col("value").as("r_value"))
+    bandJoin(l, r, Seq("event_type"), "l_value", "r_value", width)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("r_value") - col("l_value"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_gap"))
+  }
+
+  def valueBandPairsSql(width: Double = 0.5): String =
+    s"""SELECT a.event_type, count(*) AS n_pairs,
+       |  CAST(sum(CAST(b.value - a.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_gap
+       |FROM events a JOIN events b
+       |  ON a.event_type = b.event_type
+       |  AND b.value > a.value AND b.value <= a.value + $width
+       |GROUP BY a.event_type""".stripMargin
+}

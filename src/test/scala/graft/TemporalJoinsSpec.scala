@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TemporalJoins
+
+/** As-of join (backward-inclusive, per-key, left-join form) and band join
+  * (one-sided fixed-width, bucket-exact) semantics. */
+class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin: latest prior-or-same right row per key, NULL when none") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after r2 → matches r2
+      (2L, 10L, ts("2024-01-01 08:59:59")), // before all right rows → NULL
+      (3L, 10L, ts("2024-01-01 09:30:00")), // tie with r1 → inclusive match
+      (4L, 20L, ts("2024-01-01 12:00:00"))) // other key, no right rows → NULL
+      .toDF("l_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 09:30:00")),
+      (102L, 10L, ts("2024-01-01 09:45:00")),
+      (103L, 30L, ts("2024-01-01 00:00:00"))) // different key, never matches
+      .toDF("r_id", "user_id", "ts")
+    val out = TemporalJoins.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+        Map("r_id" -> "matched"))
+      .select("l_id", "matched").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1L -> 102L, 2L -> -1L, 3L -> 101L, 4L -> -1L))
+  }
+
+  test("bandJoin: exact pairs across bucket boundaries, each pair once") {
+    val s = spark
+    import s.implicits._
+    // width 1.0: values chosen so bands cross bucket edges (0.8→1.3 spans
+    // buckets 0 and 1) and a boundary hit lands exactly on l+width
+    val left = Seq(("a", 1L, 0.8), ("a", 2L, 2.0), ("b", 3L, 0.8))
+      .toDF("k", "l_id", "l_v")
+    val right = Seq(("a", 11L, 0.8), ("a", 12L, 1.3), ("a", 13L, 1.8),
+      ("a", 14L, 3.0), ("b", 15L, 1.9))
+      .toDF("k", "r_id", "r_v")
+    val out = TemporalJoins.bandJoin(left, right, Seq("k"), "l_v", "r_v", 1.0)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1: 0.8] → (0.8, 1.8]: 12 (1.3), 13 (1.8 boundary inclusive); 11 at
+    // 0.8 excluded (strict lower); (2: 2.0] → (2.0, 3.0]: 14; (b 3: 0.8] →
+    // 15? 1.9 > 1.8 → no
+    assert(out === Set((1L, 12L), (1L, 13L), (2L, 14L)))
+  }
+
+  test("bandJoin matches the naive theta join on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map(i =>
+      (if (i % 2 == 0) "x" else "y", i, math.floor(rnd.nextDouble() * 1000) / 100))
+    val df = rows.toDF("k", "id", "v")
+    val l = df.select(col("k"), col("id").as("l_id"), col("v").as("l_v"))
+    val r = df.select(col("k"), col("id").as("r_id"), col("v").as("r_v"))
+    val banded = TemporalJoins.bandJoin(l, r, Seq("k"), "l_v", "r_v", 0.5)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = (for {
+      (ka, ia, va) <- rows; (kb, ib, vb) <- rows
+      if ka == kb && vb > va && vb <= va + 0.5
+    } yield (ia, ib)).toSet
+    assert(banded === naive && naive.nonEmpty)
+  }
+
+  test("asOfJoin matches a per-key scan on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    def t(off: Int) = new Timestamp(1700000000000L + off * 1000L)
+    val lRows = (1L to 200L).map(i => (i, i % 7, t(rnd.nextInt(5000))))
+    val rRows = (1000L to 1100L).map(i => (i, i % 5, t(rnd.nextInt(5000))))
+    val left = lRows.toDF("l_id", "user_id", "ts")
+    val right = rRows.toDF("r_id", "user_id", "ts")
+    val out = TemporalJoins.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+        Map("r_id" -> "matched"))
+      .select("l_id", "matched").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val expected = lRows.map { case (lid, k, lt) =>
+      val cands = rRows.filter(r => r._2 == k && !r._3.after(lt))
+      lid -> (if (cands.isEmpty) -1L else cands.maxBy(_._3.getTime)._1)
+    }.toMap
+    assert(out === expected)
+  }
+}
