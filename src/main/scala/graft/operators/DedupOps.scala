@@ -308,18 +308,24 @@ object DedupOps {
     // one row per doc; checkpoint so the 4 block self-joins (8 plan
     // references) don't each recompute the explode+32-sum aggregation
     val sim = simhash(df, text).localCheckpoint(true)
+    val byteOf = (c: Column, j: Int) => shiftright(c, j * 8).bitwiseAND(lit(255L))
     val blocked = (0 until 4).map { b =>
-      val byteOf = (c: Column) => shiftright(c, b * 8).bitwiseAND(lit(255L))
+      // each pair is claimed by its FIRST agreeing byte only (all earlier
+      // bytes must differ), so the 4 joins are disjoint by construction —
+      // the union needs no pair-level distinct, which at bench scale was a
+      // full extra shuffle of millions of candidate rows. The Hamming
+      // filter also runs inside each join, before the union.
+      val firstMatch = (0 until b)
+        .map(j => byteOf(col("a.simhash"), j) =!= byteOf(col("b.simhash"), j))
+        .foldLeft(lit(true))(_ && _)
       sim.as("a").join(sim.as("b"),
-        byteOf(col("a.simhash")) === byteOf(col("b.simhash")) &&
-          col("a.doc_id") < col("b.doc_id"))
+        byteOf(col("a.simhash"), b) === byteOf(col("b.simhash"), b) &&
+          col("a.doc_id") < col("b.doc_id") && firstMatch)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-    }.reduce(_ unionByName _).distinct()
-    blocked
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxDist)
-      .select("doc_a", "doc_b", "hamming")
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .filter(col("hamming") <= maxDist)
+    }.reduce(_ unionByName _)
+    blocked.select("doc_a", "doc_b", "hamming")
   }
 
   /** Oracle twin uses the naive all-pairs form — same result set, and the
