@@ -436,6 +436,15 @@ object SparkEntry {
       SimilarityOps.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), 8)
     }),
 
+    // IVFADC: inverted-list probe + asymmetric int8-code scoring; oracle
+    // generated from the trained centroids — see [[dynamicOracleSql]]
+    "x24_ann_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.IvfOps.train(emb, k = 16, iterations = 2)
+      graft.operators.IvfOps.adcTopK(emb,
+        emb.filter(col("vec_id") % 100 === 0), model, k = 8, nProbe = 6)
+    }),
+
     // salted two-stage aggregation equals the plain GROUP BY — the oracle
     // proves the skew-mitigation path is semantics-preserving
     "x21_salted_counts" -> ((s, dir) =>
@@ -804,7 +813,10 @@ object SparkEntry {
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
     val model = graft.operators.IvfOps.train(
       Tables.embeddings(spark, sfDir), k = 16, iterations = 2)
-    Map("x18_ann_ivf" -> graft.operators.IvfOps.topKSql(
-      model, "vec_id % 100 = 0", k = 8, nProbe = 6))
+    Map(
+      "x18_ann_ivf" -> graft.operators.IvfOps.topKSql(
+        model, "vec_id % 100 = 0", k = 8, nProbe = 6),
+      "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(
+        model, "vec_id % 100 = 0", k = 8, nProbe = 6))
   }
 }

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * O(corpus/K × nProbe) rows per query batch instead of the full corpus.
   *
   * Determinism: seeding, assignment tie-breaks (lowest centroid id), and
-  * fold order are all fixed, so results are stable across runs. (No SQL
-  * oracle — k-means isn't reasonably SQL-expressible; the driver records
-  * a rows-only check and IvfOpsSpec pins recall + determinism.)
+  * fold order are all fixed, so results are stable across runs — which is
+  * what lets a TRAINED model's centroids embed as literals in a generated
+  * DuckDB oracle ([[topKSql]], [[adcTopKSql]]; merged into the gate by
+  * `SparkEntry.dynamicOracleSql`). IvfOpsSpec additionally pins recall +
+  * determinism.
   */
 object IvfOps {
 
@@ -135,5 +137,87 @@ object IvfOps {
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
+  }
+
+  /** IVFADC: inverted-file candidate selection + Asymmetric Distance
+    * Computation — the query stays float (unit-normalized), the corpus is
+    * scored from the int8 code table of
+    * [[SimilarityOps.quantizeEmbeddings]] (the IVFADC architecture of
+    * Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011, with a scalar quantizer).
+    *
+    * This is the 100 TB shape: the float corpus is touched once offline
+    * (assignment + code build — in production a persisted table); query
+    * time joins probe only nProbe inverted lists per query and move 16×
+    * less data than float re-ranking, with quantization error one-sided
+    * (corpus only) instead of two-sided as in the symmetric
+    * [[SimilarityOps.quantizedTopK]].
+    *
+    * `approx_cos = Σ qu_i · code_i / 127` — exact-double arithmetic over
+    * the same sequential fold as the DuckDB twin. */
+  def adcTopK(emb: DataFrame, queries: DataFrame, model: IvfModel,
+              k: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val codes = SimilarityOps.quantizeEmbeddings(emb)
+      .select(col("vec_id"), col("qcode"))
+    val assigned = assign(emb, model).select(col("vec_id"), col("centroid_id"))
+      .join(codes, Seq("vec_id"))
+    // query side is small by contract: probe lists + unit query driver-side
+    val probes = typed(queries).collect().flatMap { case (qid, qv) =>
+      val n = math.sqrt(SimilarityOps.dotLocal(qv, qv))
+      val qu = qv.map(_ / n)
+      model.nearest(qv, nProbe).map(cid => (qid, cid, qu))
+    }.toSeq.toDF("query_id", "centroid_id", "qu")
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(SimilarityOps.dot(col("qu"), col("qcode").cast("array<double>"))
+          / 127d, 9).as("adc_cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[adcTopK]] for a trained model — same centroid-literal
+    * replay as [[topKSql]], with ADC scoring over the generated code table. */
+  def adcTopKSql(model: IvfModel, queryFilter: String, k: Int, nProbe: Int): String = {
+    val centroidRows = model.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    val e = "CAST(e.embedding AS DOUBLE[])"
+    val sim = s"list_dot_product($e, c.cv) / " +
+      s"(sqrt(list_dot_product($e, $e)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    val qe = "CAST(p.qe AS DOUBLE[])"
+    s"""WITH codes AS (
+       |  ${SimilarityOps.quantizeEmbeddingsSql.replace("\n", "\n  ")}
+       |), centroids AS (
+       |  SELECT * FROM (VALUES $centroidRows) AS c(cid, cv)
+       |), sims AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $sim DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN centroids c
+       |), corpus_assign AS (
+       |  SELECT vec_id, cid AS centroid_id FROM sims WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cid AS centroid_id
+       |  FROM sims WHERE ($queryFilter) AND rn <= $nProbe
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_dot_product(
+       |      list_transform($qe, x -> x / sqrt(list_dot_product($qe, $qe))),
+       |      CAST(cd.qcode AS DOUBLE[])) / 127.0, 9) AS adc_cos
+       |  FROM probes p
+       |  JOIN corpus_assign a USING (centroid_id)
+       |  JOIN codes cd ON cd.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, adc_cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_cos DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
   }
 }

@@ -41,6 +41,29 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("adc topK is deterministic and tracks the float-probe ranking") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val model = IvfOps.train(emb, k = 16, iterations = 2)
+
+    def run() = IvfOps.adcTopK(emb, queries, model, k = 8, nProbe = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val a = run()
+    assert(a === run(), "adc results must be deterministic")
+
+    // asymmetric int8 scoring over the SAME probed lists must agree with
+    // exact-float scoring on most of the top-8 (scalar quantization noise
+    // only) — and with exact brute force above the random-probe floor
+    val floatProbe = IvfOps.topK(emb, queries, model, k = 8, nProbe = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val agree = a.intersect(floatProbe).size.toDouble / floatProbe.size
+    assert(agree >= 0.8, s"ADC/float agreement $agree too low")
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = a.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("assignment covers the corpus exactly once") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = IvfOps.train(emb, k = 16, iterations = 1)
