@@ -103,4 +103,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("partial_min") || plan.contains("partial_count"),
       s"expected partial aggregation:\n$plan")
   }
+
+  test("as-of join (j15) is join-free: one shuffle, one window pass") {
+    val plan = physicalPlan(graft.operators.TemporalJoins.purchaseClickAsOf(
+      graft.core.Tables.events(spark, sfDir)))
+    // the union+window formulation contains NO join operator at all — the
+    // property that makes it survive dense keys at scale
+    assert(!plan.contains("Join"), s"as-of join must not plan a join:\n$plan")
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 2, s"expected a single shuffle (+AQE read):\n$plan")
+    assert(plan.contains("Window"), s"expected a window pass:\n$plan")
+  }
+
+  test("band join (j16) is an equi-join on buckets, never a cross product") {
+    val plan = physicalPlan(graft.operators.TemporalJoins.valueBandPairs(
+      graft.core.Tables.events(spark, sfDir)))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"band join must stay an equi-join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"expected partial aggregation after the band filter:\n$plan")
+  }
+
+  test("adc ANN (x24) probes via broadcast hash join, never a BNLJ") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val model = graft.operators.IvfOps.train(emb, k = 4, iterations = 1)
+    val plan = physicalPlan(graft.operators.IvfOps.adcTopK(
+      emb, emb.filter(col("vec_id") % 100 === 0), model, k = 4, nProbe = 2))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the query side:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"adc must never plan a BNLJ:\n$plan")
+  }
 }
