@@ -451,6 +451,9 @@ object SparkEntry {
       graft.operators.SkewOps.saltedCount(
         Tables.events(s, dir), Seq("event_type"), "user_id", buckets = 16)),
 
+    "x25_split_report" -> ((s, dir) =>
+      graft.operators.SamplingOps.splitReport(Tables.documents(s, dir))),
+
     "x15_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
 
@@ -801,6 +804,8 @@ object SparkEntry {
     "x21_salted_counts" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "x22_ann_quantized" -> SimilarityOps.quantizedTopKSql("vec_id % 100 = 0", 8),
+
+    "x25_split_report" -> graft.operators.SamplingOps.splitReportSql,
 
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)

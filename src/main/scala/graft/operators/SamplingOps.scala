@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines.
+  *
+  * Everything here is keyed by a content-stable hash, never an RNG:
+  * the same row lands in the same split/sample on every engine, every
+  * run, every cluster size — the property that makes a 100 TB holdout
+  * split reproducible and auditable (and lets DuckDB verify it exactly).
+  * All operators are pure narrow projections/filters: no shuffle, no
+  * driver state, trivially parallel over any partitioning.
+  */
+object SamplingOps {
+
+  /** Percile bucket 0..99 of a key column: stable hash → [0, 100). */
+  def hashBucket(key: Column, seed: Int = 0): Column =
+    pmod(HashFunctions.hash60(key, seed), lit(100L))
+
+  def hashBucketSql(expr: String, seed: Int = 0): String =
+    s"((${HashFunctions.hash60Sql(expr, seed)}) % 100 + 100) % 100"
+
+  /** Deterministic train/val/test assignment by hashed key: buckets
+    * [0,train) → train, [train,train+val) → val, rest → test. The split
+    * is a pure function of the key — adding or removing OTHER rows never
+    * reassigns an existing one (unlike `randomSplit`, which depends on
+    * partitioning and seed plumbing). */
+  def trainValTest(df: DataFrame, key: Column, trainPct: Int = 90,
+                   valPct: Int = 5, seed: Int = 0): DataFrame = {
+    val b = hashBucket(key, seed)
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Deterministic stratified sample: keep `pct`% per stratum, selected
+    * by hash bucket — sampling rate is exact in expectation per stratum
+    * and membership is content-stable. */
+  def stratifiedSample(df: DataFrame, key: Column, pct: Int,
+                       seed: Int = 0): DataFrame =
+    df.filter(hashBucket(key, seed) < pct)
+
+  // ---- query twins ---------------------------------------------------------
+
+  /** x25: split the documents corpus 90/5/5 by doc_id and report per
+    * (lang, split) counts + mean quality — the audit a training run logs
+    * before consuming a split. One narrow projection + one small agg (the
+    * per-row DECIMAL cast keeps the mean order-independent). */
+  def splitReport(docs: DataFrame): DataFrame =
+    trainValTest(docs, col("doc_id"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(TextOps.qualityScoreCol(col("text"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+          / count(lit(1))).as("mean_quality"))
+
+  def splitReportSql: String =
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    CASE WHEN ${hashBucketSql("doc_id")} < 90 THEN 'train'
+       |         WHEN ${hashBucketSql("doc_id")} < 95 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    ${TextOps.qualityScoreColSql("text")} AS quality
+       |  FROM documents
+       |)
+       |SELECT lang, split, count(*) AS n_docs,
+       |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_quality
+       |FROM s GROUP BY lang, split""".stripMargin
+}

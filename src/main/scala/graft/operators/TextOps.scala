@@ -121,6 +121,16 @@ object TextOps {
       qualityScoreCol(text).as("quality_score"))
   }
 
+  /** DuckDB twin of [[qualityScoreCol]] as an inline expression over a
+    * text column — keep in sync with the Column form. */
+  def qualityScoreColSql(t: String): String = {
+    val stopList = qualityStopwords.map(w => s"'$w'").mkString(", ")
+    s"""least(len(string_split(trim($t), ' ')) / 100.0, 1.0) * 0.4
+       |    + (1.0 - CAST(len(regexp_extract_all($t, '[^a-z0-9 ]')) AS DOUBLE) / length($t)) * 0.3
+       |    + least(CAST(len(list_filter(string_split(trim($t), ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |            / len(string_split(trim($t), ' ')) * 5.0, 1.0) * 0.3""".stripMargin
+  }
+
   def qualityScoreSql: String = {
     val stopList = qualityStopwords.map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id,
@@ -131,10 +141,7 @@ object TextOps {
        |    / length(text) AS punct_ratio,
        |  CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ($stopList))) AS DOUBLE)
        |    / len(string_split(trim(text), ' ')) AS stopword_ratio,
-       |  least(len(string_split(trim(text), ' ')) / 100.0, 1.0) * 0.4
-       |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text)) * 0.3
-       |    + least(CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ($stopList))) AS DOUBLE)
-       |            / len(string_split(trim(text), ' ')) * 5.0, 1.0) * 0.3 AS quality_score
+       |  ${qualityScoreColSql("text")} AS quality_score
        |FROM documents""".stripMargin
   }
 

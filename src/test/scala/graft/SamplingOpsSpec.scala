@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.SamplingOps
+
+/** Deterministic hash splitting: content-stable membership, correct
+  * proportions, and insensitivity to the rest of the dataset. */
+class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("train/val/test covers every row once with roughly 90/5/5 shares") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val split = SamplingOps.trainValTest(docs, col("doc_id"))
+    assert(split.count() === n)
+    val shares = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shares.values.sum === n)
+    assert(shares("train").toDouble / n > 0.8 &&
+      shares("train").toDouble / n < 0.97, s"shares: $shares")
+    assert(shares.getOrElse("val", 0L) > 0 && shares.getOrElse("test", 0L) > 0)
+  }
+
+  test("membership is a pure function of the key: subsetting never reassigns") {
+    val docs = Tables.documents(spark, sfDir)
+    val full = SamplingOps.trainValTest(docs, col("doc_id"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // drop half the corpus — every surviving doc keeps its split
+    val sub = SamplingOps.trainValTest(docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (id, s) => full(id) == s })
+  }
+
+  test("stratified sample keeps about pct% and is deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count().toDouble
+    def ids = SamplingOps.stratifiedSample(docs, col("doc_id"), 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids
+    assert(a === ids, "sample must be deterministic")
+    assert(a.size / n > 0.1 && a.size / n < 0.3, s"share ${a.size / n}")
+  }
+}
