@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
-  /** Backward-inclusive as-of join: for every left row, match the single
-    * right row with the greatest `rightTs <= leftTs` in the same `keys`
-    * group (the pandas `merge_asof` / DuckDB `ASOF JOIN` contract); right
-    * columns are NULL when no prior right row exists (left-join form).
+  /** As-of join: for every left row, match the single closest right row
+    * at-or-before (`backward = true`, the default — greatest
+    * `rightTs <= leftTs`) or at-or-after (`backward = false` — smallest
+    * `rightTs >= leftTs`) in the same `keys` group (the pandas
+    * `merge_asof` / DuckDB `ASOF JOIN` contract); right columns are NULL
+    * when no such right row exists (left-join form).
     *
     * `rightCols` are carried from the matched right row, renamed via the
     * map's values. Right rows must be unique per (keys, rightTs) for the
@@ -37,12 +39,14 @@ object TemporalJoins {
     * is unique.
     *
     * Mechanics: tag both sides, union, and take `last(right-struct,
-    * ignoreNulls)` over a running window ordered by (ts, side) with right
-    * sorting before left on ties — that makes the boundary inclusive.
+    * ignoreNulls)` over a running window ordered by (ts, side) — ts
+    * descending for the forward direction — with right sorting before
+    * left on ties, which makes the boundary inclusive either way.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               rightCols: Map[String, String]): DataFrame = {
+               rightCols: Map[String, String],
+               backward: Boolean = true): DataFrame = {
     val leftCols = left.columns.toSeq
     val payload = struct(rightCols.keys.toSeq.map(col): _*)
     // build the union explicitly so both sides carry identical schemas:
@@ -57,8 +61,9 @@ object TemporalJoins {
     val unioned = lSel.withColumn("__r",
         lit(null).cast(rSel.schema("__r").dataType))
       .unionByName(rSel, allowMissingColumns = true)
+    val tsOrder = if (backward) col("__ts").asc else col("__ts").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(tsOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -82,6 +82,25 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded === naive && naive.nonEmpty)
   }
 
+  test("forward asOfJoin: earliest at-or-after right row per key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 09:00:00")), // before both → matches r1
+      (2L, 10L, ts("2024-01-01 09:30:00")), // tie with r1 → inclusive
+      (3L, 10L, ts("2024-01-01 10:00:00"))) // after all → NULL
+      .toDF("l_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 09:30:00")),
+      (102L, 10L, ts("2024-01-01 09:45:00")))
+      .toDF("r_id", "user_id", "ts")
+    val out = TemporalJoins.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+        Map("r_id" -> "matched"), backward = false)
+      .select("l_id", "matched").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1L -> 101L, 2L -> 101L, 3L -> -1L))
+  }
+
   test("asOfJoin matches a per-key scan on random data") {
     val s = spark
     import s.implicits._
