@@ -454,6 +454,9 @@ object SparkEntry {
     "x25_split_report" -> ((s, dir) =>
       graft.operators.SamplingOps.splitReport(Tables.documents(s, dir))),
 
+    "x26_pack_chunks" -> ((s, dir) =>
+      graft.operators.SamplingOps.packChunks(Tables.documents(s, dir))),
+
     "x15_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
 
@@ -806,6 +809,8 @@ object SparkEntry {
     "x22_ann_quantized" -> SimilarityOps.quantizedTopKSql("vec_id % 100 = 0", 8),
 
     "x25_split_report" -> graft.operators.SamplingOps.splitReportSql,
+
+    "x26_pack_chunks" -> graft.operators.SamplingOps.packChunksSql(),
 
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)

@@ -59,6 +59,50 @@ object SamplingOps {
             .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
           / count(lit(1))).as("mean_quality"))
 
+  /** x26: concat-and-chunk sequence packing — the pretraining-dataloader
+    * shape: shard the corpus deterministically, order each shard, run a
+    * cumulative token total, and chunk the concatenated token stream at a
+    * fixed context length. Each doc gets `(shard, chunk_id, chunk_offset)`
+    * — enough for a reader to reassemble every context window. Docs
+    * straddle chunk boundaries exactly as pretraining concat+split does.
+    *
+    * One narrow projection + one per-shard window cumsum: a single
+    * shuffle keyed by shard; shard count scales the parallelism and
+    * bounds the per-task sort, so the 100 TB form is the same plan with
+    * more shards. All-integer arithmetic — exact on both engines. */
+  def packChunks(docs: DataFrame, contextLen: Int = 512,
+                 shards: Int = 8): DataFrame = {
+    val nTokens = size(TextOps.words(col("text"))).cast("long")
+    val sharded = docs.select(col("doc_id"),
+      pmod(HashFunctions.hash60(col("doc_id")), lit(shards.toLong)).as("shard"),
+      nTokens.as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("cum_excl") / contextLen).cast("long").as("chunk_id"),
+        (col("cum_excl") % contextLen).as("chunk_offset"))
+  }
+
+  def packChunksSql(contextLen: Int = 512, shards: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ((${HashFunctions.hash60Sql("doc_id")}) % $shards + $shards) % $shards AS shard,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+       |  FROM t
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |  cum_excl // $contextLen AS chunk_id,
+       |  cum_excl % $contextLen AS chunk_offset
+       |FROM c""".stripMargin
+
   def splitReportSql: String =
     s"""WITH s AS (
        |  SELECT lang,

@@ -49,6 +49,24 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sub.forall { case (id, s) => full(id) == s })
   }
 
+  test("packChunks: offsets chain exactly through the concatenated stream") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = SamplingOps.packChunks(docs, contextLen = 512, shards = 8)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_offset")))
+    assert(rows.length === docs.count())
+    rows.groupBy(_._1).values.foreach { shard =>
+      var cum = 0L
+      shard.sortBy(_._2).foreach { case (_, _, n, chunk, off) =>
+        assert(chunk === cum / 512 && off === cum % 512)
+        cum += n
+      }
+    }
+    // chunking does real packing: some docs land past chunk 0
+    assert(rows.exists(_._4 > 0))
+  }
+
   test("stratified sample keeps about pct% and is deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count().toDouble
