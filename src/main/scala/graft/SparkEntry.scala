@@ -457,6 +457,9 @@ object SparkEntry {
     "x26_pack_chunks" -> ((s, dir) =>
       graft.operators.SamplingOps.packChunks(Tables.documents(s, dir))),
 
+    "x27_mixture_rebalance" -> ((s, dir) =>
+      graft.operators.SamplingOps.mixtureRebalance(Tables.documents(s, dir))),
+
     "x15_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
 
@@ -811,6 +814,8 @@ object SparkEntry {
     "x25_split_report" -> graft.operators.SamplingOps.splitReportSql,
 
     "x26_pack_chunks" -> graft.operators.SamplingOps.packChunksSql(),
+
+    "x27_mixture_rebalance" -> graft.operators.SamplingOps.mixtureRebalanceSql(),
 
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)

@@ -59,6 +59,45 @@ object SamplingOps {
             .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
           / count(lit(1))).as("mean_quality"))
 
+  /** x27: mixture rebalancing — downsample every stratum to the size of
+    * the smallest (uniform target mixture), choosing survivors by stable
+    * hash so the subset is reproducible and monotone (a doc kept at rate
+    * r stays kept at any rate ≥ r). Rates are exact integer percentiles:
+    * stratum s keeps buckets `< floor(100·min_n/n_s)`, never fewer than 1
+    * so no stratum vanishes. One small count agg broadcast back over the
+    * corpus — the scan stays narrow.
+    *
+    * Reports per-stratum `n_docs` (input) and `n_kept` so the mixture
+    * shift is auditable. */
+  def mixtureRebalance(docs: DataFrame, stratum: Column = col("lang"),
+                       seed: Int = 0): DataFrame = {
+    val counts = docs.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("min_n"))
+    val rates = counts.crossJoin(minN)
+      .select(col("stratum"), col("n_docs"),
+        greatest(floor(lit(100) * col("min_n") / col("n_docs")).cast("long"),
+          lit(1L)).as("keep_pct"))
+    docs.select(stratum.as("stratum"), col("doc_id"))
+      .join(broadcast(rates), Seq("stratum"))
+      .filter(hashBucket(col("doc_id"), seed) < col("keep_pct"))
+      .groupBy(col("stratum"), col("n_docs"), col("keep_pct"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  def mixtureRebalanceSql(seed: Int = 0): String =
+    s"""WITH counts AS (
+       |  SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY lang
+       |), rates AS (
+       |  SELECT stratum, n_docs,
+       |    greatest(100 * (SELECT min(n_docs) FROM counts) // n_docs, 1) AS keep_pct
+       |  FROM counts
+       |)
+       |SELECT r.stratum, r.n_docs, r.keep_pct, count(*) AS n_kept
+       |FROM documents d
+       |JOIN rates r ON r.stratum = d.lang
+       |WHERE ${hashBucketSql("d.doc_id", seed)} < r.keep_pct
+       |GROUP BY r.stratum, r.n_docs, r.keep_pct""".stripMargin
+
   /** x26: concat-and-chunk sequence packing — the pretraining-dataloader
     * shape: shard the corpus deterministically, order each shard, run a
     * cumulative token total, and chunk the concatenated token stream at a

@@ -67,6 +67,23 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_._4 > 0))
   }
 
+  test("mixtureRebalance: kept shares move toward uniform, no stratum vanishes") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val out = SamplingOps.mixtureRebalance(docs).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("keep_pct"), r.getAs[Long]("n_kept")))
+    assert(out.nonEmpty)
+    val inShares = out.map(o => o._2.toDouble / out.map(_._2).sum)
+    val keptShares = out.map(o => o._4.toDouble / out.map(_._4).sum)
+    // rebalancing must shrink the spread of shares across strata
+    assert(keptShares.max - keptShares.min < inShares.max - inShares.min,
+      s"expected flatter mixture: in=$inShares kept=$keptShares")
+    assert(out.forall(_._4 > 0), "no stratum may vanish")
+    assert(out.forall(o => o._4 <= o._2))
+  }
+
   test("stratified sample keeps about pct% and is deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count().toDouble
