@@ -460,6 +460,10 @@ object SparkEntry {
     "x27_mixture_rebalance" -> ((s, dir) =>
       graft.operators.SamplingOps.mixtureRebalance(Tables.documents(s, dir))),
 
+    "x28_decontamination" -> ((s, dir) =>
+      DedupOps.contaminationReport(Tables.documents(s, dir),
+        col("doc_id") % 50 === 0, n = 3)),
+
     "x15_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
 
@@ -816,6 +820,8 @@ object SparkEntry {
     "x26_pack_chunks" -> graft.operators.SamplingOps.packChunksSql(),
 
     "x27_mixture_rebalance" -> graft.operators.SamplingOps.mixtureRebalanceSql(),
+
+    "x28_decontamination" -> DedupOps.contaminationReportSql("doc_id % 50 = 0", n = 3),
 
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)

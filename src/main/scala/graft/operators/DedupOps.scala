@@ -81,13 +81,19 @@ object DedupOps {
     * document's own word count), so the oracle is unbounded in document
     * length — exactly like the Spark side's `sequence` — instead of
     * capping at a fixed join range. */
-  def shinglesSqlCte: String =
-    s"""sh AS (
+  def shinglesSqlCte: String = shinglesSqlCteN(shingleWords)
+
+  /** Generalized form: n-word shingles of `rel` as CTE `name`. */
+  def shinglesSqlCteN(n: Int, rel: String = "documents",
+                      name: String = "sh"): String = {
+    val cat = (0 until n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""$name AS (
        |  SELECT DISTINCT doc_id,
-       |    unnest(list_transform(generate_series(1, greatest(len(ws) - ${shingleWords - 1}, 0)),
-       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+       |    unnest(list_transform(generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
+       |      i -> $cat)) AS sh
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM $rel)
        |)""".stripMargin
+  }
 
   // Affine MinHash family over a 32-bit md5 base hash: h_i = (a_i·h + b_i)
   // mod p. ONE md5 per shingle feeds all k family members (the classic
@@ -413,6 +419,40 @@ object DedupOps {
       .join(labels.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
+
+  // ---- benchmark decontamination ------------------------------------------
+
+  /** Train/eval contamination report: `(train_doc, eval_doc, n_shared)`
+    * pairs sharing at least `minShared` distinct word n-grams — the
+    * n-gram-overlap decontamination check run before training on any
+    * corpus that might contain benchmark text.
+    *
+    * Scale shape: the eval set is small by nature, so its exploded
+    * shingle relation BROADCASTS and the corpus-side scan stays narrow —
+    * one pass over training shingles, a map-side hash join, and a
+    * partial-aggregating pair count. No self-join, no shuffle of the
+    * corpus. (At 100 TB the broadcast side would be the hashed
+    * fingerprint set — same plan with 8-byte keys.) */
+  def contaminationReport(docs: DataFrame, evalPred: Column, n: Int = 5,
+                          minShared: Long = 3,
+                          text: Column = col("text")): DataFrame = {
+    def sh(df: DataFrame, as: String) = df
+      .select(col("doc_id").as(as), explode(array_distinct(shingles(text, n))).as("sh"))
+    sh(docs.filter(!evalPred), "train_doc")
+      .join(broadcast(sh(docs.filter(evalPred), "eval_doc")), Seq("sh"))
+      .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def contaminationReportSql(evalPredSql: String, n: Int = 5,
+                             minShared: Long = 3): String =
+    s"""WITH ${shinglesSqlCteN(n, s"(SELECT * FROM documents WHERE NOT ($evalPredSql))", "tr")},
+       |${shinglesSqlCteN(n, s"(SELECT * FROM documents WHERE $evalPredSql)", "ev")}
+       |SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+       |  count(*) AS n_shared
+       |FROM tr JOIN ev USING (sh)
+       |GROUP BY tr.doc_id, ev.doc_id
+       |HAVING count(*) >= $minShared""".stripMargin
 
   /** DuckDB twin of [[dupClusters]]: recursive transitive closure over the
     * symmetrized pair set, label = min(self ∪ reachable). `pairsSql` is a

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -47,6 +48,24 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = ((1L to 60L).map(_ -> 1L) ++
       (100L to 104L).map(_ -> 100L) ++ Seq(999L -> 999L)).toMap
     assert(out === expected)
+  }
+
+  test("contamination report finds planted benchmark overlap, nothing else") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely different training document about spark joins"),
+      (10L, "benchmark question the quick brown fox jumps over what"), // eval
+      (20L, "another eval item with no overlap whatsoever here")) // eval
+      .toDF("doc_id", "text")
+    val out = DedupOps.contaminationReport(docs, col("doc_id") >= 10L, n = 3,
+        minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 shares the 5-word run "the quick brown fox jumps" +
+    // "jumps over" continuation → >= 3 shared trigrams with eval doc 10
+    assert(out.map(t => (t._1, t._2)) === Set((1L, 10L)))
+    assert(out.head._3 >= 3)
   }
 
   test("empty pair set: every doc is its own cluster") {
