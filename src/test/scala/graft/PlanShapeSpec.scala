@@ -125,6 +125,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected partial aggregation after the band filter:\n$plan")
   }
 
+  test("decontamination (x28) broadcasts the eval side, corpus not shuffled before the join") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.DedupOps.contaminationReport(
+      docs, col("doc_id") % 50 === 0, n = 3))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the corpus side must not shuffle into the join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"pair counting must aggregate map-side first:\n$plan")
+  }
+
   test("adc ANN (x24) probes via broadcast hash join, never a BNLJ") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val model = graft.operators.IvfOps.train(emb, k = 4, iterations = 1)
