@@ -33,8 +33,10 @@ object Bench {
     }
     // 3-decimal timings: the driver captures a bounded tail of stdout and
     // parses the last JSON line — full-precision doubles push the line past
-    // that window (BENCH_r01/r02 recorded parsed:null).
-    def fmt(v: Double): String = f"$v%.3f"
+    // that window (BENCH_r01/r02 recorded parsed:null). Locale.ROOT keeps
+    // the decimal separator a dot on comma-locale JVMs.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

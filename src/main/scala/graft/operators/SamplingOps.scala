@@ -63,9 +63,12 @@ object SamplingOps {
     * the smallest (uniform target mixture), choosing survivors by stable
     * hash so the subset is reproducible and monotone (a doc kept at rate
     * r stays kept at any rate ≥ r). Rates are exact integer percentiles:
-    * stratum s keeps buckets `< floor(100·min_n/n_s)`, never fewer than 1
-    * so no stratum vanishes. One small count agg broadcast back over the
-    * corpus — the scan stays narrow.
+    * stratum s keeps buckets `< floor(100·min_n/n_s)`, with a 1% rate
+    * floor so no stratum's rate rounds to zero (how many docs actually
+    * survive still depends on which buckets its keys hash to — a tiny
+    * stratum can come up empty; pick the floor per corpus if that
+    * matters). One small count agg broadcast back over the corpus — the
+    * scan stays narrow.
     *
     * Reports per-stratum `n_docs` (input) and `n_kept` so the mixture
     * shift is auditable. */

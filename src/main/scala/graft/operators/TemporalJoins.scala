@@ -55,9 +55,14 @@ object TemporalJoins {
     val lSel = left.select(
       (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
         leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
-    val rSel = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) :+
-        payload.as("__r"): _*)
+    // NULL-key right rows can never match (equi-key contract: NULL = NULL
+    // is no match, as in ASOF JOIN / merge_asof) — drop them here, or the
+    // window partition would group them with NULL-key left rows
+    val rSel = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) :+
+          payload.as("__r"): _*)
     val unioned = lSel.withColumn("__r",
         lit(null).cast(rSel.schema("__r").dataType))
       .unionByName(rSel, allowMissingColumns = true)

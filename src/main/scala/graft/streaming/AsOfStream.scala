@@ -22,8 +22,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *   - right rows still reachable — everything after the watermark-or-
   *     oldest-pending horizon, plus the single newest right at-or-before
   *     it (the match any future left would take). Superseded rights are
-  *     pruned every invocation, so state is O(rows inside the watermark
-  *     lag), not O(stream).
+  *     pruned every invocation, so state is one newest right per active
+  *     key plus the rows inside the watermark lag — never O(stream). The
+  *     per-key floor is inherent to as-of enrichment (the latest right
+  *     must stay available for a future left), exactly like a
+  *     stream-table join's table side; bound it with key TTL upstream if
+  *     keys churn without bound.
   *
   * Timestamps are millisecond epoch (`Timestamp.getTime`); ties at the
   * same ms stay backward-inclusive, matching the batch operator.

@@ -177,6 +177,13 @@ object StreamingIngest {
         state.read("hash_control").join(vanishedIds, Seq("file_id"), "left_anti"))
     }
 
+    // ONE pinned dedup per (dir_id, name): the change decision below and
+    // the upsert must see the SAME surviving staged row — dropDuplicates
+    // picks nondeterministically, so deduping separately in each consumer
+    // could decide "unchanged" on one duplicate while the upsert writes
+    // another (stale digest, or a spurious re-queue)
+    val stagedFiles = files.dropDuplicates("dir_id", "name").localCheckpoint(true)
+
     // J12 change detection from the merge inputs themselves, NOT
     // updated_on === asOf: with a pinned asOf across micro-batches (the
     // deterministic-test configuration) timestamp equality re-queues every
@@ -185,10 +192,9 @@ object StreamingIngest {
     // comparison upsertFiles uses. Pinned before the state swap
     // (stale-listing hazard: handles created pre-write fail post-write).
     val changedKeys = fileSlice()
-      .join(files.select(col("dir_id"), col("name"),
+      .join(stagedFiles.select(col("dir_id"), col("name"),
           col("size").as("s_size"), col("ctime").as("s_ctime"),
-          col("mtime").as("s_mtime"), col("atime").as("s_atime"))
-          .dropDuplicates("dir_id", "name"),
+          col("mtime").as("s_mtime"), col("atime").as("s_atime")),
         Seq("dir_id", "name"))
       .filter(!(col("size") <=> col("s_size")) ||
         !(col("ctime") <=> col("s_ctime")) ||
@@ -197,7 +203,7 @@ object StreamingIngest {
       .select(col("id")).localCheckpoint(true)
 
     // M1 upsert (change-only updates) — then drop vanished rows
-    val upserted = MergeOps.upsertFiles(fileSlice(), files, asOf)
+    val upserted = MergeOps.upsertFiles(fileSlice(), stagedFiles, asOf)
     val newFile =
       if (anyVanished) upserted.join(vanished.select(col("id")), Seq("id"), "left_anti")
       else upserted

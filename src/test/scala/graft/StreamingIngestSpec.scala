@@ -187,6 +187,32 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.read("hash_control").count() === 0)
   }
 
+  test("duplicate staged listings: change decision and upsert agree on the same survivor") {
+    val s = spark
+    import s.implicits._
+    val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val st = new StateStore(spark, Files.createTempDirectory("graft_dupstage").toString)
+    // establish: one file, hashed, queue drained
+    StreamingIngest.mergeBatch(st,
+      Seq(rec("self", "/data", ""), rec("file", "/data", "a.bin", "0.000010")).toDS().toDF(), t1)
+    val fid = st.read("file").head().getAs[Long]("id")
+    st.write("hash", Seq((1L, fid, "m", t1, "s", t1))
+      .toDF("id", "file_id", "md5_hash", "md5_hash_time", "sha1_hash", "sha1_hash_time"))
+    st.write("hash_control", st.read("hash_control").limit(0))
+    // the same file listed TWICE in one batch with conflicting sizes (the
+    // dir crawled twice in a cadence window): whichever duplicate the
+    // dedup keeps, the re-queue decision must match what was written
+    StreamingIngest.mergeBatch(st,
+      Seq(rec("self", "/data", ""),
+        rec("file", "/data", "a.bin", "0.000010"),
+        rec("file", "/data", "a.bin", "0.000020")).toDS().toDF(), t2)
+    val stored = st.read("file").head().getAs[java.math.BigDecimal]("size")
+    val queued = st.read("hash_control").count()
+    val changed = stored.compareTo(new java.math.BigDecimal("0.000010")) != 0
+    assert(queued === (if (changed) 1L else 0L),
+      s"stored size $stored but hash queue has $queued entries")
+  }
+
   test("bucketed streaming state: partial-bucket rewrites, same end state") {
     val s = spark
     import s.implicits._

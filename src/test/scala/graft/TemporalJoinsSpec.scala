@@ -82,6 +82,24 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded === naive && naive.nonEmpty)
   }
 
+  test("NULL keys never match: NULL-key lefts get NULL, NULL-key rights are inert") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, Some(10L), ts("2024-01-01 10:00:00")), // normal match
+      (2L, Option.empty[Long], ts("2024-01-01 10:00:00"))) // NULL key → no match
+      .toDF("l_id", "user_id", "ts")
+    val right = Seq(
+      (101L, Some(10L), ts("2024-01-01 09:00:00")),
+      (102L, Option.empty[Long], ts("2024-01-01 09:30:00"))) // must never match anything
+      .toDF("r_id", "user_id", "ts")
+    val out = TemporalJoins.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+        Map("r_id" -> "matched"))
+      .select("l_id", "matched").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1L -> 101L, 2L -> -1L))
+  }
+
   test("forward asOfJoin: earliest at-or-after right row per key") {
     val s = spark
     import s.implicits._
