@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,7 +36,9 @@ object TemporalJoins {
     * `rightCols` are carried from the matched right row, renamed via the
     * map's values. Right rows must be unique per (keys, rightTs) for the
     * match to be well-defined — true for `events`, where (user_id, ts)
-    * is unique.
+    * is unique. `tolerance` (an interval expression, e.g.
+    * `expr("INTERVAL 15 MINUTES")`) nulls out matches further than that
+    * from the left timestamp — merge_asof's third knob.
     *
     * Mechanics: tag both sides, union, and take `last(right-struct,
     * ignoreNulls)` over a running window ordered by (ts, side) — ts
@@ -46,9 +48,11 @@ object TemporalJoins {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightCols: Map[String, String],
-               backward: Boolean = true): DataFrame = {
+               backward: Boolean = true,
+               tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    val payload = struct(rightCols.keys.toSeq.map(col): _*)
+    val payload = struct(
+      (rightCols.keys.toSeq.map(col) :+ col(rightTs).as("__rts")): _*)
     // build the union explicitly so both sides carry identical schemas:
     // left rows hold their own columns + a NULL right-struct, right rows
     // hold NULL left columns + the payload struct
@@ -73,7 +77,16 @@ object TemporalJoins {
     val matched = unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    matched.select(
+    // tolerance: the match must sit within the interval of the left ts
+    val inRange = tolerance match {
+      case None => lit(true)
+      case Some(tol) =>
+        if (backward) col("__m.__rts") >= col("__ts") - tol
+        else col("__m.__rts") <= col("__ts") + tol
+    }
+    val gated = matched.withColumn("__m",
+      when(col("__m").isNotNull && inRange, col("__m")))
+    gated.select(
       (keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
         rightCols.map { case (src, out) => col(s"__m.$src").as(out) }.toSeq): _*)

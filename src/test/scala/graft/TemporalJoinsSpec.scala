@@ -82,6 +82,23 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded === naive && naive.nonEmpty)
   }
 
+  test("tolerance nulls matches further than the interval, keeps closer ones") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // 15 min after r1 → within 20 min
+      (2L, 10L, ts("2024-01-01 11:00:00"))) // 75 min after r1 → outside
+      .toDF("l_id", "user_id", "ts")
+    val right = Seq((101L, 10L, ts("2024-01-01 09:45:00")))
+      .toDF("r_id", "user_id", "ts")
+    val out = TemporalJoins.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+        Map("r_id" -> "matched"),
+        tolerance = Some(expr("INTERVAL 20 MINUTES")))
+      .select("l_id", "matched").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1L -> 101L, 2L -> -1L))
+  }
+
   test("NULL keys never match: NULL-key lefts get NULL, NULL-key rights are inert") {
     val s = spark
     import s.implicits._
