@@ -464,6 +464,10 @@ object SparkEntry {
       DedupOps.contaminationReport(Tables.documents(s, dir),
         col("doc_id") % 50 === 0, n = 3)),
 
+    "x29_quota_sample" -> ((s, dir) =>
+      graft.operators.SamplingOps.quotaSample(Tables.documents(s, dir),
+        col("lang"), 30)),
+
     "x15_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
 
@@ -822,6 +826,8 @@ object SparkEntry {
     "x27_mixture_rebalance" -> graft.operators.SamplingOps.mixtureRebalanceSql(),
 
     "x28_decontamination" -> DedupOps.contaminationReportSql("doc_id % 50 = 0", n = 3),
+
+    "x29_quota_sample" -> graft.operators.SamplingOps.quotaSampleSql(30),
 
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)

@@ -59,6 +59,30 @@ object SamplingOps {
             .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
           / count(lit(1))).as("mean_quality"))
 
+  /** x29: exact-quota stratified sample — exactly min(K, |stratum|) docs
+    * per stratum, chosen by hash order (a reproducible "random" quota;
+    * unlike the rate-based [[stratifiedSample]], the output size is
+    * fixed, not expected). One window pass partitioned by stratum. At
+    * 100 TB add a conservative hash-rate pre-filter (keep buckets up to
+    * ~K/|stratum| with headroom, verified against the per-stratum count)
+    * so the window sorts ~K rows per stratum instead of the full corpus
+    * — same result, bounded sort. */
+  def quotaSample(df: DataFrame, stratum: Column, k: Int,
+                  seed: Int = 0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(HashFunctions.hash60(col("doc_id"), seed), col("doc_id"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  def quotaSampleSql(k: Int, seed: Int = 0): String =
+    s"""SELECT * EXCLUDE (rn) FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |    ORDER BY ${HashFunctions.hash60Sql("doc_id", seed)}, doc_id) AS rn
+       |  FROM documents
+       |) WHERE rn <= $k""".stripMargin
+
   /** x27: mixture rebalancing — downsample every stratum to the size of
     * the smallest (uniform target mixture), choosing survivors by stable
     * hash so the subset is reproducible and monotone (a doc kept at rate

@@ -67,6 +67,25 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_._4 > 0))
   }
 
+  test("quotaSample: exactly min(K, stratum size) rows per stratum, deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def run(k: Int) = SamplingOps.quotaSample(docs, col("lang"), k)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = 10
+    assert(run(k) === sizes.map { case (l, n) => l -> math.min(k.toLong, n) })
+    // huge quota degrades to the full stratum
+    assert(run(1000000) === sizes)
+    // deterministic membership
+    def ids = SamplingOps.quotaSample(docs, col("lang"), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === ids)
+  }
+
   test("mixtureRebalance: kept shares move toward uniform, no stratum vanishes") {
     val s = spark
     import s.implicits._
