@@ -139,6 +139,58 @@ object IvfOps {
       .filter(col("rank") <= k)
   }
 
+  /** Persist a built index: centroids (tiny) + per-vector assignment and
+    * int8 codes — the offline half of the 100 TB flow, where the float
+    * corpus is read once and queries touch only this table afterward.
+    * Layout: `<dir>/centroids` (centroid_id, cv) and `<dir>/postings`
+    * (vec_id, centroid_id, qcode), partitioned by nothing — a production
+    * deployment would bucket postings by centroid_id so each probe reads
+    * one file group. */
+  def saveIndex(emb: DataFrame, model: IvfModel, dir: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("centroid_id", "cv")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    assign(emb, model).select(col("vec_id"), col("centroid_id"))
+      .join(SimilarityOps.quantizeEmbeddings(emb)
+        .select(col("vec_id"), col("qcode")), Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+  }
+
+  /** Load the persisted model; postings are read back lazily by
+    * [[adcTopKFromIndex]]. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                dir: String): IvfModel = {
+    val rows = spark.read.parquet(s"$dir/centroids")
+      .orderBy("centroid_id").collect()
+    IvfModel(rows.map(_.getAs[scala.collection.Seq[Double]]("cv").toArray))
+  }
+
+  /** Query the PERSISTED index: identical results to [[adcTopK]] without
+    * touching the float corpus at all — probes read only the postings
+    * table. */
+  def adcTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val model = loadIndex(spark, dir)
+    val postings = spark.read.parquet(s"$dir/postings")
+    val probes = typed(queries).collect().flatMap { case (qid, qv) =>
+      val n = math.sqrt(SimilarityOps.dotLocal(qv, qv))
+      val qu = qv.map(_ / n)
+      model.nearest(qv, nProbe).map(cid => (qid, cid, qu))
+    }.toSeq.toDF("query_id", "centroid_id", "qu")
+    postings.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(SimilarityOps.dot(col("qu"), col("qcode").cast("array<double>"))
+          / 127d, 9).as("adc_cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** IVFADC: inverted-file candidate selection + Asymmetric Distance
     * Computation — the query stays float (unit-normalized), the corpus is
     * scored from the int8 code table of

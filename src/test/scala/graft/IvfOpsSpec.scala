@@ -64,6 +64,21 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("persisted index round-trips: saved+loaded query equals the direct one") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val model = IvfOps.train(emb, k = 8, iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    IvfOps.saveIndex(emb, model, dir)
+    val direct = IvfOps.adcTopK(emb, queries, model, k = 5, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_cos"))).toSet
+    val loaded = IvfOps.adcTopKFromIndex(spark, dir, queries, k = 5, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_cos"))).toSet
+    assert(loaded === direct && direct.nonEmpty)
+  }
+
   test("assignment covers the corpus exactly once") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = IvfOps.train(emb, k = 16, iterations = 1)
