@@ -26,11 +26,16 @@ object Bench {
       Seq(c.directory, c.file, c.hash, c.directoryControl, c.hashControl)
         .foreach(_.count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration; the
+    // driver never sets it, so driver rounds always time the full set
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     // 3-decimal timings: the driver captures a bounded tail of stdout and
     // parses the last JSON line — full-precision doubles push the line past
     // that window (BENCH_r01/r02 recorded parsed:null). Locale.ROOT keeps

@@ -377,11 +377,12 @@ object DedupOps {
         greatest(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .localCheckpoint(true)
-    // only pair endpoints iterate — a doc in no pair is its own cluster
-    var labels = edges.select(col("u").as("doc_id"))
-      .union(edges.select(col("v"))).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+    // only pair endpoints iterate — a doc in no pair is its own cluster.
+    // labels stay null until round 1: identity labels relabeled through
+    // the hook map ARE the hook map, so materializing the identity set
+    // first (a distinct over all endpoints + a join) would be two wasted
+    // passes over the full edge set
+    var labels: DataFrame = null
     var iter = 0
     while (iter < maxIters && !edges.isEmpty) {
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
@@ -401,9 +402,11 @@ object DedupOps {
         jumping = !jumped.filter(col("nl") =!= col("nl2")).isEmpty
         hook = jumped.select(col("u"), col("nl2").as("nl"))
       }
-      labels = labels
-        .join(hook.select(col("u").as("label"), col("nl")), Seq("label"), "left")
-        .select(col("doc_id"), coalesce(col("nl"), col("label")).as("label"))
+      labels = (if (labels == null)
+          hook.select(col("u").as("doc_id"), col("nl").as("label"))
+        else labels
+          .join(hook.select(col("u").as("label"), col("nl")), Seq("label"), "left")
+          .select(col("doc_id"), coalesce(col("nl"), col("label")).as("label")))
         .localCheckpoint(true)
       // contract: rewrite edges onto hooked labels, drop self-loops
       edges = edges
@@ -415,8 +418,11 @@ object DedupOps {
         .localCheckpoint(true)
       iter += 1
     }
+    val labelsOut =
+      if (labels == null) edges.select(col("u").as("doc_id"), col("u").as("label"))
+      else labels.select(col("doc_id"), col("label"))
     docs.select(col("doc_id"))
-      .join(labels.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
+      .join(labelsOut, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
