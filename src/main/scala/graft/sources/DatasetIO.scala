@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset ingestion and sharded output for the documents corpus — the
+  * I/O halves a training-data pipeline actually runs: JSONL in (the
+  * lingua franca of text corpora; gzip/zstd handled by Spark's codec
+  * inference), partitioned parquet out.
+  *
+  * Malformed input never kills the job and never silently disappears:
+  * lines are read as text and parsed with `from_json`, which yields NULL
+  * on parse failure — so valid rows and rejects split cleanly without
+  * the `_corrupt_record` caching quirk of schema'd `spark.read.json`
+  * (SPARK-21610: filtering the corrupt-record column alone raises an
+  * AnalysisException unless the frame is cached). Rejects carry the raw
+  * line for quarantine.
+  *
+  * Scale: text read is splittable per file (and per block for
+  * uncompressed/zstd-seekable inputs); parsing is a narrow codegen'd
+  * projection; the writer bounds file sizes with `maxRecordsPerFile` so
+  * shards stay uniform regardless of upstream partitioning.
+  */
+object DatasetIO {
+
+  /** The documents table contract (TESTDATA.md). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Parse a JSONL corpus into `(valid, rejects)`: valid rows match
+    * [[documentsSchema]] with a non-null doc_id and text; rejects keep
+    * the raw line. */
+  def readDocumentsJsonl(spark: SparkSession,
+                         path: String): (DataFrame, DataFrame) = {
+    val parsed = spark.read.text(path)
+      .select(col("value"), from_json(col("value"), documentsSchema).as("d"))
+    val valid = parsed
+      .filter(col("d").isNotNull &&
+        col("d.doc_id").isNotNull && col("d.text").isNotNull)
+      .select(col("d.*"))
+    val rejects = parsed
+      .filter(col("d").isNull ||
+        col("d.doc_id").isNull || col("d.text").isNull)
+      .select(col("value").as("raw_line"))
+    (valid, rejects)
+  }
+
+  /** CSV variant (header row, quoted fields). Same validity contract. */
+  def readDocumentsCsv(spark: SparkSession,
+                       path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .schema(documentsSchema.add("_corrupt_record", StringType))
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache() // required before touching the corrupt-record column alone
+    val valid = raw
+      .filter(col("_corrupt_record").isNull &&
+        col("doc_id").isNotNull && col("text").isNotNull)
+      .select(documentsSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val rejects = raw
+      .filter(col("_corrupt_record").isNotNull ||
+        col("doc_id").isNull || col("text").isNull)
+      .select(coalesce(col("_corrupt_record"), col("text"), lit("")).as("raw_line"))
+    (valid, rejects)
+  }
+
+  /** Write a corpus as partitioned parquet with bounded shard sizes:
+    * `dir/<col>=<value>/part-*.parquet`, each file capped at
+    * `maxRecordsPerFile` rows — uniform shards whatever the upstream
+    * partitioning did. */
+  def writeShards(df: DataFrame, dir: String, partitionCols: Seq[String],
+                  maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+}
