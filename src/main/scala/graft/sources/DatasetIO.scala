@@ -50,6 +50,22 @@ object DatasetIO {
     (valid, rejects)
   }
 
+  /** Streaming twin of [[readDocumentsJsonl]] for corpora that arrive
+    * continuously: the same text + `from_json` parse over a file-source
+    * stream. A streaming query cannot fork into two sinks, so this
+    * returns one frame with an `is_valid` flag and the raw line — route
+    * valid rows onward and quarantine the rest inside one `foreachBatch`
+    * (or run two filtered writeStreams over it). */
+  def streamDocumentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(path)
+      .select(col("value").as("raw_line"),
+        from_json(col("value"), documentsSchema).as("d"))
+      .withColumn("is_valid",
+        col("d").isNotNull && col("d.doc_id").isNotNull && col("d.text").isNotNull)
+      .select(col("is_valid"), col("raw_line"), col("d.*"))
+
   /** CSV variant (header row, quoted fields). Same validity contract. */
   def readDocumentsCsv(spark: SparkSession,
                        path: String): (DataFrame, DataFrame) = {

@@ -39,6 +39,43 @@ class DatasetIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.size === 3 && bad.contains("not json at all"))
   }
 
+  test("jsonl: gzip input reads transparently (codec inference)") {
+    val dir = Files.createTempDirectory("graft_jsonl_gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("part0.jsonl.gz")))
+    gz.write(
+      """{"doc_id": 9, "text": "zipped", "lang": "en", "source": "web", "n_chars": 6}"""
+        .getBytes("UTF-8"))
+    gz.close()
+    val (valid, rejects) = DatasetIO.readDocumentsJsonl(spark, dir.toString)
+    assert(valid.collect().map(_.getLong(0)).toSeq === Seq(9L))
+    assert(rejects.count() === 0)
+  }
+
+  test("streaming jsonl: same parse/flag contract, incremental files") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl_stream")
+    val stream = DatasetIO.streamDocumentsJsonl(spark, dir.toString)
+    val query = stream.writeStream.format("memory")
+      .queryName("docs_in").outputMode("append").start()
+    try {
+      Files.write(dir.resolve("a.jsonl"),
+        ("""{"doc_id": 1, "text": "one", "lang": "en", "source": "w", "n_chars": 3}""" +
+          "\nbroken line").getBytes("UTF-8"))
+      query.processAllAvailable()
+      Files.write(dir.resolve("b.jsonl"),
+        """{"doc_id": 2, "text": "two", "lang": "fr", "source": "w", "n_chars": 3}"""
+          .getBytes("UTF-8"))
+      query.processAllAvailable()
+      val rows = spark.table("docs_in").collect()
+      assert(rows.count(_.getAs[Boolean]("is_valid")) === 2)
+      assert(rows.count(!_.getAs[Boolean]("is_valid")) === 1)
+      assert(rows.filter(_.getAs[Boolean]("is_valid"))
+        .map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L))
+    } finally query.stop()
+  }
+
   test("csv: header parsed, corrupt row quarantined") {
     val dir = Files.createTempDirectory("graft_csv")
     Files.write(dir.resolve("d.csv"),
