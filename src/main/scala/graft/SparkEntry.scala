@@ -468,6 +468,9 @@ object SparkEntry {
       graft.operators.SamplingOps.quotaSample(Tables.documents(s, dir),
         col("lang"), 30)),
 
+    "x30_training_pipeline" -> ((s, dir) =>
+      graft.operators.SamplingOps.trainingPipeline(Tables.documents(s, dir))),
+
     "x15_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
 
@@ -828,6 +831,8 @@ object SparkEntry {
     "x28_decontamination" -> DedupOps.contaminationReportSql("doc_id % 50 = 0", n = 3),
 
     "x29_quota_sample" -> graft.operators.SamplingOps.quotaSampleSql(30),
+
+    "x30_training_pipeline" -> graft.operators.SamplingOps.trainingPipelineSql(),
 
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)

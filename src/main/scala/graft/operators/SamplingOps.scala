@@ -137,11 +137,19 @@ object SamplingOps {
     * bounds the per-task sort, so the 100 TB form is the same plan with
     * more shards. All-integer arithmetic — exact on both engines. */
   def packChunks(docs: DataFrame, contextLen: Int = 512,
-                 shards: Int = 8): DataFrame = {
-    val nTokens = size(TextOps.words(col("text"))).cast("long")
-    val sharded = docs.select(col("doc_id"),
+                 shards: Int = 8): DataFrame =
+    packTokenCounts(docs.select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tokens")),
+      contextLen, shards)
+
+  /** Packing core over a pre-tokenized `(doc_id, n_tokens)` frame — used
+    * directly when token counts already exist (e.g. the curation
+    * pipeline's output), so the text is not re-tokenized. */
+  def packTokenCounts(counts: DataFrame, contextLen: Int,
+                      shards: Int): DataFrame = {
+    val sharded = counts.select(col("doc_id"),
       pmod(HashFunctions.hash60(col("doc_id")), lit(shards.toLong)).as("shard"),
-      nTokens.as("n_tokens"))
+      col("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -151,6 +159,40 @@ object SamplingOps {
         (col("cum_excl") / contextLen).cast("long").as("chunk_id"),
         (col("cum_excl") % contextLen).as("chunk_offset"))
   }
+
+  /** x30 — the flagship end-to-end assembly: curation (lang + quality +
+    * exact dedup, [[TextOps.trainingSelection]]) → deterministic train
+    * split ([[hashBucket]] < 90) → sequence packing of the surviving
+    * docs. One corpus scan for curation (one shuffle for its dedup), a
+    * narrow split filter, one window pass for packing — the whole
+    * pretraining data path as a single composed plan. */
+  def trainingPipeline(docs: DataFrame, contextLen: Int = 512,
+                       shards: Int = 8): DataFrame = {
+    val selected = TextOps.trainingSelection(docs)
+    val train = selected.filter(hashBucket(col("doc_id")) < 90)
+    packTokenCounts(
+      train.select(col("doc_id"), col("ws_tokens").cast("long").as("n_tokens")),
+      contextLen, shards)
+  }
+
+  def trainingPipelineSql(contextLen: Int = 512, shards: Int = 8): String =
+    s"""WITH sel AS (
+       |${TextOps.trainingSelectionSql()}
+       |), train AS (
+       |  SELECT doc_id, CAST(ws_tokens AS BIGINT) AS n_tokens,
+       |    ((${HashFunctions.hash60Sql("doc_id")}) % $shards + $shards) % $shards AS shard
+       |  FROM sel
+       |  WHERE ${hashBucketSql("doc_id")} < 90
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+       |  FROM train
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |  cum_excl // $contextLen AS chunk_id,
+       |  cum_excl % $contextLen AS chunk_offset
+       |FROM c""".stripMargin
 
   def packChunksSql(contextLen: Int = 512, shards: Int = 8): String =
     s"""WITH t AS (

@@ -86,6 +86,29 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids === ids)
   }
 
+  test("trainingPipeline: packs exactly the curated train docs, offsets chain") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val out = SamplingOps.trainingPipeline(docs).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_offset")))
+    // membership = curated ∩ train split, nothing else
+    val expected = graft.operators.TextOps.trainingSelection(docs)
+      .filter(SamplingOps.hashBucket(col("doc_id")) < 90)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._2).toSet === expected && expected.nonEmpty)
+    // offsets chain through the concatenated stream per shard
+    out.groupBy(_._1).values.foreach { shard =>
+      var cum = 0L
+      shard.sortBy(_._2).foreach { case (_, _, n, chunk, off) =>
+        assert(chunk === cum / 512 && off === cum % 512)
+        cum += n
+      }
+    }
+  }
+
   test("mixtureRebalance: kept shares move toward uniform, no stratum vanishes") {
     val s = spark
     import s.implicits._
