@@ -29,6 +29,56 @@ class AsOfStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("real events corpus: streamed enrichment equals the batch j15 answer") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // purchases (left) + clicks (right) from the sf0.001 events table,
+    // fed in EVENT-TIME order (any source with bounded disorder works —
+    // the watermark bounds it; fully random arrival would make old rows
+    // late, which is a property of watermarking, not of this operator)
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .orderBy("ts").collect()
+    val tagged = ev.map { r =>
+      AsOfStream.AsOfIn(r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts"),
+        if (r.getAs[String]("event_type") == "purchase") 1 else 0,
+        r.getAs[Long]("event_id"))
+    }
+    val input = MemoryStream[AsOfIn]
+    val out = AsOfStream.asOfEnrich(input.toDS(), watermark = "1 hour")
+    val query = out.writeStream.format("memory")
+      .queryName("asof_events_out").outputMode("append").start()
+    try {
+      tagged.grouped(100).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // two watermark pushers: far past every event, then one more batch
+      // so the advanced watermark fires the remaining timeouts
+      val far = new Timestamp(tagged.map(_.ts.getTime).max + 48L * 3600 * 1000)
+      input.addData(AsOfStream.AsOfIn(-1L, far, 0, -1L))
+      query.processAllAvailable()
+      input.addData(AsOfStream.AsOfIn(-1L,
+        new Timestamp(far.getTime + 1000), 0, -2L))
+      query.processAllAvailable()
+
+      val streamed = spark.table("asof_events_out")
+        .filter(col("key") >= 0) // drop the pusher key
+        .select("l_id", "r_id").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val batch = graft.operators.TemporalJoins.purchaseClickAsOf(
+          graft.core.Tables.events(spark, "/root/testdata/sf0.001"))
+        .select("p_event", "c_event").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(streamed.size === batch.size && streamed === batch)
+      assert(batch.values.exists(_ >= 0), "some purchases must have matched clicks")
+    } finally query.stop()
+  }
+
   test("stream equals batch as-of join; out-of-order rights still match") {
     val s = spark
     import s.implicits._
