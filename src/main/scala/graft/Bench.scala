@@ -45,7 +45,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses a bounded stdout tail that sbt pollutes with its
+    // [success] trailer — also persist the line to a file it can read
+    // directly (BENCH_OUT overrides; /tmp/bench.json is the default).
+    val outPath = sys.env.getOrElse("BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    println(line)
     spark.stop()
   }
 }

@@ -354,9 +354,57 @@ object SparkEntry {
           lit(java.sql.Timestamp.valueOf(asOfLit)))
           .otherwise(col("next_crawl")).as("next_crawl"))),
 
+    // J6 — the reference's second flagship (`Search.py:297-345`): needle =
+    // every vw_ll row of one directory, same union-of-equi-joins core as j5
+    "j6_duplicate_dir" -> ((s, dir) =>
+      SearchOps.searchDuplicateDir(cat(s, dir).vwLl, "/AFRICA/NATION_0")),
+
+    // M2 — dir upsert over a deterministic staged snapshot (change-only
+    // updates; new dirs inserted with fresh audit stamps). `id` is dropped:
+    // new-row ids come from xxhash64, which DuckDB lacks.
+    "m2_upsert_dirs" -> ((s, dir) => {
+      val c = cat(s, dir)
+      MergeOps.upsertDirs(c.directory, m2Staged(s, dir, c), mergeTs).drop("id")
+    }),
+
+    // M3 — mark_dirs_crawled finalize: one crawl round over dirs 200..299
+    // (counts + activity from the catalog itself, frequency from M7, every
+    // 17th dir came back missing), folded into directory_control
+    "m3_mark_crawled" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val asOfTs = lit(java.sql.Timestamp.valueOf(asOfLit))
+      val counts = c.vwLl.groupBy(col("dir_id"))
+        .agg(sum(when(col("type") === "file", 1L).otherwise(0L)).as("fc"),
+          sum(when(col("type") === "dir", 1L).otherwise(0L)).as("sc"),
+          max(col("ctime")).as("last_ctime"))
+      val crawled = ScheduleOps.crawlFrequency(
+          c.directoryControl.filter(col("dir_id").between(200L, 299L))
+            .select(col("dir_path"), col("dir_id"), col("inserted_on"))
+            .join(counts, Seq("dir_id"), "left"),
+          asOfTs)
+        .select(col("dir_path"), coalesce(col("fc"), lit(0L)).as("fc"),
+          coalesce(col("sc"), lit(0L)).as("sc"),
+          col("crawl_frequency").as("new_freq"))
+      val missing = c.directoryControl
+        .filter(col("dir_id").between(200L, 299L) && col("dir_id") % 17 === 0)
+        .select("dir_path")
+      ScheduleOps.markDirsCrawled(c.directoryControl, crawled, missing, asOfTs)
+    }),
+
     // ---- training-data pipeline operators (documents / embeddings) ------
 
     "x1_token_stats" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+
+    // whitespace-hostile tokenization fixture: 'o'→tab, 'x'→newline turns
+    // the single-space corpus into mixed-whitespace text; ws_tokens (robust
+    // regex split) vs sp_tokens (naive single-space split) must both match
+    // DuckDB exactly — the regex-dialect parity gate for wordsRe
+    "x31_ws_tokens" -> ((s, dir) => {
+      val hostile = translate(col("text"), "ox", "\t\n")
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(TextOps.wordsRe(hostile)).as("ws_tokens"),
+        size(TextOps.words(hostile)).as("sp_tokens"))
+    }),
 
     "x2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
 
@@ -496,6 +544,18 @@ object SparkEntry {
     changed.unionByName(fresh)
   }
 
+  // deterministic staged batch for the M2 verify query: every 4th dir
+  // touched (mtime+1h), one new dir per nation under /STAGE.
+  private def m2Staged(s: SparkSession, dir: String, c: Cat): DataFrame = {
+    val changed = c.directory.filter(col("id") % 4 === 0)
+      .select(col("dir_path"), col("ctime"),
+        (col("mtime") + expr("INTERVAL 1 HOUR")).as("mtime"))
+    val fresh = Tables.nation(s, dir)
+      .select(concat(lit("/STAGE/"), col("n_name")).as("dir_path"),
+        lit(t0).as("ctime"), lit(t0).as("mtime"))
+    changed.unionByName(fresh)
+  }
+
   // ---- DuckDB oracle side ------------------------------------------------
 
   private val C = Oracle.cte
@@ -509,6 +569,10 @@ object SparkEntry {
   private def m1PickExpr(c: String) =
     s"CASE WHEN s.name IS NOT NULL AND (f.id IS NULL OR $m1Changed) THEN s.$c ELSE f.$c END"
   private def m1Pick(c: String) = s"${m1PickExpr(c)} AS $c"
+
+  // the M2 change predicate (dirs carry only ctime/mtime)
+  private val m2Changed =
+    "(d.ctime IS DISTINCT FROM s.ctime OR d.mtime IS DISTINCT FROM s.mtime)"
 
   private val pathOsSql =
     """CASE WHEN starts_with(trim(full_path), '/') AND NOT contains(trim(full_path), '\') THEN 'nix'
@@ -789,9 +853,85 @@ object SparkEntry {
          |       ELSE next_crawl END AS next_crawl
          |FROM directory_control""".stripMargin),
 
+    // J6: same OR-of-conjunctions form as j5, with the type guards the
+    // mixed-type needle requires (vw_ll dir rows share file_id=0)
+    "j6_duplicate_dir" -> (C +
+      """SELECT DISTINCT h.* FROM vw_ll h
+        |JOIN (SELECT * FROM vw_ll WHERE dir_path = '/AFRICA/NATION_0') n
+        |  ON (h.type = 'file' AND n.type = 'file' AND h.file_id = n.file_id)
+        |  OR (h.type = 'dir' AND n.type = 'dir' AND h.full_path = n.full_path)
+        |  OR (n.sha1_hash IS NOT NULL AND h.sha1_hash = n.sha1_hash AND h.size = n.size)
+        |  OR ((h.sha1_hash IS NULL OR n.sha1_hash IS NULL) AND n.md5_hash IS NOT NULL
+        |      AND h.md5_hash = n.md5_hash AND h.size = n.size)""".stripMargin),
+
+    "m2_upsert_dirs" -> (C +
+      s""", staged AS (
+         |  SELECT dir_path, ctime, mtime + INTERVAL 1 HOUR AS mtime
+         |  FROM directory WHERE id % 4 = 0
+         |  UNION ALL
+         |  SELECT '/STAGE/' || n_name, TIMESTAMP '2024-01-01 00:00:00',
+         |         TIMESTAMP '2024-01-01 00:00:00'
+         |  FROM nation
+         |)
+         |SELECT coalesce(d.dir_path, s.dir_path) AS dir_path,
+         |  CASE WHEN s.dir_path IS NOT NULL AND (d.id IS NULL OR $m2Changed)
+         |       THEN s.ctime ELSE d.ctime END AS ctime,
+         |  CASE WHEN s.dir_path IS NOT NULL AND (d.id IS NULL OR $m2Changed)
+         |       THEN s.mtime ELSE d.mtime END AS mtime,
+         |  CASE WHEN d.id IS NULL THEN $mTs ELSE d.inserted_on END AS inserted_on,
+         |  CASE WHEN d.id IS NULL THEN $mTs
+         |       WHEN s.dir_path IS NOT NULL AND $m2Changed THEN $mTs
+         |       ELSE d.updated_on END AS updated_on
+         |FROM directory d FULL OUTER JOIN staged s ON d.dir_path = s.dir_path""".stripMargin),
+
+    "m3_mark_crawled" -> (C +
+      s""", counts AS (
+         |  SELECT dir_id,
+         |    sum(CASE WHEN type = 'file' THEN 1 ELSE 0 END) AS fc,
+         |    sum(CASE WHEN type = 'dir' THEN 1 ELSE 0 END) AS sc,
+         |    max(ctime) AS last_ctime
+         |  FROM vw_ll GROUP BY dir_id
+         |), crawled AS (
+         |  SELECT c.dir_path, c.dir_id,
+         |    coalesce(k.fc, 0) AS fc, coalesce(k.sc, 0) AS sc,
+         |    CAST(greatest(900, least(604800,
+         |      floor(CAST(date_diff('second', coalesce(k.last_ctime, c.inserted_on), $asOf) AS DOUBLE) / 30)
+         |    )) AS BIGINT) AS new_freq
+         |  FROM directory_control c LEFT JOIN counts k ON k.dir_id = c.dir_id
+         |  WHERE c.dir_id BETWEEN 200 AND 299
+         |)
+         |SELECT c.dir_path, c.dir_id,
+         |  CASE WHEN w.dir_path IS NOT NULL THEN CAST(w.fc AS INT)
+         |       ELSE c.file_count END AS file_count,
+         |  CASE WHEN w.dir_path IS NOT NULL THEN CAST(w.sc AS INT)
+         |       ELSE c.subdir_count END AS subdir_count,
+         |  CASE WHEN w.dir_path IS NOT NULL AND w.dir_id % 17 = 0
+         |         THEN $asOf + to_seconds(3600)
+         |       WHEN w.dir_path IS NOT NULL THEN $asOf + to_seconds(w.new_freq)
+         |       ELSE c.next_crawl END AS next_crawl,
+         |  CASE WHEN w.dir_path IS NOT NULL AND NOT (w.dir_id % 17 = 0)
+         |       THEN w.new_freq ELSE CAST(c.crawl_frequency AS BIGINT) END AS crawl_frequency,
+         |  c.assigned_process_id,
+         |  CASE WHEN w.dir_path IS NOT NULL THEN CAST(NULL AS TIMESTAMP)
+         |       ELSE c.process_assigned_on END AS process_assigned_on,
+         |  CASE WHEN w.dir_path IS NOT NULL THEN $asOf
+         |       ELSE c.last_crawled END AS last_crawled,
+         |  c.last_active,
+         |  CASE WHEN w.dir_path IS NOT NULL THEN (w.dir_id % 17 = 0)
+         |       ELSE c.dir_missing END AS dir_missing,
+         |  c.inserted_on
+         |FROM directory_control c LEFT JOIN crawled w ON w.dir_path = c.dir_path""".stripMargin),
+
     // ---- training-data pipeline oracles ---------------------------------
 
     "x1_token_stats" -> TextOps.tokenCountsSql,
+    "x31_ws_tokens" -> {
+      val hostile = "translate(text, 'ox', chr(9) || chr(10))"
+      s"""SELECT doc_id,
+         |  CAST(len(${TextOps.wordsReSql(hostile)}) AS INT) AS ws_tokens,
+         |  CAST(len(string_split(trim($hostile), ' ')) AS INT) AS sp_tokens
+         |FROM documents""".stripMargin
+    },
     "x2_lang_id" -> TextOps.langIdSql,
     "x3_quality_score" -> TextOps.qualityScoreSql,
     "x4_fingerprints" -> TextOps.fingerprintsSql,

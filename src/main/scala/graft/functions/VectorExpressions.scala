@@ -24,8 +24,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * (float→double widening is exact, matching the HOF's per-element cast).
   */
 object VectorUtils {
+  /** Precondition: equal-length arrays ([[DotExpr]] guards this and yields
+    * NULL on mismatch). The min() bound is defensive only — with
+    * UnsafeArrayData a read past either length is out-of-bounds memory,
+    * so a future caller that skips the guard must not be able to trigger
+    * one; it gets a truncated dot instead, never garbage. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -24,6 +24,28 @@ import graft.operators.TextOps.words
   */
 object DedupOps {
 
+  /** Iteration-state persistence for the iterative operators (LSH
+    * candidate sets, simhash signatures, Borůvka rounds). Each round's
+    * state is consumed by several downstream plans, so it must be pinned
+    * — the question is where:
+    *
+    *   - [[Local]] (default): `localCheckpoint` — executor memory/disk,
+    *     no configuration, fastest. State dies with an executor, so a
+    *     lost node kills the job; acceptable for bench/single-app runs.
+    *   - [[Reliable]]: `checkpoint` to the SparkContext checkpoint dir
+    *     (HDFS/object store at cluster scale — call
+    *     `sc.setCheckpointDir` first). Survives executor loss; the
+    *     100 TB posture, where a 20-round CC job must not restart
+    *     because one of 1000 executors was preempted.
+    */
+  sealed trait IterState { def pin(df: DataFrame): DataFrame }
+  case object Local extends IterState {
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  }
+  case object Reliable extends IterState {
+    def pin(df: DataFrame): DataFrame = df.checkpoint(true)
+  }
+
   // ---- exact --------------------------------------------------------------
 
   /** Exact-duplicate groups by content hash: one row per distinct content,
@@ -163,34 +185,33 @@ object DedupOps {
     * Returns `(doc_a, doc_b, jaccard)` with `jaccard >= threshold`,
     * `doc_a < doc_b`. Jaccard is exact-integer arithmetic (|∩| / |∪|). */
   def lshDupPairs(df: DataFrame, threshold: Double,
-                  text: Column = col("text")): DataFrame = {
-    // signatures feed BOTH sides of the bucket self-join — checkpoint the
-    // (tiny: one row per doc) signature table so the expensive shingle
-    // hashing runs once, not once per join side. (At cluster scale use a
-    // persisted/bucketed table instead of a local checkpoint.)
-    val sigs = minhashSignatures(df, text).localCheckpoint(true)
+                  text: Column = col("text"),
+                  state: IterState = Local): DataFrame = {
+    // signatures feed BOTH sides of the bucket self-join — pin the (tiny:
+    // one row per doc) signature table so the expensive shingle hashing
+    // runs once, not once per join side
+    val sigs = state.pin(minhashSignatures(df, text))
     val bands = lshBands(sigs)
-    val cand = bands.as("a")
+    val cand = state.pin(bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .localCheckpoint(true)
-    jaccardFor(df, cand, text).filter(col("jaccard") >= threshold)
+      .distinct())
+    jaccardFor(df, cand, text, state).filter(col("jaccard") >= threshold)
   }
 
   /** Exact Jaccard for a given candidate-pair set: |A∩B| via a shingle
     * equi-join restricted to the candidates, |A∪B| = |A|+|B|−|A∩B|. */
   def jaccardFor(df: DataFrame, candidates: DataFrame,
-                 text: Column = col("text")): DataFrame = {
+                 text: Column = col("text"),
+                 state: IterState = Local): DataFrame = {
     // only docs that appear in a candidate pair need their shingle sets
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b"))).distinct()
-    val sh = df.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(array_distinct(shingles(text))).as("sh"))
-      .localCheckpoint(true)
+    val sh = state.pin(df.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(array_distinct(shingles(text))).as("sh")))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -309,11 +330,12 @@ object DedupOps {
     * and each join's shuffle key (the byte) distributes by content. For a
     * larger distance budget, raise the block count to maxDist+1 instead. */
   def simhashDupPairs(df: DataFrame, maxDist: Int = 3,
-                      text: Column = col("text")): DataFrame = {
+                      text: Column = col("text"),
+                      state: IterState = Local): DataFrame = {
     require(maxDist <= 3, "4-byte blocking is exact only for Hamming distance <= 3")
-    // one row per doc; checkpoint so the 4 block self-joins (8 plan
-    // references) don't each recompute the explode+32-sum aggregation
-    val sim = simhash(df, text).localCheckpoint(true)
+    // one row per doc; pin so the 4 block self-joins (8 plan references)
+    // don't each recompute the explode+32-sum aggregation
+    val sim = state.pin(simhash(df, text))
     val byteOf = (c: Column, j: Int) => shiftright(c, j * 8).bitwiseAND(lit(255L))
     val blocked = (0 until 4).map { b =>
       // each pair is claimed by its FIRST agreeing byte only (all earlier
@@ -367,16 +389,20 @@ object DedupOps {
     * the edge set — so AQE broadcasts it at bench scale and shuffle-joins
     * at cluster scale. Hooks strictly decrease and the component-min node
     * always roots its tree, so the fixpoint label is exactly the
-    * component minimum. */
-  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * component minimum.
+    *
+    * Iteration state is pinned via `state` ([[Local]] by default;
+    * [[Reliable]] for cluster runs where executor loss must not restart
+    * a 20-round job — see [[IterState]]). */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20,
+                  state: IterState = Local): DataFrame = {
     // no distinct here: duplicate input edges are harmless (min is
     // idempotent) and deduping 2M+ pairs up front is a full extra shuffle;
     // the per-round contraction distinct does the real shrinking
-    var edges = pairs
+    var edges = state.pin(pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .localCheckpoint(true)
+      .filter(col("u") =!= col("v")))
     // only pair endpoints iterate — a doc in no pair is its own cluster.
     // labels stay null until round 1: identity labels relabeled through
     // the hook map ARE the hook map, so materializing the identity set
@@ -387,35 +413,32 @@ object DedupOps {
     while (iter < maxIters && !edges.isEmpty) {
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       // hook: current label-node u → min(u, min neighbor) ...
-      var hook = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("nl"))
-        .localCheckpoint(true)
+      var hook = state.pin(
+        sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("nl")))
       // ... then pointer-jump the hooking forest to its roots: h ← h∘h
       // doubles the collapsed depth each pass, so deep chains flatten in
       // log rounds over the node-sized map
       var jumping = true
       while (jumping) {
-        val jumped = hook
+        val jumped = state.pin(hook
           .join(hook.select(col("u").as("ju"), col("nl").as("jl")),
             col("nl") === col("ju"), "left")
-          .select(col("u"), col("nl"), coalesce(col("jl"), col("nl")).as("nl2"))
-          .localCheckpoint(true)
+          .select(col("u"), col("nl"), coalesce(col("jl"), col("nl")).as("nl2")))
         jumping = !jumped.filter(col("nl") =!= col("nl2")).isEmpty
         hook = jumped.select(col("u"), col("nl2").as("nl"))
       }
-      labels = (if (labels == null)
+      labels = state.pin(if (labels == null)
           hook.select(col("u").as("doc_id"), col("nl").as("label"))
         else labels
           .join(hook.select(col("u").as("label"), col("nl")), Seq("label"), "left")
           .select(col("doc_id"), coalesce(col("nl"), col("label")).as("label")))
-        .localCheckpoint(true)
       // contract: rewrite edges onto hooked labels, drop self-loops
-      edges = edges
+      edges = state.pin(edges
         .join(hook.select(col("u"), col("nl").as("lu")), Seq("u"))
         .join(hook.select(col("u").as("v"), col("nl").as("lv")), Seq("v"))
         .select(least(col("lu"), col("lv")).as("u"),
           greatest(col("lu"), col("lv")).as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+        .filter(col("u") =!= col("v")).distinct())
       iter += 1
     }
     val labelsOut =
@@ -460,28 +483,46 @@ object DedupOps {
        |GROUP BY tr.doc_id, ev.doc_id
        |HAVING count(*) >= $minShared""".stripMargin
 
-  /** DuckDB twin of [[dupClusters]]: recursive transitive closure over the
-    * symmetrized pair set, label = min(self ∪ reachable). `pairsSql` is a
-    * full SELECT producing (doc_a, doc_b) — nested as a subquery so pair
-    * generators with their own WITH clauses compose. NOTE: the closure
-    * materializes O(Σ|component|²) rows — fine at the driver's gate SF,
-    * deliberately NOT how the Spark side computes (which is per-round
-    * min propagation, linear in edges). */
-  def dupClustersSql(pairsSql: String): String =
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT doc_a, doc_b FROM (
-       |$pairsSql
-       |  ) t
-       |), edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs
-       |), reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |)
-       |SELECT d.doc_id,
-       |  CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT) AS cluster_id
-       |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-       |GROUP BY d.doc_id""".stripMargin
+  /** DuckDB twin of [[dupClusters]]: the SAME Borůvka hook / pointer-jump
+    * / contract recursion, statically unrolled as MATERIALIZED CTEs
+    * (DuckDB inlines plain CTEs, and the jump chain references each level
+    * twice — inlining would blow up exponentially). `pairsSql` is a full
+    * SELECT producing (doc_a, doc_b) — nested as a subquery so pair
+    * generators with their own WITH clauses compose.
+    *
+    * Bounds: `rounds` outer contractions converge components of up to
+    * 2^rounds nodes (Borůvka halving); `jumps` pointer doublings per
+    * round collapse hook forests up to 2^jumps deep (≥ any component
+    * size, since hooks strictly decrease). The defaults cover 8192-node
+    * components — above every test SF (sf0.1 has 5000 docs total); extra
+    * rounds/jumps are no-ops (min is idempotent), so over-provisioning
+    * is safe, never wrong. This replaced a recursive transitive closure
+    * (O(Σ|component|²) rows) that was infeasible at the sf0.1 sweep; the
+    * unrolled form runs it in ~2 s. */
+  def dupClustersSql(pairsSql: String, rounds: Int = 13, jumps: Int = 13): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"pairs AS (\n  SELECT doc_a, doc_b FROM (\n$pairsSql\n  ) t\n)",
+      "e0 AS MATERIALIZED (\n  SELECT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v\n" +
+        "  FROM pairs WHERE doc_a <> doc_b\n)")
+    for (k <- 0 until rounds) {
+      ctes += s"h${k}_0 AS MATERIALIZED (\n  SELECT u, least(u, min(v)) AS nl\n" +
+        s"  FROM (SELECT u, v FROM e$k UNION ALL SELECT v, u FROM e$k)\n  GROUP BY u\n)"
+      for (j <- 0 until jumps)
+        ctes += s"h${k}_${j + 1} AS MATERIALIZED (\n  SELECT h.u, coalesce(h2.nl, h.nl) AS nl\n" +
+          s"  FROM h${k}_$j h LEFT JOIN h${k}_$j h2 ON h.nl = h2.u\n)"
+      val hk = s"h${k}_$jumps"
+      ctes += (if (k == 0)
+        s"l0 AS MATERIALIZED (SELECT u AS doc_id, nl AS label FROM $hk)"
+      else
+        s"l$k AS MATERIALIZED (\n  SELECT l.doc_id, coalesce(h.nl, l.label) AS label\n" +
+          s"  FROM l${k - 1} l LEFT JOIN $hk h ON l.label = h.u\n)")
+      ctes += s"e${k + 1} AS MATERIALIZED (\n" +
+        s"  SELECT DISTINCT least(hu.nl, hv.nl) AS u, greatest(hu.nl, hv.nl) AS v\n" +
+        s"  FROM e$k e JOIN $hk hu ON e.u = hu.u JOIN $hk hv ON e.v = hv.u\n" +
+        s"  WHERE hu.nl <> hv.nl\n)"
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT d.doc_id, CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS cluster_id" +
+      s"\nFROM documents d LEFT JOIN l${rounds - 1} l ON l.doc_id = d.doc_id"
+  }
 }

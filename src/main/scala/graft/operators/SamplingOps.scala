@@ -68,10 +68,12 @@ object SamplingOps {
     * so the window sorts ~K rows per stratum instead of the full corpus
     * — same result, bounded sort. */
   def quotaSample(df: DataFrame, stratum: Column, k: Int,
-                  seed: Int = 0): DataFrame = {
+                  seed: Int = 0, key: Column = col("doc_id")): DataFrame = {
+    // `key` must be unique per row (it is the hash input AND the
+    // tie-break) — a duplicated key makes the quota pick nondeterministic
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum)
-      .orderBy(HashFunctions.hash60(col("doc_id"), seed), col("doc_id"))
+      .orderBy(HashFunctions.hash60(key, seed), key)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
@@ -139,7 +141,7 @@ object SamplingOps {
   def packChunks(docs: DataFrame, contextLen: Int = 512,
                  shards: Int = 8): DataFrame =
     packTokenCounts(docs.select(col("doc_id"),
-        size(TextOps.words(col("text"))).cast("long").as("n_tokens")),
+        size(TextOps.wordsRe(col("text"))).cast("long").as("n_tokens")),
       contextLen, shards)
 
   /** Packing core over a pre-tokenized `(doc_id, n_tokens)` frame — used
@@ -190,15 +192,15 @@ object SamplingOps {
        |  FROM train
        |)
        |SELECT doc_id, shard, n_tokens,
-       |  cum_excl // $contextLen AS chunk_id,
-       |  cum_excl % $contextLen AS chunk_offset
+       |  CAST(cum_excl // $contextLen AS BIGINT) AS chunk_id,
+       |  CAST(cum_excl % $contextLen AS BIGINT) AS chunk_offset
        |FROM c""".stripMargin
 
   def packChunksSql(contextLen: Int = 512, shards: Int = 8): String =
     s"""WITH t AS (
        |  SELECT doc_id,
        |    ((${HashFunctions.hash60Sql("doc_id")}) % $shards + $shards) % $shards AS shard,
-       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+       |    CAST(len(${TextOps.wordsReSql("text")}) AS BIGINT) AS n_tokens
        |  FROM documents
        |), c AS (
        |  SELECT doc_id, shard, n_tokens,
@@ -207,8 +209,8 @@ object SamplingOps {
        |  FROM t
        |)
        |SELECT doc_id, shard, n_tokens,
-       |  cum_excl // $contextLen AS chunk_id,
-       |  cum_excl % $contextLen AS chunk_offset
+       |  CAST(cum_excl // $contextLen AS BIGINT) AS chunk_id,
+       |  CAST(cum_excl % $contextLen AS BIGINT) AS chunk_offset
        |FROM c""".stripMargin
 
   def splitReportSql: String =

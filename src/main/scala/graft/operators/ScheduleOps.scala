@@ -99,6 +99,63 @@ object ScheduleOps {
       when(hit, lit(f)).otherwise(col("crawl_frequency"))))
   }
 
+  /** M3 finalize (`mark_dirs_crawled`, `DirectoryCrawl.py:948-1045`): fold
+    * one crawl round's outcome back into `directory_control`.
+    *
+    * `crawled` carries one row per crawled dir: `dir_path`, `fc`/`sc`
+    * (observed file/subdir counts) and `new_freq` (the M7 frequency).
+    * `missing` flags the crawled dirs whose scrape found no directory.
+    * Crawled dirs get fresh counts, `next_crawl` pushed out by the new
+    * frequency (or the missing retry), `last_crawled` stamped, and their
+    * process claim cleared; missing dirs are flagged and retried after
+    * `missingRetrySeconds`.
+    *
+    * `clearAllClaims` / `preserveMissing`: the reference updates ONLY the
+    * crawled rows (defaults). [[graft.server.CrawlPipeline]] passes
+    * `clearAllClaims = true, preserveMissing = false` — its claim-free
+    * batch model (SURVEY §7.4.1/M8) resets every claim each round and
+    * un-flags missing dirs so the retry schedule can reach them (its
+    * due-frontier filter skips flagged dirs).
+    *
+    * One broadcast-sized left join per input (the crawled set is one
+    * round's frontier, bounded by the T1 batch limit) against the control
+    * table — at scale the control table never shuffles. */
+  def markDirsCrawled(directoryControl: DataFrame, crawled: DataFrame,
+                      missing: DataFrame, asOf: Column,
+                      missingRetrySeconds: Long = 3600,
+                      clearAllClaims: Boolean = false,
+                      preserveMissing: Boolean = true): DataFrame =
+    directoryControl
+      .join(crawled.select(col("dir_path"), lit(true).as("crawled"),
+        col("fc"), col("sc"), col("new_freq")), Seq("dir_path"), "left")
+      .join(missing.select(col("dir_path"), lit(true).as("went_missing")),
+        Seq("dir_path"), "left")
+      .select(
+        col("dir_path"), col("dir_id"),
+        when(col("crawled"), coalesce(col("fc"), lit(0)).cast("int"))
+          .otherwise(col("file_count")).as("file_count"),
+        when(col("crawled"), coalesce(col("sc"), lit(0)).cast("int"))
+          .otherwise(col("subdir_count")).as("subdir_count"),
+        when(col("went_missing"),
+            timestamp_seconds(unix_timestamp(asOf) + missingRetrySeconds))
+          .when(col("crawled"),
+            timestamp_seconds(unix_timestamp(asOf) + col("new_freq")))
+          .otherwise(col("next_crawl")).as("next_crawl"),
+        when(col("crawled") && !coalesce(col("went_missing"), lit(false)),
+          col("new_freq")).otherwise(col("crawl_frequency")).cast("long")
+          .as("crawl_frequency"),
+        col("assigned_process_id"),
+        (if (clearAllClaims) lit(null).cast("timestamp")
+         else when(col("crawled"), lit(null).cast("timestamp"))
+           .otherwise(col("process_assigned_on"))).as("process_assigned_on"),
+        when(col("crawled"), asOf).otherwise(col("last_crawled")).as("last_crawled"),
+        col("last_active"),
+        (if (preserveMissing)
+           when(col("crawled"), coalesce(col("went_missing"), lit(false)))
+             .otherwise(col("dir_missing"))
+         else coalesce(col("went_missing"), lit(false))).as("dir_missing"),
+        col("inserted_on"))
+
   /** Adaptive crawl frequency (M7, `SQLUtil.py:443-563` with the
     * `DirectoryCrawl.py:1011-1019` call-site params): seconds since the
     * directory's last content change (max ctime of its contents, falling

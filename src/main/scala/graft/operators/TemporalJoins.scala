@@ -59,18 +59,23 @@ object TemporalJoins {
     val lSel = left.select(
       (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
         leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
-    // NULL-key right rows can never match (equi-key contract: NULL = NULL
-    // is no match, as in ASOF JOIN / merge_asof) — drop them here, or the
-    // window partition would group them with NULL-key left rows
+    // NULL-key or NULL-ts right rows can never match (equi-key contract:
+    // NULL = NULL is no match, and `r.ts <= l.ts` is unknowable for a NULL
+    // ts — both as in ASOF JOIN / merge_asof) — drop them here, or the
+    // window would order/group them with matchable rows
     val rSel = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .filter((keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
       .select(
         (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) :+
           payload.as("__r"): _*)
     val unioned = lSel.withColumn("__r",
         lit(null).cast(rSel.schema("__r").dataType))
       .unionByName(rSel, allowMissingColumns = true)
-    val tsOrder = if (backward) col("__ts").asc else col("__ts").desc
+    // NULL-ts LEFT rows must sort before every right row in BOTH
+    // directions (asc = nulls first already; desc needs it explicit), so
+    // their running window sees no right row and they match NULL — the
+    // no-match-on-NULL contract, direction-independent
+    val tsOrder = if (backward) col("__ts").asc else col("__ts").desc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -103,8 +108,15 @@ object TemporalJoins {
     */
   def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftVal: String, rightVal: String, width: Double): DataFrame = {
+    // The upper probe bucket is computed the same way the right side is
+    // bucketed — floor((v+width)/width), NOT lb+1 — so the candidate set
+    // provably covers the exact predicate: rv <= v+width ⟹ floor(rv/w) <=
+    // floor((v+w)/w) (division and floor are monotone in IEEE doubles),
+    // while lb+1 can undershoot by an ulp and silently drop a pair.
+    // sequence(lb, ub) is 2 buckets normally, 3 in the ulp edge case.
     val lb = floor(col(leftVal) / width).cast("long")
-    val l2 = left.withColumn("__bucket", explode(array(lb, lb + 1)))
+    val ub = floor((col(leftVal) + width) / width).cast("long")
+    val l2 = left.withColumn("__bucket", explode(sequence(lb, greatest(lb, ub))))
     val r2 = right.withColumn("__bucket", floor(col(rightVal) / width).cast("long"))
     l2.join(r2, keys :+ "__bucket")
       .filter(col(rightVal) > col(leftVal) &&

@@ -18,22 +18,39 @@ import graft.functions.HashFunctions
   */
 object TextOps {
 
-  /** Whitespace tokens of `text` (single-space-delimited corpus). */
+  /** Whitespace tokens of `text` (single-space-delimited corpus). The
+    * fast path for shingling/minhash/simhash, which all contract on this
+    * corpus shape; token COUNTING uses [[wordsRe]], which survives real
+    * multi-space/tab/newline text. */
   def words(text: Column): Column = split(trim(text), " ")
+
+  // Whitespace run as an explicit class, NOT \s: Java's \s includes \x0B
+  // (vertical tab), RE2's doesn't — the spelled-out class means both
+  // engines tokenize identically. The same literal is a valid Java regex
+  // (Spark side) and a valid RE2 pattern (DuckDB single-quoted literal).
+  val wsRunRegex = "[ \\t\\n\\r\\f]+"
+
+  /** Robust whitespace tokenization: splits on runs of any whitespace.
+    * Equal to [[words]] on single-space text; correct on real corpora. */
+  def wordsRe(text: Column): Column = split(trim(text), wsRunRegex)
+
+  def wordsReSql(expr: String): String =
+    s"regexp_split_to_array(trim($expr), '$wsRunRegex')"
 
   // BPE-ish pre-tokenizer: letter runs | digit runs | single other glyph.
   // Public-pattern analog of byte-level BPE pre-tokenization regexes.
   val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
-  /** Token counts: whitespace tokens and regex (BPE-ish) tokens. */
+  /** Token counts: whitespace tokens (robust [[wordsRe]] split) and regex
+    * (BPE-ish) tokens. */
   def tokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =
     df.select(col("doc_id"),
-      size(words(text)).as("ws_tokens"),
+      size(wordsRe(text)).as("ws_tokens"),
       regexp_count(text, lit(tokenPattern)).as("re_tokens"),
       length(text).as("n_chars"))
 
   def tokenCountsSql: String =
-    s"""SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+    s"""SELECT doc_id, CAST(len(${wordsReSql("text")}) AS INT) AS ws_tokens,
        |  CAST(len(regexp_extract_all(text, '$tokenPattern')) AS INT) AS re_tokens,
        |  CAST(length(text) AS INT) AS n_chars
        |FROM documents""".stripMargin
@@ -160,7 +177,7 @@ object TextOps {
     df.select(col("doc_id"),
         detectedLang(col("text")).as("detected_lang"),
         qualityScoreCol(col("text")).as("quality_score"),
-        size(words(col("text"))).as("ws_tokens"),
+        size(wordsRe(col("text"))).as("ws_tokens"),
         HashFunctions.hash60(col("text")).as("text_hash"))
       .filter(col("detected_lang") === lang && col("quality_score") >= minQuality)
       .groupBy(col("text_hash"))
@@ -191,7 +208,7 @@ object TextOps {
        |  SELECT doc_id,
        |    CASE WHEN $mx = 0 THEN 'und' $pick ELSE 'und' END AS detected_lang,
        |    $quality AS quality_score,
-       |    CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+       |    CAST(len(${wordsReSql("text")}) AS INT) AS ws_tokens,
        |    ${HashFunctions.hash60Sql("text")} AS text_hash
        |  FROM scored
        |)

@@ -257,33 +257,23 @@ object CrawlPipeline {
       cfg.minFrequencySeconds, cfg.maxFrequencySeconds)
       .select(col("dir_path"), col("crawl_frequency").as("new_freq"))
 
-    val crawledUpdate = ctlAfterRemoval
-      .join(due.select(col("dir_path"), lit(true).as("crawled")), Seq("dir_path"), "left")
-      .join(missing0.select(col("dir_path"), lit(true).as("went_missing")), Seq("dir_path"), "left")
-      .join(withFreq, Seq("dir_path"), "left")
-      .join(dirIds.select(col("dir_path"), col("dir_id").as("resolved_id")), Seq("dir_path"), "left")
+    // M3 core is the shared operator (oracle-gated as m3_mark_crawled);
+    // the pipeline's claim-free batch model clears every claim and
+    // un-flags missing dirs each round (the retry path — see the
+    // markDirsCrawled doc), then re-resolves dir ids for dirs first seen
+    // this round.
+    val crawledInfo = due.select(col("dir_path"))
       .join(fileCounts, Seq("dir_path"), "left")
       .join(subdirCounts, Seq("dir_path"), "left")
-      .select(
-        col("dir_path"),
-        coalesce(col("resolved_id"), col("dir_id")).as("dir_id"),
-        when(col("crawled"), coalesce(col("fc"), lit(0)).cast("int"))
-          .otherwise(col("file_count")).as("file_count"),
-        when(col("crawled"), coalesce(col("sc"), lit(0)).cast("int"))
-          .otherwise(col("subdir_count")).as("subdir_count"),
-        when(col("went_missing"),
-            timestamp_seconds(unix_timestamp(ts) + cfg.missingRetrySeconds))
-          .when(col("crawled"),
-            timestamp_seconds(unix_timestamp(ts) + col("new_freq")))
-          .otherwise(col("next_crawl")).as("next_crawl"),
-        when(col("crawled") && !coalesce(col("went_missing"), lit(false)),
-          col("new_freq")).otherwise(col("crawl_frequency")).as("crawl_frequency"),
-        col("assigned_process_id"),
-        lit(null).cast("timestamp").as("process_assigned_on"),
-        when(col("crawled"), ts).otherwise(col("last_crawled")).as("last_crawled"),
-        col("last_active"),
-        coalesce(col("went_missing"), lit(false)).as("dir_missing"),
-        col("inserted_on"))
+      .join(withFreq, Seq("dir_path"), "left")
+      .select(col("dir_path"), col("fc"), col("sc"), col("new_freq"))
+    val crawledUpdate = ScheduleOps.markDirsCrawled(
+        ctlAfterRemoval, crawledInfo, missing0, ts,
+        cfg.missingRetrySeconds, clearAllClaims = true, preserveMissing = false)
+      .join(dirIds.select(col("dir_path"), col("dir_id").as("resolved_id")),
+        Seq("dir_path"), "left")
+      .withColumn("dir_id", coalesce(col("resolved_id"), col("dir_id")))
+      .drop("resolved_id")
 
     // schedule newly discovered subdirs (M2 insert branch — never reschedule
     // existing entries: DirectoryCrawl.py:933-945)

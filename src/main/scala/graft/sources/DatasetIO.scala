@@ -32,22 +32,30 @@ object DatasetIO {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Single-pass batch parse of a JSONL corpus: one frame with an
+    * `is_valid` flag, the raw line, and the parsed fields — the same
+    * shape as [[streamDocumentsJsonl]]. One scan covers both routing
+    * decisions; use this form when materializing valid rows AND rejects
+    * in the same job (the pair form below scans once per output). */
+  def readDocumentsJsonlFlagged(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(col("value").as("raw_line"),
+        from_json(col("value"), documentsSchema).as("d"))
+      .withColumn("is_valid",
+        col("d").isNotNull && col("d.doc_id").isNotNull && col("d.text").isNotNull)
+      .select(col("is_valid"), col("raw_line"), col("d.*"))
+
   /** Parse a JSONL corpus into `(valid, rejects)`: valid rows match
     * [[documentsSchema]] with a non-null doc_id and text; rejects keep
-    * the raw line. */
+    * the raw line. Each output is an independent lineage (materializing
+    * both scans the input twice) — prefer [[readDocumentsJsonlFlagged]]
+    * for one-scan routing. */
   def readDocumentsJsonl(spark: SparkSession,
                          path: String): (DataFrame, DataFrame) = {
-    val parsed = spark.read.text(path)
-      .select(col("value"), from_json(col("value"), documentsSchema).as("d"))
-    val valid = parsed
-      .filter(col("d").isNotNull &&
-        col("d.doc_id").isNotNull && col("d.text").isNotNull)
-      .select(col("d.*"))
-    val rejects = parsed
-      .filter(col("d").isNull ||
-        col("d.doc_id").isNull || col("d.text").isNull)
-      .select(col("value").as("raw_line"))
-    (valid, rejects)
+    val flagged = readDocumentsJsonlFlagged(spark, path)
+    (flagged.filter(col("is_valid"))
+       .select(documentsSchema.fieldNames.map(col).toIndexedSeq: _*),
+     flagged.filter(!col("is_valid")).select(col("raw_line")))
   }
 
   /** Streaming twin of [[readDocumentsJsonl]] for corpora that arrive
@@ -66,24 +74,31 @@ object DatasetIO {
         col("d").isNotNull && col("d.doc_id").isNotNull && col("d.text").isNotNull)
       .select(col("is_valid"), col("raw_line"), col("d.*"))
 
-  /** CSV variant (header row, quoted fields). Same validity contract. */
-  def readDocumentsCsv(spark: SparkSession,
-                       path: String): (DataFrame, DataFrame) = {
-    val raw = spark.read
+  /** Single-pass flagged CSV parse (header row, quoted fields). The
+    * `is_valid` projection references the data columns alongside the
+    * corrupt-record column, so it dodges SPARK-21610 (a filter on the
+    * corrupt column ALONE is rejected unless cached) without the cached
+    * frame the previous workaround leaked. */
+  def readDocumentsCsvFlagged(spark: SparkSession, path: String): DataFrame =
+    spark.read
       .option("header", "true").option("mode", "PERMISSIVE")
       .schema(documentsSchema.add("_corrupt_record", StringType))
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
-      .cache() // required before touching the corrupt-record column alone
-    val valid = raw
-      .filter(col("_corrupt_record").isNull &&
-        col("doc_id").isNotNull && col("text").isNotNull)
-      .select(documentsSchema.fieldNames.map(col).toIndexedSeq: _*)
-    val rejects = raw
-      .filter(col("_corrupt_record").isNotNull ||
-        col("doc_id").isNull || col("text").isNull)
-      .select(coalesce(col("_corrupt_record"), col("text"), lit("")).as("raw_line"))
-    (valid, rejects)
+      .select(
+        (col("_corrupt_record").isNull &&
+          col("doc_id").isNotNull && col("text").isNotNull).as("is_valid"),
+        coalesce(col("_corrupt_record"), col("text"), lit("")).as("raw_line"),
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+
+  /** CSV variant of [[readDocumentsJsonl]]. Same validity contract; same
+    * one-lineage-per-output caveat. */
+  def readDocumentsCsv(spark: SparkSession,
+                       path: String): (DataFrame, DataFrame) = {
+    val flagged = readDocumentsCsvFlagged(spark, path)
+    (flagged.filter(col("is_valid"))
+       .select(documentsSchema.fieldNames.map(col).toIndexedSeq: _*),
+     flagged.filter(!col("is_valid")).select(col("raw_line")))
   }
 
   /** Write a corpus as partitioned parquet with bounded shard sizes:

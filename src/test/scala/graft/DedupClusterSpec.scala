@@ -68,6 +68,25 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head._3 >= 3)
   }
 
+  test("Reliable checkpoint mode matches Local on chain + clique") {
+    val s = spark
+    import s.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val chain = (1L until 40L).map(i => (i + 1, i))
+    val clique = (for { a <- 100L to 103L; b <- 100L to 103L if a < b } yield (a, b))
+    val docs = ((1L to 40L) ++ (100L to 103L)).toDF("doc_id")
+    val pairs = (chain ++ clique).toDF("doc_a", "doc_b")
+    val local = DedupOps.dupClusters(docs, pairs, state = DedupOps.Local)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = DedupOps.dupClusters(docs, pairs, state = DedupOps.Reliable)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    assert(reliable(40L) === 1L && reliable(103L) === 100L)
+    // the reliable mode actually wrote to the checkpoint dir
+    assert(new java.io.File(ckpt).listFiles().nonEmpty)
+  }
+
   test("empty pair set: every doc is its own cluster") {
     val s = spark
     import s.implicits._

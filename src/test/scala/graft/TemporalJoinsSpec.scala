@@ -46,6 +46,27 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> 102L, 2L -> -1L, 3L -> 101L, 4L -> -1L))
   }
 
+  test("asOfJoin: NULL timestamps never match, in either direction") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, Option(ts("2024-01-01 10:00:00"))),
+      (2L, 10L, Option.empty[Timestamp])) // NULL left ts → NULL match
+      .toDF("l_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, Option(ts("2024-01-01 09:00:00"))),
+      (102L, 10L, Option(ts("2024-01-01 11:00:00"))),
+      (103L, 10L, Option.empty[Timestamp])) // NULL right ts → never matched
+      .toDF("r_id", "user_id", "ts")
+    def run(backward: Boolean) =
+      TemporalJoins.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+          Map("r_id" -> "matched"), backward = backward)
+        .select("l_id", "matched").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(run(backward = true) === Map(1L -> 101L, 2L -> -1L))
+    assert(run(backward = false) === Map(1L -> 102L, 2L -> -1L))
+  }
+
   test("bandJoin: exact pairs across bucket boundaries, each pair once") {
     val s = spark
     import s.implicits._

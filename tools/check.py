@@ -12,6 +12,25 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Engine-portable oracle types. Anything outside this set (HUGEINT from
+# DuckDB's sum(BIGINT), DECIMAL from untyped literals, ...) hashes
+# differently than Spark's output even when the values are equal — this
+# class of silent drift cost rounds 1 and 3, so fail loudly up front.
+PORTABLE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                  "FLOAT", "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE"}
+
+
+def type_violations(rel):
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        base = t.split("(")[0].strip()
+        while base.endswith("[]"):  # list types: check the element type
+            base = base[:-2]
+        if base not in PORTABLE_TYPES:
+            bad.append(f"{col}:{t}")
+    return bad
+
 
 def norm(v):
     if v is None:
@@ -46,6 +65,12 @@ def main(sf_dir, out_dir):
             continue
         try:
             exp = con.sql(sql)
+            bad_types = type_violations(exp)
+            if bad_types:
+                print(f"FAIL {name}: non-portable oracle column types: {bad_types}"
+                      " (CAST the final projection to BIGINT/DOUBLE/VARCHAR/...)")
+                n_bad += 1
+                continue
             exp_cols = sorted(exp.columns)
             exp_rows = sorted(
                 tuple(norm(v) for v in row)
