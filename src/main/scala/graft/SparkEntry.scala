@@ -522,6 +522,25 @@ object SparkEntry {
     "x15_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyByType(Tables.events(s, dir))),
 
+    // x32 — per-language length-quantile corpus profile (rank-based,
+    // engine-exact; the approx_percentile swap is spec-pinned)
+    "x32_length_quantiles" -> ((s, dir) =>
+      TextOps.lengthQuantiles(Tables.documents(s, dir))),
+
+    // x33 — identifier redaction over an injected-PII fixture (the
+    // synthetic corpus carries no emails, so each doc gets a
+    // doc_id-varying email + long number prepended on both engines)
+    "x33_redaction" -> ((s, dir) =>
+      TextOps.redactionReport(Tables.documents(s, dir), x33Hostile)),
+
+    // x34 — word/2-gram repetition ratios (Gopher-style quality signal)
+    "x34_repetition" -> ((s, dir) =>
+      TextOps.repetitionReport(Tables.documents(s, dir))),
+
+    // j17 — interval-overlap join: concurrent-session degree per session
+    "j17_concurrent_sessions" -> ((s, dir) =>
+      graft.operators.TemporalJoins.concurrentSessions(Tables.events(s, dir))),
+
     "x16_user_sessions" -> ((s, dir) =>
       graft.streaming.EventStreams.userSessions(Tables.events(s, dir), 30))
   )
@@ -543,6 +562,19 @@ object SparkEntry {
         lit(null).cast("timestamp").as("atime"))
     changed.unionByName(fresh)
   }
+
+  // per-doc synthetic PII for the x33 fixture (same expression in
+  // x33HostileSql — keep in sync)
+  private def x33Hostile: Column =
+    concat(lit("reach u"), (col("doc_id") % 50).cast("string"),
+      lit("@ex"), (col("doc_id") % 3).cast("string"),
+      lit(".com or 555123456"), (col("doc_id") % 10).cast("string"),
+      lit(" "), col("text"))
+
+  private val x33HostileSql =
+    "'reach u' || CAST(doc_id % 50 AS VARCHAR) || '@ex' || " +
+      "CAST(doc_id % 3 AS VARCHAR) || '.com or 555123456' || " +
+      "CAST(doc_id % 10 AS VARCHAR) || ' ' || text"
 
   // deterministic staged batch for the M2 verify query: every 4th dir
   // touched (mtime+1h), one new dir per nation under /STAGE.
@@ -975,7 +1007,12 @@ object SparkEntry {
     "x30_training_pipeline" -> graft.operators.SamplingOps.trainingPipelineSql(),
 
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
-    "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30)
+    "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30),
+    "x32_length_quantiles" -> TextOps.lengthQuantilesSql(),
+    "x33_redaction" -> TextOps.redactionReportSql(s"($x33HostileSql)"),
+    "x34_repetition" -> TextOps.repetitionReportSql,
+    "j17_concurrent_sessions" ->
+      graft.operators.TemporalJoins.concurrentSessionsSql(30)
   )
 
   /** Oracle SQL that depends on the data (trained models): k-means isn't

@@ -78,6 +78,50 @@ object SamplingOps {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** The 100 TB form of [[quotaSample]] — same K rows, bounded sort.
+    *
+    * [[quotaSample]] keeps the K smallest `(hash, key)` pairs per
+    * stratum, but its window sorts the WHOLE stratum. This version
+    * pre-filters each stratum to a PREFIX of that sort order — rows with
+    * `hash60(key) < t`, `t = H · (K·headroom)/n` over the hash space H,
+    * sized from the exact per-stratum count — so the window sorts
+    * ~K·headroom rows per stratum instead of all n. A hash-value prefix
+    * (unlike a mod-bucket) preserves the sort order's head, so whenever
+    * at least `min(K, n)` rows survive the filter they contain exactly
+    * the K selected rows; a second count VERIFIES that per stratum, and
+    * any under-quota stratum (vanishingly rare at the default headroom —
+    * survivors are Binomial(n, K·headroom/n) — but data can collide
+    * adversarially) falls back to its full rows. Equality with
+    * [[quotaSample]] is therefore unconditional, and spec-pinned.
+    *
+    * Cost shape: two broadcast-sized count aggs (one row per stratum) +
+    * one narrow filter + the same window over the shrunken input. */
+  def quotaSamplePrefiltered(df: DataFrame, stratum: Column, k: Int,
+                             seed: Int = 0, key: Column = col("doc_id"),
+                             headroom: Double = 4.0): DataFrame = {
+    val h = HashFunctions.hash60(key, seed)
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__stratum"), col("__n"),
+        when(col("__n") <= lit(k * headroom), lit(Long.MaxValue))
+          .otherwise((lit((1L << 60).toDouble) * lit(k * headroom) / col("__n"))
+            .cast("long")).as("__t"))
+    val tagged = df.join(broadcast(counts), stratum === col("__stratum"))
+    val pre = tagged.filter(h < col("__t"))
+    val surv = pre.groupBy(col("__stratum").as("__s2")).agg(count(lit(1)).as("__m"))
+    val okMap = counts.join(surv, col("__stratum") === col("__s2"), "left")
+      .select(col("__stratum").as("__s3"),
+        (coalesce(col("__m"), lit(0L)) >= least(lit(k.toLong), col("__n"))).as("__ok"))
+    val input = pre
+      .join(broadcast(okMap.filter(col("__ok")).select("__s3")),
+        col("__stratum") === col("__s3"), "left_semi")
+      .unionByName(tagged
+        .join(broadcast(okMap.filter(!col("__ok")).select("__s3")),
+          col("__stratum") === col("__s3"), "left_semi"))
+      .drop("__stratum", "__n", "__t")
+    quotaSample(input, stratum, k, seed, key)
+  }
+
   def quotaSampleSql(k: Int, seed: Int = 0): String =
     s"""SELECT * EXCLUDE (rn) FROM (
        |  SELECT *, row_number() OVER (PARTITION BY lang

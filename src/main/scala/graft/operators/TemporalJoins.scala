@@ -124,6 +124,39 @@ object TemporalJoins {
       .drop("__bucket")
   }
 
+  /** Interval-overlap join: pairs `(l, r)` with
+    * `l.start <= r.end AND r.start <= l.end` (closed-interval overlap),
+    * optionally narrowed by `extraCond`. Start/end columns are epoch
+    * seconds (LongType); inputs must have disjoint column names.
+    *
+    * Mechanics: the time axis is bucketed at `granularity`; each interval
+    * explodes to the buckets it covers, candidates meet on a bucket
+    * equi-join, and a pair is CLAIMED only in the bucket containing
+    * `max(l.start, r.start)` — the overlap's first bucket — so every true
+    * pair appears exactly once with no dedup shuffle (same first-match
+    * idea as the simhash byte blocks). The shuffle key is the time
+    * bucket: work distributes by when intervals happen, and per-bucket
+    * fan-in is bounded by how many intervals genuinely overlap a
+    * granularity window — the quadratic blowup an unbucketed theta join
+    * hits on a busy corpus never materializes as a single task.
+    * `granularity` trades replication (long intervals explode into
+    * `span/granularity` rows) against bucket selectivity; pick it near
+    * the typical interval length. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lStart: String, lEnd: String, rStart: String, rEnd: String,
+                   granularity: Long, extraCond: Column = lit(true)): DataFrame = {
+    def b(c: Column): Column = floor(c / granularity).cast("long")
+    val l2 = left.withColumn("__bucket",
+      explode(sequence(b(col(lStart)), b(col(lEnd)))))
+    val r2 = right.withColumn("__bucket",
+      explode(sequence(b(col(rStart)), b(col(rEnd)))))
+    l2.join(r2, Seq("__bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bucket") === b(greatest(col(lStart), col(rStart))) &&
+        extraCond)
+      .drop("__bucket")
+  }
+
   // ---- query twins ---------------------------------------------------------
 
   /** j15: every purchase matched to the user's most recent prior-or-same
@@ -160,6 +193,48 @@ object TemporalJoins {
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("sum_gap"))
   }
+
+  /** j17: per-session concurrency — for every user session, how many
+    * OTHER users' sessions overlap it in time (closed intervals).
+    * Sessions come from [[graft.streaming.EventStreams.userSessions]];
+    * overlap rides [[intervalJoin]] with 1 h buckets (sessions are
+    * minutes-to-hours long). Ordered pairs (a ≠ b) are counted from the
+    * a-side so each session's count covers all its concurrent partners;
+    * zero-concurrency sessions survive via the left join. */
+  def concurrentSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sess = graft.streaming.EventStreams.userSessions(events, gapMinutes)
+      .select(col("user_id"), col("session_no"),
+        col("session_start_epoch"), col("session_end_epoch"))
+    val a = sess.select(col("user_id").as("u_a"), col("session_no").as("sn_a"),
+      col("session_start_epoch").as("s_a"), col("session_end_epoch").as("e_a"))
+    val b = sess.select(col("user_id").as("u_b"),
+      col("session_start_epoch").as("s_b"), col("session_end_epoch").as("e_b"))
+    val counts = intervalJoin(a, b, "s_a", "e_a", "s_b", "e_b", 3600L,
+        col("u_a") =!= col("u_b"))
+      .groupBy(col("u_a"), col("sn_a"))
+      .agg(count(lit(1)).as("n_concurrent"))
+    sess.join(counts,
+        col("user_id") === col("u_a") && col("session_no") === col("sn_a"), "left")
+      .select(col("user_id"), col("session_no"),
+        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+  }
+
+  /** Oracle twin uses the naive inequality join (DuckDB plans an IEJoin)
+    * — same result set, small-SF only. */
+  def concurrentSessionsSql(gapMinutes: Int = 30): String =
+    s"""WITH s AS (
+       |  SELECT user_id, session_no, session_start_epoch, session_end_epoch FROM (
+       |${graft.streaming.EventStreams.userSessionsSql(gapMinutes)}
+       |  ) t
+       |), c AS (
+       |  SELECT a.user_id, a.session_no, count(*) AS n_concurrent
+       |  FROM s a JOIN s b ON a.user_id <> b.user_id
+       |    AND a.session_start_epoch <= b.session_end_epoch
+       |    AND b.session_start_epoch <= a.session_end_epoch
+       |  GROUP BY a.user_id, a.session_no
+       |)
+       |SELECT s.user_id, s.session_no, coalesce(c.n_concurrent, 0) AS n_concurrent
+       |FROM s LEFT JOIN c ON c.user_id = s.user_id AND c.session_no = s.session_no""".stripMargin
 
   def valueBandPairsSql(width: Double = 0.5): String =
     s"""SELECT a.event_type, count(*) AS n_pairs,

@@ -219,6 +219,124 @@ object TextOps {
        |GROUP BY text_hash""".stripMargin
   }
 
+  // Redaction patterns: explicit character classes only (no \w / \d / \b
+  // shorthands — Java and RE2 agree on these classes byte-for-byte).
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val longNumPattern = "[0-9]{7,}"
+
+  /** Scrub direct identifiers from a text column — the redaction pass a
+    * training pipeline runs before a corpus leaves curation: email
+    * addresses → `<EMAIL>`, long digit runs (phone/account-shaped) →
+    * `<NUM>`. Pure per-row codegen'd projection; replacement strings are
+    * literals (no backreferences — the one regex feature whose syntax
+    * diverges between engines). */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      longNumPattern, "<NUM>")
+
+  def redactSql(expr: String): String =
+    s"regexp_replace(regexp_replace($expr, '$emailPattern', '<EMAIL>', 'g'), '$longNumPattern', '<NUM>', 'g')"
+
+  /** x33: redaction report — per doc, how many identifiers were found
+    * and the hash of the scrubbed text (compact oracle evidence that the
+    * scrub itself matched, not just the counts). */
+  def redactionReport(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.select(col("doc_id"),
+      regexp_count(text, lit(emailPattern)).as("n_emails"),
+      regexp_count(text, lit(longNumPattern)).as("n_long_nums"),
+      md5(redact(text)).as("redacted_hash"))
+
+  def redactionReportSql(expr: String = "text"): String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all($expr, '$emailPattern')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all($expr, '$longNumPattern')) AS INT) AS n_long_nums,
+       |  md5(${redactSql(expr)}) AS redacted_hash
+       |FROM documents""".stripMargin
+
+  /** x34: repetition ratios — the Gopher-style quality signal: fraction
+    * of duplicated words and duplicated word 2-grams per document (1 −
+    * distinct/total; 0 for empty docs). High repetition flags boilerplate
+    * and degenerate generations. Per-row IEEE arithmetic over integer
+    * counts — engine-exact; narrow codegen projection, no shuffle. */
+  def repetitionReport(df: DataFrame, text: Column = col("text")): DataFrame = {
+    def ratio(arr: Column): Column = {
+      val total = size(arr)
+      when(total > 0,
+        lit(1d) - size(array_distinct(arr)).cast("double") / total.cast("double"))
+        .otherwise(lit(0d))
+    }
+    df.select(col("doc_id"),
+      ratio(words(text)).as("dup_word_ratio"),
+      ratio(DedupOps.shingles(text, 2)).as("dup_2gram_ratio"))
+  }
+
+  def repetitionReportSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS ws,
+       |    list_transform(generate_series(1, greatest(len(string_split(trim(text), ' ')) - 1, 0)),
+       |      i -> string_split(trim(text), ' ')[i] || ' ' || string_split(trim(text), ' ')[i+1]) AS g2
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN len(ws) > 0
+       |       THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+       |       ELSE 0.0 END AS dup_word_ratio,
+       |  CASE WHEN len(g2) > 0
+       |       THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+       |       ELSE 0.0 END AS dup_2gram_ratio
+       |FROM g""".stripMargin
+
+  /** x32: per-language document-length quantiles (discrete, rank-based)
+    * — the corpus profile a curation run reports before choosing length
+    * filters. Quantile p = the value at row_number `ceil(p·n)` in
+    * (token count, doc_id) order: pure integer selection, so both
+    * engines agree bit-for-bit (interpolated `percentile`/`quantile_cont`
+    * would hinge on float rounding; the one double op here, `ceil(p·n)`,
+    * uses identical literals and IEEE multiply on both sides).
+    *
+    * One narrow projection + one window + one partial-agg groupBy. At
+    * 100 TB swap the window for `approx_percentile` (t-digest: mergeable
+    * map-side, no per-stratum sort) — [[TextOpsQuantileSpec]] pins the
+    * sketch within tolerance of this exact form. */
+  def lengthQuantiles(df: DataFrame,
+                      ps: Seq[(String, Double)] = quantilePoints): DataFrame = {
+    val toks = df.select(col("lang"), col("doc_id"),
+      size(wordsRe(col("text"))).cast("long").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n"), col("doc_id"))
+    val ranked = toks
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+    val aggs = count(lit(1)).as("n_docs") +:
+      ps.map { case (name, p) =>
+        max(when(col("rn") === ceil(lit(p) * col("cnt")), col("n"))).as(name)
+      }
+    ranked.groupBy("lang").agg(aggs.head, aggs.tail: _*)
+  }
+
+  val quantilePoints: Seq[(String, Double)] =
+    Seq("p10" -> 0.10, "p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99)
+
+  def lengthQuantilesSql(ps: Seq[(String, Double)] = quantilePoints): String = {
+    val cols = ps.map { case (name, p) =>
+      s"CAST(max(CASE WHEN rn = CAST(ceil(CAST($p AS DOUBLE) * cnt) AS BIGINT) THEN n END) AS BIGINT) AS $name"
+    }.mkString(",\n  ")
+    s"""WITH toks AS (
+       |  SELECT lang, doc_id, CAST(len(${wordsReSql("text")}) AS BIGINT) AS n
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT lang, n,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS BIGINT) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM toks
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  $cols
+       |FROM ranked GROUP BY lang""".stripMargin
+  }
+
   /** Document fingerprints: a bag-of-words canonical hash (order-
     * independent — catches shuffled near-dups) and a min-shingle rolling
     * hash (winnowing-style, robust to small edits). */

@@ -86,6 +86,19 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids === ids)
   }
 
+  test("quotaSamplePrefiltered == quotaSample, on both the prefix and fallback paths") {
+    val docs = Tables.documents(spark, sfDir)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(SamplingOps.quotaSample(docs, col("lang"), 7))
+    // normal headroom: prefix path selects, verification passes
+    assert(ids(SamplingOps.quotaSamplePrefiltered(docs, col("lang"), 7)) === exact)
+    // starved headroom: the prefix under-fills every stratum, so the
+    // per-stratum verification must route them all through the fallback
+    assert(ids(SamplingOps.quotaSamplePrefiltered(docs, col("lang"), 7,
+      headroom = 1e-9)) === exact)
+  }
+
   test("trainingPipeline: packs exactly the curated train docs, offsets chain") {
     val s = spark
     import s.implicits._

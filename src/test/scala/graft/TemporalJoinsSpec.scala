@@ -46,6 +46,29 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> 102L, 2L -> -1L, 3L -> 101L, 4L -> -1L))
   }
 
+  test("intervalJoin: equals the naive theta join, each pair exactly once") {
+    val s = spark
+    import s.implicits._
+    // granularity 10: intervals spanning 1..4 buckets, endpoint touches
+    // (closed intervals), disjoint pairs, and an extraCond filter
+    val left = Seq((1L, 0L, 5L), (2L, 8L, 32L), (3L, 40L, 40L), (4L, 55L, 90L))
+      .toDF("l_id", "ls", "le")
+    val right = Seq((11L, 5L, 9L), (12L, 33L, 39L), (13L, 40L, 41L),
+      (14L, 0L, 100L), (15L, 91L, 95L))
+      .toDF("r_id", "rs", "re")
+    val out = TemporalJoins.intervalJoin(left, right, "ls", "le", "rs", "re", 10L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq === naive.sorted.toSeq) // same set
+    assert(out.length === out.toSet.size) // no pair met twice
+    val filtered = TemporalJoins.intervalJoin(left, right, "ls", "le", "rs", "re", 10L,
+        col("l_id") =!= lit(1L))
+      .select("l_id").collect().map(_.getLong(0))
+    assert(!filtered.contains(1L))
+  }
+
   test("asOfJoin: NULL timestamps never match, in either direction") {
     val s = spark
     import s.implicits._
