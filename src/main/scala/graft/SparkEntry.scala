@@ -455,6 +455,14 @@ object SparkEntry {
         emb.filter(col("vec_id") % 100 === 0), model, k = 8, nProbe = 6)
     }),
 
+    // x35 — IVF cluster-health report (balance + tightness per inverted
+    // list); oracle generated from the trained centroids like x18/x24
+    "x35_cluster_stats" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.IvfOps.train(emb, k = 16, iterations = 2)
+      graft.operators.IvfOps.clusterStats(emb, model)
+    }),
+
     "x14_media_meta" -> ((s, dir) =>
       MultimodalOps.extractMediaMeta(
         Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))),
@@ -1026,6 +1034,7 @@ object SparkEntry {
       "x18_ann_ivf" -> graft.operators.IvfOps.topKSql(
         model, "vec_id % 100 = 0", k = 8, nProbe = 6),
       "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(
-        model, "vec_id % 100 = 0", k = 8, nProbe = 6))
+        model, "vec_id % 100 = 0", k = 8, nProbe = 6),
+      "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model))
   }
 }

@@ -139,6 +139,57 @@ object IvfOps {
       .filter(col("rank") <= k)
   }
 
+  /** x35: cluster-health report over a trained model — per-cluster member
+    * count and mean cosine similarity to the own centroid. The balance
+    * (count spread) and tightness (mean sim) diagnostics that tell an
+    * operator whether nlist fits the corpus and when to re-train: skewed
+    * counts mean hot inverted lists (probe cost concentrates), low means
+    * mean the coarse quantizer stopped describing the data.
+    *
+    * One assignment map + one broadcast join to the K-row centroid table
+    * + one partial-agg groupBy — corpus scanned once, nothing but
+    * (centroid_id, cos) shuffles. The per-row DECIMAL cast keeps the
+    * mean order-independent (engine-exact), projected back as DOUBLE. */
+  def clusterStats(emb: DataFrame, model: IvfModel): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("centroid_id", "cv")
+    assign(emb, model)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col("centroid_id"),
+        round(SimilarityOps.dot(col("embedding"), col("cv")) /
+          (sqrt(SimilarityOps.dot(col("embedding"), col("embedding"))) *
+            sqrt(SimilarityOps.dot(col("cv"), col("cv")))), 9).as("cos"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("cos").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("mean_cos"))
+  }
+
+  /** DuckDB twin of [[clusterStats]] for a trained model (centroid
+    * literals, same assignment dataflow as [[topKSql]]). */
+  def clusterStatsSql(model: IvfModel): String = {
+    val centroidRows = model.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    val e = "CAST(e.embedding AS DOUBLE[])"
+    val sim = s"list_dot_product($e, c.cv) / " +
+      s"(sqrt(list_dot_product($e, $e)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    s"""WITH centroids AS (
+       |  SELECT * FROM (VALUES $centroidRows) AS c(cid, cv)
+       |), sims AS (
+       |  SELECT e.vec_id, c.cid, round($sim, 9) AS cos,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $sim DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN centroids c
+       |)
+       |SELECT cid AS centroid_id, count(*) AS n_vecs,
+       |  CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_cos
+       |FROM sims WHERE rn = 1
+       |GROUP BY cid""".stripMargin
+  }
+
   /** Persist a built index: centroids (tiny) + per-vector assignment and
     * int8 codes — the offline half of the 100 TB flow, where the float
     * corpus is read once and queries touch only this table afterward.

@@ -112,4 +112,25 @@ object DatasetIO {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(dir)
+
+  /** Write a table bucketed (and sorted) by a join key — the co-located
+    * join layout for the hot keys of a 100 TB corpus: two tables
+    * bucketed by the same key with the same bucket count equi-join with
+    * NO Exchange on either side (the bucketing IS the shuffle, paid once
+    * at write time and amortized over every subsequent join/groupBy on
+    * that key). `BucketedJoinSpec` pins the exchange-free plan.
+    *
+    * Spark bucketing rides the table catalog, so this registers `name`
+    * (external table at `path`); read it back with `spark.table(name)`.
+    * Pick `buckets` so each bucket file lands near the target partition
+    * size at scale (corpus size / buckets ≈ 128–512 MB). */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+                    bucketCol: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(name)
 }

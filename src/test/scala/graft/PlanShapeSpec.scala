@@ -147,4 +147,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"adc must never plan a BNLJ:\n$plan")
   }
+
+  test("interval join (j17) is a bucket equi-join, never a cross/nested-loop product") {
+    val events = graft.core.Tables.events(spark, sfDir)
+    val plan = physicalPlan(
+      graft.operators.TemporalJoins.concurrentSessions(events))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval overlap must ride the bucket equi-join:\n$plan")
+  }
+
+  test("length quantiles (x32) and repetition (x34) stay narrow before their shuffles") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val qPlan = physicalPlan(graft.operators.TextOps.lengthQuantiles(docs))
+    assert(!qPlan.contains("Join"), s"quantiles must not join:\n$qPlan")
+    val rPlan = physicalPlan(graft.operators.TextOps.repetitionReport(docs))
+    assert(!rPlan.contains("Exchange") && !rPlan.contains("Join"),
+      s"repetition ratios are a pure narrow projection:\n$rPlan")
+  }
 }
