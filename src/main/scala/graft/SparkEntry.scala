@@ -46,6 +46,16 @@ object SparkEntry {
   private val catCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Cat]
 
+  // The trained IVF coarse quantizer is deterministic for a given corpus
+  // (seeding + fold order fixed), so the three ANN queries and the
+  // generated oracles share one training per (session, corpus) — the
+  // "train offline once, probe many" shape of a real deployment.
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.IvfOps.IvfModel]
+  private def ivfModel(s: SparkSession, dir: String): graft.operators.IvfOps.IvfModel =
+    ivfCache.getOrElseUpdate((s, dir),
+      graft.operators.IvfOps.train(Tables.embeddings(s, dir), k = 16, iterations = 2))
+
   def cat(s: SparkSession, dir: String): Cat =
     catCache.getOrElseUpdate((s, dir), {
       val d = FsCatalog.directory(s, dir).cache()
@@ -450,17 +460,15 @@ object SparkEntry {
     // embed as SQL literals) — see [[dynamicOracleSql]]
     "x18_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = graft.operators.IvfOps.train(emb, k = 16, iterations = 2)
       graft.operators.IvfOps.topK(emb,
-        emb.filter(col("vec_id") % 100 === 0), model, k = 8, nProbe = 6)
+        emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir), k = 8, nProbe = 6)
     }),
 
     // x35 — IVF cluster-health report (balance + tightness per inverted
     // list); oracle generated from the trained centroids like x18/x24
     "x35_cluster_stats" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = graft.operators.IvfOps.train(emb, k = 16, iterations = 2)
-      graft.operators.IvfOps.clusterStats(emb, model)
+      graft.operators.IvfOps.clusterStats(emb, ivfModel(s, dir))
     }),
 
     "x14_media_meta" -> ((s, dir) =>
@@ -496,9 +504,8 @@ object SparkEntry {
     // generated from the trained centroids — see [[dynamicOracleSql]]
     "x24_ann_adc" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = graft.operators.IvfOps.train(emb, k = 16, iterations = 2)
       graft.operators.IvfOps.adcTopK(emb,
-        emb.filter(col("vec_id") % 100 === 0), model, k = 8, nProbe = 6)
+        emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir), k = 8, nProbe = 6)
     }),
 
     // salted two-stage aggregation equals the plain GROUP BY — the oracle
@@ -544,6 +551,10 @@ object SparkEntry {
     // x34 — word/2-gram repetition ratios (Gopher-style quality signal)
     "x34_repetition" -> ((s, dir) =>
       TextOps.repetitionReport(Tables.documents(s, dir))),
+
+    // x36 — distinctive top terms per language (log-free tf/df score)
+    "x36_top_terms" -> ((s, dir) =>
+      TextOps.topTerms(Tables.documents(s, dir))),
 
     // j17 — interval-overlap join: concurrent-session degree per session
     "j17_concurrent_sessions" -> ((s, dir) =>
@@ -1019,6 +1030,7 @@ object SparkEntry {
     "x32_length_quantiles" -> TextOps.lengthQuantilesSql(),
     "x33_redaction" -> TextOps.redactionReportSql(s"($x33HostileSql)"),
     "x34_repetition" -> TextOps.repetitionReportSql,
+    "x36_top_terms" -> TextOps.topTermsSql(),
     "j17_concurrent_sessions" ->
       graft.operators.TemporalJoins.concurrentSessionsSql(30)
   )
@@ -1028,8 +1040,7 @@ object SparkEntry {
     * literals — so the x18 IVF twin is generated per scale factor and
     * merged into the oracle map by [[Verify]]. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
-    val model = graft.operators.IvfOps.train(
-      Tables.embeddings(spark, sfDir), k = 16, iterations = 2)
+    val model = ivfModel(spark, sfDir)
     Map(
       "x18_ann_ivf" -> graft.operators.IvfOps.topKSql(
         model, "vec_id % 100 = 0", k = 8, nProbe = 6),

@@ -337,6 +337,47 @@ object TextOps {
        |FROM ranked GROUP BY lang""".stripMargin
   }
 
+  /** x36: distinctive top-K terms per language — TF-IDF-shaped corpus
+    * analytics with a log-free score: `tf/df`, where tf = docs of the
+    * language containing the term and df = docs overall containing it.
+    * (A log() idf would rank near-identically but `ln` is libm-dependent
+    * and can split engines by an ulp; the rational score is one IEEE
+    * division — exact everywhere.) Ties break on the term itself.
+    *
+    * Shape: explode per-doc distinct terms once, two partial-agg
+    * groupBys (per-language and overall document frequency), one
+    * broadcast-sized join on the term, one per-language top-K window.
+    * The exploded relation is the only big intermediate and it is
+    * aggregated immediately — nothing quadratic, no driver state. */
+  def topTerms(df: DataFrame, k: Int = 10): DataFrame = {
+    val tok = df.select(col("lang"), col("doc_id"),
+      explode(array_distinct(wordsRe(col("text")))).as("w"))
+    val perLang = tok.groupBy("lang", "w").agg(count(lit(1)).as("tf"))
+    val overall = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = perLang.join(overall, "w")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score").desc, col("w"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("lang", "w", "tf", "df", "score", "rank")
+  }
+
+  def topTermsSql(k: Int = 10): String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT lang, doc_id, unnest(${wordsReSql("text")}) AS w
+       |  FROM documents
+       |), pl AS (
+       |  SELECT lang, w, count(*) AS tf FROM tok GROUP BY lang, w
+       |), ov AS (
+       |  SELECT w, count(*) AS df FROM tok GROUP BY w
+       |)
+       |SELECT lang, w, tf, df, CAST(tf AS DOUBLE) / df AS score,
+       |  CAST(row_number() OVER (PARTITION BY lang
+       |    ORDER BY CAST(tf AS DOUBLE) / df DESC, w) AS INT) AS rank
+       |FROM pl JOIN ov USING (w)
+       |QUALIFY rank <= $k""".stripMargin
+
   /** Document fingerprints: a bag-of-words canonical hash (order-
     * independent — catches shuffled near-dups) and a min-shingle rolling
     * hash (winnowing-style, robust to small edits). */
