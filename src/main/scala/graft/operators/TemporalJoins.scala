@@ -202,9 +202,14 @@ object TemporalJoins {
     * a-side so each session's count covers all its concurrent partners;
     * zero-concurrency sessions survive via the left join. */
   def concurrentSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    // the session table feeds BOTH interval-join sides and the final
+    // left join — pin it so sessionization (a full scan + window over
+    // the event corpus) runs once, not three times (at cluster scale use
+    // a reliable checkpoint / temp table, as with DedupOps.IterState)
     val sess = graft.streaming.EventStreams.userSessions(events, gapMinutes)
       .select(col("user_id"), col("session_no"),
         col("session_start_epoch"), col("session_end_epoch"))
+      .localCheckpoint(true)
     val a = sess.select(col("user_id").as("u_a"), col("session_no").as("sn_a"),
       col("session_start_epoch").as("s_a"), col("session_end_epoch").as("e_a"))
     val b = sess.select(col("user_id").as("u_b"),
