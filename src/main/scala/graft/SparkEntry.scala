@@ -556,6 +556,11 @@ object SparkEntry {
     "x36_top_terms" -> ((s, dir) =>
       TextOps.topTerms(Tables.documents(s, dir))),
 
+    // x37 — token-budget sampling (mixtures are specified in tokens)
+    "x37_token_budget" -> ((s, dir) =>
+      graft.operators.SamplingOps.tokenBudgetSample(
+        Tables.documents(s, dir), col("lang"), budgetTokens = 4000L)),
+
     // j17 — interval-overlap join: concurrent-session degree per session
     "j17_concurrent_sessions" -> ((s, dir) =>
       graft.operators.TemporalJoins.concurrentSessions(Tables.events(s, dir))),
@@ -1031,6 +1036,8 @@ object SparkEntry {
     "x33_redaction" -> TextOps.redactionReportSql(s"($x33HostileSql)"),
     "x34_repetition" -> TextOps.repetitionReportSql,
     "x36_top_terms" -> TextOps.topTermsSql(),
+    "x37_token_budget" ->
+      graft.operators.SamplingOps.tokenBudgetSampleSql(4000L),
     "j17_concurrent_sessions" ->
       graft.operators.TemporalJoins.concurrentSessionsSql(30)
   )

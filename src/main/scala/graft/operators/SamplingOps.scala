@@ -129,6 +129,46 @@ object SamplingOps {
        |  FROM documents
        |) WHERE rn <= $k""".stripMargin
 
+  /** x37: token-budget sampling — per-stratum, keep docs in stable hash
+    * order until the TOKEN budget fills (training mixtures are specified
+    * in tokens, not document counts). A doc is kept when the cumulative
+    * token total BEFORE it is still under budget, so the first
+    * budget-crossing doc is included (same convention as [[packChunks]]
+    * chunk straddling) and every stratum gets ≥1 doc when non-empty.
+    * Same determinism contract as [[quotaSample]] (hash order, unique
+    * key); same one-window shape, and the [[quotaSamplePrefiltered]]
+    * hash-prefix recipe applies unchanged when a stratum dwarfs its
+    * budget. */
+  def tokenBudgetSample(df: DataFrame, stratum: Column, budgetTokens: Long,
+                        seed: Int = 0, key: Column = col("doc_id")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(HashFunctions.hash60(key, seed), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", size(TextOps.wordsRe(col("text"))).cast("long"))
+      .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_excl") < budgetTokens)
+      .select(key.as("doc_id"), stratum.as("stratum"),
+        col("n_tokens"), col("cum_excl"))
+  }
+
+  def tokenBudgetSampleSql(budgetTokens: Long, seed: Int = 0): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS stratum,
+       |    CAST(len(${TextOps.wordsReSql("text")}) AS BIGINT) AS n_tokens,
+       |    ${HashFunctions.hash60Sql("doc_id", seed)} AS h
+       |  FROM documents
+       |)
+       |SELECT doc_id, stratum, n_tokens,
+       |  CAST(cum_excl AS BIGINT) AS cum_excl
+       |FROM (
+       |  SELECT doc_id, stratum, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY stratum ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+       |  FROM t
+       |)
+       |WHERE cum_excl < $budgetTokens""".stripMargin
+
   /** x27: mixture rebalancing — downsample every stratum to the size of
     * the smallest (uniform target mixture), choosing survivors by stable
     * hash so the subset is reproducible and monotone (a doc kept at rate
