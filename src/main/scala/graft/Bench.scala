@@ -25,6 +25,11 @@ object Bench {
       val c = SparkEntry.cat(spark, sfDir)
       Seq(c.directory, c.file, c.hash, c.directoryControl, c.hashControl)
         .foreach(_.count())
+      // also run each VIEW once: the reference's views are recomputed per
+      // query but their PLANS are compiled once by Postgres — Spark's
+      // analog is whole-stage codegen compilation, which otherwise lands
+      // entirely on whichever catalog query the map iterates first
+      Seq(c.vwLl, c.vwFileDetail).foreach(_.count())
     } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration; the
     // driver never sets it, so driver rounds always time the full set

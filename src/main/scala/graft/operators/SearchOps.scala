@@ -108,10 +108,16 @@ object SearchOps {
     * needle by id because full paths are data-dependent). */
   def duplicatesOf(vwLl: DataFrame, needle: DataFrame,
                    hashMatch: Boolean, nameMatch: Boolean): DataFrame = {
+    // the needle is tiny by contract (one path / one directory's rows) but
+    // DERIVING it can cost a full view scan — a dir-path needle filters on
+    // a join-output column, so nothing pushes into the file scan. Pin it
+    // once; otherwise every union branch below re-derives it (the j6
+    // bench query spent 4× its needle scan here).
     val n = needle.select(
       col("type").as("n_type"), col("full_path").as("n_path"),
       col("file_id").as("n_file_id"), col("name").as("n_name"),
       col("size").as("n_size"), col("md5_hash").as("n_md5"), col("sha1_hash").as("n_sha1"))
+      .localCheckpoint(true)
 
     // identity branch: file rows match by file_id — restricted to files,
     // because vw_ll dir rows share the sentinel file_id=0 (a dir needle
