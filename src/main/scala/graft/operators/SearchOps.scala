@@ -91,28 +91,48 @@ object SearchOps {
   def searchDuplicateFile(vwLl: DataFrame, fullPath: String,
                           hashMatch: Boolean = true, nameMatch: Boolean = false): DataFrame = {
     val p = parseExactSearch(fullPath)
-    val needle = vwLl.filter(
-      col("dir_path") === basepathScala(p) && col("name") === basenameScala(p))
-    duplicatesOf(vwLl, needle, hashMatch, nameMatch)
+    duplicatesWhere(vwLl,
+      col("dir_path") === basepathScala(p) && col("name") === basenameScala(p),
+      hashMatch, nameMatch)
   }
 
   /** `search_duplicate_dir` (`Search.py:297-345`): needle = all rows of one
     * directory. */
   def searchDuplicateDir(vwLl: DataFrame, dirPath: String,
                          hashMatchFiles: Boolean = true, nameMatchFiles: Boolean = false): DataFrame =
-    duplicatesOf(vwLl, vwLl.filter(col("dir_path") === parseExactSearch(dirPath)),
+    duplicatesWhere(vwLl, col("dir_path") === parseExactSearch(dirPath),
       hashMatchFiles, nameMatchFiles)
+
+  /** Predicate-needle form: the needle is `vwLl` rows matching
+    * `needlePred`, derived from the SAME pinned evaluation the haystack
+    * scans — the whole query costs exactly one view build, like the
+    * reference's one-scan OR-join. */
+  def duplicatesWhere(vwLl: DataFrame, needlePred: org.apache.spark.sql.Column,
+                      hashMatch: Boolean, nameMatch: Boolean): DataFrame = {
+    val hay = vwLl.localCheckpoint(true)
+    duplicatesCore(hay, hay.filter(needlePred), hashMatch, nameMatch)
+  }
 
   /** Union-of-equi-joins duplicate search core (shared by the file/dir
     * entry points; also used directly by the verify queries, which key the
-    * needle by id because full paths are data-dependent). */
+    * needle by id because full paths are data-dependent). `needle` should
+    * derive from `vwLl` cheaply (pushable predicate) — path-shaped needles
+    * route through [[duplicatesWhere]], which derives them from the pinned
+    * haystack instead. */
   def duplicatesOf(vwLl: DataFrame, needle: DataFrame,
-                   hashMatch: Boolean, nameMatch: Boolean): DataFrame = {
-    // the needle is tiny by contract (one path / one directory's rows) but
-    // DERIVING it can cost a full view scan — a dir-path needle filters on
-    // a join-output column, so nothing pushes into the file scan. Pin it
-    // once; otherwise every union branch below re-derives it (the j6
-    // bench query spent 4× its needle scan here).
+                   hashMatch: Boolean, nameMatch: Boolean): DataFrame =
+    // one view evaluation per query, like the reference's OR-join form (a
+    // Postgres view inlines and is scanned ONCE): without the pin each
+    // union branch re-joins the base tables to rebuild vw_ll. The pinned
+    // relation is exactly the rows the query must scan anyway, and
+    // localCheckpoint distributes it across executors (memory + disk).
+    duplicatesCore(vwLl.localCheckpoint(true), needle, hashMatch, nameMatch)
+
+  private def duplicatesCore(hay: DataFrame, needle: DataFrame,
+                             hashMatch: Boolean, nameMatch: Boolean): DataFrame = {
+    // the needle is tiny by contract (one path / one directory's rows) —
+    // pin its projection so the four union branches below broadcast it
+    // without re-deriving it four times
     val n = needle.select(
       col("type").as("n_type"), col("full_path").as("n_path"),
       col("file_id").as("n_file_id"), col("name").as("n_name"),
@@ -123,28 +143,28 @@ object SearchOps {
     // because vw_ll dir rows share the sentinel file_id=0 (a dir needle
     // would otherwise match EVERY dir row); dir rows match by full_path,
     // the only identity a vw_ll dir row carries.
-    val byId = vwLl.filter(col("type") === "file").join(
+    val byId = hay.filter(col("type") === "file").join(
       broadcast(n.filter(col("n_type") === "file").select("n_file_id").distinct()),
       col("file_id") === col("n_file_id")).drop("n_file_id")
 
-    val byPath = vwLl.filter(col("type") === "dir").join(
+    val byPath = hay.filter(col("type") === "dir").join(
       broadcast(n.filter(col("n_type") === "dir").select("n_path").distinct()),
       col("full_path") === col("n_path")).drop("n_path")
 
-    val bySha1 = vwLl.join(
+    val bySha1 = hay.join(
       broadcast(n.filter(col("n_sha1").isNotNull).select("n_sha1", "n_size").distinct()),
       col("sha1_hash") === col("n_sha1") && col("size") === col("n_size"))
       .drop("n_sha1", "n_size")
 
     // md5 fallback: fires when sha1 is missing on EITHER side (Search.py:280-285)
-    val byMd5 = vwLl.join(
+    val byMd5 = hay.join(
       broadcast(n.filter(col("n_md5").isNotNull)
         .select("n_md5", "n_size", "n_sha1").distinct()),
       col("md5_hash") === col("n_md5") && col("size") === col("n_size") &&
         (col("sha1_hash").isNull || col("n_sha1").isNull))
       .drop("n_md5", "n_size", "n_sha1")
 
-    val byName = vwLl.join(broadcast(n.select("n_name").distinct()),
+    val byName = hay.join(broadcast(n.select("n_name").distinct()),
       col("name") === col("n_name")).drop("n_name")
 
     val base = byId.unionByName(byPath)
