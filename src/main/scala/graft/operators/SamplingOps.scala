@@ -62,11 +62,9 @@ object SamplingOps {
   /** x29: exact-quota stratified sample — exactly min(K, |stratum|) docs
     * per stratum, chosen by hash order (a reproducible "random" quota;
     * unlike the rate-based [[stratifiedSample]], the output size is
-    * fixed, not expected). One window pass partitioned by stratum. At
-    * 100 TB add a conservative hash-rate pre-filter (keep buckets up to
-    * ~K/|stratum| with headroom, verified against the per-stratum count)
-    * so the window sorts ~K rows per stratum instead of the full corpus
-    * — same result, bounded sort. */
+    * fixed, not expected). One window pass partitioned by stratum; at
+    * 100 TB use [[quotaSamplePrefiltered]] — identical rows, the window
+    * sorts ~K·headroom rows per stratum instead of the full corpus. */
   def quotaSample(df: DataFrame, stratum: Column, k: Int,
                   seed: Int = 0, key: Column = col("doc_id")): DataFrame = {
     // `key` must be unique per row (it is the hash input AND the
@@ -106,18 +104,20 @@ object SamplingOps {
         when(col("__n") <= lit(k * headroom), lit(Long.MaxValue))
           .otherwise((lit((1L << 60).toDouble) * lit(k * headroom) / col("__n"))
             .cast("long")).as("__t"))
-    val tagged = df.join(broadcast(counts), stratum === col("__stratum"))
+    // null-safe key equality throughout: a NULL stratum is a legitimate
+    // window partition in quotaSample, so the prefilter must not drop it
+    val tagged = df.join(broadcast(counts), stratum <=> col("__stratum"))
     val pre = tagged.filter(h < col("__t"))
     val surv = pre.groupBy(col("__stratum").as("__s2")).agg(count(lit(1)).as("__m"))
-    val okMap = counts.join(surv, col("__stratum") === col("__s2"), "left")
+    val okMap = counts.join(surv, col("__stratum") <=> col("__s2"), "left")
       .select(col("__stratum").as("__s3"),
         (coalesce(col("__m"), lit(0L)) >= least(lit(k.toLong), col("__n"))).as("__ok"))
     val input = pre
       .join(broadcast(okMap.filter(col("__ok")).select("__s3")),
-        col("__stratum") === col("__s3"), "left_semi")
+        col("__stratum") <=> col("__s3"), "left_semi")
       .unionByName(tagged
         .join(broadcast(okMap.filter(!col("__ok")).select("__s3")),
-          col("__stratum") === col("__s3"), "left_semi"))
+          col("__stratum") <=> col("__s3"), "left_semi"))
       .drop("__stratum", "__n", "__t")
     quotaSample(input, stratum, k, seed, key)
   }

@@ -97,6 +97,12 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per-stratum verification must route them all through the fallback
     assert(ids(SamplingOps.quotaSamplePrefiltered(docs, col("lang"), 7,
       headroom = 1e-9)) === exact)
+    // NULL stratum is a legitimate window partition — the prefilter's
+    // joins must be null-safe, not silently drop those rows
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") % 3 === 0, col("lang")))
+    val exactN = ids(SamplingOps.quotaSample(withNull, col("lang"), 7))
+    assert(ids(SamplingOps.quotaSamplePrefiltered(withNull, col("lang"), 7)) === exactN)
   }
 
   test("trainingPipeline: packs exactly the curated train docs, offsets chain") {
