@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // drop any stale result file up front: a crash mid-run must leave no
+    // previous run's numbers where a reader could mistake them for ours
+    val outPath = sys.env.getOrElse("BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outPath))
+    catch { case _: Throwable => () }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,7 +60,6 @@ object Bench {
     // The driver parses a bounded stdout tail that sbt pollutes with its
     // [success] trailer — also persist the line to a file it can read
     // directly (BENCH_OUT overrides; /tmp/bench.json is the default).
-    val outPath = sys.env.getOrElse("BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     println(line)

@@ -521,8 +521,20 @@ object DedupOps {
         s"  FROM e$k e JOIN $hk hu ON e.u = hu.u JOIN $hk hv ON e.v = hv.u\n" +
         s"  WHERE hu.nl <> hv.nl\n)"
     }
+    // convergence guard: a component larger than 2^rounds nodes would
+    // leave edges uncontracted and the labels silently non-minimal — emit
+    // a sentinel row instead, turning "silently wrong clusters" into a
+    // loud row-count mismatch at the gate
     "WITH " + ctes.mkString(",\n") +
-      s"\nSELECT d.doc_id, CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS cluster_id" +
-      s"\nFROM documents d LEFT JOIN l${rounds - 1} l ON l.doc_id = d.doc_id"
+      s"""
+         |SELECT * FROM (
+         |  SELECT d.doc_id, CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN l${rounds - 1} l ON l.doc_id = d.doc_id
+         |)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS cluster_id
+         |  FROM e$rounds LIMIT 1
+         |)""".stripMargin
   }
 }

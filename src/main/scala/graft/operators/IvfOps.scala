@@ -78,6 +78,36 @@ object IvfOps {
       .toDF("vec_id", "centroid_id", "embedding")
   }
 
+  // ---- shared SQL fragments for the trained-model twins -------------------
+  // ONE copy of the centroid literals and of the `sims` assignment CTE
+  // (whose (sim DESC, cid) tie-break must mirror IvfModel.nearest
+  // bit-for-bit) — topKSql / adcTopKSql / clusterStatsSql all build on
+  // these, so an arithmetic or tie-break tweak cannot desynchronize them.
+
+  private def centroidValuesSql(model: IvfModel): String =
+    model.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+
+  /** Cosine of corpus row `e` against centroid `c.cv`. */
+  private val centroidSimSql: String = {
+    val e = "CAST(e.embedding AS DOUBLE[])"
+    s"list_dot_product($e, c.cv) / " +
+      s"(sqrt(list_dot_product($e, $e)) * sqrt(list_dot_product(c.cv, c.cv)))"
+  }
+
+  /** `centroids` + `sims` CTE pair (no leading WITH). `simsExtra` appends
+    * projected columns to the sims rows (e.g. the rounded cosine). */
+  private def centroidCtesSql(model: IvfModel, simsExtra: String = ""): String =
+    s"""centroids AS (
+       |  SELECT * FROM (VALUES ${centroidValuesSql(model)}) AS c(cid, cv)
+       |), sims AS (
+       |  SELECT e.vec_id, e.embedding, c.cid$simsExtra,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $centroidSimSql DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN centroids c
+       |)""".stripMargin
+
   /** DuckDB twin of [[assign]]+[[topK]] for a TRAINED model: the (tiny,
     * deterministic) centroids are embedded as DOUBLE[] literals, and the
     * assignment / probe / rank dataflow is replayed relationally. Every
@@ -85,20 +115,7 @@ object IvfOps {
     * over DOUBLE[] == the sequential fold, Double.toString literals
     * round-trip exactly, and tie-breaks order by (sim DESC, id). */
   def topKSql(model: IvfModel, queryFilter: String, k: Int, nProbe: Int): String = {
-    val centroidRows = model.centroids.zipWithIndex.map { case (c, i) =>
-      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
-    }.mkString(", ")
-    val e = "CAST(e.embedding AS DOUBLE[])"
-    val sim = s"list_dot_product($e, c.cv) / " +
-      s"(sqrt(list_dot_product($e, $e)) * sqrt(list_dot_product(c.cv, c.cv)))"
-    s"""WITH centroids AS (
-       |  SELECT * FROM (VALUES $centroidRows) AS c(cid, cv)
-       |), sims AS (
-       |  SELECT e.vec_id, e.embedding, c.cid,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY $sim DESC, c.cid) AS rn
-       |  FROM embeddings e CROSS JOIN centroids c
-       |), corpus_assign AS (
+    s"""WITH ${centroidCtesSql(model)}, corpus_assign AS (
        |  SELECT vec_id, embedding, cid AS centroid_id FROM sims WHERE rn = 1
        |), probes AS (
        |  SELECT vec_id AS query_id, embedding AS qe, cid AS centroid_id
@@ -167,28 +184,14 @@ object IvfOps {
           .cast("double") / count(lit(1))).as("mean_cos"))
   }
 
-  /** DuckDB twin of [[clusterStats]] for a trained model (centroid
-    * literals, same assignment dataflow as [[topKSql]]). */
-  def clusterStatsSql(model: IvfModel): String = {
-    val centroidRows = model.centroids.zipWithIndex.map { case (c, i) =>
-      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
-    }.mkString(", ")
-    val e = "CAST(e.embedding AS DOUBLE[])"
-    val sim = s"list_dot_product($e, c.cv) / " +
-      s"(sqrt(list_dot_product($e, $e)) * sqrt(list_dot_product(c.cv, c.cv)))"
-    s"""WITH centroids AS (
-       |  SELECT * FROM (VALUES $centroidRows) AS c(cid, cv)
-       |), sims AS (
-       |  SELECT e.vec_id, c.cid, round($sim, 9) AS cos,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY $sim DESC, c.cid) AS rn
-       |  FROM embeddings e CROSS JOIN centroids c
-       |)
+  /** DuckDB twin of [[clusterStats]] for a trained model — shares the
+    * centroid/assignment CTEs with [[topKSql]]/[[adcTopKSql]]. */
+  def clusterStatsSql(model: IvfModel): String =
+    s"""WITH ${centroidCtesSql(model, s", round($centroidSimSql, 9) AS cos")}
        |SELECT cid AS centroid_id, count(*) AS n_vecs,
        |  CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_cos
        |FROM sims WHERE rn = 1
        |GROUP BY cid""".stripMargin
-  }
 
   /** Persist a built index: centroids (tiny) + per-vector assignment and
     * int8 codes — the offline half of the 100 TB flow, where the float
@@ -286,23 +289,10 @@ object IvfOps {
   /** DuckDB twin of [[adcTopK]] for a trained model — same centroid-literal
     * replay as [[topKSql]], with ADC scoring over the generated code table. */
   def adcTopKSql(model: IvfModel, queryFilter: String, k: Int, nProbe: Int): String = {
-    val centroidRows = model.centroids.zipWithIndex.map { case (c, i) =>
-      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
-    }.mkString(", ")
-    val e = "CAST(e.embedding AS DOUBLE[])"
-    val sim = s"list_dot_product($e, c.cv) / " +
-      s"(sqrt(list_dot_product($e, $e)) * sqrt(list_dot_product(c.cv, c.cv)))"
     val qe = "CAST(p.qe AS DOUBLE[])"
     s"""WITH codes AS (
        |  ${SimilarityOps.quantizeEmbeddingsSql.replace("\n", "\n  ")}
-       |), centroids AS (
-       |  SELECT * FROM (VALUES $centroidRows) AS c(cid, cv)
-       |), sims AS (
-       |  SELECT e.vec_id, e.embedding, c.cid,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY $sim DESC, c.cid) AS rn
-       |  FROM embeddings e CROSS JOIN centroids c
-       |), corpus_assign AS (
+       |), ${centroidCtesSql(model)}, corpus_assign AS (
        |  SELECT vec_id, cid AS centroid_id FROM sims WHERE rn = 1
        |), probes AS (
        |  SELECT vec_id AS query_id, embedding AS qe, cid AS centroid_id

@@ -106,7 +106,14 @@ object SearchOps {
   /** Predicate-needle form: the needle is `vwLl` rows matching
     * `needlePred`, derived from the SAME pinned evaluation the haystack
     * scans — the whole query costs exactly one view build, like the
-    * reference's one-scan OR-join. */
+    * reference's one-scan OR-join.
+    *
+    * NOTE: BUILDING this query materializes the pinned view (one eager
+    * job) — the price of the one-scan shape. A lazy checkpoint would not
+    * help: within the single union job every branch would still rebuild
+    * the view (checkpoints persist only after the first job completes),
+    * and a cache would leak a new entry per invocation. Plan-only
+    * callers (explain tooling) pay one small job. */
   def duplicatesWhere(vwLl: DataFrame, needlePred: org.apache.spark.sql.Column,
                       hashMatch: Boolean, nameMatch: Boolean): DataFrame = {
     val hay = vwLl.localCheckpoint(true)

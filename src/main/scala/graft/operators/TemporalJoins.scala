@@ -205,7 +205,10 @@ object TemporalJoins {
     // the session table feeds BOTH interval-join sides and the final
     // left join — pin it so sessionization (a full scan + window over
     // the event corpus) runs once, not three times (at cluster scale use
-    // a reliable checkpoint / temp table, as with DedupOps.IterState)
+    // a reliable checkpoint / temp table, as with DedupOps.IterState).
+    // NOTE: the pin is eager — building this query runs the
+    // sessionization job (see SearchOps.duplicatesWhere for why lazy
+    // alternatives don't deliver the reuse)
     val sess = graft.streaming.EventStreams.userSessions(events, gapMinutes)
       .select(col("user_id"), col("session_no"),
         col("session_start_epoch"), col("session_end_epoch"))

@@ -86,10 +86,10 @@ object DatasetIO {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
       .select(
-        (col("_corrupt_record").isNull &&
-          col("doc_id").isNotNull && col("text").isNotNull).as("is_valid"),
-        coalesce(col("_corrupt_record"), col("text"), lit("")).as("raw_line"),
-        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        ((col("_corrupt_record").isNull &&
+          col("doc_id").isNotNull && col("text").isNotNull).as("is_valid") +:
+          coalesce(col("_corrupt_record"), col("text"), lit("")).as("raw_line") +:
+          documentsSchema.fieldNames.toIndexedSeq.map(col)): _*)
 
   /** CSV variant of [[readDocumentsJsonl]]. Same validity contract; same
     * one-lineage-per-output caveat. */
