@@ -69,6 +69,34 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!filtered.contains(1L))
   }
 
+  test("intervalJoin differential: 200×200 hash-generated intervals equal the naive join") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random intervals from md5-derived hashes:
+    // starts spread over [0, 5000), lengths over [0, 400) — many bucket
+    // crossings at granularity 250, plus zero-length intervals
+    def h60(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    def gen(tag: String, n: Int) = (1 to n).map { i =>
+      val h = h60(s"$tag$i")
+      val start = h % 5000L
+      val len = (h / 7919L) % 400L
+      (i.toLong, start, start + len)
+    }
+    val left = gen("L", 200).toDF("l_id", "ls", "le")
+    val right = gen("R", 200).toDF("r_id", "rs", "re")
+    val bucketed = TemporalJoins.intervalJoin(left, right, "ls", "le", "rs", "re", 250L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bucketed.length === bucketed.toSet.size, "a pair met twice")
+    assert(bucketed.sorted.toSeq === naive.sorted.toSeq)
+    assert(naive.nonEmpty)
+  }
+
   test("asOfJoin: NULL timestamps never match, in either direction") {
     val s = spark
     import s.implicits._
