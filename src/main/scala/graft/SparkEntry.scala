@@ -471,6 +471,12 @@ object SparkEntry {
       graft.operators.IvfOps.clusterStats(emb, ivfModel(s, dir))
     }),
 
+    // x38 — semantic-cluster × language contingency over the aligned
+    // documents/embeddings corpora (language-skew diagnostic)
+    "x38_cluster_lang_mix" -> ((s, dir) =>
+      graft.operators.IvfOps.clusterLangMix(
+        Tables.documents(s, dir), Tables.embeddings(s, dir), ivfModel(s, dir))),
+
     "x14_media_meta" -> ((s, dir) =>
       MultimodalOps.extractMediaMeta(
         Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))),
@@ -1053,6 +1059,7 @@ object SparkEntry {
         model, "vec_id % 100 = 0", k = 8, nProbe = 6),
       "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(
         model, "vec_id % 100 = 0", k = 8, nProbe = 6),
-      "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model))
+      "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model),
+      "x38_cluster_lang_mix" -> graft.operators.IvfOps.clusterLangMixSql(model))
   }
 }

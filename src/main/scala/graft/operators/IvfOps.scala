@@ -193,6 +193,28 @@ object IvfOps {
        |FROM sims WHERE rn = 1
        |GROUP BY cid""".stripMargin
 
+  /** x38: semantic-cluster × language contingency — per (centroid, lang)
+    * document counts over the aligned documents/embeddings corpora. The
+    * diagnostic that surfaces language-skewed clusters (a mixture hazard:
+    * a "cluster-balanced" sample silently becomes language-imbalanced
+    * when clusters and languages correlate). One assignment map + one
+    * equi-join on the id + a partial-agg groupBy keyed (centroid, lang)
+    * — bounded key cardinality, so the shuffle is tiny at any corpus
+    * size. */
+  def clusterLangMix(docs: DataFrame, emb: DataFrame, model: IvfModel): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(assign(emb, model).select(col("vec_id"), col("centroid_id")),
+        col("doc_id") === col("vec_id"))
+      .groupBy(col("centroid_id"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  def clusterLangMixSql(model: IvfModel): String =
+    s"""WITH ${centroidCtesSql(model)}
+       |SELECT s.cid AS centroid_id, d.lang, count(*) AS n_docs
+       |FROM sims s JOIN documents d ON d.doc_id = s.vec_id
+       |WHERE s.rn = 1
+       |GROUP BY s.cid, d.lang""".stripMargin
+
   /** Persist a built index: centroids (tiny) + per-vector assignment and
     * int8 codes — the offline half of the 100 TB flow, where the float
     * corpus is read once and queries touch only this table afterward.
