@@ -567,6 +567,15 @@ object SparkEntry {
       graft.operators.SamplingOps.tokenBudgetSample(
         Tables.documents(s, dir), col("lang"), budgetTokens = 4000L)),
 
+    // x39 — split-leakage audit: n-gram overlap between the train and
+    // val buckets of the deterministic hash split (the INTERNAL-leakage
+    // complement to x28's external benchmark decontamination)
+    "x39_split_leakage" -> ((s, dir) => {
+      val b = graft.operators.SamplingOps.hashBucket(col("doc_id"))
+      DedupOps.contaminationReport(
+        Tables.documents(s, dir).filter(b < 95), b >= 90, n = 3, minShared = 3)
+    }),
+
     // j17 — interval-overlap join: concurrent-session degree per session
     "j17_concurrent_sessions" -> ((s, dir) =>
       graft.operators.TemporalJoins.concurrentSessions(Tables.events(s, dir))),
@@ -1044,6 +1053,10 @@ object SparkEntry {
     "x36_top_terms" -> TextOps.topTermsSql(),
     "x37_token_budget" ->
       graft.operators.SamplingOps.tokenBudgetSampleSql(4000L),
+    "x39_split_leakage" -> DedupOps.contaminationReportSql(
+      s"${graft.operators.SamplingOps.hashBucketSql("doc_id")} >= 90", n = 3,
+      minShared = 3,
+      rel = s"(SELECT * FROM documents WHERE ${graft.operators.SamplingOps.hashBucketSql("doc_id")} < 95)"),
     "j17_concurrent_sessions" ->
       graft.operators.TemporalJoins.concurrentSessionsSql(30)
   )

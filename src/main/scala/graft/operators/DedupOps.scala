@@ -474,9 +474,10 @@ object DedupOps {
   }
 
   def contaminationReportSql(evalPredSql: String, n: Int = 5,
-                             minShared: Long = 3): String =
-    s"""WITH ${shinglesSqlCteN(n, s"(SELECT * FROM documents WHERE NOT ($evalPredSql))", "tr")},
-       |${shinglesSqlCteN(n, s"(SELECT * FROM documents WHERE $evalPredSql)", "ev")}
+                             minShared: Long = 3,
+                             rel: String = "documents"): String =
+    s"""WITH ${shinglesSqlCteN(n, s"(SELECT * FROM $rel WHERE NOT ($evalPredSql))", "tr")},
+       |${shinglesSqlCteN(n, s"(SELECT * FROM $rel WHERE $evalPredSql)", "ev")}
        |SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
        |  count(*) AS n_shared
        |FROM tr JOIN ev USING (sh)
