@@ -412,7 +412,7 @@ object SparkEntry {
     "x31_ws_tokens" -> ((s, dir) => {
       val hostile = translate(col("text"), "ox", "\t\n")
       Tables.documents(s, dir).select(col("doc_id"),
-        size(TextOps.wordsRe(hostile)).as("ws_tokens"),
+        graft.functions.TextExpressions.wsTokenCountFast(hostile).as("ws_tokens"),
         size(TextOps.words(hostile)).as("sp_tokens"))
     }),
 

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen whitespace-token COUNTER.
+  *
+  * `size(split(trim(text), "[ \t\n\r\f]+"))` — the ws_tokens shape used
+  * by every token-accounting operator — materializes the full token
+  * array (one UTF8String per token plus the array) only to take its
+  * length, and regex-splits on the way. This expression computes the
+  * identical count in one branch-light byte scan, zero allocation:
+  * token count = (# maximal whitespace runs in the space-trimmed text)
+  * + 1, which reproduces `split`'s `-1`-limit semantics exactly —
+  * leading/trailing whitespace contributes an empty edge token, and the
+  * empty string yields 1 (the singleton `[""]`).
+  *
+  * The whitespace set matches [[graft.operators.TextOps.wsRunRegex]]
+  * (space, \t, \n, \r, \f — deliberately NOT \x0B, see the regex-parity
+  * note there); all five are ASCII bytes, and multi-byte UTF-8 code
+  * points always have the high bit set, so the byte scan is exact on any
+  * unicode input. Trimming strips 0x20 only — Spark's `trim`, not
+  * Java's. WsTokenParitySpec pins equality against the split form on
+  * adversarial inputs. */
+object TextUtils {
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0d || b == 0x0c
+
+  def wsTokenCount(u: UTF8String): Int = {
+    val n = u.numBytes()
+    var lo = 0
+    while (lo < n && u.getByte(lo) == 0x20) lo += 1
+    var hi = n
+    while (hi > lo && u.getByte(hi - 1) == 0x20) hi -= 1
+    var runs = 0
+    var inRun = false
+    var i = lo
+    while (i < hi) {
+      val ws = isWs(u.getByte(i))
+      if (ws && !inRun) runs += 1
+      inRun = ws
+      i += 1
+    }
+    runs + 1
+  }
+}
+
+case class WsTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextUtils.wsTokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextUtils.wsTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokenCountExpr =
+    copy(child = newChild)
+  override def prettyName: String = "ws_token_count"
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** Codegen'd token count == `size(wordsRe(text))`; null text → null. */
+  def wsTokenCountFast(text: Column): Column =
+    column(WsTokenCountExpr(expression(text)))
+}

@@ -145,7 +145,8 @@ object SamplingOps {
       .partitionBy(stratum)
       .orderBy(HashFunctions.hash60(key, seed), key)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", size(TextOps.wordsRe(col("text"))).cast("long"))
+    df.withColumn("n_tokens",
+        graft.functions.TextExpressions.wsTokenCountFast(col("text")).cast("long"))
       .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("cum_excl") < budgetTokens)
       .select(key.as("doc_id"), stratum.as("stratum"),
@@ -225,7 +226,8 @@ object SamplingOps {
   def packChunks(docs: DataFrame, contextLen: Int = 512,
                  shards: Int = 8): DataFrame =
     packTokenCounts(docs.select(col("doc_id"),
-        size(TextOps.wordsRe(col("text"))).cast("long").as("n_tokens")),
+        graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+          .cast("long").as("n_tokens")),
       contextLen, shards)
 
   /** Packing core over a pre-tokenized `(doc_id, n_tokens)` frame — used

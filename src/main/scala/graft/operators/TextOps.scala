@@ -45,7 +45,7 @@ object TextOps {
     * (BPE-ish) tokens. */
   def tokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =
     df.select(col("doc_id"),
-      size(wordsRe(text)).as("ws_tokens"),
+      graft.functions.TextExpressions.wsTokenCountFast(text).as("ws_tokens"),
       regexp_count(text, lit(tokenPattern)).as("re_tokens"),
       length(text).as("n_chars"))
 
@@ -177,7 +177,7 @@ object TextOps {
     df.select(col("doc_id"),
         detectedLang(col("text")).as("detected_lang"),
         qualityScoreCol(col("text")).as("quality_score"),
-        size(wordsRe(col("text"))).as("ws_tokens"),
+        graft.functions.TextExpressions.wsTokenCountFast(col("text")).as("ws_tokens"),
         HashFunctions.hash60(col("text")).as("text_hash"))
       .filter(col("detected_lang") === lang && col("quality_score") >= minQuality)
       .groupBy(col("text_hash"))
@@ -302,7 +302,8 @@ object TextOps {
   def lengthQuantiles(df: DataFrame,
                       ps: Seq[(String, Double)] = quantilePoints): DataFrame = {
     val toks = df.select(col("lang"), col("doc_id"),
-      size(wordsRe(col("text"))).cast("long").as("n"))
+      graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+        .cast("long").as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n"), col("doc_id"))
     val ranked = toks

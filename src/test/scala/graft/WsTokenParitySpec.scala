@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextExpressions
+import graft.operators.TextOps
+
+/** The native token counter must equal `size(wordsRe(text))` on every
+  * input class: mixed whitespace runs, edge whitespace, empties,
+  * vertical tab (NOT a separator, by the regex-parity contract),
+  * multi-byte unicode, and NULLs — plus the whole fixture corpus. */
+class WsTokenParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("adversarial strings: native count == split count") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "", " ", "  ", "a", "a b", "a  b", "a\tb", "\ta b\n", "a b ", " a b",
+      "\t", "\n\n", "a\t \n b", "a\u000Bb", // vertical tab is NOT a separator here
+      "héllo wörld", "日本 語 テスト", "a\rb\fc", "  mixed \t\n ws  ",
+      " nbsp is not ws", "ends with tab\t", "\nstarts with nl")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = df.select(col("id"),
+      TextExpressions.wsTokenCountFast(col("text")).as("fast"),
+      size(TextOps.wordsRe(col("text"))).as("ref"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2),
+        s"case ${r.getLong(0)}: '${cases(r.getLong(0).toInt)}'")
+    }
+    // null text: both forms yield null
+    val nulls = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(TextExpressions.wsTokenCountFast(col("text")).as("fast"),
+        size(TextOps.wordsRe(col("text"))).as("ref"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("whole fixture corpus: zero mismatches") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val mismatches = docs.select(
+        TextExpressions.wsTokenCountFast(col("text")).as("fast"),
+        size(TextOps.wordsRe(col("text"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches === 0L)
+  }
+}
