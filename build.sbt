@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: …" trailer after a runMain's output: the
+// bench driver parses the last JSON line of a bounded stdout tail, and
+// the trailer would land after (and crowd out) graft.Bench's emission.
+// Pass/fail still travels through the exit code.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // forward stdin to forked mains (the interactive Shell needs it)
 run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -19,10 +19,14 @@ object Bench {
     // measure the query, not session start
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "orders", "lineitem",
-      "documents", "embeddings", "events").foreach { t =>
+      "documents", "embeddings").foreach { t =>
       try graft.core.Tables.table(spark, sfDir, t).limit(1).collect()
       catch { case _: Throwable => () }
     }
+    // events needs its dedicated reader (nanosecond ts handling) — the
+    // generic path throws PARQUET_TYPE_ILLEGAL and leaves it cold
+    try graft.core.Tables.events(spark, sfDir).limit(1).collect()
+    catch { case _: Throwable => () }
     // materialize the cached catalog base tables (the reference's queries
     // hit warm materialized Postgres tables — per-query numbers should
     // measure the query, not the one-time catalog build)
@@ -52,17 +56,37 @@ object Bench {
     // the decimal separator a dot on comma-locale JVMs.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def qJson(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver parses a bounded stdout tail that sbt pollutes with its
-    // [success] trailer — also persist the line to a file it can read
-    // directly (BENCH_OUT overrides; /tmp/bench.json is the default).
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    // a SPARK_GRAFT_ONLY-restricted local run must be distinguishable from
+    // the full bench to any later reader: flag it in every emission
+    val restricted = if (only.isDefined) """"restricted":true,""" else ""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      restricted + s""""queries":${qJson(results)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
-    println(line)
+    println(full)
+    // The driver parses the last JSON line of a bounded (2 KiB) stdout
+    // tail. The full per-query line above is ~2.2 KiB at 85 queries — it
+    // can never sit whole inside the window — so emit a final COMPACT
+    // line (slowest queries first, capped well under the window) that
+    // parses even after the full line's head is truncated away; the
+    // complete map lives in the line above and in BENCH_OUT. build.sbt
+    // sets `showSuccess := false` so no sbt trailer lands after this.
+    val slowest = results.toSeq.sortBy(-_._2)
+    val budget = 1400 // chars for the queries map — window is 2000
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 2
+    slowest.foreach { case (k, v) =>
+      val w = k.length + fmt(v).length + 4
+      if (used + w <= budget) { kept += ((k, v)); used += w }
+    }
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      restricted +
+      s""""queries_total":${results.size},"queries_shown":${kept.size},""" +
+      s""""full":"$outPath","queries":${qJson(kept)},"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -581,7 +581,32 @@ object SparkEntry {
       graft.operators.TemporalJoins.concurrentSessions(Tables.events(s, dir))),
 
     "x16_user_sessions" -> ((s, dir) =>
-      graft.streaming.EventStreams.userSessions(Tables.events(s, dir), 30))
+      graft.streaming.EventStreams.userSessions(Tables.events(s, dir), 30)),
+
+    // x40 — Bloom-prefiltered decontamination: bit-identical result to
+    // the exact broadcast form (the oracle is the same exact SQL), but
+    // the corpus side is pruned map-side by a broadcast Bloom sketch —
+    // the 100 TB shape. Different params than x28 so the two gates
+    // exercise different shingle widths.
+    "x40_bloom_decontamination" -> ((s, dir) =>
+      DedupOps.bloomContaminationReport(Tables.documents(s, dir),
+        col("doc_id") % 40 === 1, n = 4, minShared = 2)),
+
+    // x41 — sliding-window token chunking (RAG/context-window chunker)
+    "x41_doc_chunks" -> ((s, dir) =>
+      TextOps.slidingChunks(Tables.documents(s, dir))),
+
+    // x42 — passage-level duplication report (boilerplate detector)
+    "x42_passage_dedup" -> ((s, dir) =>
+      TextOps.passageDupReport(Tables.documents(s, dir))),
+
+    // x43 — corpus bigram top-K (n-gram LM statistics)
+    "x43_bigram_top" -> ((s, dir) =>
+      TextOps.bigramTop(Tables.documents(s, dir))),
+
+    // x44 — length gate by the corpus's own per-language quantile band
+    "x44_length_gate" -> ((s, dir) =>
+      TextOps.lengthGate(Tables.documents(s, dir)))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -602,18 +627,25 @@ object SparkEntry {
     changed.unionByName(fresh)
   }
 
-  // per-doc synthetic PII for the x33 fixture (same expression in
-  // x33HostileSql — keep in sync)
-  private def x33Hostile: Column =
-    concat(lit("reach u"), (col("doc_id") % 50).cast("string"),
-      lit("@ex"), (col("doc_id") % 3).cast("string"),
-      lit(".com or 555123456"), (col("doc_id") % 10).cast("string"),
-      lit(" "), col("text"))
+  // per-doc synthetic PII for the x33 fixture. ONE spec renders BOTH the
+  // Spark Column and the DuckDB SQL (like the shared IVF centroid CTE
+  // fragments), so the two sides cannot silently desynchronize: a literal
+  // string part concatenates as-is, an Int part as `doc_id % m`, and the
+  // trailing None as the document text column.
+  private val x33Parts: Seq[Either[String, Int]] = Seq(
+    Left("reach u"), Right(50), Left("@ex"), Right(3),
+    Left(".com or 555123456"), Right(10), Left(" "))
 
-  private val x33HostileSql =
-    "'reach u' || CAST(doc_id % 50 AS VARCHAR) || '@ex' || " +
-      "CAST(doc_id % 3 AS VARCHAR) || '.com or 555123456' || " +
-      "CAST(doc_id % 10 AS VARCHAR) || ' ' || text"
+  private def x33Hostile: Column =
+    concat(x33Parts.map {
+      case Left(s)  => lit(s)
+      case Right(m) => (col("doc_id") % m).cast("string")
+    } :+ col("text"): _*)
+
+  private val x33HostileSql = (x33Parts.map {
+    case Left(s)  => "'" + s.replace("'", "''") + "'"
+    case Right(m) => s"CAST(doc_id % $m AS VARCHAR)"
+  } :+ "text").mkString(" || ")
 
   // deterministic staged batch for the M2 verify query: every 4th dir
   // touched (mtime+1h), one new dir per nation under /STAGE.
@@ -1058,7 +1090,17 @@ object SparkEntry {
       minShared = 3,
       rel = s"(SELECT * FROM documents WHERE ${graft.operators.SamplingOps.hashBucketSql("doc_id")} < 95)"),
     "j17_concurrent_sessions" ->
-      graft.operators.TemporalJoins.concurrentSessionsSql(30)
+      graft.operators.TemporalJoins.concurrentSessionsSql(30),
+
+    // x40's oracle is the EXACT decontamination SQL — the Bloom pre-filter
+    // must be invisible in the result (false positives die in the exact
+    // join; the sketch only prunes)
+    "x40_bloom_decontamination" -> DedupOps.contaminationReportSql(
+      "doc_id % 40 = 1", n = 4, minShared = 2),
+    "x41_doc_chunks" -> TextOps.slidingChunksSql(),
+    "x42_passage_dedup" -> TextOps.passageDupReportSql(),
+    "x43_bigram_top" -> TextOps.bigramTopSql(),
+    "x44_length_gate" -> TextOps.lengthGateSql()
   )
 
   /** Oracle SQL that depends on the data (trained models): k-means isn't

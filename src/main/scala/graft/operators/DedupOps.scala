@@ -473,6 +473,43 @@ object DedupOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contaminationReport]] with a Bloom-filter pre-filter — the shape
+    * the same check takes at 100 TB. The exact form broadcasts the eval
+    * side's exploded SHINGLE STRINGS and hash-joins the corpus against
+    * them; this form broadcasts only a Bloom filter of the eval shingles'
+    * 60-bit hashes (a few MB for millions of shingles at 1% fpp), so the
+    * corpus-side scan drops every non-candidate shingle MAP-SIDE before
+    * any join or shuffle. False positives survive the probe but die in
+    * the exact string-match join that follows — the result is
+    * bit-identical to [[contaminationReport]] (BloomDecontamSpec pins the
+    * equality; the driver gate runs it against the same exact-SQL twin).
+    *
+    * The membership probe is a Scala UDF by necessity: Spark's Bloom
+    * sketch has no public Column-side `might_contain` (the SQL expression
+    * is internal to runtime join filters). One primitive-long UDF on a
+    * pre-pruned stream is the documented exception to the
+    * "builtins-only" rule — same class as the S4 digest kernel. */
+  def bloomContaminationReport(docs: DataFrame, evalPred: Column, n: Int = 5,
+                               minShared: Long = 3, fpp: Double = 0.01,
+                               text: Column = col("text")): DataFrame = {
+    def sh(df: DataFrame, as: String) = df
+      .select(col("doc_id").as(as), explode(array_distinct(shingles(text, n))).as("sh"))
+    val eval = sh(docs.filter(evalPred), "eval_doc")
+    val evalHashed = eval.select(col("eval_doc"), col("sh"),
+      HashFunctions.hash60(col("sh")).as("h"))
+    val nEval = evalHashed.count()
+    if (nEval == 0) // bloomFilter() NPEs on empty input; result is empty anyway
+      return contaminationReport(docs, evalPred, n, minShared, text)
+    val bloom = evalHashed.stat.bloomFilter("h", nEval, fpp)
+    val mightContain = udf((h: Long) => bloom.mightContain(h))
+    sh(docs.filter(!evalPred), "train_doc")
+      .withColumn("h", HashFunctions.hash60(col("sh")))
+      .filter(mightContain(col("h"))) // map-side: non-candidates never shuffle
+      .join(broadcast(evalHashed), Seq("sh", "h")) // exact match kills fp's
+      .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def contaminationReportSql(evalPredSql: String, n: Int = 5,
                              minShared: Long = 3,
                              rel: String = "documents"): String =
@@ -522,10 +559,25 @@ object DedupOps {
         s"  FROM e$k e JOIN $hk hu ON e.u = hu.u JOIN $hk hv ON e.v = hv.u\n" +
         s"  WHERE hu.nl <> hv.nl\n)"
     }
-    // convergence guard: a component larger than 2^rounds nodes would
-    // leave edges uncontracted and the labels silently non-minimal — emit
-    // a sentinel row instead, turning "silently wrong clusters" into a
-    // loud row-count mismatch at the gate
+    // convergence guards, each turning a silent wrong answer into a loud
+    // row-count mismatch at the gate:
+    //  (a) a component larger than 2^rounds nodes would leave edges
+    //      uncontracted and the labels non-minimal → sentinel (-1,-1)
+    //      when e{rounds} is non-empty;
+    //  (b) a hook forest deeper than 2^jumps within ANY round would stop
+    //      pointer jumping at a non-root label — edges then contract onto
+    //      a shared non-root WITHOUT surviving into e{rounds}, which guard
+    //      (a) alone cannot see → sentinel (-2,-2) when any final jump
+    //      table still holds a label that is itself hooked elsewhere
+    //      (h.nl not a fixpoint). Both are over-provisioned no-ops at
+    //      every test SF; the probes scan already-MATERIALIZED CTEs.
+    val jumpGuards = (0 until rounds).map { k =>
+      s"""SELECT * FROM (
+         |  SELECT CAST(-2 AS BIGINT) AS doc_id, CAST(-2 AS BIGINT) AS cluster_id
+         |  FROM h${k}_$jumps h JOIN h${k}_$jumps h2 ON h.nl = h2.u
+         |  WHERE h2.nl <> h.nl LIMIT 1
+         |)""".stripMargin
+    }
     "WITH " + ctes.mkString(",\n") +
       s"""
          |SELECT * FROM (
@@ -536,6 +588,8 @@ object DedupOps {
          |SELECT * FROM (
          |  SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS cluster_id
          |  FROM e$rounds LIMIT 1
-         |)""".stripMargin
+         |)
+         |UNION ALL
+         |""".stripMargin + jumpGuards.mkString("\nUNION ALL\n")
   }
 }

@@ -108,15 +108,16 @@ object SearchOps {
     * scans — the whole query costs exactly one view build, like the
     * reference's one-scan OR-join.
     *
-    * NOTE: BUILDING this query materializes the pinned view (one eager
-    * job) — the price of the one-scan shape. A lazy checkpoint would not
-    * help: within the single union job every branch would still rebuild
-    * the view (checkpoints persist only after the first job completes),
-    * and a cache would leak a new entry per invocation. Plan-only
-    * callers (explain tooling) pay one small job. */
+    * NOTE: the FIRST build of this query over a given view materializes
+    * the pin (one eager job) — the price of the one-scan shape; a lazy
+    * checkpoint would not help, since within the single union job every
+    * branch would still rebuild the view (checkpoints persist only after
+    * the first job completes). Repeat invocations over the same view
+    * reuse the session-scoped pin ([[graft.core.PinnedViews]]), so N
+    * searches cost one checkpoint, not N. */
   def duplicatesWhere(vwLl: DataFrame, needlePred: org.apache.spark.sql.Column,
                       hashMatch: Boolean, nameMatch: Boolean): DataFrame = {
-    val hay = vwLl.localCheckpoint(true)
+    val hay = graft.core.PinnedViews.pinned(vwLl)
     duplicatesCore(hay, hay.filter(needlePred), hashMatch, nameMatch)
   }
 
@@ -132,8 +133,9 @@ object SearchOps {
     // Postgres view inlines and is scanned ONCE): without the pin each
     // union branch re-joins the base tables to rebuild vw_ll. The pinned
     // relation is exactly the rows the query must scan anyway, and
-    // localCheckpoint distributes it across executors (memory + disk).
-    duplicatesCore(vwLl.localCheckpoint(true), needle, hashMatch, nameMatch)
+    // localCheckpoint distributes it across executors (memory + disk);
+    // the session-scoped PinnedViews cache pins each distinct view once.
+    duplicatesCore(graft.core.PinnedViews.pinned(vwLl), needle, hashMatch, nameMatch)
 
   private def duplicatesCore(hay: DataFrame, needle: DataFrame,
                              hashMatch: Boolean, nameMatch: Boolean): DataFrame = {

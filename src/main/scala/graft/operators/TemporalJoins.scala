@@ -141,14 +141,22 @@ object TemporalJoins {
     * hits on a busy corpus never materializes as a single task.
     * `granularity` trades replication (long intervals explode into
     * `span/granularity` rows) against bucket selectivity; pick it near
-    * the typical interval length. */
+    * the typical interval length.
+    *
+    * Inverted rows (`end < start`) denote an EMPTY interval and are
+    * excluded up front on both sides — without the guard, Spark's
+    * `sequence(b(start), b(end))` silently generates a DESCENDING bucket
+    * run (default step -1) for them, exploding malformed rows into
+    * candidate buckets instead of matching nothing. NULL bounds are
+    * likewise inert (`<=` is null-rejecting, and sequence() of a NULL
+    * endpoint would error at runtime rather than skip the row). */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    lStart: String, lEnd: String, rStart: String, rEnd: String,
                    granularity: Long, extraCond: Column = lit(true)): DataFrame = {
     def b(c: Column): Column = floor(c / granularity).cast("long")
-    val l2 = left.withColumn("__bucket",
+    val l2 = left.filter(col(lStart) <= col(lEnd)).withColumn("__bucket",
       explode(sequence(b(col(lStart)), b(col(lEnd)))))
-    val r2 = right.withColumn("__bucket",
+    val r2 = right.filter(col(rStart) <= col(rEnd)).withColumn("__bucket",
       explode(sequence(b(col(rStart)), b(col(rEnd)))))
     l2.join(r2, Seq("__bucket"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
@@ -206,13 +214,14 @@ object TemporalJoins {
     // left join — pin it so sessionization (a full scan + window over
     // the event corpus) runs once, not three times (at cluster scale use
     // a reliable checkpoint / temp table, as with DedupOps.IterState).
-    // NOTE: the pin is eager — building this query runs the
-    // sessionization job (see SearchOps.duplicatesWhere for why lazy
-    // alternatives don't deliver the reuse)
-    val sess = graft.streaming.EventStreams.userSessions(events, gapMinutes)
-      .select(col("user_id"), col("session_no"),
-        col("session_start_epoch"), col("session_end_epoch"))
-      .localCheckpoint(true)
+    // NOTE: the FIRST build is eager (runs the sessionization job — see
+    // SearchOps.duplicatesWhere for why lazy alternatives don't deliver
+    // the reuse); repeat builds over the same corpus reuse the
+    // session-scoped pin (PinnedViews), so N invocations sessionize once.
+    val sess = graft.core.PinnedViews.pinned(
+      graft.streaming.EventStreams.userSessions(events, gapMinutes)
+        .select(col("user_id"), col("session_no"),
+          col("session_start_epoch"), col("session_end_epoch")))
     val a = sess.select(col("user_id").as("u_a"), col("session_no").as("sn_a"),
       col("session_start_epoch").as("s_a"), col("session_end_epoch").as("e_a"))
     val b = sess.select(col("user_id").as("u_b"),

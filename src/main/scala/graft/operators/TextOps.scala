@@ -379,6 +379,153 @@ object TextOps {
        |FROM pl JOIN ov USING (w)
        |QUALIFY rank <= $k""".stripMargin
 
+  /** x41: sliding-window token chunks — the RAG/context-window chunker.
+    * Each document becomes `1 + ceil(max(n−window, 0)/stride)` chunks;
+    * chunk k covers tokens `[k·stride+1, k·stride+window]` (1-based,
+    * last chunk may be shorter). Tokens are the single-space [[words]]
+    * convention shared with the shingle/minhash family.
+    *
+    * Pure narrow projection: the chunk index list is generated per row
+    * (`sequence` over the doc's own length — unbounded, no fixed cap)
+    * and each chunk is emitted as its md5, not its text, so the exploded
+    * relation stays slim. At 100 TB this runs map-side at scan speed;
+    * the only shuffle is whatever the CONSUMER does with the chunks.
+    * All index arithmetic is integer (ceil-division spelled
+    * `floor((x+stride−1)/stride)` on exact small ints) — engine-exact. */
+  def slidingChunks(df: DataFrame, window: Int = 32, stride: Int = 24,
+                    text: Column = col("text")): DataFrame = {
+    require(stride > 0 && window >= stride, "need 0 < stride <= window")
+    val ws = words(text)
+    val n = size(ws).cast("long")
+    val lastK = floor((greatest(n - window, lit(0L)) + (stride - 1)) / stride).cast("long")
+    val chunk = explode(transform(sequence(lit(0L), lastK), k =>
+      struct(k.as("chunk_id"),
+        size(slice(ws, (k * stride + 1).cast("int"), lit(window))).as("chunk_tokens"),
+        md5(array_join(slice(ws, (k * stride + 1).cast("int"), lit(window)), " "))
+          .as("chunk_hash"))))
+    df.select(col("doc_id"), chunk.as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_tokens"), col("c.chunk_hash"))
+  }
+
+  def slidingChunksSql(window: Int = 32, stride: Int = 24): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+       |)
+       |SELECT doc_id, k AS chunk_id,
+       |  CAST(len(ws[k*$stride+1 : k*$stride+$window]) AS INT) AS chunk_tokens,
+       |  md5(array_to_string(ws[k*$stride+1 : k*$stride+$window], ' ')) AS chunk_hash
+       |FROM (SELECT doc_id, ws,
+       |        unnest(generate_series(0, (greatest(len(ws) - $window, 0) + ${stride - 1}) // $stride)) AS k
+       |      FROM t)""".stripMargin
+
+  /** x42: passage-level duplication report — the intra-corpus analog of
+    * paragraph dedup for corpora without structural breaks: each doc is
+    * cut into consecutive `block`-token passages (last one may be short),
+    * passages are matched corpus-wide by content hash, and each doc
+    * reports how many of its passages also appear in some OTHER document
+    * (`shared_blocks`) plus the duplication ratio. This is the signal
+    * used to strip boilerplate passages that exact whole-doc dedup
+    * misses.
+    *
+    * Shape: one narrow per-row block projection, one explode, one
+    * partial-agg groupBy on the block hash (the only big shuffle, keyed
+    * by content so it spreads evenly), a semi-broadcast join back, and a
+    * per-doc agg. No self-join, nothing quadratic. */
+  def passageDupReport(df: DataFrame, block: Int = 8,
+                       text: Column = col("text")): DataFrame = {
+    val ws = words(text)
+    val n = size(ws).cast("long")
+    val lastK = floor((n - 1) / block).cast("long")
+    val blocks = df.select(col("doc_id"),
+        explode(transform(sequence(lit(0L), lastK), k =>
+          md5(array_join(slice(ws, (k * block + 1).cast("int"), lit(block)), " "))))
+          .as("block_hash"))
+    // distinct docs per block hash; a hash is "shared" when ≥2 docs carry it
+    val byHash = blocks.distinct()
+      .groupBy("block_hash").agg(count(lit(1)).as("n_docs"))
+    blocks.join(byHash, "block_hash")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("shared_blocks"))
+      .select(col("doc_id"), col("n_blocks"), col("shared_blocks"),
+        (col("shared_blocks").cast("double") / col("n_blocks").cast("double"))
+          .as("dup_ratio"))
+  }
+
+  def passageDupReportSql(block: Int = 8): String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(ws[k*$block+1 : k*$block+$block], ' ')) AS block_hash
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(0, (len(ws) - 1) // $block)) AS k
+       |        FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents))
+       |), h AS (
+       |  SELECT block_hash, count(*) AS n_docs
+       |  FROM (SELECT DISTINCT doc_id, block_hash FROM b)
+       |  GROUP BY block_hash
+       |)
+       |SELECT doc_id, count(*) AS n_blocks,
+       |  -- CAST: DuckDB types sum(INTEGER) as HUGEINT, which the gate's
+       |  -- hasher canonicalizes differently from Spark's BIGINT
+       |  CAST(sum(CASE WHEN h.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_blocks,
+       |  CAST(sum(CASE WHEN h.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+       |FROM b JOIN h USING (block_hash)
+       |GROUP BY doc_id""".stripMargin
+
+  /** x43: corpus bigram counts, top K — the n-gram language-model
+    * statistic (raw occurrence counts, not per-doc distinct). Total
+    * order (count desc, bigram) makes the cut deterministic; Spark plans
+    * the sort+limit as TakeOrderedAndProject (each partition keeps K,
+    * the driver merges K·P rows — no global sort at any scale). */
+  def bigramTop(df: DataFrame, k: Int = 50, text: Column = col("text")): DataFrame =
+    df.select(explode(DedupOps.shingles(text, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(k)
+
+  def bigramTopSql(k: Int = 50): String =
+    s"""SELECT bigram, count(*) AS cnt
+       |FROM (
+       |  SELECT unnest(list_transform(
+       |    generate_series(1, greatest(len(ws) - 1, 0)),
+       |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+       |  FROM (SELECT string_split(trim(text), ' ') AS ws FROM documents)
+       |)
+       |GROUP BY bigram
+       |ORDER BY cnt DESC, bigram
+       |LIMIT $k""".stripMargin
+
+  /** x44: length gate by corpus profile — keep documents inside their
+    * language's (p10, p90] token-length band, with the band computed
+    * from the corpus itself ([[lengthQuantiles]]' exact rank-based
+    * quantiles). The composed "filter by a corpus statistic" op every
+    * curation run performs; the quantile table is tiny (one row per
+    * language) and broadcasts. */
+  def lengthGate(df: DataFrame,
+                 lo: (String, Double) = "p10" -> 0.10,
+                 hi: (String, Double) = "p90" -> 0.90): DataFrame = {
+    val bands = lengthQuantiles(df, Seq(lo, hi))
+      .select(col("lang"), col(lo._1), col(hi._1))
+    val toks = df.select(col("lang"), col("doc_id"),
+      graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+        .cast("long").as("n"))
+    toks.join(broadcast(bands), "lang")
+      .filter(col("n") > col(lo._1) && col("n") <= col(hi._1))
+      .select("doc_id", "lang", "n")
+  }
+
+  def lengthGateSql(lo: (String, Double) = "p10" -> 0.10,
+                    hi: (String, Double) = "p90" -> 0.90): String =
+    s"""WITH q AS (
+       |${lengthQuantilesSql(Seq(lo, hi))}
+       |), toks AS (
+       |  SELECT lang, doc_id, CAST(len(${wordsReSql("text")}) AS BIGINT) AS n
+       |  FROM documents
+       |)
+       |SELECT doc_id, toks.lang, n
+       |FROM toks JOIN q ON toks.lang = q.lang
+       |WHERE n > q.${lo._1} AND n <= q.${hi._1}""".stripMargin
+
   /** Document fingerprints: a bag-of-words canonical hash (order-
     * independent — catches shuffled near-dups) and a min-shingle rolling
     * hash (winnowing-style, robust to small edits). */

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, TextOps}
+
+/** The round-5 corpus-pipeline operators: sliding-window chunking (x41),
+  * passage-level duplication (x42), bigram statistics (x43), the
+  * quantile length gate (x44), and the Bloom-prefiltered
+  * decontamination's equality with the exact form (x40). */
+class ChunkingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("slidingChunks: exact chunk boundaries, coverage, short-doc case") {
+    val s = spark
+    import s.implicits._
+    // doc 1: 7 tokens, window 3 / stride 2 → starts 1,3,5,7 — wait:
+    // lastK = ceil(max(7-3,0)/2) = 2 → starts 1,3,5 (chunk 2 = t5..t7)
+    // doc 2: 2 tokens (< window) → exactly one chunk, the whole doc
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextOps.slidingChunks(docs, window = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    val expected = Seq(
+      (1L, 0L, 3, md5hex("a b c")),
+      (1L, 1L, 3, md5hex("c d e")),
+      (1L, 2L, 3, md5hex("e f g")),
+      (2L, 0L, 2, md5hex("x y")))
+    assert(out.toSeq === expected)
+  }
+
+  test("slidingChunks: every chunk but the last is full width; strides cover all tokens") {
+    val s = spark
+    import s.implicits._
+    val texts = (1L to 40L).map(i => i -> (1 to (i % 37 + 1).toInt).map(j => s"t$j").mkString(" "))
+    val docs = texts.toDF("doc_id", "text")
+    val w = 8; val st = 5
+    val chunks = TextOps.slidingChunks(docs, w, st)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("k"),
+        min("chunk_tokens").as("mn"), max("chunk_tokens").as("mx"),
+        max(col("chunk_id") * st + col("chunk_tokens")).as("last_tok"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    texts.foreach { case (id, t) =>
+      val n = t.split(" ").length
+      val (k, mn, mx, lastTok) = chunks(id)
+      val expK = 1 + math.ceil(math.max(n - w, 0) / st.toDouble).toLong
+      assert(k === expK, s"doc $id: $k chunks, expected $expK")
+      assert(mx <= w && (k == 1 || mx == w), s"doc $id widths")
+      assert(mn >= 1)
+      assert(lastTok === n, s"doc $id: last chunk ends at $lastTok, n=$n")
+    }
+  }
+
+  test("passageDupReport: shared block counted for every doc carrying it") {
+    val s = spark
+    import s.implicits._
+    val x = (1 to 8).map(i => s"x$i").mkString(" ") // the shared 8-token block
+    val y = (1 to 8).map(i => s"y$i").mkString(" ")
+    val z = (1 to 4).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$x $y"), // blocks [x, y]
+      (2L, s"$x $z"), // blocks [x, z] — shares x with doc 1
+      (3L, "q1 q2 q3")) // one short block, unshared
+      .toDF("doc_id", "text")
+    val out = TextOps.passageDupReport(docs, block = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((1L, 0L, 0.0)))
+  }
+
+  test("passageDupReport: a block repeated INSIDE one doc only is not shared") {
+    val s = spark
+    import s.implicits._
+    val x = (1 to 8).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, s"$x $x"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.passageDupReport(docs, block = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 has two blocks with the SAME hash but no other doc carries it
+    assert(out(1L) === ((2L, 0L)))
+  }
+
+  test("bigramTop: raw occurrence counts, deterministic tie order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b z z")).toDF("doc_id", "text")
+    // bigrams: doc1: "a b","b a","a b","b c"; doc2: "a b","b z","z z"
+    val out = TextOps.bigramTop(docs, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("lengthGate: keeps exactly the (p10, p90] band per language") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 10L).map(i =>
+      (i, "aa", (1L to i).map(j => s"w$j").mkString(" "))) ++
+      Seq((11L, "bb", "only one doc"))
+      .map { case (i, l, t) => (i, l, t) }
+    val df = docs.toDF("doc_id", "lang", "text")
+    val out = TextOps.lengthGate(df)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // lang aa: lengths 1..10, p10 = rank ceil(0.1·10)=1 → 1, p90 = rank 9
+    // → 9; keep 1 < n <= 9 → docs 2..9. lang bb: single doc, p10 = p90 =
+    // its own length → empty band → dropped.
+    assert(out === (2L to 9L).map(i => (i, "aa", i)).toSet)
+  }
+
+  test("bloomContaminationReport equals the exact contamination report") {
+    val s = spark
+    import s.implicits._
+    // 80 docs over a tiny vocabulary → dense shingle collisions, so the
+    // Bloom filter sees real load and real shared n-grams exist
+    def txt(i: Long) = (0 until 12).map(j => s"w${(i * 7 + j * j) % 9}").mkString(" ")
+    val docs = (1L to 80L).map(i => (i, txt(i))).toDF("doc_id", "text")
+    val pred = col("doc_id") % 10 === 0
+    val exact = DedupOps.contaminationReport(docs, pred, n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = DedupOps.bloomContaminationReport(docs, pred, n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    assert(bloom === exact)
+  }
+
+  test("bloomContaminationReport: empty eval side yields empty result") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 10L).map(i => (i, s"a b c d$i")).toDF("doc_id", "text")
+    val out = DedupOps.bloomContaminationReport(docs, col("doc_id") < 0)
+    assert(out.count() === 0L)
+  }
+}

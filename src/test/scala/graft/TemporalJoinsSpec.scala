@@ -69,6 +69,27 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!filtered.contains(1L))
   }
 
+  test("intervalJoin: inverted (end < start) and NULL-bound intervals match nothing") {
+    val s = spark
+    import s.implicits._
+    // 2L is inverted (empty interval), 3L has a NULL bound — both must be
+    // inert; without the up-front guard sequence() would explode 2L into
+    // a DESCENDING bucket run and throw on 3L's NULL endpoint
+    val left = Seq(
+      (1L, Some(0L), Some(25L)),
+      (2L, Some(40L), Some(5L)),
+      (3L, Some(10L), Option.empty[Long]))
+      .toDF("l_id", "ls", "le")
+    val right = Seq(
+      (11L, Some(20L), Some(45L)),
+      (12L, Some(30L), Some(8L)), // inverted on the right side too
+      (13L, Option.empty[Long], Some(50L)))
+      .toDF("r_id", "rs", "re")
+    val out = TemporalJoins.intervalJoin(left, right, "ls", "le", "rs", "re", 10L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 11L)))
+  }
+
   test("intervalJoin differential: 200×200 hash-generated intervals equal the naive join") {
     val s = spark
     import s.implicits._
