@@ -606,7 +606,12 @@ object SparkEntry {
 
     // x44 — length gate by the corpus's own per-language quantile band
     "x44_length_gate" -> ((s, dir) =>
-      TextOps.lengthGate(Tables.documents(s, dir)))
+      TextOps.lengthGate(Tables.documents(s, dir))),
+
+    // x45 — dedup'd chunk index (x41 composed with global chunk dedup —
+    // the RAG-ingest build)
+    "x45_chunk_index" -> ((s, dir) =>
+      TextOps.chunkIndex(Tables.documents(s, dir)))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1100,7 +1105,8 @@ object SparkEntry {
     "x41_doc_chunks" -> TextOps.slidingChunksSql(),
     "x42_passage_dedup" -> TextOps.passageDupReportSql(),
     "x43_bigram_top" -> TextOps.bigramTopSql(),
-    "x44_length_gate" -> TextOps.lengthGateSql()
+    "x44_length_gate" -> TextOps.lengthGateSql(),
+    "x45_chunk_index" -> TextOps.chunkIndexSql()
   )
 
   /** Oracle SQL that depends on the data (trained models): k-means isn't

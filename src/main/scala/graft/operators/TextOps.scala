@@ -418,6 +418,37 @@ object TextOps {
        |        unnest(generate_series(0, (greatest(len(ws) - $window, 0) + ${stride - 1}) // $stride)) AS k
        |      FROM t)""".stripMargin
 
+  /** x45: dedup'd chunk index — the composed RAG-ingest build: chunk the
+    * corpus ([[slidingChunks]]), then keep ONE representative per
+    * distinct chunk content corpus-wide (lowest (doc_id, chunk_id)), and
+    * report the index: representative coordinates + how many chunk
+    * instances collapsed onto it. One narrow chunking pass, one
+    * partial-agg shuffle keyed by content hash — the same two-stage
+    * shape as exact doc dedup, applied at chunk granularity. */
+  def chunkIndex(df: DataFrame, window: Int = 32, stride: Int = 24,
+                 text: Column = col("text")): DataFrame =
+    slidingChunks(df, window, stride, text)
+      .groupBy("chunk_hash")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("rep"),
+        count(lit(1)).as("n_copies"),
+        max(col("chunk_tokens")).as("chunk_tokens"))
+      .select(col("chunk_hash"), col("rep.doc_id").as("rep_doc"),
+        col("rep.chunk_id").as("rep_chunk"), col("chunk_tokens"), col("n_copies"))
+
+  def chunkIndexSql(window: Int = 32, stride: Int = 24): String =
+    s"""WITH chunks AS (
+       |${slidingChunksSql(window, stride)}
+       |), ranked AS (
+       |  SELECT chunk_hash, doc_id, chunk_id, chunk_tokens,
+       |    row_number() OVER (PARTITION BY chunk_hash
+       |      ORDER BY doc_id, chunk_id) AS rn,
+       |    count(*) OVER (PARTITION BY chunk_hash) AS n_copies
+       |  FROM chunks
+       |)
+       |SELECT chunk_hash, doc_id AS rep_doc, chunk_id AS rep_chunk,
+       |  chunk_tokens, CAST(n_copies AS BIGINT) AS n_copies
+       |FROM ranked WHERE rn = 1""".stripMargin
+
   /** x42: passage-level duplication report — the intra-corpus analog of
     * paragraph dedup for corpora without structural breaks: each doc is
     * cut into consecutive `block`-token passages (last one may be short),

@@ -125,6 +125,24 @@ class ChunkingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === (2L to 9L).map(i => (i, "aa", i)).toSet)
   }
 
+  test("chunkIndex: one representative per distinct chunk, copies counted") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 are identical → every chunk collapses; doc 3 is unique
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkIndex(docs, window = 3, stride = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    // doc1/doc2 chunks: "a b c" (k0), "c d e" (k1); doc3: "p q r" (k0)
+    val byHash = out.map(t => t._1 -> t).toMap
+    assert(out.length === 3)
+    assert(byHash(md5hex("a b c")) === ((md5hex("a b c"), 1L, 0L, 3, 2L)))
+    assert(byHash(md5hex("c d e")) === ((md5hex("c d e"), 1L, 1L, 3, 2L)))
+    assert(byHash(md5hex("p q r")) === ((md5hex("p q r"), 3L, 0L, 3, 1L)))
+  }
+
   test("bloomContaminationReport equals the exact contamination report") {
     val s = spark
     import s.implicits._

@@ -164,4 +164,39 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rPlan.contains("Exchange") && !rPlan.contains("Join"),
       s"repetition ratios are a pure narrow projection:\n$rPlan")
   }
+
+  test("sliding chunks (x41) is a pure narrow projection — no shuffle, no join") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.TextOps.slidingChunks(docs))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the chunker must run map-side at scan speed:\n$plan")
+  }
+
+  test("bigram top-K (x43) plans as TakeOrderedAndProject over a partial agg") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.TextOps.bigramTop(docs))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must never be a global sort:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"bigram counting must aggregate map-side first:\n$plan")
+  }
+
+  test("length gate (x44) broadcasts the quantile band table") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.TextOps.lengthGate(docs))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the one-row-per-language band table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the gate join:\n$plan")
+  }
+
+  test("bloom decontamination (x40) keeps the exact form's broadcast join shape") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.DedupOps.bloomContaminationReport(
+      docs, col("doc_id") % 40 === 1, n = 4, minShared = 2))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the corpus side must not shuffle into the join:\n$plan")
+  }
 }
