@@ -611,7 +611,13 @@ object SparkEntry {
     // x45 — dedup'd chunk index (x41 composed with global chunk dedup —
     // the RAG-ingest build)
     "x45_chunk_index" -> ((s, dir) =>
-      TextOps.chunkIndex(Tables.documents(s, dir)))
+      TextOps.chunkIndex(Tables.documents(s, dir))),
+
+    // j18 — j16's aggregate via the range-frame window rewrite: the
+    // 10M-pair band join collapses to one sort + one window pass
+    // (O(n log n), not O(pairs)); spec-pinned equal to the join form
+    "j18_band_stats" -> ((s, dir) =>
+      graft.operators.TemporalJoins.valueBandStats(Tables.events(s, dir)))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1106,7 +1112,8 @@ object SparkEntry {
     "x42_passage_dedup" -> TextOps.passageDupReportSql(),
     "x43_bigram_top" -> TextOps.bigramTopSql(),
     "x44_length_gate" -> TextOps.lengthGateSql(),
-    "x45_chunk_index" -> TextOps.chunkIndexSql()
+    "x45_chunk_index" -> TextOps.chunkIndexSql(),
+    "j18_band_stats" -> graft.operators.TemporalJoins.valueBandStatsSql()
   )
 
   /** Oracle SQL that depends on the data (trained models): k-means isn't

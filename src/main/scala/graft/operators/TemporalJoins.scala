@@ -253,6 +253,55 @@ object TemporalJoins {
        |SELECT s.user_id, s.session_no, coalesce(c.n_concurrent, 0) AS n_concurrent
        |FROM s LEFT JOIN c ON c.user_id = s.user_id AND c.session_no = s.session_no""".stripMargin
 
+  /** j18: [[valueBandPairs]]' aggregate computed WITHOUT materializing
+    * the pairs — the band-join becomes one sort + one range-frame window
+    * pass, O(n log n) instead of O(pairs). For each left row `l`, its
+    * band partners are the rows in the RANGE frame `[v, v+width]` of the
+    * per-type value order; self and exact ties contribute zero gap and
+    * cancel out of the sum (`Σ dec(r) − cnt·dec(v)`), and are counted
+    * out of `n_pairs` via the tie-partition count. At sf0.1 this turns
+    * the 10M-pair join (the bench's most expensive query) into a window
+    * over 100k rows; at 100 TB it is the difference between a feasible
+    * statistic and a quadratic blowup. Use [[valueBandPairs]] when the
+    * PAIRS themselves are the product; use this when only aggregates
+    * are needed.
+    *
+    * Exactness: each VALUE is quantized to DECIMAL(18,6) before
+    * summing (the same per-value literals on both engines); the frame
+    * bound `value <= v + width` is the same IEEE add as the join
+    * predicate, so the pair set is identical to [[valueBandPairs]]'
+    * (TemporalJoinsSpec pins equality of both output columns). */
+  def valueBandStats(events: DataFrame, width: Double = 0.5): DataFrame = {
+    val dec = "CAST(value AS DECIMAL(18,6))"
+    val over = s"OVER (PARTITION BY event_type ORDER BY value " +
+      s"RANGE BETWEEN CURRENT ROW AND $width FOLLOWING)"
+    events.selectExpr("event_type", "value",
+        s"count(1) $over AS cnt_win",
+        s"sum($dec) $over AS sum_win",
+        "count(1) OVER (PARTITION BY event_type, value) AS cnt_eq")
+      .selectExpr("event_type",
+        "cnt_win - cnt_eq AS n_pairs_l",
+        s"sum_win - $dec * cnt_win AS gap_l")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_pairs_l")).as("n_pairs"),
+        sum(col("gap_l")).cast("double").as("sum_gap"))
+  }
+
+  def valueBandStatsSql(width: Double = 0.5): String =
+    s"""WITH w AS (
+       |  SELECT event_type, value,
+       |    count(*) OVER win AS cnt_win,
+       |    sum(CAST(value AS DECIMAL(18,6))) OVER win AS sum_win,
+       |    count(*) OVER (PARTITION BY event_type, value) AS cnt_eq
+       |  FROM events
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY value
+       |    RANGE BETWEEN CURRENT ROW AND $width FOLLOWING)
+       |)
+       |SELECT event_type,
+       |  CAST(sum(cnt_win - cnt_eq) AS BIGINT) AS n_pairs,
+       |  CAST(sum(sum_win - CAST(value AS DECIMAL(18,6)) * cnt_win) AS DOUBLE) AS sum_gap
+       |FROM w GROUP BY event_type""".stripMargin
+
   def valueBandPairsSql(width: Double = 0.5): String =
     s"""SELECT a.event_type, count(*) AS n_pairs,
        |  CAST(sum(CAST(b.value - a.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_gap

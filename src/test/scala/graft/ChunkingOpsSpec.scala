@@ -143,6 +143,31 @@ class ChunkingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byHash(md5hex("p q r")) === ((md5hex("p q r"), 3L, 0L, 3, 1L)))
   }
 
+  test("slidingChunks is stream-safe: chunking a MemoryStream equals the batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, (1 to 40).map("w" + _).mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    val streamed = TextOps.slidingChunks(
+      in.toDF().toDF("doc_id", "text"), window = 8, stride = 5)
+    val q = streamed.writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(2))
+      q.processAllAvailable()
+      in.addData(rows.drop(2))
+      q.processAllAvailable()
+      val got = s.table("chunk_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))).toSet
+      val batch = TextOps.slidingChunks(
+        rows.toDF("doc_id", "text"), window = 8, stride = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))).toSet
+      assert(got === batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("bloomContaminationReport equals the exact contamination report") {
     val s = spark
     import s.implicits._

@@ -175,6 +175,24 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded === naive && naive.nonEmpty)
   }
 
+  test("valueBandStats (window form) equals valueBandPairs (join form) exactly") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // 2-decimal doubles like the events corpus, WITH planted exact ties
+    val rows = (1L to 400L).map { i =>
+      val v = math.floor(rnd.nextDouble() * 1000) / 100
+      (if (i % 3 == 0) "a" else "b", i, if (i % 7 == 0) 1.25 else v)
+    }
+    val df = rows.map { case (t, _, v) => (t, v) }.toDF("event_type", "value")
+    def toMap(out: Array[org.apache.spark.sql.Row]) =
+      out.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val joinForm = toMap(TemporalJoins.valueBandPairs(df).collect())
+    val winForm = toMap(TemporalJoins.valueBandStats(df).collect())
+    assert(winForm === joinForm)
+    assert(joinForm.values.map(_._1).sum > 0)
+  }
+
   test("tolerance nulls matches further than the interval, keeps closer ones") {
     val s = spark
     import s.implicits._
