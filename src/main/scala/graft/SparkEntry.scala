@@ -617,7 +617,11 @@ object SparkEntry {
     // 10M-pair band join collapses to one sort + one window pass
     // (O(n log n), not O(pairs)); spec-pinned equal to the join form
     "j18_band_stats" -> ((s, dir) =>
-      graft.operators.TemporalJoins.valueBandStats(Tables.events(s, dir)))
+      graft.operators.TemporalJoins.valueBandStats(Tables.events(s, dir))),
+
+    // x46 — vocab induction (df >= 3) + per-doc OOV coverage
+    "x46_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(Tables.documents(s, dir), minDf = 3))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1113,7 +1117,8 @@ object SparkEntry {
     "x43_bigram_top" -> TextOps.bigramTopSql(),
     "x44_length_gate" -> TextOps.lengthGateSql(),
     "x45_chunk_index" -> TextOps.chunkIndexSql(),
-    "j18_band_stats" -> graft.operators.TemporalJoins.valueBandStatsSql()
+    "j18_band_stats" -> graft.operators.TemporalJoins.valueBandStatsSql(),
+    "x46_vocab_coverage" -> TextOps.vocabCoverageSql(minDf = 3)
   )
 
   /** Oracle SQL that depends on the data (trained models): k-means isn't

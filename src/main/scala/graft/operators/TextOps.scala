@@ -557,6 +557,48 @@ object TextOps {
        |FROM toks JOIN q ON toks.lang = q.lang
        |WHERE n > q.${lo._1} AND n <= q.${hi._1}""".stripMargin
 
+  /** x46: vocabulary induction + OOV coverage — the accounting step of
+    * tokenizer/vocab construction: the vocabulary is every term whose
+    * document frequency reaches `minDf`, and each document reports how
+    * many of its token OCCURRENCES fall outside it. High OOV flags docs
+    * a fixed vocab would shred into bytes/unknowns.
+    *
+    * Shape: one explode feeding two aggregations — document frequency
+    * (distinct (doc, term) then count per term) and the per-doc token
+    * scan — joined on the term. Both joins/aggs key on the TERM, so the
+    * shuffle spreads by vocabulary, not by document size; nothing is
+    * collected to the driver and the vocab itself never needs to fit
+    * anywhere whole (at 100 TB it is just another keyed relation — a
+    * broadcast is an optional optimization when minDf prunes hard). */
+  def vocabCoverage(df: DataFrame, minDf: Long = 5,
+                    text: Column = col("text")): DataFrame = {
+    val tok = df.select(col("doc_id"), explode(words(text)).as("w"))
+    val vocab = tok.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDf)
+      .select(col("w"), lit(true).as("in_vocab"))
+    tok.join(vocab, Seq("w"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("oov_tokens"),
+        (col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_ratio"))
+  }
+
+  def vocabCoverageSql(minDf: Long = 5): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+       |), v AS (
+       |  SELECT w FROM (SELECT DISTINCT doc_id, w FROM tok)
+       |  GROUP BY w HAVING count(*) >= $minDf
+       |)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_ratio
+       |FROM tok LEFT JOIN v ON tok.w = v.w
+       |GROUP BY doc_id""".stripMargin
+
   /** Document fingerprints: a bag-of-words canonical hash (order-
     * independent — catches shuffled near-dups) and a min-shingle rolling
     * hash (winnowing-style, robust to small edits). */

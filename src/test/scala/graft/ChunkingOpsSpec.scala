@@ -184,6 +184,24 @@ class ChunkingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bloom === exact)
   }
 
+  test("vocabCoverage: df threshold defines the vocab; OOV counts occurrences") {
+    val s = spark
+    import s.implicits._
+    // "a" in 3 docs, "b" in 2, "c" in 1 → with minDf=2 the vocab is {a, b}
+    val docs = Seq(
+      (1L, "a b c c"), // 4 tokens, c×2 OOV
+      (2L, "a b"),     // 0 OOV
+      (3L, "a"))       // 0 OOV
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(docs, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      1L -> ((4L, 2L, 0.5)),
+      2L -> ((2L, 0L, 0.0)),
+      3L -> ((1L, 0L, 0.0))))
+  }
+
   test("bloomContaminationReport: empty eval side yields empty result") {
     val s = spark
     import s.implicits._
