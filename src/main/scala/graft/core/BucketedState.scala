@@ -53,9 +53,11 @@ class BucketedState(val spark: SparkSession, val root: String,
     else empty(schema)
 
   /** Initial full write, bucketed by `keyCol`. */
-  def writeAll(df: DataFrame, keyCol: String): Unit =
+  def writeAll(df: DataFrame, keyCol: String): Unit = {
     df.withColumn(bucketCol, bucketOf(col(keyCol)))
       .write.mode("overwrite").partitionBy(bucketCol).parquet(path)
+    PinnedViews.invalidate(spark) // root-path plan canonicalization hazard
+  }
 
   /** Rewrite ONLY the partitions present in `df` (which must already be
     * restricted to the affected buckets). Dynamic partition overwrite
@@ -77,6 +79,7 @@ class BucketedState(val spark: SparkSession, val root: String,
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(bucketCol)
       .parquet(path)
+    PinnedViews.invalidate(spark) // root-path plan canonicalization hazard
     expected.filterNot(written).foreach { b =>
       val dir = new java.io.File(s"$path/$bucketCol=$b")
       def rm(f: java.io.File): Unit = {

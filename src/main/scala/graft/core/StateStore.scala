@@ -48,6 +48,11 @@ class StateStore(val spark: SparkSession, val root: String) {
       Files.move(cur, Paths.get(old), StandardCopyOption.REPLACE_EXISTING)
     Files.move(Paths.get(tmp), cur)
     deleteRecursively(new File(old))
+    // plan-keyed caches canonicalize a parquet read by its ROOT PATH, so
+    // a re-read of the swapped table is semantically "equal" to the old
+    // plan — drop every pin this session holds, or a later duplicate
+    // search over the refreshed catalog would scan pre-swap rows
+    PinnedViews.invalidate(spark)
   }
 
   /** Append rows (archive tables are append-only). */
@@ -55,6 +60,7 @@ class StateStore(val spark: SparkSession, val root: String) {
     val schema = Schemas.all(table)
     val aligned = df.select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
     aligned.write.mode("append").parquet(path(table))
+    PinnedViews.invalidate(spark) // same root-path canonicalization hazard
   }
 
   private def deleteRecursively(f: File): Unit = {
