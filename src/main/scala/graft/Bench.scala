@@ -62,8 +62,13 @@ object Bench {
     // a SPARK_GRAFT_ONLY-restricted local run must be distinguishable from
     // the full bench to any later reader: flag it in every emission
     val restricted = if (only.isDefined) """"restricted":true,""" else ""
+    def jq(s: String): String = // JSON string escape for embedded paths
+      s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      restricted + s""""queries":${qJson(results)},"sf":"$sfDir"}"""
+      restricted + s""""queries":${qJson(results)},"sf":"${jq(sfDir)}"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     println(full)
@@ -75,7 +80,10 @@ object Bench {
     // complete map lives in the line above and in BENCH_OUT. build.sbt
     // sets `showSuccess := false` so no sbt trailer lands after this.
     val slowest = results.toSeq.sortBy(-_._2)
-    val budget = 1400 // chars for the queries map — window is 2000
+    // budget the whole line against the 2000-char window: fixed fields
+    // (incl. the ESCAPED paths, which the env controls) come off the top
+    val fixed = 150 + jq(outPath).length + jq(sfDir).length + restricted.length
+    val budget = 1800 - fixed // chars for the queries map
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2
     slowest.foreach { case (k, v) =>
@@ -85,7 +93,7 @@ object Bench {
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       restricted +
       s""""queries_total":${results.size},"queries_shown":${kept.size},""" +
-      s""""full":"$outPath","queries":${qJson(kept)},"sf":"$sfDir"}"""
+      s""""full":"${jq(outPath)}","queries":${qJson(kept)},"sf":"${jq(sfDir)}"}"""
     println(compact)
     spark.stop()
   }

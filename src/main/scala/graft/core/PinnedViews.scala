@@ -26,19 +26,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DedupOps.IterState); the cache contract is unchanged.
   */
 object PinnedViews {
+  // semanticHash is a 32-bit digest — a collision between two DISTINCT
+  // plans must not serve the wrong pin, so each hash bucket holds
+  // (analyzed plan, pin) pairs and a hit requires sameResult(), exactly
+  // how Spark's own plan caches pair the hash with plan equality.
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, Int), DataFrame]
+    .empty[(SparkSession, Int),
+      List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]
 
   /** The pinned twin of `df`: localCheckpoint'd once per (session,
     * semantic plan); later calls with a semantically equal plan reuse
     * the existing checkpoint. */
-  def pinned(df: DataFrame): DataFrame =
-    cache.getOrElseUpdate(
-      (df.sparkSession, df.queryExecution.analyzed.semanticHash()),
-      df.localCheckpoint(true))
+  def pinned(df: DataFrame): DataFrame = synchronized {
+    val plan = df.queryExecution.analyzed
+    val key = (df.sparkSession, plan.semanticHash())
+    val bucket = cache.getOrElse(key, Nil)
+    bucket.find(_._1.sameResult(plan)) match {
+      case Some((_, pin)) => pin
+      case None =>
+        val pin = df.localCheckpoint(true)
+        cache.update(key, (plan, pin) :: bucket)
+        pin
+    }
+  }
 
-  /** Drop every pin held for `session` (test isolation; a long-lived
-    * service would call this on catalog refresh). */
+  /** Drop every pin held for `session` (called by the state-store write
+    * paths on mutation; also test isolation / catalog refresh). */
   def invalidate(session: SparkSession): Unit =
     cache.keys.filter(_._1 eq session).foreach(cache.remove)
 }

@@ -494,9 +494,13 @@ object DedupOps {
                                text: Column = col("text")): DataFrame = {
     def sh(df: DataFrame, as: String) = df
       .select(col("doc_id").as(as), explode(array_distinct(shingles(text, n))).as("sh"))
-    val eval = sh(docs.filter(evalPred), "eval_doc")
-    val evalHashed = eval.select(col("eval_doc"), col("sh"),
-      HashFunctions.hash60(col("sh")).as("h"))
+    // the eval relation feeds three consumers (size count, bloom build,
+    // broadcast join) — pin it once rather than re-scanning and
+    // re-shingling the eval docs per consumer; it is the small side by
+    // contract, so the pin is cheap
+    val evalHashed = sh(docs.filter(evalPred), "eval_doc")
+      .select(col("eval_doc"), col("sh"), HashFunctions.hash60(col("sh")).as("h"))
+      .localCheckpoint(true)
     val nEval = evalHashed.count()
     if (nEval == 0) // bloomFilter() NPEs on empty input; result is empty anyway
       return contaminationReport(docs, evalPred, n, minShared, text)
