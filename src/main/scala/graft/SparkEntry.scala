@@ -621,7 +621,14 @@ object SparkEntry {
 
     // x46 — vocab induction (df >= 3) + per-doc OOV coverage
     "x46_vocab_coverage" -> ((s, dir) =>
-      TextOps.vocabCoverage(Tables.documents(s, dir), minDf = 3))
+      TextOps.vocabCoverage(Tables.documents(s, dir), minDf = 3)),
+
+    // x47 — near-dup cluster collapse to the best-quality representative
+    // (LSH/Jaccard pairs at 0.5, x8's generator): the dedup'd manifest
+    "x47_cluster_reps" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.clusterRepresentatives(docs, DedupOps.lshDupPairs(docs, 0.5))
+    })
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1118,7 +1125,9 @@ object SparkEntry {
     "x44_length_gate" -> TextOps.lengthGateSql(),
     "x45_chunk_index" -> TextOps.chunkIndexSql(),
     "j18_band_stats" -> graft.operators.TemporalJoins.valueBandStatsSql(),
-    "x46_vocab_coverage" -> TextOps.vocabCoverageSql(minDf = 3)
+    "x46_vocab_coverage" -> TextOps.vocabCoverageSql(minDf = 3),
+    "x47_cluster_reps" ->
+      DedupOps.clusterRepresentativesSql(DedupOps.lshDupPairsSql(0.5))
   )
 
   /** Oracle SQL that depends on the data (trained models): k-means isn't

@@ -449,6 +449,58 @@ object DedupOps {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
+  /** x47: near-dup cluster collapse — the DEDUP OUTPUT of the pipeline:
+    * every duplicate cluster (from [[dupClusters]] over any pair
+    * generator) is represented by its best-quality member (ties to the
+    * lowest doc_id), with the member count kept for accounting.
+    * Singleton docs are their own representative, so the result IS the
+    * deduplicated corpus manifest.
+    *
+    * Shape: the clustering's label table joins a narrow per-row quality
+    * projection, then one per-cluster window pass picks the argmax —
+    * partitioned by cluster id, so the sort is per-cluster, never
+    * global. */
+  def clusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+                             text: Column = col("text"),
+                             state: IterState = Local): DataFrame = {
+    val clusters = dupClusters(docs, pairs, state = state)
+    val scored = docs.select(col("doc_id"),
+      TextOps.qualityScoreCol(text).as("quality_score"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    clusters.join(scored, "doc_id")
+      .withColumn("rn", row_number().over(win))
+      .withColumn("n_members", count(lit(1)).over(cnt))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc"),
+        col("quality_score"), col("n_members"))
+  }
+
+  /** Oracle twin: the [[dupClustersSql]] unroll nested as a subquery,
+    * joined to the shared quality expression, same argmax window. The
+    * join on doc_id drops the (negative) convergence sentinels — x23's
+    * own gate row guards those; here they would have no quality row. */
+  def clusterRepresentativesSql(pairsSql: String): String =
+    s"""WITH q AS (
+       |  SELECT doc_id, ${TextOps.qualityScoreColSql("text")} AS quality_score
+       |  FROM documents
+       |), c AS (
+       |  SELECT * FROM (
+       |${dupClustersSql(pairsSql)}
+       |  ) t
+       |), r AS (
+       |  SELECT c.cluster_id, c.doc_id, q.quality_score,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+       |  FROM c JOIN q USING (doc_id)
+       |)
+       |SELECT cluster_id, doc_id AS rep_doc, quality_score,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM r WHERE rn = 1""".stripMargin
+
   // ---- benchmark decontamination ------------------------------------------
 
   /** Train/eval contamination report: `(train_doc, eval_doc, n_shared)`

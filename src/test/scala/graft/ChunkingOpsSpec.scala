@@ -168,6 +168,24 @@ class ChunkingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("clusterRepresentatives: best quality wins, ties to lowest doc_id, singletons kept") {
+    val s = spark
+    import s.implicits._
+    // 1 and 2 share all shingles (near-dup cluster); 2 repeats the tail so
+    // its length-driven quality score is HIGHER -> 2 must represent the
+    // cluster despite the higher id. 3 is a singleton.
+    val base = "the a and of to is in alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " " + base),
+      (3L, "totally different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.DedupOps.clusterRepresentatives(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(out === Set((1L, 2L, 2L), (3L, 3L, 1L)))
+  }
+
   test("bloomContaminationReport equals the exact contamination report") {
     val s = spark
     import s.implicits._
