@@ -62,11 +62,8 @@ object Bench {
     // a SPARK_GRAFT_ONLY-restricted local run must be distinguishable from
     // the full bench to any later reader: flag it in every emission
     val restricted = if (only.isDefined) """"restricted":true,""" else ""
-    def jq(s: String): String = // JSON string escape for embedded paths
-      s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      }
+    // shared JSON escaper for the embedded env-controlled paths
+    def jq(s: String): String = graft.core.Json.escape(s)
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       restricted + s""""queries":${qJson(results)},"sf":"${jq(sfDir)}"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")

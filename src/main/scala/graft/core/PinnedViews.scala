@@ -33,25 +33,50 @@ object PinnedViews {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, Int),
       List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]
+  // per-session invalidation generation: a pin built from a plan captured
+  // BEFORE an invalidation must not be cached AFTER it (it may hold
+  // pre-mutation rows); bumping the generation under the same monitor as
+  // the cache insert closes that window
+  private val generations =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Long]
+
+  private def lookup(key: (SparkSession, Int),
+                     plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    cache.getOrElse(key, Nil).find(_._1.sameResult(plan)).map(_._2)
 
   /** The pinned twin of `df`: localCheckpoint'd once per (session,
     * semantic plan); later calls with a semantically equal plan reuse
-    * the existing checkpoint. */
-  def pinned(df: DataFrame): DataFrame = synchronized {
+    * the existing checkpoint. The checkpoint job itself runs OUTSIDE the
+    * monitor — concurrent callers pinning different views don't
+    * serialize on each other's Spark jobs (a lost race costs one
+    * redundant, GC-reclaimed checkpoint, never a wrong answer). */
+  def pinned(df: DataFrame): DataFrame = {
     val plan = df.queryExecution.analyzed
     val key = (df.sparkSession, plan.semanticHash())
-    val bucket = cache.getOrElse(key, Nil)
-    bucket.find(_._1.sameResult(plan)) match {
-      case Some((_, pin)) => pin
+    val (hit, genBefore) = synchronized {
+      (lookup(key, plan), generations.getOrElse(df.sparkSession, 0L))
+    }
+    hit match {
+      case Some(pin) => pin
       case None =>
-        val pin = df.localCheckpoint(true)
-        cache.update(key, (plan, pin) :: bucket)
-        pin
+        val pin = df.localCheckpoint(true) // blocking Spark job — no lock held
+        synchronized {
+          if (generations.getOrElse(df.sparkSession, 0L) != genBefore)
+            pin // invalidated mid-build: usable by THIS caller, never cached
+          else lookup(key, plan) match {
+            case Some(winner) => winner // concurrent builder won the insert
+            case None =>
+              cache.update(key, (plan, pin) :: cache.getOrElse(key, Nil))
+              pin
+          }
+        }
     }
   }
 
   /** Drop every pin held for `session` (called by the state-store write
     * paths on mutation; also test isolation / catalog refresh). */
-  def invalidate(session: SparkSession): Unit =
+  def invalidate(session: SparkSession): Unit = synchronized {
+    generations.update(session, generations.getOrElse(session, 0L) + 1L)
     cache.keys.filter(_._1 eq session).foreach(cache.remove)
+  }
 }
