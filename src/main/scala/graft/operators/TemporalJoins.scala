@@ -271,14 +271,38 @@ object TemporalJoins {
     * bound `value <= v + width` is the same IEEE add as the join
     * predicate, so the pair set is identical to [[valueBandPairs]]'
     * (TemporalJoinsSpec pins equality of both output columns). */
-  def valueBandStats(events: DataFrame, width: Double = 0.5): DataFrame = {
+  def valueBandStats(events: DataFrame, width: Double = 0.5,
+                     bucketWidth: Double = 32.0): DataFrame = {
+    // Partitioning by type alone caps the sort parallelism at the TYPE
+    // CARDINALITY (5 types = 5 tasks forever, a scale wall at 100 TB).
+    // Instead the value axis is cut into `bucketWidth` ranges and each
+    // row near the bottom of its bucket (within `width` of the edge) is
+    // ALSO emitted as a non-anchor HALO copy into the previous bucket:
+    // every anchor's frame [v, v+width] is then complete inside its own
+    // (type, bucket) partition — originals cover same-bucket partners,
+    // halos cover the next-bucket spill, and nothing is double-counted
+    // (a row's halo lands in exactly one other bucket; B >= width keeps
+    // bucket b+2 out of reach). Parallelism scales with the value
+    // range; `bucketWidth` trades partition count against the ~w/B halo
+    // replication, like intervalJoin's granularity.
+    require(bucketWidth >= width, "bucketWidth must be >= width")
     val dec = "CAST(value AS DECIMAL(18,6))"
-    val over = s"OVER (PARTITION BY event_type ORDER BY value " +
+    val base = events.select(col("event_type"), col("value"))
+    val bkt = floor(col("value") / bucketWidth).cast("long")
+    val anchors = base.withColumn("__b", bkt).withColumn("__anchor", lit(true))
+    val halos = base
+      .filter(col("value") - bkt * bucketWidth < width)
+      .withColumn("__b", bkt - 1).withColumn("__anchor", lit(false))
+    val over = s"OVER (PARTITION BY event_type, __b ORDER BY value " +
       s"RANGE BETWEEN CURRENT ROW AND $width FOLLOWING)"
-    events.selectExpr("event_type", "value",
+    anchors.unionByName(halos).selectExpr("event_type", "value", "__anchor",
         s"count(1) $over AS cnt_win",
         s"sum($dec) $over AS sum_win",
-        "count(1) OVER (PARTITION BY event_type, value) AS cnt_eq")
+        // ties of an anchor all share its bucket, so the tie count is
+        // complete inside the partition (a halo copy of value v would
+        // come from bucket(v)+1, which cannot contain value v)
+        "count(1) OVER (PARTITION BY event_type, __b, value) AS cnt_eq")
+      .filter(col("__anchor")) // halo copies feed frames, never anchor one
       .selectExpr("event_type",
         "cnt_win - cnt_eq AS n_pairs_l",
         s"sum_win - $dec * cnt_win AS gap_l")

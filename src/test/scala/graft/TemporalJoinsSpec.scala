@@ -191,6 +191,13 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val winForm = toMap(TemporalJoins.valueBandStats(df).collect())
     assert(winForm === joinForm)
     assert(joinForm.values.map(_._1).sum > 0)
+    // halo-bucket stress: bucketWidth barely above width → nearly every
+    // band spans a bucket edge and rides the halo copies; values are
+    // dense in [0, 10) so edge ties and exact-boundary hits occur
+    val tight = toMap(TemporalJoins.valueBandStats(df, 0.5, 0.5).collect())
+    assert(tight === joinForm)
+    val mid = toMap(TemporalJoins.valueBandStats(df, 0.5, 1.25).collect())
+    assert(mid === joinForm)
   }
 
   test("tolerance nulls matches further than the interval, keeps closer ones") {
