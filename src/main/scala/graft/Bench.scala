@@ -77,14 +77,17 @@ object Bench {
     // complete map lives in the line above and in BENCH_OUT. build.sbt
     // sets `showSuccess := false` so no sbt trailer lands after this.
     val slowest = results.toSeq.sortBy(-_._2)
-    // budget the whole line against the 2000-char window: fixed fields
-    // (incl. the ESCAPED paths, which the env controls) come off the top
-    val fixed = 150 + jq(outPath).length + jq(sfDir).length + restricted.length
-    val budget = 1800 - fixed // chars for the queries map
+    // budget the whole line against the 2000-char window, measured in
+    // UTF-8 BYTES (the driver tails a byte stream — a multi-byte path
+    // char counts more than once); fixed fields incl. the ESCAPED paths
+    // come off the top
+    def bytes(s: String): Int = s.getBytes("UTF-8").length
+    val fixed = 150 + bytes(jq(outPath)) + bytes(jq(sfDir)) + restricted.length
+    val budget = 1800 - fixed // bytes for the queries map
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2
     slowest.foreach { case (k, v) =>
-      val w = k.length + fmt(v).length + 4
+      val w = bytes(k) + fmt(v).length + 4
       if (used + w <= budget) { kept += ((k, v)); used += w }
     }
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +

@@ -79,7 +79,6 @@ class BucketedState(val spark: SparkSession, val root: String,
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(bucketCol)
       .parquet(path)
-    PinnedViews.invalidate(spark) // root-path plan canonicalization hazard
     expected.filterNot(written).foreach { b =>
       val dir = new java.io.File(s"$path/$bucketCol=$b")
       def rm(f: java.io.File): Unit = {
@@ -88,6 +87,10 @@ class BucketedState(val spark: SparkSession, val root: String,
       }
       if (dir.exists()) rm(dir)
     }
+    // invalidate AFTER the emptied-bucket cleanup: a pin built between an
+    // earlier invalidation and the directory removals would capture the
+    // about-to-be-deleted rows and never be dropped again
+    PinnedViews.invalidate(spark) // root-path plan canonicalization hazard
   }
 
   /** The M1-shaped merge round against this layout: staged rows touch

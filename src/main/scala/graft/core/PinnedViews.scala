@@ -30,7 +30,10 @@ object PinnedViews {
   // plans must not serve the wrong pin, so each hash bucket holds
   // (analyzed plan, pin) pairs and a hit requires sameResult(), exactly
   // how Spark's own plan caches pair the hash with plan equality.
-  private val cache = scala.collection.concurrent.TrieMap
+  // Plain HashMaps: every access runs under this object's monitor (the
+  // generation protocol requires it), so a concurrent map would only
+  // suggest lock-free paths that don't exist.
+  private val cache = scala.collection.mutable.HashMap
     .empty[(SparkSession, Int),
       List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]
   // per-session invalidation generation: a pin built from a plan captured
@@ -38,11 +41,22 @@ object PinnedViews {
   // pre-mutation rows); bumping the generation under the same monitor as
   // the cache insert closes that window
   private val generations =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, Long]
+    scala.collection.mutable.HashMap.empty[SparkSession, Long]
 
   private def lookup(key: (SparkSession, Int),
                      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
     cache.getOrElse(key, Nil).find(_._1.sameResult(plan)).map(_._2)
+
+  // entries for stopped sessions are unreachable (a stopped session's
+  // DataFrames can't run) — sweep them so a long-lived JVM creating
+  // sessions repeatedly doesn't pin plans and sessions forever. Called
+  // under the monitor from both public entry points.
+  private def sweepStopped(): Unit = {
+    val dead = cache.keys.filter(_._1.sparkContext.isStopped).toList
+    dead.foreach(cache.remove)
+    generations.keys.filter(_.sparkContext.isStopped).toList
+      .foreach(generations.remove)
+  }
 
   /** The pinned twin of `df`: localCheckpoint'd once per (session,
     * semantic plan); later calls with a semantically equal plan reuse
@@ -54,6 +68,7 @@ object PinnedViews {
     val plan = df.queryExecution.analyzed
     val key = (df.sparkSession, plan.semanticHash())
     val (hit, genBefore) = synchronized {
+      sweepStopped()
       (lookup(key, plan), generations.getOrElse(df.sparkSession, 0L))
     }
     hit match {
@@ -76,7 +91,8 @@ object PinnedViews {
   /** Drop every pin held for `session` (called by the state-store write
     * paths on mutation; also test isolation / catalog refresh). */
   def invalidate(session: SparkSession): Unit = synchronized {
+    sweepStopped()
     generations.update(session, generations.getOrElse(session, 0L) + 1L)
-    cache.keys.filter(_._1 eq session).foreach(cache.remove)
+    cache.keys.filter(_._1 eq session).toList.foreach(cache.remove)
   }
 }

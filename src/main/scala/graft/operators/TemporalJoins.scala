@@ -270,7 +270,13 @@ object TemporalJoins {
     * summing (the same per-value literals on both engines); the frame
     * bound `value <= v + width` is the same IEEE add as the join
     * predicate, so the pair set is identical to [[valueBandPairs]]'
-    * (TemporalJoinsSpec pins equality of both output columns). */
+    * (TemporalJoinsSpec pins equality of both output columns).
+    *
+    * One DELIBERATE shape difference: a type whose rows have no in-band
+    * pair still gets a `(type, 0, 0.0)` row here (its anchors aggregate
+    * to zero), while the join form omits the type entirely — the stats
+    * row is the more useful contract for a per-type report, and the
+    * oracle twin shares it. */
   def valueBandStats(events: DataFrame, width: Double = 0.5,
                      bucketWidth: Double = 32.0): DataFrame = {
     // Partitioning by type alone caps the sort parallelism at the TYPE
@@ -287,15 +293,30 @@ object TemporalJoins {
     // replication, like intervalJoin's granularity.
     require(bucketWidth >= width, "bucketWidth must be >= width")
     val dec = "CAST(value AS DECIMAL(18,6))"
-    val base = events.select(col("event_type"), col("value"))
     val bkt = floor(col("value") / bucketWidth).cast("long")
-    val anchors = base.withColumn("__b", bkt).withColumn("__anchor", lit(true))
-    val halos = base
-      .filter(col("value") - bkt * bucketWidth < width)
-      .withColumn("__b", bkt - 1).withColumn("__anchor", lit(false))
+    // Halo eligibility must be a provable SUPERSET of cross-bucket
+    // reachability under the frame's own IEEE arithmetic: an anchor v in
+    // bucket b-1 reaches p iff p <= fl(v + width), and fl is monotone,
+    // so p is reachable only if p <= fl(boundary + width) where
+    // boundary = b·B is p's own bucket floor. Comparing against that
+    // exact expression (NOT `p - boundary < width`, whose subtraction
+    // can disagree with the frame's addition by an ulp and silently
+    // drop a boundary pair — same ulp class bandJoin's probe-bucket
+    // guard defends) keeps every candidate; over-copied halos are
+    // harmless because the range frame itself decides membership.
+    // One scan: each row explodes to its anchor copy plus, when
+    // eligible, a non-anchor halo copy in the previous bucket.
+    val haloEligible = col("value") <= bkt * bucketWidth + lit(width)
+    val copies = when(haloEligible,
+        array(struct(bkt.as("b"), lit(true).as("anchor")),
+          struct((bkt - 1).as("b"), lit(false).as("anchor"))))
+      .otherwise(array(struct(bkt.as("b"), lit(true).as("anchor"))))
     val over = s"OVER (PARTITION BY event_type, __b ORDER BY value " +
       s"RANGE BETWEEN CURRENT ROW AND $width FOLLOWING)"
-    anchors.unionByName(halos).selectExpr("event_type", "value", "__anchor",
+    events.select(col("event_type"), col("value"), explode(copies).as("c"))
+      .select(col("event_type"), col("value"),
+        col("c.b").as("__b"), col("c.anchor").as("__anchor"))
+      .selectExpr("event_type", "value", "__anchor",
         s"count(1) $over AS cnt_win",
         s"sum($dec) $over AS sum_win",
         // ties of an anchor all share its bucket, so the tie count is

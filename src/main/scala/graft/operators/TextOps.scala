@@ -464,13 +464,11 @@ object TextOps {
     * per-doc agg. No self-join, nothing quadratic. */
   def passageDupReport(df: DataFrame, block: Int = 8,
                        text: Column = col("text")): DataFrame = {
-    val ws = words(text)
-    val n = size(ws).cast("long")
-    val lastK = floor((n - 1) / block).cast("long")
-    val blocks = df.select(col("doc_id"),
-        explode(transform(sequence(lit(0L), lastK), k =>
-          md5(array_join(slice(ws, (k * block + 1).cast("int"), lit(block)), " "))))
-          .as("block_hash"))
+    // non-overlapping blocks ARE the chunker at stride == window (the
+    // two last-index formulas are arithmetically equal) — one boundary
+    // definition, not two that can drift
+    val blocks = slidingChunks(df, block, block, text)
+      .select(col("doc_id"), col("chunk_hash").as("block_hash"))
     // distinct docs per block hash; a hash is "shared" when ≥2 docs carry it
     val byHash = blocks.distinct()
       .groupBy("block_hash").agg(count(lit(1)).as("n_docs"))
@@ -485,11 +483,9 @@ object TextOps {
 
   def passageDupReportSql(block: Int = 8): String =
     s"""WITH b AS (
-       |  SELECT doc_id,
-       |    md5(array_to_string(ws[k*$block+1 : k*$block+$block], ' ')) AS block_hash
-       |  FROM (SELECT doc_id, ws,
-       |          unnest(generate_series(0, (len(ws) - 1) // $block)) AS k
-       |        FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents))
+       |  SELECT doc_id, chunk_hash AS block_hash FROM (
+       |${slidingChunksSql(block, block)}
+       |  ) ch
        |), h AS (
        |  SELECT block_hash, count(*) AS n_docs
        |  FROM (SELECT DISTINCT doc_id, block_hash FROM b)

@@ -200,6 +200,29 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mid === joinForm)
   }
 
+  test("valueBandStats: ulp-edge boundary pair survives the halo cut; pairless types report zero") {
+    val s = spark
+    import s.implicits._
+    // anchor one ulp below the bucket boundary (32.0), partner exactly at
+    // boundary + width: the partner is inside the anchor's IEEE frame
+    // (nextDown(32) + 0.5 rounds to exactly 32.5) but a naive
+    // `p - boundary < width` halo test would refuse it a copy into the
+    // anchor's bucket and silently drop the pair
+    val df = Seq(
+      ("a", math.nextDown(32.0)), ("a", 32.5),
+      ("lonely", 5.0)) // rows but no pairs → (0, 0.0), join form omits it
+      .toDF("event_type", "value")
+    val out = TemporalJoins.valueBandStats(df, 0.5, 32.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("a")._1 === 1L, s"boundary pair must survive the halo cut: $out")
+    assert(out("lonely") === ((0L, 0.0)))
+    // and the pair is what the join form finds for type a
+    val join = TemporalJoins.valueBandPairs(df, 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(join("a") === out("a"))
+    assert(!join.contains("lonely"))
+  }
+
   test("tolerance nulls matches further than the interval, keeps closer ones") {
     val s = spark
     import s.implicits._
