@@ -113,6 +113,21 @@ object DatasetIO {
       .partitionBy(partitionCols: _*)
       .parquet(dir)
 
+  /** ORC twin of [[writeShards]] — same bounded-shard partitioned
+    * layout on the other mainstream columnar format (some lakes
+    * standardize on ORC; Spark's reader gives it the same pushdown and
+    * pruning as parquet, `OrcIOSpec` pins PushedFilters in the plan). */
+  def writeShardsOrc(df: DataFrame, dir: String, partitionCols: Seq[String],
+                     maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .orc(dir)
+
+  def readOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
+
   /** Write a table bucketed (and sorted) by a join key — the co-located
     * join layout for the hot keys of a 100 TB corpus: two tables
     * bucketed by the same key with the same bucket count equi-join with
