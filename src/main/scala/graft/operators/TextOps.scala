@@ -595,6 +595,21 @@ object TextOps {
        |FROM tok LEFT JOIN v ON tok.w = v.w
        |GROUP BY doc_id""".stripMargin
 
+  /** Approximate term-frequency sketch — the 100 TB path for
+    * heavy-hitter term statistics (x36/x43 compute exact counts, fine
+    * while the distinct-term relation fits a shuffle; at corpus scale a
+    * mergeable Count-Min sketch replaces the term groupBy the way
+    * `approx_percentile` replaces x32's rank windows — built map-side
+    * per partition and merged, one pass, O(1/eps) memory). Estimates
+    * only ever OVERcount (classic CMS guarantee: true <= est <=
+    * true + eps·N with prob. `confidence`) — `TermSketchSpec` in
+    * ChunkingOpsSpec pins both bounds against the exact counts. */
+  def termSketch(df: DataFrame, eps: Double = 0.001,
+                 confidence: Double = 0.99, seed: Int = 42,
+                 text: Column = col("text")): org.apache.spark.util.sketch.CountMinSketch =
+    df.select(explode(words(text)).as("w"))
+      .stat.countMinSketch("w", eps, confidence, seed)
+
   /** Document fingerprints: a bag-of-words canonical hash (order-
     * independent — catches shuffled near-dups) and a min-shingle rolling
     * hash (winnowing-style, robust to small edits). */

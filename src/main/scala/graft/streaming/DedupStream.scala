@@ -28,4 +28,32 @@ object DedupStream {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming decontamination guard: flag (don't drop — curation wants
+    * the audit trail) arriving documents that share any n-gram shingle
+    * with a static eval/benchmark set, probed through a broadcast Bloom
+    * filter of the eval shingles' hashes — the online twin of
+    * [[graft.operators.DedupOps.bloomContaminationReport]]'s pre-filter.
+    * Stateless per row (no watermark state), so it composes before
+    * [[dedupOnIngest]] in the same query. The sketch errs on the side
+    * of flagging (false positives only, at the filter's fpp); flagged
+    * docs route to the exact offline check.
+    *
+    * `bloom` comes from the offline build (the same
+    * `df.stat.bloomFilter` the batch path trains) — pass it in rather
+    * than deriving it here so one sketch serves every executor of every
+    * micro-batch via one broadcast. */
+  def flagContaminated(docs: DataFrame,
+                       bloom: org.apache.spark.util.sketch.BloomFilter,
+                       n: Int = 3): DataFrame = {
+    // the shingle hashes come from builtin expressions (codegen'd inside
+    // the transform); the sketch probe is ONE udf over the hash array —
+    // a udf can't reference a higher-order-function lambda variable, and
+    // per-array beats per-element dispatch anyway
+    val anyHit = udf((hs: Seq[Long]) => hs != null && hs.exists(bloom.mightContain))
+    docs.withColumn("contaminated",
+      anyHit(transform(
+        array_distinct(graft.operators.DedupOps.shingles(col("text"), n)),
+        sh => graft.functions.HashFunctions.hash60(sh))))
+  }
 }

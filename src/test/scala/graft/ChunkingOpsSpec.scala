@@ -202,6 +202,22 @@ class ChunkingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bloom === exact)
   }
 
+  test("termSketch: CMS estimates bracket the exact term counts") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sketch = TextOps.termSketch(docs, eps = 0.001)
+    val exact = docs
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = exact.map(_._2).sum
+    exact.foreach { case (w, cnt) =>
+      val est = sketch.estimateCount(w)
+      assert(est >= cnt, s"CMS must never undercount: $w est=$est true=$cnt")
+      assert(est <= cnt + (0.001 * total).toLong + 1,
+        s"CMS overcount beyond eps*N: $w est=$est true=$cnt N=$total")
+    }
+  }
+
   test("vocabCoverage: df threshold defines the vocab; OOV counts occurrences") {
     val s = spark
     import s.implicits._
