@@ -42,10 +42,13 @@ object DedupStream {
     * `bloom` comes from the offline build (the same
     * `df.stat.bloomFilter` the batch path trains) — pass it in rather
     * than deriving it here so one sketch serves every executor of every
-    * micro-batch via one broadcast. */
+    * micro-batch via one broadcast. `n` MUST match the shingle width
+    * the sketch was built with (a mismatch probes n-grams the filter
+    * never saw and silently flags almost nothing); the default equals
+    * [[graft.operators.DedupOps.bloomContaminationReport]]'s. */
   def flagContaminated(docs: DataFrame,
                        bloom: org.apache.spark.util.sketch.BloomFilter,
-                       n: Int = 3): DataFrame = {
+                       n: Int = 5): DataFrame = {
     // the shingle hashes come from builtin expressions (codegen'd inside
     // the transform); the sketch probe is ONE udf over the hash array —
     // a udf can't reference a higher-order-function lambda variable, and

@@ -210,12 +210,17 @@ class ChunkingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val total = exact.map(_._2).sum
-    exact.foreach { case (w, cnt) =>
+    // never-undercount is a HARD guarantee; the eps*N overcount bound is
+    // per-query probabilistic (confidence 0.99), so assert it for >= 99%
+    // of terms instead of universally — a seed/layout change must not
+    // turn an in-contract sketch into a test failure
+    val overBound = exact.map { case (w, cnt) =>
       val est = sketch.estimateCount(w)
       assert(est >= cnt, s"CMS must never undercount: $w est=$est true=$cnt")
-      assert(est <= cnt + (0.001 * total).toLong + 1,
-        s"CMS overcount beyond eps*N: $w est=$est true=$cnt N=$total")
-    }
+      if (est > cnt + (0.001 * total).toLong + 1) 1 else 0
+    }.sum
+    assert(overBound <= math.max(1, exact.length / 100),
+      s"$overBound of ${exact.length} terms exceed the eps*N bound")
   }
 
   test("vocabCoverage: df threshold defines the vocab; OOV counts occurrences") {

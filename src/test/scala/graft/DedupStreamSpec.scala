@@ -50,7 +50,8 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       InDoc(3L, "fox jumps high over it", ts("2024-01-01 10:02:00"))) // shares "fox jumps high"
 
     val in = MemoryStream[InDoc]
-    val q = DedupStream.flagContaminated(in.toDF(), bloom)
+    // n MUST match the sketch's build width (trigrams here)
+    val q = DedupStream.flagContaminated(in.toDF(), bloom, n = 3)
       .writeStream.format("memory").queryName("contam_out")
       .outputMode("append").start()
     try {
@@ -59,7 +60,7 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       val streamed = spark.table("contam_out")
         .select("doc_id", "contaminated").collect()
         .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-      val batch = DedupStream.flagContaminated(rows.toDF(), bloom)
+      val batch = DedupStream.flagContaminated(rows.toDF(), bloom, n = 3)
         .select("doc_id", "contaminated").collect()
         .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       assert(streamed === batch)

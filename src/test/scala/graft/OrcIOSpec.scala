@@ -35,17 +35,21 @@ class OrcIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = back.select(cols.map(col): _*).collect().map(_.toSeq.toString).sorted
     assert(a.toSeq === b.toSeq)
 
-    // shard cap respected
+    // shard cap ACTUALLY respected: every file holds <= maxRecordsPerFile
+    // rows (each lang partition has ~100 docs, so the 100-row cap bites)
     val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
       .flatMap(_.listFiles()).filter(_.getName.endsWith(".orc"))
     assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.orc(f.getAbsolutePath).count()
+      assert(n <= 100L, s"shard cap violated: ${f.getName} has $n rows")
+    }
 
     // predicate pushdown reaches the ORC scan; partition filter prunes
     val q = back.filter(col("lang") === "en" && col("n_chars") > 100)
       .select("doc_id", "n_chars")
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]") ||
-      plan.contains("GreaterThan(n_chars,100)"),
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(n_chars,100)"),
       s"expected n_chars filter pushed to the ORC scan:\n$plan")
     assert(q.count() === docs.filter(col("lang") === "en" && col("n_chars") > 100).count())
   }
