@@ -628,7 +628,11 @@ object SparkEntry {
     "x47_cluster_reps" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       DedupOps.clusterRepresentatives(docs, DedupOps.lshDupPairs(docs, 0.5))
-    })
+    }),
+
+    // x48 — MOSS winnowing fingerprints (windowed k-gram minima)
+    "x48_winnowing" -> ((s, dir) =>
+      TextOps.winnowingFingerprints(Tables.documents(s, dir)))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1127,7 +1131,8 @@ object SparkEntry {
     "j18_band_stats" -> graft.operators.TemporalJoins.valueBandStatsSql(),
     "x46_vocab_coverage" -> TextOps.vocabCoverageSql(minDf = 3),
     "x47_cluster_reps" ->
-      DedupOps.clusterRepresentativesSql(DedupOps.lshDupPairsSql(0.5))
+      DedupOps.clusterRepresentativesSql(DedupOps.lshDupPairsSql(0.5)),
+    "x48_winnowing" -> TextOps.winnowingFingerprintsSql()
   )
 
   /** Oracle SQL that depends on the data (trained models): k-means isn't

@@ -610,6 +610,53 @@ object TextOps {
     df.select(explode(words(text)).as("w"))
       .stat.countMinSketch("w", eps, confidence, seed)
 
+  /** x48: winnowing fingerprints (the MOSS local-fingerprint scheme,
+    * Schleimer/Wilkerson/Aiken 2003): hash every character k-gram, slide
+    * a window of `w` consecutive k-gram hashes, select each window's
+    * MINIMUM, and keep the distinct selections. Guarantees: any shared
+    * substring of length >= w+k-1 yields at least one shared
+    * fingerprint, and selection density is ~2/(w+1) — positional
+    * robustness that whole-doc and bag-of-words hashes lack.
+    *
+    * Emitted as (doc_id, n_fingerprints, fp_hash) where fp_hash is the
+    * md5 of the sorted distinct fingerprint list — compact gate
+    * evidence that the SELECTION matched, not just its size. Pure
+    * narrow projection (per-row generated index sequences, no explode,
+    * no shuffle): map-side at scan speed at any corpus size. */
+  def winnowingFingerprints(df: DataFrame, k: Int = 5, w: Int = 4,
+                            text: Column = col("text")): DataFrame = {
+    val t = trim(text)
+    val nGrams = greatest(length(t) - (k - 1), lit(1))
+    val grams = transform(sequence(lit(1), nGrams),
+      i => HashFunctions.hash60(t.substr(i, lit(k))))
+    val nWins = greatest(nGrams - (w - 1), lit(1))
+    val selected = array_distinct(transform(sequence(lit(1), nWins),
+      i => array_min(slice(grams, i, lit(w)))))
+    df.select(col("doc_id"),
+      size(selected).as("n_fingerprints"),
+      // sort NUMERICALLY, then render: both engines join the same
+      // decimal strings in the same order (concat_ws needs strings)
+      md5(concat_ws(",", transform(array_sort(selected), _.cast("string"))))
+        .as("fp_hash"))
+  }
+
+  def winnowingFingerprintsSql(k: Int = 5, w: Int = 4): String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, greatest(length(trim(text)) - ${k - 1}, 1)),
+       |      i -> ${HashFunctions.hash60Sql(s"substr(trim(text), i, $k)")}) AS grams
+       |  FROM documents
+       |), sel AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(len(grams) - ${w - 1}, 1)),
+       |      i -> list_min(grams[i : i + ${w - 1}]))) AS fps
+       |  FROM g
+       |)
+       |SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+       |  md5(array_to_string(list_sort(fps), ',')) AS fp_hash
+       |FROM sel""".stripMargin
+
   /** Document fingerprints: a bag-of-words canonical hash (order-
     * independent — catches shuffled near-dups) and a min-shingle rolling
     * hash (winnowing-style, robust to small edits). */

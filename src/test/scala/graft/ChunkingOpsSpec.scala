@@ -202,6 +202,46 @@ class ChunkingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bloom === exact)
   }
 
+  test("winnowing: shared substring >= w+k-1 chars shares a fingerprint; density ~2/(w+1)") {
+    val s = spark
+    import s.implicits._
+    val k = 5; val w = 4
+    val shared = "zqxjv wkypf mglrh" // 17 chars > w+k-1 = 8
+    val docs = Seq(
+      (1L, s"aaa bbb $shared ccc ddd"),
+      (2L, s"totally other prefix here $shared and another tail"),
+      (3L, "no overlap with anything else at all"))
+      .toDF("doc_id", "text")
+    // recompute the selection in plain Scala to cross-check the guarantee
+    def fps(t: String): Set[Long] = {
+      def h60(x: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+      }
+      val tt = t.trim
+      val grams = (1 to math.max(tt.length - (k - 1), 1))
+        .map(i => h60(tt.substring(i - 1, math.min(i - 1 + k, tt.length))))
+      (1 to math.max(grams.length - (w - 1), 1))
+        .map(i => grams.slice(i - 1, i - 1 + w).min).toSet
+    }
+    val out = TextOps.winnowingFingerprints(docs, k, w)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    val (f1, f2, f3) = (fps(docs.collect()(0).getString(1)),
+      fps(s"totally other prefix here $shared and another tail"),
+      fps("no overlap with anything else at all"))
+    assert((f1 intersect f2).nonEmpty, "shared substring must share a fingerprint")
+    assert((f1 intersect f3).isEmpty)
+    // the Spark selection matches the reference implementation exactly
+    docs.collect().foreach { r =>
+      val expect = fps(r.getString(1))
+      val (n, _) = out(r.getLong(0))
+      assert(n === expect.size, s"doc ${r.getLong(0)}: $n vs ${expect.size}")
+    }
+    // density sanity: far fewer fingerprints than k-grams
+    val (n1, _) = out(1L)
+    assert(n1 < docs.collect()(0).getString(1).trim.length - k + 1)
+  }
+
   test("termSketch: CMS estimates bracket the exact term counts") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val sketch = TextOps.termSketch(docs, eps = 0.001)
