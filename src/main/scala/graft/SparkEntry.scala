@@ -632,7 +632,15 @@ object SparkEntry {
 
     // x48 — MOSS winnowing fingerprints (windowed k-gram minima)
     "x48_winnowing" -> ((s, dir) =>
-      TextOps.winnowingFingerprints(Tables.documents(s, dir)))
+      TextOps.winnowingFingerprints(Tables.documents(s, dir))),
+
+    // x49 — BM25 ranked retrieval (fixed query, one scalar-agg broadcast)
+    "x49_bm25" -> ((s, dir) =>
+      graft.operators.RetrievalOps.bm25TopK(Tables.documents(s, dir))),
+
+    // x50 — LSH candidates verified by Levenshtein edit similarity
+    "x50_edit_dup_pairs" -> ((s, dir) =>
+      DedupOps.editDistancePairs(Tables.documents(s, dir)))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1132,7 +1140,9 @@ object SparkEntry {
     "x46_vocab_coverage" -> TextOps.vocabCoverageSql(minDf = 3),
     "x47_cluster_reps" ->
       DedupOps.clusterRepresentativesSql(DedupOps.lshDupPairsSql(0.5)),
-    "x48_winnowing" -> TextOps.winnowingFingerprintsSql()
+    "x48_winnowing" -> TextOps.winnowingFingerprintsSql(),
+    "x49_bm25" -> graft.operators.RetrievalOps.bm25TopKSql(),
+    "x50_edit_dup_pairs" -> DedupOps.editDistancePairsSql()
   )
 
   /** Oracle SQL that depends on the data (trained models): k-means isn't

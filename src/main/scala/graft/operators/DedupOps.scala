@@ -202,6 +202,66 @@ object DedupOps {
     jaccardFor(df, cand, text, state).filter(col("jaccard") >= threshold)
   }
 
+  /** x50: fuzzy near-dup pairs — the same LSH banding prunes the O(n²)
+    * pair space, but candidates are verified by LEVENSHTEIN edit
+    * similarity (`1 - dist/max_len`) instead of shingle Jaccard. Edit
+    * distance is the right verifier when near-dups differ by small
+    * in-place edits (OCR noise, template fills) rather than block moves:
+    * Jaccard over shingles under-counts a single mid-shingle character
+    * flip, Levenshtein counts it exactly once.
+    *
+    * Scale shape: identical to [[lshDupPairs]] — banding keeps the
+    * candidate set near-linear; the O(len²) DP runs only on candidates.
+    * Determinism: distance and lengths are exact integers; `edit_sim` is
+    * one division of identical integers → bit-identical doubles on both
+    * engines.
+    *
+    * Returns `(doc_a, doc_b, lev, edit_sim)` with `edit_sim >= minSim`,
+    * `doc_a < doc_b`. */
+  def editDistancePairs(df: DataFrame, minSim: Double = 0.9,
+                        text: Column = col("text"),
+                        state: IterState = Local): DataFrame = {
+    val sigs = state.pin(minhashSignatures(df, text))
+    val bands = lshBands(sigs)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val t = df.select(col("doc_id"), text.as("t"))
+    cand
+      .join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(t.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta.t"), col("tb.t")).cast("long").as("lev"),
+        greatest(length(col("ta.t")), length(col("tb.t")))
+          .cast("long").as("max_len"))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        (lit(1.0) - col("lev").cast("double") / col("max_len").cast("double"))
+          .as("edit_sim"))
+      .filter(col("edit_sim") >= minSim)
+  }
+
+  /** DuckDB twin of [[editDistancePairs]] — shares the candidate CTEs
+    * with the Jaccard twin. */
+  def editDistancePairsSql(minSim: Double = 0.9): String =
+    s"""$lshCandSqlCtes,
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+       |    CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS max_len
+       |  FROM cand c
+       |  JOIN documents ta ON ta.doc_id = c.doc_a
+       |  JOIN documents tb ON tb.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b, lev,
+       |  CAST(1 AS DOUBLE) - CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE) AS edit_sim
+       |FROM verified
+       |WHERE CAST(1 AS DOUBLE) - CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE)
+       |  >= CAST('$minSim' AS DOUBLE)""".stripMargin
+
   /** Exact Jaccard for a given candidate-pair set: |A∩B| via a shingle
     * equi-join restricted to the candidates, |A∪B| = |A|+|B|−|A∩B|. */
   def jaccardFor(df: DataFrame, candidates: DataFrame,
@@ -225,7 +285,10 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
   }
 
-  def lshDupPairsSql(threshold: Double): String = {
+  /** Shared `WITH` prefix ending in the `cand` CTE (`doc_a < doc_b` LSH
+    * bucket pairs) — the common front half of every LSH-candidate
+    * verifier twin (Jaccard x8, edit-distance x50). */
+  private def lshCandSqlCtes: String = {
     val bandHash = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
@@ -245,7 +308,11 @@ object DedupOps {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-       |),
+       |)""".stripMargin
+  }
+
+  def lshDupPairsSql(threshold: Double): String =
+    s"""$lshCandSqlCtes,
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -260,7 +327,6 @@ object DedupOps {
        |JOIN sizes za ON za.doc_id = i.doc_a
        |JOIN sizes zb ON zb.doc_id = i.doc_b
        |WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= $threshold""".stripMargin
-  }
 
   /** DuckDB twin of [[jaccardFor]] for a candidate-set SQL snippet whose
     * columns are (doc_a, doc_b). */

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval over the documents corpus — the read side a
+  * training-data pipeline needs for corpus exploration and targeted
+  * selection ("pull the top-k docs about X").
+  *
+  * BM25 (Robertson/Sparck Jones; the Lucene-default scoring function):
+  * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))` with
+  * `idf(t) = ln(1 + (N-df+0.5)/(df+0.5))`.
+  *
+  * Scale shape: the query term set is tiny and FIXED, so per-doc term
+  * frequencies are narrow array ops on the token array (no explode, no
+  * per-term shuffle); the global statistics (N, Σdl, per-term df) are ONE
+  * single-row aggregate broadcast back to the scan; top-k is
+  * TakeOrderedAndProject. One scan + one scalar agg at any corpus size —
+  * never a term-posting shuffle.
+  *
+  * Cross-engine determinism (the gate hashes every value):
+  *   - all aggregates are BIGINT (exact); `avgdl` is a single division of
+  *     two exact BIGINTs → bit-identical doubles on both engines;
+  *   - the per-term score sum is written in FIXED left-assoc order on
+  *     both sides (a float groupBy-sum would be order-nondeterministic);
+  *   - `ln` probed bit-identical (Java `Math.log` vs DuckDB `ln`, glibc
+  *     on both) on this corpus's idf range; scores are additionally
+  *     integerized to micros (`floor(x·1e6+0.5)`) so a last-ulp
+  *     divergence cannot flip the hash;
+  *   - double literals are rendered via exact decimal strings
+  *     (`CAST('2.2' AS DOUBLE)`) so DuckDB never routes them through
+  *     DECIMAL arithmetic.
+  */
+object RetrievalOps {
+
+  /** Fixed query for the gate row: three common corpus terms whose tf/dl
+    * interplay produces a full ranking. */
+  val defaultTerms: Seq[String] = Seq("hash", "join", "vector")
+
+  /** Exact decimal-string double literal (same nearest-double on both
+    * engines; avoids DuckDB's DECIMAL literal typing). */
+  private def dlit(x: Double): String = s"CAST('$x' AS DOUBLE)"
+
+  /** x49: BM25 top-k. Output (doc_id, score_micro BIGINT), score
+    * descending, doc_id tiebreak. */
+  def bm25TopK(df: DataFrame, terms: Seq[String] = defaultTerms,
+               k: Int = 20, k1: Double = 1.2, b: Double = 0.75,
+               text: Column = col("text")): DataFrame = {
+    require(terms.nonEmpty)
+    val base = df
+      .select(col("doc_id"), TextOps.words(text).as("toks"))
+      .select(
+        col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+          terms.indices.map { i =>
+            size(filter(col("toks"), w => w === lit(terms(i))))
+              .cast("long").as(s"tf_$i")
+          }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def idf(i: Int): Column = ln(lit(1.0) +
+      (col("n_docs").cast("double") - col(s"df_$i").cast("double") + lit(0.5)) /
+        (col(s"df_$i").cast("double") + lit(0.5)))
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf_$i").cast("double")
+      idf(i) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    }
+    val score = terms.indices.map(termScore).reduceLeft(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(score * lit(1e6) + lit(0.5)).cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[bm25TopK]] — same expression tree, same
+    * association order, same literal rendering. */
+  def bm25TopKSql(terms: Seq[String] = defaultTerms, k: Int = 20,
+                  k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, w -> w = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(", ")
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    def idf(i: Int): String =
+      s"ln(${dlit(1.0)} + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + ${dlit(0.5)})" +
+        s" / (CAST(df_$i AS DOUBLE) + ${dlit(0.5)}))"
+    def termScore(i: Int): String =
+      s"${idf(i)} * (CAST(tf_$i AS DOUBLE) * ${dlit(k1 + 1.0)})" +
+        s" / (CAST(tf_$i AS DOUBLE) + ${dlit(k1)} * (${dlit(1.0 - b)}" +
+        s" + ${dlit(b)} * (CAST(dl AS DOUBLE) / $avgdl)))"
+    val score = terms.indices.map(termScore).mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl, $dfCols
+       |  FROM base
+       |)
+       |SELECT doc_id,
+       |  CAST(floor(($score) * ${dlit(1e6)} + ${dlit(0.5)}) AS BIGINT) AS score_micro
+       |FROM base, stats
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+}

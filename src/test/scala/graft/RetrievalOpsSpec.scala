@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, RetrievalOps}
+
+/** BM25 scoring cross-checked against a plain-Scala reference, plus the
+  * edit-distance LSH verifier's contract on planted near-dups. */
+class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("bm25TopK matches a plain-Scala BM25 implementation exactly (micros)") {
+    val s = spark
+    import s.implicits._
+    val terms = Seq("hash", "join")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Seq(
+      (1L, "hash join hash scan filter"),
+      (2L, "join join join table table table table table"),
+      (3L, "scan filter sort group"),
+      (4L, "hash"),
+      (5L, "hash hash hash hash hash join join scan scan scan scan scan"))
+      .toDF("doc_id", "text")
+
+    // reference implementation, straight from the formula
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getString(1).trim.split(" ").toSeq).toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def df(t: String) = toks.values.count(_.contains(t)).toDouble
+    def idf(t: String) = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+    def score(id: Long) = terms.map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      val dl = toks(id).size.toDouble
+      idf(t) * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+    }.reduceLeft(_ + _)
+    val expect = toks.keys.map(id => id -> math.floor(score(id) * 1e6 + 0.5).toLong).toMap
+
+    val got = RetrievalOps.bm25TopK(docs, terms, k = 10, k1, b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // sanity on the ranking itself: the tf-rich doc 5 beats the
+    // no-query-term doc 3, which scores exactly zero
+    assert(got(5L) > got(1L) && got(1L) > got(3L) && got(3L) === 0L)
+  }
+
+  test("bm25TopK: top-k ordering is score desc then doc_id, limit honored") {
+    val s = spark
+    import s.implicits._
+    // two identical docs -> identical scores -> doc_id tiebreak
+    val docs = Seq((10L, "hash join"), (2L, "hash join"), (7L, "table scan"))
+      .toDF("doc_id", "text")
+    val rows = RetrievalOps.bm25TopK(docs, Seq("hash"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 2)
+    assert(rows.map(_._1).toSeq === Seq(2L, 10L)) // equal scores, id order
+    assert(rows(0)._2 === rows(1)._2)
+  }
+
+  test("editDistancePairs: planted small-edit dup found with exact distance; unrelated pair absent") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val edited = base.replaceFirst("quick", "quack") // 1 substitution
+    val docs = Seq((1L, base), (2L, edited),
+      (3L, "completely different content with no shared shingles at all " * 4))
+      .toDF("doc_id", "text")
+    val rows = DedupOps.editDistancePairs(docs, minSim = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === Set((1L, 2L)))
+    val (lev, sim) = rows((1L, 2L))
+    assert(lev === 1L)
+    val maxLen = math.max(base.length, edited.length).toDouble
+    assert(sim === 1.0 - 1.0 / maxLen)
+  }
+
+  test("editDistancePairs: the threshold gates candidates — same pair kept loose, dropped strict") {
+    val s = spark
+    import s.implicits._
+    // 60 distinct words -> 58 distinct shingles; one mid-text word swap
+    // kills only 3 of them, so the pair deterministically shares LSH
+    // buckets, while its edit similarity sits strictly below 1
+    val wordsA = (0 until 60).map(i => s"w$i").mkString(" ")
+    val wordsB = wordsA.replaceFirst("w30", "q30")
+    val docs = Seq((1L, wordsA), (2L, wordsB)).toDF("doc_id", "text")
+    val loose = DedupOps.editDistancePairs(docs, minSim = 0.9).collect()
+    val strict = DedupOps.editDistancePairs(docs, minSim = 0.999).collect()
+    assert(loose.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(loose.head.getLong(2) === 1L) // exactly one substitution
+    assert(strict.isEmpty, "sub-0.999 similarity must fail the strict gate")
+  }
+}
