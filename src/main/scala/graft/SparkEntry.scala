@@ -640,7 +640,30 @@ object SparkEntry {
 
     // x50 — LSH candidates verified by Levenshtein edit similarity
     "x50_edit_dup_pairs" -> ((s, dir) =>
-      DedupOps.editDistancePairs(Tables.documents(s, dir)))
+      DedupOps.editDistancePairs(Tables.documents(s, dir))),
+
+    // x51 — record linkage: best fuzzy name match per file inside its
+    // duplicate-hash group, scored by the native codegen Jaro-Winkler
+    // expression (bit-compatible with DuckDB's jaro_winkler_similarity).
+    // Group key (md5, dir) bounds pair fan-out; one equi-join shuffle +
+    // one window shuffle.
+    "x51_name_link" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = cat(s, dir).vwFileDetail
+        .filter(col("md5_hash").isNotNull)
+        .select(col("id"), col("name"), col("md5_hash"), col("dir_id"))
+      val jw = graft.functions.SimilarityFunctions
+        .jaroWinkler(col("a.name"), col("b.name"))
+      val pairs = v.as("a").join(v.as("b"),
+          col("a.md5_hash") === col("b.md5_hash") &&
+            col("a.dir_id") === col("b.dir_id") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("file_a"), col("b.id").as("file_b"),
+          floor(jw * lit(1e6) + lit(0.5)).cast("long").as("jw_micro"))
+      val w = Window.partitionBy(col("file_a"))
+        .orderBy(col("jw_micro").desc, col("file_b"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    })
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1142,7 +1165,21 @@ object SparkEntry {
       DedupOps.clusterRepresentativesSql(DedupOps.lshDupPairsSql(0.5)),
     "x48_winnowing" -> TextOps.winnowingFingerprintsSql(),
     "x49_bm25" -> graft.operators.RetrievalOps.bm25TopKSql(),
-    "x50_edit_dup_pairs" -> DedupOps.editDistancePairsSql()
+    "x50_edit_dup_pairs" -> DedupOps.editDistancePairsSql(),
+    "x51_name_link" -> (C +
+      """, p AS (
+        |  SELECT a.id AS file_a, b.id AS file_b,
+        |    CAST(floor(jaro_winkler_similarity(a.name, b.name)
+        |      * CAST('1000000.0' AS DOUBLE) + CAST('0.5' AS DOUBLE)) AS BIGINT) AS jw_micro
+        |  FROM vw_file_detail a JOIN vw_file_detail b
+        |    ON a.md5_hash = b.md5_hash AND a.dir_id = b.dir_id AND a.id < b.id
+        |  WHERE a.md5_hash IS NOT NULL
+        |)
+        |SELECT file_a, file_b, jw_micro FROM (
+        |  SELECT p.*, row_number() OVER (
+        |    PARTITION BY file_a ORDER BY jw_micro DESC, file_b) AS rn
+        |  FROM p)
+        |WHERE rn = 1""".stripMargin)
   )
 
   /** Oracle SQL that depends on the data (trained models): k-means isn't
