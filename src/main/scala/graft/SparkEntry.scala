@@ -663,7 +663,13 @@ object SparkEntry {
         .orderBy(col("jw_micro").desc, col("file_b"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
-    })
+    }),
+
+    // x52 — SemDeDup: cluster-scoped semantic dedup (drops + anchors);
+    // same tau as x11's exact global kernel, so recall is inspectable
+    "x52_semdedup" -> ((s, dir) =>
+      graft.operators.IvfOps.semDedup(
+        Tables.embeddings(s, dir), ivfModel(s, dir), tau = 0.40))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1194,6 +1200,7 @@ object SparkEntry {
       "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(
         model, "vec_id % 100 = 0", k = 8, nProbe = 6),
       "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model),
-      "x38_cluster_lang_mix" -> graft.operators.IvfOps.clusterLangMixSql(model))
+      "x38_cluster_lang_mix" -> graft.operators.IvfOps.clusterLangMixSql(model),
+      "x52_semdedup" -> graft.operators.IvfOps.semDedupSql(model, tau = 0.40))
   }
 }

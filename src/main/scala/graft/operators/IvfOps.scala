@@ -193,6 +193,67 @@ object IvfOps {
        |FROM sims WHERE rn = 1
        |GROUP BY cid""".stripMargin
 
+  /** x52: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication scoped to k-means clusters: assign every embedding to
+    * its nearest centroid, compute pairwise cosine ONLY within each
+    * cluster, and drop any vector that has a lower-id cluster-mate with
+    * `cos >= tau` (the lowest id of each duplicate set survives; min-id
+    * is this library's deterministic stand-in for the paper's
+    * keep-farthest-from-centroid rule).
+    *
+    * This is the documented scale path for embedding dedup: the global
+    * all-pairs O(n²·d) (x11's tiled kernel) becomes K independent
+    * O((n/K)²·d) blocks after one broadcast-assignment map — the shuffle
+    * keys on centroid_id, so each executor sees only its clusters. The
+    * cost is recall loss exactly when a near-dup pair straddles a cluster
+    * boundary; IvfOpsSpec measures that recall against x11's exact pairs
+    * on the fixture corpus.
+    *
+    * Returns the DROPPED rows: `(vec_id, anchor_id, cos_micro)` where
+    * anchor_id is the smallest qualifying lower-id neighbor and cos_micro
+    * the integerized cosine against it. */
+  def semDedup(emb: DataFrame, model: IvfModel, tau: Double): DataFrame = {
+    val n = assign(emb, model).select(col("vec_id"), col("centroid_id"),
+      col("embedding"),
+      sqrt(SimilarityOps.dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = n.select(col("vec_id").as("a_id"), col("centroid_id").as("a_cid"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = n.select(col("vec_id").as("b_id"), col("centroid_id").as("b_cid"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val cos = SimilarityOps.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+    a.join(b, col("a_cid") === col("b_cid") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cos.as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("anchor_id"),
+        min_by(col("cos"), col("a_id")).as("cos_anchor"))
+      .select(col("vec_id"), col("anchor_id"),
+        floor(col("cos_anchor") * lit(1e6) + lit(0.5)).cast("long").as("cos_micro"))
+  }
+
+  /** DuckDB twin of [[semDedup]] for a trained model — shares the
+    * centroid/assignment CTEs; the norm factorization `(na * nb)` is the
+    * same IEEE op sequence as the inline sqrt product. */
+  def semDedupSql(model: IvfModel, tau: Double): String =
+    s"""WITH ${centroidCtesSql(model)},
+       |assigned AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+       |    cid
+       |  FROM sims WHERE rn = 1
+       |), pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |)
+       |SELECT CAST(b_id AS BIGINT) AS vec_id, CAST(min(a_id) AS BIGINT) AS anchor_id,
+       |  CAST(floor(min_by(cos, a_id) * CAST('1000000.0' AS DOUBLE)
+       |    + CAST('0.5' AS DOUBLE)) AS BIGINT) AS cos_micro
+       |FROM pairs
+       |WHERE cos >= CAST('$tau' AS DOUBLE)
+       |GROUP BY b_id""".stripMargin
+
   /** x38: semantic-cluster × language contingency — per (centroid, lang)
     * document counts over the aligned documents/embeddings corpora. The
     * diagnostic that surfaces language-skewed clusters (a mixture hazard:

@@ -90,4 +90,23 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getInt(0))
     assert(cids.forall(c => c >= 0 && c < 16))
   }
+
+  test("semDedup drops are a strict subset of the exact global drop set (cluster-scoped recall)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val tau = 0.4
+    val model = IvfOps.train(emb, k = 8, iterations = 2)
+    val sem = IvfOps.semDedup(emb, model, tau)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact global rule: drop any vec with a lower-id neighbor >= tau
+    val exactDrops = SimilarityOps.cosineDupPairs(emb, tau)
+      .select(col("vec_b")).distinct().collect().map(_.getLong(0)).toSet
+    assert(sem.keySet.subsetOf(exactDrops),
+      "a cluster-scoped drop must also be a global drop")
+    sem.foreach { case (v, anchor) => assert(anchor < v) }
+    // recall floor on the fixture: weak 0.4-cosine pairs straddle
+    // clusters often, so this is deliberately modest — the property that
+    // matters is subset-correctness plus non-trivial recall
+    val recall = sem.keySet.size.toDouble / exactDrops.size
+    assert(recall >= 0.15, s"recall $recall collapsed")
+  }
 }
