@@ -627,16 +627,27 @@ object TextOps {
                             text: Column = col("text")): DataFrame = {
     val t = trim(text)
     val nGrams = greatest(length(t) - (k - 1), lit(1))
-    val grams = transform(sequence(lit(1), nGrams),
+    val gramsExpr = transform(sequence(lit(1), nGrams),
       i => HashFunctions.hash60(t.substr(i, lit(k))))
-    val nWins = greatest(nGrams - (w - 1), lit(1))
-    val selected = array_distinct(transform(sequence(lit(1), nWins),
-      i => array_min(slice(grams, i, lit(w)))))
-    df.select(col("doc_id"),
-      size(selected).as("n_fingerprints"),
+    // Evaluation-shape note (this was an O(L²) trap): a lambda body
+    // re-evaluates any inlined subtree PER ELEMENT — Catalyst does no
+    // loop-invariant hoisting — so `slice(<grams expr>, i, w)` inside the
+    // window transform would redo ALL L k-gram md5s for EVERY window.
+    // Materialize `grams` (and then `selected`) as projection outputs
+    // instead; each consuming projection references the attribute twice,
+    // which is exactly the condition under which CollapseProject keeps
+    // the boundary rather than re-inlining the expensive producer
+    // (SPARK-36718). Net: O(L·w) per row, one md5 per k-gram.
+    val base = df.select(col("doc_id"), gramsExpr.as("grams"))
+    val nWins = greatest(size(col("grams")) - (w - 1), lit(1))
+    val sel = base.select(col("doc_id"),
+      array_distinct(transform(sequence(lit(1), nWins),
+        i => array_min(slice(col("grams"), i, lit(w))))).as("selected"))
+    sel.select(col("doc_id"),
+      size(col("selected")).as("n_fingerprints"),
       // sort NUMERICALLY, then render: both engines join the same
       // decimal strings in the same order (concat_ws needs strings)
-      md5(concat_ws(",", transform(array_sort(selected), _.cast("string"))))
+      md5(concat_ws(",", transform(array_sort(col("selected")), _.cast("string"))))
         .as("fp_hash"))
   }
 

@@ -199,4 +199,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
       s"the corpus side must not shuffle into the join:\n$plan")
   }
+
+  test("q4 EXISTS plans as a LEFT SEMI join (one probe row per order, no dedup)") {
+    val plan = physicalPlan(SparkEntry.queries("q4_priority_exists")(spark, sfDir))
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as semi join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$plan")
+    assert(!plan.toLowerCase.contains("distinct"),
+      s"semi join needs no post-join dedup:\n$plan")
+  }
+
+  test("q6 pushes every predicate and prunes to the referenced columns at the scan") {
+    val df = SparkEntry.queries("q6_revenue_pushdown")(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Scan parquet")).mkString("\n")
+    val full = df.queryExecution.executedPlan.toString
+    // shipdate bounds, discount band, and quantity cap reach the reader
+    assert(full.contains("PushedFilters:") &&
+      Seq("l_shipdate", "l_discount", "l_quantity")
+        .forall(c => full.split("PushedFilters:")(1).split("\n")(0).contains(c)),
+      s"every predicate must push down:\n$full")
+    // the read schema carries only the five referenced columns
+    val readSchema = full.split("ReadSchema:")(1).split("\n")(0)
+    assert(Seq("l_extendedprice", "l_discount", "l_shipdate", "l_quantity")
+      .forall(readSchema.contains) && !readSchema.contains("l_orderkey"),
+      s"column pruning must drop unreferenced columns:\n$readSchema")
+    assert(scan.nonEmpty)
+  }
 }
