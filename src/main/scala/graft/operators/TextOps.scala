@@ -395,7 +395,13 @@ object TextOps {
   def slidingChunks(df: DataFrame, window: Int = 32, stride: Int = 24,
                     text: Column = col("text")): DataFrame = {
     require(stride > 0 && window >= stride, "need 0 < stride <= window")
-    val ws = words(text)
+    // Materialize the token array once per row (same lambda trap as
+    // winnowing: an inlined `words(text)` would re-split the text on
+    // every slice access inside the chunk transform — O(chunks·L)).
+    // The consumer references `ws` twice per chunk struct, so
+    // CollapseProject keeps the projection boundary (SPARK-36718).
+    val base = df.select(col("doc_id"), words(text).as("ws"))
+    val ws = col("ws")
     val n = size(ws).cast("long")
     val lastK = floor((greatest(n - window, lit(0L)) + (stride - 1)) / stride).cast("long")
     val chunk = explode(transform(sequence(lit(0L), lastK), k =>
@@ -403,7 +409,7 @@ object TextOps {
         size(slice(ws, (k * stride + 1).cast("int"), lit(window))).as("chunk_tokens"),
         md5(array_join(slice(ws, (k * stride + 1).cast("int"), lit(window)), " "))
           .as("chunk_hash"))))
-    df.select(col("doc_id"), chunk.as("c"))
+    base.select(col("doc_id"), chunk.as("c"))
       .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_tokens"), col("c.chunk_hash"))
   }
 
