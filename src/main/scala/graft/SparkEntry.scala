@@ -724,7 +724,13 @@ object SparkEntry {
     // same tau as x11's exact global kernel, so recall is inspectable
     "x52_semdedup" -> ((s, dir) =>
       graft.operators.IvfOps.semDedup(
-        Tables.embeddings(s, dir), ivfModel(s, dir), tau = 0.40))
+        Tables.embeddings(s, dir), ivfModel(s, dir), tau = 0.40)),
+
+    // x53 — quota sample via the custom bottom-k heap aggregate (no
+    // sort; map-side partial aggregation; oracle = the window form)
+    "x53_bottomk_sample" -> ((s, dir) =>
+      graft.operators.SamplingOps.bottomKSampleAgg(
+        Tables.documents(s, dir), k = 25))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1261,6 +1267,7 @@ object SparkEntry {
     "x48_winnowing" -> TextOps.winnowingFingerprintsSql(),
     "x49_bm25" -> graft.operators.RetrievalOps.bm25TopKSql(),
     "x50_edit_dup_pairs" -> DedupOps.editDistancePairsSql(),
+    "x53_bottomk_sample" -> graft.operators.SamplingOps.bottomKSampleAggSql(k = 25),
     "x51_name_link" -> (C +
       """, p AS (
         |  SELECT a.id AS file_a, b.id AS file_b,

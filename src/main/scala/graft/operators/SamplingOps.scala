@@ -122,6 +122,38 @@ object SamplingOps {
     quotaSample(input, stratum, k, seed, key)
   }
 
+  /** x53: the AGGREGATE form of [[quotaSample]] — the same
+    * min(K, |stratum|) hash-ordered picks per stratum with NO sort
+    * anywhere: a custom `TypedImperativeAggregate`
+    * ([[graft.functions.BottomKByHash]]) keeps a bounded (hash, id)
+    * heap per group, partially aggregated map-side, so the shuffle
+    * carries ≤ K pairs per stratum per map task and merge is heap
+    * replay. Compare the window forms: [[quotaSample]] sorts the whole
+    * stratum; [[quotaSamplePrefiltered]] bounds the sort but still
+    * sorts and needs two pre-passes. This is one pass, O(K) state —
+    * the form that wins when K ≪ stratum and strata are huge.
+    * Returns the sample manifest `(stratum, h, doc_id)`; spec-pinned
+    * row-identical to [[quotaSample]]'s selection. */
+  def bottomKSampleAgg(df: DataFrame, k: Int, seed: Int = 0,
+                       stratum: Column = col("lang"),
+                       key: Column = col("doc_id")): DataFrame =
+    df.select(stratum.as("stratum"),
+        HashFunctions.hash60(key, seed).as("h"), key.cast("long").as("id"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.SampleAggregates
+        .bottomKByHash(col("h"), col("id"), k).as("picks"))
+      .select(col("stratum"), explode(col("picks")).as("p"))
+      .select(col("stratum"), col("p.h").as("h"), col("p.id").as("doc_id"))
+
+  /** DuckDB twin of [[bottomKSampleAgg]] — the window formulation IS the
+    * oracle (the aggregate must equal it bit-for-bit). */
+  def bottomKSampleAggSql(k: Int, seed: Int = 0): String =
+    s"""SELECT lang AS stratum, h, doc_id FROM (
+       |  SELECT lang, ${HashFunctions.hash60Sql("doc_id", seed)} AS h, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${HashFunctions.hash60Sql("doc_id", seed)}, doc_id) AS rn
+       |  FROM documents) WHERE rn <= $k""".stripMargin
+
   def quotaSampleSql(k: Int, seed: Int = 0): String =
     s"""SELECT * EXCLUDE (rn) FROM (
        |  SELECT *, row_number() OVER (PARTITION BY lang

@@ -154,4 +154,33 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === ids, "sample must be deterministic")
     assert(a.size / n > 0.1 && a.size / n < 0.3, s"share ${a.size / n}")
   }
+
+  test("bottomKSampleAgg equals the window-form quotaSample exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val k = 7
+    val win = SamplingOps.quotaSample(docs, col("lang"), k)
+      .select(col("lang"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val agg = SamplingOps.bottomKSampleAgg(docs, k)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(agg === win, "heap aggregate must select the identical rows")
+    // a stratum smaller than k is returned whole
+    val tiny = docs.filter(col("doc_id") < 3)
+    assert(SamplingOps.bottomKSampleAgg(tiny, 100).count() === tiny.count())
+  }
+
+  test("bottomKSampleAgg plans as a partial ObjectHashAggregate (no sort, map-side combine)") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = SamplingOps.bottomKSampleAgg(docs, 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed-imperative aggregate should hash-aggregate:\n$plan")
+    assert(plan.contains("partial_bottom_k_by_hash"),
+      s"map-side partial aggregation must be present:\n$plan")
+    val beforeExchange = plan.split("Exchange").head
+    assert(beforeExchange.contains("partial_bottom_k_by_hash") ||
+      plan.linesIterator.exists(l => l.contains("partial_bottom_k_by_hash")),
+      s"partial agg below the shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"no window/sort machinery:\n$plan")
+  }
 }
