@@ -108,5 +108,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("basename_fast"),
       new ExpressionInfo(classOf[BasenameExpr].getName, "basename_fast"),
       (children: Seq[Expression]) => BasenameExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (children: Seq[Expression]) =>
+        JaroWinklerExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCountExpr].getName, "ws_token_count"),
+      (children: Seq[Expression]) => WsTokenCountExpr(children.head)))
   }
 }

@@ -67,6 +67,12 @@ class PathExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getString(1) === PathFunctions.basepathScala(r.getString(0)))
       assert(r.getString(2) === PathFunctions.basenameScala(r.getString(0)))
     }
+    // the similarity/text natives register too
+    val jw = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS j, ws_token_count('a b  c') AS n")
+      .collect().head
+    assert(math.abs(jw.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(jw.getInt(1) === 3)
   }
 
   test("null propagates (nullIntolerant)") {
