@@ -730,7 +730,16 @@ object SparkEntry {
     // sort; map-side partial aggregation; oracle = the window form)
     "x53_bottomk_sample" -> ((s, dir) =>
       graft.operators.SamplingOps.bottomKSampleAgg(
-        Tables.documents(s, dir), k = 25))
+        Tables.documents(s, dir), k = 25)),
+
+    // x54 — incremental corpus refresh: admit only new content from an
+    // incoming batch (anti-join on the normalized key; corpus scanned once)
+    "x54_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.incrementalDedup(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+    })
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1268,6 +1277,7 @@ object SparkEntry {
     "x49_bm25" -> graft.operators.RetrievalOps.bm25TopKSql(),
     "x50_edit_dup_pairs" -> DedupOps.editDistancePairsSql(),
     "x53_bottomk_sample" -> graft.operators.SamplingOps.bottomKSampleAggSql(k = 25),
+    "x54_incremental_dedup" -> DedupOps.incrementalDedupSql,
     "x51_name_link" -> (C +
       """, p AS (
         |  SELECT a.id AS file_a, b.id AS file_b,

@@ -73,6 +73,45 @@ object DedupOps {
       |FROM documents
       |GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
+  /** Normalized content key shared by [[normalizedDupGroups]] and
+    * [[incrementalDedup]]: order-independent bag-of-words md5. */
+  def normalizedKey(text: Column = col("text")): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** x54: incremental corpus refresh — admit only NEW content from an
+    * incoming batch: drop any incoming doc whose normalized content key
+    * already exists in the corpus (LEFT ANTI join), then collapse
+    * in-batch duplicates to the lowest doc_id. This is the shape every
+    * continuously-updated training corpus needs: the existing corpus is
+    * touched exactly once (a narrow key projection feeding the anti-join
+    * shuffle — or a broadcast/Bloom probe when the batch, not the
+    * corpus, is small), never pairwise.
+    *
+    * Returns the admitted rows `(doc_id, lang, content_hash)`. */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame,
+                       text: Column = col("text")): DataFrame = {
+    val existingKeys = existing.select(normalizedKey(text).as("content_hash"))
+    incoming.select(col("doc_id"), col("lang"), normalizedKey(text).as("content_hash"))
+      .join(existingKeys, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"))
+      .select(col("doc_id"), col("lang"), col("content_hash"))
+  }
+
+  /** DuckDB twin of [[incrementalDedup]] for the gate's 80/20 split of
+    * `documents` (existing = doc_id % 5 <> 0, incoming = the rest). */
+  def incrementalDedupSql: String = {
+    val key = "md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' '))"
+    s"""WITH incoming AS (
+       |  SELECT doc_id, lang, $key AS content_hash FROM documents WHERE doc_id % 5 = 0
+       |), existing AS (
+       |  SELECT DISTINCT $key AS content_hash FROM documents WHERE doc_id % 5 <> 0
+       |)
+       |SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang, content_hash
+       |FROM incoming ANTI JOIN existing USING (content_hash)
+       |GROUP BY content_hash""".stripMargin
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   val numHashes = 16

@@ -99,4 +99,19 @@ class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loose.head.getLong(2) === 1L) // exactly one substitution
     assert(strict.isEmpty, "sub-0.999 similarity must fail the strict gate")
   }
+
+  test("incrementalDedup admits only novel content, collapses in-batch dups") {
+    val s = spark
+    import s.implicits._
+    val existing = Seq((1L, "en", "alpha beta gamma")).toDF("doc_id", "lang", "text")
+    val incoming = Seq(
+      (10L, "en", "beta alpha gamma"),   // normalized dup of existing (bag equal)
+      (11L, "de", "delta epsilon zeta"), // novel
+      (12L, "fr", "epsilon delta zeta"), // in-batch normalized dup of 11
+      (13L, "en", "eta theta iota"))     // novel
+      .toDF("doc_id", "lang", "text")
+    val kept = DedupOps.incrementalDedup(incoming, existing)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept === Map(11L -> "de", 13L -> "en"))
+  }
 }
