@@ -739,7 +739,12 @@ object SparkEntry {
       DedupOps.incrementalDedup(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0))
-    })
+    }),
+
+    // x55 — MOSS match report: unaligned cross-doc passage matches via
+    // shared winnowing fingerprints (fp equi-join + max-df guard)
+    "x55_winnowing_matches" -> ((s, dir) =>
+      TextOps.winnowingMatches(Tables.documents(s, dir)))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1278,6 +1283,7 @@ object SparkEntry {
     "x50_edit_dup_pairs" -> DedupOps.editDistancePairsSql(),
     "x53_bottomk_sample" -> graft.operators.SamplingOps.bottomKSampleAggSql(k = 25),
     "x54_incremental_dedup" -> DedupOps.incrementalDedupSql,
+    "x55_winnowing_matches" -> TextOps.winnowingMatchesSql(),
     "x51_name_link" -> (C +
       """, p AS (
         |  SELECT a.id AS file_a, b.id AS file_b,

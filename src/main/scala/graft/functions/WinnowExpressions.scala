@@ -1,0 +1,100 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass winnowing selection (MOSS fingerprints).
+  *
+  * The declarative formulation — `transform(sequence(…), i ->
+  * array_min(slice(grams, i, w)))` over a `transform`-built gram-hash
+  * array — is the semantic reference ([[graft.operators.TextOps
+  * .winnowingSelectionsHof]]), but it is an optimizer trap: any consumer
+  * that references the selection exactly once (e.g. `explode` in the x55
+  * match report) lets CollapseProject inline the WHOLE gram pipeline
+  * into the consuming lambda/Generate, where Catalyst re-evaluates it
+  * PER ELEMENT — O(L²) md5s per document (observed: a single sf0.1 doc
+  * batch pinning a core for 10+ minutes). This expression computes the
+  * identical array in one compiled pass per row — L digests, O(L·w)
+  * window minima — and no plan rewrite can decompose it.
+  *
+  * Parity contract (WinnowParitySpec pins equality with the HOF form):
+  * trim strips 0x20 only (`UTF8String.trim`), grams are SQL
+  * `substr(t, i, k)` code-point semantics (end-clipped, empty text →
+  * one empty gram), the hash is [[HashFunctions.hash60]] (first 60 bits
+  * of the md5 hex), windows are end-clipped like `slice`, and
+  * duplicates collapse in first-occurrence order like `array_distinct`.
+  */
+object WinnowUtils {
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def select(u0: UTF8String, k: Int, w: Int): ArrayData = {
+    val t = u0.trim()
+    val n = t.numChars()
+    val nGrams = math.max(n - (k - 1), 1)
+    val md = mdLocal.get()
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      val d = md.digest(t.substringSQL(i + 1, k).getBytes)
+      // first 60 bits of the hex digest == conv(substr(hex, 1, 15), 16, 10)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      grams(i) = v
+      i += 1
+    }
+    val nWins = math.max(nGrams - (w - 1), 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](math.min(nWins, 64))
+    var j = 0
+    while (j < nWins) {
+      val e = math.min(j + w, nGrams)
+      var m = grams(j)
+      var p = j + 1
+      while (p < e) { if (grams(p) < m) m = grams(p); p += 1 }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+case class WinnowSelectExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowUtils.select(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowUtils.select($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelectExpr =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_select"
+}
+
+object WinnowExpressions {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** One-pass winnowing fingerprint selection; null text → null. */
+  def winnowSelect(text: Column, k: Int, w: Int): Column =
+    column(WinnowSelectExpr(expression(text), k, w))
+}

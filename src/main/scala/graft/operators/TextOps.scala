@@ -629,36 +629,83 @@ object TextOps {
     * evidence that the SELECTION matched, not just its size. Pure
     * narrow projection (per-row generated index sequences, no explode,
     * no shuffle): map-side at scan speed at any corpus size. */
-  def winnowingFingerprints(df: DataFrame, k: Int = 5, w: Int = 4,
-                            text: Column = col("text")): DataFrame = {
+  /** The winnowing SELECTION itself: `(doc_id, selected: array<long>)`
+    * of distinct chosen fingerprints — the shared base of the x48
+    * summary and the x55 match report. Computed by the native one-pass
+    * [[graft.functions.WinnowExpressions.winnowSelect]] expression: the
+    * declarative HOF form ([[winnowingSelectionsHof]], kept as the
+    * spec-pinned semantic reference) is an optimizer trap — a
+    * single-reference consumer (x55's explode) lets CollapseProject
+    * inline the gram pipeline into the lambda where it re-evaluates PER
+    * WINDOW, O(L²) md5s per doc. */
+  def winnowingSelections(df: DataFrame, k: Int = 5, w: Int = 4,
+                          text: Column = col("text")): DataFrame =
+    df.select(col("doc_id"),
+      graft.functions.WinnowExpressions.winnowSelect(text, k, w).as("selected"))
+
+  /** Declarative reference formulation of [[winnowingSelections]] — the
+    * documented/oracle semantics, byte-compared by WinnowParitySpec. Do
+    * NOT use in query paths (see the evaluation-shape note above). */
+  def winnowingSelectionsHof(df: DataFrame, k: Int = 5, w: Int = 4,
+                             text: Column = col("text")): DataFrame = {
     val t = trim(text)
     val nGrams = greatest(length(t) - (k - 1), lit(1))
     val gramsExpr = transform(sequence(lit(1), nGrams),
       i => HashFunctions.hash60(t.substr(i, lit(k))))
-    // Evaluation-shape note (this was an O(L²) trap): a lambda body
-    // re-evaluates any inlined subtree PER ELEMENT — Catalyst does no
-    // loop-invariant hoisting — so `slice(<grams expr>, i, w)` inside the
-    // window transform would redo ALL L k-gram md5s for EVERY window.
-    // Materialize `grams` (and then `selected`) as projection outputs
-    // instead; each consuming projection references the attribute twice,
-    // which is exactly the condition under which CollapseProject keeps
-    // the boundary rather than re-inlining the expensive producer
-    // (SPARK-36718). Net: O(L·w) per row, one md5 per k-gram.
     val base = df.select(col("doc_id"), gramsExpr.as("grams"))
     val nWins = greatest(size(col("grams")) - (w - 1), lit(1))
-    val sel = base.select(col("doc_id"),
+    base.select(col("doc_id"),
       array_distinct(transform(sequence(lit(1), nWins),
         i => array_min(slice(col("grams"), i, lit(w))))).as("selected"))
-    sel.select(col("doc_id"),
+  }
+
+  def winnowingFingerprints(df: DataFrame, k: Int = 5, w: Int = 4,
+                            text: Column = col("text")): DataFrame =
+    winnowingSelections(df, k, w, text).select(col("doc_id"),
       size(col("selected")).as("n_fingerprints"),
       // sort NUMERICALLY, then render: both engines join the same
       // decimal strings in the same order (concat_ws needs strings)
       md5(concat_ws(",", transform(array_sort(col("selected")), _.cast("string"))))
         .as("fp_hash"))
+
+  /** x55: the MOSS match report — cross-doc UNALIGNED passage matches.
+    * Two docs share a winnowing fingerprint iff they share a substring
+    * of length >= w+k-1 at ANY offsets (no block alignment needed — the
+    * gap x42's fixed-stride passage report leaves open). Pairs meet on a
+    * fingerprint EQUI-JOIN (bucketed by fingerprint — never all-pairs),
+    * and fingerprints carried by more than `maxDf` docs are dropped
+    * first: the standard MOSS boilerplate guard, which also bounds the
+    * join's per-key fan-out (≤ maxDf² pairs per fingerprint) at any
+    * corpus size. Returns `(doc_a, doc_b, shared_fps)` with
+    * `shared_fps >= minShared`. */
+  def winnowingMatches(df: DataFrame, k: Int = 5, w: Int = 4,
+                       minShared: Long = 2, maxDf: Long = 20,
+                       text: Column = col("text"),
+                       state: DedupOps.IterState = DedupOps.Local): DataFrame = {
+    // The fingerprint rows feed THREE consumers (df-guard, both self-join
+    // sides); unpinned, each re-runs the per-gram digest pipeline. Pin
+    // once — 2 longs per fp row, executor-memory bounded (pass
+    // DedupOps.Reliable for a checkpoint-dir-backed pin at corpus
+    // scale). Fan the digest work out first when the source arrives
+    // under-partitioned (the small-file case: one parquet block would
+    // otherwise serialize all hashing on one core).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val fps = state.pin(winnowingSelections(src, k, w, text)
+      .select(col("doc_id"), explode(col("selected")).as("fp")))
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") <= maxDf).select("fp")
+    val rare = fps.join(keep, Seq("fp"), "left_semi")
+    rare.as("a").join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
   }
 
-  def winnowingFingerprintsSql(k: Int = 5, w: Int = 4): String =
-    s"""WITH g AS (
+  /** Shared `g`/`sel` CTE pair of the winnowing twins (no leading WITH). */
+  private def winnowingSelSqlCtes(k: Int, w: Int): String =
+    s"""g AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(1, greatest(length(trim(text)) - ${k - 1}, 1)),
        |      i -> ${HashFunctions.hash60Sql(s"substr(trim(text), i, $k)")}) AS grams
@@ -669,10 +716,24 @@ object TextOps {
        |      generate_series(1, greatest(len(grams) - ${w - 1}, 1)),
        |      i -> list_min(grams[i : i + ${w - 1}]))) AS fps
        |  FROM g
-       |)
+       |)""".stripMargin
+
+  def winnowingFingerprintsSql(k: Int = 5, w: Int = 4): String =
+    s"""WITH ${winnowingSelSqlCtes(k, w)}
        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
        |  md5(array_to_string(list_sort(fps), ',')) AS fp_hash
        |FROM sel""".stripMargin
+
+  /** DuckDB twin of [[winnowingMatches]]. */
+  def winnowingMatchesSql(k: Int = 5, w: Int = 4,
+                          minShared: Long = 2, maxDf: Long = 20): String =
+    s"""WITH ${winnowingSelSqlCtes(k, w)},
+       |fp_rows AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+       |keep AS (SELECT fp FROM fp_rows GROUP BY fp HAVING count(*) <= $maxDf),
+       |rare AS (SELECT f.doc_id, f.fp FROM fp_rows f SEMI JOIN keep USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+       |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
 
   /** Document fingerprints: a bag-of-words canonical hash (order-
     * independent — catches shuffled near-dups) and a min-shingle rolling

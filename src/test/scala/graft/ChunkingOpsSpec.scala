@@ -242,6 +242,30 @@ class ChunkingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n1 < docs.collect()(0).getString(1).trim.length - k + 1)
   }
 
+  test("winnowingMatches: unaligned shared passage found; boilerplate killed by max-df") {
+    val s = spark
+    import s.implicits._
+    val passage = "zq xj vw ky pf mg lr hz qt bn" // 29 chars >> w+k-1
+    val boiler = "common footer text here"
+    val docs = Seq(
+      (1L, s"aaa bbb $passage ccc $boiler"),
+      (2L, s"completely different lead-in then $passage tail $boiler"),
+      (3L, s"nothing in common whatsoever $boiler"),
+      (4L, s"fourth doc also unrelated entirely $boiler"))
+      .toDF("doc_id", "text")
+    // with the guard wide open, the shared passage links 1-2 at offsets
+    // that no fixed-stride block alignment would match
+    val open = TextOps.winnowingMatches(docs, minShared = 2, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(open.contains((1L, 2L)), s"unaligned passage must match: $open")
+    // the boilerplate footer is on ALL docs: maxDf=2 removes its
+    // fingerprints, so pairs linked only by boilerplate disappear
+    val guarded = TextOps.winnowingMatches(docs, minShared = 2, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((1L, 2L)),
+      s"only the true passage pair survives the df guard: $guarded")
+  }
+
   test("termSketch: CMS estimates bracket the exact term counts") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val sketch = TextOps.termSketch(docs, eps = 0.001)
