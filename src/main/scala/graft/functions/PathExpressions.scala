@@ -117,5 +117,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ws_token_count"),
       new ExpressionInfo(classOf[WsTokenCountExpr].getName, "ws_token_count"),
       (children: Seq[Expression]) => WsTokenCountExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelectExpr].getName, "winnow_select"),
+      (children: Seq[Expression]) => {
+        def lit(e: Expression): Int =
+          e.eval(null).asInstanceOf[Number].intValue()
+        WinnowSelectExpr(children(0), lit(children(1)), lit(children(2)))
+      }))
   }
 }

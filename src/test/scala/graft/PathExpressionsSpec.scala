@@ -73,6 +73,8 @@ class PathExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head
     assert(math.abs(jw.getDouble(0) - 0.9611111111111111) < 1e-12)
     assert(jw.getInt(1) === 3)
+    val wn = spark.sql("SELECT winnow_select('abcdefgh', 3, 2) AS fps").collect().head
+    assert(wn.getSeq[Long](0).nonEmpty)
   }
 
   test("null propagates (nullIntolerant)") {
