@@ -693,12 +693,19 @@ object TextOps {
     val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
     val fps = state.pin(winnowingSelections(src, k, w, text)
       .select(col("doc_id"), explode(col("selected")).as("fp")))
-    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df_docs"))
-      .filter(col("df_docs") <= maxDf).select("fp")
-    val rare = fps.join(keep, Seq("fp"), "left_semi")
-    rare.as("a").join(rare.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // One groupBy(fp) produces BOTH the df guard and the in-group pair
+    // expansion — a self-join would shuffle-sort the fp rows twice more.
+    // The doc list per fingerprint is sorted, so nested transforms emit
+    // each (a < b) pair exactly once; fan-out is bounded by the df guard
+    // (≤ maxDf·(maxDf−1)/2 pairs per fingerprint). `ds` is an attribute,
+    // so the lambdas index a materialized array (no re-evaluation trap).
+    val pairs = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDf && size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+    pairs.groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
