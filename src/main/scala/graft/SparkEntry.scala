@@ -744,7 +744,14 @@ object SparkEntry {
     // x55 — MOSS match report: unaligned cross-doc passage matches via
     // shared winnowing fingerprints (fp equi-join + max-df guard)
     "x55_winnowing_matches" -> ((s, dir) =>
-      TextOps.winnowingMatches(Tables.documents(s, dir)))
+      TextOps.winnowingMatches(Tables.documents(s, dir))),
+
+    // x56 — ordered funnel (view → click → purchase, each step within
+    // 1 day of the previous): per-user conditional-min stages, every
+    // shuffle on user_id. No raw ts projected (ns rule).
+    "x56_funnel" -> ((s, dir) =>
+      graft.operators.TemporalJoins.orderedFunnel(
+        Tables.events(s, dir), Seq("view", "click", "purchase"), "1 DAY"))
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1284,6 +1291,8 @@ object SparkEntry {
     "x53_bottomk_sample" -> graft.operators.SamplingOps.bottomKSampleAggSql(k = 25),
     "x54_incremental_dedup" -> DedupOps.incrementalDedupSql,
     "x55_winnowing_matches" -> TextOps.winnowingMatchesSql(),
+    "x56_funnel" -> graft.operators.TemporalJoins.orderedFunnelSql(
+      Seq("view", "click", "purchase"), "1 DAY"),
     "x51_name_link" -> (C +
       """, p AS (
         |  SELECT a.id AS file_a, b.id AS file_b,

@@ -354,4 +354,57 @@ object TemporalJoins {
        |  ON a.event_type = b.event_type
        |  AND b.value > a.value AND b.value <= a.value + $width
        |GROUP BY a.event_type""".stripMargin
+
+  /** x56: ordered funnel — users completing `stages` IN ORDER, each step
+    * STRICTLY after the previous step's completion and within `horizon`
+    * of it. Stage k's completion time is the user's EARLIEST qualifying
+    * stage-k event (the standard earliest-completion funnel semantics),
+    * computed as a per-user conditional min: filter events to the stage
+    * type, join the survivors of stage k-1, bound by `(t_{k-1}, t_{k-1}
+    * + horizon]`, take the min. Every shuffle keys on `user_id` and
+    * carries one row per (user, stage-qualifying event) — no sequence
+    * window over the raw stream, no per-user event sorting, so the plan
+    * is |stages| hash joins + aggs at any event volume.
+    * Returns `(stage, n_users)`, one row per stage, stages labeled
+    * `1_<type>`, `2_<type>`, … */
+  def orderedFunnel(events: DataFrame, stages: Seq[String],
+                    horizon: String): DataFrame = {
+    require(stages.nonEmpty)
+    val hor = expr(s"INTERVAL $horizon")
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val completions: Seq[DataFrame] = stages.zipWithIndex
+      .scanLeft(Option.empty[DataFrame]) { case (prev, (tpe, i)) =>
+        val base = ev.filter(col("event_type") === tpe)
+        val gated = prev match {
+          case None => base
+          case Some(p) => base
+            .join(p.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+            .filter(col("ts") > col("t_prev") && col("ts") <= col("t_prev") + hor)
+        }
+        Some(gated.groupBy(col("user_id")).agg(min(col("ts")).as("t")))
+      }.flatten
+    completions.zip(stages).zipWithIndex.map { case ((df, tpe), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"${i + 1}_$tpe").as("stage"), col("n_users"))
+    }.reduceLeft(_ unionByName _)
+  }
+
+  /** DuckDB twin of [[orderedFunnel]]. */
+  def orderedFunnelSql(stages: Seq[String], horizon: String): String = {
+    val ctes = stages.zipWithIndex.map { case (tpe, i) =>
+      if (i == 0)
+        s"s0 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = '$tpe' GROUP BY user_id)"
+      else
+        s"""s$i AS (
+           |  SELECT e.user_id, min(e.ts) AS t FROM events e
+           |  JOIN s${i - 1} p USING (user_id)
+           |  WHERE e.event_type = '$tpe' AND e.ts > p.t
+           |    AND e.ts <= p.t + INTERVAL $horizon
+           |  GROUP BY e.user_id)""".stripMargin
+    }.mkString(",\n")
+    val selects = stages.zipWithIndex.map { case (tpe, i) =>
+      s"SELECT '${i + 1}_$tpe' AS stage, count(*) AS n_users FROM s$i"
+    }.mkString("\nUNION ALL ")
+    s"WITH $ctes\n$selects"
+  }
 }

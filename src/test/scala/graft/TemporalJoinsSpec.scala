@@ -296,4 +296,28 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toMap
     assert(out === expected)
   }
+
+  test("orderedFunnel: order, strictness, horizon, and earliest-completion semantics") {
+    val s = spark
+    import s.implicits._
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      // u1: clean A(10:00) -> B(10:05) -> C(10:10): completes all
+      (1L, "A", t(0)), (1L, "B", t(5)), (1L, "C", t(10)),
+      // u2: B BEFORE its A; no later B: stops at stage 1
+      (2L, "B", t(0)), (2L, "A", t(5)), (2L, "C", t(10)),
+      // u3: B at exactly A's ts: strict '>' excludes it; later B ok,
+      // then C past the 15-min horizon from that B: stops at stage 2
+      (3L, "A", t(1)), (3L, "B", t(1)), (3L, "B", t(6)), (3L, "C", t(30)),
+      // u4: two Bs — the EARLIEST in-window B (10:04) anchors the C
+      // horizon, so a C at 10:21 (within 15 min of the later B but not
+      // the earlier) must NOT count
+      (4L, "A", t(2)), (4L, "B", t(4)), (4L, "B", t(12)), (4L, "C", t(21)),
+      // u5: no A at all: appears nowhere
+      (5L, "B", t(0)), (5L, "C", t(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = TemporalJoins.orderedFunnel(events, Seq("A", "B", "C"), "15 MINUTE")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("1_A" -> 4L, "2_B" -> 3L, "3_C" -> 1L))
+  }
 }
