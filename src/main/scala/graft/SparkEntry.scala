@@ -751,7 +751,39 @@ object SparkEntry {
     // shuffle on user_id. No raw ts projected (ns rule).
     "x56_funnel" -> ((s, dir) =>
       graft.operators.TemporalJoins.orderedFunnel(
-        Tables.events(s, dir), Seq("view", "click", "purchase"), "1 DAY"))
+        Tables.events(s, dir), Seq("view", "click", "purchase"), "1 DAY")),
+
+    // x57 — weekly cohort retention matrix: day indices (all-integer
+    // epoch-day arithmetic — no engine-specific week definitions), one
+    // groupBy for first-seen + one distinct + one matrix agg, all keyed
+    // on user_id then the (cohort, offset) pair.
+    "x57_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"),
+          floor(col("first_day") / 7).cast("long").as("cohort_week"),
+          floor((col("day") - col("first_day")) / 7).cast("long").as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // x58 — data-profile audit (per-column rows/nulls/distincts): the
+    // validation gate a pipeline runs before training on a new drop.
+    // One column-pruned scan per profiled column.
+    "x58_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        docs.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          count_distinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("col_name"),
+            col("n_rows"), col("n_nulls"), col("n_distinct"))
+      }.reduceLeft(_ unionByName _)
+    })
   )
 
   // deterministic staged batch for the M1 verify query: every 4th file
@@ -1293,6 +1325,26 @@ object SparkEntry {
     "x55_winnowing_matches" -> TextOps.winnowingMatchesSql(),
     "x56_funnel" -> graft.operators.TemporalJoins.orderedFunnelSql(
       Seq("view", "click", "purchase"), "1 DAY"),
+    "x57_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT e.user_id,
+        |    CAST(floor(f.first_day / 7) AS BIGINT) AS cohort_week,
+        |    CAST(floor((e.day - f.first_day) / 7) AS BIGINT) AS week_offset
+        |  FROM ev e JOIN f USING (user_id)
+        |)
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM a GROUP BY cohort_week, week_offset""".stripMargin,
+    "x58_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "x51_name_link" -> (C +
       """, p AS (
         |  SELECT a.id AS file_a, b.id AS file_b,
