@@ -43,11 +43,22 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration; the
     // driver never sets it, so driver rounds always time the full set
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Drive every query through a checksum sink, not count(): under count()
+    // Catalyst prunes unreferenced projections, so a projection-heavy
+    // operator (simhash, quantize, chunker) would time its scan instead of
+    // its work — the same blindness that hid the HOF-lambda O(L²) trap.
+    // xxhash64(struct(*)) forces every output column to be evaluated.
+    def checksum(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions._
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(sum("h")).collect()
+      ()
+    }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { checksum(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     // 3-decimal timings: the driver captures a bounded tail of stdout and

@@ -532,9 +532,12 @@ object SparkEntry {
       graft.operators.IvfOps.clusterLangMix(
         Tables.documents(s, dir), Tables.embeddings(s, dir), ivfModel(s, dir))),
 
+    // payloads carry GENUINE PNG/JPEG/GIF headers (dims doc_id-derived, so
+    // the oracle can predict them) and the codec really parses the bytes
     "x14_media_meta" -> ((s, dir) =>
       MultimodalOps.extractMediaMeta(
-        Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))),
+        MultimodalOps.synthMediaFixture(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))))),
 
     "x17_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -1259,12 +1262,7 @@ object SparkEntry {
     "x11_cosine_dup_pairs" -> SimilarityOps.cosineDupPairsSql(0.40),
     "x12_ann_topk" -> SimilarityOps.bruteForceTopKSql("vec_id % 100 = 0", 8),
     "x13_ann_lsh_pairs" -> SimilarityOps.lshDupPairsSql(0.30),
-    "x14_media_meta" -> {
-      val (w, h, f) = MultimodalOps.stubDecodeSql("text")
-      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-         |  $w AS width, $h AS height, $f AS format
-         |FROM documents""".stripMargin
-    },
+    "x14_media_meta" -> MultimodalOps.mediaFixtureSql,
     "x17_ngram_jaccard" -> DedupOps.jaccardForSql(
       "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents"),
 

@@ -8,12 +8,12 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode / feature-extraction runs
   * batched per partition.
   *
-  * The real media codecs are NOT in this container, so the decode step is
-  * a clearly-marked deterministic STUB (`stubDecode`) — it derives fake
-  * dimensions from an md5 of the payload, which keeps the whole pipeline
-  * (schema, partition-batched execution, output shape) real, tested, and
-  * oracle-checkable. Swapping in a real decoder changes only the body of
-  * `stubDecode`.
+  * The metadata decode ([[decodeMeta]]) is a REAL pure-JVM header parser:
+  * magic-byte format detection plus PNG (IHDR chunk), JPEG (SOF-marker
+  * scan), and GIF (logical-screen descriptor) dimension extraction. The
+  * downstream ML-model stages (feature extraction, frame decode) remain
+  * clearly-labeled deterministic stand-ins — those models genuinely are
+  * not in this container — but the codec itself parses genuine bytes.
   *
   * Scale: `mapPartitions` processes each partition's rows through one
   * reusable decoder instance (the expensive-setup pattern a JNI codec
@@ -29,34 +29,152 @@ object MultimodalOps {
     StructField("height", IntegerType),
     StructField("format", StringType)))
 
-  /** STUB decoder — deterministic fake dimensions from the payload hash.
-    * Replace the body with a real codec call in production. Mirrors
-    * [[stubDecodeSql]]; keep in sync. */
-  def stubDecode(payload: Array[Byte]): (Int, Int, String) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    val width = (64L + h % 1856L).toInt
-    val height = (64L + (h / 1856L) % 1016L).toInt
-    val format = (h % 3L) match {
-      case 0L => "jpeg"
-      case 1L => "png"
-      case _ => "webp"
-    }
-    (width, height, format)
+  // ---- real header codec -------------------------------------------------
+
+  private def be32(p: Array[Byte], i: Int): Long =
+    ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+      ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+  private def be16(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+  private def le16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+
+  /** Magic-byte container detection: PNG signature, JPEG SOI, GIF87a/89a. */
+  def detectFormat(p: Array[Byte]): String =
+    if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+      p(3) == 'G' && (p(4) & 0xff) == 0x0d && (p(5) & 0xff) == 0x0a &&
+      (p(6) & 0xff) == 0x1a && (p(7) & 0xff) == 0x0a) "png"
+    else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+      (p(2) & 0xff) == 0xff) "jpeg"
+    else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') "gif"
+    else "unknown"
+
+  /** Real metadata decode: (width, height, format); (-1, -1, fmt) when the
+    * container is detected but the header is truncated/malformed.
+    *   - PNG: width/height are the first 8 IHDR data bytes (big-endian),
+    *     and IHDR is required to be the first chunk (offset 8).
+    *   - JPEG: walk marker segments from SOI until a start-of-frame marker
+    *     (0xC0–0xCF excluding DHT 0xC4, JPG 0xC8, DAC 0xCC); dimensions sit
+    *     at fixed offsets in the SOF payload (lines then samples-per-line).
+    *   - GIF: logical screen descriptor, little-endian u16 pair at offset 6.
+    */
+  def decodeMeta(p: Array[Byte]): (Int, Int, String) = detectFormat(p) match {
+    case "png" =>
+      if (p.length >= 24 && p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+        (be32(p, 16).toInt, be32(p, 20).toInt, "png")
+      else (-1, -1, "png")
+    case "jpeg" =>
+      var i = 2
+      var out: (Int, Int, String) = (-1, -1, "jpeg")
+      var done = false
+      while (!done && i + 1 < p.length && (p(i) & 0xff) == 0xff) {
+        val marker = p(i + 1) & 0xff
+        if (marker == 0xff) i += 1 // fill byte
+        else if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (i + 9 <= p.length) out = (be16(p, i + 7), be16(p, i + 5), "jpeg")
+          done = true
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+        else if (i + 3 < p.length) i += 2 + be16(p, i + 2)
+        else done = true
+      }
+      out
+    case "gif" =>
+      if (p.length >= 10) (le16(p, 6), le16(p, 8), "gif") else (-1, -1, "gif")
+    case other => (-1, -1, other)
   }
 
-  /** DuckDB twin of the stub decode over a text-derived payload. */
-  def stubDecodeSql(textExpr: String): (String, String, String) = {
-    val h = s"CAST(concat('0x', substr(md5($textExpr), 1, 15)) AS BIGINT)"
-    (s"CAST(64 + $h % 1856 AS INT)",
-      s"CAST(64 + ($h // 1856) % 1016 AS INT)",
-      s"CASE $h % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END")
+  // ---- genuine header synthesis (fixtures + tests) -----------------------
+
+  /** Genuine PNG header: 8-byte signature + complete IHDR chunk (length,
+    * type, 13 data bytes, real CRC-32 over type+data). 33 bytes. */
+  def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(33)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val data = new Array[Byte](17) // "IHDR" + 13 data bytes
+    data(0) = 'I'; data(1) = 'H'; data(2) = 'D'; data(3) = 'R'
+    data(4) = (w >>> 24).toByte; data(5) = (w >>> 16).toByte
+    data(6) = (w >>> 8).toByte; data(7) = w.toByte
+    data(8) = (h >>> 24).toByte; data(9) = (h >>> 16).toByte
+    data(10) = (h >>> 8).toByte; data(11) = h.toByte
+    data(12) = 8 // bit depth
+    data(13) = 2 // color type: truecolor
+    // compression=0, filter=0, interlace=0 already zeroed
+    out.write(Array[Byte](0, 0, 0, 13)) // IHDR data length
+    out.write(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val c = crc.getValue
+    out.write(Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte))
+    out.toByteArray
   }
+
+  /** Genuine JPEG header: SOI + JFIF APP0 + baseline SOF0 (1 component).
+    * 33 bytes; a SOF-scanning parser must skip APP0 by its length field. */
+  def jpegHeader(w: Int, h: Int): Array[Byte] = {
+    val app0 = Array[Int](0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00,
+      0x01, 0x02, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    val sof0 = Array[Int](0xff, 0xc0, 0x00, 0x0b, 0x08,
+      (h >>> 8) & 0xff, h & 0xff, (w >>> 8) & 0xff, w & 0xff,
+      0x01, 0x01, 0x11, 0x00)
+    (Array[Int](0xff, 0xd8) ++ app0 ++ sof0).map(_.toByte)
+  }
+
+  /** Genuine GIF89a header: signature + logical screen descriptor
+    * (little-endian dims, no global color table). 13 bytes. */
+  def gifHeader(w: Int, h: Int): Array[Byte] =
+    (Array[Int]('G', 'I', 'F', '8', '9', 'a',
+      w & 0xff, (w >>> 8) & 0xff, h & 0xff, (h >>> 8) & 0xff,
+      0x00, 0x00, 0x00)).map(_.toByte)
+
+  /** Deterministic fixture parameters from a doc id — mirrored by
+    * [[mediaFixtureSql]]; keep in sync. Dims fit u16 (JPEG/GIF fields). */
+  def fixtureParams(docId: Long): (String, Int, Int) = {
+    val fmt = (docId % 3L) match { case 0L => "png"; case 1L => "jpeg"; case _ => "gif" }
+    (fmt, (64L + (docId * 37L) % 1856L).toInt, (64L + (docId * 101L) % 1016L).toInt)
+  }
+
+  /** Build a media corpus with GENUINE headers from (doc_id, text): payload
+    * = real PNG/JPEG/GIF header (dims derived from doc_id) ++ UTF-8 text
+    * bytes standing in for the encoded body. The decode path then parses
+    * actual container bytes while staying oracle-predictable. */
+  def synthMediaFixture(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col("doc_id").cast("long"), col("text")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (fmt, w, h) = fixtureParams(id)
+          val header = fmt match {
+            case "png" => pngHeader(w, h)
+            case "jpeg" => jpegHeader(w, h)
+            case _ => gifHeader(w, h)
+          }
+          Row(id, header ++ r.getString(1).getBytes("UTF-8"))
+        }
+      }
+    session.createDataFrame(rdd, schema)
+  }
+
+  /** DuckDB twin of extractMediaMeta∘synthMediaFixture over `documents`:
+    * predicts what the real parser recovers from the synthesized headers
+    * (header sizes: png/jpeg 33 bytes, gif 13). */
+  def mediaFixtureSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text))
+      |       + CASE doc_id % 3 WHEN 2 THEN 13 ELSE 33 END AS INT) AS n_bytes,
+      |  CAST(64 + (doc_id * 37) % 1856 AS INT) AS width,
+      |  CAST(64 + (doc_id * 101) % 1016 AS INT) AS height,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format
+      |FROM documents""".stripMargin
 
   /** Batched metadata extraction over a binary column: one decoder per
-    * partition, rows streamed through it. Input needs (doc_id: long,
-    * payload: binary). */
+    * partition, rows streamed through it, real header parsing via
+    * [[decodeMeta]]. Input needs (doc_id: long, payload: binary). */
   def extractMediaMeta(df: DataFrame): DataFrame = {
     val session = df.sparkSession
     val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
@@ -65,7 +183,7 @@ object MultimodalOps {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val (w, h, fmt) = stubDecode(payload)
+          val (w, h, fmt) = decodeMeta(payload)
           Row(id, payload.length, w, h, fmt)
         }
       }

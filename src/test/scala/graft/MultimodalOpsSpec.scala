@@ -7,13 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.MultimodalOps
 
-/** Multimodal plumbing: schemas, batch shapes, and the deterministic stub
-  * codec (the Spark-side pipeline is real; only decode is faked). */
+/** Multimodal plumbing: schemas, batch shapes, and the REAL header codec
+  * (magic-byte detection + PNG/JPEG/GIF dimension parsing) — verified
+  * against genuine encoder output from the JDK's own ImageIO writers. */
 class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
 
   override def beforeAll(): Unit = {
+    System.setProperty("java.awt.headless", "true")
     spark = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -29,20 +31,58 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
   }
 
-  test("extractMediaMeta: schema, determinism, byte counts") {
-    val meta = MultimodalOps.extractMediaMeta(payloads)
+  /** Encode a real image with the JDK's ImageIO and return its bytes. */
+  private def realImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x336699) // non-trivial pixel so encoders emit data
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no ImageIO writer for $fmt")
+    out.toByteArray
+  }
+
+  test("decodeMeta recovers dimensions from genuine ImageIO-encoded bytes") {
+    for ((fmt, w, h) <- Seq(("png", 320, 17), ("jpg", 640, 480), ("gif", 13, 257))) {
+      val bytes = realImage(fmt, w, h)
+      val (dw, dh, dfmt) = MultimodalOps.decodeMeta(bytes)
+      val want = if (fmt == "jpg") "jpeg" else fmt
+      assert(dfmt === want, s"format for $fmt")
+      assert(dw === w, s"width for $fmt")
+      assert(dh === h, s"height for $fmt")
+    }
+  }
+
+  test("decodeMeta parses the synthesized genuine headers (all three formats)") {
+    assert(MultimodalOps.decodeMeta(MultimodalOps.pngHeader(1919, 1079)) === ((1919, 1079, "png")))
+    assert(MultimodalOps.decodeMeta(MultimodalOps.jpegHeader(800, 600)) === ((800, 600, "jpeg")))
+    assert(MultimodalOps.decodeMeta(MultimodalOps.gifHeader(64, 65535)) === ((64, 65535, "gif")))
+    // trailing body bytes after the header must not confuse the parser
+    val withBody = MultimodalOps.jpegHeader(320, 240) ++ "payload-body".getBytes("UTF-8")
+    assert(MultimodalOps.decodeMeta(withBody) === ((320, 240, "jpeg")))
+  }
+
+  test("detectFormat: magic bytes, and unknown/truncated payloads degrade safely") {
+    assert(MultimodalOps.detectFormat("not an image".getBytes("UTF-8")) === "unknown")
+    assert(MultimodalOps.decodeMeta(Array[Byte]()) === ((-1, -1, "unknown")))
+    // detected container but truncated header → (-1, -1, fmt), no throw
+    assert(MultimodalOps.decodeMeta(MultimodalOps.pngHeader(10, 10).take(14)) === ((-1, -1, "png")))
+    assert(MultimodalOps.decodeMeta(MultimodalOps.jpegHeader(10, 10).take(3)) === ((-1, -1, "jpeg")))
+    assert(MultimodalOps.decodeMeta(MultimodalOps.gifHeader(10, 10).take(8)) === ((-1, -1, "gif")))
+  }
+
+  test("extractMediaMeta over synthMediaFixture round-trips fixtureParams") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, ""))
+      .toDF("doc_id", "text")
+    val meta = MultimodalOps.extractMediaMeta(MultimodalOps.synthMediaFixture(docs))
     assert(meta.schema === MultimodalOps.mediaMetaSchema)
     val rows = meta.collect().map(r => r.getLong(0) ->
       (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
-    assert(rows(1L)._1 === "image-bytes-one".length)
-    // deterministic: same payload → same fake dimensions on re-run
-    val again = MultimodalOps.extractMediaMeta(payloads).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
-    assert(rows === again)
-    // dimensions in the documented fake ranges
-    rows.values.foreach { case (_, w, h, fmt) =>
-      assert(w >= 64 && w < 1920 && h >= 64 && h < 1080)
-      assert(Set("jpeg", "png", "webp").contains(fmt))
+    for ((id, text) <- Seq(0L -> "alpha", 1L -> "beta", 2L -> "gamma", 3L -> "")) {
+      val (fmt, w, h) = MultimodalOps.fixtureParams(id)
+      val headerLen = if (fmt == "gif") 13 else 33
+      assert(rows(id) === ((headerLen + text.getBytes("UTF-8").length, w, h, fmt)))
     }
   }
 
