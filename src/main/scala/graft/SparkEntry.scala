@@ -512,11 +512,14 @@ object SparkEntry {
       SimilarityOps.lshDupPairs(Tables.embeddings(s, dir), 0.30)),
 
     // oracle twin is generated at runtime (the deterministic centroids
-    // embed as SQL literals) — see [[dynamicOracleSql]]
+    // embed as SQL literals) — see [[dynamicOracleSql]]. joinProbes: the
+    // distributed probe-assignment path (no driver collect) is the one
+    // the gate exercises; x24 keeps the collected path so both are gated
     "x18_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.IvfOps.topK(emb,
-        emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir), k = 8, nProbe = 6)
+        emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir), k = 8, nProbe = 6,
+        joinProbes = true)
     }),
 
     // x35 — IVF cluster-health report (balance + tightness per inverted

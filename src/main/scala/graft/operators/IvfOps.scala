@@ -133,17 +133,68 @@ object IvfOps {
        |QUALIFY rank <= $k""".stripMargin
   }
 
-  /** ANN top-K: probe the nProbe nearest inverted lists per query, exact
-    * cosine inside the candidate set, rank with vec_id tiebreak. */
-  def topK(emb: DataFrame, queries: DataFrame, model: IvfModel,
-           k: Int, nProbe: Int): DataFrame = {
-    val spark = emb.sparkSession
+  /** Distributed probe-list construction — the bulk-query path. Instead of
+    * `collect()`ing the query set to the driver (fine for the query-few
+    * contract, a serialization point when the query side is itself a large
+    * table), broadcast the K-row centroid table against the queries and
+    * rank with a per-query window. The dot fold and the (sim DESC, cid)
+    * tie-break mirror [[IvfModel.nearest]] bit-for-bit, so both paths
+    * return identical rows (IvfOpsSpec pins it); constructing the plan
+    * runs zero Spark jobs. `unitNorm=true` emits the unit-normalized
+    * query vector as `qu` (the ADC scoring input); the norm sits behind a
+    * projection boundary referenced twice so CollapseProject keeps it
+    * per-row, not per-element. */
+  def probesViaJoin(queries: DataFrame, model: IvfModel, nProbe: Int,
+                    unitNorm: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
+    val cents = model.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toSeq.toDF("cid", "cv")
+    val sim = SimilarityOps.dot(col("qe"), col("cv")) /
+      (sqrt(SimilarityOps.dot(col("qe"), col("qe"))) *
+        sqrt(SimilarityOps.dot(col("cv"), col("cv"))))
+    val ranked = typed(queries).toDF("query_id", "qe")
+      .join(broadcast(cents), lit(true))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(sim.desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+    if (!unitNorm)
+      ranked.select(col("query_id"), col("cid").as("centroid_id"), col("qe"))
+    else ranked
+      .select(col("query_id"), col("cid").as("centroid_id"), col("qe"),
+        sqrt(SimilarityOps.dot(col("qe"), col("qe"))).as("nrm"))
+      // nrm referenced twice → CollapseProject keeps the boundary, so the
+      // norm is computed once per row, not once per array element
+      .select(col("query_id"), col("centroid_id"),
+        when(col("nrm").isNotNull, transform(col("qe"), x => x / col("nrm")))
+          .otherwise(lit(null).cast("array<double>")).as("qu"))
+  }
+
+  /** Driver-side probe lists — the query-few contract: tiny query sets
+    * skip the window shuffle entirely. */
+  private def probesCollected(queries: DataFrame, model: IvfModel,
+                              nProbe: Int, unitNorm: Boolean): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    typed(queries).collect().flatMap { case (qid, qv) =>
+      val q = if (unitNorm) {
+        val n = math.sqrt(SimilarityOps.dotLocal(qv, qv))
+        qv.map(_ / n)
+      } else qv
+      model.nearest(qv, nProbe).map(cid => (qid, cid, q))
+    }.toSeq.toDF("query_id", "centroid_id", if (unitNorm) "qu" else "qe")
+  }
+
+  /** ANN top-K: probe the nProbe nearest inverted lists per query, exact
+    * cosine inside the candidate set, rank with vec_id tiebreak.
+    * `joinProbes=true` builds probe lists distributed (no driver collect)
+    * — identical results, the shape for bulk query sets. */
+  def topK(emb: DataFrame, queries: DataFrame, model: IvfModel,
+           k: Int, nProbe: Int, joinProbes: Boolean = false): DataFrame = {
     val assigned = assign(emb, model)
-    // query side is small: compute probe lists driver-side
-    val probes = typed(queries).collect().flatMap { case (qid, qv) =>
-      model.nearest(qv, nProbe).map(cid => (qid, cid, qv))
-    }.toSeq.toDF("query_id", "centroid_id", "qe")
+    val probes =
+      if (joinProbes) probesViaJoin(queries, model, nProbe)
+      else probesCollected(queries, model, nProbe, unitNorm = false)
     assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -308,15 +359,13 @@ object IvfOps {
     * touching the float corpus at all — probes read only the postings
     * table. */
   def adcTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    import spark.implicits._
+                       queries: DataFrame, k: Int, nProbe: Int,
+                       joinProbes: Boolean = false): DataFrame = {
     val model = loadIndex(spark, dir)
     val postings = spark.read.parquet(s"$dir/postings")
-    val probes = typed(queries).collect().flatMap { case (qid, qv) =>
-      val n = math.sqrt(SimilarityOps.dotLocal(qv, qv))
-      val qu = qv.map(_ / n)
-      model.nearest(qv, nProbe).map(cid => (qid, cid, qu))
-    }.toSeq.toDF("query_id", "centroid_id", "qu")
+    val probes =
+      if (joinProbes) probesViaJoin(queries, model, nProbe, unitNorm = true)
+      else probesCollected(queries, model, nProbe, unitNorm = true)
     postings.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -345,19 +394,14 @@ object IvfOps {
     * `approx_cos = Σ qu_i · code_i / 127` — exact-double arithmetic over
     * the same sequential fold as the DuckDB twin. */
   def adcTopK(emb: DataFrame, queries: DataFrame, model: IvfModel,
-              k: Int, nProbe: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
+              k: Int, nProbe: Int, joinProbes: Boolean = false): DataFrame = {
     val codes = SimilarityOps.quantizeEmbeddings(emb)
       .select(col("vec_id"), col("qcode"))
     val assigned = assign(emb, model).select(col("vec_id"), col("centroid_id"))
       .join(codes, Seq("vec_id"))
-    // query side is small by contract: probe lists + unit query driver-side
-    val probes = typed(queries).collect().flatMap { case (qid, qv) =>
-      val n = math.sqrt(SimilarityOps.dotLocal(qv, qv))
-      val qu = qv.map(_ / n)
-      model.nearest(qv, nProbe).map(cid => (qid, cid, qu))
-    }.toSeq.toDF("query_id", "centroid_id", "qu")
+    val probes =
+      if (joinProbes) probesViaJoin(queries, model, nProbe, unitNorm = true)
+      else probesCollected(queries, model, nProbe, unitNorm = true)
     assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

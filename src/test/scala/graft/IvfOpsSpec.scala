@@ -64,6 +64,29 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("join-based probe assignment equals the collected path, with zero jobs at construction") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val model = IvfOps.train(emb, k = 16, iterations = 2)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+
+    // plan CONSTRUCTION must run no Spark jobs (the collected path runs
+    // one to gather the query set — that is exactly what this avoids)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val joined = IvfOps.topK(emb, queries, model, k = 8, nProbe = 6, joinProbes = true)
+    val joinedAdc = IvfOps.adcTopK(emb, queries, model, k = 8, nProbe = 6, joinProbes = true)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore,
+      "join-probe plan construction must be lazy (no driver collect)")
+    assert(rows(joined) ===
+      rows(IvfOps.topK(emb, queries, model, k = 8, nProbe = 6)))
+    assert(rows(joinedAdc) ===
+      rows(IvfOps.adcTopK(emb, queries, model, k = 8, nProbe = 6)))
+  }
+
   test("persisted index round-trips: saved+loaded query equals the direct one") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
