@@ -485,7 +485,7 @@ object SparkEntry {
     "x7_minhash_signatures" -> ((s, dir) =>
       DedupOps.minhashSignatures(
         Tables.documents(s, dir)
-          .filter(size(TextOps.words(col("text"))) >= DedupOps.shingleWords))),
+          .filter(size(TextOps.wordsRe(col("text"))) >= DedupOps.shingleWords))),
 
     "x8_lsh_dup_pairs" -> ((s, dir) =>
       DedupOps.lshDupPairs(Tables.documents(s, dir), 0.5)),

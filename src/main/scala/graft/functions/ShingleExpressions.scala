@@ -20,15 +20,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * short-doc, and empty inputs).
   *
   * Parity notes: Spark's `trim` strips 0x20 only (NOT Java's
-  * `String.trim`) — `UTF8String.trim()` matches; `split(s, " ", -1)`
-  * keeps empty tokens exactly like Spark's `StringSplit` with its
-  * default -1 limit; a null input yields an EMPTY array at the Column
-  * level (`coalesce`), matching the `when(...).otherwise(array())` chain.
+  * `String.trim`) — `UTF8String.trim()` matches; tokenization splits on
+  * whitespace RUNS (`TextOps.wsRunRegex`, the robust tokenizer that
+  * survives real multi-space/tab/newline corpora) with limit -1, keeping
+  * empty tokens exactly like Spark's `StringSplit`; a null input yields
+  * an EMPTY array at the Column level (`coalesce`), matching the
+  * `when(...).otherwise(array())` chain.
   */
 object ShingleUtils {
+  // precompiled whitespace-run pattern (graft.operators.TextOps.wsRunRegex
+  // — duplicated as a literal to keep this class dependency-free for
+  // codegen); Pattern.split(s, -1) == String.split(regex, -1)
+  private val ws = java.util.regex.Pattern.compile("[ \\t\\n\\r\\f]+")
+
   def shingles(u: UTF8String, n: Int): ArrayData = {
     val s = u.trim().toString
-    val parts = s.split(" ", -1)
+    val parts = ws.split(s, -1)
     val count = parts.length - (n - 1)
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](count)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions
-import graft.operators.TextOps.words
+import graft.operators.TextOps.{wordsRe, wordsReSql}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard — each with a DuckDB SQL twin for the
@@ -60,23 +60,26 @@ object DedupOps {
       |FROM documents GROUP BY md5(text)""".stripMargin
 
   /** Bag-of-words-normalized duplicate groups (catches word-order shuffles):
-    * only groups with >1 member. */
+    * only groups with >1 member. Tokenizes on whitespace RUNS
+    * ([[TextOps.wordsRe]]) so real multi-space/tab text normalizes
+    * correctly. */
   def normalizedDupGroups(df: DataFrame, text: Column = col("text")): DataFrame =
-    df.groupBy(md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+    df.groupBy(md5(concat_ws(" ", array_sort(array_distinct(wordsRe(text)))))
         .as("content_hash"))
       .agg(min(col("doc_id")).as("representative"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
 
   def normalizedDupGroupsSql: String =
-    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS content_hash,
+    s"""SELECT md5(array_to_string(list_sort(list_distinct(${wordsReSql("text")})), ' ')) AS content_hash,
       |  min(doc_id) AS representative, count(*) AS n_docs
       |FROM documents
       |GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
   /** Normalized content key shared by [[normalizedDupGroups]] and
-    * [[incrementalDedup]]: order-independent bag-of-words md5. */
+    * [[incrementalDedup]]: order-independent bag-of-words md5 over
+    * whitespace-run tokens. */
   def normalizedKey(text: Column = col("text")): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+    md5(concat_ws(" ", array_sort(array_distinct(wordsRe(text)))))
 
   /** x54: incremental corpus refresh — admit only NEW content from an
     * incoming batch: drop any incoming doc whose normalized content key
@@ -101,7 +104,7 @@ object DedupOps {
   /** DuckDB twin of [[incrementalDedup]] for the gate's 80/20 split of
     * `documents` (existing = doc_id % 5 <> 0, incoming = the rest). */
   def incrementalDedupSql: String = {
-    val key = "md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' '))"
+    val key = s"md5(array_to_string(list_sort(list_distinct(${wordsReSql("text")})), ' '))"
     s"""WITH incoming AS (
        |  SELECT doc_id, lang, $key AS content_hash FROM documents WHERE doc_id % 5 = 0
        |), existing AS (
@@ -129,7 +132,7 @@ object DedupOps {
   /** The declarative (higher-order-function) formulation — the semantic
     * reference for [[shingles]]; CodegenFallback, so not the hot path. */
   def shinglesHof(text: Column, n: Int = shingleWords): Column = {
-    val w = words(text)
+    val w = wordsRe(text)
     val count = size(w) - (n - 1)
     when(count > 0,
       transform(sequence(lit(1), count),
@@ -152,7 +155,7 @@ object DedupOps {
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
        |      i -> $cat)) AS sh
-       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM $rel)
+       |  FROM (SELECT doc_id, ${wordsReSql("text")} AS ws FROM $rel)
        |)""".stripMargin
   }
 
@@ -393,7 +396,7 @@ object DedupOps {
   /** 32-bit SimHash over the distinct-word set: bit j is set when the
     * signed sum of bit j across token hashes is positive. */
   def simhash(df: DataFrame, text: Column = col("text")): DataFrame = {
-    val tok = df.select(col("doc_id"), explode(array_distinct(words(text))).as("w"))
+    val tok = df.select(col("doc_id"), explode(array_distinct(wordsRe(text))).as("w"))
       .withColumn("h", HashFunctions.hash60(col("w")))
     val sums = (0 until simhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
@@ -413,7 +416,7 @@ object DedupOps {
       .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
     s"""tok AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
+       |  SELECT DISTINCT doc_id, unnest(${wordsReSql("text")}) AS w
        |  FROM documents
        |),
        |bitsums AS (

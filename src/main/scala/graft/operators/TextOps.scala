@@ -18,10 +18,11 @@ import graft.functions.HashFunctions
   */
 object TextOps {
 
-  /** Whitespace tokens of `text` (single-space-delimited corpus). The
-    * fast path for shingling/minhash/simhash, which all contract on this
-    * corpus shape; token COUNTING uses [[wordsRe]], which survives real
-    * multi-space/tab/newline text. */
+  /** Single-space tokens of `text` (single-space-delimited corpus shape).
+    * The dedup family (shingles/minhash/simhash/normalized keys) tokenizes
+    * with [[wordsRe]], which survives real multi-space/tab/newline text;
+    * this splitter remains only where an operator's oracle twin contracts
+    * on single-space corpora (lang-id scores, winnowing positions). */
   def words(text: Column): Column = split(trim(text), " ")
 
   // Whitespace run as an explicit class, NOT \s: Java's \s includes \x0B

@@ -21,6 +21,30 @@ class TextOpsEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("dedup family is whitespace-robust: runs of mixed whitespace tokenize like single spaces") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.DedupOps
+    // same content, hostile whitespace — the dedup family must identify them
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over"),
+      (2L, "the  quick\tbrown fox\njumps  over"), // runs, tab, newline
+      (3L, "entirely different content here now ok")).toDF("doc_id", "text")
+    val keys = docs.select(col("doc_id"), DedupOps.normalizedKey().as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(1L) === keys(2L), "normalized key must ignore whitespace runs")
+    assert(keys(1L) !== keys(3L))
+    val sh = docs.select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) === sh(2L), "shingles must ignore whitespace runs")
+    val sims = DedupOps.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) === sims(2L), "simhash must ignore whitespace runs")
+    val sigs = DedupOps.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sigs(1L) === sigs(2L), "minhash signature must ignore whitespace runs")
+  }
+
   test("redact: emails and 7+-digit runs scrubbed; 6-digit runs and bare at-signs kept") {
     val s = spark
     import s.implicits._
