@@ -778,17 +778,24 @@ object SparkEntry {
 
     // x58 — data-profile audit (per-column rows/nulls/distincts): the
     // validation gate a pipeline runs before training on a new drop.
-    // One column-pruned scan per profiled column.
+    // ONE scan, one agg computing every column's triple side by side,
+    // unpivoted to rows afterward — at 100 TB the difference between
+    // this and a scan per column is the whole job.
     "x58_profile" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
-        docs.agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-          count_distinct(col(c)).as("n_distinct"))
-          .select(lit(c).as("col_name"),
-            col("n_rows"), col("n_nulls"), col("n_distinct"))
-      }.reduceLeft(_ unionByName _)
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"))
+      }
+      docs.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(explode(array(cols.map { c =>
+          struct(lit(c).as("col_name"), col("n_rows"),
+            col(s"${c}__nulls").as("n_nulls"),
+            col(s"${c}__distinct").as("n_distinct"))
+        }: _*)).as("p"))
+        .select(col("p.col_name"), col("p.n_rows"),
+          col("p.n_nulls"), col("p.n_distinct"))
     })
   )
 

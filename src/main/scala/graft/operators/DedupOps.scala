@@ -45,6 +45,12 @@ object DedupOps {
   case object Reliable extends IterState {
     def pin(df: DataFrame): DataFrame = df.checkpoint(true)
   }
+  /** No-op pin for plan-only callers (explain/lineage inspection): keeps
+    * query CONSTRUCTION free of eager checkpoint jobs at the cost of
+    * recomputing the pinned subtree per consumer when executed. */
+  case object Unpinned extends IterState {
+    def pin(df: DataFrame): DataFrame = df
+  }
 
   // ---- exact --------------------------------------------------------------
 

@@ -689,9 +689,12 @@ object TextOps {
     // DedupOps.Reliable for a checkpoint-dir-backed pin at corpus
     // scale). Fan the digest work out first when the source arrives
     // under-partitioned (the small-file case: one parquet block would
-    // otherwise serialize all hashing on one core).
+    // otherwise serialize all hashing on one core). The probe reads the
+    // source's reported file list — never df.rdd, which would force
+    // eager physical planning outside AQE at construction time.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val nFiles = df.inputFiles.length
+    val src = if (nFiles > 0 && nFiles < par) df.repartition(par) else df
     val fps = state.pin(winnowingSelections(src, k, w, text)
       .select(col("doc_id"), explode(col("selected")).as("fp")))
     // One groupBy(fp) produces BOTH the df guard and the in-group pair

@@ -168,6 +168,22 @@ class ChunkingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("winnowingMatches construction runs zero jobs (no eager df.rdd probe)") {
+    // parquet-backed source: the under-partitioned-source probe must read
+    // the file index, never force the plan through RDD conversion; with a
+    // no-op pin the whole construction is lazy
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val q = TextOps.winnowingMatches(docs, state = DedupOps.Unpinned)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "construction must trigger no Spark jobs")
+    // and the pinned default still computes the same pairs as unpinned
+    val a = TextOps.winnowingMatches(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
   test("clusterRepresentatives: best quality wins, ties to lowest doc_id, singletons kept") {
     val s = spark
     import s.implicits._
