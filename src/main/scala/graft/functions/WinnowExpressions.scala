@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -27,31 +25,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * Parity contract (WinnowParitySpec pins equality with the HOF form):
   * trim strips 0x20 only (`UTF8String.trim`), grams are SQL
   * `substr(t, i, k)` code-point semantics (end-clipped, empty text →
-  * one empty gram), the hash is [[HashFunctions.hash60]] (first 60 bits
-  * of the md5 hex), windows are end-clipped like `slice`, and
-  * duplicates collapse in first-occurrence order like `array_distinct`.
+  * one empty gram), the hash is [[HashFunctions.polyHash52]] (exact
+  * int64 polynomial fold over code points — one multiply-add per char
+  * instead of an md5 digest per gram, which dominated the winnowing
+  * queries' cost), windows are end-clipped like `slice`, and duplicates
+  * collapse in first-occurrence order like `array_distinct`.
   */
 object WinnowUtils {
-  private val mdLocal = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
 
   def select(u0: UTF8String, k: Int, w: Int): ArrayData = {
     val t = u0.trim()
-    val n = t.numChars()
+    val cps = t.toString.codePoints().toArray
+    val n = cps.length
     val nGrams = math.max(n - (k - 1), 1)
-    val md = mdLocal.get()
     val grams = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      md.reset()
-      val d = md.digest(t.substringSQL(i + 1, k).getBytes)
-      // first 60 bits of the hex digest == conv(substr(hex, 1, 15), 16, 10)
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
-      grams(i) = v
+      // gram i = code points [i, min(i+k, n)) — end-clipped like substr
+      grams(i) = HashFunctions.polyHash52Local(cps, i, math.min(i + k, n))
       i += 1
     }
     val nWins = math.max(nGrams - (w - 1), 1)

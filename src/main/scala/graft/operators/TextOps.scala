@@ -652,7 +652,7 @@ object TextOps {
     val t = trim(text)
     val nGrams = greatest(length(t) - (k - 1), lit(1))
     val gramsExpr = transform(sequence(lit(1), nGrams),
-      i => HashFunctions.hash60(t.substr(i, lit(k))))
+      i => HashFunctions.polyHash52(t.substr(i, lit(k))))
     val base = df.select(col("doc_id"), gramsExpr.as("grams"))
     val nWins = greatest(size(col("grams")) - (w - 1), lit(1))
     base.select(col("doc_id"),
@@ -719,7 +719,7 @@ object TextOps {
     s"""g AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(1, greatest(length(trim(text)) - ${k - 1}, 1)),
-       |      i -> ${HashFunctions.hash60Sql(s"substr(trim(text), i, $k)")}) AS grams
+       |      i -> ${HashFunctions.polyHash52Sql(s"substr(trim(text), i, $k)")}) AS grams
        |  FROM documents
        |), sel AS (
        |  SELECT doc_id,
