@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object FsScrape {
 
-  /** One scraped row; `kind` ∈ file | dir | self | missing_dir (`self` =
-    * the scraped directory's own metadata, S3). */
+  /** One scraped row; `kind` ∈ file | dir | self | missing_dir |
+    * invalid_name (`self` = the scraped directory's own metadata, S3;
+    * `invalid_name` = dead-lettered entry whose name fails the UTF-8
+    * validity screen — see [[utf8Encodable]]). */
   final case class ScrapeRecord(
       kind: String,
       dirPath: String, // the scraped parent
@@ -41,6 +43,52 @@ object FsScrape {
       atime: Timestamp)
 
   private def ts(millis: Long): Timestamp = new Timestamp(millis)
+
+  // ---- UTF-8 validity screen (SURVEY §2.9) ---------------------------------
+  // The reference silently SKIPS rows whose names fail UTF-8 encoding
+  // before insert (FileDbDAL/DirectoryCrawl.py:87-115). A JVM string
+  // fails the UTF-8 round-trip exactly when it carries lone surrogates
+  // (the JDK's decoding of un-decodable filesystem bytes). Such entries
+  // are DEAD-LETTERED as kind=invalid_name records — never merged into
+  // the catalog, never silently lost: the staged row keeps the evidence
+  // with lone surrogates escaped as \uXXXX so the pattern is recoverable.
+
+  /** True iff `s` round-trips through UTF-8 (no unpaired surrogates). */
+  def utf8Encodable(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1))) return false
+        i += 2
+      } else if (Character.isLowSurrogate(c)) return false
+      else i += 1
+    }
+    true
+  }
+
+  /** Render `s` with every LONE surrogate escaped as `\uXXXX` (paired
+    * surrogates — real supplementary characters — pass through), so the
+    * dead-letter record survives the UTF-8 storage layer losslessly. */
+  def escapeLoneSurrogates(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+        Character.isLowSurrogate(s.charAt(i + 1))) {
+        sb.append(c).append(s.charAt(i + 1)); i += 2
+      } else if (Character.isHighSurrogate(c) || Character.isLowSurrogate(c)) {
+        sb.append(f"\\u${c.toInt}%04x"); i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The dead-letter relation of a scrape: quarantined invalid-name rows
+    * (kept in staging, consumed by no merge path). */
+  def quarantined(scraped: DataFrame): DataFrame =
+    scraped.filter(col("kind") === "invalid_name")
 
   /** Scrape one directory level imperatively (executor-side). */
   def scrapeDir(dirPath: String): Seq[ScrapeRecord] = {
@@ -65,7 +113,11 @@ object FsScrape {
           val ctime = ts(attrs.creationTime.toMillis)
           val mtime = ts(attrs.lastModifiedTime.toMillis)
           val atime = ts(attrs.lastAccessTime.toMillis)
-          if (attrs.isDirectory)
+          if (!utf8Encodable(name))
+            // dead-letter, not silent skip: quarantine with evidence
+            Some(ScrapeRecord("invalid_name", dirPath, escapeLoneSurrogates(name),
+              escapeLoneSurrogates(p.toString), null, ctime, mtime, atime))
+          else if (attrs.isDirectory)
             Some(ScrapeRecord("dir", dirPath, name, p.toString, null, ctime, mtime, atime))
           else if (attrs.isRegularFile) {
             val sizeMb = new java.math.BigDecimal(attrs.size)

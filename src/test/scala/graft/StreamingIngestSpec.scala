@@ -72,6 +72,33 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("mangled (lone-surrogate) names are quarantined: never merged, never lost") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.FsScrape
+    val mangled = "report\uD800final.txt" // lone high surrogate: fails UTF-8
+    assert(!FsScrape.utf8Encodable(mangled))
+    assert(FsScrape.utf8Encodable("plain-ünïcode-😀.txt")) // paired is fine
+    // the escape is lossless-by-rendering: lone surrogate becomes \ud800
+    assert(FsScrape.escapeLoneSurrogates(mangled) === "report\\ud800final.txt")
+    assert(FsScrape.escapeLoneSurrogates("ok-😀") === "ok-😀")
+
+    val st = new StateStore(spark, Files.createTempDirectory("graft_quar").toString)
+    val drop = Seq(
+      rec("self", "/data", ""),
+      rec("file", "/data", "good.txt", "0.000010"),
+      // what scrapeDir emits for the mangled entry
+      rec("invalid_name", "/data", FsScrape.escapeLoneSurrogates(mangled)))
+    StreamingIngest.mergeBatch(st, drop.toDS().toDF(), t1)
+    // not ingested: only the valid file reached the catalog
+    val names = st.read("file").select("name").as[String].collect().toSet
+    assert(names === Set("good.txt"))
+    // not lost: the dead-letter row is retrievable from the staged drop
+    val q = FsScrape.quarantined(drop.toDS().toDF())
+      .select("name").as[String].collect()
+    assert(q.toSeq === Seq("report\\ud800final.txt"))
+  }
+
   test("stream reaches state parity with the batch pipeline — hashes and removals included") {
     val s = spark
     import s.implicits._
