@@ -121,9 +121,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_select"),
       new ExpressionInfo(classOf[WinnowSelectExpr].getName, "winnow_select"),
       (children: Seq[Expression]) => {
-        def lit(e: Expression): Int =
-          e.eval(null).asInstanceOf[Number].intValue()
-        WinnowSelectExpr(children(0), lit(children(1)), lit(children(2)))
+        // k/w must be integer LITERALS — a column reference here would
+        // otherwise die at eval(null) with an opaque NPE/ClassCastException
+        def lit(e: Expression, name: String): Int = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              s"winnow_select: $name must be an integer literal, got ${e.sql}")
+          e.eval(null) match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"winnow_select: $name must be an integer literal, got $other")
+          }
+        }
+        WinnowSelectExpr(children(0), lit(children(1), "k"), lit(children(2), "w"))
       }))
   }
 }

@@ -105,6 +105,17 @@ case class BottomKByHash(
   override def left: Expression = key
   override def right: Expression = id
 
+  // non-long children (e.g. an int id passed straight to the public
+  // Column helper) must fail at ANALYSIS, not with a runtime
+  // ClassCastException inside update(). (AbstractDataType is private[sql],
+  // so this is checkInputDataTypes rather than the ExpectsInputTypes mixin.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (key.dataType == LongType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bottom_k_by_hash requires (BIGINT, BIGINT) inputs, " +
+        s"got (${key.dataType.sql}, ${id.dataType.sql})")
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("h", LongType, nullable = false),
       StructField("id", LongType, nullable = false))), containsNull = false)

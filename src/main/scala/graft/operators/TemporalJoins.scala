@@ -266,11 +266,15 @@ object TemporalJoins {
     * PAIRS themselves are the product; use this when only aggregates
     * are needed.
     *
-    * Exactness: each VALUE is quantized to DECIMAL(18,6) before
-    * summing (the same per-value literals on both engines); the frame
-    * bound `value <= v + width` is the same IEEE add as the join
-    * predicate, so the pair set is identical to [[valueBandPairs]]'
-    * (TemporalJoinsSpec pins equality of both output columns).
+    * Exactness: the frame bound `value <= v + width` is the same IEEE
+    * add as the join predicate, so the PAIR SET is identical to
+    * [[valueBandPairs]]'. The gap sums quantize differently, though:
+    * this form sums `dec(b) − dec(a)` per partner while the join form
+    * sums `dec(b − a)` — equal whenever values are exactly representable
+    * at 6 decimal places (true of the generated corpus, which
+    * TemporalJoinsSpec pins), but up to 1e-6 apart per pair on arbitrary
+    * doubles. The j18 gate's oracle is this window form itself, so
+    * cross-engine parity does not depend on that equality.
     *
     * One DELIBERATE shape difference: a type whose rows have no in-band
     * pair still gets a `(type, 0, 0.0)` row here (its anchors aggregate

@@ -230,13 +230,13 @@ class ChunkingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text")
     // recompute the selection in plain Scala to cross-check the guarantee
     def fps(t: String): Set[Long] = {
-      def h60(x: String): Long = {
-        val d = java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
-        java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+      def ph(x: String): Long = {
+        val cps = x.codePoints().toArray
+        graft.functions.HashFunctions.polyHash52Local(cps, 0, cps.length)
       }
       val tt = t.trim
       val grams = (1 to math.max(tt.length - (k - 1), 1))
-        .map(i => h60(tt.substring(i - 1, math.min(i - 1 + k, tt.length))))
+        .map(i => ph(tt.substring(i - 1, math.min(i - 1 + k, tt.length))))
       (1 to math.max(grams.length - (w - 1), 1))
         .map(i => grams.slice(i - 1, i - 1 + w).min).toSet
     }
