@@ -194,12 +194,19 @@ object TemporalJoins {
   def valueBandPairs(events: DataFrame, width: Double = 0.5): DataFrame = {
     val l = events.select(col("event_type"), col("value").as("l_value"))
     val r = events.select(col("event_type"), col("value").as("r_value"))
+    // Gap quantization runs in exact INT64 micro-units, not DECIMAL(18,6):
+    // per-pair decimal casts+adds over the 10M-pair result were ~3/4 of
+    // the query's cost (the old count()-driven bench pruned the aggregate
+    // and hid it). floor(gap·1e6 + 0.5) equals the decimal cast on gaps
+    // that are 6-dp values up to double rounding (|gap·1e6 − n| ≪ 0.5 for
+    // any |gap| < 2^40), both engines compute the identical double, and
+    // Σmicro ≤ pairs·width·1e6 ≪ 2^53 keeps the long→double cast exact —
+    // so sum_gap is bit-identical to the decimal formulation's.
     bandJoin(l, r, Seq("event_type"), "l_value", "r_value", width)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_pairs"),
-        sum((col("r_value") - col("l_value"))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double").as("sum_gap"))
+        (sum(floor((col("r_value") - col("l_value")) * lit(1e6) + lit(0.5)))
+          .cast("double") / lit(1e6)).as("sum_gap"))
   }
 
   /** j17: per-session concurrency — for every user session, how many
@@ -353,7 +360,8 @@ object TemporalJoins {
 
   def valueBandPairsSql(width: Double = 0.5): String =
     s"""SELECT a.event_type, count(*) AS n_pairs,
-       |  CAST(sum(CAST(b.value - a.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_gap
+       |  CAST(sum(CAST(floor((b.value - a.value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / CAST(1000000 AS DOUBLE) AS sum_gap
        |FROM events a JOIN events b
        |  ON a.event_type = b.event_type
        |  AND b.value > a.value AND b.value <= a.value + $width
