@@ -542,6 +542,13 @@ object SparkEntry {
         MultimodalOps.synthMediaFixture(
           Tables.documents(s, dir).select(col("doc_id"), col("text"))))),
 
+    // x59 — audio twin of x14: genuine RIFF/WAVE containers, real
+    // chunk-walking decode (rate/channels/bits/duration)
+    "x59_audio_meta" -> ((s, dir) =>
+      MultimodalOps.extractAudioMeta(
+        MultimodalOps.synthAudioFixture(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))))),
+
     "x17_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // standalone n-gram Jaccard over a deterministic candidate set
@@ -1273,6 +1280,7 @@ object SparkEntry {
     "x12_ann_topk" -> SimilarityOps.bruteForceTopKSql("vec_id % 100 = 0", 8),
     "x13_ann_lsh_pairs" -> SimilarityOps.lshDupPairsSql(0.30),
     "x14_media_meta" -> MultimodalOps.mediaFixtureSql,
+    "x59_audio_meta" -> MultimodalOps.audioFixtureSql,
     "x17_ngram_jaccard" -> DedupOps.jaccardForSql(
       "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents"),
 

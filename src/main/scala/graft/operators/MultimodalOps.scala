@@ -172,6 +172,126 @@ object MultimodalOps {
       |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format
       |FROM documents""".stripMargin
 
+  // ---- audio (RIFF/WAVE) ---------------------------------------------------
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  private def le32(p: Array[Byte], i: Int): Long =
+    (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+  private def tag(p: Array[Byte], i: Int, t: String): Boolean =
+    p.length >= i + 4 && p(i) == t(0) && p(i + 1) == t(1) &&
+      p(i + 2) == t(2) && p(i + 3) == t(3)
+
+  /** Real RIFF/WAVE metadata decode: walks the chunk list (word-aligned,
+    * unknown chunks skipped by their declared size) and reads the PCM
+    * `fmt ` fields plus the `data` chunk's payload size. Returns
+    * (sampleRate, channels, bitsPerSample, dataBytes) or all -1 when the
+    * container is detected but malformed/truncated; `null`-free. */
+  def decodeWav(p: Array[Byte]): (Int, Int, Int, Long) = {
+    val bad = (-1, -1, -1, -1L)
+    if (!(tag(p, 0, "RIFF") && tag(p, 8, "WAVE"))) return bad
+    var rate, ch, bits = -1
+    var dataBytes = -1L
+    var i = 12
+    var sane = true
+    while (sane && i + 8 <= p.length) {
+      val size = le32(p, i + 4)
+      if (tag(p, i, "fmt ") && i + 24 <= p.length) {
+        ch = (le16(p, i + 10)).toInt
+        rate = le32(p, i + 12).toInt
+        bits = (le16(p, i + 22)).toInt
+      } else if (tag(p, i, "data")) dataBytes = size
+      // a declared size beyond the container is corruption — stop walking
+      // (unsigned u32 could also wrap toInt negative and loop forever)
+      if (size > p.length) sane = false
+      else i += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+    }
+    if (rate > 0 && ch > 0 && bits > 0 && dataBytes >= 0) (rate, ch, bits, dataBytes)
+    else bad
+  }
+
+  /** Genuine canonical 44-byte WAV header (RIFF + PCM fmt + data chunk
+    * header) for `dataBytes` of sample payload. */
+  def wavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                dataBytes: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val byteRate = sampleRate * blockAlign
+    val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+      .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    b.array()
+  }
+
+  /** Deterministic audio fixture parameters from a doc id — mirrored by
+    * [[audioFixtureSql]]; keep in sync. 16-bit PCM throughout. */
+  def audioFixtureParams(docId: Long): (Int, Int) = {
+    val rate = (docId % 4L) match {
+      case 0L => 8000; case 1L => 16000; case 2L => 44100; case _ => 48000
+    }
+    (rate, 1 + (docId % 2L).toInt)
+  }
+
+  /** Audio corpus with GENUINE WAV containers: header fields derive from
+    * doc_id, the UTF-8 text bytes stand in for PCM samples. */
+  def synthAudioFixture(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col("doc_id").cast("long"), col("text")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val (rate, ch) = audioFixtureParams(id)
+        val body = r.getString(1).getBytes("UTF-8")
+        Row(id, wavHeader(rate, ch, 16, body.length) ++ body)
+      })
+    session.createDataFrame(rdd, schema)
+  }
+
+  /** Batched audio metadata extraction: real chunk-walking decode per
+    * row, duration from exact integer arithmetic. */
+  def extractAudioMeta(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (rate, ch, bits, dataBytes) = decodeWav(payload)
+        val durMs =
+          if (rate > 0) dataBytes * 1000L / (rate.toLong * ch * (bits / 8))
+          else -1L
+        Row(id, payload.length, rate, ch, bits, durMs)
+      })
+    session.createDataFrame(rdd, audioMetaSchema)
+  }
+
+  /** DuckDB twin of extractAudioMeta∘synthAudioFixture over `documents`
+    * (canonical 44-byte header; duration is exact integer division). */
+  def audioFixtureSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) + 44 AS INT) AS n_bytes,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       WHEN 2 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST(16 AS INT) AS bits,
+      |  CAST(CAST(octet_length(encode(text)) AS BIGINT) * 1000
+      |    // (CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |          WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT)
+      |        * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
+      |FROM documents""".stripMargin
+
   /** Batched metadata extraction over a binary column: one decoder per
     * partition, rows streamed through it, real header parsing via
     * [[decodeMeta]]. Input needs (doc_id: long, payload: binary). */

@@ -70,6 +70,43 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeMeta(MultimodalOps.gifHeader(10, 10).take(8)) === ((-1, -1, "gif")))
   }
 
+  test("decodeWav recovers format fields from genuine javax.sound WAV bytes") {
+    // a real encoder, not our own synthesis: JDK javax.sound writes the WAV
+    for ((rate, ch) <- Seq((8000, 1), (44100, 2), (48000, 1))) {
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+      val frames = 250
+      val raw = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      val (dRate, dCh, dBits, dBytes) = MultimodalOps.decodeWav(out.toByteArray)
+      assert((dRate, dCh, dBits) === ((rate, ch, 16)))
+      assert(dBytes === frames.toLong * fmt.getFrameSize)
+    }
+    // malformed: truncated header and non-RIFF bytes degrade to -1s
+    assert(MultimodalOps.decodeWav("RIFFxxxx".getBytes("US-ASCII")) === ((-1, -1, -1, -1L)))
+    assert(MultimodalOps.decodeWav(MultimodalOps.wavHeader(8000, 1, 16, 100).take(20)) ===
+      ((-1, -1, -1, -1L)))
+  }
+
+  test("extractAudioMeta over synthAudioFixture round-trips audioFixtureParams") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "alpha"), (1L, "bé"), (2L, ""), (3L, "gamma-long-body"))
+      .toDF("doc_id", "text")
+    val meta = MultimodalOps.extractAudioMeta(MultimodalOps.synthAudioFixture(docs))
+    assert(meta.schema === MultimodalOps.audioMetaSchema)
+    val rows = meta.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    for ((id, text) <- Seq(0L -> "alpha", 1L -> "bé", 2L -> "", 3L -> "gamma-long-body")) {
+      val (rate, ch) = MultimodalOps.audioFixtureParams(id)
+      val n = text.getBytes("UTF-8").length
+      assert(rows(id) === ((44 + n, rate, ch, 16, n.toLong * 1000 / (rate.toLong * ch * 2))))
+    }
+  }
+
   test("extractMediaMeta over synthMediaFixture round-trips fixtureParams") {
     val s = spark
     import s.implicits._
