@@ -549,6 +549,12 @@ object SparkEntry {
         MultimodalOps.synthAudioFixture(
           Tables.documents(s, dir).select(col("doc_id"), col("text"))))),
 
+    // x60 — video: genuine ISO BMFF containers, real moov/mvhd box walk
+    "x60_video_meta" -> ((s, dir) =>
+      MultimodalOps.extractVideoMeta(
+        MultimodalOps.synthVideoFixture(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))))),
+
     "x17_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // standalone n-gram Jaccard over a deterministic candidate set
@@ -1281,6 +1287,7 @@ object SparkEntry {
     "x13_ann_lsh_pairs" -> SimilarityOps.lshDupPairsSql(0.30),
     "x14_media_meta" -> MultimodalOps.mediaFixtureSql,
     "x59_audio_meta" -> MultimodalOps.audioFixtureSql,
+    "x60_video_meta" -> MultimodalOps.videoFixtureSql,
     "x17_ngram_jaccard" -> DedupOps.jaccardForSql(
       "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents"),
 

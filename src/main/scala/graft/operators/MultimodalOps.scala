@@ -292,6 +292,125 @@ object MultimodalOps {
       |        * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
       |FROM documents""".stripMargin
 
+  // ---- video (ISO BMFF / MP4) ----------------------------------------------
+
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("brand", StringType),
+    StructField("timescale", IntegerType),
+    StructField("duration_units", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** Real ISO BMFF metadata decode: verifies the `ftyp` box, walks the
+    * top-level box list to `moov`, walks its children to `mvhd`, and
+    * reads (timescale, duration) — both the version-0 (32-bit) and
+    * version-1 (64-bit times) layouts. Returns (brand, -1, -1) when the
+    * container is detected but the movie header is absent/corrupt. */
+  def decodeMp4(p: Array[Byte]): (String, Int, Long) = {
+    if (!tag(p, 4, "ftyp") || p.length < 12) return ("unknown", -1, -1L)
+    val brand = new String(p.slice(8, 12), "US-ASCII")
+    def walk(from: Int, until: Int, want: String): Int = {
+      var i = from
+      while (i + 8 <= until) {
+        val size = be32(p, i)
+        if (size < 8 || i + size > until) return -1 // corrupt box size
+        if (tag(p, i + 4, want)) return i
+        i += size.toInt
+      }
+      -1
+    }
+    val moov = walk(0, p.length, "moov")
+    if (moov < 0) return (brand, -1, -1L)
+    val mvhd = walk(moov + 8, moov + be32(p, moov).toInt, "mvhd")
+    if (mvhd < 0) return (brand, -1, -1L)
+    (p(mvhd + 8) & 0xff) match {
+      case 0 if mvhd + 28 <= p.length =>
+        (brand, be32(p, mvhd + 20).toInt, be32(p, mvhd + 24))
+      case 1 if mvhd + 40 <= p.length =>
+        (brand, be32(p, mvhd + 28).toInt,
+          (be32(p, mvhd + 32) << 32) | be32(p, mvhd + 36))
+      case _ => (brand, -1, -1L)
+    }
+  }
+
+  /** Genuine minimal MP4: `ftyp(isom)` + `moov/mvhd` (version 0, identity
+    * matrix) + an `mdat` header for `dataBytes` of payload. 144 bytes. */
+  def mp4Header(timescale: Int, durationUnits: Long, dataBytes: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(144).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(s: String): Unit = { b.put(s.getBytes("US-ASCII")); () }
+    b.putInt(20); fourcc("ftyp"); fourcc("isom"); b.putInt(0); fourcc("mp41")
+    b.putInt(116); fourcc("moov")
+    b.putInt(108); fourcc("mvhd")
+    b.putInt(0) // version 0 + flags
+    b.putInt(0).putInt(0) // creation / modification time
+    b.putInt(timescale).putInt(durationUnits.toInt)
+    b.putInt(0x00010000) // rate 1.0
+    b.putShort(0x0100.toShort).putShort(0) // volume, reserved
+    b.putLong(0L) // reserved
+    b.putInt(0x00010000).putInt(0).putInt(0) // identity matrix
+    b.putInt(0).putInt(0x00010000).putInt(0)
+    b.putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+    b.putInt(2) // next_track_ID
+    b.putInt(8 + dataBytes); fourcc("mdat")
+    b.array()
+  }
+
+  /** Deterministic video fixture parameters — mirrored by
+    * [[videoFixtureSql]]; keep in sync. */
+  def videoFixtureParams(docId: Long): (Int, Long) = {
+    val ts = (docId % 4L) match {
+      case 0L => 600; case 1L => 1000; case 2L => 90000; case _ => 48000
+    }
+    (ts, 1000L + (docId * 13L) % 100000L)
+  }
+
+  /** Video corpus with GENUINE ISO BMFF containers: mvhd fields derive
+    * from doc_id, text bytes stand in for the mdat payload. */
+  def synthVideoFixture(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col("doc_id").cast("long"), col("text")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val (ts, dur) = videoFixtureParams(id)
+        val body = r.getString(1).getBytes("UTF-8")
+        Row(id, mp4Header(ts, dur, body.length) ++ body)
+      })
+    session.createDataFrame(rdd, schema)
+  }
+
+  /** Batched video metadata extraction via [[decodeMp4]]. */
+  def extractVideoMeta(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (brand, ts, dur) = decodeMp4(payload)
+        val durMs = if (ts > 0) dur * 1000L / ts else -1L
+        Row(id, payload.length, brand, ts, dur, durMs)
+      })
+    session.createDataFrame(rdd, videoMetaSchema)
+  }
+
+  /** DuckDB twin of extractVideoMeta∘synthVideoFixture over `documents`
+    * (144-byte container; duration is exact integer division). */
+  def videoFixtureSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) + 144 AS INT) AS n_bytes,
+      |  'isom' AS brand,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |       WHEN 2 THEN 90000 ELSE 48000 END AS INT) AS timescale,
+      |  CAST(1000 + (doc_id * 13) % 100000 AS BIGINT) AS duration_units,
+      |  CAST((1000 + (doc_id * 13) % 100000) * 1000
+      |    // CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |         WHEN 2 THEN 90000 ELSE 48000 END AS BIGINT) AS BIGINT) AS duration_ms
+      |FROM documents""".stripMargin
+
   /** Batched metadata extraction over a binary column: one decoder per
     * partition, rows streamed through it, real header parsing via
     * [[decodeMeta]]. Input needs (doc_id: long, payload: binary). */

@@ -107,6 +107,46 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decodeMp4 walks boxes to mvhd: v0, v1, preceding siblings, corruption") {
+    // v0 synthesized container round-trips
+    val v0 = MultimodalOps.mp4Header(90000, 123456L, 10) ++ Array.fill(10)(7.toByte)
+    assert(MultimodalOps.decodeMp4(v0) === (("isom", 90000, 123456L)))
+    // a version-1 mvhd (64-bit times) hand-built: the parser must use the
+    // v1 offsets — and find moov even after an interposed free box
+    val bb = java.nio.ByteBuffer.allocate(20 + 8 + 8 + 48)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(MultimodalOps.mp4Header(1, 1L, 0).take(20)) // reuse genuine ftyp
+    bb.putInt(8).put("free".getBytes("US-ASCII"))      // sibling to skip
+    bb.putInt(8 + 48).put("moov".getBytes("US-ASCII"))
+    bb.putInt(48).put("mvhd".getBytes("US-ASCII"))
+    bb.put(1.toByte).put(Array[Byte](0, 0, 0))          // version 1 + flags
+    bb.putLong(0L).putLong(0L)                          // 64-bit times
+    bb.putInt(48000)                                    // timescale
+    bb.putLong(5000000000L)                             // 64-bit duration
+    assert(MultimodalOps.decodeMp4(bb.array()) === (("isom", 48000, 5000000000L)))
+    // corruption degrades, never loops: zero-size box, truncation, non-mp4
+    assert(MultimodalOps.decodeMp4(v0.take(30)) === (("isom", -1, -1L)))
+    assert(MultimodalOps.decodeMp4("nope".getBytes("US-ASCII")) === (("unknown", -1, -1L)))
+    val corrupt = v0.clone; corrupt(20) = 0; corrupt(21) = 0; corrupt(22) = 0; corrupt(23) = 0
+    assert(MultimodalOps.decodeMp4(corrupt) === (("isom", -1, -1L)))
+  }
+
+  test("extractVideoMeta over synthVideoFixture round-trips videoFixtureParams") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "alpha"), (1L, ""), (2L, "bé"), (3L, "longer-body-here"))
+      .toDF("doc_id", "text")
+    val meta = MultimodalOps.extractVideoMeta(MultimodalOps.synthVideoFixture(docs))
+    assert(meta.schema === MultimodalOps.videoMetaSchema)
+    val rows = meta.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getString(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    for ((id, text) <- Seq(0L -> "alpha", 1L -> "", 2L -> "bé", 3L -> "longer-body-here")) {
+      val (ts, dur) = MultimodalOps.videoFixtureParams(id)
+      val n = text.getBytes("UTF-8").length
+      assert(rows(id) === ((144 + n, "isom", ts, dur, dur * 1000L / ts)))
+    }
+  }
+
   test("extractMediaMeta over synthMediaFixture round-trips fixtureParams") {
     val s = spark
     import s.implicits._
