@@ -88,6 +88,14 @@ object PinnedViews {
     }
   }
 
+  /** Current invalidation generation for `session` — lets derived caches
+    * (e.g. DedupOps' Bloom-sketch memo, whose entries hang off a pin's
+    * plan) evict entries built against superseded pins instead of holding
+    * them for the session's lifetime. */
+  def generation(session: SparkSession): Long = synchronized {
+    generations.getOrElse(session, 0L)
+  }
+
   /** Drop every pin held for `session` (called by the state-store write
     * paths on mutation; also test isolation / catalog refresh). */
   def invalidate(session: SparkSession): Unit = synchronized {

@@ -690,21 +690,29 @@ object DedupOps {
 
   // Bloom sketch memo, keyed by the PIN's plan: a PinnedViews checkpoint
   // materializes as a unique LogicalRDD, so after any invalidation the new
-  // pin has a new plan and stale sketches are simply unreachable — the
-  // same train-once/probe-many shape as SparkEntry's ivfCache. fpp joins
-  // the key so different precisions don't collide.
+  // pin has a new plan and the stale sketch can never be SERVED — but a
+  // never-served MB-sized sketch still held by the map is a leak on
+  // long-lived sessions with frequent state mutations. The key therefore
+  // carries the pin's PinnedViews generation: lookups evict every entry a
+  // later invalidation superseded (mirroring PinnedViews' own
+  // drop-on-invalidate), and an insert that lost a race with invalidate
+  // stays uncached, same as pinned(). fpp joins the key so different
+  // precisions don't collide.
   private val bloomCache = scala.collection.mutable.HashMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Long), List[
+    .empty[(org.apache.spark.sql.SparkSession, Long, Int, Long), List[
       (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         (Long, org.apache.spark.util.sketch.BloomFilter))]]
 
   private def evalBloom(pinnedEval: DataFrame,
                         fpp: Double): (Long, org.apache.spark.util.sketch.BloomFilter) = {
+    val session = pinnedEval.sparkSession
     val plan = pinnedEval.queryExecution.analyzed
-    val key = (pinnedEval.sparkSession, plan.semanticHash(),
+    val gen = graft.core.PinnedViews.generation(session)
+    val key = (session, gen, plan.semanticHash(),
       java.lang.Double.doubleToLongBits(fpp))
     val hit = bloomCache.synchronized {
-      bloomCache.keys.filter(_._1.sparkContext.isStopped).toList
+      bloomCache.keys.filter(k => k._1.sparkContext.isStopped ||
+          ((k._1 eq session) && k._2 != gen)).toList
         .foreach(bloomCache.remove)
       bloomCache.getOrElse(key, Nil).find(_._1.sameResult(plan)).map(_._2)
     }
@@ -713,7 +721,8 @@ object DedupOps {
       val built =
         (nEval, if (nEval == 0) null else pinnedEval.stat.bloomFilter("h", nEval, fpp))
       bloomCache.synchronized {
-        bloomCache.getOrElse(key, Nil).find(_._1.sameResult(plan)) match {
+        if (graft.core.PinnedViews.generation(session) != gen) built // superseded mid-build
+        else bloomCache.getOrElse(key, Nil).find(_._1.sameResult(plan)) match {
           case Some(winner) => winner._2
           case None =>
             bloomCache.update(key, (plan, built) :: bloomCache.getOrElse(key, Nil))

@@ -150,13 +150,21 @@ object IvfOps {
     import spark.implicits._
     val cents = model.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toSeq.toDF("cid", "cv")
-    val sim = SimilarityOps.dot(col("qe"), col("cv")) /
-      (sqrt(SimilarityOps.dot(col("qe"), col("qe"))) *
+    // Degenerate (zero-norm) vectors must rank LAST, mirroring nearest()'s
+    // Scala total ordering where their NaN cosine sorts after +∞. Plain
+    // division would THROW under ANSI (DIVIDE_BY_ZERO — Scala's 0.0/0.0
+    // silently yields NaN, JVM vs SQL semantics); try_divide degrades the
+    // zero denominator to null, desc_nulls_last ranks it after every real
+    // similarity, and nanvl catches NaN from NaN *inputs* the same way.
+    val sim = try_divide(SimilarityOps.dot(col("qe"), col("cv")),
+      sqrt(SimilarityOps.dot(col("qe"), col("qe"))) *
         sqrt(SimilarityOps.dot(col("cv"), col("cv"))))
     val ranked = typed(queries).toDF("query_id", "qe")
       .join(broadcast(cents), lit(true))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(sim.desc, col("cid"))))
+        Window.partitionBy(col("query_id"))
+          .orderBy(nanvl(sim, lit(Double.NegativeInfinity)).desc_nulls_last,
+            col("cid"))))
       .filter(col("rn") <= nProbe)
     if (!unitNorm)
       ranked.select(col("query_id"), col("cid").as("centroid_id"), col("qe"))
@@ -164,9 +172,12 @@ object IvfOps {
       .select(col("query_id"), col("cid").as("centroid_id"), col("qe"),
         sqrt(SimilarityOps.dot(col("qe"), col("qe"))).as("nrm"))
       // nrm referenced twice → CollapseProject keeps the boundary, so the
-      // norm is computed once per row, not once per array element
+      // norm is computed once per row, not once per array element. The
+      // nrm > 0 guard keeps a zero-norm query from ANSI-throwing in the
+      // division (it degrades to a null qu; such a query has no defined
+      // ADC direction either way).
       .select(col("query_id"), col("centroid_id"),
-        when(col("nrm").isNotNull, transform(col("qe"), x => x / col("nrm")))
+        when(col("nrm") > 0, transform(col("qe"), x => x / col("nrm")))
           .otherwise(lit(null).cast("array<double>")).as("qu"))
   }
 

@@ -269,8 +269,11 @@ object MultimodalOps {
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         val (rate, ch, bits, dataBytes) = decodeWav(payload)
+        // bits < 8 (e.g. 4-bit IMA ADPCM) passes decodeWav's >0 guards but
+        // makes the PCM bytes-per-sample divisor 0 — treat it as
+        // undecodable like every other malformed-input path, not a crash
         val durMs =
-          if (rate > 0) dataBytes * 1000L / (rate.toLong * ch * (bits / 8))
+          if (rate > 0 && bits >= 8) dataBytes * 1000L / (rate.toLong * ch * (bits / 8))
           else -1L
         Row(id, payload.length, rate, ch, bits, durMs)
       })

@@ -87,6 +87,27 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(IvfOps.adcTopK(emb, queries, model, k = 8, nProbe = 6)))
   }
 
+  test("join-probe ranking matches nearest() on zero-norm (NaN-sim) queries") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = IvfOps.train(emb, k = 8, iterations = 1)
+    val dim = model.centroids(0).length
+    // a zero-norm query makes every centroid cosine NaN: Spark's plain
+    // desc would rank NaN first while nearest()'s Scala total ordering
+    // ranks it last — the nanvl in probesViaJoin pins both paths to the
+    // same probe lists even on this degenerate input
+    val qs = Seq(900001L -> Array.fill(dim)(0.0),
+      900002L -> Array.tabulate(dim)(i => (i + 1).toDouble / dim))
+    val queries = qs.toDF("vec_id", "embedding")
+    val joined = IvfOps.probesViaJoin(queries, model, nProbe = 3)
+      .select("query_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    for ((qid, v) <- qs)
+      assert(joined(qid) === model.nearest(v, 3).toSet, s"probe list for query $qid")
+  }
+
   test("persisted index round-trips: saved+loaded query equals the direct one") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)

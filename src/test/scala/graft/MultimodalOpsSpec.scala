@@ -107,6 +107,21 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("extractAudioMeta degrades sub-byte sample widths (ADPCM) to -1, no crash") {
+    val s = spark
+    import s.implicits._
+    // structurally valid WAV whose fmt declares 4-bit samples (IMA ADPCM
+    // shape): rate/ch/bits all pass the >0 guards, but bytes-per-sample is
+    // 0 — duration must degrade to -1 like every other malformed path,
+    // not die in integer division
+    val adpcm = MultimodalOps.wavHeader(8000, 1, 4, 100) ++ new Array[Byte](100)
+    assert(MultimodalOps.decodeWav(adpcm) === ((8000, 1, 4, 100L)))
+    val df = Seq((7L, adpcm)).toDF("doc_id", "payload")
+    val row = MultimodalOps.extractAudioMeta(df).head()
+    assert(row.getLong(5) === -1L)
+    assert((row.getInt(2), row.getInt(3), row.getInt(4)) === ((8000, 1, 4)))
+  }
+
   test("decodeMp4 walks boxes to mvhd: v0, v1, preceding siblings, corruption") {
     // v0 synthesized container round-trips
     val v0 = MultimodalOps.mp4Header(90000, 123456L, 10) ++ Array.fill(10)(7.toByte)
