@@ -65,14 +65,24 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "est", "un"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3", "you3"))
 
-  /** Per-language function-word score of a text column. */
-  def langScore(text: Column, profile: Seq[String]): Column =
-    size(filter(words(text), t => t.isin(profile.map(lit(_)): _*)))
+  /** Per-language function-word score over a MATERIALIZED token-array
+    * attribute (never over an inline `split` — see [[pickLang]]). */
+  def langScoreOf(toks: Column, profile: Seq[String]): Column =
+    size(filter(toks, t => t.isin(profile.map(lit(_)): _*)))
 
-  /** Winning language as a single Column (ties alphabetical, all-zero →
-    * "und") — reusable inside composed pipelines without a join. */
-  def detectedLang(text: Column): Column = {
-    val scores = langProfiles.map { case (lang, p) => lang -> langScore(text, p) }
+  /** Winning language over materialized score ATTRIBUTES (ties
+    * alphabetical, all-zero → "und").
+    *
+    * Two-phase by design: language ID used to be a single Column whose
+    * nested CASE re-stated every `langScore` per branch, and each score
+    * embedded its own `split(trim(text))` — 38 copies of the tokenization
+    * subtree in one Project (Catalyst's subexpression elimination only
+    * partially covers conditional branches and never hoists into lambda
+    * bodies). Mirroring `langIdSql`'s `scored` CTE — score columns once
+    * behind a projection boundary, then a CASE over plain attributes —
+    * keeps tokenization at ONE evaluation per row; PlanShapeSpec pins the
+    * single-split plan. */
+  def pickLang(scores: Seq[(String, Column)]): Column = {
     val mx = greatest(scores.map(_._2): _*)
     val pick = scores.foldRight(lit("und")) { case ((lang, s), el) =>
       when(s === mx, lit(lang)).otherwise(el)
@@ -80,13 +90,28 @@ object TextOps {
     when(mx === 0, "und").otherwise(pick)
   }
 
+  /** The five `s_<lang>` score columns over a token-array attribute. */
+  def langScoreCols(toks: Column): Seq[Column] =
+    langProfiles.map { case (l, p) => langScoreOf(toks, p).as(s"s_$l") }
+
+  /** `s_<lang>` attribute references for [[pickLang]] after
+    * [[langScoreCols]] has been projected. */
+  def langScoreAttrs: Seq[(String, Column)] =
+    langProfiles.map { case (l, _) => l -> col(s"s_$l") }
+
   /** N-gram/stopword-heuristic language ID: per-language score = count of
     * tokens in that language's function-word profile; winner = highest
-    * score, ties broken alphabetically; all-zero → "und". */
+    * score, ties broken alphabetically; all-zero → "und".
+    *
+    * Three projections: token array (referenced 5×, so CollapseProject
+    * keeps the boundary per SPARK-36718) → five scores (each referenced
+    * 2+× by the CASE) → winner over attributes. One `split` per row. */
   def langId(df: DataFrame, text: Column = col("text")): DataFrame =
-    df.select(
-      (Seq(col("doc_id"), detectedLang(text).as("detected_lang")) ++
-        langProfiles.map { case (l, p) => langScore(text, p).as(s"s_$l") }): _*)
+    df.select(col("doc_id"), words(text).as("__toks"))
+      .select(col("doc_id") +: langScoreCols(col("__toks")): _*)
+      .select(
+        (Seq(col("doc_id"), pickLang(langScoreAttrs).as("detected_lang")) ++
+          langProfiles.map { case (l, _) => col(s"s_$l") }): _*)
 
   def langIdSql: String = {
     val scores = langProfiles.map { case (lang, profile) =>
@@ -167,34 +192,67 @@ object TextOps {
     * language filter → quality filter → exact dedup (canonical
     * representative = lowest doc_id per text hash) → token accounting.
     *
-    * One scan, one shuffle: every feature is a per-row Column over the
-    * same projection (no self-joins), the filters run before the dedup
-    * groupBy (cheapest order — narrow work first, shuffle over survivors
-    * only), and the groupBy partial-aggregates map-side. Rows sharing a
+    * One scan, one shuffle over SURVIVORS only: the token array is
+    * materialized once (phase 1), every numeric feature is computed over
+    * that attribute (phase 2), and the language/quality DECISIONS are
+    * cheap CASE/arithmetic over the feature attributes (phase 3) — so the
+    * filter that runs before the dedup groupBy costs attribute
+    * comparisons, not a second scoring pass, and the Exchange carries
+    * only docs that pass it. (The round-6 form filtered after the
+    * aggregation to avoid double-scoring; the projection boundaries give
+    * single scoring AND the narrow shuffle at once.) Rows sharing a
     * text_hash share ALL feature values (pure functions of text), so
     * `min` picks the canonical row without a window function. */
   def trainingSelection(df: DataFrame, lang: String = "en",
-                        minQuality: Double = 0.5): DataFrame =
-    df.select(col("doc_id"),
-        detectedLang(col("text")).as("detected_lang"),
-        qualityScoreCol(col("text")).as("quality_score"),
-        graft.functions.TextExpressions.wsTokenCountFast(col("text")).as("ws_tokens"),
-        HashFunctions.hash60(col("text")).as("text_hash"))
+                        minQuality: Double = 0.5): DataFrame = {
+    val text = col("text")
+    val toks = col("__toks")
+    df.select(col("doc_id"), text, words(text).as("__toks"))
+      .select((Seq(col("doc_id"),
+        size(toks).cast("double").as("__n_words"),
+        size(filter(toks, t => t.isin(qualityStopwords.map(lit(_)): _*)))
+          .cast("double").as("__stops"),
+        regexp_count(text, lit("[^a-z0-9 ]")).cast("double").as("__punct"),
+        length(text).cast("double").as("__n_chars"),
+        graft.functions.TextExpressions.wsTokenCountFast(text).as("ws_tokens"),
+        HashFunctions.hash60(text).as("text_hash")) ++
+        langScoreCols(toks)): _*)
+      .select(col("doc_id"),
+        pickLang(langScoreAttrs).as("detected_lang"),
+        // same arithmetic as qualityScoreCol, over the materialized counts
+        (least(col("__n_words") / 100d, lit(1d)) * 0.4 +
+          (lit(1d) - col("__punct") / col("__n_chars")) * 0.3 +
+          least(col("__stops") / col("__n_words") * 5d, lit(1d)) * 0.3)
+          .as("quality_score"),
+        col("ws_tokens"), col("text_hash"))
+      // CollectMetrics is deliberate and load-bearing: predicate pushdown
+      // substitutes aliases with NO cost guard, so a Filter placed directly
+      // over the scoring projections gets rewritten into a scan-level
+      // predicate that re-inlines split(trim(text)) 21× per row (measured;
+      // the projection boundaries themselves survive — only the pushed
+      // filter copy explodes). Pushdown cannot cross CollectMetrics, so the
+      // filter stays HERE — cheap attribute comparisons, below the Exchange
+      // — and the observation doubles as real curation telemetry (docs
+      // scored before selection, retrievable via the observe API).
+      .observe(s"training_selection_scored_${obsId.incrementAndGet()}",
+        count(lit(1)).as("docs_scored"))
+      .filter(col("detected_lang") === lang && col("quality_score") >= minQuality)
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"),
-        min(col("detected_lang")).as("detected_lang"),
         min(col("quality_score")).as("quality_score"),
         min(col("ws_tokens")).as("ws_tokens"))
-      // Every selected column is a pure function of `text`, so all rows of
-      // a text_hash group carry identical values — filtering the AGGREGATED
-      // attributes is row-for-row equivalent to pre-filtering, and it
-      // evaluates the expensive lang/quality scoring once per row instead
-      // of in both the pushed-down filter and the projection (codegen
-      // subexpression elimination only partly spans that operator pair —
-      // measured ~16% on this query at sf0.1). The shuffle carries a few
-      // small columns per doc either way.
-      .filter(col("detected_lang") === lang && col("quality_score") >= minQuality)
-      .select("doc_id", "detected_lang", "quality_score", "ws_tokens", "text_hash")
+      // every surviving row has detected_lang == lang (the filter pinned
+      // it), so re-attach the constant instead of aggregating the string:
+      // min(string) is not hash-aggregable and forced a SortAggregate +
+      // per-partition Sort on both sides of the Exchange
+      .select(col("doc_id"), lit(lang).as("detected_lang"),
+        col("quality_score"), col("ws_tokens"), col("text_hash"))
+  }
+
+  // observe() metric names must be unique within a query plan — a fixed
+  // name would make two composed trainingSelection calls (e.g. a union of
+  // two curated corpora) fail analysis
+  private val obsId = new java.util.concurrent.atomic.AtomicLong
 
   def trainingSelectionSql(lang: String = "en", minQuality: Double = 0.5): String = {
     val scores = langProfiles.map { case (l, profile) =>

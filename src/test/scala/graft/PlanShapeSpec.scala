@@ -66,6 +66,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Join"), s"feature columns must not self-join:\n$plan")
   }
 
+  test("langId family tokenizes ONCE per row (x2/x19/x30 two-phase scoring)") {
+    // the round-6 plan inlined split(trim(text)) 38× into one Project via
+    // the nested lang CASE; the two-phase rewrite (scores behind a
+    // CollapseProject boundary, CASE over attributes) must keep exactly
+    // one tokenization in the whole plan — for the scoring projection AND
+    // for any filter copy pushdown might try to create
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    def splits(df: DataFrame): Int =
+      "split\\(trim\\(".r.findAllIn(physicalPlan(df)).length
+    assert(splits(graft.operators.TextOps.langId(docs)) === 1, "x2 langId")
+    assert(splits(graft.operators.TextOps.trainingSelection(docs)) === 1, "x19")
+    assert(splits(graft.operators.SamplingOps.trainingPipeline(docs)) === 1, "x30")
+  }
+
+  test("x19 filters below the Exchange, on materialized score attributes") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.TextOps.trainingSelection(docs))
+    // the CollectMetrics barrier is what keeps predicate pushdown from
+    // rewriting the cheap attribute filter into a 21×-inlined scan
+    // predicate — if it disappears, so does the single-split property
+    assert(plan.contains("CollectMetrics"), s"pushdown barrier must survive:\n$plan")
+    val exch = plan.indexOf("Exchange")
+    val filt = plan.indexOf("= en)")
+    assert(exch >= 0 && filt > exch,
+      s"language/quality filter must run map-side, below the shuffle:\n$plan")
+  }
+
   test("vw_ll plans with broadcast dimension joins") {
     val c = SparkEntry.cat(spark, sfDir)
     val plan = physicalPlan(c.vwLl)
