@@ -18,14 +18,26 @@ object Bench {
     // warm-up: JIT/codegen + parquet footer caches, so per-query times
     // measure the query, not session start
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    Seq("region", "nation", "customer", "orders", "lineitem",
-      "documents", "embeddings").foreach { t =>
-      try graft.core.Tables.table(spark, sfDir, t).limit(1).collect()
+    // FULL-scan checksum warm pass per base table: limit(1) only warmed
+    // footers, so first-touch data-page reads + scan codegen landed on
+    // whichever query the map iterated first — in the round-6 driver
+    // bench that was q1_agg, which absorbed ~8 s of one-time cost. One
+    // honest scan per table (sum of xxhash64 forces every column) moves
+    // that cost into setup, where it belongs.
+    def warmScan(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions._
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(sum("h")).collect()
+      ()
+    }
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      try warmScan(graft.core.Tables.table(spark, sfDir, t))
       catch { case _: Throwable => () }
     }
     // events needs its dedicated reader (nanosecond ts handling) — the
     // generic path throws PARQUET_TYPE_ILLEGAL and leaves it cold
-    try graft.core.Tables.events(spark, sfDir).limit(1).collect()
+    try warmScan(graft.core.Tables.events(spark, sfDir))
     catch { case _: Throwable => () }
     // materialize the cached catalog base tables (the reference's queries
     // hit warm materialized Postgres tables — per-query numbers should
@@ -54,7 +66,11 @@ object Bench {
         .agg(sum("h")).collect()
       ()
     }
-    val results = SparkEntry.queries
+    // sorted-name iteration: SparkEntry.queries is a hash Map, so its
+    // iteration order — and therefore which query pays any residual
+    // first-touch cost — used to vary with the key set. Deterministic
+    // order makes per-query numbers comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -69,7 +85,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qJson(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a SPARK_GRAFT_ONLY-restricted local run must be distinguishable from
     // the full bench to any later reader: flag it in every emission
     val restricted = if (only.isDefined) """"restricted":true,""" else ""
