@@ -27,7 +27,7 @@ object Bench {
     def warmScan(df: org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.functions._
       df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(sum("h")).collect()
+        .agg(expr("bit_xor(h)")).collect()
       ()
     }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -60,10 +60,16 @@ object Bench {
     // operator (simhash, quantize, chunker) would time its scan instead of
     // its work — the same blindness that hid the HOF-lambda O(L²) trap.
     // xxhash64(struct(*)) forces every output column to be evaluated.
+    // The combiner must be bit_xor, NOT sum: summing uniform 64-bit hashes
+    // overflows BIGINT almost surely, and under ANSI that THROWS — the
+    // catch below would swallow it and record time-to-first-overflow,
+    // silently truncating whatever tail of the final stage hadn't run
+    // (measured: even q1_agg's 6-row checksum overflowed). XOR is total,
+    // order-independent, and still forces every column.
     def checksum(df: org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.functions._
       df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(sum("h")).collect()
+        .agg(expr("bit_xor(h)")).collect()
       ()
     }
     // sorted-name iteration: SparkEntry.queries is a hash Map, so its
