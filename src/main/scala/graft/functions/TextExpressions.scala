@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen whitespace-token COUNTER.
@@ -46,6 +47,47 @@ object TextUtils {
     }
     runs + 1
   }
+
+  /** Array-producing twin of [[wsTokenCount]]: the token ARRAY equal to
+    * `split(trim(text), "[ \t\n\r\f]+", -1)` — same 0x20-only trim, same
+    * edge-empty-token semantics (leading/trailing runs contribute an
+    * empty token; the empty string yields `[""]`) — with no regex
+    * machinery and exactly one byte-array copy per row: tokens are
+    * zero-copy slices over that private copy (`fromBytes` aliases, which
+    * is safe because the copy is owned by this call, unlike the
+    * row-buffer-backed input). */
+  def wsTokens(u: UTF8String): ArrayData = {
+    val bytes = u.getBytes
+    val n = bytes.length
+    var lo = 0
+    while (lo < n && bytes(lo) == 0x20) lo += 1
+    var hi = n
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    // first pass sizes the output exactly (same scan as wsTokenCount)
+    var runs = 0
+    var inRun = false
+    var i = lo
+    while (i < hi) {
+      val ws = isWs(bytes(i))
+      if (ws && !inRun) runs += 1
+      inRun = ws
+      i += 1
+    }
+    val out = new Array[AnyRef](runs + 1)
+    var idx = 0
+    var tokenStart = lo
+    i = lo
+    while (i < hi) {
+      if (isWs(bytes(i))) {
+        out(idx) = UTF8String.fromBytes(bytes, tokenStart, i - tokenStart)
+        idx += 1
+        while (i < hi && isWs(bytes(i))) i += 1
+        tokenStart = i
+      } else i += 1
+    }
+    out(idx) = UTF8String.fromBytes(bytes, tokenStart, hi - tokenStart)
+    new GenericArrayData(out)
+  }
 }
 
 case class WsTokenCountExpr(child: Expression) extends UnaryExpression {
@@ -63,10 +105,41 @@ case class WsTokenCountExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "ws_token_count"
 }
 
+/** Native codegen whitespace TOKENIZER: `split(trim(text), ws-run-regex)`
+  * allocates a regex matcher and per-token copies on every row of every
+  * shingle/dedup/vocab query; this walks the bytes once. Parity with the
+  * split form is pinned by WsTokenParitySpec on adversarial inputs and
+  * the whole fixture corpus. */
+case class WsTokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextUtils.wsTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextUtils.wsTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokensExpr =
+    copy(child = newChild)
+  override def prettyName: String = "ws_tokens"
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   /** Codegen'd token count == `size(wordsRe(text))`; null text → null. */
   def wsTokenCountFast(text: Column): Column =
     column(WsTokenCountExpr(expression(text)))
+
+  /** Codegen'd token array == `split(trim(text), wsRunRegex)`;
+    * null text → null. */
+  def wsTokensFast(text: Column): Column =
+    column(WsTokensExpr(expression(text)))
 }

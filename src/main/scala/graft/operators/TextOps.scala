@@ -32,8 +32,12 @@ object TextOps {
   val wsRunRegex = "[ \\t\\n\\r\\f]+"
 
   /** Robust whitespace tokenization: splits on runs of any whitespace.
-    * Equal to [[words]] on single-space text; correct on real corpora. */
-  def wordsRe(text: Column): Column = split(trim(text), wsRunRegex)
+    * Equal to [[words]] on single-space text; correct on real corpora.
+    * Routed through the native byte-scan expression (one array copy per
+    * row, no regex matcher) — array-equal to `split(trim(text),
+    * wsRunRegex)`, pinned by WsTokenParitySpec. */
+  def wordsRe(text: Column): Column =
+    graft.functions.TextExpressions.wsTokensFast(text)
 
   def wordsReSql(expr: String): String =
     s"regexp_split_to_array(trim($expr), '$wsRunRegex')"

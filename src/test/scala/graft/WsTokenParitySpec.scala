@@ -33,9 +33,12 @@ class WsTokenParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "héllo wörld", "日本 語 テスト", "a\rb\fc", "  mixed \t\n ws  ",
       " nbsp is not ws", "ends with tab\t", "\nstarts with nl")
     val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // reference is the LITERAL split form — wordsRe itself now routes
+    // through the native expressions, so going through it would be
+    // native-vs-native
     val out = df.select(col("id"),
       TextExpressions.wsTokenCountFast(col("text")).as("fast"),
-      size(TextOps.wordsRe(col("text"))).as("ref"))
+      size(split(trim(col("text")), TextOps.wsRunRegex)).as("ref"))
       .collect()
     out.foreach { r =>
       assert(r.getInt(1) === r.getInt(2),
@@ -44,17 +47,43 @@ class WsTokenParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // null text: both forms yield null
     val nulls = Seq((1L, Option.empty[String])).toDF("id", "text")
       .select(TextExpressions.wsTokenCountFast(col("text")).as("fast"),
-        size(TextOps.wordsRe(col("text"))).as("ref"))
+        size(split(trim(col("text")), TextOps.wsRunRegex)).as("ref"))
       .head()
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
-  test("whole fixture corpus: zero mismatches") {
+  test("adversarial strings: native token ARRAY == split array") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "", " ", "  ", "a", "a b", "a  b", "a\tb", "\ta b\n", "a b ", " a b",
+      "\t", "\n\n", "a\t \n b", "ab", // vertical tab is NOT a separator
+      "héllo wörld", "日本 語 テスト", "a\rb\fc", "  mixed \t\n ws  ",
+      " nbsp is not ws", "ends with tab\t", "\nstarts with nl")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = df.select(col("id"),
+      TextExpressions.wsTokensFast(col("text")).as("fast"),
+      split(trim(col("text")), TextOps.wsRunRegex).as("ref"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"case ${r.getLong(0)}: '${cases(r.getLong(0).toInt)}'")
+    }
+    val nulls = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(TextExpressions.wsTokensFast(col("text")).as("fast"))
+      .head()
+    assert(nulls.isNullAt(0))
+  }
+
+  test("whole fixture corpus: zero mismatches (count and array)") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
     val mismatches = docs.select(
         TextExpressions.wsTokenCountFast(col("text")).as("fast"),
-        size(TextOps.wordsRe(col("text"))).as("ref"))
-      .filter(col("fast") =!= col("ref")).count()
+        size(split(trim(col("text")), TextOps.wsRunRegex)).as("ref"),
+        TextExpressions.wsTokensFast(col("text")).as("fastArr"),
+        split(trim(col("text")), TextOps.wsRunRegex).as("refArr"))
+      .filter(col("fast") =!= col("ref") || col("fastArr") =!= col("refArr"))
+      .count()
     assert(mismatches === 0L)
   }
 }
