@@ -62,6 +62,29 @@ object WinnowUtils {
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Min [[HashFunctions.polyHash52Local]] over all end-clipped k-grams —
+    * the x4 rolling-hash fingerprint in ONE compiled pass per row. The
+    * HOF form (`array_min(transform(sequence(...), i ->
+    * hash(t.substr(i, k))))`) paid an md5 digest per character AND
+    * re-evaluated `trim(text)` per element inside the lambda (the
+    * documented no-hoisting trap). Same gram semantics as [[select]]:
+    * 0x20-only trim, code-point substr, empty/short text → one clipped
+    * gram. */
+  def minGramHash(u0: UTF8String, k: Int): Long = {
+    val t = u0.trim()
+    val cps = t.toString.codePoints().toArray
+    val n = cps.length
+    val nGrams = math.max(n - (k - 1), 1)
+    var m = Long.MaxValue
+    var i = 0
+    while (i < nGrams) {
+      val h = HashFunctions.polyHash52Local(cps, i, math.min(i + k, n))
+      if (h < m) m = h
+      i += 1
+    }
+    m
+  }
 }
 
 case class WinnowSelectExpr(child: Expression, k: Int, w: Int)
@@ -82,10 +105,31 @@ case class WinnowSelectExpr(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_select"
 }
 
+case class MinGramHashExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowUtils.minGramHash(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowUtils.minGramHash($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinGramHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "min_gram_hash"
+}
+
 object WinnowExpressions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   /** One-pass winnowing fingerprint selection; null text → null. */
   def winnowSelect(text: Column, k: Int, w: Int): Column =
     column(WinnowSelectExpr(expression(text), k, w))
+
+  /** One-pass min k-gram polynomial hash; null text → null. */
+  def minGramHash(text: Column, k: Int): Column =
+    column(MinGramHashExpr(expression(text), k))
 }

@@ -826,20 +826,28 @@ object TextOps {
       minShingleHash(text).as("min_shingle_hash"))
   }
 
-  /** Min over hash60 of all character 5-grams — the "rolling hash"
-    * fingerprint. Implemented with a generated index sequence (narrow,
-    * codegen'd; no explode/shuffle). */
-  def minShingleHash(text: Column, n: Int = 5): Column = {
+  /** Min over polyHash52 of all character 5-grams — the "rolling hash"
+    * fingerprint. Native one-pass expression (one multiply-add per char;
+    * the HOF form paid an md5 digest per character and re-evaluated
+    * `trim` per element — the honest bit_xor bench sink exposed it at
+    * 3.0 s where the overflow-truncated sink had reported 0.17 s). */
+  def minShingleHash(text: Column, n: Int = 5): Column =
+    graft.functions.WinnowExpressions.minGramHash(text, n)
+
+  /** The declarative HOF reference of [[minShingleHash]] — parity target
+    * for WinnowParitySpec, not the hot path (per-element `trim`
+    * re-evaluation, see the no-hoisting trap). */
+  def minShingleHashHof(text: Column, n: Int = 5): Column = {
     val t = trim(text)
     val idx = sequence(lit(1), greatest(length(t) - (n - 1), lit(1)))
-    array_min(transform(idx, i => HashFunctions.hash60(t.substr(i, lit(n)))))
+    array_min(transform(idx, i => HashFunctions.polyHash52(t.substr(i, lit(n)))))
   }
 
   def fingerprintsSql: String =
     s"""WITH grams AS (
        |  -- per-row generate_series: unbounded in document length, same as
-       |  -- the Spark side's sequence() (no fixed range cap)
-       |  SELECT doc_id, min(${HashFunctions.hash60Sql("substr(trim(text), i, 5)")}) AS min_shingle_hash
+       |  -- the Spark side's one-pass native expression (no range cap)
+       |  SELECT doc_id, min(${HashFunctions.polyHash52Sql("substr(trim(text), i, 5)")}) AS min_shingle_hash
        |  FROM (SELECT doc_id, text,
        |          unnest(generate_series(1, greatest(length(trim(text)) - 4, 1))) AS i
        |        FROM documents)

@@ -62,4 +62,22 @@ class WinnowParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(native === hof, s"k=$k w=$w")
     }
   }
+
+  test("minGramHash native == HOF (adversarial matrix + fixture corpus)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def pairs(df: org.apache.spark.sql.DataFrame, n: Int) = df.select(
+        col("doc_id"),
+        TextOps.minShingleHash(col("text"), n).as("native"),
+        TextOps.minShingleHashHof(col("text"), n).as("hof"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adv = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(3, 5, 8); (id, nat, hof) <- pairs(adv, n))
+      assert(nat === hof, s"n=$n input $id: '${inputs(id.toInt).take(40)}'")
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    pairs(docs, 5).foreach { case (id, nat, hof) =>
+      assert(nat === hof, s"fixture doc $id") }
+  }
 }
