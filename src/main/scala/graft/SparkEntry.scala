@@ -555,6 +555,22 @@ object SparkEntry {
         MultimodalOps.synthVideoFixture(
           Tables.documents(s, dir).select(col("doc_id"), col("text"))))),
 
+    // x61 — image perceptual hashes over REAL decoded pixels: genuine
+    // ImageIO PNG encode → genuine decode → dHash/aHash; the oracle
+    // predicts the hashes from the pixel formula (PNG is lossless), so a
+    // green row certifies the whole codec round-trip
+    "x61_image_hashes" -> ((s, dir) =>
+      MultimodalOps.imageHashes(
+        MultimodalOps.synthImageFixture(Tables.documents(s, dir)))),
+
+    // x62 — image near-dup pairs: the multimodal analog of the x5–x10
+    // text dedup family; pigeonhole byte-blocked dHash pairing, no
+    // all-pairs product
+    "x62_image_dup_pairs" -> ((s, dir) =>
+      MultimodalOps.imageDupPairs(
+        MultimodalOps.imageHashes(
+          MultimodalOps.synthImageFixture(Tables.documents(s, dir))))),
+
     "x17_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // standalone n-gram Jaccard over a deterministic candidate set
@@ -1288,6 +1304,8 @@ object SparkEntry {
     "x14_media_meta" -> MultimodalOps.mediaFixtureSql,
     "x59_audio_meta" -> MultimodalOps.audioFixtureSql,
     "x60_video_meta" -> MultimodalOps.videoFixtureSql,
+    "x61_image_hashes" -> MultimodalOps.imageHashesSql,
+    "x62_image_dup_pairs" -> MultimodalOps.imageDupPairsSql(),
     "x17_ngram_jaccard" -> DedupOps.jaccardForSql(
       "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents"),
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -413,6 +413,229 @@ object MultimodalOps {
       |    // CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
       |         WHEN 2 THEN 90000 ELSE 48000 END AS BIGINT) AS BIGINT) AS duration_ms
       |FROM documents""".stripMargin
+
+  // ---- image perceptual hashing (REAL pixels: encode → decode → hash) -----
+
+  val imageHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("dhash", LongType),
+    StructField("ahash", LongType)))
+
+  val imageW = 9
+  val imageH = 8
+
+  /** Deterministic fixture pixel: an xor-shift-mixed gray from (group,
+    * x, y) — docs in the same group of 4 share the base image and each
+    * variant perturbs ONE pixel by +128, so variants are near-dups with
+    * small dHash Hamming distance. Every step is exact BIGINT arithmetic
+    * replicated by [[imageHashesSql]]; keep the two in sync. */
+  def imagePixel(docId: Long, x: Int, y: Int): Int = {
+    val gid = docId / 4
+    val v = (docId % 4).toInt
+    val h0 = gid * 1000003L + x * 97L + y * 10007L
+    val h1 = h0 ^ (h0 >> 7)
+    val h2 = (h1 * 31L) ^ (h1 >> 11)
+    val g = (h2 % 256L).toInt
+    if (x == v && y == v) (g + 128) % 256 else g
+  }
+
+  /** Image corpus with GENUINE PNG payloads: a 9×8 gray image whose
+    * pixels come from [[imagePixel]], encoded by the JDK's real ImageIO
+    * PNG writer. PNG is lossless, so the decode side recovers the exact
+    * pixel function — which is what lets a DuckDB oracle predict the
+    * perceptual hashes without decoding anything. */
+  def synthImageFixture(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col("doc_id").cast("long")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(imageW, imageH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < imageH) {
+          var x = 0
+          while (x < imageW) {
+            val g = imagePixel(id, x, y)
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream(256)
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row(id, out.toByteArray)
+      })
+    session.createDataFrame(rdd, schema)
+  }
+
+  /** dHash + aHash over REAL decoded pixels: ImageIO decodes the payload
+    * (any format it has a reader for), a nearest-neighbor sample maps the
+    * image onto the canonical 9×8 grid (`sx = x*w/9, sy = y*h/8` — exact
+    * integer math, the identity on 9×8 fixtures; swap in an area-average
+    * resize stage for production-grade hashing of large photos), and the
+    * 64-bit hashes are
+    *   - dhash bit (y*8+x): gray(x+1,y) > gray(x,y)  (gradient direction)
+    *   - ahash bit (y*8+x): gray(x,y)*64 > Σ gray    (above-mean, exact
+    *     integer compare — no division)
+    * Undecodable payloads degrade to (-1, -1, null, null). One decoder
+    * loop per partition; payload bytes never hit the driver. */
+  def imageHashes(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        if (img == null || img.getWidth < imageW || img.getHeight < imageH)
+          Row(id, if (img == null) -1 else img.getWidth,
+            if (img == null) -1 else img.getHeight, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val g = Array.ofDim[Int](imageW, imageH)
+          var y = 0
+          while (y < imageH) {
+            var x = 0
+            while (x < imageW) {
+              val rgb = img.getRGB(x * w / imageW, y * h / imageH)
+              g(x)(y) = (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          var dhash = 0L
+          var ahash = 0L
+          var sum = 0L
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) { sum += g(xx)(yy); xx += 1 }
+            yy += 1
+          }
+          yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val k = yy * 8 + xx
+              if (g(xx + 1)(yy) > g(xx)(yy)) dhash |= 1L << k
+              if (g(xx)(yy) * 64L > sum) ahash |= 1L << k
+              xx += 1
+            }
+            yy += 1
+          }
+          Row(id, w, h, dhash, ahash)
+        }
+      })
+    session.createDataFrame(rdd, imageHashSchema)
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance ≤ `maxDist`,
+    * via the same pigeonhole byte-blocking as the text SimHash family
+    * (x10): with 8 blocks over 64 bits, a pair within distance 7 must
+    * agree on at least one whole byte, so 8 disjoint equi-joins (each
+    * pair claimed by its FIRST agreeing byte) cover the space exactly —
+    * no all-pairs product anywhere, shuffle keys distribute by content.
+    * The hash relation is pinned once: it sits behind an RDD decode, and
+    * 16 plan references would re-decode the corpus 16×. */
+  def imageDupPairs(hashes: DataFrame, maxDist: Int = 6,
+                    state: DedupOps.IterState = DedupOps.Local): DataFrame = {
+    require(maxDist <= 7, "8-byte blocking is exact only for Hamming distance <= 7")
+    val hs = state.pin(hashes.select(col("doc_id"), col("dhash"))
+      .filter(col("dhash").isNotNull))
+    val byteOf = (c: Column, j: Int) => shiftright(c, j * 8).bitwiseAND(lit(255L))
+    (0 until 8).map { b =>
+      val firstMatch = (0 until b)
+        .map(j => byteOf(col("a.dhash"), j) =!= byteOf(col("b.dhash"), j))
+        .foldLeft(lit(true))(_ && _)
+      hs.as("a").join(hs.as("b"),
+        byteOf(col("a.dhash"), b) === byteOf(col("b.dhash"), b) &&
+          col("a.doc_id") < col("b.doc_id") && firstMatch)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+        .filter(col("hamming") <= maxDist)
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB twin of imageHashes∘synthImageFixture: replays [[imagePixel]]
+    * in closed form and computes both hashes from the predicted pixels —
+    * the oracle thereby checks the PNG encode→decode round-trip (any
+    * decoder deviation breaks the hash match). Bit 63 can't be reached by
+    * `1::BIGINT << 63` (DuckDB overflows); it is added as the signed
+    * minimum instead, matching two's-complement `1L << 63`. */
+  def imageHashesSqlCte(rel: String = "documents"): String = {
+    val minLong = "(-9223372036854775807 - 1)"
+    s"""pxh AS (
+       |  SELECT d.doc_id, xs.x, ys.y,
+       |    xor((d.doc_id // 4) * 1000003 + xs.x * 97 + ys.y * 10007,
+       |        ((d.doc_id // 4) * 1000003 + xs.x * 97 + ys.y * 10007) >> 7) AS h1
+       |  FROM $rel d
+       |  CROSS JOIN generate_series(0, ${imageW - 1}) AS xs(x)
+       |  CROSS JOIN generate_series(0, ${imageH - 1}) AS ys(y)
+       |),
+       |pxg AS (
+       |  SELECT doc_id, x, y, CAST(xor(h1 * 31, h1 >> 11) % 256 AS INT) AS g0
+       |  FROM pxh
+       |),
+       |px AS (
+       |  SELECT doc_id, x, y,
+       |    CASE WHEN x = doc_id % 4 AND y = doc_id % 4
+       |      THEN (g0 + 128) % 256 ELSE g0 END AS g
+       |  FROM pxg
+       |),
+       |dbits AS (
+       |  SELECT a.doc_id, a.y * 8 + a.x AS k,
+       |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+       |  FROM px a JOIN px b
+       |    ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 8
+       |),
+       |asums AS (
+       |  SELECT doc_id, CAST(sum(g) AS BIGINT) AS s
+       |  FROM px WHERE x < 8 GROUP BY doc_id
+       |),
+       |abits AS (
+       |  SELECT p.doc_id, p.y * 8 + p.x AS k,
+       |    CASE WHEN p.g * 64 > t.s THEN 1 ELSE 0 END AS bit
+       |  FROM px p JOIN asums t USING (doc_id) WHERE p.x < 8
+       |),
+       |ih AS (
+       |  SELECT d.doc_id,
+       |    CAST(d.dh + d.dh63 * $minLong AS BIGINT) AS dhash,
+       |    CAST(a.ah + a.ah63 * $minLong AS BIGINT) AS ahash
+       |  FROM (SELECT doc_id,
+       |          CAST(sum(CASE WHEN bit = 1 AND k < 63
+       |            THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS dh,
+       |          CAST(sum(CASE WHEN bit = 1 AND k = 63 THEN 1 ELSE 0 END) AS BIGINT) AS dh63
+       |        FROM dbits GROUP BY doc_id) d
+       |  JOIN (SELECT doc_id,
+       |          CAST(sum(CASE WHEN bit = 1 AND k < 63
+       |            THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS ah,
+       |          CAST(sum(CASE WHEN bit = 1 AND k = 63 THEN 1 ELSE 0 END) AS BIGINT) AS ah63
+       |        FROM abits GROUP BY doc_id) a USING (doc_id)
+       |)""".stripMargin
+  }
+
+  def imageHashesSql: String =
+    s"""WITH ${imageHashesSqlCte()}
+       |SELECT doc_id, CAST($imageW AS INT) AS width, CAST($imageH AS INT) AS height,
+       |  dhash, ahash
+       |FROM ih""".stripMargin
+
+  /** Oracle twin of the pair query — naive all-pairs over the predicted
+    * hashes (the oracle only runs at small SF). */
+  def imageDupPairsSql(maxDist: Int = 6): String =
+    s"""WITH ${imageHashesSqlCte()}
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+       |FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= $maxDist""".stripMargin
 
   /** Batched metadata extraction over a binary column: one decoder per
     * partition, rows streamed through it, real header parsing via

@@ -178,6 +178,74 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("imageHashes: PNG round-trip recovers the exact pixel function") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 12L).map(id => (id, s"doc$id")).toDF("doc_id", "text")
+    val hashes = MultimodalOps.imageHashes(MultimodalOps.synthImageFixture(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    // reference hashes straight from the pixel formula (no codec)
+    for (id <- 0L until 12L) {
+      def g(x: Int, y: Int) = MultimodalOps.imagePixel(id, x, y)
+      var dh = 0L; var ah = 0L; var sum = 0L
+      for (y <- 0 until 8; x <- 0 until 8) sum += g(x, y)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val k = y * 8 + x
+        if (g(x + 1, y) > g(x, y)) dh |= 1L << k
+        if (g(x, y) * 64L > sum) ah |= 1L << k
+      }
+      assert(hashes(id) === ((9, 8, dh, ah)), s"doc $id")
+    }
+  }
+
+  test("imageHashes degrades undecodable / undersized payloads to nulls") {
+    val s = spark
+    import s.implicits._
+    val tiny = { // genuine 2×2 PNG — decodable but below the 9×8 grid
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Seq((1L, "not an image".getBytes("UTF-8")), (2L, tiny))
+      .toDF("doc_id", "payload")
+    val rows = MultimodalOps.imageHashes(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(1) === -1 && rows(1L).isNullAt(3) && rows(1L).isNullAt(4))
+    assert(rows(2L).getInt(1) === 2 && rows(2L).isNullAt(3) && rows(2L).isNullAt(4))
+  }
+
+  test("imageDupPairs finds within-group variants, no cartesian product") {
+    val s = spark
+    import s.implicits._
+    // 8 groups of 4 variants: every within-group pair differs by at most
+    // 4 dHash bits (two one-pixel perturbations, two comparisons each)
+    val docs = (0L until 32L).map(id => (id, s"doc$id")).toDF("doc_id", "text")
+    val hashes = MultimodalOps.imageHashes(MultimodalOps.synthImageFixture(docs))
+    val pairs = MultimodalOps.imageDupPairs(hashes, maxDist = 6)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pigeonhole pairing must stay an equi-join:\n$plan")
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (gid <- 0L until 8L; a <- 0 until 4; b <- (a + 1) until 4) {
+      val key = (gid * 4 + a, gid * 4 + b)
+      assert(got.contains(key), s"missing within-group pair $key")
+      assert(got(key) <= 4, s"variant distance too large for $key: ${got(key)}")
+    }
+    // exactness: every reported pair is genuinely within the threshold,
+    // and pairing equals the naive all-pairs reference
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val naive = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 6
+    } yield (a, b) -> d).toMap
+    assert(got === naive, "pigeonhole pairing must equal the all-pairs reference")
+  }
+
   test("stubResize prepends the dimension header and stamps columns") {
     val out = MultimodalOps.stubResize(payloads, 224, 224)
     val r = out.filter(col("doc_id") === 1L).head()
