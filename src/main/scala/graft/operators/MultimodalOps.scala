@@ -303,15 +303,29 @@ object MultimodalOps {
     StructField("brand", StringType),
     StructField("timescale", IntegerType),
     StructField("duration_units", LongType),
-    StructField("duration_ms", LongType)))
+    StructField("duration_ms", LongType),
+    StructField("n_frames", LongType),
+    StructField("fps_milli", LongType)))
+
+  /** Decoded ISO BMFF metadata: movie header plus (when a track is
+    * present) the REAL frame accounting from `trak/mdia/minf/stbl/stts`.
+    * `-1` fields mean "container detected, that structure absent or
+    * corrupt". `fpsMilli` is frames-per-second ×1000 in exact integer
+    * arithmetic (nFrames · mediaTimescale · 1000 / Σ count·delta). */
+  final case class Mp4Meta(brand: String, timescale: Int, duration: Long,
+                           nFrames: Long, fpsMilli: Long)
 
   /** Real ISO BMFF metadata decode: verifies the `ftyp` box, walks the
-    * top-level box list to `moov`, walks its children to `mvhd`, and
-    * reads (timescale, duration) — both the version-0 (32-bit) and
-    * version-1 (64-bit times) layouts. Returns (brand, -1, -1) when the
-    * container is detected but the movie header is absent/corrupt. */
-  def decodeMp4(p: Array[Byte]): (String, Int, Long) = {
-    if (!tag(p, 4, "ftyp") || p.length < 12) return ("unknown", -1, -1L)
+    * top-level box list to `moov`, reads `mvhd` (timescale, duration —
+    * both version-0 32-bit and version-1 64-bit time layouts), then
+    * descends `trak/mdia` for the media timescale (`mdhd`, v0+v1) and
+    * the `minf/stbl/stts` time-to-sample table: frame count is the sum
+    * of the entry sample counts, and the frame rate follows from the
+    * summed durations. Every descent is guarded — absent or corrupt
+    * boxes (bad sizes, truncated entry tables) degrade that field to -1,
+    * never throw, never loop. */
+  def decodeMp4(p: Array[Byte]): Mp4Meta = {
+    if (!tag(p, 4, "ftyp") || p.length < 12) return Mp4Meta("unknown", -1, -1L, -1L, -1L)
     val brand = new String(p.slice(8, 12), "US-ASCII")
     def walk(from: Int, until: Int, want: String): Int = {
       var i = from
@@ -323,18 +337,56 @@ object MultimodalOps {
       }
       -1
     }
+    def boxEnd(at: Int): Int = at + be32(p, at).toInt
+    val bad = Mp4Meta(brand, -1, -1L, -1L, -1L)
     val moov = walk(0, p.length, "moov")
-    if (moov < 0) return (brand, -1, -1L)
-    val mvhd = walk(moov + 8, moov + be32(p, moov).toInt, "mvhd")
-    if (mvhd < 0) return (brand, -1, -1L)
-    (p(mvhd + 8) & 0xff) match {
+    if (moov < 0) return bad
+    val mvhd = walk(moov + 8, boxEnd(moov), "mvhd")
+    if (mvhd < 0) return bad
+    val (ts, dur) = (p(mvhd + 8) & 0xff) match {
       case 0 if mvhd + 28 <= p.length =>
-        (brand, be32(p, mvhd + 20).toInt, be32(p, mvhd + 24))
+        (be32(p, mvhd + 20).toInt, be32(p, mvhd + 24))
       case 1 if mvhd + 40 <= p.length =>
-        (brand, be32(p, mvhd + 28).toInt,
+        (be32(p, mvhd + 28).toInt,
           (be32(p, mvhd + 32) << 32) | be32(p, mvhd + 36))
-      case _ => (brand, -1, -1L)
+      case _ => (-1, -1L)
     }
+    // track descent: first trak only (the fixture's single track; a
+    // multi-track production file would map this per trak)
+    var nFrames = -1L
+    var fpsMilli = -1L
+    val trak = walk(moov + 8, boxEnd(moov), "trak")
+    val mdia = if (trak < 0) -1 else walk(trak + 8, boxEnd(trak), "mdia")
+    if (mdia >= 0) {
+      val mdhd = walk(mdia + 8, boxEnd(mdia), "mdhd")
+      val mediaTs: Long = if (mdhd < 0) -1L else (p(mdhd + 8) & 0xff) match {
+        case 0 if mdhd + 24 <= p.length => be32(p, mdhd + 20)
+        case 1 if mdhd + 32 <= p.length => be32(p, mdhd + 28)
+        case _ => -1L
+      }
+      val minf = walk(mdia + 8, boxEnd(mdia), "minf")
+      val stbl = if (minf < 0) -1 else walk(minf + 8, boxEnd(minf), "stbl")
+      val stts = if (stbl < 0) -1 else walk(stbl + 8, boxEnd(stbl), "stts")
+      if (stts >= 0 && stts + 16 <= p.length) {
+        val nEntries = be32(p, stts + 12)
+        // the declared entry table must fit inside the declared box
+        if (16 + nEntries * 8 <= be32(p, stts) && stts + 16 + nEntries * 8 <= p.length) {
+          var frames = 0L
+          var units = 0L
+          var e = 0
+          while (e < nEntries) {
+            val cnt = be32(p, stts + 16 + e * 8)
+            val delta = be32(p, stts + 20 + e * 8)
+            frames += cnt
+            units += cnt * delta
+            e += 1
+          }
+          nFrames = frames
+          if (mediaTs > 0 && units > 0) fpsMilli = frames * mediaTs * 1000L / units
+        }
+      }
+    }
+    Mp4Meta(brand, ts, dur, nFrames, fpsMilli)
   }
 
   /** Genuine minimal MP4: `ftyp(isom)` + `moov/mvhd` (version 0, identity
@@ -360,6 +412,45 @@ object MultimodalOps {
     b.array()
   }
 
+  /** Genuine single-track box chain: `trak/mdia/(mdhd + minf/stbl/stts)`
+    * with a one-entry time-to-sample table — 88 bytes, appended inside
+    * `moov` by [[mp4HeaderTracked]]. */
+  def trakBox(mediaTimescale: Int, frameCount: Int, frameDelta: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(88).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(s: String): Unit = { b.put(s.getBytes("US-ASCII")); () }
+    b.putInt(88); fourcc("trak")
+    b.putInt(80); fourcc("mdia")
+    b.putInt(32); fourcc("mdhd")
+    b.putInt(0) // version 0 + flags
+    b.putInt(0).putInt(0) // creation / modification time
+    b.putInt(mediaTimescale)
+    b.putInt(frameCount * frameDelta) // media duration
+    b.putInt(0x55c40000) // language "und" + pre_defined
+    b.putInt(40); fourcc("minf")
+    b.putInt(32); fourcc("stbl")
+    b.putInt(24); fourcc("stts")
+    b.putInt(0) // version + flags
+    b.putInt(1) // entry_count
+    b.putInt(frameCount).putInt(frameDelta)
+    b.array()
+  }
+
+  /** [[mp4Header]] plus a genuine track: ftyp + moov(mvhd + trak) + mdat
+    * header. 232 bytes. */
+  def mp4HeaderTracked(timescale: Int, durationUnits: Long, mediaTimescale: Int,
+                       frameCount: Int, frameDelta: Int, dataBytes: Int): Array[Byte] = {
+    val base = mp4Header(timescale, durationUnits, dataBytes)
+    val trak = trakBox(mediaTimescale, frameCount, frameDelta)
+    val out = java.nio.ByteBuffer.allocate(base.length + trak.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.put(base, 0, 20) // ftyp
+    out.putInt(116 + trak.length).put("moov".getBytes("US-ASCII")) // grown moov
+    out.put(base, 28, 108) // mvhd unchanged
+    out.put(trak)
+    out.put(base, 136, 8) // mdat header
+    out.array()
+  }
+
   /** Deterministic video fixture parameters — mirrored by
     * [[videoFixtureSql]]; keep in sync. */
   def videoFixtureParams(docId: Long): (Int, Long) = {
@@ -369,8 +460,16 @@ object MultimodalOps {
     (ts, 1000L + (docId * 13L) % 100000L)
   }
 
-  /** Video corpus with GENUINE ISO BMFF containers: mvhd fields derive
-    * from doc_id, text bytes stand in for the mdat payload. */
+  /** Track-level fixture parameters: media timescale 12800 throughout;
+    * (frameCount, frameDelta) vary per doc — mirrored by
+    * [[videoFixtureSql]]; keep in sync. */
+  val videoMediaTimescale = 12800
+  def videoTrackParams(docId: Long): (Int, Int) =
+    ((24 + (docId % 5L) * 6L).toInt, (512 + (docId % 3L) * 128L).toInt)
+
+  /** Video corpus with GENUINE ISO BMFF containers: mvhd + a real
+    * trak/mdia/minf/stbl/stts chain derive from doc_id, text bytes stand
+    * in for the mdat payload. */
   def synthVideoFixture(docs: DataFrame): DataFrame = {
     val session = docs.sparkSession
     val schema = StructType(Seq(
@@ -380,8 +479,10 @@ object MultimodalOps {
       .mapPartitions(_.map { r =>
         val id = r.getLong(0)
         val (ts, dur) = videoFixtureParams(id)
+        val (nf, delta) = videoTrackParams(id)
         val body = r.getString(1).getBytes("UTF-8")
-        Row(id, mp4Header(ts, dur, body.length) ++ body)
+        Row(id, mp4HeaderTracked(ts, dur, videoMediaTimescale, nf, delta,
+          body.length) ++ body)
       })
     session.createDataFrame(rdd, schema)
   }
@@ -393,25 +494,30 @@ object MultimodalOps {
       .mapPartitions(_.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        val (brand, ts, dur) = decodeMp4(payload)
-        val durMs = if (ts > 0) dur * 1000L / ts else -1L
-        Row(id, payload.length, brand, ts, dur, durMs)
+        val m = decodeMp4(payload)
+        val durMs = if (m.timescale > 0) m.duration * 1000L / m.timescale else -1L
+        Row(id, payload.length, m.brand, m.timescale, m.duration, durMs,
+          m.nFrames, m.fpsMilli)
       })
     session.createDataFrame(rdd, videoMetaSchema)
   }
 
   /** DuckDB twin of extractVideoMeta∘synthVideoFixture over `documents`
-    * (144-byte container; duration is exact integer division). */
+    * (232-byte tracked container; duration and frame rate are exact
+    * integer division; fps_milli = n_frames·media_ts·1000 / (n_frames·
+    * delta) = media_ts·1000 / delta for the one-entry stts). */
   def videoFixtureSql: String =
-    """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) + 144 AS INT) AS n_bytes,
+    s"""SELECT doc_id,
+      |  CAST(octet_length(encode(text)) + 232 AS INT) AS n_bytes,
       |  'isom' AS brand,
       |  CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
       |       WHEN 2 THEN 90000 ELSE 48000 END AS INT) AS timescale,
       |  CAST(1000 + (doc_id * 13) % 100000 AS BIGINT) AS duration_units,
       |  CAST((1000 + (doc_id * 13) % 100000) * 1000
       |    // CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
-      |         WHEN 2 THEN 90000 ELSE 48000 END AS BIGINT) AS BIGINT) AS duration_ms
+      |         WHEN 2 THEN 90000 ELSE 48000 END AS BIGINT) AS BIGINT) AS duration_ms,
+      |  CAST(24 + (doc_id % 5) * 6 AS BIGINT) AS n_frames,
+      |  CAST($videoMediaTimescale * 1000 // (512 + (doc_id % 3) * 128) AS BIGINT) AS fps_milli
       |FROM documents""".stripMargin
 
   // ---- image perceptual hashing (REAL pixels: encode → decode → hash) -----

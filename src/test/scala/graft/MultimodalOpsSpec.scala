@@ -123,9 +123,10 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("decodeMp4 walks boxes to mvhd: v0, v1, preceding siblings, corruption") {
-    // v0 synthesized container round-trips
+    import MultimodalOps.Mp4Meta
+    // v0 synthesized container round-trips (no track → -1 frame fields)
     val v0 = MultimodalOps.mp4Header(90000, 123456L, 10) ++ Array.fill(10)(7.toByte)
-    assert(MultimodalOps.decodeMp4(v0) === (("isom", 90000, 123456L)))
+    assert(MultimodalOps.decodeMp4(v0) === Mp4Meta("isom", 90000, 123456L, -1L, -1L))
     // a version-1 mvhd (64-bit times) hand-built: the parser must use the
     // v1 offsets — and find moov even after an interposed free box
     val bb = java.nio.ByteBuffer.allocate(20 + 8 + 8 + 48)
@@ -138,12 +139,53 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     bb.putLong(0L).putLong(0L)                          // 64-bit times
     bb.putInt(48000)                                    // timescale
     bb.putLong(5000000000L)                             // 64-bit duration
-    assert(MultimodalOps.decodeMp4(bb.array()) === (("isom", 48000, 5000000000L)))
+    assert(MultimodalOps.decodeMp4(bb.array()) ===
+      Mp4Meta("isom", 48000, 5000000000L, -1L, -1L))
     // corruption degrades, never loops: zero-size box, truncation, non-mp4
-    assert(MultimodalOps.decodeMp4(v0.take(30)) === (("isom", -1, -1L)))
-    assert(MultimodalOps.decodeMp4("nope".getBytes("US-ASCII")) === (("unknown", -1, -1L)))
+    assert(MultimodalOps.decodeMp4(v0.take(30)) === Mp4Meta("isom", -1, -1L, -1L, -1L))
+    assert(MultimodalOps.decodeMp4("nope".getBytes("US-ASCII")) ===
+      Mp4Meta("unknown", -1, -1L, -1L, -1L))
     val corrupt = v0.clone; corrupt(20) = 0; corrupt(21) = 0; corrupt(22) = 0; corrupt(23) = 0
-    assert(MultimodalOps.decodeMp4(corrupt) === (("isom", -1, -1L)))
+    assert(MultimodalOps.decodeMp4(corrupt) === Mp4Meta("isom", -1, -1L, -1L, -1L))
+  }
+
+  test("decodeMp4 stts descent: real frame count/rate, corrupt-stbl guards") {
+    import MultimodalOps.Mp4Meta
+    // tracked container: frames and fps come from the genuine stts walk
+    val t = MultimodalOps.mp4HeaderTracked(90000, 54000L, 12800, 48, 512, 4) ++
+      Array.fill(4)(9.toByte)
+    assert(MultimodalOps.decodeMp4(t) ===
+      Mp4Meta("isom", 90000, 54000L, 48L, 12800L * 1000 / 512))
+    // multi-entry table: counts sum, rate follows the weighted durations
+    val multi = {
+      val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(10).putInt(1024) // 10 extra frames at double delta
+      val base = MultimodalOps.mp4HeaderTracked(600, 1000L, 12800, 24, 512, 0)
+      val out = base.clone
+      // widen stts/stbl/minf/mdia/trak/moov sizes by 8 and bump entry_count
+      def grow(off: Int): Unit = {
+        val s = java.nio.ByteBuffer.wrap(out, off, 4).getInt
+        java.nio.ByteBuffer.wrap(out, off, 4).putInt(s + 8); ()
+      }
+      // moov@20, trak@136, mdia@144, minf@184, stbl@192, stts@200
+      Seq(20, 136, 144, 184, 192, 200).foreach(grow)
+      java.nio.ByteBuffer.wrap(out, 212, 4).putInt(2) // entry_count 1→2
+      // splice the second entry after the first (stts entries start @216),
+      // i.e. before the mdat header at base.length-8
+      out.take(224) ++ b.array() ++ out.drop(224)
+    }
+    val m = MultimodalOps.decodeMp4(multi)
+    assert(m.nFrames === 34L)
+    assert(m.fpsMilli === 34L * 12800 * 1000 / (24L * 512 + 10L * 1024))
+    // corrupt stbl: declared entry table larger than the stts box
+    val corrupt = MultimodalOps.mp4HeaderTracked(600, 1000L, 12800, 24, 512, 0)
+    java.nio.ByteBuffer.wrap(corrupt, 212, 4).putInt(1000) // entry_count lie
+    assert(MultimodalOps.decodeMp4(corrupt) === Mp4Meta("isom", 600, 1000L, -1L, -1L))
+    // truncated mid-stts: frame fields degrade, mvhd fields survive
+    val trunc = MultimodalOps.mp4HeaderTracked(600, 1000L, 12800, 24, 512, 0)
+      .take(220)
+    val mt = MultimodalOps.decodeMp4(trunc)
+    assert((mt.nFrames, mt.fpsMilli) === ((-1L, -1L)))
   }
 
   test("extractVideoMeta over synthVideoFixture round-trips videoFixtureParams") {
@@ -154,11 +196,14 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val meta = MultimodalOps.extractVideoMeta(MultimodalOps.synthVideoFixture(docs))
     assert(meta.schema === MultimodalOps.videoMetaSchema)
     val rows = meta.collect().map(r => r.getLong(0) ->
-      ((r.getInt(1), r.getString(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+      ((r.getInt(1), r.getString(2), r.getInt(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))).toMap
     for ((id, text) <- Seq(0L -> "alpha", 1L -> "", 2L -> "bé", 3L -> "longer-body-here")) {
       val (ts, dur) = MultimodalOps.videoFixtureParams(id)
+      val (nf, delta) = MultimodalOps.videoTrackParams(id)
       val n = text.getBytes("UTF-8").length
-      assert(rows(id) === ((144 + n, "isom", ts, dur, dur * 1000L / ts)))
+      assert(rows(id) === ((232 + n, "isom", ts, dur, dur * 1000L / ts,
+        nf.toLong, MultimodalOps.videoMediaTimescale * 1000L / delta)))
     }
   }
 
