@@ -123,6 +123,34 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loaded === direct && direct.nonEmpty)
   }
 
+  test("recall sweep: recall@8 vs exact is monotone in nProbe, floored at the gated probe count") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val model = IvfOps.train(emb, k = 16, iterations = 2)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // pin the sweep so a quantizer/probe change can't silently trade ANN
+    // quality for speed: recall must not DECREASE as probes widen (each
+    // probe set is a superset of candidates... per-query top-8 can shuffle,
+    // so assert with a one-point tolerance on the aggregate), and the
+    // gated nProbe=6 shape (x18) must clear the same 0.5 floor the
+    // headline spec pins
+    val recalls = Seq(1, 2, 4, 8).map { nProbe =>
+      val got = IvfOps.topK(emb, queries, model, k = 8, nProbe = nProbe,
+        joinProbes = true)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      nProbe -> got.intersect(exact).size.toDouble / exact.size
+    }
+    recalls.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra - 1.0 / exact.size,
+        s"recall fell widening nProbe $pa→$pb: $ra → $rb")
+    }
+    val byProbe = recalls.toMap
+    assert(byProbe(1) > 0.05, s"nProbe=1 recall collapsed: ${byProbe(1)}")
+    assert(byProbe(4) >= 0.5, s"nProbe=4 recall ${byProbe(4)} below floor")
+    assert(byProbe(8) >= 0.8, s"nProbe=8 recall ${byProbe(8)} below floor")
+  }
+
   test("assignment covers the corpus exactly once") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = IvfOps.train(emb, k = 16, iterations = 1)
