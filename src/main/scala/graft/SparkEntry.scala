@@ -571,6 +571,16 @@ object SparkEntry {
         MultimodalOps.imageHashes(
           MultimodalOps.synthImageFixture(Tables.documents(s, dir))))),
 
+    // x63 — image duplicate CLUSTERS: the same Borůvka hook/jump/contract
+    // as x23, over the dHash pair graph — pairs → components → canonical
+    // representative, completing the multimodal dedup family
+    "x63_image_dup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.dupClusters(docs,
+        MultimodalOps.imageDupPairs(
+          MultimodalOps.imageHashes(MultimodalOps.synthImageFixture(docs))))
+    }),
+
     "x17_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // standalone n-gram Jaccard over a deterministic candidate set
@@ -1306,6 +1316,8 @@ object SparkEntry {
     "x60_video_meta" -> MultimodalOps.videoFixtureSql,
     "x61_image_hashes" -> MultimodalOps.imageHashesSql,
     "x62_image_dup_pairs" -> MultimodalOps.imageDupPairsSql(),
+    "x63_image_dup_clusters" ->
+      DedupOps.dupClustersSql(MultimodalOps.imageDupPairsSql()),
     "x17_ngram_jaccard" -> DedupOps.jaccardForSql(
       "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents"),
 
