@@ -581,6 +581,32 @@ object SparkEntry {
           MultimodalOps.imageHashes(MultimodalOps.synthImageFixture(docs))))
     }),
 
+    // x64 — audio fingerprints over REAL decoded PCM: genuine WAV encode
+    // → genuine 16-bit LE sample decode → 65-window energy-envelope
+    // 64-bit hash; the oracle predicts the fingerprints from the sample
+    // formula (PCM is lossless), certifying the codec round-trip
+    "x64_audio_fp" -> ((s, dir) =>
+      MultimodalOps.audioFingerprints(
+        MultimodalOps.synthAudioFpFixture(Tables.documents(s, dir)))),
+
+    // x65 — audio near-dup pairs: the audio member of the dedup family
+    // (text x5–x10, image x62); same pigeonhole byte-block pairing
+    "x65_audio_dup_pairs" -> ((s, dir) =>
+      MultimodalOps.audioDupPairs(
+        MultimodalOps.audioFingerprints(
+          MultimodalOps.synthAudioFpFixture(Tables.documents(s, dir))))),
+
+    // x66 — audio duplicate CLUSTERS: Borůvka components over the
+    // fingerprint pair graph, completing the audio dedup family like
+    // x63 does for images
+    "x66_audio_dup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.dupClusters(docs,
+        MultimodalOps.audioDupPairs(
+          MultimodalOps.audioFingerprints(
+            MultimodalOps.synthAudioFpFixture(docs))))
+    }),
+
     "x17_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // standalone n-gram Jaccard over a deterministic candidate set
@@ -1318,6 +1344,10 @@ object SparkEntry {
     "x62_image_dup_pairs" -> MultimodalOps.imageDupPairsSql(),
     "x63_image_dup_clusters" ->
       DedupOps.dupClustersSql(MultimodalOps.imageDupPairsSql()),
+    "x64_audio_fp" -> MultimodalOps.audioFpSql,
+    "x65_audio_dup_pairs" -> MultimodalOps.audioDupPairsSql(),
+    "x66_audio_dup_clusters" ->
+      DedupOps.dupClustersSql(MultimodalOps.audioDupPairsSql()),
     "x17_ngram_jaccard" -> DedupOps.jaccardForSql(
       "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents"),
 

@@ -651,20 +651,30 @@ object MultimodalOps {
     * The hash relation is pinned once: it sits behind an RDD decode, and
     * 16 plan references would re-decode the corpus 16×. */
   def imageDupPairs(hashes: DataFrame, maxDist: Int = 6,
-                    state: DedupOps.IterState = DedupOps.Local): DataFrame = {
+                    state: DedupOps.IterState = DedupOps.Local): DataFrame =
+    hammingPairs64(hashes, "dhash", maxDist, state)
+
+  /** Shared pigeonhole pairing over any 64-bit perceptual hash column
+    * (image dHash, audio envelope fingerprint): 8 disjoint byte-block
+    * equi-joins, each pair claimed by its FIRST agreeing byte — exact for
+    * Hamming ≤ 7, no all-pairs product, shuffle keys distribute by hash
+    * content. The hash relation is pinned once because it sits behind an
+    * RDD decode and 16 plan references would re-decode the corpus 16×. */
+  private[graft] def hammingPairs64(hashes: DataFrame, hashCol: String, maxDist: Int,
+                                    state: DedupOps.IterState): DataFrame = {
     require(maxDist <= 7, "8-byte blocking is exact only for Hamming distance <= 7")
-    val hs = state.pin(hashes.select(col("doc_id"), col("dhash"))
-      .filter(col("dhash").isNotNull))
+    val hs = state.pin(hashes.select(col("doc_id"), col(hashCol).as("h"))
+      .filter(col("h").isNotNull))
     val byteOf = (c: Column, j: Int) => shiftright(c, j * 8).bitwiseAND(lit(255L))
     (0 until 8).map { b =>
       val firstMatch = (0 until b)
-        .map(j => byteOf(col("a.dhash"), j) =!= byteOf(col("b.dhash"), j))
+        .map(j => byteOf(col("a.h"), j) =!= byteOf(col("b.h"), j))
         .foldLeft(lit(true))(_ && _)
       hs.as("a").join(hs.as("b"),
-        byteOf(col("a.dhash"), b) === byteOf(col("b.dhash"), b) &&
+        byteOf(col("a.h"), b) === byteOf(col("b.h"), b) &&
           col("a.doc_id") < col("b.doc_id") && firstMatch)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+          bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
         .filter(col("hamming") <= maxDist)
     }.reduce(_ unionByName _)
   }
@@ -742,6 +752,184 @@ object MultimodalOps {
        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
        |FROM ih a JOIN ih b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.dhash, b.dhash)) <= $maxDist""".stripMargin
+
+  // ---- audio fingerprinting (REAL PCM: encode → decode → envelope hash) ---
+
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", IntegerType),
+    StructField("fp", LongType)))
+
+  /** 65 energy windows → 64 adjacent-comparison bits (the dHash idea
+    * transplanted from pixels to the PCM energy envelope). */
+  val audioFpWin = 65
+  val audioFpWinLen = 5
+
+  /** Deterministic fixture sample: an xor-shift-mixed amplitude from
+    * (group, sample index) — docs in the same group of 4 share the base
+    * waveform and variant v lifts ONE window's samples by +512, so
+    * variants are near-dups within Hamming 2 of the base (at most the
+    * two bits comparing against the lifted window flip). Exact BIGINT
+    * arithmetic replicated by [[audioFpSqlCte]]; keep the two in sync. */
+  def audioFpSample(docId: Long, i: Int): Int = {
+    val gid = docId / 4
+    val v = (docId % 4).toInt
+    val h0 = gid * 1000003L + i * 131L
+    val h1 = h0 ^ (h0 >> 7)
+    val h2 = (h1 * 31L) ^ (h1 >> 11)
+    val g = (h2 % 256L).toInt
+    if (i / audioFpWinLen == v) g + 512 else g
+  }
+
+  /** Audio corpus with GENUINE mono 16-bit PCM WAV payloads whose
+    * samples come from [[audioFpSample]]. PCM is lossless, so the decode
+    * side recovers the exact sample function — which is what lets a
+    * DuckDB oracle predict the fingerprints without decoding anything. */
+  def synthAudioFpFixture(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val n = audioFpWin * audioFpWinLen
+    val rdd = docs.select(col("doc_id").cast("long")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val (rate, _) = audioFixtureParams(id)
+        val pcm = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) { pcm.putShort(audioFpSample(id, i).toShort); i += 1 }
+        Row(id, wavHeader(rate, 1, 16, n * 2) ++ pcm.array())
+      })
+    session.createDataFrame(rdd, schema)
+  }
+
+  /** Real PCM sample decode: the same chunk walk as [[decodeWav]], plus
+    * the `data` payload parsed as signed 16-bit little-endian samples.
+    * Returns empty when the container is not 16-bit PCM WAV or the data
+    * chunk is missing/truncated. */
+  def decodeWavSamples(p: Array[Byte]): Array[Int] = {
+    if (!(tag(p, 0, "RIFF") && tag(p, 8, "WAVE"))) return Array.emptyIntArray
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    var i = 12
+    var sane = true
+    while (sane && i + 8 <= p.length) {
+      val size = le32(p, i + 4)
+      if (tag(p, i, "fmt ") && i + 24 <= p.length) bits = le16(p, i + 22)
+      else if (tag(p, i, "data")) { dataOff = i + 8; dataLen = size.toInt }
+      if (size > p.length) sane = false
+      else i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (bits != 16 || dataOff < 0 || dataLen < 0 ||
+      dataOff + dataLen > p.length) return Array.emptyIntArray
+    val n = dataLen / 2
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      out(k) = ((p(dataOff + 2 * k + 1).toInt) << 8) | (p(dataOff + 2 * k) & 0xff)
+      k += 1
+    }
+    out
+  }
+
+  /** 64-bit energy-envelope fingerprint over REAL decoded PCM: samples
+    * split into 65 windows (`start = w*n/65`, exact integer math — equal
+    * windows on the fixture), window energy = Σ|s| (exact BIGINT), and
+    * bit w compares adjacent energies `E[w+1] > E[w]` — amplitude-scale
+    * invariant, like dHash for pixels. Payloads that are not 16-bit PCM
+    * or carry fewer samples than windows degrade to a null fp. One
+    * decoder loop per partition; payload bytes never hit the driver. */
+  def audioFingerprints(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    val nw = audioFpWin
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val s = decodeWavSamples(r.getAs[Array[Byte]](1))
+        val n = s.length
+        if (n < nw) Row(id, n, null)
+        else {
+          val e = new Array[Long](nw)
+          var w = 0
+          while (w < nw) {
+            var i = w * n / nw
+            val end = (w + 1) * n / nw
+            var sum = 0L
+            while (i < end) { sum += math.abs(s(i)); i += 1 }
+            e(w) = sum
+            w += 1
+          }
+          var fp = 0L
+          var k = 0
+          while (k < nw - 1) {
+            if (e(k + 1) > e(k)) fp |= 1L << k
+            k += 1
+          }
+          Row(id, n, fp)
+        }
+      })
+    session.createDataFrame(rdd, audioFpSchema)
+  }
+
+  /** Near-duplicate audio pairs by fingerprint Hamming distance — the
+    * audio member of the dedup family (text x5–x10, image x62), sharing
+    * the exact pigeonhole byte-block pairing. */
+  def audioDupPairs(fps: DataFrame, maxDist: Int = 6,
+                    state: DedupOps.IterState = DedupOps.Local): DataFrame =
+    hammingPairs64(fps, "fp", maxDist, state)
+
+  /** DuckDB twin of audioFingerprints∘synthAudioFpFixture: replays
+    * [[audioFpSample]] in closed form and computes the fingerprint from
+    * the predicted samples — a green row certifies the WAV PCM
+    * encode→decode round-trip. Same signed-minimum trick for bit 63 as
+    * [[imageHashesSqlCte]]. */
+  def audioFpSqlCte(rel: String = "documents"): String = {
+    val minLong = "(-9223372036854775807 - 1)"
+    s"""ash AS (
+       |  SELECT d.doc_id, ws.w,
+       |    (d.doc_id // 4) * 1000003 + (ws.w * $audioFpWinLen + ks.k) * 131 AS h0
+       |  FROM $rel d
+       |  CROSS JOIN generate_series(0, ${audioFpWin - 1}) AS ws(w)
+       |  CROSS JOIN generate_series(0, ${audioFpWinLen - 1}) AS ks(k)
+       |),
+       |asmp AS (
+       |  SELECT doc_id, w,
+       |    CAST(xor(xor(h0, h0 >> 7) * 31, xor(h0, h0 >> 7) >> 11) % 256 AS BIGINT)
+       |      + CASE WHEN w = doc_id % 4 THEN 512 ELSE 0 END AS s
+       |  FROM ash
+       |),
+       |aener AS (
+       |  SELECT doc_id, w, CAST(sum(s) AS BIGINT) AS e
+       |  FROM asmp GROUP BY doc_id, w
+       |),
+       |afp AS (
+       |  SELECT a.doc_id,
+       |    CAST(sum(CASE WHEN b.e > a.e AND a.w < 63
+       |            THEN (1::BIGINT << CAST(a.w AS INT)) ELSE 0 END)
+       |      + sum(CASE WHEN b.e > a.e AND a.w = 63 THEN 1 ELSE 0 END)
+       |        * $minLong AS BIGINT) AS fp
+       |  FROM aener a JOIN aener b
+       |    ON a.doc_id = b.doc_id AND b.w = a.w + 1
+       |  WHERE a.w < ${audioFpWin - 1}
+       |  GROUP BY a.doc_id
+       |)""".stripMargin
+  }
+
+  def audioFpSql: String =
+    s"""WITH ${audioFpSqlCte()}
+       |SELECT doc_id, CAST(${audioFpWin * audioFpWinLen} AS INT) AS n_samples, fp
+       |FROM afp""".stripMargin
+
+  /** Oracle twin of the pair query — naive all-pairs over the predicted
+    * fingerprints (the oracle only runs at small SF). */
+  def audioDupPairsSql(maxDist: Int = 6): String =
+    s"""WITH ${audioFpSqlCte()}
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       |FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $maxDist""".stripMargin
 
   /** Batched metadata extraction over a binary column: one decoder per
     * partition, rows streamed through it, real header parsing via

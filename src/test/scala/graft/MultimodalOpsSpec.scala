@@ -291,6 +291,99 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === naive, "pigeonhole pairing must equal the all-pairs reference")
   }
 
+  test("audioFingerprints: WAV PCM round-trip recovers the exact sample function") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 12L).map(id => (id, s"doc$id")).toDF("doc_id", "text")
+    val fps = MultimodalOps.audioFingerprints(
+      MultimodalOps.synthAudioFpFixture(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val n = MultimodalOps.audioFpWin * MultimodalOps.audioFpWinLen
+    // reference fingerprints straight from the sample formula (no codec)
+    for (id <- 0L until 12L) {
+      val e = Array.tabulate(MultimodalOps.audioFpWin) { w =>
+        (w * MultimodalOps.audioFpWinLen until (w + 1) * MultimodalOps.audioFpWinLen)
+          .map(i => MultimodalOps.audioFpSample(id, i).toLong).sum
+      }
+      var fp = 0L
+      for (k <- 0 until 64) if (e(k + 1) > e(k)) fp |= 1L << k
+      assert(fps(id) === ((n, fp)), s"doc $id")
+    }
+  }
+
+  test("decodeWavSamples parses genuine 16-bit LE PCM, incl. negative samples") {
+    val samples = Array(0, 1, -1, 32767, -32768, 767)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(v => pcm.putShort(v.toShort))
+    val wav = MultimodalOps.wavHeader(16000, 1, 16, samples.length * 2) ++ pcm.array()
+    assert(MultimodalOps.decodeWavSamples(wav).toSeq === samples.toSeq)
+  }
+
+  test("audioFingerprints degrades non-PCM-16 / undersized payloads to null fp") {
+    val s = spark
+    import s.implicits._
+    // 8-bit WAV (not 16-bit PCM), a truncated data chunk, and a short
+    // but valid 16-bit clip with fewer samples than windows
+    val eightBit = MultimodalOps.wavHeader(8000, 1, 8, 4) ++ Array[Byte](1, 2, 3, 4)
+    val truncated = MultimodalOps.wavHeader(8000, 1, 16, 1000) ++ Array[Byte](1, 2)
+    val short16 = MultimodalOps.wavHeader(8000, 1, 16, 8) ++
+      Array[Byte](1, 0, 2, 0, 3, 0, 4, 0)
+    val df = Seq((1L, eightBit), (2L, truncated), (3L, short16))
+      .toDF("doc_id", "payload")
+    val rows = MultimodalOps.audioFingerprints(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(1) === 0 && rows(1L).isNullAt(2))
+    assert(rows(2L).getInt(1) === 0 && rows(2L).isNullAt(2))
+    assert(rows(3L).getInt(1) === 4 && rows(3L).isNullAt(2))
+  }
+
+  test("audioDupPairs finds within-group variants, no cartesian product") {
+    val s = spark
+    import s.implicits._
+    // 8 groups of 4 variants: each variant lifts ONE energy window, so a
+    // within-group pair differs in at most 4 envelope bits
+    val docs = (0L until 32L).map(id => (id, s"doc$id")).toDF("doc_id", "text")
+    val fps = MultimodalOps.audioFingerprints(
+      MultimodalOps.synthAudioFpFixture(docs))
+    val pairs = MultimodalOps.audioDupPairs(fps, maxDist = 6)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pigeonhole pairing must stay an equi-join:\n$plan")
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (gid <- 0L until 8L; a <- 0 until 4; b <- (a + 1) until 4) {
+      val key = (gid * 4 + a, gid * 4 + b)
+      assert(got.contains(key), s"missing within-group pair $key")
+      assert(got(key) <= 4, s"variant distance too large for $key: ${got(key)}")
+    }
+    val hs = fps.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val naive = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 6
+    } yield (a, b) -> d).toMap
+    assert(got === naive, "pigeonhole pairing must equal the all-pairs reference")
+  }
+
+  test("audio fingerprint is invariant under amplitude scaling") {
+    val s = spark
+    import s.implicits._
+    // same waveform at 1× and 3× gain → identical envelope comparisons
+    val n = MultimodalOps.audioFpWin * MultimodalOps.audioFpWinLen
+    def clip(gain: Int): Array[Byte] = {
+      val pcm = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i =>
+        pcm.putShort((MultimodalOps.audioFpSample(40L, i) * gain).toShort))
+      MultimodalOps.wavHeader(16000, 1, 16, n * 2) ++ pcm.array()
+    }
+    val df = Seq((1L, clip(1)), (2L, clip(3))).toDF("doc_id", "payload")
+    val got = MultimodalOps.audioFingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) === got(2L))
+  }
+
   test("stubResize prepends the dimension header and stamps columns") {
     val out = MultimodalOps.stubResize(payloads, 224, 224)
     val r = out.filter(col("doc_id") === 1L).head()
