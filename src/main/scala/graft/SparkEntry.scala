@@ -619,6 +619,12 @@ object SparkEntry {
     "x19_training_selection" -> ((s, dir) =>
       TextOps.trainingSelection(Tables.documents(s, dir), "en", 0.5)),
 
+    // x67 — corpus-trained unigram LM NLL score (CCNet-style perplexity
+    // filtering): count tokens once, broadcast the cost table back,
+    // exact micro-nat BIGINT sums per doc
+    "x67_lm_score" -> ((s, dir) =>
+      TextOps.lmScore(Tables.documents(s, dir))),
+
     // driver projection stringifies the code array — every hitherto-green
     // query emits scalars only, so list canonicalization in the driver's
     // hasher is unproven; the operator itself returns the array form
@@ -1352,6 +1358,7 @@ object SparkEntry {
       "SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents"),
 
     "x19_training_selection" -> TextOps.trainingSelectionSql("en", 0.5),
+    "x67_lm_score" -> TextOps.lmScoreSql,
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str
          |FROM (${SimilarityOps.quantizeEmbeddingsSql.replace("\n", "\n      ")}) t""".stripMargin,

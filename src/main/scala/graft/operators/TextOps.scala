@@ -192,6 +192,65 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  /** Corpus-trained unigram LM negative-log-likelihood (the CCNet-style
+    * quality signal): p(t) = (count(t)+1) / (T+V) with add-one
+    * smoothing, score = mean over the doc's tokens of -ln p(t) — rare-
+    * word documents score high, boilerplate scores low.
+    *
+    * Determinism: per-token costs are pre-snapped to integer micro-nats
+    * (`floor(ln·1e6 + 0.5)`, the cross-engine-safe rounding) so the
+    * per-doc SUM is order-independent exact BIGINT arithmetic — a double
+    * sum would depend on partition order (the j16 micro-unit trick). Both
+    * engines evaluate ln over the same small set of integer (cnt, T, V)
+    * triples, one value per distinct count, so a last-ulp ln disagreement
+    * matters only within ~1e-10 of a micro-grid boundary.
+    *
+    * Scale shape: one token-count aggregation with map-side combine
+    * (distinct vocab ≪ token stream), the 1-row corpus stats and then
+    * the per-token cost table broadcast back onto the token stream, one
+    * per-doc sum. No all-pairs, no driver collect. On an open-vocab
+    * 100 TB corpus drop the broadcast hint (or min-df prune first) and
+    * the cost join becomes a plain token-keyed shuffle join. */
+  def lmScore(df: DataFrame): DataFrame = {
+    val tok = df.select(col("doc_id"), explode(wordsRe(col("text"))).as("token"))
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum("cnt").as("t_tokens"), count(lit(1)).as("v_vocab"))
+    val costs = counts.crossJoin(broadcast(stats))
+      .select(col("token"),
+        floor(log((col("t_tokens") + col("v_vocab")).cast("double") /
+          (col("cnt") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+          .as("cost_micro"))
+    tok.join(broadcast(costs), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("cost_micro").as("nll_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
+        (col("nll_micro").cast("double") / col("n_tokens").cast("double")
+          / lit(1e6)).as("avg_nll"))
+  }
+
+  /** DuckDB twin of [[lmScore]] — the same two-pass shape as CTEs. */
+  def lmScoreSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${wordsReSql("text")}) AS token FROM documents
+       |),
+       |counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       |stats AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS t_tokens, count(*) AS v_vocab
+       |  FROM counts
+       |),
+       |costs AS (
+       |  SELECT token,
+       |    CAST(floor(ln(CAST(t_tokens + v_vocab AS DOUBLE)
+       |        / CAST(cnt + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS cost_micro
+       |  FROM counts CROSS JOIN stats
+       |)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(c.cost_micro) AS BIGINT) AS nll_micro,
+       |  CAST(sum(c.cost_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+       |    AS avg_nll
+       |FROM tok t JOIN costs c USING (token)
+       |GROUP BY t.doc_id""".stripMargin
+
   /** The composed curation pipeline a training-data job runs end-to-end:
     * language filter → quality filter → exact dedup (canonical
     * representative = lowest doc_id per text hash) → token accounting.

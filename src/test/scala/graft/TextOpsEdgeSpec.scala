@@ -78,6 +78,31 @@ class TextOpsEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) === ((0.0, 0.0)))
   }
 
+  test("lmScore: hand-computed add-one unigram NLL on a tiny corpus") {
+    val s = spark
+    import s.implicits._
+    // corpus: "a a b" + "b c" → T=5 tokens, V=3 vocab, counts a=2 b=2 c=1
+    // cost(a)=cost(b)=floor(ln(8/3)*1e6+0.5)=980829, cost(c)=ln(8/2)→1386294
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((3L, 3 * 980829L, 3 * 980829L / 3.0 / 1e6)))
+    assert(out(2L) === ((2L, 980829L + 1386294L, 2367123L / 2.0 / 1e6)))
+    // the rare-token doc scores strictly higher than the common-token doc
+    assert(out(2L)._3 > out(1L)._3)
+  }
+
+  test("lmScore: identical docs score identically; costs are order-independent") {
+    val s = spark
+    import s.implicits._
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = (1L to 40L).map(id => (id, text)).toDF("doc_id", "text")
+      .repartition(7) // exercise partial-aggregate merge order
+    val scores = TextOps.lmScore(docs).collect().map(_.getDouble(3)).distinct
+    assert(scores.length === 1, "same text must score identically")
+  }
+
   test("topTerms: exclusive terms outrank shared ones; ties break alphabetically") {
     val s = spark
     import s.implicits._
