@@ -205,24 +205,29 @@ object TextOps {
     * triples, one value per distinct count, so a last-ulp ln disagreement
     * matters only within ~1e-10 of a micro-grid boundary.
     *
-    * Scale shape: one token-count aggregation with map-side combine
-    * (distinct vocab ≪ token stream), the 1-row corpus stats and then
-    * the per-token cost table broadcast back onto the token stream, one
-    * per-doc sum. No all-pairs, no driver collect. On an open-vocab
-    * 100 TB corpus drop the broadcast hint (or min-df prune first) and
-    * the cost join becomes a plain token-keyed shuffle join. */
+    * Scale shape: the corpus is tokenized ONCE — a `(doc_id, token)`
+    * occurrence matrix (map-side combine over the explode) whose shuffle
+    * both consumers share via ReuseExchange; corpus totals come from a
+    * global window over the small vocab relation (one vocab-sized
+    * shuffle, not a second corpus pass), and the cost table broadcasts
+    * back onto the matrix. No all-pairs, no driver collect. On an
+    * open-vocab 100 TB corpus drop the broadcast hint (or min-df prune
+    * first) and the cost join becomes a plain token-keyed shuffle join. */
   def lmScore(df: DataFrame): DataFrame = {
-    val tok = df.select(col("doc_id"), explode(wordsRe(col("text"))).as("token"))
-    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val stats = counts.agg(sum("cnt").as("t_tokens"), count(lit(1)).as("v_vocab"))
-    val costs = counts.crossJoin(broadcast(stats))
-      .select(col("token"),
-        floor(log((col("t_tokens") + col("v_vocab")).cast("double") /
-          (col("cnt") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
-          .as("cost_micro"))
-    tok.join(broadcast(costs), "token")
+    import org.apache.spark.sql.expressions.Window
+    val docTok = df
+      .select(col("doc_id"), explode(wordsRe(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("occ"))
+    val counts = docTok.groupBy("token").agg(sum("occ").as("cnt"))
+    val w = Window.partitionBy()
+    val costs = counts.select(col("token"), col("cnt"),
+      floor(log((sum("cnt").over(w) + count(lit(1)).over(w)).cast("double") /
+        (col("cnt") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+        .as("cost_micro"))
+    docTok.join(broadcast(costs.drop("cnt")), "token")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("cost_micro").as("nll_micro"))
+      .agg(sum("occ").as("n_tokens"),
+        sum(col("occ") * col("cost_micro")).as("nll_micro"))
       .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
         (col("nll_micro").cast("double") / col("n_tokens").cast("double")
           / lit(1e6)).as("avg_nll"))

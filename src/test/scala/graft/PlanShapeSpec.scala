@@ -93,6 +93,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"language/quality filter must run map-side, below the shuffle:\n$plan")
   }
 
+  test("x67 lmScore tokenizes the corpus ONCE; broadcast cost join, no nested loops") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.TextOps.lmScore(docs))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"token→cost join must broadcast the vocab table:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no big-side or nested-loop join in the cost lookup:\n$plan")
+    // the (doc_id, token) matrix shuffle feeds both the vocab statistics
+    // and the scoring join; AQE's stage cache resolves the two canonically
+    // identical exchanges to ONE executed stage — visible only in the
+    // final (post-execution) adaptive plan, so run the query first
+    val df = graft.operators.TextOps.lmScore(docs)
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the initial plan — slice it off
+    val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
+    assert(finalPlan.split("Generate").length - 1 === 1,
+      s"corpus must be tokenized exactly once:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"both consumers must share the occurrence-matrix stage:\n$finalPlan")
+  }
+
   test("vw_ll plans with broadcast dimension joins") {
     val c = SparkEntry.cat(spark, sfDir)
     val plan = physicalPlan(c.vwLl)
