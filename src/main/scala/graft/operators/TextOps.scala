@@ -233,6 +233,25 @@ object TextOps {
           / lit(1e6)).as("avg_nll"))
   }
 
+  /** Offline-trained unigram model for the streaming twin: the (token →
+    * micro-nat cost) table plus the out-of-vocabulary cost — an unseen
+    * token has cnt = 0 under the same add-one smoothing, i.e.
+    * floor(ln(T+V)·1e6 + 0.5). The 1-row stats collect is a driver-side
+    * action at train time, not per-batch work. */
+  def lmModel(df: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(wordsRe(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy()
+    val costs = counts.select(col("token"),
+      floor(log((sum("cnt").over(w) + count(lit(1)).over(w)).cast("double") /
+        (col("cnt") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+        .as("cost_micro"))
+    val tv = counts.agg((sum("cnt") + count(lit(1))).cast("double").as("tv"))
+      .head.getDouble(0)
+    (costs, math.floor(math.log(tv) * 1e6 + 0.5).toLong)
+  }
+
   /** DuckDB twin of [[lmScore]] — the same two-pass shape as CTEs. */
   def lmScoreSql: String =
     s"""WITH tok AS (
