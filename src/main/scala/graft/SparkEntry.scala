@@ -625,6 +625,12 @@ object SparkEntry {
     "x67_lm_score" -> ((s, dir) =>
       TextOps.lmScore(Tables.documents(s, dir))),
 
+    // x68 — bigram LM score: second-order conditionals with add-one
+    // smoothing; context totals and vocab derive from the one bigram
+    // relation, same exact micro-nat arithmetic as x67
+    "x68_bigram_lm_score" -> ((s, dir) =>
+      TextOps.bigramLmScore(Tables.documents(s, dir))),
+
     // driver projection stringifies the code array — every hitherto-green
     // query emits scalars only, so list canonicalization in the driver's
     // hasher is unproven; the operator itself returns the array form
@@ -1359,6 +1365,7 @@ object SparkEntry {
 
     "x19_training_selection" -> TextOps.trainingSelectionSql("en", 0.5),
     "x67_lm_score" -> TextOps.lmScoreSql,
+    "x68_bigram_lm_score" -> TextOps.bigramLmScoreSql,
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str
          |FROM (${SimilarityOps.quantizeEmbeddingsSql.replace("\n", "\n      ")}) t""".stripMargin,

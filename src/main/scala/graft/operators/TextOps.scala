@@ -275,6 +275,90 @@ object TextOps {
        |FROM tok t JOIN costs c USING (token)
        |GROUP BY t.doc_id""".stripMargin
 
+  /** Second-order (bigram) LM score — the KenLM-style step past
+    * [[lmScore]]: p(wᵢ | wᵢ₋₁) = (c₂(wᵢ₋₁ wᵢ)+1) / (c₁(wᵢ₋₁)+V) with
+    * add-one smoothing, where c₁ is the token's count as a bigram
+    * CONTEXT (sum of its outgoing bigram counts) and V is the number of
+    * distinct contexts — both derivable from the bigram relation alone,
+    * so the corpus is scanned once. Documents with fewer than two
+    * tokens have no bigrams and drop out (both engines agree).
+    *
+    * Same determinism contract as [[lmScore]]: costs snapped to integer
+    * micro-nats, per-doc sums exact BIGINT. Same scale shape: one
+    * (doc_id, bigram) occurrence matrix feeds counts and scoring via
+    * exchange reuse; context totals and the V scalar are vocab-sized
+    * aggregations; the cost table broadcasts back (shuffle-join it on
+    * an open-vocab corpus). The bigram column is `prefix ' ' suffix` —
+    * safe because [[wordsRe]] tokens cannot contain whitespace. */
+  def bigramLmScore(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col("doc_id"), wordsRe(col("text")).as("toks"))
+    val docBi = toks
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("occ"))
+    val biCounts = docBi.groupBy("bigram").agg(sum("occ").as("c2"))
+    val ctx = biCounts
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w"))
+      .agg(sum("c2").as("c1"))
+    val w = Window.partitionBy()
+    val ctxV = ctx.select(col("w"), col("c1"),
+      count(lit(1)).over(w).as("v"))
+    val costs = biCounts
+      .join(broadcast(ctxV), substring_index(col("bigram"), " ", 1) === col("w"))
+      .select(col("bigram"),
+        floor(log((col("c1") + col("v")).cast("double") /
+          (col("c2") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+          .as("cost_micro"))
+    docBi.join(broadcast(costs), "bigram")
+      .groupBy("doc_id")
+      .agg(sum("occ").as("n_bigrams"),
+        sum(col("occ") * col("cost_micro")).as("nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        (col("nll_micro").cast("double") / col("n_bigrams").cast("double")
+          / lit(1e6)).as("avg_nll"))
+  }
+
+  /** DuckDB twin of [[bigramLmScore]]. */
+  def bigramLmScoreSql: String =
+    s"""WITH btok AS (
+       |  SELECT doc_id, ${wordsReSql("text")} AS toks FROM documents
+       |),
+       |bi AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)),
+       |                          bg_i -> toks[bg_i] || ' ' || toks[bg_i + 1]))
+       |      AS bigram
+       |  FROM btok
+       |),
+       |docbi AS (
+       |  SELECT doc_id, bigram, count(*) AS occ FROM bi GROUP BY doc_id, bigram
+       |),
+       |bic AS (
+       |  SELECT bigram, CAST(sum(occ) AS BIGINT) AS c2 FROM docbi GROUP BY bigram
+       |),
+       |bctx AS (
+       |  SELECT split_part(bigram, ' ', 1) AS w, CAST(sum(c2) AS BIGINT) AS c1
+       |  FROM bic GROUP BY 1
+       |),
+       |bv AS (SELECT count(*) AS v FROM bctx),
+       |bcosts AS (
+       |  SELECT b.bigram,
+       |    CAST(floor(ln(CAST(c.c1 + bv.v AS DOUBLE)
+       |        / CAST(b.c2 + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS cost_micro
+       |  FROM bic b
+       |  JOIN bctx c ON split_part(b.bigram, ' ', 1) = c.w
+       |  CROSS JOIN bv
+       |)
+       |SELECT d.doc_id, CAST(sum(d.occ) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(d.occ * c.cost_micro) AS BIGINT) AS nll_micro,
+       |  CAST(sum(d.occ * c.cost_micro) AS DOUBLE) / CAST(sum(d.occ) AS DOUBLE)
+       |    / 1e6 AS avg_nll
+       |FROM docbi d JOIN bcosts c USING (bigram)
+       |GROUP BY d.doc_id""".stripMargin
+
   /** The composed curation pipeline a training-data job runs end-to-end:
     * language filter → quality filter → exact dedup (canonical
     * representative = lowest doc_id per text hash) → token accounting.

@@ -103,6 +103,21 @@ class TextOpsEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scores.length === 1, "same text must score identically")
   }
 
+  test("bigramLmScore: hand-computed second-order NLL; sub-bigram docs drop") {
+    val s = spark
+    import s.implicits._
+    // bigrams: doc1 → "a b","b a"; doc2 → "b a"; doc3 has none
+    // c2("a b")=1, c2("b a")=2; contexts c1(a)=1, c1(b)=2; V=2
+    // cost("a b")=floor(ln(3/2)*1e6+0.5)=405465, cost("b a")=ln(4/3)→287682
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((2L, 405465L + 287682L)))
+    assert(out(2L) === ((1L, 287682L)))
+    assert(!out.contains(3L), "single-token docs have no bigrams")
+  }
+
   test("topTerms: exclusive terms outrank shared ones; ties break alphabetically") {
     val s = spark
     import s.implicits._
