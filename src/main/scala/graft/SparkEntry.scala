@@ -631,6 +631,13 @@ object SparkEntry {
     "x68_bigram_lm_score" -> ((s, dir) =>
       TextOps.bigramLmScore(Tables.documents(s, dir))),
 
+    // x69 — stupid-backoff scoring over a held-out split: model trains
+    // on 90% of docs, every doc scored; unseen bigrams genuinely back
+    // off to penalty + continuation unigram (OOV-priced)
+    "x69_backoff_lm" -> ((s, dir) =>
+      TextOps.backoffLmScore(Tables.documents(s, dir),
+        col("doc_id") % 10 =!= 0)),
+
     // driver projection stringifies the code array — every hitherto-green
     // query emits scalars only, so list canonicalization in the driver's
     // hasher is unproven; the operator itself returns the array form
@@ -1366,6 +1373,7 @@ object SparkEntry {
     "x19_training_selection" -> TextOps.trainingSelectionSql("en", 0.5),
     "x67_lm_score" -> TextOps.lmScoreSql,
     "x68_bigram_lm_score" -> TextOps.bigramLmScoreSql,
+    "x69_backoff_lm" -> TextOps.backoffLmScoreSql("doc_id % 10 <> 0"),
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str
          |FROM (${SimilarityOps.quantizeEmbeddingsSql.replace("\n", "\n      ")}) t""".stripMargin,

@@ -359,6 +359,144 @@ object TextOps {
        |FROM docbi d JOIN bcosts c USING (bigram)
        |GROUP BY d.doc_id""".stripMargin
 
+  /** Stupid-backoff bigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") over a HELD-OUT split: the model —
+    * bigram costs, unigram costs, OOV cost — trains on `trainPred` docs
+    * only, and every document is scored against it, so unseen bigrams
+    * genuinely occur (self-scoring, as in [[bigramLmScore]], can never
+    * back off). A bigram present in the model costs its smoothed
+    * conditional; an absent one costs the backoff penalty −ln α plus the
+    * unigram cost of its continuation token (OOV-priced when the token
+    * itself is new). All costs snap to micro-nats; per-doc sums are
+    * exact BIGINT — the [[lmScore]] determinism contract.
+    *
+    * Scale: train-side aggregations are token/bigram-vocab sized; both
+    * cost tables broadcast back onto the scoring stream (shuffle-join on
+    * open-vocab corpora); the backoff decision is a left join + CASE,
+    * never a second pass. */
+  def backoffLmScore(df: DataFrame, trainPred: Column,
+                     alpha: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val train = df.filter(trainPred)
+    // unigram model (train split): costs + the cnt=0 OOV cost
+    val uniCounts = train
+      .select(explode(wordsRe(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val uniCosts = uniCounts.select(col("token"),
+      floor(log((sum("cnt").over(w) + count(lit(1)).over(w)).cast("double") /
+        (col("cnt") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+        .as("uni_micro"))
+    // the OOV cost rides a 1-row broadcast relation: it must survive a
+    // FAILED continuation join (where every right-side column is null)
+    val uniStats = uniCounts.agg(
+      floor(log((sum("cnt") + count(lit(1))).cast("double")) * lit(1e6)
+        + lit(0.5)).as("oov_micro"))
+    // bigram model (train split)
+    val biOf = (d: DataFrame) => d
+      .select(col("doc_id"), wordsRe(col("text")).as("toks"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val biCounts = biOf(train).groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val ctx = biCounts
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w"))
+      .agg(sum("c2").as("c1"))
+    val ctxV = ctx.select(col("w"), col("c1"), count(lit(1)).over(w).as("v"))
+    val biCosts = biCounts
+      .join(broadcast(ctxV), substring_index(col("bigram"), " ", 1) === col("w"))
+      .select(col("bigram"),
+        floor(log((col("c1") + col("v")).cast("double") /
+          (col("c2") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+          .as("bi_micro"))
+    val penaltyMicro = math.floor(-math.log(alpha) * 1e6 + 0.5).toLong
+    // score EVERY doc: model bigram cost, else penalty + continuation cost
+    biOf(df).groupBy("doc_id", "bigram").agg(count(lit(1)).as("occ"))
+      .join(broadcast(biCosts), Seq("bigram"), "left_outer")
+      .join(broadcast(uniCosts.withColumnRenamed("token", "cont")),
+        substring_index(col("bigram"), " ", -1) === col("cont"), "left_outer")
+      .crossJoin(broadcast(uniStats))
+      .select(col("doc_id"), col("occ"),
+        coalesce(col("bi_micro"),
+          lit(penaltyMicro) + coalesce(col("uni_micro"), col("oov_micro")))
+          .as("cost_micro"))
+      .groupBy("doc_id")
+      .agg(sum("occ").as("n_bigrams"),
+        sum(col("occ") * col("cost_micro")).as("nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        (col("nll_micro").cast("double") / col("n_bigrams").cast("double")
+          / lit(1e6)).as("avg_nll"))
+  }
+
+  /** DuckDB twin of [[backoffLmScore]]; `trainPredSql` must mirror the
+    * Column predicate. The backoff penalty is computed ONCE here (same
+    * JVM floor/log as the Spark literal) and inlined as a number. */
+  def backoffLmScoreSql(trainPredSql: String, alpha: Double = 0.4): String = {
+    val penaltyMicro = math.floor(-math.log(alpha) * 1e6 + 0.5).toLong
+    s"""WITH sb_train AS (
+       |  SELECT doc_id, text FROM documents WHERE $trainPredSql
+       |),
+       |sb_unic AS (
+       |  SELECT token, count(*) AS cnt
+       |  FROM (SELECT unnest(${wordsReSql("text")}) AS token FROM sb_train)
+       |  GROUP BY token
+       |),
+       |sb_ustat AS (
+       |  SELECT CAST(sum(cnt) + count(*) AS BIGINT) AS tv,
+       |    CAST(floor(ln(CAST(sum(cnt) + count(*) AS DOUBLE)) * 1e6 + 0.5)
+       |      AS BIGINT) AS oov_micro
+       |  FROM sb_unic
+       |),
+       |sb_ucost AS (
+       |  SELECT token,
+       |    CAST(floor(ln(CAST(s.tv AS DOUBLE) / CAST(cnt + 1 AS DOUBLE))
+       |        * 1e6 + 0.5) AS BIGINT) AS uni_micro
+       |  FROM sb_unic CROSS JOIN sb_ustat s
+       |),
+       |sb_bic AS (
+       |  SELECT bigram, count(*) AS c2
+       |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+       |                 sb_i -> toks[sb_i] || ' ' || toks[sb_i + 1])) AS bigram
+       |        FROM (SELECT ${wordsReSql("text")} AS toks FROM sb_train))
+       |  GROUP BY bigram
+       |),
+       |sb_ctx AS (
+       |  SELECT split_part(bigram, ' ', 1) AS w, CAST(sum(c2) AS BIGINT) AS c1
+       |  FROM sb_bic GROUP BY 1
+       |),
+       |sb_v AS (SELECT count(*) AS v FROM sb_ctx),
+       |sb_bcost AS (
+       |  SELECT b.bigram,
+       |    CAST(floor(ln(CAST(c.c1 + sb_v.v AS DOUBLE)
+       |        / CAST(b.c2 + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS bi_micro
+       |  FROM sb_bic b
+       |  JOIN sb_ctx c ON split_part(b.bigram, ' ', 1) = c.w
+       |  CROSS JOIN sb_v
+       |),
+       |sb_all AS (
+       |  SELECT doc_id, bigram, count(*) AS occ
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(toks)),
+       |            sb_j -> toks[sb_j] || ' ' || toks[sb_j + 1])) AS bigram
+       |        FROM (SELECT doc_id, ${wordsReSql("text")} AS toks
+       |              FROM documents))
+       |  GROUP BY doc_id, bigram
+       |)
+       |SELECT a.doc_id, CAST(sum(a.occ) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(a.occ * coalesce(bc.bi_micro,
+       |    $penaltyMicro + coalesce(uc.uni_micro, us.oov_micro)))
+       |    AS BIGINT) AS nll_micro,
+       |  CAST(sum(a.occ * coalesce(bc.bi_micro,
+       |    $penaltyMicro + coalesce(uc.uni_micro, us.oov_micro)))
+       |    AS DOUBLE) / CAST(sum(a.occ) AS DOUBLE) / 1e6 AS avg_nll
+       |FROM sb_all a
+       |LEFT JOIN sb_bcost bc USING (bigram)
+       |LEFT JOIN sb_ucost uc ON split_part(a.bigram, ' ', 2) = uc.token
+       |CROSS JOIN sb_ustat us
+       |GROUP BY a.doc_id""".stripMargin
+  }
+
   /** The composed curation pipeline a training-data job runs end-to-end:
     * language filter → quality filter → exact dedup (canonical
     * representative = lowest doc_id per text hash) → token accounting.

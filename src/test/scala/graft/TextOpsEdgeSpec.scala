@@ -118,6 +118,26 @@ class TextOpsEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains(3L), "single-token docs have no bigrams")
   }
 
+  test("backoffLmScore: model bigram, backoff+known, backoff+OOV all hand-checked") {
+    val s = spark
+    import s.implicits._
+    // train = docs 1,2: unigrams a=2 b=2 c=1 (T+V=8) → uni(c)=ln(8/2),
+    // OOV=ln(8); bigrams c2("a b")=2, c2("b c")=1, contexts a:2 b:1, V=2
+    // → bi("a b")=ln(4/3); penalty = -ln(0.4)
+    val docs = Seq((1L, "a b"), (2L, "a b c"), (10L, "a b z c"))
+      .toDF("doc_id", "text")
+    val out = TextOps.backoffLmScore(docs, col("doc_id") <= 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val biAB = math.floor(math.log(4.0 / 3.0) * 1e6 + 0.5).toLong // 287682
+    val uniC = math.floor(math.log(8.0 / 2.0) * 1e6 + 0.5).toLong // 1386294
+    val oov = math.floor(math.log(8.0) * 1e6 + 0.5).toLong // 2079442
+    val pen = math.floor(-math.log(0.4) * 1e6 + 0.5).toLong // 916291
+    assert(out(1L) === ((1L, biAB)))
+    // held-out doc: "a b" in-model; "b z" backs off to OOV z;
+    // "z c" backs off to the KNOWN continuation c
+    assert(out(10L) === ((3L, biAB + (pen + oov) + (pen + uniC))))
+  }
+
   test("topTerms: exclusive terms outrank shared ones; ties break alphabetically") {
     val s = spark
     import s.implicits._
