@@ -638,6 +638,12 @@ object SparkEntry {
       TextOps.backoffLmScore(Tables.documents(s, dir),
         col("doc_id") % 10 =!= 0)),
 
+    // x70 — per-source KL divergence from the corpus token distribution:
+    // the mixture-drift diagnostic; corpus tokenized once, vocab and
+    // totals broadcast back
+    "x70_source_kl" -> ((s, dir) =>
+      TextOps.sourceKl(Tables.documents(s, dir))),
+
     // driver projection stringifies the code array — every hitherto-green
     // query emits scalars only, so list canonicalization in the driver's
     // hasher is unproven; the operator itself returns the array form
@@ -1374,6 +1380,7 @@ object SparkEntry {
     "x67_lm_score" -> TextOps.lmScoreSql,
     "x68_bigram_lm_score" -> TextOps.bigramLmScoreSql,
     "x69_backoff_lm" -> TextOps.backoffLmScoreSql("doc_id % 10 <> 0"),
+    "x70_source_kl" -> TextOps.sourceKlSql,
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str
          |FROM (${SimilarityOps.quantizeEmbeddingsSql.replace("\n", "\n      ")}) t""".stripMargin,

@@ -497,6 +497,73 @@ object TextOps {
        |GROUP BY a.doc_id""".stripMargin
   }
 
+  /** Per-source KL divergence from the corpus token distribution — the
+    * mixture-drift diagnostic a multi-source training pipeline watches:
+    * KL(Pₛ ‖ P) = Σₜ pₛ(t) · ln(pₛ(t)/p(t)) over the source's observed
+    * tokens (absent tokens contribute 0·ln 0 = 0; p(t) > 0 for every
+    * token any source observed, so no smoothing is needed). A source
+    * sampled from the corpus mix scores near 0; a drifted domain scores
+    * high.
+    *
+    * Determinism: each distinct (cₛ, c) pair's log-ratio is snapped to
+    * micro-nats, the per-source accumulation is Σ cₛ·ln((cₛ·T)/(Tₛ·c))
+    * in exact BIGINT (= KL·Tₛ·1e6), and the final normalization is one
+    * fixed-order double division chain — the [[lmScore]] contract.
+    *
+    * Scale: one (source, token) aggregation over the token stream (the
+    * corpus totals derive from IT, exchange-reused — the corpus is
+    * tokenized once); per-source totals and the global total are
+    * source-cardinality and 1-row broadcasts. */
+  def sourceKl(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val srcTok = df
+      .select(col("source"), explode(wordsRe(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cs"))
+    val vocab = srcTok.groupBy("token").agg(sum("cs").as("c"))
+      .select(col("token"), col("c"), sum("c").over(w).as("t_all"))
+    val srcTotals = srcTok.groupBy("source").agg(sum("cs").as("ts"))
+    srcTok
+      .join(broadcast(vocab), "token")
+      .join(broadcast(srcTotals), "source")
+      .select(col("source"), col("cs"), col("ts"),
+        (col("cs") * floor(log((col("cs") * col("t_all")).cast("double") /
+          (col("ts") * col("c")).cast("double")) * lit(1e6) + lit(0.5)))
+          .as("term_micro"))
+      .groupBy("source")
+      .agg(max("ts").as("n_tokens"), sum("term_micro").as("kl_micro"))
+      .select(col("source"), col("n_tokens"), col("kl_micro"),
+        (col("kl_micro").cast("double") / col("n_tokens").cast("double")
+          / lit(1e6)).as("kl_nats"))
+  }
+
+  /** DuckDB twin of [[sourceKl]]. */
+  def sourceKlSql: String =
+    s"""WITH kl_st AS (
+       |  SELECT source, token, count(*) AS cs
+       |  FROM (SELECT source, unnest(${wordsReSql("text")}) AS token
+       |        FROM documents)
+       |  GROUP BY source, token
+       |),
+       |kl_vocab AS (
+       |  SELECT token, CAST(sum(cs) AS BIGINT) AS c FROM kl_st GROUP BY token
+       |),
+       |kl_tall AS (SELECT CAST(sum(c) AS BIGINT) AS t_all FROM kl_vocab),
+       |kl_ts AS (
+       |  SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM kl_st GROUP BY source
+       |)
+       |SELECT s.source, max(t.ts) AS n_tokens,
+       |  CAST(sum(s.cs * floor(ln(CAST(s.cs * a.t_all AS DOUBLE)
+       |      / CAST(t.ts * v.c AS DOUBLE)) * 1e6 + 0.5)) AS BIGINT) AS kl_micro,
+       |  CAST(sum(s.cs * floor(ln(CAST(s.cs * a.t_all AS DOUBLE)
+       |      / CAST(t.ts * v.c AS DOUBLE)) * 1e6 + 0.5)) AS DOUBLE)
+       |    / CAST(max(t.ts) AS DOUBLE) / 1e6 AS kl_nats
+       |FROM kl_st s
+       |JOIN kl_vocab v USING (token)
+       |JOIN kl_ts t USING (source)
+       |CROSS JOIN kl_tall a
+       |GROUP BY s.source""".stripMargin
+
   /** The composed curation pipeline a training-data job runs end-to-end:
     * language filter → quality filter → exact dedup (canonical
     * representative = lowest doc_id per text hash) → token accounting.

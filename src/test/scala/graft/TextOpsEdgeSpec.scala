@@ -138,6 +138,29 @@ class TextOpsEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(10L) === ((3L, biAB + (pen + oov) + (pen + uniC))))
   }
 
+  test("sourceKl: twin sources score identically; a drifted source scores higher") {
+    val s = spark
+    import s.implicits._
+    // s1 and s2 emit the same text → identical KL; s3 is pure "c"
+    // (a 1/3 corpus token concentrated to 100%) → the largest drift
+    val docs = Seq(
+      (1L, "a a b", "s1"), (2L, "a a b", "s2"), (3L, "c c c", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceKl(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // corpus: a=4, b=2, c=3, T=9; s1: a: 2·ln((2·9)/(3·4)), b: ln((1·9)/(3·2))
+    val termA = math.floor(math.log(18.0 / 12.0) * 1e6 + 0.5).toLong
+    val termB = math.floor(math.log(9.0 / 6.0) * 1e6 + 0.5).toLong
+    assert(out("s1") === ((3L, 2 * termA + termB,
+      (2 * termA + termB).toDouble / 3.0 / 1e6)))
+    assert(out("s1") === out("s2"))
+    // s3: c is 3/9 of the corpus but 3/3 of the source → ln 3 per token
+    val termC = math.floor(math.log(27.0 / 9.0) * 1e6 + 0.5).toLong
+    assert(out("s3") === ((3L, 3 * termC, (3 * termC).toDouble / 3.0 / 1e6)))
+    assert(out("s3")._3 > out("s1")._3)
+  }
+
   test("topTerms: exclusive terms outrank shared ones; ties break alphabetically") {
     val s = spark
     import s.implicits._
