@@ -88,6 +88,30 @@ object TextUtils {
     out(idx) = UTF8String.fromBytes(bytes, tokenStart, hi - tokenStart)
     new GenericArrayData(out)
   }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Adjacent-pair BIGRAM array over the [[wsTokens]] tokenization:
+    * element i is `token(i) + " " + token(i+1)`; texts with fewer than
+    * two tokens yield an empty array. Exists as a native expression
+    * because the `zip_with(slice, slice, concat)` formulation carries
+    * NamedLambdaVariables that defeat plan canonicalization — two
+    * occurrences of the same bigram subtree then never compare equal, so
+    * AQE cannot reuse the occurrence-matrix exchange and the corpus gets
+    * tokenized twice (PlanShapeSpec pins the reuse). */
+  def wsBigrams(u: UTF8String): ArrayData = {
+    val toks = wsTokens(u)
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.concat(toks.getUTF8String(i), Space,
+        toks.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class WsTokenCountExpr(child: Expression) extends UnaryExpression {
@@ -131,6 +155,29 @@ case class WsTokensExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "ws_tokens"
 }
 
+/** Native codegen whitespace BIGRAM array — see [[TextUtils.wsBigrams]]
+  * for why this exists (lambda-free plan canonicalization). */
+case class WsBigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextUtils.wsBigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextUtils.wsBigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsBigramsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "ws_bigrams"
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
@@ -142,4 +189,9 @@ object TextExpressions {
     * null text → null. */
   def wsTokensFast(text: Column): Column =
     column(WsTokensExpr(expression(text)))
+
+  /** Codegen'd adjacent-pair bigram array over the wsTokens split;
+    * lambda-free so duplicate plan subtrees stay exchange-reusable. */
+  def wsBigramsFast(text: Column): Column =
+    column(WsBigramsExpr(expression(text)))
 }

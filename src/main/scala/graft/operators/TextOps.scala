@@ -292,12 +292,9 @@ object TextOps {
     * safe because [[wordsRe]] tokens cannot contain whitespace. */
   def bigramLmScore(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col("doc_id"), wordsRe(col("text")).as("toks"))
-    val docBi = toks
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val docBi = df
+      .select(col("doc_id"), explode(
+        graft.functions.TextExpressions.wsBigramsFast(col("text"))).as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("occ"))
     val biCounts = docBi.groupBy("bigram").agg(sum("occ").as("c2"))
     val ctx = biCounts
@@ -394,11 +391,8 @@ object TextOps {
         + lit(0.5)).as("oov_micro"))
     // bigram model (train split)
     val biOf = (d: DataFrame) => d
-      .select(col("doc_id"), wordsRe(col("text")).as("toks"))
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextExpressions.wsBigramsFast(col("text"))).as("bigram"))
     val biCounts = biOf(train).groupBy("bigram").agg(count(lit(1)).as("c2"))
     val ctx = biCounts
       .groupBy(substring_index(col("bigram"), " ", 1).as("w"))
@@ -517,7 +511,13 @@ object TextOps {
   def sourceKl(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy()
-    val srcTok = df
+    // the explicit non-null filter keeps all three consumers' subtrees
+    // canonically IDENTICAL: the source-keyed joins infer
+    // IsNotNull(source) into their probe branches only, which would
+    // otherwise split the occurrence matrix into two un-reusable plans
+    // (the vocab branch never touches source). Inner-join semantics
+    // drop null sources in the DuckDB twin too.
+    val srcTok = df.filter(col("source").isNotNull)
       .select(col("source"), explode(wordsRe(col("text"))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("cs"))
     val vocab = srcTok.groupBy("token").agg(sum("cs").as("c"))

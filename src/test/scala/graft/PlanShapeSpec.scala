@@ -115,6 +115,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both consumers must share the occurrence-matrix stage:\n$finalPlan")
   }
 
+  test("x68/x70: occurrence-matrix reuse holds for the bigram and KL scorers too") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    for ((name, df) <- Seq(
+      "x68" -> graft.operators.TextOps.bigramLmScore(docs),
+      "x70" -> graft.operators.TextOps.sourceKl(docs))) {
+      df.collect()
+      val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
+      assert(finalPlan.split("Generate").length - 1 === 1,
+        s"$name: corpus must be tokenized exactly once:\n$finalPlan")
+      assert(finalPlan.contains("ReusedExchange"),
+        s"$name: consumers must share the matrix stage:\n$finalPlan")
+    }
+  }
+
   test("vw_ll plans with broadcast dimension joins") {
     val c = SparkEntry.cat(spark, sfDir)
     val plan = physicalPlan(c.vwLl)

@@ -86,4 +86,32 @@ class WsTokenParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .count()
     assert(mismatches === 0L)
   }
+
+  test("native bigram array == zip_with(slice, slice) reference, incl. corpus") {
+    val s = spark
+    import s.implicits._
+    // the HOF reference the native expression replaced (lambda variables
+    // defeat exchange-reuse canonicalization, hence the expression)
+    def ref(t: org.apache.spark.sql.Column) = {
+      val toks = split(trim(t), TextOps.wsRunRegex)
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val cases = Seq("", " ", "a", "a b", "a b c", "a\t b\nc d ",
+      "héllo wörld 日本", "one")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.select(
+      TextExpressions.wsBigramsFast(col("text")).as("fast"),
+      ref(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad === 0L)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mism = corpus.select(
+      TextExpressions.wsBigramsFast(col("text")).as("fast"),
+      ref(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mism === 0L)
+  }
 }
