@@ -366,6 +366,33 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === naive, "pigeonhole pairing must equal the all-pairs reference")
   }
 
+  test("hammingPairs64 == naive all-pairs on 300 random clustered hashes") {
+    val s = spark
+    import s.implicits._
+    // deterministic rng; 60 clusters of 5: variant v flips ≤4 random bits
+    // of its base, so within-cluster distances land all over [0, 8] and
+    // cross-cluster ones are ~32 — both sides of the threshold exercised
+    val rng = new scala.util.Random(42)
+    val hashes = (0 until 60).flatMap { g =>
+      val base = rng.nextLong()
+      (0 until 5).map { v =>
+        var h = base
+        (0 until v).foreach(_ => h ^= 1L << rng.nextInt(64))
+        ((g * 5 + v).toLong, h)
+      }
+    }
+    val df = hashes.toDF("doc_id", "fp")
+    val got = MultimodalOps.audioDupPairs(df, maxDist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val hs = hashes.toMap
+    val naive = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 6
+    } yield (a, b) -> d).toMap
+    assert(got === naive)
+    assert(naive.nonEmpty && naive.exists(_._2 > 0), "degenerate fixture")
+  }
+
   test("audio fingerprint is invariant under amplitude scaling") {
     val s = spark
     import s.implicits._
