@@ -822,8 +822,10 @@ object MultimodalOps {
       if (size > p.length) sane = false
       else i += 8 + size.toInt + (size.toInt & 1)
     }
+    // Long math: a lying size near Int.MaxValue overflows the Int sum
+    // negative, which would slip past the bound into a multi-GB alloc
     if (bits != 16 || dataOff < 0 || dataLen < 0 ||
-      dataOff + dataLen > p.length) return Array.emptyIntArray
+      dataOff.toLong + dataLen.toLong > p.length) return Array.emptyIntArray
     val n = dataLen / 2
     val out = new Array[Int](n)
     var k = 0

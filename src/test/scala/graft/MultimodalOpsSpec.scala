@@ -320,6 +320,14 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeWavSamples(wav).toSeq === samples.toSeq)
   }
 
+  test("decodeWavSamples rejects a lying near-Int.MaxValue data size (no giant alloc)") {
+    // data chunk declares 2^31-5 bytes on a 50-byte file: the Int sum
+    // dataOff + dataLen wraps negative — must degrade, not allocate
+    val wav = MultimodalOps.wavHeader(8000, 1, 16, Int.MaxValue - 4) ++
+      Array[Byte](1, 0, 2, 0)
+    assert(MultimodalOps.decodeWavSamples(wav).isEmpty)
+  }
+
   test("audioFingerprints degrades non-PCM-16 / undersized payloads to null fp") {
     val s = spark
     import s.implicits._
