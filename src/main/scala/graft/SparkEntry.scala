@@ -644,6 +644,11 @@ object SparkEntry {
     "x70_source_kl" -> ((s, dir) =>
       TextOps.sourceKl(Tables.documents(s, dir))),
 
+    // x71 — CCNet perplexity-band curation: middle-band survivors,
+    // exact-dedup'd; the capstone composition of the LM family
+    "x71_perplexity_band" -> ((s, dir) =>
+      TextOps.perplexityBand(Tables.documents(s, dir), 3.39, 3.42)),
+
     // driver projection stringifies the code array — every hitherto-green
     // query emits scalars only, so list canonicalization in the driver's
     // hasher is unproven; the operator itself returns the array form
@@ -1381,6 +1386,7 @@ object SparkEntry {
     "x68_bigram_lm_score" -> TextOps.bigramLmScoreSql,
     "x69_backoff_lm" -> TextOps.backoffLmScoreSql("doc_id % 10 <> 0"),
     "x70_source_kl" -> TextOps.sourceKlSql,
+    "x71_perplexity_band" -> TextOps.perplexityBandSql(3.39, 3.42),
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str
          |FROM (${SimilarityOps.quantizeEmbeddingsSql.replace("\n", "\n      ")}) t""".stripMargin,

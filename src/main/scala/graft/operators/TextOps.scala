@@ -564,6 +564,38 @@ object TextOps {
        |CROSS JOIN kl_tall a
        |GROUP BY s.source""".stripMargin
 
+  /** CCNet-style perplexity-band curation (Wenzek et al. 2020 bucket
+    * corpora exactly this way): documents whose LM score sits in the
+    * middle band survive — too-LOW perplexity is boilerplate/template
+    * text, too-HIGH is gibberish and OOV noise. Composes [[lmScore]]
+    * with exact dedup: the band filter is a cheap attribute compare on
+    * the scored relation (double literals — identical IEEE semantics in
+    * both engines), then ONE content-hash shuffle over the survivors
+    * only, lowest doc_id kept as representative (same-text docs carry
+    * identical scores, so min() is exact on every column). */
+  def perplexityBand(df: DataFrame, loNats: Double, hiNats: Double): DataFrame =
+    lmScore(df)
+      .filter(col("avg_nll") >= loNats && col("avg_nll") <= hiNats)
+      .join(df.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"), min("n_tokens").as("n_tokens"),
+        min("avg_nll").as("avg_nll"))
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
+
+  /** DuckDB twin of [[perplexityBand]]. */
+  def perplexityBandSql(loNats: Double, hiNats: Double): String =
+    s"""WITH pb_scored AS (
+       |  SELECT * FROM (
+       |${lmScoreSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) t
+       |  WHERE avg_nll >= $loNats AND avg_nll <= $hiNats
+       |)
+       |SELECT min(s.doc_id) AS doc_id,
+       |  CAST(min(s.n_tokens) AS BIGINT) AS n_tokens,
+       |  min(s.avg_nll) AS avg_nll
+       |FROM pb_scored s JOIN documents d ON s.doc_id = d.doc_id
+       |GROUP BY md5(d.text)""".stripMargin
+
   /** The composed curation pipeline a training-data job runs end-to-end:
     * language filter → quality filter → exact dedup (canonical
     * representative = lowest doc_id per text hash) → token accounting.

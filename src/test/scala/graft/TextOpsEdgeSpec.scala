@@ -161,6 +161,25 @@ class TextOpsEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("s3")._3 > out("s1")._3)
   }
 
+  test("perplexityBand: band filter + exact dedup keep one middle-band representative") {
+    val s = spark
+    import s.implicits._
+    // corpus: "a a b"×1 and "b c"×2 → T=7, V=3; scores diverge and the
+    // duplicate pair shares one (same text → same score)
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val all = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // pick a band that excludes doc 1 and includes the duplicate pair
+    val lo = all(2L) - 1e-9
+    val hi = all(2L) + 1e-9
+    assert(all(1L) < lo || all(1L) > hi, "fixture must separate the scores")
+    val out = TextOps.perplexityBand(docs, lo, hi).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((2L, 2L, all(2L))),
+      "one representative (lowest doc_id), duplicate collapsed, doc 1 out of band")
+  }
+
   test("topTerms: exclusive terms outrank shared ones; ties break alphabetically") {
     val s = spark
     import s.implicits._
