@@ -215,7 +215,13 @@ object TextOps {
     * first) and the cost join becomes a plain token-keyed shuffle join. */
   def lmScore(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docTok = df
+    // explicit doc_id non-null filter: a composition that later joins
+    // the scores on doc_id (x71) infers IsNotNull(doc_id) and pushes it
+    // through the aggregate into the SCORING branch only, splitting the
+    // occurrence matrix into two un-reusable subtrees (the x70 source
+    // trap, doc_id flavored). Present at the base, the constraint is
+    // already satisfied and both consumers stay canonically identical.
+    val docTok = df.filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(wordsRe(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("occ"))
     val counts = docTok.groupBy("token").agg(sum("occ").as("cnt"))
@@ -292,7 +298,9 @@ object TextOps {
     * safe because [[wordsRe]] tokens cannot contain whitespace. */
   def bigramLmScore(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docBi = df
+    // same explicit doc_id filter as [[lmScore]] — keeps future doc_id
+    // joins over the scores from splitting the matrix subtrees
+    val docBi = df.filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(
         graft.functions.TextExpressions.wsBigramsFast(col("text"))).as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("occ"))

@@ -115,11 +115,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both consumers must share the occurrence-matrix stage:\n$finalPlan")
   }
 
-  test("x68/x70: occurrence-matrix reuse holds for the bigram and KL scorers too") {
+  test("x68/x70/x71: occurrence-matrix reuse holds for the other scorers too") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     for ((name, df) <- Seq(
       "x68" -> graft.operators.TextOps.bigramLmScore(docs),
-      "x70" -> graft.operators.TextOps.sourceKl(docs))) {
+      "x70" -> graft.operators.TextOps.sourceKl(docs),
+      // composed: the band filter + dedup join must not break the
+      // scorer's internal stage reuse
+      "x71" -> graft.operators.TextOps.perplexityBand(docs, 3.39, 3.42))) {
       df.collect()
       val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
       assert(finalPlan.split("Generate").length - 1 === 1,
