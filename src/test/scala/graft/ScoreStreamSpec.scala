@@ -71,6 +71,17 @@ class ScoreStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed(3L) === ((2L, 2 * oov)))
       // the fully-OOV doc scores strictly worse than the in-vocab doc
       assert(streamed(3L)._2 > streamed(1L)._2)
+
+      // watermark contract: a doc arriving with an event time far
+      // behind the advanced watermark is DROPPED, not scored — state
+      // for its (doc_id, ts) group was already evicted
+      in.addData(InDoc(50L, "a b", ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      in.addData(InDoc(97L, "a", ts("2024-01-04 00:00:00"))) // flush
+      q.processAllAvailable()
+      val ids = spark.table("score_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(50L), "late row behind the watermark must drop")
     } finally q.stop()
   }
 }
