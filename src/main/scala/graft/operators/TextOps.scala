@@ -378,7 +378,11 @@ object TextOps {
     * Scale: train-side aggregations are token/bigram-vocab sized; both
     * cost tables broadcast back onto the scoring stream (shuffle-join on
     * open-vocab corpora); the backoff decision is a left join + CASE,
-    * never a second pass. */
+    * never a second pass. The train split deliberately RE-SCANS the
+    * corpus (a map-side tokenize of the 90%) rather than deriving train
+    * counts from the all-docs occurrence matrix: that derivation would
+    * either shuffle the matrix by doc_id or broadcast a corpus-sized id
+    * set — both strictly worse than one more CPU-bound scan at 100 TB. */
   def backoffLmScore(df: DataFrame, trainPred: Column,
                      alpha: Double = 0.4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
