@@ -419,6 +419,42 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) === got(2L))
   }
 
+  test("decoder fuzz: random and bit-mutated containers degrade, never throw") {
+    val rng = new scala.util.Random(7)
+    val n = MultimodalOps.audioFpWin * MultimodalOps.audioFpWinLen
+    val valid: Seq[Array[Byte]] = Seq(
+      MultimodalOps.pngHeader(64, 48),
+      MultimodalOps.jpegHeader(64, 48),
+      MultimodalOps.gifHeader(64, 48),
+      MultimodalOps.wavHeader(16000, 1, 16, 8) ++ Array[Byte](1, 0, 2, 0, 3, 0, 4, 0),
+      MultimodalOps.mp4HeaderTracked(1000, 5000L, 12800, 24, 512, 4) ++
+        Array[Byte](9, 9, 9, 9))
+    def decodeAll(p: Array[Byte]): Unit = {
+      MultimodalOps.decodeMeta(p)
+      MultimodalOps.decodeWav(p)
+      MultimodalOps.decodeWavSamples(p)
+      MultimodalOps.decodeMp4(p)
+      ()
+    }
+    // pure noise at assorted sizes (incl. empty and sub-header)
+    for (len <- Seq(0, 1, 3, 7, 8, 11, 12, 13, 43, 44, 45, 200, 4096); _ <- 1 to 20) {
+      val p = new Array[Byte](len)
+      rng.nextBytes(p)
+      decodeAll(p)
+    }
+    // valid containers with 1-4 mutated bytes: magic survives often
+    // enough that the inner walks get exercised with lying fields
+    for (base <- valid; _ <- 1 to 200) {
+      val p = base.clone()
+      (0 until 1 + rng.nextInt(4)).foreach { _ =>
+        p(rng.nextInt(p.length)) = rng.nextInt(256).toByte
+      }
+      decodeAll(p)
+    }
+    // truncations of every valid container at every length
+    for (base <- valid; cut <- 0 until base.length) decodeAll(base.take(cut))
+  }
+
   test("stubResize prepends the dimension header and stamps columns") {
     val out = MultimodalOps.stubResize(payloads, 224, 224)
     val r = out.filter(col("doc_id") === 1L).head()
