@@ -514,7 +514,13 @@ object TextOps {
     * Determinism: each distinct (cₛ, c) pair's log-ratio is snapped to
     * micro-nats, the per-source accumulation is Σ cₛ·ln((cₛ·T)/(Tₛ·c))
     * in exact BIGINT (= KL·Tₛ·1e6), and the final normalization is one
-    * fixed-order double division chain — the [[lmScore]] contract.
+    * fixed-order double division chain — the [[lmScore]] contract. The
+    * log-ratio itself is computed on doubles (identical op order in
+    * both engines) because the integer cross-product overflows at real
+    * corpus counts. Envelope: the BIGINT accumulator holds while
+    * Tₛ·KL < 9.2e12 nat·tokens per source (≈ a 4-trillion-token single
+    * source at KL 2); past that, shard the source or snap milli-nats —
+    * ANSI overflow throws loudly rather than corrupting.
     *
     * Scale: one (source, token) aggregation over the token stream (the
     * corpus totals derive from IT, exchange-reused — the corpus is
@@ -539,9 +545,14 @@ object TextOps {
       .join(broadcast(vocab), "token")
       .join(broadcast(srcTotals), "source")
       .select(col("source"), col("cs"), col("ts"),
-        (col("cs") * floor(log((col("cs") * col("t_all")).cast("double") /
-          (col("ts") * col("c")).cast("double")) * lit(1e6) + lit(0.5)))
-          .as("term_micro"))
+        // ratio in DOUBLE space: the BIGINT product cs·t_all overflows
+        // (ANSI-throws) once counts reach real-corpus scale (t_all ~2e13
+        // × common-token cs ~5e11); double products cannot overflow and
+        // both engines run the identical op order, so parity holds
+        (col("cs") * floor(log(
+          (col("cs").cast("double") * col("t_all").cast("double")) /
+            (col("ts").cast("double") * col("c").cast("double")))
+          * lit(1e6) + lit(0.5))).as("term_micro"))
       .groupBy("source")
       .agg(max("ts").as("n_tokens"), sum("term_micro").as("kl_micro"))
       .select(col("source"), col("n_tokens"), col("kl_micro"),
@@ -565,10 +576,11 @@ object TextOps {
        |  SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM kl_st GROUP BY source
        |)
        |SELECT s.source, max(t.ts) AS n_tokens,
-       |  CAST(sum(s.cs * floor(ln(CAST(s.cs * a.t_all AS DOUBLE)
-       |      / CAST(t.ts * v.c AS DOUBLE)) * 1e6 + 0.5)) AS BIGINT) AS kl_micro,
-       |  CAST(sum(s.cs * floor(ln(CAST(s.cs * a.t_all AS DOUBLE)
-       |      / CAST(t.ts * v.c AS DOUBLE)) * 1e6 + 0.5)) AS DOUBLE)
+       |  CAST(sum(s.cs * floor(ln((CAST(s.cs AS DOUBLE) * CAST(a.t_all AS DOUBLE))
+       |      / (CAST(t.ts AS DOUBLE) * CAST(v.c AS DOUBLE))) * 1e6 + 0.5)) AS BIGINT)
+       |    AS kl_micro,
+       |  CAST(sum(s.cs * floor(ln((CAST(s.cs AS DOUBLE) * CAST(a.t_all AS DOUBLE))
+       |      / (CAST(t.ts AS DOUBLE) * CAST(v.c AS DOUBLE))) * 1e6 + 0.5)) AS DOUBLE)
        |    / CAST(max(t.ts) AS DOUBLE) / 1e6 AS kl_nats
        |FROM kl_st s
        |JOIN kl_vocab v USING (token)
