@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.core.Tables.FsCatalog
 import graft.functions.PathFunctions._
-import graft.operators.{DedupOps, MergeOps, MultimodalOps, ScheduleOps, SearchOps, SimilarityOps, TextOps, Views}
+import graft.operators.{DedupOps, MergeOps, MultimodalOps, ScheduleOps, SearchOps, SimilarityOps, SubstringOps, TextOps, Views}
 import graft.oracle.Oracle
 
 /** Driver contract — one `queries` entry (plus DuckDB `oracleSql` twin)
@@ -648,6 +648,17 @@ object SparkEntry {
     // exact-dedup'd; the capstone composition of the LM family
     "x71_perplexity_band" -> ((s, dir) =>
       TextOps.perplexityBand(Tables.documents(s, dir), 3.39, 3.42)),
+
+    // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
+    // re-shaped for Spark): stride-1 window hashing, cross-doc shared
+    // windows, gaps-and-islands span merge per doc
+    "x72_dup_spans" -> ((s, dir) =>
+      SubstringOps.dupSpans(Tables.documents(s, dir), 8)),
+
+    // x73 — the span-cut corpus: per-doc token accounting plus the md5
+    // of the text with every duplicated span removed
+    "x73_substring_clean" -> ((s, dir) =>
+      SubstringOps.substringClean(Tables.documents(s, dir), 8)),
 
     // driver projection stringifies the code array — every hitherto-green
     // query emits scalars only, so list canonicalization in the driver's
@@ -1387,6 +1398,8 @@ object SparkEntry {
     "x69_backoff_lm" -> TextOps.backoffLmScoreSql("doc_id % 10 <> 0"),
     "x70_source_kl" -> TextOps.sourceKlSql,
     "x71_perplexity_band" -> TextOps.perplexityBandSql(3.39, 3.42),
+    "x72_dup_spans" -> SubstringOps.dupSpansSql(8),
+    "x73_substring_clean" -> SubstringOps.substringCleanSql(8),
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str
          |FROM (${SimilarityOps.quantizeEmbeddingsSql.replace("\n", "\n      ")}) t""".stripMargin,

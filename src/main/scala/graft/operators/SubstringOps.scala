@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps.words
+
+/** Exact duplicated-substring detection — the span-level dedup pass of
+  * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+  * Better"): whole-document dedup misses documents that share long runs
+  * of identical text inside otherwise-distinct pages (licenses, navboxes,
+  * quoted boilerplate), so the pipeline finds every w-token window whose
+  * content appears in two or more distinct documents and cuts the merged
+  * spans out of each.
+  *
+  * The paper builds a corpus-global suffix array — inherently
+  * single-machine. The Spark-distributable equivalent used here is
+  * stride-1 window hashing: every w-token window becomes one
+  * (doc, position, content-hash) row; a hash held by ≥2 distinct docs
+  * marks its windows duplicated; per document, overlapping or adjacent
+  * duplicated windows merge into maximal spans with one
+  * gaps-and-islands window pass. Any cross-document duplicated run of
+  * length ≥ w is found exactly (it contains a full window in each doc);
+  * runs shorter than w are below the cut threshold by design.
+  *
+  * Scale shape: the window relation is the corpus × ~1 row per token —
+  * large but narrow (pos + 32-byte hash), aggregated immediately by
+  * content hash (the only corpus-sized shuffle, evenly spread by
+  * construction), then joined back and windowed per doc_id. Nothing
+  * quadratic, no driver state. Production swaps the oracle-portable md5
+  * for `xxhash64` and drops the hash width to 8 bytes.
+  */
+object SubstringOps {
+
+  /** One row per w-token window: (doc_id, pos, whash), pos 1-based.
+    * Docs shorter than w tokens yield no windows (explode of the null
+    * `when` branch emits nothing — no pushdown-prone pre-filter). The
+    * token array is materialized once per row and referenced three
+    * times (guard, sequence bound, slice), so CollapseProject keeps the
+    * projection boundary and the text is tokenized once. */
+  private def windows(df: DataFrame, w: Int, text: Column): DataFrame = {
+    val ws = col("ws")
+    val win = explode(when(size(ws) >= w,
+      transform(sequence(lit(1), size(ws) - (w - 1)), i =>
+        struct(i.cast("long").as("pos"),
+          md5(array_join(slice(ws, i, lit(w)), " ")).as("whash")))))
+    df.select(col("doc_id"), words(text).as("ws"))
+      .select(col("doc_id"), win.as("wn"))
+      .select(col("doc_id"), col("wn.pos"), col("wn.whash"))
+  }
+
+  /** x72: maximal duplicated spans per document. A window is duplicated
+    * when its content occurs in ≥2 DISTINCT documents (within-doc
+    * repetition alone does not count — that is x34's repetition signal);
+    * sorted duplicated start positions merge into one span while each
+    * consecutive gap is ≤ w (start `p` covers tokens [p, p+w−1], so the
+    * next window at `p+w` is token-adjacent and still merges). Output:
+    * span token range, width, and the number of duplicated windows
+    * inside it. All arithmetic is integer — engine-exact. */
+  def dupSpans(df: DataFrame, w: Int = 8,
+               text: Column = col("text")): DataFrame = {
+    val wins = windows(df, w, text)
+    val shared = wins.select(col("doc_id"), col("whash")).distinct()
+      .groupBy("whash").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("whash")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    wins.join(shared, "whash")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(coalesce(col("pos") - lag("pos", 1).over(byDoc), lit(0L)) > w, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("brk")
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (w - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+  }
+
+  // Shared CTE block: ss_spans = the x72 result (plus ss_t for reuse).
+  // Keep in sync with [[windows]] + [[dupSpans]].
+  private def spanCtes(w: Int): String =
+    s"""ss_t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+       |),
+       |ss_w AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(array_to_string(ws[i : i + ${w - 1}], ' ')) AS whash
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - ${w - 1})) AS i
+       |        FROM ss_t)
+       |),
+       |ss_shared AS (
+       |  SELECT whash FROM (SELECT DISTINCT doc_id, whash FROM ss_w)
+       |  GROUP BY whash HAVING count(*) >= 2
+       |),
+       |ss_i AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN gap > $w THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |          coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS gap
+       |        FROM ss_w JOIN ss_shared USING (whash))
+       |),
+       |ss_spans AS (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |    max(pos) + ${w - 1} AS span_end,
+       |    max(pos) + ${w - 1} - min(pos) + 1 AS span_tokens,
+       |    count(*) AS n_windows
+       |  FROM ss_i GROUP BY doc_id, island
+       |)""".stripMargin
+
+  /** DuckDB twin of [[dupSpans]]. */
+  def dupSpansSql(w: Int = 8): String =
+    s"""WITH ${spanCtes(w)}
+       |SELECT doc_id, span_start, span_end, span_tokens, n_windows
+       |FROM ss_spans""".stripMargin
+
+  /** x73: the cleaned corpus — every token covered by a duplicated span
+    * is cut, and each document reports its before/after token accounting
+    * plus the md5 of the surviving text (compact oracle evidence that
+    * the cut itself matched, not just the counts; md5 of the empty
+    * string for fully-duplicated docs). Spans never overlap (islands are
+    * maximal by construction), so covered positions need no dedup.
+    *
+    * Shape: spans explode into covered positions (output-sized), the
+    * corpus explodes into (doc, pos, token) once, an anti-join keeps
+    * uncovered tokens, and a per-doc ordered re-assembly emits the
+    * cleaned text hash. The collect_list is per-document — bounded by
+    * the longest document, the same envelope every per-doc array op in
+    * this engine already lives in. */
+  def substringClean(df: DataFrame, w: Int = 8,
+                     text: Column = col("text")): DataFrame = {
+    val covered = dupSpans(df, w, text).select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val base = df.select(col("doc_id"), words(text).as("ws"))
+    val kept = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ")).as("clean_hash"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+  }
+
+  /** DuckDB twin of [[substringClean]]. */
+  def substringCleanSql(w: Int = 8): String =
+    s"""WITH ${spanCtes(w)},
+       |ss_cov AS (
+       |  SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+       |  FROM ss_spans
+       |),
+       |ss_tok AS (
+       |  SELECT doc_id, CAST(unnest(generate_series(1, len(ws))) AS BIGINT) AS pos,
+       |    unnest(ws) AS tok
+       |  FROM ss_t
+       |),
+       |ss_kept AS (
+       |  SELECT t.doc_id, count(*) AS kept_tokens,
+       |    md5(array_to_string(list(t.tok ORDER BY t.pos), ' ')) AS clean_hash
+       |  FROM ss_tok t ANTI JOIN ss_cov c
+       |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       |  CAST(len(b.ws) - coalesce(k.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+       |  coalesce(k.clean_hash, md5('')) AS clean_hash
+       |FROM ss_t b LEFT JOIN ss_kept k USING (doc_id)""".stripMargin
+}

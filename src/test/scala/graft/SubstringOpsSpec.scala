@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SubstringOps
+
+/** Exact duplicated-substring spans (x72) and the span-cut corpus (x73):
+  * closed-form fixtures pin window positions, island merging at the
+  * adjacency boundary, splitting past it, and the fully-duplicated
+  * degenerate case; the real-corpus test pins x72/x73 consistency
+  * (removed tokens == total span width, spans disjoint and in range). */
+class SubstringOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def toks(ts: Seq[String]) = ts.mkString(" ")
+  private val sRun = (1 to 10).map(i => s"s$i") // shared 10-token run (A, B)
+  private val r8 = (1 to 8).map(i => s"r$i")    // shared 8-token runs (G, H)
+  private val q8 = (1 to 8).map(i => s"q$i")
+  private val d9 = (1 to 9).map(i => s"d$i")    // fully-duplicated doc (D, E)
+
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      1L -> toks((1 to 4).map(i => s"a$i") ++ sRun ++ (15 to 20).map(i => s"a$i")),
+      2L -> toks(sRun ++ Seq("bx", "by", "bz")),
+      3L -> toks((1 to 12).map(i => s"c$i")),
+      4L -> toks(d9),
+      5L -> toks(d9),
+      6L -> toks(r8 ++ q8),                      // runs token-adjacent: one span
+      7L -> toks(r8 ++ Seq("z1", "z2", "z3", "z4") ++ q8) // gap 4: two spans
+    ).toDF("doc_id", "text")
+  }
+
+  test("span boundaries: a shared 10-token run yields one merged span per doc") {
+    val spans = SubstringOps.dupSpans(fixture, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // doc 1: run at tokens 5..14 -> windows start 5,6,7 merge to [5,14]
+    assert(spans.contains((1L, 5L, 14L, 10L, 3L)))
+    // doc 2: run at tokens 1..10 -> [1,10]
+    assert(spans.contains((2L, 1L, 10L, 10L, 3L)))
+    // doc 3 (all-unique) has no spans
+    assert(!spans.exists(_._1 == 3L))
+  }
+
+  test("token-adjacent duplicated windows merge; a 4-token gap splits") {
+    val spans = SubstringOps.dupSpans(fixture, 8)
+      .filter(col("doc_id").isin(6L, 7L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 6: windows at 1 (r-run) and 9 (q-run), gap w=8 -> one span [1,16]
+    assert(spans.filter(_._1 == 6L) == Set((6L, 1L, 16L)))
+    // doc 7: windows at 1 and 13, gap 12 > 8 -> spans [1,8] and [13,20]
+    assert(spans.filter(_._1 == 7L) == Set((7L, 1L, 8L), (7L, 13L, 20L)))
+  }
+
+  test("substringClean cuts exactly the spanned tokens, ordered reassembly") {
+    val clean = SubstringOps.substringClean(fixture, 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1: 20 tokens, run cut -> a1..a4 a15..a20 survive in order
+    val kept1 = (1 to 4).map(i => s"a$i") ++ (15 to 20).map(i => s"a$i")
+    assert(clean(1L) == ((20L, 10L, 10L, md5hex(kept1.mkString(" ")))))
+    // doc 2: the 3-token tail survives
+    assert(clean(2L) == ((13L, 3L, 10L, md5hex("bx by bz"))))
+    // doc 3: untouched
+    assert(clean(3L)._3 == 0L)
+    assert(clean(3L)._4 == md5hex((1 to 12).map(i => s"c$i").mkString(" ")))
+    // docs 4/5: fully duplicated -> nothing survives, md5 of empty string
+    assert(clean(4L) == ((9L, 0L, 9L, md5hex(""))))
+    assert(clean(5L) == ((9L, 0L, 9L, md5hex(""))))
+  }
+
+  test("docs shorter than the window yield no windows and stay whole") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(1L -> "one two three", 2L -> "one two three").toDF("doc_id", "text")
+    assert(SubstringOps.dupSpans(tiny, 8).count() == 0)
+    val clean = SubstringOps.substringClean(tiny, 8).collect()
+    assert(clean.forall(r => r.getLong(3) == 0L && r.getLong(2) == 3L))
+  }
+
+  test("real corpus: spans disjoint, in range, and consistent with x73 accounting") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val spans = SubstringOps.dupSpans(docs, 8).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)).toMap
+    // disjoint with at least one uncovered token between consecutive spans
+    spans.values.foreach { ss =>
+      ss.sliding(2).foreach {
+        case Array((_, e1, _), (s2, _, _)) => assert(s2 > e1 + 1)
+        case _ =>
+      }
+      ss.foreach { case (st, en, width) =>
+        assert(st >= 1 && en >= st && width == en - st + 1)
+      }
+    }
+    val removed = SubstringOps.substringClean(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val spanSum = spans.view.mapValues(_.map(_._3).sum).toMap
+    removed.foreach { case (id, rem) =>
+      assert(rem == spanSum.getOrElse(id, 0L), s"doc $id")
+    }
+    // the corpus genuinely exercises the operator
+    assert(spans.nonEmpty)
+  }
+}
