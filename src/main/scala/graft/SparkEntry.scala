@@ -649,6 +649,11 @@ object SparkEntry {
     "x71_perplexity_band" -> ((s, dir) =>
       TextOps.perplexityBand(Tables.documents(s, dir), 3.39, 3.42)),
 
+    // x74 — PMI collocations: phrase-mining over the bigram/unigram
+    // count relations, micro-nat snapped, TakeOrderedAndProject cut
+    "x74_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(Tables.documents(s, dir), 5, 50)),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1399,6 +1404,7 @@ object SparkEntry {
     "x70_source_kl" -> TextOps.sourceKlSql,
     "x71_perplexity_band" -> TextOps.perplexityBandSql(3.39, 3.42),
     "x72_dup_spans" -> SubstringOps.dupSpansSql(8),
+    "x74_pmi_collocations" -> TextOps.pmiCollocationsSql(5, 50),
     "x73_substring_clean" -> SubstringOps.substringCleanSql(8),
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str

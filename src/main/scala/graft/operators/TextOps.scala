@@ -1027,6 +1027,82 @@ object TextOps {
        |ORDER BY cnt DESC, bigram
        |LIMIT $k""".stripMargin
 
+  /** x74: top-K collocations by pointwise mutual information — the
+    * classic corpus-linguistics statistic (Church & Hanks 1990) a
+    * tokenizer-/phrase-mining pass computes before merging multi-word
+    * units: PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) = ln( c₂·T₁² /
+    * (T₂·c₁ₐ·c₁ᵦ) ), with a raw-count floor (`minCount`) so
+    * one-off pairs don't dominate (PMI's well-known rare-pair bias).
+    *
+    * Determinism: the score is snapped to integer micro-nats (the
+    * [[lmScore]] contract); the ratio is computed on doubles with
+    * identical operation order in both engines (a BIGINT cross-product
+    * would ANSI-overflow at corpus scale). Total order (pmi desc,
+    * bigram) makes the cut exact; Spark plans it as
+    * TakeOrderedAndProject.
+    *
+    * Scale: unigram and bigram relations are vocab-sized aggregations
+    * of one corpus scan each; totals ride window sums over those small
+    * relations; the two unigram joins broadcast. Nothing quadratic. */
+  def pmiCollocations(df: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val uni = df.select(explode(wordsRe(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    val uniT = uni.select(col("token"), col("c1"), sum("c1").over(w).as("t1"))
+    val biT = df.select(explode(
+        graft.functions.TextExpressions.wsBigramsFast(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+      // T₂ sums over ALL bigrams, so the window runs before the count floor
+      .select(col("bigram"), col("c2"), sum("c2").over(w).as("t2"))
+      .filter(col("c2") >= minCount)
+    val ua = uniT.select(col("token").as("wa"), col("c1").as("c1a"), col("t1"))
+    val ub = uni.select(col("token").as("wb"), col("c1").as("c1b"))
+    biT
+      .join(broadcast(ua), substring_index(col("bigram"), " ", 1) === col("wa"))
+      .join(broadcast(ub), substring_index(col("bigram"), " ", -1) === col("wb"))
+      .select(col("bigram"), col("c2").as("cnt"), col("c1a"), col("c1b"),
+        floor(log(
+          (col("c2").cast("double") * col("t1").cast("double") * col("t1").cast("double")) /
+            (col("t2").cast("double") * col("c1a").cast("double") * col("c1b").cast("double")))
+          * lit(1e6) + lit(0.5)).as("pmi_micro"))
+      .select(col("bigram"), col("cnt"), col("c1a"), col("c1b"), col("pmi_micro"),
+        (col("pmi_micro").cast("double") / lit(1e6)).as("pmi_nats"))
+      .orderBy(col("pmi_micro").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[pmiCollocations]]. */
+  def pmiCollocationsSql(minCount: Long = 5, k: Int = 50): String = {
+    val score =
+      """floor(ln((CAST(b.c2 AS DOUBLE) * CAST(t1.t1 AS DOUBLE) * CAST(t1.t1 AS DOUBLE))
+        |    / (CAST(t2.t2 AS DOUBLE) * CAST(ua.c1 AS DOUBLE) * CAST(ub.c1 AS DOUBLE))) * 1e6 + 0.5)""".stripMargin
+    s"""WITH pm_uni AS (
+       |  SELECT token, count(*) AS c1
+       |  FROM (SELECT unnest(${wordsReSql("text")}) AS token FROM documents)
+       |  GROUP BY token
+       |),
+       |pm_t1 AS (SELECT CAST(sum(c1) AS BIGINT) AS t1 FROM pm_uni),
+       |pm_bi AS (
+       |  SELECT bigram, count(*) AS c2
+       |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+       |                 pm_i -> toks[pm_i] || ' ' || toks[pm_i + 1])) AS bigram
+       |        FROM (SELECT ${wordsReSql("text")} AS toks FROM documents))
+       |  GROUP BY bigram
+       |),
+       |pm_t2 AS (SELECT CAST(sum(c2) AS BIGINT) AS t2 FROM pm_bi)
+       |SELECT b.bigram, b.c2 AS cnt, ua.c1 AS c1a, ub.c1 AS c1b,
+       |  CAST($score AS BIGINT) AS pmi_micro,
+       |  CAST($score AS DOUBLE) / 1e6 AS pmi_nats
+       |FROM pm_bi b
+       |JOIN pm_uni ua ON split_part(b.bigram, ' ', 1) = ua.token
+       |JOIN pm_uni ub ON split_part(b.bigram, ' ', 2) = ub.token
+       |CROSS JOIN pm_t1 t1 CROSS JOIN pm_t2 t2
+       |WHERE b.c2 >= $minCount
+       |ORDER BY pmi_micro DESC, bigram
+       |LIMIT $k""".stripMargin
+  }
+
   /** x44: length gate by corpus profile — keep documents inside their
     * language's (p10, p90] token-length band, with the band computed
     * from the corpus itself ([[lengthQuantiles]]' exact rank-based
