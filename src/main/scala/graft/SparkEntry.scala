@@ -649,6 +649,12 @@ object SparkEntry {
     "x71_perplexity_band" -> ((s, dir) =>
       TextOps.perplexityBand(Tables.documents(s, dir), 3.39, 3.42)),
 
+    // x75 — multinomial Naive Bayes language classifier: training IS a
+    // pair of count aggregations; dense smoothed costs broadcast back
+    // onto the occurrence matrix; rank-1 window picks the class
+    "x75_nb_classifier" -> ((s, dir) =>
+      graft.operators.ClassifyOps.nbLangScore(Tables.documents(s, dir))),
+
     // x74 — PMI collocations: phrase-mining over the bigram/unigram
     // count relations, micro-nat snapped, TakeOrderedAndProject cut
     "x74_pmi_collocations" -> ((s, dir) =>
@@ -1405,6 +1411,7 @@ object SparkEntry {
     "x71_perplexity_band" -> TextOps.perplexityBandSql(3.39, 3.42),
     "x72_dup_spans" -> SubstringOps.dupSpansSql(8),
     "x74_pmi_collocations" -> TextOps.pmiCollocationsSql(5, 50),
+    "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x73_substring_clean" -> SubstringOps.substringCleanSql(8),
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str

@@ -57,6 +57,47 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pmis.sortBy { case (p, b) => (-p, b) }.toSeq == pmis.toSeq)
   }
 
+  test("NB classifier: separable vocabularies classify perfectly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "xx", "foo bar foo baz"),
+      (2L, "xx", "bar baz foo foo"),
+      (3L, "yy", "qux quux qux corge"),
+      (4L, "yy", "corge qux quux quux")
+    ).toDF("doc_id", "lang", "text")
+    val rows = graft.operators.ClassifyOps.nbLangScore(df).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getString(2) == r.getString(1), s"doc ${r.getLong(0)}")
+      assert(r.getInt(4) == 1)
+    }
+  }
+
+  test("NB classifier: exact nll ties break to the alphabetically-first class") {
+    val s = spark
+    import s.implicits._
+    // identical text and symmetric class sizes -> identical class
+    // likelihoods AND priors; the rank-1 window must pick 'aa' for both
+    val df = Seq(
+      (1L, "aa", "tok1 tok2"),
+      (2L, "bb", "tok1 tok2")
+    ).toDF("doc_id", "lang", "text")
+    val rows = graft.operators.ClassifyOps.nbLangScore(df).collect()
+    assert(rows.forall(_.getString(2) == "aa"))
+  }
+
+  test("NB classifier: real-corpus accuracy beats the majority-class baseline") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count().toDouble
+    val majority = docs.groupBy("lang").count()
+      .agg(max("count")).head.getLong(0).toDouble / n
+    val correct = graft.operators.ClassifyOps.nbLangScore(docs)
+      .agg(sum("is_correct")).head.getLong(0).toDouble / n
+    assert(correct > majority,
+      s"accuracy $correct should beat majority baseline $majority")
+  }
+
   test("PMI: count floor removes singletons; real corpus is non-degenerate") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = TextOps.pmiCollocations(docs, minCount = 5, k = 50).collect()
