@@ -649,6 +649,11 @@ object SparkEntry {
     "x71_perplexity_band" -> ((s, dir) =>
       TextOps.perplexityBand(Tables.documents(s, dir), 3.39, 3.42)),
 
+    // x76 — per-source curation report: doc/token counts, type-token
+    // ratio, micro-snapped mean quality, and the domain keep/drop gate
+    "x76_source_report" -> ((s, dir) =>
+      TextOps.sourceReport(Tables.documents(s, dir), 0.60)),
+
     // x75 — multinomial Naive Bayes language classifier: training IS a
     // pair of count aggregations; dense smoothed costs broadcast back
     // onto the occurrence matrix; rank-1 window picks the class
@@ -1412,6 +1417,7 @@ object SparkEntry {
     "x72_dup_spans" -> SubstringOps.dupSpansSql(8),
     "x74_pmi_collocations" -> TextOps.pmiCollocationsSql(5, 50),
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
+    "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x73_substring_clean" -> SubstringOps.substringCleanSql(8),
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str

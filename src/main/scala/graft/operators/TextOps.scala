@@ -588,6 +588,71 @@ object TextOps {
        |CROSS JOIN kl_tall a
        |GROUP BY s.source""".stripMargin
 
+  /** x76: per-source curation report — the domain-level gate a
+    * multi-source pipeline applies before document-level filtering
+    * (drop the feeds whose aggregate quality is poor, rather than
+    * paying per-doc scoring on them forever): per source, document and
+    * token counts, lexical diversity (type-token ratio — boilerplate
+    * feeds repeat a tiny vocabulary), mean quality, and the keep/drop
+    * decision.
+    *
+    * Determinism: per-doc quality snaps to integer micro-units before
+    * the per-source SUM (a double sum would depend on partition
+    * order); the mean is one fixed-order double division chain, and
+    * the keep flag compares that mean to a literal — identical IEEE
+    * semantics in both engines.
+    *
+    * Scale: one narrow per-doc projection aggregated by source, one
+    * (source, token) distinct-count aggregation — both partial-agg
+    * shuffles keyed by source (salt via [[SkewOps]] if one source
+    * dominates). No driver state. */
+  def sourceReport(df: DataFrame, minQuality: Double = 0.60): DataFrame = {
+    val perDoc = df.filter(col("source").isNotNull)
+      .select(col("source"),
+        floor(qualityScoreCol(col("text")) * lit(1e6) + lit(0.5)).as("q_micro"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("q_micro").as("q_sum"))
+    val lex = df.filter(col("source").isNotNull)
+      .select(col("source"), explode(wordsRe(col("text"))).as("token"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("token").as("distinct_tokens"))
+    val meanQ = col("q_sum").cast("double") / col("n_docs").cast("double") / lit(1e6)
+    perDoc.join(lex, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("distinct_tokens"),
+        (col("distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        meanQ.as("mean_quality"),
+        when(meanQ >= minQuality, 1).otherwise(0).as("keep"))
+  }
+
+  /** DuckDB twin of [[sourceReport]]. */
+  def sourceReportSql(minQuality: Double = 0.60): String = {
+    val meanQ = "CAST(a.q_sum AS DOUBLE) / CAST(a.n_docs AS DOUBLE) / 1e6"
+    s"""WITH sr_doc AS (
+       |  SELECT source,
+       |    CAST(floor((${qualityScoreColSql("text")}) * 1e6 + 0.5) AS BIGINT)
+       |      AS q_micro
+       |  FROM documents WHERE source IS NOT NULL
+       |),
+       |sr_agg AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(q_micro) AS BIGINT) AS q_sum
+       |  FROM sr_doc GROUP BY source
+       |),
+       |sr_lex AS (
+       |  SELECT source, count(*) AS n_tokens,
+       |    CAST(count(DISTINCT token) AS BIGINT) AS distinct_tokens
+       |  FROM (SELECT source, unnest(${wordsReSql("text")}) AS token
+       |        FROM documents WHERE source IS NOT NULL)
+       |  GROUP BY source
+       |)
+       |SELECT a.source, a.n_docs, l.n_tokens, l.distinct_tokens,
+       |  CAST(l.distinct_tokens AS DOUBLE) / CAST(l.n_tokens AS DOUBLE) AS ttr,
+       |  $meanQ AS mean_quality,
+       |  CASE WHEN $meanQ >= $minQuality THEN 1 ELSE 0 END AS keep
+       |FROM sr_agg a JOIN sr_lex l USING (source)""".stripMargin
+  }
+
   /** CCNet-style perplexity-band curation (Wenzek et al. 2020 bucket
     * corpora exactly this way): documents whose LM score sits in the
     * middle band survive — too-LOW perplexity is boilerplate/template

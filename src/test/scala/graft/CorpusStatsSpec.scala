@@ -98,6 +98,44 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"accuracy $correct should beat majority baseline $majority")
   }
 
+  test("source report: exact counts on a fixture; keep gate follows the mean") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "srcA", "the cat and the dog is in a hat"),
+      (2L, "srcA", "the cat the cat"),
+      (3L, "srcB", "zz zz zz zz")
+    ).toDF("doc_id", "source", "text")
+    val rows = TextOps.sourceReport(df, 0.30).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("srcA")
+    assert(a.getLong(1) == 2L)      // n_docs
+    assert(a.getLong(2) == 13L)     // n_tokens (9 + 4)
+    assert(a.getLong(3) == 8L)      // distinct: the cat and dog is in a hat
+    assert(a.getDouble(4) == 8.0 / 13.0)
+    // srcB: one doc of a single repeated non-stopword token
+    val b = rows("srcB")
+    assert(b.getLong(2) == 4L && b.getLong(3) == 1L)
+    // keep is exactly the threshold compare on the reported mean
+    rows.values.foreach { r =>
+      assert(r.getInt(6) == (if (r.getDouble(5) >= 0.30) 1 else 0))
+    }
+  }
+
+  test("source report: micro-snapped mean tracks the per-doc x3 score") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val reported = TextOps.sourceReport(docs, 0.60).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val direct = docs
+      .select(col("source"), TextOps.qualityScoreCol(col("text")).as("q"))
+      .groupBy("source").agg(avg("q").as("mq")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(reported.keySet == direct.keySet)
+    reported.foreach { case (src, mq) =>
+      assert(math.abs(mq - direct(src)) < 1e-6, src) // snapping error only
+    }
+  }
+
   test("PMI: count floor removes singletons; real corpus is non-degenerate") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = TextOps.pmiCollocations(docs, minCount = 5, k = 50).collect()
