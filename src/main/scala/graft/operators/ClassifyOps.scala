@@ -43,7 +43,14 @@ object ClassifyOps {
       .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("occ"))
     val langTok = matrix.groupBy("lang", "token").agg(sum("occ").as("clt"))
     val langTot = langTok.groupBy("lang").agg(sum("clt").as("tl"))
-    val vocabV = langTok.groupBy("token").agg(count(lit(1)).as("nl"))
+    // the clt >= 1 filter is a tautology on counts, but it REFERENCES the
+    // aggregated column: without it RemoveRedundantAggregates collapses
+    // the keys-only matrix→langTok→distinct(token) chain into a fresh
+    // corpus-wide tokenize+distinct (observed: a second Generate + scan at
+    // runtime), bypassing the ReusedExchange that already holds langTok —
+    // one more corpus pass at 100 TB for a vocab-sized derivation
+    val vocabV = langTok.filter(col("clt") >= 1L)
+      .groupBy("token").agg(count(lit(1)).as("nl"))
       .select(col("token"), count(lit(1)).over(w).as("v"))
     val dense = vocabV.crossJoin(broadcast(langTot))
       .join(langTok, Seq("token", "lang"), "left_outer")

@@ -1121,8 +1121,13 @@ object TextOps {
       // T₂ sums over ALL bigrams, so the window runs before the count floor
       .select(col("bigram"), col("c2"), sum("c2").over(w).as("t2"))
       .filter(col("c2") >= minCount)
+    // BOTH unigram sides derive from uniT (ub's t1 column is dropped, not
+    // unneeded-at-source): deriving ub from the window-free `uni` would
+    // make the two subtrees canonically different and the corpus would be
+    // tokenized a third time — from uniT they share one scan + exchange
+    // chain and AQE's stage cache serves the second consumer for free
     val ua = uniT.select(col("token").as("wa"), col("c1").as("c1a"), col("t1"))
-    val ub = uni.select(col("token").as("wb"), col("c1").as("c1b"))
+    val ub = uniT.select(col("token").as("wb"), col("c1").as("c1b"))
     biT
       .join(broadcast(ua), substring_index(col("bigram"), " ", 1) === col("wa"))
       .join(broadcast(ub), substring_index(col("bigram"), " ", -1) === col("wb"))

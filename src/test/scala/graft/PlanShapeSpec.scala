@@ -132,6 +132,35 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x75 NB classifier: one tokenization, matrix/langTok stages reused, rank-1 pushdown") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = graft.operators.ClassifyOps.nbLangScore(docs)
+    df.collect()
+    val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
+    assert(finalPlan.split("Generate").length - 1 === 1,
+      s"corpus must be tokenized exactly once (the vocab branch collapses " +
+        s"to a second scan if RemoveRedundantAggregates gets past the clt " +
+        s"filter):\n$finalPlan")
+    assert(finalPlan.split("ReusedExchange").length - 1 >= 3,
+      s"matrix + langTok (x2) stages must be shared:\n$finalPlan")
+    assert(finalPlan.contains("WindowGroupLimit"),
+      s"the class argmin must plan as a rank-limit pushdown:\n$finalPlan")
+  }
+
+  test("x74 PMI: both unigram sides share one scan; top-K is TakeOrderedAndProject") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.pmiCollocations(docs, 5, 50)
+    df.collect()
+    val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
+    // one unigram + one bigram tokenization — ua/ub must NOT add a third
+    assert(finalPlan.split("Generate").length - 1 === 2,
+      s"exactly one unigram and one bigram pass:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"ua and ub must share the unigram stage:\n$finalPlan")
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"the top-K cut must not global-sort:\n$finalPlan")
+  }
+
   test("vw_ll plans with broadcast dimension joins") {
     val c = SparkEntry.cat(spark, sfDir)
     val plan = physicalPlan(c.vwLl)
