@@ -676,6 +676,11 @@ object SparkEntry {
     "x73_substring_clean" -> ((s, dir) =>
       SubstringOps.substringClean(Tables.documents(s, dir), 8)),
 
+    // x77 — cross-source window-overlap matrix: mirror/syndication
+    // detection with a max-df guard bounding the self-join fan-out
+    "x77_source_overlap" -> ((s, dir) =>
+      SubstringOps.sourceOverlap(Tables.documents(s, dir), 8, 64)),
+
     // driver projection stringifies the code array — every hitherto-green
     // query emits scalars only, so list canonicalization in the driver's
     // hasher is unproven; the operator itself returns the array form
@@ -1418,6 +1423,7 @@ object SparkEntry {
     "x74_pmi_collocations" -> TextOps.pmiCollocationsSql(5, 50),
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
+    "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),
     "x73_substring_clean" -> SubstringOps.substringCleanSql(8),
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str

@@ -39,15 +39,17 @@ object SubstringOps {
     * token array is materialized once per row and referenced three
     * times (guard, sequence bound, slice), so CollapseProject keeps the
     * projection boundary and the text is tokenized once. */
-  private def windows(df: DataFrame, w: Int, text: Column): DataFrame = {
+  private def windows(df: DataFrame, w: Int, text: Column,
+                      keyNames: Seq[String] = Seq("doc_id")): DataFrame = {
     val ws = col("ws")
     val win = explode(when(size(ws) >= w,
       transform(sequence(lit(1), size(ws) - (w - 1)), i =>
         struct(i.cast("long").as("pos"),
           md5(array_join(slice(ws, i, lit(w)), " ")).as("whash")))))
-    df.select(col("doc_id"), words(text).as("ws"))
-      .select(col("doc_id"), win.as("wn"))
-      .select(col("doc_id"), col("wn.pos"), col("wn.whash"))
+    val keys = keyNames.map(col)
+    df.select(keys :+ words(text).as("ws"): _*)
+      .select(keys :+ win.as("wn"): _*)
+      .select(keys ++ Seq(col("wn.pos"), col("wn.whash")): _*)
   }
 
   /** x72: maximal duplicated spans per document. A window is duplicated
@@ -156,6 +158,73 @@ object SubstringOps {
           .as("removed_tokens"),
         coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
   }
+
+  /** x77: cross-source content-overlap matrix — the mirror-feed /
+    * syndication diagnostic a multi-source pipeline runs before choosing
+    * mixture weights: for every source pair, how many distinct w-token
+    * windows they share, plus the containment ratio
+    * (shared / min(|A|, |B|) — 1.0 means the smaller source's window set
+    * is a subset of the larger's). Exact doc-level overlap misses
+    * near-mirrors that rewrap shared text; window-level overlap catches
+    * any shared run of ≥ w tokens, the same guarantee as [[dupSpans]].
+    *
+    * Scale shape: the distinct (source, window-hash) relation is one
+    * corpus-sized aggregation; windows held by only one source (the
+    * overwhelming majority) drop before the self-join, and a max-df
+    * guard (`maxSources`, the x55 winnowing pattern) bounds the
+    * remaining per-window pair fan-out at S·(S−1)/2 ≤ maxSources² even
+    * when source = web domain and viral boilerplate appears everywhere.
+    * Per-source totals broadcast back. */
+  def sourceOverlap(df: DataFrame, w: Int = 8, maxSources: Int = 64,
+                    text: Column = col("text")): DataFrame = {
+    val sw = windows(df.filter(col("source").isNotNull), w, text, Seq("source"))
+      .select(col("source"), col("whash")).distinct()
+    val shared = sw.groupBy("whash").agg(count(lit(1)).as("n_src"))
+      .filter(col("n_src") >= 2 && col("n_src") <= maxSources)
+      .select("whash")
+    val swShared = sw.join(shared, "whash")
+    val totals = sw.groupBy("source").agg(count(lit(1)).as("n"))
+    swShared.as("a")
+      .join(swShared.as("b"),
+        col("a.whash") === col("b.whash") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n").as("n_a"))),
+        "src_a")
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n").as("n_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_windows"),
+        col("n_a"), col("n_b"),
+        (col("shared_windows").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
+
+  /** DuckDB twin of [[sourceOverlap]]. */
+  def sourceOverlapSql(w: Int = 8, maxSources: Int = 64): String =
+    s"""WITH so_w AS (
+       |  SELECT DISTINCT source,
+       |    md5(array_to_string(ws[i : i + ${w - 1}], ' ')) AS whash
+       |  FROM (SELECT source, ws,
+       |          unnest(generate_series(1, len(ws) - ${w - 1})) AS i
+       |        FROM (SELECT source, string_split(trim(text), ' ') AS ws
+       |              FROM documents WHERE source IS NOT NULL) so_t)
+       |),
+       |so_sh AS (
+       |  SELECT whash FROM so_w
+       |  GROUP BY whash HAVING count(*) BETWEEN 2 AND $maxSources
+       |),
+       |so_f AS (SELECT source, whash FROM so_w JOIN so_sh USING (whash)),
+       |so_n AS (SELECT source, count(*) AS n FROM so_w GROUP BY source)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  count(*) AS shared_windows,
+       |  CAST(max(na.n) AS BIGINT) AS n_a, CAST(max(nb.n) AS BIGINT) AS n_b,
+       |  CAST(count(*) AS DOUBLE)
+       |    / CAST(least(max(na.n), max(nb.n)) AS DOUBLE) AS containment
+       |FROM so_f a
+       |JOIN so_f b ON a.whash = b.whash AND a.source < b.source
+       |JOIN so_n na ON na.source = a.source
+       |JOIN so_n nb ON nb.source = b.source
+       |GROUP BY a.source, b.source""".stripMargin
 
   /** DuckDB twin of [[substringClean]]. */
   def substringCleanSql(w: Int = 8): String =

@@ -95,6 +95,34 @@ class SubstringOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean.forall(r => r.getLong(3) == 0L && r.getLong(2) == 3L))
   }
 
+  test("source overlap: shared windows counted once per pair, max-df guard drops viral windows") {
+    val s = spark
+    import s.implicits._
+    // srcA and srcB share the 10-token s-run (3 distinct windows);
+    // srcC shares nothing; the v-run appears in ALL sources (viral)
+    val v8 = (1 to 8).map(i => s"v$i")
+    val df = Seq(
+      (1L, "srcA", toks(sRun ++ Seq("a1") ++ v8)),
+      (2L, "srcB", toks(Seq("b1", "b2") ++ sRun ++ v8)),
+      (3L, "srcC", toks((1 to 9).map(i => s"c$i") ++ v8))
+    ).toDF("doc_id", "source", "text")
+    // maxSources=2: the v-run windows (held by 3 sources) are guarded out
+    val rows = SubstringOps.sourceOverlap(df, 8, maxSources = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(rows.keySet == Set(("srcA", "srcB")))
+    assert(rows(("srcA", "srcB"))._1 == 3L) // s-run windows only
+    // without the guard the viral windows pair every source
+    val open = SubstringOps.sourceOverlap(df, 8, maxSources = 64)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(open == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    // containment in (0, 1]
+    SubstringOps.sourceOverlap(df, 8, 64).collect().foreach { r =>
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+  }
+
   test("real corpus: spans disjoint, in range, and consistent with x73 accounting") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val spans = SubstringOps.dupSpans(docs, 8).collect()
