@@ -35,7 +35,10 @@ object ClassifyOps {
     * it on an open-vocab corpus). The winner is picked by a rank-1
     * window per doc — Spark plans WindowGroupLimit, keeping one row
     * per doc map-side before the final shuffle. */
-  def nbLangScore(df: DataFrame): DataFrame = {
+  private case class NbParts(matrix: DataFrame, langTok: DataFrame,
+                             langTot: DataFrame, dense: DataFrame)
+
+  private def nbParts(df: DataFrame): NbParts = {
     val w = Window.partitionBy()
     val base = df.filter(col("doc_id").isNotNull && col("lang").isNotNull)
     val matrix = base
@@ -58,11 +61,49 @@ object ClassifyOps {
         floor(log((col("tl") + col("v")).cast("double") /
           (coalesce(col("clt"), lit(0L)) + lit(1L)).cast("double"))
           * lit(1e6) + lit(0.5)).as("cost_micro"))
+    NbParts(matrix, langTok, langTot, dense)
+  }
+
+  /** One trained class: log-prior and the cost an out-of-vocabulary token
+    * takes under this class's smoothing (cnt = 0 → ln(T_l + V)). */
+  case class NbPrior(lang: String, priorMicro: Long, oovMicro: Long)
+
+  /** Offline-trained model for the streaming twin
+    * ([[graft.streaming.ClassifyStream]]): the dense (token, class) cost
+    * table plus per-class priors and OOV costs. The collect is L rows —
+    * a train-time driver action, not per-batch work (the [[TextOps.lmModel]]
+    * contract). */
+  def nbModel(df: DataFrame): (DataFrame, Seq[NbPrior]) = {
+    val w = Window.partitionBy()
+    val p = nbParts(df)
+    val base = df.filter(col("doc_id").isNotNull && col("lang").isNotNull)
+    val vCount = p.langTok.filter(col("clt") >= 1L)
+      .groupBy("token").agg(count(lit(1)).as("nl"))
+      .agg(count(lit(1)).as("v"))
+    val pri = base.groupBy("lang").agg(count(lit(1)).as("nl"))
+      .select(col("lang"),
+        floor(log(sum("nl").over(w).cast("double") / col("nl").cast("double"))
+          * lit(1e6) + lit(0.5)).as("prior_micro"))
+      .join(p.langTot, "lang")
+      .crossJoin(broadcast(vCount))
+      .select(col("lang"), col("prior_micro"),
+        floor(log((col("tl") + col("v")).cast("double")) * lit(1e6) + lit(0.5))
+          .as("oov_micro"))
+    val priors = pri.collect().map(r =>
+      NbPrior(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(_.lang)
+    (p.dense, priors)
+  }
+
+  def nbLangScore(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy()
+    val base = df.filter(col("doc_id").isNotNull && col("lang").isNotNull)
+    val p = nbParts(df)
     val priors = base.groupBy("lang").agg(count(lit(1)).as("nl"))
       .select(col("lang").as("cand_lang"),
         floor(log(sum("nl").over(w).cast("double") / col("nl").cast("double"))
           * lit(1e6) + lit(0.5)).as("prior_micro"))
-    val scores = matrix.join(broadcast(dense), "token")
+    val scores = p.matrix.join(broadcast(p.dense), "token")
       .groupBy("doc_id", "lang", "cand_lang")
       .agg(sum(col("occ") * col("cost_micro")).as("tok_micro"))
       .join(broadcast(priors), "cand_lang")
