@@ -95,6 +95,60 @@ class SubstringOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean.forall(r => r.getLong(3) == 0L && r.getLong(2) == 3L))
   }
 
+  test("property: spans equal a naive reference on random corpora (20 trials)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val w = 4
+    for (trial <- 1 to 20) {
+      // narrow alphabet so accidental cross-doc windows occur, plus one
+      // planted run so every trial has at least one guaranteed span
+      val planted = Seq.fill(6)("p" + trial)
+      val docsRaw: Seq[(Long, Array[String])] = (1 to 8).map { id =>
+        val body = Array.fill(5 + rnd.nextInt(36))("t" + rnd.nextInt(6))
+        val withRun = if (id <= 2) {
+          val at = rnd.nextInt(body.length + 1)
+          (body.take(at) ++ planted ++ body.drop(at))
+        } else body
+        (id.toLong, withRun)
+      }
+      // naive reference: duplicated window starts -> covered positions ->
+      // maximal contiguous runs (1-based, inclusive)
+      val wins = docsRaw.flatMap { case (id, ts) =>
+        (0 to ts.length - w).map(i => (id, i, ts.slice(i, i + w).mkString(" ")))
+      }
+      val nDocs = wins.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size).toMap
+      val expected: Map[Long, Seq[(Long, Long)]] = wins
+        .filter(t => nDocs(t._3) >= 2)
+        .groupBy(_._1).view.mapValues { ps =>
+          val covered = ps.flatMap(p => p._2 until p._2 + w).distinct.sorted
+          val runs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          var start = covered.head
+          var prev = covered.head
+          for (c <- covered.tail) {
+            if (c != prev + 1) { runs += ((start + 1L, prev + 1L)); start = c }
+            prev = c
+          }
+          runs += ((start + 1L, prev + 1L))
+          runs.toSeq
+        }.toMap
+      val df = docsRaw.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = SubstringOps.dupSpans(df, w).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+          (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq).toMap
+      assert(got == expected, s"trial $trial")
+      // x73 removed_tokens == total covered positions
+      val removed = SubstringOps.substringClean(df, w).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      docsRaw.foreach { case (id, _) =>
+        val expRemoved = expected.getOrElse(id, Nil)
+          .map { case (a, b) => b - a + 1 }.sum
+        assert(removed(id) == expRemoved, s"trial $trial doc $id")
+      }
+    }
+  }
+
   test("source overlap: shared windows counted once per pair, max-df guard drops viral windows") {
     val s = spark
     import s.implicits._
