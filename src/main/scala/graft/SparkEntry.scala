@@ -649,6 +649,12 @@ object SparkEntry {
     "x71_perplexity_band" -> ((s, dir) =>
       TextOps.perplexityBand(Tables.documents(s, dir), 3.39, 3.42)),
 
+    // x78 — shingle-containment pairs: the excerpt detector symmetric
+    // Jaccard misses; shared-shingle candidates under a max-df guard,
+    // exact containment over full shingle sets
+    "x78_containment_pairs" -> ((s, dir) =>
+      DedupOps.containmentPairs(Tables.documents(s, dir), 3, 16)),
+
     // x76 — per-source curation report: doc/token counts, type-token
     // ratio, micro-snapped mean quality, and the domain keep/drop gate
     "x76_source_report" -> ((s, dir) =>
@@ -1424,6 +1430,7 @@ object SparkEntry {
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),
+    "x78_containment_pairs" -> DedupOps.containmentPairsSql(3, 16),
     "x73_substring_clean" -> SubstringOps.substringCleanSql(8),
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str

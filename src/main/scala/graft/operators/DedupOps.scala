@@ -316,6 +316,84 @@ object DedupOps {
        |  FROM verified
        |) WHERE edit_sim >= CAST('$minSim' AS DOUBLE)""".stripMargin
 
+  /** x78: shingle-containment pairs — the EXCERPT detector. Symmetric
+    * Jaccard (and therefore MinHash LSH banded on it) goes blind exactly
+    * when a small document is quoted inside a much larger one: the
+    * intersection is the excerpt but the union is the big doc, so
+    * J → 0 while C(A→B) = |A∩B|/|A| → 1. Candidates therefore come from
+    * the shared-shingle relation itself, not from LSH: shingles held by
+    * 2..maxDf docs emit their doc pairs (the max-df guard is the x55
+    * winnowing pattern — boilerplate shingles that would blow the pair
+    * fan-out up to df² are exactly the ones that carry no excerpt
+    * signal), pairs sharing ≥ minShared guarded shingles survive, and
+    * exact containment is then computed over the FULL distinct shingle
+    * sets (the guard bounds candidate generation only — the reported
+    * ratio is exact).
+    *
+    * Scale: one pinned distinct (doc, shingle) relation feeds guard,
+    * sizes, and the intersection joins; every shuffle is keyed by
+    * shingle or by pair. Nothing quadratic beyond the guarded fan-out. */
+  def containmentPairs(df: DataFrame, minShared: Long = 3, maxDf: Long = 16,
+                       text: Column = col("text"),
+                       state: IterState = Local): DataFrame = {
+    val sh = state.pin(
+      df.select(col("doc_id"), explode(array_distinct(shingles(text))).as("sh")))
+    val guarded = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("sh")
+    val shf = sh.join(guarded, "sh")
+    val cand = shf.as("a")
+      .join(shf.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("doc_a", "doc_b")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / col("n_a").cast("double"))
+          .as("containment_a"),
+        (col("n_inter").cast("double") / col("n_b").cast("double"))
+          .as("containment_b"))
+  }
+
+  /** DuckDB twin of [[containmentPairs]]. */
+  def containmentPairsSql(minShared: Long = 3, maxDf: Long = 16): String =
+    s"""WITH ${shinglesSqlCte},
+       |cp_g AS (
+       |  SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND $maxDf
+       |),
+       |cp_f AS (SELECT doc_id, sh FROM sh JOIN cp_g USING (sh)),
+       |cp_cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM cp_f a JOIN cp_f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |),
+       |cp_sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |cp_inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cp_cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT i.doc_a, i.doc_b, i.n_inter,
+       |  CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
+       |  CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh AS DOUBLE) AS containment_a,
+       |  CAST(i.n_inter AS DOUBLE) / CAST(zb.n_sh AS DOUBLE) AS containment_b
+       |FROM cp_inter i
+       |JOIN cp_sizes za ON za.doc_id = i.doc_a
+       |JOIN cp_sizes zb ON zb.doc_id = i.doc_b""".stripMargin
+
   /** Exact Jaccard for a given candidate-pair set: |A∩B| via a shingle
     * equi-join restricted to the candidates, |A∪B| = |A|+|B|−|A∩B|. */
   def jaccardFor(df: DataFrame, candidates: DataFrame,

@@ -136,6 +136,41 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("containment: a fully-quoted excerpt scores 1.0 where Jaccard stays low") {
+    val s = spark
+    import s.implicits._
+    val big = (1 to 30).map(i => s"w$i")
+    val excerpt = big.slice(10, 18) // 8 tokens -> 6 distinct 3-shingles
+    val df = Seq(
+      1L -> excerpt.mkString(" "),
+      2L -> big.mkString(" "),
+      3L -> (1 to 20).map(i => s"z$i").mkString(" ") // unrelated
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.DedupOps.containmentPairs(df, 3, 16).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getLong(2) == 6L && r.getLong(3) == 6L && r.getLong(4) == 28L)
+    assert(r.getDouble(5) == 1.0, "excerpt fully contained in the big doc")
+    // the symmetric Jaccard on the same pair is far below LSH thresholds
+    val jac = 6.0 / (6 + 28 - 6)
+    assert(r.getDouble(6) == 6.0 / 28.0 && jac < 0.25)
+  }
+
+  test("containment: max-df guard keeps boilerplate shingles out of candidate generation") {
+    val s = spark
+    import s.implicits._
+    // the same 3 shingles appear in every doc (df=5 > maxDf=4): no pair
+    // reaches minShared from boilerplate alone
+    val boiler = Seq("b1", "b2", "b3", "b4", "b5")
+    val df = (1 to 5).map(i =>
+      i.toLong -> (boiler ++ Seq(s"u${i}a", s"u${i}b")).mkString(" "))
+      .toDF("doc_id", "text")
+    assert(graft.operators.DedupOps.containmentPairs(df, 3, 4).count() == 0)
+    // raising maxDf re-admits them (sanity that the guard is the reason)
+    assert(graft.operators.DedupOps.containmentPairs(df, 3, 16).count() > 0)
+  }
+
   test("PMI: count floor removes singletons; real corpus is non-degenerate") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = TextOps.pmiCollocations(docs, minCount = 5, k = 50).collect()
