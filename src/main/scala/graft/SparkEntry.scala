@@ -687,6 +687,12 @@ object SparkEntry {
     "x77_source_overlap" -> ((s, dir) =>
       SubstringOps.sourceOverlap(Tables.documents(s, dir), 8, 64)),
 
+    // x79 — n-gram eval-overlap decontamination (the GPT-3/PaLM exact
+    // collision check): broadcast eval windows, one map-side train pass
+    "x79_ngram_decontamination" -> ((s, dir) =>
+      SubstringOps.ngramDecontamination(Tables.documents(s, dir),
+        col("doc_id") % 10 === 0, 8)),
+
     // driver projection stringifies the code array — every hitherto-green
     // query emits scalars only, so list canonicalization in the driver's
     // hasher is unproven; the operator itself returns the array form
@@ -1431,6 +1437,8 @@ object SparkEntry {
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),
     "x78_containment_pairs" -> DedupOps.containmentPairsSql(3, 16),
+    "x79_ngram_decontamination" ->
+      SubstringOps.ngramDecontaminationSql("doc_id % 10 = 0", 8),
     "x73_substring_clean" -> SubstringOps.substringCleanSql(8),
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str

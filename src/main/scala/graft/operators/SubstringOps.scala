@@ -226,6 +226,57 @@ object SubstringOps {
        |JOIN so_n nb ON nb.source = b.source
        |GROUP BY a.source, b.source""".stripMargin
 
+  /** x79: n-gram eval-overlap decontamination — the published exact
+    * method (GPT-3's 13-gram and PaLM's 8-gram collision checks): a
+    * training document is contaminated when ANY of its w-token windows
+    * also occurs in the evaluation split. Completes the decontamination
+    * family: x28 is whole-doc exact, x40 the Bloom-prefiltered
+    * approximation, x39 split leakage — this is the window-exact form,
+    * and it reports evidence (hit counts), not just the verdict.
+    *
+    * Scale shape: THE production decontamination pass — eval windows are
+    * a small distinct relation (eval sets are tiny next to the corpus),
+    * broadcast against one map-side pass over the training windows; the
+    * left-outer hit flag folds into the same per-doc aggregation that
+    * counts windows, so the corpus is scanned and tokenized exactly
+    * once. Train docs shorter than w tokens carry no windows and drop
+    * out (both engines agree). */
+  def ngramDecontamination(df: DataFrame, evalPred: Column, w: Int = 8,
+                           text: Column = col("text")): DataFrame = {
+    val evalWins = windows(df.filter(evalPred), w, text)
+      .select(col("whash")).distinct()
+      .select(col("whash"), lit(1).as("__hit"))
+    windows(df.filter(!evalPred), w, text)
+      .join(broadcast(evalWins), Seq("whash"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("hit_windows"))
+      .select(col("doc_id"), col("n_windows"), col("hit_windows"),
+        when(col("hit_windows") > 0, 1).otherwise(0).as("contaminated"))
+  }
+
+  /** DuckDB twin of [[ngramDecontamination]]; `evalPredSql` must mirror
+    * the Column predicate over the documents columns. */
+  def ngramDecontaminationSql(evalPredSql: String, w: Int = 8): String =
+    s"""WITH nd_t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+       |),
+       |nd_w AS (
+       |  SELECT doc_id, md5(array_to_string(ws[i : i + ${w - 1}], ' ')) AS whash
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - ${w - 1})) AS i
+       |        FROM nd_t)
+       |),
+       |nd_e AS (SELECT DISTINCT whash FROM nd_w WHERE $evalPredSql)
+       |SELECT t.doc_id, count(*) AS n_windows,
+       |  CAST(sum(CASE WHEN e.whash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hit_windows,
+       |  CASE WHEN sum(CASE WHEN e.whash IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |       THEN 1 ELSE 0 END AS contaminated
+       |FROM nd_w t LEFT JOIN nd_e e USING (whash)
+       |WHERE NOT ($evalPredSql)
+       |GROUP BY t.doc_id""".stripMargin
+
   /** DuckDB twin of [[substringClean]]. */
   def substringCleanSql(w: Int = 8): String =
     s"""WITH ${spanCtes(w)},

@@ -177,6 +177,31 @@ class SubstringOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ngram decontamination: planted eval run flags exactly its carrier") {
+    val s = spark
+    import s.implicits._
+    val evalRun = (1 to 10).map(i => s"e$i")
+    val df = Seq(
+      // eval split: doc_id % 10 == 0
+      10L -> toks(evalRun ++ Seq("ex")),
+      // train carrying the full eval run -> 3 hit windows (10-token run, w=8)
+      1L -> toks(Seq("t1", "t2") ++ evalRun ++ Seq("t3")),
+      // train sharing only 7 tokens of the run -> below w, no hit
+      2L -> toks(evalRun.take(7) ++ (1 to 5).map(i => s"u$i")),
+      // unrelated train
+      3L -> toks((1 to 12).map(i => s"v$i")),
+      // short train doc: no windows, absent from the report
+      4L -> "a b c"
+    ).toDF("doc_id", "text")
+    val rows = SubstringOps.ngramDecontamination(df, col("doc_id") % 10 === 0, 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) == ((6L, 3L, 1)))   // 13 tokens -> 6 windows, 3 eval hits
+    assert(rows(2L)._2 == 0L && rows(2L)._3 == 0)
+    assert(rows(3L) == ((5L, 0L, 0)))
+  }
+
   test("real corpus: spans disjoint, in range, and consistent with x73 accounting") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val spans = SubstringOps.dupSpans(docs, 8).collect()
