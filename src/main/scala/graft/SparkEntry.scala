@@ -671,6 +671,11 @@ object SparkEntry {
     "x74_pmi_collocations" -> ((s, dir) =>
       TextOps.pmiCollocations(Tables.documents(s, dir), 5, 50)),
 
+    // x80 — per-doc TF-IDF keywords: exact BIGINT tf·idf_micro scores,
+    // one corpus tokenization, vocab-sized idf broadcast, rank-k window
+    "x80_tfidf_keywords" -> ((s, dir) =>
+      TextOps.tfidfKeywords(Tables.documents(s, dir), 5)),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1433,6 +1438,7 @@ object SparkEntry {
     "x71_perplexity_band" -> TextOps.perplexityBandSql(3.39, 3.42),
     "x72_dup_spans" -> SubstringOps.dupSpansSql(8),
     "x74_pmi_collocations" -> TextOps.pmiCollocationsSql(5, 50),
+    "x80_tfidf_keywords" -> TextOps.tfidfKeywordsSql(5),
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

@@ -1173,6 +1173,85 @@ object TextOps {
        |LIMIT $k""".stripMargin
   }
 
+  /** x80: top-K keywords per document by TF-IDF — the per-document
+    * "what is this about" signal every retrieval/curation stack keeps
+    * beside BM25 (x49 ranks documents for a query; this ranks TERMS for
+    * a document): score(d, t) = tf(d,t) · ln(N / df(t)).
+    *
+    * Determinism: idf is snapped to integer micro-nats once per token
+    * (ln over the integer ratio N/df — the [[lmScore]] contract), and
+    * the per-doc score is the exact BIGINT product tf · idf_micro, so
+    * the rank cut (score desc, token) is a total order both engines
+    * agree on bit-for-bit.
+    *
+    * Scale: the corpus is tokenized ONCE into the (doc_id, token, tf)
+    * matrix; document frequency and the corpus doc count both derive
+    * from that matrix (exchange reuse — and the doc-count branch keeps a
+    * tautological `tf >= 1` filter so RemoveRedundantAggregates can't
+    * collapse it into a second corpus-wide distinct, the x75 vocab
+    * trap). The idf table is vocab-sized and broadcasts back onto the
+    * matrix; the per-doc cut is a rank-1..k window, which Spark plans
+    * with WindowGroupLimit pushdown — no global sort, no second scan. */
+  def tfidfKeywords(df: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // token.isNotNull at the shared base: the scoring join infers
+    // IsNotNull(token) into its own branches only; without the base
+    // filter the doc-count branch stays constraint-free, the three
+    // matrix subtrees stop comparing canonically equal, and the corpus
+    // is tokenized twice (the x70 source trap, token flavored)
+    val mat = df.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(wordsRe(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // corpus doc count from the SAME matrix; the tautological filter on
+    // the aggregated column blocks RemoveRedundantAggregates from
+    // rewriting distinct(doc_id)-over-aggregate as a fresh corpus scan
+    val nDocs = mat.filter(col("tf") >= 1)
+      .agg(countDistinct("doc_id").as("n_docs"))
+    // same tautological filter on the df branch: counting rows per token
+    // is a keys-only aggregate over the matrix, which the optimizer
+    // otherwise collapses into a fresh (doc_id, token) distinct whose
+    // partial aggregate no longer matches the matrix exchange
+    val idf = mat.filter(col("tf") >= 1)
+      .groupBy("token").agg(count(lit(1)).as("df_docs"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("df_docs"),
+        floor(log(col("n_docs").cast("double") / col("df_docs").cast("double"))
+          * lit(1e6) + lit(0.5)).as("idf_micro"))
+    val scored = mat.join(broadcast(idf), "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df_docs"),
+        (col("tf") * col("idf_micro")).as("score_micro"))
+    scored
+      .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("score_micro").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[tfidfKeywords]] — same matrix/df/N derivation. */
+  def tfidfKeywordsSql(k: Int = 5): String =
+    s"""WITH tk_mat AS (
+       |  SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${wordsReSql("text")}) AS token
+       |        FROM documents WHERE doc_id IS NOT NULL)
+       |  GROUP BY doc_id, token
+       |),
+       |tk_n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tk_mat),
+       |tk_idf AS (
+       |  SELECT token, count(*) AS df_docs,
+       |    CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |         * 1e6 + 0.5) AS BIGINT) AS idf_micro
+       |  FROM tk_mat CROSS JOIN tk_n n
+       |  GROUP BY token, n.n_docs
+       |)
+       |SELECT doc_id, token, tf, df_docs, score_micro, rank FROM (
+       |  SELECT m.doc_id, m.token, m.tf, i.df_docs,
+       |    CAST(m.tf * i.idf_micro AS BIGINT) AS score_micro,
+       |    CAST(row_number() OVER (PARTITION BY m.doc_id
+       |           ORDER BY m.tf * i.idf_micro DESC, m.token) AS BIGINT) AS rank
+       |  FROM tk_mat m JOIN tk_idf i USING (token))
+       |WHERE rank <= $k""".stripMargin
+
   /** x44: length gate by corpus profile — keep documents inside their
     * language's (p10, p90] token-length band, with the band computed
     * from the corpus itself ([[lengthQuantiles]]' exact rank-based

@@ -179,4 +179,56 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pmi_nats is exactly the snapped micro value / 1e6
     rows.foreach(r => assert(r.getDouble(5) == r.getLong(4).toDouble / 1e6))
   }
+
+  test("TF-IDF: closed-form fixture matches hand arithmetic; ubiquitous token scores 0") {
+    val s = spark
+    import s.implicits._
+    // 4 docs; "the" in all 4 -> idf = ln(1) = 0 exactly, so it can never
+    // outrank a token with any positive idf regardless of tf
+    val df = Seq(
+      1L -> "the cat cat sat",
+      2L -> "the dog sat",
+      3L -> "the cat fish",
+      4L -> "the bird"
+    ).toDF("doc_id", "text")
+    val rows = TextOps.tfidfKeywords(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    def idfMicro(dfDocs: Long): Long =
+      math.floor(math.log(4.0 / dfDocs) * 1e6 + 0.5).toLong
+    // doc 1: cat tf=2 df=2 -> 2*idf(2); sat tf=1 df=2 -> idf(2); the -> 0
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._6)
+    assert(d1.map(t => (t._2, t._5)).toSeq ==
+      Seq("cat" -> 2 * idfMicro(2), "sat" -> idfMicro(2)))
+    // doc 4: bird (df=1) ranks first; "the" (score 0) fills rank 2 only
+    // because doc 4 has no other token
+    val d4 = rows.filter(_._1 == 4L).sortBy(_._6)
+    assert(d4.map(t => (t._2, t._5)).toSeq ==
+      Seq("bird" -> idfMicro(1), "the" -> 0L))
+    // every doc emits at most k rows, ranks are 1..n with the (score
+    // desc, token) total order
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(t => (-t._5, t._2)).toSeq ==
+        sorted.map(t => (-t._5, t._2)).sortBy(identity).toSeq)
+    }
+  }
+
+  test("TF-IDF: real corpus — ranks dense, scores are tf * snapped idf, k respected") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.filter(col("doc_id").isNotNull).count()
+    val rows = TextOps.tfidfKeywords(docs, k = 3).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getLong(5)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // score_micro == tf * floor(ln(N/df)*1e6+0.5) recomputed from scratch
+    rows.foreach { r =>
+      val idf = math.floor(math.log(n.toDouble / r.getLong(3)) * 1e6 + 0.5).toLong
+      assert(r.getLong(4) == r.getLong(2) * idf)
+    }
+  }
 }

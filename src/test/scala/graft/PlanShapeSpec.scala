@@ -161,6 +161,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the top-K cut must not global-sort:\n$finalPlan")
   }
 
+  test("x80 TF-IDF: one tokenization, matrix reused by df/N branches, rank-k pushdown") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.tfidfKeywords(docs, 5)
+    df.collect()
+    val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
+    assert(finalPlan.split("Generate").length - 1 === 1,
+      s"corpus must be tokenized exactly once (doc-count branch collapses " +
+        s"to a second scan if RemoveRedundantAggregates gets past the " +
+        s"tf >= 1 filter):\n$finalPlan")
+    assert(finalPlan.split("ReusedExchange").length - 1 >= 2,
+      s"df + doc-count + scoring consumers must share the matrix stage:\n$finalPlan")
+    assert(finalPlan.contains("WindowGroupLimit"),
+      s"the per-doc top-k must plan as a rank-limit pushdown:\n$finalPlan")
+    // the 1-row doc-count cross join plans as BNLJ-Cross by design (the
+    // accepted x69 stats-relation shape) — forbid only the big-side forms
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("CartesianProduct"),
+      s"idf lookup must broadcast:\n$finalPlan")
+  }
+
   test("vw_ll plans with broadcast dimension joins") {
     val c = SparkEntry.cat(spark, sfDir)
     val plan = physicalPlan(c.vwLl)
