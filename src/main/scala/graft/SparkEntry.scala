@@ -676,6 +676,11 @@ object SparkEntry {
     "x80_tfidf_keywords" -> ((s, dir) =>
       TextOps.tfidfKeywords(Tables.documents(s, dir), 5)),
 
+    // x81 — Dunning G² keyness per source: which tokens carry a
+    // source's drift (x70 says how far, this says which words)
+    "x81_source_keyness" -> ((s, dir) =>
+      TextOps.sourceKeyness(Tables.documents(s, dir), 5, 10)),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1439,6 +1444,7 @@ object SparkEntry {
     "x72_dup_spans" -> SubstringOps.dupSpansSql(8),
     "x74_pmi_collocations" -> TextOps.pmiCollocationsSql(5, 50),
     "x80_tfidf_keywords" -> TextOps.tfidfKeywordsSql(5),
+    "x81_source_keyness" -> TextOps.sourceKeynessSql(5, 10),
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

@@ -1252,6 +1252,114 @@ object TextOps {
        |  FROM tk_mat m JOIN tk_idf i USING (token))
        |WHERE rank <= $k""".stripMargin
 
+  /** x81: per-source keyness by Dunning log-likelihood (Dunning 1993,
+    * the corpus-linguistics G² statistic): for each (source, token)
+    * 2×2 contingency table — a = token-in-source, b = token-elsewhere,
+    * c = other-tokens-in-source, d = the rest —
+    *
+    *   G² = 2·( Σ x·ln x  −  Σ margin·ln margin  +  N·ln N )
+    *
+    * over the four cells and four margins. This is [[sourceKl]]'s
+    * sibling: KL says HOW FAR a source drifts from the corpus, keyness
+    * says WHICH TOKENS carry the drift — the report a curation run
+    * reads before deciding a domain filter.
+    *
+    * Determinism: every ln argument is a non-negative integer (cells
+    * and margins of a count table), so both engines evaluate the same
+    * fixed-order double expression and the single final micro-nat snap
+    * is hash-stable (the x67–x75 contract). 0·ln 0 is defined as 0 via
+    * a short-circuiting CASE, never evaluated.
+    *
+    * Scale: one corpus tokenization into the (source, token, cnt)
+    * matrix; token margins, source margins, and the grand total all
+    * derive from that matrix (exchange reuse, tautological `cnt >= 1`
+    * guards against RemoveRedundantAggregates); margins are vocab- and
+    * source-sized and broadcast back. Over-represented rows only
+    * (a·T > tok_total·T_s — compared on doubles, BIGINT cross-products
+    * overflow at corpus scale), count-floored, rank-k per source via
+    * WindowGroupLimit. */
+  def sourceKeyness(df: DataFrame, minCount: Long = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def xlx(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    // both join keys pre-filtered at the shared base: the margin joins
+    // infer IsNotNull(source)/IsNotNull(token) branch-by-branch, and any
+    // asymmetry splits the matrix into non-canonical copies (x80 trap)
+    val mat = df.filter(col("doc_id").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(wordsRe(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val tokTot = mat.filter(col("cnt") >= 1)
+      .groupBy("token").agg(sum("cnt").as("tok_total"))
+    val srcTotBase = mat.filter(col("cnt") >= 1)
+      .groupBy("source").agg(sum("cnt").as("src_total"))
+    val w = Window.partitionBy()
+    val srcTot = srcTotBase.select(col("source"), col("src_total"),
+      sum("src_total").over(w).as("t_all"))
+    val g2 = (xlx(col("cnt")) + xlx(col("tok_total") - col("cnt"))
+      + xlx(col("src_total") - col("cnt"))
+      + xlx(col("t_all") - col("src_total") - col("tok_total") + col("cnt"))
+      - xlx(col("tok_total")) - xlx(col("t_all") - col("tok_total"))
+      - xlx(col("src_total")) - xlx(col("t_all") - col("src_total"))
+      + xlx(col("t_all"))) * lit(2.0)
+    mat
+      .join(broadcast(tokTot), "token")
+      .join(broadcast(srcTot), "source")
+      .filter(col("cnt") >= minCount &&
+        col("cnt").cast("double") * col("t_all").cast("double") >
+          col("tok_total").cast("double") * col("src_total").cast("double"))
+      .select(col("source"), col("token"), col("cnt"),
+        col("src_total"), col("tok_total"),
+        floor(g2 * lit(1e6) + lit(0.5)).as("g2_micro"))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("g2_micro").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[sourceKeyness]] — same table, margins, and the
+    * same fixed-order G² expression. */
+  def sourceKeynessSql(minCount: Long = 5, k: Int = 10): String = {
+    def xlx(x: String): String =
+      s"(CASE WHEN ($x) > 0 THEN CAST($x AS DOUBLE) * ln(CAST($x AS DOUBLE)) ELSE 0.0 END)"
+    val g2 =
+      s"""(${xlx("cnt")} + ${xlx("tok_total - cnt")}
+         |   + ${xlx("src_total - cnt")}
+         |   + ${xlx("t_all - src_total - tok_total + cnt")}
+         |   - ${xlx("tok_total")} - ${xlx("t_all - tok_total")}
+         |   - ${xlx("src_total")} - ${xlx("t_all - src_total")}
+         |   + ${xlx("t_all")}) * 2.0""".stripMargin
+    s"""WITH ky_mat AS (
+       |  SELECT source, token, count(*) AS cnt
+       |  FROM (SELECT source, unnest(${wordsReSql("text")}) AS token
+       |        FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+       |  GROUP BY source, token
+       |),
+       |ky_tok AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS tok_total
+       |           FROM ky_mat GROUP BY token),
+       |ky_src AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS src_total
+       |           FROM ky_mat GROUP BY source),
+       |ky_n AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_all FROM ky_mat),
+       |ky_cells AS (
+       |  SELECT m.source, m.token, m.cnt, s.src_total, t.tok_total, n.t_all
+       |  FROM ky_mat m
+       |  JOIN ky_tok t USING (token)
+       |  JOIN ky_src s USING (source)
+       |  CROSS JOIN ky_n n
+       |  WHERE m.cnt >= $minCount
+       |    AND CAST(m.cnt AS DOUBLE) * CAST(n.t_all AS DOUBLE)
+       |        > CAST(t.tok_total AS DOUBLE) * CAST(s.src_total AS DOUBLE)
+       |)
+       |SELECT source, token, cnt, src_total, tok_total, g2_micro, rank FROM (
+       |  SELECT source, token, cnt, src_total, tok_total,
+       |    CAST(floor(($g2) * 1e6 + 0.5) AS BIGINT) AS g2_micro,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY floor(($g2) * 1e6 + 0.5) DESC, token) AS BIGINT)
+       |      AS rank
+       |  FROM ky_cells)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** x44: length gate by corpus profile — keep documents inside their
     * language's (p10, p90] token-length band, with the band computed
     * from the corpus itself ([[lengthQuantiles]]' exact rank-based

@@ -215,6 +215,42 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("keyness: closed-form G² matches hand arithmetic; balanced token excluded") {
+    val s = spark
+    import s.implicits._
+    // matrix: (s1,aa,2) (s1,bb,1) (s2,cc,2) (s2,bb,1)
+    // margins: tok aa=2 bb=2 cc=2; src s1=3 s2=3; T=6
+    val df = Seq(
+      (1L, "aa aa bb", "s1"),
+      (2L, "cc cc bb", "s2")
+    ).toDF("doc_id", "text", "source")
+    val rows = TextOps.sourceKeyness(df, minCount = 1, k = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
+    // (s1,aa): cells a=2 b=0 c=1 d=3 ->
+    // G² = 2·(2ln2 + 0 + 1ln1 + 3ln3 − 2ln2 − 4ln4 − 3ln3 − 3ln3 + 6ln6)
+    //    = 2·(6ln6 − 4ln4 − 3ln3)
+    val expected = 2.0 * (6 * math.log(6) - 4 * math.log(4) - 3 * math.log(3))
+    val snapped = math.floor(expected * 1e6 + 0.5).toLong
+    assert(rows(("s1", "aa")) == snapped)
+    assert(rows(("s2", "cc")) == snapped) // symmetric corpus
+    // bb occurs evenly (a·T = tok_total·src_total) -> not over-represented
+    assert(!rows.contains(("s1", "bb")) && !rows.contains(("s2", "bb")))
+  }
+
+  test("keyness: real corpus — over-represented only, floors respected, ranks dense") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = TextOps.sourceKeyness(docs, minCount = 5, k = 10).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 5L))
+    // every surviving row is over-represented: cnt/src_total > tok_total/t_all
+    // implies g2 > 0 in the Dunning statistic
+    assert(rows.forall(_.getLong(5) > 0L))
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 10)
+      assert(rs.map(_.getLong(6)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
   test("TF-IDF: real corpus — ranks dense, scores are tf * snapped idf, k respected") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.filter(col("doc_id").isNotNull).count()

@@ -181,6 +181,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"idf lookup must broadcast:\n$finalPlan")
   }
 
+  test("x81 keyness: one tokenization, margins share the matrix stage, rank-k pushdown") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.sourceKeyness(docs, 5, 10)
+    df.collect()
+    val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
+    assert(finalPlan.split("Generate").length - 1 === 1,
+      s"corpus must be tokenized exactly once:\n$finalPlan")
+    assert(finalPlan.split("ReusedExchange").length - 1 >= 2,
+      s"token/source margin branches must share the matrix stage:\n$finalPlan")
+    assert(finalPlan.contains("WindowGroupLimit"),
+      s"the per-source top-k must plan as a rank-limit pushdown:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("CartesianProduct"),
+      s"margin lookups must broadcast:\n$finalPlan")
+  }
+
   test("vw_ll plans with broadcast dimension joins") {
     val c = SparkEntry.cat(spark, sfDir)
     val plan = physicalPlan(c.vwLl)
