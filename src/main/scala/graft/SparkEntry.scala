@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.core.Tables.FsCatalog
 import graft.functions.PathFunctions._
-import graft.operators.{DedupOps, MergeOps, MultimodalOps, ScheduleOps, SearchOps, SimilarityOps, SubstringOps, TextOps, Views}
+import graft.operators.{DedupOps, MergeOps, MultimodalOps, SamplingOps, ScheduleOps, SearchOps, SimilarityOps, SubstringOps, TextOps, Views}
 import graft.oracle.Oracle
 
 /** Driver contract — one `queries` entry (plus DuckDB `oracleSql` twin)
@@ -680,6 +680,11 @@ object SparkEntry {
     // source's drift (x70 says how far, this says which words)
     "x81_source_keyness" -> ((s, dir) =>
       TextOps.sourceKeyness(Tables.documents(s, dir), 5, 10)),
+
+    // x82 — priority sampling: length-weighted sample without
+    // replacement, one IEEE division per row, TakeOrderedAndProject
+    "x82_priority_sample" -> ((s, dir) =>
+      SamplingOps.prioritySample(Tables.documents(s, dir), 100, 7)),
 
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
@@ -1445,6 +1450,7 @@ object SparkEntry {
     "x74_pmi_collocations" -> TextOps.pmiCollocationsSql(5, 50),
     "x80_tfidf_keywords" -> TextOps.tfidfKeywordsSql(5),
     "x81_source_keyness" -> TextOps.sourceKeynessSql(5, 10),
+    "x82_priority_sample" -> SamplingOps.prioritySampleSql(100, 7),
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

@@ -331,6 +331,52 @@ object SamplingOps {
        |  CAST(cum_excl % $contextLen AS BIGINT) AS chunk_offset
        |FROM c""".stripMargin
 
+  /** x82: weighted sampling without replacement by priority sampling
+    * (Duffield, Lund & Thorup 2007): priority qᵢ = wᵢ / uᵢ with uᵢ a
+    * per-key uniform, keep the k largest. Long documents are sampled
+    * proportionally more — the length-aware corpus inspection sample a
+    * token-budgeted pipeline wants (uniform x53 under-weights exactly
+    * the docs that dominate the token bill), with Horvitz–Thompson
+    * subset-sum estimates available from the kept priorities.
+    *
+    * Determinism without `ln`: the Efraimidis–Spirakis exponential-key
+    * form needs ln(u)/w, whose last-ulp behavior differs across libm
+    * implementations on arbitrary arguments. Priorities need ONE IEEE
+    * division — correctly rounded on every engine, so both sides rank
+    * identical doubles and the k-cut + (priority, doc_id) total order
+    * are bit-stable. u = hash60(seed|doc_id) + 1 (the +1 keeps ANSI
+    * division away from the 2⁻⁶⁰ zero-hash case).
+    *
+    * Scale: one narrow projection over the scan — weight is the native
+    * byte-scan token count, no tokenize-and-explode — then a global
+    * top-k, which Spark plans as TakeOrderedAndProject (per-partition
+    * heaps, k rows to the driver stage; no full sort, no shuffle). */
+  def prioritySample(df: DataFrame, k: Int = 100, seed: Int = 7): DataFrame =
+    df.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+          .cast("long").as("weight"),
+        (HashFunctions.hash60(col("doc_id"), seed) + lit(1L)).as("u"))
+      .filter(col("weight") > 0)
+      .select(col("doc_id"), col("weight"), col("u"),
+        (col("weight").cast("double") / col("u").cast("double")).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+
+  /** DuckDB twin of [[prioritySample]] — same hash, same single IEEE
+    * division, same (priority desc, doc_id) cut. */
+  def prioritySampleSql(k: Int = 100, seed: Int = 7): String =
+    s"""SELECT doc_id, weight, u,
+       |  CAST(weight AS DOUBLE) / CAST(u AS DOUBLE) AS priority
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(${TextOps.wordsReSql("text")}) AS BIGINT) AS weight,
+       |    (${HashFunctions.hash60Sql("doc_id", seed)}) + 1 AS u
+       |  FROM documents WHERE doc_id IS NOT NULL)
+       |WHERE weight > 0
+       |ORDER BY priority DESC, doc_id
+       |LIMIT $k""".stripMargin
+
   def splitReportSql: String =
     s"""WITH s AS (
        |  SELECT lang,

@@ -169,6 +169,40 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SamplingOps.bottomKSampleAgg(tiny, 100).count() === tiny.count())
   }
 
+  test("prioritySample: matches the naive reference, unaffected by partitioning, length-biased") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = SamplingOps.prioritySample(docs, k = 50, seed = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // naive reference: compute every priority in Scala, sort, cut
+    val all = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.wsTokenCountFast(col("text")).cast("long"),
+        (graft.functions.HashFunctions.hash60(col("doc_id"), 7) + lit(1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 > 0)
+    val ref = all.map(t => (t._1, t._2, t._3, t._2.toDouble / t._3.toDouble))
+      .sortBy(t => (-t._4, t._1)).take(50).toSeq
+    assert(got.toSeq == ref)
+    // repartitioning must not change the sample (TakeOrdered is exact)
+    val got2 = SamplingOps.prioritySample(docs.repartition(7), k = 50, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got2.toSeq == ref)
+    // length bias: mean weight of the sample exceeds the corpus mean
+    // (the whole point vs uniform x53)
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("prioritySample: plans as TakeOrderedAndProject, no global sort, no shuffle agg") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = SamplingOps.prioritySample(docs, 100, 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must heap, not sort:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"no global sort:\n$plan")
+  }
+
   test("bottomKSampleAgg plans as a partial ObjectHashAggregate (no sort, map-side combine)") {
     val docs = Tables.documents(spark, sfDir)
     val plan = SamplingOps.bottomKSampleAgg(docs, 7)
