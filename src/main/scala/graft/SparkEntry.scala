@@ -686,6 +686,13 @@ object SparkEntry {
     "x82_priority_sample" -> ((s, dir) =>
       SamplingOps.prioritySample(Tables.documents(s, dir), 100, 7)),
 
+    // x83 — cluster-aware split: near-dup clusters are atomic across
+    // train/val/test, so x39's leakage class can't exist by construction
+    "x83_cluster_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      SamplingOps.clusterSplit(docs, DedupOps.simhashDupPairs(docs, 3))
+    }),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1451,6 +1458,8 @@ object SparkEntry {
     "x80_tfidf_keywords" -> TextOps.tfidfKeywordsSql(5),
     "x81_source_keyness" -> TextOps.sourceKeynessSql(5, 10),
     "x82_priority_sample" -> SamplingOps.prioritySampleSql(100, 7),
+    "x83_cluster_split" -> SamplingOps.clusterSplitSql(
+      DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3))),
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

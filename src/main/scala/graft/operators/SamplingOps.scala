@@ -331,6 +331,36 @@ object SamplingOps {
        |  CAST(cum_excl % $contextLen AS BIGINT) AS chunk_offset
        |FROM c""".stripMargin
 
+  /** x83: cluster-aware train/val/test split — the leakage-free version
+    * of [[trainValTest]]. Hashing doc_id sends near-duplicates of a
+    * training document into the eval split (the x39 split-leakage
+    * failure, now at assignment time instead of audit time); hashing
+    * the near-dup CLUSTER id instead makes the whole duplicate class
+    * atomic: every member lands in the same split by construction, and
+    * the assignment is still a pure content-stable function — adding
+    * unrelated rows never reassigns an existing cluster.
+    *
+    * Scale: the clustering is [[DedupOps.dupClusters]] (Borůvka over
+    * the banded pair graph, log rounds); the split itself is one more
+    * narrow projection over its label table. */
+  def clusterSplit(docs: DataFrame, pairs: DataFrame, trainPct: Int = 90,
+                   valPct: Int = 5, seed: Int = 0,
+                   state: DedupOps.IterState = DedupOps.Local): DataFrame =
+    trainValTest(DedupOps.dupClusters(docs, pairs, state = state),
+      col("cluster_id"), trainPct, valPct, seed)
+
+  /** DuckDB twin of [[clusterSplit]] — the clustering twin wrapped in a
+    * subquery, then the same bucket CASE over cluster_id. */
+  def clusterSplitSql(clustersSql: String, trainPct: Int = 90,
+                      valPct: Int = 5, seed: Int = 0): String =
+    s"""SELECT doc_id, cluster_id,
+       |  CASE WHEN ${hashBucketSql("cluster_id", seed)} < $trainPct THEN 'train'
+       |       WHEN ${hashBucketSql("cluster_id", seed)} < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |${clustersSql}
+       |) cs""".stripMargin
+
   /** x82: weighted sampling without replacement by priority sampling
     * (Duffield, Lund & Thorup 2007): priority qᵢ = wᵢ / uᵢ with uᵢ a
     * per-key uniform, keep the k largest. Long documents are sampled

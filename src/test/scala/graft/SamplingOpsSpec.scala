@@ -169,6 +169,31 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SamplingOps.bottomKSampleAgg(tiny, 100).count() === tiny.count())
   }
 
+  test("clusterSplit: clusters are atomic across splits; naive doc-hash split would leak") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = graft.operators.DedupOps.simhashDupPairs(docs, 3)
+    val cs = SamplingOps.clusterSplit(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(cs.length.toLong == docs.count())
+    // invariant: one split per cluster — the whole point
+    cs.groupBy(_._2).foreach { case (cid, rs) =>
+      assert(rs.map(_._3).distinct.length == 1,
+        s"cluster $cid straddles splits: ${rs.map(_._3).distinct.mkString(",")}")
+    }
+    // the hazard is real on this corpus: hashing doc_id instead mixes
+    // splits inside at least one multi-doc cluster
+    val naive = SamplingOps.trainValTest(
+        graft.operators.DedupOps.dupClusters(docs, pairs), col("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    val leaky = naive.groupBy(_._1).count(_._2.map(_._2).distinct.length > 1)
+    assert(leaky > 0, "expected at least one naive-split leak in the fixture corpus")
+    // and membership is stable: the split of a cluster is a pure
+    // function of its id (recompute on a reshuffled input)
+    val cs2 = SamplingOps.clusterSplit(docs.repartition(5), pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(cs2.sortBy(_._1).toSeq == cs.sortBy(_._1).toSeq)
+  }
+
   test("prioritySample: matches the naive reference, unaffected by partitioning, length-biased") {
     val docs = Tables.documents(spark, sfDir)
     val got = SamplingOps.prioritySample(docs, k = 50, seed = 7).collect()
