@@ -693,6 +693,16 @@ object SparkEntry {
       SamplingOps.clusterSplit(docs, DedupOps.simhashDupPairs(docs, 3))
     }),
 
+    // x84 — Heaps'-law vocabulary growth over id-ordered corpus tenths:
+    // is another 10% of data still buying new vocabulary?
+    "x84_vocab_growth" -> ((s, dir) =>
+      TextOps.vocabGrowth(Tables.documents(s, dir), 10)),
+
+    // x85 — per-doc hapax ratio: corpus-hapax occurrence share, the
+    // cheap OCR-noise/gibberish signal beside the LM scores
+    "x85_hapax_report" -> ((s, dir) =>
+      TextOps.hapaxReport(Tables.documents(s, dir))),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1460,6 +1470,8 @@ object SparkEntry {
     "x82_priority_sample" -> SamplingOps.prioritySampleSql(100, 7),
     "x83_cluster_split" -> SamplingOps.clusterSplitSql(
       DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3))),
+    "x84_vocab_growth" -> TextOps.vocabGrowthSql(10),
+    "x85_hapax_report" -> TextOps.hapaxReportSql,
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

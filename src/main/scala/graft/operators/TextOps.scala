@@ -1360,6 +1360,138 @@ object TextOps {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** x84: vocabulary-growth (Heaps' law) curve — cumulative distinct
+    * vocabulary and token volume over id-ordered tenths of the corpus:
+    * the "how much new vocabulary does the next 10% of data buy"
+    * diagnostic a data-acquisition loop reads to see whether a corpus
+    * is saturating. Buckets are value-based doc_id ranges (exact integer
+    * arithmetic against the max id), so the curve is a pure function of
+    * the data.
+    *
+    * Scale: one tokenization into the (doc_id, token, occ) matrix; a
+    * token's contribution to the curve is its FIRST-SEEN bucket
+    * (min doc_id — one vocab-sized aggregate), token volume is one
+    * 10-row aggregate, and the cumulative sums ride a window over those
+    * 10 rows. Nothing global-sorted; the classic rank-the-whole-corpus
+    * formulation is replaced by the max-id bucket function. */
+  def vocabGrowth(df: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mat = df.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(wordsRe(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("occ"))
+    val maxId = mat.filter(col("occ") >= 1)
+      .agg(max("doc_id").as("max_id"))
+    // `div`, not `/`: Column `/` is double division, which loses id
+    // exactness past 2^53; SQL div matches DuckDB's `//` bit-for-bit
+    def bucketOf(idName: String): Column =
+      expr(s"least($idName * $buckets div (max_id + 1), ${buckets - 1})")
+    // per-bucket: docs + token volume from the matrix, new vocab from
+    // each token's first-seen doc — all three derive from the matrix
+    val perBucket = mat.filter(col("occ") >= 1)
+      .groupBy("doc_id").agg(sum("occ").as("doc_tokens"))
+      .crossJoin(broadcast(maxId))
+      .groupBy(bucketOf("doc_id").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("doc_tokens").as("n_tokens"))
+    val firstSeen = mat.filter(col("occ") >= 1)
+      .groupBy("token").agg(min("doc_id").as("first_id"))
+      .crossJoin(broadcast(maxId))
+      .groupBy(bucketOf("first_id").as("bucket"))
+      .agg(count(lit(1)).as("new_vocab"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_vocab"), lit(0L)).as("new_vocab"))
+      .select(col("bucket"),
+        sum("n_docs").over(w).as("n_docs_cum"),
+        sum("n_tokens").over(w).as("n_tokens_cum"),
+        sum("new_vocab").over(w).as("vocab_cum"))
+  }
+
+  /** DuckDB twin of [[vocabGrowth]] — same matrix, bucket function,
+    * first-seen derivation, and 10-row cumulative window. */
+  def vocabGrowthSql(buckets: Int = 10): String =
+    s"""WITH vg_mat AS (
+       |  SELECT doc_id, token, count(*) AS occ
+       |  FROM (SELECT doc_id, unnest(${wordsReSql("text")}) AS token
+       |        FROM documents WHERE doc_id IS NOT NULL)
+       |  GROUP BY doc_id, token
+       |),
+       |vg_max AS (SELECT max(doc_id) AS max_id FROM vg_mat),
+       |vg_docs AS (
+       |  SELECT least(d.doc_id * $buckets // (m.max_id + 1), ${buckets - 1})
+       |      AS bucket,
+       |    count(*) AS n_docs, CAST(sum(d.doc_tokens) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS doc_tokens
+       |        FROM vg_mat GROUP BY doc_id) d
+       |  CROSS JOIN vg_max m GROUP BY 1
+       |),
+       |vg_vocab AS (
+       |  SELECT least(t.first_id * $buckets // (m.max_id + 1), ${buckets - 1})
+       |      AS bucket,
+       |    count(*) AS new_vocab
+       |  FROM (SELECT token, min(doc_id) AS first_id
+       |        FROM vg_mat GROUP BY token) t
+       |  CROSS JOIN vg_max m GROUP BY 1
+       |)
+       |SELECT d.bucket,
+       |  CAST(sum(d.n_docs) OVER win AS BIGINT) AS n_docs_cum,
+       |  CAST(sum(d.n_tokens) OVER win AS BIGINT) AS n_tokens_cum,
+       |  CAST(sum(coalesce(v.new_vocab, 0)) OVER win AS BIGINT) AS vocab_cum
+       |FROM vg_docs d LEFT JOIN vg_vocab v USING (bucket)
+       |WINDOW win AS (ORDER BY d.bucket
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** x85: hapax ratio per document — the rare-token quality signal: the
+    * fraction of a document's token occurrences that are corpus-wide
+    * hapax legomena (appear exactly once in the whole corpus). High
+    * ratios flag OCR noise, gibberish, and mangled encodings; near-zero
+    * ratios flag boilerplate — the cheap complement to the LM scores
+    * (x67: a hapax-heavy doc is expensive under the LM too, but this
+    * needs no cost table and names the offending mass directly).
+    *
+    * Determinism: counts are exact BIGINTs; the ratio is one IEEE
+    * division (bit-identical cross-engine — the x82 rule).
+    *
+    * Scale: the (doc_id, token, occ) matrix feeds corpus counts
+    * (vocab-sized, broadcast back) and per-doc re-aggregation — one
+    * tokenization, exchange-reused, same shape as [[lmScore]]. */
+  def hapaxReport(df: DataFrame): DataFrame = {
+    val mat = df.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(wordsRe(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("occ"))
+    val corpus = mat.filter(col("occ") >= 1)
+      .groupBy("token").agg(sum("occ").as("cnt"))
+    mat.join(broadcast(corpus), "token")
+      .groupBy("doc_id")
+      .agg(sum("occ").as("n_tokens"),
+        sum(when(col("cnt") === 1, col("occ")).otherwise(lit(0L)))
+          .as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("hapax_ratio"))
+  }
+
+  /** DuckDB twin of [[hapaxReport]]. */
+  def hapaxReportSql: String =
+    s"""WITH hx_mat AS (
+       |  SELECT doc_id, token, count(*) AS occ
+       |  FROM (SELECT doc_id, unnest(${wordsReSql("text")}) AS token
+       |        FROM documents WHERE doc_id IS NOT NULL)
+       |  GROUP BY doc_id, token
+       |),
+       |hx_corpus AS (SELECT token, CAST(sum(occ) AS BIGINT) AS cnt
+       |              FROM hx_mat GROUP BY token)
+       |SELECT m.doc_id, CAST(sum(m.occ) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN c.cnt = 1 THEN m.occ ELSE 0 END) AS BIGINT)
+       |    AS n_hapax,
+       |  CAST(sum(CASE WHEN c.cnt = 1 THEN m.occ ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(m.occ) AS DOUBLE) AS hapax_ratio
+       |FROM hx_mat m JOIN hx_corpus c USING (token)
+       |GROUP BY m.doc_id""".stripMargin
+
   /** x44: length gate by corpus profile — keep documents inside their
     * language's (p10, p90] token-length band, with the band computed
     * from the corpus itself ([[lengthQuantiles]]' exact rank-based

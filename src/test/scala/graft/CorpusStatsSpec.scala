@@ -251,6 +251,54 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocabGrowth: closed-form fixture — cumulative counts, monotone, last row is totals") {
+    val s = spark
+    import s.implicits._
+    // ids 0..3 with max_id 3 -> bucket = id * 4 div 4 = id (4 buckets)
+    val df = Seq(
+      (0L, "aa bb"), (1L, "aa cc"), (2L, "aa"), (3L, "dd dd")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.vocabGrowth(df, buckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // per-bucket new vocab: b0 {aa,bb}=2, b1 {cc}=1, b2 {}=0, b3 {dd}=1
+    assert(rows.toSeq == Seq(
+      (0L, 1L, 2L, 2L), (1L, 2L, 4L, 3L), (2L, 3L, 5L, 3L), (3L, 4L, 7L, 4L)))
+  }
+
+  test("vocabGrowth: real corpus — monotone cumulative, final row equals corpus totals") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = TextOps.vocabGrowth(docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 < b._2 && a._3 <= b._3 && a._4 <= b._4)
+      case _ =>
+    }
+    val toks = docs.filter(col("doc_id").isNotNull)
+      .select(explode(TextOps.wordsRe(col("text"))).as("t"))
+    assert(rows.last._3 == toks.count())
+    assert(rows.last._4 == toks.distinct().count())
+    assert(rows.last._2 == docs.filter(col("doc_id").isNotNull).count())
+  }
+
+  test("hapaxReport: closed-form fixture and whole-corpus mass conservation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "aa aa rare1"),     // aa corpus cnt 3; rare1 hapax
+      (2L, "aa rare2 rare3"),  // two hapax of three tokens
+      (3L, "zz zz")            // zz cnt 2 -> no hapax
+    ).toDF("doc_id", "text")
+    val rows = TextOps.hapaxReport(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 3L, 1L, 1.0 / 3.0), (2L, 3L, 2L, 2.0 / 3.0), (3L, 2L, 0L, 0.0)))
+  }
+
   test("TF-IDF: real corpus — ranks dense, scores are tf * snapped idf, k respected") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.filter(col("doc_id").isNotNull).count()

@@ -197,6 +197,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"margin lookups must broadcast:\n$finalPlan")
   }
 
+  test("x84/x85: corpus-diagnostic operators tokenize once and reuse the matrix stage") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    for ((name, df) <- Seq(
+      "x84" -> graft.operators.TextOps.vocabGrowth(docs, 10),
+      "x85" -> graft.operators.TextOps.hapaxReport(docs))) {
+      df.collect()
+      val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
+      assert(finalPlan.split("Generate").length - 1 === 1,
+        s"$name: corpus must be tokenized exactly once:\n$finalPlan")
+      assert(finalPlan.contains("ReusedExchange"),
+        s"$name: derived branches must share the matrix stage:\n$finalPlan")
+    }
+  }
+
   test("vw_ll plans with broadcast dimension joins") {
     val c = SparkEntry.cat(spark, sfDir)
     val plan = physicalPlan(c.vwLl)
