@@ -135,6 +135,28 @@ object SparkEntry {
     // in a quarter with at least one slow-shipping lineitem. Plans as a
     // LEFT SEMI join — each order emitted at most once, no post-join
     // dedup, and only (o_orderkey, o_orderdate, o_orderpriority) shuffle.
+    // q3 — the shipping-priority top-K (TPC-H Q3 shape): small filtered
+    // customer dimension broadcasts, fact tables join on the order key,
+    // and the revenue top-10 plans as TakeOrderedAndProject (per-
+    // partition heaps) — never a global sort of the aggregate
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cu = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1996-06-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1996-06-01"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     "q4_priority_exists" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
         .filter(col("o_orderdate") >= lit("1996-01-01") &&
@@ -1071,6 +1093,19 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey
         |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q4_priority_exists" ->
       """SELECT o_orderpriority, count(*) AS n_orders
