@@ -725,6 +725,11 @@ object SparkEntry {
     "x85_hapax_report" -> ((s, dir) =>
       TextOps.hapaxReport(Tables.documents(s, dir))),
 
+    // x86 — Zipf rank–frequency fit: one-row corpus-naturalness gate,
+    // snap-then-sum exact regression sums over the top vocabulary
+    "x86_zipf_fit" -> ((s, dir) =>
+      TextOps.zipfFit(Tables.documents(s, dir), 1000)),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1507,6 +1512,7 @@ object SparkEntry {
       DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3))),
     "x84_vocab_growth" -> TextOps.vocabGrowthSql(10),
     "x85_hapax_report" -> TextOps.hapaxReportSql,
+    "x86_zipf_fit" -> TextOps.zipfFitSql(1000),
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

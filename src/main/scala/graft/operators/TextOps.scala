@@ -1492,6 +1492,81 @@ object TextOps {
        |FROM hx_mat m JOIN hx_corpus c USING (token)
        |GROUP BY m.doc_id""".stripMargin
 
+  /** x86: Zipf rank–frequency fit — least-squares slope of ln(cnt) on
+    * ln(rank) over the top-N vocabulary. Natural language sits near
+    * slope −1 (Zipf 1949); a corpus that drifts far from it is
+    * boilerplate-heavy (flatter) or template/spam-skewed (steeper) —
+    * a one-row naturalness gate beside the per-doc scores.
+    *
+    * Determinism: ranks and counts are integers, so ln lands on the
+    * hash-stable integer-argument class (x67–x75); each per-term
+    * x, y, x·y, x² is snapped to micro units and SUMMED AS BIGINT —
+    * summing raw doubles would be partition-order-dependent. The final
+    * slope/intercept divide the exact sums in fixed double order (the
+    * BIGINT cross-products Sx·Sy would overflow at 1000 terms).
+    *
+    * Scale: vocab-sized aggregate, top-N cut via TakeOrderedAndProject,
+    * then a window + 1-row aggregate over N rows. The corpus is scanned
+    * once; nothing global-sorted at corpus size. */
+  def zipfFit(df: DataFrame, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(wordsRe(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ranked = counts.orderBy(col("cnt").desc, col("token")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+    def snap(c: Column): Column = floor(c * lit(1e6) + lit(0.5))
+    val lr = log(col("rank").cast("double"))
+    val lc = log(col("cnt").cast("double"))
+    val sums = ranked.select(
+        snap(lr).as("xm"), snap(lc).as("ym"),
+        snap(lr * lc).as("xym"), snap(lr * lr).as("xxm"))
+      .agg(count(lit(1)).as("n_terms"), sum("xm").as("sx"),
+        sum("ym").as("sy"), sum("xym").as("sxy"), sum("xxm").as("sxx"))
+    val n = col("n_terms").cast("double")
+    val sx = col("sx").cast("double") / lit(1e6)
+    val sy = col("sy").cast("double") / lit(1e6)
+    val sxy = col("sxy").cast("double") / lit(1e6)
+    val sxx = col("sxx").cast("double") / lit(1e6)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    sums.select(col("n_terms"), slope.as("slope"),
+      ((sy - slope * sx) / n).as("intercept"))
+  }
+
+  /** DuckDB twin of [[zipfFit]] — same snap-then-sum contract. */
+  def zipfFitSql(topN: Int = 1000): String =
+    s"""WITH zf_counts AS (
+       |  SELECT token, count(*) AS cnt
+       |  FROM (SELECT unnest(${wordsReSql("text")}) AS token FROM documents)
+       |  GROUP BY token
+       |),
+       |zf_ranked AS (
+       |  SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+       |      AS rank
+       |  FROM zf_counts ORDER BY cnt DESC, token LIMIT $topN
+       |),
+       |zf_sums AS (
+       |  SELECT count(*) AS n_terms,
+       |    CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+       |    CAST(sum(CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+       |    CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+       |    CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sxx
+       |  FROM zf_ranked
+       |)
+       |SELECT n_terms,
+       |  (CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+       |     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+       |  / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+       |     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)) AS slope,
+       |  ((CAST(sy AS DOUBLE) / 1e6)
+       |     - ((CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+       |          - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+       |        / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+       |           - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)))
+       |       * (CAST(sx AS DOUBLE) / 1e6))
+       |  / CAST(n_terms AS DOUBLE) AS intercept
+       |FROM zf_sums""".stripMargin
+
   /** x44: length gate by corpus profile — keep documents inside their
     * language's (p10, p90] token-length band, with the band computed
     * from the corpus itself ([[lengthQuantiles]]' exact rank-based

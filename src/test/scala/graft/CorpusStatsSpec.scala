@@ -299,6 +299,27 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 3L, 1L, 1.0 / 3.0), (2L, 3L, 2L, 2.0 / 3.0), (3L, 2L, 0L, 0.0)))
   }
 
+  test("zipfFit: exact power law recovers its slope; real corpus is Zipf-like") {
+    val s = spark
+    import s.implicits._
+    // counts follow cnt = 840 / rank EXACTLY (840 divisible by 1..8):
+    // ln cnt = ln 840 − 1·ln rank, so the fit must recover slope −1
+    // and intercept ln 840 up to snapping (<1e-4)
+    val docs = (1 to 8).flatMap { r =>
+      Seq.fill(840 / r)(f"t$r%02d")
+    }.mkString(" ")
+    val df = Seq(1L -> docs).toDF("doc_id", "text")
+    val r = TextOps.zipfFit(df, topN = 100).collect().head
+    assert(r.getLong(0) == 8L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-4, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(840.0)) < 1e-4,
+      s"intercept ${r.getDouble(2)}")
+    // real corpus: negative slope, sane magnitude
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rr = TextOps.zipfFit(corpus, 1000).collect().head
+    assert(rr.getDouble(1) < 0.0 && rr.getDouble(1) > -4.0)
+  }
+
   test("TF-IDF: real corpus — ranks dense, scores are tf * snapped idf, k respected") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.filter(col("doc_id").isNotNull).count()
