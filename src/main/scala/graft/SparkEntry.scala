@@ -730,6 +730,11 @@ object SparkEntry {
     "x86_zipf_fit" -> ((s, dir) =>
       TextOps.zipfFit(Tables.documents(s, dir), 1000)),
 
+    // x87 — per-source duplication rate: which domains buy little new
+    // data per byte (corpus-wide normalized-key group sizes per source)
+    "x87_source_dup_rate" -> ((s, dir) =>
+      DedupOps.sourceDupRate(Tables.documents(s, dir))),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1513,6 +1518,7 @@ object SparkEntry {
     "x84_vocab_growth" -> TextOps.vocabGrowthSql(10),
     "x85_hapax_report" -> TextOps.hapaxReportSql,
     "x86_zipf_fit" -> TextOps.zipfFitSql(1000),
+    "x87_source_dup_rate" -> DedupOps.sourceDupRateSql,
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

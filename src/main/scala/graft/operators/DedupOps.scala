@@ -87,6 +87,55 @@ object DedupOps {
   def normalizedKey(text: Column = col("text")): Column =
     md5(concat_ws(" ", array_sort(array_distinct(wordsRe(text)))))
 
+  /** x87: per-source duplication rate — WHICH domains are bringing
+    * redundant content: for every source, its doc count and the share
+    * of its docs whose normalized content key occurs more than once in
+    * the WHOLE corpus (cross-source duplication counts — a mirror site
+    * is 100% duplicated even if internally unique). The acquisition-
+    * priority number next to x76's quality gate: a high-dup source buys
+    * little new data per byte.
+    *
+    * Scale: ONE scan into the (source, content_hash) projection and ONE
+    * shuffle on the dedup key — group sizes ride a partition-only window
+    * count instead of an aggregate-plus-self-join (which would scan and
+    * hash the corpus twice: the probe and build exchanges differ by the
+    * partial aggregate, so nothing reuses). Ratio is one IEEE division. */
+  def sourceDupRate(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val keyed = df.filter(col("source").isNotNull)
+      .select(col("source"), normalizedKey(text).as("content_hash"))
+      .filter(col("content_hash").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    keyed.withColumn("n_total", count(lit(1)).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_total") > 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_ratio"))
+  }
+
+  /** DuckDB twin of [[sourceDupRate]]. */
+  def sourceDupRateSql: String = {
+    val key = s"md5(array_to_string(list_sort(list_distinct(${wordsReSql("text")})), ' '))"
+    s"""WITH sd_keyed AS (
+       |  SELECT source, $key AS content_hash
+       |  FROM documents WHERE source IS NOT NULL
+       |),
+       |sd_counted AS (
+       |  SELECT source,
+       |    count(*) OVER (PARTITION BY content_hash) AS n_total
+       |  FROM sd_keyed WHERE content_hash IS NOT NULL
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n_total > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  CAST(sum(CASE WHEN n_total > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS dup_ratio
+       |FROM sd_counted
+       |GROUP BY source""".stripMargin
+  }
+
   /** x54: incremental corpus refresh — admit only NEW content from an
     * incoming batch: drop any incoming doc whose normalized content key
     * already exists in the corpus (LEFT ANTI join), then collapse

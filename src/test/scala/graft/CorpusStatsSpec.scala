@@ -320,6 +320,25 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rr.getDouble(1) < 0.0 && rr.getDouble(1) > -4.0)
   }
 
+  test("sourceDupRate: cross-source duplication counted; word-order shuffles normalize") {
+    val s = spark
+    import s.implicits._
+    // s1: two docs, one duplicated ACROSS sources (word-shuffled), one
+    // unique; s2: the mirror doc plus one unique; s3: fully unique
+    val df = Seq(
+      (1L, "aa bb cc", "s1"),
+      (2L, "uniq one", "s1"),
+      (3L, "cc aa bb", "s2"),  // bag-of-words twin of doc 1
+      (4L, "uniq two", "s2"),
+      (5L, "uniq three", "s3")
+    ).toDF("doc_id", "text", "source")
+    val rows = graft.operators.DedupOps.sourceDupRate(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("s1", 2L, 1L, 0.5), ("s2", 2L, 1L, 0.5), ("s3", 1L, 0L, 0.0)))
+  }
+
   test("TF-IDF: real corpus — ranks dense, scores are tf * snapped idf, k respected") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.filter(col("doc_id").isNotNull).count()

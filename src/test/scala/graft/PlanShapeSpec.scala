@@ -211,6 +211,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x87 source dup rate: one scan, one shuffle — window count, no self-join") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = graft.operators.DedupOps.sourceDupRate(docs)
+    df.collect()
+    val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
+    assert(finalPlan.split("Scan parquet").length - 1 === 1,
+      s"the aggregate-plus-self-join form scans the corpus twice:\n$finalPlan")
+    assert(!finalPlan.contains("Join"), s"group sizes must ride a window:\n$finalPlan")
+  }
+
   test("vw_ll plans with broadcast dimension joins") {
     val c = SparkEntry.cat(spark, sfDir)
     val plan = physicalPlan(c.vwLl)
