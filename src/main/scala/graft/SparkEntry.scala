@@ -735,6 +735,11 @@ object SparkEntry {
     "x87_source_dup_rate" -> ((s, dir) =>
       DedupOps.sourceDupRate(Tables.documents(s, dir))),
 
+    // x88 — pairwise source JS divergence: the distributional twin of
+    // x77's verbatim mirror matrix (same voice vs nothing in common)
+    "x88_source_js" -> ((s, dir) =>
+      TextOps.sourceJsMatrix(Tables.documents(s, dir))),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1519,6 +1524,7 @@ object SparkEntry {
     "x85_hapax_report" -> TextOps.hapaxReportSql,
     "x86_zipf_fit" -> TextOps.zipfFitSql(1000),
     "x87_source_dup_rate" -> DedupOps.sourceDupRateSql,
+    "x88_source_js" -> TextOps.sourceJsMatrixSql,
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

@@ -1567,6 +1567,100 @@ object TextOps {
        |  / CAST(n_terms AS DOUBLE) AS intercept
        |FROM zf_sums""".stripMargin
 
+  /** x88: pairwise source Jensen–Shannon divergence — the
+    * distributional sibling of x77's window-overlap matrix: x77 finds
+    * VERBATIM mirroring, this measures how far two sources' token
+    * DISTRIBUTIONS diverge (0 = same voice, ln 2 = nothing in common),
+    * the statistic behind "are these two domains the same content farm"
+    * and mixture-design dedup of near-identical feeds.
+    *
+    * JSD(a,b) = ½·KL(pₐ‖m) + ½·KL(p_b‖m), m = (pₐ+p_b)/2, decomposed
+    * into shared-token terms plus ln 2 times each side's UNSHARED
+    * probability mass — so only the intersection join is ever computed;
+    * a pair with no shared tokens is absent (JSD exactly ln 2).
+    *
+    * Determinism: per-token terms are fixed-order double expressions
+    * over exact integer products (cₐ·T_b etc.), snapped to nano units
+    * and summed as BIGINT; the final combine divides exact sums in
+    * fixed order (the x67 contract at 1e9 scale — probabilities are
+    * ~1e-5, micro units would quantize them away).
+    *
+    * Scale: one corpus tokenization into the (source, token, cnt)
+    * matrix (vocab×S aggregate-sized, NOT corpus-sized); totals
+    * broadcast; the self-join shuffles the matrix on token with
+    * fan-out ≤ S² per token, S = source cardinality. At web-scale S,
+    * gate the matrix to the sources under review first. */
+  def sourceJsMatrix(df: DataFrame): DataFrame = {
+    val mat = df.filter(col("source").isNotNull)
+      .select(col("source"), explode(wordsRe(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val tot = mat.filter(col("cnt") >= 1)
+      .groupBy("source").agg(sum("cnt").as("t"))
+    val m = mat.join(broadcast(tot), "source")
+    val a = m.select(col("source").as("src_a"), col("token"),
+      col("cnt").as("ca"), col("t").as("ta"))
+    val b = m.select(col("source").as("src_b"), col("token"),
+      col("cnt").as("cb"), col("t").as("tb"))
+    def d(c: Column): Column = c.cast("double")
+    val denom = d(col("ca")) * d(col("tb")) + d(col("cb")) * d(col("ta"))
+    val termA = (d(col("ca")) / d(col("ta"))) *
+      log(lit(2.0) * d(col("ca")) * d(col("tb")) / denom)
+    val termB = (d(col("cb")) / d(col("tb"))) *
+      log(lit(2.0) * d(col("cb")) * d(col("ta")) / denom)
+    def snap9(c: Column): Column = floor(c * lit(1e9) + lit(0.5))
+    val shared = a.join(b, Seq("token")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        snap9(termA + termB).as("term_nano"),
+        snap9(d(col("ca")) / d(col("ta"))).as("pa_nano"),
+        snap9(d(col("cb")) / d(col("tb"))).as("pb_nano"))
+    val sums = shared.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"), sum("term_nano").as("ts"),
+        sum("pa_nano").as("sa"), sum("pb_nano").as("sb"))
+    sums.select(col("src_a"), col("src_b"), col("n_shared"),
+      (lit(0.5) * (col("ts").cast("double") / lit(1e9))
+        + lit(0.5) * log(lit(2.0))
+          * ((lit(1e9) - col("sa").cast("double"))
+             + (lit(1e9) - col("sb").cast("double"))) / lit(1e9))
+        .as("jsd_nats"))
+  }
+
+  /** DuckDB twin of [[sourceJsMatrix]] — same matrix, fixed-order
+    * term expressions, nano snapping, and final combine. */
+  def sourceJsMatrixSql: String = {
+    val denom = "(CAST(a.ca AS DOUBLE) * CAST(b.tb AS DOUBLE) + CAST(b.cb AS DOUBLE) * CAST(a.ta AS DOUBLE))"
+    val termA = s"(CAST(a.ca AS DOUBLE) / CAST(a.ta AS DOUBLE)) * ln(2.0 * CAST(a.ca AS DOUBLE) * CAST(b.tb AS DOUBLE) / $denom)"
+    val termB = s"(CAST(b.cb AS DOUBLE) / CAST(b.tb AS DOUBLE)) * ln(2.0 * CAST(b.cb AS DOUBLE) * CAST(a.ta AS DOUBLE) / $denom)"
+    s"""WITH js_mat AS (
+       |  SELECT source, token, count(*) AS cnt
+       |  FROM (SELECT source, unnest(${wordsReSql("text")}) AS token
+       |        FROM documents WHERE source IS NOT NULL)
+       |  GROUP BY source, token
+       |),
+       |js_tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS t
+       |           FROM js_mat GROUP BY source),
+       |js_m AS (SELECT m.source, m.token, m.cnt, t.t
+       |         FROM js_mat m JOIN js_tot t USING (source)),
+       |js_shared AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(floor(($termA + $termB) * 1e9 + 0.5) AS BIGINT) AS term_nano,
+       |    CAST(floor((CAST(a.ca AS DOUBLE) / CAST(a.ta AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS pa_nano,
+       |    CAST(floor((CAST(b.cb AS DOUBLE) / CAST(b.tb AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS pb_nano
+       |  FROM (SELECT source, token, cnt AS ca, t AS ta FROM js_m) a
+       |  JOIN (SELECT source, token, cnt AS cb, t AS tb FROM js_m) b
+       |    USING (token)
+       |  WHERE a.source < b.source
+       |)
+       |SELECT src_a, src_b, count(*) AS n_shared,
+       |  0.5 * (CAST(CAST(sum(term_nano) AS BIGINT) AS DOUBLE) / 1e9)
+       |    + 0.5 * ln(2.0)
+       |      * ((1e9 - CAST(CAST(sum(pa_nano) AS BIGINT) AS DOUBLE))
+       |         + (1e9 - CAST(CAST(sum(pb_nano) AS BIGINT) AS DOUBLE))) / 1e9
+       |    AS jsd_nats
+       |FROM js_shared
+       |GROUP BY src_a, src_b""".stripMargin
+  }
+
   /** x44: length gate by corpus profile — keep documents inside their
     * language's (p10, p90] token-length band, with the band computed
     * from the corpus itself ([[lengthQuantiles]]' exact rank-based

@@ -339,6 +339,31 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("s1", 2L, 1L, 0.5), ("s2", 2L, 1L, 0.5), ("s3", 1L, 0L, 0.0)))
   }
 
+  test("sourceJsMatrix: identical sources at 0, disjoint absent, drift ordered between") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "aa aa bb bb", "s1"),
+      (2L, "aa aa bb bb", "s2"),  // identical distribution to s1
+      (3L, "aa aa cc cc", "s3"),  // half-overlapping with s1
+      (4L, "xx yy zz ww", "s4")   // disjoint from s1/s2/s3
+    ).toDF("doc_id", "text", "source")
+    val rows = TextOps.sourceJsMatrix(df).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // identical: every shared term ln(1)=0, full shared mass -> JSD 0
+    assert(rows(("s1", "s2"))._1 == 2L)
+    assert(math.abs(rows(("s1", "s2"))._2) < 1e-8)
+    // disjoint pairs never materialize (their JSD is exactly ln 2)
+    assert(!rows.keySet.exists { case (a, b) => a == "s4" || b == "s4" })
+    // drifted pair sits strictly between 0 and ln 2
+    val drift = rows(("s1", "s3"))._2
+    assert(drift > 0.01 && drift < math.log(2.0))
+    // hand-check: shared token aa with pa=pb=1/2 contributes 0; the
+    // unshared halves contribute ln2 * 1/2 -> JSD = ln2/2
+    assert(math.abs(drift - math.log(2.0) / 2.0) < 1e-6, s"drift $drift")
+  }
+
   test("TF-IDF: real corpus — ranks dense, scores are tf * snapped idf, k respected") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.filter(col("doc_id").isNotNull).count()

@@ -221,6 +221,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!finalPlan.contains("Join"), s"group sizes must ride a window:\n$finalPlan")
   }
 
+  test("x88 source JS: one tokenization, both self-join sides + totals reuse the matrix") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.sourceJsMatrix(docs)
+    df.collect()
+    val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
+    assert(finalPlan.split("Generate").length - 1 === 1,
+      s"corpus must be tokenized exactly once:\n$finalPlan")
+    assert(finalPlan.split("ReusedExchange").length - 1 >= 3,
+      s"totals + both self-join sides must share the matrix stage:\n$finalPlan")
+  }
+
   test("vw_ll plans with broadcast dimension joins") {
     val c = SparkEntry.cat(spark, sfDir)
     val plan = physicalPlan(c.vwLl)
