@@ -740,6 +740,11 @@ object SparkEntry {
     "x88_source_js" -> ((s, dir) =>
       TextOps.sourceJsMatrix(Tables.documents(s, dir))),
 
+    // x89 — MinHash calibration: sketch estimate vs exact Jaccard on
+    // the x8 candidates — the banding-threshold tuning report
+    "x89_minhash_calibration" -> ((s, dir) =>
+      DedupOps.minhashCalibration(Tables.documents(s, dir))),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1525,6 +1530,7 @@ object SparkEntry {
     "x86_zipf_fit" -> TextOps.zipfFitSql(1000),
     "x87_source_dup_rate" -> DedupOps.sourceDupRateSql,
     "x88_source_js" -> TextOps.sourceJsMatrixSql,
+    "x89_minhash_calibration" -> DedupOps.minhashCalibrationSql,
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

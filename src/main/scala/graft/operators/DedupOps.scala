@@ -281,12 +281,12 @@ object DedupOps {
   /** LSH candidate pairs verified with exact Jaccard over the shingle sets.
     * Returns `(doc_a, doc_b, jaccard)` with `jaccard >= threshold`,
     * `doc_a < doc_b`. Jaccard is exact-integer arithmetic (|∩| / |∪|). */
-  def lshDupPairs(df: DataFrame, threshold: Double,
-                  text: Column = col("text"),
-                  state: IterState = Local): DataFrame = {
-    // signatures feed BOTH sides of the bucket self-join — pin the (tiny:
-    // one row per doc) signature table so the expensive shingle hashing
-    // runs once, not once per join side
+  /** Pinned (signatures, candidate pairs) shared by [[lshDupPairs]] and
+    * [[minhashCalibration]]: signatures feed BOTH sides of the bucket
+    * self-join — pin the (tiny: one row per doc) signature table so the
+    * expensive shingle hashing runs once, not once per join side. */
+  def lshCandidates(df: DataFrame, text: Column = col("text"),
+                    state: IterState = Local): (DataFrame, DataFrame) = {
     val sigs = state.pin(minhashSignatures(df, text))
     val bands = lshBands(sigs)
     val cand = state.pin(bands.as("a")
@@ -296,6 +296,13 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct())
+    (sigs, cand)
+  }
+
+  def lshDupPairs(df: DataFrame, threshold: Double,
+                  text: Column = col("text"),
+                  state: IterState = Local): DataFrame = {
+    val (_, cand) = lshCandidates(df, text, state)
     jaccardFor(df, cand, text, state).filter(col("jaccard") >= threshold)
   }
 
@@ -527,6 +534,71 @@ object DedupOps {
        |FROM inter i
        |JOIN sizes za ON za.doc_id = i.doc_a
        |JOIN sizes zb ON zb.doc_id = i.doc_b""".stripMargin
+
+  /** x89: MinHash calibration report — for every LSH candidate pair,
+    * the sketch's Jaccard ESTIMATE (matching signature components /
+    * numHashes, the Broder 1997 estimator) beside the EXACT Jaccard
+    * over the full shingle sets. This is the report that tunes the
+    * banding scheme: the (bands, rows) S-curve is only as good as the
+    * estimator's spread, and a drifting |est − exact| on real data
+    * means the hash family or shingle width needs revisiting BEFORE a
+    * 100 TB dedup run trusts the sketch.
+    *
+    * Determinism: both estimates are exact integer counts divided once
+    * (IEEE, bit-identical); the candidate set is the x8 banded join.
+    *
+    * Scale: signatures are one row per doc (pinned, hashed once);
+    * the estimate join touches candidates only — the exact side is the
+    * x8 verifier, also candidates-only. Nothing all-pairs. */
+  def minhashCalibration(df: DataFrame, text: Column = col("text"),
+                         state: IterState = Local): DataFrame = {
+    val (sigs, cand) = lshCandidates(df, text, state)
+    val nEq = (0 until numHashes)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"a_m$i")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"b_m$i")): _*)
+    val est = cand.join(sigA, "doc_a").join(sigB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (nEq.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+    est.join(jaccardFor(df, cand, text, state), Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+  }
+
+  /** DuckDB twin of [[minhashCalibration]]. */
+  def minhashCalibrationSql: String = {
+    val nEq = (0 until numHashes)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$lshCandSqlCtes,
+       |mc_sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |mc_inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh ia ON ia.doc_id = c.doc_a
+       |  JOIN sh ib ON ib.doc_id = c.doc_b AND ia.sh = ib.sh
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |mc_est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST($nEq AS DOUBLE) / ${numHashes}.0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b
+       |)
+       |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       |  CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard,
+       |  abs(e.est_jaccard
+       |    - CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter))
+       |    AS abs_err
+       |FROM mc_est e
+       |JOIN mc_inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       |JOIN mc_sizes za ON za.doc_id = e.doc_a
+       |JOIN mc_sizes zb ON zb.doc_id = e.doc_b""".stripMargin
+  }
 
   // ---- SimHash ------------------------------------------------------------
 

@@ -364,6 +364,28 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(drift - math.log(2.0) / 2.0) < 1e-6, s"drift $drift")
   }
 
+  test("minhashCalibration: identical docs estimate 1.0 exactly; estimator tracks exact Jaccard") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val df = Seq(
+      1L -> base,
+      2L -> base,                                  // identical -> est = exact = 1
+      3L -> (base + " extra words appended here"), // near-dup of 1/2
+      4L -> "completely different text about spark query engines and shuffles galore"
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.DedupOps.minhashCalibration(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val ident = rows((1L, 2L))
+    assert(ident._1 == 1.0 && ident._2 == 1.0 && ident._3 == 0.0)
+    // near-dup pairs surface as candidates and the estimate is within
+    // the sketch's resolution band of exact (16 hashes -> 1/16 steps;
+    // allow a few steps of slack)
+    for (p <- Seq((1L, 3L), (2L, 3L)); v <- rows.get(p))
+      assert(v._3 <= 0.35, s"pair $p est ${v._1} vs exact ${v._2}")
+  }
+
   test("TF-IDF: real corpus — ranks dense, scores are tf * snapped idf, k respected") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.filter(col("doc_id").isNotNull).count()
