@@ -767,6 +767,12 @@ object SparkEntry {
       SubstringOps.ngramDecontamination(Tables.documents(s, dir),
         col("doc_id") % 10 === 0, 8)),
 
+    // x90 — contamination run profile: longest contiguous eval-covered
+    // token run per training doc — drop-the-doc vs cut-the-span (x73)
+    "x90_contamination_runs" -> ((s, dir) =>
+      SubstringOps.contaminationRuns(Tables.documents(s, dir),
+        col("doc_id") % 10 === 0, 8)),
+
     // driver projection stringifies the code array — every hitherto-green
     // query emits scalars only, so list canonicalization in the driver's
     // hasher is unproven; the operator itself returns the array form
@@ -1537,6 +1543,8 @@ object SparkEntry {
     "x78_containment_pairs" -> DedupOps.containmentPairsSql(3, 16),
     "x79_ngram_decontamination" ->
       SubstringOps.ngramDecontaminationSql("doc_id % 10 = 0", 8),
+    "x90_contamination_runs" ->
+      SubstringOps.contaminationRunsSql("doc_id % 10 = 0", 8),
     "x73_substring_clean" -> SubstringOps.substringCleanSql(8),
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str

@@ -277,6 +277,101 @@ object SubstringOps {
        |WHERE NOT ($evalPredSql)
        |GROUP BY t.doc_id""".stripMargin
 
+  /** x90: contamination RUN profile — x79 says WHETHER a training doc
+    * collides with the eval split; this says HOW BADLY: the longest
+    * contiguous token run covered by eval-shared windows, per training
+    * doc. An isolated w-gram hit is incidental vocabulary; a 200-token
+    * run is a copied eval item — the number that decides drop-the-doc
+    * vs cut-the-span (x73) during decontamination.
+    *
+    * Shape: ONE pass over the training windows (the expensive per-window
+    * md5 evaluates once): flag eval-shared windows via the broadcast
+    * eval set, then a single doc-partition window computes each hit's
+    * distance to the previous hit ("last hit pos" over the unbounded
+    * preceding frame — lag can't skip the non-hit rows in between) and
+    * gaps > w break islands, exactly the x72 merge rule. Non-hit rows
+    * ride along with island-group counts so per-doc totals come from
+    * the same aggregation — no second window pass, no self-join.
+    * All arithmetic integer — engine-exact. */
+  def contaminationRuns(df: DataFrame, evalPred: Column, w: Int = 8,
+                        text: Column = col("text")): DataFrame = {
+    val evalWins = windows(df.filter(evalPred), w, text)
+      .select(col("whash")).distinct()
+      .select(col("whash"), lit(1).as("__hit"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val flagged = windows(df.filter(!evalPred), w, text)
+      .join(broadcast(evalWins), Seq("whash"), "left_outer")
+      .select(col("doc_id"), col("pos"),
+        when(col("__hit").isNotNull, 1L).otherwise(0L).as("hit"))
+    val lastHit = max(when(col("hit") === 1, col("pos")))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val runs = flagged
+      .withColumn("brk",
+        when(col("hit") === 1 &&
+          coalesce(col("pos") - lastHit > w, lit(true)), 1L).otherwise(0L))
+      .withColumn("island", sum("brk")
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("total_w"),
+        sum("hit").as("nw"),
+        min(when(col("hit") === 1, col("pos"))).as("rs"),
+        max(when(col("hit") === 1, col("pos"))).as("re"))
+    runs.groupBy("doc_id")
+      .agg(sum("total_w").as("n_windows"),
+        sum("nw").as("hit_windows"),
+        count(when(col("nw") > 0, lit(1))).as("n_runs"),
+        coalesce(max(when(col("nw") > 0, col("re") - col("rs") + w)), lit(0L))
+          .as("max_run_tokens"))
+  }
+
+  /** DuckDB twin of [[contaminationRuns]]. */
+  def contaminationRunsSql(evalPredSql: String, w: Int = 8): String =
+    s"""WITH cr_t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+       |),
+       |cr_w AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(array_to_string(ws[i : i + ${w - 1}], ' ')) AS whash
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - ${w - 1})) AS i
+       |        FROM cr_t)
+       |),
+       |cr_e AS (SELECT DISTINCT whash FROM cr_w WHERE $evalPredSql),
+       |cr_f AS (
+       |  SELECT t.doc_id, t.pos,
+       |    CASE WHEN e.whash IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM cr_w t LEFT JOIN cr_e e USING (whash)
+       |  WHERE NOT ($evalPredSql)
+       |),
+       |cr_b AS (
+       |  SELECT doc_id, pos, hit,
+       |    CASE WHEN hit = 1 AND coalesce(pos - max(CASE WHEN hit = 1 THEN pos END)
+       |        OVER (PARTITION BY doc_id ORDER BY pos
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > $w,
+       |      TRUE) THEN 1 ELSE 0 END AS brk
+       |  FROM cr_f
+       |),
+       |cr_i AS (
+       |  SELECT doc_id, pos, hit,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS island
+       |  FROM cr_b
+       |),
+       |cr_runs AS (
+       |  SELECT doc_id, island, count(*) AS total_w,
+       |    CAST(sum(hit) AS BIGINT) AS nw,
+       |    min(CASE WHEN hit = 1 THEN pos END) AS rs,
+       |    max(CASE WHEN hit = 1 THEN pos END) AS re
+       |  FROM cr_i GROUP BY doc_id, island
+       |)
+       |SELECT doc_id, CAST(sum(total_w) AS BIGINT) AS n_windows,
+       |  CAST(sum(nw) AS BIGINT) AS hit_windows,
+       |  CAST(count(CASE WHEN nw > 0 THEN 1 END) AS BIGINT) AS n_runs,
+       |  CAST(coalesce(max(CASE WHEN nw > 0 THEN re - rs + $w END), 0) AS BIGINT)
+       |    AS max_run_tokens
+       |FROM cr_runs GROUP BY doc_id""".stripMargin
+
   /** DuckDB twin of [[substringClean]]. */
   def substringCleanSql(w: Int = 8): String =
     s"""WITH ${spanCtes(w)},

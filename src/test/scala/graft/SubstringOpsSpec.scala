@@ -202,6 +202,44 @@ class SubstringOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(3L) == ((5L, 0L, 0)))
   }
 
+  test("contamination runs: longest covered run measured, isolated hits stay short, gaps split") {
+    val s = spark
+    import s.implicits._
+    val evalRun = (1 to 12).map(i => s"e$i")   // 12-token eval passage
+    val eGram = (1 to 8).map(i => s"g$i")      // a single shared 8-gram
+    val filler = (1 to 10).map(i => s"f$i")
+    val df = Seq(
+      // eval split: doc_id % 10 == 0
+      10L -> toks(evalRun ++ Seq("ex")),
+      20L -> toks(eGram ++ Seq("ey")),
+      // wholesale copy: full 12-token eval run embedded -> one run of
+      // 5 hit windows (positions 3..7), max_run_tokens = 7-3+8 = 12
+      1L -> toks(Seq("t1", "t2") ++ evalRun ++ Seq("t3", "t4")),
+      // isolated 8-gram collision -> one run, exactly w tokens
+      2L -> toks(Seq("u1") ++ eGram ++ Seq("u2", "u3")),
+      // TWO separated copies of the 8-gram -> gap > w splits into 2 runs
+      3L -> toks(eGram ++ filler ++ eGram),
+      // clean doc
+      4L -> toks((1 to 12).map(i => s"v$i"))
+    ).toDF("doc_id", "text")
+    val rows = SubstringOps.contaminationRuns(df, col("doc_id") % 10 === 0, 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    assert(rows(1L) == ((9L, 5L, 1L, 12L)),
+      s"wholesale copy: ${rows(1L)}")
+    assert(rows(2L) == ((4L, 1L, 1L, 8L)),
+      s"isolated gram: ${rows(2L)}")
+    assert(rows(3L)._3 == 2L && rows(3L)._4 == 8L,
+      s"separated copies: ${rows(3L)}")
+    assert(rows(4L) == ((5L, 0L, 0L, 0L)))
+    // consistency with x79: same docs, same totals, same hit counts
+    val x79 = SubstringOps.ngramDecontamination(df, col("doc_id") % 10 === 0, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == x79.keySet)
+    rows.foreach { case (id, (nw, hw, _, _)) => assert(x79(id) == ((nw, hw))) }
+  }
+
   test("real corpus: spans disjoint, in range, and consistent with x73 accounting") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val spans = SubstringOps.dupSpans(docs, 8).collect()
