@@ -745,6 +745,16 @@ object SparkEntry {
     "x89_minhash_calibration" -> ((s, dir) =>
       DedupOps.minhashCalibration(Tables.documents(s, dir))),
 
+    // x91 — stratified priority sampling: PriorityStream's batch twin,
+    // per-stratum rank-k via WindowGroupLimit
+    "x91_stratified_priority" -> ((s, dir) =>
+      SamplingOps.prioritySampleByStratum(Tables.documents(s, dir), 20, 7)),
+
+    // x92 — exact Pearson length–quality correlation: is the quality
+    // model just measuring length? Snapped moments, BIGINT-exact sums
+    "x92_length_quality_corr" -> ((s, dir) =>
+      TextOps.lengthQualityCorr(Tables.documents(s, dir))),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1537,6 +1547,8 @@ object SparkEntry {
     "x87_source_dup_rate" -> DedupOps.sourceDupRateSql,
     "x88_source_js" -> TextOps.sourceJsMatrixSql,
     "x89_minhash_calibration" -> DedupOps.minhashCalibrationSql,
+    "x91_stratified_priority" -> SamplingOps.prioritySampleByStratumSql(20, 7),
+    "x92_length_quality_corr" -> TextOps.lengthQualityCorrSql,
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

@@ -393,6 +393,47 @@ object SamplingOps {
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(k)
 
+  /** x91: stratified priority sampling — [[prioritySample]]'s per-group
+    * form and the exact batch semantics of `PriorityStream`: each
+    * stratum (language, source, …) keeps its own k largest-priority
+    * docs, so no group is starved by a heavier one. Plans as
+    * WindowGroupLimit (per-partition rank heaps) — still no global
+    * sort, and the only shuffle is the stratum partitioning. */
+  def prioritySampleByStratum(df: DataFrame, k: Int = 20, seed: Int = 7,
+                              stratum: Column = col("lang")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.filter(col("doc_id").isNotNull && stratum.isNotNull)
+      .select(stratum.cast("string").as("stratum"), col("doc_id"),
+        graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+          .cast("long").as("weight"),
+        (HashFunctions.hash60(col("doc_id"), seed) + lit(1L)).as("u"))
+      .filter(col("weight") > 0)
+      .select(col("stratum"), col("doc_id"), col("weight"), col("u"),
+        (col("weight").cast("double") / col("u").cast("double")).as("priority"))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy("stratum")
+            .orderBy(col("priority").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[prioritySampleByStratum]]. */
+  def prioritySampleByStratumSql(k: Int = 20, seed: Int = 7,
+                                 stratumExpr: String = "lang"): String =
+    s"""SELECT stratum, doc_id, weight, u, priority, rank FROM (
+       |  SELECT stratum, doc_id, weight, u,
+       |    CAST(weight AS DOUBLE) / CAST(u AS DOUBLE) AS priority,
+       |    CAST(row_number() OVER (PARTITION BY stratum
+       |           ORDER BY CAST(weight AS DOUBLE) / CAST(u AS DOUBLE) DESC,
+       |                    doc_id) AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT CAST($stratumExpr AS VARCHAR) AS stratum, doc_id,
+       |      CAST(len(${TextOps.wordsReSql("text")}) AS BIGINT) AS weight,
+       |      (${HashFunctions.hash60Sql("doc_id", seed)}) + 1 AS u
+       |    FROM documents
+       |    WHERE doc_id IS NOT NULL AND $stratumExpr IS NOT NULL)
+       |  WHERE weight > 0)
+       |WHERE rank <= $k""".stripMargin
+
   /** DuckDB twin of [[prioritySample]] — same hash, same single IEEE
     * division, same (priority desc, doc_id) cut. */
   def prioritySampleSql(k: Int = 100, seed: Int = 7): String =

@@ -1661,6 +1661,74 @@ object TextOps {
        |GROUP BY src_a, src_b""".stripMargin
   }
 
+  /** x92: exact Pearson correlation between document length and quality
+    * score — the "are my quality heuristics just measuring length"
+    * sanity check every filter stack owes itself before gating on a
+    * composite score (a |r| near 1 means the quality model adds nothing
+    * over a length cut; near 0 means the two gates are independent).
+    *
+    * Determinism: per-doc quality snaps to integer micro-units, token
+    * counts are integers, so all five moment sums are EXACT BIGINTs
+    * (products bounded: q ≤ 1e6, n ≤ 1e6 ⇒ q² ≤ 1e12 per doc — room
+    * for 9e6 docs per partition-sum before BIGINT pressure; shard the
+    * sums at larger scale). The final r divides the exact sums in
+    * fixed double order; sqrt is IEEE-exact. Zero variance on either
+    * side yields NULL (guarded — ANSI throws on double division by
+    * zero), not a crash.
+    *
+    * Scale: one narrow projection over the scan + one 1-row aggregate.
+    * No shuffle beyond the single-partition combine. */
+  def lengthQualityCorr(df: DataFrame): DataFrame = {
+    val n = graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+      .cast("long")
+    val q = floor(qualityScoreCol(col("text")) * lit(1e6) + lit(0.5))
+    val sums = df.filter(col("doc_id").isNotNull)
+      .select(n.as("n"), q.as("q"))
+      .agg(count(lit(1)).as("c"), sum("n").as("sn"), sum("q").as("sq"),
+        sum(col("n") * col("q")).as("snq"),
+        sum(col("n") * col("n")).as("snn"),
+        sum(col("q") * col("q")).as("sqq"))
+    val c = col("c").cast("double")
+    val sn = col("sn").cast("double")
+    val sq = col("sq").cast("double")
+    val varN = c * col("snn").cast("double") - sn * sn
+    val varQ = c * col("sqq").cast("double") - sq * sq
+    sums.select(col("c").as("n_docs"),
+      (sn / c).as("mean_tokens"),
+      (sq / c / lit(1e6)).as("mean_quality"),
+      when(varN > 0 && varQ > 0,
+        (c * col("snq").cast("double") - sn * sq)
+          / (sqrt(varN) * sqrt(varQ))).as("pearson_r"))
+  }
+
+  /** DuckDB twin of [[lengthQualityCorr]] — same snapped moments, same
+    * fixed-order combine. */
+  def lengthQualityCorrSql: String = {
+    val varN = "(CAST(c AS DOUBLE) * CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))"
+    val varQ = "(CAST(c AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))"
+    s"""WITH lq_doc AS (
+       |  SELECT CAST(len(${wordsReSql("text")}) AS BIGINT) AS n,
+       |    CAST(floor((${qualityScoreColSql("text")}) * 1e6 + 0.5) AS BIGINT)
+       |      AS q
+       |  FROM documents WHERE doc_id IS NOT NULL
+       |),
+       |lq_sums AS (
+       |  SELECT count(*) AS c, CAST(sum(n) AS BIGINT) AS sn,
+       |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(n * q) AS BIGINT) AS snq,
+       |    CAST(sum(n * n) AS BIGINT) AS snn, CAST(sum(q * q) AS BIGINT) AS sqq
+       |  FROM lq_doc
+       |)
+       |SELECT c AS n_docs,
+       |  CAST(sn AS DOUBLE) / CAST(c AS DOUBLE) AS mean_tokens,
+       |  CAST(sq AS DOUBLE) / CAST(c AS DOUBLE) / 1e6 AS mean_quality,
+       |  CASE WHEN $varN > 0 AND $varQ > 0 THEN
+       |    (CAST(c AS DOUBLE) * CAST(snq AS DOUBLE)
+       |       - CAST(sn AS DOUBLE) * CAST(sq AS DOUBLE))
+       |    / (sqrt($varN) * sqrt($varQ))
+       |  END AS pearson_r
+       |FROM lq_sums""".stripMargin
+  }
+
   /** x44: length gate by corpus profile — keep documents inside their
     * language's (p10, p90] token-length band, with the band computed
     * from the corpus itself ([[lengthQuantiles]]' exact rank-based

@@ -386,6 +386,27 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(v._3 <= 0.35, s"pair $p est ${v._1} vs exact ${v._2}")
   }
 
+  test("lengthQualityCorr: perfect monotone fixture near +1, constant quality null, real corpus in range") {
+    val s = spark
+    import s.implicits._
+    // quality rises strictly with length -> r close to +1 (the snapped
+    // quality is monotone in token count over this range)
+    val mono = (1 to 20).map(i =>
+      (i.toLong, (1 to i * 5).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r1 = TextOps.lengthQualityCorr(mono).collect().head
+    assert(r1.getLong(0) == 20L)
+    assert(r1.getDouble(3) > 0.9, s"monotone fixture r = ${r1.getDouble(3)}")
+    // identical docs -> zero variance on both sides -> NULL, not a crash
+    val const = Seq(1L -> "aa bb cc", 2L -> "aa bb cc").toDF("doc_id", "text")
+    val r2 = TextOps.lengthQualityCorr(const).collect().head
+    assert(r2.isNullAt(3))
+    // real corpus: defined and in [-1, 1]
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val r3 = TextOps.lengthQualityCorr(docs).collect().head
+    assert(!r3.isNullAt(3) && math.abs(r3.getDouble(3)) <= 1.0)
+  }
+
   test("TF-IDF: real corpus — ranks dense, scores are tf * snapped idf, k respected") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.filter(col("doc_id").isNotNull).count()

@@ -220,6 +220,31 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("prioritySampleByStratum: per-stratum naive reference holds; WindowGroupLimit plan") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = SamplingOps.prioritySampleByStratum(docs, k = 5, seed = 7)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val all = docs.filter(col("doc_id").isNotNull && col("lang").isNotNull)
+      .select(col("lang"),
+        col("doc_id"),
+        graft.functions.TextExpressions.wsTokenCountFast(col("text")).cast("long"),
+        (graft.functions.HashFunctions.hash60(col("doc_id"), 7) + lit(1L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._3 > 0)
+    val ref = all.groupBy(_._1).toSeq.flatMap { case (st, rs) =>
+      rs.map(t => (st, t._2, t._3, t._4, t._3.toDouble / t._4.toDouble))
+        .sortBy(t => (-t._5, t._2)).take(5).zipWithIndex
+        .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, (i + 1).toLong) }
+    }
+    assert(got.sortBy(t => (t._1, t._6)).toSeq == ref.sortBy(t => (t._1, t._6)))
+    // every stratum present and capped at k
+    assert(got.groupBy(_._1).forall(_._2.length <= 5))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"per-stratum rank must heap:\n$plan")
+  }
+
   test("prioritySample: plans as TakeOrderedAndProject, no global sort, no shuffle agg") {
     val docs = Tables.documents(spark, sfDir)
     val plan = SamplingOps.prioritySample(docs, 100, 7)
