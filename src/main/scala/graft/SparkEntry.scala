@@ -755,6 +755,11 @@ object SparkEntry {
     "x92_length_quality_corr" -> ((s, dir) =>
       TextOps.lengthQualityCorr(Tables.documents(s, dir))),
 
+    // x93 — label-conflict report: duplicate content under different
+    // lang labels — the noise that poisons x75 training and quotas
+    "x93_label_conflicts" -> ((s, dir) =>
+      DedupOps.labelConflicts(Tables.documents(s, dir))),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1549,6 +1554,7 @@ object SparkEntry {
     "x89_minhash_calibration" -> DedupOps.minhashCalibrationSql,
     "x91_stratified_priority" -> SamplingOps.prioritySampleByStratumSql(20, 7),
     "x92_length_quality_corr" -> TextOps.lengthQualityCorrSql,
+    "x93_label_conflicts" -> DedupOps.labelConflictsSql,
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

@@ -535,6 +535,38 @@ object DedupOps {
        |JOIN sizes za ON za.doc_id = i.doc_a
        |JOIN sizes zb ON zb.doc_id = i.doc_b""".stripMargin
 
+  /** x93: label-conflict report — duplicate content whose copies carry
+    * DIFFERENT language labels: the same normalized text tagged "en"
+    * here and "de" there is labeling noise that poisons both the
+    * lang-id training signal (x75 trains on these labels) and any
+    * per-language mixture quota (x27/x29). One row per conflicted
+    * content group with the sorted label set.
+    *
+    * Scale: one scan, one groupBy on the dedup key — the same shuffle
+    * class as x5/x6; the conflicted subset is tiny by construction. */
+  def labelConflicts(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.filter(col("doc_id").isNotNull && col("lang").isNotNull)
+      .select(normalizedKey(text).as("content_hash"), col("lang"), col("doc_id"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        concat_ws(",", array_sort(collect_set(col("lang")))).as("langs"),
+        min("doc_id").as("representative"))
+      .filter(col("n_langs") > 1)
+
+  /** DuckDB twin of [[labelConflicts]]. */
+  def labelConflictsSql: String = {
+    val key = s"md5(array_to_string(list_sort(list_distinct(${wordsReSql("text")})), ' '))"
+    s"""SELECT content_hash, n_docs, n_langs, langs, representative FROM (
+       |  SELECT $key AS content_hash, count(*) AS n_docs,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+       |    min(doc_id) AS representative
+       |  FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+       |  GROUP BY 1)
+       |WHERE n_langs > 1""".stripMargin
+  }
+
   /** x89: MinHash calibration report — for every LSH candidate pair,
     * the sketch's Jaccard ESTIMATE (matching signature components /
     * numHashes, the Broder 1997 estimator) beside the EXACT Jaccard

@@ -407,6 +407,21 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!r3.isNullAt(3) && math.abs(r3.getDouble(3)) <= 1.0)
   }
 
+  test("labelConflicts: cross-label duplicates surface with sorted label sets; consistent dups don't") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "aa bb cc", "en"),
+      (2L, "cc bb aa", "de"),   // normalized twin of 1, conflicting label
+      (3L, "cc aa bb", "en"),   // same content, consistent with doc 1
+      (4L, "dd ee ff", "fr"),
+      (5L, "ff ee dd", "fr")    // duplicate but same label -> no conflict
+    ).toDF("doc_id", "text", "lang")
+    val rows = graft.operators.DedupOps.labelConflicts(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((3L, 2L, "de,en", 1L)))
+  }
+
   test("TF-IDF: real corpus — ranks dense, scores are tf * snapped idf, k respected") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.filter(col("doc_id").isNotNull).count()
