@@ -760,6 +760,11 @@ object SparkEntry {
     "x93_label_conflicts" -> ((s, dir) =>
       DedupOps.labelConflicts(Tables.documents(s, dir))),
 
+    // x94 — per-source curation funnel: where each domain's docs die
+    // in the gate stack (quality / length band / dedup / all)
+    "x94_source_funnel" -> ((s, dir) =>
+      TextOps.sourceFunnel(Tables.documents(s, dir), 0.5, 10, 500)),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1555,6 +1560,7 @@ object SparkEntry {
     "x91_stratified_priority" -> SamplingOps.prioritySampleByStratumSql(20, 7),
     "x92_length_quality_corr" -> TextOps.lengthQualityCorrSql,
     "x93_label_conflicts" -> DedupOps.labelConflictsSql,
+    "x94_source_funnel" -> TextOps.sourceFunnelSql(0.5, 10, 500),
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

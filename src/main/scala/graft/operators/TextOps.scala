@@ -1729,6 +1729,79 @@ object TextOps {
        |FROM lq_sums""".stripMargin
   }
 
+  /** x94: per-source curation funnel — where each domain's documents
+    * die in the gate stack: per source, how many docs pass the quality
+    * gate, the length band, exact dedup (first copy of each normalized
+    * key survives), and ALL gates together. x30 reports the funnel for
+    * the whole corpus; attribution by source is what turns a shrinking
+    * corpus into an actionable acquisition decision ("this feed loses
+    * 80% to dedup, that one to quality").
+    *
+    * Determinism: gates are integer/snapped comparisons; dedup
+    * survivorship is the (content_hash, doc_id) rank-1 window — a total
+    * order. Counts are exact.
+    *
+    * Scale: one scan; the only shuffle is the dedup-key window (the
+    * x5 class) followed by the small per-source aggregate. */
+  def sourceFunnel(df: DataFrame, minQuality: Double = 0.5,
+                   minTokens: Long = 10, maxTokens: Long = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+      .cast("long")
+    val qMicro = floor(qualityScoreCol(col("text")) * lit(1e6) + lit(0.5))
+    val scored = df.filter(col("doc_id").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("doc_id"),
+        graft.operators.DedupOps.normalizedKey(col("text")).as("content_hash"),
+        qMicro.as("q_micro"), n.as("n_tokens"))
+    val isRep = (row_number().over(
+      Window.partitionBy("content_hash").orderBy("doc_id")) === 1)
+      .cast("long")
+    val qMin = math.floor(minQuality * 1e6 + 0.5).toLong
+    scored.withColumn("pass_dedup", isRep)
+      .select(col("source"),
+        (col("q_micro") >= qMin).cast("long").as("pass_quality"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .cast("long").as("pass_length"),
+        col("pass_dedup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("pass_quality").as("pass_quality"),
+        sum("pass_length").as("pass_length"),
+        sum("pass_dedup").as("pass_dedup"),
+        sum(col("pass_quality") * col("pass_length") * col("pass_dedup"))
+          .as("pass_all"))
+  }
+
+  /** DuckDB twin of [[sourceFunnel]]. */
+  def sourceFunnelSql(minQuality: Double = 0.5,
+                      minTokens: Long = 10, maxTokens: Long = 500): String = {
+    val key = s"md5(array_to_string(list_sort(list_distinct(${wordsReSql("text")})), ' '))"
+    val qMin = math.floor(minQuality * 1e6 + 0.5).toLong
+    s"""WITH sf_doc AS (
+       |  SELECT source, doc_id, $key AS content_hash,
+       |    CAST(floor((${qualityScoreColSql("text")}) * 1e6 + 0.5) AS BIGINT)
+       |      AS q_micro,
+       |    CAST(len(${wordsReSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+       |),
+       |sf_flags AS (
+       |  SELECT source,
+       |    CASE WHEN q_micro >= $qMin THEN 1 ELSE 0 END AS pass_quality,
+       |    CASE WHEN n_tokens >= $minTokens AND n_tokens <= $maxTokens
+       |         THEN 1 ELSE 0 END AS pass_length,
+       |    CASE WHEN row_number() OVER (PARTITION BY content_hash
+       |           ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS pass_dedup
+       |  FROM sf_doc
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(pass_quality) AS BIGINT) AS pass_quality,
+       |  CAST(sum(pass_length) AS BIGINT) AS pass_length,
+       |  CAST(sum(pass_dedup) AS BIGINT) AS pass_dedup,
+       |  CAST(sum(pass_quality * pass_length * pass_dedup) AS BIGINT)
+       |    AS pass_all
+       |FROM sf_flags GROUP BY source""".stripMargin
+  }
+
   /** x44: length gate by corpus profile — keep documents inside their
     * language's (p10, p90] token-length band, with the band computed
     * from the corpus itself ([[lengthQuantiles]]' exact rank-based

@@ -422,6 +422,29 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq((3L, 2L, "de,en", 1L)))
   }
 
+  test("sourceFunnel: gates attribute losses to the right source; pass_all composes") {
+    val s = spark
+    import s.implicits._
+    val longText = (1 to 600).map(i => s"w$i").mkString(" ")  // fails length
+    val shortText = "a b c"                                    // fails length
+    val okText = (1 to 50).map(i => s"tok$i").mkString(" ")    // passes length
+    val df = Seq(
+      (1L, okText, "s1"),           // rep of its group
+      (2L, okText, "s1"),           // exact dup -> fails dedup only
+      (3L, longText, "s1"),         // fails length
+      (4L, shortText, "s2"),        // fails length
+      (5L, okText + " xx", "s2")    // unique, passes length
+    ).toDF("doc_id", "text", "source")
+    val rows = TextOps.sourceFunnel(df, minQuality = 0.0, 10, 500).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // minQuality 0 -> quality gate passes everything; isolate the
+    // length/dedup attribution
+    assert(rows.toSeq == Seq(
+      ("s1", 3L, 3L, 2L, 2L, 1L),
+      ("s2", 2L, 2L, 1L, 2L, 1L)))
+  }
+
   test("TF-IDF: real corpus — ranks dense, scores are tf * snapped idf, k respected") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.filter(col("doc_id").isNotNull).count()
