@@ -765,6 +765,11 @@ object SparkEntry {
     "x94_source_funnel" -> ((s, dir) =>
       TextOps.sourceFunnel(Tables.documents(s, dir), 0.5, 10, 500)),
 
+    // x95 — top boilerplate windows WITH text: the actionable removal
+    // list behind x72's anonymous spans; hash-only shuffle, two-phase
+    "x95_top_boilerplate" -> ((s, dir) =>
+      SubstringOps.topBoilerplate(Tables.documents(s, dir), 8, 20)),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1561,6 +1566,7 @@ object SparkEntry {
     "x92_length_quality_corr" -> TextOps.lengthQualityCorrSql,
     "x93_label_conflicts" -> DedupOps.labelConflictsSql,
     "x94_source_funnel" -> TextOps.sourceFunnelSql(0.5, 10, 500),
+    "x95_top_boilerplate" -> SubstringOps.topBoilerplateSql(8, 20),
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

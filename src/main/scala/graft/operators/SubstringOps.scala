@@ -277,6 +277,62 @@ object SubstringOps {
        |WHERE NOT ($evalPredSql)
        |GROUP BY t.doc_id""".stripMargin
 
+  /** x95: top boilerplate windows — the most document-frequent w-gram
+    * windows, WITH their text: the "these are the footer lines / cookie
+    * banners to strip" report that turns x72's anonymous duplicated
+    * spans into an actionable removal list. Ranked by document
+    * frequency (occurrence count kept for context), ties by hash.
+    *
+    * Scale shape (deliberately two-phase): phase 1 shuffles only the
+    * 16-byte window HASH to count df/occurrences and cut top-K —
+    * shuffling the gram text itself would inflate the exchange by
+    * w tokens per window corpus-wide. Phase 2 re-scans, filters
+    * map-side against the broadcast top-K hashes, and recovers one
+    * example text per hash (they are all equal md5 preimages modulo
+    * collisions) — the same re-scan-beats-materialize call x77 makes.
+    * All counts exact integers. */
+  def topBoilerplate(df: DataFrame, w: Int = 8, k: Int = 20,
+                     text: Column = col("text")): DataFrame = {
+    val top = windows(df, w, text)
+      .select(col("doc_id"), col("whash"))
+      .groupBy("whash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_docs").desc, col("whash"))
+      .limit(k)
+    val ws = col("ws")
+    val grams = df.select(words(text).as("ws"))
+      .select(explode(when(size(ws) >= w,
+        transform(sequence(lit(1), size(ws) - (w - 1)), i =>
+          array_join(slice(ws, i, lit(w)), " ")))).as("gram"))
+      .select(md5(col("gram")).as("whash"), col("gram"))
+    grams.join(broadcast(top), "whash")
+      .groupBy("whash", "n_docs", "n_occurrences")
+      .agg(min("gram").as("gram"))
+      .select(col("whash"), col("gram"), col("n_docs"), col("n_occurrences"))
+  }
+
+  /** DuckDB twin of [[topBoilerplate]]. */
+  def topBoilerplateSql(w: Int = 8, k: Int = 20): String =
+    s"""WITH tb_t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+       |),
+       |tb_w AS (
+       |  SELECT doc_id, array_to_string(ws[i : i + ${w - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - ${w - 1})) AS i
+       |        FROM tb_t)
+       |),
+       |tb_top AS (
+       |  SELECT md5(gram) AS whash, count(*) AS n_occurrences,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM tb_w GROUP BY md5(gram)
+       |  ORDER BY n_docs DESC, whash LIMIT $k
+       |)
+       |SELECT t.whash, min(w.gram) AS gram, t.n_docs, t.n_occurrences
+       |FROM tb_w w JOIN tb_top t ON md5(w.gram) = t.whash
+       |GROUP BY t.whash, t.n_docs, t.n_occurrences""".stripMargin
+
   /** x90: contamination RUN profile — x79 says WHETHER a training doc
     * collides with the eval split; this says HOW BADLY: the longest
     * contiguous token run covered by eval-shared windows, per training

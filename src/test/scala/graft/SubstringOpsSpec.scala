@@ -240,6 +240,26 @@ class SubstringOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach { case (id, (nw, hw, _, _)) => assert(x79(id) == ((nw, hw))) }
   }
 
+  test("top boilerplate: planted footer dominates by df, gram text recovered verbatim") {
+    val s = spark
+    import s.implicits._
+    val footer = (1 to 8).map(i => s"foot$i")
+    val df = (1L to 6L).map { i =>
+      // footer on 5 of 6 docs; unique body text elsewhere
+      val body = (1 to 10).map(j => s"b${i}x$j")
+      i -> toks(if (i < 6) body ++ footer else body)
+    }.toDF("doc_id", "text")
+    val rows = SubstringOps.topBoilerplate(df, w = 8, k = 3).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // the pure footer window appears in 5 docs, once each; every other
+    // window is unique to its doc (df = 1)
+    assert(rows.map(_._2).max == 5L)
+    val topRow = rows.maxBy(_._2)
+    assert(topRow._1 == footer.mkString(" "))
+    assert(topRow._3 == 5L)
+    assert(rows.length == 3)
+  }
+
   test("real corpus: spans disjoint, in range, and consistent with x73 accounting") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val spans = SubstringOps.dupSpans(docs, 8).collect()
