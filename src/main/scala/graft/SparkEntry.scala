@@ -770,6 +770,27 @@ object SparkEntry {
     "x95_top_boilerplate" -> ((s, dir) =>
       SubstringOps.topBoilerplate(Tables.documents(s, dir), 8, 20)),
 
+    // x96 — ANN recall report: per-query recall@8 of the gated IVF
+    // path against the exact baseline — ANN quality as a GATED query,
+    // not just a spec floor (oracle is dynamic: centroids embed)
+    "x96_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val ivf = graft.operators.IvfOps
+        .topK(emb, q, ivfModel(s, dir), k = 8, nProbe = 6, joinProbes = true)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = SimilarityOps.bruteForceTopK(emb, q, 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(ivf, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact").cast("double")).as("recall"))
+    }),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1681,6 +1702,28 @@ object SparkEntry {
         model, "vec_id % 100 = 0", k = 8, nProbe = 6),
       "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model),
       "x38_cluster_lang_mix" -> graft.operators.IvfOps.clusterLangMixSql(model),
-      "x52_semdedup" -> graft.operators.IvfOps.semDedupSql(model, tau = 0.40))
+      "x52_semdedup" -> graft.operators.IvfOps.semDedupSql(model, tau = 0.40),
+      "x96_ann_recall" ->
+        s"""WITH ar_ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |${SimilarityOps.bruteForceTopKSql("vec_id % 100 = 0", 8)}
+           |  )
+           |),
+           |ar_iv AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |${graft.operators.IvfOps.topKSql(model, "vec_id % 100 = 0", k = 8, nProbe = 6)}
+           |  )
+           |),
+           |ar_hits AS (
+           |  SELECT e.query_id, count(*) AS n_hits
+           |  FROM ar_ex e JOIN ar_iv i
+           |    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+           |  GROUP BY e.query_id
+           |)
+           |SELECT x.query_id, count(*) AS n_exact,
+           |  CAST(coalesce(min(h.n_hits), 0) AS BIGINT) AS n_hits,
+           |  CAST(coalesce(min(h.n_hits), 0) AS DOUBLE) / count(*) AS recall
+           |FROM ar_ex x LEFT JOIN ar_hits h ON x.query_id = h.query_id
+           |GROUP BY x.query_id""".stripMargin)
   }
 }

@@ -181,4 +181,31 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val recall = sem.keySet.size.toDouble / exactDrops.size
     assert(recall >= 0.15, s"recall $recall collapsed")
   }
+
+  test("x96 recall report: per-query recall in [0,1], consistent with the set intersection") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val model = IvfOps.train(emb, k = 16, iterations = 2)
+    val ivf = IvfOps.topK(emb, q, model, k = 8, nProbe = 6, joinProbes = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = SimilarityOps.bruteForceTopK(emb, q, 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ivf, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val report = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double")).as("recall"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(report.nonEmpty)
+    report.foreach { case (_, ne, nh, r) =>
+      assert(ne == 8L && nh >= 0L && nh <= 8L && r >= 0.0 && r <= 1.0)
+      assert(r == nh.toDouble / ne.toDouble)
+    }
+    // mean recall matches the suite's standing floor for 6/16 probes
+    val mean = report.map(_._4).sum / report.length
+    assert(mean >= 0.5, s"mean recall $mean")
+  }
 }
