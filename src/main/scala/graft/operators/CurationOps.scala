@@ -1,0 +1,417 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, TextExpressions}
+
+/** Corpus-curation operators from the public LLM-data-pipeline
+  * literature: DSIR importance weighting (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"),
+  * the Gopher quality-rule battery (Rae et al. 2021 §A1.1), a
+  * per-source Kolmogorov–Smirnov length-drift statistic, tokenizer
+  * fertility accounting, and mixture/epoch planning for a token
+  * budget.
+  *
+  * Everything follows the repo's determinism contract: counts stay
+  * exact BIGINTs, every `ln` lands on integer-ratio arguments and is
+  * snapped to micro-nats before summation (the x67 contract), and
+  * single IEEE divisions in fixed operand order are the only raw
+  * doubles that reach output columns.
+  */
+object CurationOps {
+
+  private def snapMicro(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("long")
+
+  // ---------------------------------------------------------------------
+  // x97 — DSIR hashed n-gram importance weights
+  // ---------------------------------------------------------------------
+
+  /** DSIR importance weight per document: features are unigrams plus
+    * word bigrams hashed into `buckets` buckets; a target bucket model
+    * is fit on the `targetLang` slice and a raw model on the rest (both
+    * add-one smoothed), and each document scores the sum over its
+    * feature occurrences of ln(p_target(b) / p_raw(b)) — the
+    * importance-resampling weight used to select raw-corpus documents
+    * that look like the target distribution.
+    *
+    * Determinism: bucket counts are exact; each per-bucket log ratio is
+    * ln of integer-ratio arguments (cnt+1 over total+B), snapped to
+    * micro-nats, and the per-doc score is an exact BIGINT sum of
+    * occ·w_micro.
+    *
+    * Scale: ONE corpus tokenization builds the (doc, tgt, bucket, occ)
+    * occurrence matrix; the bucket model is a second aggregation of
+    * that matrix (ReusedExchange, the [[TextOps.lmScore]] shape), is
+    * `buckets`-sized regardless of corpus size, and broadcasts back
+    * onto the matrix. No all-pairs, no driver state; the hash keeps the
+    * model memory fixed at any vocabulary size — the reason DSIR hashes
+    * at all. */
+  def dsirWeights(df: DataFrame, targetLang: String = "en",
+                  buckets: Int = 4096): DataFrame = {
+    val toks = TextOps.wordsRe(col("text"))
+    val feats = concat(toks, TextExpressions.wsBigramsFast(col("text")))
+    val mat = df
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("lang").isNotNull)
+      .select(col("doc_id"), (col("lang") === lit(targetLang)).as("tgt"),
+        explode(feats).as("feat"))
+      .select(col("doc_id"), col("tgt"),
+        (HashFunctions.polyHash52(col("feat")) % lit(buckets.toLong))
+          .as("bucket"))
+      .groupBy("doc_id", "tgt", "bucket").agg(count(lit(1)).as("occ"))
+    val cnt = mat.groupBy("bucket").agg(
+      sum(when(col("tgt"), col("occ")).otherwise(lit(0L))).as("ct"),
+      sum(when(!col("tgt"), col("occ")).otherwise(lit(0L))).as("cr"))
+    val tot = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val b = lit(buckets.toDouble)
+    val w = cnt.crossJoin(broadcast(tot)).select(col("bucket"),
+      snapMicro(
+        log((col("ct") + lit(1L)).cast("double") / (col("tt").cast("double") + b)) -
+        log((col("cr") + lit(1L)).cast("double") / (col("tr").cast("double") + b)))
+        .as("w_micro"))
+    mat.join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_feats"),
+        sum(col("occ") * col("w_micro")).as("dsir_micro"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_micro"),
+        (col("dsir_micro").cast("double") /
+          (col("n_feats").cast("double") * lit(1e6))).as("dsir_avg"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]] — same snap-then-sum contract. */
+  def dsirWeightsSql(targetLang: String = "en", buckets: Int = 4096): String =
+    s"""WITH ds_base AS (
+       |  SELECT doc_id, lang = '$targetLang' AS tgt,
+       |    list_concat(toks, list_transform(
+       |      generate_series(1, greatest(len(toks) - 1, 0)),
+       |      ds_i -> toks[ds_i] || ' ' || toks[ds_i + 1])) AS feats
+       |  FROM (SELECT doc_id, lang, ${TextOps.wordsReSql("text")} AS toks
+       |        FROM documents
+       |        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |          AND lang IS NOT NULL)
+       |),
+       |ds_mat AS (
+       |  SELECT doc_id, tgt,
+       |    (${HashFunctions.polyHash52Sql("feat")}) % $buckets AS bucket,
+       |    count(*) AS occ
+       |  FROM (SELECT doc_id, tgt, unnest(feats) AS feat FROM ds_base)
+       |  GROUP BY 1, 2, 3
+       |),
+       |ds_cnt AS (
+       |  SELECT bucket,
+       |    CAST(sum(CASE WHEN tgt THEN occ ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN NOT tgt THEN occ ELSE 0 END) AS BIGINT) AS cr
+       |  FROM ds_mat GROUP BY bucket
+       |),
+       |ds_tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+       |                  CAST(sum(cr) AS BIGINT) AS tr FROM ds_cnt),
+       |ds_w AS (
+       |  SELECT bucket,
+       |    CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / (CAST(tt AS DOUBLE) + $buckets.0))
+       |      - ln(CAST(cr + 1 AS DOUBLE) / (CAST(tr AS DOUBLE) + $buckets.0)))
+       |      * 1e6 + 0.5) AS BIGINT) AS w_micro
+       |  FROM ds_cnt CROSS JOIN ds_tot
+       |),
+       |ds_doc AS (
+       |  SELECT m.doc_id, CAST(sum(m.occ) AS BIGINT) AS n_feats,
+       |    CAST(sum(m.occ * w.w_micro) AS BIGINT) AS dsir_micro
+       |  FROM ds_mat m JOIN ds_w w USING (bucket)
+       |  GROUP BY m.doc_id
+       |)
+       |SELECT doc_id, n_feats, dsir_micro,
+       |  CAST(dsir_micro AS DOUBLE) / (CAST(n_feats AS DOUBLE) * 1e6)
+       |    AS dsir_avg
+       |FROM ds_doc""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x98 — Gopher quality-rule battery
+  // ---------------------------------------------------------------------
+
+  /** Gopher-style document quality gates (Rae et al. 2021, §A1.1),
+    * restricted to the rules meaningful on a single-line corpus (the
+    * bullet-/ellipsis-line rules need line structure this corpus does
+    * not have — stated here rather than silently passing everything):
+    *
+    *  - g_word_count:    50 ≤ word count ≤ 100,000
+    *  - g_mean_word_len: 3 ≤ mean word length ≤ 10
+    *  - g_alpha:         ≥ 80% of words contain an alphabetic character
+    *  - g_stopword:      ≥ 2 stopword occurrences ([[TextOps.qualityStopwords]])
+    *  - g_symbol:        (# + ellipsis occurrences) / words ≤ 0.1
+    *
+    * Flags are INTs (0/1) so the oracle hash never touches booleans;
+    * the only double is mean word length — one IEEE division of exact
+    * integers, bit-identical cross-engine.
+    *
+    * Scale: pure per-row projection — no shuffle, no state; gates
+    * compose with any downstream filter at any corpus size. */
+  def gopherGates(df: DataFrame): DataFrame = {
+    val toks = TextOps.wordsRe(col("text"))
+    val nWords = TextExpressions.wsTokenCountFast(col("text")).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val mwl = sumLen.cast("double") / nWords.cast("double")
+    val alphaW = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val stops = size(filter(toks,
+      t => t.isin(TextOps.qualityStopwords.map(lit(_)): _*))).cast("long")
+    val syms = (regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
+    val gWc = (nWords >= 50L && nWords <= 100000L).cast("int")
+    val gMwl = (mwl >= 3d && mwl <= 10d).cast("int")
+    val gAlpha = (alphaW.cast("double") / nWords.cast("double") >= 0.8d).cast("int")
+    val gStop = (stops >= 2L).cast("int")
+    val gSym = (syms.cast("double") / nWords.cast("double") <= 0.1d).cast("int")
+    df.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), nWords.as("n_words"), mwl.as("mean_word_len"),
+        gWc.as("g_word_count"), gMwl.as("g_mean_word_len"),
+        gAlpha.as("g_alpha"), gStop.as("g_stopword"), gSym.as("g_symbol"),
+        (gWc * gMwl * gAlpha * gStop * gSym).as("g_pass"))
+  }
+
+  /** DuckDB twin of [[gopherGates]]. */
+  def gopherGatesSql: String = {
+    val stopList = TextOps.qualityStopwords.map(w => s"'$w'").mkString(", ")
+    val toks = TextOps.wordsReSql("text")
+    s"""WITH gg_base AS (
+       |  SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform($toks,
+       |      gg_t -> CAST(length(gg_t) AS BIGINT))) AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter($toks,
+       |      gg_t -> regexp_matches(gg_t, '[a-z]'))) AS BIGINT) AS alpha_w,
+       |    CAST(len(list_filter($toks,
+       |      gg_t -> gg_t IN ($stopList))) AS BIGINT) AS stops,
+       |    CAST(len(regexp_extract_all(text, '#')) +
+       |         len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS syms
+       |  FROM documents WHERE doc_id IS NOT NULL
+       |),
+       |gg_f AS (
+       |  SELECT doc_id, n_words,
+       |    CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+       |    CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS g_word_count,
+       |    CAST(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3
+       |      AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10 AS INT)
+       |      AS g_mean_word_len,
+       |    CAST(CAST(alpha_w AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8 AS INT)
+       |      AS g_alpha,
+       |    CAST(stops >= 2 AS INT) AS g_stopword,
+       |    CAST(CAST(syms AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1 AS INT)
+       |      AS g_symbol
+       |  FROM gg_base
+       |)
+       |SELECT doc_id, n_words, mean_word_len, g_word_count, g_mean_word_len,
+       |  g_alpha, g_stopword, g_symbol,
+       |  g_word_count * g_mean_word_len * g_alpha * g_stopword * g_symbol
+       |    AS g_pass
+       |FROM gg_f""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // x99 — per-source Kolmogorov–Smirnov length drift
+  // ---------------------------------------------------------------------
+
+  /** Two-sample-style KS statistic per source: D_s = max over observed
+    * lengths x of |F_s(x) − F(x)|, where F_s is the source's empirical
+    * CDF of `n_chars` and F the whole-corpus CDF — the classic
+    * distribution-drift gate ("is this domain's length profile unlike
+    * the corpus?") that catches truncation bugs and template farms
+    * which per-source means smooth over.
+    *
+    * Determinism: cumulative counts are exact BIGINT window sums over
+    * the (source × distinct-length) grid; each CDF difference is two
+    * fixed-order IEEE divisions, snapped to micro units before the
+    * max so the reported statistic is an exact BIGINT.
+    *
+    * Scale: the corpus is scanned ONCE into (source, n_chars, c)
+    * counts; every later relation (distinct lengths, source totals,
+    * global per-length counts, the evaluation grid) derives from that
+    * aggregate via ReusedExchange and is at most |lengths|·|sources|
+    * rows — aggregate-sized, not corpus-sized. The single-partition
+    * window runs over the distinct-length relation only. The `c >= 1`
+    * filter is the tautological guard that keeps
+    * RemoveRedundantAggregates from collapsing the keys-only distinct
+    * back into a second corpus scan (the x80 trap). */
+  def lengthKs(df: DataFrame): DataFrame = {
+    val cnt = df.filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 1L)
+    val lens = cnt.select("n_chars").distinct()
+    val stot = cnt.groupBy("source").agg(sum("c").as("n_docs"))
+    val gcnt = cnt.groupBy("n_chars").agg(sum("c").as("g"))
+      .withColumn("cum_g", sum(col("g")).over(
+        Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = stot.agg(sum("n_docs").as("n_total"))
+    val grid = lens.crossJoin(broadcast(stot))
+      .join(cnt, Seq("source", "n_chars"), "left")
+      .select(col("source"), col("n_chars"), col("n_docs"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum_s", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grid.join(broadcast(gcnt.select("n_chars", "cum_g")), "n_chars")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        abs(snapMicro(col("cum_s").cast("double") / col("n_docs").cast("double") -
+          col("cum_g").cast("double") / col("n_total").cast("double")))
+          .as("d_micro"))
+      .groupBy("source").agg(max("n_docs").as("n_docs"),
+        max("d_micro").as("ks_micro"))
+      .select(col("source"), col("n_docs"), col("ks_micro"),
+        (col("ks_micro").cast("double") / lit(1e6)).as("ks"))
+  }
+
+  /** DuckDB twin of [[lengthKs]]. */
+  def lengthKsSql: String =
+    s"""WITH ks_cnt AS (
+       |  SELECT source, n_chars, count(*) AS c
+       |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+       |  GROUP BY 1, 2 HAVING count(*) >= 1
+       |),
+       |ks_lens AS (SELECT DISTINCT n_chars FROM ks_cnt),
+       |ks_stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs
+       |            FROM ks_cnt GROUP BY source),
+       |ks_g AS (
+       |  SELECT n_chars, CAST(sum(CAST(sum(c) AS BIGINT)) OVER
+       |    (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_g
+       |  FROM ks_cnt GROUP BY n_chars
+       |),
+       |ks_tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM ks_stot),
+       |ks_grid AS (
+       |  SELECT s.source, l.n_chars, s.n_docs,
+       |    CAST(sum(coalesce(c.c, 0)) OVER
+       |      (PARTITION BY s.source ORDER BY l.n_chars
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_s
+       |  FROM ks_lens l CROSS JOIN ks_stot s
+       |  LEFT JOIN ks_cnt c ON c.source = s.source AND c.n_chars = l.n_chars
+       |)
+       |SELECT g.source, CAST(max(g.n_docs) AS BIGINT) AS n_docs,
+       |  CAST(max(abs(CAST(floor(
+       |    (CAST(g.cum_s AS DOUBLE) / CAST(g.n_docs AS DOUBLE)
+       |     - CAST(gg.cum_g AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+       |    * 1e6 + 0.5) AS BIGINT))) AS BIGINT) AS ks_micro,
+       |  CAST(max(abs(CAST(floor(
+       |    (CAST(g.cum_s AS DOUBLE) / CAST(g.n_docs AS DOUBLE)
+       |     - CAST(gg.cum_g AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+       |    * 1e6 + 0.5) AS BIGINT))) AS DOUBLE) / 1e6 AS ks
+       |FROM ks_grid g
+       |JOIN ks_g gg USING (n_chars) CROSS JOIN ks_tot t
+       |GROUP BY g.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x102 — tokenizer fertility per source × lang
+  // ---------------------------------------------------------------------
+
+  /** Tokenizer fertility accounting per (source, lang): how many
+    * regex (BPE-ish) tokens each whitespace word costs, and how many
+    * characters each token carries — the numbers that decide whether a
+    * slice is cheap or expensive to train on (CJK and mangled encodings
+    * show up as fertility outliers long before quality scores move).
+    *
+    * Determinism: all sums are exact BIGINTs; the two ratios are single
+    * fixed-order IEEE divisions.
+    *
+    * Scale: one scan, one `(source, lang)`-sized aggregate; both token
+    * counters are native codegen byte-scans, no explode. */
+  def tokenFertility(df: DataFrame): DataFrame = {
+    val ws = TextExpressions.wsTokenCountFast(col("text")).cast("long")
+    val re = regexp_count(col("text"), lit(TextOps.tokenPattern)).cast("long")
+    df.filter(col("source").isNotNull && col("lang").isNotNull)
+      .select(col("source"), col("lang"), ws.as("ws"), re.as("re"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
+        sum("re").as("re_tokens"), sum("ch").as("n_chars"))
+      .select(col("source"), col("lang"), col("n_docs"), col("ws_tokens"),
+        col("re_tokens"), col("n_chars"),
+        (col("re_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .as("re_per_word"),
+        (col("n_chars").cast("double") / col("re_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
+
+  /** DuckDB twin of [[tokenFertility]]. */
+  def tokenFertilitySql: String =
+    s"""WITH tf AS (
+       |  SELECT source, lang,
+       |    CAST(len(${TextOps.wordsReSql("text")}) AS BIGINT) AS ws,
+       |    CAST(len(regexp_extract_all(text, '${TextOps.tokenPattern}'))
+       |      AS BIGINT) AS re,
+       |    CAST(length(text) AS BIGINT) AS ch
+       |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+       |)
+       |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(re) AS BIGINT) AS re_tokens,
+       |  CAST(sum(ch) AS BIGINT) AS n_chars,
+       |  CAST(sum(re) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS re_per_word,
+       |  CAST(sum(ch) AS DOUBLE) / CAST(sum(re) AS DOUBLE) AS chars_per_token
+       |FROM tf GROUP BY source, lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x103 — mixture / epoch planning for a token budget
+  // ---------------------------------------------------------------------
+
+  /** Mixture planning: given target mixture weights per language and a
+    * total token budget, report per language the available whitespace
+    * tokens, the budgeted target tokens, and the epoch factor
+    * (target / available) — epochs > 1 means the slice must repeat,
+    * the number a mixture designer reads before committing weights
+    * (the planning half of DoReMi-style mixture work).
+    *
+    * Determinism: availability is an exact BIGINT sum; target tokens
+    * are floor(budget · weight + 0.5) on a literal weight; the epoch
+    * factor is one fixed-order IEEE division.
+    *
+    * Scale: one scan, lang-sized aggregate, no joins. */
+  def mixturePlan(df: DataFrame,
+                  weights: Seq[(String, Double)] = defaultMixture,
+                  budget: Long = 1000000L): DataFrame = {
+    val w = weights.tail.foldLeft(
+      when(col("lang") === weights.head._1, lit(weights.head._2))) {
+        case (acc, (l, x)) => acc.when(col("lang") === l, lit(x))
+      }.otherwise(lit(0d))
+    df.filter(col("lang").isNotNull)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextExpressions.wsTokenCountFast(col("text")).cast("long"))
+          .as("avail_tokens"))
+      .select(col("lang"), col("n_docs"), col("avail_tokens"),
+        floor(lit(budget.toDouble) * w + lit(0.5)).cast("long")
+          .as("target_tokens"))
+      .select(col("lang"), col("n_docs"), col("avail_tokens"),
+        col("target_tokens"),
+        (col("target_tokens").cast("double") /
+          col("avail_tokens").cast("double")).as("epochs"),
+        (col("target_tokens") > col("avail_tokens")).cast("int")
+          .as("oversubscribed"))
+  }
+
+  val defaultMixture: Seq[(String, Double)] =
+    Seq("en" -> 0.4, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.15)
+
+  /** DuckDB twin of [[mixturePlan]]. */
+  def mixturePlanSql(weights: Seq[(String, Double)] = defaultMixture,
+                     budget: Long = 1000000L): String = {
+    val cases = weights.map { case (l, x) => s"WHEN '$l' THEN $x" }
+      .mkString(" ")
+    s"""WITH mp AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(${TextOps.wordsReSql("text")})) AS BIGINT)
+       |      AS avail_tokens
+       |  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+       |)
+       |SELECT lang, n_docs, avail_tokens,
+       |  CAST(floor($budget.0 * (CASE lang $cases ELSE 0 END) + 0.5) AS BIGINT)
+       |    AS target_tokens,
+       |  CAST(floor($budget.0 * (CASE lang $cases ELSE 0 END) + 0.5) AS DOUBLE)
+       |    / CAST(avail_tokens AS DOUBLE) AS epochs,
+       |  CAST(CAST(floor($budget.0 * (CASE lang $cases ELSE 0 END) + 0.5)
+       |    AS BIGINT) > avail_tokens AS INT) AS oversubscribed
+       |FROM mp""".stripMargin
+  }
+}
