@@ -791,6 +791,31 @@ object SparkEntry {
             / col("n_exact").cast("double")).as("recall"))
     }),
 
+    // x97 — DSIR hashed n-gram importance weights (Xie et al. 2023):
+    // target/raw bucket models over ONE tokenization, broadcast back
+    "x97_dsir_weights" -> ((s, dir) =>
+      graft.operators.CurationOps.dsirWeights(Tables.documents(s, dir))),
+
+    // x98 — Gopher quality-rule battery (Rae et al. 2021 §A1.1): the
+    // five single-line-corpus rules as 0/1 gates, pure projection
+    "x98_gopher_gates" -> ((s, dir) =>
+      graft.operators.CurationOps.gopherGates(Tables.documents(s, dir))),
+
+    // x99 — per-source Kolmogorov–Smirnov length drift: exact CDF grid
+    // from ONE corpus aggregate, micro-snapped max gap
+    "x99_length_ks" -> ((s, dir) =>
+      graft.operators.CurationOps.lengthKs(Tables.documents(s, dir))),
+
+    // x102 — tokenizer fertility per source × lang: BPE-ish tokens per
+    // word and chars per token, two native byte-scan counters
+    "x102_token_fertility" -> ((s, dir) =>
+      graft.operators.CurationOps.tokenFertility(Tables.documents(s, dir))),
+
+    // x103 — mixture/epoch planning: available vs budgeted tokens per
+    // lang, the epochs>1 oversubscription flag (DoReMi planning half)
+    "x103_mixture_plan" -> ((s, dir) =>
+      graft.operators.CurationOps.mixturePlan(Tables.documents(s, dir))),
+
     // x72 — exact duplicated-substring spans (Lee et al. ExactSubstr,
     // re-shaped for Spark): stride-1 window hashing, cross-doc shared
     // windows, gaps-and-islands span merge per doc
@@ -1588,6 +1613,11 @@ object SparkEntry {
     "x93_label_conflicts" -> DedupOps.labelConflictsSql,
     "x94_source_funnel" -> TextOps.sourceFunnelSql(0.5, 10, 500),
     "x95_top_boilerplate" -> SubstringOps.topBoilerplateSql(8, 20),
+    "x97_dsir_weights" -> graft.operators.CurationOps.dsirWeightsSql(),
+    "x98_gopher_gates" -> graft.operators.CurationOps.gopherGatesSql,
+    "x99_length_ks" -> graft.operators.CurationOps.lengthKsSql,
+    "x102_token_fertility" -> graft.operators.CurationOps.tokenFertilitySql,
+    "x103_mixture_plan" -> graft.operators.CurationOps.mixturePlanSql(),
     "x75_nb_classifier" -> graft.operators.ClassifyOps.nbLangScoreSql,
     "x76_source_report" -> TextOps.sourceReportSql(0.60),
     "x77_source_overlap" -> SubstringOps.sourceOverlapSql(8, 64),

@@ -58,9 +58,16 @@ object CurationOps {
         col("lang").isNotNull)
       .select(col("doc_id"), (col("lang") === lit(targetLang)).as("tgt"),
         explode(feats).as("feat"))
+      // coalesce is a no-op (polyHash52 of a non-null string is non-null)
+      // but marks the column non-nullable, so the final join can't infer
+      // an IsNotNull(bucket) onto its probe branch only — which would
+      // stop the model/scoring branches canonicalizing equal and
+      // tokenize the corpus twice (the x67/x74 trap); a shared-base
+      // filter would fix reuse too, but costs a second hash evaluation
+      // per feature row (Filter and Project don't share subexpressions)
       .select(col("doc_id"), col("tgt"),
-        (HashFunctions.polyHash52(col("feat")) % lit(buckets.toLong))
-          .as("bucket"))
+        coalesce(HashFunctions.polyHash52(col("feat")) % lit(buckets.toLong),
+          lit(0L)).as("bucket"))
       .groupBy("doc_id", "tgt", "bucket").agg(count(lit(1)).as("occ"))
     val cnt = mat.groupBy("bucket").agg(
       sum(when(col("tgt"), col("occ")).otherwise(lit(0L))).as("ct"),

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.CurationOps
+
+/** Semantics of the curation battery: DSIR separates the target
+  * language, Gopher gates match hand-computed rules, the KS statistic
+  * is a true max-CDF-gap, fertility ratios are consistent sums, and
+  * mixture planning flags oversubscription exactly. */
+class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("dsirWeights: en documents average a higher importance weight than non-en") {
+    val docs = Tables.documents(spark, sfDir)
+    val w = CurationOps.dsirWeights(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val byTgt = w.groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_avg")).as("a")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the weight is ln(p_en/p_raw) summed over the doc's features: the
+    // en slice must score higher on average than the rest, else the
+    // model learned nothing
+    assert(byTgt(true) > byTgt(false),
+      s"en avg ${byTgt(true)} !> raw avg ${byTgt(false)}")
+  }
+
+  test("dsirWeights: n_feats counts unigrams plus bigrams (2w-1 for a w-word doc)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "alpha beta gamma", "en"), (2L, "delta", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = CurationOps.dsirWeights(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 5L) // 3 unigrams + 2 bigrams
+    assert(out(2L) === 1L) // 1 unigram, 0 bigrams
+  }
+
+  test("gopherGates: each rule matches a hand-computed example") {
+    val s = spark; import s.implicits._
+    // 60 words, mean length 28/5 = 5.6, stopwords "the"/"and" ×12 each
+    val longOk = ("the wonderful weather and people " * 12).trim
+    val df = Seq(
+      (1L, longOk),                    // passes all gates
+      (2L, "short text only"),         // fails word count (3 < 50)
+      (3L, ("#### " * 60).trim)        // symbols, no alpha, no stopwords
+    ).toDF("doc_id", "text")
+    val rows = CurationOps.gopherGates(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("g_word_count") === 1)
+    assert(rows(1L).getAs[Int]("g_stopword") === 1)
+    assert(rows(1L).getAs[Int]("g_pass") === 1)
+    assert(rows(2L).getAs[Int]("g_word_count") === 0)
+    assert(rows(2L).getAs[Int]("g_pass") === 0)
+    assert(rows(3L).getAs[Int]("g_alpha") === 0)
+    assert(rows(3L).getAs[Int]("g_symbol") === 0)
+    val r1 = rows(1L)
+    assert(r1.getAs[Long]("n_words") === 60L)
+    val mwl = r1.getAs[Double]("mean_word_len")
+    assert(mwl >= 3d && mwl <= 10d)
+  }
+
+  test("lengthKs: identical per-source distributions give KS 0; a disjoint one does not") {
+    val s = spark; import s.implicits._
+    // two sources with the SAME length multiset, one wildly different
+    val rows =
+      (1 to 20).map(i => (i.toLong, "a" * (i % 5 + 1), "s1")) ++
+      (1 to 20).map(i => (100L + i, "a" * (i % 5 + 1), "s2")) ++
+      (1 to 20).map(i => (200L + i, "a" * 1000, "s3"))
+    val df = rows.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val ks = CurationOps.lengthKs(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("ks")).toMap
+    // s1 and s2 each hold 1/3 of a corpus whose remaining third (s3) is
+    // disjoint: their CDF leads the global CDF by exactly 1/3 until the
+    // s3 lengths arrive
+    assert(math.abs(ks("s1") - ks("s2")) < 1e-9)
+    assert(math.abs(ks("s1") - 1.0 / 3.0) < 1e-6, s"s1 ks = ${ks("s1")}")
+    // s3's CDF stays 0 through every s1/s2 length: gap = 2/3
+    assert(math.abs(ks("s3") - 2.0 / 3.0) < 1e-6, s"s3 ks = ${ks("s3")}")
+  }
+
+  test("tokenFertility: sums are consistent and ratios multiply back") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = CurationOps.tokenFertility(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ws = r.getAs[Long]("ws_tokens"); val re = r.getAs[Long]("re_tokens")
+      val rpw = r.getAs[Double]("re_per_word")
+      assert(math.abs(rpw - re.toDouble / ws.toDouble) < 1e-12)
+      assert(re >= ws, s"regex tokens ($re) must refine whitespace words ($ws)")
+    }
+    // totals tie back to the corpus
+    val nd = out.map(_.getAs[Long]("n_docs")).sum
+    val expected = docs.filter(col("source").isNotNull && col("lang").isNotNull)
+      .count()
+    assert(nd === expected)
+  }
+
+  test("mixturePlan: epochs = target/available and oversubscription flags exactly") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "one two three", "en"),          // 3 tokens avail, target 400k
+      (2L, "uno dos", "es")                 // 2 tokens avail, target 150k
+    ).toDF("doc_id", "text", "lang")
+    val out = CurationOps.mixturePlan(df, budget = 1000000L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Long]("avail_tokens") === 3L)
+    assert(out("en").getAs[Long]("target_tokens") === 400000L)
+    assert(out("en").getAs[Int]("oversubscribed") === 1)
+    assert(math.abs(out("en").getAs[Double]("epochs") - 400000.0 / 3.0) < 1e-9)
+    assert(out("es").getAs[Long]("target_tokens") === 150000L)
+  }
+
+  test("dsirWeights plan: ONE corpus tokenization feeds both model and scoring") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = CurationOps.dsirWeights(docs)
+    df.collect() // AQE: reuse only visible post-execution
+    // slice off the "== Initial Plan ==" echo — only the final plan counts
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val generates = "\\bGenerate\\b".r.findAllIn(plan).length
+    assert(generates === 1,
+      s"expected 1 Generate (shared occurrence matrix), got $generates:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      "model branch must be served from the matrix exchange")
+  }
+}
