@@ -791,6 +791,19 @@ object SparkEntry {
             / col("n_exact").cast("double")).as("recall"))
     }),
 
+    // x100 — SSL-prototype pruning (Sorscher et al. 2022): per-cluster
+    // prototypicality rank over micro-snapped cosines; drop the easy
+    // fraction (oracle is dynamic: centroids embed)
+    "x100_proto_prune" -> ((s, dir) =>
+      graft.operators.IvfOps.protoPrune(
+        Tables.embeddings(s, dir), ivfModel(s, dir), fraction = 0.25)),
+
+    // x101 — hybrid lexical+vector retrieval: BM25 top-n ∪ cosine top-n
+    // fused by reciprocal-rank fusion (Cormack et al. 2009)
+    "x101_hybrid_rrf" -> ((s, dir) =>
+      graft.operators.RetrievalOps.hybridRrf(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     // x97 — DSIR hashed n-gram importance weights (Xie et al. 2023):
     // target/raw bucket models over ONE tokenization, broadcast back
     "x97_dsir_weights" -> ((s, dir) =>
@@ -1613,6 +1626,7 @@ object SparkEntry {
     "x93_label_conflicts" -> DedupOps.labelConflictsSql,
     "x94_source_funnel" -> TextOps.sourceFunnelSql(0.5, 10, 500),
     "x95_top_boilerplate" -> SubstringOps.topBoilerplateSql(8, 20),
+    "x101_hybrid_rrf" -> graft.operators.RetrievalOps.hybridRrfSql(),
     "x97_dsir_weights" -> graft.operators.CurationOps.dsirWeightsSql(),
     "x98_gopher_gates" -> graft.operators.CurationOps.gopherGatesSql,
     "x99_length_ks" -> graft.operators.CurationOps.lengthKsSql,
@@ -1733,6 +1747,8 @@ object SparkEntry {
       "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model),
       "x38_cluster_lang_mix" -> graft.operators.IvfOps.clusterLangMixSql(model),
       "x52_semdedup" -> graft.operators.IvfOps.semDedupSql(model, tau = 0.40),
+      "x100_proto_prune" ->
+        graft.operators.IvfOps.protoPruneSql(model, fraction = 0.25),
       "x96_ann_recall" ->
         s"""WITH ar_ex AS (
            |  SELECT query_id, neighbor_id FROM (

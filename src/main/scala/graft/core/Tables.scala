@@ -35,15 +35,26 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
-  /** `events.ts` is nanosecond-precision, which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and truncate
-    * to a µs timestamp. Oracle queries never project raw `ts`, and every
-    * derived value (hour truncation, epoch seconds) is unaffected by the
-    * ns→µs floor. */
+  /** Historically `events.ts` was nanosecond-precision, which Spark's
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); newer generations
+    * write native µs timestamps. Handle both: read nanos as raw longs
+    * and truncate to a µs timestamp, pass a native timestamp through
+    * unchanged. Oracle queries never project raw `ts`, and every derived
+    * value (hour truncation, epoch seconds) is unaffected by the ns→µs
+    * floor. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // keep the historical LTZ type every consumer was verified on
+        // (unix_micros etc. reject NTZ); sessions run UTC, so the cast
+        // preserves the wall-clock reading
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

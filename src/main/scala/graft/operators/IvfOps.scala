@@ -338,6 +338,65 @@ object IvfOps {
        |WHERE s.rn = 1
        |GROUP BY s.cid, d.lang""".stripMargin
 
+  /** x100: SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv:2206.14486): rank every vector by cosine to
+    * its cluster centroid — its prototypicality — and flag the most
+    * prototypical `fraction` of each cluster for pruning. The paper's
+    * result: in the abundant-data regime, dropping the EASY (most
+    * prototypical) examples beats random pruning, and self-supervised
+    * k-means prototypicality is metric enough.
+    *
+    * Determinism: the cosine is micro-snapped BEFORE ranking, so the
+    * rank order (cos_micro DESC, vec_id) is an exact total order both
+    * engines agree on — ordering by a raw double is the cross-engine
+    * trap. `fraction` multiplies an integer-valued double (exact for
+    * the representable fractions used here) before floor.
+    *
+    * Scale: one broadcast-assignment map + ONE shuffle on centroid_id;
+    * rank and cluster-size windows share the partition key, so the
+    * second window adds no exchange. No joins beyond the broadcast
+    * centroid table — the same inverted-list layout as [[semDedup]],
+    * minus its intra-cluster self-join. */
+  def protoPrune(emb: DataFrame, model: IvfModel,
+                 fraction: Double = 0.25): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("centroid_id", "cv")
+    // same op sequence as the SQL twin's centroidSimSql
+    val cos = SimilarityOps.dot(col("embedding"), col("cv")) /
+      (sqrt(SimilarityOps.dot(col("embedding"), col("embedding"))) *
+        sqrt(SimilarityOps.dot(col("cv"), col("cv"))))
+    val byCluster = Window.partitionBy("centroid_id")
+    assign(emb, model)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        floor(cos * lit(1e6) + lit(0.5)).cast("long").as("cos_micro"))
+      .withColumn("rk", row_number().over(
+        byCluster.orderBy(col("cos_micro").desc, col("vec_id"))).cast("long"))
+      .withColumn("n_vecs", count(lit(1)).over(byCluster))
+      .select(col("vec_id"), col("centroid_id"), col("cos_micro"), col("rk"),
+        col("n_vecs"),
+        (col("rk") > floor(lit(fraction) * col("n_vecs").cast("double"))
+          .cast("long")).cast("int").as("kept"))
+  }
+
+  /** DuckDB twin of [[protoPrune]] for a trained model. */
+  def protoPruneSql(model: IvfModel, fraction: Double = 0.25): String =
+    s"""WITH ${centroidCtesSql(model,
+         s", CAST(floor($centroidSimSql * 1000000.0 + 0.5) AS BIGINT) AS cos_micro")},
+       |pp AS (
+       |  SELECT vec_id, cid, cos_micro,
+       |    CAST(row_number() OVER (PARTITION BY cid
+       |      ORDER BY cos_micro DESC, vec_id) AS BIGINT) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs
+       |  FROM sims WHERE rn = 1
+       |)
+       |SELECT vec_id, cid AS centroid_id, cos_micro, rk, n_vecs,
+       |  CAST(rk > CAST(floor(CAST('$fraction' AS DOUBLE)
+       |    * CAST(n_vecs AS DOUBLE)) AS BIGINT) AS INT) AS kept
+       |FROM pp""".stripMargin
+
   /** Persist a built index: centroids (tiny) + per-vector assignment and
     * int8 codes — the offline half of the 100 TB flow, where the float
     * corpus is read once and queries touch only this table afterward.

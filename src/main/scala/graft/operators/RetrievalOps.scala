@@ -111,4 +111,96 @@ object RetrievalOps {
        |ORDER BY score_micro DESC, doc_id
        |LIMIT $k""".stripMargin
   }
+
+  /** x101: hybrid lexical+vector retrieval via reciprocal-rank fusion
+    * (Cormack et al. 2009): the standard RAG-stack shape — a BM25 top-n
+    * list and an embedding-cosine top-n list (query = the embedding of a
+    * fixed corpus vector, documents and embeddings being id-aligned),
+    * fused as rrf(d) = Σ_lists 1/(rrfK + rank_d). Absent-from-list
+    * contributes nothing; ranks are reported with 0 = absent.
+    *
+    * Determinism: both per-list ranks are total orders over micro-snapped
+    * scores with id tiebreaks; the RRF sum is two correctly-rounded IEEE
+    * divisions added in fixed order, micro-snapped once at the end.
+    *
+    * Scale: each list is a TakeOrderedAndProject cut over ONE corpus scan
+    * (no global sort — the rank window runs over the n survivors on a
+    * single tiny partition); the query vector broadcasts; the fusion
+    * join touches ≤ 2n rows. At 100 TB the cost is exactly two corpus
+    * scans — one lexical, one vector — which a production deployment
+    * would serve from the x45 inverted index and the x18 IVF index
+    * respectively; this operator is the exact fusion semantics those
+    * accelerated paths must reproduce. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame,
+                terms: Seq[String] = defaultTerms, queryVecId: Long = 42L,
+                n: Int = 50, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rankW = (s: Column, id: Column) =>
+      row_number().over(Window.orderBy(s.desc, id)).cast("long")
+    val lex = bm25TopK(docs, terms, n)
+      .select(col("doc_id"),
+        rankW(col("score_micro"), col("doc_id")).as("rank_lex"))
+    val qv = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val cos = SimilarityOps.dot(col("embedding"), col("qv")) /
+      (sqrt(SimilarityOps.dot(col("embedding"), col("embedding"))) *
+        sqrt(SimilarityOps.dot(col("qv"), col("qv"))))
+    val vec = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        floor(cos * lit(1e6) + lit(0.5)).cast("long").as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("doc_id")).limit(n)
+      .select(col("doc_id"),
+        rankW(col("cos_micro"), col("doc_id")).as("rank_vec"))
+    val contrib = (r: Column) =>
+      coalesce(lit(1.0) / (lit(rrfK.toDouble) + r.cast("double")), lit(0.0))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+        floor((contrib(col("rank_lex")) + contrib(col("rank_vec"))) *
+          lit(1e6) + lit(0.5)).cast("long").as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id")).limit(k)
+  }
+
+  /** DuckDB twin of [[hybridRrf]] — same list construction (micro-snap →
+    * LIMIT n → rank over the survivors), same fixed-order fusion. */
+  def hybridRrfSql(terms: Seq[String] = defaultTerms, queryVecId: Long = 42L,
+                   n: Int = 50, k: Int = 20, rrfK: Int = 60): String = {
+    val e = "CAST(e.embedding AS DOUBLE[])"
+    val cosSql = s"list_dot_product($e, q.qv) / " +
+      s"(sqrt(list_dot_product($e, $e)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    def contrib(r: String): String =
+      s"coalesce(${dlit(1.0)} / (${dlit(rrfK.toDouble)} + CAST($r AS DOUBLE)), ${dlit(0.0)})"
+    s"""WITH rrf_lex AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+       |      AS BIGINT) AS rank_lex
+       |  FROM (
+       |${bm25TopKSql(terms, n).replace("\n", "\n    ")}
+       |  )
+       |),
+       |rrf_q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |          FROM embeddings WHERE vec_id = $queryVecId),
+       |rrf_vec AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY cos_micro DESC, doc_id)
+       |      AS BIGINT) AS rank_vec
+       |  FROM (
+       |    SELECT e.vec_id AS doc_id,
+       |      CAST(floor($cosSql * ${dlit(1e6)} + ${dlit(0.5)}) AS BIGINT)
+       |        AS cos_micro
+       |    FROM embeddings e CROSS JOIN rrf_q q
+       |    ORDER BY cos_micro DESC, doc_id
+       |    LIMIT $n
+       |  )
+       |)
+       |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |  coalesce(l.rank_lex, 0) AS rank_lex,
+       |  coalesce(v.rank_vec, 0) AS rank_vec,
+       |  CAST(floor((${contrib("l.rank_lex")} + ${contrib("v.rank_vec")})
+       |    * ${dlit(1e6)} + ${dlit(0.5)}) AS BIGINT) AS rrf_micro
+       |FROM rrf_lex l FULL OUTER JOIN rrf_vec v ON l.doc_id = v.doc_id
+       |ORDER BY rrf_micro DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
 }

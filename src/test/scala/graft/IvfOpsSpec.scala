@@ -208,4 +208,29 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mean = report.map(_._4).sum / report.length
     assert(mean >= 0.5, s"mean recall $mean")
   }
+
+  test("protoPrune: per-cluster accounting, rank totality, and exact prune fraction") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = IvfOps.train(emb, k = 16, iterations = 2)
+    val out = IvfOps.protoPrune(emb, model, fraction = 0.25).collect()
+    assert(out.length === emb.count())
+    out.groupBy(_.getAs[Int]("centroid_id")).values.foreach { cl =>
+      val n = cl.length
+      assert(cl.forall(_.getAs[Long]("n_vecs") == n))
+      // ranks are a permutation of 1..n
+      assert(cl.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to n).toSeq)
+      // exactly floor(0.25 n) pruned, and they are the TOP-cos ranks
+      val pruned = cl.filter(_.getAs[Int]("kept") == 0)
+      assert(pruned.length === math.floor(0.25 * n).toInt)
+      val maxPrunedRank = if (pruned.isEmpty) 0L else pruned.map(_.getAs[Long]("rk")).max
+      assert(maxPrunedRank === pruned.length.toLong)
+      // prototypicality ordering: every pruned cos >= every kept cos
+      if (pruned.nonEmpty) {
+        val minPruned = pruned.map(_.getAs[Long]("cos_micro")).min
+        val maxKept = cl.filter(_.getAs[Int]("kept") == 1)
+          .map(_.getAs[Long]("cos_micro")).max
+        assert(minPruned >= maxKept - 0, s"pruned $minPruned < kept $maxKept")
+      }
+    }
+  }
 }

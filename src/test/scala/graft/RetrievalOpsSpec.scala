@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.core.Tables
 import graft.operators.{DedupOps, RetrievalOps}
 
 /** BM25 scoring cross-checked against a plain-Scala reference, plus the
@@ -113,5 +114,43 @@ class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = DedupOps.incrementalDedup(incoming, existing)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(kept === Map(11L -> "de", 13L -> "en"))
+  }
+
+  test("hybridRrf: fusion arithmetic matches a driver-side reference over both lists") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = RetrievalOps.hybridRrf(docs, emb, n = 50, k = 20).collect()
+    assert(out.length === 20)
+    // reference: recompute rrf from the reported ranks
+    out.foreach { r =>
+      val rl = r.getAs[Long]("rank_lex"); val rv = r.getAs[Long]("rank_vec")
+      val ref = (if (rl > 0) 1.0 / (60.0 + rl) else 0.0) +
+        (if (rv > 0) 1.0 / (60.0 + rv) else 0.0)
+      assert(r.getAs[Long]("rrf_micro") === math.floor(ref * 1e6 + 0.5).toLong)
+      assert(rl > 0 || rv > 0, "a fused row must appear in at least one list")
+    }
+    // ordering: rrf desc with doc_id tiebreak
+    val key = out.map(r => (-r.getAs[Long]("rrf_micro"), r.getAs[Long]("doc_id")))
+    assert(key.toSeq === key.sortBy(identity).toSeq)
+    // a doc present in BOTH lists must outrank one with only a deep single-list rank
+    val both = out.filter(r => r.getAs[Long]("rank_lex") > 0 && r.getAs[Long]("rank_vec") > 0)
+    if (both.nonEmpty) {
+      val single = out.filter(r => r.getAs[Long]("rank_lex") == 0 || r.getAs[Long]("rank_vec") == 0)
+      if (single.nonEmpty)
+        assert(both.map(_.getAs[Long]("rrf_micro")).max >=
+          single.map(_.getAs[Long]("rrf_micro")).max)
+    }
+  }
+
+  test("hybridRrf: the query vector's own doc ranks first on the vector side") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = RetrievalOps.hybridRrf(docs, emb, queryVecId = 42L, n = 50, k = 50)
+      .collect()
+    val self = out.find(_.getAs[Long]("doc_id") == 42L)
+    assert(self.isDefined, "query doc must fuse into the top list")
+    assert(self.get.getAs[Long]("rank_vec") === 1L, "cos(q,q)=1 ranks first")
   }
 }
