@@ -208,6 +208,74 @@ object SparkEntry {
           .cast(DecimalType(18, 6))).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))),
 
+    // q10 — returned-item customer ranking (TPC-H Q10 shape): the
+    // revenue top-20 is a TakeOrderedAndProject over the custkey
+    // aggregate; nation broadcasts, the fact shuffles once
+    "q10_returned_items" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-07-01"))
+        .select("o_orderkey", "o_custkey")
+      val cu = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // q14 — promo revenue share (TPC-H Q14 shape): two conditional
+    // DECIMAL sums over one join, one final IEEE division. `part` is NOT
+    // force-broadcast: at warehouse scale it's a large dimension — the
+    // planner picks broadcast at small SF, shuffle-hash beyond
+    "q14_promo_share" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, dir).select("p_partkey", "p_type")
+      val rev = (col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0d).cast(DecimalType(18, 6)))).cast("double")
+            .as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (lit(100d) * col("promo_revenue") / col("total_revenue"))
+            .as("promo_share_pct"))
+    }),
+
+    // q18 — large-volume customers (TPC-H Q18 shape): the HAVING-sum
+    // order filter. Q18's classic form re-joins lineitem for the detail
+    // sum; carrying total_qty out of the qualifying aggregate makes it
+    // ONE fact pass — the fact shuffles on l_orderkey once, ever
+    "q18_large_orders" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 200d)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val cu = Tables.customer(s, dir).select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").cast("string").as("order_date"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     "f1_search_name" -> ((s, dir) => SearchOps.searchName(cat(s, dir).vwLl, "%a%")),
 
     "f2_search_name_file" -> ((s, dir) =>
@@ -1216,6 +1284,47 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH pr AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |)
+        |SELECT promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_share_pct
+        |FROM pr""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+        |  o_totalprice, total_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 200) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q4_priority_exists" ->
       """SELECT o_orderpriority, count(*) AS n_orders
