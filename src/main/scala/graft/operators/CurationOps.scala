@@ -377,16 +377,27 @@ object CurationOps {
     * Scale: one scan, lang-sized aggregate, no joins. */
   def mixturePlan(df: DataFrame,
                   weights: Seq[(String, Double)] = defaultMixture,
-                  budget: Long = 1000000L): DataFrame = {
+                  budget: Long = 1000000L): DataFrame =
+    mixtureFinish(
+      df.filter(col("lang").isNotNull)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextExpressions.wsTokenCountFast(col("text")).cast("long"))
+            .as("avail_tokens")),
+      weights, budget)
+
+  /** Budget arithmetic over a `(lang, n_docs, avail_tokens)` aggregate —
+    * shared by the batch planner and [[graft.streaming.MixtureStream]]'s
+    * live monitor so online and offline epoch numbers are identical by
+    * construction. */
+  private[graft] def mixtureFinish(agg: DataFrame,
+                                   weights: Seq[(String, Double)],
+                                   budget: Long): DataFrame = {
     val w = weights.tail.foldLeft(
       when(col("lang") === weights.head._1, lit(weights.head._2))) {
         case (acc, (l, x)) => acc.when(col("lang") === l, lit(x))
       }.otherwise(lit(0d))
-    df.filter(col("lang").isNotNull)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextExpressions.wsTokenCountFast(col("text")).cast("long"))
-          .as("avail_tokens"))
+    agg
       .select(col("lang"), col("n_docs"), col("avail_tokens"),
         floor(lit(budget.toDouble) * w + lit(0.5)).cast("long")
           .as("target_tokens"))
