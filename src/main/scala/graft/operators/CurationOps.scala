@@ -155,26 +155,40 @@ object CurationOps {
     * Scale: pure per-row projection — no shuffle, no state; gates
     * compose with any downstream filter at any corpus size. */
   def gopherGates(df: DataFrame): DataFrame = {
-    val toks = TextOps.wordsRe(col("text"))
-    val nWords = TextExpressions.wsTokenCountFast(col("text")).cast("long")
-    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
-      lit(0L), (a, x) => a + x)
-    val mwl = sumLen.cast("double") / nWords.cast("double")
-    val alphaW = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
-    val stops = size(filter(toks,
-      t => t.isin(TextOps.qualityStopwords.map(lit(_)): _*))).cast("long")
-    val syms = (regexp_count(col("text"), lit("#")) +
-      regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
-    val gWc = (nWords >= 50L && nWords <= 100000L).cast("int")
+    // phase 1: tokenize ONCE. The consuming projection references `toks`
+    // three times, which is the SPARK-36718 condition for CollapseProject
+    // to keep this boundary — without it the plan inlines the tokenizer
+    // into every rule (9 copies per row in the recorded first-cut plan,
+    // the x19 trap).
+    val p1 = df.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), TextOps.wordsRe(col("text")).as("toks"),
+        TextExpressions.wsTokenCountFast(col("text")).cast("long")
+          .as("n_words"),
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("long").as("syms"))
+    // phase 2: per-rule raw counts over the materialized array (sum_len
+    // is referenced twice downstream, so this boundary survives too)
+    val p2 = p1.select(col("doc_id"), col("n_words"), col("syms"),
+      aggregate(transform(col("toks"), t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x).as("sum_len"),
+      size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long")
+        .as("alpha_w"),
+      size(filter(col("toks"),
+        t => t.isin(TextOps.qualityStopwords.map(lit(_)): _*))).cast("long")
+        .as("stops"))
+    // phase 3: the gates — cheap comparisons over attributes
+    val mwl = col("sum_len").cast("double") / col("n_words").cast("double")
+    val gWc = (col("n_words") >= 50L && col("n_words") <= 100000L).cast("int")
     val gMwl = (mwl >= 3d && mwl <= 10d).cast("int")
-    val gAlpha = (alphaW.cast("double") / nWords.cast("double") >= 0.8d).cast("int")
-    val gStop = (stops >= 2L).cast("int")
-    val gSym = (syms.cast("double") / nWords.cast("double") <= 0.1d).cast("int")
-    df.filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), nWords.as("n_words"), mwl.as("mean_word_len"),
-        gWc.as("g_word_count"), gMwl.as("g_mean_word_len"),
-        gAlpha.as("g_alpha"), gStop.as("g_stopword"), gSym.as("g_symbol"),
-        (gWc * gMwl * gAlpha * gStop * gSym).as("g_pass"))
+    val gAlpha = (col("alpha_w").cast("double") /
+      col("n_words").cast("double") >= 0.8d).cast("int")
+    val gStop = (col("stops") >= 2L).cast("int")
+    val gSym = (col("syms").cast("double") /
+      col("n_words").cast("double") <= 0.1d).cast("int")
+    p2.select(col("doc_id"), col("n_words"), mwl.as("mean_word_len"),
+      gWc.as("g_word_count"), gMwl.as("g_mean_word_len"),
+      gAlpha.as("g_alpha"), gStop.as("g_stopword"), gSym.as("g_symbol"),
+      (gWc * gMwl * gAlpha * gStop * gSym).as("g_pass"))
   }
 
   /** DuckDB twin of [[gopherGates]]. */

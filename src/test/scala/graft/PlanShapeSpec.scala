@@ -391,4 +391,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"column pruning must drop unreferenced columns:\n$readSchema")
     assert(scan.nonEmpty)
   }
+
+  test("gopher gates (x98) tokenize ONCE per row behind phased projections") {
+    // the first-cut plan inlined ws_tokens into every rule — 9 copies per
+    // row; the phased rewrite (array + counters materialized, gates over
+    // attributes) must keep exactly one tokenization and no shuffle
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.CurationOps.gopherGates(docs))
+    assert("ws_tokens\\(".r.findAllIn(plan).length === 1,
+      s"expected one tokenization:\n$plan")
+    assert(!plan.contains("Exchange"), s"pure projection, no shuffle:\n$plan")
+  }
 }
