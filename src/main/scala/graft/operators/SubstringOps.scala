@@ -39,8 +39,8 @@ object SubstringOps {
     * token array is materialized once per row and referenced three
     * times (guard, sequence bound, slice), so CollapseProject keeps the
     * projection boundary and the text is tokenized once. */
-  private def windows(df: DataFrame, w: Int, text: Column,
-                      keyNames: Seq[String] = Seq("doc_id")): DataFrame = {
+  private[graft] def windows(df: DataFrame, w: Int, text: Column,
+                             keyNames: Seq[String] = Seq("doc_id")): DataFrame = {
     val ws = col("ws")
     val win = explode(when(size(ws) >= w,
       transform(sequence(lit(1), size(ws) - (w - 1)), i =>
