@@ -653,6 +653,20 @@ object SparkEntry {
       MultimodalOps.imageHashes(
         MultimodalOps.synthImageFixture(Tables.documents(s, dir)))),
 
+    // x104 — image thumbnails: decode → nearest-neighbor resize → real
+    // PNG re-encode, round-trip certified; the resize member of the
+    // multimodal transform family (thumb payload dropped from the gate)
+    "x104_image_thumbnail" -> ((s, dir) =>
+      MultimodalOps.imageThumbnails(
+        MultimodalOps.synthImageFixture(Tables.documents(s, dir)))
+        .drop("thumb")),
+
+    // x105 — PCM frame sampling: every 13th decoded sample as the
+    // fixed-rate waveform thumbnail; the frame-sample member
+    "x105_audio_decimate" -> ((s, dir) =>
+      MultimodalOps.audioSamples(
+        MultimodalOps.synthAudioFpFixture(Tables.documents(s, dir)))),
+
     // x62 — image near-dup pairs: the multimodal analog of the x5–x10
     // text dedup family; pigeonhole byte-blocked dHash pairing, no
     // all-pairs product
@@ -1701,6 +1715,8 @@ object SparkEntry {
     "x59_audio_meta" -> MultimodalOps.audioFixtureSql,
     "x60_video_meta" -> MultimodalOps.videoFixtureSql,
     "x61_image_hashes" -> MultimodalOps.imageHashesSql,
+    "x104_image_thumbnail" -> MultimodalOps.imageThumbSql,
+    "x105_audio_decimate" -> MultimodalOps.audioSamplesSql(),
     "x62_image_dup_pairs" -> MultimodalOps.imageDupPairsSql(),
     "x63_image_dup_clusters" ->
       DedupOps.dupClustersSql(MultimodalOps.imageDupPairsSql()),

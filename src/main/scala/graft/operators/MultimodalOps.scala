@@ -1006,4 +1006,176 @@ object MultimodalOps {
       }
     session.createDataFrame(rdd, schema)
   }
+
+  // ---- image resize / audio frame-sample (the transform half of the ------
+  // ---- multimodal surface: decode -> RESIZE / SAMPLE -> re-encode) -------
+
+  val thumbW = 4
+  val thumbH = 4
+
+  val imageThumbSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("in_w", IntegerType),
+    StructField("in_h", IntegerType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("thumb_px", StringType),
+    StructField("roundtrip_ok", IntegerType),
+    StructField("thumb", BinaryType)))
+
+  /** x104: thumbnail generation over REAL decoded pixels — the resize
+    * member of the multimodal transform family (decode → nearest-neighbor
+    * downsample → genuine PNG re-encode). The thumbnail grid samples
+    * `sx = x·w/W, sy = y·h/H` (exact integer math; on the 9×8 fixture
+    * that is pixel (2x, 2y)); `thumb_px` is the row-major gray vector as
+    * a comma-joined string (injective, engine-comparable — the x20
+    * qcode_str pattern), and `roundtrip_ok` re-decodes the emitted PNG
+    * and compares pixels, certifying the ENCODE side too (PNG is
+    * lossless, so any mismatch is a codec bug). Undecodable payloads
+    * degrade to (-1, -1, null, 0, null).
+    *
+    * Scale: one decoder loop per partition, payload bytes never hit the
+    * driver; the thumb payload column is for downstream sinks and is
+    * dropped by the gated projection. */
+  def imageThumbnails(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    val (tw, th) = (thumbW, thumbH)
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case _: Exception => null }
+        if (img == null || img.getWidth < tw || img.getHeight < th)
+          Row(id, if (img == null) -1 else img.getWidth,
+            if (img == null) -1 else img.getHeight, tw, th, null, 0, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val g = Array.ofDim[Int](tw * th)
+          val thumb = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              val rgb = img.getRGB(x * w / tw, y * h / th)
+              val gray = (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
+              g(y * tw + x) = gray
+              thumb.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream(128)
+          javax.imageio.ImageIO.write(thumb, "png", out)
+          val png = out.toByteArray
+          // decode the emitted PNG and compare: certifies the encoder
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          var ok = back != null && back.getWidth == tw && back.getHeight == th
+          if (ok) {
+            var i = 0
+            while (ok && i < tw * th) {
+              val rgb = back.getRGB(i % tw, i / tw)
+              val gray = (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
+              ok = gray == g(i)
+              i += 1
+            }
+          }
+          Row(id, w, h, tw, th, g.mkString(","), if (ok) 1 else 0, png)
+        }
+      })
+    session.createDataFrame(rdd, imageThumbSchema)
+  }
+
+  /** DuckDB twin of imageThumbnails∘synthImageFixture: the thumbnail
+    * pixels are predicted from the closed-form fixture function at the
+    * sampled coordinates (2x, 2y) — a green row certifies decode,
+    * resize arithmetic, AND the PNG re-encode round trip. */
+  def imageThumbSql: String =
+    s"""WITH tph AS (
+       |  SELECT d.doc_id, xs.x, ys.y,
+       |    xor((d.doc_id // 4) * 1000003 + (xs.x * 2) * 97 + (ys.y * 2) * 10007,
+       |        ((d.doc_id // 4) * 1000003 + (xs.x * 2) * 97 + (ys.y * 2) * 10007) >> 7) AS h1
+       |  FROM documents d
+       |  CROSS JOIN generate_series(0, ${thumbW - 1}) AS xs(x)
+       |  CROSS JOIN generate_series(0, ${thumbH - 1}) AS ys(y)
+       |),
+       |tpg AS (
+       |  SELECT doc_id, x, y, CAST(xor(h1 * 31, h1 >> 11) % 256 AS INT) AS g0
+       |  FROM tph
+       |),
+       |tpx AS (
+       |  SELECT doc_id, x, y,
+       |    CASE WHEN x * 2 = doc_id % 4 AND y * 2 = doc_id % 4
+       |      THEN (g0 + 128) % 256 ELSE g0 END AS g
+       |  FROM tpg
+       |)
+       |SELECT doc_id, CAST($imageW AS INT) AS in_w, CAST($imageH AS INT) AS in_h,
+       |  CAST($thumbW AS INT) AS out_w, CAST($thumbH AS INT) AS out_h,
+       |  string_agg(g, ',' ORDER BY y * $thumbW + x) AS thumb_px,
+       |  CAST(1 AS INT) AS roundtrip_ok
+       |FROM tpx
+       |GROUP BY doc_id""".stripMargin
+
+  val audioSampleSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", IntegerType),
+    StructField("n_sampled", IntegerType),
+    StructField("sampled_px", StringType)))
+
+  /** x105: PCM frame sampling (decimation) over REAL decoded samples —
+    * the frame-sample member of the multimodal transform family: every
+    * `k`-th sample of the decoded 16-bit stream, as a comma-joined
+    * signed-value string. The shape a feature extractor consumes when it
+    * wants a fixed-rate thumbnail of the waveform without resampling
+    * filters. Non-PCM / truncated payloads degrade to (n, 0, null). */
+  def audioSamples(df: DataFrame, k: Int = 13): DataFrame = {
+    val session = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val s = decodeWavSamples(r.getAs[Array[Byte]](1))
+        val n = s.length
+        if (n == 0) Row(id, 0, 0, null)
+        else {
+          val b = new StringBuilder
+          var i = 0
+          var m = 0
+          while (i < n) {
+            if (m > 0) b.append(',')
+            b.append(s(i))
+            m += 1
+            i += k
+          }
+          Row(id, n, m, b.toString)
+        }
+      })
+    session.createDataFrame(rdd, audioSampleSchema)
+  }
+
+  /** DuckDB twin of audioSamples∘synthAudioFpFixture — predicted sample
+    * values at the decimated indices from the closed-form fixture. */
+  def audioSamplesSql(k: Int = 13): String = {
+    val n = audioFpWin * audioFpWinLen
+    s"""WITH dsh AS (
+       |  SELECT d.doc_id, ix.i,
+       |    (d.doc_id // 4) * 1000003 + ix.i * 131 AS h0
+       |  FROM documents d
+       |  CROSS JOIN generate_series(0, ${n - 1}, $k) AS ix(i)
+       |),
+       |dsv AS (
+       |  SELECT doc_id, i,
+       |    CAST(xor(xor(h0, h0 >> 7) * 31, xor(h0, h0 >> 7) >> 11) % 256 AS BIGINT)
+       |      + CASE WHEN i // $audioFpWinLen = doc_id % 4 THEN 512 ELSE 0 END AS s
+       |  FROM dsh
+       |)
+       |SELECT doc_id, CAST($n AS INT) AS n_samples,
+       |  CAST(count(*) AS INT) AS n_sampled,
+       |  string_agg(s, ',' ORDER BY i) AS sampled_px
+       |FROM dsv
+       |GROUP BY doc_id""".stripMargin
+  }
 }

@@ -489,4 +489,51 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // distinct payloads → distinct features
     assert(a.values.toSeq.distinct.size === a.size)
   }
+
+  test("imageThumbnails: resize samples (2x,2y) on the fixture, round-trip ok, corrupt degrades") {
+    val s = spark; import s.implicits._
+    val docs = Seq(7L, 8L).toDF("doc_id")
+    val out = MultimodalOps.imageThumbnails(
+        MultimodalOps.synthImageFixture(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.values.foreach { r =>
+      assert(r.getAs[Int]("roundtrip_ok") === 1)
+      assert(r.getAs[Int]("in_w") === MultimodalOps.imageW)
+      val px = r.getAs[String]("thumb_px").split(",").map(_.toInt)
+      assert(px.length === MultimodalOps.thumbW * MultimodalOps.thumbH)
+      val id = r.getAs[Long]("doc_id")
+      // nearest-neighbor on the 9x8 fixture is exactly pixel (2x, 2y)
+      for (y <- 0 until MultimodalOps.thumbH; x <- 0 until MultimodalOps.thumbW)
+        assert(px(y * MultimodalOps.thumbW + x) ===
+          MultimodalOps.imagePixel(id, 2 * x, 2 * y))
+    }
+    // corrupt payload degrades, never crashes
+    val bad = MultimodalOps.imageThumbnails(
+      Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).collect()
+    assert(bad.head.getAs[Int]("in_w") === -1)
+    assert(bad.head.getAs[Int]("roundtrip_ok") === 0)
+    assert(bad.head.isNullAt(bad.head.fieldIndex("thumb_px")))
+  }
+
+  test("audioSamples: every 13th decoded sample matches the fixture closed form") {
+    val s = spark; import s.implicits._
+    val docs = Seq(5L, 6L).toDF("doc_id")
+    val out = MultimodalOps.audioSamples(
+        MultimodalOps.synthAudioFpFixture(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val n = MultimodalOps.audioFpWin * MultimodalOps.audioFpWinLen
+    out.foreach { case (id, r) =>
+      assert(r.getAs[Int]("n_samples") === n)
+      val vals = r.getAs[String]("sampled_px").split(",").map(_.toInt)
+      assert(vals.length === (n + 12) / 13)
+      vals.zipWithIndex.foreach { case (v, j) =>
+        assert(v === MultimodalOps.audioFpSample(id, j * 13))
+      }
+    }
+    // a non-PCM payload degrades to an empty sample set
+    val bad = MultimodalOps.audioSamples(
+      Seq((99L, "nope".getBytes("US-ASCII"))).toDF("doc_id", "payload")).collect()
+    assert(bad.head.getAs[Int]("n_samples") === 0)
+    assert(bad.head.isNullAt(bad.head.fieldIndex("sampled_px")))
+  }
 }
