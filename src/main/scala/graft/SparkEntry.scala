@@ -886,6 +886,17 @@ object SparkEntry {
       graft.operators.RetrievalOps.hybridRrf(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    // x106 — NB classifier confusion matrix: per (true, predicted) lang
+    // counts + row share — which languages leak into which (x75's eval)
+    "x106_nb_confusion" -> ((s, dir) =>
+      graft.operators.ClassifyOps.nbConfusion(Tables.documents(s, dir))),
+
+    // x107 — per-source embedding cohesion: cosine to the source
+    // centroid, snap-then-sum exact; template-farm / outlier detector
+    "x107_source_cohesion" -> ((s, dir) =>
+      SimilarityOps.sourceCohesion(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     // x97 — DSIR hashed n-gram importance weights (Xie et al. 2023):
     // target/raw bucket models over ONE tokenization, broadcast back
     "x97_dsir_weights" -> ((s, dir) =>
@@ -1752,6 +1763,8 @@ object SparkEntry {
     "x94_source_funnel" -> TextOps.sourceFunnelSql(0.5, 10, 500),
     "x95_top_boilerplate" -> SubstringOps.topBoilerplateSql(8, 20),
     "x101_hybrid_rrf" -> graft.operators.RetrievalOps.hybridRrfSql(),
+    "x106_nb_confusion" -> graft.operators.ClassifyOps.nbConfusionSql,
+    "x107_source_cohesion" -> SimilarityOps.sourceCohesionSql(),
     "x97_dsir_weights" -> graft.operators.CurationOps.dsirWeightsSql(),
     "x98_gopher_gates" -> graft.operators.CurationOps.gopherGatesSql,
     "x99_length_ks" -> graft.operators.CurationOps.lengthKsSql,

@@ -163,4 +163,35 @@ object ClassifyOps {
        |FROM nb_s s JOIN nb_pr p USING (cand_lang)
        |QUALIFY row_number() OVER (PARTITION BY s.doc_id
        |  ORDER BY s.tok_micro + p.prior_micro, s.cand_lang) = 1""".stripMargin
+
+  /** x106: confusion matrix of the x75 classifier — per (true, predicted)
+    * language counts and the row-normalized share, the standard
+    * classification-eval read beside x75's scalar accuracy (WHICH
+    * languages leak into which tells you whether to fix the model or the
+    * labels; x93 reports the label-noise half of that story).
+    *
+    * Determinism: counts are exact; the share is one IEEE division of
+    * exact integers. Scale: a lang²-bounded aggregate over the x75
+    * scoring output — the classifier's cost dominates, this adds one
+    * tiny shuffle. */
+  def nbConfusion(df: DataFrame): DataFrame =
+    nbLangScore(df)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_true",
+        sum(col("n")).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_true"),
+        (col("n").cast("double") / col("n_true").cast("double")).as("share"))
+
+  /** DuckDB twin of [[nbConfusion]]. */
+  def nbConfusionSql: String =
+    s"""WITH nbc_scores AS (
+       |${nbLangScoreSql.replace("\n", "\n  ")}
+       |)
+       |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT) AS n_true,
+       |  CAST(count(*) AS DOUBLE)
+       |    / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE) AS share
+       |FROM nbc_scores
+       |GROUP BY lang, pred_lang""".stripMargin
 }

@@ -350,4 +350,100 @@ object SimilarityOps {
        |FROM cand
        |WHERE round(${cosineSql("ea", "eb")}, 9) >= $threshold""".stripMargin
   }
+
+  /** x107: per-source embedding cohesion — each document's cosine to its
+    * source's centroid, aggregated per source (mean + min). The
+    * embedding-side diversity diagnostic: a source whose docs all sit on
+    * one centroid ray is a template farm even when its TEXT dedup looks
+    * clean; a low min flags outlier/garbage vectors in an otherwise
+    * tight feed.
+    *
+    * Determinism: elements snap to 1e4 BEFORE any sum (floats have ~7
+    * digits; the snap keeps every downstream integer exact), so centroid
+    * element sums, dot products, and norms are exact BIGINTs — cosine to
+    * the element-SUM vector equals cosine to the mean by scale
+    * invariance, so no division happens until the final per-doc cosine
+    * (fixed-order IEEE, micro-snapped before the per-source mean). With
+    * 64 dims and |v| ≤ 0.35 the v·s products stay under 2^63 to beyond
+    * 10⁹ docs per source.
+    *
+    * Scale: one explode to (source, dim) — the centroid relation is
+    * sources×64 rows and BROADCASTS back onto the exploded matrix; one
+    * doc-level re-collapse, one source-level final aggregate. No
+    * pairwise anything. */
+  def sourceCohesion(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val el = emb.join(docs.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .filter(col("source").isNotNull)
+      .select(col("vec_id"), col("source"),
+        posexplode(col("embedding")).as(Seq("pos", "ev")))
+      .select(col("vec_id"), col("source"), col("pos"),
+        floor(col("ev").cast("double") * lit(1e4) + lit(0.5)).cast("long")
+          .as("v"))
+    val cent = el.groupBy("source", "pos").agg(sum(col("v")).as("s"))
+    val cnorm = cent.groupBy("source")
+      .agg(sum(col("s") * col("s")).as("cn"))
+    val doc = el.join(broadcast(cent), Seq("source", "pos"))
+      .groupBy(col("vec_id"), col("source"))
+      .agg(sum(col("v") * col("s")).as("dot"),
+        sum(col("v") * col("v")).as("vn"))
+    val coh = doc.join(broadcast(cnorm), "source")
+      .select(col("source"),
+        when(col("vn") > 0L && col("cn") > 0L,
+          floor(col("dot").cast("double") /
+            (sqrt(col("vn").cast("double")) * sqrt(col("cn").cast("double")))
+            * lit(1e6) + lit(0.5)).cast("long"))
+          .as("coh_micro"))
+    coh.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("coh_micro")).as("sum_coh_micro"),
+        min(col("coh_micro")).as("min_coh_micro"))
+      .select(col("source"), col("n_docs"), col("min_coh_micro"),
+        (col("sum_coh_micro").cast("double") /
+          (col("n_docs").cast("double") * lit(1e6))).as("mean_coh"))
+  }
+
+  /** DuckDB twin of [[sourceCohesion]] — same snap-then-sum integer
+    * pipeline; DuckDB's 1-based element index only feeds its own
+    * centroid join, so the indexing convention never crosses engines. */
+  def sourceCohesionSql(dim: Int = 64): String =
+    s"""WITH sc_el AS (
+       |  SELECT e.vec_id, d.source, ix.i,
+       |    CAST(floor(CAST(e.embedding[ix.i] AS DOUBLE) * 1e4 + 0.5)
+       |      AS BIGINT) AS v
+       |  FROM embeddings e
+       |  JOIN documents d ON d.doc_id = e.vec_id
+       |  CROSS JOIN generate_series(1, $dim) AS ix(i)
+       |  WHERE d.source IS NOT NULL AND ix.i <= len(e.embedding)
+       |),
+       |sc_cent AS (
+       |  SELECT source, i, CAST(sum(v) AS BIGINT) AS s
+       |  FROM sc_el GROUP BY source, i
+       |),
+       |sc_cn AS (
+       |  SELECT source, CAST(sum(s * s) AS BIGINT) AS cn
+       |  FROM sc_cent GROUP BY source
+       |),
+       |sc_doc AS (
+       |  SELECT el.vec_id, el.source,
+       |    CAST(sum(el.v * c.s) AS BIGINT) AS dot,
+       |    CAST(sum(el.v * el.v) AS BIGINT) AS vn
+       |  FROM sc_el el JOIN sc_cent c ON c.source = el.source AND c.i = el.i
+       |  GROUP BY el.vec_id, el.source
+       |),
+       |sc_coh AS (
+       |  SELECT d.source,
+       |    CASE WHEN d.vn > 0 AND n.cn > 0 THEN
+       |      CAST(floor(CAST(d.dot AS DOUBLE)
+       |        / (sqrt(CAST(d.vn AS DOUBLE)) * sqrt(CAST(n.cn AS DOUBLE)))
+       |        * 1e6 + 0.5) AS BIGINT)
+       |    ELSE NULL END AS coh_micro
+       |  FROM sc_doc d JOIN sc_cn n USING (source)
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(coh_micro) AS BIGINT) AS min_coh_micro,
+       |  CAST(sum(coh_micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6)
+       |    AS mean_coh
+       |FROM sc_coh
+       |GROUP BY source""".stripMargin
 }

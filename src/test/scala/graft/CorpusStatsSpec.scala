@@ -461,4 +461,23 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(4) == r.getLong(2) * idf)
     }
   }
+
+  test("nbConfusion: rows conserve per-lang mass and the diagonal dominates on resubstitution") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.ClassifyOps.nbConfusion(docs).collect()
+    // per-lang shares sum to 1 and n sums to n_true within each row block
+    out.groupBy(_.getString(0)).values.foreach { rows =>
+      val nTrue = rows.head.getAs[Long]("n_true")
+      assert(rows.map(_.getAs[Long]("n")).sum === nTrue)
+      assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    }
+    // resubstitution accuracy beats the majority-class baseline (x75's
+    // pinned property, restated over the matrix diagonal)
+    val total = out.map(_.getAs[Long]("n")).sum
+    val diag = out.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getAs[Long]("n")).sum
+    val majority = out.groupBy(_.getString(0)).values
+      .map(_.map(_.getAs[Long]("n")).sum).max
+    assert(diag.toDouble / total > majority.toDouble / total)
+  }
 }

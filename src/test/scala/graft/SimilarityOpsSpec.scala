@@ -92,4 +92,29 @@ class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Exchange") || plan.contains("Sort"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("sourceCohesion: identical vectors score 1.0, an antipodal outlier drags the min negative") {
+    val s = spark; import s.implicits._
+    val v = Array(0.1f, 0.2f, -0.1f, 0.3f)
+    val neg = v.map(x => -x)
+    val docs = Seq((1L, "tight"), (2L, "tight"), (3L, "tight"),
+      (10L, "mixed"), (11L, "mixed"))
+      .toDF("doc_id", "source")
+    val emb = Seq((1L, v), (2L, v), (3L, v), (10L, v), (11L, neg))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.SimilarityOps.sourceCohesion(docs, emb)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // all-identical source: every cosine to the centroid is exactly 1
+    assert(out("tight").getAs[Long]("min_coh_micro") === 1000000L)
+    assert(math.abs(out("tight").getAs[Double]("mean_coh") - 1.0) < 1e-9)
+    // v + (-v) centroid is the zero vector -> cohesion NULL-guarded, not
+    // a crash; with distinct magnitudes the outlier sign shows in min
+    val emb2 = Seq((10L, v), (11L, v.map(x => x * 0.5f)),
+      (12L, neg)).toDF("vec_id", "embedding")
+    val docs2 = Seq((10L, "m2"), (11L, "m2"), (12L, "m2")).toDF("doc_id", "source")
+    val o2 = graft.operators.SimilarityOps.sourceCohesion(docs2, emb2)
+      .collect().head
+    assert(o2.getAs[Long]("min_coh_micro") < 0L, "antipodal doc scores negative")
+    assert(o2.getAs[Long]("n_docs") === 3L)
+  }
 }
