@@ -380,20 +380,23 @@ object SimilarityOps {
       .select(col("vec_id"), col("source"), col("pos"),
         floor(col("ev").cast("double") * lit(1e4) + lit(0.5)).cast("long")
           .as("v"))
-    val cent = el.groupBy("source", "pos").agg(sum(col("v")).as("s"))
-    val cnorm = cent.groupBy("source")
-      .agg(sum(col("s") * col("s")).as("cn"))
-    val doc = el.join(broadcast(cent), Seq("source", "pos"))
-      .groupBy(col("vec_id"), col("source"))
+    // centroid element as a WINDOW sum, not a separate aggregate branch:
+    // the exploded matrix is scanned ONCE (an aggregate + join-back would
+    // run the scan+explode twice — the x87 lesson); the per-source norm
+    // Σs² is recovered per doc (every doc of a source sums the same 64
+    // s² terms), so no second source-level relation exists at all
+    val withS = el.withColumn("s",
+      sum(col("v")).over(Window.partitionBy("source", "pos")))
+    val doc = withS.groupBy(col("vec_id"), col("source"))
       .agg(sum(col("v") * col("s")).as("dot"),
-        sum(col("v") * col("v")).as("vn"))
-    val coh = doc.join(broadcast(cnorm), "source")
-      .select(col("source"),
-        when(col("vn") > 0L && col("cn") > 0L,
-          floor(col("dot").cast("double") /
-            (sqrt(col("vn").cast("double")) * sqrt(col("cn").cast("double")))
-            * lit(1e6) + lit(0.5)).cast("long"))
-          .as("coh_micro"))
+        sum(col("v") * col("v")).as("vn"),
+        sum(col("s") * col("s")).as("cn"))
+    val coh = doc.select(col("source"),
+      when(col("vn") > 0L && col("cn") > 0L,
+        floor(col("dot").cast("double") /
+          (sqrt(col("vn").cast("double")) * sqrt(col("cn").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("long"))
+        .as("coh_micro"))
     coh.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("coh_micro")).as("sum_coh_micro"),
@@ -416,29 +419,26 @@ object SimilarityOps {
        |  CROSS JOIN generate_series(1, $dim) AS ix(i)
        |  WHERE d.source IS NOT NULL AND ix.i <= len(e.embedding)
        |),
-       |sc_cent AS (
-       |  SELECT source, i, CAST(sum(v) AS BIGINT) AS s
-       |  FROM sc_el GROUP BY source, i
-       |),
-       |sc_cn AS (
-       |  SELECT source, CAST(sum(s * s) AS BIGINT) AS cn
-       |  FROM sc_cent GROUP BY source
+       |sc_ws AS (
+       |  SELECT vec_id, source, v,
+       |    CAST(sum(v) OVER (PARTITION BY source, i) AS BIGINT) AS s
+       |  FROM sc_el
        |),
        |sc_doc AS (
-       |  SELECT el.vec_id, el.source,
-       |    CAST(sum(el.v * c.s) AS BIGINT) AS dot,
-       |    CAST(sum(el.v * el.v) AS BIGINT) AS vn
-       |  FROM sc_el el JOIN sc_cent c ON c.source = el.source AND c.i = el.i
-       |  GROUP BY el.vec_id, el.source
+       |  SELECT vec_id, source,
+       |    CAST(sum(v * s) AS BIGINT) AS dot,
+       |    CAST(sum(v * v) AS BIGINT) AS vn,
+       |    CAST(sum(s * s) AS BIGINT) AS cn
+       |  FROM sc_ws GROUP BY vec_id, source
        |),
        |sc_coh AS (
-       |  SELECT d.source,
-       |    CASE WHEN d.vn > 0 AND n.cn > 0 THEN
-       |      CAST(floor(CAST(d.dot AS DOUBLE)
-       |        / (sqrt(CAST(d.vn AS DOUBLE)) * sqrt(CAST(n.cn AS DOUBLE)))
+       |  SELECT source,
+       |    CASE WHEN vn > 0 AND cn > 0 THEN
+       |      CAST(floor(CAST(dot AS DOUBLE)
+       |        / (sqrt(CAST(vn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
        |        * 1e6 + 0.5) AS BIGINT)
        |    ELSE NULL END AS coh_micro
-       |  FROM sc_doc d JOIN sc_cn n USING (source)
+       |  FROM sc_doc
        |)
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(min(coh_micro) AS BIGINT) AS min_coh_micro,
