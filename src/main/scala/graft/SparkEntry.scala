@@ -208,6 +208,79 @@ object SparkEntry {
           .cast(DecimalType(18, 6))).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))),
 
+    // q7 — cross-nation shipping volume (TPC-H Q7 shape, generalized to
+    // all distinct nation pairs): the fact shuffles once on the order
+    // key; both nation-keyed dimensions broadcast through their joins
+    "q7_nation_volume" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val cu = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("snk"))
+        .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+    }),
+
+    // q8 — national market share (TPC-H Q8 shape): the target nation's
+    // share of PROMO revenue in the ASIA customer market per year — two
+    // conditional DECIMAL sums, share = one IEEE division
+    "q8_market_share" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val cu = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val rev = (col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+          col("n_regionkey"))), col("c_nationkey") === col("cnk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(0d).cast(DecimalType(18, 6)))).cast("double")
+            .as("nation_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+        .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+          (col("nation_revenue") / col("total_revenue")).as("mkt_share"))
+    }),
+
+    // q13 — customer order-count distribution (TPC-H Q13 shape): LEFT
+    // join so zero-order customers land in the 0 bucket, then a
+    // two-level aggregate (per customer, then per count)
+    "q13_order_distribution" -> ((s, dir) => {
+      val cu = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      cu.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     // q10 — returned-item customer ranking (TPC-H Q10 shape): the
     // revenue top-20 is a TakeOrderedAndProject over the custkey
     // aggregate; nation broadcasts, the fact shuffles once
@@ -1309,6 +1382,47 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE s_nationkey <> c_nationkey
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |GROUP BY year(o_orderdate)""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
