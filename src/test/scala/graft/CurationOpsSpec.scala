@@ -138,4 +138,35 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ReusedExchange"),
       "model branch must be served from the matrix exchange")
   }
+
+  test("lengthKs == a naive driver-side reference over 10 random corpora") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 10) {
+      val nSrc = 2 + rnd.nextInt(3)
+      val rows = (1 to 60).map { i =>
+        (i.toLong, "s" + rnd.nextInt(nSrc), (1 + rnd.nextInt(12)).toLong)
+      }
+      val df = rows.toDF("doc_id", "source", "n_chars")
+        .withColumn("text", lit("x")) // unused by the operator
+      val got = CurationOps.lengthKs(df).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("ks_micro")).toMap
+
+      // naive reference: evaluate both CDFs at every distinct corpus
+      // length, snap the difference exactly like the operator
+      val n = rows.length.toDouble
+      val bySrc = rows.groupBy(_._2)
+      val lens = rows.map(_._3).distinct.sorted
+      val ref = bySrc.map { case (src, docs) =>
+        val ns = docs.length.toDouble
+        val d = lens.map { x =>
+          val cumS = docs.count(_._3 <= x).toDouble
+          val cumG = rows.count(_._3 <= x).toDouble
+          math.abs(math.floor((cumS / ns - cumG / n) * 1e6 + 0.5).toLong)
+        }.max
+        src -> d
+      }
+      assert(got === ref, s"trial $trial")
+    }
+  }
 }
