@@ -970,6 +970,12 @@ object SparkEntry {
       SimilarityOps.sourceCohesion(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    // x108 — release audit: ONE verdict per candidate doc — the first
+    // failing stage in eval → gate → dup → contamination → ppl-band
+    // order, or kept; the composed capstone of the curation stack
+    "x108_release_audit" -> ((s, dir) =>
+      graft.operators.CurationOps.releaseAudit(Tables.documents(s, dir))),
+
     // x97 — DSIR hashed n-gram importance weights (Xie et al. 2023):
     // target/raw bucket models over ONE tokenization, broadcast back
     "x97_dsir_weights" -> ((s, dir) =>
@@ -1878,6 +1884,7 @@ object SparkEntry {
     "x95_top_boilerplate" -> SubstringOps.topBoilerplateSql(8, 20),
     "x101_hybrid_rrf" -> graft.operators.RetrievalOps.hybridRrfSql(),
     "x106_nb_confusion" -> graft.operators.ClassifyOps.nbConfusionSql,
+    "x108_release_audit" -> graft.operators.CurationOps.releaseAuditSql(),
     "x107_source_cohesion" -> SimilarityOps.sourceCohesionSql(),
     "x97_dsir_weights" -> graft.operators.CurationOps.dsirWeightsSql(),
     "x98_gopher_gates" -> graft.operators.CurationOps.gopherGatesSql,

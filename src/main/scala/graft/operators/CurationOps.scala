@@ -446,4 +446,105 @@ object CurationOps {
        |    AS BIGINT) > avail_tokens AS INT) AS oversubscribed
        |FROM mp""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // x108 — release audit: the composed keep/drop decision per document
+  // ---------------------------------------------------------------------
+
+  /** The per-document release decision a corpus-release job publishes:
+    * every candidate gets ONE verdict — the first failing stage in the
+    * fixed order eval-quarantine → quality gate → exact dup →
+    * eval-contamination → perplexity band — or `kept`. The composed
+    * capstone of the curation stack: x98's gates, x5's dedup rank, x79's
+    * window collision, x71's band, in one Catalyst plan with one reason
+    * CASE at the end.
+    *
+    * Stage semantics (each evaluated INDEPENDENTLY, x94-style, so a
+    * reason never depends on another stage's verdict): the dup rank runs
+    * over all non-eval candidates; the LM is corpus-trained (including
+    * dups/eval — the x67 convention); contamination joins the broadcast
+    * eval window set; docs too short to carry a full window are clean by
+    * construction. A doc with NO LM score (empty text) fails the band.
+    *
+    * Scale: gates are a projection; dedup is one content-hash window
+    * rank; contamination is the x79 broadcast join; scoring is the x67
+    * matrix. Four derived relations left-join back onto the id spine —
+    * each is doc-sized or smaller, each shuffles on doc_id once. */
+  def releaseAudit(df: DataFrame, w: Int = 8,
+                   loNats: Double = 3.39, hiNats: Double = 3.45,
+                   evalMod: Int = 10): DataFrame = {
+    val evalPred = col("doc_id") % evalMod === 0
+    val base = df.filter(col("doc_id").isNotNull)
+    val gates = gopherGates(base).select(col("doc_id"), col("g_pass"))
+    val dup = base.filter(!evalPred)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+      .withColumn("dup_rank", row_number().over(
+        Window.partitionBy("ch").orderBy("doc_id")).cast("long"))
+      .select(col("doc_id"), col("dup_rank"))
+    val decon = SubstringOps.ngramDecontamination(base, evalPred, w)
+      .select(col("doc_id"), col("hit_windows"))
+    val ppl = TextOps.lmScore(base).select(col("doc_id"), col("avg_nll"))
+    val reason = when(evalPred, lit("eval"))
+      .when(col("g_pass") === 0, lit("gate"))
+      .when(col("dup_rank") > 1L, lit("dup"))
+      .when(coalesce(col("hit_windows"), lit(0L)) > 0L, lit("contaminated"))
+      .when(col("avg_nll").isNull ||
+        col("avg_nll") < lit(loNats) || col("avg_nll") > lit(hiNats),
+        lit("ppl"))
+      .otherwise(lit("kept"))
+    base.select(col("doc_id"))
+      .join(gates, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .join(decon, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .select(col("doc_id"), reason.as("reason"),
+        (reason === "kept").cast("int").as("keep"))
+  }
+
+  /** DuckDB twin of [[releaseAudit]] — the same stage CTEs composed from
+    * the member operators' own SQL builders, same reason order. */
+  def releaseAuditSql(w: Int = 8, loNats: Double = 3.39,
+                      hiNats: Double = 3.45, evalMod: Int = 10): String = {
+    val evalSql = s"doc_id % $evalMod = 0"
+    s"""WITH ra_gates AS (
+       |  SELECT doc_id, g_pass FROM (
+       |${gopherGatesSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |),
+       |ra_dup AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+       |      AS BIGINT) AS dup_rank
+       |  FROM documents WHERE doc_id IS NOT NULL AND NOT ($evalSql)
+       |),
+       |ra_decon AS (
+       |  SELECT doc_id, hit_windows FROM (
+       |${SubstringOps.ngramDecontaminationSql(evalSql, w)
+           .linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |),
+       |ra_ppl AS (
+       |  SELECT doc_id, avg_nll FROM (
+       |${TextOps.lmScoreSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |),
+       |ra AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % $evalMod = 0 THEN 'eval'
+       |         WHEN g.g_pass = 0 THEN 'gate'
+       |         WHEN u.dup_rank > 1 THEN 'dup'
+       |         WHEN coalesce(c.hit_windows, 0) > 0 THEN 'contaminated'
+       |         WHEN p.avg_nll IS NULL OR p.avg_nll < $loNats
+       |           OR p.avg_nll > $hiNats THEN 'ppl'
+       |         ELSE 'kept' END AS reason
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+       |  LEFT JOIN ra_gates g USING (doc_id)
+       |  LEFT JOIN ra_dup u USING (doc_id)
+       |  LEFT JOIN ra_decon c USING (doc_id)
+       |  LEFT JOIN ra_ppl p USING (doc_id)
+       |)
+       |SELECT doc_id, reason,
+       |  CAST(reason = 'kept' AS INT) AS keep
+       |FROM ra""".stripMargin
+  }
 }

@@ -169,4 +169,42 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got === ref, s"trial $trial")
     }
   }
+
+  test("releaseAudit: reasons agree with the member operators, in fixed precedence order") {
+    import org.apache.spark.sql.functions.{col, md5, coalesce, lit}
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id").isNotNull)
+    val audit = CurationOps.releaseAudit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(audit.nonEmpty)
+
+    // recompute each stage's verdict with the member operators
+    val gateFail = CurationOps.gopherGates(docs)
+      .filter(col("g_pass") === 0).collect().map(_.getLong(0)).toSet
+    val evalSet = audit.keySet.filter(_ % 10 == 0)
+    val dupSet = {
+      val rows = docs.filter(!(col("doc_id") % 10 === 0))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      rows.groupBy(_._2).values.filter(_.length > 1)
+        .flatMap(_.map(_._1).sorted.drop(1)).toSet
+    }
+    val contaminated = graft.operators.SubstringOps
+      .ngramDecontamination(docs, col("doc_id") % 10 === 0, 8)
+      .filter(col("hit_windows") > 0).collect().map(_.getLong(0)).toSet
+    val pplOut = {
+      val scored = graft.operators.TextOps.lmScore(docs).collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
+      audit.keySet.filter(id => !scored.get(id).exists(a => a >= 3.39 && a <= 3.45))
+    }
+    audit.foreach { case (id, reason) =>
+      val expected =
+        if (evalSet(id)) "eval"
+        else if (gateFail(id)) "gate"
+        else if (dupSet(id)) "dup"
+        else if (contaminated(id)) "contaminated"
+        else if (pplOut(id)) "ppl"
+        else "kept"
+      assert(reason === expected, s"doc $id")
+    }
+  }
 }
