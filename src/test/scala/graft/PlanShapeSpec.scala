@@ -402,4 +402,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected one tokenization:\n$plan")
     assert(!plan.contains("Exchange"), s"pure projection, no shuffle:\n$plan")
   }
+
+  test("protoPrune (x100) is one centroid shuffle; both windows share it") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val model = graft.operators.IvfOps.train(emb, k = 8, iterations = 1)
+    val plan = physicalPlan(graft.operators.IvfOps.protoPrune(emb, model))
+    assert(plan.split("Exchange hash").length - 1 === 1,
+      s"expected exactly one hash exchange (centroid_id):\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).length >= 2,
+      s"rank and size windows expected:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"centroids must broadcast:\n$plan")
+  }
+
+  test("hybridRrf (x101) cuts both lists with TakeOrderedAndProject, no global Sort") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val plan = physicalPlan(
+      graft.operators.RetrievalOps.hybridRrf(docs, emb))
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 3,
+      s"both list cuts + the fusion cut must be top-K operators:\n$plan")
+    // Sorts DO appear below — the rank windows and the full-outer fusion
+    // join sort their 50-row post-cut inputs, which is fine; the pin that
+    // matters is above: every corpus-sized ordering is a top-K heap
+    // (three TakeOrderedAndProject nodes), so no Sort sees the corpus.
+  }
 }
