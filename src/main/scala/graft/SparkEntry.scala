@@ -970,6 +970,11 @@ object SparkEntry {
       SimilarityOps.sourceCohesion(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    // x109 — quality-score calibration: fixed-width score bins × (dup
+    // rate, gate-pass rate) — is the score worth thresholding on?
+    "x109_quality_calibration" -> ((s, dir) =>
+      graft.operators.CurationOps.qualityCalibration(Tables.documents(s, dir))),
+
     // x108 — release audit: ONE verdict per candidate doc — the first
     // failing stage in eval → gate → dup → contamination → ppl-band
     // order, or kept; the composed capstone of the curation stack
@@ -1885,6 +1890,8 @@ object SparkEntry {
     "x101_hybrid_rrf" -> graft.operators.RetrievalOps.hybridRrfSql(),
     "x106_nb_confusion" -> graft.operators.ClassifyOps.nbConfusionSql,
     "x108_release_audit" -> graft.operators.CurationOps.releaseAuditSql(),
+    "x109_quality_calibration" ->
+      graft.operators.CurationOps.qualityCalibrationSql,
     "x107_source_cohesion" -> SimilarityOps.sourceCohesionSql(),
     "x97_dsir_weights" -> graft.operators.CurationOps.dsirWeightsSql(),
     "x98_gopher_gates" -> graft.operators.CurationOps.gopherGatesSql,

@@ -547,4 +547,138 @@ object CurationOps {
        |  CAST(reason = 'kept' AS INT) AS keep
        |FROM ra""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // x109 — quality-score calibration histogram
+  // ---------------------------------------------------------------------
+
+  /** Calibration of the x3 quality score against OBSERVED curation
+    * outcomes: fixed-width score bins (width 0.1 over the score's [0,1]
+    * range), each reporting its corpus-wide duplicate rate and Gopher
+    * pass rate — the read that decides whether a score threshold is
+    * worth filtering on ("do high-quality-score docs actually dedup
+    * cleaner and pass the gates?"). Bins are value-domain, NOT deciles:
+    * decile assignment needs a global sort; fixed-width binning is a
+    * pure projection, which is the form that survives 100 TB (the bin
+    * for a doc never depends on other docs).
+    *
+    * Determinism: the score double is micro-snapped before binning
+    * (identical IEEE op order on both engines — the x3 contract);
+    * everything after is exact integers plus two final divisions.
+    *
+    * Scale: one content-hash window for the dup flag (the x87 shape),
+    * one doc_id join for the gates, a 10-row aggregate. */
+  def qualityCalibration(df: DataFrame): DataFrame = {
+    val base = df.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        snapMicro(TextOps.qualityScoreCol(col("text"))).as("q_micro"),
+        DedupOps.normalizedKey(col("text")).as("ch"))
+    val withDup = base.withColumn("n_tot",
+      count(lit(1)).over(Window.partitionBy("ch")))
+    val gates = gopherGates(df).select(col("doc_id"), col("g_pass"))
+    withDup.join(gates, "doc_id")
+      .groupBy(least(floor(col("q_micro").cast("double") / lit(1e5)), lit(9d))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tot") > 1L, 1L).otherwise(0L)).as("n_dup"),
+        sum(col("g_pass").cast("long")).as("n_pass"),
+        sum(col("q_micro")).as("sum_q_micro"))
+      .select(col("bin"), col("n_docs"),
+        (col("n_dup").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double"))
+          .as("gate_pass_rate"),
+        (col("sum_q_micro").cast("double") /
+          (col("n_docs").cast("double") * lit(1e6))).as("mean_quality"))
+  }
+
+  /** DuckDB twin of [[qualityCalibration]]. */
+  def qualityCalibrationSql: String = {
+    val key = "md5(array_to_string(list_sort(list_distinct(" +
+      s"${TextOps.wordsReSql("text")})), ' '))"
+    s"""WITH qc_base AS (
+       |  SELECT doc_id,
+       |    CAST(floor((${TextOps.qualityScoreColSql("text")}) * 1e6 + 0.5)
+       |      AS BIGINT) AS q_micro,
+       |    $key AS ch
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |),
+       |qc_dup AS (
+       |  SELECT doc_id, q_micro,
+       |    CAST(count(*) OVER (PARTITION BY ch) AS BIGINT) AS n_tot
+       |  FROM qc_base
+       |),
+       |qc_gates AS (
+       |  SELECT doc_id, g_pass FROM (
+       |${gopherGatesSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |)
+       |SELECT CAST(least(floor(CAST(q_micro AS DOUBLE) / 1e5), 9) AS BIGINT)
+       |    AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_tot > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS dup_rate,
+       |  CAST(sum(g_pass) AS DOUBLE) / count(*) AS gate_pass_rate,
+       |  CAST(sum(q_micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6)
+       |    AS mean_quality
+       |FROM qc_dup JOIN qc_gates USING (doc_id)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Offline-trained DSIR model for the streaming twin: the (bucket →
+    * w_micro) weight table plus the default weight an UNTRAINED bucket
+    * takes — with zero counts on both sides the smoothed log ratio
+    * collapses to ln((tr+B)/(tt+B)), a corpus constant. The 1-row totals
+    * collect is a driver-side action at train time (the [[TextOps.lmModel]]
+    * convention), not per-batch work. */
+  def dsirModel(df: DataFrame, targetLang: String = "en",
+                buckets: Int = 4096): (DataFrame, Long) = {
+    val toks = TextOps.wordsRe(col("text"))
+    val feats = concat(toks, TextExpressions.wsBigramsFast(col("text")))
+    val mat = df
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("lang").isNotNull)
+      .select((col("lang") === lit(targetLang)).as("tgt"),
+        explode(feats).as("feat"))
+      .select(col("tgt"),
+        coalesce(HashFunctions.polyHash52(col("feat")) % lit(buckets.toLong),
+          lit(0L)).as("bucket"))
+    val cnt = mat.groupBy("bucket").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val Array(tt, tr) = cnt.agg(sum("ct"), sum("cr")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val b = buckets.toDouble
+    val w = cnt.select(col("bucket"),
+      snapMicro(
+        log((col("ct") + lit(1L)).cast("double") / lit(tt.toDouble + b)) -
+        log((col("cr") + lit(1L)).cast("double") / lit(tr.toDouble + b)))
+        .as("w_micro"))
+    val default = math.floor(
+      (math.log(1.0 / (tt.toDouble + b)) - math.log(1.0 / (tr.toDouble + b)))
+        * 1e6 + 0.5).toLong
+    (w, default)
+  }
+
+  /** Batch application of a trained DSIR model — the offline twin of
+    * [[graft.streaming.DsirStream.weightOnIngest]], sharing its exact
+    * dataflow (broadcast weight table, untrained buckets priced at the
+    * model default) minus the watermark. */
+  def dsirApply(df: DataFrame, weights: DataFrame, defaultMicro: Long,
+                buckets: Int = 4096): DataFrame = {
+    val toks = TextOps.wordsRe(col("text"))
+    val feats = concat(toks, TextExpressions.wsBigramsFast(col("text")))
+    df.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), explode(feats).as("feat"))
+      .select(col("doc_id"),
+        coalesce(HashFunctions.polyHash52(col("feat")) % lit(buckets.toLong),
+          lit(0L)).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w_micro"), lit(defaultMicro))).as("dsir_micro"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_micro"),
+        (col("dsir_micro").cast("double") /
+          (col("n_feats").cast("double") * lit(1e6))).as("dsir_avg"))
+  }
 }
