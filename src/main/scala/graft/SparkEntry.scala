@@ -970,6 +970,13 @@ object SparkEntry {
       SimilarityOps.sourceCohesion(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    // x110 — semantic split leakage: embedding-space near-dup pairs
+    // straddling a train/val/test boundary — the paraphrase-leak class
+    // exact-match decontamination can't see (oracle: dynamic centroids)
+    "x110_semantic_leakage" -> ((s, dir) =>
+      graft.operators.IvfOps.semanticLeakage(
+        Tables.embeddings(s, dir), ivfModel(s, dir), tau = 0.40)),
+
     // x109 — quality-score calibration: fixed-width score bins × (dup
     // rate, gate-pass rate) — is the score worth thresholding on?
     "x109_quality_calibration" -> ((s, dir) =>
@@ -2015,6 +2022,8 @@ object SparkEntry {
       "x52_semdedup" -> graft.operators.IvfOps.semDedupSql(model, tau = 0.40),
       "x100_proto_prune" ->
         graft.operators.IvfOps.protoPruneSql(model, fraction = 0.25),
+      "x110_semantic_leakage" ->
+        graft.operators.IvfOps.semanticLeakageSql(model, tau = 0.40),
       "x96_ann_recall" ->
         s"""WITH ar_ex AS (
            |  SELECT query_id, neighbor_id FROM (

@@ -397,6 +397,76 @@ object IvfOps {
        |    * CAST(n_vecs AS DOUBLE)) AS BIGINT) AS INT) AS kept
        |FROM pp""".stripMargin
 
+
+  /** x110: semantic split leakage — near-duplicate pairs IN EMBEDDING
+    * SPACE that straddle a train/val/test boundary: the modern leakage
+    * class exact-match decontamination (x39/x79) cannot see, because a
+    * paraphrase shares no n-gram with its source but sits on the same
+    * embedding ray. Pairs come from the [[semDedup]] machinery (within-
+    * cluster cosine ≥ tau — no all-pairs product); the split is the x25
+    * content-stable hash assignment, so the report is a pure function of
+    * the corpus.
+    *
+    * Output: one row per leaking pair (lower id first), its snapped
+    * cosine, and the two split labels — the fix-list a data engineer
+    * either re-splits (x83's cluster-atomic assignment makes this class
+    * impossible) or drops from eval.
+    *
+    * Scale: identical to [[semDedup]] — K independent O((n/K)²·d)
+    * blocks after one broadcast-assignment map; the split labels are
+    * computed inline from the id, adding zero joins. */
+  def semanticLeakage(emb: DataFrame, model: IvfModel,
+                      tau: Double): DataFrame = {
+    val split = (id: org.apache.spark.sql.Column) => {
+      val b = graft.operators.SamplingOps.hashBucket(id)
+      when(b < 90, lit("train")).when(b < 95, lit("val"))
+        .otherwise(lit("test"))
+    }
+    val n = assign(emb, model).select(col("vec_id"), col("centroid_id"),
+      col("embedding"),
+      sqrt(SimilarityOps.dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = n.select(col("vec_id").as("a_id"), col("centroid_id").as("a_cid"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = n.select(col("vec_id").as("b_id"), col("centroid_id").as("b_cid"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val cos = SimilarityOps.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+    a.join(b, col("a_cid") === col("b_cid") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cos.as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("a_id"), col("b_id"),
+        floor(col("cos") * lit(1e6) + lit(0.5)).cast("long").as("cos_micro"),
+        split(col("a_id")).as("split_a"), split(col("b_id")).as("split_b"))
+      .filter(col("split_a") =!= col("split_b"))
+  }
+
+  /** DuckDB twin of [[semanticLeakage]] for a trained model. */
+  def semanticLeakageSql(model: IvfModel, tau: Double): String = {
+    val split = (id: String) => {
+      val b = graft.operators.SamplingOps.hashBucketSql(id)
+      s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
+    }
+    s"""WITH ${centroidCtesSql(model)},
+       |sl_assigned AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+       |    cid
+       |  FROM sims WHERE rn = 1
+       |), sl_pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+       |  FROM sl_assigned a JOIN sl_assigned b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |)
+       |SELECT a_id, b_id,
+       |  CAST(floor(cos * CAST('1000000.0' AS DOUBLE)
+       |    + CAST('0.5' AS DOUBLE)) AS BIGINT) AS cos_micro,
+       |  ${split("a_id")} AS split_a,
+       |  ${split("b_id")} AS split_b
+       |FROM sl_pairs
+       |WHERE cos >= CAST('$tau' AS DOUBLE)
+       |  AND (${split("a_id")}) <> (${split("b_id")})""".stripMargin
+  }
+
   /** Persist a built index: centroids (tiny) + per-vector assignment and
     * int8 codes — the offline half of the 100 TB flow, where the float
     * corpus is read once and queries touch only this table afterward.

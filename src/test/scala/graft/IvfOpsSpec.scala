@@ -233,4 +233,36 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("semanticLeakage == driver-side reference: cluster pairs >= tau crossing splits") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = IvfOps.train(emb, k = 16, iterations = 2)
+    val tau = 0.40
+    val got = IvfOps.semanticLeakage(emb, model, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // reference: assignments + exact cosines + the x25 split function
+    val rows = IvfOps.assign(emb, model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def splitOf(id: Long): String = {
+      import org.apache.spark.sql.functions.{col, lit}
+      // evaluate the same hashBucket expression the operator uses
+      val s2 = spark; import s2.implicits._
+      val b = Seq(id).toDF("id")
+        .select(graft.operators.SamplingOps.hashBucket(col("id")).cast("long")).head.getLong(0)
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val splits = rows.map(_._1).distinct.map(id => id -> splitOf(id)).toMap
+    val ref = (for {
+      (aId, aCid, aV) <- rows
+      (bId, bCid, bV) <- rows
+      if aCid == bCid && aId < bId
+      cos = SimilarityOps.dotLocal(aV, bV) /
+        (math.sqrt(SimilarityOps.dotLocal(aV, aV)) *
+          math.sqrt(SimilarityOps.dotLocal(bV, bV)))
+      if cos >= tau && splits(aId) != splits(bId)
+    } yield (aId, bId, math.floor(cos * 1e6 + 0.5).toLong)).toSet
+    assert(got === ref)
+    assert(ref.nonEmpty, "fixture must contain at least one leaking pair")
+  }
 }
