@@ -47,14 +47,19 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Cat]
 
   // The trained IVF coarse quantizer is deterministic for a given corpus
-  // (seeding + fold order fixed), so the three ANN queries and the
+  // (seeding + fold order fixed), so the ANN/semantic queries and the
   // generated oracles share one training per (session, corpus) — the
   // "train offline once, probe many" shape of a real deployment.
+  // CORPUS-AWARE: trainBounded derives k = max(16, ceil(sqrt(n))) and
+  // splits clusters above 4*ceil(sqrt(n)) members, so the cluster-scoped
+  // family (x52 semDedup / x100 protoPrune / x110 leakage) carries a
+  // provable per-cluster pair bound at every scale instead of riding a
+  // fixed k whose clusters grow linearly with the corpus.
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.operators.IvfOps.IvfModel]
   private def ivfModel(s: SparkSession, dir: String): graft.operators.IvfOps.IvfModel =
     ivfCache.getOrElseUpdate((s, dir),
-      graft.operators.IvfOps.train(Tables.embeddings(s, dir), k = 16, iterations = 2))
+      graft.operators.IvfOps.trainBounded(Tables.embeddings(s, dir)))
 
   def cat(s: SparkSession, dir: String): Cat =
     catCache.getOrElseUpdate((s, dir), {

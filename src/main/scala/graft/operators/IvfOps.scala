@@ -43,10 +43,18 @@ object IvfOps {
 
   /** Deterministic k-means training: seeds = the K lowest vec_ids. */
   def train(emb: DataFrame, k: Int, iterations: Int = 2): IvfModel = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val ds = typed(emb)
-    var centroids = ds.orderBy(col("vec_id")).limit(k).collect().map(_._2)
+    lloyd(ds, ds.orderBy(col("vec_id")).limit(k).collect().map(_._2), iterations)
+  }
+
+  /** Lloyd refinement rounds over a given seed codebook — one broadcast
+    * assignment map + one recenter groupBy per round; only the K×dim
+    * mean table ever reaches the driver. */
+  private def lloyd(ds: Dataset[(Long, Array[Double])],
+                    seeds: Array[Array[Double]], iterations: Int): IvfModel = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    var centroids = seeds
     for (_ <- 0 until iterations) {
       val bc = spark.sparkContext.broadcast(IvfModel(centroids))
       val means = ds
@@ -66,6 +74,80 @@ object IvfOps {
         .map(i => means.getOrElse(i, centroids(i))).toArray
     }
     IvfModel(centroids)
+  }
+
+  /** Corpus-aware cluster count: `k = max(kMin, ⌈√n⌉)`. A FIXED k is the
+    * quadratic scale-trap for the cluster-scoped family — [[semDedup]] /
+    * [[semanticLeakage]] cost Θ(Σ|cluster|²) and [[protoPrune]] sorts one
+    * cluster per task — so expected cluster size must shrink relative to
+    * the corpus as it grows. With k = √n the expected cluster is √n rows:
+    * total pair work Θ(n^1.5) spread over √n independent tasks, never a
+    * full n² product, and no single-task sort over a constant fraction of
+    * the corpus. (SemDeDup itself runs ~10⁵ clusters at web scale; at
+    * 100 TB a two-level coarse quantizer would keep nearest() sublinear
+    * in k — the rule here is the size bound that makes the per-cluster
+    * work provable.) */
+  def adaptiveK(n: Long, kMin: Int = 16): Int =
+    math.max(kMin, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt)
+
+  /** Per-cluster size bound enforced by [[trainBounded]]:
+    * `capFactor · ⌈√n⌉` — a constant factor over the balanced-cluster
+    * expectation, so within-cluster pair count is ≤ cap·(cap−1)/2 =
+    * O(n) per cluster. */
+  def sizeCap(n: Long, capFactor: Int = 4): Long =
+    capFactor.toLong * math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong
+
+  /** Corpus-aware, size-BOUNDED training — the gated-model entry point
+    * (`SparkEntry.ivfModel`): k = [[adaptiveK]](n), then up to
+    * `maxSplitRounds` split rounds. Each round finds clusters above
+    * [[sizeCap]](n), seeds one extra centroid per oversized cluster from
+    * its FARTHEST member (lowest micro-snapped cosine to the own
+    * centroid, vec_id tie-break — deterministic, and the member most
+    * likely to carve off a coherent sub-cluster), and re-settles the
+    * augmented codebook with one Lloyd round. The split diagnostic is
+    * one assignment map + one broadcast join + one groupBy per round;
+    * only the ≤K oversized-cluster seed rows are collected.
+    *
+    * IvfOpsSpec pins the resulting invariant on the fixture corpora:
+    * max cluster size ≤ cap, hence per-cluster pair count ≤
+    * cap·(cap−1)/2 — the bound that keeps the semantic-cluster family
+    * (x52/x100/x110) off any quadratic default path at scale. */
+  def trainBounded(emb: DataFrame, iterations: Int = 2, kMin: Int = 16,
+                   capFactor: Int = 4, maxSplitRounds: Int = 4): IvfModel = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = typed(emb)
+    val n = ds.count()
+    var model = train(emb, adaptiveK(n, kMin), iterations)
+    val cap = sizeCap(n, capFactor)
+    var round = 0
+    var done = false
+    while (round < maxSplitRounds && !done) {
+      val cents = model.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toSeq.toDF("centroid_id", "cv")
+      val cos = SimilarityOps.dot(col("embedding"), col("cv")) /
+        (sqrt(SimilarityOps.dot(col("embedding"), col("embedding"))) *
+          sqrt(SimilarityOps.dot(col("cv"), col("cv"))))
+      val oversized = assign(emb, model)
+        .join(broadcast(cents), Seq("centroid_id"))
+        .select(col("centroid_id"), col("vec_id"), col("embedding"),
+          floor(cos * lit(1e6) + lit(0.5)).cast("long").as("cos_micro"))
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("sz"),
+          min_by(col("embedding"),
+            struct(col("cos_micro"), col("vec_id"))).as("far"))
+        .filter(col("sz") > cap)
+        .orderBy("centroid_id")
+        .collect()
+      if (oversized.isEmpty) done = true
+      else {
+        val extra = oversized.map(
+          _.getAs[scala.collection.Seq[Double]]("far").toArray)
+        model = lloyd(ds, model.centroids ++ extra, iterations = 1)
+        round += 1
+      }
+    }
+    model
   }
 
   /** Corpus → (vec_id, centroid_id, embedding) inverted-list assignment. */

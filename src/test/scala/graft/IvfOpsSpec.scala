@@ -151,6 +151,41 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byProbe(8) >= 0.8, s"nProbe=8 recall ${byProbe(8)} below floor")
   }
 
+  test("adaptiveK scales as ceil(sqrt(n)) with a floor of kMin") {
+    assert(IvfOps.adaptiveK(0) === 16)
+    assert(IvfOps.adaptiveK(100) === 16)       // sqrt=10 < floor
+    assert(IvfOps.adaptiveK(500) === 23)       // ceil(22.36)
+    assert(IvfOps.adaptiveK(2000) === 45)      // ceil(44.7)
+    assert(IvfOps.adaptiveK(1000000) === 1000)
+    assert(IvfOps.adaptiveK(100, kMin = 4) === 10)
+  }
+
+  test("trainBounded: gated model is deterministic and every cluster is under the size cap") {
+    // The scale invariant behind x52/x100/x110: per-cluster pair count is
+    // bounded by cap*(cap-1)/2, so the within-cluster quadratic work can
+    // never become Θ(n²/K_fixed) as the corpus grows. Pinned on both
+    // fixture corpora (the two SFs the driver gates).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val model = IvfOps.trainBounded(emb)
+      assert(model.centroids.length >= IvfOps.adaptiveK(n),
+        "k must be corpus-aware, not a constant")
+      val cap = IvfOps.sizeCap(n)
+      val sizes = IvfOps.assign(emb, model)
+        .groupBy("centroid_id").count().collect().map(_.getLong(1))
+      assert(sizes.sum === n)
+      assert(sizes.max <= cap,
+        s"$dir: max cluster ${sizes.max} exceeds cap $cap (k=${model.centroids.length})")
+      val maxPairs = cap * (cap - 1) / 2
+      assert(sizes.map(s => s * (s - 1) / 2).max <= maxPairs)
+      // deterministic: a re-train must reproduce the codebook exactly
+      val again = IvfOps.trainBounded(emb)
+      assert(model.centroids.map(_.toSeq).toSeq ===
+        again.centroids.map(_.toSeq).toSeq, s"$dir: training not deterministic")
+    }
+  }
+
   test("assignment covers the corpus exactly once") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = IvfOps.train(emb, k = 16, iterations = 1)
