@@ -43,17 +43,29 @@ object Tables {
     * value (hour truncation, epoch seconds) is unaffected by the ns→µs
     * floor. */
   def events(spark: SparkSession, d: String): DataFrame = {
+    // NOTE: reader-functions mutating session confs is a smell, but both
+    // flags below are prerequisites of a correct read, not preferences:
+    // nanosAsLong is the only way Spark opens a ns-precision file at
+    // all, and a UTC session is what makes the NTZ→LTZ cast wall-clock
+    // preserving. Entry points (Verify/Bench/specs) already run UTC;
+    // setting it here makes the contract hold for ANY caller instead of
+    // silently shifting every derived epoch under a non-UTC session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // keep the historical LTZ type every consumer was verified on
-        // (unix_micros etc. reject NTZ); sessions run UTC, so the cast
-        // preserves the wall-clock reading
+        // (unix_micros etc. reject NTZ); the UTC session set above makes
+        // the cast preserve the wall-clock reading
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unexpected physical type $other — the testdata " +
+          "schema drifted again (ns-BIGINT in rounds 1-7, µs-NTZ in round " +
+          "8); extend Tables.events deliberately instead of passing it through")
     }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")

@@ -646,8 +646,16 @@ object CurationOps {
     val cnt = mat.groupBy("bucket").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
-    val Array(tt, tr) = cnt.agg(sum("ct"), sum("cr")).head()
-      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // sum() over zero rows is SQL-null: unguarded unboxing would NPE (or
+    // silently price the default at ln(B/B)=0 from garbage totals) on an
+    // empty/filtered-out corpus — a model trained on nothing is an error,
+    // not a degenerate weight table
+    val totals = cnt.agg(sum("ct"), sum("cr")).head()
+    require(!totals.isNullAt(0) && !totals.isNullAt(1),
+      "dsirModel: corpus is empty after the id/text/lang filters — " +
+        "cannot train importance weights on zero features")
+    val Array(tt, tr) = totals.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(tt + tr > 0, "dsirModel: zero total feature count")
     val b = buckets.toDouble
     val w = cnt.select(col("bucket"),
       snapMicro(

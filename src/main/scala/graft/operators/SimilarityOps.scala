@@ -360,12 +360,17 @@ object SimilarityOps {
     *
     * Determinism: elements snap to 1e4 BEFORE any sum (floats have ~7
     * digits; the snap keeps every downstream integer exact), so centroid
-    * element sums, dot products, and norms are exact BIGINTs — cosine to
-    * the element-SUM vector equals cosine to the mean by scale
+    * element sums, dot products, and norms are exact integers — cosine
+    * to the element-SUM vector equals cosine to the mean by scale
     * invariance, so no division happens until the final per-doc cosine
-    * (fixed-order IEEE, micro-snapped before the per-source mean). With
-    * 64 dims and |v| ≤ 0.35 the v·s products stay under 2^63 to beyond
-    * 10⁹ docs per source.
+    * (fixed-order IEEE, micro-snapped before the per-source mean).
+    * Overflow bounds, per source of n docs with |v| ≤ 3500 (0.35
+    * snapped): the centroid element |s| ≤ 3500·n, so the BIGINT dot
+    * Σ₆₄ v·s ≤ 64·3500²·n stays under 2^63 to n ≈ 1.2·10¹⁰; the norm
+    * Σ₆₄ s² grows as n², so it is summed in exact DECIMAL(38,0) on the
+    * Spark side and HUGEINT in the twin (identical integers, cast to
+    * DOUBLE only for the sqrt) — exact to n ≈ 3·10¹¹ docs per source,
+    * and an ANSI decimal-overflow error (never a silent wrap) past it.
     *
     * Scale: one explode to (source, dim) — the centroid relation is
     * sources×64 rows and BROADCASTS back onto the exploded matrix; one
@@ -387,10 +392,14 @@ object SimilarityOps {
     // s² terms), so no second source-level relation exists at all
     val withS = el.withColumn("s",
       sum(col("v")).over(Window.partitionBy("source", "pos")))
+    // s*s is quadratic in source size — BIGINT wraps silently (non-ANSI)
+    // near n ≈ 9·10⁵ docs/source; DECIMAL(38,0) keeps the norm exact to
+    // ~3·10¹¹ and errors loudly beyond
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
     val doc = withS.groupBy(col("vec_id"), col("source"))
       .agg(sum(col("v") * col("s")).as("dot"),
         sum(col("v") * col("v")).as("vn"),
-        sum(col("s") * col("s")).as("cn"))
+        sum(col("s").cast(dec) * col("s").cast(dec)).as("cn"))
     val coh = doc.select(col("source"),
       when(col("vn") > 0L && col("cn") > 0L,
         floor(col("dot").cast("double") /
@@ -428,7 +437,7 @@ object SimilarityOps {
        |  SELECT vec_id, source,
        |    CAST(sum(v * s) AS BIGINT) AS dot,
        |    CAST(sum(v * v) AS BIGINT) AS vn,
-       |    CAST(sum(s * s) AS BIGINT) AS cn
+       |    sum(CAST(s AS HUGEINT) * s) AS cn
        |  FROM sc_ws GROUP BY vec_id, source
        |),
        |sc_coh AS (
