@@ -31,15 +31,28 @@ object Bench {
         .agg(expr("bit_xor(h)")).collect()
       ()
     }
+    // dataset fingerprint alongside the warm pass: per-table row counts
+    // make a testdata regeneration visible in the emission itself, so a
+    // cross-round per-query delta can be attributed to data-shape change
+    // vs container speed vs an actual regression at a glance (round-8
+    // lesson: four apparent 4-5x regressions were data+container noise
+    // that each cost a plan audit)
+    val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
-      try warmScan(graft.core.Tables.table(spark, sfDir, t))
-      catch { case _: Throwable => () }
+      try {
+        val df = graft.core.Tables.table(spark, sfDir, t)
+        rowCounts(t) = df.count()
+        warmScan(df)
+      } catch { case _: Throwable => () }
     }
     // events needs its dedicated reader (nanosecond ts handling) — the
     // generic path throws PARQUET_TYPE_ILLEGAL and leaves it cold
-    try warmScan(graft.core.Tables.events(spark, sfDir))
-    catch { case _: Throwable => () }
+    try {
+      val ev = graft.core.Tables.events(spark, sfDir)
+      rowCounts("events") = ev.count()
+      warmScan(ev)
+    } catch { case _: Throwable => () }
     // materialize the cached catalog base tables (the reference's queries
     // hit warm materialized Postgres tables — per-query numbers should
     // measure the query, not the one-time catalog build)
@@ -73,6 +86,22 @@ object Bench {
         .agg(expr("bit_xor(h)")).collect()
       ()
     }
+    // container-speed calibration: a FIXED synthetic workload (data-
+    // independent: generate → hash → shuffle → aggregate, the same ops
+    // the query set leans on) timed after warm-up. Cross-round per-query
+    // comparisons divide by this first: a calib swing is the container,
+    // not the code (round 8 ran ~1.5x slower than the builder's machine
+    // and made four clean plans look like regressions).
+    val calib = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(20000000L)
+        .select((org.apache.spark.sql.functions.col("id") % 4096L).as("k"),
+          xxhash64(org.apache.spark.sql.functions.col("id")).as("h"))
+        .groupBy("k").agg(expr("bit_xor(h) AS x"))
+        .agg(expr("bit_xor(x)")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // sorted-name iteration: SparkEntry.queries is a hash Map, so its
     // iteration order — and therefore which query pays any residual
     // first-touch cost — used to vary with the key set. Deterministic
@@ -98,8 +127,11 @@ object Bench {
     val restricted = if (only.isDefined) """"restricted":true,""" else ""
     // shared JSON escaper for the embedded env-controlled paths
     def jq(s: String): String = graft.core.Json.escape(s)
+    val rowsJson = rowCounts
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      restricted + s""""queries":${qJson(results)},"sf":"${jq(sfDir)}"}"""
+      restricted + s""""calib":${fmt(calib)},"rows":$rowsJson,""" +
+      s""""queries":${qJson(results)},"sf":"${jq(sfDir)}"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     println(full)
@@ -116,7 +148,7 @@ object Bench {
     // char counts more than once); fixed fields incl. the ESCAPED paths
     // come off the top
     def bytes(s: String): Int = s.getBytes("UTF-8").length
-    val fixed = 150 + bytes(jq(outPath)) + bytes(jq(sfDir)) + restricted.length
+    val fixed = 170 + bytes(jq(outPath)) + bytes(jq(sfDir)) + restricted.length
     val budget = 1800 - fixed // bytes for the queries map
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2
@@ -125,7 +157,7 @@ object Bench {
       if (used + w <= budget) { kept += ((k, v)); used += w }
     }
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      restricted +
+      restricted + s""""calib":${fmt(calib)},""" +
       s""""queries_total":${results.size},"queries_shown":${kept.size},""" +
       s""""full":"${jq(outPath)}","queries":${qJson(kept)},"sf":"${jq(sfDir)}"}"""
     println(compact)
