@@ -388,15 +388,26 @@ object DedupOps {
     *
     * Scale: one pinned distinct (doc, shingle) relation feeds guard,
     * sizes, and the intersection joins; every shuffle is keyed by
-    * shingle or by pair. Nothing quadratic beyond the guarded fan-out. */
+    * shingle or by pair. Nothing quadratic beyond the guarded fan-out.
+    *
+    * No silent caps: every row carries `n_viral_shingles` — the count
+    * of distinct shingles in more than `maxDf` docs that the guard kept
+    * out of candidate generation (a 1-row broadcast stat off the same
+    * df aggregate). The reported containment stays exact either way
+    * (it is computed over FULL shingle sets); the column tells the
+    * reader how much boilerplate the candidate stage deliberately
+    * declined to pair on. */
   def containmentPairs(df: DataFrame, minShared: Long = 3, maxDf: Long = 16,
                        text: Column = col("text"),
                        state: IterState = Local): DataFrame = {
     val sh = state.pin(
       df.select(col("doc_id"), explode(array_distinct(shingles(text))).as("sh")))
-    val guarded = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byDf = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val guarded = byDf
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("sh")
+    val viral = byDf.filter(col("df") > maxDf)
+      .agg(count(lit(1)).as("n_viral_shingles"))
     val shf = sh.join(guarded, "sh")
     val cand = shf.as("a")
       .join(shf.as("b"),
@@ -415,11 +426,13 @@ object DedupOps {
         col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sizes.select(col("doc_id"), col("n_sh").as("n_b")),
         col("doc_b") === col("doc_id")).drop("doc_id")
+      .crossJoin(broadcast(viral))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         (col("n_inter").cast("double") / col("n_a").cast("double"))
           .as("containment_a"),
         (col("n_inter").cast("double") / col("n_b").cast("double"))
-          .as("containment_b"))
+          .as("containment_b"),
+        col("n_viral_shingles"))
   }
 
   /** DuckDB twin of [[containmentPairs]]. */
@@ -441,14 +454,20 @@ object DedupOps {
        |  JOIN sh sa ON sa.doc_id = c.doc_a
        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
        |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |cp_v AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_viral_shingles
+       |  FROM (SELECT sh FROM sh GROUP BY sh HAVING count(*) > $maxDf)
        |)
        |SELECT i.doc_a, i.doc_b, i.n_inter,
        |  CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
        |  CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh AS DOUBLE) AS containment_a,
-       |  CAST(i.n_inter AS DOUBLE) / CAST(zb.n_sh AS DOUBLE) AS containment_b
+       |  CAST(i.n_inter AS DOUBLE) / CAST(zb.n_sh AS DOUBLE) AS containment_b,
+       |  v.n_viral_shingles
        |FROM cp_inter i
        |JOIN cp_sizes za ON za.doc_id = i.doc_a
-       |JOIN cp_sizes zb ON zb.doc_id = i.doc_b""".stripMargin
+       |JOIN cp_sizes zb ON zb.doc_id = i.doc_b
+       |CROSS JOIN cp_v v""".stripMargin
 
   /** Exact Jaccard for a given candidate-pair set: |A∩B| via a shingle
     * equi-join restricted to the candidates, |A∪B| = |A|+|B|−|A∩B|. */

@@ -174,14 +174,25 @@ object SubstringOps {
     * guard (`maxSources`, the x55 winnowing pattern) bounds the
     * remaining per-window pair fan-out at S·(S−1)/2 ≤ maxSources² even
     * when source = web domain and viral boilerplate appears everywhere.
-    * Per-source totals broadcast back. */
+    * Per-source totals broadcast back.
+    *
+    * No silent caps: the guard's exclusions are REPORTED — every row
+    * carries `n_viral_windows`, the count of distinct windows in more
+    * than `maxSources` sources that the guard kept out of
+    * `shared_windows` (a 1-row broadcast stat off the same per-window
+    * aggregate, so the reporting adds no extra corpus pass). 0 means
+    * the matrix is exhaustive; anything else tells the reader how much
+    * ultra-viral boilerplate the numbers deliberately ignore. */
   def sourceOverlap(df: DataFrame, w: Int = 8, maxSources: Int = 64,
                     text: Column = col("text")): DataFrame = {
     val sw = windows(df.filter(col("source").isNotNull), w, text, Seq("source"))
       .select(col("source"), col("whash")).distinct()
-    val shared = sw.groupBy("whash").agg(count(lit(1)).as("n_src"))
+    val byWindow = sw.groupBy("whash").agg(count(lit(1)).as("n_src"))
+    val shared = byWindow
       .filter(col("n_src") >= 2 && col("n_src") <= maxSources)
       .select("whash")
+    val viral = byWindow.filter(col("n_src") > maxSources)
+      .agg(count(lit(1)).as("n_viral_windows"))
     val swShared = sw.join(shared, "whash")
     val totals = sw.groupBy("source").agg(count(lit(1)).as("n"))
     swShared.as("a")
@@ -193,10 +204,12 @@ object SubstringOps {
         "src_a")
       .join(broadcast(totals.select(col("source").as("src_b"), col("n").as("n_b"))),
         "src_b")
+      .crossJoin(broadcast(viral))
       .select(col("src_a"), col("src_b"), col("shared_windows"),
         col("n_a"), col("n_b"),
         (col("shared_windows").cast("double") /
-          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"),
+        col("n_viral_windows"))
   }
 
   /** DuckDB twin of [[sourceOverlap]]. */
@@ -214,16 +227,23 @@ object SubstringOps {
        |  GROUP BY whash HAVING count(*) BETWEEN 2 AND $maxSources
        |),
        |so_f AS (SELECT source, whash FROM so_w JOIN so_sh USING (whash)),
-       |so_n AS (SELECT source, count(*) AS n FROM so_w GROUP BY source)
+       |so_n AS (SELECT source, count(*) AS n FROM so_w GROUP BY source),
+       |so_v AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_viral_windows
+       |  FROM (SELECT whash FROM so_w
+       |        GROUP BY whash HAVING count(*) > $maxSources)
+       |)
        |SELECT a.source AS src_a, b.source AS src_b,
        |  count(*) AS shared_windows,
        |  CAST(max(na.n) AS BIGINT) AS n_a, CAST(max(nb.n) AS BIGINT) AS n_b,
        |  CAST(count(*) AS DOUBLE)
-       |    / CAST(least(max(na.n), max(nb.n)) AS DOUBLE) AS containment
+       |    / CAST(least(max(na.n), max(nb.n)) AS DOUBLE) AS containment,
+       |  max(v.n_viral_windows) AS n_viral_windows
        |FROM so_f a
        |JOIN so_f b ON a.whash = b.whash AND a.source < b.source
        |JOIN so_n na ON na.source = a.source
        |JOIN so_n nb ON nb.source = b.source
+       |CROSS JOIN so_v v
        |GROUP BY a.source, b.source""".stripMargin
 
   /** x79: n-gram eval-overlap decontamination — the published exact

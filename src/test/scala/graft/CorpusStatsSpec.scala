@@ -161,14 +161,24 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     // the same 3 shingles appear in every doc (df=5 > maxDf=4): no pair
-    // reaches minShared from boilerplate alone
+    // reaches minShared from boilerplate alone; docs 1-2 additionally
+    // share a genuine 5-token run so ONE pair survives the guard — and
+    // reports the 3 guarded-out viral shingles on its row
     val boiler = Seq("b1", "b2", "b3", "b4", "b5")
-    val df = (1 to 5).map(i =>
-      i.toLong -> (boiler ++ Seq(s"u${i}a", s"u${i}b")).mkString(" "))
-      .toDF("doc_id", "text")
-    assert(graft.operators.DedupOps.containmentPairs(df, 3, 4).count() == 0)
+    val sharedRun = Seq("s1", "s2", "s3", "s4", "s5")
+    val df = (1 to 5).map { i =>
+      val tail = if (i <= 2) sharedRun else Seq(s"u${i}a", s"u${i}b")
+      i.toLong -> (boiler ++ tail).mkString(" ")
+    }.toDF("doc_id", "text")
+    val guarded = graft.operators.DedupOps.containmentPairs(df, 3, 4).collect()
+    assert(guarded.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      "boilerplate alone must not generate candidates; the real run must")
+    assert(guarded.forall(_.getAs[Long]("n_viral_shingles") == 3L),
+      "the guard's exclusions must be reported, not silent")
     // raising maxDf re-admits them (sanity that the guard is the reason)
-    assert(graft.operators.DedupOps.containmentPairs(df, 3, 16).count() > 0)
+    val open = graft.operators.DedupOps.containmentPairs(df, 3, 16).collect()
+    assert(open.length > 1)
+    assert(open.forall(_.getAs[Long]("n_viral_shingles") == 0L))
   }
 
   test("PMI: count floor removes singletons; real corpus is non-degenerate") {

@@ -161,15 +161,19 @@ class SubstringOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "srcC", toks((1 to 9).map(i => s"c$i") ++ v8))
     ).toDF("doc_id", "source", "text")
     // maxSources=2: the v-run windows (held by 3 sources) are guarded out
-    val rows = SubstringOps.sourceOverlap(df, 8, maxSources = 2)
-      .collect().map(r => (r.getString(0), r.getString(1)) ->
+    val guarded = SubstringOps.sourceOverlap(df, 8, maxSources = 2).collect()
+    val rows = guarded.map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getDouble(5))).toMap
     assert(rows.keySet == Set(("srcA", "srcB")))
     assert(rows(("srcA", "srcB"))._1 == 3L) // s-run windows only
+    // no silent caps: the guarded run REPORTS its one excluded viral
+    // window (the all-sources v-run) on every row
+    assert(guarded.forall(_.getAs[Long]("n_viral_windows") == 1L))
     // without the guard the viral windows pair every source
-    val open = SubstringOps.sourceOverlap(df, 8, maxSources = 64)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val openRows = SubstringOps.sourceOverlap(df, 8, maxSources = 64).collect()
+    val open = openRows.map(r => (r.getString(0), r.getString(1))).toSet
     assert(open == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    assert(openRows.forall(_.getAs[Long]("n_viral_windows") == 0L))
     // containment in (0, 1]
     SubstringOps.sourceOverlap(df, 8, 64).collect().foreach { r =>
       assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
