@@ -61,6 +61,15 @@ object SparkEntry {
     ivfCache.getOrElseUpdate((s, dir),
       graft.operators.IvfOps.trainBounded(Tables.embeddings(s, dir)))
 
+  // Trained BPE merge table: same train-once-per-(session, corpus)
+  // contract as ivfModel; the generated DuckDB twins replay training
+  // from the merge literals (BpeOps.trainSql / applyCountsSql).
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.BpeOps.BpeModel]
+  private def bpeModel(s: SparkSession, dir: String): graft.operators.BpeOps.BpeModel =
+    bpeCache.getOrElseUpdate((s, dir),
+      graft.operators.BpeOps.train(Tables.documents(s, dir), rounds = 32))
+
   def cat(s: SparkSession, dir: String): Cat =
     catCache.getOrElseUpdate((s, dir), {
       val d = FsCatalog.directory(s, dir).cache()
@@ -986,6 +995,19 @@ object SparkEntry {
     // rate, gate-pass rate) — is the score worth thresholding on?
     "x109_quality_calibration" -> ((s, dir) =>
       graft.operators.CurationOps.qualityCalibration(Tables.documents(s, dir))),
+
+    // x111 — in-engine BPE training: the learned merge table (32 rounds
+    // over the corpus vocabulary). Oracle: unrolled relational replay of
+    // every round from the merge literals (BpeOps.trainSql)
+    "x111_bpe_merges" -> ((s, dir) =>
+      graft.operators.BpeOps.mergesDf(s, bpeModel(s, dir))),
+
+    // x112 — true per-doc subword counts under the trained BPE model:
+    // distinct-word lexicon segmented once, broadcast back onto the
+    // corpus — the real tokenizer fertility x102 approximates by regex
+    "x112_bpe_subwords" -> ((s, dir) =>
+      graft.operators.BpeOps.applyCounts(
+        Tables.documents(s, dir), bpeModel(s, dir))),
 
     // x108 — release audit: ONE verdict per candidate doc — the first
     // failing stage in eval → gate → dup → contamination → ppl-band
@@ -2017,7 +2039,10 @@ object SparkEntry {
     * merged into the oracle map by [[Verify]]. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
     val model = ivfModel(spark, sfDir)
+    val bpe = bpeModel(spark, sfDir)
     Map(
+      "x111_bpe_merges" -> graft.operators.BpeOps.trainSql(bpe),
+      "x112_bpe_subwords" -> graft.operators.BpeOps.applyCountsSql(bpe),
       "x18_ann_ivf" -> graft.operators.IvfOps.topKSql(
         model, "vec_id % 100 = 0", k = 8, nProbe = 6),
       "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(

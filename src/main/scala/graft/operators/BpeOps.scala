@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps.{IterState, Local}
+
+/** In-engine byte-pair-encoding tokenizer: train a merge table from the
+  * corpus with bounded merge rounds, apply it as a chained-`replace`
+  * column expression — true subword counts instead of the "BPE-ish
+  * regex" proxy (upgrades the x37 token budgets / x102 fertility class).
+  *
+  * Algorithm (Sennrich, Haddow & Birch 2016, "Neural Machine Translation
+  * of Rare Words with Subword Units", arXiv:1508.07909): start from the
+  * per-word character segmentation, repeatedly count adjacent symbol
+  * pairs (weighted by word frequency) and merge the most frequent pair,
+  * greedily left-to-right within each word.
+  *
+  * Representation: a word's segmentation is ONE string — the symbols
+  * joined by a `` separator with a LEADING separator
+  * (`low` → `␟l␟o␟w`). Merging pair (a,b) is then exactly
+  * `replace(syms, "␟a␟b", "␟ab")`: both engines' `replace` substitutes
+  * non-overlapping occurrences scanning left-to-right, which IS the
+  * greedy merge ("␟a␟a␟a" → "␟aa␟a"; the leading separator keeps
+  * back-to-back occurrences like "␟a␟b␟a␟b" both merging). No UDF, no
+  * per-symbol arrays in the hot path, fully codegen-able.
+  *
+  * Scale shape (the Borůvka pattern, [[DedupOps.dupClusters]]): the
+  * corpus is tokenized ONCE into a distinct-word/frequency VOCAB table —
+  * everything after is vocab-sized, never corpus-sized. Each round is
+  * one pair-explode + one partial-agg shuffle on the pair key + a
+  * TakeOrderedAndProject top-1; the driver holds only the R chosen
+  * merges (loop control), and `state.pin` bounds lineage per round.
+  * Apply builds a (word → subword count) LEXICON from the same vocab and
+  * joins it back — each distinct word is segmented once per corpus, not
+  * once per occurrence.
+  *
+  * Determinism: the merge choice orders by (count DESC, left, right) —
+  * binary UTF-8 string order in both engines — so training is a pure
+  * function of the corpus, and a TRAINED model's merges embed as SQL
+  * literals in a generated DuckDB twin that replays every round: round
+  * k's top pair is recomputed RELATIONALLY from the k-times-merged vocab
+  * and must equal the embedded literal (any divergence hash-fails the
+  * gate), the vocab advancing by literal replaces exactly as Spark did.
+  */
+object BpeOps {
+
+  /** Symbol separator: an ASCII control char that never appears in text
+    * (words containing it are excluded — identically — on both engines). */
+  val SEP = "\u001F"
+
+  /** A trained merge table: (left, right, pair count at selection time),
+    * in merge order. */
+  final case class BpeModel(merges: Seq[(String, String, Long)])
+
+  /** Distinct-word vocabulary with frequencies and the initial
+    * character segmentation: `(word, freq, syms)`. */
+  def vocab(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.select(explode(TextOps.wordsRe(text)).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(SEP))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        regexp_replace(col("word"), "(.)", SEP + "$1").as("syms"))
+
+  /** Adjacent symbol pairs of a leading-separator syms string:
+    * `split` gives `["", s1, …, sk]`, pairs are `(s_i, s_{i+1})`. */
+  private def pairsCol: Column = {
+    val a = split(col("syms"), SEP)
+    val n = greatest(size(a) - 2, lit(0))
+    arrays_zip(slice(a, lit(2), n), slice(a, lit(3), n))
+  }
+
+  /** Train `rounds` merges (fewer if the vocabulary runs out of pairs). */
+  def train(df: DataFrame, rounds: Int, text: Column = col("text"),
+            state: IterState = Local): BpeModel = {
+    var v = state.pin(vocab(df, text).select(col("syms"), col("freq")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (merges.length < rounds && !exhausted) {
+      val top = v.select(explode(pairsCol).as("p"), col("freq"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0); val r = top(0).getString(1)
+        merges += ((l, r, top(0).getLong(2)))
+        v = state.pin(v.withColumn("syms",
+          replace(col("syms"), lit(SEP + l + SEP + r), lit(SEP + l + r))))
+      }
+    }
+    BpeModel(merges.toSeq)
+  }
+
+  /** The trained merge table as a DataFrame:
+    * `(rank, left, right, merged, pair_count)`. */
+  def mergesDf(spark: SparkSession, model: BpeModel): DataFrame = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i, l, r, l + r, c) }
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Final segmentation of the initial `syms` column under the model:
+    * the R merges as chained replaces (codegen'd, no iteration at
+    * query time). */
+  def segmented(model: BpeModel, syms: Column = col("syms")): Column =
+    model.merges.foldLeft(syms) { case (c, (l, r, _)) =>
+      replace(c, lit(SEP + l + SEP + r), lit(SEP + l + r))
+    }
+
+  /** x112: per-document true-subword counts under a trained model —
+    * `(doc_id, n_words, n_subwords, fertility)` where fertility is
+    * subwords per word (the real tokenizer-cost statistic x102
+    * approximates with a regex). Lexicon join shape: each DISTINCT word
+    * is segmented once, docs join the lexicon on the word key. Docs with
+    * zero qualifying words carry no row (both engines agree). */
+  def applyCounts(df: DataFrame, model: BpeModel,
+                  text: Column = col("text")): DataFrame = {
+    val seg = segmented(model)
+    val lex = vocab(df, text).select(col("word"),
+      (length(seg) - length(replace(seg, lit(SEP), lit(""))))
+        .cast("long").as("n_sub"))
+    df.select(col("doc_id"), explode(TextOps.wordsRe(text)).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(SEP))
+      .join(lex, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+  }
+
+  // ---- generated DuckDB twins (trained-model literal replay) ------------
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** `␟l␟r` and `␟lr` as DuckDB expressions (chr(31) concat — the
+    * control char never appears raw in the SQL text). */
+  private def patLit(l: String, r: String): String =
+    s"chr(31) || ${sqlLit(l)} || chr(31) || ${sqlLit(r)}"
+  private def repLit(l: String, r: String): String =
+    s"chr(31) || ${sqlLit(l + r)}"
+
+  /** Shared vocab CTEs: `bpe_w(word, freq)` + `v0(syms, freq)`. */
+  private def vocabSql: String =
+    s"""bpe_w AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(${TextOps.wordsReSql("text")}) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0 AND word NOT LIKE '%' || chr(31) || '%'
+       |  GROUP BY word
+       |), v0 AS (
+       |  SELECT word, freq,
+       |    regexp_replace(word, '(.)', chr(31) || '\\1', 'g') AS syms
+       |  FROM bpe_w
+       |)""".stripMargin
+
+  /** DuckDB twin of [[train]]+[[mergesDf]]: an UNROLLED replay of every
+    * round — round k's winning pair is recomputed relationally from the
+    * k-times-merged vocab (the merges applied so far being the model's
+    * literals, exactly the centroid-literal pattern of
+    * [[IvfOps.topKSql]]); a training divergence in either engine breaks
+    * the hash equality. */
+  def trainSql(model: BpeModel): String = {
+    val rounds = model.merges.zipWithIndex.map { case ((l, r, _), k) =>
+      s"""p$k AS (
+         |  SELECT arr[i] AS l, arr[i + 1] AS r, sum(freq) AS cnt
+         |  FROM (SELECT arr, freq,
+         |          unnest(generate_series(2, len(arr) - 1)) AS i
+         |        FROM (SELECT string_split(syms, chr(31)) AS arr, freq
+         |              FROM v$k))
+         |  GROUP BY arr[i], arr[i + 1]
+         |), m$k AS (
+         |  SELECT CAST($k AS INT) AS rank, l AS "left", r AS "right",
+         |    l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
+         |  FROM p$k ORDER BY cnt DESC, l, r LIMIT 1
+         |), v${k + 1} AS (
+         |  SELECT replace(syms, ${patLit(l, r)}, ${repLit(l, r)}) AS syms,
+         |    freq
+         |  FROM v$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = model.merges.indices
+      .map(k => s"SELECT * FROM m$k").mkString("\nUNION ALL ")
+    s"WITH $vocabSql,\n$rounds\n$out"
+  }
+
+  /** DuckDB twin of [[applyCounts]]: the literal merges collapse to R
+    * nested replaces over the distinct-word lexicon, joined back onto
+    * the exploded documents. */
+  def applyCountsSql(model: BpeModel): String = {
+    val seg = model.merges.foldLeft("syms") { case (e, (l, r, _)) =>
+      s"replace($e, ${patLit(l, r)}, ${repLit(l, r)})"
+    }
+    s"""WITH $vocabSql,
+       |bpe_lex AS (
+       |  SELECT word,
+       |    CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT) AS n_sub
+       |  FROM (SELECT word, $seg AS s FROM v0)
+       |),
+       |bpe_docw AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest(${TextOps.wordsReSql("text")}) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0 AND word NOT LIKE '%' || chr(31) || '%'
+       |)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(x.n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(sum(x.n_sub) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+       |FROM bpe_docw d JOIN bpe_lex x USING (word)
+       |GROUP BY d.doc_id""".stripMargin
+  }
+}

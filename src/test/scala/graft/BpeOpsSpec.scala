@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeOps
+
+/** BPE trainer/applier vs a direct driver-side reference implementation
+  * (greedy left-to-right merge over (word, freq) maps), plus the
+  * deterministic tie-break and early-exhaustion contracts. */
+class BpeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Driver-side reference: classic Sennrich BPE over a word-frequency
+    * map — pair counts, (count desc, l, r) selection, greedy
+    * left-to-right merge within each word. */
+  private def referenceBpe(words: Map[String, Long],
+                           rounds: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector }(_._2)(_ + _)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (merges.length < rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        merges += ((l, r, c))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toVector
+        }(_._2)(_ + _)
+      }
+    }
+    merges.toSeq
+  }
+
+  private def referenceSegment(word: String,
+                               merges: Seq[(String, String, Long)]): Int = {
+    var syms = word.map(_.toString).toVector
+    for ((l, r, _) <- merges) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toVector
+    }
+    syms.length
+  }
+
+  test("train matches the reference implementation on the classic corpus") {
+    val s = spark
+    import s.implicits._
+    // Sennrich-style fixture with skewed frequencies (repetition in-text)
+    val docs = Seq(
+      (1L, ("low " * 5).trim), (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim), (4L, ("widest " * 3).trim),
+      (5L, "low lower newest widest new")
+    ).toDF("doc_id", "text")
+    val words = Map("low" -> 6L, "lower" -> 3L, "newest" -> 7L,
+      "widest" -> 4L, "new" -> 1L)
+    val expected = referenceBpe(words, rounds = 10)
+    val got = BpeOps.train(docs, rounds = 10).merges
+    assert(got === expected)
+    // apply parity: per-doc subword counts under the learned merges
+    val lexRef = words.keySet.map(w => w -> referenceSegment(w, expected)).toMap
+    val gotCounts = BpeOps.applyCounts(docs, BpeOps.BpeModel(expected))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val texts = Map(1L -> Seq.fill(5)("low"), 2L -> Seq.fill(2)("lower"),
+      3L -> Seq.fill(6)("newest"), 4L -> Seq.fill(3)("widest"),
+      5L -> Seq("low", "lower", "newest", "widest", "new"))
+    for ((id, ws) <- texts)
+      assert(gotCounts(id) ===
+        ((ws.length.toLong, ws.map(w => lexRef(w).toLong).sum)), s"doc $id")
+  }
+
+  test("tie-break is (count desc, left, right) — deterministic across re-trains") {
+    val s = spark
+    import s.implicits._
+    // every adjacent pair appears exactly once: ties everywhere, so the
+    // FIRST merge must be the lexicographically smallest pair
+    val docs = Seq((1L, "ba dc fe")).toDF("doc_id", "text")
+    val m1 = BpeOps.train(docs, rounds = 3).merges
+    assert(m1.head._1 == "b" && m1.head._2 == "a",
+      s"ties must resolve to the smallest (l, r): $m1")
+    assert(m1 === BpeOps.train(docs, rounds = 3).merges)
+    assert(m1 === referenceBpe(Map("ba" -> 1L, "dc" -> 1L, "fe" -> 1L), 3))
+  }
+
+  test("training stops early when the vocabulary runs out of pairs") {
+    val s = spark
+    import s.implicits._
+    // single-char words only: zero adjacent pairs, zero merges
+    val none = BpeOps.train(Seq((1L, "a b c")).toDF("doc_id", "text"), 5)
+    assert(none.merges.isEmpty)
+    // one two-char word: exactly one merge possible, then exhaustion
+    val one = BpeOps.train(Seq((1L, "ab")).toDF("doc_id", "text"), 5)
+    assert(one.merges.map(m => (m._1, m._2)) === Seq(("a", "b")))
+  }
+
+  test("fixture-corpus training is deterministic and the gated rounds stay bounded") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = BpeOps.train(docs, rounds = 8)
+    val b = BpeOps.train(docs, rounds = 8)
+    assert(a.merges === b.merges, "training must be a pure function of the corpus")
+    assert(a.merges.length === 8)
+    // counts non-increasing is NOT required by BPE (a merge can create a
+    // more frequent pair), but every selected count must be positive
+    assert(a.merges.forall(_._3 > 0))
+  }
+}
