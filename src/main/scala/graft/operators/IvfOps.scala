@@ -556,12 +556,20 @@ object IvfOps {
     * (vec_id, centroid_id, qcode), partitioned by nothing — a production
     * deployment would bucket postings by centroid_id so each probe reads
     * one file group. */
-  def saveIndex(emb: DataFrame, model: IvfModel, dir: String): Unit = {
-    val spark = emb.sparkSession
+  /** Persist just the (tiny) coarse quantizer — the frozen-model half an
+    * incremental deployment shares between the offline builder and the
+    * streaming postings maintainer
+    * ([[graft.streaming.AnnIndexStream.ingest]]). */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession, model: IvfModel,
+                    dir: String): Unit = {
     import spark.implicits._
     model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("centroid_id", "cv")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def saveIndex(emb: DataFrame, model: IvfModel, dir: String): Unit = {
+    saveCentroids(emb.sparkSession, model, dir)
     assign(emb, model).select(col("vec_id"), col("centroid_id"))
       .join(SimilarityOps.quantizeEmbeddings(emb)
         .select(col("vec_id"), col("qcode")), Seq("vec_id"))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.IvfOps
+import graft.streaming.AnnIndexStream
+
+/** Incremental index maintenance: postings streamed in micro-batches
+  * under a frozen quantizer must equal the offline-rebuilt index — row
+  * for row AND probe for probe. */
+class AnnIndexStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("stream-ingested postings == offline index; probe results identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = IvfOps.train(emb, k = 8, iterations = 1)
+
+    val offline = java.nio.file.Files.createTempDirectory("graft_idx_off").toString
+    IvfOps.saveIndex(emb, model, offline)
+
+    // streamed twin: frozen centroids + postings arriving in micro-batches
+    val streamed = java.nio.file.Files.createTempDirectory("graft_idx_str").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idx_ckpt").toString
+    IvfOps.saveCentroids(spark, model, streamed)
+    val rows = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) => (id, v.toSeq) }
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIndexStream.ingest(
+      in.toDF().toDF("vec_id", "embedding"), model, streamed, ckpt)
+    rows.grouped(200).foreach { chunk =>   // several micro-batches
+      in.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    def postingSet(dir: String) =
+      spark.read.parquet(s"$dir/postings")
+        .select(col("vec_id"), col("centroid_id"),
+          col("qcode").cast("array<int>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Int](2).toList)).toSet
+
+    val off = postingSet(offline)
+    val str = postingSet(streamed)
+    assert(str === off, "streamed postings must equal the offline build")
+    assert(off.size === rows.length)
+
+    // probe parity: identical ADC results from either index
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def probe(dir: String) =
+      IvfOps.adcTopKFromIndex(spark, dir, queries, k = 5, nProbe = 3)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_cos"),
+          r.getAs[Int]("rank"))).toSet
+    val a = probe(offline)
+    assert(a === probe(streamed) && a.nonEmpty)
+  }
+}
