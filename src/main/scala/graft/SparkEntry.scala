@@ -996,6 +996,15 @@ object SparkEntry {
     "x109_quality_calibration" -> ((s, dir) =>
       graft.operators.CurationOps.qualityCalibration(Tables.documents(s, dir))),
 
+    // x113 — semantic-dedup ship manifest: x52's embedding-space drop
+    // verdicts composed with x47's best-quality representative rule per
+    // semantic duplicate group — the "what actually ships" relation,
+    // disagreements between the two rules surfaced per row
+    "x113_semdedup_manifest" -> ((s, dir) =>
+      graft.operators.IvfOps.semDedupManifest(
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        ivfModel(s, dir), tau = 0.40)),
+
     // x111 — in-engine BPE training: the learned merge table (32 rounds
     // over the corpus vocabulary). Oracle: unrolled relational replay of
     // every round from the merge literals (BpeOps.trainSql)
@@ -2054,6 +2063,8 @@ object SparkEntry {
         graft.operators.IvfOps.protoPruneSql(model, fraction = 0.25),
       "x110_semantic_leakage" ->
         graft.operators.IvfOps.semanticLeakageSql(model, tau = 0.40),
+      "x113_semdedup_manifest" ->
+        graft.operators.IvfOps.semDedupManifestSql(model, tau = 0.40),
       "x96_ann_recall" ->
         s"""WITH ar_ex AS (
            |  SELECT query_id, neighbor_id FROM (

@@ -556,6 +556,88 @@ object IvfOps {
     * (vec_id, centroid_id, qcode), partitioned by nothing — a production
     * deployment would bucket postings by centroid_id so each probe reads
     * one file group. */
+  /** x113: the semantic-dedup SHIP MANIFEST — [[semDedup]]'s embedding-
+    * space drop verdicts composed with x47's best-quality representative
+    * rule over the semantic duplicate groups: one row per document that
+    * belongs to any semantic near-dup cluster, carrying both verdicts
+    * side by side. `kept_x52` is the deterministic min-id survival rule
+    * the drop set is defined by; `is_best_quality` flags the member x47's
+    * argmax-quality rule would ship instead — when they disagree, the
+    * manifest row IS the review queue ("we kept the lower-id copy but the
+    * higher-quality twin is right there"). [[DedupOps.dupClusters]] emits
+    * singleton clusters for unpaired docs, so the manifest covers the
+    * WHOLE corpus — singletons ship trivially (kept, own representative).
+    *
+    * Output: (doc_id, cluster_id, rep_doc, quality_score, n_members,
+    * kept_x52, is_best_quality, anchor_id, cos_micro) — anchor/cosine
+    * evidence only on dropped rows (null on survivors).
+    *
+    * Scale: [[semDedup]]'s cluster-scoped pair machinery (never
+    * all-pairs) feeds edges to the Borůvka components of
+    * [[DedupOps.dupClusters]]; quality ranking and group sizes are two
+    * windows over ONE cluster_id shuffle (the x100 shared-partition
+    * pattern); the drop flags join back on the id spine. */
+  def semDedupManifest(docs: DataFrame, emb: DataFrame, model: IvfModel,
+                       tau: Double,
+                       state: DedupOps.IterState = DedupOps.Local): DataFrame = {
+    val drops = semDedup(emb, model, tau)
+    val pairs = drops.select(col("anchor_id").as("doc_a"),
+      col("vec_id").as("doc_b"))
+    val clusters = DedupOps.dupClusters(docs, pairs, state = state)
+    val scored = docs.select(col("doc_id"),
+      TextOps.qualityScoreCol(col("text")).as("quality_score"))
+    val byCluster = Window.partitionBy("cluster_id")
+    val ranked = byCluster.orderBy(col("quality_score").desc, col("doc_id"))
+    val full = ranked.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    clusters.join(scored, "doc_id")
+      .withColumn("rep_doc", first(col("doc_id")).over(full))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .join(drops.select(col("vec_id").as("doc_id"), col("anchor_id"),
+        col("cos_micro")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("rep_doc"),
+        col("quality_score"), col("n_members"),
+        col("anchor_id").isNull.cast("int").as("kept_x52"),
+        (col("doc_id") === col("rep_doc")).cast("int").as("is_best_quality"),
+        col("anchor_id"), col("cos_micro"))
+  }
+
+  /** DuckDB twin of [[semDedupManifest]] for a trained model: the
+    * [[semDedupSql]] replay feeds the [[DedupOps.dupClustersSql]] unroll
+    * as its pair source, the same two shared-partition windows on top. */
+  def semDedupManifestSql(model: IvfModel, tau: Double): String = {
+    val pairsSql =
+      s"""SELECT anchor_id AS doc_a, vec_id AS doc_b FROM (
+         |${semDedupSql(model, tau)}
+         |)""".stripMargin
+    s"""WITH mq AS (
+       |  SELECT doc_id, ${TextOps.qualityScoreColSql("text")} AS quality_score
+       |  FROM documents
+       |), mc AS (
+       |  SELECT * FROM (
+       |${DedupOps.dupClustersSql(pairsSql)}
+       |  ) t
+       |), md AS (
+       |  SELECT vec_id AS doc_id, anchor_id, cos_micro FROM (
+       |${semDedupSql(model, tau)}
+       |  )
+       |), mw AS (
+       |  SELECT mc.cluster_id, mc.doc_id, mq.quality_score,
+       |    first_value(mc.doc_id) OVER (PARTITION BY mc.cluster_id
+       |      ORDER BY mq.quality_score DESC, mc.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |      AS rep_doc,
+       |    count(*) OVER (PARTITION BY mc.cluster_id) AS n_members
+       |  FROM mc JOIN mq USING (doc_id)
+       |)
+       |SELECT w.doc_id, w.cluster_id, w.rep_doc, w.quality_score,
+       |  CAST(w.n_members AS BIGINT) AS n_members,
+       |  CAST(d.anchor_id IS NULL AS INT) AS kept_x52,
+       |  CAST(w.doc_id = w.rep_doc AS INT) AS is_best_quality,
+       |  d.anchor_id, d.cos_micro
+       |FROM mw w LEFT JOIN md d ON d.doc_id = w.doc_id""".stripMargin
+  }
+
   /** Persist just the (tiny) coarse quantizer — the frozen-model half an
     * incremental deployment shares between the offline builder and the
     * streaming postings maintainer

@@ -217,6 +217,42 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.15, s"recall $recall collapsed")
   }
 
+  test("semDedup manifest: kept set == corpus minus x52 drops; representative rule matches x47") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = IvfOps.train(emb, k = 8, iterations = 2)
+    val tau = 0.4
+    val manifest = IvfOps.semDedupManifest(docs, emb, model, tau).collect()
+    val drops = IvfOps.semDedup(emb, model, tau)
+      .collect().map(_.getLong(0)).toSet
+    val allDocs = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // whole-corpus coverage, and the x52 agreement: kept == corpus - drops
+    assert(manifest.map(_.getAs[Long]("doc_id")).toSet === allDocs)
+    val kept = manifest.filter(_.getAs[Int]("kept_x52") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === allDocs -- drops)
+
+    // representative rule == x47's clusterRepresentatives on the same pairs
+    val s = spark
+    import s.implicits._
+    val pairs = IvfOps.semDedup(emb, model, tau)
+      .select(col("anchor_id").as("doc_a"), col("vec_id").as("doc_b"))
+    val x47 = graft.operators.DedupOps.clusterRepresentatives(docs, pairs)
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        r.getAs[Long]("rep_doc")).toMap
+    val reps = manifest.map(r => r.getAs[Long]("cluster_id") ->
+      r.getAs[Long]("rep_doc")).toMap
+    for ((cid, rep) <- x47) assert(reps(cid) === rep, s"cluster $cid")
+    // exactly one best-quality member per cluster
+    val perCluster = manifest.groupBy(_.getAs[Long]("cluster_id"))
+    assert(perCluster.forall { case (_, rows) =>
+      rows.count(_.getAs[Int]("is_best_quality") == 1) == 1 })
+    // evidence columns populated exactly on drops
+    assert(manifest.forall { r =>
+      (r.getAs[Int]("kept_x52") == 0) == !r.isNullAt(r.fieldIndex("anchor_id")) })
+  }
+
   test("x96 recall report: per-query recall in [0,1], consistent with the set intersection") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") % 100 === 0)
