@@ -1005,6 +1005,13 @@ object SparkEntry {
         Tables.documents(s, dir), Tables.embeddings(s, dir),
         ivfModel(s, dir), tau = 0.40)),
 
+    // x114 — token-budget selection priced in true subwords: the x37
+    // greedy-fill with the cost column upgraded to the trained BPE
+    // model's counts — what a training run actually pays per doc
+    "x114_subword_budget" -> ((s, dir) =>
+      graft.operators.BpeOps.subwordBudgetSample(
+        Tables.documents(s, dir), bpeModel(s, dir), budgetSubwords = 20000L)),
+
     // x111 — in-engine BPE training: the learned merge table (32 rounds
     // over the corpus vocabulary). Oracle: unrolled relational replay of
     // every round from the merge literals (BpeOps.trainSql)
@@ -2052,6 +2059,8 @@ object SparkEntry {
     Map(
       "x111_bpe_merges" -> graft.operators.BpeOps.trainSql(bpe),
       "x112_bpe_subwords" -> graft.operators.BpeOps.applyCountsSql(bpe),
+      "x114_subword_budget" -> graft.operators.BpeOps
+        .subwordBudgetSampleSql(bpe, budgetSubwords = 20000L),
       "x18_ann_ivf" -> graft.operators.IvfOps.topKSql(
         model, "vec_id % 100 = 0", k = 8, nProbe = 6),
       "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(

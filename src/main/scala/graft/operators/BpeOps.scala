@@ -132,6 +132,51 @@ object BpeOps {
           .as("fertility"))
   }
 
+  /** x114: token-budget selection priced in TRUE subwords — the
+    * [[SamplingOps.tokenBudgetSample]] greedy-fill (stable-hash order per
+    * stratum, cumulative-exclusive sum under the budget) with the cost
+    * column upgraded from whitespace words to the trained model's
+    * subword counts: what a training run will actually pay for the doc.
+    * Same determinism contract (hash60 order, doc_id tie-break, budget
+    * compared against the EXCLUSIVE prefix so the first doc of a stratum
+    * always ships); one lexicon join + one stratum-keyed window. */
+  def subwordBudgetSample(df: DataFrame, model: BpeModel,
+                          budgetSubwords: Long, seed: Int = 0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum")
+      .orderBy(graft.functions.HashFunctions.hash60(col("doc_id"), seed),
+        col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col("doc_id"), col("lang").as("stratum"))
+      .join(applyCounts(df, model).select(col("doc_id"), col("n_subwords")),
+        Seq("doc_id"))
+      .withColumn("cum_excl", coalesce(sum(col("n_subwords")).over(w), lit(0L)))
+      .filter(col("cum_excl") < budgetSubwords)
+      .select(col("doc_id"), col("stratum"), col("n_subwords"), col("cum_excl"))
+  }
+
+  /** DuckDB twin of [[subwordBudgetSample]]. */
+  def subwordBudgetSampleSql(model: BpeModel, budgetSubwords: Long,
+                             seed: Int = 0): String =
+    s"""WITH sb_counts AS (
+       |  SELECT doc_id, n_subwords FROM (
+       |${applyCountsSql(model)}
+       |  )
+       |), sb_t AS (
+       |  SELECT d.doc_id, d.lang AS stratum, c.n_subwords,
+       |    ${graft.functions.HashFunctions.hash60Sql("d.doc_id", seed)} AS h
+       |  FROM documents d JOIN sb_counts c USING (doc_id)
+       |)
+       |SELECT doc_id, stratum, n_subwords, CAST(cum_excl AS BIGINT) AS cum_excl
+       |FROM (
+       |  SELECT doc_id, stratum, n_subwords,
+       |    coalesce(sum(n_subwords) OVER (PARTITION BY stratum
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+       |  FROM sb_t
+       |)
+       |WHERE cum_excl < $budgetSubwords""".stripMargin
+
   // ---- generated DuckDB twins (trained-model literal replay) ------------
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
