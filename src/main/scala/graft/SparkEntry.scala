@@ -996,6 +996,17 @@ object SparkEntry {
     "x109_quality_calibration" -> ((s, dir) =>
       graft.operators.CurationOps.qualityCalibration(Tables.documents(s, dir))),
 
+    // x115 — two-level inverted-list assignment: rank k1=ceil(sqrt(k))
+    // super-groups first, then only the centroids inside the p1 nearest
+    // groups — O(sqrt(k)·d) per vector, the piece that keeps the
+    // corpus-aware k = sqrt(n) rule assignable at 100 TB (flat nearest
+    // would be O(sqrt(n)·d)). Hierarchy trained on the CODEBOOK (k×dim,
+    // driver-side), never a corpus rescan; oracle replays both ranking
+    // levels from super/centroid literals
+    "x115_two_level_assign" -> ((s, dir) =>
+      graft.operators.IvfOps.assignTwoLevel(Tables.embeddings(s, dir),
+        graft.operators.IvfOps.trainTwoLevel(ivfModel(s, dir)))),
+
     // x113 — semantic-dedup ship manifest: x52's embedding-space drop
     // verdicts composed with x47's best-quality representative rule per
     // semantic duplicate group — the "what actually ships" relation,
@@ -2074,6 +2085,8 @@ object SparkEntry {
         graft.operators.IvfOps.semanticLeakageSql(model, tau = 0.40),
       "x113_semdedup_manifest" ->
         graft.operators.IvfOps.semDedupManifestSql(model, tau = 0.40),
+      "x115_two_level_assign" -> graft.operators.IvfOps.assignTwoLevelSql(
+        graft.operators.IvfOps.trainTwoLevel(model)),
       "x96_ann_recall" ->
         s"""WITH ar_ex AS (
            |  SELECT query_id, neighbor_id FROM (

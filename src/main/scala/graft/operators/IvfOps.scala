@@ -556,6 +556,132 @@ object IvfOps {
     * (vec_id, centroid_id, qcode), partitioned by nothing — a production
     * deployment would bucket postings by centroid_id so each probe reads
     * one file group. */
+  // ---- two-level coarse quantizer ----------------------------------------
+
+  /** Two-level IVF model: `sup` groups the `base` centroids into
+    * super-clusters; a vector finds its inverted list by ranking the k₁
+    * supers first and then only the base centroids inside its `p1`
+    * nearest super groups — O(k₁·d + p1·(k/k₁)·d) ≈ O(√k·d) per vector
+    * instead of the flat O(k·d). This is what keeps the [[adaptiveK]]
+    * rule viable at 100 TB: k = √n makes FLAT assignment cost O(√n·d)
+    * per vector, which the hierarchy cuts to O(n^¼·d).
+    *
+    * `centroidSuper(ci)` is the (precomputed, deterministic) super group
+    * of base centroid ci; every super is non-empty by construction
+    * ([[trainTwoLevel]] compacts empties away), so the candidate set is
+    * never empty. */
+  final case class TwoLevelModel(base: IvfModel, sup: IvfModel,
+                                 centroidSuper: Array[Int], p1: Int) {
+    /** (super_id, centroid_id) for one vector — same cosine and
+      * (sim DESC, id) tie-break as [[IvfModel.nearest]] at both levels. */
+    def assignLocal(v: Array[Double]): (Int, Int) = {
+      val probed = sup.nearest(v, p1).toSet
+      val best = base.centroids.indices.iterator
+        .filter(ci => probed(centroidSuper(ci)))
+        .map { ci =>
+          val c = base.centroids(ci)
+          (SimilarityOps.dotLocal(v, c) /
+            (math.sqrt(SimilarityOps.dotLocal(v, v)) *
+              math.sqrt(SimilarityOps.dotLocal(c, c))), ci)
+        }
+        .toSeq.sortBy { case (sim, i) => (-sim, i) }.head._2
+      (centroidSuper(best), best)
+    }
+  }
+
+  /** Deterministic k-means over an in-memory point set (the k×dim base
+    * CODEBOOK, never the corpus) — seeds = lowest indices, same cosine
+    * and tie rules as the distributed trainer. */
+  private def localKmeans(points: Array[Array[Double]], k: Int,
+                          iterations: Int): IvfModel = {
+    var model = IvfModel(points.take(k).map(_.clone()))
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(k)(new Array[Double](points(0).length))
+      val ns = new Array[Long](k)
+      for (p <- points) {
+        val c = model.nearest(p, 1).head
+        var i = 0
+        while (i < p.length) { sums(c)(i) += p(i); i += 1 }
+        ns(c) += 1
+      }
+      model = IvfModel(Array.tabulate(k)(c =>
+        if (ns(c) == 0) model.centroids(c) else sums(c).map(_ / ns(c))))
+    }
+    model
+  }
+
+  /** Train the hierarchy on top of an existing (bounded) base codebook:
+    * k₁ = ⌈√k⌉ supers clustered over the k base centroids DRIVER-SIDE
+    * (the codebook is k×dim — tiny at any corpus size; the corpus itself
+    * is never rescanned), empty supers compacted away so ids stay
+    * dense. */
+  def trainTwoLevel(base: IvfModel, p1: Int = 2): TwoLevelModel = {
+    val k = base.centroids.length
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val sup0 = localKmeans(base.centroids, k1, iterations = 4)
+    val memb0 = base.centroids.map(c => sup0.nearest(c, 1).head)
+    // compact: keep only supers that own at least one base centroid
+    val live = memb0.distinct.sorted
+    val remap = live.zipWithIndex.toMap
+    TwoLevelModel(base, IvfModel(live.map(sup0.centroids)),
+      memb0.map(remap), p1)
+  }
+
+  /** x115: two-level inverted-list assignment —
+    * `(vec_id, super_id, centroid_id)` via the hierarchical probe. One
+    * stateless map over the corpus with the (tiny) two-level codebook
+    * broadcast; the gated twin replays both ranking levels relationally
+    * from the centroid/super literals. */
+  def assignTwoLevel(emb: DataFrame, model: TwoLevelModel): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    typed(emb)
+      .map { case (id, v) =>
+        val (sid, cid) = bc.value.assignLocal(v)
+        (id, sid, cid)
+      }
+      .toDF("vec_id", "super_id", "centroid_id")
+  }
+
+  /** DuckDB twin of [[assignTwoLevel]]: super centroids and (cid →
+    * super, cv) base centroids as literals; per-vector rank of supers
+    * (srn ≤ p1), then rank of the base centroids inside the probed
+    * groups — both levels mirroring the Scala tie-breaks. */
+  def assignTwoLevelSql(model: TwoLevelModel): String = {
+    val supVals = model.sup.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    val centVals = model.base.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, ${model.centroidSuper(i)}, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    val e = "CAST(e.embedding AS DOUBLE[])"
+    val supCos = s"list_dot_product($e, s.sv) / " +
+      s"(sqrt(list_dot_product($e, $e)) * sqrt(list_dot_product(s.sv, s.sv)))"
+    val centCos = s"list_dot_product($e, c.cv) / " +
+      s"(sqrt(list_dot_product($e, $e)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    s"""WITH tl_sup AS (
+       |  SELECT * FROM (VALUES $supVals) AS s(sid, sv)
+       |), tl_cent AS (
+       |  SELECT * FROM (VALUES $centVals) AS c(cid, csid, cv)
+       |), tl_probe AS (
+       |  SELECT e.vec_id, s.sid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $supCos DESC, s.sid) AS srn
+       |  FROM embeddings e CROSS JOIN tl_sup s
+       |), tl_rank AS (
+       |  SELECT e.vec_id, c.csid, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $centCos DESC, c.cid) AS rn
+       |  FROM embeddings e
+       |  JOIN tl_probe p ON p.vec_id = e.vec_id AND p.srn <= ${model.p1}
+       |  JOIN tl_cent c ON c.csid = p.sid
+       |)
+       |SELECT vec_id, CAST(csid AS INT) AS super_id,
+       |  CAST(cid AS INT) AS centroid_id
+       |FROM tl_rank WHERE rn = 1""".stripMargin
+  }
+
   /** x113: the semantic-dedup SHIP MANIFEST — [[semDedup]]'s embedding-
     * space drop verdicts composed with x47's best-quality representative
     * rule over the semantic duplicate groups: one row per document that

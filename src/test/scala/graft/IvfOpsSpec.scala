@@ -217,6 +217,35 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.15, s"recall $recall collapsed")
   }
 
+  test("two-level assignment: valid hierarchy, deterministic, high agreement with flat nearest") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = IvfOps.trainBounded(emb)
+    val tl = IvfOps.trainTwoLevel(base)
+    // structure: k1 ~ sqrt(k), every super non-empty, ids dense
+    val k = base.centroids.length
+    assert(tl.sup.centroids.length <= math.ceil(math.sqrt(k.toDouble)).toInt)
+    val owned = tl.centroidSuper.distinct.sorted
+    assert(owned === (0 until tl.sup.centroids.length).toArray)
+
+    val rows = IvfOps.assignTwoLevel(emb, tl).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length === emb.count())
+    // the chosen centroid's super group is the one reported
+    assert(rows.forall { case (_, sid, cid) => tl.centroidSuper(cid) == sid })
+    // deterministic
+    val again = IvfOps.assignTwoLevel(emb, tl).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSet === again.toSet)
+
+    // probing p1 of k1 super groups must agree with flat exact nearest on
+    // the vast majority of vectors (hierarchy loses only boundary cases)
+    val flat = IvfOps.assign(emb, base).select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val agree = rows.count { case (id, _, cid) => flat(id) == cid }
+    val rate = agree.toDouble / rows.length
+    assert(rate >= 0.8, s"two-level/flat agreement collapsed: $rate")
+  }
+
   test("semDedup manifest: kept set == corpus minus x52 drops; representative rule matches x47") {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
