@@ -113,20 +113,35 @@ object BpeOps {
   /** x112: per-document true-subword counts under a trained model —
     * `(doc_id, n_words, n_subwords, fertility)` where fertility is
     * subwords per word (the real tokenizer-cost statistic x102
-    * approximates with a regex). Lexicon join shape: each DISTINCT word
-    * is segmented once, docs join the lexicon on the word key. Docs with
-    * zero qualifying words carry no row (both engines agree). */
+    * approximates with a regex). Docs with zero qualifying words carry
+    * no row (both engines agree).
+    *
+    * One-tokenization shape: the corpus explodes ONCE into the
+    * (doc_id, word, ct) occurrence matrix; the lexicon (each distinct
+    * word segmented once via the chained replaces) derives from that
+    * SAME relation — the `ct >= 1` tautology blocks
+    * RemoveRedundantAggregates from collapsing the keys-only derivation
+    * into a second corpus scan (the x75/x80 trap), so AQE serves the
+    * lexicon branch from the matrix exchange (ReusedExchange,
+    * PlanShapeSpec-pinned). Per-doc totals weight by ct. */
   def applyCounts(df: DataFrame, model: BpeModel,
                   text: Column = col("text")): DataFrame = {
-    val seg = segmented(model)
-    val lex = vocab(df, text).select(col("word"),
-      (length(seg) - length(replace(seg, lit(SEP), lit(""))))
-        .cast("long").as("n_sub"))
-    df.select(col("doc_id"), explode(TextOps.wordsRe(text)).as("word"))
+    val pdw = df
+      .select(col("doc_id"), explode(TextOps.wordsRe(text)).as("word"))
       .filter(length(col("word")) > 0 && !col("word").contains(SEP))
-      .join(lex, Seq("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("ct"))
+      .filter(col("ct") >= 1)
+    val seg = segmented(model,
+      regexp_replace(col("word"), "(.)", SEP + "$1"))
+    val lex = pdw.groupBy("word").agg(count(lit(1)).as("wdf"))
+      .filter(col("wdf") >= 1)
+      .select(col("word"),
+        (length(seg) - length(replace(seg, lit(SEP), lit(""))))
+          .cast("long").as("n_sub"))
+    pdw.join(lex, Seq("word"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .agg(sum(col("ct")).as("n_words"),
+        sum(col("ct") * col("n_sub")).as("n_subwords"))
       .select(col("doc_id"), col("n_words"), col("n_subwords"),
         (col("n_subwords").cast("double") / col("n_words").cast("double"))
           .as("fertility"))

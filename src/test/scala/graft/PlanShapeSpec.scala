@@ -414,6 +414,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), s"centroids must broadcast:\n$plan")
   }
 
+  test("BPE applyCounts (x112): one tokenization, lexicon served from the matrix exchange") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val model = graft.operators.BpeOps.train(docs, rounds = 8)
+    val df = graft.operators.BpeOps.applyCounts(docs, model)
+    df.collect()
+    val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
+    assert(finalPlan.split("Generate").length - 1 === 1,
+      s"corpus must be tokenized exactly once (the lexicon derivation " +
+        s"collapses to a second scan if RemoveRedundantAggregates gets " +
+        s"past the ct/wdf filters):\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"the lexicon branch must reuse the occurrence-matrix exchange:\n$finalPlan")
+  }
+
   test("funnel (x56): every shuffle keys on user_id, no nested-loop/cartesian join") {
     // round-8 lesson: x56/x57 swung 3-5x on a data regeneration and each
     // cost a judge plan-audit to clear — pin the shape so only a REAL
