@@ -298,6 +298,105 @@ object SparkEntry {
     // q10 — returned-item customer ranking (TPC-H Q10 shape): the
     // revenue top-20 is a TakeOrderedAndProject over the custkey
     // aggregate; nation broadcasts, the fact shuffles once
+    // q12 shape — two-path CASE aggregation over the order join: one
+    // fact shuffle on the order key, both priority classes counted in
+    // the same pass (never two scans)
+    "q12_priority_lines" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select("l_orderkey", "l_linestatus", "l_shipdate")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1999-01-01"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_lines"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_lines"))),
+
+    // q15 shape — revenue view + max join-back (ties kept): supplier(s)
+    // with the quarter's top revenue; the 1-row max broadcasts, revenue
+    // stays DECIMAL through the equality and casts to double at output
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+    }),
+
+    // q17 shape — correlated per-group average, division-free: the
+    // small-quantity predicate qty < avg/2 is evaluated as the exact
+    // integer cross-multiplication 2·qty·cnt < sum(qty) (quantities are
+    // integer-valued), so both engines compare identical BIGINTs
+    "q17_small_quantity" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+        .select("p_partkey")
+      val pl = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+          col("l_extendedprice"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val ag = pl.groupBy("l_partkey")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+      pl.join(ag, Seq("l_partkey"))
+        .filter(lit(2L) * col("q") * col("cnt") < col("sq"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 6)))
+          .cast("double").as("small_qty_revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // q19 shape — disjunction of conjunctive brand/size/quantity bands:
+    // one equi-join on the part key with the OR residual as the join
+    // filter, never a fact-side union of three scans
+    "q19_disjunctive" -> ((s, dir) => {
+      val bands =
+        (col("p_brand") === "Brand#1" && col("p_size") <= 10 &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#13" && col("p_size") <= 25 &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+        (col("p_brand") === "Brand#20" && col("p_size") <= 50 &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 40)
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(Tables.part(s, dir)
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(bands)
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // q22 shape — anti-join + scalar-subquery threshold, division-free:
+    // rich customers with NO RECENT order per segment (every customer in
+    // this corpus has SOME order, so the classic no-orders form is
+    // degenerate); bal > avg(bal⁺) compares as the exact DECIMAL
+    // cross-multiplication bal·cnt > sum(bal⁺)
+    "q22_idle_customers" -> ((s, dir) => {
+      val cu = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY", "HOUSEHOLD"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      val st = cu.filter(col("bal") > 0)
+        .agg(sum(col("bal")).as("sb"), count(lit(1)).as("cb"))
+      cu.join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(st))
+        .filter(col("bal") * col("cb") > col("sb"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("bal")).cast("double").as("total_acctbal"))
+    }),
+
     "q10_returned_items" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
         .select("l_orderkey", "l_extendedprice", "l_discount")
@@ -1570,6 +1669,74 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.04 AND l_discount <= 0.06
         |  AND l_quantity < 24""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_linestatus""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH q15_rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM q15_rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM q15_rev)""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH q17_pl AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#1'
+        |), q17_ag AS (
+        |  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+        |  FROM q17_pl GROUP BY l_partkey
+        |)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS small_qty_revenue,
+        |  count(*) AS n_lines
+        |FROM q17_pl JOIN q17_ag USING (l_partkey)
+        |WHERE 2 * q * cnt < sq""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size <= 10
+        |       AND l_quantity >= 1 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#13' AND p_size <= 25
+        |       AND l_quantity >= 10 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#20' AND p_size <= 50
+        |       AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH q22_cu AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING','MACHINERY','HOUSEHOLD')
+        |), q22_st AS (
+        |  SELECT sum(bal) AS sb, count(*) AS cb FROM q22_cu WHERE bal > 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(bal) AS DOUBLE) AS total_acctbal
+        |FROM q22_cu, q22_st
+        |WHERE bal * cb > sb
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "f1_search_name" -> (C +
       s"SELECT * FROM vw_ll WHERE name LIKE '%a%' OR ${Oracle.basenameSql("dir_path")} LIKE '%a%'"),
