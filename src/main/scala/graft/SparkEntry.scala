@@ -1095,6 +1095,16 @@ object SparkEntry {
     "x109_quality_calibration" -> ((s, dir) =>
       graft.operators.CurationOps.qualityCalibration(Tables.documents(s, dir))),
 
+    // x116 — hard-negative mining: per query, top-8 most-similar corpus
+    // vectors with a DIFFERENT label (contrastive-training candidates);
+    // IVF probe economics, label inequality before the rank
+    "x116_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.IvfOps.hardNegatives(emb,
+        emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir),
+        k = 8, nProbe = 6)
+    }),
+
     // x115 — two-level inverted-list assignment: rank k1=ceil(sqrt(k))
     // super-groups first, then only the centroids inside the p1 nearest
     // groups — O(sqrt(k)·d) per vector, the piece that keeps the
@@ -2254,6 +2264,8 @@ object SparkEntry {
         graft.operators.IvfOps.semDedupManifestSql(model, tau = 0.40),
       "x115_two_level_assign" -> graft.operators.IvfOps.assignTwoLevelSql(
         graft.operators.IvfOps.trainTwoLevel(model)),
+      "x116_hard_negatives" -> graft.operators.IvfOps.hardNegativesSql(
+        model, "vec_id % 100 = 0", k = 8, nProbe = 6),
       "x96_ann_recall" ->
         s"""WITH ar_ex AS (
            |  SELECT query_id, neighbor_id FROM (

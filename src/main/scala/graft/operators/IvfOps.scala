@@ -556,6 +556,61 @@ object IvfOps {
     * (vec_id, centroid_id, qcode), partitioned by nothing — a production
     * deployment would bucket postings by centroid_id so each probe reads
     * one file group. */
+  /** x116: hard-negative mining — for each query vector, the top-K most
+    * similar corpus vectors with a DIFFERENT label: the candidates a
+    * contrastive trainer wants (similar in embedding space, known to be
+    * of another class). Same inverted-list probe economics as [[topK]]
+    * (nProbe lists per query, never the corpus), with the label
+    * inequality applied BEFORE ranking so every returned rank is a true
+    * negative; labels ride the existing assignment join — no extra
+    * corpus pass. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, model: IvfModel,
+                    k: Int, nProbe: Int): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val assigned = assign(emb, model).join(labels, Seq("vec_id"))
+    val probes = probesViaJoin(queries, model, nProbe)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), Seq("query_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        round(SimilarityOps.dot(col("qe"), col("embedding")) /
+          (sqrt(SimilarityOps.dot(col("qe"), col("qe"))) *
+            sqrt(SimilarityOps.dot(col("embedding"), col("embedding")))), 9)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[hardNegatives]] for a trained model — the
+    * [[topKSql]] replay with the label relation joined onto both the
+    * corpus assignment and the probe rows, inequality before the rank. */
+  def hardNegativesSql(model: IvfModel, queryFilter: String, k: Int,
+                       nProbe: Int): String =
+    s"""WITH ${centroidCtesSql(model)}, hn_assign AS (
+       |  SELECT s.vec_id, s.embedding, s.cid AS centroid_id, e.label
+       |  FROM sims s JOIN embeddings e USING (vec_id) WHERE s.rn = 1
+       |), hn_probes AS (
+       |  SELECT s.vec_id AS query_id, s.embedding AS qe, e.label AS qlabel,
+       |    s.cid AS centroid_id
+       |  FROM sims s JOIN embeddings e USING (vec_id)
+       |  WHERE ($queryFilter) AND s.rn <= $nProbe
+       |), hn_scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neg_label,
+       |    round(${SimilarityOps.cosineSql("p.qe", "a.embedding")}, 9) AS cos_sim
+       |  FROM hn_probes p JOIN hn_assign a USING (centroid_id)
+       |  WHERE a.vec_id <> p.query_id AND a.label <> p.qlabel
+       |)
+       |SELECT query_id, neighbor_id, neg_label, cos_sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |FROM hn_scored
+       |QUALIFY rank <= $k""".stripMargin
+
   // ---- two-level coarse quantizer ----------------------------------------
 
   /** Two-level IVF model: `sup` groups the `base` centroids into

@@ -217,6 +217,37 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.15, s"recall $recall collapsed")
   }
 
+  test("hard negatives: every result is a different-label neighbor, ranked like the label-filtered exact probe") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val model = IvfOps.train(emb, k = 16, iterations = 2)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = IvfOps.hardNegatives(emb, queries, model, k = 8, nProbe = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("neg_label"),
+        r.getAs[Int]("rank")))
+    assert(rows.nonEmpty)
+    // the contract: a hard negative is NEVER the query's own class
+    assert(rows.forall { case (q, n, nl, _) =>
+      nl == labels(n) && labels(q) != nl && q != n })
+    // ranks dense from 1, at most k per query
+    for ((_, group) <- rows.groupBy(_._1)) {
+      assert(group.map(_._4).sorted.toSeq === (1 to group.length))
+      assert(group.length <= 8)
+    }
+    // consistency with the plain probe: dropping same-label rows from
+    // topK over the same probes yields exactly this candidate SET
+    val plain = IvfOps.topK(emb, queries, model, k = Int.MaxValue,
+        nProbe = 6, joinProbes = true)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .filter { case (q, n) => labels(q) != labels(n) }.toSet
+    val mined = IvfOps.hardNegatives(emb, queries, model,
+        k = Int.MaxValue, nProbe = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(mined === plain)
+  }
+
   test("two-level assignment: valid hierarchy, deterministic, high agreement with flat nearest") {
     val emb = Tables.embeddings(spark, sfDir)
     val base = IvfOps.trainBounded(emb)
