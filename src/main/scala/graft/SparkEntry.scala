@@ -1095,6 +1095,21 @@ object SparkEntry {
     "x109_quality_calibration" -> ((s, dir) =>
       graft.operators.CurationOps.qualityCalibration(Tables.documents(s, dir))),
 
+    // x117 — semi-structured props extraction: the events table's JSON
+    // payload parsed in the scan projection (get_json_object — one
+    // codegen'd parse per row, no UDF), banded, and rolled up per
+    // (event_type, band) with a distinct-user count. One shuffle on the
+    // tiny band key; the JSON never leaves the map side
+    "x117_props_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .withColumn("k_band", expr("k div 10"))
+        .groupBy("event_type", "k_band")
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          countDistinct(col("user_id")).as("n_users"))),
+
     // x116 — hard-negative mining: per query, top-8 most-similar corpus
     // vectors with a DIFFERENT label (contrastive-training candidates);
     // IVF probe economics, label inequality before the rank
@@ -1679,6 +1694,16 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.04 AND l_discount <= 0.06
         |  AND l_quantity < 24""".stripMargin,
+
+    "x117_props_extract" ->
+      """SELECT event_type, CAST(k // 10 AS BIGINT) AS k_band,
+        |  count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM (SELECT event_type, user_id,
+        |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |WHERE k IS NOT NULL
+        |GROUP BY event_type, k // 10""".stripMargin,
 
     "q12_priority_lines" ->
       """SELECT l_linestatus,
