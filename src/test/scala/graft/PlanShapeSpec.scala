@@ -414,6 +414,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), s"centroids must broadcast:\n$plan")
   }
 
+  test("q17 correlated-average: the filtered fact exchange is shared by aggregate and probe") {
+    import graft.core.Tables
+    val p = Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#1")
+      .select("p_partkey")
+    val pl = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val ag = pl.groupBy("l_partkey")
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+    val df = pl.join(ag, Seq("l_partkey"))
+      .filter(lit(2L) * col("q") * col("cnt") < col("sq"))
+      .agg(count(lit(1)).as("n_lines"))
+    df.collect()
+    val finalPlan = physicalPlan(df).split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"),
+      s"the per-part aggregate must be served from the probe's exchange " +
+        s"(fact scanned once at runtime):\n$finalPlan")
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("two-level assignment (x115) is a pure stateless map: zero exchanges") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val model = graft.operators.IvfOps.trainTwoLevel(
+      graft.operators.IvfOps.train(emb, k = 16, iterations = 1))
+    val plan = physicalPlan(graft.operators.IvfOps.assignTwoLevel(emb, model))
+    assert(!plan.contains("Exchange"),
+      s"hierarchical assignment must not shuffle the corpus:\n$plan")
+  }
+
   test("BPE applyCounts (x112): one tokenization, lexicon served from the matrix exchange") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val model = graft.operators.BpeOps.train(docs, rounds = 8)
