@@ -60,6 +60,11 @@ object SparkEntry {
   private def ivfModel(s: SparkSession, dir: String): graft.operators.IvfOps.IvfModel =
     ivfCache.getOrElseUpdate((s, dir),
       graft.operators.IvfOps.trainBounded(Tables.embeddings(s, dir)))
+  // gated probe count is COUPLED to the model's k (constant probed
+  // fraction): a fixed nProbe silently decays recall as k grows with
+  // sqrt(n) — measured 0.73 -> 0.49 avg recall@8 at the sf0.1 k=45
+  private def ivfNProbe(s: SparkSession, dir: String): Int =
+    graft.operators.IvfOps.adaptiveNProbe(ivfModel(s, dir).centroids.length)
 
   // Trained BPE merge table: same train-once-per-(session, corpus)
   // contract as ivfModel; the generated DuckDB twins replay training
@@ -794,8 +799,8 @@ object SparkEntry {
     "x18_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.IvfOps.topK(emb,
-        emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir), k = 8, nProbe = 6,
-        joinProbes = true)
+        emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir), k = 8,
+        nProbe = ivfNProbe(s, dir), joinProbes = true)
     }),
 
     // x35 — IVF cluster-health report (balance + tightness per inverted
@@ -1045,7 +1050,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") % 100 === 0)
       val ivf = graft.operators.IvfOps
-        .topK(emb, q, ivfModel(s, dir), k = 8, nProbe = 6, joinProbes = true)
+        .topK(emb, q, ivfModel(s, dir), k = 8, nProbe = ivfNProbe(s, dir),
+          joinProbes = true)
         .select(col("query_id"), col("neighbor_id"))
       val exact = SimilarityOps.bruteForceTopK(emb, q, 8)
         .select(col("query_id"), col("neighbor_id"))
@@ -1117,7 +1123,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       graft.operators.IvfOps.hardNegatives(emb,
         emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir),
-        k = 8, nProbe = 6)
+        k = 8, nProbe = ivfNProbe(s, dir))
     }),
 
     // x115 — two-level inverted-list assignment: rank k1=ceil(sqrt(k))
@@ -1237,7 +1243,8 @@ object SparkEntry {
     "x24_ann_adc" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.IvfOps.adcTopK(emb,
-        emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir), k = 8, nProbe = 6)
+        emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir), k = 8,
+        nProbe = ivfNProbe(s, dir))
     }),
 
     // salted two-stage aggregation equals the plain GROUP BY — the oracle
@@ -2268,6 +2275,7 @@ object SparkEntry {
     * merged into the oracle map by [[Verify]]. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
     val model = ivfModel(spark, sfDir)
+    val np = graft.operators.IvfOps.adaptiveNProbe(model.centroids.length)
     val bpe = bpeModel(spark, sfDir)
     Map(
       "x111_bpe_merges" -> graft.operators.BpeOps.trainSql(bpe),
@@ -2275,9 +2283,9 @@ object SparkEntry {
       "x114_subword_budget" -> graft.operators.BpeOps
         .subwordBudgetSampleSql(bpe, budgetSubwords = 20000L),
       "x18_ann_ivf" -> graft.operators.IvfOps.topKSql(
-        model, "vec_id % 100 = 0", k = 8, nProbe = 6),
+        model, "vec_id % 100 = 0", k = 8, nProbe = np),
       "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(
-        model, "vec_id % 100 = 0", k = 8, nProbe = 6),
+        model, "vec_id % 100 = 0", k = 8, nProbe = np),
       "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model),
       "x38_cluster_lang_mix" -> graft.operators.IvfOps.clusterLangMixSql(model),
       "x52_semdedup" -> graft.operators.IvfOps.semDedupSql(model, tau = 0.40),
@@ -2290,7 +2298,7 @@ object SparkEntry {
       "x115_two_level_assign" -> graft.operators.IvfOps.assignTwoLevelSql(
         graft.operators.IvfOps.trainTwoLevel(model)),
       "x116_hard_negatives" -> graft.operators.IvfOps.hardNegativesSql(
-        model, "vec_id % 100 = 0", k = 8, nProbe = 6),
+        model, "vec_id % 100 = 0", k = 8, nProbe = np),
       "x96_ann_recall" ->
         s"""WITH ar_ex AS (
            |  SELECT query_id, neighbor_id FROM (
@@ -2299,7 +2307,7 @@ object SparkEntry {
            |),
            |ar_iv AS (
            |  SELECT query_id, neighbor_id FROM (
-           |${graft.operators.IvfOps.topKSql(model, "vec_id % 100 = 0", k = 8, nProbe = 6)}
+           |${graft.operators.IvfOps.topKSql(model, "vec_id % 100 = 0", k = 8, nProbe = np)}
            |  )
            |),
            |ar_hits AS (

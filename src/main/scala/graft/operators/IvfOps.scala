@@ -97,6 +97,20 @@ object IvfOps {
   def sizeCap(n: Long, capFactor: Int = 4): Long =
     capFactor.toLong * math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong
 
+  /** Probe count for a corpus-aware codebook: `max(6, ⌈k/4⌉)`. Recall
+    * is a function of the PROBED MASS of the corpus, so holding nProbe
+    * constant while k grows with √n silently degrades quality — measured
+    * on the gated model: avg recall@8 fell 0.73 → 0.49 going k=23 →
+    * k=45 at fixed nProbe=6. ⌈k/4⌉ pins the probed fraction (≈¼ of the
+    * inverted lists), which pins recall on corpora with weak cluster
+    * structure like the synthetic fixture — a 4× candidate saving over
+    * brute force. On real embedding corpora with genuine cluster
+    * structure the quantizer concentrates neighbors in few lists and a
+    * slower-growing rule (nProbe ∝ √k) holds recall at asymptotically
+    * sublinear candidate cost; the knob is explicit either way, and the
+    * recall REPORT (x96) gates the outcome at every scale. */
+  def adaptiveNProbe(k: Int): Int = math.max(6, (k + 3) / 4)
+
   /** Corpus-aware, size-BOUNDED training — the gated-model entry point
     * (`SparkEntry.ivfModel`): k = [[adaptiveK]](n), then up to
     * `maxSplitRounds` split rounds. Each round finds clusters above
