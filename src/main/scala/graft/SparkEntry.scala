@@ -467,6 +467,146 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // q9 — product-type profit by supplier nation × year (TPC-H Q9 shape,
+    // adapted: no partsupp here, so supply cost is the deterministic
+    // 0.6·p_retailprice·qty — same arithmetic profit expression class).
+    // Filtered part broadcasts; the fact shuffles once on the order key;
+    // per-row profit snaps to DECIMAL before SUM (order-independent exact)
+    "q9_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+      val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val profit = (col("l_extendedprice") * (lit(1d) - col("l_discount")) -
+        col("p_retailprice") * lit(0.6) * col("l_quantity"))
+        .cast(DecimalType(18, 6))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profit).cast("double").as("profit"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // q11 — important stock (TPC-H Q11 shape, adapted: no partsupp, so
+    // "stock value" is shipped qty × retail price for one nation's
+    // suppliers). The signature move survives intact: a groupwise HAVING
+    // against a scalar fraction-of-global-total subquery, evaluated
+    // division-free as the exact DECIMAL cross-multiply val·np > 2·total
+    // — "above 2× the average part's share", which unlike TPC-H's fixed
+    // 0.0001/SF fraction stays non-degenerate at every corpus size.
+    // The per-part aggregate is |part|-bounded; the 1-row total broadcasts
+    "q11_important_stock" -> ((s, dir) => {
+      val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).filter(col("n_name") === "NATION_3")
+        .select("n_nationkey")
+      val p = Tables.part(s, dir).select("p_partkey", "p_retailprice")
+      val valExpr = (col("p_retailprice").cast(DecimalType(18, 2)) *
+        col("l_quantity").cast("long")).as("v")
+      val vals = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), valExpr)
+        .groupBy("l_partkey").agg(sum(col("v")).as("value"))
+      val tot = vals.agg(sum(col("value")).as("tot"), count(lit(1)).as("np"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("value") * col("np") > lit(2L) * col("tot"))
+        .select(col("l_partkey"), col("value").cast("double").as("stock_value"))
+    }),
+
+    // q16 — supplier count per part attribute (TPC-H Q16 shape, adapted:
+    // the part↔supplier relationship is the distinct (partkey, suppkey)
+    // pairs actually shipped; the NOT-IN "complaints" supplier exclusion
+    // becomes an anti-join against negative-balance suppliers — suppkey is
+    // non-null so anti-join ≡ NOT IN). One fact-pair aggregate, every
+    // dimension broadcast, then a |part|-bounded count-distinct
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val rel = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey").distinct()
+      val badSupp = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      rel.join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // q20 — dominant promo suppliers (TPC-H Q20 shape, adapted: no
+    // partsupp availqty, so the correlated half-of-volume threshold is
+    // "supplier shipped > half of the part's 1997 volume"). The fact
+    // shuffles once onto the (part, supplier) aggregate; the per-part
+    // total is a WINDOW over that |part×supp|-bounded aggregate — never a
+    // join-back (aggregate join-back can't reuse the exchange; the window
+    // re-shuffles only the aggregate). Threshold is the exact integer
+    // cross-multiply 2·sq > tot
+    "q20_dominant_suppliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val ps = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val dominated = ps
+        .withColumn("tot", sum(col("sq")).over(w))
+        .filter(lit(2L) * col("sq") > col("tot"))
+        .select("l_suppkey", "l_partkey")
+      val su = Tables.supplier(s, dir).select("s_suppkey", "s_name", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      dominated.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_parts_dominated"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "n_parts_dominated")
+    }),
+
+    // q21 — suppliers who kept orders waiting (TPC-H Q21 shape, adapted:
+    // no receipt/commit dates, so "late" = shipped >60 days after the
+    // order date, on failed orders). The classic quadruple self-join
+    // (EXISTS other supplier ∧ NOT EXISTS other late supplier) collapses
+    // to ONE pass: dedup to (order, supplier, was_late) via max(late),
+    // then per-order supplier/late counts as WINDOWs sharing one orderkey
+    // shuffle — a row qualifies iff it is late, the order has ≥2 suppliers,
+    // and exactly 1 late one. Top-10 plans as TakeOrderedAndProject
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val pairs = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
+          .as("late"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val culprits = pairs
+        .withColumn("n_supps", count(lit(1)).over(w))
+        .withColumn("n_late", sum(col("late")).over(w))
+        .filter(col("late") === 1L && col("n_supps") >= 2L && col("n_late") === 1L)
+      culprits.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+        .limit(10)
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    }),
+
     "f1_search_name" -> ((s, dir) => SearchOps.searchName(cat(s, dir).vwLl, "%a%")),
 
     "f2_search_name_file" -> ((s, dir) =>
@@ -1779,6 +1919,86 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |       - p_retailprice * 0.6 * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH q11_val AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS BIGINT)) AS value
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey
+        |)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS stock_value
+        |FROM q11_val, (SELECT sum(value) AS tot, count(*) AS np FROM q11_val)
+        |WHERE value * np > 2 * tot""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) q16_rel
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,10,15,20,25,30,35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "q20_dominant_suppliers" ->
+      """WITH q20_ps AS (
+        |  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey
+        |), q20_dom AS (
+        |  SELECT l_suppkey, l_partkey FROM (
+        |    SELECT *, CAST(sum(sq) OVER (PARTITION BY l_partkey) AS BIGINT) AS tot
+        |    FROM q20_ps) q20_w
+        |  WHERE 2 * sq > tot
+        |)
+        |SELECT s_suppkey, s_name, n_name, count(*) AS n_parts_dominated
+        |FROM q20_dom
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY s_suppkey, s_name, n_name""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH q21_pairs AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey
+        |), q21_w AS (
+        |  SELECT *,
+        |    count(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+        |    CAST(sum(late) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_late
+        |  FROM q21_pairs
+        |)
+        |SELECT s_suppkey, s_name, numwait FROM (
+        |  SELECT l_suppkey, count(*) AS numwait
+        |  FROM q21_w
+        |  WHERE late = 1 AND n_supps >= 2 AND n_late = 1
+        |  GROUP BY l_suppkey
+        |  ORDER BY numwait DESC, l_suppkey
+        |  LIMIT 10) q21_top
+        |JOIN supplier ON s_suppkey = l_suppkey""".stripMargin,
 
     "f1_search_name" -> (C +
       s"SELECT * FROM vw_ll WHERE name LIKE '%a%' OR ${Oracle.basenameSql("dir_path")} LIKE '%a%'"),
