@@ -514,4 +514,35 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // matters is above: every corpus-sized ordering is a top-K heap
     // (three TakeOrderedAndProject nodes), so no Sort sees the corpus.
   }
+
+  test("q20 dominant suppliers: per-part total is a WINDOW over the aggregate, never a join-back") {
+    val plan = physicalPlan(
+      SparkEntry.queries("q20_dominant_suppliers")(spark, sfDir))
+    // pair aggregate + partkey window + suppkey aggregate — and nothing
+    // else: a join-back of per-part totals would add a 4th exchange that
+    // can never reuse the aggregate's (partial aggs differ below them)
+    assert(plan.split("Exchange hash").length - 1 === 3,
+      s"expected exactly 3 hash exchanges (pair agg, window, supp agg):\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).length === 1,
+      s"one window computes the per-part total:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"part/supplier/nation dimensions must broadcast:\n$plan")
+  }
+
+  test("q21 waiting suppliers: both per-order counts share ONE window; top-10 is a heap") {
+    val plan = physicalPlan(
+      SparkEntry.queries("q21_waiting_suppliers")(spark, sfDir))
+    // n_supps and n_late partition on the same key, so Catalyst must fuse
+    // them into a single Window node riding the one orderkey shuffle
+    assert("\\bWindow\\b".r.findAllIn(plan).length === 1,
+      s"supplier-count and late-count windows must fuse into one:\n$plan")
+    assert(plan.split("Exchange hash").length - 1 === 3,
+      s"expected exactly 3 hash exchanges (pair agg, window, numwait agg):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be per-partition heaps, not a global Sort+Limit:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the quadruple-self-join rewrite must stay join-light:\n$plan")
+  }
 }
