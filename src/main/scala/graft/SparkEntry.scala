@@ -1256,6 +1256,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
           countDistinct(col("user_id")).as("n_users"))),
 
+    // x118 — HyperLogLog distinct-estimate calibration: per (event_type,
+    // day) distinct users via 256 single-byte mergeable registers beside
+    // the exact count and relative error — the count(distinct)
+    // replacement whose state stays 256 bytes per group at any corpus
+    // size. Exercises BOTH estimator branches across SFs (linear
+    // counting ≤2.5m at sf0.01, raw harmonic at sf0.1); register sums
+    // are exact BIGINT so the estimate is engine-identical
+    "x118_hll_calibration" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val grp = concat(col("event_type"), lit(":"),
+        expr("cast(unix_micros(ts) div 86400000000 as string)"))
+      graft.operators.SketchOps.hllCalibration(ev, grp, col("user_id"))
+    }),
+
     // x116 — hard-negative mining: per query, top-8 most-similar corpus
     // vectors with a DIFFERENT label (contrastive-training candidates);
     // IVF probe economics, label inequality before the rank
@@ -1851,6 +1865,10 @@ object SparkEntry {
         |      FROM events)
         |WHERE k IS NOT NULL
         |GROUP BY event_type, k // 10""".stripMargin,
+
+    "x118_hll_calibration" -> graft.operators.SketchOps.hllCalibrationSql(
+      "event_type || ':' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR)",
+      "user_id"),
 
     "q12_priority_lines" ->
       """SELECT l_linestatus,

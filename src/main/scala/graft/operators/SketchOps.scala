@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Distributed sketch operators — the fixed-size-state summaries that
+  * replace exact global aggregation at warehouse scale, each shipped with
+  * an exact twin so the sketch's error is MEASURED, not assumed (the
+  * x89 minhash-calibration pattern).
+  *
+  * HyperLogLog (Flajolet et al. 2007, the Google HLL++ paper's baseline):
+  * per-group distinct counts from m = 2^p single-byte registers.
+  * The register relation here is the real production contract —
+  * `max(rho) GROUP BY (group, bucket)` is associative/commutative, so
+  * registers merge across partitions (partial aggregation), across days
+  * (incremental refresh), and across tables (union-then-max) without
+  * ever rescanning raw data. The estimate is a pure |groups|×m-sized
+  * finishing step.
+  *
+  * Everything is engine-portable and hash-stable against the DuckDB twin:
+  *   - the item hash is [[HashFunctions.hash60]] (md5-based, 60 bits);
+  *   - rho comes from `length(bin(w))` — bit length, no float log2;
+  *   - the harmonic sum is EXACT BIGINT arithmetic: each register
+  *     contributes 2^(53−reg), so `sum` ≤ m·2^53 < 2^63 never rounds
+  *     (a raw `sum(1/2^reg)` double would round by partition order);
+  *   - the two estimator branches (linear counting below 2.5m, raw
+  *     harmonic above) hit ln only on the trusted integer-ratio class.
+  */
+object SketchOps {
+
+  /** Registers per group: (group, bucket ∈ [0, m), reg = max rho).
+    * rho = leading zeros of the 52-bit suffix + 1 = 53 − bitlen(w).
+    * Package-visible so the spec can pin the merge law directly. */
+  private[graft] def registers(df: DataFrame, group: Column, item: Column,
+                               m: Int): DataFrame = {
+    val h = HashFunctions.hash60(item)
+    df.select(group.as("g"), h.as("h"))
+      .select(col("g"), pmod(col("h"), lit(m.toLong)).cast("int").as("bucket"),
+        expr(s"h div ${m}L").as("w"))
+      .select(col("g"), col("bucket"),
+        when(col("w") === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("rho"))
+      .groupBy("g", "bucket").agg(max(col("rho")).as("reg"))
+  }
+
+  /** Per-group HLL estimate beside the exact distinct count and the
+    * relative error — the calibration read before trusting the sketch
+    * as the production `count(distinct)` replacement.
+    *
+    * Output: (group, n_exact, n_est, rel_err); deterministic across
+    * engines — both estimator branches are exact-integer or
+    * fixed-op-order IEEE arithmetic.
+    */
+  def hllCalibration(events: DataFrame, group: Column, item: Column,
+                     p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
+    val m = 1 << p
+    val regs = registers(events, group, item, m)
+    // full m-bucket grid per group: absent buckets are reg=0 and must
+    // contribute 2^53 to the harmonic sum / count as zero registers
+    val grid = regs.select("g").distinct()
+      .select(col("g"), explode(expr(s"sequence(0, ${m - 1})")).as("bucket"))
+    val full = grid.join(regs, Seq("g", "bucket"), "left_outer")
+      .select(col("g"), coalesce(col("reg"), lit(0)).as("reg"))
+    val stats = full.groupBy("g").agg(
+      // EXACT: sum of 2^(53-reg) over m registers ≤ m·2^53 < 2^63
+      sum(expr("shiftleft(cast(1 as bigint), 53 - reg)")).as("hs"),
+      sum(when(col("reg") === 0, 1L).otherwise(0L)).as("zeros"))
+    // alpha_m·m²·2^53 / hs, constants folded once, left-assoc order
+    val alphaNum = s"(0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 * 9007199254740992.0"
+    val est = stats.select(col("g"), col("zeros"),
+      expr(s"$alphaNum / cast(hs as double)").as("est_raw"))
+      .select(col("g"),
+        when(col("est_raw") <= lit(2.5 * m) && col("zeros") > 0L,
+          // linear counting: m·ln(m/V) — ln over an integer ratio
+          expr(s"$m.0 * ln($m.0 / cast(zeros as double))"))
+          .otherwise(col("est_raw")).as("est"))
+      .select(col("g"), floor(col("est") + lit(0.5)).cast("long").as("n_est"))
+    val exact = events.groupBy(group.as("g"))
+      .agg(countDistinct(item).as("n_exact"))
+    exact.join(broadcast(est), Seq("g"))
+      .select(col("g").as("group_key"), col("n_exact"), col("n_est"),
+        (abs(col("n_est") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double")).as("rel_err"))
+  }
+
+  /** DuckDB twin of [[hllCalibration]]; `groupExpr`/`itemExpr` are SQL
+    * expressions over `events`. Keep the arithmetic in lockstep with the
+    * Spark side. */
+  def hllCalibrationSql(groupExpr: String, itemExpr: String,
+                        p: Int = 8): String = {
+    val m = 1 << p
+    val h = HashFunctions.hash60Sql(itemExpr)
+    s"""WITH hll_regs AS (
+       |  SELECT g, bucket, max(rho) AS reg FROM (
+       |    SELECT g, h % $m AS bucket,
+       |      CASE WHEN h // $m = 0 THEN 53
+       |           ELSE 53 - length(bin(h // $m)) END AS rho
+       |    FROM (SELECT $groupExpr AS g, $h AS h FROM events))
+       |  GROUP BY g, bucket
+       |), hll_full AS (
+       |  SELECT gr.g, COALESCE(r.reg, 0) AS reg
+       |  FROM (SELECT g, unnest(range($m)) AS bucket
+       |        FROM (SELECT DISTINCT g FROM hll_regs)) gr
+       |  LEFT JOIN hll_regs r ON gr.g = r.g AND gr.bucket = r.bucket
+       |), hll_stats AS (
+       |  SELECT g,
+       |    CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS hs,
+       |    CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+       |  FROM hll_full GROUP BY g
+       |), hll_est AS (
+       |  SELECT g, CAST(floor(
+       |    CASE WHEN est_raw <= ${2.5 * m} AND zeros > 0
+       |         THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE))
+       |         ELSE est_raw END + 0.5) AS BIGINT) AS n_est
+       |  FROM (SELECT g, zeros,
+       |          (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0
+       |            * 9007199254740992.0 / CAST(hs AS DOUBLE) AS est_raw
+       |        FROM hll_stats)
+       |)
+       |SELECT e.g AS group_key, n_exact, n_est,
+       |  CAST(abs(n_est - n_exact) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM (SELECT $groupExpr AS g, CAST(count(DISTINCT $itemExpr) AS BIGINT) AS n_exact
+       |      FROM events GROUP BY 1) e
+       |JOIN hll_est USING (g)""".stripMargin
+  }
+}

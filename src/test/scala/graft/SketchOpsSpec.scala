@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SketchOps
+
+/** HLL distinct-estimate calibration (x118): the estimate must equal a
+  * driver-side reference computing the SAME portable arithmetic, the
+  * registers must obey the sketch merge law (max-merge of split halves
+  * == registers of the whole), and the error must sit inside the
+  * published 1.04/√m envelope on a known-cardinality fixture. */
+class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Driver-side reference: identical md5 hash, registers, estimator. */
+  private def referenceHll(items: Seq[String], m: Int): Long = {
+    val regs = new Array[Int](m)
+    items.foreach { it =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(it.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16)
+      val bucket = (h % m).toInt
+      val w = h / m
+      val rho = if (w == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(bucket)) regs(bucket) = rho
+    }
+    val hs = regs.map(r => 1L << (53 - r)).sum
+    val zeros = regs.count(_ == 0)
+    val estRaw = (0.7213 / (1.0 + 1.079 / m)) * m * m * 9007199254740992.0 / hs.toDouble
+    val est = if (estRaw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+              else estRaw
+    math.floor(est + 0.5).toLong
+  }
+
+  private def fixture(n: Int, dupFactor: Int) = {
+    val s = spark
+    import s.implicits._
+    // dupFactor copies of each distinct item — HLL must be insensitive
+    (0 until n).flatMap(i => Seq.fill(dupFactor)(("g1", s"user_$i")))
+      .toDF("grp", "item")
+  }
+
+  test("estimate equals the driver-side reference arithmetic exactly") {
+    for (n <- Seq(10, 150, 1500, 5000)) {
+      val df = fixture(n, dupFactor = 3)
+      val row = SketchOps.hllCalibration(df, col("grp"), col("item"))
+        .collect().head
+      val ref = referenceHll((0 until n).map(i => s"user_$i"), m = 256)
+      assert(row.getAs[Long]("n_exact") === n.toLong)
+      assert(row.getAs[Long]("n_est") === ref,
+        s"n=$n: engine estimate ${row.getAs[Long]("n_est")} != reference $ref")
+    }
+  }
+
+  test("error sits inside the HLL envelope on known cardinalities") {
+    for (n <- Seq(150, 1500, 20000)) {
+      val df = fixture(n, dupFactor = 2)
+      val err = SketchOps.hllCalibration(df, col("grp"), col("item"))
+        .collect().head.getAs[Double]("rel_err")
+      // 1.04/sqrt(256) = 6.5% standard error; allow 3 sigma
+      assert(err < 3 * 1.04 / 16.0, s"n=$n: rel_err $err outside 3σ envelope")
+    }
+  }
+
+  test("registers obey the merge law: max-merge of halves == whole") {
+    val df = fixture(4000, dupFactor = 1)
+    val whole = SketchOps.registers(df, col("grp"), col("item"), 256)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toMap
+    val h1 = SketchOps.registers(df.filter(xxhash64(col("item")) % 2 === 0),
+      col("grp"), col("item"), 256)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toMap
+    val h2 = SketchOps.registers(df.filter(xxhash64(col("item")) % 2 =!= 0),
+      col("grp"), col("item"), 256)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toMap
+    val merged = (h1.keySet ++ h2.keySet).map { b =>
+      b -> math.max(h1.getOrElse(b, 0), h2.getOrElse(b, 0))
+    }.toMap
+    assert(merged === whole,
+      "sharded registers max-merged must equal the whole-data registers")
+  }
+
+  test("duplicates never move the estimate (the point of the sketch)") {
+    val once = SketchOps.hllCalibration(fixture(800, 1), col("grp"), col("item"))
+      .collect().head.getAs[Long]("n_est")
+    val many = SketchOps.hllCalibration(fixture(800, 7), col("grp"), col("item"))
+      .collect().head.getAs[Long]("n_est")
+    assert(once === many)
+  }
+}
