@@ -1270,6 +1270,14 @@ object SparkEntry {
       graft.operators.SketchOps.hllCalibration(ev, grp, col("user_id"))
     }),
 
+    // x119 — PageRank hubs of the session-concurrency graph: j17's
+    // interval-join machinery reduced to an edge set, then 6 Pregel-style
+    // rounds of one dst-key shuffle each, EXACT integer mass (floor
+    // division, BIGINT sums — no float accumulation, no partition-order
+    // sensitivity); driver holds loop control only
+    "x119_session_pagerank" -> ((s, dir) =>
+      graft.operators.GraphOps.sessionPageRank(Tables.events(s, dir))),
+
     // x116 — hard-negative mining: per query, top-8 most-similar corpus
     // vectors with a DIFFERENT label (contrastive-training candidates);
     // IVF probe economics, label inequality before the rank
@@ -1869,6 +1877,8 @@ object SparkEntry {
     "x118_hll_calibration" -> graft.operators.SketchOps.hllCalibrationSql(
       "event_type || ':' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR)",
       "user_id"),
+
+    "x119_session_pagerank" -> graft.operators.GraphOps.sessionPageRankSql(),
 
     "q12_priority_lines" ->
       """SELECT l_linestatus,

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps.{IterState, Local}
+
+/** Graph analytics over relations the engine already derives — here,
+  * bounded-round PageRank (Brin & Page 1998) with EXACT integer
+  * arithmetic so both engines (and any partition order) produce
+  * bit-identical ranks.
+  *
+  * Scale shape: the classic Pregel-style iteration expressed as plain
+  * joins — each round is ONE shuffle of (edge ⋈ rank) onto the
+  * destination key plus a node-sized aggregate; the driver holds loop
+  * control only (the Borůvka pattern from [[DedupOps.dupClusters]]).
+  * Rounds are pinned ([[DedupOps.IterState]]) so lineage stays flat and
+  * a failed round restarts from materialized state, not from round 0.
+  *
+  * Determinism: scores live in integer `unit`s (1e12 per node at start).
+  * Each round sends `score div deg` along every out-edge and recombines
+  * as `base + (85 · Σincoming) div 100` — floor division and BIGINT sums
+  * only, so there is no floating-point accumulation anywhere. Total mass
+  * stays ≤ n·unit, bounding every intermediate below 2^63 for corpora up
+  * to ~10^6 nodes per unit of 1e12 (shrink `unit` beyond that).
+  */
+object GraphOps {
+
+  /** Distinct concurrent-user pairs (u_a < u_b): users whose sessions
+    * overlap in time at least once — the j17 interval-join machinery
+    * reduced to its edge set. Sessions are pinned so the sessionization
+    * scan runs once for both join sides. */
+  def overlapPairs(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sess = graft.core.PinnedViews.pinned(
+      graft.streaming.EventStreams.userSessions(events, gapMinutes)
+        .select(col("user_id"), col("session_start_epoch"),
+          col("session_end_epoch")))
+    val a = sess.select(col("user_id").as("u_a"),
+      col("session_start_epoch").as("s_a"), col("session_end_epoch").as("e_a"))
+    val b = sess.select(col("user_id").as("u_b"),
+      col("session_start_epoch").as("s_b"), col("session_end_epoch").as("e_b"))
+    TemporalJoins.intervalJoin(a, b, "s_a", "e_a", "s_b", "e_b", 3600L,
+        col("u_a") < col("u_b"))
+      .select(col("u_a"), col("u_b")).distinct()
+  }
+
+  /** Integer PageRank over an undirected pair relation `(u_a, u_b)`;
+    * returns the top-`k` hubs as (user_id, degree, pagerank).
+    *
+    * Every node in the pair relation has degree ≥ 1, so every node
+    * receives incoming mass each round and the inner join form is total
+    * — no dangling-node special case. */
+  def pageRank(pairs: DataFrame, iterations: Int = 6, topK: Int = 20,
+               unit: Long = 1000000000000L,
+               state: IterState = Local): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"iterations=$iterations")
+    val edges = pairs.select(col("u_a").as("src"), col("u_b").as("dst"))
+      .union(pairs.select(col("u_b").as("src"), col("u_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) pinned once: every round joins rank onto THIS
+    val ed = state.pin(edges.join(deg, "src"))
+    val base = 15L * unit / 100L
+    var r = deg.select(col("src").as("id"), lit(unit).as("score"))
+    for (_ <- 1 to iterations) {
+      r = state.pin(
+        ed.join(r, col("src") === col("id"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("score div deg")).as("inc"))
+          .select(col("dst").as("id"),
+            expr(s"${base}L + (85L * inc) div 100L").as("score")))
+    }
+    r.join(deg, col("id") === col("src"))
+      .select(col("id").as("user_id"), col("deg").as("degree"),
+        col("score").as("pagerank"))
+      .orderBy(col("pagerank").desc, col("user_id"))
+      .limit(topK)
+  }
+
+  /** x119 composition: PageRank hubs of the session-concurrency graph —
+    * "which users sit at the center of temporal co-activity". */
+  def sessionPageRank(events: DataFrame, gapMinutes: Int = 30,
+                      iterations: Int = 6, topK: Int = 20,
+                      state: IterState = Local): DataFrame =
+    pageRank(overlapPairs(events, gapMinutes), iterations, topK,
+      state = state)
+
+  /** DuckDB twin of [[sessionPageRank]] — the naive inequality join for
+    * the edge set (DuckDB plans an IEJoin; small-SF only) and the
+    * iteration unrolled round by round with the same floor arithmetic. */
+  def sessionPageRankSql(gapMinutes: Int = 30, iterations: Int = 6,
+                         topK: Int = 20,
+                         unit: Long = 1000000000000L): String = {
+    val base = 15L * unit / 100L
+    val rounds = (1 to iterations).map { k =>
+      s"""pr_r$k AS (
+         |  SELECT e.dst AS id,
+         |    CAST($base + (85 * sum(r.score // d.deg)) // 100 AS BIGINT) AS score
+         |  FROM pr_edges e
+         |  JOIN pr_r${k - 1} r ON r.id = e.src
+         |  JOIN pr_deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr_sess AS (
+       |  SELECT user_id, session_start_epoch, session_end_epoch FROM (
+       |${graft.streaming.EventStreams.userSessionsSql(gapMinutes)}
+       |  ) t
+       |), pr_pairs AS (
+       |  SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
+       |  FROM pr_sess a JOIN pr_sess b ON a.user_id < b.user_id
+       |    AND a.session_start_epoch <= b.session_end_epoch
+       |    AND b.session_start_epoch <= a.session_end_epoch
+       |), pr_edges AS (
+       |  SELECT u_a AS src, u_b AS dst FROM pr_pairs
+       |  UNION ALL
+       |  SELECT u_b AS src, u_a AS dst FROM pr_pairs
+       |), pr_deg AS (
+       |  SELECT src, count(*) AS deg FROM pr_edges GROUP BY src
+       |), pr_r0 AS (
+       |  SELECT src AS id, CAST($unit AS BIGINT) AS score FROM pr_deg
+       |),
+       |$rounds
+       |SELECT r.id AS user_id, CAST(d.deg AS BIGINT) AS degree,
+       |  r.score AS pagerank
+       |FROM pr_r$iterations r JOIN pr_deg d ON d.src = r.id
+       |ORDER BY pagerank DESC, user_id
+       |LIMIT $topK""".stripMargin
+  }
+}
