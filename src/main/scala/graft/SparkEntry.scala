@@ -1270,6 +1270,15 @@ object SparkEntry {
       graft.operators.SketchOps.hllCalibration(ev, grp, col("user_id"))
     }),
 
+    // x120 — join-key skew report: lineitem's part-key rows projected
+    // onto 32 portable hash partitions — per-partition load, key count,
+    // exact-ppm load ratio vs mean, heaviest key. The pre-join read that
+    // decides salting/AQE; |keys|-sized after the first aggregate, the
+    // window and per-partition aggregate share one exchange
+    "x120_key_skew" -> ((s, dir) =>
+      graft.operators.SketchOps.keySkewReport(
+        Tables.lineitem(s, dir), col("l_partkey"))),
+
     // x119 — PageRank hubs of the session-concurrency graph: j17's
     // interval-join machinery reduced to an edge set, then 6 Pregel-style
     // rounds of one dst-key shuffle each, EXACT integer mass (floor
@@ -1879,6 +1888,9 @@ object SparkEntry {
       "user_id"),
 
     "x119_session_pagerank" -> graft.operators.GraphOps.sessionPageRankSql(),
+
+    "x120_key_skew" ->
+      graft.operators.SketchOps.keySkewReportSql("lineitem", "l_partkey"),
 
     "q12_priority_lines" ->
       """SELECT l_linestatus,

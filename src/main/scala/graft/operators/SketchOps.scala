@@ -86,6 +86,72 @@ object SketchOps {
           col("n_exact").cast("double")).as("rel_err"))
   }
 
+  /** Join-key skew report: the read before any big shuffle — project the
+    * key's rows onto `p` hash partitions (portable md5 partitioner, a
+    * model of ANY hash partitioner's load) and report per-partition
+    * load, key count, load ratio vs the mean, and the heaviest key.
+    * A max load ratio ≫ 1e6 ppm says salt-or-AQE before joining.
+    *
+    * Scale shape: one shuffle on the key (the frequency aggregate — the
+    * relation shrinks to |keys| there), then window + aggregate SHARING
+    * one partition-key exchange; everything after the first aggregate is
+    * |keys|-sized. All ratios are exact integer ppm.
+    *
+    * Output: (part, n_rows, n_keys, load_ppm, top_key, top_key_cnt). */
+  def keySkewReport(df: DataFrame, key: Column, p: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p >= 2 && p <= 4096, s"p=$p")
+    val counts = df.select(key.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .select(col("k"), col("cnt"),
+        pmod(HashFunctions.hash60(col("k")), lit(p.toLong))
+          .cast("int").as("part"))
+    val w = Window.partitionBy("part")
+      .orderBy(col("cnt").desc, col("k").asc)
+    val perPart = counts.withColumn("rn", row_number().over(w))
+      .groupBy("part").agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(when(col("rn") === 1, col("k"))).as("top_key"),
+        max(when(col("rn") === 1, col("cnt"))).as("top_key_cnt"))
+    // global total as an UNPARTITIONED window over the p-row aggregate:
+    // a separate `perPart.agg(sum)` branch re-executes the whole
+    // pipeline (column pruning breaks canonical exchange reuse — the
+    // aggregate-join-back trap); the window is one singleton exchange
+    // of p rows
+    perPart.withColumn("total",
+        sum(col("n_rows")).over(Window.partitionBy()))
+      .select(col("part").cast("long").as("part"), col("n_rows"),
+        col("n_keys"),
+        expr(s"(n_rows * ${p}L * 1000000L) div total").as("load_ppm"),
+        col("top_key"), col("top_key_cnt"))
+  }
+
+  /** DuckDB twin of [[keySkewReport]] over `keyExpr` of `rel`. */
+  def keySkewReportSql(rel: String, keyExpr: String, p: Int = 32): String = {
+    val h = HashFunctions.hash60Sql("k")
+    s"""WITH sk_counts AS (
+       |  SELECT k, cnt, CAST($h % $p AS INTEGER) AS part FROM (
+       |    SELECT CAST($keyExpr AS VARCHAR) AS k, count(*) AS cnt
+       |    FROM $rel GROUP BY 1)
+       |), sk_rn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY part
+       |    ORDER BY cnt DESC, k ASC) AS rn
+       |  FROM sk_counts
+       |), sk_part AS (
+       |  SELECT part, CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |    CAST(count(*) AS BIGINT) AS n_keys,
+       |    max(CASE WHEN rn = 1 THEN k END) AS top_key,
+       |    CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_key_cnt
+       |  FROM sk_rn GROUP BY part
+       |)
+       |SELECT CAST(part AS BIGINT) AS part, n_rows, n_keys,
+       |  CAST((n_rows * $p * 1000000) //
+       |    sum(n_rows) OVER () AS BIGINT) AS load_ppm,
+       |  top_key, top_key_cnt
+       |FROM sk_part""".stripMargin
+  }
+
   /** DuckDB twin of [[hllCalibration]]; `groupExpr`/`itemExpr` are SQL
     * expressions over `events`. Keep the arithmetic in lockstep with the
     * Spark side. */

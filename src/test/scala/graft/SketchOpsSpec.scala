@@ -99,4 +99,36 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getAs[Long]("n_est")
     assert(once === many)
   }
+
+  test("keySkewReport surfaces a planted heavy hitter with exact accounting") {
+    val s = spark
+    import s.implicits._
+    // 1 key with 5000 rows + 500 keys with 10 rows each
+    val df = (Seq.fill(5000)("whale") ++
+      (0 until 500).flatMap(i => Seq.fill(10)(s"key_$i"))).toDF("k")
+    val rows = SketchOps.keySkewReport(df, col("k"), p = 8).collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === 10000L)
+    assert(rows.map(_.getAs[Long]("n_keys")).sum === 501L)
+    val whalePart = rows.find(_.getAs[String]("top_key") == "whale").get
+    assert(whalePart.getAs[Long]("top_key_cnt") === 5000L)
+    // the whale's partition must carry > 4x the mean load (4e6 ppm)
+    assert(whalePart.getAs[Long]("load_ppm") > 4000000L,
+      s"planted skew must dominate its partition: $whalePart")
+    // ppm accounting: each load_ppm == n_rows * p * 1e6 / total exactly
+    rows.foreach { r =>
+      assert(r.getAs[Long]("load_ppm") ===
+        r.getAs[Long]("n_rows") * 8L * 1000000L / 10000L)
+    }
+  }
+
+  test("keySkewReport: window and per-partition aggregate share one exchange") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 1000).map(i => s"key_${i % 37}").toDF("k")
+    val plan = SketchOps.keySkewReport(df, col("k"), p = 8)
+      .queryExecution.executedPlan.toString
+    // key-count shuffle + part shuffle; the final 1-row total broadcasts
+    assert(plan.split("Exchange hash").length - 1 === 2,
+      s"expected exactly 2 hash exchanges (key agg, part window+agg):\n$plan")
+  }
 }
