@@ -1279,6 +1279,15 @@ object SparkEntry {
       graft.operators.SketchOps.keySkewReport(
         Tables.lineitem(s, dir), col("l_partkey"))),
 
+    // x121 — Count-Min heavy-hitter calibration: the true top-20 part
+    // keys beside their CMS point estimates from a 4×512 counter table —
+    // counters are sums, so the sketch merges across partitions/days by
+    // ADDING; over_cnt ≥ 0 is the sketch's structural guarantee and its
+    // size is the collision cost actually paid at this (d, w)
+    "x121_cms_calibration" -> ((s, dir) =>
+      graft.operators.SketchOps.cmsCalibration(
+        Tables.lineitem(s, dir), col("l_partkey"))),
+
     // x119 — PageRank hubs of the session-concurrency graph: j17's
     // interval-join machinery reduced to an edge set, then 6 Pregel-style
     // rounds of one dst-key shuffle each, EXACT integer mass (floor
@@ -1891,6 +1900,9 @@ object SparkEntry {
 
     "x120_key_skew" ->
       graft.operators.SketchOps.keySkewReportSql("lineitem", "l_partkey"),
+
+    "x121_cms_calibration" ->
+      graft.operators.SketchOps.cmsCalibrationSql("lineitem", "l_partkey"),
 
     "q12_priority_lines" ->
       """SELECT l_linestatus,

@@ -53,24 +53,28 @@ object SketchOps {
     * engines — both estimator branches are exact-integer or
     * fixed-op-order IEEE arithmetic.
     */
-  def hllCalibration(events: DataFrame, group: Column, item: Column,
-                     p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
-    val m = 1 << p
-    val regs = registers(events, group, item, m)
+  /** The |groups|×m-sized finishing step: registers → (g, n_est).
+    * Shared verbatim by the batch gate and the streaming deployment
+    * (live registers, estimate computed on read), so online and offline
+    * estimates cannot drift. */
+  private[graft] def estimateFromRegisters(regs: DataFrame, m: Int): DataFrame = {
     // full m-bucket grid per group: absent buckets are reg=0 and must
-    // contribute 2^53 to the harmonic sum / count as zero registers
-    val grid = regs.select("g").distinct()
-      .select(col("g"), explode(expr(s"sequence(0, ${m - 1})")).as("bucket"))
-    val full = grid.join(regs, Seq("g", "bucket"), "left_outer")
-      .select(col("g"), coalesce(col("reg"), lit(0)).as("reg"))
+    // contribute 2^53 to the harmonic sum / count as zero registers.
+    // The grid branch renames its columns — it re-reads `regs`, and a
+    // same-name self-join over an external view (e.g. a streaming
+    // memory sink) hits conflicting-attribute resolution
+    val grid = regs.select(col("g").as("gg")).distinct()
+      .select(col("gg"), explode(expr(s"sequence(0, ${m - 1})")).as("bb"))
+    val full = grid.join(regs,
+        col("gg") === col("g") && col("bb") === col("bucket"), "left_outer")
+      .select(col("gg").as("g"), coalesce(col("reg"), lit(0)).as("reg"))
     val stats = full.groupBy("g").agg(
       // EXACT: sum of 2^(53-reg) over m registers ≤ m·2^53 < 2^63
       sum(expr("shiftleft(cast(1 as bigint), 53 - reg)")).as("hs"),
       sum(when(col("reg") === 0, 1L).otherwise(0L)).as("zeros"))
     // alpha_m·m²·2^53 / hs, constants folded once, left-assoc order
     val alphaNum = s"(0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 * 9007199254740992.0"
-    val est = stats.select(col("g"), col("zeros"),
+    stats.select(col("g"), col("zeros"),
       expr(s"$alphaNum / cast(hs as double)").as("est_raw"))
       .select(col("g"),
         when(col("est_raw") <= lit(2.5 * m) && col("zeros") > 0L,
@@ -78,12 +82,98 @@ object SketchOps {
           expr(s"$m.0 * ln($m.0 / cast(zeros as double))"))
           .otherwise(col("est_raw")).as("est"))
       .select(col("g"), floor(col("est") + lit(0.5)).cast("long").as("n_est"))
+  }
+
+  def hllCalibration(events: DataFrame, group: Column, item: Column,
+                     p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
+    val m = 1 << p
+    val est = estimateFromRegisters(registers(events, group, item, m), m)
     val exact = events.groupBy(group.as("g"))
       .agg(countDistinct(item).as("n_exact"))
     exact.join(broadcast(est), Seq("g"))
       .select(col("g").as("group_key"), col("n_exact"), col("n_est"),
         (abs(col("n_est") - col("n_exact")).cast("double") /
           col("n_exact").cast("double")).as("rel_err"))
+  }
+
+  // ---- Count-Min sketch ---------------------------------------------------
+
+  /** Count-Min counter table (Cormode & Muthukrishnan 2005): d hash rows
+    * × w counters; counter(i, b) = Σ counts of every key with
+    * h_i(key) ≡ b. Like the HLL registers, THIS is the production
+    * contract — counters are sums, so sketches merge across partitions/
+    * days/tables by adding, and the table is d·w integers regardless of
+    * corpus size. Package-visible for the spec's merge-law pin. */
+  private[graft] def cmsCounters(keyCounts: DataFrame, d: Int,
+                                 w: Int): DataFrame =
+    keyCounts
+      .select(col("k"), col("cnt"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("row_i"))
+      .select(col("row_i"),
+        pmod(HashFunctions.hash60(concat(col("row_i").cast("string"), lit("|"), col("k"))),
+          lit(w.toLong)).cast("int").as("bucket"),
+        col("cnt"))
+      .groupBy("row_i", "bucket").agg(sum(col("cnt")).as("counter"))
+
+  /** Count-Min heavy-hitter calibration: the true top-`k` keys by exact
+    * count beside their CMS point estimates (min over the d rows) and
+    * the overestimate — CMS never underestimates, so `over_cnt ≥ 0` is a
+    * structural guarantee and its size is the collision cost actually
+    * paid at this (d, w).
+    *
+    * Scale shape: one shuffle onto the key (the exact count — already
+    * |keys|-sized), one onto (row, bucket) for the d·w counter table;
+    * the counter table then BROADCASTS (it is d·w rows by construction)
+    * onto the top-k probe. Everything is exact BIGINT.
+    *
+    * Output: (key, n_exact, n_est, over_cnt). */
+  def cmsCalibration(df: DataFrame, key: Column, d: Int = 4, w: Int = 512,
+                     topK: Int = 20): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 16 && w <= 65536, s"d=$d w=$w")
+    val keyCounts = df.select(key.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val counters = cmsCounters(keyCounts, d, w)
+    val top = keyCounts
+      .orderBy(col("cnt").desc, col("k")).limit(topK)
+    top
+      .select(col("k"), col("cnt"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("row_i"))
+      .select(col("k"), col("cnt"), col("row_i"),
+        pmod(HashFunctions.hash60(concat(col("row_i").cast("string"), lit("|"), col("k"))),
+          lit(w.toLong)).cast("int").as("bucket"))
+      .join(broadcast(counters), Seq("row_i", "bucket"))
+      .groupBy(col("k"), col("cnt"))
+      .agg(min(col("counter")).as("n_est"))
+      .select(col("k").as("key"), col("cnt").as("n_exact"), col("n_est"),
+        (col("n_est") - col("cnt")).as("over_cnt"))
+  }
+
+  /** DuckDB twin of [[cmsCalibration]] over `keyExpr` of `rel`. */
+  def cmsCalibrationSql(rel: String, keyExpr: String, d: Int = 4,
+                        w: Int = 512, topK: Int = 20): String = {
+    val h = HashFunctions.hash60Sql("CAST(row_i AS VARCHAR) || '|' || k")
+    s"""WITH cms_counts AS (
+       |  SELECT CAST($keyExpr AS VARCHAR) AS k, count(*) AS cnt
+       |  FROM $rel GROUP BY 1
+       |), cms_cells AS (
+       |  SELECT row_i, CAST($h % $w AS INTEGER) AS bucket, cnt
+       |  FROM cms_counts, (SELECT unnest(range($d)) AS row_i)
+       |), cms_tab AS (
+       |  SELECT row_i, bucket, CAST(sum(cnt) AS BIGINT) AS counter
+       |  FROM cms_cells GROUP BY row_i, bucket
+       |), cms_top AS (
+       |  SELECT k, cnt FROM cms_counts ORDER BY cnt DESC, k LIMIT $topK
+       |), cms_probe AS (
+       |  SELECT k, cnt, row_i, CAST($h % $w AS INTEGER) AS bucket
+       |  FROM cms_top, (SELECT unnest(range($d)) AS row_i)
+       |)
+       |SELECT p.k AS key, CAST(p.cnt AS BIGINT) AS n_exact,
+       |  CAST(min(t.counter) AS BIGINT) AS n_est,
+       |  CAST(min(t.counter) - p.cnt AS BIGINT) AS over_cnt
+       |FROM cms_probe p
+       |JOIN cms_tab t ON t.row_i = p.row_i AND t.bucket = p.bucket
+       |GROUP BY p.k, p.cnt""".stripMargin
   }
 
   /** Join-key skew report: the read before any big shuffle — project the

@@ -100,6 +100,48 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once === many)
   }
 
+  test("CMS never underestimates, and is exact when a key owns its row-minimum cell") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(900)("whale") ++
+      (0 until 300).flatMap(i => Seq.fill(3)(s"key_$i"))).toDF("k")
+    val rows = SketchOps.cmsCalibration(df, col("k"), d = 4, w = 512, topK = 10)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("over_cnt") >= 0L,
+        s"CMS must never underestimate: $r")
+      assert(r.getAs[Long]("n_est") ===
+        r.getAs[Long]("n_exact") + r.getAs[Long]("over_cnt"))
+    }
+    val whale = rows.find(_.getAs[String]("key") == "whale").get
+    assert(whale.getAs[Long]("n_exact") === 900L)
+    // 301 keys over 4 independent 512-cell rows: the chance every row
+    // collides the whale is ~(301/512)^4 < 12% per seed family; this
+    // hash family (md5, fixed seeds) is deterministic — pin the outcome
+    assert(whale.getAs[Long]("n_est") === 900L,
+      s"whale should own a collision-free cell in some row: $whale")
+  }
+
+  test("CMS counters obey the merge law: shard sums add to the whole") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 2000).map(i => s"key_${i % 97}").toDF("k")
+    def counts(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    def tab(d: org.apache.spark.sql.DataFrame) =
+      SketchOps.cmsCounters(counts(d), 4, 64)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val whole = tab(df)
+    val h1 = tab(df.filter(xxhash64(col("k")) % 2 === 0))
+    val h2 = tab(df.filter(xxhash64(col("k")) % 2 =!= 0))
+    val merged = (h1.keySet ++ h2.keySet).map { c =>
+      c -> (h1.getOrElse(c, 0L) + h2.getOrElse(c, 0L))
+    }.toMap
+    assert(merged === whole,
+      "sharded counters summed must equal the whole-data counters")
+  }
+
   test("keySkewReport surfaces a planted heavy hitter with exact accounting") {
     val s = spark
     import s.implicits._

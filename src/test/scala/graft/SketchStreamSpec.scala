@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SketchOps
+import graft.streaming.SketchStream
+
+final case class SketchEvent(grp: String, item: String)
+
+/** Live HLL registers (the x118 streaming twin): after every arrival
+  * prefix the streamed register table equals the batch registers on the
+  * same rows, estimate-on-read over the live table equals the batch
+  * gate's estimate, and a replayed micro-batch moves nothing (max is
+  * idempotent). */
+class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def regSnapshot(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("streamed registers == batch registers after every prefix; estimate matches on read") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch1 = (0 until 300).map(i => SketchEvent("a", s"u$i")) ++
+      (0 until 40).map(i => SketchEvent("b", s"v$i"))
+    val batch2 = (250 until 700).map(i => SketchEvent("a", s"u$i")) ++
+      (0 until 40).map(i => SketchEvent("b", s"v$i")) // pure replay for b
+
+    val in = MemoryStream[SketchEvent]
+    val q = SketchStream.registersOnIngest(in.toDF(), col("grp"), col("item"))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      for ((prefix, adds) <- Seq((batch1, batch1), (batch1 ++ batch2, batch2))) {
+        in.addData(adds); q.processAllAvailable()
+        val live = spark.table("hll_regs")
+        assert(regSnapshot(live) === regSnapshot(
+          SketchOps.registers(prefix.toDF(), col("grp"), col("item"), 256)),
+          s"registers diverged at prefix of ${prefix.size}")
+        val onRead = SketchStream.estimate(live)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val gate = SketchOps.hllCalibration(prefix.toDF(), col("grp"), col("item"))
+          .collect().map(r => r.getString(0) -> r.getAs[Long]("n_est")).toMap
+        assert(onRead === gate,
+          "estimate-on-read must equal the batch gate's estimate")
+      }
+      // batch2 replayed b's items verbatim: its registers must be the
+      // batch1 values unchanged (idempotent max — exactly-once for free)
+      val bRegs = regSnapshot(spark.table("hll_regs").filter(col("g") === "b"))
+      val bBatch1 = regSnapshot(
+        SketchOps.registers(batch1.toDF(), col("grp"), col("item"), 256)
+          .filter(col("g") === "b"))
+      assert(bRegs === bBatch1, "replayed arrivals must not move registers")
+    } finally q.stop()
+  }
+}
