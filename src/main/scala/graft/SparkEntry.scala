@@ -1288,6 +1288,36 @@ object SparkEntry {
       graft.operators.SketchOps.cmsCalibration(
         Tables.lineitem(s, dir), col("l_partkey"))),
 
+    // x124 — hourly burst detection per event type: counts on a DENSIFIED
+    // per-type hour grid (quiet hours are real zeros — a ROWS frame over
+    // the raw aggregate would telescope past them), trailing-24h baseline,
+    // exact integer cross-multiply test; |types|×|hours|-sized after the
+    // first aggregate. Gated at thresholdX=1 (top hours ABOVE their
+    // trailing mean) so the ranking exercises at every SF — the uniform
+    // synthetic stream never produces a sustained 2× spike at sf0.1;
+    // production alerting raises the multiplier
+    "x124_event_bursts" -> ((s, dir) =>
+      graft.operators.AnomalyOps.burstReport(Tables.events(s, dir),
+        thresholdX = 1)),
+
+    // x125 — margin-calibration table of the x75 classifier: accuracy by
+    // best-vs-second NLL gap (exact integer micro-nats — no softmax
+    // float sum), the read that justifies margin-thresholded
+    // auto-labeling; rank-≤2 WindowGroupLimit then a bins-sized aggregate
+    "x125_margin_calibration" -> ((s, dir) =>
+      graft.operators.ClassifyOps.nbMarginCalibration(
+        Tables.documents(s, dir))),
+
+    // x122 — CMS join-size estimation: |orders ⋈ lineitem| on the order
+    // key from the INNER PRODUCT of two 4×1024 counter tables (min over
+    // rows), beside the exact Σ fA·fB — the planner read that decides
+    // broadcast/shuffle/salt BEFORE paying the shuffle; the sketch never
+    // undercounts, so a fits-in-broadcast verdict is safe
+    "x122_join_size" -> ((s, dir) =>
+      graft.operators.SketchOps.joinSizeCalibration(
+        Tables.orders(s, dir), col("o_orderkey"),
+        Tables.lineitem(s, dir), col("l_orderkey"))),
+
     // x119 — PageRank hubs of the session-concurrency graph: j17's
     // interval-join machinery reduced to an edge set, then 6 Pregel-style
     // rounds of one dst-key shuffle each, EXACT integer mass (floor
@@ -1295,6 +1325,13 @@ object SparkEntry {
     // sensitivity); driver holds loop control only
     "x119_session_pagerank" -> ((s, dir) =>
       graft.operators.GraphOps.sessionPageRank(Tables.events(s, dir))),
+
+    // x123 — triangle participation in the session-concurrency graph:
+    // degree-ordered orientation caps out-degree at O(√m), so the wedge
+    // self-join is O(m^1.5) instead of quadratic-in-hub-degree; three
+    // equi-join shuffles, no inequality join past the edge set
+    "x123_session_triangles" -> ((s, dir) =>
+      graft.operators.GraphOps.sessionTriangles(Tables.events(s, dir))),
 
     // x116 — hard-negative mining: per query, top-8 most-similar corpus
     // vectors with a DIFFERENT label (contrastive-training candidates);
@@ -1898,11 +1935,23 @@ object SparkEntry {
 
     "x119_session_pagerank" -> graft.operators.GraphOps.sessionPageRankSql(),
 
+    "x123_session_triangles" ->
+      graft.operators.GraphOps.sessionTrianglesSql(),
+
     "x120_key_skew" ->
       graft.operators.SketchOps.keySkewReportSql("lineitem", "l_partkey"),
 
     "x121_cms_calibration" ->
       graft.operators.SketchOps.cmsCalibrationSql("lineitem", "l_partkey"),
+
+    "x122_join_size" -> graft.operators.SketchOps.joinSizeCalibrationSql(
+      "orders", "o_orderkey", "lineitem", "l_orderkey"),
+
+    "x124_event_bursts" ->
+      graft.operators.AnomalyOps.burstReportSql(thresholdX = 1),
+
+    "x125_margin_calibration" ->
+      graft.operators.ClassifyOps.nbMarginCalibrationSql(),
 
     "q12_priority_lines" ->
       """SELECT l_linestatus,

@@ -84,6 +84,114 @@ object GraphOps {
     pageRank(overlapPairs(events, gapMinutes), iterations, topK,
       state = state)
 
+  /** Degree-ordered triangle counting (Schank & Wagner 2005; the
+    * Cohen/Suri-Vassilvitskii MapReduce formulation): orient every
+    * undirected edge from its (degree, id)-smaller endpoint to the
+    * larger, enumerate wedges as a self-join of the oriented edges on
+    * their source, and close each wedge with one more equi-join back
+    * into the oriented edge set. Orientation caps every node's
+    * out-degree at O(√m), so the wedge fan-out is Σ outdeg² = O(m^1.5)
+    * — the bound that makes triangle counting survive hub nodes that
+    * would blow a naive neighbor self-join quadratically.
+    *
+    * Scale shape: three shuffles (degree aggregate; wedge self-join on
+    * src; closing equi-join on the (v, w) pair) — no inequality join
+    * anywhere past the orientation predicate, which is evaluated
+    * row-local. Per-node participation is an explode of the triangle
+    * list, bounded by 3·#triangles.
+    *
+    * Output: top-`k` users by triangle participation —
+    * (user_id, degree, n_triangles), ties broken by user_id. */
+  def triangleParticipation(pairs: DataFrame, topK: Int = 20): DataFrame = {
+    val deg = pairs.select(col("u_a").as("u")).union(
+        pairs.select(col("u_b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    // orient (a, b) from (deg, id)-smaller to larger; carry the dst's
+    // rank key so the wedge ordering below is row-local
+    val withDeg = pairs
+      .join(deg.select(col("u").as("u_a"), col("deg").as("deg_a")), "u_a")
+      .join(deg.select(col("u").as("u_b"), col("deg").as("deg_b")), "u_b")
+    val oriented = withDeg.select(
+      when(col("deg_a") < col("deg_b") ||
+           (col("deg_a") === col("deg_b") && col("u_a") < col("u_b")),
+        col("u_a")).otherwise(col("u_b")).as("src"),
+      when(col("deg_a") < col("deg_b") ||
+           (col("deg_a") === col("deg_b") && col("u_a") < col("u_b")),
+        col("u_b")).otherwise(col("u_a")).as("dst"),
+      when(col("deg_a") < col("deg_b") ||
+           (col("deg_a") === col("deg_b") && col("u_a") < col("u_b")),
+        col("deg_b")).otherwise(col("deg_a")).as("dst_deg"))
+    val e1 = oriented.select(col("src"), col("dst").as("v"),
+      col("dst_deg").as("dv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"),
+      col("dst_deg").as("dw"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val tri = wedges.join(closing, Seq("v", "w"))
+      .select(col("src").as("a"), col("v").as("b"), col("w").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_triangles"))
+      .join(deg.withColumnRenamed("u", "user_id"), "user_id")
+      .select(col("user_id"), col("deg").as("degree"), col("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("user_id"))
+      .limit(topK)
+  }
+
+  /** x123 composition: triangle participation in the session-concurrency
+    * graph — "which user trios are repeatedly co-active", the cohesion
+    * read beside x119's centrality read. */
+  def sessionTriangles(events: DataFrame, gapMinutes: Int = 30,
+                       topK: Int = 20): DataFrame =
+    triangleParticipation(overlapPairs(events, gapMinutes), topK)
+
+  /** DuckDB twin of [[sessionTriangles]] — same orientation and wedge
+    * closure over the inequality-join edge set. */
+  def sessionTrianglesSql(gapMinutes: Int = 30, topK: Int = 20): String =
+    s"""WITH tr_sess AS (
+       |  SELECT user_id, session_start_epoch, session_end_epoch FROM (
+       |${graft.streaming.EventStreams.userSessionsSql(gapMinutes)}
+       |  ) t
+       |), tr_pairs AS (
+       |  SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
+       |  FROM tr_sess a JOIN tr_sess b ON a.user_id < b.user_id
+       |    AND a.session_start_epoch <= b.session_end_epoch
+       |    AND b.session_start_epoch <= a.session_end_epoch
+       |), tr_deg AS (
+       |  SELECT u, count(*) AS deg FROM (
+       |    SELECT u_a AS u FROM tr_pairs
+       |    UNION ALL SELECT u_b FROM tr_pairs)
+       |  GROUP BY u
+       |), tr_oriented AS (
+       |  SELECT
+       |    CASE WHEN (da.deg, p.u_a) < (db.deg, p.u_b)
+       |      THEN p.u_a ELSE p.u_b END AS src,
+       |    CASE WHEN (da.deg, p.u_a) < (db.deg, p.u_b)
+       |      THEN p.u_b ELSE p.u_a END AS dst,
+       |    CASE WHEN (da.deg, p.u_a) < (db.deg, p.u_b)
+       |      THEN db.deg ELSE da.deg END AS dst_deg
+       |  FROM tr_pairs p
+       |  JOIN tr_deg da ON da.u = p.u_a
+       |  JOIN tr_deg db ON db.u = p.u_b
+       |), tr_tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM tr_oriented e1
+       |  JOIN tr_oriented e2 ON e1.src = e2.src
+       |    AND (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst)
+       |  JOIN tr_oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+       |)
+       |SELECT user_id, CAST(d.deg AS BIGINT) AS degree,
+       |  CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM (
+       |  SELECT a AS user_id FROM tr_tri
+       |  UNION ALL SELECT b FROM tr_tri
+       |  UNION ALL SELECT c FROM tr_tri) m
+       |JOIN tr_deg d ON d.u = m.user_id
+       |GROUP BY user_id, d.deg
+       |ORDER BY n_triangles DESC, user_id
+       |LIMIT $topK""".stripMargin
+
   /** DuckDB twin of [[sessionPageRank]] — the naive inequality join for
     * the edge set (DuckDB plans an IEJoin; small-SF only) and the
     * iteration unrolled round by round with the same floor arithmetic. */

@@ -176,6 +176,105 @@ object SketchOps {
        |GROUP BY p.k, p.cnt""".stripMargin
   }
 
+  /** Count-Min join-size estimation (Cormode & Muthukrishnan 2005 §4.2):
+    * |A ⋈ B| on an equi-key from the INNER PRODUCT of the two sides'
+    * counter tables — est = min over the d rows of Σ_b cA[i,b]·cB[i,b].
+    * This is the planner read that decides broadcast vs shuffle vs salt
+    * BEFORE paying the shuffle: both sketches are d·w integers however
+    * big the fact tables are, they merge by addition (incremental
+    * refresh), and the estimate NEVER undercounts (collisions only add),
+    * so a "fits in broadcast" verdict from the sketch is safe.
+    *
+    * Shipped as a calibration: the exact join cardinality
+    * Σ_k fA(k)·fB(k) beside the sketch estimate, so the (d, w) error is
+    * measured on this corpus, not assumed.
+    *
+    * Scale shape: one shuffle per side onto its key (each relation
+    * shrinks to |keys| there), the d·w counter tables meet in a
+    * BROADCAST join, and the inner product is a d-row aggregate. The
+    * exact twin joins the two |keys|-sized frequency relations — the
+    * only part a production deployment would drop. Products sum in
+    * exact DECIMAL(38,0) (counter products reach nA·nB, past 2^63 for
+    * ~3·10⁹-row sides); outputs cast to BIGINT once, after the sum.
+    *
+    * Output: 1 row (n_rows_a, n_rows_b, n_keys_a, n_keys_b, join_exact,
+    * join_est, over_ppm ≥ 0). */
+  def joinSizeCalibration(a: DataFrame, aKey: Column, b: DataFrame,
+                          bKey: Column, d: Int = 4,
+                          w: Int = 1024): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 16 && w <= 65536, s"d=$d w=$w")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ca = a.select(aKey.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val cb = b.select(bKey.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val ta = cmsCounters(ca, d, w)
+    val tb = cmsCounters(cb, d, w).withColumnRenamed("counter", "counter_b")
+    val est = ta.join(broadcast(tb), Seq("row_i", "bucket"))
+      .groupBy("row_i")
+      .agg(sum(col("counter").cast(dec) * col("counter_b").cast(dec)).as("ip"))
+      .agg(min(col("ip")).cast("long").as("join_est"))
+    val statsA = ca.agg(sum(col("cnt")).as("n_rows_a"),
+      count(lit(1)).as("n_keys_a"))
+    val statsB = cb.agg(sum(col("cnt")).as("n_rows_b"),
+      count(lit(1)).as("n_keys_b"))
+    val exact = ca.join(cb.withColumnRenamed("cnt", "cnt_b"), Seq("k"))
+      .agg(coalesce(sum(col("cnt").cast(dec) * col("cnt_b").cast(dec)),
+        lit(0).cast(dec)).cast("long").as("join_exact"))
+    // 1-row stat relations compose by crossJoin (the x49 BM25 convention)
+    statsA.crossJoin(statsB).crossJoin(exact).crossJoin(est)
+      .select(col("n_rows_a"), col("n_rows_b"), col("n_keys_a"),
+        col("n_keys_b"), col("join_exact"), col("join_est"),
+        when(col("join_exact") > 0L,
+          expr("((join_est - join_exact) * 1000000L) div join_exact"))
+          .otherwise(lit(null).cast("long")).as("over_ppm"))
+  }
+
+  /** DuckDB twin of [[joinSizeCalibration]]: `relA`/`relB` with key
+    * expressions `keyA`/`keyB`. */
+  def joinSizeCalibrationSql(relA: String, keyA: String, relB: String,
+                             keyB: String, d: Int = 4,
+                             w: Int = 1024): String = {
+    val h = HashFunctions.hash60Sql("CAST(row_i AS VARCHAR) || '|' || k")
+    s"""WITH js_ca AS (
+       |  SELECT CAST($keyA AS VARCHAR) AS k, count(*) AS cnt
+       |  FROM $relA GROUP BY 1
+       |), js_cb AS (
+       |  SELECT CAST($keyB AS VARCHAR) AS k, count(*) AS cnt
+       |  FROM $relB GROUP BY 1
+       |), js_ta AS (
+       |  SELECT row_i, bucket, CAST(sum(cnt) AS BIGINT) AS counter FROM (
+       |    SELECT row_i, CAST($h % $w AS INTEGER) AS bucket, cnt
+       |    FROM js_ca, (SELECT unnest(range($d)) AS row_i))
+       |  GROUP BY row_i, bucket
+       |), js_tb AS (
+       |  SELECT row_i, bucket, CAST(sum(cnt) AS BIGINT) AS counter FROM (
+       |    SELECT row_i, CAST($h % $w AS INTEGER) AS bucket, cnt
+       |    FROM js_cb, (SELECT unnest(range($d)) AS row_i))
+       |  GROUP BY row_i, bucket
+       |), js_est AS (
+       |  SELECT CAST(min(ip) AS BIGINT) AS join_est FROM (
+       |    SELECT a.row_i, sum(CAST(a.counter AS HUGEINT) * b.counter) AS ip
+       |    FROM js_ta a JOIN js_tb b
+       |      ON a.row_i = b.row_i AND a.bucket = b.bucket
+       |    GROUP BY a.row_i)
+       |), js_exact AS (
+       |  SELECT CAST(COALESCE(sum(CAST(a.cnt AS HUGEINT) * b.cnt), 0)
+       |    AS BIGINT) AS join_exact
+       |  FROM js_ca a JOIN js_cb b ON a.k = b.k
+       |), js_stats AS (
+       |  SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM js_ca) AS n_rows_a,
+       |    (SELECT CAST(sum(cnt) AS BIGINT) FROM js_cb) AS n_rows_b,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM js_ca) AS n_keys_a,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM js_cb) AS n_keys_b
+       |)
+       |SELECT n_rows_a, n_rows_b, n_keys_a, n_keys_b, join_exact, join_est,
+       |  CASE WHEN join_exact > 0
+       |    THEN ((join_est - join_exact) * 1000000) // join_exact
+       |    ELSE NULL END AS over_ppm
+       |FROM js_stats, js_exact, js_est""".stripMargin
+  }
+
   /** Join-key skew report: the read before any big shuffle — project the
     * key's rows onto `p` hash partitions (portable md5 partitioner, a
     * model of ANY hash partitioner's load) and report per-partition

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AnomalyOps
+
+/** Hourly burst detection (x124): a planted spike must surface with
+  * exact integer accounting, quiet hours must count as ZERO baseline
+  * observations (the densification contract), and the cold-start guard
+  * must suppress early-history false positives. */
+class AnomalyOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  // an exact hour boundary so hour_epoch arithmetic is transparent
+  private val h0 = 472224L // hours since epoch
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** (type, hour offset, count) triples → an events frame. */
+  private def eventsOf(rows: Seq[(String, Int, Int)]) = {
+    val s = spark
+    import s.implicits._
+    rows.flatMap { case (t, h, n) =>
+      (0 until n).map(i =>
+        (t, new Timestamp(((h0 + h) * 3600L + i) * 1000L)))
+    }.toDF("event_type", "ts")
+  }
+
+  test("a planted spike surfaces with exact ratio accounting") {
+    // steady 5/hour for 30 hours, then a 50-event hour
+    val df = eventsOf((0 until 30).map(("click", _, 5)) :+ (("click", 30, 50)))
+    val rows = AnomalyOps.burstReport(df, trailing = 24, thresholdX = 3,
+      minBaseline = 12, topK = 5).collect()
+    assert(rows.length === 1, rows.mkString(";"))
+    val r = rows.head
+    assert(r.getAs[String]("event_type") === "click")
+    assert(r.getAs[Long]("hour_epoch") === h0 + 30)
+    assert(r.getAs[Long]("n_events") === 50L)
+    assert(r.getAs[Long]("base_n") === 24L)
+    assert(r.getAs[Long]("base_sum") === 120L) // 24 trailing hours × 5
+    assert(r.getAs[Long]("ratio_ppm") === 50L * 24L * 1000000L / 120L)
+  }
+
+  test("quiet hours are zero observations: densification changes the verdict") {
+    // 12 active hours (4/h), 12 silent hours, then a 4-event hour. With
+    // the dense grid the trailing-24 baseline is 48 over 24 hours, so
+    // 4 ≥ 2×mean exactly; skipping quiet hours would see 4 < 2×4.
+    val df = eventsOf((0 until 12).map(("ping", _, 4)) :+ (("ping", 24, 4)))
+    val rows = AnomalyOps.burstReport(df, trailing = 24, thresholdX = 2,
+      minBaseline = 12, topK = 5).collect()
+    val burst = rows.filter(_.getAs[Long]("hour_epoch") == h0 + 24)
+    assert(burst.length === 1,
+      s"hour 24 must burst against the zero-padded baseline: ${rows.mkString(";")}")
+    assert(burst.head.getAs[Long]("base_sum") === 48L)
+    assert(burst.head.getAs[Long]("base_n") === 24L)
+  }
+
+  test("the cold-start guard suppresses early-history spikes") {
+    // spike at hour 5: only 5 hours of history < minBaseline=12
+    val df = eventsOf((0 until 5).map(("boot", _, 5)) :+ (("boot", 5, 500)))
+    val rows = AnomalyOps.burstReport(df, trailing = 24, thresholdX = 3,
+      minBaseline = 12, topK = 5).collect()
+    assert(rows.isEmpty, rows.mkString(";"))
+  }
+
+  test("types are independent: one type's burst never reads another's baseline") {
+    val df = eventsOf(
+      (0 until 30).map(("a", _, 100)) ++ // heavy steady type
+      (0 until 30).map(("b", _, 2)) :+ (("b", 30, 10)))
+    val rows = AnomalyOps.burstReport(df, trailing = 24, thresholdX = 3,
+      minBaseline = 12, topK = 5).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("event_type") === "b")
+    assert(rows.head.getAs[Long]("base_sum") === 48L)
+  }
+}

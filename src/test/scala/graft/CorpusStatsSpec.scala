@@ -98,6 +98,37 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"accuracy $correct should beat majority baseline $majority")
   }
 
+  test("margin calibration: accounting ties back to the classifier output") {
+    val s = spark
+    import s.implicits._
+    // two well-separated classes plus one ambiguous doc (shared vocab)
+    val df = Seq(
+      (1L, "xx", "foo bar baz foo bar"),
+      (2L, "xx", "bar foo foo baz baz"),
+      (3L, "yy", "qux quux qux corge"),
+      (4L, "yy", "corge qux quux quux"),
+      (5L, "xx", "foo qux")
+    ).toDF("doc_id", "lang", "text")
+    val cal = graft.operators.ClassifyOps.nbMarginCalibration(df).collect()
+    val scored = graft.operators.ClassifyOps.nbLangScore(df).collect()
+    // every doc has a runner-up (two classes), so totals must tie out
+    assert(cal.map(_.getAs[Long]("n_docs")).sum === 5L)
+    assert(cal.map(_.getAs[Long]("n_correct")).sum ===
+      scored.map(_.getAs[Int]("is_correct").toLong).sum)
+    cal.foreach { r =>
+      val bin = r.getAs[Long]("margin_bin")
+      assert(bin >= 0L && bin <= 9L)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("mean_margin_micro") >= 0L)
+      assert(r.getAs[Double]("acc") ===
+        r.getAs[Long]("n_correct").toDouble / r.getAs[Long]("n_docs"))
+    }
+    // disjoint-vocab docs carry multi-nat margins; the ambiguous doc
+    // cannot outrank them — the top-margin bin must be pure and correct
+    val top = cal.maxBy(_.getAs[Long]("margin_bin"))
+    assert(top.getAs[Double]("acc") === 1.0)
+  }
+
   test("source report: exact counts on a fixture; keep gate follows the mean") {
     val s = spark
     import s.implicits._

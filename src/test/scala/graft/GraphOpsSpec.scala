@@ -70,6 +70,48 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.getLong(1) === 5L)
   }
 
+  /** Driver-side reference: brute-force triangle enumeration. */
+  private def referenceTriangles(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = pairs.map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield (a, b, c)
+    tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("triangle participation equals brute-force enumeration") {
+    // K4 on {0..3} (4 triangles), a lone triangle, a triangle-free path,
+    // and a hub whose star adds NO triangles but dominates the degrees
+    val pairs = Seq[(Long, Long)](
+      (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+      (10, 11), (11, 12), (10, 12),
+      (20, 21), (21, 22),
+      (30, 31), (30, 32), (30, 33), (30, 34), (30, 35), (30, 36))
+    val got = GraphOps.triangleParticipation(pairsDf(pairs), topK = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ref = referenceTriangles(pairs)
+    assert(got === ref, s"engine $got != reference $ref")
+    // K4 members each sit in C(3,2)=3 triangles; triangle nodes in 1
+    assert(got(0L) === 3L && got(3L) === 3L && got(10L) === 1L)
+    assert(!got.contains(20L) && !got.contains(30L),
+      "triangle-free nodes must not appear")
+  }
+
+  test("orientation keeps the wedge join equi-only (no BNLJ/cartesian)") {
+    val pairs = (0L until 40L).flatMap(i =>
+      (i + 1 until 40L).filter(j => (i + j) % 3 == 0).map(j => (i, j)))
+    val plan = GraphOps.triangleParticipation(pairsDf(pairs), topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"wedge/closing joins must stay equi-joins:\n$plan")
+  }
+
   test("total mass is conserved up to floor losses") {
     val pairs = Seq[(Long, Long)](
       (0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0))

@@ -173,4 +173,42 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.split("Exchange hash").length - 1 === 2,
       s"expected exactly 2 hash exchanges (key agg, part window+agg):\n$plan")
   }
+
+  test("joinSizeCalibration: never undercounts, exact accounting, wide-table exactness") {
+    val s = spark
+    import s.implicits._
+    // FK shape: 40 orders, 1-5 lines each -> exact join size = total lines
+    val orders = (1 to 40).map(i => s"o$i").toDF("ok")
+    val lines = (1 to 40).flatMap(i => Seq.fill(1 + i % 5)(s"o$i"))
+      .toDF("lk")
+    val nLines = (1 to 40).map(i => 1 + i % 5).sum.toLong
+    val r = SketchOps.joinSizeCalibration(orders, col("ok"), lines,
+      col("lk"), d = 4, w = 64).collect().head
+    assert(r.getAs[Long]("n_rows_a") === 40L)
+    assert(r.getAs[Long]("n_rows_b") === nLines)
+    assert(r.getAs[Long]("n_keys_a") === 40L)
+    assert(r.getAs[Long]("n_keys_b") === 40L)
+    assert(r.getAs[Long]("join_exact") === nLines)
+    assert(r.getAs[Long]("join_est") >= nLines,
+      "CMS inner product must never undercount")
+    assert(r.getAs[Long]("over_ppm") >= 0L)
+    // with w far above |keys| collisions are possible but unlikely in
+    // EVERY row; at d=4 the min row is collision-free here -> exact
+    val wide = SketchOps.joinSizeCalibration(orders, col("ok"), lines,
+      col("lk"), d = 4, w = 4096).collect().head
+    assert(wide.getAs[Long]("join_est") === nLines,
+      s"4096 buckets over 40 keys should leave one collision-free row")
+    assert(wide.getAs[Long]("over_ppm") === 0L)
+  }
+
+  test("joinSizeCalibration: disjoint key sets give exact 0 with null over_ppm") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 20).map(i => s"a$i").toDF("ka")
+    val b = (1 to 20).map(i => s"b$i").toDF("kb")
+    val r = SketchOps.joinSizeCalibration(a, col("ka"), b, col("kb"),
+      d = 4, w = 64).collect().head
+    assert(r.getAs[Long]("join_exact") === 0L)
+    assert(r.isNullAt(r.fieldIndex("over_ppm")))
+  }
 }
