@@ -1308,6 +1308,16 @@ object SparkEntry {
       graft.operators.ClassifyOps.nbMarginCalibration(
         Tables.documents(s, dir))),
 
+    // x126 — zone-map layout audit: linear-vs-Z-order layouts of lineitem
+    // on (part, supp) simulated by the same range-sort an OPTIMIZE write
+    // performs; per-file zone maps + exact-ppm span coverage quantify the
+    // file-skipping each layout buys per dimension (linear: one dim
+    // perfect, other unpruned; Morton: both ~√(1/files))
+    "x126_zone_map_audit" -> ((s, dir) =>
+      graft.operators.LayoutOps.zoneMapAudit(Tables.lineitem(s, dir),
+        col("l_partkey"), col("l_suppkey"),
+        Seq(col("l_orderkey"), col("l_linenumber")))),
+
     // x122 — CMS join-size estimation: |orders ⋈ lineitem| on the order
     // key from the INNER PRODUCT of two 4×1024 counter tables (min over
     // rows), beside the exact Σ fA·fB — the planner read that decides
@@ -1952,6 +1962,9 @@ object SparkEntry {
 
     "x125_margin_calibration" ->
       graft.operators.ClassifyOps.nbMarginCalibrationSql(),
+
+    "x126_zone_map_audit" -> graft.operators.LayoutOps.zoneMapAuditSql(
+      "lineitem", "l_partkey", "l_suppkey", "l_orderkey, l_linenumber"),
 
     "q12_priority_lines" ->
       """SELECT l_linestatus,

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-layout planning — the write-side half of scan performance. At
+  * warehouse scale the cheapest predicate is the one that never reads a
+  * file: parquet row-group zone maps (per-file min/max) prune scans only
+  * as well as the LAYOUT clusters the filter columns. Sorting by one key
+  * gives perfect pruning on that key and none on any other; Z-ORDER
+  * (Morton-curve) clustering interleaves the key bits so BOTH dimensions
+  * cluster at ~√files resolution — the standard trade (Delta/Iceberg
+  * OPTIMIZE ZORDER, the Hudi space-curve writers) and the right one for
+  * a corpus queried by more than one selective column.
+  *
+  * [[zoneMapAudit]] MEASURES that trade instead of asserting it: it
+  * simulates both layouts over the same relation and reports each
+  * output file's zone map plus its per-dimension span coverage — the
+  * exact fraction of a dimension's value range a point filter on that
+  * dimension must scan. Linear layout: cov_a ≈ 1/files, cov_b ≈ 1.
+  * Z-order: both ≈ √(1/files). The audit is what a table maintenance
+  * job reads before choosing a rewrite policy.
+  *
+  * Scale shape: one pass for the 1-row min/max stats (broadcast back),
+  * one global sort per layout — exactly the range-partitioned sort a
+  * real OPTIMIZE write performs, so the audit's cost model IS the
+  * rewrite's — and a files-sized zone-map aggregate. Everything is
+  * exact integer arithmetic (16-bit scaling, shift/mask interleave,
+  * ppm spans by floor division).
+  */
+object LayoutOps {
+
+  /** Morton spread: 16-bit value → its bits at even positions of a
+    * 32-bit word (the classic 4-step mask ladder). */
+  private def spread(c: Column): Column = {
+    val s1 = shiftleft(c, 8).bitwiseOR(c).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = shiftleft(s1, 4).bitwiseOR(s1).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = shiftleft(s2, 2).bitwiseOR(s2).bitwiseAND(lit(0x33333333L))
+    shiftleft(s3, 1).bitwiseOR(s3).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** The same ladder over a SQL expression (DuckDB syntax). */
+  private def spreadSql(e: String): String = {
+    val s1 = s"((($e << 8) | $e) & 16711935)"
+    val s2 = s"((($s1 << 4) | $s1) & 252645135)"
+    val s3 = s"((($s2 << 2) | $s2) & 858993459)"
+    s"((($s3 << 1) | $s3) & 1431655765)"
+  }
+
+  /** Zone-map audit of linear-vs-Z-order layout over (`dimA`, `dimB`):
+    * both dims scale to 16-bit grid cells against their observed range,
+    * rows are laid into `files` equal files by each layout's sort key
+    * (ntile over (key, tiebreak) — `tieCols` must uniquely identify a
+    * row or the layout is not reproducible), and each file reports its
+    * zone map and per-dim span coverage in ppm of the global range.
+    *
+    * Output: (layout ∈ {linear_a, zorder}, file_id, n_rows, min_a,
+    * max_a, min_b, max_b, cov_a_ppm, cov_b_ppm). */
+  def zoneMapAudit(df: DataFrame, dimA: Column, dimB: Column,
+                   tieCols: Seq[Column], files: Int = 16): DataFrame = {
+    require(files >= 2 && files <= 4096, s"files=$files")
+    val base = df.select((dimA.cast("long").as("a") +: dimB.cast("long").as("b") +:
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }): _*)
+    val stats = base.agg(min(col("a")).as("ga0"), max(col("a")).as("ga1"),
+      min(col("b")).as("gb0"), max(col("b")).as("gb1"))
+    val scaled = base.crossJoin(broadcast(stats))
+      .select(col("a"), col("b"), col("ga0"), col("ga1"), col("gb0"), col("gb1"),
+        expr("((a - ga0) * 65535L) div greatest(ga1 - ga0, 1L)").as("ua"),
+        expr("((b - gb0) * 65535L) div greatest(gb1 - gb0, 1L)").as("ub"),
+        struct(tieCols.indices.map(i => col(s"t$i")): _*).as("tie"))
+      .withColumn("z", shiftleft(spread(col("ua")), 1).bitwiseOR(spread(col("ub"))))
+    def laidOut(name: String, key: Column) = scaled
+      .withColumn("file_id",
+        ntile(files).over(Window.orderBy(key, col("tie"))).cast("long"))
+      .withColumn("layout", lit(name))
+    laidOut("linear_a", col("ua")).unionByName(laidOut("zorder", col("z")))
+      .groupBy("layout", "file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"),
+        first(col("ga0")).as("ga0"), first(col("ga1")).as("ga1"),
+        first(col("gb0")).as("gb0"), first(col("gb1")).as("gb1"))
+      .select(col("layout"), col("file_id"), col("n_rows"),
+        col("min_a"), col("max_a"), col("min_b"), col("max_b"),
+        expr("((max_a - min_a + 1L) * 1000000L) div (ga1 - ga0 + 1L)")
+          .as("cov_a_ppm"),
+        expr("((max_b - min_b + 1L) * 1000000L) div (gb1 - gb0 + 1L)")
+          .as("cov_b_ppm"))
+  }
+
+  /** DuckDB twin of [[zoneMapAudit]]: `rel` with dim expressions
+    * `dimA`/`dimB` and a unique tiebreak ORDER BY tail `tie`. */
+  def zoneMapAuditSql(rel: String, dimA: String, dimB: String,
+                      tie: String, files: Int = 16): String =
+    s"""WITH zm_base AS (
+       |  SELECT CAST($dimA AS BIGINT) AS a, CAST($dimB AS BIGINT) AS b, r.*
+       |  FROM $rel r
+       |), zm_stats AS (
+       |  SELECT min(a) AS ga0, max(a) AS ga1, min(b) AS gb0, max(b) AS gb1
+       |  FROM zm_base
+       |), zm_scaled AS (
+       |  SELECT *,
+       |    ((a - ga0) * 65535) // greatest(ga1 - ga0, 1) AS ua,
+       |    ((b - gb0) * 65535) // greatest(gb1 - gb0, 1) AS ub
+       |  FROM zm_base CROSS JOIN zm_stats
+       |), zm_z AS (
+       |  SELECT *, (${spreadSql("ua")} << 1) | ${spreadSql("ub")} AS z
+       |  FROM zm_scaled
+       |), zm_laid AS (
+       |  SELECT 'linear_a' AS layout,
+       |    ntile($files) OVER (ORDER BY ua, $tie) AS file_id, *
+       |  FROM zm_z
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout,
+       |    ntile($files) OVER (ORDER BY z, $tie) AS file_id, *
+       |  FROM zm_z
+       |)
+       |SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b,
+       |  CAST(((max(a) - min(a) + 1) * 1000000) // (any_value(ga1) - any_value(ga0) + 1)
+       |    AS BIGINT) AS cov_a_ppm,
+       |  CAST(((max(b) - min(b) + 1) * 1000000) // (any_value(gb1) - any_value(gb0) + 1)
+       |    AS BIGINT) AS cov_b_ppm
+       |FROM zm_laid
+       |GROUP BY layout, file_id""".stripMargin
+}
