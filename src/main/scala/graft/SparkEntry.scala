@@ -1308,6 +1308,14 @@ object SparkEntry {
       graft.operators.ClassifyOps.nbMarginCalibration(
         Tables.documents(s, dir))),
 
+    // x127 — top spectral direction of the embedding matrix: 4 rounds of
+    // exact-integer power iteration (two equi-join shuffles per round,
+    // IterState-pinned lineage); a dominant λ says the space is
+    // anisotropic — the read that justifies mean-centering before
+    // cosine-threshold dedup (x11/x52)
+    "x127_top_component" -> ((s, dir) =>
+      graft.operators.SpectralOps.topComponent(Tables.embeddings(s, dir))),
+
     // x126 — zone-map layout audit: linear-vs-Z-order layouts of lineitem
     // on (part, supp) simulated by the same range-sort an OPTIMIZE write
     // performs; per-file zone maps + exact-ppm span coverage quantify the
@@ -1965,6 +1973,8 @@ object SparkEntry {
 
     "x126_zone_map_audit" -> graft.operators.LayoutOps.zoneMapAuditSql(
       "lineitem", "l_partkey", "l_suppkey", "l_orderkey, l_linenumber"),
+
+    "x127_top_component" -> graft.operators.SpectralOps.topComponentSql(),
 
     "q12_priority_lines" ->
       """SELECT l_linestatus,

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps.{IterState, Local}
+
+/** Distributed spectral analysis of the embedding matrix — bounded-round
+  * POWER ITERATION for the top singular direction, in exact integer
+  * arithmetic so both engines (and any partition order) agree
+  * bit-for-bit. The top component is the curation read behind
+  * "one direction explains most of the corpus": a dominant λ means the
+  * embedding space is anisotropic (common with contrastive encoders —
+  * the all-ones/frequency direction), which inflates cosine similarities
+  * uniformly and argues for mean-centering or component removal before
+  * x11/x52-style thresholding.
+  *
+  * Iteration: v ← normalize(Xᵀ(Xv)), v₀ = all-ones — the textbook von
+  * Mises scheme, each half-step one equi-join + one aggregate:
+  * d = Xv is a doc-sized shuffle on vec_id, w = Xᵀd a dim-sized shuffle
+  * on pos (the SAME two-shuffle-per-round shape as [[GraphOps.pageRank]],
+  * with [[DedupOps.IterState]] pinning to keep lineage flat).
+  *
+  * Determinism & overflow: elements snap to 1e4 ints at load (the
+  * sourceCohesion contract) and v to 1e6 units per round. The d vector
+  * shrinks by 2²⁰ (sign·magnitude floor — engine-portable for negatives,
+  * where raw `div`/`//` disagree) before re-projection, bounding the
+  * w-sum below 2⁶³ to n ≈ 10¹⁰ docs; re-normalization divides by
+  * max|w|/1e6 in exact integers, then ONE fixed-form IEEE
+  * division+sqrt+floor per element snaps the unit vector. λ comes from
+  * the final Rayleigh quotient with the d² products summed in
+  * DECIMAL(38,0)/HUGEINT (exact at any corpus size).
+  */
+object SpectralOps {
+
+  /** Sign-preserving floor-magnitude division: both engines truncate
+    * non-negative integer division identically; raw negative `div`
+    * (Spark, toward zero) vs `//` (DuckDB, toward −∞) do not. */
+  private def shr(c: String, by: String): String =
+    s"CASE WHEN $c < 0 THEN -((-($c)) div $by) ELSE ($c) div $by END"
+
+  /** Top spectral direction of the (uncentered) embedding matrix after
+    * `rounds` power iterations: 64 rows (pos, v_micro, lambda_unit) —
+    * the unit direction in 1e-6 units plus the Rayleigh eigenvalue
+    * estimate λ = ‖Xv‖²/‖v‖² in squared 1e-4-snap units, identical on
+    * every row. */
+  def topComponent(emb: DataFrame, rounds: Int = 4,
+                   state: IterState = Local): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds=$rounds")
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val m = state.pin(emb
+      .filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "ev")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("ev").cast("double") * lit(1e4) + lit(0.5)).cast("long")
+          .as("x")))
+    var v = m.select(col("pos")).distinct()
+      .select(col("pos"), lit(1000000L).as("v"))
+    var lambda: DataFrame = null
+    for (r <- 1 to rounds) {
+      val d = m.join(broadcast(v), Seq("pos"))
+        .groupBy("vec_id").agg(sum(col("x") * col("v")).as("d"))
+      if (r == rounds) {
+        // Rayleigh numerator from THIS round's projections (exact):
+        // λ = Σd² / Σv² with d = X·v_{r-1}
+        val num = d.agg(sum(col("d").cast(dec) * col("d").cast(dec)).as("num"))
+        val den = v.agg(sum(col("v") * col("v")).as("den"))
+        lambda = num.crossJoin(den).select(
+          floor(col("num").cast("double") / col("den").cast("double") +
+            lit(0.5)).cast("long").as("lambda_unit"))
+      }
+      val ds = d.select(col("vec_id"), expr(shr("d", "1048576L")).as("ds"))
+      val w = m.join(ds, Seq("vec_id"))
+        .groupBy("pos").agg(sum(col("x") * col("ds")).as("w"))
+      val scale = w.agg(greatest(expr("max(abs(w)) div 1000000L"), lit(1L))
+        .as("wscale"))
+      val sRel = w.crossJoin(broadcast(scale))
+        .select(col("pos"), expr(shr("w", "wscale")).as("sv"))
+      val n2 = sRel.agg(sum(col("sv") * col("sv")).as("n2"))
+      v = state.pin(sRel.crossJoin(broadcast(n2)).select(col("pos"),
+        when(col("n2") > 0L,
+          floor(col("sv").cast("double") /
+            sqrt(col("n2").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("v")))
+    }
+    v.crossJoin(broadcast(lambda))
+      .select(col("pos").cast("long").as("pos"), col("v").as("v_micro"),
+        col("lambda_unit"))
+  }
+
+  /** DuckDB twin of [[topComponent]] — the iteration unrolled round by
+    * round with identical shrink/normalize arithmetic (1-based DuckDB
+    * array index kept internal; output pos is 0-based). */
+  def topComponentSql(rounds: Int = 4, dim: Int = 64): String = {
+    def shrSql(c: String, by: String): String =
+      s"CASE WHEN $c < 0 THEN -((-($c)) // $by) ELSE ($c) // $by END"
+    val roundCtes = (1 to rounds).map { k =>
+      s"""sp_d$k AS (
+         |  SELECT m.vec_id, CAST(sum(m.x * v.v) AS BIGINT) AS d
+         |  FROM sp_m m JOIN sp_v${k - 1} v USING (pos) GROUP BY m.vec_id),
+         |sp_ds$k AS (
+         |  SELECT vec_id, ${shrSql("d", "1048576")} AS ds FROM sp_d$k),
+         |sp_w$k AS (
+         |  SELECT m.pos, CAST(sum(m.x * s.ds) AS BIGINT) AS w
+         |  FROM sp_m m JOIN sp_ds$k s USING (vec_id) GROUP BY m.pos),
+         |sp_n$k AS (
+         |  SELECT greatest(max(abs(w)) // 1000000, 1) AS wscale FROM sp_w$k),
+         |sp_s$k AS (
+         |  SELECT pos, ${shrSql("w", "wscale")} AS sv FROM sp_w$k, sp_n$k),
+         |sp_q$k AS (SELECT CAST(sum(sv * sv) AS BIGINT) AS n2 FROM sp_s$k),
+         |sp_v$k AS (
+         |  SELECT pos, CASE WHEN n2 > 0 THEN
+         |      CAST(floor(CAST(sv AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))
+         |        * 1e6 + 0.5) AS BIGINT)
+         |    ELSE 0 END AS v
+         |  FROM sp_s$k, sp_q$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sp_m AS (
+       |  SELECT vec_id, ix.i - 1 AS pos,
+       |    CAST(floor(CAST(embedding[ix.i] AS DOUBLE) * 1e4 + 0.5)
+       |      AS BIGINT) AS x
+       |  FROM embeddings, generate_series(1, $dim) AS ix(i)
+       |  WHERE vec_id IS NOT NULL AND ix.i <= len(embedding)
+       |), sp_v0 AS (
+       |  SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM sp_m
+       |),
+       |$roundCtes,
+       |sp_lam AS (
+       |  SELECT CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) + 0.5)
+       |    AS BIGINT) AS lambda_unit
+       |  FROM (SELECT sum(CAST(d AS HUGEINT) * d) AS num FROM sp_d$rounds),
+       |       (SELECT CAST(sum(v * v) AS BIGINT) AS den FROM sp_v${rounds - 1})
+       |)
+       |SELECT CAST(pos AS BIGINT) AS pos, v AS v_micro, lambda_unit
+       |FROM sp_v$rounds, sp_lam""".stripMargin
+  }
+}

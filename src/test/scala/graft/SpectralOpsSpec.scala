@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupOps.Unpinned
+import graft.operators.SpectralOps
+
+/** Power-iteration top component (x127): the engine must equal a
+  * driver-side reference running the same integer arithmetic, recover a
+  * planted dominant direction, and report its Rayleigh eigenvalue. */
+class SpectralOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Driver-side reference: identical snap/shrink/normalize integers. */
+  private def reference(vecs: Seq[Array[Float]],
+                        rounds: Int): (Array[Long], Long) = {
+    val dim = vecs.head.length
+    val x = vecs.map(_.map(f => math.floor(f.toDouble * 1e4 + 0.5).toLong))
+    def shr(c: Long, by: Long): Long =
+      if (c < 0) -((-c) / by) else c / by
+    var v = Array.fill(dim)(1000000L)
+    var lambda = 0L
+    for (r <- 1 to rounds) {
+      val d = x.map(row => row.indices.map(j => row(j) * v(j)).sum)
+      if (r == rounds) {
+        val num = d.map(di => BigInt(di) * BigInt(di)).sum
+        val den = v.map(vj => vj * vj).sum
+        lambda = (BigDecimal(num) / BigDecimal(den) + 0.5)
+          .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+      }
+      val ds = d.map(shr(_, 1048576L))
+      val w = (0 until dim).map(j =>
+        x.indices.map(i => x(i)(j) * ds(i)).sum).toArray
+      val wscale = math.max(w.map(math.abs).max / 1000000L, 1L)
+      val s = w.map(shr(_, wscale))
+      val n2 = s.map(sj => sj * sj).sum
+      v = s.map(sj =>
+        if (n2 > 0)
+          math.floor(sj.toDouble / math.sqrt(n2.toDouble) * 1e6 + 0.5).toLong
+        else 0L)
+    }
+    (v, lambda)
+  }
+
+  /** rank-1-plus-noise fixture: vec_i = α_i·u + ε_i. */
+  private def planted(n: Int, dim: Int): Seq[Array[Float]] = {
+    val u = {
+      val raw = (1 to dim).map(j => 1.0 + (j % 5) * 0.3)
+      val norm = math.sqrt(raw.map(r => r * r).sum)
+      raw.map(r => (r / norm)).toArray
+    }
+    (0 until n).map { i =>
+      val alpha = 0.5 + (i % 7) * 0.05
+      val eps = (0 until dim).map(j => ((i * 31 + j * 17) % 11 - 5) * 0.002)
+      u.indices.map(j => (alpha * u(j) + eps(j)).toFloat).toArray
+    }
+  }
+
+  private def embDf(vecs: Seq[Array[Float]]) = {
+    val s = spark
+    import s.implicits._
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+  }
+
+  test("engine equals the driver-side integer reference exactly") {
+    val vecs = planted(40, 8)
+    val rows = SpectralOps.topComponent(embDf(vecs), rounds = 4,
+      state = Unpinned).collect().sortBy(_.getLong(0))
+    val (refV, refLam) = reference(vecs, 4)
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val pos = r.getLong(0).toInt
+      assert(r.getAs[Long]("v_micro") === refV(pos),
+        s"pos $pos: engine ${r.getAs[Long]("v_micro")} != ref ${refV(pos)}")
+      assert(r.getAs[Long]("lambda_unit") === refLam)
+    }
+  }
+
+  test("a planted dominant direction is recovered (|cos| > 0.99)") {
+    val vecs = planted(60, 16)
+    val rows = SpectralOps.topComponent(embDf(vecs), rounds = 4,
+      state = Unpinned).collect().sortBy(_.getLong(0))
+    val v = rows.map(_.getAs[Long]("v_micro").toDouble)
+    val raw = (1 to 16).map(j => 1.0 + (j % 5) * 0.3)
+    val un = math.sqrt(raw.map(r => r * r).sum)
+    val u = raw.map(_ / un)
+    val cos = v.indices.map(j => v(j) * u(j)).sum /
+      (math.sqrt(v.map(x => x * x).sum) * math.sqrt(u.map(x => x * x).sum))
+    assert(math.abs(cos) > 0.99, s"cos(v, planted)=$cos")
+  }
+
+  test("rank-1 Rayleigh eigenvalue matches the closed form within 2%") {
+    // pure rank-1 (no noise): λ must be ~1e8·Σα² in snap units
+    val dim = 8
+    val u = {
+      val raw = (1 to dim).map(_.toDouble)
+      val norm = math.sqrt(raw.map(r => r * r).sum)
+      raw.map(_ / norm).toArray
+    }
+    val alphas = (0 until 50).map(i => 0.4 + (i % 5) * 0.1)
+    val vecs = alphas.map(a => u.map(uj => (a * uj).toFloat))
+    val lam = SpectralOps.topComponent(embDf(vecs), rounds = 3,
+      state = Unpinned).collect().head.getAs[Long]("lambda_unit")
+    val expected = 1e8 * alphas.map(a => a * a).sum
+    assert(math.abs(lam - expected) / expected < 0.02,
+      s"lambda $lam vs closed-form $expected")
+  }
+}
