@@ -34,21 +34,41 @@ object AnomalyOps {
     * integers end to end, ties broken by (event_type, hour_epoch). */
   def burstReport(events: DataFrame, trailing: Int = 24,
                   thresholdX: Int = 3, minBaseline: Int = 12,
-                  topK: Int = 20): DataFrame = {
+                  topK: Int = 20): DataFrame =
+    burstsFromHourly(hourlyCounts(events), trailing, thresholdX,
+      minBaseline, topK)
+
+  /** The live half: (event_type, hour_epoch, cnt). A plain sum-shaped
+    * streaming aggregation — [[graft.streaming.AnomalyStream]] maintains
+    * exactly this relation online; the verdict below is computed ON READ
+    * (trailing-window functions are not stream-legal, and should not
+    * be — the baseline re-reads 24 rows of bounded state, not the
+    * event stream). */
+  def hourlyCounts(events: DataFrame): DataFrame = events
+    .select(col("event_type"),
+      expr("unix_timestamp(ts) div 3600L").as("hour_epoch"))
+    .groupBy("event_type", "hour_epoch")
+    .agg(count(lit(1)).as("cnt"))
+
+  /** The verdict half over a (live or batch) hourly-count table. */
+  def burstsFromHourly(hourly: DataFrame, trailing: Int = 24,
+                       thresholdX: Int = 3, minBaseline: Int = 12,
+                       topK: Int = 20): DataFrame = {
     require(trailing >= 2 && minBaseline >= 1 && minBaseline <= trailing &&
       thresholdX >= 1, s"trailing=$trailing min=$minBaseline x=$thresholdX")
-    val hourly = events
-      .select(col("event_type"),
-        expr("unix_timestamp(ts) div 3600L").as("hour_epoch"))
-      .groupBy("event_type", "hour_epoch")
-      .agg(count(lit(1)).as("cnt"))
-    // dense per-type hour grid: quiet hours are real zero observations
+    // dense per-type hour grid: quiet hours are real zero observations.
+    // The grid branch RENAMES its columns — it re-reads `hourly`, and a
+    // same-name self-join over an external view (e.g. the streaming
+    // memory sink twin) hits conflicting-attribute resolution (the
+    // SketchOps.estimateFromRegisters lesson)
     val grid = hourly.groupBy("event_type")
       .agg(min(col("hour_epoch")).as("h_min"), max(col("hour_epoch")).as("h_max"))
-      .select(col("event_type"),
-        explode(sequence(col("h_min"), col("h_max"))).as("hour_epoch"))
-    val dense = grid.join(hourly, Seq("event_type", "hour_epoch"), "left_outer")
-      .select(col("event_type"), col("hour_epoch"),
+      .select(col("event_type").as("g_type"),
+        explode(sequence(col("h_min"), col("h_max"))).as("g_hour"))
+    val dense = grid.join(hourly,
+        col("g_type") === col("event_type") && col("g_hour") === col("hour_epoch"),
+        "left_outer")
+      .select(col("g_type").as("event_type"), col("g_hour").as("hour_epoch"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
     val w = Window.partitionBy("event_type").orderBy("hour_epoch")
       .rowsBetween(-trailing, -1)
