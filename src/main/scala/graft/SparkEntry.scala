@@ -1316,6 +1316,17 @@ object SparkEntry {
     "x127_top_component" -> ((s, dir) =>
       graft.operators.SpectralOps.topComponent(Tables.embeddings(s, dir))),
 
+    // x128 — anisotropy-corrected near-dup audit: every x11 candidate
+    // pair re-scored with x127's top direction projected out (rank-1
+    // all-but-the-top, fully expanded — no corrected vector is ever
+    // materialized); pairs whose similarity collapses were near-dups
+    // only in the shared anisotropic direction
+    "x128_corrected_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.SpectralOps.correctedDupPairs(emb,
+        graft.operators.SpectralOps.topComponent(emb), 0.40)
+    }),
+
     // x126 — zone-map layout audit: linear-vs-Z-order layouts of lineitem
     // on (part, supp) simulated by the same range-sort an OPTIMIZE write
     // performs; per-file zone maps + exact-ppm span coverage quantify the
@@ -1975,6 +1986,9 @@ object SparkEntry {
       "lineitem", "l_partkey", "l_suppkey", "l_orderkey, l_linenumber"),
 
     "x127_top_component" -> graft.operators.SpectralOps.topComponentSql(),
+
+    "x128_corrected_pairs" ->
+      graft.operators.SpectralOps.correctedDupPairsSql(0.40),
 
     "q12_priority_lines" ->
       """SELECT l_linestatus,

@@ -88,6 +88,86 @@ object SpectralOps {
         col("lambda_unit"))
   }
 
+  /** x128: anisotropy-corrected near-dup audit (Mu & Viswanath 2018's
+    * "all-but-the-top", reduced to its rank-1 core): every x11 candidate
+    * pair re-scored with the top spectral direction projected out —
+    * cos'(a,b) over a′ = a − (a·v/v·v)v, expanded so NO corrected vector
+    * is ever materialized: a′·b′ = a·b − (a·v)(b·v)/(v·v) and
+    * ‖a′‖² = a·a − (a·v)²/(v·v). A pair whose similarity collapses under
+    * correction was near-duplicate only in the shared anisotropic
+    * direction — the false-positive class cosine-threshold dedup (x52)
+    * inherits from contrastive encoders.
+    *
+    * Scale shape: the quadratic half is delegated to
+    * [[SimilarityOps.cosineDupPairsTiled]] (no BNLJ, no driver corpus);
+    * the correction itself is one O(n·d) feature scan (v broadcasts as a
+    * 1-row array relation) plus two equi-joins on the surviving pairs.
+    * Determinism: v/v·v are exact integers from [[topComponent]]; each
+    * corrected cosine is a fixed-form IEEE expression rounded to 9
+    * digits (the x11 contract). Cauchy–Schwarz holds only up to float
+    * error for a snapped v, so residual norms guard > 0 (NULL past it —
+    * a vector parallel to v has no corrected direction). */
+  def correctedDupPairs(emb: DataFrame, dir: DataFrame,
+                        threshold: Double): DataFrame = {
+    val vRel = dir.agg(
+      expr("transform(array_sort(collect_list(struct(pos, v_micro))), " +
+        "x -> CAST(x.v_micro AS DOUBLE))").as("v"),
+      greatest(sum(col("v_micro") * col("v_micro")), lit(1L)).as("vv"))
+    val feat = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .crossJoin(broadcast(vRel))
+      .select(col("vec_id"), col("e"),
+        SimilarityOps.dot(col("e"), col("v")).as("dv"),
+        SimilarityOps.dot(col("e"), col("e")).as("ee"), col("vv"))
+    val pairs = SimilarityOps.cosineDupPairsTiled(emb, threshold)
+    pairs
+      .join(feat.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+        col("dv").as("da"), col("ee").as("eea")), Seq("vec_a"))
+      .join(feat.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+        col("dv").as("db"), col("ee").as("eeb"), col("vv")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"),
+        SimilarityOps.dot(col("ea"), col("eb")).as("ab"),
+        col("da"), col("db"), col("eea"), col("eeb"), col("vv"))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"),
+        when((col("eea") - col("da") * col("da") / col("vv")) > 0d &&
+             (col("eeb") - col("db") * col("db") / col("vv")) > 0d,
+          round((col("ab") - col("da") * col("db") / col("vv")) /
+            (sqrt(col("eea") - col("da") * col("da") / col("vv")) *
+             sqrt(col("eeb") - col("db") * col("db") / col("vv"))), 9))
+          .otherwise(lit(null).cast("double")).as("cos_corrected"))
+  }
+
+  /** DuckDB twin of [[correctedDupPairs]] over the gated direction. */
+  def correctedDupPairsSql(threshold: Double, rounds: Int = 4,
+                           dim: Int = 64): String = {
+    val corr = s"(list_dot_product(a.e, b.e) - a.dv * b.dv / vv) / " +
+      s"(sqrt(a.ee - a.dv * a.dv / vv) * sqrt(b.ee - b.dv * b.dv / vv))"
+    s"""WITH cd_tc AS (
+       |  SELECT * FROM (
+       |${topComponentSql(rounds, dim).replace("\n", "\n    ")}
+       |  )
+       |), cd_v AS (
+       |  SELECT list(CAST(v_micro AS DOUBLE) ORDER BY pos) AS v,
+       |    CAST(greatest(sum(v_micro * v_micro), 1) AS BIGINT) AS vv
+       |  FROM cd_tc
+       |), cd_f AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]), v) AS dv,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[])) AS ee
+       |  FROM embeddings, cd_v
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_dot_product(a.e, b.e) / (sqrt(a.ee) * sqrt(b.ee)), 9)
+       |    AS cos_sim,
+       |  CASE WHEN (a.ee - a.dv * a.dv / vv) > 0
+       |        AND (b.ee - b.dv * b.dv / vv) > 0
+       |    THEN round($corr, 9) ELSE NULL END AS cos_corrected
+       |FROM cd_f a JOIN cd_f b ON a.vec_id < b.vec_id, cd_v
+       |WHERE round(list_dot_product(a.e, b.e) / (sqrt(a.ee) * sqrt(b.ee)), 9)
+       |  >= $threshold""".stripMargin
+  }
+
   /** DuckDB twin of [[topComponent]] — the iteration unrolled round by
     * round with identical shrink/normalize arithmetic (1-based DuckDB
     * array index kept internal; output pos is 0-based). */

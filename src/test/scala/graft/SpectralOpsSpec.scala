@@ -102,6 +102,43 @@ class SpectralOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(cos) > 0.99, s"cos(v, planted)=$cos")
   }
 
+  test("corrected pairs: the shared component stops dominating the verdict") {
+    // all four vectors ride a strong shared component c, with ZERO-MEAN
+    // residuals ±u1 / ±u2 (u1 ⊥ u2 ⊥ c) — so the top direction is
+    // exactly c and correction exposes the residual geometry: raw
+    // cosines are uniformly high (c dominates every pair), |corrected|
+    // is ~1 exactly for pairs sharing a residual LINE and ~0 across.
+    // (Residuals with a nonzero mean tilt the top eigenvector toward
+    // that mean — rank-1 ABTT removes it too; that is the method's
+    // documented behavior, not a bug, hence the balanced fixture.)
+    val c = Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f).map(_ / math.sqrt(8).toFloat)
+    val u1 = Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f).map(_ / math.sqrt(8).toFloat)
+    val u2 = Array(1f, 1f, -1f, -1f, 1f, 1f, -1f, -1f).map(_ / math.sqrt(8).toFloat)
+    def mk(base: Array[Float], scale: Float) =
+      c.indices.map(j => 3f * c(j) + scale * base(j)).toArray
+    val vecs = Seq(mk(u1, 1f), mk(u1, -1f), mk(u2, 1f), mk(u2, -1f))
+    // Local (checkpointed) state: Unpinned lineage doubles per round
+    // through the two matrix joins — plan-size exponential, fine for the
+    // 2-consumer tests above, pathological once pairs re-join features
+    val rows = SpectralOps.correctedDupPairs(embDf(vecs),
+      SpectralOps.topComponent(embDf(vecs), rounds = 4),
+      threshold = 0.40).collect()
+    assert(rows.length === 6, "all C(4,2) pairs exceed the raw threshold")
+    rows.foreach { r =>
+      val a = r.getAs[Long]("vec_a"); val b = r.getAs[Long]("vec_b")
+      val corr = r.getAs[Double]("cos_corrected")
+      val sameLine = (a < 2) == (b < 2)
+      assert(r.getAs[Double]("cos_sim") > 0.75,
+        s"($a,$b): shared component must dominate the raw cosine")
+      if (sameLine)
+        assert(math.abs(corr) > 0.95,
+          s"($a,$b): shared residual line must survive correction: $corr")
+      else
+        assert(math.abs(corr) < 0.2,
+          s"($a,$b): orthogonal residuals must collapse: $corr")
+    }
+  }
+
   test("rank-1 Rayleigh eigenvalue matches the closed form within 2%") {
     // pure rank-1 (no noise): λ must be ~1e8·Σα² in snap units
     val dim = 8
