@@ -1316,6 +1316,15 @@ object SparkEntry {
     "x127_top_component" -> ((s, dir) =>
       graft.operators.SpectralOps.topComponent(Tables.embeddings(s, dir))),
 
+    // x129 — sample-quantile calibration: per-lang length quantiles from
+    // a deterministic 1/16 hash sample beside the exact rank-based
+    // values, error in exact ppm — the read that picks the sample rate
+    // for 100 TB percentile jobs by MEASURING the DKW error; one scan,
+    // one exchange (sample rank is a conditional running count over the
+    // same lang window)
+    "x129_sample_quantiles" -> ((s, dir) =>
+      TextOps.sampleQuantileCalibration(Tables.documents(s, dir))),
+
     // x128 — anisotropy-corrected near-dup audit: every x11 candidate
     // pair re-scored with x127's top direction projected out (rank-1
     // all-but-the-top, fully expanded — no corrected vector is ever
@@ -1989,6 +1998,8 @@ object SparkEntry {
 
     "x128_corrected_pairs" ->
       graft.operators.SpectralOps.correctedDupPairsSql(0.40),
+
+    "x129_sample_quantiles" -> TextOps.sampleQuantileCalibrationSql(),
 
     "q12_priority_lines" ->
       """SELECT l_linestatus,

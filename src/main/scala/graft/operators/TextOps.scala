@@ -884,6 +884,98 @@ object TextOps {
   val quantilePoints: Seq[(String, Double)] =
     Seq("p10" -> 0.10, "p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99)
 
+  /** x129: sample-quantile calibration — per-language length quantiles
+    * from a deterministic 1/`k` hash sample beside the exact rank-based
+    * values, error in exact ppm. At 100 TB the full per-stratum sort
+    * behind exact quantiles is the cost you refuse to pay; a hash
+    * sample bounds it to n/k with DKW-bounded quantile error — this is
+    * the read that picks k by MEASURING that error on the corpus
+    * instead of trusting the bound.
+    *
+    * Deliberately ONE scan and ONE exchange: the sample's rank is a
+    * conditional running count over the SAME (lang)-partitioned window
+    * that ranks the full corpus (a second window keyed on
+    * (lang, in_sample) would re-shuffle the relation), and membership is
+    * a pure hash predicate — reproducible, merge-stable, no rand(). */
+  def sampleQuantileCalibration(df: DataFrame, k: Int = 16,
+      ps: Seq[(String, Double)] = Seq("p50" -> 0.50, "p90" -> 0.90))
+      : DataFrame = {
+    require(k >= 2 && k <= 4096, s"k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col("lang"), col("doc_id"),
+      graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+        .cast("long").as("n"),
+      (pmod(graft.functions.HashFunctions.hash60(col("doc_id").cast("string")),
+        lit(k.toLong)) === 0L).as("in_samp"))
+    val byLang = Window.partitionBy("lang").orderBy(col("n"), col("doc_id"))
+    val ranked = toks
+      .withColumn("rn", row_number().over(byLang).cast("long"))
+      .withColumn("rs", sum(when(col("in_samp"), 1L).otherwise(0L))
+        .over(byLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("cs", sum(when(col("in_samp"), 1L).otherwise(0L))
+        .over(Window.partitionBy("lang")))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum(when(col("in_samp"), 1L).otherwise(0L)).as("n_sample")) ++
+      ps.flatMap { case (name, p) => Seq(
+        max(when(col("rn") === ceil(lit(p) * col("cnt")), col("n"))).as(name),
+        max(when(col("in_samp") && col("rs") === ceil(lit(p) * col("cs")),
+          col("n"))).as(s"${name}_est"))
+      }
+    val errs = ps.map { case (name, _) =>
+      when(col(name) > 0L && col(s"${name}_est").isNotNull,
+        expr(s"(abs(${name}_est - $name) * 1000000L) div $name"))
+        .otherwise(lit(null).cast("long")).as(s"${name}_err_ppm")
+    }
+    val outCols = Seq(col("lang"), col("n_docs"), col("n_sample")) ++
+      ps.flatMap { case (name, _) => Seq(col(name), col(s"${name}_est")) } ++
+      errs
+    ranked.groupBy("lang").agg(aggs.head, aggs.tail: _*).select(outCols: _*)
+  }
+
+  /** DuckDB twin of [[sampleQuantileCalibration]]. */
+  def sampleQuantileCalibrationSql(k: Int = 16,
+      ps: Seq[(String, Double)] = Seq("p50" -> 0.50, "p90" -> 0.90))
+      : String = {
+    val h = graft.functions.HashFunctions.hash60Sql("CAST(doc_id AS VARCHAR)")
+    val qcols = ps.map { case (name, p) =>
+      s"""  CAST(max(CASE WHEN rn = CAST(ceil(CAST($p AS DOUBLE) * cnt) AS BIGINT)
+         |    THEN n END) AS BIGINT) AS $name,
+         |  CAST(max(CASE WHEN in_samp AND rs = CAST(ceil(CAST($p AS DOUBLE) * cs) AS BIGINT)
+         |    THEN n END) AS BIGINT) AS ${name}_est""".stripMargin
+    }.mkString(",\n")
+    val ecols = ps.map { case (name, _) =>
+      s"""  CASE WHEN $name > 0 AND ${name}_est IS NOT NULL
+         |    THEN (abs(${name}_est - $name) * 1000000) // $name
+         |    ELSE NULL END AS ${name}_err_ppm""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sq_toks AS (
+       |  SELECT lang, doc_id, CAST(len(${wordsReSql("text")}) AS BIGINT) AS n,
+       |    ($h % $k = 0) AS in_samp
+       |  FROM documents
+       |), sq_ranked AS (
+       |  SELECT lang, n, in_samp,
+       |    CAST(row_number() OVER lw AS BIGINT) AS rn,
+       |    CAST(sum(CASE WHEN in_samp THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY lang ORDER BY n, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs,
+       |    count(*) OVER (PARTITION BY lang) AS cnt,
+       |    CAST(sum(CASE WHEN in_samp THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY lang) AS BIGINT) AS cs
+       |  FROM sq_toks
+       |  WINDOW lw AS (PARTITION BY lang ORDER BY n, doc_id)
+       |), sq_q AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN in_samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+       |$qcols
+       |  FROM sq_ranked GROUP BY lang
+       |)
+       |SELECT lang, n_docs, n_sample,
+       |${ps.map { case (name, _) => s"  $name, ${name}_est" }.mkString(",\n")},
+       |$ecols
+       |FROM sq_q""".stripMargin
+  }
+
   def lengthQuantilesSql(ps: Seq[(String, Double)] = quantilePoints): String = {
     val cols = ps.map { case (name, p) =>
       s"CAST(max(CASE WHEN rn = CAST(ceil(CAST($p AS DOUBLE) * cnt) AS BIGINT) THEN n END) AS BIGINT) AS $name"

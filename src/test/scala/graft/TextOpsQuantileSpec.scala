@@ -56,4 +56,46 @@ class TextOpsQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$lang p=${ps(i)}: exact=$e approx=$a")
     }
   }
+
+  test("sample-quantile calibration (x129): exact side matches x32; accounting and error are exact") {
+    val docs = Tables.documents(spark, sfDir)
+    val cal = TextOps.sampleQuantileCalibration(docs, k = 16).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = TextOps.lengthQuantiles(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap // p50, p90
+    assert(cal.keySet === exact.keySet)
+    cal.foreach { case (lang, r) =>
+      assert(r.getAs[Long]("p50") === exact(lang)._1,
+        s"$lang: the calibration's exact p50 must equal x32's")
+      assert(r.getAs[Long]("p90") === exact(lang)._2)
+      val (n, ns) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sample"))
+      assert(ns <= n)
+      // the hash sample is ~1/16: allow a generous binomial band
+      assert(ns >= n / 64 && ns <= n / 4, s"$lang: $ns of $n sampled")
+      // err_ppm recomputes exactly from the reported quantiles
+      val err = r.getAs[Long]("p50_err_ppm")
+      assert(err ===
+        math.abs(r.getAs[Long]("p50_est") - r.getAs[Long]("p50")) * 1000000L /
+          r.getAs[Long]("p50"))
+      // a 1/16 sample of thousands of docs cannot be 50% off at p50
+      assert(err < 500000L, s"$lang: p50 rel err $err ppm")
+    }
+  }
+
+  test("sample-quantile calibration: sample estimates are exact on a small closed-form fixture") {
+    val s = spark
+    import s.implicits._
+    // 32 docs, lengths 1..32 ("w " repeated): exact p50 = len ceil(0.5*32)=16
+    val df = (1 to 32).map(i => (i.toLong, "aa", ("w " * i).trim))
+      .toDF("doc_id", "lang", "text")
+    val r = TextOps.sampleQuantileCalibration(df, k = 4).collect().head
+    assert(r.getAs[Long]("p50") === 16L)
+    assert(r.getAs[Long]("p90") === 29L) // ceil(0.9*32) = 29th smallest
+    val ns = r.getAs[Long]("n_sample")
+    assert(ns > 0L, "1/4 hash sample of 32 docs must hit at least once")
+    // the estimate must be a length that belongs to a sampled doc —
+    // i.e. an integer in [1, 32]
+    val est = r.getAs[Long]("p50_est")
+    assert(est >= 1L && est <= 32L)
+  }
 }
