@@ -70,11 +70,19 @@ object LayoutOps {
         expr("((b - gb0) * 65535L) div greatest(gb1 - gb0, 1L)").as("ub"),
         struct(tieCols.indices.map(i => col(s"t$i")): _*).as("tie"))
       .withColumn("z", shiftleft(spread(col("ua")), 1).bitwiseOR(spread(col("ub"))))
-    def laidOut(name: String, key: Column) = scaled
-      .withColumn("file_id",
-        ntile(files).over(Window.orderBy(key, col("tie"))).cast("long"))
-      .withColumn("layout", lit(name))
-    laidOut("linear_a", col("ua")).unionByName(laidOut("zorder", col("z")))
+    // both layouts from ONE scan: explode a layout tag and sort within
+    // the layout partition (a union of two globally-sorted branches reads
+    // the fact table once per branch — the pin caught exactly that)
+    val laid = scaled
+      .select(col("a"), col("b"), col("ga0"), col("ga1"), col("gb0"),
+        col("gb1"), col("ua"), col("z"), col("tie"),
+        explode(array(lit("linear_a"), lit("zorder"))).as("layout"))
+      .withColumn("key",
+        when(col("layout") === "linear_a", col("ua")).otherwise(col("z")))
+      .withColumn("file_id", ntile(files)
+        .over(Window.partitionBy("layout").orderBy(col("key"), col("tie")))
+        .cast("long"))
+    laid
       .groupBy("layout", "file_id")
       .agg(count(lit(1)).as("n_rows"),
         min(col("a")).as("min_a"), max(col("a")).as("max_a"),
@@ -108,13 +116,11 @@ object LayoutOps {
        |  SELECT *, (${spreadSql("ua")} << 1) | ${spreadSql("ub")} AS z
        |  FROM zm_scaled
        |), zm_laid AS (
-       |  SELECT 'linear_a' AS layout,
-       |    ntile($files) OVER (ORDER BY ua, $tie) AS file_id, *
-       |  FROM zm_z
-       |  UNION ALL
-       |  SELECT 'zorder' AS layout,
-       |    ntile($files) OVER (ORDER BY z, $tie) AS file_id, *
-       |  FROM zm_z
+       |  SELECT layout,
+       |    ntile($files) OVER (PARTITION BY layout
+       |      ORDER BY CASE WHEN layout = 'linear_a' THEN ua ELSE z END,
+       |        $tie) AS file_id, *
+       |  FROM zm_z, (VALUES ('linear_a'), ('zorder')) AS lt(layout)
        |)
        |SELECT layout, CAST(file_id AS BIGINT) AS file_id,
        |  CAST(count(*) AS BIGINT) AS n_rows,

@@ -545,4 +545,49 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("CartesianProduct"),
       s"the quadruple-self-join rewrite must stay join-light:\n$plan")
   }
+
+  test("sample-quantile calibration (x129): ONE lang exchange serves ranks, totals, and the final aggregate") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(
+      graft.operators.TextOps.sampleQuantileCalibration(docs))
+    // the sample rank is a conditional running count over the same
+    // (lang) window that ranks the corpus, and the groupBy(lang) reuses
+    // the window's output partitioning — a second exchange means the
+    // one-scan-one-shuffle claim regressed
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1,
+      s"expected exactly 1 hash exchange (the lang window):\n$plan")
+  }
+
+  test("CMS join-size estimation (x122): the counter tables meet in a broadcast join") {
+    val o = graft.core.Tables.orders(spark, sfDir)
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val plan = physicalPlan(graft.operators.SketchOps.joinSizeCalibration(
+      o, col("o_orderkey"), li, col("l_orderkey")))
+    // the d·w counter table is sketch-sized by construction — shuffling
+    // it would forfeit the sketch's point: estimate without a fact shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"counter-table meet must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct") ||
+      plan.split("CartesianProduct").length - 1 <= 3,
+      s"only 1-row stat relations may cross-join:\n$plan")
+  }
+
+  test("zone-map audit (x126): one hash exchange (the zone aggregate); layouts sort, never shuffle-join") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val plan = physicalPlan(graft.operators.LayoutOps.zoneMapAudit(li,
+      col("l_partkey"), col("l_suppkey"),
+      Seq(col("l_orderkey"), col("l_linenumber"))))
+    // the fact table is read ONCE for both layouts (the exploded layout
+    // tag + per-layout window; a union of global sorts scanned it per
+    // branch) plus once for the broadcast min/max stats; the layout
+    // window is the single hash exchange and the zone aggregate reuses
+    // its partitioning
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1,
+      s"expected exactly 1 hash exchange (the layout window):\n$plan")
+    assert(plan.split("FileScan").length - 1 === 2,
+      s"expected 2 scans (fact + stats):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"stats must broadcast onto the scan, not shuffle-join:\n$plan")
+  }
 }
