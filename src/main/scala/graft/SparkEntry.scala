@@ -1364,6 +1364,18 @@ object SparkEntry {
     "x119_session_pagerank" -> ((s, dir) =>
       graft.operators.GraphOps.sessionPageRank(Tables.events(s, dir))),
 
+    // x130 — label-propagation communities of the session graph:
+    // deterministic synchronous LPA (mode label, ties (count desc, label
+    // asc) — no randomized visit order), 4 rounds of one dst shuffle
+    // each, count + rank-1 mode window sharing it; the density read
+    // beside x119 centrality and x23 connectivity. Gated at gap=10 min:
+    // the 30-min graph is one dense blob (LPA correctly reports a single
+    // community — probed 1389 pairs → 1 label), the 10-min graph has
+    // real cut structure (153 pairs → 34 communities at sf0.01)
+    "x130_session_communities" -> ((s, dir) =>
+      graft.operators.GraphOps.sessionCommunities(Tables.events(s, dir),
+        gapMinutes = 10)),
+
     // x123 — triangle participation in the session-concurrency graph:
     // degree-ordered orientation caps out-degree at O(√m), so the wedge
     // self-join is O(m^1.5) instead of quadratic-in-hub-degree; three
@@ -1975,6 +1987,9 @@ object SparkEntry {
 
     "x123_session_triangles" ->
       graft.operators.GraphOps.sessionTrianglesSql(),
+
+    "x130_session_communities" ->
+      graft.operators.GraphOps.sessionCommunitiesSql(gapMinutes = 10),
 
     "x120_key_skew" ->
       graft.operators.SketchOps.keySkewReportSql("lineitem", "l_partkey"),

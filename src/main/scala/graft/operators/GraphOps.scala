@@ -139,6 +139,89 @@ object GraphOps {
       .limit(topK)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), made
+    * deterministic: every node starts as its own label; each round it
+    * adopts its neighbors' MODE label with ties broken (count desc,
+    * label asc) — no randomized visit order, so any partitioning and
+    * both engines produce identical communities. Bounded rounds, driver
+    * holds loop control only (the PageRank/Borůvka pattern).
+    *
+    * Scale shape per round: one shuffle of (edge ⋈ label) onto the
+    * destination, then the (dst, label) count and the rank-1 mode window
+    * SHARE that destination key — Spark plans WindowGroupLimit, so one
+    * row per node survives map-side. Communities are the density read
+    * beside x119's centrality and x23's connectivity: a component is one
+    * island, LPA splits it along its sparse cuts. */
+  def labelCommunities(pairs: DataFrame, rounds: Int = 4, topK: Int = 20,
+                       state: IterState = Local): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds=$rounds")
+    import org.apache.spark.sql.expressions.Window
+    val edges = state.pin(
+      pairs.select(col("u_a").as("src"), col("u_b").as("dst"))
+        .union(pairs.select(col("u_b").as("src"), col("u_a").as("dst"))))
+    var lab = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val byDst = Window.partitionBy("dst")
+        .orderBy(col("c").desc, col("label").asc)
+      lab = state.pin(
+        edges.join(lab, col("src") === col("id"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(byDst))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("id"), col("label")))
+    }
+    lab.groupBy("label").agg(count(lit(1)).as("n_members"))
+      .select(col("label").as("community"), col("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(topK)
+  }
+
+  /** x130 composition: communities of the session-concurrency graph. */
+  def sessionCommunities(events: DataFrame, gapMinutes: Int = 30,
+                         rounds: Int = 4, topK: Int = 20,
+                         state: IterState = Local): DataFrame =
+    labelCommunities(overlapPairs(events, gapMinutes), rounds, topK, state)
+
+  /** DuckDB twin of [[sessionCommunities]] — rounds unrolled, the mode
+    * pick as the same (count desc, label asc) rank-1. */
+  def sessionCommunitiesSql(gapMinutes: Int = 30, rounds: Int = 4,
+                            topK: Int = 20): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""lp_r$k AS (
+         |  SELECT dst AS id, label FROM (
+         |    SELECT e.dst, l.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l.label ASC) AS rn
+         |    FROM lp_edges e JOIN lp_r${k - 1} l ON l.id = e.src
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp_sess AS (
+       |  SELECT user_id, session_start_epoch, session_end_epoch FROM (
+       |${graft.streaming.EventStreams.userSessionsSql(gapMinutes)}
+       |  ) t
+       |), lp_pairs AS (
+       |  SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
+       |  FROM lp_sess a JOIN lp_sess b ON a.user_id < b.user_id
+       |    AND a.session_start_epoch <= b.session_end_epoch
+       |    AND b.session_start_epoch <= a.session_end_epoch
+       |), lp_edges AS (
+       |  SELECT u_a AS src, u_b AS dst FROM lp_pairs
+       |  UNION ALL
+       |  SELECT u_b AS src, u_a AS dst FROM lp_pairs
+       |), lp_r0 AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM lp_edges
+       |),
+       |$roundCtes
+       |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+       |FROM lp_r$rounds
+       |GROUP BY label
+       |ORDER BY n_members DESC, community
+       |LIMIT $topK""".stripMargin
+  }
+
   /** x123 composition: triangle participation in the session-concurrency
     * graph — "which user trios are repeatedly co-active", the cohesion
     * read beside x119's centrality read. */

@@ -34,4 +34,28 @@ object SketchStream {
   /** Estimate-on-read over a (live or batch) register table. */
   def estimate(registers: DataFrame, p: Int = 8): DataFrame =
     SketchOps.estimateFromRegisters(registers, 1 << p)
+
+  /** Live Count-Min counter table — the online half of the x121/x122
+    * contracts: one sum-shaped stateful aggregation over the exploded
+    * (row, bucket) cells, state = d·w longs at any stream volume.
+    * Counters are SUMS, so the live table over any prefix is
+    * byte-identical to the batch [[SketchOps.cmsCounters]] over the
+    * same rows (the merge law in streaming clothes — SketchStreamSpec
+    * pins it), heavy-hitter probes and join-size inner products read
+    * the live table with the batch finishing expressions unchanged.
+    * Unlike HLL's idempotent max, sums COUNT replays — deliver
+    * exactly-once (checkpointed source offsets) or dedup upstream. */
+  def cmsOnIngest(df: DataFrame, key: Column, d: Int = 4,
+                  w: Int = 512): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 16 && w <= 65536, s"d=$d w=$w")
+    import org.apache.spark.sql.functions._
+    import graft.functions.HashFunctions
+    df.select(key.cast("string").as("k"))
+      .select(col("k"), explode(expr(s"sequence(0, ${d - 1})")).as("row_i"))
+      .select(col("row_i"),
+        pmod(HashFunctions.hash60(
+          concat(col("row_i").cast("string"), lit("|"), col("k"))),
+          lit(w.toLong)).cast("int").as("bucket"))
+      .groupBy("row_i", "bucket").agg(count(lit(1)).as("counter"))
+  }
 }

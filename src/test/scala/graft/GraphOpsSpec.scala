@@ -112,6 +112,40 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"wedge/closing joins must stay equi-joins:\n$plan")
   }
 
+  /** Driver-side reference: identical synchronous mode-label rounds. */
+  private def referenceLpa(pairs: Seq[(Long, Long)],
+                           rounds: Int): Map[Long, Long] = {
+    val adj = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._2).map { case (n, es) => n -> es.map(_._1) }
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(lab).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    lab
+  }
+
+  test("LPA communities equal the synchronous driver-side reference") {
+    // two 4-cliques joined by a single bridge edge, plus a separate path
+    val clique1 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val clique2 = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val pairs = clique1 ++ clique2 ++ Seq((3L, 10L), (20L, 21L), (21L, 22L))
+    val got = GraphOps.labelCommunities(pairsDf(pairs), rounds = 4,
+        topK = 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = referenceLpa(pairs, 4).groupBy(_._2)
+      .map { case (l, xs) => l -> xs.size.toLong }
+    assert(got === ref, s"engine $got != reference $ref")
+    // the two cliques must not collapse into one community: the bridge
+    // is outvoted by each side's internal mode
+    val labelOf = referenceLpa(pairs, 4)
+    assert(labelOf(0L) != labelOf(13L),
+      "cliques across the bridge must keep distinct communities")
+  }
+
   test("total mass is conserved up to floor losses") {
     val pairs = Seq[(Long, Long)](
       (0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0))

@@ -70,4 +70,34 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bRegs === bBatch1, "replayed arrivals must not move registers")
     } finally q.stop()
   }
+
+  test("live CMS counters == batch counters after every prefix (sums merge law)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch1 = (0 until 400).map(i => SketchEvent("x", s"k${i % 23}"))
+    val batch2 = (0 until 300).map(i => SketchEvent("x", s"k${i % 57}"))
+
+    def cmsSnap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    def batchCounters(rows: Seq[SketchEvent]) =
+      SketchOps.cmsCounters(
+        rows.toDF().groupBy(col("item").as("k")).agg(count(lit(1)).as("cnt"))
+          .select(col("k"), col("cnt")), d = 4, w = 64)
+
+    val in = MemoryStream[SketchEvent]
+    val q = SketchStream.cmsOnIngest(in.toDF(), col("item"), d = 4, w = 64)
+      .writeStream.format("memory").queryName("cms_live")
+      .outputMode("complete").start()
+    try {
+      for ((prefix, adds) <- Seq((batch1, batch1), (batch1 ++ batch2, batch2))) {
+        in.addData(adds); q.processAllAvailable()
+        assert(cmsSnap(spark.table("cms_live")) ===
+          cmsSnap(batchCounters(prefix)),
+          s"counters diverged at prefix of ${prefix.size}")
+      }
+    } finally q.stop()
+  }
 }
