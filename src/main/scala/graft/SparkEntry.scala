@@ -1364,6 +1364,19 @@ object SparkEntry {
     "x119_session_pagerank" -> ((s, dir) =>
       graft.operators.GraphOps.sessionPageRank(Tables.events(s, dir))),
 
+    // x131 — batch self-retrieval evaluation: MRR@10 / hit rates of BM25
+    // over a query fleet derived from the corpus (first-3-token queries,
+    // relevance oracle = the doc itself); the batch-of-queries shape —
+    // df/dl as window counts on the matrix, query terms broadcast onto
+    // the postings (map-side probe), per-term micros summed exactly
+    // nTerms=16: the synthetic corpus draws docs from a small SHARED
+    // vocabulary (every token df≈0.75N — no rare terms exist), so short
+    // queries carry almost no lexical identity; 16 terms recover
+    // MRR≈0.3 and the eval's value is exactly that it MEASURES this
+    "x131_retrieval_eval" -> ((s, dir) =>
+      graft.operators.RetrievalOps.selfRetrievalEval(
+        Tables.documents(s, dir), col("doc_id") % 50 === 0, nTerms = 16)),
+
     // x130 — label-propagation communities of the session graph:
     // deterministic synchronous LPA (mode label, ties (count desc, label
     // asc) — no randomized visit order), 4 rounds of one dst shuffle
@@ -1990,6 +2003,9 @@ object SparkEntry {
 
     "x130_session_communities" ->
       graft.operators.GraphOps.sessionCommunitiesSql(gapMinutes = 10),
+
+    "x131_retrieval_eval" -> graft.operators.RetrievalOps
+      .selfRetrievalEvalSql("doc_id % 50 = 0", nTerms = 16),
 
     "x120_key_skew" ->
       graft.operators.SketchOps.keySkewReportSql("lineitem", "l_partkey"),

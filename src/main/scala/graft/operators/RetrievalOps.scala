@@ -203,4 +203,141 @@ object RetrievalOps {
        |ORDER BY rrf_micro DESC, doc_id
        |LIMIT $k""".stripMargin
   }
+
+  /** x131: batch self-retrieval evaluation — MRR@k and hit rates of BM25
+    * over a query fleet derived from the corpus itself (each query doc's
+    * `nTerms` RAREST tokens by corpus df, ties (fpos, token) — the
+    * discriminative self-query; relevance oracle = the doc itself, the
+    * standard zero-annotation retrieval smoke test). A sub-1 MRR
+    * localizes WHERE lexical retrieval loses its own documents: docs
+    * whose rarest terms are still corpus-shared — template farms and
+    * near-dup clusters. (First-token queries were tried and score ~0.16
+    * MRR on the synthetic corpus — openings are boilerplate; that IS a
+    * finding, but the rare-term fleet is the evaluation a retrieval
+    * stack actually tunes against.)
+    *
+    * Scale shape — deliberately different from x49's fixed-query scan:
+    * this is the BATCH-of-queries shape. The doc×token matrix computes
+    * df and dl as WINDOW counts over its own (token) and (doc_id)
+    * partitions (no aggregate-join-backs — the x87 lesson), the query
+    * term fleet is rank-limited per query and BROADCASTS onto the
+    * matrix (posting lists probe map-side, they never shuffle), and the
+    * (query, doc) score aggregate + rank window share one exchange.
+    * Per-term contributions snap to micro BIGINTs before the sum (a
+    * float groupBy-sum would be partition-order-dependent — the x67
+    * contract); reciprocal ranks are exact `1e6 div rank`.
+    *
+    * Output: 1 row (n_queries, hits_at_1, hits_at_k, mrr_micro). */
+  def selfRetrievalEval(df: DataFrame, queryPred: Column, nTerms: Int = 3,
+                        k: Int = 10, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nTerms >= 1 && nTerms <= 16 && k >= 1, s"nTerms=$nTerms k=$k")
+    val toks = df
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextOps.words(col("text"))).as(Seq("pos", "token")))
+    val matrix = toks.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), min(col("pos")).as("fpos"))
+    val withStats = matrix
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      .withColumn("dfr", count(lit(1)).over(Window.partitionBy("token")))
+    val corpus = matrix.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("sum_dl"))
+    val qterms = withStats.filter(queryPred)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("dfr"), col("fpos"), col("token"))))
+      .filter(col("rn") <= nTerms)
+      .select(col("doc_id").as("qid"), col("token"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = ln(lit(1.0) +
+      (col("n_docs").cast("double") - col("dfr").cast("double") + lit(0.5)) /
+        (col("dfr").cast("double") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val contrib = idf * (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val scored = withStats.join(broadcast(qterms), Seq("token"))
+      .crossJoin(broadcast(corpus))
+      .select(col("qid"), col("doc_id"),
+        floor(contrib * lit(1e6) + lit(0.5)).cast("long").as("c_micro"))
+    val ranked = scored.groupBy("qid", "doc_id")
+      .agg(sum(col("c_micro")).as("s"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+    val nQ = qterms.agg(countDistinct(col("qid")).as("n_queries"))
+    val selfHits = ranked.filter(col("doc_id") === col("qid"))
+      .agg(coalesce(sum(when(col("rank") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("hits_at_1"),
+        count(lit(1)).as("hits_at_k"),
+        coalesce(sum(expr("1000000L div rank")), lit(0L)).as("sum_rr"))
+    nQ.crossJoin(selfHits)
+      .select(col("n_queries"), col("hits_at_1"), col("hits_at_k"),
+        when(col("n_queries") > 0L, expr("sum_rr div n_queries"))
+          .otherwise(lit(0L)).as("mrr_micro"))
+  }
+
+  /** DuckDB twin of [[selfRetrievalEval]]; `queryPred` over (doc_id,
+    * token, tf, fpos). */
+  def selfRetrievalEvalSql(queryPred: String, nTerms: Int = 3, k: Int = 10,
+                           k1: Double = 1.2, b: Double = 0.75): String = {
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val idf = s"ln(${dlit(1.0)} + (CAST(n_docs AS DOUBLE) - CAST(dfr AS DOUBLE)" +
+      s" + ${dlit(0.5)}) / (CAST(dfr AS DOUBLE) + ${dlit(0.5)}))"
+    val contrib = s"$idf * (CAST(tf AS DOUBLE) * ${dlit(k1 + 1.0)})" +
+      s" / (CAST(tf AS DOUBLE) + ${dlit(k1)} * (${dlit(1.0 - b)}" +
+      s" + ${dlit(b)} * (CAST(dl AS DOUBLE) / $avgdl)))"
+    s"""WITH sr_toks AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos,
+       |    unnest(toks) AS token
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+       |        FROM documents
+       |        WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+       |), sr_m AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+       |    CAST(min(pos) AS BIGINT) AS fpos
+       |  FROM sr_toks GROUP BY doc_id, token
+       |), sr_ws AS (
+       |  SELECT *, CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl,
+       |    CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS dfr
+       |  FROM sr_m
+       |), sr_corpus AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(sum(tf) AS BIGINT) AS sum_dl
+       |  FROM sr_m
+       |), sr_q AS (
+       |  SELECT doc_id AS qid, token FROM (
+       |    SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY dfr, fpos, token) AS rn
+       |    FROM sr_ws WHERE $queryPred)
+       |  WHERE rn <= $nTerms
+       |), sr_scored AS (
+       |  SELECT q.qid, w.doc_id,
+       |    CAST(floor(($contrib) * ${dlit(1e6)} + ${dlit(0.5)}) AS BIGINT)
+       |      AS c_micro
+       |  FROM sr_ws w JOIN sr_q q USING (token), sr_corpus
+       |), sr_ranked AS (
+       |  SELECT qid, doc_id,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY sum(c_micro) DESC, doc_id) AS rank
+       |  FROM sr_scored GROUP BY qid, doc_id
+       |  QUALIFY rank <= $k
+       |), sr_nq AS (
+       |  SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_queries FROM sr_q
+       |), sr_hits AS (
+       |  SELECT
+       |    CAST(COALESCE(sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS hits_at_1,
+       |    CAST(count(*) AS BIGINT) AS hits_at_k,
+       |    CAST(COALESCE(sum(1000000 // rank), 0) AS BIGINT) AS sum_rr
+       |  FROM sr_ranked WHERE doc_id = qid
+       |)
+       |SELECT n_queries, hits_at_1, hits_at_k,
+       |  CASE WHEN n_queries > 0 THEN sum_rr // n_queries ELSE 0 END
+       |    AS mrr_micro
+       |FROM sr_nq, sr_hits""".stripMargin
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -152,5 +153,56 @@ class RetrievalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val self = out.find(_.getAs[Long]("doc_id") == 42L)
     assert(self.isDefined, "query doc must fuse into the top list")
     assert(self.get.getAs[Long]("rank_vec") === 1L, "cos(q,q)=1 ranks first")
+  }
+
+  test("selfRetrievalEval: distinct-vocab queries retrieve themselves at rank 1") {
+    val s = spark
+    import s.implicits._
+    // every doc has a private vocabulary -> its own terms retrieve it
+    // first; shared filler ensures the corpus isn't degenerate
+    val df = (1L to 10L).map(i =>
+      (i, s"uniq${i}a uniq${i}b uniq${i}c filler filler"))
+      .toDF("doc_id", "text")
+    val r = RetrievalOps.selfRetrievalEval(df, col("doc_id") % 2 === 0)
+      .collect().head
+    assert(r.getAs[Long]("n_queries") === 5L)
+    assert(r.getAs[Long]("hits_at_1") === 5L)
+    assert(r.getAs[Long]("hits_at_k") === 5L)
+    assert(r.getAs[Long]("mrr_micro") === 1000000L)
+  }
+
+  test("selfRetrievalEval: a doc with only corpus-shared vocabulary degrades MRR exactly") {
+    val s = spark
+    import s.implicits._
+    // doc 2 has NO private token: its rarest terms are shared by docs
+    // 1-3 verbatim, scores tie, tiebreak is doc_id asc -> rank 2
+    val df = Seq(
+      (1L, "the of and"),
+      (2L, "the of and"),
+      (3L, "the of and"),
+      (4L, "the of and x4")
+    ).toDF("doc_id", "text")
+    val r = RetrievalOps.selfRetrievalEval(df, col("doc_id") === 2)
+      .collect().head
+    assert(r.getAs[Long]("n_queries") === 1L)
+    assert(r.getAs[Long]("hits_at_1") === 0L)
+    assert(r.getAs[Long]("mrr_micro") === 500000L) // 1/rank-2
+  }
+
+  test("selfRetrievalEval on the real corpus: self-retrieval beats random by an order of magnitude") {
+    // this corpus has NO rare tokens (docs are draws from one small
+    // vocabulary, df≈0.75N for every token — probed), so lexical
+    // self-identity is weak by construction; the eval must still beat
+    // random ranking (expected hits ≈ nq·k/N = 0.5 here) decisively
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val r = RetrievalOps.selfRetrievalEval(docs, col("doc_id") % 20 === 0,
+      nTerms = 16).collect().head
+    val nq = r.getAs[Long]("n_queries")
+    assert(nq > 0L)
+    val randomExpect = nq.toDouble * 10.0 / n.toDouble
+    assert(r.getAs[Long]("hits_at_k") >= math.ceil(10 * randomExpect).toLong,
+      s"${r.getAs[Long]("hits_at_k")} of $nq (random expects $randomExpect)")
+    assert(r.getAs[Long]("mrr_micro") > 100000L)
   }
 }
