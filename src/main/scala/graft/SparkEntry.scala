@@ -1364,6 +1364,13 @@ object SparkEntry {
     "x119_session_pagerank" -> ((s, dir) =>
       graft.operators.GraphOps.sessionPageRank(Tables.events(s, dir))),
 
+    // x132 — k-core of the session graph: bounded peel rounds (idempotent
+    // at fixpoint so both engines unroll the same 8), degree aggregate +
+    // two semi-joins per round; the engagement-depth read beside x119
+    // centrality / x123 cohesion / x130 communities
+    "x132_session_kcore" -> ((s, dir) =>
+      graft.operators.GraphOps.sessionKCore(Tables.events(s, dir))),
+
     // x131 — batch self-retrieval evaluation: MRR@10 / hit rates of BM25
     // over a query fleet derived from the corpus (first-3-token queries,
     // relevance oracle = the doc itself); the batch-of-queries shape —
@@ -2006,6 +2013,8 @@ object SparkEntry {
 
     "x131_retrieval_eval" -> graft.operators.RetrievalOps
       .selfRetrievalEvalSql("doc_id % 50 = 0", nTerms = 16),
+
+    "x132_session_kcore" -> graft.operators.GraphOps.sessionKCoreSql(),
 
     "x120_key_skew" ->
       graft.operators.SketchOps.keySkewReportSql("lineitem", "l_partkey"),

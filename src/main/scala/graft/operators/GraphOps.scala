@@ -178,6 +178,88 @@ object GraphOps {
       .limit(topK)
   }
 
+  /** Bounded-round k-core peeling (Seidman 1983; the Batagelj–Zaveršnik
+    * peel expressed as joins): repeatedly drop nodes of degree < `k` and
+    * their incident edges. Peeling is IDEMPOTENT at the fixpoint, so
+    * both engines unroll the same fixed `rounds` — extra rounds are
+    * no-ops — and the driver needs no data-dependent loop condition
+    * (which would break oracle replay). `rounds` bounds the peel depth:
+    * a chain of length L needs L/2 rounds, so pick rounds ≥ the graph's
+    * expected degeneracy frontier; nodes the bound leaves unpeeled are
+    * a SUPERSET of the true core (never an undercount).
+    *
+    * Scale shape per round: one degree aggregate + two semi-joins of the
+    * edge relation against the |nodes|-sized survivor set — the same
+    * two-shuffle Pregel budget as PageRank, lineage pinned per round.
+    * The k-core is the engagement-depth read beside x119 centrality,
+    * x123 cohesion, and x130 communities: a node in the 4-core has 4
+    * neighbors who EACH have 4 surviving neighbors — recursively robust
+    * co-activity, where raw degree is one hub away from noise. */
+  def kCore(pairs: DataFrame, k: Int = 3, rounds: Int = 8, topK: Int = 20,
+            state: IterState = Local): DataFrame = {
+    require(k >= 2 && rounds >= 1 && rounds <= 32, s"k=$k rounds=$rounds")
+    var edges = state.pin(
+      pairs.select(col("u_a").as("src"), col("u_b").as("dst"))
+        .union(pairs.select(col("u_b").as("src"), col("u_a").as("dst"))))
+    for (_ <- 1 to rounds) {
+      val survivors = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k.toLong)
+        .select(col("src").as("u"))
+      edges = state.pin(edges
+        .join(survivors.select(col("u").as("src")), Seq("src"), "left_semi")
+        .join(survivors.select(col("u").as("dst")), Seq("dst"), "left_semi"))
+    }
+    edges.groupBy("src").agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k.toLong)
+      .select(col("src").as("user_id"), col("core_degree"))
+      .orderBy(col("core_degree").desc, col("user_id"))
+      .limit(topK)
+  }
+
+  /** x132 composition: the k-core of the session-concurrency graph. */
+  def sessionKCore(events: DataFrame, gapMinutes: Int = 30, k: Int = 3,
+                   rounds: Int = 8, topK: Int = 20,
+                   state: IterState = Local): DataFrame =
+    kCore(overlapPairs(events, gapMinutes), k, rounds, topK, state)
+
+  /** DuckDB twin of [[sessionKCore]] — the peel unrolled. */
+  def sessionKCoreSql(gapMinutes: Int = 30, k: Int = 3, rounds: Int = 8,
+                      topK: Int = 20): String = {
+    // MATERIALIZED is load-bearing: each kc_e{r} references kc_e{r-1}
+    // three times (degree + both semi-joins) and DuckDB inlines plain
+    // CTEs per reference — 8 unrolled rounds would expand to 3^8 scans
+    // of the events file ("Too many open files", observed)
+    val roundCtes = (1 to rounds).map { r =>
+      s"""kc_n$r AS MATERIALIZED (
+         |  SELECT src AS u FROM kc_e${r - 1}
+         |  GROUP BY src HAVING count(*) >= $k),
+         |kc_e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM kc_e${r - 1} e
+         |  JOIN kc_n$r a ON a.u = e.src
+         |  JOIN kc_n$r b ON b.u = e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH kc_sess AS (
+       |  SELECT user_id, session_start_epoch, session_end_epoch FROM (
+       |${graft.streaming.EventStreams.userSessionsSql(gapMinutes)}
+       |  ) t
+       |), kc_pairs AS (
+       |  SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
+       |  FROM kc_sess a JOIN kc_sess b ON a.user_id < b.user_id
+       |    AND a.session_start_epoch <= b.session_end_epoch
+       |    AND b.session_start_epoch <= a.session_end_epoch
+       |), kc_e0 AS MATERIALIZED (
+       |  SELECT u_a AS src, u_b AS dst FROM kc_pairs
+       |  UNION ALL
+       |  SELECT u_b AS src, u_a AS dst FROM kc_pairs
+       |),
+       |$roundCtes
+       |SELECT src AS user_id, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM kc_e$rounds
+       |GROUP BY src HAVING count(*) >= $k
+       |ORDER BY core_degree DESC, user_id
+       |LIMIT $topK""".stripMargin
+  }
+
   /** x130 composition: communities of the session-concurrency graph. */
   def sessionCommunities(events: DataFrame, gapMinutes: Int = 30,
                          rounds: Int = 4, topK: Int = 20,

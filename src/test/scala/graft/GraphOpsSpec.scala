@@ -146,6 +146,43 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cliques across the bridge must keep distinct communities")
   }
 
+  /** Driver-side reference: peel to fixpoint. */
+  private def referenceKCore(pairs: Seq[(Long, Long)],
+                             k: Int): Map[Long, Long] = {
+    var es = pairs.map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next != es
+      es = next
+    }
+    es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("k-core equals the peel-to-fixpoint reference (clique survives, tree and cycle peel away)") {
+    // 5-clique (every node deg 4 -> 3-core), a 7-node path, a 6-cycle
+    // (2-core only), and a node chained to the clique by one edge
+    val clique = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val path = (10L until 16L).map(i => (i, i + 1))
+    val cycle = (20L until 25L).map(i => (i, i + 1)) :+ ((25L, 20L))
+    val pairs = clique ++ path ++ cycle :+ ((4L, 30L))
+    val got = GraphOps.kCore(pairsDf(pairs), k = 3, rounds = 8, topK = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = referenceKCore(pairs, 3)
+    assert(got === ref, s"engine $got != reference $ref")
+    assert(got.keySet === (0L to 4L).toSet, "only the clique is 3-robust")
+    assert(got.values.forall(_ === 4L))
+    // the cycle IS a 2-core: same graph, k=2 keeps it
+    val got2 = GraphOps.kCore(pairsDf(pairs), k = 2, rounds = 8, topK = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert((20L to 25L).toSet.subsetOf(got2))
+    assert(!got2.contains(30L), "the pendant node peels at k=2")
+  }
+
   test("total mass is conserved up to floor losses") {
     val pairs = Seq[(Long, Long)](
       (0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0))
