@@ -97,6 +97,38 @@ object LayoutOps {
           .as("cov_b_ppm"))
   }
 
+  /** The write path the audit simulates: rewrite `df` as `files` parquet
+    * files in Z-order on (`dimA`, `dimB`) — repartitionByRange on the
+    * Morton key (the same range-shuffle a Delta/Iceberg OPTIMIZE ZORDER
+    * performs), sortWithinPartitions for row-group locality, one file
+    * per range partition. After this write, a reader's min/max zone maps
+    * prune BOTH dimensions at ~√(1/files) — LayoutOpsSpec proves it by
+    * reading the files back individually (`input_file_name`) and
+    * checking the physical per-file spans against [[zoneMapAudit]]'s
+    * simulated `zorder` rows.
+    *
+    * The z key is dropped before writing — it is layout, not data. */
+  def writeZOrdered(df: DataFrame, dimA: Column, dimB: Column,
+                    path: String, files: Int = 16): Unit = {
+    require(files >= 1 && files <= 4096, s"files=$files")
+    val base = df.withColumn("__a", dimA.cast("long"))
+      .withColumn("__b", dimB.cast("long"))
+    val stats = base.agg(min(col("__a")).as("ga0"), max(col("__a")).as("ga1"),
+      min(col("__b")).as("gb0"), max(col("__b")).as("gb1"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("__ua",
+        expr("((__a - ga0) * 65535L) div greatest(ga1 - ga0, 1L)"))
+      .withColumn("__ub",
+        expr("((__b - gb0) * 65535L) div greatest(gb1 - gb0, 1L)"))
+      .withColumn("__z",
+        shiftleft(spread(col("__ua")), 1).bitwiseOR(spread(col("__ub"))))
+      .drop("ga0", "ga1", "gb0", "gb1", "__a", "__b", "__ua", "__ub")
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** DuckDB twin of [[zoneMapAudit]]: `rel` with dim expressions
     * `dimA`/`dimB` and a unique tiebreak ORDER BY tail `tie`. */
   def zoneMapAuditSql(rel: String, dimA: String, dimB: String,

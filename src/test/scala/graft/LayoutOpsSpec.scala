@@ -68,6 +68,32 @@ class LayoutOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("writeZOrdered: physical files carry the audit's promise — both dims cluster") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    LayoutOps.writeZOrdered(grid(), col("a"), col("b"),
+      s"$dir/li", files = 16)
+    val back = spark.read.parquet(s"$dir/li")
+      .withColumn("file", input_file_name())
+    assert(back.count() === 4096L, "every row survives the rewrite")
+    val spans = back.groupBy("file")
+      .agg(count(lit(1)).as("n"),
+        (max(col("a")) - min(col("a")) + 1L).as("span_a"),
+        (max(col("b")) - min(col("b")) + 1L).as("span_b"))
+      .collect()
+    assert(spans.length === 16, s"expected 16 physical files, got ${spans.length}")
+    // a contiguous Morton interval of ~1/16 of the curve spans at most
+    // half the grid in either dim (quadrant-boundary crossings), and on
+    // average ~1/4 — the per-dim clustering a single-key sort cannot give
+    spans.foreach { r =>
+      assert(r.getAs[Long]("span_a") <= 40L && r.getAs[Long]("span_b") <= 40L,
+        s"file spans too wide: $r")
+    }
+    val meanA = spans.map(_.getAs[Long]("span_a")).sum.toDouble / 16 / 64
+    val meanB = spans.map(_.getAs[Long]("span_b")).sum.toDouble / 16 / 64
+    assert(meanA < 0.40 && meanB < 0.40,
+      s"mean coverage a=$meanA b=$meanB — both dims must cluster")
+  }
+
   test("degenerate dimension (constant) never divides by zero") {
     val s = spark
     import s.implicits._
