@@ -1364,6 +1364,20 @@ object SparkEntry {
     "x119_session_pagerank" -> ((s, dir) =>
       graft.operators.GraphOps.sessionPageRank(Tables.events(s, dir))),
 
+    // x133 — temperature-scaled mixture weights: natural vs α=1/2 vs
+    // α=1/4 allocation per language; half-integer temperatures = IEEE
+    // sqrt (correctly rounded both engines — never libm pow), micro-snap
+    // per row then exact integer ppm; one lang-sized aggregate
+    "x133_mixture_temperature" -> ((s, dir) =>
+      graft.operators.CurationOps.mixtureTemperature(
+        Tables.documents(s, dir))),
+
+    // x134 — A/B readout on the event stream: deterministic hash-split
+    // arms, conversion = any 'purchase', G² on the 2×2 with the x81
+    // double-ratio contract; one user_id shuffle then a 1-row aggregate
+    "x134_ab_readout" -> ((s, dir) =>
+      graft.operators.ExperimentOps.abReadout(Tables.events(s, dir))),
+
     // x132 — k-core of the session graph: bounded peel rounds (idempotent
     // at fixpoint so both engines unroll the same 8), degree aggregate +
     // two semi-joins per round; the engagement-depth read beside x119
@@ -2015,6 +2029,11 @@ object SparkEntry {
       .selfRetrievalEvalSql("doc_id % 50 = 0", nTerms = 16),
 
     "x132_session_kcore" -> graft.operators.GraphOps.sessionKCoreSql(),
+
+    "x133_mixture_temperature" ->
+      graft.operators.CurationOps.mixtureTemperatureSql(),
+
+    "x134_ab_readout" -> graft.operators.ExperimentOps.abReadoutSql(),
 
     "x120_key_skew" ->
       graft.operators.SketchOps.keySkewReportSql("lineitem", "l_partkey"),

@@ -447,6 +447,73 @@ object CurationOps {
        |FROM mp""".stripMargin
   }
 
+  /** x133: temperature-scaled mixture weights (the sampling-temperature
+    * read of multilingual pretraining — mC4/XLM-R's p^α reweighting):
+    * beside each language's natural token share, the allocation a
+    * budget gets under α = 1/2 and α = 1/4 flattening. Temperatures are
+    * deliberately HALF-INTEGER: p^(1/2) = sqrt, p^(1/4) = sqrt∘sqrt,
+    * and IEEE sqrt is correctly rounded on both engines — a general
+    * exp(α·ln p) would stake the gate's hash on libm pow parity, which
+    * (unlike ln, probed bit-identical on the integer-ratio class) is
+    * NOT guaranteed. sqrt outputs snap to micro ints per row before any
+    * cross-row arithmetic; shares and allocations are exact integer
+    * ppm/ratios from then on.
+    *
+    * Scale: one scan, one lang-sized aggregate, a 1-row total window —
+    * nothing joins the fact. */
+  def mixtureTemperature(df: DataFrame,
+                         budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val agg = df.filter(col("lang").isNotNull)
+      .groupBy("lang")
+      .agg(sum(TextExpressions.wsTokenCountFast(col("text")).cast("long"))
+        .as("n_tokens"))
+      .select(col("lang"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("s_half"),
+        floor(sqrt(sqrt(col("n_tokens").cast("double"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("s_quarter"))
+    agg
+      .withColumn("tot", sum(col("n_tokens")).over(w))
+      .withColumn("tot_half", sum(col("s_half")).over(w))
+      .withColumn("tot_quarter", sum(col("s_quarter")).over(w))
+      .select(col("lang"), col("n_tokens"),
+        expr("(n_tokens * 1000000L) div tot").as("share_ppm"),
+        expr("(s_half * 1000000L) div tot_half").as("w_half_ppm"),
+        expr("(s_quarter * 1000000L) div tot_quarter").as("w_quarter_ppm"),
+        expr(s"($budget" + "L * s_half) div tot_half").as("alloc_half"),
+        expr(s"($budget" + "L * s_quarter) div tot_quarter")
+          .as("alloc_quarter"))
+  }
+
+  /** DuckDB twin of [[mixtureTemperature]]. */
+  def mixtureTemperatureSql(budget: Long = 1000000L): String =
+    s"""WITH mt AS (
+       |  SELECT lang,
+       |    CAST(sum(len(${TextOps.wordsReSql("text")})) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+       |), mt_s AS (
+       |  SELECT lang, n_tokens,
+       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      AS s_half,
+       |    CAST(floor(sqrt(sqrt(CAST(n_tokens AS DOUBLE))) * 1e6 + 0.5)
+       |      AS BIGINT) AS s_quarter
+       |  FROM mt
+       |)
+       |SELECT lang, n_tokens,
+       |  CAST((n_tokens * 1000000) // sum(n_tokens) OVER () AS BIGINT)
+       |    AS share_ppm,
+       |  CAST((s_half * 1000000) // sum(s_half) OVER () AS BIGINT)
+       |    AS w_half_ppm,
+       |  CAST((s_quarter * 1000000) // sum(s_quarter) OVER () AS BIGINT)
+       |    AS w_quarter_ppm,
+       |  CAST(($budget * s_half) // sum(s_half) OVER () AS BIGINT)
+       |    AS alloc_half,
+       |  CAST(($budget * s_quarter) // sum(s_quarter) OVER () AS BIGINT)
+       |    AS alloc_quarter
+       |FROM mt_s""".stripMargin
+
   // ---------------------------------------------------------------------
   // x108 — release audit: the composed keep/drop decision per document
   // ---------------------------------------------------------------------

@@ -207,4 +207,32 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(reason === expected, s"doc $id")
     }
   }
+
+  test("mixtureTemperature: flattening is monotone in α and accounting is exact") {
+    val s = spark
+    import s.implicits._
+    // en has 100× zh's tokens: 10 en docs of 100 tokens, 1 zh doc of 10
+    val df = ((1 to 10).map(i => (i.toLong, "en", ("w " * 100).trim)) :+
+      (99L, "zh", ("w " * 10).trim)).toDF("doc_id", "lang", "text")
+    val rows = graft.operators.CurationOps.mixtureTemperature(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (en, zh) = (rows("en"), rows("zh"))
+    assert(en.getAs[Long]("n_tokens") === 1000L)
+    assert(zh.getAs[Long]("n_tokens") === 10L)
+    // exact natural shares: 1000/1010 and 10/1010 in floor ppm
+    assert(en.getAs[Long]("share_ppm") === 1000L * 1000000L / 1010L)
+    assert(zh.getAs[Long]("share_ppm") === 10L * 1000000L / 1010L)
+    // flattening: the minority slice GROWS as α drops (1 → 1/2 → 1/4)
+    assert(zh.getAs[Long]("w_half_ppm") > zh.getAs[Long]("share_ppm"))
+    assert(zh.getAs[Long]("w_quarter_ppm") > zh.getAs[Long]("w_half_ppm"))
+    assert(en.getAs[Long]("w_quarter_ppm") < en.getAs[Long]("w_half_ppm"))
+    // closed form at α=1/2: weights ∝ sqrt(1000):sqrt(10) = 10:1 — the
+    // micro-snap keeps the ratio exact at this magnitude
+    val ratio = en.getAs[Long]("w_half_ppm").toDouble /
+      zh.getAs[Long]("w_half_ppm").toDouble
+    assert(math.abs(ratio - 10.0) < 0.01, s"sqrt ratio $ratio")
+    // allocations never exceed the budget in total
+    val alloc = rows.values.map(_.getAs[Long]("alloc_half")).sum
+    assert(alloc <= 1000000L && alloc >= 999998L)
+  }
 }
