@@ -1364,6 +1364,13 @@ object SparkEntry {
     "x119_session_pagerank" -> ((s, dir) =>
       graft.operators.GraphOps.sessionPageRank(Tables.events(s, dir))),
 
+    // x135 — session transition matrix: within-session consecutive event
+    // pairs with conditional probability and LIFT vs the base rate (is
+    // "B after A" a dependency or just B's popularity); one user window
+    // shuffle, |types|²-sized after, margins as windows not join-backs
+    "x135_session_transitions" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionTransitions(Tables.events(s, dir))),
+
     // x133 — temperature-scaled mixture weights: natural vs α=1/2 vs
     // α=1/4 allocation per language; half-integer temperatures = IEEE
     // sqrt (correctly rounded both engines — never libm pow), micro-snap
@@ -2034,6 +2041,9 @@ object SparkEntry {
       graft.operators.CurationOps.mixtureTemperatureSql(),
 
     "x134_ab_readout" -> graft.operators.ExperimentOps.abReadoutSql(),
+
+    "x135_session_transitions" ->
+      graft.streaming.EventStreams.sessionTransitionsSql(),
 
     "x120_key_skew" ->
       graft.operators.SketchOps.keySkewReportSql("lineitem", "l_partkey"),

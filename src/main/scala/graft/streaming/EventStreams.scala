@@ -79,6 +79,74 @@ object EventStreams {
         col("session_end_epoch") - col("session_start_epoch"))
   }
 
+  /** x135: session transition matrix — within-session consecutive event
+    * pairs (lag over (user, ts, event_id) with the inactivity-gap cut),
+    * each transition reported with its count, the conditional
+    * P(next | prev), and the LIFT against the unconditional P(next) —
+    * the behavioral read that separates "B follows A because everyone
+    * does B" from a real sequential dependency.
+    *
+    * Determinism & scale: one window shuffle on user_id produces the
+    * pairs; the matrix is |types|²-bounded from then on and every ratio
+    * is exact integer ppm (lift = cond_ppm·10⁶ div next_ppm — a ratio
+    * of two already-exact ppms, so no BIGINT cross-product can overflow
+    * at any corpus size). Margins are windows over the tiny matrix, not
+    * join-backs. Output: top-`topK` by (count desc, prev, next). */
+  def sessionTransitions(events: DataFrame, gapMinutes: Int = 30,
+                         topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    val pairs = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("gap_sec",
+        unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1).over(byUser))
+      .filter(col("prev_type").isNotNull && col("gap_sec") <= gapSec)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+    val matrix = pairs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_trans"))
+    matrix
+      .withColumn("n_from",
+        sum(col("n_trans")).over(Window.partitionBy("prev_type")))
+      .withColumn("n_to",
+        sum(col("n_trans")).over(Window.partitionBy("next_type")))
+      .withColumn("total", sum(col("n_trans")).over(Window.partitionBy()))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        expr("(n_trans * 1000000L) div n_from").as("p_cond_ppm"),
+        expr("((n_trans * 1000000L) div n_from) * 1000000L div " +
+          "((n_to * 1000000L) div total)").as("lift_ppm"))
+      .orderBy(col("n_trans").desc, col("prev_type"), col("next_type"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[sessionTransitions]]. */
+  def sessionTransitionsSql(gapMinutes: Int = 30, topK: Int = 20): String = {
+    val gapSec = gapMinutes * 60
+    s"""WITH st_pairs AS (
+       |  SELECT prev_type, event_type AS next_type FROM (
+       |    SELECT event_type,
+       |      lag(event_type) OVER uw AS prev_type,
+       |      date_diff('second', lag(ts) OVER uw, ts) AS gap_sec
+       |    FROM events
+       |    WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |  WHERE prev_type IS NOT NULL AND gap_sec <= $gapSec
+       |), st_m AS (
+       |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+       |  FROM st_pairs GROUP BY prev_type, next_type
+       |)
+       |SELECT prev_type, next_type, n_trans,
+       |  CAST((n_trans * 1000000) //
+       |    sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS p_cond_ppm,
+       |  CAST(((n_trans * 1000000) //
+       |      sum(n_trans) OVER (PARTITION BY prev_type)) * 1000000 //
+       |    ((sum(n_trans) OVER (PARTITION BY next_type) * 1000000) //
+       |      sum(n_trans) OVER ()) AS BIGINT) AS lift_ppm
+       |FROM st_m
+       |ORDER BY n_trans DESC, prev_type, next_type
+       |LIMIT $topK""".stripMargin
+  }
+
   def userSessionsSql(gapMinutes: Int): String = {
     val gapSec = gapMinutes * 60
     s"""WITH marked AS (

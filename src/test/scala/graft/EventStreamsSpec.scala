@@ -86,4 +86,33 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(stream === batch)
     } finally query.stop()
   }
+
+  test("sessionTransitions: gap cuts, exact conditional/lift arithmetic on a closed-form fixture") {
+    val s = spark
+    import s.implicits._
+    // user 1: a->b->a within one session, then a NEW session (2h gap)
+    // opening with c->b; user 2: a->b once
+    val df = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 10:05:00")),
+      (3L, 1L, "a", ts("2024-01-01 10:10:00")),
+      (4L, 1L, "c", ts("2024-01-01 12:30:00")), // gap > 30min: no a->c
+      (5L, 1L, "b", ts("2024-01-01 12:35:00")),
+      (6L, 2L, "a", ts("2024-01-01 10:00:00")),
+      (7L, 2L, "b", ts("2024-01-01 10:04:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val rows = EventStreams.sessionTransitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // transitions: a->b (x2), b->a (x1), c->b (x1); the 2h gap never pairs
+    assert(rows.keySet === Set(("a", "b"), ("b", "a"), ("c", "b")))
+    val ab = rows(("a", "b"))
+    assert(ab.getAs[Long]("n_trans") === 2L)
+    assert(ab.getAs[Long]("p_cond_ppm") === 1000000L) // a always -> b
+    // lift(a->b): P(b|a)=1 vs P(b)=3/4 -> 1e6*1e6 div 750000 = 1333333
+    assert(ab.getAs[Long]("lift_ppm") === 1000000L * 1000000L / 750000L)
+    val ba = rows(("b", "a"))
+    assert(ba.getAs[Long]("n_trans") === 1L)
+    // lift(b->a): P(a|b)=1 vs P(a)=1/4 -> 4x
+    assert(ba.getAs[Long]("lift_ppm") === 1000000L * 1000000L / 250000L)
+  }
 }
