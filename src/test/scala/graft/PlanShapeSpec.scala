@@ -573,6 +573,32 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only 1-row stat relations may cross-join:\n$plan")
   }
 
+  test("self-retrieval eval (x131): query terms broadcast onto the postings — the matrix never re-shuffles for the probe") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.RetrievalOps.selfRetrievalEval(
+      docs, col("doc_id") % 20 === 0, nTerms = 4))
+    // the probe join must be a BroadcastHashJoin (query fleet is tiny by
+    // construction); a SortMergeJoin here means the posting relation
+    // shuffles once per query batch — the shape that dies at 100 TB
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term probe must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"postings must never shuffle for the probe:\n$plan")
+  }
+
+  test("session transitions (x135): margins are windows over the matrix, never join-backs") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val plan = physicalPlan(
+      graft.streaming.EventStreams.sessionTransitions(ev))
+    assert(!plan.contains("Join"),
+      s"prev/next/total margins must be windows, not aggregate join-backs:\n$plan")
+    // one user window + the |types|²-sized matrix aggregation + its
+    // margin windows — the fact table shuffles exactly once
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 4,
+      s"expected ≤4 hash exchanges (user window, matrix agg, 2 margin windows):\n$plan")
+  }
+
   test("zone-map audit (x126): one hash exchange (the zone aggregate); layouts sort, never shuffle-join") {
     val li = graft.core.Tables.lineitem(spark, sfDir)
     val plan = physicalPlan(graft.operators.LayoutOps.zoneMapAudit(li,
