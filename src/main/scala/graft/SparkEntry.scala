@@ -1364,6 +1364,20 @@ object SparkEntry {
     "x119_session_pagerank" -> ((s, dir) =>
       graft.operators.GraphOps.sessionPageRank(Tables.events(s, dir))),
 
+    // x136 — incremental aggregate refresh: base (90%) and late-batch
+    // (10%) partials aggregated separately and MERGED by summing — the
+    // materialized-view maintenance pattern; the oracle computes the
+    // direct aggregate, so the gate's hash equality IS the
+    // refresh-equals-recompute proof
+    "x136_incremental_refresh" -> ((s, dir) =>
+      graft.streaming.EventStreams.incrementalRefresh(Tables.events(s, dir))),
+
+    // x137 — event-time disorder profile: per type, late arrivals vs the
+    // running event-time max in ingest order and the worst lateness —
+    // the read that SIZES withWatermark instead of guessing it
+    "x137_disorder_profile" -> ((s, dir) =>
+      graft.streaming.EventStreams.disorderProfile(Tables.events(s, dir))),
+
     // x135 — session transition matrix: within-session consecutive event
     // pairs with conditional probability and LIFT vs the base rate (is
     // "B after A" a dependency or just B's popularity); one user window
@@ -2044,6 +2058,12 @@ object SparkEntry {
 
     "x135_session_transitions" ->
       graft.streaming.EventStreams.sessionTransitionsSql(),
+
+    "x136_incremental_refresh" ->
+      graft.streaming.EventStreams.incrementalRefreshSql(),
+
+    "x137_disorder_profile" ->
+      graft.streaming.EventStreams.disorderProfileSql,
 
     "x120_key_skew" ->
       graft.operators.SketchOps.keySkewReportSql("lineitem", "l_partkey"),

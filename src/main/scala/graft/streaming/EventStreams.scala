@@ -79,6 +79,103 @@ object EventStreams {
         col("session_end_epoch") - col("session_start_epoch"))
   }
 
+  /** x136: incremental aggregate refresh — the materialized-view
+    * maintenance pattern: the base corpus (event_id % 10 != 0, standing
+    * in for "already aggregated yesterday") and the late batch
+    * (event_id % 10 == 0) are aggregated SEPARATELY and merged by
+    * summing partials — never rescanning the base rows. The oracle twin
+    * computes the same aggregate DIRECTLY over all rows, so the gate's
+    * hash equality IS the refresh-equals-recompute proof, per value.
+    * Works because every kept aggregate is mergeable (counts and
+    * DECIMAL-snapped sums; a count-distinct would need the x118 HLL
+    * registers instead — that is exactly what they are for).
+    *
+    * Scale: the base partial is |types|×|hours|-sized state from
+    * yesterday; today's cost is the late batch's aggregate plus a
+    * state-sized merge. Output: top-`topK` (event_type, hour_epoch,
+    * n_events, sum_value_micro) by (n desc, type, hour). */
+  def incrementalRefresh(events: DataFrame, topK: Int = 20): DataFrame = {
+    def partial(df: DataFrame) = df
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600L").as("hour_epoch"),
+        floor(col("value").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("v_micro"))
+      .groupBy("event_type", "hour_epoch")
+      .agg(count(lit(1)).as("n_events"), sum(col("v_micro")).as("sum_v"))
+    val base = partial(events.filter(col("event_id") % 10 =!= 0))
+    val late = partial(events.filter(col("event_id") % 10 === 0))
+    base.unionByName(late)
+      .groupBy("event_type", "hour_epoch")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_v")).as("sum_value_micro"))
+      .orderBy(col("n_events").desc, col("event_type"), col("hour_epoch"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[incrementalRefresh]] — the DIRECT aggregate, no
+    * split: hash equality against the merged form is the equivalence
+    * proof. */
+  def incrementalRefreshSql(topK: Int = 20): String =
+    s"""SELECT event_type,
+       |  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_epoch,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+       |    AS BIGINT) AS sum_value_micro
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY n_events DESC, event_type, hour_epoch
+       |LIMIT $topK""".stripMargin
+
+  /** x137: event-time disorder profile — per type, how out-of-order the
+    * stream actually is, measured against arrival order (event_id is
+    * the ingest sequence): an event is LATE when its event time sits
+    * below the running max of everything that arrived before it, and
+    * its lateness is that gap. This is the read that SIZES a watermark:
+    * `withWatermark(ts, X)` silently drops every event later than X, so
+    * X comes from max_late_sec (or a chosen quantile of it), not from a
+    * guess. One window shuffle on event_type; exact integers out.
+    *
+    * Output: (event_type, n_events, n_late, late_ppm, max_late_sec). */
+  def disorderProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byArrival = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("epoch"))
+      .withColumn("prior_max", max(col("epoch")).over(byArrival))
+      .select(col("event_type"),
+        when(col("prior_max").isNotNull && col("epoch") < col("prior_max"),
+          col("prior_max") - col("epoch")).as("late_sec"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("late_sec")).as("n_late"),
+        coalesce(max(col("late_sec")), lit(0L)).as("max_late_sec"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        expr("(n_late * 1000000L) div n_events").as("late_ppm"),
+        col("max_late_sec"))
+  }
+
+  /** DuckDB twin of [[disorderProfile]]. */
+  def disorderProfileSql: String =
+    s"""WITH dp AS (
+       |  SELECT event_type,
+       |    CASE WHEN prior_max IS NOT NULL AND epoch < prior_max
+       |      THEN prior_max - epoch END AS late_sec
+       |  FROM (
+       |    SELECT event_type,
+       |      CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+       |      max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+       |        PARTITION BY event_type ORDER BY event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+       |    FROM events)
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(count(late_sec) AS BIGINT) AS n_late,
+       |  CAST((count(late_sec) * 1000000) // count(*) AS BIGINT) AS late_ppm,
+       |  CAST(COALESCE(max(late_sec), 0) AS BIGINT) AS max_late_sec
+       |FROM dp GROUP BY event_type""".stripMargin
+
   /** x135: session transition matrix — within-session consecutive event
     * pairs (lag over (user, ts, event_id) with the inactivity-gap cut),
     * each transition reported with its count, the conditional

@@ -87,6 +87,53 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("incrementalRefresh: partial-merge equals the direct aggregate exactly") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map { i =>
+      (i, ts(f"2024-01-01 ${10 + (i % 3)}%02d:00:${i % 60}%02d"),
+        if (i % 2 == 0) "click" else "view", i * 0.25)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val merged = EventStreams.incrementalRefresh(df, topK = 100).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_micro"))).toMap
+    val direct = df
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600L").as("h"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("v"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sv"))).toMap
+    assert(merged === direct,
+      "merging base+late partials must equal the one-shot aggregate")
+  }
+
+  test("disorderProfile: planted out-of-order arrivals counted with exact lateness") {
+    val s = spark
+    import s.implicits._
+    // arrival order (event_id) vs event time: id 3 arrives 100s late,
+    // id 5 arrives 30s late; 'view' is perfectly ordered
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, ts("2024-01-01 10:02:00"), "click", 0.0),
+      (3L, ts("2024-01-01 10:00:20"), "click", 0.0), // 100s below max
+      (4L, ts("2024-01-01 10:03:00"), "click", 0.0),
+      (5L, ts("2024-01-01 10:02:30"), "click", 0.0), // 30s below max
+      (6L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (7L, ts("2024-01-01 10:01:00"), "view", 0.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val rows = EventStreams.disorderProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val c = rows("click")
+    assert(c.getAs[Long]("n_events") === 5L)
+    assert(c.getAs[Long]("n_late") === 2L)
+    assert(c.getAs[Long]("late_ppm") === 2L * 1000000L / 5L)
+    assert(c.getAs[Long]("max_late_sec") === 100L)
+    val v = rows("view")
+    assert(v.getAs[Long]("n_late") === 0L && v.getAs[Long]("max_late_sec") === 0L)
+  }
+
   test("sessionTransitions: gap cuts, exact conditional/lift arithmetic on a closed-form fixture") {
     val s = spark
     import s.implicits._
