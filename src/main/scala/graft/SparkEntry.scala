@@ -1364,6 +1364,13 @@ object SparkEntry {
     "x119_session_pagerank" -> ((s, dir) =>
       graft.operators.GraphOps.sessionPageRank(Tables.events(s, dir))),
 
+    // x138 — water-filling token allocation: budget spread at a common
+    // level with every language capped at availability, exact to the
+    // token (sorted-prefix closed form + lexicographic remainder);
+    // the no-oversubscription complement of x103/x133
+    "x138_water_fill" -> ((s, dir) =>
+      graft.operators.CurationOps.waterFill(Tables.documents(s, dir))),
+
     // x136 — incremental aggregate refresh: base (90%) and late-batch
     // (10%) partials aggregated separately and MERGED by summing — the
     // materialized-view maintenance pattern; the oracle computes the
@@ -2064,6 +2071,8 @@ object SparkEntry {
 
     "x137_disorder_profile" ->
       graft.streaming.EventStreams.disorderProfileSql,
+
+    "x138_water_fill" -> graft.operators.CurationOps.waterFillSql(),
 
     "x120_key_skew" ->
       graft.operators.SketchOps.keySkewReportSql("lineitem", "l_partkey"),

@@ -514,6 +514,109 @@ object CurationOps {
        |    AS alloc_quarter
        |FROM mt_s""".stripMargin
 
+  /** x138: water-filling token allocation — the budget split x103/x133
+    * cannot give: every language capped at its AVAILABILITY (no epoch>1
+    * oversubscription), the remaining budget spread evenly across the
+    * unsaturated rest, exactly. The classic algorithm, closed-form in
+    * one sorted-prefix window: sort languages by availability, find the
+    * saturation rank k where the common level L = (B − prefix_k)/(n−k)
+    * first fits between a_k and a_{k+1}; langs below rank k keep their
+    * full availability, the rest take L — with the integer remainder
+    * (B − prefix_k) mod (n−k) handed one token each to the
+    * lexicographically-first unsaturated languages, so allocations sum
+    * to EXACTLY min(B, Σa) with no float anywhere.
+    *
+    * Scale: one scan to the lang-sized aggregate; everything after is
+    * windows over |langs| rows. Output: (lang, avail_tokens, alloc,
+    * saturated). */
+  def waterFill(df: DataFrame, budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = df.filter(col("lang").isNotNull)
+      .groupBy("lang")
+      .agg(sum(TextExpressions.wsTokenCountFast(col("text")).cast("long"))
+        .as("avail"))
+    val byAvail = Window.orderBy(col("avail"), col("lang"))
+    val w = Window.partitionBy()
+    val ranked = agg
+      .withColumn("rk", row_number().over(byAvail).cast("long"))
+      .withColumn("prefix", sum(col("avail")).over(
+        byAvail.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("total", sum(col("avail")).over(w))
+    // saturation rank: the LAST rank whose availability still fits under
+    // the level computed with it saturated — a lang saturates iff
+    // avail·(n−rk+1) ≤ B − prefix_{rk−1}, i.e. (B − prefix + avail) ≥
+    // avail·(n−rk+1); monotone in rk, so max(rk where it holds)
+    val sat = ranked.withColumn("is_sat",
+      (lit(budget) - col("prefix") + col("avail")) >=
+        col("avail") * (col("n") - col("rk") + 1L))
+      .withColumn("k", coalesce(
+        max(when(col("is_sat"), col("rk"))).over(w), lit(0L)))
+      .withColumn("sat_prefix", coalesce(
+        max(when(col("rk") === col("k"), col("prefix"))).over(w), lit(0L)))
+    sat
+      .withColumn("rest", col("n") - col("k"))
+      // integer div/mod via expr — Column./ is DOUBLE division on longs
+      .withColumn("level",
+        when(col("rest") > 0L,
+          expr(s"(${budget}L - sat_prefix) div rest")).otherwise(lit(0L)))
+      .withColumn("rem",
+        when(col("rest") > 0L,
+          expr(s"(${budget}L - sat_prefix) % rest")).otherwise(lit(0L)))
+      // remainder rank among unsaturated langs, lexicographic
+      .withColumn("lex_rk",
+        row_number().over(Window.partitionBy(col("rk") <= col("k"))
+          .orderBy(col("lang"))).cast("long"))
+      .select(col("lang"), col("avail").as("avail_tokens"),
+        when(col("rk") <= col("k"), col("avail"))
+          .otherwise(greatest(col("level") +
+            when(col("lex_rk") <= col("rem"), 1L).otherwise(0L), lit(0L)))
+          .as("alloc"),
+        (col("rk") <= col("k")).cast("int").as("saturated"))
+  }
+
+  /** DuckDB twin of [[waterFill]]. */
+  def waterFillSql(budget: Long = 1000000L): String =
+    s"""WITH wf AS (
+       |  SELECT lang,
+       |    CAST(sum(len(${TextOps.wordsReSql("text")})) AS BIGINT) AS avail
+       |  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+       |), wf_r AS (
+       |  SELECT lang, avail,
+       |    CAST(row_number() OVER av AS BIGINT) AS rk,
+       |    CAST(sum(avail) OVER (av ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS prefix,
+       |    CAST(count(*) OVER () AS BIGINT) AS n
+       |  FROM wf
+       |  WINDOW av AS (ORDER BY avail, lang)
+       |), wf_k AS (
+       |  SELECT *,
+       |    COALESCE(max(CASE WHEN ($budget - prefix + avail)
+       |        >= avail * (n - rk + 1) THEN rk END) OVER (), 0) AS k
+       |  FROM wf_r
+       |), wf_l AS (
+       |  SELECT *,
+       |    COALESCE(max(CASE WHEN rk = k THEN prefix END) OVER (), 0)
+       |      AS sat_prefix,
+       |    n - k AS rest
+       |  FROM wf_k
+       |), wf_x AS (
+       |  SELECT *,
+       |    CASE WHEN rest > 0 THEN ($budget - sat_prefix) // rest
+       |      ELSE 0 END AS level,
+       |    CASE WHEN rest > 0 THEN ($budget - sat_prefix) % rest
+       |      ELSE 0 END AS rem,
+       |    CAST(row_number() OVER (PARTITION BY rk <= k ORDER BY lang)
+       |      AS BIGINT) AS lex_rk
+       |  FROM wf_l
+       |)
+       |SELECT lang, avail AS avail_tokens,
+       |  CAST(CASE WHEN rk <= k THEN avail
+       |    ELSE greatest(level + CASE WHEN lex_rk <= rem THEN 1 ELSE 0 END, 0)
+       |    END AS BIGINT) AS alloc,
+       |  CAST(rk <= k AS INT) AS saturated
+       |FROM wf_x""".stripMargin
+
   // ---------------------------------------------------------------------
   // x108 — release audit: the composed keep/drop decision per document
   // ---------------------------------------------------------------------

@@ -208,6 +208,43 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("waterFill: saturation, exact budget conservation, and remainder order") {
+    val s = spark
+    import s.implicits._
+    def docsOf(langTokens: Seq[(String, Int)]) =
+      langTokens.zipWithIndex.map { case ((l, t), i) =>
+        (i.toLong, l, ("w " * t).trim)
+      }.toDF("doc_id", "lang", "text")
+    // availabilities: aa=10, bb=50, cc=100; budget 100:
+    // aa saturates (10); remaining 90 over {bb, cc} -> level 45 each;
+    // bb (45 < 50) and cc unsaturated
+    val r1 = graft.operators.CurationOps.waterFill(
+      docsOf(Seq("aa" -> 10, "bb" -> 50, "cc" -> 100)), budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("alloc"), r.getAs[Int]("saturated"))).toMap
+    assert(r1("aa") === ((10L, 1)))
+    assert(r1("bb") === ((45L, 0)))
+    assert(r1("cc") === ((45L, 0)))
+    // non-divisible remainder: budget 101 -> 91 over 2 -> level 45 rem 1,
+    // the lexicographically-first unsaturated lang (bb) takes the token
+    val r2 = graft.operators.CurationOps.waterFill(
+      docsOf(Seq("aa" -> 10, "bb" -> 50, "cc" -> 100)), budget = 101L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(r2 === Map("aa" -> 10L, "bb" -> 46L, "cc" -> 45L))
+    assert(r2.values.sum === 101L, "allocations must sum to the budget exactly")
+    // budget above total availability: everyone saturates at avail
+    val r3 = graft.operators.CurationOps.waterFill(
+      docsOf(Seq("aa" -> 10, "bb" -> 50)), budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("alloc"), r.getAs[Int]("saturated"))).toMap
+    assert(r3 === Map("aa" -> ((10L, 1)), "bb" -> ((50L, 1))))
+    // budget below n×min: nobody saturates, even split + remainder
+    val r4 = graft.operators.CurationOps.waterFill(
+      docsOf(Seq("aa" -> 10, "bb" -> 50, "cc" -> 100)), budget = 8L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(r4 === Map("aa" -> 3L, "bb" -> 3L, "cc" -> 2L))
+  }
+
   test("mixtureTemperature: flattening is monotone in α and accounting is exact") {
     val s = spark
     import s.implicits._
