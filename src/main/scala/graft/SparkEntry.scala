@@ -1364,6 +1364,13 @@ object SparkEntry {
     "x119_session_pagerank" -> ((s, dir) =>
       graft.operators.GraphOps.sessionPageRank(Tables.events(s, dir))),
 
+    // x139 — corpus content manifest: per-source doc/token counts plus an
+    // ORDER-INDEPENDENT bit_xor content digest (any partition order, any
+    // shard layout, same fingerprint) — the reproducibility row a release
+    // pins; equal manifests ⇒ content-identical per source
+    "x139_corpus_manifest" -> ((s, dir) =>
+      graft.operators.CurationOps.corpusManifest(Tables.documents(s, dir))),
+
     // x138 — water-filling token allocation: budget spread at a common
     // level with every language capped at availability, exact to the
     // token (sorted-prefix closed form + lexicographic remainder);
@@ -2073,6 +2080,9 @@ object SparkEntry {
       graft.streaming.EventStreams.disorderProfileSql,
 
     "x138_water_fill" -> graft.operators.CurationOps.waterFillSql(),
+
+    "x139_corpus_manifest" ->
+      graft.operators.CurationOps.corpusManifestSql,
 
     "x120_key_skew" ->
       graft.operators.SketchOps.keySkewReportSql("lineitem", "l_partkey"),

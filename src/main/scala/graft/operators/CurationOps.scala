@@ -514,6 +514,58 @@ object CurationOps {
        |    AS alloc_quarter
        |FROM mt_s""".stripMargin
 
+  /** x139: corpus content manifest — the reproducibility fingerprint a
+    * release pins: per source, doc count, token volume, and an
+    * ORDER-INDEPENDENT content digest (bit_xor of per-doc 60-bit
+    * content hashes — xor is commutative/associative, so any partition
+    * order, any shard layout, any engine produces the same digest; a
+    * concatenation-based digest would need a global sort). Two corpora
+    * with equal manifests row-for-row are content-identical per source;
+    * a drifted source names itself. The whole-corpus row (source = '*')
+    * folds the same digests once more.
+    *
+    * Scale: one scan, one source-sized aggregate, plus a 1-row global
+    * fold unioned in. Output: (source, n_docs, n_tokens, xor_digest). */
+  def corpusManifest(df: DataFrame): DataFrame = {
+    val base = df.filter(col("doc_id").isNotNull && col("source").isNotNull)
+      .select(col("source"),
+        TextExpressions.wsTokenCountFast(col("text")).cast("long").as("nt"),
+        graft.functions.HashFunctions.hash60(
+          concat(col("doc_id").cast("string"), lit("|"),
+            coalesce(col("text"), lit("")))).as("h"))
+    val perSource = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        expr("bit_xor(h)").as("xor_digest"))
+    perSource.unionByName(
+      perSource.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(xor_digest)").as("xor_digest"))
+        .select(lit("*").as("source"), col("n_docs"), col("n_tokens"),
+          col("xor_digest")))
+  }
+
+  /** DuckDB twin of [[corpusManifest]]. */
+  def corpusManifestSql: String = {
+    val h = graft.functions.HashFunctions.hash60Sql(
+      "CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, '')")
+    s"""WITH cm AS (
+       |  SELECT source,
+       |    CAST(len(${TextOps.wordsReSql("text")}) AS BIGINT) AS nt,
+       |    $h AS h
+       |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+       |), cm_s AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |    CAST(bit_xor(h) AS BIGINT) AS xor_digest
+       |  FROM cm GROUP BY source
+       |)
+       |SELECT source, n_docs, n_tokens, xor_digest FROM cm_s
+       |UNION ALL
+       |SELECT '*', CAST(sum(n_docs) AS BIGINT),
+       |  CAST(sum(n_tokens) AS BIGINT), CAST(bit_xor(xor_digest) AS BIGINT)
+       |FROM cm_s""".stripMargin
+  }
+
   /** x138: water-filling token allocation — the budget split x103/x133
     * cannot give: every language capped at its AVAILABILITY (no epoch>1
     * oversubscription), the remaining budget spread evenly across the
