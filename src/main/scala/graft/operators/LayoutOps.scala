@@ -51,37 +51,73 @@ object LayoutOps {
   /** Zone-map audit of linear-vs-Z-order layout over (`dimA`, `dimB`):
     * both dims scale to 16-bit grid cells against their observed range,
     * rows are laid into `files` equal files by each layout's sort key
-    * (ntile over (key, tiebreak) — `tieCols` must uniquely identify a
-    * row or the layout is not reproducible), and each file reports its
-    * zone map and per-dim span coverage in ppm of the global range.
+    * (exact ntile semantics over (key, tiebreak) — `tieCols` must
+    * uniquely identify a row or the layout is not reproducible), and
+    * each file reports its zone map and per-dim span coverage in ppm of
+    * the global range.
+    *
+    * The file assignment needs each row's EXACT rank within its layout,
+    * but `layout` has two values — a window partitioned on it alone
+    * sorts the whole exploded fact in two tasks. [[TwoPhase.prefixed]]
+    * supplies the ranks scalably instead: the sort key's range is known
+    * by construction (ua ∈ [0, 65535], z ∈ [0, 2³²)), so each layout
+    * equi-width-buckets deterministically, per-bucket counts broadcast
+    * back as prefix offsets, and rank = offset + within-bucket row
+    * number — per-task input is one grid bucket, never one layout. The
+    * rank then maps to ntile's tile arithmetic in closed form, so the
+    * output (and the DuckDB ntile twin) is bit-identical to the
+    * single-window form at any scale.
     *
     * Output: (layout ∈ {linear_a, zorder}, file_id, n_rows, min_a,
     * max_a, min_b, max_b, cov_a_ppm, cov_b_ppm). */
   def zoneMapAudit(df: DataFrame, dimA: Column, dimB: Column,
-                   tieCols: Seq[Column], files: Int = 16): DataFrame = {
+                   tieCols: Seq[Column], files: Int = 16,
+                   buckets: Int = 64): DataFrame = {
     require(files >= 2 && files <= 4096, s"files=$files")
     val base = df.select((dimA.cast("long").as("a") +: dimB.cast("long").as("b") +:
       tieCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }): _*)
     val stats = base.agg(min(col("a")).as("ga0"), max(col("a")).as("ga1"),
-      min(col("b")).as("gb0"), max(col("b")).as("gb1"))
+      min(col("b")).as("gb0"), max(col("b")).as("gb1"),
+      count(lit(1)).as("gn"))
     val scaled = base.crossJoin(broadcast(stats))
-      .select(col("a"), col("b"), col("ga0"), col("ga1"), col("gb0"), col("gb1"),
+      .select(col("a"), col("b"), col("ga0"), col("ga1"), col("gb0"), col("gb1"), col("gn"),
         expr("((a - ga0) * 65535L) div greatest(ga1 - ga0, 1L)").as("ua"),
         expr("((b - gb0) * 65535L) div greatest(gb1 - gb0, 1L)").as("ub"),
         struct(tieCols.indices.map(i => col(s"t$i")): _*).as("tie"))
       .withColumn("z", shiftleft(spread(col("ua")), 1).bitwiseOR(spread(col("ub"))))
-    // both layouts from ONE scan: explode a layout tag and sort within
-    // the layout partition (a union of two globally-sorted branches reads
-    // the fact table once per branch — the pin caught exactly that)
-    val laid = scaled
+    // both layouts from one explode of a layout tag (a union of two
+    // globally-sorted branches would read the fact once per branch);
+    // exact per-layout ranks via TwoPhase — the linear key lives on the
+    // 16-bit grid, the Morton key on the 32-bit grid, so the equi-width
+    // bucket is a pure shift of the key, no sampled boundaries anywhere
+    val exploded = scaled
       .select(col("a"), col("b"), col("ga0"), col("ga1"), col("gb0"),
-        col("gb1"), col("ua"), col("z"), col("tie"),
+        col("gb1"), col("gn"), col("ua"), col("z"), col("tie"),
         explode(array(lit("linear_a"), lit("zorder"))).as("layout"))
       .withColumn("key",
         when(col("layout") === "linear_a", col("ua")).otherwise(col("z")))
-      .withColumn("file_id", ntile(files)
-        .over(Window.partitionBy("layout").orderBy(col("key"), col("tie")))
-        .cast("long"))
+    // per-layout totals are just gn (each layout holds every base row),
+    // already broadcast from the stats scan — totals=false spares
+    // TwoPhase a third evaluation of the fact
+    val ranked = TwoPhase.prefixed(exploded,
+      partCols = Seq("layout"),
+      bucketCol = when(col("layout") === "linear_a",
+        expr(s"(ua * ${buckets}L) div 65536L"))
+        .otherwise(expr(s"(z * ${buckets}L) div 4294967296L")),
+      orderCols = Seq(col("key"), col("tie")),
+      sums = Seq("rn" -> lit(1L)), totals = false)
+    // ntile(files) in closed form from (rank, n): q = n div files,
+    // r = n mod files — tiles 1..r hold q+1 rows, tiles r+1..files hold
+    // q (greatest(q,1) guards the n < files edge, where the first
+    // branch always applies)
+    val laid = ranked
+      .withColumn("file_id", expr(
+        s"""CASE WHEN rn_pre <= (gn % ${files}L) * (gn div ${files}L + 1L)
+           |  THEN (rn_pre - 1L) div (gn div ${files}L + 1L) + 1L
+           |  ELSE (gn % ${files}L)
+           |    + (rn_pre - 1L - (gn % ${files}L) * (gn div ${files}L + 1L))
+           |      div greatest(gn div ${files}L, 1L) + 1L
+           |END""".stripMargin))
     laid
       .groupBy("layout", "file_id")
       .agg(count(lit(1)).as("n_rows"),

@@ -865,20 +865,27 @@ object TextOps {
     * sketch within tolerance of this exact form. */
   def lengthQuantiles(df: DataFrame,
                       ps: Seq[(String, Double)] = quantilePoints): DataFrame = {
-    val toks = df.select(col("lang"), col("doc_id"),
+    // same count-compression as [[sampleQuantileCalibration]]: the
+    // rank-based quantile needs only counts per (lang, token count) —
+    // one scan, one tokenization, windows only over the aggregate-sized
+    // count relation (never a lang-partitioned window over the corpus)
+    val toks = df.select(col("lang"),
       graft.functions.TextExpressions.wsTokenCountFast(col("text"))
         .cast("long").as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("n"), col("doc_id"))
-    val ranked = toks
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1))
+    val perLen = toks.groupBy("lang", "n").agg(count(lit(1)).as("c"))
+    val wLen = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = perLen.withColumn("cc", sum(col("c")).over(wLen))
+      .withColumn("cnt", sum(col("c"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
-    val aggs = count(lit(1)).as("n_docs") +:
+    val aggs = max(col("cnt")).as("n_docs") +:
       ps.map { case (name, p) =>
-        max(when(col("rn") === ceil(lit(p) * col("cnt")), col("n"))).as(name)
+        max(when(col("cc") - col("c") < ceil(lit(p) * col("cnt")) &&
+          ceil(lit(p) * col("cnt")) <= col("cc"), col("n"))).as(name)
       }
-    ranked.groupBy("lang").agg(aggs.head, aggs.tail: _*)
+    cum.groupBy("lang").agg(aggs.head, aggs.tail: _*)
   }
 
   val quantilePoints: Seq[(String, Double)] =
@@ -892,35 +899,53 @@ object TextOps {
     * the read that picks k by MEASURING that error on the corpus
     * instead of trusting the bound.
     *
-    * Deliberately ONE scan and ONE exchange: the sample's rank is a
-    * conditional running count over the SAME (lang)-partitioned window
-    * that ranks the full corpus (a second window keyed on
-    * (lang, in_sample) would re-shuffle the relation), and membership is
-    * a pure hash predicate — reproducible, merge-stable, no rand(). */
+    * Exact per-language ranks WITHOUT a per-language sort task, and
+    * without ranking rows at all: a rank-based quantile depends only on
+    * how many docs (and how many SAMPLED docs) sit at each token count,
+    * so the corpus compresses in ONE scan and ONE tokenization to a
+    * per-(lang, n) count relation — bounded by languages × the longest
+    * document, NOT by corpus size — and the target rank is located in
+    * its cumulative sums. Every window runs over that aggregate (the
+    * x124 densify-then-window discipline) — nothing anywhere partitions
+    * a corpus-sized relation on `lang` alone. Membership is a pure hash
+    * predicate — reproducible, merge-stable, no rand(). */
   def sampleQuantileCalibration(df: DataFrame, k: Int = 16,
       ps: Seq[(String, Double)] = Seq("p50" -> 0.50, "p90" -> 0.90))
       : DataFrame = {
     require(k >= 2 && k <= 4096, s"k=$k")
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col("lang"), col("doc_id"),
+    val toks = df.select(col("lang"),
       graft.functions.TextExpressions.wsTokenCountFast(col("text"))
         .cast("long").as("n"),
       (pmod(graft.functions.HashFunctions.hash60(col("doc_id").cast("string")),
         lit(k.toLong)) === 0L).as("in_samp"))
-    val byLang = Window.partitionBy("lang").orderBy(col("n"), col("doc_id"))
-    val ranked = toks
-      .withColumn("rn", row_number().over(byLang).cast("long"))
-      .withColumn("rs", sum(when(col("in_samp"), 1L).otherwise(0L))
-        .over(byLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
-      .withColumn("cs", sum(when(col("in_samp"), 1L).otherwise(0L))
-        .over(Window.partitionBy("lang")))
-    val aggs = Seq(count(lit(1)).as("n_docs"),
-      sum(when(col("in_samp"), 1L).otherwise(0L)).as("n_sample")) ++
+    // corpus → counts per (lang, token count): partial map-side combine,
+    // shuffle keyed on |langs|×|lengths| — every task input bounded
+    val perLen = toks.groupBy("lang", "n")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("in_samp"), 1L).otherwise(0L)).as("s"))
+    val wLen = Window.partitionBy("lang").orderBy("n")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cc/sc = docs (sampled docs) with token count ≤ n: the quantile at
+    // p is the n whose cumulative interval (cc-c, cc] contains the
+    // target rank ceil(p·cnt) — identical to the row-ranked definition,
+    // because every row in the interval carries the same n. The totals
+    // window partitions perLen, whose per-lang size is the number of
+    // DISTINCT lengths (bounded by the longest document, like x135's
+    // |types|² matrix) — a second aggregate branch would re-scan and
+    // re-tokenize the corpus
+    val cum = perLen
+      .withColumn("cc", sum(col("c")).over(wLen))
+      .withColumn("sc", sum(col("s")).over(wLen))
+      .withColumn("cnt", sum(col("c")).over(Window.partitionBy("lang")))
+      .withColumn("cs", sum(col("s")).over(Window.partitionBy("lang")))
+    val aggs = Seq(max(col("cnt")).as("n_docs"), max(col("cs")).as("n_sample")) ++
       ps.flatMap { case (name, p) => Seq(
-        max(when(col("rn") === ceil(lit(p) * col("cnt")), col("n"))).as(name),
-        max(when(col("in_samp") && col("rs") === ceil(lit(p) * col("cs")),
-          col("n"))).as(s"${name}_est"))
+        max(when(col("cc") - col("c") < ceil(lit(p) * col("cnt")) &&
+          ceil(lit(p) * col("cnt")) <= col("cc"), col("n"))).as(name),
+        max(when(col("cs") > 0L &&
+          col("sc") - col("s") < ceil(lit(p) * col("cs")) &&
+          ceil(lit(p) * col("cs")) <= col("sc"), col("n"))).as(s"${name}_est"))
       }
     val errs = ps.map { case (name, _) =>
       when(col(name) > 0L && col(s"${name}_est").isNotNull,
@@ -930,7 +955,7 @@ object TextOps {
     val outCols = Seq(col("lang"), col("n_docs"), col("n_sample")) ++
       ps.flatMap { case (name, _) => Seq(col(name), col(s"${name}_est")) } ++
       errs
-    ranked.groupBy("lang").agg(aggs.head, aggs.tail: _*).select(outCols: _*)
+    cum.groupBy("lang").agg(aggs.head, aggs.tail: _*).select(outCols: _*)
   }
 
   /** DuckDB twin of [[sampleQuantileCalibration]]. */

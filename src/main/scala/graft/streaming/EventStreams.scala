@@ -133,17 +133,31 @@ object EventStreams {
     * its lateness is that gap. This is the read that SIZES a watermark:
     * `withWatermark(ts, X)` silently drops every event later than X, so
     * X comes from max_late_sec (or a chosen quantile of it), not from a
-    * guess. One window shuffle on event_type; exact integers out.
+    * guess.
+    *
+    * The running max is inherently a prefix scan, but `event_type` has
+    * a dozen values — a window partitioned on it alone would sort each
+    * type's ENTIRE history in one task. [[graft.operators.TwoPhase]]
+    * decomposes it instead: `event_id` (the ingest sequence, a known
+    * range from a 1-row aggregate) equi-width-buckets into 64
+    * deterministic ranges, each (type, bucket) reports its max once,
+    * the bucket maxes become broadcast prefix offsets, and
+    * prior_max(row) = greatest(prefix offset, within-bucket prior) —
+    * per-task input is one bucket, never one type. Exact integers out.
     *
     * Output: (event_type, n_events, n_late, late_ppm, max_late_sec). */
-  def disorderProfile(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byArrival = Window.partitionBy("event_type").orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    events
-      .select(col("event_type"), col("event_id"),
-        unix_timestamp(col("ts")).as("epoch"))
-      .withColumn("prior_max", max(col("epoch")).over(byArrival))
+  def disorderProfile(events: DataFrame, buckets: Int = 64): DataFrame = {
+    val ev = events.select(col("event_type"), col("event_id"),
+      unix_timestamp(col("ts")).as("epoch"))
+    val ids = ev.agg(min(col("event_id")).as("e0"), max(col("event_id")).as("e1"))
+    graft.operators.TwoPhase.prefixed(
+      ev.crossJoin(broadcast(ids)),
+      partCols = Seq("event_type"),
+      bucketCol = graft.operators.TwoPhase.equiWidthBucketSql(
+        "event_id", "e0", "e1", buckets),
+      orderCols = Seq(col("event_id")),
+      maxes = Seq("pm" -> col("epoch")))
+      .withColumnRenamed("pm_prior", "prior_max")
       .select(col("event_type"),
         when(col("prior_max").isNotNull && col("epoch") < col("prior_max"),
           col("prior_max") - col("epoch")).as("late_sec"))

@@ -546,16 +546,54 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the quadruple-self-join rewrite must stay join-light:\n$plan")
   }
 
-  test("sample-quantile calibration (x129): ONE lang exchange serves ranks, totals, and the final aggregate") {
+  test("sample-quantile calibration (x129): corpus compresses to (lang,n) counts BELOW every window") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val plan = physicalPlan(
       graft.operators.TextOps.sampleQuantileCalibration(docs))
-    // the sample rank is a conditional running count over the same
-    // (lang) window that ranks the corpus, and the groupBy(lang) reuses
-    // the window's output partitioning — a second exchange means the
-    // one-scan-one-shuffle claim regressed
-    assert(plan.split("Exchange hashpartitioning").length - 1 === 1,
-      s"expected exactly 1 hash exchange (the lang window):\n$plan")
+    // scale truth: the corpus is scanned and tokenized ONCE into the
+    // per-(lang, token-count) count relation — the (lang, n)-keyed
+    // exchange below every window proves each window partitions the
+    // aggregate (bounded by langs × longest doc), never the raw corpus
+    // on `lang` alone
+    assert(plan.split("FileScan").length - 1 === 1,
+      s"expected exactly 1 scan (one pass, one tokenization):\n$plan")
+    assert("Exchange hashpartitioning\\(lang#\\d+, n#".r.pattern.matcher(plan).find(),
+      s"windows must sit above the (lang, n) count aggregate:\n$plan")
+    assert(!plan.contains("Join"),
+      s"count-compression needs no join at all:\n$plan")
+  }
+
+  // a windowspecdefinition partitioned on the named low-cardinality key
+  // WITHOUT the two-phase __bk bucket following it — the single-task
+  // sort shape the x126/x137 rewrites eliminated
+  private def keyOnlyWindow(key: String) =
+    s"windowspecdefinition\\($key#\\d+, (?!__bk#)".r
+
+  test("disorder profile (x137): no type-only window over the raw events; prefix maxes broadcast back") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val plan = physicalPlan(graft.streaming.EventStreams.disorderProfile(ev))
+    assert(!keyOnlyWindow("event_type").pattern.matcher(plan).find(),
+      s"found a window partitioned on event_type without the __bk bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket prefix maxes must broadcast onto the events:\n$plan")
+    assertOnlyBroadcastJoins(plan)
+    assert(plan.split("FileScan").length - 1 <= 4,
+      s"expected ≤4 column-pruned scans (id-range stats ×2 branches, bucket maxes, main):\n$plan")
+  }
+
+  /** The two-phase shape may join only by broadcast: the offset/stats
+    * relations come back as BroadcastHashJoin or as the 1-row
+    * `crossJoin(broadcast(stats))` BNLJ — never a fact-side shuffle
+    * join or a non-degenerate nested loop. */
+  private def assertOnlyBroadcastJoins(plan: String): Unit = {
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"no fact-side shuffle join anywhere in the two-phase shape:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin [A-Za-z]+, Cross".r
+      .findAllIn(plan).length
+    val all = plan.split("BroadcastNestedLoopJoin").length - 1
+    assert(all === bnlj,
+      s"every BNLJ must be the 1-row broadcast stats cross join:\n$plan")
   }
 
   test("CMS join-size estimation (x122): the counter tables meet in a broadcast join") {
@@ -599,21 +637,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected ≤4 hash exchanges (user window, matrix agg, 2 margin windows):\n$plan")
   }
 
-  test("zone-map audit (x126): one hash exchange (the zone aggregate); layouts sort, never shuffle-join") {
+  test("zone-map audit (x126): no layout-only window over the fact; ntile replaced by two-phase ranks") {
     val li = graft.core.Tables.lineitem(spark, sfDir)
     val plan = physicalPlan(graft.operators.LayoutOps.zoneMapAudit(li,
       col("l_partkey"), col("l_suppkey"),
       Seq(col("l_orderkey"), col("l_linenumber"))))
-    // the fact table is read ONCE for both layouts (the exploded layout
-    // tag + per-layout window; a union of global sorts scanned it per
-    // branch) plus once for the broadcast min/max stats; the layout
-    // window is the single hash exchange and the zone aggregate reuses
-    // its partitioning
-    assert(plan.split("Exchange hashpartitioning").length - 1 === 1,
-      s"expected exactly 1 hash exchange (the layout window):\n$plan")
-    assert(plan.split("FileScan").length - 1 === 2,
-      s"expected 2 scans (fact + stats):\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"stats must broadcast onto the scan, not shuffle-join:\n$plan")
+    // scale truth (this pin once asserted `exchanges === 1`, which
+    // locked IN the 2-task layout window): `layout` has two values, so
+    // any window partitioned on it alone sorts half the exploded fact
+    // per task — every fact-side window must carry the two-phase __bk
+    // bucket, file ids come from closed-form ntile arithmetic over
+    // broadcast rank offsets (no ntile operator anywhere), no
+    // fact-side shuffle join, and the fact is scanned exactly three
+    // times (dim stats, bucket counts, main)
+    assert(!keyOnlyWindow("layout").pattern.matcher(plan).find(),
+      s"found a window partitioned on layout without the __bk bucket:\n$plan")
+    assert(!plan.contains("ntile"),
+      s"file ids must be closed-form over two-phase ranks, not ntile:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank offsets must broadcast onto the fact:\n$plan")
+    assertOnlyBroadcastJoins(plan)
+    assert(plan.split("FileScan").length - 1 <= 4,
+      s"expected ≤4 column-pruned scans (dim stats ×2 branches, bucket counts, main):\n$plan")
   }
 }
