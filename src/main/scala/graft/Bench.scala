@@ -80,11 +80,18 @@ object Bench {
     // silently truncating whatever tail of the final stage hadn't run
     // (measured: even q1_agg's 6-row checksum overflowed). XOR is total,
     // order-independent, and still forces every column.
-    def checksum(df: org.apache.spark.sql.DataFrame): Unit = {
+    // Returns the OUTPUT ROW COUNT alongside forcing the checksum: for
+    // output-bound queries (j16's ~10M materialized pairs) the row count
+    // is the cost driver, and without it in the emission a cross-round
+    // swing on unchanged code is unattributable (round-9 lesson: j16
+    // doubled and the regenerated-data pair-count that explained it was
+    // nowhere in the artifacts). count(1) rides the same single-pass
+    // aggregate — no second evaluation.
+    def checksum(df: org.apache.spark.sql.DataFrame): Long = {
       import org.apache.spark.sql.functions._
-      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(expr("bit_xor(h)")).collect()
-      ()
+      val r = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(expr("bit_xor(h)"), count(lit(1))).collect()
+      if (r.nonEmpty && !r(0).isNullAt(1)) r(0).getLong(1) else 0L
     }
     // container-speed calibration: a FIXED synthetic workload (data-
     // independent: generate → hash → shuffle → aggregate, the same ops
@@ -106,13 +113,15 @@ object Bench {
     // iteration order — and therefore which query pays any residual
     // first-touch cost — used to vary with the key set. Deterministic
     // order makes per-query numbers comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val resultsFull = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { checksum(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val outRows = try checksum(fn(spark, sfDir))
+          catch { case _: Throwable => -1L } // -1 = errored, not empty
+        (name, (System.nanoTime() - t0) / 1e9, outRows)
       }
+    val results = resultsFull.map { case (n, s, _) => (n, s) }
     // 3-decimal timings: the driver captures a bounded tail of stdout and
     // parses the last JSON line — full-precision doubles push the line past
     // that window (BENCH_r01/r02 recorded parsed:null). Locale.ROOT keeps
@@ -129,9 +138,16 @@ object Bench {
     def jq(s: String): String = graft.core.Json.escape(s)
     val rowsJson = rowCounts
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // out_rows: per-query OUTPUT row counts — the third attribution axis
+    // (rows = input data shape, calib = container speed, out_rows =
+    // result volume for output-bound queries); -1 marks a query that
+    // threw rather than one that returned empty
+    val outRowsJson = resultsFull
+      .map { case (k, _, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       restricted + s""""calib":${fmt(calib)},"rows":$rowsJson,""" +
-      s""""queries":${qJson(results)},"sf":"${jq(sfDir)}"}"""
+      s""""queries":${qJson(results)},"out_rows":$outRowsJson,""" +
+      s""""sf":"${jq(sfDir)}"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     println(full)

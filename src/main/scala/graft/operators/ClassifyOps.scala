@@ -39,7 +39,6 @@ object ClassifyOps {
                              langTot: DataFrame, dense: DataFrame)
 
   private def nbParts(df: DataFrame): NbParts = {
-    val w = Window.partitionBy()
     val base = df.filter(col("doc_id").isNotNull && col("lang").isNotNull)
     val matrix = base
       .select(col("doc_id"), col("lang"), explode(wordsRe(col("text"))).as("token"))
@@ -52,9 +51,14 @@ object ClassifyOps {
     // corpus-wide tokenize+distinct (observed: a second Generate + scan at
     // runtime), bypassing the ReusedExchange that already holds langTok —
     // one more corpus pass at 100 TB for a vocab-sized derivation
-    val vocabV = langTok.filter(col("clt") >= 1L)
+    // V via 1-row aggregate + broadcast (x49 convention) — the vocab
+    // relation grows with corpus content, so an empty-partitionBy
+    // window over it would funnel it into one task; both consumers of
+    // vocabTok sit above the same (token)-keyed exchange
+    val vocabTok = langTok.filter(col("clt") >= 1L)
       .groupBy("token").agg(count(lit(1)).as("nl"))
-      .select(col("token"), count(lit(1)).over(w).as("v"))
+    val vocabV = vocabTok.select(col("token"))
+      .crossJoin(broadcast(vocabTok.agg(count(lit(1)).as("v"))))
     val dense = vocabV.crossJoin(broadcast(langTot))
       .join(langTok, Seq("token", "lang"), "left_outer")
       .select(col("token"), col("lang").as("cand_lang"),

@@ -474,16 +474,26 @@ object CurationOps {
           .cast("long").as("s_half"),
         floor(sqrt(sqrt(col("n_tokens").cast("double"))) * lit(1e6) + lit(0.5))
           .cast("long").as("s_quarter"))
+    // numerator products in DECIMAL(38,0) (HUGEINT on DuckDB, the
+    // joinSizeCalibration convention): n_tokens·1e6 wraps BIGINT past
+    // ~9.2e12 tokens/lang and budget·s_half past ~8.5e13 — both inside
+    // the 100 TB-corpus envelope, and ANSI would throw. The quotients
+    // are ≤ 1e6 (ppm) / ≤ budget, so the BIGINT casts after the
+    // division are always exact.
     agg
       .withColumn("tot", sum(col("n_tokens")).over(w))
       .withColumn("tot_half", sum(col("s_half")).over(w))
       .withColumn("tot_quarter", sum(col("s_quarter")).over(w))
       .select(col("lang"), col("n_tokens"),
-        expr("(n_tokens * 1000000L) div tot").as("share_ppm"),
-        expr("(s_half * 1000000L) div tot_half").as("w_half_ppm"),
-        expr("(s_quarter * 1000000L) div tot_quarter").as("w_quarter_ppm"),
-        expr(s"($budget" + "L * s_half) div tot_half").as("alloc_half"),
-        expr(s"($budget" + "L * s_quarter) div tot_quarter")
+        expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div tot AS BIGINT)")
+          .as("share_ppm"),
+        expr("CAST((CAST(s_half AS DECIMAL(38,0)) * 1000000) div tot_half AS BIGINT)")
+          .as("w_half_ppm"),
+        expr("CAST((CAST(s_quarter AS DECIMAL(38,0)) * 1000000) div tot_quarter AS BIGINT)")
+          .as("w_quarter_ppm"),
+        expr(s"CAST((CAST(s_half AS DECIMAL(38,0)) * ${budget}) div tot_half AS BIGINT)")
+          .as("alloc_half"),
+        expr(s"CAST((CAST(s_quarter AS DECIMAL(38,0)) * ${budget}) div tot_quarter AS BIGINT)")
           .as("alloc_quarter"))
   }
 
@@ -502,16 +512,16 @@ object CurationOps {
        |  FROM mt
        |)
        |SELECT lang, n_tokens,
-       |  CAST((n_tokens * 1000000) // sum(n_tokens) OVER () AS BIGINT)
-       |    AS share_ppm,
-       |  CAST((s_half * 1000000) // sum(s_half) OVER () AS BIGINT)
-       |    AS w_half_ppm,
-       |  CAST((s_quarter * 1000000) // sum(s_quarter) OVER () AS BIGINT)
-       |    AS w_quarter_ppm,
-       |  CAST(($budget * s_half) // sum(s_half) OVER () AS BIGINT)
-       |    AS alloc_half,
-       |  CAST(($budget * s_quarter) // sum(s_quarter) OVER () AS BIGINT)
-       |    AS alloc_quarter
+       |  CAST((CAST(n_tokens AS HUGEINT) * 1000000) // sum(n_tokens) OVER ()
+       |    AS BIGINT) AS share_ppm,
+       |  CAST((CAST(s_half AS HUGEINT) * 1000000) // sum(s_half) OVER ()
+       |    AS BIGINT) AS w_half_ppm,
+       |  CAST((CAST(s_quarter AS HUGEINT) * 1000000) // sum(s_quarter) OVER ()
+       |    AS BIGINT) AS w_quarter_ppm,
+       |  CAST((CAST(s_half AS HUGEINT) * $budget) // sum(s_half) OVER ()
+       |    AS BIGINT) AS alloc_half,
+       |  CAST((CAST(s_quarter AS HUGEINT) * $budget) // sum(s_quarter) OVER ()
+       |    AS BIGINT) AS alloc_quarter
        |FROM mt_s""".stripMargin
 
   /** x139: corpus content manifest — the reproducibility fingerprint a

@@ -24,8 +24,12 @@ import graft.operators.DedupOps.{IterState, Local}
   * Determinism & overflow: elements snap to 1e4 ints at load (the
   * sourceCohesion contract) and v to 1e6 units per round. The d vector
   * shrinks by 2²⁰ (sign·magnitude floor — engine-portable for negatives,
-  * where raw `div`/`//` disagree) before re-projection, bounding the
-  * w-sum below 2⁶³ to n ≈ 10¹⁰ docs; re-normalization divides by
+  * where raw `div`/`//` disagree) before re-projection. Worst-case
+  * envelope: |x| ≤ 1e4 and |d/2²⁰| ≤ 64·1e4·1e6/2²⁰ ≈ 6.1e5, so
+  * per-row products reach ~6.1e9 and the BIGINT w-sum holds to
+  * n ≈ 1.5e9 docs — past that, widen the shrink (each extra shift bit
+  * doubles the bound at ~1 bit of precision) or sum w in
+  * DECIMAL(38,0)/HUGEINT like λ below. Re-normalization divides by
   * max|w|/1e6 in exact integers, then ONE fixed-form IEEE
   * division+sqrt+floor per element snaps the unit vector. λ comes from
   * the final Rayleigh quotient with the d² products summed in

@@ -207,14 +207,15 @@ object TextOps {
     *
     * Scale shape: the corpus is tokenized ONCE — a `(doc_id, token)`
     * occurrence matrix (map-side combine over the explode) whose shuffle
-    * both consumers share via ReuseExchange; corpus totals come from a
-    * global window over the small vocab relation (one vocab-sized
-    * shuffle, not a second corpus pass), and the cost table broadcasts
-    * back onto the matrix. No all-pairs, no driver collect. On an
-    * open-vocab 100 TB corpus drop the broadcast hint (or min-df prune
-    * first) and the cost join becomes a plain token-keyed shuffle join. */
+    * both consumers share via ReuseExchange; corpus totals are a
+    * tree-reduced 1-row aggregate broadcast back onto the vocab (never
+    * an empty-partitionBy window, which would funnel the whole vocab —
+    * billions of rows once noise tokens track the corpus — into one
+    * task), and the cost table broadcasts back onto the matrix. No
+    * all-pairs, no driver collect. On an open-vocab 100 TB corpus drop
+    * the broadcast hint (or min-df prune first) and the cost join
+    * becomes a plain token-keyed shuffle join. */
   def lmScore(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // explicit doc_id non-null filter: a composition that later joins
     // the scores on doc_id (x71) infers IsNotNull(doc_id) and pushes it
     // through the aggregate into the SCORING branch only, splitting the
@@ -225,11 +226,17 @@ object TextOps {
       .select(col("doc_id"), explode(wordsRe(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("occ"))
     val counts = docTok.groupBy("token").agg(sum("occ").as("cnt"))
-    val w = Window.partitionBy()
-    val costs = counts.select(col("token"), col("cnt"),
-      floor(log((sum("cnt").over(w) + count(lit(1)).over(w)).cast("double") /
-        (col("cnt") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
-        .as("cost_micro"))
+    // T and V as a tree-reduced 1-row broadcast (the x49 convention) —
+    // an empty-partitionBy window here would funnel the whole vocab
+    // relation into a single task once noise tokens grow it with the
+    // corpus; the crossJoin branch re-reads counts' exchange, which
+    // stays canonical (no join-key, so no IsNotNull is inferred)
+    val tv = counts.agg(sum("cnt").as("t_sum"), count(lit(1)).as("v_cnt"))
+    val costs = counts.crossJoin(broadcast(tv))
+      .select(col("token"), col("cnt"),
+        floor(log((col("t_sum") + col("v_cnt")).cast("double") /
+          (col("cnt") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+          .as("cost_micro"))
     docTok.join(broadcast(costs.drop("cnt")), "token")
       .groupBy("doc_id")
       .agg(sum("occ").as("n_tokens"),
@@ -245,15 +252,16 @@ object TextOps {
     * floor(ln(T+V)·1e6 + 0.5). The 1-row stats collect is a driver-side
     * action at train time, not per-batch work. */
   def lmModel(df: DataFrame): (DataFrame, Long) = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.select(explode(wordsRe(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy()
-    val costs = counts.select(col("token"),
-      floor(log((sum("cnt").over(w) + count(lit(1)).over(w)).cast("double") /
-        (col("cnt") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
-        .as("cost_micro"))
-    val tv = counts.agg((sum("cnt") + count(lit(1))).cast("double").as("tv"))
+    val tvAgg = counts.filter(col("cnt") >= 1L)
+      .agg(sum("cnt").as("t_sum"), count(lit(1)).as("v_cnt"))
+    val costs = counts.crossJoin(broadcast(tvAgg))
+      .select(col("token"),
+        floor(log((col("t_sum") + col("v_cnt")).cast("double") /
+          (col("cnt") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+          .as("cost_micro"))
+    val tv = tvAgg.select((col("t_sum") + col("v_cnt")).cast("double").as("tv"))
       .head.getDouble(0)
     (costs, math.floor(math.log(tv) * 1e6 + 0.5).toLong)
   }
@@ -297,7 +305,6 @@ object TextOps {
     * an open-vocab corpus). The bigram column is `prefix ' ' suffix` —
     * safe because [[wordsRe]] tokens cannot contain whitespace. */
   def bigramLmScore(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // same explicit doc_id filter as [[lmScore]] — keeps future doc_id
     // joins over the scores from splitting the matrix subtrees
     val docBi = df.filter(col("doc_id").isNotNull)
@@ -308,9 +315,14 @@ object TextOps {
     val ctx = biCounts
       .groupBy(substring_index(col("bigram"), " ", 1).as("w"))
       .agg(sum("c2").as("c1"))
-    val w = Window.partitionBy()
-    val ctxV = ctx.select(col("w"), col("c1"),
-      count(lit(1)).over(w).as("v"))
+    // V via 1-row aggregate + broadcast, not an empty-partitionBy
+    // window over the context vocabulary (the x49 convention). The
+    // c1 >= 1 tautology blocks RemoveRedundantAggregates from
+    // collapsing the keys-only count into a fresh corpus-wide distinct
+    // (the x75 clt-filter pattern) — without it the ctx exchange stops
+    // matching its other consumer and the corpus tokenizes twice
+    val ctxV = ctx.crossJoin(broadcast(
+      ctx.filter(col("c1") >= 1L).agg(count(lit(1)).as("v"))))
     val costs = biCounts
       .join(broadcast(ctxV), substring_index(col("bigram"), " ", 1) === col("w"))
       .select(col("bigram"),
@@ -385,17 +397,20 @@ object TextOps {
     * set — both strictly worse than one more CPU-bound scan at 100 TB. */
   def backoffLmScore(df: DataFrame, trainPred: Column,
                      alpha: Double = 0.4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy()
     val train = df.filter(trainPred)
-    // unigram model (train split): costs + the cnt=0 OOV cost
+    // unigram model (train split): costs + the cnt=0 OOV cost; T and V
+    // via 1-row aggregate + broadcast (x49 convention), never an
+    // empty-partitionBy window over the vocabulary
     val uniCounts = train
       .select(explode(wordsRe(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val uniCosts = uniCounts.select(col("token"),
-      floor(log((sum("cnt").over(w) + count(lit(1)).over(w)).cast("double") /
-        (col("cnt") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
-        .as("uni_micro"))
+    val uniTv = uniCounts.filter(col("cnt") >= 1L)
+      .agg(sum("cnt").as("t_sum"), count(lit(1)).as("v_cnt"))
+    val uniCosts = uniCounts.crossJoin(broadcast(uniTv))
+      .select(col("token"),
+        floor(log((col("t_sum") + col("v_cnt")).cast("double") /
+          (col("cnt") + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+          .as("uni_micro"))
     // the OOV cost rides a 1-row broadcast relation: it must survive a
     // FAILED continuation join (where every right-side column is null)
     val uniStats = uniCounts.agg(
@@ -409,7 +424,8 @@ object TextOps {
     val ctx = biCounts
       .groupBy(substring_index(col("bigram"), " ", 1).as("w"))
       .agg(sum("c2").as("c1"))
-    val ctxV = ctx.select(col("w"), col("c1"), count(lit(1)).over(w).as("v"))
+    val ctxV = ctx.crossJoin(broadcast(
+      ctx.filter(col("c1") >= 1L).agg(count(lit(1)).as("v"))))
     val biCosts = biCounts
       .join(broadcast(ctxV), substring_index(col("bigram"), " ", 1) === col("w"))
       .select(col("bigram"),
@@ -527,8 +543,6 @@ object TextOps {
     * tokenized once); per-source totals and the global total are
     * source-cardinality and 1-row broadcasts. */
   def sourceKl(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy()
     // the explicit non-null filter keeps all three consumers' subtrees
     // canonically IDENTICAL: the source-keyed joins infer
     // IsNotNull(source) into their probe branches only, which would
@@ -538,8 +552,11 @@ object TextOps {
     val srcTok = df.filter(col("source").isNotNull)
       .select(col("source"), explode(wordsRe(col("text"))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("cs"))
-    val vocab = srcTok.groupBy("token").agg(sum("cs").as("c"))
-      .select(col("token"), col("c"), sum("c").over(w).as("t_all"))
+    val vocabBase = srcTok.groupBy("token").agg(sum("cs").as("c"))
+    // T as a 1-row aggregate broadcast (x49 convention) — not an
+    // empty-partitionBy window funneling the vocab into one task
+    val vocab = vocabBase
+      .crossJoin(broadcast(vocabBase.agg(sum("c").as("t_all"))))
     val srcTotals = srcTok.groupBy("source").agg(sum("cs").as("ts"))
     srcTok
       .join(broadcast(vocab), "token")
@@ -1227,16 +1244,23 @@ object TextOps {
     * of one corpus scan each; totals ride window sums over those small
     * relations; the two unigram joins broadcast. Nothing quadratic. */
   def pmiCollocations(df: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy()
+    // totals via 1-row aggregates + broadcast (x49 convention), never
+    // empty-partitionBy windows over the vocab relations
     val uni = df.select(explode(wordsRe(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c1"))
-    val uniT = uni.select(col("token"), col("c1"), sum("c1").over(w).as("t1"))
-    val biT = df.select(explode(
+    // the c1/c2 >= 1 tautologies block the sum-of-counts collapse into
+    // a fresh global count over a second tokenization (the x75 pattern)
+    val uniT = uni.crossJoin(broadcast(
+        uni.filter(col("c1") >= 1L).agg(sum("c1").as("t1"))))
+      .select(col("token"), col("c1"), col("t1"))
+    val biBase = df.select(explode(
         graft.functions.TextExpressions.wsBigramsFast(col("text"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c2"))
-      // T₂ sums over ALL bigrams, so the window runs before the count floor
-      .select(col("bigram"), col("c2"), sum("c2").over(w).as("t2"))
+    // T₂ sums over ALL bigrams, so the total aggregates before the
+    // count floor
+    val biT = biBase
+      .crossJoin(broadcast(
+        biBase.filter(col("c2") >= 1L).agg(sum("c2").as("t2"))))
       .filter(col("c2") >= minCount)
     // BOTH unigram sides derive from uniT (ub's t1 column is dropped, not
     // unneeded-at-source): deriving ub from the window-free `uni` would
@@ -1410,9 +1434,8 @@ object TextOps {
       .groupBy("token").agg(sum("cnt").as("tok_total"))
     val srcTotBase = mat.filter(col("cnt") >= 1)
       .groupBy("source").agg(sum("cnt").as("src_total"))
-    val w = Window.partitionBy()
-    val srcTot = srcTotBase.select(col("source"), col("src_total"),
-      sum("src_total").over(w).as("t_all"))
+    val srcTot = srcTotBase
+      .crossJoin(broadcast(srcTotBase.agg(sum("src_total").as("t_all"))))
     val g2 = (xlx(col("cnt")) + xlx(col("tok_total") - col("cnt"))
       + xlx(col("src_total") - col("cnt"))
       + xlx(col("t_all") - col("src_total") - col("tok_total") + col("cnt"))

@@ -102,8 +102,14 @@ object EventStreams {
           .as("v_micro"))
       .groupBy("event_type", "hour_epoch")
       .agg(count(lit(1)).as("n_events"), sum(col("v_micro")).as("sum_v"))
-    val base = partial(events.filter(col("event_id") % 10 =!= 0))
-    val late = partial(events.filter(col("event_id") % 10 === 0))
+    // coalesce: a NULL event_id makes BOTH modulo predicates evaluate
+    // to null, silently dropping the row from both partials while the
+    // direct-aggregate oracle still counts it — the refresh==recompute
+    // equivalence must hold on ANY input, so nulls route explicitly
+    // into the late partial (0 % 10 == 0)
+    val split = coalesce(col("event_id"), lit(0L)) % 10
+    val base = partial(events.filter(split =!= 0))
+    val late = partial(events.filter(split === 0))
     base.unionByName(late)
       .groupBy("event_type", "hour_epoch")
       .agg(sum(col("n_events")).as("n_events"),

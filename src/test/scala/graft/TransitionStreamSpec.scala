@@ -77,4 +77,39 @@ class TransitionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         "matrix over streamed pairs must equal the batch matrix")
     } finally q.stop()
   }
+
+  test("cross-batch disorder: no inverted pairs, state never regresses") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[EvIn]
+    val out = TransitionStream.transitions(input.toDS(), gapMinutes = 30,
+      watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("trans_disorder")
+      .outputMode("append").start()
+    try {
+      // batch 1: events at 10:00 (a) and 10:10 (c)
+      input.addData(Seq(
+        EvIn(1L, 1L, "a", ts("2024-01-01 10:00:00")),
+        EvIn(1L, 3L, "c", ts("2024-01-01 10:10:00"))))
+      q.processAllAvailable()
+      // batch 2: a STALE event from 10:05 (inside the 30-min watermark,
+      // older than the stored 10:10 state) — must not emit the inverted
+      // (c -> b) pair, and must not regress the state to 10:05
+      input.addData(Seq(EvIn(1L, 2L, "b", ts("2024-01-01 10:05:00"))))
+      q.processAllAvailable()
+      // batch 3: 10:15 (d) — pairs with the chronologically latest (c),
+      // proving the stale b did not replace the state
+      input.addData(Seq(EvIn(1L, 4L, "d", ts("2024-01-01 10:15:00"))))
+      q.processAllAvailable()
+
+      val got = spark.table("trans_disorder").as[Transition].collect()
+        .map(t => (t.prev_type, t.next_type)).sorted.toSeq
+      // (a->c) from batch 1; batch 2's stale arrival emits nothing
+      // (inverted); (c->d) from batch 3 — NOT (b->d)
+      assert(got === Seq(("a", "c"), ("c", "d")),
+        s"disorder must neither invert pairs nor regress state: $got")
+    } finally q.stop()
+  }
 }
