@@ -16,14 +16,20 @@ import graft.operators.DedupOps.{IterState, Local}
   * pairs (weighted by word frequency) and merge the most frequent pair,
   * greedily left-to-right within each word.
   *
-  * Representation: a word's segmentation is ONE string — the symbols
-  * joined by a `` separator with a LEADING separator
-  * (`low` → `␟l␟o␟w`). Merging pair (a,b) is then exactly
-  * `replace(syms, "␟a␟b", "␟ab")`: both engines' `replace` substitutes
-  * non-overlapping occurrences scanning left-to-right, which IS the
-  * greedy merge ("␟a␟a␟a" → "␟aa␟a"; the leading separator keeps
-  * back-to-back occurrences like "␟a␟b␟a␟b" both merging). No UDF, no
-  * per-symbol arrays in the hot path, fully codegen-able.
+  * Representation: a word's segmentation is ONE string — each symbol
+  * WRAPPED in its own separators (`low` → `␟l␟␟o␟␟w␟`).
+  * Merging pair (a,b) is then exactly `replace(syms, "␟a␟␟b␟",
+  * "␟ab␟")`: both engines' `replace` substitutes non-overlapping
+  * occurrences scanning left-to-right, which IS the greedy merge
+  * ("␟a␟␟a␟␟a␟" → "␟aa␟␟a␟"; each occurrence owns its
+  * separators, so back-to-back occurrences like ␟a␟␟b␟␟a␟␟b␟ both
+  * merge). The earlier LEADING-only representation (`␟l␟o␟w`, pattern
+  * `␟a␟b`) diverged subtly from Sennrich BPE: the pattern's right side
+  * could match a PREFIX of a longer symbol (`replace("␟f␟ga", "␟f␟g",
+  * "␟fg")` glues f with just the g of ga → symbol "fga"), merging pairs
+  * never trained as complete symbols — wrapping both sides closes it,
+  * in training and application, on both engines (the native applier's
+  * textbook semantics surfaced it; BpeParitySpec pins the cases).
   *
   * Scale shape (the Borůvka pattern, [[DedupOps.dupClusters]]): the
   * corpus is tokenized ONCE into a distinct-word/frequency VOCAB table —
@@ -60,14 +66,15 @@ object BpeOps {
       .filter(length(col("word")) > 0 && !col("word").contains(SEP))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
-        regexp_replace(col("word"), "(.)", SEP + "$1").as("syms"))
+        regexp_replace(col("word"), "(.)", SEP + "$1" + SEP).as("syms"))
 
-  /** Adjacent symbol pairs of a leading-separator syms string:
-    * `split` gives `["", s1, …, sk]`, pairs are `(s_i, s_{i+1})`. */
+  /** Adjacent symbol pairs of a wrapped syms string: `split` on the
+    * separator leaves empties between/around symbols — drop them, pairs
+    * are `(s_i, s_{i+1})` of what remains. */
   private def pairsCol: Column = {
-    val a = split(col("syms"), SEP)
-    val n = greatest(size(a) - 2, lit(0))
-    arrays_zip(slice(a, lit(2), n), slice(a, lit(3), n))
+    val a = array_remove(split(col("syms"), SEP), "")
+    val n = greatest(size(a) - 1, lit(0))
+    arrays_zip(slice(a, lit(1), n), slice(a, lit(2), n))
   }
 
   /** Train `rounds` merges (fewer if the vocabulary runs out of pairs). */
@@ -87,7 +94,8 @@ object BpeOps {
         val l = top(0).getString(0); val r = top(0).getString(1)
         merges += ((l, r, top(0).getLong(2)))
         v = state.pin(v.withColumn("syms",
-          replace(col("syms"), lit(SEP + l + SEP + r), lit(SEP + l + r))))
+          replace(col("syms"), lit(SEP + l + SEP + SEP + r + SEP),
+            lit(SEP + l + r + SEP))))
       }
     }
     BpeModel(merges.toSeq)
@@ -103,12 +111,27 @@ object BpeOps {
   }
 
   /** Final segmentation of the initial `syms` column under the model:
-    * the R merges as chained replaces (codegen'd, no iteration at
-    * query time). */
+    * the R merges as chained replaces — the SEMANTIC REFERENCE form and
+    * the DuckDB-twin representation, fine inline up to the gated ~64
+    * merges but one expression NODE per merge (a 32k-merge production
+    * table would be a 32k-deep tree). Production path:
+    * [[segmentedNative]]; BpeParitySpec pins the two equal on trained
+    * models, and the x112/x114 oracle hashes re-pin it per round (the
+    * twin replays THIS form in DuckDB against the native Spark side). */
   def segmented(model: BpeModel, syms: Column = col("syms")): Column =
     model.merges.foldLeft(syms) { case (c, (l, r, _)) =>
-      replace(c, lit(SEP + l + SEP + r), lit(SEP + l + r))
+      replace(c, lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP))
     }
+
+  /** Production segmentation: the whole merge table applied natively in
+    * one compiled call per distinct word (rank-heap over present pairs,
+    * [[graft.functions.BpeUtils.segment]]) — handles production-sized
+    * (32k+) tables where chained replaces stop being a plan. Takes the
+    * RAW word; the code-point pre-segmentation happens in-kernel. */
+  def segmentedNative(model: BpeModel, word: Column): Column =
+    graft.functions.BpeExpressions.bpeSegment(word,
+      graft.functions.BpeRanks(
+        model.merges.map { case (l, r, _) => (l, r) }.toIndexedSeq))
 
   /** x112: per-document true-subword counts under a trained model —
     * `(doc_id, n_words, n_subwords, fertility)` where fertility is
@@ -131,13 +154,16 @@ object BpeOps {
       .filter(length(col("word")) > 0 && !col("word").contains(SEP))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("ct"))
       .filter(col("ct") >= 1)
-    val seg = segmented(model,
-      regexp_replace(col("word"), "(.)", SEP + "$1"))
+    // native single-call segmentation (the production path — the DuckDB
+    // twin replays the chained-replace reference form, so the gate's
+    // hash equality IS the native==chained proof on the trained model)
+    val seg = segmentedNative(model, col("word"))
+    // wrapped representation: every symbol carries TWO separators
     val lex = pdw.groupBy("word").agg(count(lit(1)).as("wdf"))
       .filter(col("wdf") >= 1)
       .select(col("word"),
-        (length(seg) - length(replace(seg, lit(SEP), lit(""))))
-          .cast("long").as("n_sub"))
+        ((length(seg) - length(replace(seg, lit(SEP), lit(""))))
+          .cast("long") / lit(2L)).cast("long").as("n_sub"))
     pdw.join(lex, Seq("word"))
       .groupBy("doc_id")
       .agg(sum(col("ct")).as("n_words"),
@@ -195,12 +221,12 @@ object BpeOps {
   // ---- generated DuckDB twins (trained-model literal replay) ------------
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
-  /** `␟l␟r` and `␟lr` as DuckDB expressions (chr(31) concat — the
+  /** `␟l␟␟r␟` and `␟lr␟` as DuckDB expressions (chr(31) concat — the
     * control char never appears raw in the SQL text). */
   private def patLit(l: String, r: String): String =
-    s"chr(31) || ${sqlLit(l)} || chr(31) || ${sqlLit(r)}"
+    s"chr(31) || ${sqlLit(l)} || chr(31) || chr(31) || ${sqlLit(r)} || chr(31)"
   private def repLit(l: String, r: String): String =
-    s"chr(31) || ${sqlLit(l + r)}"
+    s"chr(31) || ${sqlLit(l + r)} || chr(31)"
 
   /** Shared vocab CTEs: `bpe_w(word, freq)` + `v0(syms, freq)`. */
   private def vocabSql: String =
@@ -212,7 +238,7 @@ object BpeOps {
        |  GROUP BY word
        |), v0 AS (
        |  SELECT word, freq,
-       |    regexp_replace(word, '(.)', chr(31) || '\\1', 'g') AS syms
+       |    regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS syms
        |  FROM bpe_w
        |)""".stripMargin
 
@@ -227,8 +253,9 @@ object BpeOps {
       s"""p$k AS (
          |  SELECT arr[i] AS l, arr[i + 1] AS r, sum(freq) AS cnt
          |  FROM (SELECT arr, freq,
-         |          unnest(generate_series(2, len(arr) - 1)) AS i
-         |        FROM (SELECT string_split(syms, chr(31)) AS arr, freq
+         |          unnest(generate_series(1, len(arr) - 1)) AS i
+         |        FROM (SELECT list_filter(string_split(syms, chr(31)),
+         |                bpe_s -> bpe_s != '') AS arr, freq
          |              FROM v$k))
          |  GROUP BY arr[i], arr[i + 1]
          |), m$k AS (
@@ -256,7 +283,8 @@ object BpeOps {
     s"""WITH $vocabSql,
        |bpe_lex AS (
        |  SELECT word,
-       |    CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT) AS n_sub
+       |    CAST((length(s) - length(replace(s, chr(31), ''))) // 2 AS BIGINT)
+       |      AS n_sub
        |  FROM (SELECT word, $seg AS s FROM v0)
        |),
        |bpe_docw AS (

@@ -29,16 +29,17 @@ object BpeStream {
     * (doc_id, ts, n_words, n_subwords, fertility). */
   def countOnIngest(docs: DataFrame, model: BpeOps.BpeModel,
                     watermark: String = "1 hour"): DataFrame = {
-    val syms0 = regexp_replace(col("word"), "(.)", BpeOps.SEP + "$1")
-    val seg = BpeOps.segmented(model, syms0)
+    // native single-call segmentation (stateless map — same expression
+    // the batch path compiles); wrapped symbols carry 2 separators each
+    val seg = BpeOps.segmentedNative(model, col("word"))
     docs.withWatermark("ts", watermark)
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), col("ts"),
         explode(TextOps.wordsRe(col("text"))).as("word"))
       .filter(length(col("word")) > 0 && !col("word").contains(BpeOps.SEP))
       .select(col("doc_id"), col("ts"),
-        (length(seg) - length(replace(seg, lit(BpeOps.SEP), lit(""))))
-          .cast("long").as("n_sub"))
+        ((length(seg) - length(replace(seg, lit(BpeOps.SEP), lit(""))))
+          .cast("long") / lit(2L)).cast("long").as("n_sub"))
       .groupBy(col("doc_id"), col("ts"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
       .select(col("doc_id"), col("ts"), col("n_words"), col("n_subwords"),
