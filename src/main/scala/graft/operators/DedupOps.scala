@@ -906,11 +906,11 @@ object DedupOps {
     * bit-identical to [[contaminationReport]] (BloomDecontamSpec pins the
     * equality; the driver gate runs it against the same exact-SQL twin).
     *
-    * The membership probe is a Scala UDF by necessity: Spark's Bloom
-    * sketch has no public Column-side `might_contain` (the SQL expression
-    * is internal to runtime join filters). One primitive-long UDF on a
-    * pre-pruned stream is the documented exception to the
-    * "builtins-only" rule — same class as the S4 digest kernel. */
+    * The membership probe is Spark's own [[org.apache.spark.sql
+    * .catalyst.expressions.BloomFilterMightContain]] — the codegen'd
+    * expression runtime join filters inject, constructed directly via
+    * [[graft.functions.BloomFunctions.mightContain]] because 4.1 leaves
+    * it out of the public SQL registry. No UDF anywhere on this path. */
   def bloomContaminationReport(docs: DataFrame, evalPred: Column, n: Int = 5,
                                minShared: Long = 3, fpp: Double = 0.01,
                                text: Column = col("text")): DataFrame = {
@@ -929,10 +929,10 @@ object DedupOps {
     val (nEval, bloom) = evalBloom(evalHashed, fpp)
     if (nEval == 0) // bloomFilter() NPEs on empty input; result is empty anyway
       return contaminationReport(docs, evalPred, n, minShared, text)
-    val mightContain = udf((h: Long) => bloom.mightContain(h))
     sh(docs.filter(!evalPred), "train_doc")
       .withColumn("h", HashFunctions.hash60(col("sh")))
-      .filter(mightContain(col("h"))) // map-side: non-candidates never shuffle
+      // map-side native probe: non-candidates never shuffle
+      .filter(graft.functions.BloomFunctions.mightContain(bloom, col("h")))
       .join(broadcast(evalHashed), Seq("sh", "h")) // exact match kills fp's
       .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

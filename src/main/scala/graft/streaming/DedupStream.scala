@@ -49,14 +49,14 @@ object DedupStream {
   def flagContaminated(docs: DataFrame,
                        bloom: org.apache.spark.util.sketch.BloomFilter,
                        n: Int = 5): DataFrame = {
-    // the shingle hashes come from builtin expressions (codegen'd inside
-    // the transform); the sketch probe is ONE udf over the hash array —
-    // a udf can't reference a higher-order-function lambda variable, and
-    // per-array beats per-element dispatch anyway
-    val anyHit = udf((hs: Seq[Long]) => hs != null && hs.exists(bloom.mightContain))
+    // shingle hashes AND the sketch probe are builtin/native codegen'd
+    // expressions — the probe is Spark's own BloomFilterMightContain
+    // applied per element inside the exists() lambda (zero udf sites)
     docs.withColumn("contaminated",
-      anyHit(transform(
+      coalesce(exists(transform(
         array_distinct(graft.operators.DedupOps.shingles(col("text"), n)),
-        sh => graft.functions.HashFunctions.hash60(sh))))
+        sh => graft.functions.HashFunctions.hash60(sh)),
+        h => graft.functions.BloomFunctions.mightContain(bloom, h)),
+        lit(false)))
   }
 }
