@@ -29,8 +29,25 @@ object GraphOps {
   /** Distinct concurrent-user pairs (u_a < u_b): users whose sessions
     * overlap in time at least once — the j17 interval-join machinery
     * reduced to its edge set. Sessions are pinned so the sessionization
-    * scan runs once for both join sides. */
-  def overlapPairs(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    * scan runs once for both join sides.
+    *
+    * SIZE ENVELOPE: this edge set is quadratic in concurrency BY
+    * DEFINITION — |E| ≤ Σ_buckets C(c_b, 2) where c_b is the number of
+    * users with a session overlapping bucket b. At the gated SFs c is
+    * tens; at 100× a hot hour with c = 10⁶ concurrent users would
+    * materialize ~5·10¹¹ pairs from that hour alone. That is a property
+    * of the metric, not the plan — past that envelope cap it with
+    * `maxDegree`: every node keeps at most `maxDegree` incident pairs,
+    * chosen by a STABLE pair hash (deterministic, replayable), and a
+    * pair survives only if BOTH endpoints keep it — a strict degree
+    * bound, so |E| ≤ n·maxDegree/2 regardless of concurrency. The
+    * per-node rank plans as WindowGroupLimit (rank ≤ cap keeps only cap
+    * rows per node map-side before the shuffle), and uniform hash
+    * selection preserves the hub structure downstream consumers rank on
+    * (GraphOpsSpec pins top-hub preservation on the fixture). Default
+    * 0 = uncapped — the gate SFs run the exact graph. */
+  def overlapPairs(events: DataFrame, gapMinutes: Int = 30,
+                   maxDegree: Int = 0): DataFrame = {
     val sess = graft.core.PinnedViews.pinned(
       graft.streaming.EventStreams.userSessions(events, gapMinutes)
         .select(col("user_id"), col("session_start_epoch"),
@@ -39,9 +56,27 @@ object GraphOps {
       col("session_start_epoch").as("s_a"), col("session_end_epoch").as("e_a"))
     val b = sess.select(col("user_id").as("u_b"),
       col("session_start_epoch").as("s_b"), col("session_end_epoch").as("e_b"))
-    TemporalJoins.intervalJoin(a, b, "s_a", "e_a", "s_b", "e_b", 3600L,
-        col("u_a") < col("u_b"))
+    val pairs = TemporalJoins.intervalJoin(a, b, "s_a", "e_a", "s_b", "e_b",
+        3600L, col("u_a") < col("u_b"))
       .select(col("u_a"), col("u_b")).distinct()
+    if (maxDegree <= 0) pairs
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("node")
+        .orderBy(col("h"), col("u_a"), col("u_b"))
+      pairs
+        .withColumn("h", graft.functions.HashFunctions.hash60(
+          concat_ws(":", col("u_a"), col("u_b"))))
+        .select(col("u_a"), col("u_b"), col("h"),
+          explode(array(col("u_a"), col("u_b"))).as("node"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= maxDegree)
+        .groupBy("u_a", "u_b")
+        // kept by BOTH endpoints → degree strictly ≤ maxDegree
+        .agg(count(lit(1)).as("keeps"))
+        .filter(col("keeps") === 2L)
+        .select(col("u_a"), col("u_b"))
+    }
   }
 
   /** Integer PageRank over an undirected pair relation `(u_a, u_b)`;

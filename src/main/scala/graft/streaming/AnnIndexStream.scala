@@ -61,4 +61,71 @@ object AnnIndexStream {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .start()
+
+  /** Size-triggered compaction of accumulated micro-batch postings.
+    *
+    * Every micro-batch appends at least one parquet file per partition,
+    * so a long-lived ingest accretes thousands of tiny files — each
+    * probe then pays file-open latency instead of scan throughput. This
+    * rewrites the postings CLUSTERED BY INVERTED LIST into at most
+    * `ceil(listRows / targetRowsPerFile)` files per list: a probe of
+    * one list touches one file group, the layout a production IVF
+    * deployment wants (the [[IvfOps.saveIndex]] doc's "bucket postings
+    * by centroid_id").
+    *
+    * Mechanics: rows are read through the sink's `_spark_metadata`
+    * manifest (committed files only — an in-flight batch can't leak
+    * in), get exact per-list ranks from [[graft.operators.TwoPhase]]
+    * (deterministic vec_id-range buckets — no list-sized sort task, the
+    * x126 discipline), and file ids `rank div target`. The shuffle keys
+    * on (centroid_id, file_id), so each output file holds whole
+    * (list, file) groups — a list never spreads past its quota.
+    *
+    * Lifecycle (the model-swap discipline): compaction writes a NEW
+    * index dir — `newDir/centroids` copied from the frozen model,
+    * `newDir/postings` plain parquet — and [[swapIndex]] promotes it.
+    * The streaming manifest CANNOT adopt foreign files (a restarted
+    * sink's `_spark_metadata` would hide them from manifest-aware
+    * reads), so compaction closes an ingest EPOCH: stop the query,
+    * compact, swap, then resume ingest with a fresh checkpoint into a
+    * fresh postings dir and treat the compacted files as that epoch's
+    * base — exactly how a quantizer re-train already swaps the whole
+    * directory, never splicing. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   newDir: String, targetRowsPerFile: Long,
+                   buckets: Int = 64): Unit = {
+    require(targetRowsPerFile >= 1, s"targetRowsPerFile=$targetRowsPerFile")
+    spark.read.parquet(s"$dir/centroids").repartition(1)
+      .write.mode("errorifexists").parquet(s"$newDir/centroids")
+    val posts = spark.read.parquet(s"$dir/postings")
+    val st = posts.agg(min(col("vec_id")).as("v0"), max(col("vec_id")).as("v1"))
+    val ranked = graft.operators.TwoPhase.prefixed(
+      posts.crossJoin(broadcast(st)),
+      partCols = Seq("centroid_id"),
+      bucketCol = graft.operators.TwoPhase.equiWidthBucketSql(
+        "vec_id", "v0", "v1", buckets),
+      orderCols = Seq(col("vec_id")),
+      sums = Seq("rn" -> lit(1L)), totals = false)
+      .withColumn("file_id", expr(s"(rn_pre - 1L) div ${targetRowsPerFile}L"))
+      .select(col("vec_id"), col("centroid_id"), col("qcode"),
+        col("file_id"))
+    ranked
+      .repartition(col("centroid_id"), col("file_id"))
+      .sortWithinPartitions("centroid_id", "vec_id")
+      .drop("file_id")
+      .write.mode("errorifexists").parquet(s"$newDir/postings")
+  }
+
+  /** Promote a compacted (or re-trained) index: `liveDir` retires to
+    * `retiredDir`, `newDir` becomes `liveDir` — two same-filesystem
+    * POSIX renames, each atomic; a reader resolves the directory at
+    * query start, so it sees the old index or the new one, never a
+    * splice. The retired dir stays for rollback/audit. */
+  def swapIndex(liveDir: String, newDir: String, retiredDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.move(Paths.get(liveDir), Paths.get(retiredDir),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(newDir), Paths.get(liveDir),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
 }

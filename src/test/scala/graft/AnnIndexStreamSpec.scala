@@ -49,9 +49,9 @@ class AnnIndexStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val in = MemoryStream[(Long, Seq[Double])]
     val q = AnnIndexStream.ingest(
       in.toDF().toDF("vec_id", "embedding"), model, streamed, ckpt)
-    rows.grouped(200).foreach { chunk =>   // several micro-batches
-      in.addData(chunk.toIndexedSeq)
-      q.processAllAvailable()
+    rows.grouped(50).foreach { chunk =>   // many micro-batches: the
+      in.addData(chunk.toIndexedSeq)      // small-file accretion the
+      q.processAllAvailable()             // compaction test needs
     }
     q.stop()
 
@@ -77,5 +77,36 @@ class AnnIndexStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getAs[Int]("rank"))).toSet
     val a = probe(offline)
     assert(a === probe(streamed) && a.nonEmpty)
+
+    // ---- compaction: many micro-batch files → ≤ ceil(rows/target)
+    // files per inverted list, probe-identical, atomically swappable
+    val rawFiles = spark.read.parquet(s"$streamed/postings")
+      .select(input_file_name().as("f")).distinct().count()
+    assert(rawFiles > 8, s"fixture accreted only $rawFiles files")
+    val target = 100L
+    val compactBase = java.nio.file.Files
+      .createTempDirectory("graft_idx_cmp").toString
+    val compactDir = s"$compactBase/new"
+    AnnIndexStream.compactIndex(spark, streamed, compactDir, target)
+    val perList = spark.read.parquet(s"$compactDir/postings")
+      .select(col("centroid_id"), input_file_name().as("f"))
+      .groupBy("centroid_id")
+      .agg(countDistinct(col("f")).as("files"), count(lit(1)).as("rows"))
+      .collect()
+    perList.foreach { r =>
+      val files = r.getLong(1); val n = r.getLong(2)
+      val quota = (n + target - 1) / target
+      assert(files <= quota,
+        s"list ${r.getInt(0)}: $files files for $n rows (quota $quota)")
+    }
+    // content + probe parity with the uncompacted index
+    assert(postingSet(compactDir) === str)
+    assert(probe(compactDir) === a)
+    // atomic swap: compacted dir promotes to live, old index retires
+    val retired = s"$compactBase/retired"
+    AnnIndexStream.swapIndex(streamed, compactDir, retired)
+    assert(probe(streamed) === a, "post-swap live index must probe identically")
+    assert(new java.io.File(s"$retired/postings/_spark_metadata").exists(),
+      "retired dir must still hold the old streaming sink")
   }
 }

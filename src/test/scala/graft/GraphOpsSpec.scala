@@ -196,4 +196,41 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total >= n * unit - maxLoss,
       s"mass $total fell below ${n * unit} - $maxLoss")
   }
+
+  test("degree cap: strict bound, subset, identity at generous cap, hubs preserved") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    def degrees(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = df
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.col("u_a"),
+          org.apache.spark.sql.functions.col("u_b"))).as("n"))
+      .groupBy("n").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = GraphOps.overlapPairs(ev)
+    val fullPairs = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullDeg = degrees(full)
+    val maxDeg = fullDeg.values.max.toInt
+    assert(maxDeg > 4, s"fixture too sparse for a meaningful cap test: $maxDeg")
+    // generous cap → the exact graph
+    val generous = GraphOps.overlapPairs(ev, maxDegree = maxDeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous === fullPairs)
+    // tight cap → strict degree bound + subset (cap scaled to the
+    // fixture: hubs exist at 2*cap by construction)
+    val cap = math.max(2, maxDeg / 2 - 1)
+    val capped = GraphOps.overlapPairs(ev, maxDegree = cap)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.subsetOf(fullPairs))
+    val cappedDeg = degrees(capped)
+    assert(cappedDeg.values.forall(_ <= cap),
+      s"cap violated: ${cappedDeg.filter(_._2 > cap)}")
+    // hub preservation: the true top hubs saturate the cap — every node
+    // whose full degree is >= 2*cap must sit in the capped graph's top
+    // degree tier (uniform hash selection keeps hubs hubs)
+    val trueHubs = fullDeg.filter(_._2 >= 2L * cap).keySet
+    assert(trueHubs.nonEmpty, "fixture has no hubs at 2*cap — lower the cap")
+    val tier = cappedDeg.filter(_._2 >= cap - 1).keySet
+    assert(trueHubs.subsetOf(tier),
+      s"hubs lost under the cap: ${trueHubs -- tier}")
+  }
 }
