@@ -1378,6 +1378,16 @@ object SparkEntry {
     "x138_water_fill" -> ((s, dir) =>
       graft.operators.CurationOps.waterFill(Tables.documents(s, dir))),
 
+    // x140 — exact value quantiles by histogram refinement: exact
+    // rank-based percentiles of a HIGH-CARDINALITY column (micro-unit
+    // event values) with no sort, no per-group task, and the driver
+    // holding only histograms — ≤6 narrow bucket-count scans resolve a
+    // full 64-bit domain; the exactness x32's count-compression cannot
+    // give when values barely repeat, at a cost approx_percentile's
+    // sketch never pays
+    "x140_value_quantiles" -> ((s, dir) =>
+      graft.operators.QuantileOps.eventValueQuantiles(Tables.events(s, dir))),
+
     // x136 — incremental aggregate refresh: base (90%) and late-batch
     // (10%) partials aggregated separately and MERGED by summing — the
     // materialized-view maintenance pattern; the oracle computes the
@@ -2080,6 +2090,8 @@ object SparkEntry {
       graft.streaming.EventStreams.disorderProfileSql,
 
     "x138_water_fill" -> graft.operators.CurationOps.waterFillSql(),
+    "x140_value_quantiles" -> graft.operators.QuantileOps
+      .eventValueQuantilesSql(Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99)),
 
     "x139_corpus_manifest" ->
       graft.operators.CurationOps.corpusManifestSql,

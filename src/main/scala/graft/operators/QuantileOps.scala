@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact rank-based quantiles of a HIGH-CARDINALITY numeric column —
+  * the missing piece of the quantile story:
+  *
+  *   - [[TextOps.lengthQuantiles]] / [[TextOps.sampleQuantileCalibration]]
+  *     compress to per-(group, value) counts first — exact and one-pass,
+  *     but only because token counts repeat heavily;
+  *   - `approx_percentile` is mergeable and one-pass but NOT exact;
+  *   - `row_number` over a group window is exact but sorts each group in
+  *     one task — the x126-class scale killer;
+  *   - a global sort is exact but shuffles the entire corpus to rank a
+  *     handful of positions.
+  *
+  * This is the classic distributed EXACT selection: iterative equi-width
+  * histogram refinement. Each round scans the (group, value) projection
+  * once, buckets every in-range value by a power-of-two width
+  * (`(v - lo) >>> s` — shift bucketing, overflow-free on the full int64
+  * domain), aggregates (group, target, bucket) counts with map-side
+  * combine, and the driver walks each histogram to find the bucket
+  * containing the target rank, narrowing `[lo, hi]` by a factor of
+  * 2^⌈log₂ B⌉ per round. A 64-bit domain resolves in ≤ ⌈64/log₂(B)⌉
+  * rounds (≤ 6 at B = 4096); real value ranges resolve in 2–3. The
+  * driver holds only histograms (groups × targets × B rows per round —
+  * loop control, the Borůvka/BPE discipline), every scan is a narrow
+  * 2-column projection with the range predicate pushed down, and no
+  * task ever receives more than one bucket's aggregate.
+  *
+  * Quantile definition: the value at ascending rank `ceil(p·n)` within
+  * the group — the x32/x129 convention. Ranks over VALUES need no
+  * tiebreak: equal values occupy a rank run, and any rank inside the
+  * run yields the same value, so the result is a pure function of the
+  * data. The DuckDB twin ranks with a window (its gate-sized problem);
+  * hash equality at both SFs pins the refinement against the
+  * rank-ordered definition.
+  */
+object QuantileOps {
+
+  /** Exact per-`group` quantiles of long-valued `value` at the given
+    * `ps` points. Output: one row per group —
+    * (group, n_rows, <name per p>...), groups ordered by the caller's
+    * consumer (relation is small: |groups| rows). */
+  def exactQuantiles(df: DataFrame, group: String, value: Column,
+                     ps: Seq[(String, Double)],
+                     buckets: Int = 4096, maxRounds: Int = 12): DataFrame = {
+    require(ps.nonEmpty && buckets >= 16 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two >= 16")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val logB = java.lang.Integer.numberOfTrailingZeros(buckets)
+    val base = df.select(col(group).cast("string").as("g"),
+      value.cast("long").as("v")).filter(col("v").isNotNull)
+
+    // round 0: per-group extent + count — one aggregate, |groups| rows
+    val ext = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+
+    // All refinement runs in U-SPACE: u = v XOR 2^63 is the
+    // order-preserving map from signed to unsigned longs, so bounds
+    // compare, subtract, and bucket as UNSIGNED values: full-domain
+    // extents (hi - lo >= 2^63) never hit a signed overflow, and the
+    // executor-side bucket is pure bitwise (xor + unsigned shift on an
+    // ABSOLUTE power-of-two grid) with nothing for ANSI mode to throw on.
+    val U = Long.MinValue
+    final case class Tgt(g: String, name: String, n: Long,
+                         var kRem: Long, var ulo: Long, var uhi: Long)
+    val targets = for { (g, n, lo, hi) <- ext.toSeq; (name, p) <- ps }
+      yield Tgt(g, name, n, math.ceil(p * n).toLong.max(1L).min(n),
+        lo ^ U, hi ^ U)
+
+    var round = 0
+    while (targets.exists(t => t.ulo != t.uhi) && round < maxRounds) {
+      round += 1
+      val open = targets.filter(t => t.ulo != t.uhi)
+      // grid cell 2^s: the open range spans at most B+1 absolute cells
+      def shiftOf(t: Tgt): Int = {
+        val range = t.uhi - t.ulo // exact unsigned difference (mod 2^64)
+        val bits = 64 - java.lang.Long.numberOfLeadingZeros(range)
+        math.max(bits - logB, 0)
+      }
+      val bounds = open.map(t => (t.g, t.g + " " + t.name,
+          t.ulo ^ U, t.uhi ^ U, shiftOf(t)))
+        .toDF("g", "tid", "t_lo", "t_hi", "t_s")
+      val hist = base
+        .join(broadcast(bounds), Seq("g"))
+        .filter(col("v") >= col("t_lo") && col("v") <= col("t_hi"))
+        .groupBy(col("tid"),
+          expr("shiftrightunsigned(v ^ shiftleft(1L, 63), t_s)").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (tid, rows) =>
+          tid -> rows.map(r => r.getLong(1) -> r.getLong(2))
+            .sortWith((a, b) => java.lang.Long.compareUnsigned(a._1, b._1) < 0)
+        }
+      open.foreach { t =>
+        val s = shiftOf(t)
+        val h = hist(t.g + " " + t.name)
+        var k = t.kRem
+        val (b, _) = h.find { case (_, c) =>
+          if (k <= c) true else { k -= c; false } }.get
+        t.kRem = k
+        val cellLo = b << s                    // u-space grid cell base
+        val cellHi = cellLo + ((1L << s) - 1L) // cell top; never wraps
+        if (java.lang.Long.compareUnsigned(cellLo, t.ulo) > 0) t.ulo = cellLo
+        if (java.lang.Long.compareUnsigned(cellHi, t.uhi) < 0) t.uhi = cellHi
+      }
+    }
+    require(targets.forall(t => t.ulo == t.uhi),
+      s"quantile refinement did not converge in $maxRounds rounds")
+
+    // assemble: one row per group, a column per p name (back to signed)
+    val out = ext.toSeq.map { case (g, n, _, _) =>
+      (g, n, ps.map { case (name, _) =>
+        targets.find(t => t.g == g && t.name == name).get.ulo ^ U })
+    }
+    val cols = Seq(col("_1").as(group), col("_2").as("n_rows")) ++
+      ps.zipWithIndex.map { case ((name, _), i) =>
+        element_at(col("_3"), i + 1).as(name) }
+    out.toDF("_1", "_2", "_3").select(cols: _*)
+  }
+
+  /** DuckDB twin: the rank-ordered definition over
+    * `events.value` micro-units per event_type. */
+  def eventValueQuantilesSql(ps: Seq[(String, Double)]): String = {
+    val qcols = ps.map { case (name, p) =>
+      s"""  CAST(max(CASE WHEN rn = CAST(ceil(CAST($p AS DOUBLE) * cnt) AS BIGINT)
+         |    THEN v END) AS BIGINT) AS $name""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eq_t AS (
+       |  SELECT event_type,
+       |    CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |), eq_r AS (
+       |  SELECT event_type, v,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v)
+       |      AS BIGINT) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS cnt
+       |  FROM eq_t
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       |$qcols
+       |FROM eq_r GROUP BY event_type""".stripMargin
+  }
+
+  /** x140 composition: exact micro-unit value quantiles per event type —
+    * high-cardinality doubles, where count-compression has nothing to
+    * compress and only refinement stays exact without a sort. */
+  def eventValueQuantiles(events: DataFrame,
+      ps: Seq[(String, Double)] = Seq("p50" -> 0.50, "p90" -> 0.90,
+        "p99" -> 0.99)): DataFrame =
+    exactQuantiles(events, "event_type",
+      floor(col("value").cast("double") * lit(1e6) + lit(0.5)).cast("long"),
+      ps)
+}

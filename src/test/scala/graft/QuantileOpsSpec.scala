@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.QuantileOps
+
+/** Exact quantiles by histogram refinement (x140): must equal the
+  * rank-ordered definition — driver-side sort reference on adversarial
+  * domains (full-int64 extents, heavy duplicates, singletons) and the
+  * window form on the real events fixture. */
+class QuantileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val ps = Seq("p10" -> 0.10, "p50" -> 0.50, "p99" -> 0.99)
+
+  private def reference(vals: Seq[Long], p: Double): Long = {
+    val sorted = vals.sorted
+    sorted(math.max(math.ceil(p * vals.size).toLong, 1L).toInt - 1)
+  }
+
+  test("refinement == sort reference on adversarial groups") {
+    val s = spark
+    import s.implicits._
+    var seed = 42L
+    def nxt(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    val groups: Map[String, Seq[Long]] = Map(
+      // full-domain extremes, wrap-prone range
+      "extremes" -> (Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+        Long.MaxValue - 1, Long.MaxValue) ++ (1 to 50).map(_ => nxt())),
+      // heavy duplicates: rank runs must resolve to the run's value
+      "dups" -> Seq.fill(97)(5L),
+      "twovals" -> (Seq.fill(30)(-7L) ++ Seq.fill(70)(1234567890123L)),
+      // singletons and tiny groups
+      "one" -> Seq(Long.MinValue),
+      "three" -> Seq(3L, 1L, 2L),
+      // dense small range (converges in one round)
+      "dense" -> (1 to 500).map(i => (i % 17).toLong),
+      // wide uniform
+      "wide" -> (1 to 400).map(_ => nxt() >> 8))
+    val df = groups.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("g", "v").repartition(7)
+    val got = QuantileOps.exactQuantiles(df, "g", col("v"), ps, buckets = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), ps.indices.map(i => r.getLong(2 + i)))).toMap
+    groups.foreach { case (g, vs) =>
+      val (n, qv) = got(g)
+      assert(n === vs.size.toLong, s"group $g count")
+      ps.zipWithIndex.foreach { case ((name, p), i) =>
+        assert(qv(i) === reference(vs, p), s"group $g $name")
+      }
+    }
+  }
+
+  test("x140 == the rank-window form on real events; plans stay narrow") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val got = QuantileOps.eventValueQuantiles(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val t = ev.select(col("event_type"),
+      floor(col("value").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+        .as("v"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+    val want = t
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        max(when(col("rn") === ceil(lit(0.50) * col("cnt")), col("v"))).as("p50"),
+        max(when(col("rn") === ceil(lit(0.90) * col("cnt")), col("v"))).as("p90"),
+        max(when(col("rn") === ceil(lit(0.99) * col("cnt")), col("v"))).as("p99"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === want)
+  }
+}
