@@ -1388,6 +1388,13 @@ object SparkEntry {
     "x140_value_quantiles" -> ((s, dir) =>
       graft.operators.QuantileOps.eventValueQuantiles(Tables.events(s, dir))),
 
+    // x141 — corpus release diff: per source, docs added / removed /
+    // content-changed, token delta, digest drift — HOW a release moved
+    // where the x139 manifest only says THAT it moved; one id-keyed
+    // full-outer join, then a source-sized aggregate
+    "x141_release_diff" -> ((s, dir) =>
+      graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
+
     // x136 — incremental aggregate refresh: base (90%) and late-batch
     // (10%) partials aggregated separately and MERGED by summing — the
     // materialized-view maintenance pattern; the oracle computes the
@@ -2092,6 +2099,7 @@ object SparkEntry {
     "x138_water_fill" -> graft.operators.CurationOps.waterFillSql(),
     "x140_value_quantiles" -> graft.operators.QuantileOps
       .eventValueQuantilesSql(Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99)),
+    "x141_release_diff" -> graft.operators.CurationOps.releaseDiffDemoSql,
 
     "x139_corpus_manifest" ->
       graft.operators.CurationOps.corpusManifestSql,

@@ -921,4 +921,103 @@ object CurationOps {
         (col("dsir_micro").cast("double") /
           (col("n_feats").cast("double") * lit(1e6))).as("dsir_avg"))
   }
+
+  /** x141: corpus release diff — what changed between two releases, per
+    * source: docs added / removed / CONTENT-CHANGED (same id, different
+    * content hash), token-volume delta, and whether the x139 digest
+    * moved. The read a release manager runs before shipping: the x139
+    * manifest says THAT a source drifted; this says HOW.
+    *
+    * Scale: one doc_id-keyed full-outer join (both sides hash-shuffle
+    * on the id — no broadcast assumption, releases are corpus-sized),
+    * then a source-sized aggregate; per-doc hashes are the exact x139
+    * content hash so diff verdicts and manifest digests can never
+    * disagree. Per-source digests fold with bit_xor (order-independent,
+    * null-skipping); sources present on one side only report a changed
+    * digest by the coalesce(…, 0) convention x139 pins for the empty
+    * fold. */
+  def releaseDiff(prev: DataFrame, curr: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, side: String) =
+      df.filter(col("doc_id").isNotNull && col("source").isNotNull)
+        .select(col("doc_id"),
+          col("source").as(s"src_$side"),
+          TextExpressions.wsTokenCountFast(col("text")).cast("long")
+            .as(s"nt_$side"),
+          graft.functions.HashFunctions.hash60(
+            concat(col("doc_id").cast("string"), lit("|"),
+              coalesce(col("text"), lit("")))).as(s"h_$side"))
+    keyed(prev, "p").join(keyed(curr, "c"), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_c"), col("src_p")).as("source"),
+        col("nt_p"), col("nt_c"), col("h_p"), col("h_c"))
+      .groupBy("source")
+      .agg(count(col("h_p")).as("n_prev"),
+        count(col("h_c")).as("n_curr"),
+        sum(when(col("h_p").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("h_c").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("h_p").isNotNull && col("h_c").isNotNull &&
+          col("h_p") =!= col("h_c"), 1L).otherwise(0L)).as("n_changed"),
+        (sum(coalesce(col("nt_c"), lit(0L)))
+          - sum(coalesce(col("nt_p"), lit(0L)))).as("tok_delta"),
+        (coalesce(expr("bit_xor(h_p)"), lit(0L)) =!=
+          coalesce(expr("bit_xor(h_c)"), lit(0L))).as("digest_changed"))
+  }
+
+  /** x141 gate composition: two releases derived deterministically from
+    * the documents table — prev drops the hash60(doc_id)%20==0 slice
+    * (those docs are ADDED in curr), curr drops the %20==1 slice
+    * (REMOVED) and appends an edit marker to the %20==2 slice
+    * (CHANGED). Every diff verdict class fires on the fixture. */
+  def releaseDiffDemo(docs: DataFrame): DataFrame = {
+    val bucket = pmod(graft.functions.HashFunctions.hash60(
+      col("doc_id").cast("string")), lit(20L))
+    val prev = docs.filter(bucket =!= 0L)
+    val curr = docs.filter(bucket =!= 1L)
+      .withColumn("text",
+        when(bucket === 2L, concat(col("text"), lit(" v2-edit")))
+          .otherwise(col("text")))
+    releaseDiff(prev, curr)
+  }
+
+  /** DuckDB twin of [[releaseDiffDemo]]. */
+  def releaseDiffDemoSql: String = {
+    val b = s"(${graft.functions.HashFunctions.hash60Sql(
+      "CAST(doc_id AS VARCHAR)")} % 20)"
+    def h(textExpr: String) = graft.functions.HashFunctions.hash60Sql(
+      s"CAST(doc_id AS VARCHAR) || '|' || COALESCE($textExpr, '')")
+    s"""WITH rd_prev AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${TextOps.wordsReSql("text")}) AS BIGINT) AS nt,
+       |    ${h("text")} AS h
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND $b <> 0
+       |), rd_curr0 AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN $b = 2 THEN text || ' v2-edit' ELSE text END AS text
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND $b <> 1
+       |), rd_curr AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${TextOps.wordsReSql("text")}) AS BIGINT) AS nt,
+       |    ${h("text")} AS h
+       |  FROM rd_curr0
+       |), rd_j AS (
+       |  SELECT COALESCE(c.source, p.source) AS source,
+       |    p.nt AS nt_p, c.nt AS nt_c, p.h AS h_p, c.h AS h_c
+       |  FROM rd_prev p FULL OUTER JOIN rd_curr c USING (doc_id)
+       |)
+       |SELECT source,
+       |  CAST(count(h_p) AS BIGINT) AS n_prev,
+       |  CAST(count(h_c) AS BIGINT) AS n_curr,
+       |  CAST(sum(CASE WHEN h_p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_added,
+       |  CAST(sum(CASE WHEN h_c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  CAST(sum(CASE WHEN h_p IS NOT NULL AND h_c IS NOT NULL
+       |    AND h_p <> h_c THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(sum(COALESCE(nt_c, 0)) - sum(COALESCE(nt_p, 0)) AS BIGINT)
+       |    AS tok_delta,
+       |  COALESCE(bit_xor(h_p), 0) <> COALESCE(bit_xor(h_c), 0)
+       |    AS digest_changed
+       |FROM rd_j GROUP BY source""".stripMargin
+  }
 }

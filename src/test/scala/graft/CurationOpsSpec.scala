@@ -272,4 +272,47 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val alloc = rows.values.map(_.getAs[Long]("alloc_half")).sum
     assert(alloc <= 1000000L && alloc >= 999998L)
   }
+
+  test("releaseDiff: add/remove/change/token-delta verdicts on a closed-form fixture") {
+    val s = spark
+    import s.implicits._
+    // prev: docs 1-5 in src a, 10-11 in b; curr: doc 2 removed, doc 6
+    // added (a), doc 3 edited (+2 tokens), src b untouched, src c new
+    val prev = Seq(
+      (1L, "a", "one two"), (2L, "a", "gone now"), (3L, "a", "old text"),
+      (4L, "a", "same x"), (5L, "a", "same y"),
+      (10L, "b", "stable"), (11L, "b", "stable too"))
+      .toDF("doc_id", "source", "text")
+    val curr = Seq(
+      (1L, "a", "one two"), (3L, "a", "old text but longer"),
+      (4L, "a", "same x"), (5L, "a", "same y"), (6L, "a", "brand new"),
+      (10L, "b", "stable"), (11L, "b", "stable too"),
+      (20L, "c", "whole new source"))
+      .toDF("doc_id", "source", "text")
+    val got = CurationOps.releaseDiff(prev, curr).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    // a: 5 prev, 5 curr, +1 added (6), −1 removed (2), 1 changed (3),
+    // tokens: prev 2+2+2+2+2=10 → curr 2+4+2+2+2=12 → +2, digest moved
+    assert(got("a") === ((5L, 5L, 1L, 1L, 1L, 2L, true)))
+    // b: untouched — zero deltas, digest HOLDS
+    assert(got("b") === ((2L, 2L, 0L, 0L, 0L, 0L, false)))
+    // c: new source — all added, digest moved from the empty fold
+    assert(got("c") === ((0L, 1L, 1L, 0L, 0L, 3L, true)))
+  }
+
+  test("releaseDiffDemo: every verdict class fires on the fixture corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val d = CurationOps.releaseDiffDemo(docs)
+    val tot = d.agg(sum("n_added").as("a"), sum("n_removed").as("r"),
+      sum("n_changed").as("c")).collect()(0)
+    assert(tot.getLong(0) > 0 && tot.getLong(1) > 0 && tot.getLong(2) > 0,
+      s"fixture must exercise add/remove/change: $tot")
+    // consistency: n_curr - n_prev == n_added - n_removed per source
+    d.collect().foreach { r =>
+      assert(r.getAs[Long]("n_curr") - r.getAs[Long]("n_prev") ===
+        r.getAs[Long]("n_added") - r.getAs[Long]("n_removed"),
+        s"count identity broken for ${r.getString(0)}")
+    }
+  }
 }

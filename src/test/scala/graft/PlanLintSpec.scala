@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global plan lint: EVERY gate query's physical plan, one sweep, the
+  * invariants the per-query pins assert locally — so a new operator (or
+  * a Catalyst upgrade) cannot quietly ship the classic scale-killers.
+  *
+  * What it catches that per-query pins don't: the pins cover queries
+  * someone thought to pin. This covers all of SparkEntry.queries —
+  * every future addition is linted the day it lands.
+  *
+  * Deliberately NOT asserted here: exchange/scan counts (plan-shape
+  * details that belong to the per-query pins, where intent is known)
+  * and Window partition keys (legitimate windows over aggregate-sized
+  * relations partition on low-cardinality keys — only a human knows
+  * which relation is bounded; see the x126/x129/x137 rewrites). */
+class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Audited non-cross BNLJs — each one a BROADCAST SMALL SIDE by
+    * design, not an accident (the Cross-tagged 1-row stats joins are
+    * allowed implicitly everywhere):
+    *  - j14/m6 archive: the needle/path-prefix side broadcasts against
+    *    a startswith theta predicate — the designed descendant join
+    *    (an equi-join cannot express prefix containment);
+    *  - x18/x116: query × K-centroid scoring — conditionless Inner over
+    *    the broadcast codebook (K ≤ √n rows), IS the IVF probe step;
+    *  - x96: the recall sweep runs that probe once per nProbe setting.
+    * A new non-cross BNLJ anywhere else fails the lint until it is
+    * audited and added here with its reason. */
+  private val auditedNonCrossBnlj = Map(
+    "j14_descendant_dirs" -> 1,
+    "m6_delete_dir_archive" -> 1,
+    "m6_delete_file_archive" -> 1,
+    "x18_ann_ivf" -> 1,
+    "x116_hard_negatives" -> 1,
+    "x96_ann_recall" -> 1)
+
+  test("no gate query plans a CartesianProduct or an unaudited non-cross BNLJ") {
+    val crossBnlj =
+      "BroadcastNestedLoopJoin Build(Right|Left), Cross".r
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val errs = Seq.newBuilder[String]
+          if (plan.contains("CartesianProduct"))
+            errs += "CartesianProduct"
+          val bnljAll = plan.split("BroadcastNestedLoopJoin").length - 1
+          val bnljCross = crossBnlj.findAllIn(plan).length
+          val nonCross = bnljAll - bnljCross
+          val allowed = auditedNonCrossBnlj.getOrElse(name, 0)
+          if (nonCross > allowed)
+            errs += s"$nonCross non-cross BNLJ(s), $allowed audited — " +
+              "broadcast-small-side by design or a bug; audit before allowing"
+          errs.result().map(e => s"$name: $e")
+        } catch {
+          case e: Throwable => Seq(s"$name: planning failed: ${e.getMessage}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
