@@ -1395,6 +1395,15 @@ object SparkEntry {
     "x141_release_diff" -> ((s, dir) =>
       graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
 
+    // x142 — tokenizer compression audit by source: chars/subword and
+    // fertility under the trained BPE model — the per-feed read that
+    // catches wrong-script or gibberish sources (cps → character-level)
+    // before they reach training loss; n_chars off the table column,
+    // numerators in DECIMAL, one doc-keyed join + source aggregate
+    "x142_bpe_compression" -> ((s, dir) =>
+      graft.operators.BpeOps.compressionBySource(
+        Tables.documents(s, dir), bpeModel(s, dir))),
+
     // x136 — incremental aggregate refresh: base (90%) and late-batch
     // (10%) partials aggregated separately and MERGED by summing — the
     // materialized-view maintenance pattern; the oracle computes the
@@ -2779,6 +2788,8 @@ object SparkEntry {
       "x112_bpe_subwords" -> graft.operators.BpeOps.applyCountsSql(bpe),
       "x114_subword_budget" -> graft.operators.BpeOps
         .subwordBudgetSampleSql(bpe, budgetSubwords = 20000L),
+      "x142_bpe_compression" -> graft.operators.BpeOps
+        .compressionBySourceSql(bpe),
       "x18_ann_ivf" -> graft.operators.IvfOps.topKSql(
         model, "vec_id % 100 = 0", k = 8, nProbe = np),
       "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(

@@ -299,4 +299,48 @@ object BpeOps {
        |FROM bpe_docw d JOIN bpe_lex x USING (word)
        |GROUP BY d.doc_id""".stripMargin
   }
+
+  /** x142: per-source tokenizer compression audit — characters per
+    * subword and fertility under the trained model, by source. The
+    * data-quality read a tokenizer owner runs per ingest feed: clean
+    * prose compresses at several chars/subword; boilerplate, gibberish,
+    * or wrong-script feeds fragment toward character-level
+    * segmentation (cps → ~1e6 micro) and show up here before they show
+    * up in training loss. Chars come from the table's n_chars column —
+    * no text re-scan; numerators ride DECIMAL(38,0)/HUGEINT (the
+    * mixtureTemperature overflow convention) so trillion-char sources
+    * cannot ANSI-throw. One doc-keyed join of the x112 counts onto the
+    * (doc_id, source, n_chars) projection, then a source-sized
+    * aggregate. */
+  def compressionBySource(df: DataFrame, model: BpeModel): DataFrame =
+    applyCounts(df, model)
+      .join(df.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_subwords"), col("n_chars"),
+        expr("CAST((CAST(n_chars AS DECIMAL(38,0)) * 1000000) div n_subwords AS BIGINT)")
+          .as("cps_micro"),
+        expr("CAST((CAST(n_subwords AS DECIMAL(38,0)) * 1000000) div n_words AS BIGINT)")
+          .as("fertility_micro"))
+
+  /** DuckDB twin of [[compressionBySource]]. */
+  def compressionBySourceSql(model: BpeModel): String =
+    s"""WITH bpe_counts AS (
+       |${applyCountsSql(model)}
+       |)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(c.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(c.n_subwords) AS BIGINT) AS n_subwords,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+       |  CAST((CAST(sum(d.n_chars) AS HUGEINT) * 1000000)
+       |    // sum(c.n_subwords) AS BIGINT) AS cps_micro,
+       |  CAST((CAST(sum(c.n_subwords) AS HUGEINT) * 1000000)
+       |    // sum(c.n_words) AS BIGINT) AS fertility_micro
+       |FROM bpe_counts c JOIN documents d USING (doc_id)
+       |GROUP BY d.source""".stripMargin
 }

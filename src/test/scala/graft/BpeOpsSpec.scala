@@ -122,6 +122,37 @@ class BpeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.merges.map(m => (m._1, m._2)) === Seq(("a", "b")))
   }
 
+  test("x142 per-source compression audit matches the driver reference closed-form") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "src_a", "low low lower", 13L),
+      (2L, "src_a", "lowest low", 10L),
+      (3L, "src_b", "newest widest", 13L)
+    ).toDF("doc_id", "source", "text", "n_chars")
+    val model = BpeOps.train(docs, rounds = 6)
+    val ref = referenceBpe(Map("low" -> 3L, "lower" -> 1L, "lowest" -> 1L,
+      "newest" -> 1L, "widest" -> 1L), rounds = 6)
+    assert(model.merges === ref)
+    def sub(w: String): Long = referenceSegment(w, model.merges).toLong
+    val out = BpeOps.compressionBySource(docs, model).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val aSub = sub("low") * 3 + sub("lower") + sub("lowest")
+    val a = out("src_a")
+    assert(a.getAs[Long]("n_docs") === 2L)
+    assert(a.getAs[Long]("n_words") === 5L)
+    assert(a.getAs[Long]("n_subwords") === aSub)
+    assert(a.getAs[Long]("n_chars") === 23L)
+    assert(a.getAs[Long]("cps_micro") === 23L * 1000000L / aSub)
+    assert(a.getAs[Long]("fertility_micro") === aSub * 1000000L / 5L)
+    val bSub = sub("newest") + sub("widest")
+    val b = out("src_b")
+    assert(b.getAs[Long]("n_docs") === 1L)
+    assert(b.getAs[Long]("n_words") === 2L)
+    assert(b.getAs[Long]("n_subwords") === bSub)
+    assert(b.getAs[Long]("cps_micro") === 13L * 1000000L / bSub)
+  }
+
   test("fixture-corpus training is deterministic and the gated rounds stay bounded") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = BpeOps.train(docs, rounds = 8)
