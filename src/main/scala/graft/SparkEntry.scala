@@ -1395,6 +1395,21 @@ object SparkEntry {
     "x141_release_diff" -> ((s, dir) =>
       graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
 
+    // x144 — balanced training-shard manifest: snake-deal docs over a
+    // global (tokens desc, doc_id) rank so per-shard TOKEN MASS is
+    // near-equal (x26's hash sharding equalizes doc counts only); the
+    // rank comes from TwoPhase over token-count buckets — no global sort
+    "x144_shard_manifest" -> ((s, dir) =>
+      graft.operators.SamplingOps.shardManifest(Tables.documents(s, dir))),
+
+    // x143 — dictionary tagging: per-term corpus tally (docs containing,
+    // total occurrences incl. overlapping) for a fixed lexicon via ONE
+    // native Aho-Corasick pass per document — the blocklist/PII-keyword
+    // audit; dense per-term vectors keep the explode |D|-bounded per doc,
+    // zeros preserved without a terms join-back
+    "x143_dictionary_tags" -> ((s, dir) =>
+      graft.operators.DictTagOps.dictionaryTags(Tables.documents(s, dir))),
+
     // x142 — tokenizer compression audit by source: chars/subword and
     // fertility under the trained BPE model — the per-feed read that
     // catches wrong-script or gibberish sources (cps → character-level)
@@ -2109,6 +2124,8 @@ object SparkEntry {
     "x140_value_quantiles" -> graft.operators.QuantileOps
       .eventValueQuantilesSql(Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99)),
     "x141_release_diff" -> graft.operators.CurationOps.releaseDiffDemoSql,
+    "x143_dictionary_tags" -> graft.operators.DictTagOps.dictionaryTagsSql(),
+    "x144_shard_manifest" -> graft.operators.SamplingOps.shardManifestSql(),
 
     "x139_corpus_manifest" ->
       graft.operators.CurationOps.corpusManifestSql,

@@ -448,6 +448,76 @@ object SamplingOps {
        |ORDER BY priority DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** x144: balanced training-shard manifest — assign every document to
+    * one of `shards` shards so the per-shard TOKEN MASS is near-equal
+    * (the writer-side layout for training shards: equal wall-clock per
+    * data-parallel reader), deterministically. [[packChunks]]'s hash
+    * sharding equalizes DOC COUNTS; under a heavy-tailed length
+    * distribution that leaves shards minutes apart in read time. Here
+    * docs are ranked by (tokens DESC, doc_id) and dealt in SNAKE order
+    * (block k of `shards` docs deals forward, block k+1 backward) — the
+    * classic boustrophedon draft: each shard receives one doc per
+    * block, alternating pick position, so long docs spread first and
+    * every consecutive block-pair partially cancels its own skew.
+    *
+    * The global rank never sorts globally: [[TwoPhase.prefixed]] over
+    * equi-width token-count buckets (bounds off the 1-row stats scan
+    * that also rides the broadcast) — per-bucket sorts only, rank =
+    * broadcast prefix offset + within-bucket row_number; the empty
+    * partCols case is exactly the x126/x137 discipline with ONE logical
+    * partition. Output is `shards` rows: doc/token mass and exact
+    * integer share_ppm (DECIMAL numerators per the x133 overflow
+    * convention). */
+  def shardManifest(docs: DataFrame, shards: Int = 8,
+                    buckets: Int = 64): DataFrame = {
+    require(shards >= 1 && shards <= 4096, s"shards=$shards")
+    val toks = docs.select(col("doc_id"),
+      coalesce(graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+        .cast("long"), lit(0L)).as("n"))
+    val st = toks.agg(min(col("n")).as("t0"), max(col("n")).as("t1"))
+    val ranked = TwoPhase.prefixed(
+      toks.crossJoin(broadcast(st)),
+      partCols = Seq.empty,
+      bucketCol = TwoPhase.equiWidthBucketSql("(t1 - n)", "0", "(t1 - t0)",
+        buckets),
+      orderCols = Seq(col("n").desc, col("doc_id")),
+      sums = Seq("rn" -> lit(1L)), totals = false)
+    val assigned = ranked.withColumn("shard",
+      expr(s"CASE WHEN ((rn_pre - 1L) div ${shards}L) % 2L = 0L " +
+        s"THEN (rn_pre - 1L) % ${shards}L " +
+        s"ELSE ${(shards - 1).toLong}L - (rn_pre - 1L) % ${shards}L END"))
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) " +
+          "div (sum(n_tokens) OVER ()) AS BIGINT)").as("share_ppm"))
+  }
+
+  /** DuckDB twin of [[shardManifest]] — the rank-window definition the
+    * TwoPhase form must equal. */
+  def shardManifestSql(shards: Int = 8): String =
+    s"""WITH sm_t AS (
+       |  SELECT doc_id,
+       |    coalesce(CAST(len(${TextOps.wordsReSql("text")}) AS BIGINT), 0) AS n
+       |  FROM documents
+       |), sm_r AS (
+       |  SELECT n, row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS rk
+       |  FROM sm_t
+       |), sm_s AS (
+       |  SELECT CASE WHEN (rk // $shards) % 2 = 0 THEN rk % $shards
+       |              ELSE ${shards - 1} - (rk % $shards) END AS shard, n
+       |  FROM sm_r
+       |), sm_g AS (
+       |  SELECT shard, count(*) AS n_docs, sum(n) AS n_tokens FROM sm_s
+       |  GROUP BY shard
+       |)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST((CAST(n_tokens AS HUGEINT) * 1000000)
+       |    // (SELECT sum(n_tokens) FROM sm_g) AS BIGINT) AS share_ppm
+       |FROM sm_g""".stripMargin
+
   def splitReportSql: String =
     s"""WITH s AS (
        |  SELECT lang,

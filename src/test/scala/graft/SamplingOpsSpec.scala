@@ -253,6 +253,55 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange rangepartitioning"), s"no global sort:\n$plan")
   }
 
+  test("shardManifest == driver-side snake reference; tighter than hash sharding") {
+    val docs = Tables.documents(spark, sfDir)
+    val shards = 8
+    // driver reference: tokens via the pinned ws count, snake over the
+    // (tokens desc, doc_id) rank
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+        .cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ranked = toks.sortBy { case (id, n) => (-n, id) }
+    val ref = Array.fill(shards)((0L, 0L))
+    ranked.zipWithIndex.foreach { case ((_, n), rk) =>
+      val pos = rk % shards
+      val sh = if ((rk / shards) % 2 == 0) pos else shards - 1 - pos
+      ref(sh) = (ref(sh)._1 + 1L, ref(sh)._2 + n)
+    }
+    val total = ref.map(_._2).sum
+    val got = SamplingOps.shardManifest(docs, shards).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("share_ppm")))).toMap
+    assert(got.size === shards)
+    ref.zipWithIndex.foreach { case ((nd, nt), sh) =>
+      assert(got(sh.toLong) === ((nd, nt,
+        (BigInt(nt) * 1000000 / total).toLong)), s"shard $sh")
+    }
+    // the point of the snake: token mass spreads to within one max-doc
+    // of even, where doc-count hash sharding tracks the length lottery
+    val masses = ref.map(_._2)
+    val maxDoc = toks.map(_._2).max
+    assert(masses.max - masses.min <= maxDoc,
+      s"snake imbalance ${masses.max - masses.min} vs max doc $maxDoc")
+  }
+
+  test("shardManifest: closed-form 3-shard fixture, snake order exact") {
+    val s = spark
+    import s.implicits._
+    // token counts 9..1 over doc_ids 1..9: snake blocks (9,8,7)(6,5,4)
+    // reversed → shard0: 9,4,3 = 16; shard1: 8,5,2 = 15; shard2: 7,6,1 = 14
+    val docs = (1L to 9L).map { i =>
+      val n = 10 - i
+      (i, Seq.fill(n.toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = SamplingOps.shardManifest(docs, shards = 3, buckets = 4)
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    assert(got === Map(0L -> 16L, 1L -> 15L, 2L -> 14L))
+  }
+
   test("bottomKSampleAgg plans as a partial ObjectHashAggregate (no sort, map-side combine)") {
     val docs = Tables.documents(spark, sfDir)
     val plan = SamplingOps.bottomKSampleAgg(docs, 7)
