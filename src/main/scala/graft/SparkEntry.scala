@@ -1395,6 +1395,15 @@ object SparkEntry {
     "x141_release_diff" -> ((s, dir) =>
       graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
 
+    // x145 — BPE merge utilization: per-merge corpus fire counts (true
+    // applications, not selection-time pair counts) + the running
+    // subword compression curve — the read that sizes a production
+    // vocabulary; vocab-sized throughout, R output rows explode from ONE
+    // aggregate row
+    "x145_merge_utilization" -> ((s, dir) =>
+      graft.operators.BpeOps.mergeUtilization(
+        Tables.documents(s, dir), bpeModel(s, dir))),
+
     // x144 — balanced training-shard manifest: snake-deal docs over a
     // global (tokens desc, doc_id) rank so per-shard TOKEN MASS is
     // near-equal (x26's hash sharding equalizes doc counts only); the
@@ -2807,6 +2816,8 @@ object SparkEntry {
         .subwordBudgetSampleSql(bpe, budgetSubwords = 20000L),
       "x142_bpe_compression" -> graft.operators.BpeOps
         .compressionBySourceSql(bpe),
+      "x145_merge_utilization" -> graft.operators.BpeOps
+        .mergeUtilizationSql(bpe),
       "x18_ann_ivf" -> graft.operators.IvfOps.topKSql(
         model, "vec_id % 100 = 0", k = 8, nProbe = np),
       "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(

@@ -328,6 +328,88 @@ object BpeOps {
         expr("CAST((CAST(n_subwords AS DECIMAL(38,0)) * 1000000) div n_words AS BIGINT)")
           .as("fertility_micro"))
 
+  /** x145: merge utilization and compression curve — for every trained
+    * merge, how many times it actually FIRES on the corpus (applications
+    * of the replace, weighted by word frequency) and the corpus-wide
+    * subword count after it — the read that sizes a production
+    * vocabulary: the rank where the curve flattens is the vocab you
+    * need, and merges with trivial fire counts are dead weight. Note
+    * `n_fires <= pair_count`: selection counts every ADJACENT pair
+    * (overlapping — `aaa` holds two `(a,a)` pairs) where application is
+    * non-overlapping left-to-right (`aaa` absorbs ONE `aa` merge), so
+    * the two statistics answer different questions and both are kept.
+    *
+    * Shape: everything is vocab-sized (the [[train]] discipline — one
+    * corpus tokenization into the distinct-word/frequency table, then R
+    * chained replaces). Each round's application count falls out of the
+    * REPRESENTATION: one application removes exactly two separators, so
+    * fires = Σ freq·(len(syms_k) − len(syms_{k+1}))/2, and the running
+    * subword count is Σ freq·(len(syms_k) − len(word))/2 (each
+    * surviving symbol owns two separators). One aggregate row carries
+    * all 2R sums (DECIMAL numerators per the x133 overflow convention);
+    * the R output rows explode from it — no per-round scans, no joins.
+    * Each round's projection references the previous `syms` twice
+    * (delta + next), which is the SPARK-36718 condition that keeps the
+    * chain linear instead of inlining round k into round k+1. */
+  def mergeUtilization(df: DataFrame, model: BpeModel): DataFrame = {
+    require(model.merges.nonEmpty, "empty model")
+    var v = vocab(df).select(col("freq"), col("syms"),
+      length(col("word")).cast("long").as("blen"))
+    model.merges.zipWithIndex.foreach { case ((l, r, _), k) =>
+      val nxt = replace(col("syms"),
+        lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP))
+      v = v.withColumn(s"__n$k", nxt)
+        .withColumn(s"d$k",
+          (length(col("syms")) - length(col(s"__n$k"))).cast("long"))
+        .withColumn(s"ln$k", length(col(s"__n$k")).cast("long"))
+        .drop("syms").withColumnRenamed(s"__n$k", "syms")
+    }
+    val aggs = model.merges.indices.flatMap { k => Seq(
+      sum((col("freq") * col(s"d$k")).cast("decimal(38,0)")).as(s"f$k"),
+      sum((col("freq") * (col(s"ln$k") - col("blen")))
+        .cast("decimal(38,0)")).as(s"s$k"))
+    }
+    val one = v.agg(aggs.head, aggs.tail: _*)
+    val rows = model.merges.zipWithIndex.map { case ((l, r, c), k) =>
+      struct(lit(k.toLong).as("rank"), lit(l).as("left"), lit(r).as("right"),
+        lit(l + r).as("merged"), lit(c).as("pair_count"),
+        expr(s"CAST(f$k div 2 AS BIGINT)").as("n_fires"),
+        expr(s"CAST(s$k div 2 AS BIGINT)").as("n_subwords_after"))
+    }
+    one.select(explode(array(rows: _*)).as("m")).select(col("m.*"))
+  }
+
+  /** DuckDB twin of [[mergeUtilization]]: the same vocab chain as
+    * [[trainSql]], each round MATERIALIZED (a plain CTE inlines per
+    * reference and every round is referenced twice — the k-core 3^8
+    * lesson), deltas read off the representation identically. */
+  def mergeUtilizationSql(model: BpeModel): String = {
+    val rounds = model.merges.zipWithIndex.map { case ((l, r, _), k) =>
+      s"""w${k + 1} AS MATERIALIZED (
+         |  SELECT replace(syms, ${patLit(l, r)}, ${repLit(l, r)}) AS syms,
+         |    freq, blen,
+         |    length(syms) - length(replace(syms, ${patLit(l, r)},
+         |      ${repLit(l, r)})) AS delta
+         |  FROM w$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    val outs = model.merges.zipWithIndex.map { case ((l, r, c), k) =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, ${sqlLit(l)} AS "left",
+         |  ${sqlLit(r)} AS "right", ${sqlLit(l + r)} AS merged,
+         |  CAST($c AS BIGINT) AS pair_count,
+         |  CAST(sum(freq * delta) // 2 AS BIGINT) AS n_fires,
+         |  CAST(sum(freq * (length(syms) - blen)) // 2 AS BIGINT)
+         |    AS n_subwords_after
+         |FROM w${k + 1}""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $vocabSql,
+       |w0 AS MATERIALIZED (
+       |  SELECT syms, freq, CAST(length(word) AS BIGINT) AS blen FROM v0
+       |),
+       |$rounds
+       |$outs""".stripMargin
+  }
+
   /** DuckDB twin of [[compressionBySource]]. */
   def compressionBySourceSql(model: BpeModel): String =
     s"""WITH bpe_counts AS (

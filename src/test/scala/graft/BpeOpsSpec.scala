@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -151,6 +152,39 @@ class BpeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.getAs[Long]("n_words") === 2L)
     assert(b.getAs[Long]("n_subwords") === bSub)
     assert(b.getAs[Long]("cps_micro") === 13L * 1000000L / bSub)
+  }
+
+  test("x145 merge utilization: closed-form fires vs pair counts; curve ends at applyCounts") {
+    val s = spark
+    import s.implicits._
+    // "aaa" holds TWO (a,a) pairs at selection but absorbs ONE merge on
+    // application — the overlap distinction x145 exists to surface
+    val docs = Seq((1L, "aaa aaa"), (2L, "aa")).toDF("doc_id", "text")
+    val model = BpeOps.train(docs, rounds = 1)
+    assert(model.merges === Seq(("a", "a", 5L))) // 2*2 from "aaa" + 1 from "aa"
+    val u = BpeOps.mergeUtilization(docs, model).collect()
+    assert(u.length === 1)
+    val r = u.head
+    assert(r.getAs[Long]("pair_count") === 5L)
+    assert(r.getAs[Long]("n_fires") === 3L)   // 1 per "aaa" (freq 2) + 1 in "aa"
+    assert(r.getAs[Long]("n_subwords_after") === 5L) // aa|a ×2 + aa ×1
+    // invariant on the real fixture: the final curve point equals the
+    // freq-weighted applyCounts total (same model, same corpus)
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m8 = BpeOps.train(corpus, rounds = 8)
+    val curve = BpeOps.mergeUtilization(corpus, m8).collect()
+      .map(r2 => r2.getAs[Long]("rank") ->
+        ((r2.getAs[Long]("n_fires"), r2.getAs[Long]("n_subwords_after")))).toMap
+    assert(curve.size === 8)
+    assert(curve.values.forall(_._1 >= 1L), "a selected merge always fires")
+    (1L until 8L).foreach { k =>
+      assert(curve(k)._2 === curve(k - 1)._2 - curve(k)._1,
+        s"each fire removes exactly one subword (rank $k)")
+    }
+    val total = BpeOps.applyCounts(corpus, m8)
+      .agg(sum(col("n_subwords"))).collect().head.getLong(0)
+    assert(curve(7L)._2 === total,
+      "curve endpoint == corpus subword total under the full model")
   }
 
   test("fixture-corpus training is deterministic and the gated rounds stay bounded") {
