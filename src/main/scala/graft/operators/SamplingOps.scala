@@ -468,30 +468,55 @@ object SamplingOps {
     * partition. Output is `shards` rows: doc/token mass and exact
     * integer share_ppm (DECIMAL numerators per the x133 overflow
     * convention). */
-  def shardManifest(docs: DataFrame, shards: Int = 8,
-                    buckets: Int = 64): DataFrame = {
+  /** Per-document snake assignment — every `docs` column passes
+    * through, plus `__n` (token count) and `shard`. Shared by the x144
+    * manifest and [[writeShards]]. */
+  private def snakeAssign(docs: DataFrame, shards: Int,
+                          buckets: Int): DataFrame = {
     require(shards >= 1 && shards <= 4096, s"shards=$shards")
-    val toks = docs.select(col("doc_id"),
+    val toks = docs.withColumn("__n",
       coalesce(graft.functions.TextExpressions.wsTokenCountFast(col("text"))
-        .cast("long"), lit(0L)).as("n"))
-    val st = toks.agg(min(col("n")).as("t0"), max(col("n")).as("t1"))
-    val ranked = TwoPhase.prefixed(
+        .cast("long"), lit(0L)))
+    val st = toks.agg(min(col("__n")).as("__t0"), max(col("__n")).as("__t1"))
+    TwoPhase.prefixed(
       toks.crossJoin(broadcast(st)),
       partCols = Seq.empty,
-      bucketCol = TwoPhase.equiWidthBucketSql("(t1 - n)", "0", "(t1 - t0)",
-        buckets),
-      orderCols = Seq(col("n").desc, col("doc_id")),
+      bucketCol = TwoPhase.equiWidthBucketSql("(__t1 - __n)", "0",
+        "(__t1 - __t0)", buckets),
+      orderCols = Seq(col("__n").desc, col("doc_id")),
       sums = Seq("rn" -> lit(1L)), totals = false)
-    val assigned = ranked.withColumn("shard",
-      expr(s"CASE WHEN ((rn_pre - 1L) div ${shards}L) % 2L = 0L " +
-        s"THEN (rn_pre - 1L) % ${shards}L " +
-        s"ELSE ${(shards - 1).toLong}L - (rn_pre - 1L) % ${shards}L END"))
-    assigned.groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("shard",
+        expr(s"CASE WHEN ((rn_pre - 1L) div ${shards}L) % 2L = 0L " +
+          s"THEN (rn_pre - 1L) % ${shards}L " +
+          s"ELSE ${(shards - 1).toLong}L - (rn_pre - 1L) % ${shards}L END"))
+      .drop("__t0", "__t1", "rn_pre")
+  }
+
+  def shardManifest(docs: DataFrame, shards: Int = 8,
+                    buckets: Int = 64): DataFrame =
+    snakeAssign(docs.select(col("doc_id"), col("text")), shards, buckets)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) " +
           "div (sum(n_tokens) OVER ()) AS BIGINT)").as("share_ppm"))
-  }
+
+  /** The write path the x144 manifest describes: rewrite the corpus as
+    * `shards` near-equal-token-mass parquet partitions
+    * (`path/shard=K/`, exactly one file each). The shuffle keys on the
+    * shard id, so a data-parallel reader maps one directory to one
+    * worker and every worker finishes together — the property the
+    * manifest PROMISES and this writer delivers (SamplingOpsSpec reads
+    * the files back and checks the physical masses against the
+    * manifest). A hash collision between shard ids only co-locates two
+    * shards in one task; `partitionBy` still splits their directories,
+    * and each directory is written by exactly one task → one file. */
+  def writeShards(docs: DataFrame, path: String, shards: Int = 8,
+                  buckets: Int = 64): Unit =
+    snakeAssign(docs, shards, buckets)
+      .drop("__n")
+      .repartition(shards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 
   /** DuckDB twin of [[shardManifest]] — the rank-window definition the
     * TwoPhase form must equal. */

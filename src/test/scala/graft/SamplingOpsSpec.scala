@@ -302,6 +302,38 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(0L -> 16L, 1L -> 15L, 2L -> 14L))
   }
 
+  test("writeShards: one file per shard directory, physical masses == manifest") {
+    val docs = Tables.documents(spark, sfDir)
+    val shards = 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      SamplingOps.writeShards(docs, dir, shards)
+      val back = spark.read.parquet(dir)
+        .withColumn("file", input_file_name())
+        .withColumn("n", graft.functions.TextExpressions
+          .wsTokenCountFast(col("text")).cast("long"))
+      val perShard = back.groupBy("shard")
+        .agg(countDistinct(col("file")).as("n_files"),
+          count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .collect().map(r => r.getAs[Int]("shard").toLong ->
+          ((r.getAs[Long]("n_files"), r.getAs[Long]("n_docs"),
+            r.getAs[Long]("n_tokens")))).toMap
+      assert(perShard.size === shards)
+      assert(perShard.values.forall(_._1 === 1L), "exactly one file per shard")
+      val manifest = SamplingOps.shardManifest(docs, shards).collect()
+        .map(r => r.getAs[Long]("shard") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+      manifest.foreach { case (sh, (nd, nt)) =>
+        assert(perShard(sh)._2 === nd && perShard(sh)._3 === nt,
+          s"shard $sh physical mass must equal the manifest")
+      }
+      assert(back.count() === docs.count(), "rows conserved")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("bottomKSampleAgg plans as a partial ObjectHashAggregate (no sort, map-side combine)") {
     val docs = Tables.documents(spark, sfDir)
     val plan = SamplingOps.bottomKSampleAgg(docs, 7)
