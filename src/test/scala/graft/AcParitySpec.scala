@@ -95,6 +95,27 @@ class AcParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no terms-relation join-back — absent terms keep zero rows dense:\n$plan")
   }
 
+  test("production-sized dictionary: 10k terms build and tally in one pass") {
+    // the scale contract: automaton build is O(total pattern bytes),
+    // matching O(text bytes + matches) — a dictionary three orders
+    // beyond the gate's must stay a single cheap pass (a per-term
+    // regexp pipeline would be a 10k-deep expression tree)
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("scan", "table", "agg", "row", "key", "sort",
+      "batch", "query", "data", "win")
+    val big = (0 until 10000).map { i =>
+      (0 until 2 + rnd.nextInt(3)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" ") + s" t$i"
+    }.toIndexedSeq
+    val dict = AcDict(big)
+    assert(dict.auto.nTerms === 10000)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.DictTagOps.dictionaryTags(docs, big)
+    assert(out.count() === 10000L, "dense output: one row per term")
+    // unique suffixes make every term absent — all-zero tallies
+    assert(out.filter(col("n_occ") > 0).count() === 0L)
+  }
+
   test("x143 gate dictionary matches the naive reference on the real corpus") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val terms = DictTagOps.gateTerms
