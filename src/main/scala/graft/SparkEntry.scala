@@ -1395,6 +1395,15 @@ object SparkEntry {
     "x141_release_diff" -> ((s, dir) =>
       graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
 
+    // x146 — incremental n-gram novelty: per doc, distinct shingles that
+    // appear here FIRST vs all — the memorization-pressure read; n_grams
+    // is row-local (no matrix shuffle), first-occurrence is a map-side-
+    // combined gram aggregate (viral grams absorbed by partials, never a
+    // gram-partitioned window), novel counts off the first-occurrence
+    // relation alone
+    "x146_novelty" -> ((s, dir) =>
+      graft.operators.DedupOps.noveltyScore(Tables.documents(s, dir))),
+
     // x145 — BPE merge utilization: per-merge corpus fire counts (true
     // applications, not selection-time pair counts) + the running
     // subword compression curve — the read that sizes a production
@@ -2135,6 +2144,7 @@ object SparkEntry {
     "x141_release_diff" -> graft.operators.CurationOps.releaseDiffDemoSql,
     "x143_dictionary_tags" -> graft.operators.DictTagOps.dictionaryTagsSql(),
     "x144_shard_manifest" -> graft.operators.SamplingOps.shardManifestSql(),
+    "x146_novelty" -> graft.operators.DedupOps.noveltyScoreSql(),
 
     "x139_corpus_manifest" ->
       graft.operators.CurationOps.corpusManifestSql,

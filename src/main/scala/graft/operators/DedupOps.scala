@@ -322,6 +322,79 @@ object DedupOps {
     *
     * Returns `(doc_a, doc_b, lev, edit_sim)` with `edit_sim >= minSim`,
     * `doc_a < doc_b`. */
+  /** x146: incremental n-gram novelty — for every document, how many of
+    * its distinct word shingles appear HERE FIRST (no lower doc_id
+    * holds them) vs how many it has at all: the memorization-pressure
+    * read behind exact-substring dedup (Lee et al. 2022,
+    * arXiv:2107.06499 §4 motivates it — repeated n-grams are what the
+    * model memorizes), and per-source it separates feeds that keep
+    * contributing new text from feeds re-serving the corpus.
+    *
+    * Scale shape — three spots where the obvious form breaks at 100 TB,
+    * each avoided: (a) `n_grams` is a ROW-LOCAL scalar
+    * (`size(array_distinct(shingles))`) — no gram matrix, no shuffle,
+    * where a matrix `groupBy(doc_id).count` would re-shuffle the corpus;
+    * (b) first occurrence is a gram-keyed AGGREGATE (map-side-combined
+    * `min`) — a `min(...).over(partitionBy(gram))` window would put a
+    * viral boilerplate gram's every holder in ONE task (the x77/x78
+    * max-df failure mode, immune here because partial aggregation
+    * absorbs skew); (c) per-doc novel counts come off the
+    * one-row-per-gram first-occurrence relation ALONE (`groupBy(
+    * first_doc)`) — never joined back onto the gram matrix. The only
+    * corpus-sized exchanges are the gram aggregate and the final
+    * doc-keyed left join of two doc-sized relations. Docs shorter than
+    * `n` words carry no row (no grams — both engines agree). */
+  def noveltyScore(df: DataFrame, n: Int = shingleWords,
+                   text: Column = col("text")): DataFrame = {
+    val grams = df
+      .select(col("doc_id"),
+        size(array_distinct(shingles(text, n))).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0L)
+    val novel = df
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(text, n))).as("sh"))
+      .groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    grams.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("CAST((CAST(n_novel AS DECIMAL(38,0)) * 1000000) " +
+          "div n_grams AS BIGINT)"))
+  }
+
+  /** DuckDB twin of [[noveltyScore]]. */
+  def noveltyScoreSql(n: Int = shingleWords): String = {
+    val cat = (0 until n).map(j => s"ws[nv_i+$j]").mkString(" || ' ' || ")
+    s"""WITH nv_w AS (
+       |  SELECT doc_id, ${wordsReSql("text")} AS ws FROM documents
+       |), nv_g AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_distinct(list_transform(
+       |      generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
+       |      nv_i -> $cat))) AS BIGINT) AS n_grams
+       |  FROM nv_w
+       |), nv_sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(
+       |      generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
+       |      nv_i -> $cat)) AS sh
+       |  FROM nv_w
+       |), nv_first AS (
+       |  SELECT sh, min(doc_id) AS first_doc FROM nv_sh GROUP BY sh
+       |), nv_novel AS (
+       |  SELECT first_doc AS doc_id, count(*) AS n_novel FROM nv_first
+       |  GROUP BY first_doc
+       |)
+       |SELECT g.doc_id, g.n_grams,
+       |  CAST(coalesce(v.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CAST((CAST(coalesce(v.n_novel, 0) AS HUGEINT) * 1000000)
+       |    // g.n_grams AS BIGINT) AS novelty_ppm
+       |FROM nv_g g LEFT JOIN nv_novel v USING (doc_id)
+       |WHERE g.n_grams > 0""".stripMargin
+  }
+
   def editDistancePairs(df: DataFrame, minSim: Double = 0.9,
                         text: Column = col("text"),
                         state: IterState = Local): DataFrame = {

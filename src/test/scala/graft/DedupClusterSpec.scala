@@ -87,6 +87,40 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(ckpt).listFiles().nonEmpty)
   }
 
+  test("noveltyScore: closed-form fixture and corpus conservation laws") {
+    val s = spark
+    import s.implicits._
+    // doc 1 owns its grams; doc 2 repeats doc 1 verbatim (novelty 0);
+    // doc 3 shares a prefix gram with 1 but adds a new one; doc 4 is
+    // too short for a 3-gram (no row)
+    val docs = Seq(
+      (1L, "k a b c"), (2L, "k a b c"), (3L, "a b c d"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.noveltyScore(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppm")))).toMap
+    // doc1 grams: {kab, abc} both first here; doc2 same grams, none
+    // first; doc3 grams: {abc, bcd} — abc owned by 1, bcd novel
+    assert(got === Map(
+      1L -> ((2L, 2L, 1000000L)),
+      2L -> ((2L, 0L, 0L)),
+      3L -> ((2L, 1L, 500000L))))
+    // corpus conservation: every distinct gram is novel for exactly one
+    // doc, so sum(n_novel) == |distinct grams|; novelty bounded by grams
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = DedupOps.noveltyScore(corpus).collect()
+    val totalNovel = out.map(_.getAs[Long]("n_novel")).sum
+    val distinctGrams = corpus.select(
+      org.apache.spark.sql.functions.explode(
+        DedupOps.shingles(col("text"))).as("sh"))
+      .distinct().count()
+    assert(totalNovel === distinctGrams,
+      "every gram is first-owned exactly once")
+    assert(out.forall(r => r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams")))
+    assert(out.forall(r => r.getAs[Long]("n_grams") > 0L))
+  }
+
   test("empty pair set: every doc is its own cluster") {
     val s = spark
     import s.implicits._
