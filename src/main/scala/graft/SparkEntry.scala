@@ -1395,6 +1395,13 @@ object SparkEntry {
     "x141_release_diff" -> ((s, dir) =>
       graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
 
+    // x147 — referential-integrity audit: per declared FK edge, child
+    // rows/keys and how many DANGLE (what inner joins will silently
+    // drop); child key-compressed before any join, dims broadcast, one
+    // row per edge before the union
+    "x147_fk_audit" -> ((s, dir) =>
+      graft.operators.IntegrityOps.fkAudit(s, dir)),
+
     // x146 — incremental n-gram novelty: per doc, distinct shingles that
     // appear here FIRST vs all — the memorization-pressure read; n_grams
     // is row-local (no matrix shuffle), first-occurrence is a map-side-
@@ -2145,6 +2152,7 @@ object SparkEntry {
     "x143_dictionary_tags" -> graft.operators.DictTagOps.dictionaryTagsSql(),
     "x144_shard_manifest" -> graft.operators.SamplingOps.shardManifestSql(),
     "x146_novelty" -> graft.operators.DedupOps.noveltyScoreSql(),
+    "x147_fk_audit" -> graft.operators.IntegrityOps.fkAuditSql,
 
     "x139_corpus_manifest" ->
       graft.operators.CurationOps.corpusManifestSql,
