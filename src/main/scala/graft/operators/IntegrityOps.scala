@@ -19,7 +19,7 @@ import graft.core.Tables
   * — the join input is |distinct keys|, never |child rows|; dims
   * broadcast automatically, the one fact-sized parent (orders) shuffles
   * key-compressed on both sides. Each edge collapses to ONE output row
-  * before the 7-row union, so nothing row-sized crosses a union. */
+  * before the 9-row union (TPC-H spine plus the 1:1 embeddings↔documents pair), so nothing row-sized crosses a union. */
 object IntegrityOps {
 
   /** The warehouse's declared FK edges:
@@ -31,7 +31,12 @@ object IntegrityOps {
     ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
     ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
     ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
-    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    // the ML side of the warehouse: vectors and documents are 1:1 —
+    // a vector without a doc is unservable, a doc without a vector is
+    // invisible to every ANN/semantic operator
+    ("embeddings->documents", "embeddings", "vec_id", "documents", "doc_id"),
+    ("documents->embeddings", "documents", "doc_id", "embeddings", "vec_id"))
 
   /** x147: one row per FK edge —
     * `(relationship, n_child, n_keys, n_orphan_rows, n_orphan_keys)`.
@@ -61,7 +66,9 @@ object IntegrityOps {
       "supplier" -> Tables.supplier(spark, dir),
       "part" -> Tables.part(spark, dir),
       "nation" -> Tables.nation(spark, dir),
-      "region" -> Tables.region(spark, dir))
+      "region" -> Tables.region(spark, dir),
+      "documents" -> Tables.documents(spark, dir),
+      "embeddings" -> Tables.embeddings(spark, dir))
     edges.map { case (name, child, fk, parent, pk) =>
       edgeAudit(name, t(child), fk, t(parent), pk)
     }.reduce(_ union _)
