@@ -1395,6 +1395,13 @@ object SparkEntry {
     "x141_release_diff" -> ((s, dir) =>
       graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
 
+    // x148 — per-doc quality percentile within source: percent_rank
+    // stamped on every row (the cross-feed-comparable quality feature),
+    // via x129's count-compression — windows only over the
+    // (source, q_micro) grid aggregate, rank joined back on the grid key
+    "x148_quality_percentile" -> ((s, dir) =>
+      TextOps.qualityPercentile(Tables.documents(s, dir))),
+
     // x147 — referential-integrity audit: per declared FK edge, child
     // rows/keys and how many DANGLE (what inner joins will silently
     // drop); child key-compressed before any join, dims broadcast, one
@@ -2153,6 +2160,7 @@ object SparkEntry {
     "x144_shard_manifest" -> graft.operators.SamplingOps.shardManifestSql(),
     "x146_novelty" -> graft.operators.DedupOps.noveltyScoreSql(),
     "x147_fk_audit" -> graft.operators.IntegrityOps.fkAuditSql,
+    "x148_quality_percentile" -> TextOps.qualityPercentileSql,
 
     "x139_corpus_manifest" ->
       graft.operators.CurationOps.corpusManifestSql,

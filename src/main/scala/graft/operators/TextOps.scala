@@ -168,6 +168,64 @@ object TextOps {
       qualityScoreCol(text).as("quality_score"))
   }
 
+  /** x148: per-document quality PERCENTILE within its source — the
+    * feature-assignment complement of x129's per-group quantile report:
+    * x129 reads a handful of quantile values per group, this stamps
+    * every ROW with its exact percent_rank, the normalized quality
+    * feature a cross-source curation policy thresholds on ("keep the
+    * top 40% of every feed" — raw scores are not comparable across
+    * feeds with different length/punctuation profiles, ranks are).
+    *
+    * Scale shape (the x129 count-compression discipline): percent_rank
+    * under ties depends only on how many docs of the source sit at each
+    * score, and the micro-snapped score lives on a ≤10^6-value GRID —
+    * so the corpus compresses in one scan to a per-(source, q_micro)
+    * count relation bounded by |sources|·grid, NEVER corpus-sized; all
+    * windows run over that aggregate, and rows get their rank by
+    * joining the aggregate back on (source, q_micro). No window
+    * anywhere partitions a corpus-sized relation on `source` alone.
+    * Exact integers: rank = strictly-below count, pctl_ppm =
+    * below·10^6 div (n−1) — the percent_rank definition, ties sharing
+    * one value on both engines. */
+  def qualityPercentile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col("doc_id"), col("source"),
+      floor(qualityScoreCol(col("text")) * lit(1000000.0) + lit(0.5))
+        .cast("long").as("q_micro"))
+    val perQ = t.groupBy("source", "q_micro").agg(count(lit(1)).as("c"))
+    val cum = perQ
+      .withColumn("cc", sum(col("c")).over(Window.partitionBy("source")
+        .orderBy("q_micro")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+    t.join(cum, Seq("source", "q_micro"))
+      .select(col("doc_id"), col("source"), col("q_micro"),
+        expr("((cc - c) * 1000000L) div greatest(n - 1L, 1L)")
+          .as("pctl_ppm"))
+  }
+
+  /** DuckDB twin of [[qualityPercentile]]. */
+  def qualityPercentileSql: String =
+    s"""WITH qp_t AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor((${qualityScoreColSql("text")}) * 1000000 + 0.5)
+       |      AS BIGINT) AS q_micro
+       |  FROM documents
+       |), qp_c AS (
+       |  SELECT source, q_micro, count(*) AS c FROM qp_t
+       |  GROUP BY source, q_micro
+       |), qp_w AS (
+       |  SELECT source, q_micro, c,
+       |    sum(c) OVER (PARTITION BY source ORDER BY q_micro
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+       |    sum(c) OVER (PARTITION BY source) AS n
+       |  FROM qp_c
+       |)
+       |SELECT t.doc_id, t.source, t.q_micro,
+       |  CAST(((w.cc - w.c) * 1000000) // greatest(w.n - 1, 1) AS BIGINT)
+       |    AS pctl_ppm
+       |FROM qp_t t JOIN qp_w w USING (source, q_micro)""".stripMargin
+
   /** DuckDB twin of [[qualityScoreCol]] as an inline expression over a
     * text column — keep in sync with the Column form. */
   def qualityScoreColSql(t: String): String = {

@@ -98,4 +98,32 @@ class TextOpsQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
     val est = r.getAs[Long]("p50_est")
     assert(est >= 1L && est <= 32L)
   }
+
+  test("x148 quality percentile == driver-side percent_rank per source, ties shared") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.qualityPercentile(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("q_micro"),
+          r.getAs[Long]("pctl_ppm")))).toMap
+    // driver reference off the already-pinned scores (x3 gate)
+    val base = got.toSeq.map { case (id, (src, q, _)) => (id, src, q) }
+    val ref = base.groupBy(_._2).flatMap { case (_, rows) =>
+      val n = rows.size.toLong
+      rows.map { case (id, _, q) =>
+        val below = rows.count(_._3 < q).toLong
+        id -> below * 1000000L / math.max(n - 1L, 1L)
+      }
+    }
+    assert(got.size === docs.count())
+    ref.foreach { case (id, pct) =>
+      assert(got(id)._3 === pct, s"doc $id")
+    }
+    // percent_rank endpoints: every source's lowest tie-group sits at 0
+    // and everything stays under 1e6 inclusive
+    val bySrc = got.values.groupBy(_._1)
+    bySrc.foreach { case (src, vs) =>
+      assert(vs.map(_._3).min === 0L, s"$src min")
+      assert(vs.map(_._3).max <= 1000000L, s"$src bound")
+    }
+  }
 }
