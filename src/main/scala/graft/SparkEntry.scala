@@ -1395,6 +1395,13 @@ object SparkEntry {
     "x141_release_diff" -> ((s, dir) =>
       graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
 
+    // x149 — code-switching profile: x2's language ID re-voted over
+    // 32-token windows — window/lang counts, majority share, adjacent-
+    // window SWITCHES; one corpus pass, language axis pivoted into six
+    // fixed conditional sums (no (doc,lang) relation, no join)
+    "x149_lang_mix" -> ((s, dir) =>
+      TextOps.langMixProfile(Tables.documents(s, dir))),
+
     // x148 — per-doc quality percentile within source: percent_rank
     // stamped on every row (the cross-feed-comparable quality feature),
     // via x129's count-compression — windows only over the
@@ -2161,6 +2168,7 @@ object SparkEntry {
     "x146_novelty" -> graft.operators.DedupOps.noveltyScoreSql(),
     "x147_fk_audit" -> graft.operators.IntegrityOps.fkAuditSql,
     "x148_quality_percentile" -> TextOps.qualityPercentileSql,
+    "x149_lang_mix" -> TextOps.langMixProfileSql(),
 
     "x139_corpus_manifest" ->
       graft.operators.CurationOps.corpusManifestSql,

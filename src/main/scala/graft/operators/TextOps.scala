@@ -204,6 +204,110 @@ object TextOps {
           .as("pctl_ppm"))
   }
 
+  /** x149: code-switching / language-mix profile — per document, the
+    * x2 language ID re-voted over fixed token WINDOWS: window count,
+    * distinct window languages, majority language + its share, and the
+    * number of adjacent-window language SWITCHES. A doc-level ID (x2)
+    * averages a mixed document into one label; mixed documents hurt
+    * monolingual training and leak across per-language mixtures
+    * (x103/x133 allocate by `lang` — this is the read that says how
+    * dirty that column is). `n_switches` separates interleaved
+    * code-switching from a simple bilingual concatenation at equal
+    * language shares.
+    *
+    * One corpus pass: token array materialized once (SPARK-36718
+    * boundary: the window slice references it per window, the five
+    * scores reference the slice, the pick references the scores), the
+    * window explode is `⌈tokens/W⌉` rows per doc, the lag window
+    * partitions on `doc_id` (high-cardinality, per-task input = one
+    * doc's windows), and the language axis PIVOTS into six fixed
+    * conditional sums in ONE aggregate — no second pass for the
+    * majority, no (doc, lang) relation, no join. Ties break
+    * alphabetically across all six categories (`und` between `fr` and
+    * `zh`), matching the oracle's CASE order. */
+  def langMixProfile(df: DataFrame, windowTokens: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens >= 4 && windowTokens <= 4096, s"W=$windowTokens")
+    val W = windowTokens
+    val cats = (langProfiles.map(_._1) :+ "und").sorted
+    val win = df
+      .select(col("doc_id"), words(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        greatest(ceil(size(col("__toks")).cast("double") / W).cast("long"),
+          lit(1L)).as("nw"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nw") - 1L)).as("w"), col("__toks"))
+      .select(col("doc_id"), col("w"),
+        slice(col("__toks"), (col("w") * W + 1L).cast("int"), lit(W))
+          .as("__wt"))
+      .select(Seq(col("doc_id"), col("w")) ++ langScoreCols(col("__wt")): _*)
+      .select(col("doc_id"), col("w"), pickLang(langScoreAttrs).as("wl"))
+    val seq = win.withColumn("__prev",
+      lag(col("wl"), 1).over(Window.partitionBy("doc_id").orderBy("w")))
+    val aggCols = count(lit(1)).as("n_windows") +:
+      sum(when(col("__prev").isNotNull && col("__prev") =!= col("wl"), 1L)
+        .otherwise(0L)).as("n_switches") +:
+      cats.map(l =>
+        sum(when(col("wl") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    val agged = seq.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val mx = greatest(cats.map(l => col(s"c_$l")): _*)
+    val majority = cats.foldRight(lit("und")) { case (l, el) =>
+      when(col(s"c_$l") === mx, lit(l)).otherwise(el)
+    }
+    agged.select(col("doc_id"), col("n_windows"),
+      cats.map(l => when(col(s"c_$l") > 0L, 1L).otherwise(0L))
+        .reduce(_ + _).as("n_langs"),
+      majority.as("majority_lang"),
+      expr(s"(greatest(${cats.map(l => s"c_$l").mkString(", ")}) * 1000000L)" +
+        " div n_windows").as("majority_ppm"),
+      col("n_switches"))
+  }
+
+  /** DuckDB twin of [[langMixProfile]] — list-level throughout (no
+    * unnest; lambda variables prefixed per the capture rule). */
+  def langMixProfileSql(windowTokens: Int = 32): String = {
+    val W = windowTokens
+    val cats = (langProfiles.map(_._1) :+ "und").sorted
+    def scoreOf(sl: String, profile: Seq[String]): String = {
+      val inList = profile.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($sl, qt -> qt IN ($inList)))"
+    }
+    val sl = s"list_slice(ws, (qw - 1) * $W + 1, qw * $W)"
+    val mxWin = "greatest(" +
+      langProfiles.map { case (_, p) => scoreOf(sl, p) }.mkString(", ") + ")"
+    val pickWin = "CASE WHEN " + mxWin + " = 0 THEN 'und' " +
+      langProfiles.map { case (l, p) =>
+        s"WHEN ${scoreOf(sl, p)} = $mxWin THEN '$l'"
+      }.mkString(" ") + " ELSE 'und' END"
+    val cCols = cats.map(l =>
+      s"len(list_filter(wins, qx -> qx = '$l')) AS c_$l").mkString(",\n    ")
+    val mx = "greatest(" + cats.map(l => s"c_$l").mkString(", ") + ")"
+    val pickMaj = "CASE " + cats.map(l =>
+      s"WHEN c_$l = $mx THEN '$l'").mkString(" ") + " ELSE 'und' END"
+    s"""WITH lm_w AS (
+       |  SELECT doc_id, ${wordsReSql("text")} AS ws FROM documents
+       |), lm_v AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      generate_series(1, greatest((len(ws) + ${W - 1}) // $W, 1)),
+       |      qw -> $pickWin) AS wins
+       |  FROM lm_w
+       |), lm_c AS (
+       |  SELECT doc_id, len(wins) AS n_windows,
+       |    len(list_filter(generate_series(2, len(wins)),
+       |      qi -> wins[qi] != wins[qi - 1])) AS n_switches,
+       |    $cCols
+       |  FROM lm_v
+       |)
+       |SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+       |  CAST(${cats.map(l => s"CASE WHEN c_$l > 0 THEN 1 ELSE 0 END")
+            .mkString(" + ")} AS BIGINT) AS n_langs,
+       |  $pickMaj AS majority_lang,
+       |  CAST(($mx * 1000000) // n_windows AS BIGINT) AS majority_ppm,
+       |  CAST(n_switches AS BIGINT) AS n_switches
+       |FROM lm_c""".stripMargin
+  }
+
   /** DuckDB twin of [[qualityPercentile]]. */
   def qualityPercentileSql: String =
     s"""WITH qp_t AS (

@@ -196,4 +196,35 @@ class TextOpsEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("xx", 3)) === "shared")
     assert(out(("yy", 1)) === "ccc")
   }
+
+  test("x149 langMixProfile: windows vote, alphabetical majority ties, switches count") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // [the a of in]=en, [der die und ist]=de → tie, alphabetical → de
+      (1L, "the a of in der die und ist"),
+      // [the the xx yy]=en, [zz qq]=und → tie en/und → en
+      (2L, "the the xx yy zz qq"),
+      // single und window
+      (3L, "xx"),
+      // en, de, en → 2 switches, majority en 2/3
+      (4L, "the a of in der die und ist the a of in")
+    ).toDF("doc_id", "text")
+    val got = TextOps.langMixProfile(docs, windowTokens = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_langs"),
+          r.getAs[String]("majority_lang"), r.getAs[Long]("majority_ppm"),
+          r.getAs[Long]("n_switches")))).toMap
+    assert(got(1L) === ((2L, 2L, "de", 500000L, 1L)))
+    assert(got(2L) === ((2L, 2L, "en", 500000L, 1L)))
+    assert(got(3L) === ((1L, 1L, "und", 1000000L, 0L)))
+    assert(got(4L) === ((3L, 2L, "en", 666666L, 2L)))
+    // pure doc agrees with the doc-level ID and never switches
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mix = TextOps.langMixProfile(corpus).collect()
+    assert(mix.forall(r => r.getAs[Long]("n_switches") <=
+      r.getAs[Long]("n_windows") - 1))
+    assert(mix.forall(r => r.getAs[Long]("majority_ppm") >= 1000000L /
+      math.max(r.getAs[Long]("n_langs"), 1L) - 1))
+  }
 }
