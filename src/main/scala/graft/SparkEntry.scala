@@ -1395,6 +1395,13 @@ object SparkEntry {
     "x141_release_diff" -> ((s, dir) =>
       graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
 
+    // x150 — numeric moments profile per event type: n/nulls/min/max,
+    // integer-micro mean and floor-division population variance — the
+    // ANALYZE read beside x140's quantiles; one scan, one |types|-keyed
+    // map-side-combined aggregate, DECIMAL/HUGEINT sums
+    "x150_value_moments" -> ((s, dir) =>
+      graft.operators.QuantileOps.valueMoments(Tables.events(s, dir))),
+
     // x149 — code-switching profile: x2's language ID re-voted over
     // 32-token windows — window/lang counts, majority share, adjacent-
     // window SWITCHES; one corpus pass, language axis pivoted into six
@@ -2169,6 +2176,7 @@ object SparkEntry {
     "x147_fk_audit" -> graft.operators.IntegrityOps.fkAuditSql,
     "x148_quality_percentile" -> TextOps.qualityPercentileSql,
     "x149_lang_mix" -> TextOps.langMixProfileSql(),
+    "x150_value_moments" -> graft.operators.QuantileOps.valueMomentsSql,
 
     "x139_corpus_manifest" ->
       graft.operators.CurationOps.corpusManifestSql,

@@ -157,4 +157,63 @@ object QuantileOps {
     exactQuantiles(events, "event_type",
       floor(col("value").cast("double") * lit(1e6) + lit(0.5)).cast("long"),
       ps)
+
+  /** x150: numeric moments profile per event type — the ANALYZE-style
+    * location/scale read beside x140's quantiles (x58 profiles
+    * nulls/NDV, x140 the order statistics, this the moments a CBO or
+    * alert threshold consumes): n, nulls, min/max, integer-micro mean,
+    * and population variance in micro² units.
+    *
+    * Determinism contract: values snap to the 1e-6 grid once
+    * (`floor(v·1e6+0.5)`, the house convention), every sum rides
+    * DECIMAL(38,0)/HUGEINT, and variance is the FLOOR-DIVISION form
+    * `Σv² div n − (Σv div n)²` — each div floors identically on both
+    * engines, so the result is a deterministic integer (bias ≤ 1 in
+    * micro² per floor, documented, never a float accumulation whose sum
+    * order could differ). Projected as DOUBLE via the exact decimal
+    * (both engines round-to-nearest from the same integer; values this
+    * size are ≤2^53 on this data). One scan, one |types|-keyed
+    * aggregate with map-side partials — nothing else. */
+  def valueMoments(events: DataFrame): DataFrame = {
+    val v = floor(col("value").cast("double") * lit(1e6) + lit(0.5))
+      .cast("long")
+    events
+      .select(col("event_type"), v.as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        min(col("v")).as("min_micro"), max(col("v")).as("max_micro"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"),
+        sum((col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)"))
+          .as("s2"),
+        count(col("v")).as("nv"))
+      .select(col("event_type"), col("n_rows"), col("n_nulls"),
+        col("min_micro"), col("max_micro"),
+        expr("CAST(sv div greatest(nv, 1L) AS BIGINT)").as("mean_micro"),
+        expr("CAST(CAST(s2 div greatest(nv, 1L) " +
+          "- (sv div greatest(nv, 1L)) * (sv div greatest(nv, 1L)) " +
+          "AS DECIMAL(38,0)) AS DOUBLE)").as("var_micro2"))
+  }
+
+  /** DuckDB twin of [[valueMoments]]. */
+  def valueMomentsSql: String =
+    s"""WITH vm_t AS (
+       |  SELECT event_type,
+       |    CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |), vm_a AS (
+       |  SELECT event_type, count(*) AS n_rows,
+       |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       |    min(v) AS min_micro, max(v) AS max_micro,
+       |    sum(CAST(v AS HUGEINT)) AS sv,
+       |    sum(CAST(v AS HUGEINT) * v) AS s2,
+       |    count(v) AS nv
+       |  FROM vm_t GROUP BY event_type
+       |)
+       |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(n_nulls AS BIGINT) AS n_nulls,
+       |  min_micro, max_micro,
+       |  CAST(sv // greatest(nv, 1) AS BIGINT) AS mean_micro,
+       |  CAST(s2 // greatest(nv, 1) - (sv // greatest(nv, 1)) * (sv // greatest(nv, 1)) AS DOUBLE) AS var_micro2
+       |FROM vm_a""".stripMargin
 }

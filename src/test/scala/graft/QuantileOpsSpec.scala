@@ -86,4 +86,38 @@ class QuantileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getLong(3), r.getLong(4))).toSet
     assert(got === want)
   }
+
+  test("x150 moments: closed-form fixture and BigInt reference on real events") {
+    val s = spark
+    import s.implicits._
+    val fix = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0))
+      .toDF("event_type", "value")
+    val got = QuantileOps.valueMoments(fix).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("min_micro"),
+          r.getAs[Long]("max_micro"), r.getAs[Long]("mean_micro"),
+          r.getAs[Double]("var_micro2")))).toMap
+    // var(a) = floor(14e12/3) - 2e6^2 = 4666666666666 - 4e12
+    assert(got("a") === ((3L, 1000000L, 3000000L, 2000000L, 6.66666666666e11)))
+    assert(got("b") === ((1L, 5000000L, 5000000L, 5000000L, 0.0)))
+    // real events vs an exact BigInt driver reference
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"),
+        floor(col("value").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ref = ev.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(v => BigInt(v._2))
+      val n = BigInt(vs.size)
+      val mean = vs.sum / n
+      val varr = (vs.map(x => x * x).sum / n - mean * mean).toDouble
+      t -> ((vs.size.toLong, (vs.sum / n).toLong, varr))
+    }
+    val real = QuantileOps.valueMoments(
+      graft.core.Tables.events(spark, "/root/testdata/sf0.001")).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("mean_micro"),
+          r.getAs[Double]("var_micro2")))).toMap
+    ref.foreach { case (t, w) => assert(real(t) === w, s"type $t") }
+  }
 }
