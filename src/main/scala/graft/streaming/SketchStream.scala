@@ -45,6 +45,19 @@ object SketchStream {
     * the live table with the batch finishing expressions unchanged.
     * Unlike HLL's idempotent max, sums COUNT replays — deliver
     * exactly-once (checkpointed source offsets) or dedup upstream. */
+  /** Live numeric-moments profile — the x150 streaming twin: every
+    * statistic in the profile is MERGEABLE (count/sum/sum-of-squares
+    * are sums, min/max idempotent), so the whole profile maintains as
+    * ONE stateful aggregation with |types| rows of state and the live
+    * table equals the batch [[graft.operators.QuantileOps.valueMoments]]
+    * on every arrival prefix (SketchStreamSpec pins it) — the
+    * mean/variance finishing runs inside the same projection on read.
+    * Replay semantics are mixed by statistic and the WEAKEST governs:
+    * min/max shrug off replays, the sums count them — deliver
+    * exactly-once or dedup upstream (the CMS rule, not the HLL one). */
+  def momentsOnIngest(events: DataFrame): DataFrame =
+    graft.operators.QuantileOps.valueMoments(events)
+
   def cmsOnIngest(df: DataFrame, key: Column, d: Int = 4,
                   w: Int = 512): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 16 && w <= 65536, s"d=$d w=$w")

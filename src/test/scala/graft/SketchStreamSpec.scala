@@ -100,4 +100,35 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("live moments profile == batch x150 after every prefix (mergeable stats)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch1 = (0 until 200).map(i => ("click", (i % 37) * 0.25 + 0.01)) ++
+      (0 until 90).map(i => ("view", (i % 11) * 3.5))
+    val batch2 = (0 until 150).map(i => ("click", (i % 53) * 1.75)) ++
+      (0 until 60).map(i => ("error", i * 0.125))
+
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+        .sortBy(_._1).toSeq
+
+    val in = MemoryStream[(String, Double)]
+    val q = graft.streaming.SketchStream.momentsOnIngest(
+        in.toDF().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("moments_live")
+      .outputMode("complete").start()
+    try {
+      for ((prefix, adds) <- Seq((batch1, batch1), (batch1 ++ batch2, batch2))) {
+        in.addData(adds); q.processAllAvailable()
+        assert(snap(spark.table("moments_live")) ===
+          snap(graft.operators.QuantileOps.valueMoments(
+            prefix.toDF("event_type", "value"))),
+          s"moments diverged at prefix of ${prefix.size}")
+      }
+    } finally q.stop()
+  }
 }
