@@ -1395,6 +1395,13 @@ object SparkEntry {
     "x141_release_diff" -> ((s, dir) =>
       graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
 
+    // x151 — dictionary hit localization: first `cap` character-exact
+    // positions per (doc, term) from the same single automaton pass —
+    // WHERE to redact where x143 says how much; explode bounded at
+    // |D|·cap per doc
+    "x151_dictionary_spans" -> ((s, dir) =>
+      graft.operators.DictTagOps.dictionarySpans(Tables.documents(s, dir))),
+
     // x150 — numeric moments profile per event type: n/nulls/min/max,
     // integer-micro mean and floor-division population variance — the
     // ANALYZE read beside x140's quantiles; one scan, one |types|-keyed
@@ -2177,6 +2184,7 @@ object SparkEntry {
     "x148_quality_percentile" -> TextOps.qualityPercentileSql,
     "x149_lang_mix" -> TextOps.langMixProfileSql(),
     "x150_value_moments" -> graft.operators.QuantileOps.valueMomentsSql,
+    "x151_dictionary_spans" -> graft.operators.DictTagOps.dictionarySpansSql(),
 
     "x139_corpus_manifest" ->
       graft.operators.CurationOps.corpusManifestSql,

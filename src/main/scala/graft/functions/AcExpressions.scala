@@ -89,6 +89,46 @@ object AcUtils {
     new AcAutomaton(next.toArray, out.map(_.toArray).toArray, terms.size)
   }
 
+  /** One automaton pass: the first `cap` hit POSITIONS per term,
+    * encoded `term_id · 2^32 + start` (start = 1-based CHARACTER
+    * position — the scan counts codepoints beside bytes, so positions
+    * match a character-indexed engine's `substr` on any unicode input;
+    * both components decode with div/mod 2^32). Per-term caps keep the
+    * output bounded at |D|·cap whatever the match volume — the
+    * localization read (WHERE to redact) that [[termCounts]]'s tallies
+    * deliberately drop. Within a term, positions arrive in ascending
+    * start order (fixed pattern length ⇒ end order = start order). */
+  def hitPositions(u: UTF8String, dict: AcDict, cap: Int): ArrayData = {
+    val a = dict.auto
+    val taken = new Array[Int](a.nTerms)
+    val buf = new java.util.ArrayList[java.lang.Long]
+    var s = 0
+    var charPos = 0L
+    val n = u.numBytes()
+    var i = 0
+    while (i < n) {
+      val b = u.getByte(i)
+      if ((b & 0xC0) != 0x80) charPos += 1L // leading byte: one codepoint
+      s = a.next(s)(b & 0xFF)
+      val os = a.out(s)
+      var j = 0
+      while (j < os.length) {
+        val t = os(j)
+        if (taken(t) < cap) {
+          taken(t) += 1
+          val start = charPos - dict.termChars(t) + 1L
+          buf.add(java.lang.Long.valueOf((t.toLong << 32) | start))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](buf.size)
+    var k = 0
+    while (k < out.length) { out(k) = buf.get(k).longValue(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** One automaton pass: dense per-term occurrence counts (length =
     * dictionary size, element i = occurrences of term i). */
   def termCounts(u: UTF8String, dict: AcDict): ArrayData = {
@@ -113,6 +153,9 @@ object AcUtils {
   * discipline). */
 final case class AcDict(terms: IndexedSeq[String]) {
   @transient lazy val auto: AcUtils.AcAutomaton = AcUtils.build(terms)
+  /** Term lengths in CODEPOINTS (not bytes) — hit-position decoding. */
+  @transient lazy val termChars: Array[Long] =
+    terms.map(t => t.codePointCount(0, t.length).toLong).toArray
 }
 
 /** text → dense per-term occurrence counts under the dictionary; null
@@ -141,10 +184,42 @@ case class AcTermCountsExpr(child: Expression, dict: AcDict)
   override def prettyName: String = "ac_term_counts"
 }
 
+/** text → encoded first-`cap`-per-term hit positions; null text →
+  * null. See [[AcUtils.hitPositions]] for the encoding. */
+case class AcHitPositionsExpr(child: Expression, dict: AcDict, cap: Int)
+    extends UnaryExpression {
+  require(cap >= 1 && cap <= 65536, s"cap=$cap")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    AcUtils.hitPositions(input.asInstanceOf[UTF8String], dict, cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acDict", dict, classOf[AcDict].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.AcUtils.hitPositions($c, $ref, $cap)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AcHitPositionsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "ac_hit_positions"
+}
+
 object AcExpressions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   /** Codegen'd dense dictionary-occurrence counts; null text → null. */
   def acTermCounts(text: Column, dict: AcDict): Column =
     column(AcTermCountsExpr(expression(text), dict))
+
+  /** Codegen'd capped hit positions (encoded longs); null text → null. */
+  def acHitPositions(text: Column, dict: AcDict, cap: Int): Column =
+    column(AcHitPositionsExpr(expression(text), dict, cap))
 }

@@ -52,6 +52,52 @@ object DictTagOps {
         col("n_docs"), col("n_occ"))
   }
 
+  /** x151: hit LOCALIZATION — `(doc_id, term_id, term, pos)` for the
+    * first `cap` occurrences of each term per document (1-based
+    * CHARACTER positions, overlapping included): where x143 says HOW
+    * MUCH, this says WHERE — the offsets a redaction/annotation pass
+    * consumes. Same single automaton scan; the expression counts
+    * codepoints beside bytes so positions are character-exact on any
+    * unicode input, and the per-term cap bounds the explode at |D|·cap
+    * rows per document whatever the match volume (a viral term yields
+    * its first `cap` spans, never an unbounded row stream — the x143
+    * dense-vector discipline applied to spans). Positions ride one
+    * encoded long (`term_id·2^32 + pos`) out of the kernel and decode
+    * with div/mod in the projection. */
+  def dictionarySpans(df: DataFrame, terms: Seq[String] = gateTerms,
+                      cap: Int = 4, text: Column = col("text")): DataFrame = {
+    val dict = AcDict(terms.toIndexedSeq)
+    val termArr = array(terms.map(lit): _*)
+    df.select(col("doc_id"),
+        explode(AcExpressions.acHitPositions(text, dict, cap)).as("e"))
+      .select(col("doc_id"),
+        expr("e div 4294967296L").as("term_id"),
+        expr("e % 4294967296L").as("pos"))
+      .select(col("doc_id"), col("term_id"),
+        element_at(termArr, (col("term_id") + 1).cast("int")).as("term"),
+        col("pos"))
+  }
+
+  /** DuckDB twin of [[dictionarySpans]] — positional definition,
+    * list-sliced to the cap before unnesting. */
+  def dictionarySpansSql(terms: Seq[String] = gateTerms,
+                         cap: Int = 4): String = {
+    val vals = terms.zipWithIndex
+      .map { case (t, i) => s"($i, ${sqlLit(t)})" }.mkString(", ")
+    s"""WITH sp_terms(term_id, term) AS (VALUES $vals),
+       |sp_occ AS (
+       |  SELECT d.doc_id, t.term_id, t.term,
+       |    list_slice(list_filter(
+       |      generate_series(1, greatest(length(d.text) - length(t.term) + 1, 0)),
+       |      sp_i -> substr(d.text, sp_i, length(t.term)) = t.term),
+       |      1, $cap) AS ps
+       |  FROM documents d CROSS JOIN sp_terms t
+       |)
+       |SELECT doc_id, CAST(term_id AS BIGINT) AS term_id, term,
+       |  unnest(ps) AS pos
+       |FROM sp_occ""".stripMargin
+  }
+
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** DuckDB twin of [[dictionaryTags]]: the positional definition —

@@ -95,6 +95,42 @@ class AcParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no terms-relation join-back — absent terms keep zero rows dense:\n$plan")
   }
 
+  /** Codepoint-aware overlapping start positions, capped. */
+  private def naivePositions(text: String, term: String,
+                             cap: Int): Seq[Long] = {
+    val t = text.codePoints().toArray
+    val p = term.codePoints().toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i + p.length <= t.length && out.size < cap) {
+      if (t.slice(i, i + p.length).sameElements(p)) out += (i + 1).toLong
+      i += 1
+    }
+    out.toSeq
+  }
+
+  test("x151 hit positions: character-exact on unicode, capped per term, ascending") {
+    val s = spark
+    import s.implicits._
+    val terms = IndexedSeq("aa", "a a", "é", "日本", "😀a", "can")
+    val dict = AcDict(terms)
+    val texts = Seq("aaaa a a a", "café 日本日本 😀a😀a", "scan can 😀aé", "")
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.DictTagOps
+      .dictionarySpans(rows, terms, cap = 3).collect()
+      .map(r => ((r.getAs[Long]("doc_id"), r.getAs[String]("term")),
+        r.getAs[Long]("pos")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted.toSeq }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      terms.foreach { term =>
+        val want = naivePositions(t, term, 3)
+        val have = got.getOrElse((i.toLong, term), Seq.empty)
+        assert(have === want, s"term '$term' in '$t'")
+      }
+    }
+  }
+
   test("production-sized dictionary: 10k terms build and tally in one pass") {
     // the scale contract: automaton build is O(total pattern bytes),
     // matching O(text bytes + matches) — a dictionary three orders
