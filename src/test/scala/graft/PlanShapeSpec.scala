@@ -597,6 +597,62 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every BNLJ must be the 1-row broadcast stats cross join:\n$plan")
   }
 
+  test("shard manifest (x144): two-phase global rank — broadcast-only joins, bounded scans") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.SamplingOps.shardManifest(docs))
+    assertOnlyBroadcastJoins(plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank offsets must broadcast onto the corpus:\n$plan")
+    // token-range stats, bucket-aggregate branch, main branch
+    assert(plan.split("FileScan").length - 1 <= 4,
+      s"expected ≤4 column-pruned scans:\n$plan")
+    assert(!plan.contains("ntile"),
+      s"snake ids are closed-form over two-phase ranks, not ntile:\n$plan")
+  }
+
+  test("novelty (x146): no window anywhere; first-occurrence is an aggregate, 2 scans") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.DedupOps.noveltyScore(docs))
+    assert(!plan.contains("Window"),
+      s"a gram-partitioned window would single-task viral grams:\n$plan")
+    assert(plan.split("FileScan").length - 1 === 2,
+      s"row-local gram counts + the gram matrix — exactly 2 scans:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"equi-joins only:\n$plan")
+  }
+
+  test("quality percentile (x148): windows only above the grid aggregate; 2 scans") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.qualityPercentile(docs)
+    val plan = physicalPlan(df)
+    assert(plan.split("FileScan").length - 1 === 2,
+      s"fact + grid-aggregate branch — exactly 2 scans:\n$plan")
+    // every Window in this plan must sit above the (source, q_micro)
+    // HashAggregate: the plan lists operators top-down, so the LAST
+    // Window line must appear before the last partial HashAggregate of
+    // the grid branch — cheap structural proxy: no window may consume
+    // the raw scan directly (a Project/Filter chain from FileScan to
+    // Window without an Aggregate in between)
+    val segs = plan.split("Window")
+    assert(segs.length >= 2, s"grid windows expected:\n$plan")
+    assert(segs.tail.forall(_.nonEmpty), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the join back onto the fact keys on the grid (source, q_micro)
+    assert(plan.contains("q_micro"), plan)
+  }
+
+  test("lang mix (x149): one scan, one Generate, no joins — the pivot did its job") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.TextOps.langMixProfile(docs))
+    assert(plan.split("FileScan").length - 1 === 1,
+      s"one corpus pass:\n$plan")
+    assert(plan.split("Generate").length - 1 === 1,
+      s"one window explode:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the language axis pivots into fixed sums — no (doc,lang) join:\n$plan")
+  }
+
   test("CMS join-size estimation (x122): the counter tables meet in a broadcast join") {
     val o = graft.core.Tables.orders(spark, sfDir)
     val li = graft.core.Tables.lineitem(spark, sfDir)
