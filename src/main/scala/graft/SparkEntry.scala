@@ -75,6 +75,24 @@ object SparkEntry {
     bpeCache.getOrElseUpdate((s, dir),
       graft.operators.BpeOps.train(Tables.documents(s, dir), rounds = 32))
 
+  // x152's pruned model: drop (at least) the 8 least-firing merges of
+  // the gated 32 — the threshold is the 8th-smallest fire count + 1, a
+  // pure function of the corpus, so query and oracle derive the SAME
+  // pruned literal set at any SF; constructibility cascade in
+  // BpeOps.pruneModel.
+  private val bpePrunedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.BpeOps.BpeModel]
+  private def prunedBpeModel(s: SparkSession, dir: String): graft.operators.BpeOps.BpeModel =
+    bpePrunedCache.getOrElseUpdate((s, dir), {
+      val m = bpeModel(s, dir)
+      val fires = graft.operators.BpeOps
+        .mergeUtilization(Tables.documents(s, dir), m).collect()
+        .map(r => r.getAs[Long]("rank").toInt -> r.getAs[Long]("n_fires"))
+        .toMap
+      val sorted = fires.values.toSeq.sorted
+      graft.operators.BpeOps.pruneModel(m, fires, sorted(7) + 1L)
+    })
+
   def cat(s: SparkSession, dir: String): Cat =
     catCache.getOrElseUpdate((s, dir), {
       val d = FsCatalog.directory(s, dir).cache()
@@ -1394,6 +1412,14 @@ object SparkEntry {
     // full-outer join, then a source-sized aggregate
     "x141_release_diff" -> ((s, dir) =>
       graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
+
+    // x152 — vocab-pruning round-trip: re-price every doc under the
+    // pruned model (x145's read turned into its action) — what cutting
+    // idle merges costs in tokens a training run pays for; exact
+    // integer inflation, two vocab-sized apply passes, one doc join
+    "x152_prune_reprice" -> ((s, dir) =>
+      graft.operators.BpeOps.pruneRepriceCounts(Tables.documents(s, dir),
+        bpeModel(s, dir), prunedBpeModel(s, dir))),
 
     // x151 — dictionary hit localization: first `cap` character-exact
     // positions per (doc, term) from the same single automaton pass —
@@ -2868,6 +2894,8 @@ object SparkEntry {
         .compressionBySourceSql(bpe),
       "x145_merge_utilization" -> graft.operators.BpeOps
         .mergeUtilizationSql(bpe),
+      "x152_prune_reprice" -> graft.operators.BpeOps
+        .pruneRepriceCountsSql(bpe, prunedBpeModel(spark, sfDir)),
       "x18_ann_ivf" -> graft.operators.IvfOps.topKSql(
         model, "vec_id % 100 = 0", k = 8, nProbe = np),
       "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(

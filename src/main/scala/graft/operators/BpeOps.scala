@@ -410,6 +410,76 @@ object BpeOps {
        |$outs""".stripMargin
   }
 
+  /** x152 support: prune a trained model to the merges that EARN their
+    * slot — fire count ≥ `minFires` on the corpus (x145's read turned
+    * into the action it motivates) — with the constructibility CASCADE:
+    * a surviving merge must also be able to EXIST, i.e. both its
+    * symbols are single codepoints or outputs of ALREADY-RETAINED
+    * earlier merges (dropping a low-utility merge invalidates every
+    * later merge that consumes its fused symbol; keeping such orphans
+    * would be dead table weight by construction). Pure driver
+    * computation over the R-row fire table — the BPE loop-control
+    * discipline. */
+  def pruneModel(model: BpeModel, fires: Map[Int, Long],
+                 minFires: Long): BpeModel = {
+    val made = scala.collection.mutable.Set.empty[String]
+    def constructible(s: String): Boolean =
+      s.codePointCount(0, s.length) == 1 || made.contains(s)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    model.merges.zipWithIndex.foreach { case (m @ (l, r, _), k) =>
+      if (fires.getOrElse(k, 0L) >= minFires &&
+        constructible(l) && constructible(r)) {
+        kept += m; made += (l + r)
+      }
+    }
+    BpeModel(kept.toSeq)
+  }
+
+  /** x152: vocabulary-pruning round-trip — re-price every document
+    * under the pruned model beside the full one:
+    * `(doc_id, n_sub_full, n_sub_pruned, inflation_ppm)`. The read
+    * that closes x145's loop: x145 says which merges idle, this says
+    * what CUTTING them costs where it matters (tokens a training run
+    * pays for). Inflation is exact integer ppm and SIGNED: usually
+    * positive, but removing a merge can unblock two later ones (drop
+    * `(x,y)` while `(w,x)`/`(y,z)` survive on `wxyz` → 2 symbols where
+    * the full model left 3), so negative rows are legitimate and the
+    * report keeps them. Two [[applyCounts]] passes
+    * (one per model — each vocab-sized after its own single
+    * tokenization) meeting in one doc-keyed join. */
+  def pruneRepriceCounts(df: DataFrame, model: BpeModel,
+                         pruned: BpeModel): DataFrame = {
+    val full = applyCounts(df, model)
+      .select(col("doc_id"), col("n_subwords").as("n_sub_full"))
+    val cut = applyCounts(df, pruned)
+      .select(col("doc_id"), col("n_subwords").as("n_sub_pruned"))
+    // signed ratio via a POSITIVE division then the -1e6 shift: `div`
+    // truncates toward zero on Spark but floors on DuckDB, so a signed
+    // numerator would hash-diverge on any negative row — both operands
+    // here are positive, both engines floor identically
+    full.join(cut, Seq("doc_id"))
+      .select(col("doc_id"), col("n_sub_full"), col("n_sub_pruned"),
+        expr("CAST((CAST(n_sub_pruned AS DECIMAL(38,0)) * 1000000) " +
+          "div n_sub_full - 1000000L AS BIGINT)").as("inflation_ppm"))
+  }
+
+  /** DuckDB twin of [[pruneRepriceCounts]] — both models' literal
+    * replay, joined. */
+  def pruneRepriceCountsSql(model: BpeModel, pruned: BpeModel): String =
+    s"""WITH pr_full AS (
+       |  SELECT doc_id, n_subwords AS n_sub_full FROM (
+       |${applyCountsSql(model)}
+       |  )
+       |), pr_cut AS (
+       |  SELECT doc_id, n_subwords AS n_sub_pruned FROM (
+       |${applyCountsSql(pruned)}
+       |  )
+       |)
+       |SELECT f.doc_id, f.n_sub_full, c.n_sub_pruned,
+       |  CAST((CAST(c.n_sub_pruned AS HUGEINT) * 1000000)
+       |    // f.n_sub_full - 1000000 AS BIGINT) AS inflation_ppm
+       |FROM pr_full f JOIN pr_cut c USING (doc_id)""".stripMargin
+
   /** DuckDB twin of [[compressionBySource]]. */
   def compressionBySourceSql(model: BpeModel): String =
     s"""WITH bpe_counts AS (

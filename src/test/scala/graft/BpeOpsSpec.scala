@@ -187,6 +187,49 @@ class BpeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "curve endpoint == corpus subword total under the full model")
   }
 
+  test("x152 pruning: constructibility cascade, signed inflation exact, identity at 0") {
+    // cascade: dropping (a,b) must drop (ab,c), which consumes its output
+    val m = BpeOps.BpeModel(Seq(("a", "b", 10L), ("ab", "c", 5L), ("d", "e", 8L)))
+    val cascaded = BpeOps.pruneModel(m,
+      Map(0 -> 1L, 1 -> 100L, 2 -> 100L), minFires = 2L)
+    assert(cascaded.merges === Seq(("d", "e", 8L)),
+      "(ab,c) survives the fire gate but not constructibility")
+    // identity at threshold 0 (all constructible in training order)
+    assert(BpeOps.pruneModel(m, Map(0 -> 1L, 1 -> 1L, 2 -> 1L), 0L)
+      .merges === m.merges)
+    // dropping a merge can UNBLOCK two later ones — the signed-inflation
+    // case: full [(x,y),(w,x),(y,z)] on "wxyz" applies (x,y) first →
+    // w|xy|z = 3 symbols and blocks both later merges; pruned to
+    // [(w,x),(y,z)] → wx|yz = 2 symbols. Negative inflation, by design.
+    val s2 = spark
+    import s2.implicits._
+    val wdoc = Seq((1L, "wxyz")).toDF("doc_id", "text")
+    val fullM = BpeOps.BpeModel(Seq(("x", "y", 1L), ("w", "x", 1L), ("y", "z", 1L)))
+    val cutM = BpeOps.BpeModel(Seq(("w", "x", 1L), ("y", "z", 1L)))
+    val neg = BpeOps.pruneRepriceCounts(wdoc, fullM, cutM).collect().head
+    assert(neg.getAs[Long]("n_sub_full") === 3L)
+    assert(neg.getAs[Long]("n_sub_pruned") === 2L)
+    assert(neg.getAs[Long]("inflation_ppm") < 0L)
+    // round-trip on the real corpus: deterministic, mostly non-negative
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = BpeOps.train(corpus, rounds = 12)
+    val fires = BpeOps.mergeUtilization(corpus, full).collect()
+      .map(r => r.getAs[Long]("rank").toInt -> r.getAs[Long]("n_fires")).toMap
+    val cut = BpeOps.pruneModel(full, fires, fires.values.toSeq.sorted.apply(3) + 1L)
+    assert(cut.merges.length < full.merges.length, "something must prune")
+    assert(cut.merges.toSet.subsetOf(full.merges.toSet))
+    val out = BpeOps.pruneRepriceCounts(corpus, full, cut).collect()
+    assert(out.nonEmpty)
+    // conservation: inflation equals the per-doc recomputation (the
+    // positive-division-then-shift form both engines floor identically)
+    out.foreach { r =>
+      val f = r.getAs[Long]("n_sub_full"); val p = r.getAs[Long]("n_sub_pruned")
+      assert(r.getAs[Long]("inflation_ppm") ===
+        (BigInt(p) * 1000000 / f - 1000000).toLong,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("fixture-corpus training is deterministic and the gated rounds stay bounded") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = BpeOps.train(docs, rounds = 8)
