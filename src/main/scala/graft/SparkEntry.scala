@@ -1413,6 +1413,14 @@ object SparkEntry {
     "x141_release_diff" -> ((s, dir) =>
       graft.operators.CurationOps.releaseDiffDemo(Tables.documents(s, dir))),
 
+    // x153 — cross-source quantile normalization: map each doc's
+    // within-source percentile onto the GLOBAL score scale (quantile
+    // mapping) — a global threshold then applies uniformly to every
+    // feed; both grids from ONE count aggregate, grid as-of by
+    // union+carry-forward window, docs joined back on the grid key
+    "x153_quantile_normalize" -> ((s, dir) =>
+      TextOps.quantileNormalize(Tables.documents(s, dir))),
+
     // x152 — vocab-pruning round-trip: re-price every doc under the
     // pruned model (x145's read turned into its action) — what cutting
     // idle merges costs in tokens a training run pays for; exact
@@ -2210,6 +2218,7 @@ object SparkEntry {
     "x148_quality_percentile" -> TextOps.qualityPercentileSql,
     "x149_lang_mix" -> TextOps.langMixProfileSql(),
     "x150_value_moments" -> graft.operators.QuantileOps.valueMomentsSql,
+    "x153_quantile_normalize" -> TextOps.quantileNormalizeSql,
     "x151_dictionary_spans" -> graft.operators.DictTagOps.dictionarySpansSql(),
 
     "x139_corpus_manifest" ->

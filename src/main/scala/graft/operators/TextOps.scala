@@ -308,6 +308,109 @@ object TextOps {
        |FROM lm_c""".stripMargin
   }
 
+  /** x153: cross-source quantile NORMALIZATION — map every document's
+    * within-source percentile onto the GLOBAL score scale: the
+    * normalized score is the largest global score whose global
+    * percentile does not exceed the doc's source percentile (classic
+    * quantile mapping / quantile-normalization). x148 makes ranks
+    * comparable; this makes the SCORES comparable — a threshold tuned
+    * on the global distribution then applies uniformly to every feed,
+    * however shifted a feed's raw scoring profile is (a feed whose raw
+    * scores sit uniformly low maps its best docs onto the global top,
+    * instead of losing them to a raw-score cut).
+    *
+    * Scale shape: both grids come from ONE per-(source, q_micro) count
+    * aggregate (the global grid is its q-level rollup — no second
+    * derivation of the corpus), the as-of between the two grids is the
+    * union+carry-forward window over the GRID-sized union (never a
+    * theta join), and docs get their mapping by joining the grid back
+    * on (source, q_micro) — the x148 discipline end to end. Percentile
+    * ties between global grid rows collapse to the same ppm only under
+    * flooring; ordering ties by (tag, gq) makes the carried value the
+    * MAX such q on both engines. */
+  def quantileNormalize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col("doc_id"), col("source"),
+      floor(qualityScoreCol(col("text")) * lit(1000000.0) + lit(0.5))
+        .cast("long").as("q_micro"))
+    val perQ = t.groupBy("source", "q_micro").agg(count(lit(1)).as("c"))
+    val sGrid = perQ
+      .withColumn("cc", sum(col("c")).over(Window.partitionBy("source")
+        .orderBy("q_micro")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+      .select(col("source"), col("q_micro"),
+        expr("((cc - c) * 1000000L) div greatest(n - 1L, 1L)").as("pctl"))
+    val g0 = perQ.groupBy("q_micro").agg(sum(col("c")).as("gc"))
+    val gGrid = g0
+      .withColumn("gcc", sum(col("gc")).over(Window.orderBy("q_micro")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gn", sum(col("gc")).over(Window.partitionBy()))
+      .select(col("q_micro").as("gq"),
+        expr("((gcc - gc) * 1000000L) div greatest(gn - 1L, 1L)").as("pctl"))
+    val u = gGrid
+      .select(lit(0).as("tag"), col("pctl"), col("gq"),
+        lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("q_micro"))
+      .unionByName(sGrid.select(lit(1).as("tag"), col("pctl"),
+        lit(null).cast("long").as("gq"), col("source"), col("q_micro")))
+    val mapped = u
+      .withColumn("norm_q_micro",
+        last(col("gq"), ignoreNulls = true).over(Window
+          .orderBy(col("pctl"), col("tag"), col("gq"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("tag") === 1)
+      .select(col("source"), col("q_micro"), col("norm_q_micro"))
+    t.join(mapped, Seq("source", "q_micro"))
+      .select(col("doc_id"), col("source"), col("q_micro"),
+        col("norm_q_micro"))
+  }
+
+  /** DuckDB twin of [[quantileNormalize]]. */
+  def quantileNormalizeSql: String =
+    s"""WITH qn_t AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor((${qualityScoreColSql("text")}) * 1000000 + 0.5)
+       |      AS BIGINT) AS q_micro
+       |  FROM documents
+       |), qn_c AS (
+       |  SELECT source, q_micro, count(*) AS c FROM qn_t
+       |  GROUP BY source, q_micro
+       |), qn_s AS (
+       |  SELECT source, q_micro,
+       |    ((sum(c) OVER (PARTITION BY source ORDER BY q_micro
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+       |      * 1000000)
+       |      // greatest(sum(c) OVER (PARTITION BY source) - 1, 1) AS pctl
+       |  FROM qn_c
+       |), qn_g0 AS (
+       |  SELECT q_micro, sum(c) AS gc FROM qn_c GROUP BY q_micro
+       |), qn_g AS (
+       |  SELECT q_micro AS gq,
+       |    ((sum(gc) OVER (ORDER BY q_micro
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - gc)
+       |      * 1000000)
+       |      // greatest(sum(gc) OVER () - 1, 1) AS pctl
+       |  FROM qn_g0
+       |), qn_u AS (
+       |  SELECT 0 AS tag, pctl, gq,
+       |    CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS q_micro
+       |  FROM qn_g
+       |  UNION ALL
+       |  SELECT 1, pctl, CAST(NULL AS BIGINT), source, q_micro FROM qn_s
+       |), qn_m AS (
+       |  SELECT source, q_micro, tag,
+       |    last_value(gq IGNORE NULLS) OVER (ORDER BY pctl, tag, gq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS norm_q_micro
+       |  FROM qn_u
+       |)
+       |SELECT t.doc_id, t.source, t.q_micro,
+       |  CAST(m.norm_q_micro AS BIGINT) AS norm_q_micro
+       |FROM qn_t t
+       |JOIN (SELECT source, q_micro, norm_q_micro FROM qn_m WHERE tag = 1) m
+       |  USING (source, q_micro)""".stripMargin
+
   /** DuckDB twin of [[qualityPercentile]]. */
   def qualityPercentileSql: String =
     s"""WITH qp_t AS (

@@ -126,4 +126,39 @@ class TextOpsQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(vs.map(_._3).max <= 1000000L, s"$src bound")
     }
   }
+
+  test("x153 quantile normalization == driver reference; shifted feeds harmonize") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.quantileNormalize(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("q_micro"),
+          r.getAs[Long]("norm_q_micro")))).toMap
+    assert(got.size === docs.count())
+    // driver reference: source percentile → largest global q whose
+    // global percentile (strictly-below over ALL docs) does not exceed it
+    val base = got.toSeq.map { case (id, (src, q, _)) => (id, src, q) }
+    val all = base.map(_._3).sorted
+    val gn = all.size.toLong
+    val gGrid = all.distinct.map { q =>
+      q -> all.count(_ < q).toLong * 1000000L / math.max(gn - 1L, 1L)
+    }
+    val bySrc = base.groupBy(_._2)
+    base.foreach { case (id, src, q) =>
+      val rows = bySrc(src)
+      val n = rows.size.toLong
+      val sPctl = rows.count(_._3 < q).toLong * 1000000L / math.max(n - 1L, 1L)
+      val want = gGrid.filter(_._2 <= sPctl).map(_._1).max
+      assert(got(id)._3 === want, s"doc $id src $src q $q pctl $sPctl")
+    }
+    // the point: an UNTIED source-top doc has source percentile exactly
+    // 1e6 and maps to the global top value, whatever its raw score
+    bySrc.foreach { case (src, rows) =>
+      val topQ = rows.map(_._3).max
+      if (rows.size > 1 && rows.count(_._3 == topQ) == 1) {
+        val topDoc = rows.find(_._3 == topQ).get
+        assert(got(topDoc._1)._3 === all.max,
+          s"$src untied top doc must map to the global top")
+      }
+    }
+  }
 }
