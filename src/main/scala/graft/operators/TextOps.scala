@@ -321,19 +321,34 @@ object TextOps {
     *
     * Scale shape: both grids come from ONE per-(source, q_micro) count
     * aggregate (the global grid is its q-level rollup — no second
-    * derivation of the corpus), the as-of between the two grids is the
-    * union+carry-forward window over the GRID-sized union (never a
-    * theta join), and docs get their mapping by joining the grid back
-    * on (source, q_micro) — the x148 discipline end to end. Percentile
-    * ties between global grid rows collapse to the same ppm only under
-    * flooring; ordering ties by (tag, gq) makes the carried value the
-    * MAX such q on both engines. */
-  def quantileNormalize(df: DataFrame): DataFrame = {
+    * derivation of the corpus), and docs get their mapping by joining
+    * the grid back on (source, q_micro) — the x148 discipline end to
+    * end. The two GLOBAL running computations (the global grid's
+    * cumulative count and the union carry-forward as-of) never sort
+    * their relation in one task: both run through [[TwoPhase.prefixed]]
+    * with a deterministic equi-width bucket over their exactly-known
+    * domains (q_micro and pctl both live on [0, 10^6] ppm), so each
+    * task sorts one bucket of the grid union — never the whole
+    * |sources|·grid relation (the round-10 VERDICT's scale-killer in
+    * the first cut of this operator). The carry-forward rewrites as a
+    * running MAX: global `gq` is order-aligned with `pctl`, so "last
+    * non-null gq at pctl ≤ mine, global rows first on ties" equals the
+    * exclusive running max of `tag=0 ? gq : null` under the same
+    * (pctl, tag, gq) order — TwoPhase's `maxes` measure verbatim.
+    * Percentile ties between global grid rows collapse to the same ppm
+    * only under flooring; ordering ties by (tag, gq) makes the carried
+    * value the MAX such q on both engines. */
+  def quantileNormalize(df: DataFrame, buckets: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = df.select(col("doc_id"), col("source"),
       floor(qualityScoreCol(col("text")) * lit(1000000.0) + lit(0.5))
         .cast("long").as("q_micro"))
-    val perQ = t.groupBy("source", "q_micro").agg(count(lit(1)).as("c"))
+    // the grid aggregate feeds FIVE consumers (sGrid, g0, and two
+    // TwoPhase double-evaluations of the union) — pin it once or every
+    // branch re-scans the corpus and re-evaluates the quality score; it
+    // is |sources|·grid-bounded by construction, so the pin is cheap
+    val perQ = graft.core.PinnedViews.pinned(
+      t.groupBy("source", "q_micro").agg(count(lit(1)).as("c")))
     val sGrid = perQ
       .withColumn("cc", sum(col("c")).over(Window.partitionBy("source")
         .orderBy("q_micro")
@@ -342,25 +357,30 @@ object TextOps {
       .select(col("source"), col("q_micro"),
         expr("((cc - c) * 1000000L) div greatest(n - 1L, 1L)").as("pctl"))
     val g0 = perQ.groupBy("q_micro").agg(sum(col("c")).as("gc"))
-    val gGrid = g0
-      .withColumn("gcc", sum(col("gc")).over(Window.orderBy("q_micro")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("gn", sum(col("gc")).over(Window.partitionBy()))
+    val gGrid = TwoPhase.prefixed(g0,
+        partCols = Seq.empty,
+        bucketCol = TwoPhase.equiWidthBucketSql("q_micro", "0L", "1000000L",
+          buckets),
+        orderCols = Seq(col("q_micro")),
+        sums = Seq("gc" -> col("gc")))
       .select(col("q_micro").as("gq"),
-        expr("((gcc - gc) * 1000000L) div greatest(gn - 1L, 1L)").as("pctl"))
+        expr("((gc_pre - gc) * 1000000L) div greatest(gc_tot - 1L, 1L)")
+          .as("pctl"))
     val u = gGrid
       .select(lit(0).as("tag"), col("pctl"), col("gq"),
         lit(null).cast("string").as("source"),
         lit(null).cast("long").as("q_micro"))
       .unionByName(sGrid.select(lit(1).as("tag"), col("pctl"),
         lit(null).cast("long").as("gq"), col("source"), col("q_micro")))
-    val mapped = u
-      .withColumn("norm_q_micro",
-        last(col("gq"), ignoreNulls = true).over(Window
-          .orderBy(col("pctl"), col("tag"), col("gq"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val mapped = TwoPhase.prefixed(u,
+        partCols = Seq.empty,
+        bucketCol = TwoPhase.equiWidthBucketSql("pctl", "0L", "1000000L",
+          buckets),
+        orderCols = Seq(col("pctl"), col("tag"), col("gq")),
+        maxes = Seq("norm" -> when(col("tag") === 0, col("gq"))))
       .filter(col("tag") === 1)
-      .select(col("source"), col("q_micro"), col("norm_q_micro"))
+      .select(col("source"), col("q_micro"),
+        col("norm_prior").as("norm_q_micro"))
     t.join(mapped, Seq("source", "q_micro"))
       .select(col("doc_id"), col("source"), col("q_micro"),
         col("norm_q_micro"))

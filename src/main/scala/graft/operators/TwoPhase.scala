@@ -98,7 +98,12 @@ object TwoPhase {
       else {
         val tAggs = sums.map { case (n, _) => sum(col(s"__s_$n")).as(s"${n}_tot") }
         val tots = perBucket.groupBy(pc: _*).agg(tAggs.head, tAggs.tail: _*)
-        offs.join(tots, partCols)
+        // empty partCols → tots is ONE global row; an explicit broadcast
+        // crossJoin plans as the Cross-tagged 1-row stats join the plan
+        // lint allows, where join(_, Seq.empty) would plan a
+        // condition-less Inner BNLJ
+        if (partCols.isEmpty) offs.crossJoin(broadcast(tots))
+        else offs.join(tots, partCols)
       }
 
     // phase 2: finish each (partition, bucket) independently — the only

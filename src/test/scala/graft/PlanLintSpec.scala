@@ -50,6 +50,57 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "x116_hard_negatives" -> 1,
     "x96_ann_recall" -> 1)
 
+  /** Audited UNPARTITIONED windows — each one a window over a relation
+    * PROVABLY bounded independent of corpus size, with the bound named.
+    * x153's first cut is exactly what this catches: a global
+    * carry-forward window whose input (|sources|·1e6 grid union) is NOT
+    * bounded independent of the corpus shape slipped through because
+    * Window partition keys were deliberately unlinted. A new
+    * unpartitioned window anywhere fails until its input's bound is
+    * argued here. Values are (maxCount, bound argument). */
+  private val auditedGlobalWindows: Map[String, (Int, String)] = Map(
+    "x84_vocab_growth" -> (3,
+      "running union over the 10 fixed sample buckets (≤10 rows)"),
+    "x86_zipf_fit" -> (1,
+      "rank over the top-1000 token aggregate (≤1000 rows)"),
+    "x99_length_ks" -> (1,
+      "global CDF over the per-n_chars count aggregate — bounded by " +
+        "the distinct-length grid, not the corpus"),
+    "x101_hybrid_rrf" -> (2,
+      "row_number over the two LIMIT-n candidate lists (≤50 rows each)"),
+    "x138_water_fill" -> (2,
+      "allocation math over the per-lang token aggregate (≤|langs| rows)"),
+    "x144_shard_manifest" -> (1,
+      "TwoPhase offset window over the ≤64-row bucket aggregate"),
+    "x153_quantile_normalize" -> (3,
+      "TwoPhase offset windows over ≤256-row bucket aggregates " +
+        "(global grid cumsum ×2 via the union's double evaluation + " +
+        "the carry-forward as-of)"))
+
+  test("every unpartitioned Window is audited with its input's bound") {
+    // unpartitioned = the first windowspecdefinition argument is an
+    // ORDER column (carries an ASC/DESC marker); partition columns
+    // precede order columns and carry no marker
+    val spec = "windowspecdefinition\\(([^)]*)".r
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val unpart = spec.findAllMatchIn(plan).map(_.group(1)).count { s =>
+            val first = s.split(",")(0)
+            first.contains(" ASC") || first.contains(" DESC")
+          }
+          val allowed = auditedGlobalWindows.get(name).map(_._1).getOrElse(0)
+          if (unpart > allowed)
+            Seq(s"$name: $unpart unpartitioned window(s), $allowed audited")
+          else Nil
+        } catch {
+          case e: Throwable => Seq(s"$name: planning failed: ${e.getMessage}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("no gate query plans a CartesianProduct or an unaudited non-cross BNLJ") {
     val crossBnlj =
       "BroadcastNestedLoopJoin Build(Right|Left), Cross".r

@@ -642,6 +642,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("q_micro"), plan)
   }
 
+  test("quantile normalization (x153): unpartitioned windows only over bucket aggregates") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = physicalPlan(graft.operators.TextOps.quantileNormalize(docs))
+    // unpartitioned = the FIRST windowspecdefinition argument is an
+    // order column (carries ASC/DESC). The only ones allowed are
+    // TwoPhase's offset windows over the ≤B-row bucket aggregate —
+    // they order solely by __bk. The round-10 cut ran the union
+    // carry-forward through a global Window over the |sources|·grid
+    // union; this pin keeps that single-task sort dead.
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    val unpart = specs.filter { s =>
+      val first = s.split(",")(0)
+      first.contains(" ASC") || first.contains(" DESC")
+    }
+    assert(unpart.nonEmpty, s"TwoPhase offset windows expected:\n$plan")
+    unpart.foreach(s => assert(s.split(",")(0).contains("__bk"),
+      s"unpartitioned window NOT over the bucket aggregate: $s\n$plan"))
+    // grid aggregate pinned → the static plan scans the corpus once
+    // (the pin's own materialization is the second, bounded, scan)
+    assert(plan.split("FileScan").length - 1 === 1,
+      s"grid must come from the pinned aggregate, not re-scans:\n$plan")
+  }
+
   test("lang mix (x149): one scan, one Generate, no joins — the pivot did its job") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val plan = physicalPlan(graft.operators.TextOps.langMixProfile(docs))
