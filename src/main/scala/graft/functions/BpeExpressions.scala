@@ -123,9 +123,11 @@ final case class BpeRanks(pairs: IndexedSeq[(String, String)]) {
   }
 }
 
-/** word (raw, not pre-segmented) → final leading-SEP segmentation under
-  * the merge table: equals `segmented(model, regexp_replace(word, "(.)",
-  * SEP$1))` for every input (BpeParitySpec). */
+/** word (raw, not pre-segmented) → final segmentation under the merge
+  * table, in the WRAPPED-symbol representation: equals
+  * `segmented(model, regexp_replace(word, "(.)", SEP$1SEP))` for every
+  * input (BpeParitySpec pins the equivalence against the chained
+  * Column form). */
 case class BpeSegmentExpr(child: Expression, ranks: BpeRanks)
     extends UnaryExpression {
   override def dataType: DataType = StringType

@@ -48,6 +48,12 @@ object QuantileOps {
                      buckets: Int = 4096, maxRounds: Int = 12): DataFrame = {
     require(ps.nonEmpty && buckets >= 16 && (buckets & (buckets - 1)) == 0,
       s"buckets=$buckets must be a power of two >= 16")
+    // target ids key driver histograms: the separator must be a char
+    // that can never appear in a caller-supplied quantile NAME, or two
+    // distinct (group, name) pairs could compose to one id when a group
+    // value contains the separator ("a b"+"p50" vs "a"+"b p50")
+    require(ps.forall(!_._1.contains('\u0000')),
+      "quantile names must not contain NUL")
     val spark = df.sparkSession
     import spark.implicits._
     val logB = java.lang.Integer.numberOfTrailingZeros(buckets)
@@ -83,7 +89,7 @@ object QuantileOps {
         val bits = 64 - java.lang.Long.numberOfLeadingZeros(range)
         math.max(bits - logB, 0)
       }
-      val bounds = open.map(t => (t.g, t.g + " " + t.name,
+      val bounds = open.map(t => (t.g, t.g + "\u0000" + t.name,
           t.ulo ^ U, t.uhi ^ U, shiftOf(t)))
         .toDF("g", "tid", "t_lo", "t_hi", "t_s")
       val hist = base
@@ -100,7 +106,7 @@ object QuantileOps {
         }
       open.foreach { t =>
         val s = shiftOf(t)
-        val h = hist(t.g + " " + t.name)
+        val h = hist(t.g + "\u0000" + t.name)
         var k = t.kRem
         val (b, _) = h.find { case (_, c) =>
           if (k <= c) true else { k -= c; false } }.get
@@ -166,14 +172,17 @@ object QuantileOps {
     *
     * Determinism contract: values snap to the 1e-6 grid once
     * (`floor(v·1e6+0.5)`, the house convention), every sum rides
-    * DECIMAL(38,0)/HUGEINT, and variance is the FLOOR-DIVISION form
-    * `Σv² div n − (Σv div n)²` — each div floors identically on both
-    * engines, so the result is a deterministic integer (bias ≤ 1 in
-    * micro² per floor, documented, never a float accumulation whose sum
-    * order could differ). Projected as DOUBLE via the exact decimal
-    * (both engines round-to-nearest from the same integer; values this
-    * size are ≤2^53 on this data). One scan, one |types|-keyed
-    * aggregate with map-side partials — nothing else. */
+    * DECIMAL(38,0)/HUGEINT, and variance is the integer-division form
+    * `Σv² div n − mean²` (bias ≤ 1 in micro² per division, documented,
+    * never a float accumulation whose sum order could differ). The mean
+    * division uses the SIGN-MAGNITUDE convention (SpectralOps.sdiv):
+    * Spark `div` truncates toward zero but DuckDB `//` FLOORS, so a
+    * negative Σv would silently diverge by 1 between the engines —
+    * both sides compute sign·(|Σv| div n), identical everywhere (Σv² is
+    * non-negative, so its div needs no guard). Projected as DOUBLE via
+    * the exact decimal (both engines round-to-nearest from the same
+    * integer; values this size are ≤2^53 on this data). One scan, one
+    * |types|-keyed aggregate with map-side partials — nothing else. */
   def valueMoments(events: DataFrame): DataFrame = {
     val v = floor(col("value").cast("double") * lit(1e6) + lit(0.5))
       .cast("long")
@@ -187,11 +196,13 @@ object QuantileOps {
         sum((col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)"))
           .as("s2"),
         count(col("v")).as("nv"))
+      .withColumn("mq", expr(
+        "CASE WHEN sv < 0 THEN -((-sv) div greatest(nv, 1L)) " +
+          "ELSE sv div greatest(nv, 1L) END"))
       .select(col("event_type"), col("n_rows"), col("n_nulls"),
         col("min_micro"), col("max_micro"),
-        expr("CAST(sv div greatest(nv, 1L) AS BIGINT)").as("mean_micro"),
-        expr("CAST(CAST(s2 div greatest(nv, 1L) " +
-          "- (sv div greatest(nv, 1L)) * (sv div greatest(nv, 1L)) " +
+        expr("CAST(mq AS BIGINT)").as("mean_micro"),
+        expr("CAST(CAST(s2 div greatest(nv, 1L) - mq * mq " +
           "AS DECIMAL(38,0)) AS DOUBLE)").as("var_micro2"))
   }
 
@@ -210,10 +221,16 @@ object QuantileOps {
        |    count(v) AS nv
        |  FROM vm_t GROUP BY event_type
        |)
+       |, vm_m AS (
+       |  SELECT *,
+       |    CASE WHEN sv < 0 THEN -((-sv) // greatest(nv, 1))
+       |      ELSE sv // greatest(nv, 1) END AS mq
+       |  FROM vm_a
+       |)
        |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
        |  CAST(n_nulls AS BIGINT) AS n_nulls,
        |  min_micro, max_micro,
-       |  CAST(sv // greatest(nv, 1) AS BIGINT) AS mean_micro,
-       |  CAST(s2 // greatest(nv, 1) - (sv // greatest(nv, 1)) * (sv // greatest(nv, 1)) AS DOUBLE) AS var_micro2
-       |FROM vm_a""".stripMargin
+       |  CAST(mq AS BIGINT) AS mean_micro,
+       |  CAST(s2 // greatest(nv, 1) - mq * mq AS DOUBLE) AS var_micro2
+       |FROM vm_m""".stripMargin
 }

@@ -83,7 +83,7 @@ object AnnIndexStream {
     *
     * Lifecycle (the model-swap discipline): compaction writes a NEW
     * index dir — `newDir/centroids` copied from the frozen model,
-    * `newDir/postings` plain parquet — and [[swapIndex]] promotes it.
+    * `newDir/postings` plain parquet — and [[promoteIndex]] promotes it.
     * The streaming manifest CANNOT adopt foreign files (a restarted
     * sink's `_spark_metadata` would hide them from manifest-aware
     * reads), so compaction closes an ingest EPOCH: stop the query,
@@ -116,16 +116,53 @@ object AnnIndexStream {
       .write.mode("errorifexists").parquet(s"$newDir/postings")
   }
 
-  /** Promote a compacted (or re-trained) index: `liveDir` retires to
-    * `retiredDir`, `newDir` becomes `liveDir` — two same-filesystem
-    * POSIX renames, each atomic; a reader resolves the directory at
-    * query start, so it sees the old index or the new one, never a
-    * splice. The retired dir stays for rollback/audit. */
-  def swapIndex(liveDir: String, newDir: String, retiredDir: String): Unit = {
+  /** Resolve the live index version under `root` via the `CURRENT`
+    * pointer — the path readers open at query start. */
+  def currentIndexDir(root: String): String = {
+    import java.nio.file.{Files, Paths}
+    Paths.get(root, Files.readString(Paths.get(root, "CURRENT")).trim)
+      .toString
+  }
+
+  /** Promote a compacted (or re-trained) index under `root`.
+    *
+    * The earlier two-rename swap (live→retired, new→live) had a hole:
+    * each rename is atomic but the PAIR is not — a crash or a reader
+    * resolving between them finds no live directory at all. Promotion
+    * is therefore versioned-dir + pointer: `newDir` moves into `root`
+    * as `v<N>` (atomic same-fs rename, invisible to readers — nothing
+    * points at it yet), then the `CURRENT` pointer file is rewritten
+    * via write-temp + ATOMIC_MOVE. The live name always resolves: a
+    * reader sees the old pointer (its version dir is never touched by
+    * promotion) or the new one, never an absent or half-written state,
+    * and a crash at any instant leaves a fully consistent root. Prior
+    * versions stay in place for rollback/audit (re-promote by
+    * rewriting `CURRENT`); retire them with an explicit delete once
+    * no reader can still hold the old pointer. Returns the promoted
+    * version path.
+    *
+    * Only COMPACTED (plain-parquet) index dirs promote: a live
+    * streaming-sink epoch cannot be moved at all — its
+    * `_spark_metadata` manifest pins absolute file paths, so a renamed
+    * sink dir stops reading (this also invalidated the retired dir
+    * under the old two-rename swap). [[compactIndex]] closes the epoch
+    * first; the sink dir stays where it was born. */
+  def promoteIndex(root: String, newDir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    Files.move(Paths.get(liveDir), Paths.get(retiredDir),
-      StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(newDir), Paths.get(liveDir),
-      StandardCopyOption.ATOMIC_MOVE)
+    import scala.jdk.CollectionConverters._
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    val vPat = "v(\\d+)".r
+    val next = Files.list(rootP).iterator().asScala
+      .flatMap(p => p.getFileName.toString match {
+        case vPat(n) => Some(n.toLong); case _ => None
+      }).foldLeft(0L)(math.max) + 1
+    val dst = rootP.resolve(s"v$next")
+    Files.move(Paths.get(newDir), dst, StandardCopyOption.ATOMIC_MOVE)
+    val tmp = rootP.resolve("CURRENT.tmp")
+    Files.writeString(tmp, s"v$next\n")
+    Files.move(tmp, rootP.resolve("CURRENT"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    dst.toString
   }
 }

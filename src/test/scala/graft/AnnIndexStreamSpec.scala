@@ -102,11 +102,26 @@ class AnnIndexStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // content + probe parity with the uncompacted index
     assert(postingSet(compactDir) === str)
     assert(probe(compactDir) === a)
-    // atomic swap: compacted dir promotes to live, old index retires
-    val retired = s"$compactBase/retired"
-    AnnIndexStream.swapIndex(streamed, compactDir, retired)
-    assert(probe(streamed) === a, "post-swap live index must probe identically")
-    assert(new java.io.File(s"$retired/postings/_spark_metadata").exists(),
-      "retired dir must still hold the old streaming sink")
+    // versioned promotion: the CURRENT pointer always resolves — two
+    // compacted epochs promote as v1 then v2; at every point the live
+    // name reads a fully consistent index, the superseded version
+    // stays in place (rollback = pointer rewrite), and the streaming
+    // sink dir never moves (its manifest pins absolute paths)
+    val root = s"$compactBase/root"
+    val compactDir2 = s"$compactBase/new2"
+    AnnIndexStream.compactIndex(spark, streamed, compactDir2, target * 2)
+    val v1 = AnnIndexStream.promoteIndex(root, compactDir)
+    assert(AnnIndexStream.currentIndexDir(root) === v1)
+    assert(probe(AnnIndexStream.currentIndexDir(root)) === a)
+    val v2 = AnnIndexStream.promoteIndex(root, compactDir2)
+    assert(AnnIndexStream.currentIndexDir(root) === v2)
+    assert(probe(AnnIndexStream.currentIndexDir(root)) === a,
+      "post-promotion live index must probe identically")
+    assert(probe(v1) === a,
+      "superseded version must stay intact for rollback")
+    assert(!new java.io.File(s"$root/CURRENT.tmp").exists(),
+      "pointer rewrite must leave no temp file")
+    assert(new java.io.File(s"$streamed/postings/_spark_metadata").exists(),
+      "the streaming sink epoch is never moved by promotion")
   }
 }

@@ -120,4 +120,22 @@ class QuantileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getAs[Double]("var_micro2")))).toMap
     ref.foreach { case (t, w) => assert(real(t) === w, s"type $t") }
   }
+
+  test("x150 moments: negative sums use sign-magnitude truncation (engine-portable)") {
+    val s = spark
+    import s.implicits._
+    // sv = -7e6 over n=3: truncation gives -2333333, DuckDB-style FLOOR
+    // would give -2333334 — this pin fails if either engine's form
+    // regresses to a raw div/floor on the negative path
+    val fix = Seq(("n", -1.0), ("n", -2.0), ("n", -4.0))
+      .toDF("event_type", "value")
+    val got = QuantileOps.valueMoments(fix).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("mean_micro"), r.getAs[Double]("var_micro2")))).toMap
+    assert(got("n")._1 === -2333333L)
+    // s2 div n − mean² = 7e12 − 2333333² = 1555557111111
+    assert(got("n")._2 === 1.555557111111e12)
+    // BigInt reference agrees (BigInt / truncates toward zero)
+    assert((BigInt(-7000000) / 3).toLong === -2333333L)
+  }
 }
