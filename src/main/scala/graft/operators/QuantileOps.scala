@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * combine, and the driver walks each histogram to find the bucket
   * containing the target rank, narrowing `[lo, hi]` by a factor of
   * 2^⌈log₂ B⌉ per round. A 64-bit domain resolves in ≤ ⌈64/log₂(B)⌉
-  * rounds (≤ 6 at B = 4096); real value ranges resolve in 2–3. The
+  * TOTAL scans (≤ 6 at B = 4096) — the per-group extent/count round
+  * rides the first histogram scan: the full-domain grid needs no
+  * bounds, and carrying per-bucket min/max both folds the extents on
+  * the driver and starts each target at the actual value extent of its
+  * rank's bucket. Real value ranges resolve in 2–3 scans. The
   * driver holds only histograms (groups × targets × B rows per round —
   * loop control, the Borůvka/BPE discipline), every scan is a narrow
   * 2-column projection with the range predicate pushed down, and no
@@ -60,12 +64,6 @@ object QuantileOps {
     val base = df.select(col(group).cast("string").as("g"),
       value.cast("long").as("v")).filter(col("v").isNotNull)
 
-    // round 0: per-group extent + count — one aggregate, |groups| rows
-    val ext = base.groupBy("g")
-      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3)))
-
     // All refinement runs in U-SPACE: u = v XOR 2^63 is the
     // order-preserving map from signed to unsigned longs, so bounds
     // compare, subtract, and bucket as UNSIGNED values: full-domain
@@ -73,13 +71,38 @@ object QuantileOps {
     // executor-side bucket is pure bitwise (xor + unsigned shift on an
     // ABSOLUTE power-of-two grid) with nothing for ANSI mode to throw on.
     val U = Long.MinValue
+
+    // round 1: the extent aggregate RIDES the first histogram scan.
+    // The first grid needs no bounds — the full-domain shift 64−log₂B
+    // is a constant — so one (g, bucket) aggregate carries count AND
+    // min/max per bucket; per-group n folds from the ≤B bucket rows on
+    // the driver, and each target's starting range is the ACTUAL value
+    // extent of the bucket holding its rank (tighter than the grid
+    // cell). Signed min/max order == u-order inside one bucket: a
+    // bucket is a contiguous u-range and u→v is monotone.
+    val s0 = 64 - logB
+    val h0 = base.groupBy(col("g"),
+        expr(s"shiftrightunsigned(v ^ shiftleft(1L, 63), $s0)").as("b"))
+      .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+          .sortWith((a, b) => java.lang.Long.compareUnsigned(a._1, b._1) < 0)
+      }
+    val ext = h0.toSeq.map { case (g, rows) => (g, rows.map(_._2).sum) }
+
     final case class Tgt(g: String, name: String, n: Long,
                          var kRem: Long, var ulo: Long, var uhi: Long)
-    val targets = for { (g, n, lo, hi) <- ext.toSeq; (name, p) <- ps }
-      yield Tgt(g, name, n, math.ceil(p * n).toLong.max(1L).min(n),
-        lo ^ U, hi ^ U)
+    val targets = for { (g, n) <- ext; (name, p) <- ps } yield {
+      var k = math.ceil(p * n).toLong.max(1L).min(n)
+      val (_, _, mn, mx) = h0(g).find { case (_, c, _, _) =>
+        if (k <= c) true else { k -= c; false } }.get
+      Tgt(g, name, n, k, mn ^ U, mx ^ U)
+    }
 
-    var round = 0
+    var round = 1
     while (targets.exists(t => t.ulo != t.uhi) && round < maxRounds) {
       round += 1
       val open = targets.filter(t => t.ulo != t.uhi)
@@ -97,31 +120,34 @@ object QuantileOps {
         .filter(col("v") >= col("t_lo") && col("v") <= col("t_hi"))
         .groupBy(col("tid"),
           expr("shiftrightunsigned(v ^ shiftleft(1L, 63), t_s)").as("b"))
-        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
         .collect()
         .groupBy(_.getString(0))
         .map { case (tid, rows) =>
-          tid -> rows.map(r => r.getLong(1) -> r.getLong(2))
+          tid -> rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getLong(4)))
             .sortWith((a, b) => java.lang.Long.compareUnsigned(a._1, b._1) < 0)
         }
       open.foreach { t =>
-        val s = shiftOf(t)
         val h = hist(t.g + "\u0000" + t.name)
         var k = t.kRem
-        val (b, _) = h.find { case (_, c) =>
+        // per-bucket min/max rode the same aggregate: the new bounds
+        // are the ACTUAL value extent inside the rank's bucket, not the
+        // grid cell — data-adaptive narrowing, never worse than the
+        // cell clamp, and a bucket holding one distinct value (heavy-
+        // duplicate runs) converges its target instantly
+        val (_, _, mn, mx) = h.find { case (_, c, _, _) =>
           if (k <= c) true else { k -= c; false } }.get
         t.kRem = k
-        val cellLo = b << s                    // u-space grid cell base
-        val cellHi = cellLo + ((1L << s) - 1L) // cell top; never wraps
-        if (java.lang.Long.compareUnsigned(cellLo, t.ulo) > 0) t.ulo = cellLo
-        if (java.lang.Long.compareUnsigned(cellHi, t.uhi) < 0) t.uhi = cellHi
+        t.ulo = mn ^ U
+        t.uhi = mx ^ U
       }
     }
     require(targets.forall(t => t.ulo == t.uhi),
       s"quantile refinement did not converge in $maxRounds rounds")
 
     // assemble: one row per group, a column per p name (back to signed)
-    val out = ext.toSeq.map { case (g, n, _, _) =>
+    val out = ext.map { case (g, n) =>
       (g, n, ps.map { case (name, _) =>
         targets.find(t => t.g == g && t.name == name).get.ulo ^ U })
     }

@@ -121,6 +121,28 @@ class QuantileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ref.foreach { case (t, w) => assert(real(t) === w, s"type $t") }
   }
 
+  test("x140 scan budget: extent rides scan 1; extent-adaptive bounds kill the grid walk") {
+    val s = spark
+    import s.implicits._
+    // two clusters 2^40 apart: grid-cell narrowing alone needs
+    // ~⌈41/log₂B⌉ = 7 refinement scans plus the old extent round to pin
+    // p50=0; per-bucket min/max collapse each target the moment its
+    // bucket holds one distinct value — 2 scans total
+    val df = (Seq.fill(50)(0L) ++ Seq.fill(50)(1L << 40))
+      .map(("c", _)).toDF("g", "v")
+    val sc = spark.sparkContext
+    sc.setJobGroup("x140pin", "scan count", interruptOnCancel = false)
+    val got = QuantileOps.exactQuantiles(df, "g", col("v"),
+      Seq("p50" -> 0.50, "p99" -> 0.99), buckets = 64).collect()
+    sc.clearJobGroup()
+    assert(got.head.getLong(2) === 0L && got.head.getLong(3) === (1L << 40))
+    val jobs = sc.statusTracker.getJobIdsForGroup("x140pin").length
+    // 2 histogram scans; AQE splits each round into shuffle-stage +
+    // result jobs and round 2 adds a broadcast job (observed: 5). The
+    // old grid walk was ~8 rounds ≈ 20+ jobs on this fixture.
+    assert(jobs <= 6, s"expected ≤6 jobs (2 scans under AQE), got $jobs")
+  }
+
   test("x150 moments: negative sums use sign-magnitude truncation (engine-portable)") {
     val s = spark
     import s.implicits._
