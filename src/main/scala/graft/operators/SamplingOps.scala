@@ -503,20 +503,35 @@ object SamplingOps {
 
   /** The write path the x144 manifest describes: rewrite the corpus as
     * `shards` near-equal-token-mass parquet partitions
-    * (`path/shard=K/`, exactly one file each). The shuffle keys on the
+    * (`shard=K/`, exactly one file each). The shuffle keys on the
     * shard id, so a data-parallel reader maps one directory to one
     * worker and every worker finishes together — the property the
     * manifest PROMISES and this writer delivers (SamplingOpsSpec reads
     * the files back and checks the physical masses against the
     * manifest). A hash collision between shard ids only co-locates two
     * shards in one task; `partitionBy` still splits their directories,
-    * and each directory is written by exactly one task → one file. */
-  def writeShards(docs: DataFrame, path: String, shards: Int = 8,
-                  buckets: Int = 64): Unit =
+    * and each directory is written by exactly one task → one file.
+    *
+    * Exactly-once commit: the layout lands in `root/.staging` first,
+    * then publishes as a version under `root` via
+    * [[graft.core.AtomicDir]] (atomic rename + `CURRENT` pointer
+    * rewrite) — a crash at ANY point, including between shard
+    * directories, leaves the previously-published layout fully
+    * readable at [[currentShards]] and at worst an orphaned staging
+    * dir the next run's overwrite reclaims. Returns the published
+    * version path. */
+  def writeShards(docs: DataFrame, root: String, shards: Int = 8,
+                  buckets: Int = 64): String = {
+    val staging = s"$root/.staging"
     snakeAssign(docs, shards, buckets)
       .drop("__n")
       .repartition(shards, col("shard"))
-      .write.partitionBy("shard").mode("overwrite").parquet(path)
+      .write.partitionBy("shard").mode("overwrite").parquet(staging)
+    graft.core.AtomicDir.promote(root, staging)
+  }
+
+  /** The live shard layout under `root` — what readers open. */
+  def currentShards(root: String): String = graft.core.AtomicDir.current(root)
 
   /** DuckDB twin of [[shardManifest]] — the rank-window definition the
     * TwoPhase form must equal. */

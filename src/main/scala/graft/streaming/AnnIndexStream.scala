@@ -118,11 +118,8 @@ object AnnIndexStream {
 
   /** Resolve the live index version under `root` via the `CURRENT`
     * pointer — the path readers open at query start. */
-  def currentIndexDir(root: String): String = {
-    import java.nio.file.{Files, Paths}
-    Paths.get(root, Files.readString(Paths.get(root, "CURRENT")).trim)
-      .toString
-  }
+  def currentIndexDir(root: String): String =
+    graft.core.AtomicDir.current(root)
 
   /** Promote a compacted (or re-trained) index under `root`.
     *
@@ -147,22 +144,6 @@ object AnnIndexStream {
     * sink dir stops reading (this also invalidated the retired dir
     * under the old two-rename swap). [[compactIndex]] closes the epoch
     * first; the sink dir stays where it was born. */
-  def promoteIndex(root: String, newDir: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val rootP = Paths.get(root)
-    Files.createDirectories(rootP)
-    val vPat = "v(\\d+)".r
-    val next = Files.list(rootP).iterator().asScala
-      .flatMap(p => p.getFileName.toString match {
-        case vPat(n) => Some(n.toLong); case _ => None
-      }).foldLeft(0L)(math.max) + 1
-    val dst = rootP.resolve(s"v$next")
-    Files.move(Paths.get(newDir), dst, StandardCopyOption.ATOMIC_MOVE)
-    val tmp = rootP.resolve("CURRENT.tmp")
-    Files.writeString(tmp, s"v$next\n")
-    Files.move(tmp, rootP.resolve("CURRENT"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    dst.toString
-  }
+  def promoteIndex(root: String, newDir: String): String =
+    graft.core.AtomicDir.promote(root, newDir)
 }

@@ -307,8 +307,9 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shards = 4
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     try {
-      SamplingOps.writeShards(docs, dir, shards)
-      val back = spark.read.parquet(dir)
+      val v1 = SamplingOps.writeShards(docs, dir, shards)
+      assert(SamplingOps.currentShards(dir) === v1)
+      val back = spark.read.parquet(SamplingOps.currentShards(dir))
         .withColumn("file", input_file_name())
         .withColumn("n", graft.functions.TextExpressions
           .wsTokenCountFast(col("text")).cast("long"))
@@ -328,6 +329,24 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"shard $sh physical mass must equal the manifest")
       }
       assert(back.count() === docs.count(), "rows conserved")
+      // exactly-once commit: a writer that dies mid-layout (staging dir
+      // half-written, never promoted) leaves the published layout
+      // untouched and fully readable
+      val stale = new java.io.File(s"$dir/.staging/shard=0")
+      stale.mkdirs()
+      java.nio.file.Files.writeString(
+        stale.toPath.resolve("part-garbage.parquet"), "not parquet")
+      assert(SamplingOps.currentShards(dir) === v1,
+        "a crashed staging write must not move the pointer")
+      assert(spark.read.parquet(SamplingOps.currentShards(dir)).count()
+        === docs.count(), "published layout survives a crashed writer")
+      // the next successful write reclaims staging and publishes v2;
+      // v1 stays for rollback
+      val v2 = SamplingOps.writeShards(docs, dir, shards)
+      assert(v2 !== v1)
+      assert(SamplingOps.currentShards(dir) === v2)
+      assert(spark.read.parquet(v1).count() === docs.count(),
+        "superseded layout stays intact for rollback")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
