@@ -1506,6 +1506,16 @@ object SparkEntry {
       graft.operators.BpeOps.compressionBySource(
         Tables.documents(s, dir), bpeModel(s, dir))),
 
+    // x154 — per-source tokenizer/novelty drift between the x141
+    // releases: x142's fertility and the x146 novelty rate computed on
+    // prev AND curr, signed relative drift in ppm, flags past the
+    // threshold — "which feed went bad THIS release"; word/shingle
+    // aggregates meet at |sources| granularity, first-occurrence stays
+    // a min-aggregate, drift divisions are sign-magnitude
+    "x154_source_drift" -> ((s, dir) =>
+      graft.operators.CurationOps.sourceDriftDemo(
+        Tables.documents(s, dir), bpeModel(s, dir))),
+
     // x136 — incremental aggregate refresh: base (90%) and late-batch
     // (10%) partials aggregated separately and MERGED by summing — the
     // materialized-view maintenance pattern; the oracle computes the
@@ -2903,6 +2913,7 @@ object SparkEntry {
         .compressionBySourceSql(bpe),
       "x145_merge_utilization" -> graft.operators.BpeOps
         .mergeUtilizationSql(bpe),
+      "x154_source_drift" -> graft.operators.CurationOps.sourceDriftSql(bpe),
       "x152_prune_reprice" -> graft.operators.BpeOps
         .pruneRepriceCountsSql(bpe, prunedBpeModel(spark, sfDir)),
       "x18_ann_ivf" -> graft.operators.IvfOps.topKSql(

@@ -273,13 +273,20 @@ object BpeOps {
     s"WITH $vocabSql,\n$rounds\n$out"
   }
 
+  /** SQL fragment: the model's literal merges as R nested `replace`s
+    * over a wrapped-symbol column named `syms` — the segmentation core
+    * shared by [[applyCountsSql]] and by twins that build their lexicon
+    * over a relation other than `documents` (x154's release pair). */
+  def segSql(model: BpeModel): String =
+    model.merges.foldLeft("syms") { case (e, (l, r, _)) =>
+      s"replace($e, ${patLit(l, r)}, ${repLit(l, r)})"
+    }
+
   /** DuckDB twin of [[applyCounts]]: the literal merges collapse to R
     * nested replaces over the distinct-word lexicon, joined back onto
     * the exploded documents. */
   def applyCountsSql(model: BpeModel): String = {
-    val seg = model.merges.foldLeft("syms") { case (e, (l, r, _)) =>
-      s"replace($e, ${patLit(l, r)}, ${repLit(l, r)})"
-    }
+    val seg = segSql(model)
     s"""WITH $vocabSql,
        |bpe_lex AS (
        |  SELECT word,

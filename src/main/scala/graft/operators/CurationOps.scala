@@ -962,12 +962,12 @@ object CurationOps {
           coalesce(expr("bit_xor(h_c)"), lit(0L))).as("digest_changed"))
   }
 
-  /** x141 gate composition: two releases derived deterministically from
-    * the documents table — prev drops the hash60(doc_id)%20==0 slice
+  /** The deterministic release pair behind [[releaseDiffDemo]] and
+    * [[sourceDriftDemo]]: prev drops the hash60(doc_id)%20==0 slice
     * (those docs are ADDED in curr), curr drops the %20==1 slice
     * (REMOVED) and appends an edit marker to the %20==2 slice
-    * (CHANGED). Every diff verdict class fires on the fixture. */
-  def releaseDiffDemo(docs: DataFrame): DataFrame = {
+    * (CHANGED). */
+  def releasePair(docs: DataFrame): (DataFrame, DataFrame) = {
     val bucket = pmod(graft.functions.HashFunctions.hash60(
       col("doc_id").cast("string")), lit(20L))
     val prev = docs.filter(bucket =!= 0L)
@@ -975,7 +975,180 @@ object CurationOps {
       .withColumn("text",
         when(bucket === 2L, concat(col("text"), lit(" v2-edit")))
           .otherwise(col("text")))
+    (prev, curr)
+  }
+
+  /** x141 gate composition over [[releasePair]]: every diff verdict
+    * class fires on the fixture. */
+  def releaseDiffDemo(docs: DataFrame): DataFrame = {
+    val (prev, curr) = releasePair(docs)
     releaseDiff(prev, curr)
+  }
+
+  /** x154: per-source tokenizer/novelty DRIFT between releases — the
+    * composition that makes x141 actionable: x141 says a source's
+    * docs/tokens moved, this says whether the source's CONTENT CHARACTER
+    * moved with them. Per source present in both releases: x142's BPE
+    * fertility (subwords per word under the frozen production model) and
+    * the x146-style novelty rate (share of the source's distinct
+    * shingles that first occur in its own release), each computed on
+    * prev and curr, with signed relative drift in ppm and a flag when
+    * |drift| crosses `thresholdPpm`. A fertility jump = the feed's
+    * script/vocabulary shifted away from what the tokenizer was priced
+    * on; a novelty collapse = the feed started repeating itself (or the
+    * release duplicated it) — "which feed went bad THIS release",
+    * before it reaches training loss.
+    *
+    * Scale shape: per release, one word-level aggregate (map-side
+    * combined) for fertility with a vocab-sized shared lexicon
+    * segmentation, and the x146 min-aggregate first-occurrence for
+    * novelty (a viral gram lands in map-side partials, never one task);
+    * everything meets at |sources| granularity — no windows, no
+    * doc×doc anything. Drift divisions are signed → sign-magnitude
+    * (the Spark-div-truncates / DuckDB-//-floors rule). */
+  def sourceDrift(prev: DataFrame, curr: DataFrame, model: BpeOps.BpeModel,
+                  thresholdPpm: Long = 20000L): DataFrame = {
+    def fert(rel: DataFrame, side: String) =
+      BpeOps.compressionBySource(rel, model)
+        .select(col("source"),
+          col("fertility_micro").as(s"fert_${side}_micro"))
+    def nov(rel: DataFrame, side: String) = {
+      val sh = DedupOps.shingles(col("text"))
+      val grams = rel
+        .select(col("source"), size(array_distinct(sh)).cast("long").as("ng"))
+        .groupBy("source").agg(sum(col("ng")).as("ng"))
+      val novel = rel
+        .select(col("doc_id"), explode(array_distinct(sh)).as("s"))
+        .groupBy("s").agg(min(col("doc_id")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("nn"))
+        .join(rel.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source").agg(sum(col("nn")).as("nn"))
+      grams.join(novel, Seq("source"), "left")
+        .select(col("source"),
+          expr("CAST((CAST(coalesce(nn, 0L) AS DECIMAL(38,0)) * 1000000) " +
+            "div greatest(ng, 1L) AS BIGINT)").as(s"nov_${side}_ppm"))
+    }
+    def drift(c: String, p: String) = expr(
+      s"CASE WHEN $c < $p THEN " +
+        s"-CAST(((CAST($p AS DECIMAL(38,0)) - $c) * 1000000) " +
+        s"div greatest($p, 1L) AS BIGINT) " +
+        s"ELSE CAST(((CAST($c AS DECIMAL(38,0)) - $p) * 1000000) " +
+        s"div greatest($p, 1L) AS BIGINT) END")
+    fert(prev, "prev").join(fert(curr, "curr"), Seq("source"))
+      .join(nov(prev, "prev"), Seq("source"))
+      .join(nov(curr, "curr"), Seq("source"))
+      .withColumn("fert_drift_ppm",
+        drift("fert_curr_micro", "fert_prev_micro"))
+      .withColumn("nov_drift_ppm", drift("nov_curr_ppm", "nov_prev_ppm"))
+      .select(col("source"),
+        col("fert_prev_micro"), col("fert_curr_micro"), col("fert_drift_ppm"),
+        col("nov_prev_ppm"), col("nov_curr_ppm"), col("nov_drift_ppm"),
+        (abs(col("fert_drift_ppm")) > thresholdPpm).cast("int")
+          .as("fert_flag"),
+        (abs(col("nov_drift_ppm")) > thresholdPpm).cast("int").as("nov_flag"))
+  }
+
+  /** x154 gate composition over [[releasePair]]. */
+  def sourceDriftDemo(docs: DataFrame, model: BpeOps.BpeModel,
+                      thresholdPpm: Long = 20000L): DataFrame = {
+    val (prev, curr) = releasePair(docs)
+    sourceDrift(prev, curr, model, thresholdPpm)
+  }
+
+  /** DuckDB twin of [[sourceDriftDemo]] — one shared lexicon
+    * segmentation over the union vocabulary, per-release word and
+    * shingle aggregates, drift by sign-magnitude division. */
+  def sourceDriftSql(model: BpeOps.BpeModel,
+                     thresholdPpm: Long = 20000L): String = {
+    val b = s"(${graft.functions.HashFunctions.hash60Sql(
+      "CAST(doc_id AS VARCHAR)")} % 20)"
+    val n = DedupOps.shingleWords
+    val cat = (0 until n).map(j => s"ws[sd_i+$j]").mkString(" || ' ' || ")
+    val shingleList = "list_distinct(list_transform(" +
+      s"generate_series(1, greatest(len(ws) - ${n - 1}, 0)), " +
+      s"sd_i -> $cat))"
+    def drift(c: String, p: String) =
+      s"""CASE WHEN $c < $p THEN
+         |    -CAST(((CAST($p AS HUGEINT) - $c) * 1000000)
+         |      // greatest($p, 1) AS BIGINT)
+         |  ELSE CAST(((CAST($c AS HUGEINT) - $p) * 1000000)
+         |      // greatest($p, 1) AS BIGINT) END""".stripMargin
+    s"""WITH sd_prev AS (
+       |  SELECT doc_id, source, text FROM documents WHERE $b <> 0
+       |), sd_curr AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN $b = 2 THEN text || ' v2-edit' ELSE text END AS text
+       |  FROM documents WHERE $b <> 1
+       |), sd_u AS (
+       |  SELECT 'p' AS rel, doc_id, source, text FROM sd_prev
+       |  UNION ALL
+       |  SELECT 'c' AS rel, doc_id, source, text FROM sd_curr
+       |), sd_w AS (
+       |  SELECT rel, source, word
+       |  FROM (SELECT rel, source,
+       |          unnest(${TextOps.wordsReSql("text")}) AS word
+       |        FROM sd_u)
+       |  WHERE length(word) > 0 AND word NOT LIKE '%' || chr(31) || '%'
+       |), sd_lex AS (
+       |  SELECT word,
+       |    CAST((length(s) - length(replace(s, chr(31), ''))) // 2 AS BIGINT)
+       |      AS n_sub
+       |  FROM (SELECT word, ${BpeOps.segSql(model)} AS s
+       |        FROM (SELECT DISTINCT word,
+       |                regexp_replace(word, '(.)',
+       |                  chr(31) || '\\1' || chr(31), 'g') AS syms
+       |              FROM sd_w))
+       |), sd_fert AS (
+       |  SELECT rel, source,
+       |    CAST((CAST(sum(x.n_sub) AS HUGEINT) * 1000000) // count(*)
+       |      AS BIGINT) AS fert
+       |  FROM sd_w w JOIN sd_lex x USING (word)
+       |  GROUP BY rel, source
+       |), sd_ws AS (
+       |  SELECT rel, doc_id, source, ${TextOps.wordsReSql("text")} AS ws
+       |  FROM sd_u
+       |), sd_ng AS (
+       |  SELECT rel, source, sum(len($shingleList)) AS ng
+       |  FROM sd_ws GROUP BY rel, source
+       |), sd_sh AS (
+       |  SELECT rel, doc_id, unnest($shingleList) AS sh FROM sd_ws
+       |), sd_first AS (
+       |  SELECT rel, sh, min(doc_id) AS doc_id FROM sd_sh GROUP BY rel, sh
+       |), sd_nnd AS (
+       |  SELECT rel, doc_id, count(*) AS nn FROM sd_first GROUP BY rel, doc_id
+       |), sd_nn AS (
+       |  SELECT d.rel, u.source, sum(d.nn) AS nn
+       |  FROM sd_nnd d
+       |  JOIN (SELECT DISTINCT rel, doc_id, source FROM sd_u) u
+       |    USING (rel, doc_id)
+       |  GROUP BY d.rel, u.source
+       |), sd_nov AS (
+       |  SELECT g.rel, g.source,
+       |    CAST((CAST(coalesce(n.nn, 0) AS HUGEINT) * 1000000)
+       |      // greatest(g.ng, 1) AS BIGINT) AS nov
+       |  FROM sd_ng g LEFT JOIN sd_nn n ON g.rel = n.rel
+       |    AND g.source = n.source
+       |), sd_f AS (
+       |  SELECT p.source,
+       |    p.fert AS fert_prev_micro, c.fert AS fert_curr_micro,
+       |    np.nov AS nov_prev_ppm, nc.nov AS nov_curr_ppm
+       |  FROM (SELECT source, fert FROM sd_fert WHERE rel = 'p') p
+       |  JOIN (SELECT source, fert FROM sd_fert WHERE rel = 'c') c
+       |    USING (source)
+       |  JOIN (SELECT source, nov FROM sd_nov WHERE rel = 'p') np
+       |    USING (source)
+       |  JOIN (SELECT source, nov FROM sd_nov WHERE rel = 'c') nc
+       |    USING (source)
+       |)
+       |SELECT source, fert_prev_micro, fert_curr_micro,
+       |  ${drift("fert_curr_micro", "fert_prev_micro")} AS fert_drift_ppm,
+       |  nov_prev_ppm, nov_curr_ppm,
+       |  ${drift("nov_curr_ppm", "nov_prev_ppm")} AS nov_drift_ppm,
+       |  CAST(CASE WHEN abs(${drift("fert_curr_micro", "fert_prev_micro")})
+       |    > $thresholdPpm THEN 1 ELSE 0 END AS INTEGER) AS fert_flag,
+       |  CAST(CASE WHEN abs(${drift("nov_curr_ppm", "nov_prev_ppm")})
+       |    > $thresholdPpm THEN 1 ELSE 0 END AS INTEGER) AS nov_flag
+       |FROM sd_f""".stripMargin
   }
 
   /** DuckDB twin of [[releaseDiffDemo]]. */

@@ -315,4 +315,43 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"count identity broken for ${r.getString(0)}")
     }
   }
+
+  test("x154 sourceDrift: repeating feed flags novelty, gibberish feed flags fertility") {
+    val s = spark
+    import s.implicits._
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    // A: stable prose; B: starts repeating itself in curr; C: turns to
+    // unseen-script gibberish in curr (fertility spike under a model
+    // trained on prose)
+    val prose = Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "a stitch in time saves nine they always say here",
+      "rain in spain falls mainly on the plain each year",
+      "many hands make light work when the team is ready")
+    val prevRows =
+      prose.zipWithIndex.map { case (t, i) => (10L + i, "A", t) } ++
+        prose.zipWithIndex.map { case (t, i) =>
+          (20L + i, "B", t + " extra b" + i) } ++
+        prose.zipWithIndex.map { case (t, i) =>
+          (30L + i, "C", t + " extra c" + i) }
+    val currRows =
+      prose.zipWithIndex.map { case (t, i) => (10L + i, "A", t) } ++
+        (0 until 4).map(i => (20L + i, "B", prose.head)) ++
+        prose.zipWithIndex.map { case (_, i) =>
+          (30L + i, "C", "zzqxv qqzzx xvqzz zqxqv vzzqx wqzzv") }
+    val model = graft.operators.BpeOps.train(mk(prevRows), rounds = 8)
+    val got = CurationOps.sourceDrift(mk(prevRows), mk(currRows), model)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Int]("fert_flag"), r.getAs[Int]("nov_flag"),
+          r.getAs[Long]("nov_drift_ppm"), r.getAs[Long]("fert_drift_ppm"))))
+      .toMap
+    assert(got("A")._1 === 0 && got("A")._2 === 0,
+      s"stable feed must not flag: ${got("A")}")
+    assert(got("B")._2 === 1 && got("B")._3 < 0L,
+      s"repeating feed must flag a novelty collapse: ${got("B")}")
+    assert(got("C")._1 === 1 && got("C")._4 > 0L,
+      s"gibberish feed must flag a fertility spike: ${got("C")}")
+  }
 }
