@@ -1223,6 +1223,13 @@ object SparkEntry {
             / col("n_exact").cast("double")).as("recall"))
     }),
 
+    // x155 — kNN label-consistency: per label, neighbor purity and
+    // majority-vote accuracy of the sampled exact top-k — whether the
+    // true neighbors MEAN anything, where x96 asks whether the index
+    // finds them; label-keyed joins + aggregates after the x96 kernel
+    "x155_label_consistency" -> ((s, dir) =>
+      SimilarityOps.labelConsistency(Tables.embeddings(s, dir))),
+
     // x100 — SSL-prototype pruning (Sorscher et al. 2022): per-cluster
     // prototypicality rank over micro-snapped cosines; drop the easy
     // fraction (oracle is dynamic: centroids embed)
@@ -2224,6 +2231,7 @@ object SparkEntry {
     "x143_dictionary_tags" -> graft.operators.DictTagOps.dictionaryTagsSql(),
     "x144_shard_manifest" -> graft.operators.SamplingOps.shardManifestSql(),
     "x146_novelty" -> graft.operators.DedupOps.noveltyScoreSql(),
+    "x155_label_consistency" -> SimilarityOps.labelConsistencySql(),
     "x147_fk_audit" -> graft.operators.IntegrityOps.fkAuditSql,
     "x148_quality_percentile" -> TextOps.qualityPercentileSql,
     "x149_lang_mix" -> TextOps.langMixProfileSql(),

@@ -215,6 +215,103 @@ object SimilarityOps {
        |FROM scored
        |QUALIFY rank <= $k""".stripMargin
 
+  /** x155: kNN label-consistency — the embedding-quality audit the
+    * label column makes possible. For the sampled query set, the EXACT
+    * top-k cosine neighbors are checked against each query's label;
+    * per label: neighbor purity (share of the k·|queries| neighbor
+    * slots holding the query's own label) and majority-vote accuracy
+    * (share of queries whose neighbor-majority label equals their own;
+    * vote ties resolve to the smallest label on both engines). A label
+    * whose purity sags marks a region the embedding space (or the
+    * labeling) mixes — the read that gates an embedding-model swap
+    * before ANN / semdedup / hard-negative mining (x116) consume it;
+    * x96 measures whether the INDEX finds the true neighbors, this
+    * measures whether the true neighbors mean anything.
+    *
+    * Scale shape: the exact kernel is the sampled-query brute-force
+    * baseline (the x96 contract — queries are the 1% probe set,
+    * corpus × probes via broadcast; production volume routes through
+    * the IVF path). Everything after is vec_id-keyed equi-joins and
+    * aggregates at query then label granularity; the majority vote is
+    * two aggregates + an equi-join — no window over anything unbounded
+    * (the only window is the kernel's per-query top-k, |probe|-keyed). */
+  def labelConsistency(emb: DataFrame, k: Int = 8,
+                       queryPred: Column = col("vec_id") % 100 === 0): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val nn = bruteForceTopK(emb, emb.filter(queryPred), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+    val v = nn.groupBy("query_id", "qlabel", "nlabel")
+      .agg(count(lit(1)).as("cnt"))
+    val m = v.groupBy("query_id").agg(max(col("cnt")).as("mx"))
+    val vote = v.join(m, Seq("query_id")).filter(col("cnt") === col("mx"))
+      .groupBy("query_id", "qlabel").agg(min(col("nlabel")).as("vote"))
+    val purity = nn.groupBy("qlabel").agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_slots"),
+      sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+        .as("n_match"))
+    val acc = vote.groupBy("qlabel").agg(
+      sum(when(col("vote") === col("qlabel"), 1L).otherwise(0L))
+        .as("n_vote_correct"))
+    purity.join(acc, Seq("qlabel"))
+      .select(col("qlabel").as("label"), col("n_queries"), col("n_slots"),
+        col("n_match"),
+        expr("CAST((CAST(n_match AS DECIMAL(38,0)) * 1000000) " +
+          "div n_slots AS BIGINT)").as("purity_ppm"),
+        col("n_vote_correct"),
+        expr("CAST((CAST(n_vote_correct AS DECIMAL(38,0)) * 1000000) " +
+          "div n_queries AS BIGINT)").as("vote_acc_ppm"))
+  }
+
+  /** DuckDB twin of [[labelConsistency]] — static (no trained model):
+    * the exact-kNN kernel is [[bruteForceTopKSql]] verbatim. */
+  def labelConsistencySql(queryFilter: String = "vec_id % 100 = 0",
+                          k: Int = 8): String =
+    s"""WITH lc_l AS (SELECT vec_id, label FROM embeddings),
+       |lc_nn0 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${bruteForceTopKSql(queryFilter, k)}
+       |  )
+       |), lc_nn AS (
+       |  SELECT n.query_id, ql.label AS qlabel, nl.label AS nlabel
+       |  FROM lc_nn0 n
+       |  JOIN lc_l ql ON n.query_id = ql.vec_id
+       |  JOIN lc_l nl ON n.neighbor_id = nl.vec_id
+       |), lc_v AS (
+       |  SELECT query_id, qlabel, nlabel, count(*) AS cnt
+       |  FROM lc_nn GROUP BY query_id, qlabel, nlabel
+       |), lc_m AS (
+       |  SELECT query_id, max(cnt) AS mx FROM lc_v GROUP BY query_id
+       |), lc_vote AS (
+       |  SELECT v.query_id, v.qlabel, min(v.nlabel) AS vote
+       |  FROM lc_v v JOIN lc_m m
+       |    ON v.query_id = m.query_id AND v.cnt = m.mx
+       |  GROUP BY v.query_id, v.qlabel
+       |), lc_p AS (
+       |  SELECT qlabel, count(DISTINCT query_id) AS n_queries,
+       |    count(*) AS n_slots,
+       |    sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS n_match
+       |  FROM lc_nn GROUP BY qlabel
+       |), lc_a AS (
+       |  SELECT qlabel,
+       |    sum(CASE WHEN vote = qlabel THEN 1 ELSE 0 END) AS n_vote_correct
+       |  FROM lc_vote GROUP BY qlabel
+       |)
+       |SELECT CAST(p.qlabel AS INTEGER) AS label,
+       |  CAST(n_queries AS BIGINT) AS n_queries,
+       |  CAST(n_slots AS BIGINT) AS n_slots,
+       |  CAST(n_match AS BIGINT) AS n_match,
+       |  CAST((CAST(n_match AS HUGEINT) * 1000000) // n_slots AS BIGINT)
+       |    AS purity_ppm,
+       |  CAST(n_vote_correct AS BIGINT) AS n_vote_correct,
+       |  CAST((CAST(n_vote_correct AS HUGEINT) * 1000000) // n_queries
+       |    AS BIGINT) AS vote_acc_ppm
+       |FROM lc_p p JOIN lc_a a ON p.qlabel = a.qlabel""".stripMargin
+
   /** Int8 scalar quantization of the embedding column — the storage/
     * bandwidth step of a large-scale ANN pipeline (code + per-vector norm
     * reconstruct the vector to ±norm/254 per element). Per-row narrow

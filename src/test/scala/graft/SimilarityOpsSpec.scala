@@ -117,4 +117,35 @@ class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o2.getAs[Long]("min_coh_micro") < 0L, "antipodal doc scores negative")
     assert(o2.getAs[Long]("n_docs") === 3L)
   }
+
+  test("x155 labelConsistency: clean clusters score 1e6; a mislabeled point dents purity") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // two orthogonal clusters of 6, tight noise on distinct axes; every
+    // vec_id % 2 == 0 row is a query (k=3 neighbors within a 6-cluster)
+    def v(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(4)(0f); a(axis) = 1f; a(3) = eps; a
+    }
+    val clean = (0 until 6).map(i => (i.toLong, v(0, 0.01f * i), 0)) ++
+      (6 until 12).map(i => (i.toLong, v(1, 0.01f * i), 1))
+    val cleanDf = clean.toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.labelConsistency(cleanDf, k = 3,
+      queryPred = col("vec_id") % 2 === 0)
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("purity_ppm"), r.getAs[Long]("vote_acc_ppm")))).toMap
+    assert(got(0) === ((1000000L, 1000000L)))
+    assert(got(1) === ((1000000L, 1000000L)))
+    // flip one cluster-0 NON-QUERY row's label: cluster-0 queries now
+    // see a wrong-label neighbor slot, purity < 1e6, vote still right
+    val dirty = clean.map { case (id, e, l) =>
+      (id, e, if (id == 1L) 1 else l) }.toDF("vec_id", "embedding", "label")
+    val got2 = SimilarityOps.labelConsistency(dirty, k = 3,
+      queryPred = col("vec_id") % 2 === 0)
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("purity_ppm"), r.getAs[Long]("vote_acc_ppm")))).toMap
+    assert(got2(0)._1 < 1000000L,
+      s"mislabeled neighbor must dent cluster-0 purity: ${got2(0)}")
+    assert(got2(0)._2 === 1000000L, "majority vote should survive one flip")
+  }
 }

@@ -1,0 +1,196 @@
+#!/usr/bin/env python3
+"""sf1 scale smoke (VERDICT r10 item #7): generate a 10x variant of the
+three LLM-pipeline tables (documents/embeddings/events) with the same
+statistical shape as the driver's sf0.1, time the heaviest gate queries
+once at each SF, and assert the growth exponents:
+
+  - x119 (session pagerank), x23 (dup clusters), x111 (bpe merges),
+    x83 (cluster split): near-linear operators -> time ratio <= 12x
+    (10x data with room for log factors and fixed costs).
+  - j16 (band join): the result is INHERENTLY pair-quadratic at fixed
+    value range (intra-band pairs ~ n^2 * width/range), so a flat 12x
+    bound would be dishonest in both directions. The smoke computes the
+    exact pair growth with DuckDB's O(n log n) window form and asserts
+    time tracks OUTPUT: time ratio <= 2x the pair ratio.
+
+This catches accidentally-quadratic plans the 2k-embedding / 5k-doc
+gate corpus cannot (anything hiding an O(n^2) shuffle or driver loop
+blows the bound by an order of magnitude at 10x rows).
+
+Usage: python3 tools/scale_smoke.py [--regen]
+Writes the sf1 tables to /tmp/graft_sf1 (kept across runs unless
+--regen) and prints one ratio row per query.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/graft_sf1"
+QUERIES = ["x119_session_pagerank", "x23_dup_clusters", "x111_bpe_merges",
+           "j16_band_join", "x83_cluster_split"]
+LINEAR = [q for q in QUERIES if q != "j16_band_join"]
+SEED = 42
+
+
+def generate():
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(SEED)
+    os.makedirs(SF1, exist_ok=True)
+    q = duckdb.sql
+
+    # ---- documents: same 31-word vocab, same length/lang/source mix,
+    # same (tiny) exact-dup rate, 10x rows
+    words, freqs = zip(*q(
+        f"SELECT w, count(*) FROM (SELECT unnest(string_split(text,' ')) w "
+        f"FROM '{SF01}/documents.parquet') GROUP BY w").fetchall())
+    p_w = np.array(freqs, float) / sum(freqs)
+    langs, lfreqs = zip(*q(
+        f"SELECT lang, count(*) FROM '{SF01}/documents.parquet' GROUP BY lang"
+    ).fetchall())
+    p_l = np.array(lfreqs, float) / sum(lfreqs)
+    lens = np.array(q(
+        f"SELECT len(string_split(text,' ')) FROM '{SF01}/documents.parquet'"
+    ).fetchall(), dtype=int).ravel()
+    n_docs = 10 * len(lens)
+    doc_lens = rng.choice(lens, size=n_docs, replace=True)
+    words = np.array(words, dtype=object)
+    texts = [" ".join(rng.choice(words, size=int(l), p=p_w))
+             for l in doc_lens]
+    # exact-dup injection at the observed rate (~0.2%)
+    dup_rate = 1.0 - q(
+        f"SELECT count(DISTINCT text)::DOUBLE / count(*) "
+        f"FROM '{SF01}/documents.parquet'").fetchone()[0]
+    n_dup = int(n_docs * dup_rate)
+    for i in rng.choice(np.arange(1, n_docs), size=n_dup, replace=False):
+        texts[i] = texts[rng.integers(0, i)]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(rng.choice(langs, size=n_docs, p=p_l), pa.string()),
+        "source": pa.array([f"src{i}" for i in rng.integers(0, 20, n_docs)],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, f"{SF1}/documents.parquet")
+
+    # ---- embeddings: unit-norm dim-64 vectors around the sf0.1 label
+    # centroids (preserves the cluster structure x83 splits), 10x rows
+    emb = np.array(q(
+        f"SELECT embedding FROM '{SF01}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall(), dtype=object)
+    emb = np.stack([np.array(e[0], dtype=np.float32) for e in emb])
+    labels = np.array(q(
+        f"SELECT label FROM '{SF01}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall(), dtype=int).ravel()
+    cents = np.stack([emb[labels == c].mean(axis=0) for c in range(10)])
+    spread = np.stack([emb[labels == c].std(axis=0) for c in range(10)])
+    n_vec = 10 * len(labels)
+    lab1 = rng.integers(0, 10, n_vec)
+    v = cents[lab1] + rng.normal(0, 1, (n_vec, emb.shape[1])) * spread[lab1]
+    v = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n_vec), pa.int64()),
+        "embedding": pa.array(list(v), pa.list_(pa.float32())),
+        "label": pa.array(lab1, pa.int32()),
+    })
+    pq.write_table(tbl, f"{SF1}/embeddings.parquet")
+
+    # ---- events: 10x rows AND 10x users (per-user session mass stays
+    # constant — the scaling a real fleet shows), same 30-day span, same
+    # type mix, values resampled from the empirical distribution
+    n_ev0, n_users0 = q(
+        f"SELECT count(*), count(DISTINCT user_id) "
+        f"FROM '{SF01}/events.parquet'").fetchone()
+    vals = np.array(q(
+        f"SELECT value FROM '{SF01}/events.parquet'").fetchall()).ravel()
+    types, tfreqs = zip(*q(
+        f"SELECT event_type, count(*) FROM '{SF01}/events.parquet' "
+        f"GROUP BY event_type").fetchall())
+    p_t = np.array(tfreqs, float) / sum(tfreqs)
+    n_ev = 10 * n_ev0
+    t0 = np.datetime64("2024-01-01T00:00:00.000000")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = t0 + np.sort(rng.integers(0, span_us, n_ev)).astype("timedelta64[us]")
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 10 * n_users0, n_ev), pa.int64()),
+        "event_type": pa.array(rng.choice(types, size=n_ev, p=p_t),
+                               pa.string()),
+        "value": pa.array(
+            np.round(rng.choice(vals, size=n_ev) +
+                     rng.normal(0, 0.37, n_ev).round(2), 2),
+            pa.float64()),
+        "props": pa.array([f'{{"k": {k}}}' for k in
+                           rng.integers(0, 100, n_ev)], pa.string()),
+    })
+    pq.write_table(tbl, f"{SF1}/events.parquet")
+    print(f"[gen] sf1 at {SF1}: {n_docs} docs, {n_vec} vecs, {n_ev} events")
+
+
+def bench(sf_dir, out):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_ONLY=",".join(QUERIES),
+               SPARK_GRAFT_BENCH_ROUNDS="1",
+               SPARK_GRAFT_CPUS="28",
+               BENCH_OUT=out)
+    t0 = time.time()
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                   cwd=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))),
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                   check=True)
+    print(f"[bench] {sf_dir}: {time.time()-t0:.0f}s wall")
+    with open(out) as f:
+        return json.load(f)
+
+
+def band_pairs(sf_dir):
+    """Exact j16 pair count via the O(n log n) window form."""
+    import duckdb
+    return duckdb.sql(f"""
+        WITH w AS (
+          SELECT event_type,
+            count(*) OVER (PARTITION BY event_type ORDER BY value
+              RANGE BETWEEN CURRENT ROW AND 0.5 FOLLOWING) AS cnt_win,
+            count(*) OVER (PARTITION BY event_type, value) AS cnt_eq
+          FROM '{sf_dir}/events.parquet')
+        SELECT sum(cnt_win - cnt_eq) FROM w""").fetchone()[0]
+
+
+def main():
+    if "--regen" in sys.argv or not os.path.exists(f"{SF1}/events.parquet"):
+        generate()
+    b01 = bench(SF01, "/tmp/graft_smoke_sf01.json")
+    b1 = bench(SF1, "/tmp/graft_smoke_sf1.json")
+    pr = band_pairs(SF1) / max(band_pairs(SF01), 1)
+    failures = []
+    print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s} "
+          f"{'exp':>5s}  bound")
+    for name in QUERIES:
+        a, b = b01["queries"][name], b1["queries"][name]
+        ratio = b / max(a, 1e-3)
+        exp = np.log10(max(ratio, 1e-9))  # rows grew 10x: exp 1.0 = linear
+        bound = 2.0 * pr if name == "j16_band_join" else 12.0
+        tag = f"<=({bound:.0f}x)"
+        print(f"{name:28s} {a:8.2f} {b:8.2f} {ratio:6.1f}x {exp:5.2f}  {tag}")
+        if ratio > bound:
+            failures.append(f"{name}: {ratio:.1f}x > {bound:.1f}x")
+    print(f"[j16] intra-band pair growth: {pr:.1f}x "
+          f"(time must track output, bound = 2x that)")
+    if failures:
+        print("FAIL:", "; ".join(failures))
+        sys.exit(1)
+    print("OK: all scale exponents within bounds")
+
+
+if __name__ == "__main__":
+    main()
