@@ -1,0 +1,18 @@
+package graft
+
+/** Prints a named generated SQL twin to stdout between markers, for
+  * tools/ scripts that run it in DuckDB (tools/scale_smoke.py measures
+  * the LSH candidate mass with it) — the generated SQL's single source
+  * of truth stays in Scala. */
+object PrintSql {
+  def main(args: Array[String]): Unit = {
+    val sql = args(0) match {
+      case "lsh_band_mass" => graft.operators.DedupOps.lshBandMassSql
+      case "simhash_block_mass" => graft.operators.DedupOps.simhashBlockMassSql
+      case other => sys.error(s"unknown sql name: $other")
+    }
+    println("-----BEGIN SQL-----")
+    println(sql)
+    println("-----END SQL-----")
+  }
+}

@@ -929,6 +929,13 @@ object SparkEntry {
     "x8_lsh_dup_pairs" -> ((s, dir) =>
       DedupOps.lshDupPairs(Tables.documents(s, dir), 0.5)),
 
+    // x156 — cross-source contamination matrix: x8's verified near-dup
+    // pairs attributed to unordered source pairs — which feed mirrors
+    // which; two doc-keyed source joins + a |sources|²-bounded aggregate
+    // on top of the banded-LSH pair set
+    "x156_contamination_matrix" -> ((s, dir) =>
+      DedupOps.contaminationMatrix(Tables.documents(s, dir), 0.5)),
+
     "x9_simhash" -> ((s, dir) => DedupOps.simhash(Tables.documents(s, dir))),
 
     "x10_simhash_pairs" -> ((s, dir) =>
@@ -2746,6 +2753,7 @@ object SparkEntry {
     "x6_normalized_dedup" -> DedupOps.normalizedDupGroupsSql,
     "x7_minhash_signatures" -> DedupOps.minhashSignaturesSql,
     "x8_lsh_dup_pairs" -> DedupOps.lshDupPairsSql(0.5),
+    "x156_contamination_matrix" -> DedupOps.contaminationMatrixSql(0.5),
     "x9_simhash" -> DedupOps.simhashSql,
     "x10_simhash_pairs" -> DedupOps.simhashDupPairsSql(3),
     "x23_dup_clusters" -> DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3)),

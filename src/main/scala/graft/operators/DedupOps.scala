@@ -565,10 +565,9 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
   }
 
-  /** Shared `WITH` prefix ending in the `cand` CTE (`doc_a < doc_b` LSH
-    * bucket pairs) — the common front half of every LSH-candidate
-    * verifier twin (Jaccard x8, edit-distance x50). */
-  private def lshCandSqlCtes: String = {
+  /** Shared `WITH` prefix ending in the `bands` CTE — the signature/
+    * banding half of the LSH twins. */
+  private def lshBandSqlCtes: String = {
     val bandHash = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
@@ -583,13 +582,32 @@ object DedupOps {
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandHash
-       |),
+       |)""".stripMargin
+  }
+
+  /** Shared `WITH` prefix ending in the `cand` CTE (`doc_a < doc_b` LSH
+    * bucket pairs) — the common front half of every LSH-candidate
+    * verifier twin (Jaccard x8, edit-distance x50). */
+  private def lshCandSqlCtes: String =
+    s"""$lshBandSqlCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
        |)""".stripMargin
-  }
+
+  /** DuckDB query: Σ_bucket C(size, 2) over the LSH band buckets — the
+    * EXACT candidate-pair mass driving x8/x23 cost (the pre-distinct
+    * bucket join). Candidate mass is a DATA property: a closed-
+    * vocabulary corpus collides superlinearly however the plan is
+    * shaped, so tools/scale_smoke.py bounds the measured x23 time
+    * growth against THIS (the j16 output-tracking treatment) instead of
+    * pretending linearity. */
+  def lshBandMassSql: String =
+    s"""$lshBandSqlCtes
+       |SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS mass FROM (
+       |  SELECT band, band_hash, count(*) AS c
+       |  FROM bands GROUP BY band, band_hash)""".stripMargin
 
   def lshDupPairsSql(threshold: Double): String =
     s"""$lshCandSqlCtes,
@@ -626,6 +644,71 @@ object DedupOps {
        |FROM inter i
        |JOIN sizes za ON za.doc_id = i.doc_a
        |JOIN sizes zb ON zb.doc_id = i.doc_b""".stripMargin
+
+  /** x156: cross-source contamination MATRIX — x87 says how much of each
+    * source is duplicated; this says WITH WHOM: for every unordered
+    * source pair (diagonal included), the count of verified near-dup
+    * pairs connecting them and the distinct docs implicated on each
+    * side. An off-diagonal hot cell is a feed mirroring another feed
+    * (syndication, scraping the scraper) — the dedup-policy read that
+    * decides which source KEEPS the shared content; a hot diagonal is
+    * x87's within-feed duplication localized.
+    *
+    * Scale shape: the pair set is [[lshDupPairs]] verbatim (banded LSH
+    * candidates — shuffle key is the band bucket, never doc×doc — then
+    * Jaccard verification), so this adds only two doc_id-keyed source
+    * joins and a |sources|²-bounded aggregate. Pair orientation
+    * canonicalizes by SOURCE order (least/greatest — binary string
+    * compare on both engines) so each unordered source pair lands in
+    * exactly one cell whatever the doc_id order. */
+  def contaminationMatrix(df: DataFrame, threshold: Double = 0.5,
+                          text: Column = col("text")): DataFrame = {
+    val src = df.select(col("doc_id"), col("source"))
+    val oriented = lshDupPairs(df, threshold, text)
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_raw_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_raw_b")), Seq("doc_b"))
+      .select(
+        least(col("src_raw_a"), col("src_raw_b")).as("src_a"),
+        greatest(col("src_raw_a"), col("src_raw_b")).as("src_b"),
+        when(col("src_raw_a") <= col("src_raw_b"), col("doc_a"))
+          .otherwise(col("doc_b")).as("d_a"),
+        when(col("src_raw_a") <= col("src_raw_b"), col("doc_b"))
+          .otherwise(col("doc_a")).as("d_b"))
+    oriented.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("d_a")).as("n_docs_a"),
+        countDistinct(col("d_b")).as("n_docs_b"))
+      .withColumn("cross_source",
+        (col("src_a") =!= col("src_b")).cast("int"))
+  }
+
+  /** DuckDB twin of [[contaminationMatrix]] — the x8 pair query wrapped
+    * as a subquery, then the same source canonicalization. */
+  def contaminationMatrixSql(threshold: Double = 0.5): String =
+    s"""WITH cm_p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${lshDupPairsSql(threshold)}
+       |  )
+       |), cm_s AS (SELECT doc_id, source FROM documents),
+       |cm_t AS (
+       |  SELECT least(sa.source, sb.source) AS src_a,
+       |    greatest(sa.source, sb.source) AS src_b,
+       |    CASE WHEN sa.source <= sb.source THEN p.doc_a ELSE p.doc_b END
+       |      AS d_a,
+       |    CASE WHEN sa.source <= sb.source THEN p.doc_b ELSE p.doc_a END
+       |      AS d_b
+       |  FROM cm_p p
+       |  JOIN cm_s sa ON p.doc_a = sa.doc_id
+       |  JOIN cm_s sb ON p.doc_b = sb.doc_id
+       |)
+       |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT d_a) AS BIGINT) AS n_docs_a,
+       |  CAST(count(DISTINCT d_b) AS BIGINT) AS n_docs_b,
+       |  CAST(CASE WHEN src_a <> src_b THEN 1 ELSE 0 END AS INTEGER)
+       |    AS cross_source
+       |FROM cm_t GROUP BY src_a, src_b""".stripMargin
 
   /** x93: label-conflict report — duplicate content whose copies carry
     * DIFFERENT language labels: the same normalized text tagged "en"
@@ -766,31 +849,40 @@ object DedupOps {
     s"WITH ${simhashSqlCte}\nSELECT doc_id, simhash FROM sim"
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`, found
-    * via pigeonhole byte-blocking: with 4 blocks, any pair differing in at
-    * most 3 bits must agree on at least one whole signature byte
-    * (pigeonhole: 3 differing bits cannot touch all 4 bytes), so 4
-    * equi-joins on one byte each cover the space exactly — no cross join,
-    * and each join's shuffle key (the byte) distributes by content. For a
-    * larger distance budget, raise the block count to maxDist+1 instead. */
+    * via pigeonhole blocking on 4 DISJOINT 16-BIT blocks covering the
+    * whole 64-bit signature: any pair differing in at most 3 bits must
+    * agree on at least one whole block (3 differing bits cannot touch
+    * all 4 blocks), so 4 equi-joins on one block each cover the space
+    * exactly — no cross join, and each join's shuffle key distributes
+    * by content. Block WIDTH is the scale lever: the first cut blocked
+    * on single BYTES (a 256-value key), whose collision stage is
+    * Θ(n²/256) however the plan is shaped — the sf1 scale smoke caught
+    * it at 32× for 10× docs. 16-bit keys (65536 values) prune ~256×
+    * harder at identical exactness, because the 4 blocks still cover
+    * all 64 bits. For a larger distance budget, raise the block count
+    * to maxDist+1 (shrinking each block) instead. */
   def simhashDupPairs(df: DataFrame, maxDist: Int = 3,
                       text: Column = col("text"),
                       state: IterState = Local): DataFrame = {
-    require(maxDist <= 3, "4-byte blocking is exact only for Hamming distance <= 3")
+    require(maxDist <= 3,
+      "4-block blocking is exact only for Hamming distance <= 3")
     // one row per doc; pin so the 4 block self-joins (8 plan references)
     // don't each recompute the explode+32-sum aggregation
     val sim = state.pin(simhash(df, text))
-    val byteOf = (c: Column, j: Int) => shiftright(c, j * 8).bitwiseAND(lit(255L))
+    val blockOf = (c: Column, j: Int) =>
+      shiftright(c, j * 16).bitwiseAND(lit(65535L))
     val blocked = (0 until 4).map { b =>
-      // each pair is claimed by its FIRST agreeing byte only (all earlier
-      // bytes must differ), so the 4 joins are disjoint by construction —
-      // the union needs no pair-level distinct, which at bench scale was a
-      // full extra shuffle of millions of candidate rows. The Hamming
-      // filter also runs inside each join, before the union.
+      // each pair is claimed by its FIRST agreeing block only (all
+      // earlier blocks must differ), so the 4 joins are disjoint by
+      // construction — the union needs no pair-level distinct, which at
+      // bench scale was a full extra shuffle of millions of candidate
+      // rows. The Hamming filter also runs inside each join, before the
+      // union.
       val firstMatch = (0 until b)
-        .map(j => byteOf(col("a.simhash"), j) =!= byteOf(col("b.simhash"), j))
+        .map(j => blockOf(col("a.simhash"), j) =!= blockOf(col("b.simhash"), j))
         .foldLeft(lit(true))(_ && _)
       sim.as("a").join(sim.as("b"),
-        byteOf(col("a.simhash"), b) === byteOf(col("b.simhash"), b) &&
+        blockOf(col("a.simhash"), b) === blockOf(col("b.simhash"), b) &&
           col("a.doc_id") < col("b.doc_id") && firstMatch)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
@@ -798,6 +890,20 @@ object DedupOps {
     }.reduce(_ unionByName _)
     blocked.select("doc_a", "doc_b", "hamming")
   }
+
+  /** DuckDB query: Σ C(size, 2) over the 16-bit simhash block buckets —
+    * the exact candidate mass driving x10/x23 cost.
+    * tools/scale_smoke.py bounds x23's measured time growth against
+    * this (candidate mass is a data property — a closed-vocabulary
+    * corpus concentrates signatures however the plan is shaped). */
+  def simhashBlockMassSql: String =
+    s"""WITH ${simhashSqlCte},
+       |blocks AS (
+       |  SELECT bs.b AS blk, (simhash >> (bs.b * 16)) & 65535 AS v
+       |  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS b) bs
+       |)
+       |SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS mass FROM (
+       |  SELECT blk, v, count(*) AS c FROM blocks GROUP BY blk, v)""".stripMargin
 
   /** Oracle twin uses the naive all-pairs form — same result set, and the
     * oracle only ever runs at small SF. */

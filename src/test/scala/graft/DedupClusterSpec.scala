@@ -130,4 +130,31 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("x156 contaminationMatrix: cross-source mirror lands off-diagonal, within-feed on it") {
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // A1 ~ B1 (near-identical, one word appended), A2 == A3 (exact
+    // within-feed dup), C is unrelated word soup
+    val docs = Seq(
+      (1L, "A", base),
+      (2L, "A", "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"),
+      (3L, "A", "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"),
+      (4L, "B", base + " mirrored"),
+      (5L, "C", "red orange yellow green blue indigo violet crimson " +
+        "amber teal maroon olive navy coral")
+    ).toDF("doc_id", "source", "text")
+    val got = DedupOps.contaminationMatrix(docs, threshold = 0.5)
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_a"),
+          r.getAs[Long]("n_docs_b"), r.getAs[Int]("cross_source")))).toMap
+    assert(got(("A", "B")) === ((1L, 1L, 1L, 1)), s"mirror cell: $got")
+    assert(got(("A", "A")) === ((1L, 1L, 1L, 0)), s"within-feed cell: $got")
+    assert(!got.contains(("A", "C")) && !got.contains(("B", "C")),
+      s"unrelated source must stay out of the matrix: $got")
+  }
 }
