@@ -1332,6 +1332,17 @@ object SparkEntry {
       graft.operators.AnomalyOps.burstReport(Tables.events(s, dir),
         thresholdX = 1)),
 
+    // x157 — per-user behavioral profile: volume, type diversity,
+    // dominant type + share, active span, mean gap, population-relative
+    // burst flag — WHO misbehaves where x124 says WHEN; user-keyed
+    // aggregates meeting at |users| granularity, dominant type by the
+    // x155 (max count, alphabetical) vote, burst test integer
+    // cross-multiply. burstFactor=2 so the flag exercises on the
+    // near-uniform synthetic stream; production raises it
+    "x157_user_profiles" -> ((s, dir) =>
+      graft.operators.AnomalyOps.userProfiles(Tables.events(s, dir),
+        burstFactor = 2L)),
+
     // x125 — margin-calibration table of the x75 classifier: accuracy by
     // best-vs-second NLL gap (exact integer micro-nats — no softmax
     // float sum), the read that justifies margin-thresholded
@@ -2260,6 +2271,8 @@ object SparkEntry {
 
     "x124_event_bursts" ->
       graft.operators.AnomalyOps.burstReportSql(thresholdX = 1),
+    "x157_user_profiles" ->
+      graft.operators.AnomalyOps.userProfilesSql(burstFactor = 2L),
 
     "x125_margin_calibration" ->
       graft.operators.ClassifyOps.nbMarginCalibrationSql(),

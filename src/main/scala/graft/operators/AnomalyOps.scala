@@ -117,4 +117,90 @@ object AnomalyOps {
        |  AND cnt * base_n >= $thresholdX * base_sum
        |ORDER BY ratio_ppm DESC, event_type, hour_epoch
        |LIMIT $topK""".stripMargin
+
+  /** x157: per-user behavioral profile + burst outliers — the
+    * bot/automation read beside the x131 hourly burst report (that one
+    * asks WHEN the stream misbehaved; this asks WHO): per user, event
+    * volume, type diversity, dominant type and its share, active span,
+    * and mean inter-event gap, plus a flag for users whose volume
+    * exceeds `burstFactor`× the population mean. A user with thousands
+    * of events, one dominant type, and a near-constant machine-gun gap
+    * is a scraper; the profile columns are exactly the features that
+    * separation needs, all in exact integers (share in ppm, span/gap
+    * in epoch micros).
+    *
+    * Determinism: the dominant type resolves by (max count, then
+    * alphabetical) — the x155 vote shape, two aggregates + an
+    * equi-join, identical on both engines; the mean gap is
+    * span div (n−1) — NO per-user event ordering, no window over the
+    * raw stream; the burst test is the integer cross-multiply
+    * n_events·n_users > factor·total.
+    *
+    * Scale shape: one user-keyed aggregate + one (user, type)-keyed
+    * aggregate meeting at |users| granularity, a 1-row broadcast for
+    * the population stats — every shuffle keys on user_id (content-
+    * distributed at any fleet size); nothing partitions on a
+    * low-cardinality key. */
+  def userProfiles(events: DataFrame, burstFactor: Long = 5L): DataFrame = {
+    val ev = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val base = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("event_type")).as("n_types"),
+      (max(col("us")) - min(col("us"))).as("span_us"))
+    val perType = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val mx = perType.groupBy("user_id").agg(max(col("c")).as("mx"))
+    val top = perType.join(mx, Seq("user_id"))
+      .filter(col("c") === col("mx"))
+      .groupBy("user_id").agg(min(col("event_type")).as("top_type"),
+        min(col("c")).as("top_c"))
+    val stats = ev.agg(count(lit(1)).as("tot"),
+      countDistinct(col("user_id")).as("nu"))
+    base.join(top, Seq("user_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        col("top_type"),
+        expr("CAST((CAST(top_c AS DECIMAL(38,0)) * 1000000) " +
+          "div n_events AS BIGINT)").as("top_share_ppm"),
+        col("span_us"),
+        expr("span_us div greatest(n_events - 1L, 1L)").as("mean_gap_us"),
+        (col("n_events") * col("nu") > lit(burstFactor) * col("tot"))
+          .cast("int").as("burst_flag"))
+  }
+
+  /** DuckDB twin of [[userProfiles]]. */
+  def userProfilesSql(burstFactor: Long = 5L): String =
+    s"""WITH up_e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+       |  WHERE user_id IS NOT NULL
+       |), up_b AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |    count(DISTINCT event_type) AS n_types,
+       |    max(us) - min(us) AS span_us
+       |  FROM up_e GROUP BY user_id
+       |), up_t AS (
+       |  SELECT user_id, event_type, count(*) AS c
+       |  FROM up_e GROUP BY user_id, event_type
+       |), up_m AS (
+       |  SELECT user_id, max(c) AS mx FROM up_t GROUP BY user_id
+       |), up_top AS (
+       |  SELECT t.user_id, min(t.event_type) AS top_type, min(t.c) AS top_c
+       |  FROM up_t t JOIN up_m m ON t.user_id = m.user_id AND t.c = m.mx
+       |  GROUP BY t.user_id
+       |), up_s AS (
+       |  SELECT count(*) AS tot, count(DISTINCT user_id) AS nu FROM up_e
+       |)
+       |SELECT b.user_id, CAST(b.n_events AS BIGINT) AS n_events,
+       |  CAST(b.n_types AS BIGINT) AS n_types,
+       |  t.top_type,
+       |  CAST((CAST(t.top_c AS HUGEINT) * 1000000) // b.n_events
+       |    AS BIGINT) AS top_share_ppm,
+       |  CAST(b.span_us AS BIGINT) AS span_us,
+       |  CAST(b.span_us // greatest(b.n_events - 1, 1) AS BIGINT)
+       |    AS mean_gap_us,
+       |  CAST(CASE WHEN b.n_events * s.nu > $burstFactor * s.tot
+       |    THEN 1 ELSE 0 END AS INTEGER) AS burst_flag
+       |FROM up_b b JOIN up_top t ON b.user_id = t.user_id, up_s s""".stripMargin
 }

@@ -84,4 +84,40 @@ class AnomalyOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getAs[String]("event_type") === "b")
     assert(rows.head.getAs[Long]("base_sum") === 48L)
   }
+
+  test("x157 userProfiles: scraper profile separates; dominant-type ties alphabetical") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // u1: human - 4 events, 2 types (tie 2-2 -> alphabetical "click"),
+    //     spread over an hour; u2: scraper - 12 events, one type,
+    //     machine-gun 1s gaps
+    val rows =
+      Seq((1L, "view", 0L), (1L, "click", 600L), (1L, "view", 1200L),
+        (1L, "click", 3600L)) ++
+        (0 until 20).map(i => (2L, "view", 7200L + i)) ++
+        Seq((3L, "view", 0L), (3L, "click", 900L), (3L, "view", 1800L),
+          (3L, "purchase", 2700L))
+    val df = rows.map { case (u, t, sec) => (u, t, ts(sec)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = AnomalyOps.userProfiles(df, burstFactor = 2L)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getAs[Long]("n_events") === 4L)
+    assert(u1.getAs[Long]("n_types") === 2L)
+    assert(u1.getAs[String]("top_type") === "click", "2-2 tie -> alphabetical")
+    assert(u1.getAs[Long]("top_share_ppm") === 500000L)
+    assert(u1.getAs[Long]("span_us") === 3600L * 1000000L)
+    assert(u1.getAs[Long]("mean_gap_us") === 1200L * 1000000L)
+    assert(u1.getAs[Int]("burst_flag") === 0)
+    val u2 = got(2L)
+    assert(u2.getAs[Long]("n_events") === 20L)
+    assert(u2.getAs[Long]("n_types") === 1L)
+    assert(u2.getAs[Long]("top_share_ppm") === 1000000L)
+    assert(u2.getAs[Long]("mean_gap_us") === 1000000L,
+      "19 one-second gaps -> exactly 1s mean")
+    // 20 * 3 users = 60 > 2 * 28 total = 56 -> flagged; humans stay 0
+    assert(u2.getAs[Int]("burst_flag") === 1)
+    assert(got(3L).getAs[Int]("burst_flag") === 0)
+  }
 }

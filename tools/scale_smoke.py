@@ -142,22 +142,37 @@ def generate():
     print(f"[gen] sf1 at {SF1}: {n_docs} docs, {n_vec} vecs, {n_ev} events")
 
 
+LINEAR = ["x119_session_pagerank", "x111_bpe_merges"]
+PAIR_BOUND = [q for q in QUERIES if q not in LINEAR]
+
+
 def bench(sf_dir, out):
-    env = dict(os.environ,
-               SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_ONLY=",".join(QUERIES),
-               SPARK_GRAFT_BENCH_ROUNDS="1",
-               SPARK_GRAFT_CPUS="28",
-               BENCH_OUT=out)
-    t0 = time.time()
-    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
-                   cwd=os.path.dirname(os.path.dirname(
-                       os.path.abspath(__file__))),
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                   check=True)
-    print(f"[bench] {sf_dir}: {time.time()-t0:.0f}s wall")
-    with open(out) as f:
-        return json.load(f)
+    """Two bench invocations per SF: the LINEAR-bound queries run first
+    in their own JVM with best-of-2 (their 12x bound is tight enough
+    that single-shot noise and j16's page-cache thrash — it runs first
+    alphabetically and spills for minutes at sf1 — produced a spurious
+    16x on byte-identical pagerank code); the pair-bound giants run
+    single-shot, their bounds are measured-output-relative."""
+    merged = {"queries": {}}
+    for subset, rounds in ((LINEAR, "2"), (PAIR_BOUND, "1")):
+        env = dict(os.environ,
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_ONLY=",".join(subset),
+                   SPARK_GRAFT_BENCH_ROUNDS=rounds,
+                   SPARK_GRAFT_CPUS="28",
+                   BENCH_OUT=out + ".part")
+        t0 = time.time()
+        subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))),
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                       check=True)
+        print(f"[bench] {sf_dir} {subset}: {time.time()-t0:.0f}s wall")
+        with open(out + ".part") as f:
+            merged["queries"].update(json.load(f)["queries"])
+    with open(out, "w") as f:
+        json.dump(merged, f)
+    return merged
 
 
 def band_pairs(sf_dir):
