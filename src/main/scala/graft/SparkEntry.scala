@@ -929,6 +929,13 @@ object SparkEntry {
     "x8_lsh_dup_pairs" -> ((s, dir) =>
       DedupOps.lshDupPairs(Tables.documents(s, dir), 0.5)),
 
+    // x158 — dedup threshold-sweep yield curve: verified LSH pairs in 20
+    // Jaccard bands with pair/victim/token accounting — what each cutoff
+    // would remove, priced in ONE LSH pass; where x89 calibrates recall,
+    // this prices the decision
+    "x158_dedup_yield" -> ((s, dir) =>
+      DedupOps.dedupYieldCurve(Tables.documents(s, dir))),
+
     // x156 — cross-source contamination matrix: x8's verified near-dup
     // pairs attributed to unordered source pairs — which feed mirrors
     // which; two doc-keyed source joins + a |sources|²-bounded aggregate
@@ -2767,6 +2774,7 @@ object SparkEntry {
     "x7_minhash_signatures" -> DedupOps.minhashSignaturesSql,
     "x8_lsh_dup_pairs" -> DedupOps.lshDupPairsSql(0.5),
     "x156_contamination_matrix" -> DedupOps.contaminationMatrixSql(0.5),
+    "x158_dedup_yield" -> DedupOps.dedupYieldCurveSql(),
     "x9_simhash" -> DedupOps.simhashSql,
     "x10_simhash_pairs" -> DedupOps.simhashDupPairsSql(3),
     "x23_dup_clusters" -> DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3)),

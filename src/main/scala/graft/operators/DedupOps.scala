@@ -891,6 +891,73 @@ object DedupOps {
     blocked.select("doc_a", "doc_b", "hamming")
   }
 
+  /** x158: dedup threshold-sweep YIELD CURVE — before committing to a
+    * Jaccard cutoff, what each threshold would actually remove: verified
+    * LSH candidate pairs bucketed into `bands` equal Jaccard bands, each
+    * band reporting its pair count, distinct dedup VICTIMS (the higher
+    * doc_id of a pair — the copy a keep-lowest policy drops), and the
+    * victims' token mass. Reading the curve from the top, the running
+    * totals are exactly the pairs/docs/tokens a threshold at that band's
+    * floor would remove — where the curve knees is the threshold to
+    * ship (x89 calibrates the LSH's RECALL per band; this prices the
+    * DECISION).
+    *
+    * Scale shape: the pair set is the x8 pipeline at threshold 0 (every
+    * verified candidate keeps its band), so the sweep costs ONE LSH
+    * pass for all thresholds instead of one x8 run per candidate
+    * cutoff; banding is floor(j·bands) on the identical IEEE division
+    * both engines already compute for x8, and everything after is
+    * band/doc-keyed aggregates. */
+  def dedupYieldCurve(df: DataFrame, bands: Int = 20,
+                      text: Column = col("text")): DataFrame = {
+    require(bands >= 2 && bands <= 1000, s"bands=$bands")
+    val pairs = lshDupPairs(df, threshold = 0.0, text)
+      .select(col("doc_a"), col("doc_b"),
+        least(floor(col("jaccard") * bands), lit((bands - 1).toLong))
+          .cast("long").as("band"))
+    val toks = df.select(col("doc_id").as("doc_b"),
+      coalesce(graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+        .cast("long"), lit(0L)).as("tok"))
+    val victims = pairs.select("band", "doc_b").distinct()
+      .join(toks, Seq("doc_b"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_victims"), sum(col("tok")).as("victim_tokens"))
+    pairs.groupBy("band").agg(count(lit(1)).as("n_pairs"))
+      .join(victims, Seq("band"))
+      .select(col("band"),
+        expr(s"(band * 1000000L) div ${bands}L").as("band_lo_ppm"),
+        col("n_pairs"), col("n_victims"), col("victim_tokens"))
+  }
+
+  /** DuckDB twin of [[dedupYieldCurve]]. */
+  def dedupYieldCurveSql(bands: Int = 20): String =
+    s"""WITH yc_p0 AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |${lshDupPairsSql(0.0)}
+       |  )
+       |), yc_p AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(least(floor(jaccard * $bands), ${bands - 1}) AS BIGINT)
+       |      AS band
+       |  FROM yc_p0
+       |), yc_t AS (
+       |  SELECT doc_id AS doc_b,
+       |    coalesce(CAST(len(${graft.operators.TextOps.wordsReSql("text")})
+       |      AS BIGINT), 0) AS tok
+       |  FROM documents
+       |), yc_v AS (
+       |  SELECT band, count(*) AS n_victims, sum(tok) AS victim_tokens
+       |  FROM (SELECT DISTINCT band, doc_b FROM yc_p) d JOIN yc_t USING (doc_b)
+       |  GROUP BY band
+       |)
+       |SELECT p.band, CAST((p.band * 1000000) // $bands AS BIGINT)
+       |    AS band_lo_ppm,
+       |  CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(v.n_victims AS BIGINT) AS n_victims,
+       |  CAST(v.victim_tokens AS BIGINT) AS victim_tokens
+       |FROM (SELECT band, count(*) AS n_pairs FROM yc_p GROUP BY band) p
+       |JOIN yc_v v USING (band)""".stripMargin
+
   /** DuckDB query: Σ C(size, 2) over the 16-bit simhash block buckets —
     * the exact candidate mass driving x10/x23 cost.
     * tools/scale_smoke.py bounds x23's measured time growth against

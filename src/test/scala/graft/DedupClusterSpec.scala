@@ -157,4 +157,22 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.contains(("A", "C")) && !got.contains(("B", "C")),
       s"unrelated source must stay out of the matrix: $got")
   }
+
+  test("x158 dedupYieldCurve: identical pair lands in the top band with exact victim tokens") {
+    val s = spark
+    import s.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, t), (2L, t), // exact dups: jaccard 1.0 -> band 19
+      (3L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupYieldCurve(docs).collect()
+      .map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("band_lo_ppm"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_victims"), r.getAs[Long]("victim_tokens")))).toMap
+    assert(got.contains(19L), s"identical pair must land in band 19: $got")
+    assert(got(19L) === ((950000L, 1L, 1L, 12L)),
+      "one pair, one victim (doc 2), 12 victim tokens")
+    assert(got.size === 1, s"the unrelated doc must add nothing: $got")
+  }
 }
