@@ -141,22 +141,42 @@ object AnomalyOps {
     * the population stats — every shuffle keys on user_id (content-
     * distributed at any fleet size); nothing partitions on a
     * low-cardinality key. */
-  def userProfiles(events: DataFrame, burstFactor: Long = 5L): DataFrame = {
-    val ev = events.filter(col("user_id").isNotNull)
+  def userProfiles(events: DataFrame, burstFactor: Long = 5L): DataFrame =
+    profilesFromPanel(profilePanel(events), burstFactor)
+
+  /** The SUFFICIENT STATISTIC behind [[userProfiles]]: the
+    * (user_id, event_type) panel of mergeable measures — count, min and
+    * max event epoch. ONE aggregation, |users|·|types| rows, every
+    * measure a sum or an idempotent extremum — which is exactly what
+    * lets the panel maintain itself as streaming state
+    * ([[graft.streaming.SketchStream.profilePanelOnIngest]]): the
+    * profile itself is a multi-aggregation vote that Structured
+    * Streaming cannot run as one query, the panel is not. */
+  def profilePanel(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
-    val base = ev.groupBy("user_id").agg(
-      count(lit(1)).as("n_events"),
-      countDistinct(col("event_type")).as("n_types"),
-      (max(col("us")) - min(col("us"))).as("span_us"))
-    val perType = ev.groupBy("user_id", "event_type")
-      .agg(count(lit(1)).as("c"))
-    val mx = perType.groupBy("user_id").agg(max(col("c")).as("mx"))
-    val top = perType.join(mx, Seq("user_id"))
-      .filter(col("c") === col("mx"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"), min(col("us")).as("mn"),
+        max(col("us")).as("mx"))
+
+  /** Finish a [[profilePanel]] into the x157 profile — batch and the
+    * streaming live table share this read verbatim, so
+    * stream-then-finish equals the batch profile on every arrival
+    * prefix (SketchStreamSpec pins it). */
+  def profilesFromPanel(panel: DataFrame, burstFactor: Long = 5L): DataFrame = {
+    val base = panel.groupBy("user_id").agg(
+      sum(col("c")).as("n_events"),
+      count(lit(1)).as("n_types"),
+      (max(col("mx")) - min(col("mn"))).as("span_us"))
+    // the panel already carries an epoch column named mx — the vote's
+    // max COUNT needs its own name or the filter reference is ambiguous
+    val mxc = panel.groupBy("user_id").agg(max(col("c")).as("mxc"))
+    val top = panel.join(mxc, Seq("user_id"))
+      .filter(col("c") === col("mxc"))
       .groupBy("user_id").agg(min(col("event_type")).as("top_type"),
         min(col("c")).as("top_c"))
-    val stats = ev.agg(count(lit(1)).as("tot"),
+    val stats = panel.agg(sum(col("c")).as("tot"),
       countDistinct(col("user_id")).as("nu"))
     base.join(top, Seq("user_id"))
       .crossJoin(broadcast(stats))

@@ -58,6 +58,21 @@ object SketchStream {
   def momentsOnIngest(events: DataFrame): DataFrame =
     graft.operators.QuantileOps.valueMoments(events)
 
+  /** Live per-user profile PANEL — x157's streaming twin. The profile
+    * itself (dominant-type vote + population-relative flag) is a
+    * multi-aggregation Structured Streaming cannot run as one query;
+    * its sufficient statistic CAN stream: the (user_id, event_type)
+    * panel of count + min/max epoch — one stateful aggregation,
+    * |users|·|types| rows of state, every measure a sum or an
+    * idempotent extremum. Reads finish the live table with the SAME
+    * [[graft.operators.AnomalyOps.profilesFromPanel]] the batch path
+    * uses, so stream-then-finish == batch x157 on every arrival prefix
+    * (SketchStreamSpec pins it). Replay semantics governed by the
+    * weakest measure (the count sums) — exactly-once or dedup
+    * upstream, the CMS rule. */
+  def profilePanelOnIngest(events: DataFrame): DataFrame =
+    graft.operators.AnomalyOps.profilePanel(events)
+
   def cmsOnIngest(df: DataFrame, key: Column, d: Int = 4,
                   w: Int = 512): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 16 && w <= 65536, s"d=$d w=$w")

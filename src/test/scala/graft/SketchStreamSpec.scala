@@ -131,4 +131,46 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("live profile panel -> finish == batch x157 after every prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val batch1 = Seq((1L, "view", 0L), (1L, "click", 600L),
+      (2L, "view", 100L), (2L, "view", 101L), (2L, "view", 102L))
+    val batch2 = Seq((1L, "click", 1200L), (3L, "purchase", 50L)) ++
+      (0 until 10).map(i => (2L, "view", 200L + i))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getInt(7))).sortBy(_._1).toSeq
+    val in = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.SketchStream.profilePanelOnIngest(
+        in.toDF().toDF("user_id", "event_type", "sec")
+          .withColumn("ts", col("sec").cast("timestamp")).drop("sec"))
+      .writeStream.format("memory").queryName("profile_panel")
+      .outputMode("complete").start()
+    try {
+      for ((prefix, adds) <- Seq((batch1, batch1),
+          (batch1 ++ batch2, batch2))) {
+        in.addData(adds); q.processAllAvailable()
+        // snapshot-then-finish: the finishing read is multi-job (vote +
+        // stats joins) and a complete-mode sink may rewrite between
+        // jobs — any live reader should pin a consistent snapshot
+        // first (localCheckpoint; a production reader would read the
+        // published table version). Also the only supported shape:
+        // joining derivations of the raw sink view trips Spark's
+        // self-join dedup on MemoryPlan views.
+        val live = graft.operators.AnomalyOps.profilesFromPanel(
+          spark.table("profile_panel").localCheckpoint(true),
+          burstFactor = 2L)
+        val batch = graft.operators.AnomalyOps.userProfiles(
+          prefix.map { case (u, t, sec) => (u, t, ts(sec)) }
+            .toDF("user_id", "event_type", "ts"), burstFactor = 2L)
+        assert(snap(live) === snap(batch),
+          s"profiles diverged at prefix of ${prefix.size}")
+      }
+    } finally q.stop()
+  }
 }
