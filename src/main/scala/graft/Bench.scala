@@ -131,7 +131,11 @@ object Bench {
             catch { case _: Throwable => -1L } // -1 = errored, not empty
           ((System.nanoTime() - t0) / 1e9, outRows)
         }
-        val best = runs.minBy(_._1)
+        // prefer successful runs: a fast-failing round must not shadow a
+        // slower round that succeeded (an intermittent failure would
+        // otherwise report out_rows -1 with a misleadingly quick time)
+        val ok = runs.filter(_._2 != -1L)
+        val best = (if (ok.nonEmpty) ok else runs).minBy(_._1)
         (name, best._1, best._2)
       }
     val results = resultsFull.map { case (n, s, _) => (n, s) }

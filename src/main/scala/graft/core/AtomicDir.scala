@@ -29,15 +29,26 @@ object AtomicDir {
       .toString
 
   /** Publish `stagedDir` as the next version under `root`; returns the
-    * promoted path. `stagedDir` must be on the same filesystem. */
+    * promoted path. `stagedDir` must be on the same filesystem.
+    *
+    * SINGLE WRITER: version numbering is read-then-move, so two
+    * concurrent promoters can claim the same v<N> — the loser's
+    * ATOMIC_MOVE fails loudly (FileAlreadyExists/DirectoryNotEmpty)
+    * and the root stays consistent, but callers must serialize
+    * promotions (every current caller is a single driver-side sink). */
   def promote(root: String, stagedDir: String): String = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
     val vPat = "v(\\d+)".r
-    val next = Files.list(rootP).iterator().asScala
-      .flatMap(p => p.getFileName.toString match {
-        case vPat(n) => Some(n.toLong); case _ => None
-      }).foldLeft(0L)(math.max) + 1
+    // Files.list holds an open directory handle — close it or every
+    // promote leaks a file descriptor
+    val listing = Files.list(rootP)
+    val next = try {
+      listing.iterator().asScala
+        .flatMap(p => p.getFileName.toString match {
+          case vPat(n) => Some(n.toLong); case _ => None
+        }).foldLeft(0L)(math.max) + 1
+    } finally listing.close()
     val dst = rootP.resolve(s"v$next")
     Files.move(Paths.get(stagedDir), dst, StandardCopyOption.ATOMIC_MOVE)
     val tmp = rootP.resolve("CURRENT.tmp")

@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object AnomalyOps {
 
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   /** Top-`topK` hourly bursts per event type: hours whose count is at
     * least `thresholdX`× their trailing-`trailing`-hour mean, with at
     * least `minBaseline` hours of history in the frame (the cold-start
@@ -186,7 +188,11 @@ object AnomalyOps {
           "div n_events AS BIGINT)").as("top_share_ppm"),
         col("span_us"),
         expr("span_us div greatest(n_events - 1L, 1L)").as("mean_gap_us"),
-        (col("n_events") * col("nu") > lit(burstFactor) * col("tot"))
+        // both cross-multiplies through DECIMAL(38,0): raw BIGINT would
+        // silently wrap on Spark while DuckDB's HUGEINT raises — the
+        // same engine-divergence rule as the ppm division above
+        (col("n_events").cast(dec38) * col("nu").cast(dec38) >
+          lit(burstFactor).cast(dec38) * col("tot").cast(dec38))
           .cast("int").as("burst_flag"))
   }
 
@@ -220,7 +226,8 @@ object AnomalyOps {
        |  CAST(b.span_us AS BIGINT) AS span_us,
        |  CAST(b.span_us // greatest(b.n_events - 1, 1) AS BIGINT)
        |    AS mean_gap_us,
-       |  CAST(CASE WHEN b.n_events * s.nu > $burstFactor * s.tot
+       |  CAST(CASE WHEN CAST(b.n_events AS HUGEINT) * s.nu
+       |      > $burstFactor * CAST(s.tot AS HUGEINT)
        |    THEN 1 ELSE 0 END AS INTEGER) AS burst_flag
        |FROM up_b b JOIN up_top t ON b.user_id = t.user_id, up_s s""".stripMargin
 }

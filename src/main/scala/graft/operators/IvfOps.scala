@@ -769,9 +769,13 @@ object IvfOps {
     *
     * Scale: [[semDedup]]'s cluster-scoped pair machinery (never
     * all-pairs) feeds edges to the Borůvka components of
-    * [[DedupOps.dupClusters]]; quality ranking and group sizes are two
-    * windows over ONE cluster_id shuffle (the x100 shared-partition
-    * pattern); the drop flags join back on the id spine. */
+    * [[DedupOps.dupClusters]]; the per-cluster rep/size come from ONE
+    * map-side-combinable aggregate (`max(struct(quality, -doc_id))`
+    * argmax — a viral semantic cluster collapses in the partials)
+    * joined back on cluster_id (AQE-skew-splittable; the previous
+    * first/count WINDOWS over cluster_id buffered the whole cluster in
+    * one task — the round-11 viral-key `weak` shape); the drop flags
+    * join back on the id spine. */
   def semDedupManifest(docs: DataFrame, emb: DataFrame, model: IvfModel,
                        tau: Double,
                        state: DedupOps.IterState = DedupOps.Local): DataFrame = {
@@ -781,13 +785,15 @@ object IvfOps {
     val clusters = DedupOps.dupClusters(docs, pairs, state = state)
     val scored = docs.select(col("doc_id"),
       TextOps.qualityScoreCol(col("text")).as("quality_score"))
-    val byCluster = Window.partitionBy("cluster_id")
-    val ranked = byCluster.orderBy(col("quality_score").desc, col("doc_id"))
-    val full = ranked.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    clusters.join(scored, "doc_id")
-      .withColumn("rep_doc", first(col("doc_id")).over(full))
-      .withColumn("n_members", count(lit(1)).over(byCluster))
+    val labeled = clusters.join(scored, "doc_id")
+    val perCluster = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_score"), (-col("doc_id")).as("__nd")))
+          .as("__m"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("__m.__nd")).as("rep_doc"))
+    labeled
+      .join(perCluster, Seq("cluster_id"))
       .join(drops.select(col("vec_id").as("doc_id"), col("anchor_id"),
         col("cos_micro")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("cluster_id"), col("rep_doc"),

@@ -218,8 +218,13 @@ object RetrievalOps {
     *
     * Scale shape — deliberately different from x49's fixed-query scan:
     * this is the BATCH-of-queries shape. The doc×token matrix computes
-    * df and dl as WINDOW counts over its own (token) and (doc_id)
-    * partitions (no aggregate-join-backs — the x87 lesson), the query
+    * dl as a WINDOW sum over its (doc_id) partition — bounded by a
+    * single doc's distinct-token count — but df comes from a
+    * map-side-combinable `groupBy(token).count` joined back on token:
+    * on any Zipf corpus the top token's posting list is ~the corpus,
+    * so a token-partitioned window is a guaranteed single-task cliff
+    * (the round-11 `weak`), while the df aggregate is vocab-sized and
+    * its join-back AQE-skew-splittable. The query
     * term fleet is rank-limited per query and BROADCASTS onto the
     * matrix (posting lists probe map-side, they never shuffle), and the
     * (query, doc) score aggregate + rank window share one exchange.
@@ -239,9 +244,10 @@ object RetrievalOps {
         posexplode(TextOps.words(col("text"))).as(Seq("pos", "token")))
     val matrix = toks.groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"), min(col("pos")).as("fpos"))
+    val dfCounts = matrix.groupBy("token").agg(count(lit(1)).as("dfr"))
     val withStats = matrix
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
-      .withColumn("dfr", count(lit(1)).over(Window.partitionBy("token")))
+      .join(dfCounts, Seq("token"))
     val corpus = matrix.agg(
       countDistinct(col("doc_id")).as("n_docs"),
       sum(col("tf")).as("sum_dl"))

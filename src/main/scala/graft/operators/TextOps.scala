@@ -2163,14 +2163,16 @@ object TextOps {
     * 80% to dedup, that one to quality").
     *
     * Determinism: gates are integer/snapped comparisons; dedup
-    * survivorship is the (content_hash, doc_id) rank-1 window — a total
-    * order. Counts are exact.
+    * survivorship is "doc_id == min(doc_id) of its content_hash" — a
+    * total order. Counts are exact.
     *
-    * Scale: one scan; the only shuffle is the dedup-key window (the
-    * x5 class) followed by the small per-source aggregate. */
+    * Scale: survivorship rides a map-side-combinable
+    * `groupBy(content_hash).min(doc_id)` joined back onto the narrow
+    * projection (AQE-skew-splittable) — a rank-1 window over the dedup
+    * key buffered a viral cluster in one task with no mitigation, the
+    * round-11 `weak` shape — then the small per-source aggregate. */
   def sourceFunnel(df: DataFrame, minQuality: Double = 0.5,
                    minTokens: Long = 10, maxTokens: Long = 500): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = graft.functions.TextExpressions.wsTokenCountFast(col("text"))
       .cast("long")
     val qMicro = floor(qualityScoreCol(col("text")) * lit(1e6) + lit(0.5))
@@ -2178,11 +2180,12 @@ object TextOps {
       .select(col("source"), col("doc_id"),
         graft.operators.DedupOps.normalizedKey(col("text")).as("content_hash"),
         qMicro.as("q_micro"), n.as("n_tokens"))
-    val isRep = (row_number().over(
-      Window.partitionBy("content_hash").orderBy("doc_id")) === 1)
-      .cast("long")
+    val minDoc = scored.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("__min_doc"))
     val qMin = math.floor(minQuality * 1e6 + 0.5).toLong
-    scored.withColumn("pass_dedup", isRep)
+    scored.join(minDoc, Seq("content_hash"))
+      .withColumn("pass_dedup",
+        (col("doc_id") === col("__min_doc")).cast("long"))
       .select(col("source"),
         (col("q_micro") >= qMin).cast("long").as("pass_quality"),
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)

@@ -175,4 +175,29 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       "one pair, one victim (doc 2), 12 victim tokens")
     assert(got.size === 1, s"the unrelated doc must add nothing: $got")
   }
+
+  test("x158 dedupYieldCurve: a multi-band victim is claimed by its MAX band only") {
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val variant = base.replace("mu", "nu omega") // 11 shared / 13 union
+    val docs = Seq(
+      (1L, base), (2L, variant), (3L, base) // (1,3) exact; (1,2),(2,3) partial
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupYieldCurve(docs).collect()
+      .map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_victims"),
+          r.getAs[Long]("victim_tokens")))).toMap
+    assert(got.contains(19L), s"exact pair must land in band 19: $got")
+    assert(got(19L) === ((1L, 1L, 12L)),
+      s"doc 3 claimed by band 19 ONLY (it also pairs partially with 2): $got")
+    val lower = (got - 19L)
+    assert(lower.values.map(_._1).sum === 2L,
+      s"two partial pairs below the top band: $got")
+    // doc 3's partial pair adds NO victim below band 19 (already claimed);
+    // doc 2 is the single lower-band victim with its 13 tokens
+    assert(lower.values.map(_._2).sum === 1L &&
+      lower.values.map(_._3).sum === 13L,
+      s"one lower-band victim (doc 2, 13 tokens), no double count: $got")
+  }
 }

@@ -248,7 +248,9 @@ def main():
         generate()
     # --cached: score the previous run's timings without re-benching
     # (bound/model changes re-judge old measurements instantly)
-    if "--cached" in sys.argv and os.path.exists("/tmp/graft_smoke_sf1.json"):
+    if ("--cached" in sys.argv
+            and os.path.exists("/tmp/graft_smoke_sf1.json")
+            and os.path.exists("/tmp/graft_smoke_sf01.json")):
         b01 = json.load(open("/tmp/graft_smoke_sf01.json"))
         b1 = json.load(open("/tmp/graft_smoke_sf1.json"))
     else:
