@@ -9,6 +9,10 @@ object PrintSql {
     val sql = args(0) match {
       case "lsh_band_mass" => graft.operators.DedupOps.lshBandMassSql
       case "simhash_block_mass" => graft.operators.DedupOps.simhashBlockMassSql
+      case "window_mass" => graft.operators.SubstringOps.windowMassSql(8)
+      case "containment_candidate_mass" =>
+        graft.operators.DedupOps.guardedCandidateMassSql(16)
+      case "retrieval_probe_mass" => graft.operators.RetrievalOps.probeMassSql()
       case other => sys.error(s"unknown sql name: $other")
     }
     println("-----BEGIN SQL-----")

@@ -970,6 +970,16 @@ object DedupOps {
        |FROM (SELECT band, count(*) AS n_pairs FROM yc_p GROUP BY band) p
        |LEFT JOIN yc_v v USING (band)""".stripMargin
 
+  /** DuckDB cost-model query: Σ C(df, 2) over shingles with
+    * 2 ≤ df ≤ maxDf — the EXACT candidate-pair emissions x78's guarded
+    * shingle self-join produces (the max-df guard's whole claim is that
+    * this mass grows linearly; tools/scale_smoke.py asserts it). */
+  def guardedCandidateMassSql(maxDf: Long = 16): String =
+    s"""WITH ${shinglesSqlCte},
+       |gcm_df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+       |SELECT CAST(coalesce(sum(df * (df - 1) / 2), 0) AS BIGINT) AS mass
+       |FROM gcm_df WHERE df BETWEEN 2 AND $maxDf""".stripMargin
+
   /** DuckDB query: Σ C(size, 2) over the 16-bit simhash block buckets —
     * the exact candidate mass driving x10/x23 cost.
     * tools/scale_smoke.py bounds x23's measured time growth against

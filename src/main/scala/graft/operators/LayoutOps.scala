@@ -143,9 +143,16 @@ object LayoutOps {
     * checking the physical per-file spans against [[zoneMapAudit]]'s
     * simulated `zorder` rows.
     *
-    * The z key is dropped before writing — it is layout, not data. */
+    * The z key is dropped before writing — it is layout, not data.
+    *
+    * Exactly-once commit (the writeShards protocol): the layout lands
+    * in `path/.staging` first, then publishes as a version under
+    * `path` via [[graft.core.AtomicDir]] — a crash at ANY point leaves
+    * the previously-published layout fully readable at
+    * [[currentZOrdered]], at worst an orphaned staging dir the next
+    * run's overwrite reclaims. Returns the published version path. */
   def writeZOrdered(df: DataFrame, dimA: Column, dimB: Column,
-                    path: String, files: Int = 16): Unit = {
+                    path: String, files: Int = 16): String = {
     require(files >= 1 && files <= 4096, s"files=$files")
     val base = df.withColumn("__a", dimA.cast("long"))
       .withColumn("__b", dimB.cast("long"))
@@ -162,8 +169,13 @@ object LayoutOps {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/.staging")
+    graft.core.AtomicDir.promote(path, s"$path/.staging")
   }
+
+  /** The live Z-ordered layout under `path` — what readers open. */
+  def currentZOrdered(path: String): String =
+    graft.core.AtomicDir.current(path)
 
   /** DuckDB twin of [[zoneMapAudit]]: `rel` with dim expressions
     * `dimA`/`dimB` and a unique tiebreak ORDER BY tail `tie`. */

@@ -287,6 +287,35 @@ object RetrievalOps {
 
   /** DuckDB twin of [[selfRetrievalEval]]; `queryPred` over (doc_id,
     * token, tf, fpos). */
+  /** DuckDB cost-model query: Σ df over the x131 query fleet's probe
+    * terms — the exact posting mass the broadcast-probe join scans
+    * (x131's only superlinear risk; the matrix build is linear).
+    * tools/scale_smoke.py bounds x131's time growth by it. */
+  def probeMassSql(queryPred: String = "doc_id % 50 = 0",
+                   nTerms: Int = 16): String =
+    s"""WITH pm_toks AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos,
+       |    unnest(toks) AS token
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+       |        FROM documents
+       |        WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+       |), pm_m AS (
+       |  SELECT doc_id, token, min(pos) AS fpos
+       |  FROM pm_toks GROUP BY doc_id, token
+       |), pm_df AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS dfr FROM pm_m
+       |  GROUP BY token
+       |), pm_q AS (
+       |  SELECT doc_id, token FROM (
+       |    SELECT m.doc_id, m.token, row_number() OVER (PARTITION BY m.doc_id
+       |      ORDER BY d.dfr, m.fpos, m.token) AS rn
+       |    FROM pm_m m JOIN pm_df d USING (token) WHERE $queryPred)
+       |  WHERE rn <= $nTerms
+       |)
+       |SELECT CAST(coalesce(sum(d.dfr), 0) AS BIGINT) AS mass
+       |FROM pm_q q JOIN pm_df d USING (token)""".stripMargin
+
   def selfRetrievalEvalSql(queryPred: String, nTerms: Int = 3, k: Int = 10,
                            k1: Double = 1.2, b: Double = 0.75): String = {
     val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"

@@ -84,6 +84,16 @@ object SubstringOps {
         col("n_windows"))
   }
 
+  /** DuckDB cost-model query: total w-token window count — the exact
+    * mass the [[windows]] md5 kernel processes (x72/x73/x79/x90's cost
+    * driver; linear in token mass by construction).
+    * tools/scale_smoke.py bounds those queries' time growth by it. */
+  def windowMassSql(w: Int = 8): String =
+    s"""SELECT CAST(coalesce(sum(greatest(
+       |    len(string_split(trim(text), ' ')) - ${w - 1}, 0)), 0) AS BIGINT)
+       |  AS mass
+       |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   // Shared CTE block: ss_spans = the x72 result (plus ss_t for reuse).
   // Keep in sync with [[windows]] + [[dupSpans]].
   private def spanCtes(w: Int): String =

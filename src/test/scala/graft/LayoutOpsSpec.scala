@@ -70,9 +70,10 @@ class LayoutOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("writeZOrdered: physical files carry the audit's promise — both dims cluster") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
-    LayoutOps.writeZOrdered(grid(), col("a"), col("b"),
+    val v1 = LayoutOps.writeZOrdered(grid(), col("a"), col("b"),
       s"$dir/li", files = 16)
-    val back = spark.read.parquet(s"$dir/li")
+    assert(LayoutOps.currentZOrdered(s"$dir/li") === v1)
+    val back = spark.read.parquet(LayoutOps.currentZOrdered(s"$dir/li"))
       .withColumn("file", input_file_name())
     assert(back.count() === 4096L, "every row survives the rewrite")
     val spans = back.groupBy("file")
@@ -92,6 +93,25 @@ class LayoutOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val meanB = spans.map(_.getAs[Long]("span_b")).sum.toDouble / 16 / 64
     assert(meanA < 0.40 && meanB < 0.40,
       s"mean coverage a=$meanA b=$meanB — both dims must cluster")
+    // exactly-once commit (the writeShards contract): a writer that
+    // dies mid-layout (staging half-written, never promoted) leaves
+    // the published layout untouched and fully readable
+    val stale = new java.io.File(s"$dir/li/.staging")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      stale.toPath.resolve("part-garbage.parquet"), "not parquet")
+    assert(LayoutOps.currentZOrdered(s"$dir/li") === v1,
+      "a crashed staging write must not move the pointer")
+    assert(spark.read.parquet(LayoutOps.currentZOrdered(s"$dir/li")).count()
+      === 4096L, "published layout survives a crashed writer")
+    // the next successful write reclaims staging and publishes v2;
+    // v1 stays intact for rollback
+    val v2 = LayoutOps.writeZOrdered(grid(), col("a"), col("b"),
+      s"$dir/li", files = 16)
+    assert(v2 !== v1)
+    assert(LayoutOps.currentZOrdered(s"$dir/li") === v2)
+    assert(spark.read.parquet(v1).count() === 4096L,
+      "superseded layout stays intact for rollback")
   }
 
   test("degenerate dimension (constant) never divides by zero") {

@@ -40,7 +40,10 @@ import numpy as np
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/graft_sf1"
 QUERIES = ["x119_session_pagerank", "x23_dup_clusters", "x111_bpe_merges",
-           "j16_band_join", "x83_cluster_split"]
+           "j16_band_join", "x83_cluster_split",
+           # round-12 top-of-profile additions (VERDICT r11 item 4)
+           "x72_dup_spans", "x79_ngram_decontamination",
+           "x78_containment_pairs", "x131_retrieval_eval"]
 SEED = 42
 
 
@@ -143,7 +146,11 @@ def generate():
 
 
 LINEAR = ["x111_bpe_merges"]
-CLEAN_JVM = ["x119_session_pagerank", "x111_bpe_merges"]
+# the md5 window/probe kernels are CPU-bound and environment-sensitive
+# (the BENCH_r11 outliers were container swing): best-of-2 in a clean JVM
+CLEAN_JVM = ["x119_session_pagerank", "x111_bpe_merges",
+             "x72_dup_spans", "x79_ngram_decontamination",
+             "x131_retrieval_eval"]
 PAIR_BOUND = [q for q in QUERIES if q not in CLEAN_JVM]
 
 
@@ -262,6 +269,16 @@ def main():
     ms = printed_sql("simhash_block_mass")
     mr = doc_mass(SF1, ms) / max(doc_mass(SF01, ms), 1)
     er = overlap_pairs(SF1) / max(overlap_pairs(SF01), 1)
+    # x72/x79: linear in the w-token window mass (the md5 kernel's input)
+    wm = printed_sql("window_mass")
+    wr = doc_mass(SF1, wm) / max(doc_mass(SF01, wm), 1)
+    # x78: the maxDf=16 guard's claim is that candidate emissions stay
+    # ~linear — measure sum C(df,2) over guarded shingles exactly
+    cs = printed_sql("containment_candidate_mass")
+    cr = doc_mass(SF1, cs) / max(doc_mass(SF01, cs), 1)
+    # x131: posting mass over the query fleet's probe terms
+    ps_ = printed_sql("retrieval_probe_mass")
+    qr = doc_mass(SF1, ps_) / max(doc_mass(SF01, ps_), 1)
     bounds = {
         # session concurrency is quadratic in fleet size at fixed span:
         # the overlap-pair edge set (PageRank's cost driver) measures
@@ -274,6 +291,17 @@ def main():
         "x23_dup_clusters": (max(12.0, 2.0 * mr),
                              f"max(12, 2x simhash mass growth ({mr:.0f}x))"),
         "x83_cluster_split": (50.0, "n^1.5 by design (k=sqrt(n), cap=4n/k)"),
+        "x72_dup_spans": (max(12.0, 2.0 * wr),
+                          f"max(12, 2x window-mass growth ({wr:.0f}x))"),
+        "x79_ngram_decontamination": (
+            max(12.0, 2.0 * wr),
+            f"max(12, 2x window-mass growth ({wr:.0f}x))"),
+        "x78_containment_pairs": (
+            max(12.0, 2.0 * cr),
+            f"max(12, 2x guarded-candidate growth ({cr:.0f}x); "
+            f"maxDf guard => ~linear"),
+        "x131_retrieval_eval": (max(12.0, 2.0 * qr),
+                                f"max(12, 2x probe-mass growth ({qr:.0f}x))"),
     }
     failures = []
     print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s} "
