@@ -1683,6 +1683,13 @@ object SparkEntry {
     "x97_dsir_weights" -> ((s, dir) =>
       graft.operators.CurationOps.dsirWeights(Tables.documents(s, dir))),
 
+    // x159 — cluster-corrected DSIR sampling mass: x23's simhash
+    // components weight each doc 1e6 div cluster_size before the x97
+    // importance readout — per source, raw vs soft-dedup-corrected mass
+    "x159_cluster_dsir" -> ((s, dir) =>
+      graft.operators.CurationOps.clusterCorrectedDsir(
+        Tables.documents(s, dir))),
+
     // x98 — Gopher quality-rule battery (Rae et al. 2021 §A1.1): the
     // five single-line-corpus rules as 0/1 gates, pure projection
     "x98_gopher_gates" -> ((s, dir) =>
@@ -2828,6 +2835,8 @@ object SparkEntry {
       graft.operators.CurationOps.qualityCalibrationSql,
     "x107_source_cohesion" -> SimilarityOps.sourceCohesionSql(),
     "x97_dsir_weights" -> graft.operators.CurationOps.dsirWeightsSql(),
+    "x159_cluster_dsir" ->
+      graft.operators.CurationOps.clusterCorrectedDsirSql(),
     "x98_gopher_gates" -> graft.operators.CurationOps.gopherGatesSql,
     "x99_length_ks" -> graft.operators.CurationOps.lengthKsSql,
     "x102_token_fertility" -> graft.operators.CurationOps.tokenFertilitySql,

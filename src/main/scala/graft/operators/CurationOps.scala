@@ -134,6 +134,105 @@ object CurationOps {
        |FROM ds_doc""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x159 — cluster-corrected DSIR sampling mass (x23 × x97)
+  // ---------------------------------------------------------------------
+
+  /** Soft-dedup correction for DSIR sampling: a near-dup cluster of k
+    * copies multiplies its source's raw importance mass k× — the
+    * standard fix weights each doc by 1/cluster_size so the cluster
+    * contributes its importance once, however many mirrors carry it.
+    * Per source: doc count, docs in a >1 cluster, the effective
+    * (dedup-corrected) doc count in micro units (Σ 1e6 div size over
+    * x23's simhash components), and the raw vs corrected DSIR mass
+    * (Σ dsir_micro vs Σ dsir_micro·share div 1e6) — the two numbers
+    * whose gap IS the sampling bias near-dups would have bought.
+    *
+    * Determinism: cluster sizes and shares are exact integers; the
+    * correction is a sign-magnitude integer division (Spark `div`
+    * truncates toward zero, DuckDB `//` floors — they agree only on
+    * magnitudes); cross-multiplies and sums ride DECIMAL(38,0) /
+    * HUGEINT so overflow errors loudly on both engines.
+    *
+    * Scale: x23's banded pair machinery + Borůvka contraction (never
+    * all-pairs), cluster sizes via a map-side-combinable groupBy +
+    * join-back (the round-12 lint rule — no cluster_id window), x97's
+    * fixed-size bucket model, then doc-keyed joins and one per-source
+    * aggregate. */
+  def clusterCorrectedDsir(df: DataFrame, targetLang: String = "en",
+                           buckets: Int = 4096, maxDist: Int = 3,
+                           state: DedupOps.IterState = DedupOps.Local)
+      : DataFrame = {
+    val clusters = DedupOps.dupClusters(
+      df, DedupOps.simhashDupPairs(df, maxDist), state = state)
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val share = clusters.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("sz"),
+        expr("1000000L div sz").as("share_micro"))
+    val dsir = dsirWeights(df, targetLang, buckets)
+      .select(col("doc_id"), col("dsir_micro"))
+    df.filter(col("doc_id").isNotNull && col("source").isNotNull &&
+        col("text").isNotNull && col("lang").isNotNull)
+      .select(col("doc_id"), col("source"))
+      .join(share, Seq("doc_id"))
+      .join(dsir, Seq("doc_id"))
+      .withColumn("corr_micro", expr(
+        "CASE WHEN dsir_micro < 0 THEN -CAST(((-CAST(dsir_micro AS " +
+          "DECIMAL(38,0))) * share_micro) div 1000000L AS BIGINT) " +
+          "ELSE CAST((CAST(dsir_micro AS DECIMAL(38,0)) * share_micro) " +
+          "div 1000000L AS BIGINT) END"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sz") > 1L, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("share_micro")).as("eff_docs_micro"),
+        sum(col("dsir_micro").cast("decimal(38,0)")).as("__raw"),
+        sum(col("corr_micro").cast("decimal(38,0)")).as("__corr"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("eff_docs_micro"),
+        expr("CAST(__raw AS BIGINT)").as("raw_dsir_mass"),
+        expr("CAST(__corr AS BIGINT)").as("corr_dsir_mass"))
+  }
+
+  /** DuckDB twin of [[clusterCorrectedDsir]] — the x23 and x97 twins
+    * nested verbatim as subqueries, same sign-magnitude division. */
+  def clusterCorrectedDsirSql(targetLang: String = "en",
+                              buckets: Int = 4096,
+                              maxDist: Int = 3): String =
+    s"""WITH cc_cl AS (
+       |  SELECT c.doc_id, c.cluster_id
+       |  FROM (
+       |${DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(maxDist))}
+       |  ) c JOIN documents d USING (doc_id)
+       |), cc_sz AS (
+       |  SELECT cluster_id, count(*) AS sz FROM cc_cl GROUP BY cluster_id
+       |), cc_sh AS (
+       |  SELECT doc_id, sz, CAST(1000000 // sz AS BIGINT) AS share_micro
+       |  FROM cc_cl JOIN cc_sz USING (cluster_id)
+       |), cc_d AS (
+       |  SELECT doc_id, dsir_micro FROM (
+       |${dsirWeightsSql(targetLang, buckets)}
+       |  )
+       |), cc_j AS (
+       |  SELECT d.source, s.sz, s.share_micro, w.dsir_micro,
+       |    CAST(CASE WHEN w.dsir_micro < 0
+       |      THEN -(((-CAST(w.dsir_micro AS HUGEINT)) * s.share_micro)
+       |        // 1000000)
+       |      ELSE (CAST(w.dsir_micro AS HUGEINT) * s.share_micro)
+       |        // 1000000
+       |    END AS BIGINT) AS corr_micro
+       |  FROM documents d
+       |  JOIN cc_sh s USING (doc_id) JOIN cc_d w USING (doc_id)
+       |  WHERE d.doc_id IS NOT NULL AND d.source IS NOT NULL
+       |    AND d.text IS NOT NULL AND d.lang IS NOT NULL
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  CAST(sum(share_micro) AS BIGINT) AS eff_docs_micro,
+       |  CAST(sum(dsir_micro) AS BIGINT) AS raw_dsir_mass,
+       |  CAST(sum(corr_micro) AS BIGINT) AS corr_dsir_mass
+       |FROM cc_j GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x98 — Gopher quality-rule battery
   // ---------------------------------------------------------------------
 

@@ -354,4 +354,33 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("C")._1 === 1 && got("C")._4 > 0L,
       s"gibberish feed must flag a fertility spike: ${got("C")}")
   }
+
+  test("x159 clusterCorrectedDsir: cluster shares and corrected mass on a fixture") {
+    val s = spark
+    import s.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, t, "en", "A"), (2L, t, "en", "A"), (3L, t, "en", "A"), // cluster of 3
+      (4L, "one two three four five six seven eight nine ten", "de", "B")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = CurationOps.clusterCorrectedDsir(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("eff_docs_micro"), r.getAs[Long]("raw_dsir_mass"),
+          r.getAs[Long]("corr_dsir_mass")))).toMap
+    val (nA, dupA, effA, rawA, corrA) = got("A")
+    assert(nA === 3L && dupA === 3L,
+      s"the 3 identical docs form one cluster: ${got("A")}")
+    assert(effA === 3L * 333333L,
+      "each cluster member's share is 1e6 div 3")
+    // identical docs share one dsir weight w; corrected mass is
+    // 3 * signmag(w * 333333 div 1e6) -- strictly inside the raw mass
+    assert(math.abs(corrA) <= math.abs(rawA) / 2,
+      s"correction must collapse the cluster's triple-counted mass: ${got("A")}")
+    val (nB, dupB, effB, rawB, corrB) = got("B")
+    assert(nB === 1L && dupB === 0L && effB === 1000000L,
+      s"singleton keeps full share: ${got("B")}")
+    assert(corrB === rawB, "share 1e6 must leave a singleton's mass exact")
+  }
 }
