@@ -1690,6 +1690,13 @@ object SparkEntry {
       graft.operators.CurationOps.clusterCorrectedDsir(
         Tables.documents(s, dir))),
 
+    // x160 — quality-weighted dedup policy delta: per Jaccard band, the
+    // victim token/quality mass under keep-lowest-id vs
+    // keep-highest-quality — x158 prices the threshold, this prices
+    // WHICH copy survives; same single LSH pass + one doc-keyed join
+    "x160_policy_delta" -> ((s, dir) =>
+      DedupOps.dedupPolicyDelta(Tables.documents(s, dir))),
+
     // x98 — Gopher quality-rule battery (Rae et al. 2021 §A1.1): the
     // five single-line-corpus rules as 0/1 gates, pure projection
     "x98_gopher_gates" -> ((s, dir) =>
@@ -2782,6 +2789,7 @@ object SparkEntry {
     "x8_lsh_dup_pairs" -> DedupOps.lshDupPairsSql(0.5),
     "x156_contamination_matrix" -> DedupOps.contaminationMatrixSql(0.5),
     "x158_dedup_yield" -> DedupOps.dedupYieldCurveSql(),
+    "x160_policy_delta" -> DedupOps.dedupPolicyDeltaSql(),
     "x9_simhash" -> DedupOps.simhashSql,
     "x10_simhash_pairs" -> DedupOps.simhashDupPairsSql(3),
     "x23_dup_clusters" -> DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3)),

@@ -970,6 +970,105 @@ object DedupOps {
        |FROM (SELECT band, count(*) AS n_pairs FROM yc_p GROUP BY band) p
        |LEFT JOIN yc_v v USING (band)""".stripMargin
 
+  /** x160: quality-weighted dedup POLICY delta — x158 prices WHAT a
+    * Jaccard threshold removes; this prices WHICH copy survives, the
+    * other half of the dedup decision. Per band, each verified pair is
+    * settled under two policies: keep-lowest-id (victim = the higher
+    * doc_id, x158's convention) vs keep-highest-quality (victim = the
+    * lower x3 quality score; ties keep the lower doc_id, so both
+    * policies agree on ties). Reported per band: pair count, the two
+    * policies' victim token masses, their victim quality masses, and
+    * `q_saved_micro` = keep-low quality loss − keep-quality quality
+    * loss — by construction ≥ 0, the quality mass the better policy
+    * rescues at that band. Accounting is per PAIR (the exact pairwise
+    * delta; cluster-transitive survivorship is x47's job).
+    *
+    * Determinism: quality is the x3 score micro-snapped BEFORE the
+    * policy comparison, so both engines pick the same victim; sums
+    * ride DECIMAL(38,0)/HUGEINT and output as BIGINT.
+    *
+    * Scale: the same single LSH pass as x158 (pair set = x8 at
+    * threshold 0) plus one extra doc-keyed join of the narrow
+    * (tok, q_micro) projection onto each pair side, then a
+    * bands-sized aggregate. */
+  def dedupPolicyDelta(df: DataFrame, bands: Int = 20,
+                       text: Column = col("text")): DataFrame = {
+    require(bands >= 2 && bands <= 1000, s"bands=$bands")
+    val pairs = lshDupPairs(df, threshold = 0.0, text)
+      .select(col("doc_a"), col("doc_b"),
+        least(floor(col("jaccard") * bands), lit((bands - 1).toLong))
+          .cast("long").as("band"))
+    val scored = df.select(col("doc_id"),
+      coalesce(graft.functions.TextExpressions.wsTokenCountFast(text)
+        .cast("long"), lit(0L)).as("tok"),
+      floor(TextOps.qualityScoreCol(text) * lit(1e6) + lit(0.5))
+        .cast("long").as("q"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    pairs
+      .join(scored.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"),
+        col("q").as("q_a")), Seq("doc_a"))
+      .join(scored.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"),
+        col("q").as("q_b")), Seq("doc_b"))
+      .select(col("band"),
+        col("tok_b").as("kl_tok"), col("q_b").as("kl_q"),
+        when(col("q_a") >= col("q_b"), col("tok_b")).otherwise(col("tok_a"))
+          .as("kq_tok"),
+        least(col("q_a"), col("q_b")).as("kq_q"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("kl_tok").cast(dec)).as("__klt"),
+        sum(col("kq_tok").cast(dec)).as("__kqt"),
+        sum(col("kl_q").cast(dec)).as("__klq"),
+        sum(col("kq_q").cast(dec)).as("__kqq"))
+      .select(col("band"),
+        expr(s"(band * 1000000L) div ${bands}L").as("band_lo_ppm"),
+        col("n_pairs"),
+        expr("CAST(__klt AS BIGINT)").as("kl_victim_tokens"),
+        expr("CAST(__kqt AS BIGINT)").as("kq_victim_tokens"),
+        expr("CAST(__klq AS BIGINT)").as("kl_victim_q_mass"),
+        expr("CAST(__kqq AS BIGINT)").as("kq_victim_q_mass"),
+        expr("CAST(__klq - __kqq AS BIGINT)").as("q_saved_micro"))
+  }
+
+  /** DuckDB twin of [[dedupPolicyDelta]] — same pair set, same
+    * micro-snap-then-compare victim choice. */
+  def dedupPolicyDeltaSql(bands: Int = 20): String =
+    s"""WITH pd_p0 AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |${lshDupPairsSql(0.0)}
+       |  )
+       |), pd_p AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(least(floor(jaccard * $bands), ${bands - 1}) AS BIGINT)
+       |      AS band
+       |  FROM pd_p0
+       |), pd_s AS (
+       |  SELECT doc_id,
+       |    coalesce(CAST(len(${graft.operators.TextOps.wordsReSql("text")})
+       |      AS BIGINT), 0) AS tok,
+       |    CAST(floor((${graft.operators.TextOps.qualityScoreColSql("text")})
+       |      * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM documents
+       |), pd_j AS (
+       |  SELECT p.band,
+       |    b.tok AS kl_tok, b.q AS kl_q,
+       |    CASE WHEN a.q >= b.q THEN b.tok ELSE a.tok END AS kq_tok,
+       |    least(a.q, b.q) AS kq_q
+       |  FROM pd_p p
+       |  JOIN pd_s a ON a.doc_id = p.doc_a
+       |  JOIN pd_s b ON b.doc_id = p.doc_b
+       |)
+       |SELECT band, CAST((band * 1000000) // $bands AS BIGINT)
+       |    AS band_lo_ppm,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CAST(kl_tok AS HUGEINT)) AS BIGINT) AS kl_victim_tokens,
+       |  CAST(sum(CAST(kq_tok AS HUGEINT)) AS BIGINT) AS kq_victim_tokens,
+       |  CAST(sum(CAST(kl_q AS HUGEINT)) AS BIGINT) AS kl_victim_q_mass,
+       |  CAST(sum(CAST(kq_q AS HUGEINT)) AS BIGINT) AS kq_victim_q_mass,
+       |  CAST(sum(CAST(kl_q AS HUGEINT)) - sum(CAST(kq_q AS HUGEINT))
+       |    AS BIGINT) AS q_saved_micro
+       |FROM pd_j GROUP BY band""".stripMargin
+
   /** DuckDB cost-model query: Σ C(df, 2) over shingles with
     * 2 ≤ df ≤ maxDf — the EXACT candidate-pair emissions x78's guarded
     * shingle self-join produces (the max-df guard's whole claim is that

@@ -200,4 +200,30 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       lower.values.map(_._3).sum === 13L,
       s"one lower-band victim (doc 2, 13 tokens), no double count: $got")
   }
+
+  test("x160 dedupPolicyDelta: keep-quality rescues the better copy, ties agree with keep-low") {
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val longer = base + " nu omega" // near-dup, 2 extra words -> higher x3 quality
+    val docs = Seq((1L, base), (2L, longer)).toDF("doc_id", "text")
+    val got = DedupOps.dedupPolicyDelta(docs).collect()
+    assert(got.length === 1, s"one pair, one band: ${got.toSeq}")
+    val r = got.head
+    // keep-low drops doc 2 (14 tokens, the HIGHER-quality copy);
+    // keep-quality drops doc 1 (12 tokens) and saves the delta
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(r.getAs[Long]("kl_victim_tokens") === 14L)
+    assert(r.getAs[Long]("kq_victim_tokens") === 12L)
+    val saved = r.getAs[Long]("q_saved_micro")
+    assert(saved > 0L &&
+      saved === r.getAs[Long]("kl_victim_q_mass") - r.getAs[Long]("kq_victim_q_mass"),
+      s"keep-quality must save exactly the score gap: $r")
+
+    val tie = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val t = DedupOps.dedupPolicyDelta(tie).collect().head
+    assert(t.getAs[Long]("kl_victim_tokens") === t.getAs[Long]("kq_victim_tokens")
+      && t.getAs[Long]("q_saved_micro") === 0L,
+      s"identical copies: both policies drop doc 2, nothing saved: $t")
+  }
 }
