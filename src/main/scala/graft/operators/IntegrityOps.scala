@@ -42,11 +42,25 @@ object IntegrityOps {
     * `(relationship, n_child, n_keys, n_orphan_rows, n_orphan_keys)`.
     * NULL foreign keys count as orphan rows (they vanish from inner
     * joins exactly like dangling ones) but not as keys. */
-  /** One edge's audit row — the key-compressed left-join shape. */
-  def edgeAudit(name: String, child: DataFrame, fk: String,
-                parent: DataFrame, pk: String): DataFrame = {
-    val ch = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
-    ch.join(parent.select(col(pk).as("k"), lit(1).as("hit")), Seq("k"), "left")
+  /** The SUFFICIENT STATISTIC behind one edge's audit: the
+    * key-compressed child panel `(k, c)` — ONE aggregation whose only
+    * measure is a sum, |distinct keys| rows, which is exactly what lets
+    * the panel maintain itself as streaming state
+    * ([[graft.streaming.IntegrityStream.auditPanelOnIngest]]): the
+    * audit row needs the parent join, the panel does not. */
+  def childPanel(child: DataFrame, fk: String): DataFrame =
+    child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+
+  /** Finish a [[childPanel]] into the edge's audit row — batch and the
+    * streaming live panel share this read verbatim, so
+    * stream-then-finish equals batch x147 on every arrival prefix
+    * (IntegrityStreamSpec pins it). The parent relation is joined RAW
+    * (no distinct), matching the oracle's `LEFT JOIN parent` row
+    * semantics exactly. */
+  def auditFromPanel(name: String, panel: DataFrame,
+                     parent: DataFrame, pk: String): DataFrame =
+    panel
+      .join(parent.select(col(pk).as("k"), lit(1).as("hit")), Seq("k"), "left")
       .agg(
         sum(col("c")).as("n_child"),
         sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_keys"),
@@ -56,7 +70,12 @@ object IntegrityOps {
           .as("n_orphan_keys"))
       .select(lit(name).as("relationship"), col("n_child"), col("n_keys"),
         col("n_orphan_rows"), col("n_orphan_keys"))
-  }
+
+  /** One edge's audit row — the key-compressed left-join shape,
+    * factored as finish(panel). */
+  def edgeAudit(name: String, child: DataFrame, fk: String,
+                parent: DataFrame, pk: String): DataFrame =
+    auditFromPanel(name, childPanel(child, fk), parent, pk)
 
   def fkAudit(spark: SparkSession, dir: String): DataFrame = {
     val t: Map[String, DataFrame] = Map(
