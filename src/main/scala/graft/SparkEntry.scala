@@ -1697,6 +1697,14 @@ object SparkEntry {
     "x160_policy_delta" -> ((s, dir) =>
       DedupOps.dedupPolicyDelta(Tables.documents(s, dir))),
 
+    // x161 — cluster-transitive survivor policy delta: per cluster-size
+    // band, the victims' token/quality mass under keep-lowest-id vs
+    // x47's keep-highest-quality — x160 per pair, this after closure
+    "x161_cluster_policy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.clusterPolicyDelta(docs, DedupOps.simhashDupPairs(docs, 3))
+    }),
+
     // x98 — Gopher quality-rule battery (Rae et al. 2021 §A1.1): the
     // five single-line-corpus rules as 0/1 gates, pure projection
     "x98_gopher_gates" -> ((s, dir) =>
@@ -2790,6 +2798,8 @@ object SparkEntry {
     "x156_contamination_matrix" -> DedupOps.contaminationMatrixSql(0.5),
     "x158_dedup_yield" -> DedupOps.dedupYieldCurveSql(),
     "x160_policy_delta" -> DedupOps.dedupPolicyDeltaSql(),
+    "x161_cluster_policy" ->
+      DedupOps.clusterPolicyDeltaSql(DedupOps.simhashDupPairsSql(3)),
     "x9_simhash" -> DedupOps.simhashSql,
     "x10_simhash_pairs" -> DedupOps.simhashDupPairsSql(3),
     "x23_dup_clusters" -> DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3)),

@@ -1069,6 +1069,112 @@ object DedupOps {
        |    AS BIGINT) AS q_saved_micro
        |FROM pd_j GROUP BY band""".stripMargin
 
+  /** x161: CLUSTER-TRANSITIVE survivor policy delta — x160 prices the
+    * policy per PAIR; after transitive closure a cluster of k near-dups
+    * keeps ONE survivor, and the policies can disagree more (the
+    * lowest-id member is rarely the best-quality one in a large
+    * cluster). Per cluster-size band (2..7, 8 = "8+"): cluster count
+    * and, under keep-lowest-id vs keep-highest-quality (x47's argmax
+    * rule, ties to lowest id), the victims' token mass and quality
+    * mass, plus `q_saved_micro` = keep-low loss − keep-quality loss
+    * (≥ 0 by argmax). Victim mass per cluster = total − survivor, so
+    * the report is exactly "what the corpus loses under each rule".
+    *
+    * Shape: [[dupClusters]]'s label table joins the narrow
+    * (tok, q_micro) projection, then ONE map-side-combinable
+    * per-cluster aggregate carries BOTH winners — `min(struct(id,…))`
+    * is keep-lowest, `max(struct(q, -id,…))` is x47's winner, each
+    * with its measures riding the unique-key lexicographic order —
+    * and a viral mega-cluster collapses in the partials (no
+    * cluster_id window, the round-11 `weak` shape). Band rollup is
+    * a ≤7-row aggregate. Quality is micro-snapped BEFORE the argmax
+    * so both engines pick the same survivor. */
+  def clusterPolicyDelta(docs: DataFrame, pairs: DataFrame,
+                         text: Column = col("text"),
+                         state: IterState = Local): DataFrame = {
+    val clusters = dupClusters(docs, pairs, state = state)
+    val scored = docs.select(col("doc_id"),
+      coalesce(graft.functions.TextExpressions.wsTokenCountFast(text)
+        .cast("long"), lit(0L)).as("tok"),
+      floor(TextOps.qualityScoreCol(text) * lit(1e6) + lit(0.5))
+        .cast("long").as("q"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    clusters.join(scored, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("tok").cast(dec)).as("__tt"),
+        sum(col("q").cast(dec)).as("__tq"),
+        min(struct(col("doc_id").as("id"), col("tok").as("t"),
+          col("q").as("qq"))).as("__kl"),
+        max(struct(col("q").as("qq"), (-col("doc_id")).as("nd"),
+          col("tok").as("t"))).as("__kq"))
+      .filter(col("n_members") >= 2)
+      .select(least(col("n_members"), lit(8L)).as("size_band"),
+        (col("__tt") - col("__kl.t").cast(dec)).as("klv"),
+        (col("__tt") - col("__kq.t").cast(dec)).as("kqv"),
+        (col("__tq") - col("__kl.qq").cast(dec)).as("klq"),
+        (col("__tq") - col("__kq.qq").cast(dec)).as("kqq"))
+      .groupBy("size_band")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("klv")).as("__klv"), sum(col("kqv")).as("__kqv"),
+        sum(col("klq")).as("__klq"), sum(col("kqq")).as("__kqq"))
+      .select(col("size_band"), col("n_clusters"),
+        expr("CAST(__klv AS BIGINT)").as("kl_victim_tokens"),
+        expr("CAST(__kqv AS BIGINT)").as("kq_victim_tokens"),
+        expr("CAST(__klq AS BIGINT)").as("kl_victim_q_mass"),
+        expr("CAST(__kqq AS BIGINT)").as("kq_victim_q_mass"),
+        expr("CAST(__klq - __kqq AS BIGINT)").as("q_saved_micro"))
+  }
+
+  /** DuckDB twin of [[clusterPolicyDelta]] — the [[dupClustersSql]]
+    * unroll nested as a subquery; winners via row_number windows (the
+    * oracle runs at oracle scale; the Spark side stays window-free). */
+  def clusterPolicyDeltaSql(pairsSql: String): String =
+    s"""WITH cp_s AS (
+       |  SELECT doc_id,
+       |    coalesce(CAST(len(${TextOps.wordsReSql("text")})
+       |      AS BIGINT), 0) AS tok,
+       |    CAST(floor((${TextOps.qualityScoreColSql("text")})
+       |      * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM documents
+       |), cp_c AS (
+       |  SELECT * FROM (
+       |${dupClustersSql(pairsSql)}
+       |  ) t
+       |), cp_j AS (
+       |  SELECT c.cluster_id, s.doc_id, s.tok, s.q
+       |  FROM cp_c c JOIN cp_s s USING (doc_id)
+       |), cp_r AS (
+       |  SELECT cluster_id, tok, q,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY doc_id) AS rl,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY q DESC, doc_id) AS rq
+       |  FROM cp_j
+       |), cp_g AS (
+       |  SELECT cluster_id, count(*) AS n_members,
+       |    sum(CAST(tok AS HUGEINT)) AS tt, sum(CAST(q AS HUGEINT)) AS tq
+       |  FROM cp_j GROUP BY cluster_id
+       |), cp_per AS (
+       |  SELECT least(g.n_members, 8) AS size_band,
+       |    g.tt - kl.tok AS klv, g.tt - kq.tok AS kqv,
+       |    g.tq - kl.q AS klq, g.tq - kq.q AS kqq
+       |  FROM cp_g g
+       |  JOIN (SELECT cluster_id, tok, q FROM cp_r WHERE rl = 1) kl
+       |    USING (cluster_id)
+       |  JOIN (SELECT cluster_id, tok, q FROM cp_r WHERE rq = 1) kq
+       |    USING (cluster_id)
+       |  WHERE g.n_members >= 2
+       |)
+       |SELECT CAST(size_band AS BIGINT) AS size_band,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(klv) AS BIGINT) AS kl_victim_tokens,
+       |  CAST(sum(kqv) AS BIGINT) AS kq_victim_tokens,
+       |  CAST(sum(klq) AS BIGINT) AS kl_victim_q_mass,
+       |  CAST(sum(kqq) AS BIGINT) AS kq_victim_q_mass,
+       |  CAST(sum(klq) - sum(kqq) AS BIGINT) AS q_saved_micro
+       |FROM cp_per GROUP BY size_band""".stripMargin
+
   /** DuckDB cost-model query: Σ C(df, 2) over shingles with
     * 2 ≤ df ≤ maxDf — the EXACT candidate-pair emissions x78's guarded
     * shingle self-join produces (the max-df guard's whole claim is that

@@ -226,4 +226,34 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       && t.getAs[Long]("q_saved_micro") === 0L,
       s"identical copies: both policies drop doc 2, nothing saved: $t")
   }
+
+  test("x161 clusterPolicyDelta: transitive cluster keeps one survivor per policy") {
+    val s = spark
+    import s.implicits._
+    // a 3-member transitive cluster where the BEST copy has the highest
+    // id — keep-lowest drops it, keep-quality rescues it
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = a + " nu"        // 13 tokens
+    val c = a + " nu omega"  // 14 tokens, highest quality, highest id
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.clusterPolicyDelta(docs, pairs).collect()
+    assert(got.length === 1, s"one 3-member cluster: ${got.toSeq}")
+    val r = got.head
+    assert(r.getAs[Long]("size_band") === 3L &&
+      r.getAs[Long]("n_clusters") === 1L)
+    // keep-lowest keeps doc 1 (12 tok): victims 13+14=27; keep-quality
+    // keeps doc 3 (14 tok): victims 12+13=25
+    assert(r.getAs[Long]("kl_victim_tokens") === 27L, s"$r")
+    assert(r.getAs[Long]("kq_victim_tokens") === 25L, s"$r")
+    val saved = r.getAs[Long]("q_saved_micro")
+    assert(saved > 0L && saved === r.getAs[Long]("kl_victim_q_mass") -
+      r.getAs[Long]("kq_victim_q_mass"), s"$r")
+
+    // singleton clusters never appear; identical pair saves nothing
+    val two = Seq((1L, a), (2L, a), (9L, "unrelated solitary words here")).toDF("doc_id", "text")
+    val g2 = DedupOps.clusterPolicyDelta(two, Seq((1L, 2L)).toDF("doc_a", "doc_b")).collect()
+    assert(g2.length === 1 && g2.head.getAs[Long]("size_band") === 2L &&
+      g2.head.getAs[Long]("q_saved_micro") === 0L, s"${g2.toSeq}")
+  }
 }
