@@ -1218,6 +1218,16 @@ object SparkEntry {
     // x96 — ANN recall report: per-query recall@8 of the gated IVF
     // path against the exact baseline — ANN quality as a GATED query,
     // not just a spec floor (oracle is dynamic: centroids embed)
+    // x162 — probe-depth yield curve: recall@nprobe for EVERY nprobe in
+    // one pass (first-hit probe rank of each query's exact top-1
+    // neighbor); x96 measures the one configured nprobe, this prices
+    // the whole knob — oracle is model-dependent, see dynamicOracleSql
+    "x162_probe_yield" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.IvfOps.probeYieldCurve(emb,
+        emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir))
+    }),
+
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") % 100 === 0)
@@ -2985,6 +2995,8 @@ object SparkEntry {
       "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(
         model, "vec_id % 100 = 0", k = 8, nProbe = np),
       "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model),
+      "x162_probe_yield" -> graft.operators.IvfOps.probeYieldCurveSql(
+        model, "vec_id % 100 = 0"),
       "x38_cluster_lang_mix" -> graft.operators.IvfOps.clusterLangMixSql(model),
       "x52_semdedup" -> graft.operators.IvfOps.semDedupSql(model, tau = 0.40),
       "x100_proto_prune" ->

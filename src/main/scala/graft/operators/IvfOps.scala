@@ -241,7 +241,8 @@ object IvfOps {
     * projection boundary referenced twice so CollapseProject keeps it
     * per-row, not per-element. */
   def probesViaJoin(queries: DataFrame, model: IvfModel, nProbe: Int,
-                    unitNorm: Boolean = false): DataFrame = {
+                    unitNorm: Boolean = false,
+                    keepRank: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = model.centroids.zipWithIndex.map { case (c, i) => (i, c) }
@@ -263,7 +264,9 @@ object IvfOps {
             col("cid"))))
       .filter(col("rn") <= nProbe)
     if (!unitNorm)
-      ranked.select(col("query_id"), col("cid").as("centroid_id"), col("qe"))
+      ranked.select(Seq(col("query_id"), col("cid").as("centroid_id"),
+        col("qe")) ++
+        (if (keepRank) Seq(col("rn").as("probe_rank")) else Nil): _*)
     else ranked
       .select(col("query_id"), col("cid").as("centroid_id"), col("qe"),
         sqrt(SimilarityOps.dot(col("qe"), col("qe"))).as("nrm"))
@@ -313,6 +316,77 @@ object IvfOps {
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** x162: probe-depth yield curve — ONE pass prices recall@nprobe for
+    * EVERY nprobe (the x158 "price every knob in one pass" pattern
+    * applied to the IVF tuning decision). For each sampled query, the
+    * FIRST-HIT PROBE RANK: the position of the exact top-1 neighbor's
+    * inverted list in the query's (sim desc, cid) centroid order — the
+    * smallest nprobe at which that query's true NN becomes reachable.
+    * Per probe rank: query count, cumulative hits, and cumulative
+    * recall ppm — read row r as "recall@nprobe=r"; the knee is the
+    * nprobe to ship. x96 measures recall at the ONE configured nprobe;
+    * this prices all of them for the same corpus scans.
+    *
+    * Scale shape: the exact kernel is the x96 sampled brute-force
+    * baseline (deliberate corpus × sampled-query broadcast scan); the
+    * assignment map is the shared one-pass [[assign]]; the query-side
+    * centroid ranking windows per query_id over the K-row broadcast
+    * codebook (per-entity bounded, the audited probesViaJoin shape);
+    * everything after is equi-joins on (query_id, centroid_id) and a
+    * ≤K-row aggregate — the cumulative window runs over codebook-sized
+    * rows (audited bounded). */
+  def probeYieldCurve(emb: DataFrame, queries: DataFrame,
+                      model: IvfModel): DataFrame = {
+    val k = model.centroids.length
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val cells = assign(emb, model)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    val qRanks = probesViaJoin(queries, model, nProbe = k, keepRank = true)
+      .select(col("query_id"), col("centroid_id"), col("probe_rank"))
+    val tot = exact.agg(count(lit(1)).as("n_q"))
+    exact
+      .join(cells, Seq("neighbor_id"))
+      .join(qRanks, Seq("query_id", "centroid_id"))
+      .groupBy("probe_rank")
+      .agg(count(lit(1)).as("n_first_hits"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_hits", sum(col("n_first_hits")).over(
+        Window.orderBy(col("probe_rank"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("probe_rank").cast("long").as("probe_rank"),
+        col("n_first_hits"), col("cum_hits"),
+        expr("(cum_hits * 1000000L) div n_q").as("recall_ppm"))
+  }
+
+  /** DuckDB twin of [[probeYieldCurve]] — the shared `sims` CTE already
+    * ranks every (vector, centroid) pair, so the first-hit rank is one
+    * equi-join away from the corpus assignment. */
+  def probeYieldCurveSql(model: IvfModel, queryFilter: String): String =
+    s"""WITH ${centroidCtesSql(model)}, corpus_assign AS (
+       |  SELECT vec_id, cid AS centroid_id FROM sims WHERE rn = 1
+       |), pyc_ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${SimilarityOps.bruteForceTopKSql(queryFilter, 1)}
+       |  )
+       |), pyc_fh AS (
+       |  SELECT s.rn AS probe_rank
+       |  FROM pyc_ex e
+       |  JOIN corpus_assign a ON a.vec_id = e.neighbor_id
+       |  JOIN sims s ON s.vec_id = e.query_id AND s.cid = a.centroid_id
+       |), pyc_g AS (
+       |  SELECT probe_rank, count(*) AS n_first_hits
+       |  FROM pyc_fh GROUP BY probe_rank
+       |)
+       |SELECT CAST(probe_rank AS BIGINT) AS probe_rank,
+       |  CAST(n_first_hits AS BIGINT) AS n_first_hits,
+       |  CAST(sum(n_first_hits) OVER (ORDER BY probe_rank
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hits,
+       |  CAST(sum(n_first_hits) OVER (ORDER BY probe_rank
+       |    ROWS UNBOUNDED PRECEDING) * 1000000
+       |    // (SELECT count(*) FROM pyc_ex) AS BIGINT) AS recall_ppm
+       |FROM pyc_g""".stripMargin
 
   /** x35: cluster-health report over a trained model — per-cluster member
     * count and mean cosine similarity to the own centroid. The balance

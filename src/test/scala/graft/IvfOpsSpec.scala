@@ -417,4 +417,42 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === ref)
     assert(ref.nonEmpty, "fixture must contain at least one leaking pair")
   }
+
+  test("x162 probe yield curve: first-hit ranks match the reference; curve is a valid CDF") {
+    val s2 = spark; import s2.implicits._
+    // handcrafted 2-centroid model: axis clusters, one query whose true
+    // NN sits in the OTHER cell -> first_hit 2 for it, 1 for the rest
+    val model = IvfOps.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val emb = Seq(
+      (100L, Array(1.0, 0.0)),   // query, cell 0
+      (1L, Array(0.9, 0.45)),    // its true NN (cos ~.895), cell 0? no:
+      // 0.9,0.45 vs c0 cos=0.894, vs c1 cos=0.447 -> cell 0. Make the NN
+      // land in cell 1 instead:
+      (2L, Array(0.6, 0.8)),     // cell 1 (cos c1 = .8 > cos c0 = .6)
+      (200L, Array(0.0, 1.0)),   // query, cell 1
+      (3L, Array(0.1, 0.99))     // cell 1, true NN of 200
+    ).toDF("vec_id", "embedding")
+    // drop doc 1 so query 100's exact NN is doc 2 (cell 1, rank-2 probe)
+    val corpus = emb.filter(col("vec_id") =!= 1L)
+    val queries = corpus.filter(col("vec_id") >= 100L)
+    val got = IvfOps.probeYieldCurve(corpus, queries, model).collect()
+      .map(r => (r.getAs[Long]("probe_rank"), r.getAs[Long]("n_first_hits"),
+        r.getAs[Long]("cum_hits"), r.getAs[Long]("recall_ppm"))).toSeq.sortBy(_._1)
+    // query 200: NN=3 in own cell (rank 1); query 100: NN=2 in cell 1
+    // (rank 2) — wait, 100's nearest among {2,3,200}: cos(100,2)=.6,
+    // cos(100,3)=.1005, cos(100,200)=0 -> NN=2, cell 1, probe rank 2
+    assert(got === Seq((1L, 1L, 1L, 500000L), (2L, 1L, 2L, 1000000L)), s"$got")
+
+    // on the real corpus: monotone CDF ending at 1e6, ranks within K
+    val realEmb = Tables.embeddings(spark, sfDir)
+    val m = IvfOps.train(realEmb, k = 16, iterations = 2)
+    val curve = IvfOps.probeYieldCurve(realEmb,
+      realEmb.filter(col("vec_id") % 100 === 0), m).collect()
+      .map(r => (r.getAs[Long]("probe_rank"), r.getAs[Long]("cum_hits"),
+        r.getAs[Long]("recall_ppm"))).sortBy(_._1)
+    assert(curve.nonEmpty && curve.last._3 === 1000000L,
+      s"every query's NN is eventually reachable: ${curve.toSeq}")
+    assert(curve.map(_._2).sameElements(curve.map(_._2).sorted) &&
+      curve.forall(c => c._1 >= 1 && c._1 <= 16), s"${curve.toSeq}")
+  }
 }

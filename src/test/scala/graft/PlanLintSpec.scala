@@ -45,7 +45,10 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "m6_delete_file_archive" -> 1,
     "x18_ann_ivf" -> 1,
     "x116_hard_negatives" -> 1,
-    "x96_ann_recall" -> 1)
+    "x96_ann_recall" -> 1,
+    // the x96 exact brute-force kernel reused as the curve's truth side:
+    // corpus × broadcast SAMPLED query batch, deliberate by design
+    "x162_probe_yield" -> 1)
 
   /** Audited UNPARTITIONED windows — each one a window over a relation
     * PROVABLY bounded independent of corpus size, with the bound named.
@@ -72,7 +75,10 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "x153_quantile_normalize" -> (3,
       "TwoPhase offset windows over ≤256-row bucket aggregates " +
         "(global grid cumsum ×2 via the union's double evaluation + " +
-        "the carry-forward as-of)"))
+        "the carry-forward as-of)"),
+    "x162_probe_yield" -> (1,
+      "cumulative hits over the per-probe-rank aggregate — bounded by " +
+        "the K-row codebook, never the corpus"))
 
   test("every unpartitioned Window is audited with its input's bound") {
     // unpartitioned = the first windowspecdefinition argument is an
