@@ -1278,6 +1278,13 @@ object SparkEntry {
       SimilarityOps.sourceCohesion(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    // x163 — per-source anisotropy: EXACT mean pairwise dot with no pair
+    // join (sum-of-sums identity) — the pairwise-concentration axis x107's
+    // to-centroid cohesion can't see; O(n·d) scan for an O(n²·d) statistic
+    "x163_source_anisotropy" -> ((s, dir) =>
+      SimilarityOps.sourceAnisotropy(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     // x110 — semantic split leakage: embedding-space near-dup pairs
     // straddling a train/val/test boundary — the paraphrase-leak class
     // exact-match decontamination can't see (oracle: dynamic centroids)
@@ -2862,6 +2869,7 @@ object SparkEntry {
     "x109_quality_calibration" ->
       graft.operators.CurationOps.qualityCalibrationSql,
     "x107_source_cohesion" -> SimilarityOps.sourceCohesionSql(),
+    "x163_source_anisotropy" -> SimilarityOps.sourceAnisotropySql(),
     "x97_dsir_weights" -> graft.operators.CurationOps.dsirWeightsSql(),
     "x159_cluster_dsir" ->
       graft.operators.CurationOps.clusterCorrectedDsirSql(),

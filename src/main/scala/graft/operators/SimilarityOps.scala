@@ -556,4 +556,100 @@ object SimilarityOps {
        |    AS mean_coh
        |FROM sc_coh
        |GROUP BY source""".stripMargin
+
+  /** x163: per-source embedding anisotropy — the EXACT mean pairwise dot
+    * product inside each source, computed with NO pair join via the
+    * sum-of-sums identity Σ_{i≠j}⟨x_i,x_j⟩ = ‖Σx_i‖² − Σ‖x_i‖². A
+    * collapsed (template-farm / mode-collapsed-embedder) source has mean
+    * pairwise dot ≈ mean self dot; a healthy one sits near zero. x107
+    * measures distance to the source CENTROID; this is the pairwise
+    * concentration — the other axis of the same diagnosis, and together
+    * they decompose the source's variance.
+    *
+    * Per source: doc count, mean self dot and mean ordered-pair dot (both
+    * on the shared 1e-4 element grid, so units are the q8 = 1e8-scaled
+    * dot), and anisotropy_ppm = pair/self ratio straight from the raw
+    * sums ((ssq−q)·1e6 div (q·(n−1))) — one integer rounding, not three.
+    *
+    * Scale shape: the O(n²·d) pair statistic costs ONE O(n·d) exploded
+    * scan: per-(source, dim) sums (|sources|×d rows however big the
+    * corpus, map-side partials collapse a dominant source before its
+    * shuffle) then a |sources|-row rollup. Every measure is a sum — the
+    * sufficient statistic streams. Exactness: elements snap to the 1e-4
+    * grid as BIGINTs first; the squares/cross-multiplies ride
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); divisions are
+    * sign-magnitude integer div (Spark `div` truncates, DuckDB `//`
+    * floors — numerators can be negative). */
+  def sourceAnisotropy(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val el = emb.join(docs.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .filter(col("source").isNotNull)
+      .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "ev")))
+      .select(col("source"), col("pos"),
+        floor(col("ev").cast("double") * lit(1e4) + lit(0.5)).cast("long")
+          .as("v"))
+    // one pass carries BOTH moments per (source, dim); n_docs rides the
+    // same aggregate as the per-dim row count (every non-empty embedding
+    // has a pos-0 element, so max over dims = docs with embeddings)
+    val dims = el.groupBy("source", "pos")
+      .agg(sum(col("v")).as("s"),
+        sum((col("v").cast(dec) * col("v").cast(dec)).cast(dec)).as("q2"),
+        count(lit(1)).as("n_rows"))
+    val src = dims.groupBy("source")
+      .agg(sum((col("s").cast(dec) * col("s").cast(dec)).cast(dec)).as("ssq"),
+        sum(col("q2")).as("q"),
+        max(col("n_rows")).as("n_docs"))
+    src.select(col("source"), col("n_docs"),
+      expr("CAST(q div greatest(CAST(n_docs AS DECIMAL(38,0)), 1) " +
+        "AS BIGINT)").as("mean_self_q8"),
+      expr("CASE WHEN n_docs >= 2 THEN CAST(CASE WHEN ssq - q < 0 " +
+        "THEN -((q - ssq) div (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1))) " +
+        "ELSE (ssq - q) div (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) " +
+        "END AS BIGINT) ELSE NULL END").as("mean_pair_q8"),
+      expr("CASE WHEN n_docs >= 2 AND q > 0 THEN CAST(CASE WHEN ssq - q < 0 " +
+        "THEN -(((q - ssq) * 1000000) div (q * (n_docs - 1))) " +
+        "ELSE ((ssq - q) * 1000000) div (q * (n_docs - 1)) " +
+        "END AS BIGINT) ELSE NULL END").as("anisotropy_ppm"))
+  }
+
+  /** DuckDB twin of [[sourceAnisotropy]]. */
+  def sourceAnisotropySql(dim: Int = 64): String =
+    s"""WITH sa_el AS (
+       |  SELECT d.source, ix.i AS pos,
+       |    CAST(floor(CAST(e.embedding[ix.i] AS DOUBLE) * 1e4 + 0.5)
+       |      AS BIGINT) AS v
+       |  FROM embeddings e
+       |  JOIN documents d ON d.doc_id = e.vec_id
+       |  CROSS JOIN generate_series(1, $dim) AS ix(i)
+       |  WHERE d.source IS NOT NULL AND ix.i <= len(e.embedding)
+       |),
+       |sa_dim AS (
+       |  SELECT source, pos, CAST(sum(v) AS BIGINT) AS s,
+       |    sum(CAST(v AS HUGEINT) * v) AS q2,
+       |    CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM sa_el GROUP BY source, pos
+       |),
+       |sa_src AS (
+       |  SELECT source,
+       |    sum(CAST(s AS HUGEINT) * s) AS ssq,
+       |    sum(q2) AS q,
+       |    max(n_rows) AS n_docs
+       |  FROM sa_dim GROUP BY source
+       |)
+       |SELECT source, n_docs,
+       |  CAST(q // greatest(n_docs, 1) AS BIGINT) AS mean_self_q8,
+       |  CASE WHEN n_docs >= 2 THEN
+       |    CAST(CASE WHEN ssq - q < 0
+       |      THEN -((q - ssq) // (CAST(n_docs AS HUGEINT) * (n_docs - 1)))
+       |      ELSE (ssq - q) // (CAST(n_docs AS HUGEINT) * (n_docs - 1))
+       |    END AS BIGINT)
+       |  ELSE NULL END AS mean_pair_q8,
+       |  CASE WHEN n_docs >= 2 AND q > 0 THEN
+       |    CAST(CASE WHEN ssq - q < 0
+       |      THEN -(((q - ssq) * 1000000) // (q * (n_docs - 1)))
+       |      ELSE ((ssq - q) * 1000000) // (q * (n_docs - 1))
+       |    END AS BIGINT)
+       |  ELSE NULL END AS anisotropy_ppm
+       |FROM sa_src""".stripMargin
 }

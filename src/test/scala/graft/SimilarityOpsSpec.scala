@@ -148,4 +148,44 @@ class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"mislabeled neighbor must dent cluster-0 purity: ${got2(0)}")
     assert(got2(0)._2 === 1000000L, "majority vote should survive one flip")
   }
+
+  test("x163 sourceAnisotropy: sum-of-sums identity equals hand-computed pair dots") {
+    val s = spark; import s.implicits._
+    val e0 = Array(1.0f, 0.0f)
+    val e1 = Array(0.0f, 1.0f)
+    val docs = Seq((1L, "dup"), (2L, "dup"),       // identical pair
+      (10L, "orth"), (11L, "orth"),                // orthogonal pair
+      (20L, "anti"), (21L, "anti"),                // antipodal pair
+      (30L, "solo"))                               // singleton
+      .toDF("doc_id", "source")
+    val emb = Seq((1L, e0), (2L, e0), (10L, e0), (11L, e1),
+      (20L, e0), (21L, e0.map(x => -x)), (30L, e0))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.sourceAnisotropy(docs, emb)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // grid: 1.0 -> 10000, self dot = 1e8 (q8 units)
+    assert(out("dup").getAs[Long]("mean_self_q8") === 100000000L)
+    assert(out("dup").getAs[Long]("mean_pair_q8") === 100000000L)
+    assert(out("dup").getAs[Long]("anisotropy_ppm") === 1000000L)
+    assert(out("orth").getAs[Long]("mean_pair_q8") === 0L)
+    assert(out("orth").getAs[Long]("anisotropy_ppm") === 0L)
+    assert(out("anti").getAs[Long]("mean_pair_q8") === -100000000L)
+    assert(out("anti").getAs[Long]("anisotropy_ppm") === -1000000L)
+    // singleton: pair statistics NULL-guarded, self dot still exact
+    val solo = out("solo")
+    assert(solo.getAs[Long]("n_docs") === 1L &&
+      solo.getAs[Long]("mean_self_q8") === 100000000L &&
+      solo.isNullAt(solo.fieldIndex("mean_pair_q8")) &&
+      solo.isNullAt(solo.fieldIndex("anisotropy_ppm")))
+    // three-vector source: identity must equal the explicit pair average
+    // dots (q8): <a,b>=0.48e8... use exact grid ints: a=(.6,.8)->(6000,8000)
+    val a = Array(0.6f, 0.8f); val b = Array(1.0f, 0.0f); val c = Array(0.0f, 1.0f)
+    val d3 = Seq((1L, "s3"), (2L, "s3"), (3L, "s3")).toDF("doc_id", "source")
+    val e3 = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
+    val o3 = SimilarityOps.sourceAnisotropy(d3, e3).collect().head
+    // pair dots: ab=6000*10000=6e7, ac=8000*10000=8e7, bc=0; ordered-pair
+    // mean = 2*(6e7+8e7)/6 (truncating div)
+    assert(o3.getAs[Long]("mean_pair_q8") === (2L * 140000000L) / 6L)
+    assert(o3.getAs[Long]("mean_self_q8") === 100000000L)
+  }
 }
