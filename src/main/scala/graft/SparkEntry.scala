@@ -1727,6 +1727,12 @@ object SparkEntry {
     "x98_gopher_gates" -> ((s, dir) =>
       graft.operators.CurationOps.gopherGates(Tables.documents(s, dir))),
 
+    // x164 — gate-attribution matrix: per Gopher gate, total vs SOLE
+    // kills (docs + token mass) — the 2⁵-combination ablation answered
+    // in one pass; zero sole kills = the rule is redundant
+    "x164_gate_attribution" -> ((s, dir) =>
+      graft.operators.CurationOps.gateAttribution(Tables.documents(s, dir))),
+
     // x99 — per-source Kolmogorov–Smirnov length drift: exact CDF grid
     // from ONE corpus aggregate, micro-snapped max gap
     "x99_length_ks" -> ((s, dir) =>
@@ -2874,6 +2880,7 @@ object SparkEntry {
     "x159_cluster_dsir" ->
       graft.operators.CurationOps.clusterCorrectedDsirSql(),
     "x98_gopher_gates" -> graft.operators.CurationOps.gopherGatesSql,
+    "x164_gate_attribution" -> graft.operators.CurationOps.gateAttributionSql,
     "x99_length_ks" -> graft.operators.CurationOps.lengthKsSql,
     "x102_token_fertility" -> graft.operators.CurationOps.tokenFertilitySql,
     "x103_mixture_plan" -> graft.operators.CurationOps.mixturePlanSql(),

@@ -328,6 +328,81 @@ object CurationOps {
        |FROM gg_f""".stripMargin
   }
 
+  /** x164: gate-attribution matrix — the ablation readout over [[gopherGates]].
+    * Per gate: total kills (docs failing it, and their token mass) and SOLE
+    * kills (docs failing ONLY it — exactly the docs that gate alone removes
+    * from the kept set, the marginal cost of keeping the rule). A gate with
+    * zero sole kills is redundant given the others; the sole-kill token
+    * mass ranks which rule is actually doing the work — the first question
+    * any curation-ablation asks, answered without running 2⁵ filter
+    * combinations. Corpus-wide doc/pass counts ride every row so each rate
+    * has its denominator in place.
+    *
+    * Scale shape: ONE pass over the per-doc gate relation into a single
+    * 22-column global aggregate (map-side combinable sums), then a 5-row
+    * stack of that one row — no shuffle beyond the 1-row reduce, no
+    * per-gate re-scan, bounded output however big the corpus. */
+  def gateAttribution(df: DataFrame): DataFrame = {
+    val gates = Seq("word_count", "mean_word_len", "alpha", "stopword",
+      "symbol")
+    val d = gopherGates(df).withColumn("nf",
+      gates.map(x => lit(1) - col(s"g_$x")).reduce(_ + _))
+    val aggs = gates.flatMap { x =>
+      val fail = col(s"g_$x") === 0
+      val sole = fail && col("nf") === 1
+      Seq(sum(when(fail, 1L).otherwise(0L)).as(s"${x}_nfail"),
+        sum(when(fail, col("n_words")).otherwise(0L)).as(s"${x}_tfail"),
+        sum(when(sole, 1L).otherwise(0L)).as(s"${x}_nsole"),
+        sum(when(sole, col("n_words")).otherwise(0L)).as(s"${x}_tsole"))
+    } ++ Seq(count(lit(1)).as("n_docs"),
+      sum(when(col("nf") === 0, 1L).otherwise(0L)).as("n_pass"))
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    one.select(expr("stack(5, " + gates.map(x =>
+        s"'$x', ${x}_nfail, ${x}_tfail, ${x}_nsole, ${x}_tsole")
+        .mkString(", ") +
+        ") AS (gate, n_fail, tokens_fail, n_sole_kill, tokens_sole_kill)"),
+      col("n_docs"), col("n_pass"))
+  }
+
+  /** DuckDB twin of [[gateAttribution]]. */
+  def gateAttributionSql: String = {
+    val gates = Seq("word_count", "mean_word_len", "alpha", "stopword",
+      "symbol")
+    val aggCols = gates.map { x =>
+      s"""    CAST(sum(CASE WHEN g_$x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ${x}_nfail,
+         |    CAST(sum(CASE WHEN g_$x = 0 THEN n_words ELSE 0 END) AS BIGINT)
+         |      AS ${x}_tfail,
+         |    CAST(sum(CASE WHEN g_$x = 0 AND nf = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ${x}_nsole,
+         |    CAST(sum(CASE WHEN g_$x = 0 AND nf = 1 THEN n_words ELSE 0 END)
+         |      AS BIGINT) AS ${x}_tsole""".stripMargin
+    }.mkString(",\n")
+    val rows = gates.map { x =>
+      s"""SELECT '$x' AS gate, ${x}_nfail AS n_fail, ${x}_tfail AS tokens_fail,
+         |  ${x}_nsole AS n_sole_kill, ${x}_tsole AS tokens_sole_kill,
+         |  n_docs, n_pass FROM ga_one""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH gg_att AS (
+       |$gopherGatesSql
+       |),
+       |ga_d AS (
+       |  SELECT n_words,
+       |    g_word_count, g_mean_word_len, g_alpha, g_stopword, g_symbol,
+       |    5 - (g_word_count + g_mean_word_len + g_alpha + g_stopword
+       |      + g_symbol) AS nf
+       |  FROM gg_att
+       |),
+       |ga_one AS (
+       |  SELECT
+       |$aggCols,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN nf = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |  FROM ga_d
+       |)
+       |$rows""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // x99 — per-source Kolmogorov–Smirnov length drift
   // ---------------------------------------------------------------------

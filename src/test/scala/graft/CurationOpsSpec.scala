@@ -383,4 +383,34 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"singleton keeps full share: ${got("B")}")
     assert(corrB === rawB, "share 1e6 must leave a singleton's mass exact")
   }
+
+  test("x164 gateAttribution: total vs sole kills match a hand-built 4-doc matrix") {
+    val s = spark; import s.implicits._
+    val sent = "the cat and dog run far"                 // 6 ws tokens, 2 stops
+    val passAll = (Seq.fill(8)(sent).mkString(" ") + " big cat")  // 50 tokens
+    val shortOk = sent + " " + "the cat and dog"         // 10 tokens, stops>=2
+    // 50 tokens with 7 '#'-suffixed words: syms/words = 0.14 > 0.1, all
+    // other gates still pass (alpha intact, stops 16, mwl 3.14)
+    val symbolly = (Seq.fill(7)(sent.replace("cat", "cat#")) ++ Seq(sent))
+      .mkString(" ") + " big cat"
+    val shortNoStop = Seq.fill(2)("cat dog run far bat").mkString(" ")  // 10, 0 stops
+    val docs = Seq((1L, passAll), (2L, shortOk), (3L, symbolly),
+      (4L, shortNoStop)).toDF("doc_id", "text")
+    val out = CurationOps.gateAttribution(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size === 5)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === 4L && r.getAs[Long]("n_pass") === 1L)
+    }
+    def row(g: String) = {
+      val r = out(g)
+      (r.getAs[Long]("n_fail"), r.getAs[Long]("tokens_fail"),
+        r.getAs[Long]("n_sole_kill"), r.getAs[Long]("tokens_sole_kill"))
+    }
+    assert(row("word_count") === ((2L, 20L, 1L, 10L)), s"${row("word_count")}")
+    assert(row("symbol") === ((1L, 50L, 1L, 50L)), s"${row("symbol")}")
+    assert(row("stopword") === ((1L, 10L, 0L, 0L)), s"${row("stopword")}")
+    assert(row("alpha") === ((0L, 0L, 0L, 0L)))
+    assert(row("mean_word_len") === ((0L, 0L, 0L, 0L)))
+  }
 }
