@@ -1770,6 +1770,13 @@ object SparkEntry {
       SubstringOps.ngramDecontamination(Tables.documents(s, dir),
         col("doc_id") % 10 === 0, 8)),
 
+    // x165 — decontamination yield curve: x79's strict any-overlap flag
+    // priced per contamination-SHARE band — cumulative from the top is
+    // each share threshold's removal bill (docs/tokens/hit windows)
+    "x165_decontamination_yield" -> ((s, dir) =>
+      SubstringOps.decontaminationYield(Tables.documents(s, dir),
+        col("doc_id") % 10 === 0, 8)),
+
     // x90 — contamination run profile: longest contiguous eval-covered
     // token run per training doc — drop-the-doc vs cut-the-span (x73)
     "x90_contamination_runs" -> ((s, dir) =>
@@ -2890,6 +2897,8 @@ object SparkEntry {
     "x78_containment_pairs" -> DedupOps.containmentPairsSql(3, 16),
     "x79_ngram_decontamination" ->
       SubstringOps.ngramDecontaminationSql("doc_id % 10 = 0", 8),
+    "x165_decontamination_yield" ->
+      SubstringOps.decontaminationYieldSql("doc_id % 10 = 0", 8),
     "x90_contamination_runs" ->
       SubstringOps.contaminationRunsSql("doc_id % 10 = 0", 8),
     "x73_substring_clean" -> SubstringOps.substringCleanSql(8),

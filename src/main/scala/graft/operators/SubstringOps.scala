@@ -307,6 +307,66 @@ object SubstringOps {
        |WHERE NOT ($evalPredSql)
        |GROUP BY t.doc_id""".stripMargin
 
+  /** x165: decontamination yield curve — x79 flags a training doc at ANY
+    * eval-window overlap (`hit_windows > 0`), the strictest policy; real
+    * pipelines threshold on the CONTAMINATION SHARE (hit windows / total
+    * windows) to spare docs that merely quote a benchmark line. This
+    * prices every share cutoff in one pass: contaminated docs banded by
+    * `(hit_windows·bands) div n_windows` (integer-exact, clamp to the top
+    * band at share 1.0); per band — doc count, their token mass, and
+    * their hit-window mass. Cumulative sums from the top band are exactly
+    * the removal bill at each share threshold (each doc sits in exactly
+    * one band: its own share); the table total is x79's strict policy.
+    *
+    * Scale shape: the same windows kernel + broadcast eval anti-join as
+    * x79 (the one corpus-scale cost, already profiled), then a doc-keyed
+    * equi-join onto the narrow token projection and a ≤bands-row
+    * aggregate — no new shuffle class, no window anywhere. */
+  def decontaminationYield(df: DataFrame, evalPred: Column, w: Int = 8,
+                           bands: Int = 20): DataFrame = {
+    require(bands >= 2 && bands <= 1000, s"bands=$bands")
+    val toks = df.select(col("doc_id"),
+      coalesce(graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+        .cast("long"), lit(0L)).as("tok"))
+    ngramDecontamination(df, evalPred, w)
+      .filter(col("hit_windows") > 0)
+      .select(col("doc_id"), col("hit_windows"),
+        expr(s"least((hit_windows * ${bands}L) div n_windows, " +
+          s"${bands - 1}L)").as("band"))
+      .join(toks, Seq("doc_id"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("doc_tokens"),
+        sum(col("hit_windows")).as("hit_windows"))
+      .select(col("band"),
+        expr(s"(band * 1000000L) div ${bands}L").as("share_lo_ppm"),
+        col("n_docs"), col("doc_tokens"), col("hit_windows"))
+  }
+
+  /** DuckDB twin of [[decontaminationYield]]. */
+  def decontaminationYieldSql(evalPredSql: String, w: Int = 8,
+                              bands: Int = 20): String =
+    s"""WITH dy_d AS (
+       |${ngramDecontaminationSql(evalPredSql, w)}
+       |),
+       |dy_b AS (
+       |  SELECT doc_id, hit_windows,
+       |    least((hit_windows * $bands) // n_windows, ${bands - 1}) AS band
+       |  FROM dy_d WHERE hit_windows > 0
+       |),
+       |dy_t AS (
+       |  SELECT doc_id,
+       |    coalesce(CAST(len(${graft.operators.TextOps.wordsReSql("text")})
+       |      AS BIGINT), 0) AS tok
+       |  FROM documents
+       |)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |  CAST((band * 1000000) // $bands AS BIGINT) AS share_lo_ppm,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS doc_tokens,
+       |  CAST(sum(hit_windows) AS BIGINT) AS hit_windows
+       |FROM dy_b JOIN dy_t USING (doc_id)
+       |GROUP BY band""".stripMargin
+
   /** x95: top boilerplate windows — the most document-frequent w-gram
     * windows, WITH their text: the "these are the footer lines / cookie
     * banners to strip" report that turns x72's anonymous duplicated

@@ -206,6 +206,29 @@ class SubstringOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(3L) == ((5L, 0L, 0)))
   }
 
+  test("x165 decontamination yield: share bands, token mass, and the strict-policy total") {
+    val s = spark
+    import s.implicits._
+    val run = (1 to 8).map(i => s"e$i")
+    val df = Seq(
+      10L -> toks(run),                       // eval: exactly 1 window
+      1L -> toks(run),                        // train, share 1.0 -> band 19
+      2L -> toks(run ++ Seq("x")),            // 2 windows, 1 hit -> band 10
+      3L -> toks((1 to 12).map(i => s"v$i"))  // clean, absent
+    ).toDF("doc_id", "text")
+    val rows = SubstringOps.decontaminationYield(df, col("doc_id") % 10 === 0, 8)
+      .collect().map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("share_lo_ppm"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("doc_tokens"), r.getAs[Long]("hit_windows")))).toMap
+    assert(rows.keySet === Set(10L, 19L), s"$rows")
+    assert(rows(19L) === ((950000L, 1L, 8L, 1L)), s"${rows(19L)}")
+    assert(rows(10L) === ((500000L, 1L, 9L, 1L)), s"${rows(10L)}")
+    // table total == x79's strict any-overlap policy
+    val strict = SubstringOps.ngramDecontamination(df, col("doc_id") % 10 === 0, 8)
+      .filter(col("contaminated") === 1).count()
+    assert(rows.values.map(_._2).sum === strict)
+  }
+
   test("contamination runs: longest covered run measured, isolated hits stay short, gaps split") {
     val s = spark
     import s.implicits._
