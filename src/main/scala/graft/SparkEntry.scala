@@ -1356,6 +1356,12 @@ object SparkEntry {
       graft.operators.AnomalyOps.burstReport(Tables.events(s, dir),
         thresholdX = 1)),
 
+    // x166 — CUSUM changepoint per event type: x124 finds which hour
+    // spiked; this finds where the LEVEL shifted — argmax |T·prefix −
+    // t·total| over the densified hour grid, with before/after rates
+    "x166_changepoint" -> ((s, dir) =>
+      graft.operators.AnomalyOps.changepointReport(Tables.events(s, dir))),
+
     // x157 — per-user behavioral profile: volume, type diversity,
     // dominant type + share, active span, mean gap, population-relative
     // burst flag — WHO misbehaves where x124 says WHEN; user-keyed
@@ -2330,6 +2336,8 @@ object SparkEntry {
 
     "x124_event_bursts" ->
       graft.operators.AnomalyOps.burstReportSql(thresholdX = 1),
+    "x166_changepoint" ->
+      graft.operators.AnomalyOps.changepointReportSql,
     "x157_user_profiles" ->
       graft.operators.AnomalyOps.userProfilesSql(burstFactor = 2L),
 

@@ -120,6 +120,114 @@ object AnomalyOps {
        |ORDER BY ratio_ppm DESC, event_type, hour_epoch
        |LIMIT $topK""".stripMargin
 
+  /** x166: CUSUM changepoint per event type — x124 asks "which HOUR
+    * spiked against its trailing day"; this asks "where did the LEVEL
+    * shift": the classic cumulative-sum statistic G_t = T·Σ_{i≤t}c_i −
+    * t·S (the prefix sum against the uniform-rate line, scaled by T so
+    * it stays integer-exact), whose argmax |G_t| is the most likely
+    * single changepoint — the ingestion-rate-doubled-on-day-N regime
+    * change a 24-hour trailing spike test is blind to by construction.
+    *
+    * Per type: hour count T, event total S, the changepoint hour (argmax
+    * |G_t|, earliest on ties; t=T has G_T=0 so the argmax lands strictly
+    * inside the span when any shift exists), cusum_ppm = max|G_t|·10⁶
+    * div (T·S) (the normalized shift magnitude, 0 for a perfectly
+    * uniform stream), and the before/after rates in milli-events/hour —
+    * the effect size that tells a real regime change from jitter.
+    *
+    * Scale shape: the same DENSIFIED (type, hour) grid as x124 (quiet
+    * hours are real zeros); ONE prefix-sum window per type over that
+    * grid — group = a type's hour span, calendar-bounded, never event
+    * mass — then a map-side-combinable argmax (max over the
+    * lexicographic (mag, −t, payload) struct) and a |types|-row report.
+    * Products ride DECIMAL(38,0)/HUGEINT; every division is non-negative
+    * integer div so truncate-vs-floor cannot diverge. */
+  def changepointReport(events: DataFrame): DataFrame = {
+    val hourly = hourlyCounts(events)
+    val grid = hourly.groupBy("event_type")
+      .agg(min(col("hour_epoch")).as("h_min"), max(col("hour_epoch")).as("h_max"))
+      .select(col("event_type").as("g_type"),
+        explode(sequence(col("h_min"), col("h_max"))).as("g_hour"))
+    val dense = grid.join(hourly,
+        col("g_type") === col("event_type") && col("g_hour") === col("hour_epoch"),
+        "left_outer")
+      .select(col("g_type").as("event_type"), col("g_hour").as("hour_epoch"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("hour_epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense
+      .withColumn("c_sum", sum(col("cnt")).over(w))
+      .withColumn("t_idx", count(lit(1)).over(w))
+    val tot = dense.groupBy("event_type")
+      .agg(sum(col("cnt")).as("s_tot"), count(lit(1)).as("t_tot"))
+    val g = cum.join(tot, Seq("event_type"))
+      .withColumn("g_raw", expr(
+        "CAST(t_tot AS DECIMAL(38,0)) * c_sum - CAST(t_idx AS DECIMAL(38,0)) * s_tot"))
+      .withColumn("mag", expr("CASE WHEN g_raw < 0 THEN -g_raw ELSE g_raw END"))
+    g.groupBy("event_type")
+      .agg(max(struct(col("mag"), (-col("t_idx")).as("nt"), col("hour_epoch"),
+          col("c_sum"), col("t_idx"), col("s_tot"), col("t_tot"))).as("best"))
+      .select(col("event_type"),
+        col("best.t_tot").as("n_hours"), col("best.s_tot").as("n_events"),
+        col("best.hour_epoch").as("cp_hour"),
+        col("best.t_idx").as("cp_idx"),
+        expr("CAST(CASE WHEN best.s_tot > 0 THEN (best.mag * 1000000) div " +
+          "(CAST(best.t_tot AS DECIMAL(38,0)) * best.s_tot) ELSE 0 END " +
+          "AS BIGINT)").as("cusum_ppm"),
+        expr("CAST((CAST(best.c_sum AS DECIMAL(38,0)) * 1000) div best.t_idx " +
+          "AS BIGINT)").as("pre_rate_milli"),
+        expr("CAST(CASE WHEN best.t_tot > best.t_idx THEN " +
+          "(CAST(best.s_tot - best.c_sum AS DECIMAL(38,0)) * 1000) div " +
+          "(best.t_tot - best.t_idx) ELSE NULL END AS BIGINT)")
+          .as("post_rate_milli"))
+  }
+
+  /** DuckDB twin of [[changepointReport]]. */
+  def changepointReportSql: String =
+    s"""WITH cp_hourly AS (
+       |  SELECT event_type,
+       |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_epoch,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), cp_grid AS (
+       |  SELECT event_type, unnest(range(h_min, h_max + 1)) AS hour_epoch
+       |  FROM (SELECT event_type, min(hour_epoch) AS h_min,
+       |          max(hour_epoch) AS h_max
+       |        FROM cp_hourly GROUP BY 1)
+       |), cp_dense AS (
+       |  SELECT g.event_type, g.hour_epoch, COALESCE(h.cnt, 0) AS cnt
+       |  FROM cp_grid g LEFT JOIN cp_hourly h
+       |    ON h.event_type = g.event_type AND h.hour_epoch = g.hour_epoch
+       |), cp_cum AS (
+       |  SELECT event_type, hour_epoch, cnt,
+       |    sum(cnt) OVER pw AS c_sum,
+       |    count(*) OVER pw AS t_idx,
+       |    sum(cnt) OVER (PARTITION BY event_type) AS s_tot,
+       |    count(*) OVER (PARTITION BY event_type) AS t_tot
+       |  FROM cp_dense
+       |  WINDOW pw AS (PARTITION BY event_type ORDER BY hour_epoch
+       |    ROWS UNBOUNDED PRECEDING)
+       |), cp_g AS (
+       |  SELECT *, abs(CAST(t_tot AS HUGEINT) * c_sum
+       |    - CAST(t_idx AS HUGEINT) * s_tot) AS mag,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY abs(CAST(t_tot AS HUGEINT) * c_sum
+       |        - CAST(t_idx AS HUGEINT) * s_tot) DESC, t_idx ASC) AS rn
+       |  FROM cp_cum
+       |)
+       |SELECT event_type,
+       |  CAST(t_tot AS BIGINT) AS n_hours, CAST(s_tot AS BIGINT) AS n_events,
+       |  hour_epoch AS cp_hour, CAST(t_idx AS BIGINT) AS cp_idx,
+       |  CAST(CASE WHEN s_tot > 0 THEN (mag * 1000000)
+       |    // (CAST(t_tot AS HUGEINT) * s_tot) ELSE 0 END AS BIGINT)
+       |    AS cusum_ppm,
+       |  CAST((CAST(c_sum AS HUGEINT) * 1000) // t_idx AS BIGINT)
+       |    AS pre_rate_milli,
+       |  CAST(CASE WHEN t_tot > t_idx THEN
+       |    (CAST(s_tot - c_sum AS HUGEINT) * 1000) // (t_tot - t_idx)
+       |    ELSE NULL END AS BIGINT) AS post_rate_milli
+       |FROM cp_g WHERE rn = 1""".stripMargin
+
   /** x157: per-user behavioral profile + burst outliers — the
     * bot/automation read beside the x131 hourly burst report (that one
     * asks WHEN the stream misbehaved; this asks WHO): per user, event

@@ -120,4 +120,28 @@ class AnomalyOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u2.getAs[Int]("burst_flag") === 1)
     assert(got(3L).getAs[Int]("burst_flag") === 0)
   }
+
+  test("x166 changepoint: a planted level shift lands at the shift hour with exact CUSUM accounting") {
+    // type a: 4 hours at 1/h then 4 hours at 5/h — the shift is after
+    // hour index 4 (t_idx=4); type b: perfectly uniform -> zero CUSUM
+    val df = eventsOf(
+      (0 until 4).map(("a", _, 1)) ++ (4 until 8).map(("a", _, 5)) ++
+        (0 until 4).map(("b", _, 2)))
+    val got = AnomalyOps.changepointReport(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    // G_t = 8*prefix - t*24; |G| peaks at t=4: |8*4 - 96| = 64
+    assert(a.getAs[Long]("n_hours") === 8L && a.getAs[Long]("n_events") === 24L)
+    assert(a.getAs[Long]("cp_idx") === 4L)
+    assert(a.getAs[Long]("cp_hour") === h0 + 3)
+    assert(a.getAs[Long]("cusum_ppm") === (64L * 1000000L) / (8L * 24L))
+    assert(a.getAs[Long]("pre_rate_milli") === 1000L)
+    assert(a.getAs[Long]("post_rate_milli") === 5000L)
+    // uniform stream: zero magnitude everywhere, earliest-t tie, equal rates
+    val b = got("b")
+    assert(b.getAs[Long]("cusum_ppm") === 0L)
+    assert(b.getAs[Long]("cp_idx") === 1L)
+    assert(b.getAs[Long]("pre_rate_milli") === 2000L &&
+      b.getAs[Long]("post_rate_milli") === 2000L)
+  }
 }

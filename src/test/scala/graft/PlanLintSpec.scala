@@ -150,6 +150,11 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
       "event_type" -> ("trailing frame over the DENSIFIED (type, hour) " +
         "grid aggregate — group = one type's hour span, time-bounded, " +
         "not event mass")),
+    "x166_changepoint" -> Map(
+      "event_type" -> ("CUSUM prefix sum over the same DENSIFIED (type, " +
+        "hour) grid as x124 — group = one type's hour span, calendar-" +
+        "bounded, never event mass; the argmax after it is a " +
+        "map-side-combinable aggregate")),
     "x126_zone_map_audit" -> Map(
       "layout" -> "2 fixed layouts over the ≤256-bucket zone aggregate",
       "__bk,layout" -> ("TwoPhase intra-bucket pass over the same " +
