@@ -1880,6 +1880,12 @@ object SparkEntry {
     "x16_user_sessions" -> ((s, dir) =>
       graft.streaming.EventStreams.userSessions(Tables.events(s, dir), 30)),
 
+    // x167 — sessionization gap-threshold yield curve: the inter-event
+    // gap histogram IS the knob — sessions(g) = users + gaps above g;
+    // every cutoff priced in one per-user pass
+    "x167_session_yield" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionYieldCurve(Tables.events(s, dir))),
+
     // x40 — Bloom-prefiltered decontamination: bit-identical result to
     // the exact broadcast form (the oracle is the same exact SQL), but
     // the corpus side is pruned map-side by a broadcast Bloom sketch —
@@ -2931,6 +2937,8 @@ object SparkEntry {
 
     "x15_events_hourly" -> graft.streaming.EventStreams.hourlyByTypeSql,
     "x16_user_sessions" -> graft.streaming.EventStreams.userSessionsSql(30),
+    "x167_session_yield" ->
+      graft.streaming.EventStreams.sessionYieldCurveSql,
     "x32_length_quantiles" -> TextOps.lengthQuantilesSql(),
     "x33_redaction" -> TextOps.redactionReportSql(s"($x33HostileSql)"),
     "x34_repetition" -> TextOps.repetitionReportSql,

@@ -79,6 +79,87 @@ object EventStreams {
         col("session_end_epoch") - col("session_start_epoch"))
   }
 
+  /** x167: sessionization gap-threshold yield curve — x16 sessionizes at
+    * ONE gap cutoff; this prices EVERY cutoff in one pass. The whole
+    * knob's behavior is the inter-event gap histogram: at threshold g,
+    * sessions(g) = n_users + #{gaps > g}, so per gap band (e_{k−1}, e_k]
+    * over a fixed edge ladder (1 s … 1 day) the report carries gap count
+    * and distinct users, and the cumulative count STRICTLY ABOVE band k
+    * plus n_users is exactly the session count at cutoff e_k — pick the
+    * plateau, ship that gap. Global user/event totals ride every row as
+    * the denominators.
+    *
+    * Determinism: gaps are differences of each user's SORTED epoch-second
+    * sequence — a multiset invariant, so equal-timestamp tie order cannot
+    * change any gap; band edges are integer compares.
+    *
+    * Scale shape: one per-user lag window (entity-bounded groups, the
+    * audited x16 shape), then (band, user)- and band-keyed aggregates —
+    * map-side partials collapse any machine-gun user before the shuffle;
+    * output ≤15 rows + a 1-row broadcast of the totals. */
+  def sessionYieldCurve(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Seq(0L, 1L, 2L, 5L, 10L, 30L, 60L, 120L, 300L, 600L,
+      1800L, 3600L, 7200L, 86400L)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gaps = events.select(col("user_id"), col("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
+          .as("gap_sec"))
+    // band k = #edges strictly below the gap, i.e. gap ∈ (e_{k−1}, e_k]
+    val band = edges.map(e => when(col("gap_sec") > e, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val hiCase = "CASE band " + edges.zipWithIndex.map { case (e, i) =>
+      s"WHEN ${i} THEN ${e}L" }.mkString(" ") + " ELSE NULL END"
+    val perBand = gaps.withColumn("band", band)
+      .groupBy("band", "user_id").agg(count(lit(1)).as("n_g"))
+      .groupBy("band")
+      .agg(sum(col("n_g")).as("n_gaps"),
+        count(lit(1)).as("n_users_with_gap"))
+    val tot = events.agg(count(lit(1)).as("n_events_total"),
+      count_distinct(col("user_id")).as("n_users_total"))
+    perBand.crossJoin(broadcast(tot))
+      .select(col("band"), expr(hiCase).as("gap_hi_sec"),
+        col("n_gaps"), col("n_users_with_gap"),
+        col("n_users_total"), col("n_events_total"))
+  }
+
+  /** DuckDB twin of [[sessionYieldCurve]]. */
+  def sessionYieldCurveSql: String = {
+    val edges = Seq(0L, 1L, 2L, 5L, 10L, 30L, 60L, 120L, 300L, 600L,
+      1800L, 3600L, 7200L, 86400L)
+    val bandExpr = edges.map(e =>
+      s"(CASE WHEN gap_sec > $e THEN 1 ELSE 0 END)").mkString(" + ")
+    val hiCase = "CASE band " + edges.zipWithIndex.map { case (e, i) =>
+      s"WHEN $i THEN $e" }.mkString(" ") + " ELSE NULL END"
+    s"""WITH sy_g AS (
+       |  SELECT user_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT)
+       |      - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+       |          ORDER BY ts))) AS BIGINT) AS gap_sec
+       |  FROM events
+       |  QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NOT NULL
+       |), sy_b AS (
+       |  SELECT user_id, CAST($bandExpr AS BIGINT) AS band FROM sy_g
+       |), sy_pb AS (
+       |  SELECT band,
+       |    CAST(sum(n_g) AS BIGINT) AS n_gaps,
+       |    CAST(count(*) AS BIGINT) AS n_users_with_gap
+       |  FROM (SELECT band, user_id, count(*) AS n_g
+       |        FROM sy_b GROUP BY band, user_id)
+       |  GROUP BY band
+       |), sy_tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_events_total,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_total
+       |  FROM events
+       |)
+       |SELECT band, CAST($hiCase AS BIGINT) AS gap_hi_sec,
+       |  n_gaps, n_users_with_gap, n_users_total, n_events_total
+       |FROM sy_pb CROSS JOIN sy_tot""".stripMargin
+  }
+
   /** x136: incremental aggregate refresh — the materialized-view
     * maintenance pattern: the base corpus (event_id % 10 != 0, standing
     * in for "already aggregated yesterday") and the late batch

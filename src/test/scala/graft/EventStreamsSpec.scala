@@ -162,4 +162,34 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // lift(b->a): P(a|b)=1 vs P(a)=1/4 -> 4x
     assert(ba.getAs[Long]("lift_ppm") === 1000000L * 1000000L / 250000L)
   }
+
+  test("x167 sessionYieldCurve: gaps band exactly and the cumulative reading equals x16's session count") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      Ev(ts("2024-01-01 10:00:00"), "c", 1L, 0.0),
+      Ev(ts("2024-01-01 10:00:05"), "c", 1L, 0.0),   // gap 5  -> band 3
+      Ev(ts("2024-01-01 10:00:05"), "c", 1L, 0.0),   // gap 0  -> band 0
+      Ev(ts("2024-01-01 10:01:05"), "c", 1L, 0.0),   // gap 60 -> band 6
+      Ev(ts("2024-01-01 12:00:00"), "c", 2L, 0.0))   // singleton user
+      .toDF
+    val rows = EventStreams.sessionYieldCurve(df).collect()
+      .map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("gap_hi_sec"), r.getAs[Long]("n_gaps"),
+          r.getAs[Long]("n_users_with_gap"), r.getAs[Long]("n_users_total"),
+          r.getAs[Long]("n_events_total")))).toMap
+    assert(rows.keySet === Set(0L, 3L, 6L), s"$rows")
+    assert(rows(0L) === ((0L, 1L, 1L, 2L, 5L)))
+    assert(rows(3L) === ((5L, 1L, 1L, 2L, 5L)))
+    assert(rows(6L) === ((60L, 1L, 1L, 2L, 5L)))
+    // sessions at cutoff 30 s = users + gaps strictly above band(30)=5:
+    // 2 + 1 = 3 — must equal x16 sessionized at a 30-second gap... x16
+    // takes minutes, so check at 1 minute: gaps > 60 s -> none above
+    // band 6, sessions = 2 + 0... the 60 s gap is NOT > 60 -> one
+    // session per user: 2. And at 30 s (band 5): 2 + 1 = 3.
+    val x16at1min = EventStreams.userSessions(df, 1)
+      .select("user_id", "session_no").distinct().count()
+    assert(x16at1min === 2L)
+    val above30 = rows.filterKeys(_ > 5L).values.map(_._2).sum
+    assert(rows(0L)._4 + above30 === 3L)
+  }
 }
