@@ -580,22 +580,43 @@ object SimilarityOps {
     * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); divisions are
     * sign-magnitude integer div (Spark `div` truncates, DuckDB `//`
     * floors — numerators can be negative). */
-  def sourceAnisotropy(docs: DataFrame, emb: DataFrame): DataFrame = {
+  def sourceAnisotropy(docs: DataFrame, emb: DataFrame): DataFrame =
+    anisotropyFromPanel(anisotropyPanel(docs, emb))
+
+  /** The SUFFICIENT STATISTIC behind [[sourceAnisotropy]]: the
+    * (source, dim) panel of mergeable measures — element sum, squared-
+    * element sum, row count. ONE aggregation, |sources|×d rows, every
+    * measure a sum — which is exactly what lets the panel maintain
+    * itself as streaming state
+    * ([[graft.streaming.SketchStream.anisotropyPanelOnIngest]]): the
+    * report needs ‖Σx‖², a square of a sum no streaming query can
+    * maintain directly, but the panel is linear and the squaring
+    * happens in the finishing read. */
+  def anisotropyPanel(docs: DataFrame, emb: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val el = emb.join(docs.select(col("doc_id"), col("source")),
+    emb.join(docs.select(col("doc_id"), col("source")),
         col("vec_id") === col("doc_id"))
       .filter(col("source").isNotNull)
       .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "ev")))
       .select(col("source"), col("pos"),
         floor(col("ev").cast("double") * lit(1e4) + lit(0.5)).cast("long")
           .as("v"))
-    // one pass carries BOTH moments per (source, dim); n_docs rides the
-    // same aggregate as the per-dim row count (every non-empty embedding
-    // has a pos-0 element, so max over dims = docs with embeddings)
-    val dims = el.groupBy("source", "pos")
+      // one pass carries BOTH moments per (source, dim); n_docs rides
+      // the same aggregate as the per-dim row count (every non-empty
+      // embedding has a pos-0 element, so max over dims = docs with
+      // embeddings)
+      .groupBy("source", "pos")
       .agg(sum(col("v")).as("s"),
         sum((col("v").cast(dec) * col("v").cast(dec)).cast(dec)).as("q2"),
         count(lit(1)).as("n_rows"))
+  }
+
+  /** Finish an [[anisotropyPanel]] into the x163 report — batch and the
+    * streaming live table share this read verbatim, so
+    * stream-then-finish equals batch on every arrival prefix
+    * (SketchStreamSpec pins it). */
+  def anisotropyFromPanel(dims: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val src = dims.groupBy("source")
       .agg(sum((col("s").cast(dec) * col("s").cast(dec)).cast(dec)).as("ssq"),
         sum(col("q2")).as("q"),

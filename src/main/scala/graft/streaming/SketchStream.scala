@@ -73,6 +73,18 @@ object SketchStream {
   def profilePanelOnIngest(events: DataFrame): DataFrame =
     graft.operators.AnomalyOps.profilePanel(events)
 
+  /** x163's live half: the (source, dim) anisotropy panel maintained as
+    * ONE streaming aggregation over the embedding stream joined
+    * (stream-static) to the offline doc→source map. Every measure is a
+    * sum, so the state is |sources|×d rows however long the stream; the
+    * finishing read is [[graft.operators.SimilarityOps
+    * .anisotropyFromPanel]], shared verbatim with batch x163, so
+    * stream-then-finish == batch on every arrival prefix
+    * (SketchStreamSpec pins it). Replay governed by the sums —
+    * exactly-once or dedup upstream, the CMS rule. */
+  def anisotropyPanelOnIngest(emb: DataFrame, docs: DataFrame): DataFrame =
+    graft.operators.SimilarityOps.anisotropyPanel(docs, emb)
+
   def cmsOnIngest(df: DataFrame, key: Column, d: Int = 4,
                   w: Int = 512): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 16 && w <= 65536, s"d=$d w=$w")

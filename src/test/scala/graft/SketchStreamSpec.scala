@@ -173,4 +173,36 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("live anisotropy panel -> finish == batch x163 after every prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"))
+      .toDF("doc_id", "source")
+    val e0 = Array(1.0f, 0.0f); val e1 = Array(0.0f, 1.0f)
+    val batch1 = Seq((1L, e0), (10L, e1))
+    val batch2 = Seq((2L, e0), (3L, Array(0.6f, 0.8f)), (11L, e1))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).sortBy(_._1).toSeq
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.SketchStream.anisotropyPanelOnIngest(
+        in.toDF().toDF("vec_id", "embedding"), docs)
+      .writeStream.format("memory").queryName("aniso_panel")
+      .outputMode("complete").start()
+    try {
+      for ((prefix, adds) <- Seq((batch1, batch1),
+          (batch1 ++ batch2, batch2))) {
+        in.addData(adds); q.processAllAvailable()
+        val live = graft.operators.SimilarityOps.anisotropyFromPanel(
+          spark.table("aniso_panel").localCheckpoint(true))
+        val batch = graft.operators.SimilarityOps.sourceAnisotropy(
+          docs, prefix.toDF("vec_id", "embedding"))
+        assert(snap(live) === snap(batch),
+          s"anisotropy diverged at prefix of ${prefix.size}")
+      }
+    } finally q.stop()
+  }
 }
