@@ -1585,6 +1585,12 @@ object SparkEntry {
     "x137_disorder_profile" -> ((s, dir) =>
       graft.streaming.EventStreams.disorderProfile(Tables.events(s, dir))),
 
+    // x168 — watermark-delay yield curve: x137 sizes the disorder, this
+    // prices the knob — per (type, lateness band), the events a
+    // withWatermark(d) stream would DROP at every candidate delay d
+    "x168_watermark_yield" -> ((s, dir) =>
+      graft.streaming.EventStreams.watermarkYieldCurve(Tables.events(s, dir))),
+
     // x135 — session transition matrix: within-session consecutive event
     // pairs with conditional probability and LIFT vs the base rate (is
     // "B after A" a dependency or just B's popularity); one user window
@@ -2312,6 +2318,8 @@ object SparkEntry {
 
     "x137_disorder_profile" ->
       graft.streaming.EventStreams.disorderProfileSql,
+    "x168_watermark_yield" ->
+      graft.streaming.EventStreams.watermarkYieldCurveSql,
 
     "x138_water_fill" -> graft.operators.CurationOps.waterFillSql(),
     "x140_value_quantiles" -> graft.operators.QuantileOps

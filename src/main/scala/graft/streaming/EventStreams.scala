@@ -233,7 +233,22 @@ object EventStreams {
     * per-task input is one bucket, never one type. Exact integers out.
     *
     * Output: (event_type, n_events, n_late, late_ppm, max_late_sec). */
-  def disorderProfile(events: DataFrame, buckets: Int = 64): DataFrame = {
+  def disorderProfile(events: DataFrame, buckets: Int = 64): DataFrame =
+    lateness(events, buckets)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("late_sec")).as("n_late"),
+        coalesce(max(col("late_sec")), lit(0L)).as("max_late_sec"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        expr("(n_late * 1000000L) div n_events").as("late_ppm"),
+        col("max_late_sec"))
+
+  /** The shared lateness kernel behind x137 and x168: per event, how far
+    * behind the running per-type event-time high-water mark it arrived
+    * (arrival order = event_id), NULL when in order — the TwoPhase
+    * carry-forward max over 64 equi-width arrival buckets, never a
+    * global window. */
+  private def lateness(events: DataFrame, buckets: Int): DataFrame = {
     val ev = events.select(col("event_type"), col("event_id"),
       unix_timestamp(col("ts")).as("epoch"))
     val ids = ev.agg(min(col("event_id")).as("e0"), max(col("event_id")).as("e1"))
@@ -248,13 +263,89 @@ object EventStreams {
       .select(col("event_type"),
         when(col("prior_max").isNotNull && col("epoch") < col("prior_max"),
           col("prior_max") - col("epoch")).as("late_sec"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
-        count(col("late_sec")).as("n_late"),
-        coalesce(max(col("late_sec")), lit(0L)).as("max_late_sec"))
-      .select(col("event_type"), col("n_events"), col("n_late"),
-        expr("(n_late * 1000000L) div n_events").as("late_ppm"),
-        col("max_late_sec"))
+  }
+
+  /** x168: watermark-delay yield curve — x137 says HOW MUCH disorder each
+    * type carries (late count, worst case); this prices the knob that
+    * disorder forces: for every candidate watermark delay d, how many
+    * events arrive MORE than d behind the high-water mark and would be
+    * dropped by a `withWatermark(d)` stream. Every event bands on the
+    * x167 edge ladder by its lateness (in-order events have lateness 0
+    * and sit in band 0, so the curve is the COMPLETE lateness
+    * distribution and stays non-vacuous on a perfectly ordered feed —
+    * this corpus — where it states "drop bill 0 at every delay"); the
+    * cumulative count STRICTLY above band k is exactly the drop bill at
+    * delay e_k, and the per-type totals ride every row so drop ppm is a
+    * division away. The knee (where the curve flattens) is the delay to
+    * ship; max_late_sec (x137) is where it reaches zero.
+    *
+    * Scale shape: the same TwoPhase lateness kernel as x137 (bucketed
+    * carry-forward max, no global window), then a (type, band)-keyed
+    * count — ≤|types|·15 output rows — and a broadcast join of the
+    * |types|-row totals. */
+  def watermarkYieldCurve(events: DataFrame, buckets: Int = 64): DataFrame = {
+    val edges = Seq(0L, 1L, 2L, 5L, 10L, 30L, 60L, 120L, 300L, 600L,
+      1800L, 3600L, 7200L, 86400L)
+    val late = lateness(events, buckets)
+      .select(col("event_type"),
+        coalesce(col("late_sec"), lit(0L)).as("late_sec"),
+        col("late_sec").isNotNull.as("was_late"))
+    val band = edges.map(e => when(col("late_sec") > e, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val hiCase = "CASE band " + edges.zipWithIndex.map { case (e, i) =>
+      s"WHEN $i THEN ${e}L" }.mkString(" ") + " ELSE NULL END"
+    val tot = late.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events_total"),
+        sum(when(col("was_late"), 1L).otherwise(0L)).as("n_late_total"))
+    late
+      .withColumn("band", band)
+      .groupBy("event_type", "band")
+      .agg(count(lit(1)).as("n_in_band"))
+      .join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("band"), expr(hiCase).as("late_hi_sec"),
+        col("n_in_band"), col("n_late_total"), col("n_events_total"))
+  }
+
+  /** DuckDB twin of [[watermarkYieldCurve]] — the oracle computes the
+    * same lateness with a plain per-type window (oracle scale), bands
+    * identically. */
+  def watermarkYieldCurveSql: String = {
+    val edges = Seq(0L, 1L, 2L, 5L, 10L, 30L, 60L, 120L, 300L, 600L,
+      1800L, 3600L, 7200L, 86400L)
+    val bandExpr = edges.map(e =>
+      s"(CASE WHEN late_sec > $e THEN 1 ELSE 0 END)").mkString(" + ")
+    val hiCase = "CASE band " + edges.zipWithIndex.map { case (e, i) =>
+      s"WHEN $i THEN $e" }.mkString(" ") + " ELSE NULL END"
+    s"""WITH wy_l0 AS (
+       |  SELECT event_type,
+       |    CASE WHEN prior_max IS NOT NULL AND epoch < prior_max
+       |      THEN prior_max - epoch END AS late0
+       |  FROM (
+       |    SELECT event_type,
+       |      CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+       |      max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+       |        PARTITION BY event_type ORDER BY event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+       |    FROM events)
+       |), wy_l AS (
+       |  SELECT event_type, coalesce(late0, 0) AS late_sec,
+       |    late0 IS NOT NULL AS was_late
+       |  FROM wy_l0
+       |), wy_tot AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events_total,
+       |    CAST(sum(CASE WHEN was_late THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_late_total
+       |  FROM wy_l GROUP BY event_type
+       |), wy_b AS (
+       |  SELECT event_type, CAST($bandExpr AS BIGINT) AS band
+       |  FROM wy_l
+       |)
+       |SELECT b.event_type, b.band, CAST($hiCase AS BIGINT) AS late_hi_sec,
+       |  CAST(count(*) AS BIGINT) AS n_in_band, t.n_late_total,
+       |  t.n_events_total
+       |FROM wy_b b JOIN wy_tot t USING (event_type)
+       |GROUP BY b.event_type, b.band, t.n_late_total, t.n_events_total"""
+      .stripMargin
   }
 
   /** DuckDB twin of [[disorderProfile]]. */

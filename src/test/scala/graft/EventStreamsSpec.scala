@@ -134,6 +134,40 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.getAs[Long]("n_late") === 0L && v.getAs[Long]("max_late_sec") === 0L)
   }
 
+  test("x168 watermarkYieldCurve: lateness bands exactly; cumulative above a band is the drop bill") {
+    val s = spark
+    import s.implicits._
+    // same shape as the x137 fixture: 100s late -> band 7 (60,120],
+    // 30s late -> band 5 (10,30]; view in order -> absent from the curve
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, ts("2024-01-01 10:02:00"), "click", 0.0),
+      (3L, ts("2024-01-01 10:00:20"), "click", 0.0),
+      (4L, ts("2024-01-01 10:03:00"), "click", 0.0),
+      (5L, ts("2024-01-01 10:02:30"), "click", 0.0),
+      (6L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (7L, ts("2024-01-01 10:01:00"), "view", 0.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val rows = EventStreams.watermarkYieldCurve(df).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("band")) ->
+        ((r.getAs[Long]("late_hi_sec"), r.getAs[Long]("n_in_band"),
+          r.getAs[Long]("n_late_total"), r.getAs[Long]("n_events_total"))))
+      .toMap
+    assert(rows.keySet === Set(("click", 0L), ("click", 5L), ("click", 7L),
+      ("view", 0L)), s"$rows")
+    assert(rows(("click", 0L)) === ((0L, 3L, 2L, 5L)))
+    assert(rows(("click", 7L)) === ((120L, 1L, 2L, 5L)))
+    assert(rows(("click", 5L)) === ((30L, 1L, 2L, 5L)))
+    assert(rows(("view", 0L)) === ((0L, 2L, 0L, 2L)))
+    // drop bill at delay 30 s (band 5's hi): events later than 30 s ->
+    // strictly above band 5 -> just the 100 s event
+    assert(rows.collect { case ((t, b), v) if t == "click" && b > 5 => v._2 }
+      .sum === 1L)
+    // drop bill at delay 120 s: nothing above band 7
+    assert(rows.collect { case ((t, b), v) if t == "click" && b > 7 => v._2 }
+      .sum === 0L)
+  }
+
   test("sessionTransitions: gap cuts, exact conditional/lift arithmetic on a closed-form fixture") {
     val s = spark
     import s.implicits._

@@ -171,6 +171,11 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
         "aggregate (≤256 buckets/type)"),
       "__bk,event_type" -> ("TwoPhase intra-bucket pass over the same " +
         "bounded bucket aggregate")),
+    "x168_watermark_yield" -> Map(
+      "event_type" -> ("same TwoPhase lateness kernel as x137 — totals " +
+        "over the per-(type, __bk) bucket aggregate (≤64 buckets/type)"),
+      "__bk,event_type" -> ("TwoPhase intra-bucket pass over the same " +
+        "bounded bucket aggregate")),
     "x138_water_fill" -> Map(
       "_w0" -> ("allocation cumsum over the per-lang token aggregate " +
         "(≤|langs| rows; _w0 is a computed constant-ish partition key " +
