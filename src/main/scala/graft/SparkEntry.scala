@@ -1745,6 +1745,12 @@ object SparkEntry {
     "x164_gate_attribution" -> ((s, dir) =>
       graft.operators.CurationOps.gateAttribution(Tables.documents(s, dir))),
 
+    // x169 — truncation-cap yield curve: per (source, cap) on a 2^k
+    // ladder, docs over the cap and the token mass a hard truncation
+    // throws away — the max_seq_len decision priced per source
+    "x169_truncation_yield" -> ((s, dir) =>
+      graft.operators.CurationOps.truncationYield(Tables.documents(s, dir))),
+
     // x99 — per-source Kolmogorov–Smirnov length drift: exact CDF grid
     // from ONE corpus aggregate, micro-snapped max gap
     "x99_length_ks" -> ((s, dir) =>
@@ -2910,6 +2916,7 @@ object SparkEntry {
       graft.operators.CurationOps.clusterCorrectedDsirSql(),
     "x98_gopher_gates" -> graft.operators.CurationOps.gopherGatesSql,
     "x164_gate_attribution" -> graft.operators.CurationOps.gateAttributionSql,
+    "x169_truncation_yield" -> graft.operators.CurationOps.truncationYieldSql(),
     "x99_length_ks" -> graft.operators.CurationOps.lengthKsSql,
     "x102_token_fertility" -> graft.operators.CurationOps.tokenFertilitySql,
     "x103_mixture_plan" -> graft.operators.CurationOps.mixturePlanSql(),

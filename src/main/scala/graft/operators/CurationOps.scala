@@ -403,6 +403,68 @@ object CurationOps {
        |$rows""".stripMargin
   }
 
+  /** x169: truncation-cap yield curve — the max-sequence-length decision
+    * priced per source and per cap: for every candidate cap c on a
+    * powers-of-two ladder, how many docs exceed it and how many tokens a
+    * hard truncation at c throws away (Σ max(len−c, 0)). Sources differ
+    * sharply here (code and transcripts carry their mass in long tails
+    * that chat does not), so the per-source split is the decision view:
+    * the cap where tokens_lost flattens per source is the context length
+    * that source actually needs. Totals ride every row as denominators.
+    *
+    * Scale shape: ONE token-count scan into a per-source aggregate
+    * carrying all caps as conditional-sum columns (map-side combinable —
+    * a dominant source collapses in the partials), then a |caps|-row
+    * stack per source: |sources|×|caps| output rows, no second scan, no
+    * window, no join. */
+  def truncationYield(df: DataFrame,
+                      caps: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L,
+                        512L, 1024L, 2048L, 4096L, 8192L)): DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted, s"caps=$caps")
+    val toks = df.filter(col("source").isNotNull)
+      .select(col("source"),
+        coalesce(graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+          .cast("long"), lit(0L)).as("n"))
+    val aggs = caps.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(when(col("n") > c, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(col("n") > c, col("n") - c).otherwise(0L)).as(s"t$i"))
+    } ++ Seq(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens_total"))
+    val one = toks.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    one.select(col("source"),
+      expr("stack(" + caps.length + ", " + caps.zipWithIndex.map {
+        case (c, i) => s"${c}L, d$i, t$i" }.mkString(", ") +
+        ") AS (cap, n_docs_truncated, tokens_lost)"),
+      col("n_docs"), col("tokens_total"))
+  }
+
+  /** DuckDB twin of [[truncationYield]]. */
+  def truncationYieldSql(caps: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L,
+                           512L, 1024L, 2048L, 4096L, 8192L)): String = {
+    val aggCols = caps.zipWithIndex.map { case (c, i) =>
+      s"""    CAST(sum(CASE WHEN n > $c THEN 1 ELSE 0 END) AS BIGINT) AS d$i,
+         |    CAST(sum(CASE WHEN n > $c THEN n - $c ELSE 0 END) AS BIGINT)
+         |      AS t$i""".stripMargin
+    }.mkString(",\n")
+    val rows = caps.zipWithIndex.map { case (c, i) =>
+      s"""SELECT source, $c AS cap, d$i AS n_docs_truncated,
+         |  t$i AS tokens_lost, n_docs, tokens_total FROM ty_one""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ty_t AS (
+       |  SELECT source,
+       |    coalesce(CAST(len(${graft.operators.TextOps.wordsReSql("text")})
+       |      AS BIGINT), 0) AS n
+       |  FROM documents WHERE source IS NOT NULL
+       |),
+       |ty_one AS (
+       |  SELECT source,
+       |$aggCols,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS tokens_total
+       |  FROM ty_t GROUP BY source
+       |)
+       |$rows""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // x99 — per-source Kolmogorov–Smirnov length drift
   // ---------------------------------------------------------------------

@@ -384,6 +384,25 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corrB === rawB, "share 1e6 must leave a singleton's mass exact")
   }
 
+  test("x169 truncationYield: per-cap doc/token losses on a closed-form fixture") {
+    val s = spark; import s.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, "a", words(10)), (2L, "a", words(100)),
+      (3L, "b", words(40)), (4L, null.asInstanceOf[String], words(9)))
+      .toDF("doc_id", "source", "text")
+    val got = CurationOps.truncationYield(docs, caps = Seq(16L, 32L, 64L))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("cap")) ->
+        ((r.getAs[Long]("n_docs_truncated"), r.getAs[Long]("tokens_lost"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_total")))).toMap
+    assert(got.size === 6, s"$got")  // 2 sources × 3 caps; null source out
+    assert(got(("a", 16L)) === ((1L, 84L, 2L, 110L)))
+    assert(got(("a", 32L)) === ((1L, 68L, 2L, 110L)))
+    assert(got(("a", 64L)) === ((1L, 36L, 2L, 110L)))
+    assert(got(("b", 16L)) === ((1L, 24L, 1L, 40L)))
+    assert(got(("b", 64L)) === ((0L, 0L, 1L, 40L)))
+  }
+
   test("x164 gateAttribution: total vs sole kills match a hand-built 4-doc matrix") {
     val s = spark; import s.implicits._
     val sent = "the cat and dog run far"                 // 6 ws tokens, 2 stops
