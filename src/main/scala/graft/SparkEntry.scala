@@ -1644,6 +1644,13 @@ object SparkEntry {
       graft.operators.GraphOps.sessionCommunities(Tables.events(s, dir),
         gapMinutes = 10)),
 
+    // x170 — community cohesion: per x130 community, internal vs
+    // external edge mass and intra_ppm — did label propagation find
+    // real density or paint the graph; same 10-min graph as x130
+    "x170_community_cohesion" -> ((s, dir) =>
+      graft.operators.GraphOps.sessionCommunityCohesion(
+        Tables.events(s, dir), gapMinutes = 10)),
+
     // x123 — triangle participation in the session-concurrency graph:
     // degree-ordered orientation caps out-degree at O(√m), so the wedge
     // self-join is O(m^1.5) instead of quadratic-in-hub-degree; three
@@ -2305,6 +2312,8 @@ object SparkEntry {
 
     "x130_session_communities" ->
       graft.operators.GraphOps.sessionCommunitiesSql(gapMinutes = 10),
+    "x170_community_cohesion" ->
+      graft.operators.GraphOps.sessionCommunityCohesionSql(gapMinutes = 10),
 
     "x131_retrieval_eval" -> graft.operators.RetrievalOps
       .selfRetrievalEvalSql("doc_id % 50 = 0", nTerms = 16),

@@ -188,6 +188,17 @@ object GraphOps {
     * beside x119's centrality and x23's connectivity: a component is one
     * island, LPA splits it along its sparse cuts. */
   def labelCommunities(pairs: DataFrame, rounds: Int = 4, topK: Int = 20,
+                       state: IterState = Local): DataFrame =
+    labelAssignments(pairs, rounds, state)
+      .groupBy("label").agg(count(lit(1)).as("n_members"))
+      .select(col("label").as("community"), col("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(topK)
+
+  /** The per-node (id, label) table behind [[labelCommunities]] — shared
+    * by the x170 cohesion readout, which needs the assignments, not the
+    * size rollup. */
+  def labelAssignments(pairs: DataFrame, rounds: Int = 4,
                        state: IterState = Local): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"rounds=$rounds")
     import org.apache.spark.sql.expressions.Window
@@ -207,10 +218,114 @@ object GraphOps {
           .filter(col("rn") === 1)
           .select(col("dst").as("id"), col("label")))
     }
-    lab.groupBy("label").agg(count(lit(1)).as("n_members"))
-      .select(col("label").as("community"), col("n_members"))
+    lab
+  }
+
+  /** x170: community cohesion — the quality readout for x130's labels:
+    * per community (top-`topK` by size), member count, INTERNAL edge
+    * count (both endpoints inside) and EXTERNAL edge count (edges it
+    * shares with other communities, attributed to both sides), and
+    * intra_ppm = internal/(internal+external) — the per-community
+    * modularity-style statement of whether label propagation found real
+    * density or just painted the graph. A community at intra_ppm ≈ 10⁶
+    * is an island; one near 0 is an artifact of the tie-break.
+    *
+    * Scale shape: the SAME bounded-round LP as x130 (per-round lineage
+    * pinned, mode via WindowGroupLimit rank-1 on the user-entity dst
+    * key), then two label joins onto the undirected pair set (user-
+    * keyed, AQE-splittable) and community-keyed counts — output bounded
+    * by |communities|, every aggregate map-side combinable. */
+  def communityCohesion(pairs: DataFrame, rounds: Int = 4, topK: Int = 20,
+                        state: IterState = Local): DataFrame = {
+    val lab = state.pin(labelAssignments(pairs, rounds, state))
+    val e = pairs
+      .join(lab.select(col("id").as("u_a"), col("label").as("la")), Seq("u_a"))
+      .join(lab.select(col("id").as("u_b"), col("label").as("lb")), Seq("u_b"))
+      .select(col("la"), col("lb"))
+    val members = lab.groupBy("label").agg(count(lit(1)).as("n_members"))
+    val internal = e.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("n_internal"))
+    val external = e.filter(col("la") =!= col("lb"))
+      .select(col("la").as("label"))
+      .union(e.filter(col("la") =!= col("lb")).select(col("lb").as("label")))
+      .groupBy("label").agg(count(lit(1)).as("n_external"))
+    members.join(internal, Seq("label"), "left")
+      .join(external, Seq("label"), "left")
+      .select(col("label").as("community"), col("n_members"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        coalesce(col("n_external"), lit(0L)).as("n_external"))
+      .withColumn("intra_ppm", expr(
+        "(n_internal * 1000000L) div greatest(n_internal + n_external, 1L)"))
       .orderBy(col("n_members").desc, col("community"))
       .limit(topK)
+  }
+
+  /** x170 composition over the session-concurrency graph. */
+  def sessionCommunityCohesion(events: DataFrame, gapMinutes: Int = 30,
+                               rounds: Int = 4, topK: Int = 20,
+                               state: IterState = Local): DataFrame =
+    communityCohesion(overlapPairs(events, gapMinutes), rounds, topK, state)
+
+  /** DuckDB twin of [[sessionCommunityCohesion]] — the same unrolled LP
+    * rounds as x130's twin, finished through the label joins. */
+  def sessionCommunityCohesionSql(gapMinutes: Int = 30, rounds: Int = 4,
+                                  topK: Int = 20): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""cc_r$k AS (
+         |  SELECT dst AS id, label FROM (
+         |    SELECT e.dst, l.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l.label ASC) AS rn
+         |    FROM cc_edges e JOIN cc_r${k - 1} l ON l.id = e.src
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cc_sess AS (
+       |  SELECT user_id, session_start_epoch, session_end_epoch FROM (
+       |${graft.streaming.EventStreams.userSessionsSql(gapMinutes)}
+       |  ) t
+       |), cc_pairs AS (
+       |  SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
+       |  FROM cc_sess a JOIN cc_sess b ON a.user_id < b.user_id
+       |    AND a.session_start_epoch <= b.session_end_epoch
+       |    AND b.session_start_epoch <= a.session_end_epoch
+       |), cc_edges AS (
+       |  SELECT u_a AS src, u_b AS dst FROM cc_pairs
+       |  UNION ALL
+       |  SELECT u_b AS src, u_a AS dst FROM cc_pairs
+       |), cc_r0 AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM cc_edges
+       |),
+       |$roundCtes,
+       |cc_lab AS MATERIALIZED (SELECT id, label FROM cc_r$rounds),
+       |cc_e AS MATERIALIZED (
+       |  SELECT a.label AS la, b.label AS lb
+       |  FROM cc_pairs p
+       |  JOIN cc_lab a ON a.id = p.u_a
+       |  JOIN cc_lab b ON b.id = p.u_b
+       |), cc_m AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM cc_lab GROUP BY label
+       |), cc_i AS (
+       |  SELECT la AS label, CAST(count(*) AS BIGINT) AS n_internal
+       |  FROM cc_e WHERE la = lb GROUP BY la
+       |), cc_x AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_external FROM (
+       |    SELECT la AS label FROM cc_e WHERE la <> lb
+       |    UNION ALL SELECT lb FROM cc_e WHERE la <> lb)
+       |  GROUP BY label
+       |)
+       |SELECT m.label AS community, m.n_members,
+       |  coalesce(i.n_internal, 0) AS n_internal,
+       |  coalesce(x.n_external, 0) AS n_external,
+       |  CAST((coalesce(i.n_internal, 0) * 1000000)
+       |    // greatest(coalesce(i.n_internal, 0) + coalesce(x.n_external, 0),
+       |         1) AS BIGINT) AS intra_ppm
+       |FROM cc_m m
+       |LEFT JOIN cc_i i USING (label)
+       |LEFT JOIN cc_x x USING (label)
+       |ORDER BY n_members DESC, community
+       |LIMIT $topK""".stripMargin
   }
 
   /** Bounded-round k-core peeling (Seidman 1983; the Batagelj–Zaveršnik

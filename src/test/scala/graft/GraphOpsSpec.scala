@@ -146,6 +146,35 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cliques across the bridge must keep distinct communities")
   }
 
+  test("x170 communityCohesion: internal/external accounting matches a driver recount") {
+    val clique1 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val clique2 = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val pairs = clique1 ++ clique2 ++ Seq((3L, 10L), (20L, 21L), (21L, 22L))
+    val lab = GraphOps.labelAssignments(pairsDf(pairs), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = GraphOps.communityCohesion(pairsDf(pairs), rounds = 4,
+        topK = 100).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_internal"), r.getAs[Long]("n_external"),
+        r.getAs[Long]("intra_ppm")))).toMap
+    val members = lab.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    val internal = pairs.filter(p => lab(p._1) == lab(p._2))
+      .groupBy(p => lab(p._1)).map { case (l, xs) => l -> xs.size.toLong }
+    val external = pairs.filter(p => lab(p._1) != lab(p._2))
+      .flatMap(p => Seq(lab(p._1), lab(p._2)))
+      .groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    assert(got.keySet === members.keySet)
+    members.foreach { case (l, m) =>
+      val (gm, gi, gx, ppm) = got(l)
+      assert(gm === m && gi === internal.getOrElse(l, 0L) &&
+        gx === external.getOrElse(l, 0L), s"community $l: ${got(l)}")
+      assert(ppm === gi * 1000000L / math.max(gi + gx, 1L))
+    }
+    // each clique is a near-island: 6 internal edges, the 1 bridge
+    assert(got(lab(0L))._2 === 6L && got(lab(0L))._3 === 1L)
+    assert(got(lab(13L))._2 === 6L && got(lab(13L))._3 === 1L)
+  }
+
   /** Driver-side reference: peel to fixpoint. */
   private def referenceKCore(pairs: Seq[(Long, Long)],
                              k: Int): Map[Long, Long] = {
