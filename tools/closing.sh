@@ -52,7 +52,8 @@ fi
 step "4/5 full bench at $SF01 -> bench_full_r${ROUND}.json"
 SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" > /tmp/closing_bench.log 2>&1
-grep '"metric"' /tmp/closing_bench.log | head -1 > "bench_full_r${ROUND}.json"
+grep '"metric"' /tmp/closing_bench.log | head -1 \
+  | sed 's/^\[info\] //' > "bench_full_r${ROUND}.json"
 python3 - "bench_full_r${ROUND}.json" <<'EOF' || FAIL=1
 import json, sys
 d = json.load(open(sys.argv[1]))
