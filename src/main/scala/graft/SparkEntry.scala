@@ -1190,6 +1190,12 @@ object SparkEntry {
     "x89_minhash_calibration" -> ((s, dir) =>
       DedupOps.minhashCalibration(Tables.documents(s, dir))),
 
+    // x171 — signature-length yield curve: the x89 estimator priced at
+    // every signature PREFIX (2/4/8/16 perms): mean + worst error ppm
+    // vs exact Jaccard — how many permutations dedup actually needs
+    "x171_signature_yield" -> ((s, dir) =>
+      DedupOps.signatureYield(Tables.documents(s, dir))),
+
     // x91 — stratified priority sampling: PriorityStream's batch twin,
     // per-stratum rank-k via WindowGroupLimit
     "x91_stratified_priority" -> ((s, dir) =>
@@ -2908,6 +2914,7 @@ object SparkEntry {
     "x87_source_dup_rate" -> DedupOps.sourceDupRateSql,
     "x88_source_js" -> TextOps.sourceJsMatrixSql,
     "x89_minhash_calibration" -> DedupOps.minhashCalibrationSql,
+    "x171_signature_yield" -> DedupOps.signatureYieldSql,
     "x91_stratified_priority" -> SamplingOps.prioritySampleByStratumSql(20, 7),
     "x92_length_quality_corr" -> TextOps.lengthQualityCorrSql,
     "x93_label_conflicts" -> DedupOps.labelConflictsSql,

@@ -810,6 +810,114 @@ object DedupOps {
        |JOIN mc_sizes zb ON zb.doc_id = e.doc_b""".stripMargin
   }
 
+  /** x171: signature-length yield curve — x89 calibrates the FULL
+    * 16-permutation MinHash estimator; this prices every signature
+    * PREFIX length p ∈ {2, 4, 8, 16}: per p, the prefix estimator's
+    * mean and worst absolute error (ppm) against exact Jaccard over the
+    * same verified candidate set — the "how many permutations do we
+    * actually need" knob, priced from the one signature pass the
+    * pipeline already pays. Storage and shuffle width scale linearly in
+    * p, so the knee of this curve is real money at 100 TB.
+    *
+    * Determinism: the prefix estimator is ONE IEEE division of exact
+    * integers (match count / p); exact Jaccard is the shared x89 kernel;
+    * each error snaps to micro BEFORE aggregation, so mean (integer div)
+    * and max are exact BIGINTs on both engines.
+    *
+    * Scale shape: the same signature + candidate machinery as x89 (LSH
+    * candidates, never all pairs), one pair-keyed projection computing
+    * all four prefix errors from the already-joined signature columns,
+    * then a 4-row stack aggregate. */
+  def signatureYield(df: DataFrame, text: Column = col("text"),
+                     state: IterState = Local): DataFrame = {
+    val prefixes = Seq(2, 4, 8, 16)
+    val (sigs, cand) = lshCandidates(df, text, state)
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"a_m$i")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"b_m$i")): _*)
+    val eqs = (0 until numHashes)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+    val est = cand.join(sigA, "doc_a").join(sigB, "doc_b")
+      .select(Seq(col("doc_a"), col("doc_b")) ++ prefixes.map(p =>
+        (eqs.take(p).reduce(_ + _).cast("double") / lit(p.toDouble))
+          .as(s"est_$p")): _*)
+    val errs = est.join(jaccardFor(df, cand, text, state),
+        Seq("doc_a", "doc_b"))
+      .select(prefixes.map(p =>
+        floor(abs(col(s"est_$p") - col("jaccard")) * lit(1e6) + lit(0.5))
+          .cast("long").as(s"err_$p")): _*)
+    val aggs = prefixes.flatMap { p =>
+      Seq(sum(col(s"err_$p")).as(s"se_$p"), max(col(s"err_$p")).as(s"mx_$p"))
+    } :+ count(lit(1)).as("n_pairs")
+    errs.agg(aggs.head, aggs.tail: _*)
+      .select(expr("stack(" + prefixes.length + ", " + prefixes.map(p =>
+        s"${p}L, se_$p, mx_$p").mkString(", ") +
+        ") AS (sig_len, sum_err, max_err_ppm)"), col("n_pairs"))
+      .select(col("sig_len"),
+        expr("CAST(sum_err div greatest(n_pairs, 1L) AS BIGINT)")
+          .as("mean_err_ppm"),
+        col("max_err_ppm"), col("n_pairs"))
+  }
+
+  /** DuckDB twin of [[signatureYield]]. */
+  def signatureYieldSql: String = {
+    val prefixes = Seq(2, 4, 8, 16)
+    def nEq(p: Int) = (0 until p)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val estCols = prefixes.map(p =>
+      s"CAST(${nEq(p)} AS DOUBLE) / $p.0 AS est_$p").mkString(",\n    ")
+    val errCols = prefixes.map(p =>
+      s"""CAST(floor(abs(est_$p - jaccard) * 1e6 + 0.5) AS BIGINT)
+         |      AS err_$p""".stripMargin).mkString(",\n    ")
+    val aggCols = prefixes.map(p =>
+      s"""CAST(sum(err_$p) AS BIGINT) AS se_$p,
+         |    CAST(max(err_$p) AS BIGINT) AS mx_$p""".stripMargin)
+      .mkString(",\n    ")
+    val rows = prefixes.map(p =>
+      s"""SELECT $p AS sig_len,
+         |  CAST(se_$p // greatest(n_pairs, 1) AS BIGINT) AS mean_err_ppm,
+         |  mx_$p AS max_err_ppm, n_pairs FROM sy_one""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$lshCandSqlCtes,
+       |sy_sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |sy_inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh ia ON ia.doc_id = c.doc_a
+       |  JOIN sh ib ON ib.doc_id = c.doc_b AND ia.sh = ib.sh
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |sy_est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    $estCols
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b
+       |),
+       |sy_err AS (
+       |  SELECT
+       |    $errCols
+       |  FROM sy_est e
+       |  JOIN (
+       |    SELECT i.doc_a, i.doc_b,
+       |      CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+       |        AS jaccard
+       |    FROM sy_inter i
+       |    JOIN sy_sizes za ON za.doc_id = i.doc_a
+       |    JOIN sy_sizes zb ON zb.doc_id = i.doc_b
+       |  ) j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+       |),
+       |sy_one AS (
+       |  SELECT
+       |    $aggCols,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM sy_err
+       |)
+       |$rows""".stripMargin
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   val simhashBits = 32

@@ -427,6 +427,38 @@ class CorpusStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(v._3 <= 0.35, s"pair $p est ${v._1} vs exact ${v._2}")
   }
 
+  test("x171 signatureYield: identical docs cost zero error at every prefix; full prefix matches x89") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val df = Seq(
+      1L -> base, 2L -> base,
+      3L -> (base + " extra words appended here"),
+      4L -> "completely different text about spark query engines and shuffles galore"
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.DedupOps.signatureYield(df).collect()
+      .map(r => r.getAs[Long]("sig_len") ->
+        ((r.getAs[Long]("mean_err_ppm"), r.getAs[Long]("max_err_ppm"),
+          r.getAs[Long]("n_pairs")))).toMap
+    assert(rows.keySet === Set(2L, 4L, 8L, 16L), s"$rows")
+    val n = rows(16L)._3
+    assert(n >= 1L && rows.values.forall(_._3 == n),
+      "one shared candidate set across all prefixes")
+    // at sig_len 16 the curve must equal x89's snapped aggregate
+    val x89 = graft.operators.DedupOps.minhashCalibration(df).collect()
+      .map(r => math.floor(r.getAs[Double]("abs_err") * 1e6 + 0.5).toLong)
+    assert(rows(16L)._1 === x89.sum / x89.length,
+      s"mean at 16 must equal x89: ${rows(16L)} vs ${x89.toSeq}")
+    assert(rows(16L)._2 === x89.max)
+    // an identical-only corpus: every prefix estimates exactly 1.0
+    val ident = Seq(1L -> base, 2L -> base).toDF("doc_id", "text")
+    val iRows = graft.operators.DedupOps.signatureYield(ident).collect()
+      .map(r => r.getAs[Long]("sig_len") ->
+        ((r.getAs[Long]("mean_err_ppm"), r.getAs[Long]("max_err_ppm"))))
+    assert(iRows.forall { case (_, (m, x)) => m == 0L && x == 0L },
+      s"${iRows.toSeq}")
+  }
+
   test("lengthQualityCorr: perfect monotone fixture near +1, constant quality null, real corpus in range") {
     val s = spark
     import s.implicits._
