@@ -39,7 +39,8 @@ import numpy as np
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/graft_sf1"
-QUERIES = ["x119_session_pagerank", "x23_dup_clusters", "x111_bpe_merges",
+QUERIES = ["x159_cluster_dsir", "x161_cluster_policy",
+           "x119_session_pagerank", "x23_dup_clusters", "x111_bpe_merges",
            "j16_band_join", "x83_cluster_split",
            # round-12 top-of-profile additions (VERDICT r11 item 4)
            "x72_dup_spans", "x79_ngram_decontamination",
@@ -290,6 +291,15 @@ def main():
         "j16_band_join": (2.0 * pr, f"2x pair growth ({pr:.0f}x)"),
         "x23_dup_clusters": (max(12.0, 2.0 * mr),
                              f"max(12, 2x simhash mass growth ({mr:.0f}x))"),
+        # x159/x161 (the round-12 top-of-profile) compose x23's simhash
+        # pair + component stage with doc-keyed joins and band/size
+        # aggregates — everything past the pair stage is linear, so the
+        # same block-mass bound governs
+        "x159_cluster_dsir": (max(12.0, 2.0 * mr),
+                              f"max(12, 2x simhash mass growth ({mr:.0f}x))"),
+        "x161_cluster_policy": (max(12.0, 2.0 * mr),
+                                f"max(12, 2x simhash mass growth "
+                                f"({mr:.0f}x))"),
         "x83_cluster_split": (50.0, "n^1.5 by design (k=sqrt(n), cap=4n/k)"),
         "x72_dup_spans": (max(12.0, 2.0 * wr),
                           f"max(12, 2x window-mass growth ({wr:.0f}x))"),
