@@ -1822,6 +1822,12 @@ object SparkEntry {
         .select(col("vec_id"), col("norm"),
           concat_ws(",", col("qcode")).as("qcode_str"))),
 
+    // x172 — quantization-bits yield curve: angular error (1−cos)·1e6 of
+    // the unit direction quantized at every bit width 2..8 — the
+    // ANN-tier storage knob priced in one scan (8 bits IS x20's code)
+    "x172_quantization_yield" -> ((s, dir) =>
+      SimilarityOps.quantizationYield(Tables.embeddings(s, dir))),
+
     "x22_ann_quantized" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       SimilarityOps.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), 8)
@@ -2953,6 +2959,7 @@ object SparkEntry {
     "x21_salted_counts" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "x22_ann_quantized" -> SimilarityOps.quantizedTopKSql("vec_id % 100 = 0", 8),
+    "x172_quantization_yield" -> SimilarityOps.quantizationYieldSql(),
 
     "x25_split_report" -> graft.operators.SamplingOps.splitReportSql,
 

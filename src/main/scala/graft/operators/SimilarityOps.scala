@@ -336,6 +336,113 @@ object SimilarityOps {
        |FROM embeddings""".stripMargin
   }
 
+  /** x172: quantization-bits yield curve — x20 ships int8 (scale 127)
+    * codes; this prices EVERY bit width b ∈ {2,3,4,5,6,8}: per b, the
+    * angular reconstruction error of quantizing each vector's unit
+    * direction at scale 2^(b−1)−1 — err_ppm = (1 − cos(u, q_b))·10⁶,
+    * with q_b = floor(u·s + ½) elementwise (b = 8 IS x20's code). Code
+    * storage and shuffle bandwidth scale linearly in b, so the knee of
+    * mean/max error vs bits is the ANN-tier storage decision. A vector
+    * too diffuse for a width (q_b = 0, direction lost) scores the full
+    * 10⁶ — the honest failure, not a NULL.
+    *
+    * Determinism: one scan; per row the unit direction u and each q_b
+    * are materialized ONCE (attribute references, the SPARK-36718
+    * boundary), dots are the shared sequential fold ([[dot]] /
+    * list_dot_product — VectorParitySpec pins bit parity), each error
+    * micro-snaps BEFORE aggregation, so mean (integer div) and max are
+    * exact BIGINTs on both engines. */
+  def quantizationYield(emb: DataFrame,
+                        bits: Seq[Int] = Seq(2, 3, 4, 5, 6, 8)): DataFrame = {
+    require(bits.nonEmpty && bits == bits.sorted && bits.forall(b =>
+      b >= 2 && b <= 8), s"bits=$bits")
+    val e = col("embedding").cast("array<double>")
+    val p1 = emb.select(col("vec_id"), e.as("ed"))
+      .withColumn("nrm", sqrt(dot(col("ed"), col("ed"))))
+      .filter(col("nrm") > 0d)
+      .select(col("vec_id"), transform(col("ed"), x => x / col("nrm")).as("u"))
+    val p2 = p1.select(Seq(col("vec_id"), col("u")) ++ bits.map { b =>
+      val s = (1 << (b - 1)) - 1
+      transform(col("u"), x => floor(x * s + lit(0.5d))).as(s"q$b") }: _*)
+    val p3 = p2.select(Seq(dot(col("u"), col("u")).as("uu")) ++
+      bits.flatMap { b => Seq(dot(col("u"), col(s"q$b")).as(s"uq$b"),
+        dot(col(s"q$b"), col(s"q$b")).as(s"qq$b")) }: _*)
+    val errs = p3.select(bits.map { b =>
+      when(col(s"qq$b") > 0d,
+        floor((lit(1.0) - col(s"uq$b") /
+          (sqrt(col("uu")) * sqrt(col(s"qq$b")))) * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .otherwise(lit(1000000L)).as(s"err$b") }: _*)
+    val aggs = bits.flatMap { b =>
+      Seq(sum(col(s"err$b")).as(s"se$b"), max(col(s"err$b")).as(s"mx$b"))
+    } :+ count(lit(1)).as("n_vecs")
+    errs.agg(aggs.head, aggs.tail: _*)
+      .select(expr("stack(" + bits.length + ", " + bits.map(b =>
+        s"${b}L, se$b, mx$b").mkString(", ") +
+        ") AS (bits, sum_err, max_err_ppm)"), col("n_vecs"))
+      .select(col("bits"),
+        expr("CAST(sum_err div greatest(n_vecs, 1L) AS BIGINT)")
+          .as("mean_err_ppm"),
+        col("max_err_ppm"), col("n_vecs"))
+  }
+
+  /** DuckDB twin of [[quantizationYield]]. */
+  def quantizationYieldSql(bits: Seq[Int] = Seq(2, 3, 4, 5, 6, 8)): String = {
+    val qCols = bits.map { b =>
+      val s = (1 << (b - 1)) - 1
+      s"list_transform(u, qy_x -> floor(qy_x * $s + 0.5)) AS q$b"
+    }.mkString(",\n    ")
+    val dCols = bits.map { b =>
+      s"""${dotSql("u", s"q$b")} AS uq$b,
+         |    ${dotSql(s"q$b", s"q$b")} AS qq$b""".stripMargin
+    }.mkString(",\n    ")
+    val eCols = bits.map { b =>
+      s"""CASE WHEN qq$b > 0 THEN CAST(floor((1 - uq$b
+         |      / (sqrt(uu) * sqrt(qq$b))) * 1e6 + 0.5) AS BIGINT)
+         |      ELSE 1000000 END AS err$b""".stripMargin
+    }.mkString(",\n    ")
+    val aCols = bits.map { b =>
+      s"""CAST(sum(err$b) AS BIGINT) AS se$b,
+         |    CAST(max(err$b) AS BIGINT) AS mx$b""".stripMargin
+    }.mkString(",\n    ")
+    val rows = bits.map { b =>
+      s"""SELECT $b AS bits,
+         |  CAST(se$b // greatest(n_vecs, 1) AS BIGINT) AS mean_err_ppm,
+         |  mx$b AS max_err_ppm, n_vecs FROM qy_one""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qy_n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |),
+       |qy_u AS (
+       |  SELECT vec_id, list_transform(ed, qy_x -> qy_x / nrm) AS u
+       |  FROM qy_n WHERE nrm > 0
+       |),
+       |qy_q AS (
+       |  SELECT vec_id, u,
+       |    $qCols
+       |  FROM qy_u
+       |),
+       |qy_d AS (
+       |  SELECT ${dotSql("u", "u")} AS uu,
+       |    $dCols
+       |  FROM qy_q
+       |),
+       |qy_e AS (
+       |  SELECT
+       |    $eCols
+       |  FROM qy_d
+       |),
+       |qy_one AS (
+       |  SELECT
+       |    $aCols,
+       |    CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM qy_e
+       |)
+       |$rows""".stripMargin
+  }
+
   /** ANN top-K over the int8 codes of [[quantizeEmbeddings]]: since codes
     * are unit-direction scaled to 127, the norms cancel and
     * `approx_cos = Σ qa·qb / 127²` — an integer dot product (exact in

@@ -149,6 +149,43 @@ class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2(0)._2 === 1000000L, "majority vote should survive one flip")
   }
 
+  test("x172 quantizationYield: axis vectors are exact; driver-formula parity; diffuse q=0 scores 1e6") {
+    val s = spark; import s.implicits._
+    // 1) axis vector: every width reconstructs the direction exactly
+    val axis = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val a = SimilarityOps.quantizationYield(axis).collect()
+      .map(r => r.getAs[Long]("bits") -> ((r.getAs[Long]("mean_err_ppm"),
+        r.getAs[Long]("max_err_ppm"), r.getAs[Long]("n_vecs")))).toMap
+    assert(a.keySet === Set(2L, 3L, 4L, 5L, 6L, 8L))
+    assert(a.values.forall { case (m, x, n) => m == 0L && x == 0L && n == 1L })
+    // 2) (0.8, 0.6): replicate the exact double formula on the driver
+    val v = Array(0.8f, 0.6f)
+    val emb = Seq((1L, v)).toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizationYield(emb).collect()
+      .map(r => r.getAs[Long]("bits") -> r.getAs[Long]("max_err_ppm")).toMap
+    def expected(b: Int): Long = {
+      val ed = v.map(_.toDouble)
+      val nrm = math.sqrt(ed.map(x => x * x).sum)
+      val u = ed.map(_ / nrm)
+      val sc = (1 << (b - 1)) - 1
+      val q = u.map(x => math.floor(x * sc + 0.5))
+      val (uq, qq, uu) = (u.zip(q).map(p => p._1 * p._2).sum,
+        q.map(x => x * x).sum, u.map(x => x * x).sum)
+      if (qq <= 0) 1000000L
+      else math.floor((1.0 - uq / (math.sqrt(uu) * math.sqrt(qq))) * 1e6 + 0.5).toLong
+    }
+    Seq(2, 3, 4, 5, 6, 8).foreach(b =>
+      assert(got(b.toLong) === expected(b), s"bits $b: ${got(b.toLong)}"))
+    assert(got(2L) > got(8L), "coarser codes must cost more angular error")
+    // 3) diffuse 5-dim vector: at 2 bits every element rounds to zero —
+    // the direction is LOST and the operator must say so, not NULL out
+    val diffuse = Seq((1L, Array.fill(5)(1.0f))).toDF("vec_id", "embedding")
+    val d = SimilarityOps.quantizationYield(diffuse).collect()
+      .map(r => r.getAs[Long]("bits") -> r.getAs[Long]("max_err_ppm")).toMap
+    assert(d(2L) === 1000000L, s"$d")
+    assert(d(8L) === 0L, "127-scale reconstructs the uniform direction")
+  }
+
   test("x163 sourceAnisotropy: sum-of-sums identity equals hand-computed pair dots") {
     val s = spark; import s.implicits._
     val e0 = Array(1.0f, 0.0f)
