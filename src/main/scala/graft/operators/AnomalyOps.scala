@@ -142,8 +142,17 @@ object AnomalyOps {
     * lexicographic (mag, −t, payload) struct) and a |types|-row report.
     * Products ride DECIMAL(38,0)/HUGEINT; every division is non-negative
     * integer div so truncate-vs-floor cannot diverge. */
-  def changepointReport(events: DataFrame): DataFrame = {
-    val hourly = hourlyCounts(events)
+  def changepointReport(events: DataFrame): DataFrame =
+    changepointFromHourly(hourlyCounts(events))
+
+  /** The verdict half of x166 over a (live or batch) hourly-count table —
+    * the same split as x124: the sufficient statistic is the streamed
+    * (type, hour) count panel ([[graft.streaming.AnomalyStream
+    * .hourlyOnIngest]]), CUSUM is computed ON READ (a prefix-sum argmax
+    * is not stream-legal, and should not be — it re-reads the bounded
+    * hour grid, not the event stream), so live-then-finish == batch on
+    * every arrival prefix (AnomalyStreamSpec pins it). */
+  def changepointFromHourly(hourly: DataFrame): DataFrame = {
     val grid = hourly.groupBy("event_type")
       .agg(min(col("hour_epoch")).as("h_min"), max(col("hour_epoch")).as("h_max"))
       .select(col("event_type").as("g_type"),

@@ -28,6 +28,13 @@ object AnomalyStream {
   def hourlyOnIngest(events: DataFrame): DataFrame =
     AnomalyOps.hourlyCounts(events)
 
+  /** x166's live half: CUSUM changepoint verdict ON READ over the same
+    * streamed hourly panel — one state table serves both monitors (x124
+    * asks which hour spiked, x166 where the level shifted), and the
+    * finishing read is the batch code verbatim. */
+  def changepoints(hourly: DataFrame): DataFrame =
+    AnomalyOps.changepointFromHourly(hourly)
+
   /** Burst verdict over a (live or batch) hourly-count table. */
   def bursts(hourly: DataFrame, trailing: Int = 24, thresholdX: Int = 3,
              minBaseline: Int = 12, topK: Int = 20): DataFrame =

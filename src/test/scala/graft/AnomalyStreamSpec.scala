@@ -65,6 +65,15 @@ class AnomalyStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         val batch = AnomalyOps.burstReport(prefix.toDF()).collect()
         assert(onRead.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
           "verdict-on-read must equal the batch report")
+        // x166 twin: the SAME live panel finishes into the changepoint
+        // report — pin a consistent snapshot first (multi-job read over
+        // a complete-mode sink, the SketchStreamSpec discipline)
+        val cpLive = AnomalyStream.changepoints(live.localCheckpoint(true))
+          .collect().map(_.toSeq).sortBy(_.head.toString)
+        val cpBatch = AnomalyOps.changepointReport(prefix.toDF())
+          .collect().map(_.toSeq).sortBy(_.head.toString)
+        assert(cpLive === cpBatch,
+          s"changepoint-on-read diverged at prefix of ${prefix.size}")
       }
       // the spike is only a verdict once the baseline filled in batch2
       val verdict = AnomalyStream.bursts(spark.table("live_hourly")).collect()
