@@ -65,6 +65,15 @@ object SparkEntry {
   // sqrt(n) — measured 0.73 -> 0.49 avg recall@8 at the sf0.1 k=45
   private def ivfNProbe(s: SparkSession, dir: String): Int =
     graft.operators.IvfOps.adaptiveNProbe(ivfModel(s, dir).centroids.length)
+  // the "retrained" codebook for x173: one extra Lloyd round from the
+  // SAME deterministic seed lineage — the in-place refresh an ANN
+  // service ships, so old/new cell ids stay comparable
+  private val ivfCache2 = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.IvfOps.IvfModel]
+  private def ivfModel2(s: SparkSession, dir: String): graft.operators.IvfOps.IvfModel =
+    ivfCache2.getOrElseUpdate((s, dir),
+      graft.operators.IvfOps.trainBounded(Tables.embeddings(s, dir),
+        iterations = 3))
 
   // Trained BPE merge table: same train-once-per-(session, corpus)
   // contract as ivfModel; the generated DuckDB twins replay training
@@ -1233,6 +1242,14 @@ object SparkEntry {
       graft.operators.IvfOps.probeYieldCurve(emb,
         emb.filter(col("vec_id") % 100 === 0), ivfModel(s, dir))
     }),
+
+    // x173 — codebook churn: per (old_cell, new_cell) vector flows
+    // between the gated model and its one-more-Lloyd-round refresh —
+    // off-diagonal mass IS the reindexing bill; churn_ppm prices the
+    // retrain cadence (oracle: both codebooks as literal CTEs)
+    "x173_codebook_churn" -> ((s, dir) =>
+      graft.operators.IvfOps.codebookChurn(Tables.embeddings(s, dir),
+        ivfModel(s, dir), ivfModel2(s, dir))),
 
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -3075,6 +3092,8 @@ object SparkEntry {
       "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model),
       "x162_probe_yield" -> graft.operators.IvfOps.probeYieldCurveSql(
         model, "vec_id % 100 = 0"),
+      "x173_codebook_churn" -> graft.operators.IvfOps.codebookChurnSql(
+        model, ivfModel2(spark, sfDir)),
       "x38_cluster_lang_mix" -> graft.operators.IvfOps.clusterLangMixSql(model),
       "x52_semdedup" -> graft.operators.IvfOps.semDedupSql(model, tau = 0.40),
       "x100_proto_prune" ->

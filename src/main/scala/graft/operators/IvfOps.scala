@@ -388,6 +388,75 @@ object IvfOps {
        |    // (SELECT count(*) FROM pyc_ex) AS BIGINT) AS recall_ppm
        |FROM pyc_g""".stripMargin
 
+  /** x173: codebook churn — the reindexing bill when the codebook
+    * retrains: every vector assigned under the OLD model and the NEW one
+    * (one extra Lloyd round from the same deterministic seed lineage —
+    * the in-place refresh an ANN service actually ships), flows counted
+    * per (old_cell, new_cell). Diagonal rows are vectors whose inverted
+    * list survives the retrain; off-diagonal mass is exactly the posting
+    * movement a rebuild must write, and churn_ppm (riding every row)
+    * is the fraction of the index that moves — retrain cadence is a
+    * knob priced by this number at 100 TB.
+    *
+    * Scale shape: two broadcast-codebook assignment maps (each one pass,
+    * no shuffle), a vec_id equi-join, and a ≤K_old·K_new-row aggregate;
+    * the totals are a 1-row broadcast. */
+  def codebookChurn(emb: DataFrame, mOld: IvfModel,
+                    mNew: IvfModel): DataFrame = {
+    val a1 = assign(emb, mOld).select(col("vec_id"),
+      col("centroid_id").as("old_cid"))
+    val a2 = assign(emb, mNew).select(col("vec_id"),
+      col("centroid_id").as("new_cid"))
+    val flows = a1.join(a2, Seq("vec_id"))
+      .groupBy("old_cid", "new_cid").agg(count(lit(1)).as("n_vecs"))
+    val tot = flows.agg(sum(col("n_vecs")).as("n_total"),
+      sum(when(col("old_cid") =!= col("new_cid"), col("n_vecs"))
+        .otherwise(0L)).as("n_moved"))
+    flows.crossJoin(broadcast(tot))
+      .select(col("old_cid"), col("new_cid"), col("n_vecs"),
+        when(col("old_cid") =!= col("new_cid"), 1).otherwise(0).as("moved"),
+        col("n_total"), col("n_moved"),
+        expr("(n_moved * 1000000L) div n_total").as("churn_ppm"))
+  }
+
+  /** DuckDB twin of [[codebookChurn]] — both codebooks as literal CTEs,
+    * both assignments replayed with the shared (sim DESC, cid)
+    * tie-break. */
+  def codebookChurnSql(mOld: IvfModel, mNew: IvfModel): String = {
+    def simsCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $centroidSimSql DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN $cents c
+         |)""".stripMargin
+    s"""WITH ch_c1 AS (
+       |  SELECT * FROM (VALUES ${centroidValuesSql(mOld)}) AS c(cid, cv)
+       |), ch_c2 AS (
+       |  SELECT * FROM (VALUES ${centroidValuesSql(mNew)}) AS c(cid, cv)
+       |),
+       |${simsCte("ch_s1", "ch_c1")},
+       |${simsCte("ch_s2", "ch_c2")},
+       |ch_f AS (
+       |  SELECT a.cid AS old_cid, b.cid AS new_cid,
+       |    CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM (SELECT vec_id, cid FROM ch_s1 WHERE rn = 1) a
+       |  JOIN (SELECT vec_id, cid FROM ch_s2 WHERE rn = 1) b USING (vec_id)
+       |  GROUP BY 1, 2
+       |),
+       |ch_t AS (
+       |  SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+       |    CAST(sum(CASE WHEN old_cid <> new_cid THEN n_vecs ELSE 0 END)
+       |      AS BIGINT) AS n_moved
+       |  FROM ch_f
+       |)
+       |SELECT old_cid, new_cid, n_vecs,
+       |  CASE WHEN old_cid <> new_cid THEN 1 ELSE 0 END AS moved,
+       |  n_total, n_moved,
+       |  CAST((n_moved * 1000000) // n_total AS BIGINT) AS churn_ppm
+       |FROM ch_f CROSS JOIN ch_t""".stripMargin
+  }
+
   /** x35: cluster-health report over a trained model — per-cluster member
     * count and mean cosine similarity to the own centroid. The balance
     * (count spread) and tightness (mean sim) diagnostics that tell an

@@ -418,6 +418,35 @@ class IvfOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ref.nonEmpty, "fixture must contain at least one leaking pair")
   }
 
+  test("x173 codebook churn: flows match hand-assignment; totals conserve the corpus") {
+    val s2 = spark; import s2.implicits._
+    val mOld = IvfOps.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val mNew = IvfOps.IvfModel(Array(Array(0.8, 0.6), Array(0.0, 1.0)))
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)),   // old 0 -> new 0 (diagonal)
+      (2L, Array(0.6, 0.8)),   // old 1 (cos .8) -> new 0 (cos .96): moved
+      (3L, Array(0.0, 1.0)))   // old 1 -> new 1 (diagonal)
+      .toDF("vec_id", "embedding")
+    val got = IvfOps.codebookChurn(emb, mOld, mNew).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Int]("moved"),
+          r.getAs[Long]("n_total"), r.getAs[Long]("n_moved"),
+          r.getAs[Long]("churn_ppm")))).toMap
+    assert(got.keySet === Set((0, 0), (1, 0), (1, 1)), s"$got")
+    assert(got((0, 0)) === ((1L, 0, 3L, 1L, 333333L)))
+    assert(got((1, 0)) === ((1L, 1, 3L, 1L, 333333L)))
+    assert(got((1, 1)) === ((1L, 0, 3L, 1L, 333333L)))
+    // real corpus: flows conserve the corpus; retrain moves SOME mass
+    // but the one-extra-round refresh keeps most postings in place
+    val realEmb = Tables.embeddings(spark, sfDir)
+    val m1 = IvfOps.trainBounded(realEmb)
+    val m2 = IvfOps.trainBounded(realEmb, iterations = 3)
+    val rows = IvfOps.codebookChurn(realEmb, m1, m2).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === realEmb.count())
+    val churn = rows.head.getAs[Long]("churn_ppm")
+    assert(churn >= 0L && churn < 1000000L, s"churn $churn")
+  }
+
   test("x162 probe yield curve: first-hit ranks match the reference; curve is a valid CDF") {
     val s2 = spark; import s2.implicits._
     // handcrafted 2-centroid model: axis clusters, one query whose true
