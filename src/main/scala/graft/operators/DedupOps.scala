@@ -268,6 +268,94 @@ object DedupOps {
        |FROM sh GROUP BY doc_id""".stripMargin
   }
 
+  // ---- exact-content contraction (shared by both near-dup kernels) --------
+
+  /** Exact-duplicate CONTRACTION of the corpus, keyed by the raw content
+    * fingerprint `md5(text)` (x1's key): `members` maps every eligible doc
+    * to its fingerprint, `cliques` holds one row per DISTINCT content with
+    * the representative (min doc_id) and the copy count (`weight`).
+    *
+    * Why it exists: both near-dup candidate generators are bucket
+    * self-joins, and k IDENTICAL documents share every bucket — one viral
+    * boilerplate page with k copies used to emit Θ(k²) candidate pairs
+    * through every consumer (the round-12 top-of-profile). Pairing
+    * DISTINCT contents only drops candidate mass from Σ n_b² to Σ m_b²
+    * (m = distinct fingerprints per bucket); exact-dup cliques re-attach
+    * afterwards — ANALYTICALLY where the consumer needs masses or
+    * connectivity (identical text is Jaccard 1.0 / Hamming 0 /
+    * Levenshtein 0 by definition: x23 attaches members by key, x158/x160
+    * add closed-form clique counts to the top band), by member expansion
+    * only where the consumer's CONTRACT is the pair relation itself
+    * (x8/x10/x50 — there the expansion is output, not compute).
+    *
+    * Everything derived from `text` is clique-constant by construction
+    * (shingle sets, minhash signatures, simhash, token counts, quality,
+    * edit distance), so verifying representatives only is EXACT, not an
+    * approximation. The residual quadratic term is cross-clique member
+    * products on VERIFIED pairs — two distinct viral templates that are
+    * near-dups of each other — which only the pair-contract operators
+    * materialize. */
+  case class Contraction(members: DataFrame, cliques: DataFrame)
+
+  /** Builds the contraction for one kernel. `sign` maps the rep-only
+    * corpus to its one-row-per-eligible-doc signature relation (minhash
+    * signatures need ≥ [[shingleWords]] words, simhash ≥ 1 word); a rep
+    * with no signature row drops its whole clique — exact, because
+    * identical text implies identical eligibility, and the uncontracted
+    * kernels never paired ineligible docs either. Returns the contraction
+    * plus the REP-keyed signature relation. */
+  private def contractedKernel(df: DataFrame, text: Column,
+                               state: IterState)
+                              (sign: DataFrame => DataFrame)
+      : (Contraction, DataFrame) = {
+    val keyed = df.select(col("doc_id"), md5(text).as("fp"))
+      .filter(col("fp").isNotNull && col("doc_id").isNotNull)
+    val cliques0 = keyed.groupBy("fp")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("weight"))
+    val repDocs = df.join(cliques0.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val sigs = state.pin(sign(repDocs))
+    val cliques = state.pin(cliques0.join(
+      sigs.select(col("doc_id").as("rep")), Seq("rep"), "left_semi"))
+    val members = state.pin(keyed.join(cliques.select(col("fp")),
+      Seq("fp"), "left_semi"))
+    (Contraction(members, cliques), sigs)
+  }
+
+  /** Expands rep-level verified pair rows to doc level: every payload
+    * column is clique-constant, so each (clique_a × clique_b) member
+    * pair carries the rep values verbatim; orientation re-normalizes to
+    * `doc_a < doc_b` because members of the two cliques interleave
+    * arbitrarily in doc_id order. The joins are fingerprint-keyed and
+    * sized by the RESULT's own row count — output, not compute. */
+  def expandRepPairs(repRows: DataFrame, c: Contraction): DataFrame = {
+    val payload = repRows.columns.filterNot(Set("doc_a", "doc_b"))
+    val fpOf = c.cliques.select(col("rep"), col("fp"))
+    repRows
+      .join(fpOf.select(col("rep").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
+      .join(fpOf.select(col("rep").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
+      .join(c.members.select(col("fp").as("fp_a"), col("doc_id").as("da")), Seq("fp_a"))
+      .join(c.members.select(col("fp").as("fp_b"), col("doc_id").as("db")), Seq("fp_b"))
+      .select(least(col("da"), col("db")).as("doc_a") +:
+        greatest(col("da"), col("db")).as("doc_b") +:
+        payload.map(col).toSeq: _*)
+  }
+
+  /** All C(w,2) within-clique doc pairs (w ≥ 2 cliques only), each
+    * carrying the given identity payload (Jaccard 1.0 / Hamming 0 / …,
+    * exact for identical text). Output-bound by contract: only the
+    * pair-relation operators materialize these; mass consumers take the
+    * closed form off `cliques` instead. */
+  def intraCliquePairs(c: Contraction, payload: Seq[Column]): DataFrame = {
+    val m = c.members.join(
+      c.cliques.filter(col("weight") >= 2L).select(col("fp")),
+      Seq("fp"), "left_semi")
+    m.as("ia").join(m.as("ib"),
+        col("ia.fp") === col("ib.fp") && col("ia.doc_id") < col("ib.doc_id"))
+      .select(col("ia.doc_id").as("doc_a") +: col("ib.doc_id").as("doc_b") +:
+        payload: _*)
+  }
+
   /** Band hashes: b rows per doc, `(doc_id, band, band_hash)`. Docs sharing
     * any `(band, band_hash)` bucket are LSH candidates. */
   def lshBands(signatures: DataFrame): DataFrame = {
@@ -281,32 +369,55 @@ object DedupOps {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
-  /** LSH candidate pairs verified with exact Jaccard over the shingle sets.
-    * Returns `(doc_a, doc_b, jaccard)` with `jaccard >= threshold`,
-    * `doc_a < doc_b`. Jaccard is exact-integer arithmetic (|∩| / |∪|). */
-  /** Pinned (signatures, candidate pairs) shared by [[lshDupPairs]] and
-    * [[minhashCalibration]]: signatures feed BOTH sides of the bucket
-    * self-join — pin the (tiny: one row per doc) signature table so the
-    * expensive shingle hashing runs once, not once per join side. */
-  def lshCandidates(df: DataFrame, text: Column = col("text"),
-                    state: IterState = Local): (DataFrame, DataFrame) = {
-    val sigs = state.pin(minhashSignatures(df, text))
+  /** Contracted LSH machinery: (contraction, rep signatures, rep-level
+    * candidate pairs). Signatures are computed for REPRESENTATIVES only
+    * (k copies of a viral page hash their shingles once, not k times);
+    * the band-bucket self-join pairs distinct contents only, so bucket
+    * mass is Σ m_b², not Σ n_b². Both relations are pinned: the
+    * signature table feeds both join sides, the candidate set feeds
+    * several verifiers. */
+  def lshContraction(df: DataFrame, text: Column = col("text"),
+                     state: IterState = Local)
+      : (Contraction, DataFrame, DataFrame) = {
+    val (c, sigs) = contractedKernel(df, text, state)(minhashSignatures(_, text))
     val bands = lshBands(sigs)
-    val cand = state.pin(bands.as("a")
+    val repCand = state.pin(bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct())
-    (sigs, cand)
+    (c, sigs, repCand)
   }
 
+  /** Rep-level verified near-dup pairs: `(doc_a, doc_b, jaccard)` over
+    * REPRESENTATIVES with `jaccard >= threshold` — the contracted form
+    * mass consumers (x158/x160) read together with the contraction's
+    * closed-form clique terms, never materializing within-clique pairs. */
+  def lshVerifiedReps(df: DataFrame, threshold: Double,
+                      text: Column = col("text"),
+                      state: IterState = Local): (Contraction, DataFrame) = {
+    val (c, _, repCand) = lshContraction(df, text, state)
+    (c, jaccardFor(df, repCand, text, state).filter(col("jaccard") >= threshold))
+  }
+
+  /** LSH candidate pairs verified with exact Jaccard over the shingle
+    * sets. Returns `(doc_a, doc_b, jaccard)` with `jaccard >= threshold`,
+    * `doc_a < doc_b`. Jaccard is exact-integer arithmetic (|∩| / |∪|).
+    * Verification runs on representatives only ([[lshVerifiedReps]]);
+    * cross-clique pairs expand by membership and within-clique pairs are
+    * emitted directly at Jaccard 1.0 (identical shingle sets) — the pair
+    * RELATION is this operator's contract, so its size is the output's
+    * own; consumers that only need masses should take the contracted
+    * form instead. */
   def lshDupPairs(df: DataFrame, threshold: Double,
                   text: Column = col("text"),
                   state: IterState = Local): DataFrame = {
-    val (_, cand) = lshCandidates(df, text, state)
-    jaccardFor(df, cand, text, state).filter(col("jaccard") >= threshold)
+    require(threshold <= 1.0, s"threshold=$threshold")
+    val (c, verified) = lshVerifiedReps(df, threshold, text, state)
+    expandRepPairs(verified, c)
+      .unionByName(intraCliquePairs(c, Seq(lit(1.0).as("jaccard"))))
   }
 
   /** x50: fuzzy near-dup pairs — the same LSH banding prunes the O(n²)
@@ -401,17 +512,12 @@ object DedupOps {
   def editDistancePairs(df: DataFrame, minSim: Double = 0.9,
                         text: Column = col("text"),
                         state: IterState = Local): DataFrame = {
-    val sigs = state.pin(minhashSignatures(df, text))
-    val bands = lshBands(sigs)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    require(minSim <= 1.0, s"minSim=$minSim")
+    val (c, _, cand) = lshContraction(df, text, state)
     val t = df.select(col("doc_id"), text.as("t"))
-    cand
+    // the O(len²) DP runs on REP pairs only — identical texts are lev 0
+    // by definition and within-clique pairs are emitted directly below
+    val cross = cand
       .join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(t.as("tb"), col("doc_b") === col("tb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -426,6 +532,8 @@ object DedupOps {
           .otherwise(lit(1.0) - col("lev").cast("double") / col("max_len").cast("double"))
           .as("edit_sim"))
       .filter(col("edit_sim") >= minSim)
+    expandRepPairs(cross, c).unionByName(
+      intraCliquePairs(c, Seq(lit(0L).as("lev"), lit(1.0).as("edit_sim"))))
   }
 
   /** DuckDB twin of [[editDistancePairs]] — shares the candidate CTEs
@@ -762,7 +870,7 @@ object DedupOps {
     * x8 verifier, also candidates-only. Nothing all-pairs. */
   def minhashCalibration(df: DataFrame, text: Column = col("text"),
                          state: IterState = Local): DataFrame = {
-    val (sigs, cand) = lshCandidates(df, text, state)
+    val (c, sigs, cand) = lshContraction(df, text, state)
     val nEq = (0 until numHashes)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -773,9 +881,13 @@ object DedupOps {
     val est = cand.join(sigA, "doc_a").join(sigB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (nEq.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
-    est.join(jaccardFor(df, cand, text, state), Seq("doc_a", "doc_b"))
+    val repRows = est.join(jaccardFor(df, cand, text, state), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
         abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+    // identical texts share the full signature and the full shingle set:
+    // estimate 16/16 = 1.0, exact 1.0, error 0 — emitted without joining
+    expandRepPairs(repRows, c).unionByName(intraCliquePairs(c, Seq(
+      lit(1.0).as("est_jaccard"), lit(1.0).as("jaccard"), lit(0.0).as("abs_err"))))
   }
 
   /** DuckDB twin of [[minhashCalibration]]. */
@@ -831,7 +943,7 @@ object DedupOps {
   def signatureYield(df: DataFrame, text: Column = col("text"),
                      state: IterState = Local): DataFrame = {
     val prefixes = Seq(2, 4, 8, 16)
-    val (sigs, cand) = lshCandidates(df, text, state)
+    val (c, sigs, cand) = lshContraction(df, text, state)
     val sigA = sigs.select(col("doc_id").as("doc_a") +:
       (0 until numHashes).map(i => col(s"m$i").as(s"a_m$i")): _*)
     val sigB = sigs.select(col("doc_id").as("doc_b") +:
@@ -842,14 +954,27 @@ object DedupOps {
       .select(Seq(col("doc_a"), col("doc_b")) ++ prefixes.map(p =>
         (eqs.take(p).reduce(_ + _).cast("double") / lit(p.toDouble))
           .as(s"est_$p")): _*)
-    val errs = est.join(jaccardFor(df, cand, text, state),
+    // contracted accounting: a rep pair stands for w_a·w_b expanded pairs
+    // with the IDENTICAL error (signatures and shingle sets are
+    // clique-constant), so errors are weighted, never expanded; cliques
+    // contribute their C(w,2) zero-error pairs in closed form
+    val wOf = c.cliques.select(col("rep"), col("weight"))
+    val errsCross = est.join(jaccardFor(df, cand, text, state),
         Seq("doc_a", "doc_b"))
+      .join(wOf.select(col("rep").as("doc_a"), col("weight").as("w_a")), Seq("doc_a"))
+      .join(wOf.select(col("rep").as("doc_b"), col("weight").as("w_b")), Seq("doc_b"))
       .select(prefixes.map(p =>
         floor(abs(col(s"est_$p") - col("jaccard")) * lit(1e6) + lit(0.5))
-          .cast("long").as(s"err_$p")): _*)
+          .cast("long").as(s"err_$p")) :+
+        (col("w_a") * col("w_b")).as("n"): _*)
+    val errsIntra = c.cliques.filter(col("weight") >= 2L)
+      .select(prefixes.map(p => lit(0L).as(s"err_$p")) :+
+        expr("(weight * (weight - 1)) div 2").as("n"): _*)
+    val errs = errsCross.unionByName(errsIntra)
     val aggs = prefixes.flatMap { p =>
-      Seq(sum(col(s"err_$p")).as(s"se_$p"), max(col(s"err_$p")).as(s"mx_$p"))
-    } :+ count(lit(1)).as("n_pairs")
+      Seq(sum(col(s"err_$p") * col("n")).as(s"se_$p"),
+        max(col(s"err_$p")).as(s"mx_$p"))
+    } :+ coalesce(sum(col("n")), lit(0L)).as("n_pairs")
     errs.agg(aggs.head, aggs.tail: _*)
       .select(expr("stack(" + prefixes.length + ", " + prefixes.map(p =>
         s"${p}L, se_$p, mx_$p").mkString(", ") +
