@@ -957,10 +957,10 @@ object SparkEntry {
     "x10_simhash_pairs" -> ((s, dir) =>
       DedupOps.simhashDupPairs(Tables.documents(s, dir), 3)),
 
-    "x23_dup_clusters" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      DedupOps.dupClusters(docs, DedupOps.simhashDupPairs(docs, 3))
-    }),
+    "x23_dup_clusters" -> ((s, dir) =>
+      // fused contraction: Borůvka over rep pairs, members attach by
+      // fingerprint — a viral clique is ONE node, never C(k,2) edges
+      DedupOps.simhashClusters(Tables.documents(s, dir), 3)),
 
     "x11_cosine_dup_pairs" -> ((s, dir) =>
       SimilarityOps.cosineDupPairsTiled(Tables.embeddings(s, dir), 0.40)),
@@ -1164,10 +1164,9 @@ object SparkEntry {
 
     // x83 — cluster-aware split: near-dup clusters are atomic across
     // train/val/test, so x39's leakage class can't exist by construction
-    "x83_cluster_split" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      SamplingOps.clusterSplit(docs, DedupOps.simhashDupPairs(docs, 3))
-    }),
+    "x83_cluster_split" -> ((s, dir) =>
+      SamplingOps.clusterSplitOf(
+        DedupOps.simhashClusters(Tables.documents(s, dir), 3))),
 
     // x84 — Heaps'-law vocabulary growth over id-ordered corpus tenths:
     // is another 10% of data still buying new vocabulary?
@@ -1761,7 +1760,7 @@ object SparkEntry {
     // x47's keep-highest-quality — x160 per pair, this after closure
     "x161_cluster_policy" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      DedupOps.clusterPolicyDelta(docs, DedupOps.simhashDupPairs(docs, 3))
+      DedupOps.clusterPolicyDeltaOf(docs, DedupOps.simhashClusters(docs, 3))
     }),
 
     // x98 — Gopher quality-rule battery (Rae et al. 2021 §A1.1): the
@@ -1978,7 +1977,7 @@ object SparkEntry {
     // (LSH/Jaccard pairs at 0.5, x8's generator): the dedup'd manifest
     "x47_cluster_reps" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      DedupOps.clusterRepresentatives(docs, DedupOps.lshDupPairs(docs, 0.5))
+      DedupOps.clusterRepresentativesOf(docs, DedupOps.lshClusters(docs, 0.5))
     }),
 
     // x48 — MOSS winnowing fingerprints (windowed k-gram minima)

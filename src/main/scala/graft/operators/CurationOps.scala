@@ -162,8 +162,7 @@ object CurationOps {
                            buckets: Int = 4096, maxDist: Int = 3,
                            state: DedupOps.IterState = DedupOps.Local)
       : DataFrame = {
-    val clusters = DedupOps.dupClusters(
-      df, DedupOps.simhashDupPairs(df, maxDist), state = state)
+    val clusters = DedupOps.simhashClusters(df, maxDist, state = state)
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
     val share = clusters.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("sz"),

@@ -327,8 +327,11 @@ object DedupOps {
     * pair carries the rep values verbatim; orientation re-normalizes to
     * `doc_a < doc_b` because members of the two cliques interleave
     * arbitrarily in doc_id order. The joins are fingerprint-keyed and
-    * sized by the RESULT's own row count — output, not compute. */
-  def expandRepPairs(repRows: DataFrame, c: Contraction): DataFrame = {
+    * sized by the RESULT's own row count — output, not compute.
+    * Private: the internal join columns (fp_a/fp_b/da/db) would clash
+    * with a payload column of the same name, so only the pair-contract
+    * operators in this object call it. */
+  private def expandRepPairs(repRows: DataFrame, c: Contraction): DataFrame = {
     val payload = repRows.columns.filterNot(Set("doc_a", "doc_b"))
     val fpOf = c.cliques.select(col("rep"), col("fp"))
     repRows
@@ -345,8 +348,9 @@ object DedupOps {
     * carrying the given identity payload (Jaccard 1.0 / Hamming 0 / …,
     * exact for identical text). Output-bound by contract: only the
     * pair-relation operators materialize these; mass consumers take the
-    * closed form off `cliques` instead. */
-  def intraCliquePairs(c: Contraction, payload: Seq[Column]): DataFrame = {
+    * closed form off `cliques` instead. Private for the same payload-
+    * column-clash reason as [[expandRepPairs]]. */
+  private def intraCliquePairs(c: Contraction, payload: Seq[Column]): DataFrame = {
     val m = c.members.join(
       c.cliques.filter(col("weight") >= 2L).select(col("fp")),
       Seq("fp"), "left_semi")
@@ -414,10 +418,13 @@ object DedupOps {
   def lshDupPairs(df: DataFrame, threshold: Double,
                   text: Column = col("text"),
                   state: IterState = Local): DataFrame = {
-    require(threshold <= 1.0, s"threshold=$threshold")
     val (c, verified) = lshVerifiedReps(df, threshold, text, state)
+    // a threshold above 1.0 empties the intra branch too (constant-folds
+    // to an empty relation), mirroring the SQL twin's WHERE — identical
+    // copies sit at exactly Jaccard 1.0
     expandRepPairs(verified, c)
-      .unionByName(intraCliquePairs(c, Seq(lit(1.0).as("jaccard"))))
+      .unionByName(intraCliquePairs(c, Seq(lit(1.0).as("jaccard")))
+        .filter(lit(threshold <= 1.0)))
   }
 
   /** x50: fuzzy near-dup pairs — the same LSH banding prunes the O(n²)
@@ -512,7 +519,6 @@ object DedupOps {
   def editDistancePairs(df: DataFrame, minSim: Double = 0.9,
                         text: Column = col("text"),
                         state: IterState = Local): DataFrame = {
-    require(minSim <= 1.0, s"minSim=$minSim")
     val (c, _, cand) = lshContraction(df, text, state)
     val t = df.select(col("doc_id"), text.as("t"))
     // the O(len²) DP runs on REP pairs only — identical texts are lev 0
@@ -532,8 +538,11 @@ object DedupOps {
           .otherwise(lit(1.0) - col("lev").cast("double") / col("max_len").cast("double"))
           .as("edit_sim"))
       .filter(col("edit_sim") >= minSim)
+    // minSim above 1.0 empties the intra branch (constant-folded),
+    // matching the twin's WHERE on the identical-copy edit_sim of 1.0
     expandRepPairs(cross, c).unionByName(
-      intraCliquePairs(c, Seq(lit(0L).as("lev"), lit(1.0).as("edit_sim"))))
+      intraCliquePairs(c, Seq(lit(0L).as("lev"), lit(1.0).as("edit_sim")))
+        .filter(lit(minSim <= 1.0)))
   }
 
   /** DuckDB twin of [[editDistancePairs]] — shares the candidate CTEs
@@ -1097,16 +1106,25 @@ object DedupOps {
     * harder at identical exactness, because the 4 blocks still cover
     * all 64 bits. For a larger distance budget, raise the block count
     * to maxDist+1 (shrinking each block) instead. */
-  def simhashDupPairs(df: DataFrame, maxDist: Int = 3,
-                      text: Column = col("text"),
-                      state: IterState = Local): DataFrame = {
+  /** Contracted SimHash machinery: (contraction, rep signatures,
+    * rep-level pairs `(doc_a, doc_b, hamming)`). SimHash is computed
+    * for REPRESENTATIVES only — k copies of a viral page explode and
+    * bit-sum their tokens once, not k times — and the 4 block
+    * self-joins pair DISTINCT contents only, dropping block-bucket
+    * candidate mass from Σ n_b² to Σ m_b² (the simhash half of the
+    * exact-dup contraction; see [[Contraction]]). */
+  def simhashContraction(df: DataFrame, maxDist: Int = 3,
+                         text: Column = col("text"),
+                         state: IterState = Local)
+      : (Contraction, DataFrame, DataFrame) = {
     require(maxDist <= 3,
       "4-block blocking is exact only for Hamming distance <= 3")
-    // one row per doc; pin so the 4 block self-joins (8 plan references)
-    // don't each recompute the explode+32-sum aggregation
-    val sim = state.pin(simhash(df, text))
-    val blockOf = (c: Column, j: Int) =>
-      shiftright(c, j * 16).bitwiseAND(lit(65535L))
+    // one row per distinct content; pinned by contractedKernel so the 4
+    // block self-joins (8 plan references) don't each recompute the
+    // explode+32-sum aggregation
+    val (c, sims) = contractedKernel(df, text, state)(simhash(_, text))
+    val blockOf = (cc: Column, j: Int) =>
+      shiftright(cc, j * 16).bitwiseAND(lit(65535L))
     val blocked = (0 until 4).map { b =>
       // each pair is claimed by its FIRST agreeing block only (all
       // earlier blocks must differ), so the 4 joins are disjoint by
@@ -1117,14 +1135,73 @@ object DedupOps {
       val firstMatch = (0 until b)
         .map(j => blockOf(col("a.simhash"), j) =!= blockOf(col("b.simhash"), j))
         .foldLeft(lit(true))(_ && _)
-      sim.as("a").join(sim.as("b"),
+      sims.as("a").join(sims.as("b"),
         blockOf(col("a.simhash"), b) === blockOf(col("b.simhash"), b) &&
           col("a.doc_id") < col("b.doc_id") && firstMatch)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .filter(col("hamming") <= maxDist)
     }.reduce(_ unionByName _)
-    blocked.select("doc_a", "doc_b", "hamming")
+    (c, sims, blocked.select("doc_a", "doc_b", "hamming"))
+  }
+
+  def simhashDupPairs(df: DataFrame, maxDist: Int = 3,
+                      text: Column = col("text"),
+                      state: IterState = Local): DataFrame = {
+    val (c, _, repPairs) = simhashContraction(df, maxDist, text, state)
+    // the pair RELATION is this operator's contract: cross-clique rep
+    // pairs expand by membership (output-sized, fingerprint-keyed) and
+    // within-clique pairs are Hamming 0 by identity — mass consumers
+    // (x23/x159/x161 clustering, x83 splits) take [[simhashClusters]]'s
+    // contracted attachment instead and never expand
+    expandRepPairs(repPairs, c)
+      .unionByName(intraCliquePairs(c, Seq(lit(0).as("hamming"))))
+  }
+
+  /** x23's kernel, fused with the contraction: duplicate clusters over
+    * the simhash near-dup graph WITHOUT materializing member-level
+    * pairs. Identical copies are near-dups of each other (Hamming 0),
+    * so an exact-dup clique is always fully connected and a component
+    * of the expanded graph is exactly a union of cliques over the
+    * rep-pair graph — Borůvka runs on rep pairs only, members attach to
+    * their rep's label by fingerprint key, and the component minimum is
+    * preserved because every rep is its clique's minimum doc_id.
+    * Result is row-for-row [[dupClusters]](df, [[simhashDupPairs]]). */
+  def simhashClusters(df: DataFrame, maxDist: Int = 3,
+                      text: Column = col("text"),
+                      state: IterState = Local): DataFrame = {
+    val (c, _, repPairs) = simhashContraction(df, maxDist, text, state)
+    attachCliqueClusters(df, c, componentLabels(repPairs, state = state))
+  }
+
+  /** x47/x83's LSH-side twin of [[simhashClusters]]: clusters over the
+    * verified-Jaccard near-dup graph at `threshold`, Borůvka on rep
+    * pairs + fingerprint-keyed member attachment (cliques are fully
+    * connected at Jaccard 1.0 whenever `threshold` ≤ 1). */
+  def lshClusters(df: DataFrame, threshold: Double,
+                  text: Column = col("text"),
+                  state: IterState = Local): DataFrame = {
+    val (c, verified) = lshVerifiedReps(df, threshold, text, state)
+    val labels =
+      if (threshold <= 1.0) componentLabels(verified, state = state)
+      else // no intra edges either: every doc is its own cluster
+        componentLabels(verified.limit(0), state = Unpinned)
+    attachCliqueClusters(df, c, labels)
+  }
+
+  /** Members inherit their representative's component label through the
+    * fingerprint; docs outside any signed clique (or whose rep paired
+    * with nobody) are their own cluster. */
+  private def attachCliqueClusters(df: DataFrame, c: Contraction,
+                                   repLabels: DataFrame): DataFrame = {
+    val memberLabels = c.members
+      .join(c.cliques.select(col("fp"), col("rep")), Seq("fp"))
+      .join(repLabels.select(col("doc_id").as("rep"), col("label")),
+        Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("rep")).as("label"))
+    df.select(col("doc_id")).join(memberLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
   /** x158: dedup threshold-sweep YIELD CURVE — before committing to a
@@ -1146,26 +1223,59 @@ object DedupOps {
     * verified candidate keeps its band), so the sweep costs ONE LSH
     * pass for all thresholds instead of one x8 run per candidate
     * cutoff; banding is floor(j·bands) on the identical IEEE division
-    * both engines already compute for x8, and everything after is
-    * band/doc-keyed aggregates. */
+    * both engines already compute for x8. The accounting consumes
+    * [[lshVerifiedReps]] directly — rep pairs weighted w_a·w_b,
+    * exact-dup cliques as closed-form terms in the top band (see the
+    * in-body proof) — so a 10⁵-copy viral template contributes ONE
+    * clique row, never Θ(k²) pairs, to the groupBys. */
   def dedupYieldCurve(df: DataFrame, bands: Int = 20,
                       text: Column = col("text")): DataFrame = {
     require(bands >= 2 && bands <= 1000, s"bands=$bands")
-    val pairs = lshDupPairs(df, threshold = 0.0, text)
-      .select(col("doc_a"), col("doc_b"),
-        least(floor(col("jaccard") * bands), lit((bands - 1).toLong))
-          .cast("long").as("band"))
-    val toks = df.select(col("doc_id").as("doc_b"),
+    val topBand = (bands - 1).toLong
+    // CONTRACTED accounting — the expanded pair relation is never
+    // materialized. Every statistic below is provably equal to the
+    // groupBy over [[lshDupPairs]](0.0)'s Θ(Σk²) expansion:
+    //   pairs: a verified rep pair stands for w_a·w_b member pairs in
+    //     its band (jaccard is clique-constant); a clique adds its
+    //     C(w,2) identical pairs to the top band (jaccard 1.0).
+    //   victims (= expanded groupBy(doc_b).max(band)): a clique's
+    //     non-rep members are top-band victims via their intra pairs —
+    //     jaccard 1.0 is the maximum band, so no cross pair can
+    //     re-attribute them — each carrying the clique-constant token
+    //     count; a REP r is the higher side of some expanded pair iff a
+    //     paired clique's minimum member (= that clique's rep, reps are
+    //     clique minima) is smaller than r, i.e. iff r is the doc_b of
+    //     a REP pair — so rep victims take max(band) over rep pairs
+    //     alone. The two victim sets are disjoint by construction.
+    val (c, verified) = lshVerifiedReps(df, 0.0, text)
+    val repPairs = verified.select(col("doc_a"), col("doc_b"),
+      least(floor(col("jaccard") * bands), lit(topBand))
+        .cast("long").as("band"))
+    val toks = df.select(col("doc_id"),
       coalesce(graft.functions.TextExpressions.wsTokenCountFast(col("text"))
         .cast("long"), lit(0L)).as("tok"))
-    // each victim claimed by its MAX band — groupBy(doc_b).max is
-    // map-side combinable, and top-down cumulative sums stay exact
-    val victims = pairs.groupBy("doc_b").agg(max(col("band")).as("band"))
-      .join(toks, Seq("doc_b"))
+    val wOf = c.cliques.select(col("rep"), col("weight"))
+    val crossPairs = repPairs
+      .join(wOf.select(col("rep").as("doc_a"), col("weight").as("w_a")), Seq("doc_a"))
+      .join(wOf.select(col("rep").as("doc_b"), col("weight").as("w_b")), Seq("doc_b"))
+      .select(col("band"), (col("w_a") * col("w_b")).as("np"))
+    val intraPairs = c.cliques.filter(col("weight") >= 2L)
+      .select(lit(topBand).as("band"),
+        expr("(weight * (weight - 1)) div 2").as("np"))
+    val nPairs = crossPairs.unionByName(intraPairs)
+      .groupBy("band").agg(sum(col("np")).as("n_pairs"))
+    val repVictims = repPairs.groupBy(col("doc_b").as("doc_id"))
+      .agg(max(col("band")).as("band"))
+      .join(toks, Seq("doc_id"))
+      .select(col("band"), lit(1L).as("nv"), col("tok").as("vtok"))
+    val cliqueVictims = c.cliques.filter(col("weight") >= 2L)
+      .join(toks.select(col("doc_id").as("rep"), col("tok")), Seq("rep"))
+      .select(lit(topBand).as("band"), (col("weight") - 1L).as("nv"),
+        ((col("weight") - 1L) * col("tok")).as("vtok"))
+    val victims = repVictims.unionByName(cliqueVictims)
       .groupBy("band")
-      .agg(count(lit(1)).as("n_victims"), sum(col("tok")).as("victim_tokens"))
-    pairs.groupBy("band").agg(count(lit(1)).as("n_pairs"))
-      .join(victims, Seq("band"), "left")
+      .agg(sum(col("nv")).as("n_victims"), sum(col("vtok")).as("victim_tokens"))
+    nPairs.join(victims, Seq("band"), "left")
       .select(col("band"),
         expr(s"(band * 1000000L) div ${bands}L").as("band_lo_ppm"),
         col("n_pairs"),
@@ -1221,38 +1331,108 @@ object DedupOps {
     * ride DECIMAL(38,0)/HUGEINT and output as BIGINT.
     *
     * Scale: the same single LSH pass as x158 (pair set = x8 at
-    * threshold 0) plus one extra doc-keyed join of the narrow
-    * (tok, q_micro) projection onto each pair side, then a
-    * bands-sized aggregate. */
+    * threshold 0), consumed in CONTRACTED form — per-clique payloads
+    * are clique-constant, so cross-clique rep pairs carry weighted
+    * closed-form terms and cliques settle their C(w,2) identical pairs
+    * analytically in the top band (identical copies: both policies
+    * drop the higher id, delta 0). The one subtlety is the keep-LOWEST
+    * policy on cross pairs: which clique holds the higher doc_id
+    * differs per member pair (cliques interleave in id order), so rep
+    * pairs whose cliques differ in payload compute their orientation
+    * split — n_hi_b = #{(x,y) ∈ A×B : y > x} — via ONE running-count
+    * window over the union of the two cliques' members, Θ(w_a + w_b)
+    * rows per rep pair: the LINEAR residual of the Θ(w_a·w_b)
+    * expansion it replaces. Payload-identical rep pairs (the common
+    * case, and every self-similar template family) skip the member
+    * walk entirely. */
   def dedupPolicyDelta(df: DataFrame, bands: Int = 20,
                        text: Column = col("text")): DataFrame = {
     require(bands >= 2 && bands <= 1000, s"bands=$bands")
-    val pairs = lshDupPairs(df, threshold = 0.0, text)
-      .select(col("doc_a"), col("doc_b"),
-        least(floor(col("jaccard") * bands), lit((bands - 1).toLong))
-          .cast("long").as("band"))
+    val topBand = (bands - 1).toLong
+    val (c, verified) = lshVerifiedReps(df, 0.0, text)
+    val repPairs = verified.select(col("doc_a"), col("doc_b"),
+      least(floor(col("jaccard") * bands), lit(topBand))
+        .cast("long").as("band"))
     val scored = df.select(col("doc_id"),
       coalesce(graft.functions.TextExpressions.wsTokenCountFast(text)
         .cast("long"), lit(0L)).as("tok"),
       floor(TextOps.qualityScoreCol(text) * lit(1e6) + lit(0.5))
         .cast("long").as("q"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    pairs
-      .join(scored.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"),
-        col("q").as("q_a")), Seq("doc_a"))
-      .join(scored.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"),
-        col("q").as("q_b")), Seq("doc_b"))
+    val cl = c.cliques.join(
+      scored.select(col("doc_id").as("rep"), col("tok"), col("q")), Seq("rep"))
+    val cross = repPairs
+      .join(cl.select(col("rep").as("doc_a"), col("fp").as("fp_a"),
+        col("weight").as("w_a"), col("tok").as("tok_a"), col("q").as("q_a")),
+        Seq("doc_a"))
+      .join(cl.select(col("rep").as("doc_b"), col("fp").as("fp_b"),
+        col("weight").as("w_b"), col("tok").as("tok_b"), col("q").as("q_b")),
+        Seq("doc_b"))
+    // orientation split, only where the cliques' payloads differ: over
+    // the union of the two member sets ordered by doc_id, a running
+    // count of A-side rows gives each B member its rank among A — their
+    // sum is n_hi_b. Window groups are one rep pair's two cliques
+    // (w_a + w_b rows — linear in copy counts, audited in PlanLintSpec).
+    val needSplit = cross
+      .filter(col("tok_a") =!= col("tok_b") || col("q_a") =!= col("q_b"))
+      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
+    val mA = needSplit
+      .join(c.members.select(col("fp").as("fp_a"), col("doc_id").as("id")),
+        Seq("fp_a"))
+      .select(col("doc_a"), col("doc_b"), col("id"), lit(0L).as("is_b"))
+    val mB = needSplit
+      .join(c.members.select(col("fp").as("fp_b"), col("doc_id").as("id")),
+        Seq("fp_b"))
+      .select(col("doc_a"), col("doc_b"), col("id"), lit(1L).as("is_b"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val splits = mA.unionByName(mB)
+      .withColumn("run_a", sum(lit(1L) - col("is_b")).over(win))
+      .filter(col("is_b") === 1L)
+      .groupBy("doc_a", "doc_b").agg(sum(col("run_a")).as("n_hi_b"))
+    // per-rep-pair closed forms. nT = w_a·w_b member pairs; nb of them
+    // have their higher id (the keep-low victim) on the B side. For
+    // keep-quality, q_A ≠ q_B settles ALL member pairs for the lower-q
+    // clique regardless of orientation; ties fall back to keep-low's
+    // higher-id victim (where only tok can differ).
+    val crossTerms = cross.join(splits, Seq("doc_a", "doc_b"), "left")
       .select(col("band"),
-        col("tok_b").as("kl_tok"), col("q_b").as("kl_q"),
-        when(col("q_a") >= col("q_b"), col("tok_b")).otherwise(col("tok_a"))
-          .as("kq_tok"),
-        least(col("q_a"), col("q_b")).as("kq_q"))
+        (col("w_a") * col("w_b")).as("np"),
+        // payload-identical pairs never joined a split row — any split
+        // is correct there because both cliques carry the same payload
+        coalesce(col("n_hi_b"), col("w_a") * col("w_b")).as("nb"),
+        col("tok_a"), col("tok_b"), col("q_a"), col("q_b"))
+      .select(col("band"), col("np"),
+        (col("tok_b").cast(dec) * col("nb").cast(dec) +
+          col("tok_a").cast(dec) * (col("np") - col("nb")).cast(dec))
+          .as("klt"),
+        (col("q_b").cast(dec) * col("nb").cast(dec) +
+          col("q_a").cast(dec) * (col("np") - col("nb")).cast(dec))
+          .as("klq"),
+        when(col("q_a") > col("q_b"), col("tok_b").cast(dec) * col("np").cast(dec))
+          .when(col("q_a") < col("q_b"), col("tok_a").cast(dec) * col("np").cast(dec))
+          .otherwise(col("tok_b").cast(dec) * col("nb").cast(dec) +
+            col("tok_a").cast(dec) * (col("np") - col("nb")).cast(dec))
+          .as("kqt"),
+        (least(col("q_a"), col("q_b")).cast(dec) * col("np").cast(dec))
+          .as("kqq"))
+    val intraTerms = cl.filter(col("weight") >= 2L)
+      .select(expr("(weight * (weight - 1)) div 2").as("np"),
+        col("tok"), col("q"))
+      .select(lit(topBand).as("band"), col("np"),
+        (col("tok").cast(dec) * col("np").cast(dec)).as("klt"),
+        (col("q").cast(dec) * col("np").cast(dec)).as("klq"),
+        (col("tok").cast(dec) * col("np").cast(dec)).as("kqt"),
+        (col("q").cast(dec) * col("np").cast(dec)).as("kqq"))
+    crossTerms.unionByName(intraTerms)
       .groupBy("band")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("kl_tok").cast(dec)).as("__klt"),
-        sum(col("kq_tok").cast(dec)).as("__kqt"),
-        sum(col("kl_q").cast(dec)).as("__klq"),
-        sum(col("kq_q").cast(dec)).as("__kqq"))
+      .agg(sum(col("np")).as("n_pairs"),
+        sum(col("klt")).as("__klt"),
+        sum(col("kqt")).as("__kqt"),
+        sum(col("klq")).as("__klq"),
+        sum(col("kqq")).as("__kqq"))
       .select(col("band"),
         expr(s"(band * 1000000L) div ${bands}L").as("band_lo_ppm"),
         col("n_pairs"),
@@ -1324,8 +1504,14 @@ object DedupOps {
     * so both engines pick the same survivor. */
   def clusterPolicyDelta(docs: DataFrame, pairs: DataFrame,
                          text: Column = col("text"),
-                         state: IterState = Local): DataFrame = {
-    val clusters = dupClusters(docs, pairs, state = state)
+                         state: IterState = Local): DataFrame =
+    clusterPolicyDeltaOf(docs, dupClusters(docs, pairs, state = state), text)
+
+  /** [[clusterPolicyDelta]] over a precomputed label table — the gate
+    * path feeds [[simhashClusters]] so the simhash pair graph is never
+    * expanded to member level. */
+  def clusterPolicyDeltaOf(docs: DataFrame, clusters: DataFrame,
+                           text: Column = col("text")): DataFrame = {
     val scored = docs.select(col("doc_id"),
       coalesce(graft.functions.TextExpressions.wsTokenCountFast(text)
         .cast("long"), lit(0L)).as("tok"),
@@ -1471,7 +1657,19 @@ object DedupOps {
     * [[Reliable]] for cluster runs where executor loss must not restart
     * a 20-round job — see [[IterState]]). */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20,
-                  state: IterState = Local): DataFrame = {
+                  state: IterState = Local): DataFrame =
+    docs.select(col("doc_id"))
+      .join(componentLabels(pairs, maxIters, state), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+
+  /** The Borůvka loop alone: `(doc_id, label)` for every PAIR ENDPOINT,
+    * label = its component's minimum doc_id. [[dupClusters]] left-joins
+    * docs on this; the contracted cluster paths ([[simhashClusters]],
+    * [[lshClusters]]) run it on rep pairs and attach members by
+    * fingerprint instead. */
+  def componentLabels(pairs: DataFrame, maxIters: Int = 20,
+                      state: IterState = Local): DataFrame = {
     // no distinct here: duplicate input edges are harmless (min is
     // idempotent) and deduping 2M+ pairs up front is a full extra shuffle;
     // the per-round contraction distinct does the real shrinking
@@ -1517,12 +1715,8 @@ object DedupOps {
         .filter(col("u") =!= col("v")).distinct())
       iter += 1
     }
-    val labelsOut =
-      if (labels == null) edges.select(col("u").as("doc_id"), col("u").as("label"))
-      else labels.select(col("doc_id"), col("label"))
-    docs.select(col("doc_id"))
-      .join(labelsOut, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    if (labels == null) edges.select(col("u").as("doc_id"), col("u").as("label"))
+    else labels.select(col("doc_id"), col("label"))
   }
 
   /** x47: near-dup cluster collapse — the DEDUP OUTPUT of the pipeline:
@@ -1541,8 +1735,14 @@ object DedupOps {
     * the round-11 viral-key `weak` shape). */
   def clusterRepresentatives(docs: DataFrame, pairs: DataFrame,
                              text: Column = col("text"),
-                             state: IterState = Local): DataFrame = {
-    val clusters = dupClusters(docs, pairs, state = state)
+                             state: IterState = Local): DataFrame =
+    clusterRepresentativesOf(docs,
+      dupClusters(docs, pairs, state = state), text)
+
+  /** [[clusterRepresentatives]] over a precomputed label table (the
+    * gate path feeds [[lshClusters]] — contracted, never expanded). */
+  def clusterRepresentativesOf(docs: DataFrame, clusters: DataFrame,
+                               text: Column = col("text")): DataFrame = {
     val scored = docs.select(col("doc_id"),
       TextOps.qualityScoreCol(text).as("quality_score"))
     clusters.join(scored, "doc_id")

@@ -346,8 +346,15 @@ object SamplingOps {
   def clusterSplit(docs: DataFrame, pairs: DataFrame, trainPct: Int = 90,
                    valPct: Int = 5, seed: Int = 0,
                    state: DedupOps.IterState = DedupOps.Local): DataFrame =
-    trainValTest(DedupOps.dupClusters(docs, pairs, state = state),
-      col("cluster_id"), trainPct, valPct, seed)
+    clusterSplitOf(DedupOps.dupClusters(docs, pairs, state = state),
+      trainPct, valPct, seed)
+
+  /** [[clusterSplit]] over a precomputed label table — the gate path
+    * feeds [[DedupOps.simhashClusters]] so the viral-clique pair mass
+    * never expands into the clustering. */
+  def clusterSplitOf(clusters: DataFrame, trainPct: Int = 90,
+                     valPct: Int = 5, seed: Int = 0): DataFrame =
+    trainValTest(clusters, col("cluster_id"), trainPct, valPct, seed)
 
   /** DuckDB twin of [[clusterSplit]] — the clustering twin wrapped in a
     * subquery, then the same bucket CASE over cluster_id. */

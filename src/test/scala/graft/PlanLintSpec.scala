@@ -171,6 +171,12 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
         "aggregate (≤256 buckets/type)"),
       "__bk,event_type" -> ("TwoPhase intra-bucket pass over the same " +
         "bounded bucket aggregate")),
+    "x160_policy_delta" -> Map(
+      "doc_a,doc_b" -> ("orientation-split running count over ONE " +
+        "verified rep pair's two clique member sets — group = w_a + " +
+        "w_b rows, LINEAR in the copy counts whose Θ(w_a·w_b) " +
+        "expansion it replaces, and only payload-differing rep pairs " +
+        "walk their members at all")),
     "x168_watermark_yield" -> Map(
       "event_type" -> ("same TwoPhase lateness kernel as x137 — totals " +
         "over the per-(type, __bk) bucket aggregate (≤64 buckets/type)"),

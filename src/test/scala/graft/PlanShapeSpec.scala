@@ -57,6 +57,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-K operator:\n$plan")
   }
 
+  test("x158/x160 consume the contracted pair form — no clique expansion in-plan") {
+    // the mass consumers must aggregate rep pairs + closed-form clique
+    // terms: neither expandRepPairs' member fan-out (least(da, db)
+    // orientation projections) nor intraCliquePairs' member self-join
+    // (a doc_id < doc_id join condition — the rep-level band self-join
+    // is invisible here behind its localCheckpoint pin) may appear
+    val memberLt = "doc_id#\\d+L? < doc_id#\\d+".r
+    for (q <- Seq("x158_dedup_yield", "x160_policy_delta")) {
+      val plan = physicalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("least(da#"),
+        s"$q: expandRepPairs member expansion leaked into the plan")
+      assert(memberLt.findFirstIn(plan).isEmpty,
+        s"$q: member-level self-join (intraCliquePairs) leaked into the plan")
+    }
+    // the pair RELATION operator keeps the expansion — it IS the output
+    val x10 = physicalPlan(SparkEntry.queries("x10_simhash_pairs")(spark, sfDir))
+    assert(x10.contains("least(da#"),
+      "x10's contract is the expanded pair relation (expandRepPairs)")
+  }
+
   test("training selection (x19) is one scan + one shuffle with partial aggregation") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val plan = physicalPlan(graft.operators.TextOps.trainingSelection(docs))
