@@ -9,6 +9,9 @@ object PrintSql {
     val sql = args(0) match {
       case "lsh_band_mass" => graft.operators.DedupOps.lshBandMassSql
       case "simhash_block_mass" => graft.operators.DedupOps.simhashBlockMassSql
+      case "simhash_rep_block_mass" =>
+        graft.operators.DedupOps.simhashRepBlockMassSql
+      case "lsh_rep_band_mass" => graft.operators.DedupOps.lshRepBandMassSql
       case "window_mass" => graft.operators.SubstringOps.windowMassSql(8)
       case "containment_candidate_mass" =>
         graft.operators.DedupOps.guardedCandidateMassSql(16)

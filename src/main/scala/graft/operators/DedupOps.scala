@@ -687,7 +687,9 @@ object DedupOps {
 
   /** Shared `WITH` prefix ending in the `bands` CTE — the signature/
     * banding half of the LSH twins. */
-  private def lshBandSqlCtes: String = {
+  private def lshBandSqlCtes: String = lshBandSqlCtesRel("documents")
+
+  private def lshBandSqlCtesRel(rel: String): String = {
     val bandHash = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
@@ -698,7 +700,7 @@ object DedupOps {
         s"min((${baseHashSql("sh")} * $a + $b) % $minhashPrime) AS m$i"
       }
       .mkString(", ")
-    s"""WITH ${shinglesSqlCte},
+    s"""WITH ${shinglesSqlCteN(shingleWords, rel)},
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandHash
@@ -725,6 +727,15 @@ object DedupOps {
     * pretending linearity. */
   def lshBandMassSql: String =
     s"""$lshBandSqlCtes
+       |SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS mass FROM (
+       |  SELECT band, band_hash, count(*) AS c
+       |  FROM bands GROUP BY band, band_hash)""".stripMargin
+
+  /** Contracted LSH cost model: band-bucket mass over DISTINCT contents
+    * only (Σ m_b²) — what [[lshContraction]]'s self-join pays after the
+    * exact-dup contraction; the x8/x158/x160 scale-smoke bound. */
+  def lshRepBandMassSql: String =
+    s"""${lshBandSqlCtesRel(repRelSql)}
        |SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS mass FROM (
        |  SELECT band, band_hash, count(*) AS c
        |  FROM bands GROUP BY band, band_hash)""".stripMargin
@@ -1071,7 +1082,15 @@ object DedupOps {
     agged.select(col("doc_id"), sig.as("simhash"))
   }
 
-  def simhashSqlCte: String = {
+  def simhashSqlCte: String = simhashSqlCteRel("documents")
+
+  /** The rep relation the contracted kernels actually sign: one row per
+    * distinct content, doc_id = the clique minimum. */
+  def repRelSql: String =
+    "(SELECT min(doc_id) AS doc_id, text FROM documents " +
+      "WHERE text IS NOT NULL AND doc_id IS NOT NULL GROUP BY text)"
+
+  def simhashSqlCteRel(rel: String): String = {
     val sums = (0 until simhashBits)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(", ")
@@ -1080,7 +1099,7 @@ object DedupOps {
       .mkString(" + ")
     s"""tok AS (
        |  SELECT DISTINCT doc_id, unnest(${wordsReSql("text")}) AS w
-       |  FROM documents
+       |  FROM $rel
        |),
        |bitsums AS (
        |  SELECT doc_id, $sums
@@ -1609,8 +1628,18 @@ object DedupOps {
     * tools/scale_smoke.py bounds x23's measured time growth against
     * this (candidate mass is a data property — a closed-vocabulary
     * corpus concentrates signatures however the plan is shaped). */
-  def simhashBlockMassSql: String =
-    s"""WITH ${simhashSqlCte},
+  def simhashBlockMassSql: String = simhashBlockMassSqlRel("documents")
+
+  /** Contracted-kernel cost model: Σ C(m, 2) over the 16-bit block
+    * buckets of DISTINCT contents only — Σ m_b², the candidate mass
+    * the post-contraction [[simhashContraction]] block joins actually
+    * pay. tools/scale_smoke.py bounds x23/x159/x161 time growth by
+    * THIS and prints it beside the uncontracted Σ n_b² so a planted
+    * viral clique shows the gap. */
+  def simhashRepBlockMassSql: String = simhashBlockMassSqlRel(repRelSql)
+
+  def simhashBlockMassSqlRel(rel: String): String =
+    s"""WITH ${simhashSqlCteRel(rel)},
        |blocks AS (
        |  SELECT bs.b AS blk, (simhash >> (bs.b * 16)) & 65535 AS v
        |  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS b) bs

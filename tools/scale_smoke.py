@@ -39,12 +39,23 @@ import numpy as np
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/graft_sf1"
+SF1V = "/tmp/graft_sf1v"  # SF1 + a planted 10^4-copy viral dup clique
 QUERIES = ["x159_cluster_dsir", "x161_cluster_policy",
            "x119_session_pagerank", "x23_dup_clusters", "x111_bpe_merges",
            "j16_band_join", "x83_cluster_split",
            # round-12 top-of-profile additions (VERDICT r11 item 4)
            "x72_dup_spans", "x79_ngram_decontamination",
-           "x78_containment_pairs", "x131_retrieval_eval"]
+           "x78_containment_pairs", "x131_retrieval_eval",
+           # round-14: the LSH mass consumers, bounded by the contracted
+           # (distinct-content) band mass
+           "x158_dedup_yield", "x160_policy_delta"]
+# the exact-dup-contracted dedup family: re-benched on SF1V to prove the
+# clique contraction (VERDICT r13 item 3) — a 10^4-copy clique may cost
+# at most its linear share of rows
+VIRAL_QUERIES = ["x23_dup_clusters", "x158_dedup_yield",
+                 "x159_cluster_dsir", "x160_policy_delta",
+                 "x161_cluster_policy"]
+VIRAL_COPIES = 10_000
 SEED = 42
 
 
@@ -90,6 +101,7 @@ def generate():
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
     pq.write_table(tbl, f"{SF1}/documents.parquet")
+    tbl0 = tbl  # kept for the sf1v viral-clique variant below
 
     # ---- embeddings: unit-norm dim-64 vectors around the sf0.1 label
     # centroids (preserves the cluster structure x83 splits), 10x rows
@@ -145,6 +157,32 @@ def generate():
     pq.write_table(tbl, f"{SF1}/events.parquet")
     print(f"[gen] sf1 at {SF1}: {n_docs} docs, {n_vec} vecs, {n_ev} events")
 
+    # ---- sf1v: the same corpus plus ONE viral clique — 10^4 identical
+    # copies of a realistic-length doc (the "boilerplate page mirrored
+    # everywhere" shape). Uncontracted, this clique alone adds
+    # ~4*C(10^4,2) = 2*10^8 simhash block-collision candidates and
+    # C(10^4,2) = 5*10^7 pairs through every dedup consumer; contracted,
+    # it is ONE representative and costs its linear row share. Only the
+    # documents table differs — embeddings/events are shared via links.
+    os.makedirs(SF1V, exist_ok=True)
+    viral_text = " ".join(rng.choice(words, size=40, p=p_w))
+    v_ids = np.arange(n_docs, n_docs + VIRAL_COPIES)
+    vtbl = pa.table({
+        "doc_id": pa.array(v_ids, pa.int64()),
+        "text": pa.array([viral_text] * VIRAL_COPIES, pa.string()),
+        "lang": pa.array(["en"] * VIRAL_COPIES, pa.string()),
+        "source": pa.array([f"src{i}" for i in
+                            rng.integers(0, 20, VIRAL_COPIES)], pa.string()),
+        "n_chars": pa.array([len(viral_text)] * VIRAL_COPIES, pa.int64()),
+    })
+    pq.write_table(pa.concat_tables([tbl0, vtbl]),
+                   f"{SF1V}/documents.parquet")
+    for shared in ("embeddings.parquet", "events.parquet"):
+        dst = f"{SF1V}/{shared}"
+        if not os.path.exists(dst):
+            os.link(f"{SF1}/{shared}", dst)
+    print(f"[gen] sf1v at {SF1V}: +{VIRAL_COPIES}-copy viral clique")
+
 
 LINEAR = ["x111_bpe_merges"]
 # the md5 window/probe kernels are CPU-bound and environment-sensitive
@@ -155,7 +193,7 @@ CLEAN_JVM = ["x119_session_pagerank", "x111_bpe_merges",
 PAIR_BOUND = [q for q in QUERIES if q not in CLEAN_JVM]
 
 
-def bench(sf_dir, out):
+def bench(sf_dir, out, subsets=None):
     """Two bench invocations per SF: the LINEAR-bound queries run first
     in their own JVM with best-of-2 (their 12x bound is tight enough
     that single-shot noise and j16's page-cache thrash — it runs first
@@ -163,7 +201,7 @@ def bench(sf_dir, out):
     16x on byte-identical pagerank code); the pair-bound giants run
     single-shot, their bounds are measured-output-relative."""
     merged = {"queries": {}}
-    for subset, rounds in ((CLEAN_JVM, "2"), (PAIR_BOUND, "1")):
+    for subset, rounds in (subsets or ((CLEAN_JVM, "2"), (PAIR_BOUND, "1"))):
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=sf_dir,
                    SPARK_GRAFT_ONLY=",".join(subset),
@@ -252,23 +290,31 @@ def printed_sql(name):
 
 
 def main():
-    if "--regen" in sys.argv or not os.path.exists(f"{SF1}/events.parquet"):
+    if "--regen" in sys.argv or not os.path.exists(f"{SF1V}/documents.parquet"):
         generate()
     # --cached: score the previous run's timings without re-benching
     # (bound/model changes re-judge old measurements instantly)
     if ("--cached" in sys.argv
             and os.path.exists("/tmp/graft_smoke_sf1.json")
-            and os.path.exists("/tmp/graft_smoke_sf01.json")):
+            and os.path.exists("/tmp/graft_smoke_sf01.json")
+            and os.path.exists("/tmp/graft_smoke_sf1v.json")):
         b01 = json.load(open("/tmp/graft_smoke_sf01.json"))
         b1 = json.load(open("/tmp/graft_smoke_sf1.json"))
+        b1v = json.load(open("/tmp/graft_smoke_sf1v.json"))
     else:
         b01 = bench(SF01, "/tmp/graft_smoke_sf01.json")
         b1 = bench(SF1, "/tmp/graft_smoke_sf1.json")
+        b1v = bench(SF1V, "/tmp/graft_smoke_sf1v.json",
+                    subsets=((VIRAL_QUERIES, "1"),))
     pr = band_pairs(SF1) / max(band_pairs(SF01), 1)
-    # x23's cost driver is the SIMHASH block-collision mass (its pair
-    # stage is simhashDupPairs) — measure it exactly, bound time by it
-    ms = printed_sql("simhash_block_mass")
+    # x23/x159/x161's cost driver after the exact-dup contraction is the
+    # simhash block-collision mass of DISTINCT CONTENTS (sum m_b^2) —
+    # representatives are what the block self-joins pair
+    ms = printed_sql("simhash_rep_block_mass")
     mr = doc_mass(SF1, ms) / max(doc_mass(SF01, ms), 1)
+    # same for the LSH mass consumers x158/x160: contracted band mass
+    ls = printed_sql("lsh_rep_band_mass")
+    lr = doc_mass(SF1, ls) / max(doc_mass(SF01, ls), 1)
     er = overlap_pairs(SF1) / max(overlap_pairs(SF01), 1)
     # x72/x79: linear in the w-token window mass (the md5 kernel's input)
     wm = printed_sql("window_mass")
@@ -290,16 +336,20 @@ def main():
         "x111_bpe_merges": (12.0, "linear"),
         "j16_band_join": (2.0 * pr, f"2x pair growth ({pr:.0f}x)"),
         "x23_dup_clusters": (max(12.0, 2.0 * mr),
-                             f"max(12, 2x simhash mass growth ({mr:.0f}x))"),
+                             f"max(12, 2x rep-mass growth ({mr:.0f}x))"),
         # x159/x161 (the round-12 top-of-profile) compose x23's simhash
         # pair + component stage with doc-keyed joins and band/size
         # aggregates — everything past the pair stage is linear, so the
-        # same block-mass bound governs
+        # same CONTRACTED block-mass bound governs
         "x159_cluster_dsir": (max(12.0, 2.0 * mr),
-                              f"max(12, 2x simhash mass growth ({mr:.0f}x))"),
+                              f"max(12, 2x rep-mass growth ({mr:.0f}x))"),
         "x161_cluster_policy": (max(12.0, 2.0 * mr),
-                                f"max(12, 2x simhash mass growth "
+                                f"max(12, 2x rep-mass growth "
                                 f"({mr:.0f}x))"),
+        "x158_dedup_yield": (max(12.0, 2.0 * lr),
+                             f"max(12, 2x lsh rep-mass growth ({lr:.0f}x))"),
+        "x160_policy_delta": (max(12.0, 2.0 * lr),
+                              f"max(12, 2x lsh rep-mass growth ({lr:.0f}x))"),
         "x83_cluster_split": (50.0, "n^1.5 by design (k=sqrt(n), cap=4n/k)"),
         "x72_dup_spans": (max(12.0, 2.0 * wr),
                           f"max(12, 2x window-mass growth ({wr:.0f}x))"),
@@ -325,10 +375,44 @@ def main():
               f"<={bound:.0f}x [{why}]")
         if ratio > bound:
             failures.append(f"{name}: {ratio:.1f}x > {bound:.1f}x ({why})")
+    # ---- viral-clique proof (VERDICT r13 item 3): with a 10^4-copy
+    # clique planted, the contracted dedup family pays its linear row
+    # share only. The mass contrast is the mechanism: uncontracted
+    # Sigma n_b^2 explodes by ~4*C(10^4,2) while the contracted
+    # Sigma m_b^2 the kernels actually pay moves by one representative.
+    un_sql = printed_sql("simhash_block_mass")
+    un_v, un_1 = doc_mass(SF1V, un_sql), doc_mass(SF1, un_sql)
+    rep_v, rep_1 = doc_mass(SF1V, ms), doc_mass(SF1, ms)
+    print(f"\n[viral] simhash block mass at sf1v vs sf1: "
+          f"uncontracted {un_v:,} vs {un_1:,} ({un_v / max(un_1, 1):.0f}x) | "
+          f"contracted {rep_v:,} vs {rep_1:,} "
+          f"({rep_v / max(rep_1, 1):.2f}x)")
+    # the clique is ONE new distinct content: it may add at most
+    # 4 blocks x |reps| collisions (every rep sharing its block values),
+    # never a Theta(k^2) term
+    if rep_v - rep_1 > 4 * 60_000:
+        failures.append(
+            f"contracted rep mass moved {rep_v - rep_1:,} under the viral "
+            f"clique (> one representative's share) — the contraction no "
+            f"longer collapses it")
+    # +10^4 rows on ~50k docs is a +20% linear share; 2x leaves noise
+    # headroom while still catching any Theta(k^2) path (which would be
+    # >100x here)
+    print(f"{'query':28s} {'sf1':>8s} {'sf1v':>8s} {'ratio':>7s}  bound")
+    for name in VIRAL_QUERIES:
+        a, b = b1["queries"][name], b1v["queries"][name]
+        ratio = b / max(a, 1e-3)
+        print(f"{name:28s} {a:8.2f} {b:8.2f} {ratio:6.2f}x  <=2.0x "
+              f"[viral clique costs its linear share]")
+        if ratio > 2.0:
+            failures.append(
+                f"{name}: {ratio:.2f}x > 2x under a {VIRAL_COPIES}-copy "
+                f"clique — a quadratic clique path is back")
     if failures:
         print("FAIL:", "; ".join(failures))
         sys.exit(1)
-    print("OK: every query's scale growth is within its cost model's bound")
+    print("OK: every query's scale growth is within its cost model's bound; "
+          f"the {VIRAL_COPIES}-copy viral clique costs its linear share")
 
 
 if __name__ == "__main__":
