@@ -1214,6 +1214,13 @@ object SparkEntry {
     "x92_length_quality_corr" -> ((s, dir) =>
       TextOps.lengthQualityCorr(Tables.documents(s, dir))),
 
+    // x177 — per-source length×quality Pearson: WHICH feeds' quality
+    // gates are redundant with a length cut; x92's snapped moments
+    // keyed by source (DECIMAL sums — one feed can be the corpus),
+    // one map-side-combinable groupBy
+    "x177_source_length_quality" -> ((s, dir) =>
+      TextOps.sourceLengthQualityCorr(Tables.documents(s, dir))),
+
     // x93 — label-conflict report: duplicate content under different
     // lang labels — the noise that poisons x75 training and quotas
     "x93_label_conflicts" -> ((s, dir) =>
@@ -1249,6 +1256,21 @@ object SparkEntry {
     "x173_codebook_churn" -> ((s, dir) =>
       graft.operators.IvfOps.codebookChurn(Tables.embeddings(s, dir),
         ivfModel(s, dir), ivfModel2(s, dir))),
+
+    // x174 — persisted near-dup signature index: build on the 80%
+    // partition (rep cliques/sigs/band postings under the AtomicDir
+    // epoch-manifest protocol), then ADMIT the 20% against the
+    // on-disk index — exact anti-join + band-collision estimate,
+    // O(|incoming| + collisions), the existing corpus never re-signed
+    "x174_neardup_admission" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_ndx")
+        .toString
+      graft.operators.NearDupIndex.buildIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), root)
+      graft.operators.NearDupIndex.admit(
+        docs.filter(col("doc_id") % 5 === 0), root)
+    }),
 
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1306,6 +1328,19 @@ object SparkEntry {
     "x163_source_anisotropy" -> ((s, dir) =>
       SimilarityOps.sourceAnisotropy(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
+    // x176 — release-pair embedding drift: the diff of two x163 panels
+    // (md5-hash split as the release pair — the testdata assigns
+    // source = doc_id mod 20, so ANY modulus split would alias with
+    // source and empty the per-source join) — per source, exact squared
+    // centroid shift + self-dot/anisotropy deltas; two O(n·d) panel
+    // scans (or zero, off live streaming panels), never a pair join
+    "x176_release_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val h = substring(md5(col("vec_id").cast("string")), 1, 1)
+      SimilarityOps.releaseDrift(Tables.documents(s, dir),
+        emb.filter(h <= "7"), emb.filter(h > "7"))
+    }),
 
     // x110 — semantic split leakage: embedding-space near-dup pairs
     // straddling a train/val/test boundary — the paraphrase-leak class
@@ -1671,6 +1706,14 @@ object SparkEntry {
     // real density or paint the graph; same 10-min graph as x130
     "x170_community_cohesion" -> ((s, dir) =>
       graft.operators.GraphOps.sessionCommunityCohesion(
+        Tables.events(s, dir), gapMinutes = 10)),
+
+    // x175 — inter-community traffic matrix: per unordered community
+    // pair, concurrent-session edges and distinct members per side —
+    // the bridge x170's external scalar aggregates away; one label
+    // join + ≤|comm|²-row aggregate on the same 10-min graph
+    "x175_community_traffic" -> ((s, dir) =>
+      graft.operators.GraphOps.sessionCommunityTraffic(
         Tables.events(s, dir), gapMinutes = 10)),
 
     // x123 — triangle participation in the session-concurrency graph:
@@ -2342,6 +2385,8 @@ object SparkEntry {
       graft.operators.GraphOps.sessionCommunitiesSql(gapMinutes = 10),
     "x170_community_cohesion" ->
       graft.operators.GraphOps.sessionCommunityCohesionSql(gapMinutes = 10),
+    "x175_community_traffic" ->
+      graft.operators.GraphOps.sessionCommunityTrafficSql(gapMinutes = 10),
 
     "x131_retrieval_eval" -> graft.operators.RetrievalOps
       .selfRetrievalEvalSql("doc_id % 50 = 0", nTerms = 16),
@@ -2939,6 +2984,7 @@ object SparkEntry {
     "x171_signature_yield" -> DedupOps.signatureYieldSql,
     "x91_stratified_priority" -> SamplingOps.prioritySampleByStratumSql(20, 7),
     "x92_length_quality_corr" -> TextOps.lengthQualityCorrSql,
+    "x177_source_length_quality" -> TextOps.sourceLengthQualityCorrSql,
     "x93_label_conflicts" -> DedupOps.labelConflictsSql,
     "x94_source_funnel" -> TextOps.sourceFunnelSql(0.5, 10, 500),
     "x95_top_boilerplate" -> SubstringOps.topBoilerplateSql(8, 20),
@@ -2949,6 +2995,7 @@ object SparkEntry {
       graft.operators.CurationOps.qualityCalibrationSql,
     "x107_source_cohesion" -> SimilarityOps.sourceCohesionSql(),
     "x163_source_anisotropy" -> SimilarityOps.sourceAnisotropySql(),
+    "x176_release_drift" -> SimilarityOps.releaseDriftSql(),
     "x97_dsir_weights" -> graft.operators.CurationOps.dsirWeightsSql(),
     "x159_cluster_dsir" ->
       graft.operators.CurationOps.clusterCorrectedDsirSql(),
@@ -3025,6 +3072,8 @@ object SparkEntry {
     "x50_edit_dup_pairs" -> DedupOps.editDistancePairsSql(),
     "x53_bottomk_sample" -> graft.operators.SamplingOps.bottomKSampleAggSql(k = 25),
     "x54_incremental_dedup" -> DedupOps.incrementalDedupSql,
+    "x174_neardup_admission" ->
+      graft.operators.NearDupIndex.admissionSql(),
     "x55_winnowing_matches" -> TextOps.winnowingMatchesSql(),
     "x56_funnel" -> graft.operators.TemporalJoins.orderedFunnelSql(
       Seq("view", "click", "purchase"), "1 DAY"),

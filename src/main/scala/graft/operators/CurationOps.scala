@@ -429,11 +429,10 @@ object CurationOps {
         sum(when(col("n") > c, col("n") - c).otherwise(0L)).as(s"t$i"))
     } ++ Seq(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens_total"))
     val one = toks.groupBy("source").agg(aggs.head, aggs.tail: _*)
-    one.select(col("source"),
-      expr("stack(" + caps.length + ", " + caps.zipWithIndex.map {
-        case (c, i) => s"${c}L, d$i, t$i" }.mkString(", ") +
-        ") AS (cap, n_docs_truncated, tokens_lost)"),
-      col("n_docs"), col("tokens_total"))
+    graft.functions.EdgeLadder.stackLadder(one, "cap",
+      caps.zipWithIndex.map { case (c, i) => (c, Seq(s"d$i", s"t$i")) },
+      Seq("n_docs_truncated", "tokens_lost"),
+      Seq("source", "n_docs", "tokens_total"))
   }
 
   /** DuckDB twin of [[truncationYield]]. */
@@ -444,10 +443,10 @@ object CurationOps {
          |    CAST(sum(CASE WHEN n > $c THEN n - $c ELSE 0 END) AS BIGINT)
          |      AS t$i""".stripMargin
     }.mkString(",\n")
-    val rows = caps.zipWithIndex.map { case (c, i) =>
-      s"""SELECT source, $c AS cap, d$i AS n_docs_truncated,
-         |  t$i AS tokens_lost, n_docs, tokens_total FROM ty_one""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    val rows = graft.functions.EdgeLadder.stackLadderSqlRows("cap",
+      caps.zipWithIndex.map { case (c, i) => (c, Seq(
+        "n_docs_truncated" -> s"d$i", "tokens_lost" -> s"t$i")) },
+      Seq("source", "n_docs", "tokens_total"), "ty_one")
     s"""WITH ty_t AS (
        |  SELECT source,
        |    coalesce(CAST(len(${graft.operators.TextOps.wordsReSql("text")})

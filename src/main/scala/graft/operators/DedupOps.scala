@@ -995,10 +995,10 @@ object DedupOps {
       Seq(sum(col(s"err_$p") * col("n")).as(s"se_$p"),
         max(col(s"err_$p")).as(s"mx_$p"))
     } :+ coalesce(sum(col("n")), lit(0L)).as("n_pairs")
-    errs.agg(aggs.head, aggs.tail: _*)
-      .select(expr("stack(" + prefixes.length + ", " + prefixes.map(p =>
-        s"${p}L, se_$p, mx_$p").mkString(", ") +
-        ") AS (sig_len, sum_err, max_err_ppm)"), col("n_pairs"))
+    graft.functions.EdgeLadder.stackLadder(
+      errs.agg(aggs.head, aggs.tail: _*), "sig_len",
+      prefixes.map(p => (p.toLong, Seq(s"se_$p", s"mx_$p"))),
+      Seq("sum_err", "max_err_ppm"), Seq("n_pairs"))
       .select(col("sig_len"),
         expr("CAST(sum_err div greatest(n_pairs, 1L) AS BIGINT)")
           .as("mean_err_ppm"),
@@ -1020,11 +1020,11 @@ object DedupOps {
       s"""CAST(sum(err_$p) AS BIGINT) AS se_$p,
          |    CAST(max(err_$p) AS BIGINT) AS mx_$p""".stripMargin)
       .mkString(",\n    ")
-    val rows = prefixes.map(p =>
-      s"""SELECT $p AS sig_len,
-         |  CAST(se_$p // greatest(n_pairs, 1) AS BIGINT) AS mean_err_ppm,
-         |  mx_$p AS max_err_ppm, n_pairs FROM sy_one""".stripMargin)
-      .mkString("\nUNION ALL\n")
+    val rows = graft.functions.EdgeLadder.stackLadderSqlRows("sig_len",
+      prefixes.map(p => (p.toLong, Seq(
+        "mean_err_ppm" -> s"CAST(se_$p // greatest(n_pairs, 1) AS BIGINT)",
+        "max_err_ppm" -> s"mx_$p"))),
+      Seq("n_pairs"), "sy_one")
     s"""$lshCandSqlCtes,
        |sy_sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |sy_inter AS (
@@ -1296,7 +1296,8 @@ object DedupOps {
       .agg(sum(col("nv")).as("n_victims"), sum(col("vtok")).as("victim_tokens"))
     nPairs.join(victims, Seq("band"), "left")
       .select(col("band"),
-        expr(s"(band * 1000000L) div ${bands}L").as("band_lo_ppm"),
+        expr(graft.functions.EdgeLadder.bandLoPpmExpr(bands))
+          .as("band_lo_ppm"),
         col("n_pairs"),
         coalesce(col("n_victims"), lit(0L)).as("n_victims"),
         coalesce(col("victim_tokens"), lit(0L)).as("victim_tokens"))
@@ -1453,7 +1454,8 @@ object DedupOps {
         sum(col("klq")).as("__klq"),
         sum(col("kqq")).as("__kqq"))
       .select(col("band"),
-        expr(s"(band * 1000000L) div ${bands}L").as("band_lo_ppm"),
+        expr(graft.functions.EdgeLadder.bandLoPpmExpr(bands))
+          .as("band_lo_ppm"),
         col("n_pairs"),
         expr("CAST(__klt AS BIGINT)").as("kl_victim_tokens"),
         expr("CAST(__kqt AS BIGINT)").as("kq_victim_tokens"),
@@ -1490,7 +1492,7 @@ object DedupOps {
        |  JOIN pd_s a ON a.doc_id = p.doc_a
        |  JOIN pd_s b ON b.doc_id = p.doc_b
        |)
-       |SELECT band, CAST((band * 1000000) // $bands AS BIGINT)
+       |SELECT band, ${graft.functions.EdgeLadder.bandLoPpmDuck(bands)}
        |    AS band_lo_ppm,
        |  CAST(count(*) AS BIGINT) AS n_pairs,
        |  CAST(sum(CAST(kl_tok AS HUGEINT)) AS BIGINT) AS kl_victim_tokens,

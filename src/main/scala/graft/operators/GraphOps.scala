@@ -266,6 +266,99 @@ object GraphOps {
                                state: IterState = Local): DataFrame =
     communityCohesion(overlapPairs(events, gapMinutes), rounds, topK, state)
 
+  /** x175: inter-community TRAFFIC MATRIX — x170 says whether each
+    * community is internally dense; this says WITH WHOM it talks: for
+    * every unordered community pair (diagonal included), the
+    * concurrent-session edge count connecting them and the distinct
+    * members implicated on each side. An off-diagonal hot cell is the
+    * BRIDGE x170's scalar external count aggregates away — which two
+    * communities actually share their boundary traffic (the
+    * load-placement / federation read); the diagonal restates x170's
+    * internal density cell-wise. The x156 contamination-matrix shape
+    * on the social graph: canonicalize each edge by COMMUNITY order
+    * (least/greatest — members re-orient with their side) so every
+    * unordered pair lands in exactly one cell.
+    *
+    * Scale shape: the SAME bounded-round LP as x130/x170 (lineage
+    * pinned per round, WindowGroupLimit rank-1 on the user-entity dst
+    * key), then two user-keyed label joins onto the pair set
+    * (AQE-splittable) and ONE ≤|communities|²-row aggregate — every
+    * measure map-side combinable, no window over edge mass. */
+  def communityTraffic(pairs: DataFrame, rounds: Int = 4,
+                       state: IterState = Local): DataFrame = {
+    val lab = state.pin(labelAssignments(pairs, rounds, state))
+    val oriented = pairs
+      .join(lab.select(col("id").as("u_a"), col("label").as("la")), Seq("u_a"))
+      .join(lab.select(col("id").as("u_b"), col("label").as("lb")), Seq("u_b"))
+      .select(least(col("la"), col("lb")).as("comm_a"),
+        greatest(col("la"), col("lb")).as("comm_b"),
+        when(col("la") <= col("lb"), col("u_a")).otherwise(col("u_b"))
+          .as("m_a"),
+        when(col("la") <= col("lb"), col("u_b")).otherwise(col("u_a"))
+          .as("m_b"))
+    oriented.groupBy("comm_a", "comm_b")
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("m_a")).as("n_members_a"),
+        countDistinct(col("m_b")).as("n_members_b"))
+      .withColumn("cross_community",
+        (col("comm_a") =!= col("comm_b")).cast("int"))
+  }
+
+  /** x175 composition over the session-concurrency graph. */
+  def sessionCommunityTraffic(events: DataFrame, gapMinutes: Int = 30,
+                              rounds: Int = 4,
+                              state: IterState = Local): DataFrame =
+    communityTraffic(overlapPairs(events, gapMinutes), rounds, state)
+
+  /** DuckDB twin of [[sessionCommunityTraffic]] — x170's unrolled LP
+    * CTEs finished through the canonicalized cell aggregate. */
+  def sessionCommunityTrafficSql(gapMinutes: Int = 30,
+                                 rounds: Int = 4): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""ct_r$k AS (
+         |  SELECT dst AS id, label FROM (
+         |    SELECT e.dst, l.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l.label ASC) AS rn
+         |    FROM ct_edges e JOIN ct_r${k - 1} l ON l.id = e.src
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ct_sess AS (
+       |  SELECT user_id, session_start_epoch, session_end_epoch FROM (
+       |${graft.streaming.EventStreams.userSessionsSql(gapMinutes)}
+       |  ) t
+       |), ct_pairs AS (
+       |  SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
+       |  FROM ct_sess a JOIN ct_sess b ON a.user_id < b.user_id
+       |    AND a.session_start_epoch <= b.session_end_epoch
+       |    AND b.session_start_epoch <= a.session_end_epoch
+       |), ct_edges AS (
+       |  SELECT u_a AS src, u_b AS dst FROM ct_pairs
+       |  UNION ALL
+       |  SELECT u_b AS src, u_a AS dst FROM ct_pairs
+       |), ct_r0 AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM ct_edges
+       |),
+       |$roundCtes,
+       |ct_lab AS MATERIALIZED (SELECT id, label FROM ct_r$rounds),
+       |ct_o AS (
+       |  SELECT least(a.label, b.label) AS comm_a,
+       |    greatest(a.label, b.label) AS comm_b,
+       |    CASE WHEN a.label <= b.label THEN p.u_a ELSE p.u_b END AS m_a,
+       |    CASE WHEN a.label <= b.label THEN p.u_b ELSE p.u_a END AS m_b
+       |  FROM ct_pairs p
+       |  JOIN ct_lab a ON a.id = p.u_a
+       |  JOIN ct_lab b ON b.id = p.u_b
+       |)
+       |SELECT comm_a, comm_b, CAST(count(*) AS BIGINT) AS n_edges,
+       |  CAST(count(DISTINCT m_a) AS BIGINT) AS n_members_a,
+       |  CAST(count(DISTINCT m_b) AS BIGINT) AS n_members_b,
+       |  CAST(CASE WHEN comm_a <> comm_b THEN 1 ELSE 0 END AS INTEGER)
+       |    AS cross_community
+       |FROM ct_o GROUP BY comm_a, comm_b""".stripMargin
+  }
+
   /** DuckDB twin of [[sessionCommunityCohesion]] — the same unrolled LP
     * rounds as x130's twin, finished through the label joins. */
   def sessionCommunityCohesionSql(gapMinutes: Int = 30, rounds: Int = 4,

@@ -376,10 +376,10 @@ object SimilarityOps {
     val aggs = bits.flatMap { b =>
       Seq(sum(col(s"err$b")).as(s"se$b"), max(col(s"err$b")).as(s"mx$b"))
     } :+ count(lit(1)).as("n_vecs")
-    errs.agg(aggs.head, aggs.tail: _*)
-      .select(expr("stack(" + bits.length + ", " + bits.map(b =>
-        s"${b}L, se$b, mx$b").mkString(", ") +
-        ") AS (bits, sum_err, max_err_ppm)"), col("n_vecs"))
+    graft.functions.EdgeLadder.stackLadder(
+      errs.agg(aggs.head, aggs.tail: _*), "bits",
+      bits.map(b => (b.toLong, Seq(s"se$b", s"mx$b"))),
+      Seq("sum_err", "max_err_ppm"), Seq("n_vecs"))
       .select(col("bits"),
         expr("CAST(sum_err div greatest(n_vecs, 1L) AS BIGINT)")
           .as("mean_err_ppm"),
@@ -405,11 +405,11 @@ object SimilarityOps {
       s"""CAST(sum(err$b) AS BIGINT) AS se$b,
          |    CAST(max(err$b) AS BIGINT) AS mx$b""".stripMargin
     }.mkString(",\n    ")
-    val rows = bits.map { b =>
-      s"""SELECT $b AS bits,
-         |  CAST(se$b // greatest(n_vecs, 1) AS BIGINT) AS mean_err_ppm,
-         |  mx$b AS max_err_ppm, n_vecs FROM qy_one""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    val rows = graft.functions.EdgeLadder.stackLadderSqlRows("bits",
+      bits.map(b => (b.toLong, Seq(
+        "mean_err_ppm" -> s"CAST(se$b // greatest(n_vecs, 1) AS BIGINT)",
+        "max_err_ppm" -> s"mx$b"))),
+      Seq("n_vecs"), "qy_one")
     s"""WITH qy_n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
        |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
@@ -739,6 +739,123 @@ object SimilarityOps {
         "THEN -(((q - ssq) * 1000000) div (q * (n_docs - 1))) " +
         "ELSE ((ssq - q) * 1000000) div (q * (n_docs - 1)) " +
         "END AS BIGINT) ELSE NULL END").as("anisotropy_ppm"))
+  }
+
+  /** x176: release-pair embedding DRIFT — when the embedder (or the
+    * corpus snapshot) is re-released, what moved per source: the diff
+    * of two [[anisotropyPanel]]s. Per source present in BOTH releases:
+    * doc counts, the exact squared CENTROID SHIFT ‖μ_A − μ_B‖² in q8
+    * units (per-dim difference d = s_a·n_b − s_b·n_a summed as d² over
+    * the COMMON denominator (n_a·n_b)² — one integer division per
+    * source, never per dim), and the deltas of x163's self-dot and
+    * anisotropy readouts. A hot centroid_shift is a source whose
+    * content or embedder genuinely moved; a hot d_aniso_ppm with a
+    * cold shift is mode collapse setting in — the re-embed / re-gate
+    * decision per source.
+    *
+    * Scale shape: two |sources|×d panels (each ONE exploded scan with
+    * map-side partials — or ZERO scans when both panels are already
+    * live streaming state, [[graft.streaming.SketchStream
+    * .anisotropyPanelOnIngest]]; this finisher works on live panels
+    * verbatim, so the streaming twin is this same code), one
+    * (source, pos)-keyed equi-join of the two panels, |sources|-row
+    * rollups. Exactness: the shared 1e-4 element grid, cross products
+    * in DECIMAL(38,0)/HUGEINT, sign-safe because d² ≥ 0. */
+  def releaseDrift(docs: DataFrame, embA: DataFrame,
+                   embB: DataFrame): DataFrame =
+    driftFromPanels(anisotropyPanel(docs, embA), anisotropyPanel(docs, embB))
+
+  /** Finish two (live or batch) panels into the x176 drift report. */
+  def driftFromPanels(pa: DataFrame, pb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def fin(p: DataFrame, tag: String) = anisotropyFromPanel(p)
+      .select(col("source"), col("n_docs").as(s"n_docs_$tag"),
+        col("mean_self_q8").as(s"self_$tag"),
+        col("anisotropy_ppm").as(s"aniso_$tag"))
+    val dims = pa.select(col("source"), col("pos"), col("s").as("s_a"),
+        col("n_rows").as("n_a"))
+      .join(pb.select(col("source"), col("pos"), col("s").as("s_b"),
+        col("n_rows").as("n_b")), Seq("source", "pos"))
+    val shift = dims
+      .select(col("source"),
+        ((col("s_a").cast(dec) * col("n_b").cast(dec)) -
+          (col("s_b").cast(dec) * col("n_a").cast(dec))).as("d"),
+        col("n_a"), col("n_b"))
+      .groupBy("source")
+      .agg(sum((col("d") * col("d")).cast(dec)).as("sd2"),
+        max(col("n_a")).as("na"), max(col("n_b")).as("nb"))
+      .select(col("source"),
+        expr("CAST(sd2 div (CAST(na AS DECIMAL(38,0)) * nb * na * nb) " +
+          "AS BIGINT)").as("centroid_shift_q8"))
+    fin(pa, "a").join(fin(pb, "b"), Seq("source"))
+      .join(shift, Seq("source"))
+      .select(col("source"), col("n_docs_a"), col("n_docs_b"),
+        col("centroid_shift_q8"),
+        (col("self_b") - col("self_a")).as("d_self_q8"),
+        (col("aniso_b") - col("aniso_a")).as("d_aniso_ppm"))
+  }
+
+  /** DuckDB twin of [[releaseDrift]] for the gate's md5-hash split of
+    * `embeddings` (release A = md5 hex digit 0–7, B = 8–f; a modulus
+    * split would alias with the testdata's source = doc_id mod 20). */
+  def releaseDriftSql(dim: Int = 64): String = {
+    def panel(p: String, pred: String): String =
+      s"""${p}_el AS (
+         |  SELECT d.source, ix.i AS pos,
+         |    CAST(floor(CAST(e.embedding[ix.i] AS DOUBLE) * 1e4 + 0.5)
+         |      AS BIGINT) AS v
+         |  FROM embeddings e
+         |  JOIN documents d ON d.doc_id = e.vec_id
+         |  CROSS JOIN generate_series(1, $dim) AS ix(i)
+         |  WHERE d.source IS NOT NULL AND ix.i <= len(e.embedding)
+         |    AND ($pred)
+         |),
+         |${p}_dim AS (
+         |  SELECT source, pos, CAST(sum(v) AS BIGINT) AS s,
+         |    sum(CAST(v AS HUGEINT) * v) AS q2,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM ${p}_el GROUP BY source, pos
+         |),
+         |${p}_src AS (
+         |  SELECT source, sum(CAST(s AS HUGEINT) * s) AS ssq,
+         |    sum(q2) AS q, max(n_rows) AS n_docs
+         |  FROM ${p}_dim GROUP BY source
+         |),
+         |${p}_fin AS (
+         |  SELECT source, n_docs,
+         |    CAST(q // greatest(n_docs, 1) AS BIGINT) AS self_q8,
+         |    CASE WHEN n_docs >= 2 AND q > 0 THEN
+         |      CAST(CASE WHEN ssq - q < 0
+         |        THEN -(((q - ssq) * 1000000) // (q * (n_docs - 1)))
+         |        ELSE ((ssq - q) * 1000000) // (q * (n_docs - 1))
+         |      END AS BIGINT)
+         |    ELSE NULL END AS aniso_ppm
+         |  FROM ${p}_src
+         |)""".stripMargin
+    s"""WITH ${panel("rda",
+        "substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 1) <= '7'")},
+       |${panel("rdb",
+        "substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 1) > '7'")},
+       |rd_shift AS (
+       |  SELECT a.source,
+       |    CAST(sum((CAST(a.s AS HUGEINT) * b.n_rows
+       |          - CAST(b.s AS HUGEINT) * a.n_rows)
+       |        * (CAST(a.s AS HUGEINT) * b.n_rows
+       |          - CAST(b.s AS HUGEINT) * a.n_rows))
+       |      // (CAST(max(a.n_rows) AS HUGEINT) * max(b.n_rows)
+       |          * max(a.n_rows) * max(b.n_rows)) AS BIGINT)
+       |      AS centroid_shift_q8
+       |  FROM rda_dim a JOIN rdb_dim b
+       |    ON a.source = b.source AND a.pos = b.pos
+       |  GROUP BY a.source
+       |)
+       |SELECT a.source, a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+       |  s.centroid_shift_q8,
+       |  b.self_q8 - a.self_q8 AS d_self_q8,
+       |  b.aniso_ppm - a.aniso_ppm AS d_aniso_ppm
+       |FROM rda_fin a
+       |JOIN rdb_fin b ON a.source = b.source
+       |JOIN rd_shift s ON a.source = s.source""".stripMargin
   }
 
   /** DuckDB twin of [[sourceAnisotropy]]. */

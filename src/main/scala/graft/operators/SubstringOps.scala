@@ -328,17 +328,18 @@ object SubstringOps {
     val toks = df.select(col("doc_id"),
       coalesce(graft.functions.TextExpressions.wsTokenCountFast(col("text"))
         .cast("long"), lit(0L)).as("tok"))
+    import graft.functions.EdgeLadder
     ngramDecontamination(df, evalPred, w)
       .filter(col("hit_windows") > 0)
       .select(col("doc_id"), col("hit_windows"),
-        expr(s"least((hit_windows * ${bands}L) div n_windows, " +
-          s"${bands - 1}L)").as("band"))
+        expr(EdgeLadder.ratioBandSqlExpr("hit_windows", "n_windows", bands))
+          .as("band"))
       .join(toks, Seq("doc_id"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("doc_tokens"),
         sum(col("hit_windows")).as("hit_windows"))
       .select(col("band"),
-        expr(s"(band * 1000000L) div ${bands}L").as("share_lo_ppm"),
+        expr(EdgeLadder.bandLoPpmExpr(bands)).as("share_lo_ppm"),
         col("n_docs"), col("doc_tokens"), col("hit_windows"))
   }
 
@@ -350,7 +351,8 @@ object SubstringOps {
        |),
        |dy_b AS (
        |  SELECT doc_id, hit_windows,
-       |    least((hit_windows * $bands) // n_windows, ${bands - 1}) AS band
+       |    ${graft.functions.EdgeLadder.ratioBandDuck(
+            "hit_windows", "n_windows", bands)} AS band
        |  FROM dy_d WHERE hit_windows > 0
        |),
        |dy_t AS (
@@ -360,7 +362,7 @@ object SubstringOps {
        |  FROM documents
        |)
        |SELECT CAST(band AS BIGINT) AS band,
-       |  CAST((band * 1000000) // $bands AS BIGINT) AS share_lo_ppm,
+       |  ${graft.functions.EdgeLadder.bandLoPpmDuck(bands)} AS share_lo_ppm,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(tok) AS BIGINT) AS doc_tokens,
        |  CAST(sum(hit_windows) AS BIGINT) AS hit_windows

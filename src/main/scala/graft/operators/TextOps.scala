@@ -2154,6 +2154,80 @@ object TextOps {
        |FROM lq_sums""".stripMargin
   }
 
+  /** x177: per-source length×quality Pearson — x92 answers "is the
+    * quality score just length" for the corpus; per source the answer
+    * differs (a code feed's quality legitimately tracks length, a chat
+    * feed's should not), and the per-source r is what says WHICH feeds'
+    * quality gates are redundant with their length cut. Sources whose
+    * variance vanishes on either axis read NULL r, not a crash (ANSI
+    * division guard), and |r| comparisons against x92's corpus row
+    * localize the correlation.
+    *
+    * Determinism: the same snapped integer moments as x92 in the same
+    * order; per-source sums ride DECIMAL(38,0) (a single source can
+    * carry the whole corpus — the 9e6-doc BIGINT headroom x92 documents
+    * is per-corpus, not per-group, so the group sums take the wide
+    * type and error loudly rather than wrap). The finish divides in
+    * fixed double order; sqrt is IEEE-exact.
+    *
+    * Scale: one narrow projection, ONE map-side-combinable groupBy —
+    * a dominant source collapses in the partials — |sources| rows out. */
+  def sourceLengthQualityCorr(df: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val n = graft.functions.TextExpressions.wsTokenCountFast(col("text"))
+      .cast("long")
+    val q = floor(qualityScoreCol(col("text")) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val sums = df.filter(col("doc_id").isNotNull && col("source").isNotNull)
+      .select(col("source"), n.as("n"), q.as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("c"),
+        sum(col("n").cast(dec)).as("sn"), sum(col("q").cast(dec)).as("sq"),
+        sum((col("n").cast(dec) * col("q").cast(dec)).cast(dec)).as("snq"),
+        sum((col("n").cast(dec) * col("n").cast(dec)).cast(dec)).as("snn"),
+        sum((col("q").cast(dec) * col("q").cast(dec)).cast(dec)).as("sqq"))
+    val c = col("c").cast("double")
+    val sn = col("sn").cast("double")
+    val sq = col("sq").cast("double")
+    val varN = c * col("snn").cast("double") - sn * sn
+    val varQ = c * col("sqq").cast("double") - sq * sq
+    sums.select(col("source"), col("c").as("n_docs"),
+      (sn / c).as("mean_tokens"),
+      (sq / c / lit(1e6)).as("mean_quality"),
+      when(varN > 0 && varQ > 0,
+        (c * col("snq").cast("double") - sn * sq)
+          / (sqrt(varN) * sqrt(varQ))).as("pearson_r"))
+  }
+
+  /** DuckDB twin of [[sourceLengthQualityCorr]]. */
+  def sourceLengthQualityCorrSql: String = {
+    val varN = "(CAST(c AS DOUBLE) * CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))"
+    val varQ = "(CAST(c AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))"
+    s"""WITH slq_doc AS (
+       |  SELECT source, CAST(len(${wordsReSql("text")}) AS BIGINT) AS n,
+       |    CAST(floor((${qualityScoreColSql("text")}) * 1e6 + 0.5) AS BIGINT)
+       |      AS q
+       |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+       |),
+       |slq_sums AS (
+       |  SELECT source, count(*) AS c,
+       |    sum(CAST(n AS HUGEINT)) AS sn, sum(CAST(q AS HUGEINT)) AS sq,
+       |    sum(CAST(n AS HUGEINT) * q) AS snq,
+       |    sum(CAST(n AS HUGEINT) * n) AS snn,
+       |    sum(CAST(q AS HUGEINT) * q) AS sqq
+       |  FROM slq_doc GROUP BY source
+       |)
+       |SELECT source, c AS n_docs,
+       |  CAST(sn AS DOUBLE) / CAST(c AS DOUBLE) AS mean_tokens,
+       |  CAST(sq AS DOUBLE) / CAST(c AS DOUBLE) / 1e6 AS mean_quality,
+       |  CASE WHEN $varN > 0 AND $varQ > 0 THEN
+       |    (CAST(c AS DOUBLE) * CAST(snq AS DOUBLE)
+       |       - CAST(sn AS DOUBLE) * CAST(sq AS DOUBLE))
+       |    / (sqrt($varN) * sqrt($varQ))
+       |  END AS pearson_r
+       |FROM slq_sums""".stripMargin
+  }
+
   /** x94: per-source curation funnel — where each domain's documents
     * die in the gate stack: per source, how many docs pass the quality
     * gate, the length band, exact dedup (first copy of each normalized

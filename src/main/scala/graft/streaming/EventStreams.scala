@@ -99,8 +99,8 @@ object EventStreams {
     * output ≤15 rows + a 1-row broadcast of the totals. */
   def sessionYieldCurve(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = Seq(0L, 1L, 2L, 5L, 10L, 30L, 60L, 120L, 300L, 600L,
-      1800L, 3600L, 7200L, 86400L)
+    import graft.functions.EdgeLadder
+    val edges = EdgeLadder.secondsLadder
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val gaps = events.select(col("user_id"), col("ts"))
       .withColumn("prev", lag(col("ts"), 1).over(byUser))
@@ -108,12 +108,8 @@ object EventStreams {
       .select(col("user_id"),
         (unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
           .as("gap_sec"))
-    // band k = #edges strictly below the gap, i.e. gap ∈ (e_{k−1}, e_k]
-    val band = edges.map(e => when(col("gap_sec") > e, 1L).otherwise(0L))
-      .reduce(_ + _)
-    val hiCase = "CASE band " + edges.zipWithIndex.map { case (e, i) =>
-      s"WHEN ${i} THEN ${e}L" }.mkString(" ") + " ELSE NULL END"
-    val perBand = gaps.withColumn("band", band)
+    val perBand = gaps
+      .withColumn("band", EdgeLadder.band(col("gap_sec"), edges))
       .groupBy("band", "user_id").agg(count(lit(1)).as("n_g"))
       .groupBy("band")
       .agg(sum(col("n_g")).as("n_gaps"),
@@ -121,19 +117,17 @@ object EventStreams {
     val tot = events.agg(count(lit(1)).as("n_events_total"),
       count_distinct(col("user_id")).as("n_users_total"))
     perBand.crossJoin(broadcast(tot))
-      .select(col("band"), expr(hiCase).as("gap_hi_sec"),
+      .select(col("band"), EdgeLadder.hiEdge("band", edges).as("gap_hi_sec"),
         col("n_gaps"), col("n_users_with_gap"),
         col("n_users_total"), col("n_events_total"))
   }
 
   /** DuckDB twin of [[sessionYieldCurve]]. */
   def sessionYieldCurveSql: String = {
-    val edges = Seq(0L, 1L, 2L, 5L, 10L, 30L, 60L, 120L, 300L, 600L,
-      1800L, 3600L, 7200L, 86400L)
-    val bandExpr = edges.map(e =>
-      s"(CASE WHEN gap_sec > $e THEN 1 ELSE 0 END)").mkString(" + ")
-    val hiCase = "CASE band " + edges.zipWithIndex.map { case (e, i) =>
-      s"WHEN $i THEN $e" }.mkString(" ") + " ELSE NULL END"
+    import graft.functions.EdgeLadder
+    val edges = EdgeLadder.secondsLadder
+    val bandExpr = EdgeLadder.bandSql("gap_sec", edges)
+    val hiCase = EdgeLadder.hiEdgeSql("band", edges)
     s"""WITH sy_g AS (
        |  SELECT user_id,
        |    CAST(floor(epoch(ts)) AS BIGINT)
@@ -284,25 +278,22 @@ object EventStreams {
     * count — ≤|types|·15 output rows — and a broadcast join of the
     * |types|-row totals. */
   def watermarkYieldCurve(events: DataFrame, buckets: Int = 64): DataFrame = {
-    val edges = Seq(0L, 1L, 2L, 5L, 10L, 30L, 60L, 120L, 300L, 600L,
-      1800L, 3600L, 7200L, 86400L)
+    import graft.functions.EdgeLadder
+    val edges = EdgeLadder.secondsLadder
     val late = lateness(events, buckets)
       .select(col("event_type"),
         coalesce(col("late_sec"), lit(0L)).as("late_sec"),
         col("late_sec").isNotNull.as("was_late"))
-    val band = edges.map(e => when(col("late_sec") > e, 1L).otherwise(0L))
-      .reduce(_ + _)
-    val hiCase = "CASE band " + edges.zipWithIndex.map { case (e, i) =>
-      s"WHEN $i THEN ${e}L" }.mkString(" ") + " ELSE NULL END"
     val tot = late.groupBy("event_type")
       .agg(count(lit(1)).as("n_events_total"),
         sum(when(col("was_late"), 1L).otherwise(0L)).as("n_late_total"))
     late
-      .withColumn("band", band)
+      .withColumn("band", EdgeLadder.band(col("late_sec"), edges))
       .groupBy("event_type", "band")
       .agg(count(lit(1)).as("n_in_band"))
       .join(broadcast(tot), Seq("event_type"))
-      .select(col("event_type"), col("band"), expr(hiCase).as("late_hi_sec"),
+      .select(col("event_type"), col("band"),
+        EdgeLadder.hiEdge("band", edges).as("late_hi_sec"),
         col("n_in_band"), col("n_late_total"), col("n_events_total"))
   }
 
@@ -310,12 +301,10 @@ object EventStreams {
     * same lateness with a plain per-type window (oracle scale), bands
     * identically. */
   def watermarkYieldCurveSql: String = {
-    val edges = Seq(0L, 1L, 2L, 5L, 10L, 30L, 60L, 120L, 300L, 600L,
-      1800L, 3600L, 7200L, 86400L)
-    val bandExpr = edges.map(e =>
-      s"(CASE WHEN late_sec > $e THEN 1 ELSE 0 END)").mkString(" + ")
-    val hiCase = "CASE band " + edges.zipWithIndex.map { case (e, i) =>
-      s"WHEN $i THEN $e" }.mkString(" ") + " ELSE NULL END"
+    import graft.functions.EdgeLadder
+    val edges = EdgeLadder.secondsLadder
+    val bandExpr = EdgeLadder.bandSql("late_sec", edges)
+    val hiCase = EdgeLadder.hiEdgeSql("band", edges)
     s"""WITH wy_l0 AS (
        |  SELECT event_type,
        |    CASE WHEN prior_max IS NOT NULL AND epoch < prior_max

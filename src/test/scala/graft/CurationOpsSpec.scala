@@ -392,7 +392,7 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "b", words(40)), (4L, null.asInstanceOf[String], words(9)))
       .toDF("doc_id", "source", "text")
     val got = CurationOps.truncationYield(docs, caps = Seq(16L, 32L, 64L))
-      .collect().map(r => (r.getString(0), r.getAs[Long]("cap")) ->
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("cap")) ->
         ((r.getAs[Long]("n_docs_truncated"), r.getAs[Long]("tokens_lost"),
           r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_total")))).toMap
     assert(got.size === 6, s"$got")  // 2 sources × 3 caps; null source out

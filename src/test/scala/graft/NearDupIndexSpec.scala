@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.NearDupIndex
+
+/** Persisted near-dup signature index: admission semantics on a closed
+  * fixture, epoch extension, and the crash-anywhere promotion states
+  * (an epoch written but never promoted must be invisible; old versions
+  * must survive promotion for rollback). */
+class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val a12 =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  // one appended word: 11 shared shingles of 12 — near-dup territory
+  private val a12near = a12 + " nu"
+  private val b12 =
+    "one two three four five six seven eight nine ten eleven twelve"
+  private val tiny = "hi yo" // under shingleWords: clique row, no postings
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("ndx_spec").toString
+
+  test("admit: exact/near/novel/unsignable verdicts, in-batch collapse") {
+    val s = spark
+    import s.implicits._
+    val existing = Seq((2L, a12), (4L, a12), (6L, b12), (8L, tiny))
+      .toDF("doc_id", "text")
+    val root = freshRoot()
+    NearDupIndex.buildIndex(existing, root)
+    val incoming = Seq(
+      (5L, a12), (25L, a12), // exact dups of indexed, in-batch pair
+      (10L, a12near),        // near-dup of indexed content
+      (15L, tiny),           // exact dup of UNSIGNABLE indexed content
+      (20L, "totally different words nobody used before in this corpus " +
+        "with plenty of fresh trigrams to shingle")
+    ).toDF("doc_id", "text")
+    val got = NearDupIndex.admit(incoming, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("n_batch_copies"),
+          r.getAs[Long]("best_est_ppm")))).toMap
+    assert(got.size === 4, s"in-batch dups must collapse: $got")
+    assert(got(5L) === (("dup_exact", 2L, 1000000L)),
+      s"exact dup of signed content: full-match estimate: $got")
+    assert(got(15L) === (("dup_exact", 1L, 0L)),
+      s"unsignable exact dup rejected via the cliques table: $got")
+    assert(got(10L)._1 === "dup_near" && got(10L)._3 >= 500000L,
+      s"one-word append must band-collide and estimate high: $got")
+    assert(got(20L)._1 === "admitted" && got(20L)._3 < 500000L,
+      s"novel content admits: $got")
+  }
+
+  test("extend commits admitted contents as a new epoch; next batch sees them") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    NearDupIndex.buildIndex(Seq((1L, a12)).toDF("doc_id", "text"), root)
+    NearDupIndex.extend(Seq((10L, b12), (12L, a12)).toDF("doc_id", "text"),
+      root)
+    assert(NearDupIndex.committedEpochs(root).size === 2)
+    val got = NearDupIndex.admit(
+      Seq((20L, b12), (22L, a12)).toDF("doc_id", "text"), root).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got === Map(20L -> "dup_exact", 22L -> "dup_exact"),
+      s"batch-1 admissions (b12) and originals (a12) both reject now: $got")
+    // the rejected a12 copy (12L) must NOT have been re-indexed: still
+    // exactly one clique row per content across the committed epochs
+    val eps = NearDupIndex.committedEpochs(root)
+    val cl = spark.read.parquet(eps.map(e => s"$root/$e/cliques"): _*)
+    assert(cl.groupBy("fp").count().filter(col("count") > 1).isEmpty,
+      "no content may be indexed twice across epochs")
+  }
+
+  test("crash-anywhere: unpromoted epochs are invisible; old versions survive") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    NearDupIndex.buildIndex(Seq((1L, a12)).toDF("doc_id", "text"), root)
+    val before = NearDupIndex.committedEpochs(root)
+    // crash between epoch write and manifest promotion: an orphan epoch
+    // dir exists but nothing names it
+    Files.createDirectories(Paths.get(root, "epochs", "eORPHAN", "cliques"))
+    assert(NearDupIndex.committedEpochs(root) === before,
+      "an unpromoted epoch must stay invisible")
+    val got = NearDupIndex.admit(
+      Seq((9L, b12)).toDF("doc_id", "text"), root).collect()
+    assert(got.length === 1 && got.head.getAs[String]("verdict") === "admitted",
+      "admission reads committed epochs only — the orphan cannot break it")
+    // promotion keeps prior versions for rollback: v1's manifest is
+    // untouched after an extend promotes v2
+    val v1 = Files.readString(Paths.get(root, "v1", "manifest.json"))
+    NearDupIndex.extend(Seq((9L, b12)).toDF("doc_id", "text"), root)
+    assert(Files.readString(Paths.get(root, "CURRENT")).trim === "v2")
+    assert(Files.readString(Paths.get(root, "v1", "manifest.json")) === v1,
+      "prior version must survive promotion for rollback/audit")
+  }
+}

@@ -205,4 +205,46 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("two live panels -> driftFromPanels == batch x176 after every prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"))
+      .toDF("doc_id", "source")
+    // release A drifts source "a" toward the y axis; B stays put
+    val a1 = Seq((1L, Array(1.0f, 0.0f)), (10L, Array(0.0f, 1.0f)))
+    val a2 = Seq((2L, Array(0.6f, 0.8f)), (11L, Array(0.0f, 1.0f)))
+    val b1 = Seq((1L, Array(0.0f, 1.0f)), (10L, Array(0.0f, 1.0f)))
+    val b2 = Seq((2L, Array(0.0f, 1.0f)), (11L, Array(1.0f, 0.0f)))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).sortBy(_._1).toSeq
+    val inA = MemoryStream[(Long, Array[Float])]
+    val inB = MemoryStream[(Long, Array[Float])]
+    val qA = graft.streaming.SketchStream.anisotropyPanelOnIngest(
+        inA.toDF().toDF("vec_id", "embedding"), docs)
+      .writeStream.format("memory").queryName("drift_panel_a")
+      .outputMode("complete").start()
+    val qB = graft.streaming.SketchStream.anisotropyPanelOnIngest(
+        inB.toDF().toDF("vec_id", "embedding"), docs)
+      .writeStream.format("memory").queryName("drift_panel_b")
+      .outputMode("complete").start()
+    try {
+      for (((pa, aa), (pb, ab)) <- Seq(((a1, a1), (b1, b1)),
+          ((a1 ++ a2, a2), (b1 ++ b2, b2)))) {
+        inA.addData(aa); qA.processAllAvailable()
+        inB.addData(ab); qB.processAllAvailable()
+        val live = graft.operators.SimilarityOps.driftFromPanels(
+          spark.table("drift_panel_a").localCheckpoint(true),
+          spark.table("drift_panel_b").localCheckpoint(true))
+        val batch = graft.operators.SimilarityOps.releaseDrift(docs,
+          pa.toDF("vec_id", "embedding"), pb.toDF("vec_id", "embedding"))
+        assert(snap(live) === snap(batch),
+          s"drift diverged at prefix of ${pa.size}")
+        assert(snap(live).nonEmpty, "fixture must produce drift rows")
+      }
+    } finally { qA.stop(); qB.stop() }
+  }
 }

@@ -8,7 +8,8 @@
 # Usage: tools/closing.sh <round-number> [sf001-dir] [sf01-dir]
 # Produces / refreshes, in order:
 #   1. full `sbt test`                  (must be 0 failures)
-#   2. full Verify + check.py at sf0.01 (must be 0 FAIL rows)
+#   2. full Verify + check.py at sf0.01 (must be 0 FAIL rows) and the
+#      committed per-query mirror CORRECTNESS_local_r<N>.json
 #   3. PLANS.md via graft.Explain       (plan count == query count)
 #   4. bench_full_r<N>.json at sf0.1    (valid JSON with per-query secs)
 #   5. README round-state check         (must mention "round <N>")
@@ -39,6 +40,26 @@ echo "check.py: $NOK ok, $NFAIL FAIL"
 if [ "$NFAIL" != "0" ] || [ "$NOK" -lt 200 ]; then
   echo "FAIL: correctness gate:"; grep "^FAIL" /tmp/closing_check.log | head -20; FAIL=1
 fi
+# committed per-query mirror (VERDICT r12 item #3 / r13 item #5): the
+# local gate's row counts and ok/FAIL per query, so the judge can audit
+# correctness even when the driver's own artifact is empty or lost
+python3 - "$ROUND" <<'EOF' || FAIL=1
+import json, re, sys
+rows = {}
+for line in open("/tmp/closing_check.log"):
+    m = re.match(r"^(ok|FAIL)\s+(\S+)\s*(?:\((\d+) rows\))?", line)
+    if m:
+        rows[m.group(2).rstrip(":")] = {
+            "ok": m.group(1) == "ok",
+            "rows": int(m.group(3)) if m.group(3) else None}
+assert rows, "no check.py rows parsed"
+out = f"CORRECTNESS_local_r{sys.argv[1]}.json"
+json.dump({"sf": "sf0.01", "queries": rows,
+           "n_ok": sum(1 for v in rows.values() if v["ok"]),
+           "n_fail": sum(1 for v in rows.values() if not v["ok"])},
+          open(out, "w"), indent=0, sort_keys=True)
+print(f"{out}: {len(rows)} queries mirrored")
+EOF
 rm -rf "$VOUT"
 
 step "3/5 regenerate PLANS.md"
