@@ -202,7 +202,7 @@ object GraphOps {
                        state: IterState = Local): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"rounds=$rounds")
     import org.apache.spark.sql.expressions.Window
-    val edges = state.pin(
+    val edges = DedupOps.memoPin(state)(
       pairs.select(col("u_a").as("src"), col("u_b").as("dst"))
         .union(pairs.select(col("u_b").as("src"), col("u_a").as("dst"))))
     var lab = edges.select(col("src").as("id")).distinct()
@@ -210,7 +210,7 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val byDst = Window.partitionBy("dst")
         .orderBy(col("c").desc, col("label").asc)
-      lab = state.pin(
+      lab = DedupOps.memoPin(state)(
         edges.join(lab, col("src") === col("id"))
           .groupBy(col("dst"), col("label"))
           .agg(count(lit(1)).as("c"))
@@ -237,7 +237,7 @@ object GraphOps {
     * by |communities|, every aggregate map-side combinable. */
   def communityCohesion(pairs: DataFrame, rounds: Int = 4, topK: Int = 20,
                         state: IterState = Local): DataFrame = {
-    val lab = state.pin(labelAssignments(pairs, rounds, state))
+    val lab = DedupOps.memoPin(state)(labelAssignments(pairs, rounds, state))
     val e = pairs
       .join(lab.select(col("id").as("u_a"), col("label").as("la")), Seq("u_a"))
       .join(lab.select(col("id").as("u_b"), col("label").as("lb")), Seq("u_b"))
@@ -286,7 +286,7 @@ object GraphOps {
     * measure map-side combinable, no window over edge mass. */
   def communityTraffic(pairs: DataFrame, rounds: Int = 4,
                        state: IterState = Local): DataFrame = {
-    val lab = state.pin(labelAssignments(pairs, rounds, state))
+    val lab = DedupOps.memoPin(state)(labelAssignments(pairs, rounds, state))
     val oriented = pairs
       .join(lab.select(col("id").as("u_a"), col("label").as("la")), Seq("u_a"))
       .join(lab.select(col("id").as("u_b"), col("label").as("lb")), Seq("u_b"))
