@@ -1272,6 +1272,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0), root)
     }),
 
+    // x178 — admission-threshold yield curve: per best-estimate value,
+    // the non-exact incoming contents/copies a minMatches cutoff there
+    // would near-reject — every threshold priced from x174's one probe
+    "x178_admission_yield" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_ndy")
+        .toString
+      graft.operators.NearDupIndex.buildIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), root)
+      graft.operators.NearDupIndex.admissionYield(
+        docs.filter(col("doc_id") % 5 === 0), root)
+    }),
+
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") % 100 === 0)
@@ -3074,6 +3087,8 @@ object SparkEntry {
     "x54_incremental_dedup" -> DedupOps.incrementalDedupSql,
     "x174_neardup_admission" ->
       graft.operators.NearDupIndex.admissionSql(),
+    "x178_admission_yield" ->
+      graft.operators.NearDupIndex.admissionYieldSql,
     "x55_winnowing_matches" -> TextOps.winnowingMatchesSql(),
     "x56_funnel" -> graft.operators.TemporalJoins.orderedFunnelSql(
       Seq("view", "click", "purchase"), "1 DAY"),

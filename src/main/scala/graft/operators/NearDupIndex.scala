@@ -78,14 +78,39 @@ object NearDupIndex {
   }
 
   private def writeEpoch(cliques: DataFrame, sigs: DataFrame,
-                         bands: DataFrame, root: String): String = {
-    val name = "e" + java.util.UUID.randomUUID().toString.take(12)
-    val dir = s"$root/epochs/$name"
-    cliques.write.mode("errorifexists").parquet(s"$dir/cliques")
-    sigs.write.mode("errorifexists").parquet(s"$dir/sigs")
-    bands.write.mode("errorifexists").parquet(s"$dir/bands")
+                         bands: DataFrame, root: String): String =
+    writeEpochNamed(cliques, sigs, bands, root,
+      "e" + java.util.UUID.randomUUID().toString.take(12))
+
+  /** Writes an epoch shard crash-safely under a FIXED name: tables are
+    * staged to a dot-prefixed sibling (invisible to readers — epochs
+    * are only reached through the committed manifest anyway), any
+    * leftover of a crashed earlier attempt at the same name is removed,
+    * and the staged dir atomically moves into place. Only after that
+    * may the caller promote a manifest naming it. */
+  private def writeEpochNamed(cliques: DataFrame, sigs: DataFrame,
+                              bands: DataFrame, root: String,
+                              name: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get(root, "epochs", s".stage-$name")
+    deleteRecursively(stage)
+    cliques.write.parquet(s"$stage/cliques")
+    sigs.write.parquet(s"$stage/sigs")
+    bands.write.parquet(s"$stage/bands")
+    val dst = Paths.get(root, "epochs", name)
+    deleteRecursively(dst) // a crashed attempt that moved but never promoted
+    Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
     s"epochs/$name"
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
 
   private def promoteManifest(root: String, epochs: Seq[String]): String = {
     val staged = java.nio.file.Files.createTempDirectory(
@@ -139,11 +164,12 @@ object NearDupIndex {
     * In-batch NEAR-dups are both reported on their own merits (the
     * batch is admitted first, indexed second — [[extend]] signs the
     * admitted set, so the next batch sees them). */
-  def admit(incoming: DataFrame, root: String,
-            minMatches: Int = defaultMinMatches,
-            text: Column = col("text")): DataFrame = {
-    val idx = load(incoming.sparkSession, root)
-    val (inCl, inSigs, inBands) = signCorpus(incoming, text)
+  /** Per incoming rep, the strongest signature estimate among
+    * band-colliding indexed reps: `(doc_id, best_matches)` — rows only
+    * for reps with ≥1 collision. The shared probe of [[admit]] and
+    * [[admissionYield]]. */
+  private def bestEstimates(inSigs: DataFrame, inBands: DataFrame,
+                            idx: Loaded): DataFrame = {
     val cand = inBands.as("i")
       .join(idx.bands.as("e"),
         col("i.band") === col("e.band") &&
@@ -157,9 +183,17 @@ object NearDupIndex {
       (0 until numHashes).map(i => col(s"m$i").as(s"i_m$i")): _*)
     val sigE = idx.sigs.select(col("doc_id").as("old_rep") +:
       (0 until numHashes).map(i => col(s"m$i").as(s"e_m$i")): _*)
-    val best = cand.join(sigI, Seq("doc_id")).join(sigE, Seq("old_rep"))
+    cand.join(sigI, Seq("doc_id")).join(sigE, Seq("old_rep"))
       .select(col("doc_id"), matchCnt.as("mc"))
       .groupBy("doc_id").agg(max(col("mc")).as("best_matches"))
+  }
+
+  def admit(incoming: DataFrame, root: String,
+            minMatches: Int = defaultMinMatches,
+            text: Column = col("text")): DataFrame = {
+    val idx = load(incoming.sparkSession, root)
+    val (inCl, inSigs, inBands) = signCorpus(incoming, text)
+    val best = bestEstimates(inSigs, inBands, idx)
     inCl
       .select(col("rep").as("doc_id"), col("fp").as("content_hash"),
         col("weight").as("n_batch_copies"))
@@ -174,22 +208,73 @@ object NearDupIndex {
           .as("best_est_ppm"))
   }
 
+  /** x178: admission-threshold YIELD CURVE — x174 admits at ONE
+    * `minMatches` cutoff; this prices EVERY cutoff from the same probe
+    * pass: per best-estimate value (0..16 matching components), the
+    * distinct NON-exact incoming contents whose strongest index
+    * collision reads exactly that estimate, with their batch copy
+    * counts. The cumulative contents/copies at-or-above m are exactly
+    * what a threshold of m near-rejects (exact dups are out of the
+    * knob's reach and excluded); contents colliding with nothing sit at
+    * 0 — admitted under every threshold, so the curve is total. The
+    * knee is the minMatches to ship, read against x89's estimate-vs-
+    * exact calibration of the same estimator.
+    *
+    * Scale: the identical O(|incoming| + collisions) probe as [[admit]]
+    * plus one ≤17-row aggregate. */
+  def admissionYield(incoming: DataFrame, root: String,
+                     text: Column = col("text")): DataFrame = {
+    val idx = load(incoming.sparkSession, root)
+    val (inCl, inSigs, inBands) = signCorpus(incoming, text)
+    val best = bestEstimates(inSigs, inBands, idx)
+    inCl.join(idx.cliques.select(col("fp")).distinct(), Seq("fp"),
+        "left_anti")
+      .select(col("rep").as("doc_id"), col("weight"))
+      .join(best, Seq("doc_id"), "left")
+      .select(coalesce(col("best_matches"), lit(0L)).as("best_matches"),
+        col("weight"))
+      .groupBy("best_matches")
+      .agg(count(lit(1)).as("n_contents"), sum(col("weight")).as("n_copies"))
+      .select(col("best_matches"),
+        (col("best_matches") * ppmPerMatch).as("est_ppm"),
+        col("n_contents"), col("n_copies"))
+  }
+
   /** Admit a batch and commit the admitted contents as a new epoch —
     * the index grows by O(|admitted|) postings; nothing existing is
     * rewritten. Returns the promoted version path. */
   def extend(incoming: DataFrame, root: String,
              minMatches: Int = defaultMinMatches,
              text: Column = col("text")): String = {
+    extendEpoch(incoming, root,
+      "e" + java.util.UUID.randomUUID().toString.take(12), minMatches, text)
+    graft.core.AtomicDir.current(root)
+  }
+
+  /** [[extend]] under a CALLER-CHOSEN epoch name — the idempotent-replay
+    * form a streaming admitter needs ([[graft.streaming.NearDupStream]]
+    * names epochs by micro-batch id). A name already in the committed
+    * manifest is a completed batch: returns false untouched. A crashed
+    * earlier attempt (epoch staged or even moved into place, manifest
+    * never promoted) is rebuilt from scratch and atomically replaced —
+    * correct because the admitted set is a deterministic function of
+    * the COMMITTED manifest, which the crash did not advance. */
+  def extendEpoch(incoming: DataFrame, root: String, epochName: String,
+                  minMatches: Int = defaultMinMatches,
+                  text: Column = col("text")): Boolean = {
+    val committed = committedEpochs(root)
+    if (committed.contains(s"epochs/$epochName")) return false
     val admitted = admit(incoming, root, minMatches, text)
       .filter(col("verdict") === "admitted")
       .select(col("content_hash").as("fp"))
     val (inCl, inSigs, inBands) = signCorpus(incoming, text)
     val cliques = inCl.join(admitted, Seq("fp"), "left_semi")
     val reps = cliques.select(col("rep").as("doc_id"))
-    val ep = writeEpoch(cliques,
+    val ep = writeEpochNamed(cliques,
       inSigs.join(reps, Seq("doc_id"), "left_semi"),
-      inBands.join(reps, Seq("doc_id"), "left_semi"), root)
-    promoteManifest(root, committedEpochs(root) :+ ep)
+      inBands.join(reps, Seq("doc_id"), "left_semi"), root, epochName)
+    promoteManifest(root, committed :+ ep)
+    true
   }
 
   // ---- DuckDB twin ---------------------------------------------------------
@@ -217,7 +302,35 @@ object NearDupIndex {
     * doc_id % 5 <> 0, incoming = the rest): the whole build+admit
     * replayed in SQL — the index is a deterministic function of the
     * existing partition, so the twin needs no dynamic state. */
-  def admissionSql(minMatches: Int = defaultMinMatches): String = {
+  def admissionSql(minMatches: Int = defaultMinMatches): String =
+    s"""$admissionCtes
+       |SELECT i.doc_id, i.fp AS content_hash,
+       |  CAST(i.weight AS BIGINT) AS n_batch_copies,
+       |  CASE WHEN e.fp IS NOT NULL THEN 'dup_exact'
+       |       WHEN b.best_matches >= $minMatches THEN 'dup_near'
+       |       ELSE 'admitted' END AS verdict,
+       |  CAST(coalesce(b.best_matches, 0) * $ppmPerMatch AS BIGINT)
+       |    AS best_est_ppm
+       |FROM ndx_in_cl i
+       |LEFT JOIN ndx_ex_cl e USING (fp)
+       |LEFT JOIN ndx_best b USING (doc_id)""".stripMargin
+
+  /** DuckDB twin of [[admissionYield]] over the same 80/20 split. */
+  def admissionYieldSql: String =
+    s"""$admissionCtes
+       |SELECT CAST(coalesce(b.best_matches, 0) AS BIGINT) AS best_matches,
+       |  CAST(coalesce(b.best_matches, 0) * $ppmPerMatch AS BIGINT)
+       |    AS est_ppm,
+       |  CAST(count(*) AS BIGINT) AS n_contents,
+       |  CAST(sum(i.weight) AS BIGINT) AS n_copies
+       |FROM ndx_in_cl i
+       |ANTI JOIN ndx_ex_cl e USING (fp)
+       |LEFT JOIN ndx_best b USING (doc_id)
+       |GROUP BY coalesce(b.best_matches, 0)""".stripMargin
+
+  /** Shared CTE prefix of the admission twins: clique/sig/band
+    * relations for both partitions and the best-estimate probe. */
+  private def admissionCtes: String = {
     val est = (0 until numHashes)
       .map(i => s"CASE WHEN si.m$i = se.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
@@ -248,16 +361,6 @@ object NearDupIndex {
        |  JOIN ndx_in_sig si ON si.doc_id = c.doc_id
        |  JOIN ndx_ex_sig se ON se.doc_id = c.old_rep
        |  GROUP BY c.doc_id
-       |)
-       |SELECT i.doc_id, i.fp AS content_hash,
-       |  CAST(i.weight AS BIGINT) AS n_batch_copies,
-       |  CASE WHEN e.fp IS NOT NULL THEN 'dup_exact'
-       |       WHEN b.best_matches >= $minMatches THEN 'dup_near'
-       |       ELSE 'admitted' END AS verdict,
-       |  CAST(coalesce(b.best_matches, 0) * $ppmPerMatch AS BIGINT)
-       |    AS best_est_ppm
-       |FROM ndx_in_cl i
-       |LEFT JOIN ndx_ex_cl e USING (fp)
-       |LEFT JOIN ndx_best b USING (doc_id)""".stripMargin
+       |)""".stripMargin
   }
 }
