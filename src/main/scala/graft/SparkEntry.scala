@@ -75,6 +75,22 @@ object SparkEntry {
       graft.operators.IvfOps.trainBounded(Tables.embeddings(s, dir),
         iterations = 3))
 
+  // Persisted near-dup index over the 80% partition: built once per
+  // (session, corpus) like ivfModel — x174/x178 both probe it, and a
+  // bench round must not re-sign the corpus (or leak a fresh temp
+  // index dir) per invocation. The index is a deterministic function
+  // of the partition, so reuse cannot change any result.
+  private val ndxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def ndxRoot(s: SparkSession, dir: String): String =
+    ndxCache.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_ndx")
+        .toString
+      graft.operators.NearDupIndex.buildIndex(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0), root)
+      root
+    })
+
   // Trained BPE merge table: same train-once-per-(session, corpus)
   // contract as ivfModel; the generated DuckDB twins replay training
   // from the merge literals (BpeOps.trainSql / applyCountsSql).
@@ -1262,28 +1278,18 @@ object SparkEntry {
     // epoch-manifest protocol), then ADMIT the 20% against the
     // on-disk index — exact anti-join + band-collision estimate,
     // O(|incoming| + collisions), the existing corpus never re-signed
-    "x174_neardup_admission" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft_ndx")
-        .toString
-      graft.operators.NearDupIndex.buildIndex(
-        docs.filter(col("doc_id") % 5 =!= 0), root)
+    "x174_neardup_admission" -> ((s, dir) =>
       graft.operators.NearDupIndex.admit(
-        docs.filter(col("doc_id") % 5 === 0), root)
-    }),
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        ndxRoot(s, dir))),
 
     // x178 — admission-threshold yield curve: per best-estimate value,
     // the non-exact incoming contents/copies a minMatches cutoff there
     // would near-reject — every threshold priced from x174's one probe
-    "x178_admission_yield" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft_ndy")
-        .toString
-      graft.operators.NearDupIndex.buildIndex(
-        docs.filter(col("doc_id") % 5 =!= 0), root)
+    "x178_admission_yield" -> ((s, dir) =>
       graft.operators.NearDupIndex.admissionYield(
-        docs.filter(col("doc_id") % 5 === 0), root)
-    }),
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        ndxRoot(s, dir))),
 
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
