@@ -1291,6 +1291,17 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         ndxRoot(s, dir))),
 
+    // x179 — admission-sketch audit: estimate-based near-reject vs the
+    // exact-Jaccard verdict on the same collided pairs — the (1,0)
+    // cell is good data the sketch throws away, (0,1) near-dup mass it
+    // lets in; the x96-style confusion read before a 100TB ingest
+    // trusts the estimator
+    "x179_admission_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.NearDupIndex.admissionAudit(
+        docs.filter(col("doc_id") % 5 === 0), docs, ndxRoot(s, dir))
+    }),
+
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") % 100 === 0)
@@ -3095,6 +3106,8 @@ object SparkEntry {
       graft.operators.NearDupIndex.admissionSql(),
     "x178_admission_yield" ->
       graft.operators.NearDupIndex.admissionYieldSql,
+    "x179_admission_audit" ->
+      graft.operators.NearDupIndex.admissionAuditSql(),
     "x55_winnowing_matches" -> TextOps.winnowingMatchesSql(),
     "x56_funnel" -> graft.operators.TemporalJoins.orderedFunnelSql(
       Seq("view", "click", "purchase"), "1 DAY"),

@@ -168,7 +168,9 @@ object NearDupIndex {
     * band-colliding indexed reps: `(doc_id, best_matches)` — rows only
     * for reps with ≥1 collision. The shared probe of [[admit]] and
     * [[admissionYield]]. */
-  private def bestEstimates(inSigs: DataFrame, inBands: DataFrame,
+  /** Per band-colliding (incoming rep, indexed rep) pair, the signature
+    * estimate's matching-component count: `(doc_id, old_rep, mc)`. */
+  private def pairEstimates(inSigs: DataFrame, inBands: DataFrame,
                             idx: Loaded): DataFrame = {
     val cand = inBands.as("i")
       .join(idx.bands.as("e"),
@@ -184,9 +186,13 @@ object NearDupIndex {
     val sigE = idx.sigs.select(col("doc_id").as("old_rep") +:
       (0 until numHashes).map(i => col(s"m$i").as(s"e_m$i")): _*)
     cand.join(sigI, Seq("doc_id")).join(sigE, Seq("old_rep"))
-      .select(col("doc_id"), matchCnt.as("mc"))
-      .groupBy("doc_id").agg(max(col("mc")).as("best_matches"))
+      .select(col("doc_id"), col("old_rep"), matchCnt.as("mc"))
   }
+
+  private def bestEstimates(inSigs: DataFrame, inBands: DataFrame,
+                            idx: Loaded): DataFrame =
+    pairEstimates(inSigs, inBands, idx)
+      .groupBy("doc_id").agg(max(col("mc")).as("best_matches"))
 
   def admit(incoming: DataFrame, root: String,
             minMatches: Int = defaultMinMatches,
@@ -238,6 +244,49 @@ object NearDupIndex {
       .select(col("best_matches"),
         (col("best_matches") * ppmPerMatch).as("est_ppm"),
         col("n_contents"), col("n_copies"))
+  }
+
+  /** x179: admission-sketch AUDIT — the x96-of-the-index: the admitter
+    * near-rejects on the SIGNATURE ESTIMATE (it cannot see the indexed
+    * corpus's shingle sets); this confusion matrix says what that
+    * sketch decision costs. Per non-exact incoming content: the
+    * estimate verdict (best collision ≥ `minMatches`/16) against the
+    * EXACT verdict (max exact Jaccard over the same collided pairs ≥
+    * `threshold`, recomputed offline from both partitions' text — an
+    * audit may touch what the admitter cannot). Four cells
+    * `(est_reject, exact_reject)` with content and copy counts: the
+    * (1,0) cell is good data the sketch would throw away, (0,1) is
+    * near-dup mass it would let in — the numbers that justify (or
+    * resize) `minMatches` before a 100 TB ingest trusts it.
+    *
+    * Scale: the shared probe plus exact Jaccard on COLLIDED pairs only
+    * (never all pairs); one 4-row aggregate. */
+  def admissionAudit(incoming: DataFrame, corpus: DataFrame, root: String,
+                     minMatches: Int = defaultMinMatches,
+                     threshold: Double = 0.5,
+                     text: Column = col("text")): DataFrame = {
+    val idx = load(incoming.sparkSession, root)
+    val (inCl, inSigs, inBands) = signCorpus(incoming, text)
+    val pe = pairEstimates(inSigs, inBands, idx)
+    val est = pe.groupBy("doc_id").agg(max(col("mc")).as("mm"))
+    val exact = DedupOps.jaccardFor(corpus,
+        pe.select(col("doc_id").as("doc_a"), col("old_rep").as("doc_b")),
+        text)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(max(col("jaccard")).as("mj"))
+    inCl.join(idx.cliques.select(col("fp")).distinct(), Seq("fp"),
+        "left_anti")
+      .select(col("rep").as("doc_id"), col("weight"))
+      .join(est, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(
+        when(coalesce(col("mm"), lit(0L)) >= minMatches, 1).otherwise(0)
+          .as("est_reject"),
+        when(coalesce(col("mj"), lit(0.0)) >= threshold, 1).otherwise(0)
+          .as("exact_reject"),
+        col("weight"))
+      .groupBy("est_reject", "exact_reject")
+      .agg(count(lit(1)).as("n_contents"), sum(col("weight")).as("n_copies"))
   }
 
   /** Admit a batch and commit the admitted contents as a new epoch —
@@ -327,6 +376,53 @@ object NearDupIndex {
        |ANTI JOIN ndx_ex_cl e USING (fp)
        |LEFT JOIN ndx_best b USING (doc_id)
        |GROUP BY coalesce(b.best_matches, 0)""".stripMargin
+
+  /** DuckDB twin of [[admissionAudit]] over the same 80/20 split. */
+  def admissionAuditSql(minMatches: Int = defaultMinMatches,
+                        threshold: Double = 0.5): String =
+    s"""$admissionCtes,
+       |ndx_pe AS (
+       |  SELECT c.doc_id, c.old_rep, ($estSql) AS mc
+       |  FROM ndx_cand c
+       |  JOIN ndx_in_sig si ON si.doc_id = c.doc_id
+       |  JOIN ndx_ex_sig se ON se.doc_id = c.old_rep
+       |),
+       |ndx_isz AS (SELECT doc_id, count(*) AS n FROM ndx_in_sh
+       |  GROUP BY doc_id),
+       |ndx_esz AS (SELECT doc_id, count(*) AS n FROM ndx_ex_sh
+       |  GROUP BY doc_id),
+       |ndx_int AS (
+       |  SELECT p.doc_id, p.old_rep, count(*) AS ni
+       |  FROM ndx_pe p
+       |  JOIN ndx_in_sh a ON a.doc_id = p.doc_id
+       |  JOIN ndx_ex_sh b ON b.doc_id = p.old_rep AND a.sh = b.sh
+       |  GROUP BY p.doc_id, p.old_rep
+       |),
+       |ndx_mj AS (
+       |  SELECT i.doc_id,
+       |    max(CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni)) AS mj
+       |  FROM ndx_int i
+       |  JOIN ndx_isz za ON za.doc_id = i.doc_id
+       |  JOIN ndx_esz zb ON zb.doc_id = i.old_rep
+       |  GROUP BY i.doc_id
+       |),
+       |ndx_mm AS (SELECT doc_id, max(mc) AS mm FROM ndx_pe GROUP BY doc_id)
+       |SELECT CAST(CASE WHEN coalesce(m.mm, 0) >= $minMatches
+       |    THEN 1 ELSE 0 END AS INTEGER) AS est_reject,
+       |  CAST(CASE WHEN coalesce(j.mj, 0) >= $threshold
+       |    THEN 1 ELSE 0 END AS INTEGER) AS exact_reject,
+       |  CAST(count(*) AS BIGINT) AS n_contents,
+       |  CAST(sum(i.weight) AS BIGINT) AS n_copies
+       |FROM ndx_in_cl i
+       |ANTI JOIN ndx_ex_cl e USING (fp)
+       |LEFT JOIN ndx_mm m USING (doc_id)
+       |LEFT JOIN ndx_mj j USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
+  /** The per-pair matching-component sum, shared by the probe CTEs. */
+  private def estSql: String = (0 until numHashes)
+    .map(i => s"CASE WHEN si.m$i = se.m$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
 
   /** Shared CTE prefix of the admission twins: clique/sig/band
     * relations for both partitions and the best-estimate probe. */
