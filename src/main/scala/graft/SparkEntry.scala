@@ -1291,6 +1291,13 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         ndxRoot(s, dir))),
 
+    // x180 — index bucket-skew profile: per LSH band, posting buckets
+    // by size class with their Σ C(m,2) collision mass — the probe
+    // fan-out read (max-bucket guard / wider banding evidence) before
+    // a large ingest trusts the index
+    "x180_index_skew" -> ((s, dir) =>
+      graft.operators.NearDupIndex.indexSkew(s, ndxRoot(s, dir))),
+
     // x179 — admission-sketch audit: estimate-based near-reject vs the
     // exact-Jaccard verdict on the same collided pairs — the (1,0)
     // cell is good data the sketch throws away, (0,1) near-dup mass it
@@ -3108,6 +3115,8 @@ object SparkEntry {
       graft.operators.NearDupIndex.admissionYieldSql,
     "x179_admission_audit" ->
       graft.operators.NearDupIndex.admissionAuditSql(),
+    "x180_index_skew" ->
+      graft.operators.NearDupIndex.indexSkewSql,
     "x55_winnowing_matches" -> TextOps.winnowingMatchesSql(),
     "x56_funnel" -> graft.operators.TemporalJoins.orderedFunnelSql(
       Seq("view", "click", "purchase"), "1 DAY"),

@@ -289,6 +289,70 @@ object NearDupIndex {
       .agg(count(lit(1)).as("n_contents"), sum(col("weight")).as("n_copies"))
   }
 
+  /** The bucket-size ladder of [[indexSkew]]: powers of two to 1024. */
+  private val skewLadder: Seq[Long] =
+    Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+
+  /** x180: index bucket-SKEW profile — the probe-cost governor of the
+    * persisted index: per LSH band, its posting buckets bucketed by
+    * SIZE on a powers-of-two ladder, each size class reporting bucket
+    * count, posting mass, and its collision mass Σ C(m,2) — the exact
+    * probe fan-out an [[admit]] of matching content pays against that
+    * class. A hot top class is a boilerplate band value (the corpus's
+    * near-identical template family concentrating in one bucket) — the
+    * evidence for a max-bucket probe guard (the x78 max-df discipline)
+    * or a wider banding scheme, read BEFORE a 100 TB ingest probes it.
+    * Sizes are DISTINCT-content counts (the index is contracted), so
+    * exact-dup virality cannot inflate this profile — what remains is
+    * genuine near-collision structure.
+    *
+    * Scale: one groupBy over the posting table + a ≤|bands|·|ladder|
+    * aggregate; never touches text. */
+  def indexSkew(spark: SparkSession, root: String): DataFrame = {
+    import graft.functions.EdgeLadder
+    val idx = load(spark, root)
+    idx.bands.groupBy("band", "band_hash").agg(count(lit(1)).as("m"))
+      .select(col("band"), col("m"),
+        EdgeLadder.band(col("m"), skewLadder).as("size_band"))
+      .groupBy("band", "size_band")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("m")).as("n_postings"),
+        sum(expr("(m * (m - 1)) div 2")).as("collision_mass"))
+      .select(col("band"), col("size_band"),
+        EdgeLadder.hiEdge("size_band", skewLadder).as("size_hi"),
+        col("n_buckets"), col("n_postings"), col("collision_mass"))
+  }
+
+  /** DuckDB twin of [[indexSkew]] over the gate's 80% partition. */
+  def indexSkewSql: String = {
+    import graft.functions.EdgeLadder
+    s"""WITH ndx_ex_cl AS (
+       |  SELECT md5(text) AS fp, min(doc_id) AS rep
+       |  FROM documents
+       |  WHERE doc_id % 5 <> 0 AND text IS NOT NULL AND doc_id IS NOT NULL
+       |  GROUP BY md5(text)
+       |),
+       |${sigBandCtes("ndx_ex",
+          "(SELECT d.doc_id, d.text FROM documents d " +
+            "JOIN ndx_ex_cl c ON d.doc_id = c.rep)")},
+       |sk_b AS (
+       |  SELECT band, band_hash, CAST(count(*) AS BIGINT) AS m
+       |  FROM ndx_ex_bands GROUP BY band, band_hash
+       |),
+       |sk_s AS (
+       |  SELECT band, m,
+       |    CAST(${EdgeLadder.bandSql("m", skewLadder)} AS BIGINT)
+       |      AS size_band
+       |  FROM sk_b
+       |)
+       |SELECT band, size_band,
+       |  CAST(${EdgeLadder.hiEdgeSql("size_band", skewLadder)} AS BIGINT)
+       |    AS size_hi,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(m) AS BIGINT) AS n_postings,
+       |  CAST(sum(m * (m - 1) // 2) AS BIGINT) AS collision_mass
+       |FROM sk_s GROUP BY band, size_band""".stripMargin
+  }
+
   /** Admit a batch and commit the admitted contents as a new epoch —
     * the index grows by O(|admitted|) postings; nothing existing is
     * rewritten. Returns the promoted version path. */
