@@ -390,6 +390,29 @@ object NearDupIndex {
     true
   }
 
+  /** Size-triggered epoch COMPACTION — the [[graft.streaming
+    * .AnnIndexStream.compactIndex]] discipline for this index: a
+    * long-lived ingest accretes one epoch (≥3 small parquet files) per
+    * micro-batch, and every probe then pays file-open latency across
+    * all of them. This rewrites the UNION of the committed epochs as
+    * ONE epoch (posting tables repartitioned modestly and sorted by
+    * their probe keys) and promotes a manifest naming only it — the
+    * same crash-anywhere guarantees as extension: the compacted epoch
+    * stages and atomically moves before the manifest promotes, readers
+    * resolve the old manifest (its epochs untouched) or the new one,
+    * and prior versions survive for rollback. Returns the promoted
+    * version path. */
+  def compact(spark: SparkSession, root: String): String = {
+    val idx = load(spark, root)
+    val name = "c" + java.util.UUID.randomUUID().toString.take(12)
+    val ep = writeEpochNamed(
+      idx.cliques.repartition(1).sortWithinPartitions("fp"),
+      idx.sigs.repartition(1).sortWithinPartitions("doc_id"),
+      idx.bands.repartition(1).sortWithinPartitions("band", "band_hash"),
+      root, name)
+    promoteManifest(root, Seq(ep))
+  }
+
   // ---- DuckDB twin ---------------------------------------------------------
 
   /** Sig + band CTEs (prefixed `p`) for the reps of `repRel`, which

@@ -86,6 +86,52 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no content may be indexed twice across epochs")
   }
 
+  test("compact collapses epochs to one; admissions are unchanged") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    NearDupIndex.buildIndex(Seq((1L, a12)).toDF("doc_id", "text"), root)
+    NearDupIndex.extend(Seq((10L, b12)).toDF("doc_id", "text"), root)
+    val probe = Seq((20L, a12), (21L, b12), (22L, a12near),
+      (23L, "entirely new words that shingle into nothing seen before " +
+        "anywhere in this corpus")).toDF("doc_id", "text")
+    val before = NearDupIndex.admit(probe, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("best_est_ppm")))).toMap
+    NearDupIndex.compact(spark, root)
+    assert(NearDupIndex.committedEpochs(root).size === 1)
+    val after = NearDupIndex.admit(probe, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("best_est_ppm")))).toMap
+    assert(after === before, "compaction must not change any admission")
+    assert(after(20L)._1 === "dup_exact" && after(21L)._1 === "dup_exact" &&
+      after(22L)._1 === "dup_near" && after(23L)._1 === "admitted", s"$after")
+  }
+
+  test("admissionYield bands every non-exact content; indexSkew masses add up") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    NearDupIndex.buildIndex(
+      Seq((1L, a12), (2L, b12)).toDF("doc_id", "text"), root)
+    val incoming = Seq((10L, a12), (11L, a12near),
+      (12L, "none of these words ever appeared in the index corpus " +
+        "so the probe collides with nothing at all")).toDF("doc_id", "text")
+    val y = NearDupIndex.admissionYield(incoming, root).collect()
+      .map(r => r.getAs[Long]("best_matches") ->
+        ((r.getAs[Long]("est_ppm"), r.getAs[Long]("n_contents")))).toMap
+    // the exact dup (10) is excluded; the near-dup (11) estimates high,
+    // the novel doc (12) sits in band 0 — the curve is total
+    assert(y.values.map(_._2).sum === 2L, s"two non-exact contents: $y")
+    assert(y.contains(0L) && y(0L)._1 === 0L, s"zero-collision band: $y")
+    assert(y.keys.max >= 8L, s"near-dup must estimate >= 8/16: $y")
+    val sk = NearDupIndex.indexSkew(spark, root).collect()
+    // 2 signed reps x 4 bands = 8 postings, all in singleton buckets
+    assert(sk.map(_.getAs[Long]("n_postings")).sum === 8L, s"${sk.toSeq}")
+    assert(sk.forall(_.getAs[Long]("collision_mass") === 0L),
+      s"distinct contents, singleton buckets: ${sk.toSeq}")
+  }
+
   test("crash-anywhere: unpromoted epochs are invisible; old versions survive") {
     val s = spark
     import s.implicits._
