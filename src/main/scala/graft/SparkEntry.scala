@@ -1886,6 +1886,13 @@ object SparkEntry {
     "x73_substring_clean" -> ((s, dir) =>
       SubstringOps.substringClean(Tables.documents(s, dir), 8)),
 
+    // x181 — keep-first span-dedup bill: the first document to carry a
+    // window's content keeps it, later holders pay the union of their
+    // dup spans (ordered-sweep marginal contributions); Σ retained IS
+    // the post-dedup corpus size under the production keep-one policy
+    "x181_keepfirst_span_bill" -> ((s, dir) =>
+      SubstringOps.keepFirstSpanBill(Tables.documents(s, dir), 8)),
+
     // x77 — cross-source window-overlap matrix: mirror/syndication
     // detection with a max-df guard bounding the self-join fan-out
     "x77_source_overlap" -> ((s, dir) =>
@@ -3053,6 +3060,7 @@ object SparkEntry {
     "x90_contamination_runs" ->
       SubstringOps.contaminationRunsSql("doc_id % 10 = 0", 8),
     "x73_substring_clean" -> SubstringOps.substringCleanSql(8),
+    "x181_keepfirst_span_bill" -> SubstringOps.keepFirstSpanBillSql(8),
     "x20_quantize_embeddings" ->
       s"""SELECT vec_id, norm, array_to_string(qcode, ',') AS qcode_str
          |FROM (${SimilarityOps.quantizeEmbeddingsSql.replace("\n", "\n      ")}) t""".stripMargin,

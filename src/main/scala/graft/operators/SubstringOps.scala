@@ -133,6 +133,107 @@ object SubstringOps {
        |SELECT doc_id, span_start, span_end, span_tokens, n_windows
        |FROM ss_spans""".stripMargin
 
+  /** x181: KEEP-FIRST span-dedup bill — x73 cuts duplicated spans from
+    * EVERY holder (the symmetric clean, which can destroy the only
+    * copies); production exact-substring dedup (Lee et al. 2022,
+    * arXiv:2107.06499) keeps one. Policy here: the first DOCUMENT (min
+    * doc_id) to carry a window's content keeps it; every occurrence in
+    * a LATER document is a dup window, and per document the bill is the
+    * token mass under the UNION of its dup windows — overlapping cuts
+    * counted once via an ordered sweep (each window's marginal
+    * contribution = its end minus the running max end before it,
+    * clamped at 0). Within-doc repetition is untouched (min doc_id =
+    * the doc itself — that is x34's signal, deliberately not a dedup
+    * matter, same separation as x72). One row per doc with ≥1 window:
+    * `(doc_id, n_tokens, n_windows, n_dup_windows, tokens_cut,
+    * tokens_retained)` — Σ tokens_retained IS the post-dedup corpus
+    * size under the keep-first policy, the number the x158 curve's
+    * document-level bill cannot give (spans cut within survivors).
+    *
+    * Scale shape: the one corpus-sized shuffle is the whash-keyed
+    * first-occurrence aggregate (map-side combinable — a boilerplate
+    * window's million holders collapse in the partials); the sweep is
+    * a doc_id-entity window (longest-document bounded); everything
+    * else is doc-keyed. Integer arithmetic throughout. */
+  def keepFirstSpanBill(df: DataFrame, w: Int = 8,
+                        text: Column = col("text")): DataFrame = {
+    val wins = graft.core.PinnedViews.pinned(windows(df, w, text))
+    val first = wins.groupBy("whash").agg(min(col("doc_id")).as("first_doc"))
+    val dup = wins.join(first, Seq("whash"))
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = dup
+      .withColumn("pme", max(col("pos") + (w - 1)).over(byDoc))
+      .select(col("doc_id"),
+        greatest(lit(0L), (col("pos") + (w - 1)) -
+          greatest(col("pos") - 1, coalesce(col("pme"), lit(0L)))).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("tokens_cut"),
+        count(lit(1)).as("n_dup_windows"))
+    val nw = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val toks = df.select(col("doc_id"),
+      size(words(text)).cast("long").as("n_tokens"))
+    nw.join(toks, Seq("doc_id")).join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("tokens_cut"), lit(0L)).as("tokens_cut"),
+        (col("n_tokens") - coalesce(col("tokens_cut"), lit(0L)))
+          .as("tokens_retained"))
+  }
+
+  /** DuckDB twin of [[keepFirstSpanBill]]. */
+  def keepFirstSpanBillSql(w: Int = 8): String =
+    s"""WITH ss_t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+       |),
+       |ss_w AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(array_to_string(ws[i : i + ${w - 1}], ' ')) AS whash
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - ${w - 1})) AS i
+       |        FROM ss_t)
+       |),
+       |kf_f AS (
+       |  SELECT whash, min(doc_id) AS first_doc FROM ss_w GROUP BY whash
+       |),
+       |kf_d AS (
+       |  SELECT w.doc_id, w.pos
+       |  FROM ss_w w JOIN kf_f f USING (whash)
+       |  WHERE w.doc_id > f.first_doc
+       |),
+       |kf_s AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM kf_d
+       |),
+       |kf_cut AS (
+       |  SELECT doc_id,
+       |    CAST(sum(greatest(0, (pos + ${w - 1})
+       |      - greatest(pos - 1, coalesce(pme, 0)))) AS BIGINT)
+       |      AS tokens_cut,
+       |    CAST(count(*) AS BIGINT) AS n_dup_windows
+       |  FROM kf_s GROUP BY doc_id
+       |),
+       |kf_nw AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+       |  FROM ss_w GROUP BY doc_id
+       |),
+       |kf_t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT n.doc_id, t.n_tokens, n.n_windows,
+       |  coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+       |  coalesce(c.tokens_cut, 0) AS tokens_cut,
+       |  t.n_tokens - coalesce(c.tokens_cut, 0) AS tokens_retained
+       |FROM kf_nw n
+       |JOIN kf_t t USING (doc_id)
+       |LEFT JOIN kf_cut c USING (doc_id)""".stripMargin
+
   /** x73: the cleaned corpus — every token covered by a duplicated span
     * is cut, and each document reports its before/after token accounting
     * plus the md5 of the surviving text (compact oracle evidence that
