@@ -1073,6 +1073,20 @@ object SparkEntry {
           MultimodalOps.imageHashes(MultimodalOps.synthImageFixture(docs))))
     }),
 
+    // x182 — video near-dup by sampled frames: the REAL 4 Hz schedule
+    // off the parsed stts frame rate, a clearly-marked stub standing in
+    // for the frame decode+perceptual hash, then time-aligned
+    // fingerprint pairing with the x78 max-df guard (n_viral_frames
+    // rides every row) — completes the dedup family's video member
+    "x182_video_frame_dup" -> ((s, dir) => {
+      val meta = MultimodalOps.extractVideoMeta(
+        MultimodalOps.synthVideoFixture(Tables.documents(s, dir)))
+      MultimodalOps.frameDupPairs(
+        MultimodalOps.videoFrameSchedule(meta)
+          .withColumn("frame_fp", MultimodalOps.stubFrameFingerprint(
+            col("doc_id"), col("q"))))
+    }),
+
     // x64 — audio fingerprints over REAL decoded PCM: genuine WAV encode
     // → genuine 16-bit LE sample decode → 65-window energy-envelope
     // 64-bit hash; the oracle predicts the fingerprints from the sample
@@ -2993,6 +3007,7 @@ object SparkEntry {
     "x14_media_meta" -> MultimodalOps.mediaFixtureSql,
     "x59_audio_meta" -> MultimodalOps.audioFixtureSql,
     "x60_video_meta" -> MultimodalOps.videoFixtureSql,
+    "x182_video_frame_dup" -> MultimodalOps.videoFrameDupSql(),
     "x61_image_hashes" -> MultimodalOps.imageHashesSql,
     "x104_image_thumbnail" -> MultimodalOps.imageThumbSql,
     "x105_audio_decimate" -> MultimodalOps.audioSamplesSql(),

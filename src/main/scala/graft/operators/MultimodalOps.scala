@@ -520,6 +520,133 @@ object MultimodalOps {
       |  CAST($videoMediaTimescale * 1000 // (512 + (doc_id % 3) * 128) AS BIGINT) AS fps_milli
       |FROM documents""".stripMargin
 
+  /** x182: frame-SAMPLE schedule from the PARSED container — the real
+    * half of video near-dup plumbing: for every video with a decoded
+    * track, one sampled frame per 1/`hz` of media time, each row
+    * carrying the sample tick `q` and the frame index holding that
+    * instant (`(q · fps_milli) div (hz·1000)` — pure frame-rate
+    * arithmetic off the REAL stts-derived rate, exact integers). The
+    * schedule is TIME-aligned, not index-aligned, so re-encodes of the
+    * same footage at different frame rates sample the same instants —
+    * what makes the downstream fingerprint join meaningful. */
+  def videoFrameSchedule(meta: DataFrame, hz: Int = 4): DataFrame = {
+    require(hz >= 1 && hz <= 1000, s"hz=$hz")
+    meta.filter(col("n_frames") > 0L && col("fps_milli") > 0L)
+      .select(col("doc_id"), col("fps_milli"),
+        explode(sequence(lit(0L),
+          expr(s"(n_frames * ${hz * 1000}L - 1L) div fps_milli"))).as("q"))
+      .select(col("doc_id"), col("q"),
+        expr(s"(q * fps_milli) div ${hz * 1000}L").as("frame_idx"))
+  }
+
+  /** STUB frame fingerprint — the decode stand-in: a real deployment
+    * decodes the sampled frame and perceptual-hashes it (the x62 dHash
+    * over real pixels, run per frame via a batched partition mapper);
+    * video codecs are absent in this container, so the fingerprint is
+    * a DETERMINISTIC FAKE keyed by the fixture's content group and the
+    * sample tick — content-at-instant, which is exactly the shape a
+    * real perceptual hash has. The schedule/schema/join plumbing
+    * around it is the real, tested part. */
+  def stubFrameFingerprint(docId: Column, q: Column): Column =
+    md5(concat_ws(":", (docId.cast("long") / 4L).cast("long"),
+      q.cast("long")))
+
+  /** x182: video near-dup pairs by sampled-frame fingerprints — the
+    * video member of the dedup family (text x5–x10, image x62/x63,
+    * audio x65/x66): videos sharing ≥ `minShared` sampled-frame
+    * fingerprints pair, with per-side sample counts and
+    * `containment_ppm` = shared / smaller side (a trimmed copy reads
+    * ~1e6 against its source). The x55/x78 max-df guard bounds the
+    * fan-out: a fingerprint held by more than `maxDf` videos (a viral
+    * intro card / logo animation — df², not content signal) is kept
+    * out of pairing, and `n_viral_frames` rides every row so the cap
+    * is never silent; shared counts are over guarded frames by
+    * definition of the metric.
+    *
+    * Scale: one fingerprint-keyed df aggregate (map-side combinable),
+    * the guarded self-join (≤ maxDf² per fingerprint), pair- and
+    * doc-keyed aggregates — nothing quadratic in the corpus. */
+  def frameDupPairs(frames: DataFrame, minShared: Long = 2,
+                    maxDf: Long = 64): DataFrame = {
+    val f = graft.core.PinnedViews.pinned(
+      frames.select(col("doc_id"), col("frame_fp")))
+    val byDf = f.groupBy("frame_fp").agg(count(lit(1)).as("df"))
+    val guarded = byDf.filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("frame_fp")
+    val viral = byDf.filter(col("df") > maxDf)
+      .agg(count(lit(1)).as("n_viral_frames"))
+    val k = f.join(guarded, "frame_fp")
+    val counts = f.groupBy("doc_id").agg(count(lit(1)).as("n_samples"))
+    k.as("a").join(k.as("b"),
+        col("a.frame_fp") === col("b.frame_fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= minShared)
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("n_samples").as("n_samples_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("n_samples").as("n_samples_b")), Seq("doc_b"))
+      .crossJoin(broadcast(viral))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_frames"),
+        col("n_samples_a"), col("n_samples_b"),
+        expr("(n_shared_frames * 1000000L) div " +
+          "least(n_samples_a, n_samples_b)").as("containment_ppm"),
+        col("n_viral_frames"))
+  }
+
+  /** DuckDB twin of the x182 composition (fixture meta formulas →
+    * schedule → stub fingerprint → guarded pairing). */
+  def videoFrameDupSql(hz: Int = 4, minShared: Long = 2,
+                       maxDf: Long = 64): String =
+    s"""WITH vf_m AS (
+       |  SELECT doc_id,
+       |    CAST(24 + (doc_id % 5) * 6 AS BIGINT) AS n_frames,
+       |    CAST($videoMediaTimescale * 1000
+       |      // (512 + (doc_id % 3) * 128) AS BIGINT) AS fps_milli
+       |  FROM documents
+       |),
+       |vf_s AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0,
+       |      (n_frames * ${hz * 1000} - 1) // fps_milli)) AS q
+       |  FROM vf_m WHERE n_frames > 0 AND fps_milli > 0
+       |),
+       |vf_f AS (
+       |  SELECT doc_id,
+       |    md5(CAST(doc_id // 4 AS VARCHAR) || ':'
+       |      || CAST(q AS VARCHAR)) AS frame_fp
+       |  FROM vf_s
+       |),
+       |vf_df AS (SELECT frame_fp, count(*) AS df FROM vf_f
+       |  GROUP BY frame_fp),
+       |vf_g AS (SELECT frame_fp FROM vf_df WHERE df BETWEEN 2 AND $maxDf),
+       |vf_v AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_viral_frames
+       |  FROM vf_df WHERE df > $maxDf
+       |),
+       |vf_k AS (SELECT doc_id, frame_fp FROM vf_f JOIN vf_g
+       |  USING (frame_fp)),
+       |vf_c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples
+       |  FROM vf_f GROUP BY doc_id),
+       |vf_p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared_frames
+       |  FROM vf_k a JOIN vf_k b
+       |    ON a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |)
+       |SELECT p.doc_a, p.doc_b, p.n_shared_frames,
+       |  ca.n_samples AS n_samples_a, cb.n_samples AS n_samples_b,
+       |  CAST((p.n_shared_frames * 1000000)
+       |    // least(ca.n_samples, cb.n_samples) AS BIGINT)
+       |    AS containment_ppm,
+       |  v.n_viral_frames
+       |FROM vf_p p
+       |JOIN vf_c ca ON ca.doc_id = p.doc_a
+       |JOIN vf_c cb ON cb.doc_id = p.doc_b
+       |CROSS JOIN vf_v v""".stripMargin
+
   // ---- image perceptual hashing (REAL pixels: encode → decode → hash) -----
 
   val imageHashSchema: StructType = StructType(Seq(
