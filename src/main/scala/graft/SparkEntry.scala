@@ -951,15 +951,24 @@ object SparkEntry {
         Tables.documents(s, dir)
           .filter(size(TextOps.wordsRe(col("text"))) >= DedupOps.shingleWords))),
 
-    "x8_lsh_dup_pairs" -> ((s, dir) =>
-      DedupOps.lshDupPairs(Tables.documents(s, dir), 0.5)),
+    // the kernel's hot-bucket refusal audit rides every gated consumer
+    // (x78 max-df discipline): n_hot_buckets + the candidate mass the
+    // cap declined to enumerate, never silent
+    "x8_lsh_dup_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.lshDupPairs(docs, 0.5)
+        .crossJoin(broadcast(DedupOps.lshGuardAudit(docs)))
+    }),
 
     // x158 — dedup threshold-sweep yield curve: verified LSH pairs in 20
     // Jaccard bands with pair/victim/token accounting — what each cutoff
     // would remove, priced in ONE LSH pass; where x89 calibrates recall,
     // this prices the decision
-    "x158_dedup_yield" -> ((s, dir) =>
-      DedupOps.dedupYieldCurve(Tables.documents(s, dir))),
+    "x158_dedup_yield" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.dedupYieldCurve(docs)
+        .crossJoin(broadcast(DedupOps.lshGuardAudit(docs)))
+    }),
 
     // x156 — cross-source contamination matrix: x8's verified near-dup
     // pairs attributed to unordered source pairs — which feed mirrors
@@ -970,13 +979,19 @@ object SparkEntry {
 
     "x9_simhash" -> ((s, dir) => DedupOps.simhash(Tables.documents(s, dir))),
 
-    "x10_simhash_pairs" -> ((s, dir) =>
-      DedupOps.simhashDupPairs(Tables.documents(s, dir), 3)),
+    "x10_simhash_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.simhashDupPairs(docs, 3)
+        .crossJoin(broadcast(DedupOps.simhashGuardAudit(docs)))
+    }),
 
-    "x23_dup_clusters" -> ((s, dir) =>
+    "x23_dup_clusters" -> ((s, dir) => {
       // fused contraction: Borůvka over rep pairs, members attach by
       // fingerprint — a viral clique is ONE node, never C(k,2) edges
-      DedupOps.simhashClusters(Tables.documents(s, dir), 3)),
+      val docs = Tables.documents(s, dir)
+      DedupOps.simhashClusters(docs, 3)
+        .crossJoin(broadcast(DedupOps.simhashGuardAudit(docs)))
+    }),
 
     "x11_cosine_dup_pairs" -> ((s, dir) =>
       SimilarityOps.cosineDupPairsTiled(Tables.embeddings(s, dir), 0.40)),
@@ -1194,9 +1209,11 @@ object SparkEntry {
 
     // x83 — cluster-aware split: near-dup clusters are atomic across
     // train/val/test, so x39's leakage class can't exist by construction
-    "x83_cluster_split" -> ((s, dir) =>
-      SamplingOps.clusterSplitOf(
-        DedupOps.simhashClusters(Tables.documents(s, dir), 3))),
+    "x83_cluster_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      SamplingOps.clusterSplitOf(DedupOps.simhashClusters(docs, 3))
+        .crossJoin(broadcast(DedupOps.simhashGuardAudit(docs)))
+    }),
 
     // x84 — Heaps'-law vocabulary growth over id-ordered corpus tenths:
     // is another 10% of data still buying new vocabulary?
@@ -1838,16 +1855,21 @@ object SparkEntry {
     // x159 — cluster-corrected DSIR sampling mass: x23's simhash
     // components weight each doc 1e6 div cluster_size before the x97
     // importance readout — per source, raw vs soft-dedup-corrected mass
-    "x159_cluster_dsir" -> ((s, dir) =>
-      graft.operators.CurationOps.clusterCorrectedDsir(
-        Tables.documents(s, dir))),
+    "x159_cluster_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.CurationOps.clusterCorrectedDsir(docs)
+        .crossJoin(broadcast(DedupOps.simhashGuardAudit(docs)))
+    }),
 
     // x160 — quality-weighted dedup policy delta: per Jaccard band, the
     // victim token/quality mass under keep-lowest-id vs
     // keep-highest-quality — x158 prices the threshold, this prices
     // WHICH copy survives; same single LSH pass + one doc-keyed join
-    "x160_policy_delta" -> ((s, dir) =>
-      DedupOps.dedupPolicyDelta(Tables.documents(s, dir))),
+    "x160_policy_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.dedupPolicyDelta(docs)
+        .crossJoin(broadcast(DedupOps.lshGuardAudit(docs)))
+    }),
 
     // x161 — cluster-transitive survivor policy delta: per cluster-size
     // band, the victims' token/quality mass under keep-lowest-id vs
@@ -1855,6 +1877,7 @@ object SparkEntry {
     "x161_cluster_policy" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       DedupOps.clusterPolicyDeltaOf(docs, DedupOps.simhashClusters(docs, 3))
+        .crossJoin(broadcast(DedupOps.simhashGuardAudit(docs)))
     }),
 
     // x98 — Gopher quality-rule battery (Rae et al. 2021 §A1.1): the
@@ -2992,15 +3015,22 @@ object SparkEntry {
     "x5_exact_dedup" -> DedupOps.exactDupGroupsSql,
     "x6_normalized_dedup" -> DedupOps.normalizedDupGroupsSql,
     "x7_minhash_signatures" -> DedupOps.minhashSignaturesSql,
-    "x8_lsh_dup_pairs" -> DedupOps.lshDupPairsSql(0.5),
+    "x8_lsh_dup_pairs" -> DedupOps.auditedSql(
+      DedupOps.lshDupPairsSql(0.5), DedupOps.lshGuardAuditSql()),
     "x156_contamination_matrix" -> DedupOps.contaminationMatrixSql(0.5),
-    "x158_dedup_yield" -> DedupOps.dedupYieldCurveSql(),
-    "x160_policy_delta" -> DedupOps.dedupPolicyDeltaSql(),
-    "x161_cluster_policy" ->
+    "x158_dedup_yield" -> DedupOps.auditedSql(
+      DedupOps.dedupYieldCurveSql(), DedupOps.lshGuardAuditSql()),
+    "x160_policy_delta" -> DedupOps.auditedSql(
+      DedupOps.dedupPolicyDeltaSql(), DedupOps.lshGuardAuditSql()),
+    "x161_cluster_policy" -> DedupOps.auditedSql(
       DedupOps.clusterPolicyDeltaSql(DedupOps.simhashDupPairsSql(3)),
+      DedupOps.simhashGuardAuditSql()),
     "x9_simhash" -> DedupOps.simhashSql,
-    "x10_simhash_pairs" -> DedupOps.simhashDupPairsSql(3),
-    "x23_dup_clusters" -> DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3)),
+    "x10_simhash_pairs" -> DedupOps.auditedSql(
+      DedupOps.simhashDupPairsSql(3), DedupOps.simhashGuardAuditSql()),
+    "x23_dup_clusters" -> DedupOps.auditedSql(
+      DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3)),
+      DedupOps.simhashGuardAuditSql()),
     "x11_cosine_dup_pairs" -> SimilarityOps.cosineDupPairsSql(0.40),
     "x12_ann_topk" -> SimilarityOps.bruteForceTopKSql("vec_id % 100 = 0", 8),
     "x13_ann_lsh_pairs" -> SimilarityOps.lshDupPairsSql(0.30),
@@ -3032,8 +3062,10 @@ object SparkEntry {
     "x80_tfidf_keywords" -> TextOps.tfidfKeywordsSql(5),
     "x81_source_keyness" -> TextOps.sourceKeynessSql(5, 10),
     "x82_priority_sample" -> SamplingOps.prioritySampleSql(100, 7),
-    "x83_cluster_split" -> SamplingOps.clusterSplitSql(
-      DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3))),
+    "x83_cluster_split" -> DedupOps.auditedSql(
+      SamplingOps.clusterSplitSql(
+        DedupOps.dupClustersSql(DedupOps.simhashDupPairsSql(3))),
+      DedupOps.simhashGuardAuditSql()),
     "x84_vocab_growth" -> TextOps.vocabGrowthSql(10),
     "x85_hapax_report" -> TextOps.hapaxReportSql,
     "x86_zipf_fit" -> TextOps.zipfFitSql(1000),
@@ -3056,8 +3088,9 @@ object SparkEntry {
     "x163_source_anisotropy" -> SimilarityOps.sourceAnisotropySql(),
     "x176_release_drift" -> SimilarityOps.releaseDriftSql(),
     "x97_dsir_weights" -> graft.operators.CurationOps.dsirWeightsSql(),
-    "x159_cluster_dsir" ->
+    "x159_cluster_dsir" -> DedupOps.auditedSql(
       graft.operators.CurationOps.clusterCorrectedDsirSql(),
+      DedupOps.simhashGuardAuditSql()),
     "x98_gopher_gates" -> graft.operators.CurationOps.gopherGatesSql,
     "x164_gate_attribution" -> graft.operators.CurationOps.gateAttributionSql,
     "x169_truncation_yield" -> graft.operators.CurationOps.truncationYieldSql(),

@@ -180,6 +180,30 @@ object DedupOps {
   val rowsPerBand: Int = numHashes / numBands
   val shingleWords = 3
 
+  /** Hot-bucket cap for both near-dup kernels' bucket self-joins
+    * ([[lshContraction]] band buckets, [[simhashContraction]] 15-bit
+    * block buckets): a bucket holding more than this many DISTINCT
+    * contents is excluded from candidate pairing. The exact-dup
+    * contraction already collapses k identical copies to one rep, but
+    * DISTINCT near-identical contents — boilerplate templates with
+    * small edits, the single most common shape in web-scale training
+    * data — still share buckets and pay Θ(m²) candidate pairs with no
+    * cap between them and the corpus. A pair is dropped only when
+    * EVERY bucket it shares is hot (LSH pairs on any cold shared band;
+    * the simhash block joins claim a pair at its first COLD agreeing
+    * block), identical copies always pair (the clique branch never
+    * consults buckets), and the refusal is never silent:
+    * [[lshGuardAudit]]/[[simhashGuardAudit]] ride `n_hot_buckets` and
+    * the refused `hot_candidate_mass` (Σ C(m,2) over hot buckets) on
+    * every gated consumer's output. 128 is fed by the measured skew
+    * ladder (x180 and the rep-level bucket profile): at sf0.1 the
+    * 15-bit block buckets run p99 ≈ 69 with a 1580-rep max — capping
+    * at 128 excludes the 15 boilerplate buckets carrying 94% of the
+    * 2.9M-pair candidate mass while keeping every bucket a single
+    * task can verify in milliseconds; at 100 TB the cap is what keeps
+    * a 10⁶-variant template from putting Θ(10¹²) pairs on one key. */
+  val bucketMaxDf = 128L
+
   /** Word n-gram shingles of a text column, as an array (per-row, no
     * explode). Empty array when the doc is shorter than n words.
     * Backed by the native codegen expression — the HOF chain below is the
@@ -390,20 +414,47 @@ object DedupOps {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
+  /** Rep-level band rows plus the hot-bucket set — shared by
+    * [[lshContraction]] and [[lshGuardAudit]] so both build the
+    * IDENTICAL pinned plans (one [[graft.core.PinnedViews]] entry per
+    * session per corpus). */
+  private def lshHot(df: DataFrame, text: Column, state: IterState,
+                     maxDf: Long): (Contraction, DataFrame, DataFrame, DataFrame) = {
+    val (c, sigs) = contractedKernel(df, text, state)(minhashSignatures(_, text))
+    val bands = lshBands(sigs)
+    // bucket sizes over DISTINCT contents (band rows are rep rows);
+    // map-side-combinable aggregate, never a window — a hot bucket must
+    // not gather its members in one task just to be counted
+    val hot = memoPin(state)(bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxDf))
+    (c, sigs, bands, hot)
+  }
+
   /** Contracted LSH machinery: (contraction, rep signatures, rep-level
     * candidate pairs). Signatures are computed for REPRESENTATIVES only
     * (k copies of a viral page hash their shingles once, not k times);
     * the band-bucket self-join pairs distinct contents only, so bucket
-    * mass is Σ m_b², not Σ n_b². Both relations are pinned: the
-    * signature table feeds both join sides, the candidate set feeds
-    * several verifiers. */
+    * mass is Σ m_b², not Σ n_b² — and buckets above `maxDf` distinct
+    * contents are excluded from pairing entirely (see [[bucketMaxDf]]):
+    * a candidate pair survives iff it shares at least one COLD bucket,
+    * so the per-bucket join work is ≤ C(maxDf, 2) by construction and a
+    * boilerplate template with 10⁶ distinct variants costs one counted
+    * bucket, not Θ(10¹²) pairs. The refusal is audited, never silent —
+    * [[lshGuardAudit]] rides on every gated consumer. Both relations
+    * are pinned: the signature table feeds both join sides, the
+    * candidate set feeds several verifiers. The anti-join and the self-
+    * join share the (band, band_hash) key, so one exchange serves both
+    * at cluster scale. */
   def lshContraction(df: DataFrame, text: Column = col("text"),
-                     state: IterState = Local)
+                     state: IterState = Local,
+                     maxDf: Long = bucketMaxDf)
       : (Contraction, DataFrame, DataFrame) = {
-    val (c, sigs) = contractedKernel(df, text, state)(minhashSignatures(_, text))
-    val bands = lshBands(sigs)
-    val repCand = memoPin(state)(bands.as("a")
-      .join(bands.as("b"),
+    val (c, sigs, bands, hot) = lshHot(df, text, state, maxDf)
+    val cold = bands.join(hot.select("band", "band_hash"),
+      Seq("band", "band_hash"), "left_anti")
+    val repCand = memoPin(state)(cold.as("a")
+      .join(cold.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -412,14 +463,31 @@ object DedupOps {
     (c, sigs, repCand)
   }
 
+  /** One-row audit of [[lshContraction]]'s hot-bucket guard:
+    * `(n_hot_buckets, hot_candidate_mass)` — how many band buckets the
+    * cap excluded and the Σ C(m,2) candidate pairs it refused to
+    * enumerate (an upper bound on dropped pairs: a refused pair may
+    * still arrive through another, cold, shared bucket). Gated
+    * consumers cross-join this onto their output (x78's max-df
+    * discipline) so the cap is never silent. */
+  def lshGuardAudit(df: DataFrame, text: Column = col("text"),
+                    state: IterState = Local,
+                    maxDf: Long = bucketMaxDf): DataFrame = {
+    val (_, _, _, hot) = lshHot(df, text, state, maxDf)
+    hot.agg(count(lit(1)).cast("long").as("n_hot_buckets"),
+      coalesce(expr("sum(m * (m - 1)) div 2"), lit(0L))
+        .as("hot_candidate_mass"))
+  }
+
   /** Rep-level verified near-dup pairs: `(doc_a, doc_b, jaccard)` over
     * REPRESENTATIVES with `jaccard >= threshold` — the contracted form
     * mass consumers (x158/x160) read together with the contraction's
     * closed-form clique terms, never materializing within-clique pairs. */
   def lshVerifiedReps(df: DataFrame, threshold: Double,
                       text: Column = col("text"),
-                      state: IterState = Local): (Contraction, DataFrame) = {
-    val (c, _, repCand) = lshContraction(df, text, state)
+                      state: IterState = Local,
+                      maxDf: Long = bucketMaxDf): (Contraction, DataFrame) = {
+    val (c, _, repCand) = lshContraction(df, text, state, maxDf)
     (c, jaccardFor(df, repCand, text, state).filter(col("jaccard") >= threshold))
   }
 
@@ -434,8 +502,9 @@ object DedupOps {
     * form instead. */
   def lshDupPairs(df: DataFrame, threshold: Double,
                   text: Column = col("text"),
-                  state: IterState = Local): DataFrame = {
-    val (c, verified) = lshVerifiedReps(df, threshold, text, state)
+                  state: IterState = Local,
+                  maxDf: Long = bucketMaxDf): DataFrame = {
+    val (c, verified) = lshVerifiedReps(df, threshold, text, state, maxDf)
     // a threshold above 1.0 empties the intra branch too (constant-folds
     // to an empty relation), mirroring the SQL twin's WHERE — identical
     // copies sit at exactly Jaccard 1.0
@@ -726,14 +795,73 @@ object DedupOps {
 
   /** Shared `WITH` prefix ending in the `cand` CTE (`doc_a < doc_b` LSH
     * bucket pairs) — the common front half of every LSH-candidate
-    * verifier twin (Jaccard x8, edit-distance x50). */
-  private def lshCandSqlCtes: String =
+    * verifier twin (Jaccard x8, edit-distance x50). Mirrors
+    * [[lshContraction]]'s hot-bucket guard at the distinct-content
+    * level: buckets with more than `maxDf` distinct fingerprints pair
+    * nobody, and identical-content pairs (the contraction's clique
+    * branch) survive unconditionally via the fingerprint union. */
+  private def lshCandSqlCtes: String = lshCandSqlCtesDf(bucketMaxDf)
+
+  private def lshCandSqlCtesDf(maxDf: Long): String =
     s"""$lshBandSqlCtes,
+       |g_fp AS (
+       |  SELECT doc_id, md5(text) AS fp FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |),
+       |g_hot AS (
+       |  SELECT band, band_hash FROM (
+       |    SELECT band, band_hash, count(DISTINCT f.fp) AS m
+       |    FROM bands b JOIN g_fp f ON f.doc_id = b.doc_id
+       |    GROUP BY band, band_hash) WHERE m > $maxDf
+       |),
+       |g_cold AS (
+       |  SELECT b.* FROM bands b
+       |  WHERE NOT EXISTS (SELECT 1 FROM g_hot h
+       |    WHERE h.band = b.band AND h.band_hash = b.band_hash)
+       |),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM g_cold a JOIN g_cold b
        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM g_fp a JOIN g_fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id IN (SELECT doc_id FROM sig)
+       |    AND b.doc_id IN (SELECT doc_id FROM sig)
        |)""".stripMargin
+
+  /** DuckDB twin of [[lshGuardAudit]] — one row, computed over the rep
+    * relation so bucket sizes count DISTINCT contents. */
+  def lshGuardAuditSql(maxDf: Long = bucketMaxDf): String =
+    s"""${lshBandSqlCtesRel(repRelSql)},
+       |ga_sz AS (SELECT band, band_hash, count(*) AS m
+       |          FROM bands GROUP BY band, band_hash)
+       |SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets,
+       |  CAST(coalesce(sum(m * (m - 1)) // 2, 0) AS BIGINT) AS hot_candidate_mass
+       |FROM ga_sz WHERE m > $maxDf""".stripMargin
+
+  /** DuckDB twin of [[simhashGuardAudit]] — one row over the 15-bit
+    * block buckets of the rep relation. */
+  def simhashGuardAuditSql(maxDf: Long = bucketMaxDf): String =
+    s"""WITH ${simhashSqlCteRel(repRelSql)},
+       |ga_blocks AS (
+       |  SELECT bs.b AS blk, (simhash >> (bs.b * 15)) & 32767 AS v
+       |  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS b) bs
+       |),
+       |ga_sz AS (SELECT blk, v, count(*) AS m FROM ga_blocks GROUP BY blk, v)
+       |SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets,
+       |  CAST(coalesce(sum(m * (m - 1)) // 2, 0) AS BIGINT) AS hot_candidate_mass
+       |FROM ga_sz WHERE m > $maxDf""".stripMargin
+
+  /** Wraps a gate query's SQL with its kernel's one-row guard audit —
+    * the oracle-side mirror of `.crossJoin(broadcast(…GuardAudit))`. */
+  def auditedSql(query: String, auditSql: String): String =
+    s"""SELECT q.*, a.n_hot_buckets, a.hot_candidate_mass
+       |FROM (
+       |$query
+       |) q CROSS JOIN (
+       |$auditSql
+       |) a""".stripMargin
 
   /** DuckDB query: Σ_bucket C(size, 2) over the LSH band buckets — the
     * EXACT candidate-pair mass driving x8/x23 cost (the pre-distinct
@@ -1082,9 +1210,17 @@ object DedupOps {
 
   // ---- SimHash ------------------------------------------------------------
 
-  val simhashBits = 32
+  /** 60 bits so the 4 pigeonhole blocks ([[simhashContraction]]) are
+    * 15 bits each and COVER the whole signature — with a narrower
+    * signature the high blocks degenerate to a constant-key bucket
+    * holding every doc, which is a Θ(m²) self-join however the plan is
+    * shaped (the round-14 smoke measured exactly that: 24–51× time at
+    * 10× docs). 60 is also [[HashFunctions.hash60]]'s width, so every
+    * token bit is real, and it keeps `1L << j` and the SQL twin's
+    * literals inside a signed BIGINT. */
+  val simhashBits = 60
 
-  /** 32-bit SimHash over the distinct-word set: bit j is set when the
+  /** 60-bit SimHash over the distinct-word set: bit j is set when the
     * signed sum of bit j across token hashes is positive. */
   def simhash(df: DataFrame, text: Column = col("text")): DataFrame = {
     val tok = df.select(col("doc_id"), explode(array_distinct(wordsRe(text))).as("w"))
@@ -1130,18 +1266,22 @@ object DedupOps {
     s"WITH ${simhashSqlCte}\nSELECT doc_id, simhash FROM sim"
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`, found
-    * via pigeonhole blocking on 4 DISJOINT 16-BIT blocks covering the
-    * whole 64-bit signature: any pair differing in at most 3 bits must
+    * via pigeonhole blocking on 4 DISJOINT 15-BIT blocks covering the
+    * whole 60-bit signature: any pair differing in at most 3 bits must
     * agree on at least one whole block (3 differing bits cannot touch
     * all 4 blocks), so 4 equi-joins on one block each cover the space
     * exactly — no cross join, and each join's shuffle key distributes
     * by content. Block WIDTH is the scale lever: the first cut blocked
     * on single BYTES (a 256-value key), whose collision stage is
     * Θ(n²/256) however the plan is shaped — the sf1 scale smoke caught
-    * it at 32× for 10× docs. 16-bit keys (65536 values) prune ~256×
-    * harder at identical exactness, because the 4 blocks still cover
-    * all 64 bits. For a larger distance budget, raise the block count
-    * to maxDist+1 (shrinking each block) instead. */
+    * it at 32× for 10× docs. 15-bit keys (32768 values) prune ~128×
+    * harder at identical exactness — and the blocks MUST tile the
+    * signature exactly: a 16-bit block grid over the old 32-bit
+    * signature left blocks 2–3 constant zero, i.e. one bucket holding
+    * every doc and a Θ(m²) join hidden in plain sight (the round-14
+    * smoke's 24–51× growth at 10× docs was mostly this). For a larger
+    * distance budget, raise the block count to maxDist+1 (shrinking
+    * each block) instead. */
   /** Contracted SimHash machinery: (contraction, rep signatures,
     * rep-level pairs `(doc_a, doc_b, hamming)`). SimHash is computed
     * for REPRESENTATIVES only — k copies of a viral page explode and
@@ -1149,30 +1289,63 @@ object DedupOps {
     * self-joins pair DISTINCT contents only, dropping block-bucket
     * candidate mass from Σ n_b² to Σ m_b² (the simhash half of the
     * exact-dup contraction; see [[Contraction]]). */
+  private def simhashBlockOf(cc: Column, j: Int): Column =
+    shiftright(cc, j * 15).bitwiseAND(lit(32767L))
+
+  /** Rep signatures widened with per-block values and hot flags, plus
+    * the hot (blk, v) bucket set — shared by [[simhashContraction]] and
+    * [[simhashGuardAudit]] so both build IDENTICAL pinned plans. The
+    * flag attachment broadcasts: a block key space is 2^15, so the hot
+    * set per block is ≤ 32768 rows whatever the corpus. */
+  private def simhashHot(df: DataFrame, text: Column, state: IterState,
+                         maxDf: Long): (Contraction, DataFrame, DataFrame, DataFrame) = {
+    // one row per distinct content; pinned by contractedKernel so the 4
+    // block self-joins (8 plan references) don't each recompute the
+    // explode+60-sum aggregation
+    val (c, sims) = contractedKernel(df, text, state)(simhash(_, text))
+    val blks = sims.select(explode(array((0 until 4).map(j =>
+        struct(lit(j).as("blk"), simhashBlockOf(col("simhash"), j).as("v"))): _*)).as("bv"))
+      .select(col("bv.blk").as("blk"), col("bv.v").as("v"))
+    // bucket sizes over DISTINCT contents; one map-side-combinable
+    // aggregate for all 4 blocks, never a window
+    val hot = memoPin(state)(blks.groupBy("blk", "v")
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxDf))
+    val flagged = memoPin(state)((0 until 4).foldLeft(
+      sims.select(col("doc_id") +: col("simhash") +:
+        (0 until 4).map(j => simhashBlockOf(col("simhash"), j).as(s"v$j")): _*)) {
+      (acc, j) =>
+        acc.join(broadcast(hot.filter(col("blk") === j)
+            .select(col("v").as(s"v$j"), lit(true).as(s"hot$j"))),
+          Seq(s"v$j"), "left")
+    }.na.fill(false, (0 until 4).map(j => s"hot$j")))
+    (c, flagged, hot, sims)
+  }
+
   def simhashContraction(df: DataFrame, maxDist: Int = 3,
                          text: Column = col("text"),
-                         state: IterState = Local)
+                         state: IterState = Local,
+                         maxDf: Long = bucketMaxDf)
       : (Contraction, DataFrame, DataFrame) = {
     require(maxDist <= 3,
       "4-block blocking is exact only for Hamming distance <= 3")
-    // one row per distinct content; pinned by contractedKernel so the 4
-    // block self-joins (8 plan references) don't each recompute the
-    // explode+32-sum aggregation
-    val (c, sims) = contractedKernel(df, text, state)(simhash(_, text))
-    val blockOf = (cc: Column, j: Int) =>
-      shiftright(cc, j * 16).bitwiseAND(lit(65535L))
+    val (c, flagged, _, sims) = simhashHot(df, text, state, maxDf)
     val blocked = (0 until 4).map { b =>
-      // each pair is claimed by its FIRST agreeing block only (all
-      // earlier blocks must differ), so the 4 joins are disjoint by
-      // construction — the union needs no pair-level distinct, which at
-      // bench scale was a full extra shuffle of millions of candidate
-      // rows. The Hamming filter also runs inside each join, before the
-      // union.
+      // each pair is claimed by its FIRST COLD agreeing block only
+      // (every earlier block must differ or sit in a hot bucket), so
+      // the 4 joins are disjoint by construction — the union needs no
+      // pair-level distinct, which at bench scale was a full extra
+      // shuffle of millions of candidate rows. A pair ALL of whose
+      // agreeing blocks are hot is refused (the maxDf guard; audited
+      // by [[simhashGuardAudit]]). The Hamming filter also runs inside
+      // each join, before the union. Hot flags are equal whenever the
+      // block values are equal, so testing a's flag suffices.
       val firstMatch = (0 until b)
-        .map(j => blockOf(col("a.simhash"), j) =!= blockOf(col("b.simhash"), j))
+        .map(j => col(s"a.v$j") =!= col(s"b.v$j") || col(s"a.hot$j"))
         .foldLeft(lit(true))(_ && _)
-      sims.as("a").join(sims.as("b"),
-        blockOf(col("a.simhash"), b) === blockOf(col("b.simhash"), b) &&
+      val side = flagged.filter(!col(s"hot$b"))
+      side.as("a").join(side.as("b"),
+        col(s"a.v$b") === col(s"b.v$b") &&
           col("a.doc_id") < col("b.doc_id") && firstMatch)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
@@ -1181,10 +1354,23 @@ object DedupOps {
     (c, sims, blocked.select("doc_a", "doc_b", "hamming"))
   }
 
+  /** One-row audit of [[simhashContraction]]'s hot-bucket guard:
+    * `(n_hot_buckets, hot_candidate_mass)` over the 4×15-bit block
+    * buckets — see [[lshGuardAudit]] for the column semantics. */
+  def simhashGuardAudit(df: DataFrame, text: Column = col("text"),
+                        state: IterState = Local,
+                        maxDf: Long = bucketMaxDf): DataFrame = {
+    val (_, _, hot, _) = simhashHot(df, text, state, maxDf)
+    hot.agg(count(lit(1)).cast("long").as("n_hot_buckets"),
+      coalesce(expr("sum(m * (m - 1)) div 2"), lit(0L))
+        .as("hot_candidate_mass"))
+  }
+
   def simhashDupPairs(df: DataFrame, maxDist: Int = 3,
                       text: Column = col("text"),
-                      state: IterState = Local): DataFrame = {
-    val (c, _, repPairs) = simhashContraction(df, maxDist, text, state)
+                      state: IterState = Local,
+                      maxDf: Long = bucketMaxDf): DataFrame = {
+    val (c, _, repPairs) = simhashContraction(df, maxDist, text, state, maxDf)
     // the pair RELATION is this operator's contract: cross-clique rep
     // pairs expand by membership (output-sized, fingerprint-keyed) and
     // within-clique pairs are Hamming 0 by identity — mass consumers
@@ -1205,8 +1391,9 @@ object DedupOps {
     * Result is row-for-row [[dupClusters]](df, [[simhashDupPairs]]). */
   def simhashClusters(df: DataFrame, maxDist: Int = 3,
                       text: Column = col("text"),
-                      state: IterState = Local): DataFrame = {
-    val (c, _, repPairs) = simhashContraction(df, maxDist, text, state)
+                      state: IterState = Local,
+                      maxDf: Long = bucketMaxDf): DataFrame = {
+    val (c, _, repPairs) = simhashContraction(df, maxDist, text, state, maxDf)
     attachCliqueClusters(df, c, componentLabels(repPairs, state = state))
   }
 
@@ -1216,8 +1403,9 @@ object DedupOps {
     * connected at Jaccard 1.0 whenever `threshold` ≤ 1). */
   def lshClusters(df: DataFrame, threshold: Double,
                   text: Column = col("text"),
-                  state: IterState = Local): DataFrame = {
-    val (c, verified) = lshVerifiedReps(df, threshold, text, state)
+                  state: IterState = Local,
+                  maxDf: Long = bucketMaxDf): DataFrame = {
+    val (c, verified) = lshVerifiedReps(df, threshold, text, state, maxDf)
     val labels =
       if (threshold <= 1.0) componentLabels(verified, state = state)
       else // no intra edges either: every doc is its own cluster
@@ -1642,14 +1830,14 @@ object DedupOps {
        |SELECT CAST(coalesce(sum(df * (df - 1) / 2), 0) AS BIGINT) AS mass
        |FROM gcm_df WHERE df BETWEEN 2 AND $maxDf""".stripMargin
 
-  /** DuckDB query: Σ C(size, 2) over the 16-bit simhash block buckets —
+  /** DuckDB query: Σ C(size, 2) over the 15-bit simhash block buckets —
     * the exact candidate mass driving x10/x23 cost.
     * tools/scale_smoke.py bounds x23's measured time growth against
     * this (candidate mass is a data property — a closed-vocabulary
     * corpus concentrates signatures however the plan is shaped). */
   def simhashBlockMassSql: String = simhashBlockMassSqlRel("documents")
 
-  /** Contracted-kernel cost model: Σ C(m, 2) over the 16-bit block
+  /** Contracted-kernel cost model: Σ C(m, 2) over the 15-bit block
     * buckets of DISTINCT contents only — Σ m_b², the candidate mass
     * the post-contraction [[simhashContraction]] block joins actually
     * pay. tools/scale_smoke.py bounds x23/x159/x161 time growth by
@@ -1660,20 +1848,53 @@ object DedupOps {
   def simhashBlockMassSqlRel(rel: String): String =
     s"""WITH ${simhashSqlCteRel(rel)},
        |blocks AS (
-       |  SELECT bs.b AS blk, (simhash >> (bs.b * 16)) & 65535 AS v
+       |  SELECT bs.b AS blk, (simhash >> (bs.b * 15)) & 32767 AS v
        |  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS b) bs
        |)
        |SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS mass FROM (
        |  SELECT blk, v, count(*) AS c FROM blocks GROUP BY blk, v)""".stripMargin
 
-  /** Oracle twin uses the naive all-pairs form — same result set, and the
-    * oracle only ever runs at small SF. */
-  def simhashDupPairsSql(maxDist: Int = 3): String =
-    s"""WITH ${simhashSqlCte}
+  /** Oracle twin uses the naive all-pairs form — same result set, and
+    * the oracle only ever runs at small SF. The hot-bucket guard is
+    * mirrored declaratively: a pair survives iff the contents are
+    * identical (clique branch) or SOME agreeing 15-bit block sits in a
+    * cold bucket (bucket sizes counted over DISTINCT contents, exactly
+    * [[simhashContraction]]'s rep-level count). Hot flags are equal
+    * whenever the block values are equal, so testing a's flag
+    * suffices. */
+  def simhashDupPairsSql(maxDist: Int = 3, maxDf: Long = bucketMaxDf): String = {
+    val blkV = (side: String, j: Int) => s"($side.simhash >> ${j * 15}) & 32767"
+    val hotFlags = (0 until 4).map { j =>
+      s"EXISTS (SELECT 1 FROM g_hot h WHERE h.blk = $j AND h.v = ${blkV("s", j)}) AS hot$j"
+    }.mkString(",\n    ")
+    val coldAgree = (0 until 4).map { j =>
+      s"(${blkV("a", j)} = ${blkV("b", j)} AND NOT a.hot$j)"
+    }.mkString("\n    OR ")
+    s"""WITH ${simhashSqlCte},
+       |g_fp AS (
+       |  SELECT doc_id, md5(text) AS fp FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |),
+       |g_hot AS (
+       |  SELECT blk, v FROM (
+       |    SELECT bs.b AS blk, (s.simhash >> (bs.b * 15)) & 32767 AS v,
+       |      count(DISTINCT f.fp) AS m
+       |    FROM sim s JOIN g_fp f ON f.doc_id = s.doc_id,
+       |      (SELECT unnest([0, 1, 2, 3]) AS b) bs
+       |    GROUP BY blk, v) WHERE m > $maxDf
+       |),
+       |g_s AS (
+       |  SELECT s.doc_id, s.simhash, f.fp,
+       |    $hotFlags
+       |  FROM sim s JOIN g_fp f ON f.doc_id = s.doc_id
+       |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
+       |FROM g_s a JOIN g_s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       |  AND (a.fp = b.fp
+       |    OR $coldAgree)""".stripMargin
+  }
 
   // ---- duplicate clustering (connected components) ------------------------
 
