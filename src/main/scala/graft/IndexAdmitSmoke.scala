@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-smoke probe for [[graft.operators.NearDupIndex]]'s admission
+  * cost claim: admission is O(|incoming| + band collisions) — the
+  * indexed corpus is never re-read or re-signed. The smoke admits one
+  * FIXED batch against indexes built over corpora 10× apart and
+  * asserts the admit wall-time barely moves (tools/scale_smoke.py
+  * bounds the ratio at 2×); a hidden corpus-sized term (a re-sign, a
+  * corpus-side shuffle) would scale the admit time with the index and
+  * blow the bound.
+  *
+  * Usage: `runMain graft.IndexAdmitSmoke <corpusDir> <batchDir> <root>`
+  * — builds the index at `root` from `corpusDir/documents.parquet` if
+  * absent (build time reported, not bounded), then times
+  * `admit(batch)` best-of-2 and prints one JSON line:
+  * `{"build_s":…,"admit_s":…,"n_in":…,"n_admitted":…}`. */
+object IndexAdmitSmoke {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: IndexAdmitSmoke <corpusDir> <batchDir> <root>")
+    val Array(corpusDir, batchDir, root) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "28")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val ndx = graft.operators.NearDupIndex
+    var buildS = 0.0
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "CURRENT"))) {
+      val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
+      val t0 = System.nanoTime()
+      ndx.buildIndex(corpus, root)
+      buildS = (System.nanoTime() - t0) / 1e9
+    }
+    val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+      .localCheckpoint(true) // the batch read must not enter the timing
+    val nIn = batch.count()
+    def admitOnce(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = ndx.admit(batch, root)
+        .filter(col("verdict") === "admitted").count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val runs = Seq(admitOnce(), admitOnce())
+    val best = runs.minBy(_._1)
+    println(f"""{"build_s":$buildS%.2f,"admit_s":${best._1}%.3f,""" +
+      s""""n_in":$nIn,"n_admitted":${best._2}}""")
+    spark.stop()
+  }
+}

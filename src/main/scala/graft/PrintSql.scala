@@ -12,6 +12,10 @@ object PrintSql {
       case "simhash_rep_block_mass" =>
         graft.operators.DedupOps.simhashRepBlockMassSql
       case "lsh_rep_band_mass" => graft.operators.DedupOps.lshRepBandMassSql
+      case "simhash_guarded_block_mass" =>
+        graft.operators.DedupOps.simhashGuardedBlockMassSql()
+      case "lsh_guarded_band_mass" =>
+        graft.operators.DedupOps.lshGuardedBandMassSql()
       case "window_mass" => graft.operators.SubstringOps.windowMassSql(8)
       case "containment_candidate_mass" =>
         graft.operators.DedupOps.guardedCandidateMassSql(16)

@@ -146,18 +146,20 @@ object DedupOps {
     * continuously-updated training corpus needs: the existing corpus is
     * touched exactly once (a narrow key projection feeding the anti-join
     * shuffle — or a broadcast/Bloom probe when the batch, not the
-    * corpus, is small), never pairwise.
+    * corpus, is small), never pairwise. The gate itself is
+    * [[NearDupIndex.exactAdmission]] — the SAME admission tier the
+    * persisted index runs, so corpus refresh and index ingest share one
+    * exact-admission semantics (this variant keys by normalized
+    * content, the index by raw md5; the relation is identical).
     *
     * Returns the admitted rows `(doc_id, lang, content_hash)`. */
   def incrementalDedup(incoming: DataFrame, existing: DataFrame,
-                       text: Column = col("text")): DataFrame = {
-    val existingKeys = existing.select(normalizedKey(text).as("content_hash"))
-    incoming.select(col("doc_id"), col("lang"), normalizedKey(text).as("content_hash"))
-      .join(existingKeys, Seq("content_hash"), "left_anti")
-      .groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"))
+                       text: Column = col("text")): DataFrame =
+    NearDupIndex.exactAdmission(
+        incoming.select(col("doc_id"), col("lang"),
+          normalizedKey(text).as("content_hash")),
+        existing.select(normalizedKey(text).as("content_hash")))
       .select(col("doc_id"), col("lang"), col("content_hash"))
-  }
 
   /** DuckDB twin of [[incrementalDedup]] for the gate's 80/20 split of
     * `documents` (existing = doc_id % 5 <> 0, incoming = the rest). */
@@ -884,6 +886,19 @@ object DedupOps {
        |SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS mass FROM (
        |  SELECT band, band_hash, count(*) AS c
        |  FROM bands GROUP BY band, band_hash)""".stripMargin
+
+  /** Guarded LSH cost model: Σ C(m,2) over COLD buckets only (m ≤
+    * `maxDf`) — the candidate mass [[lshContraction]] actually
+    * enumerates once the hot-bucket guard is in force; the scale-smoke
+    * bound for every LSH consumer. Bounded by #buckets·C(maxDf,2)/
+    * maxDf ≈ |reps|·numBands·(maxDf−1)/2 whatever the corpus — i.e.
+    * LINEAR in distinct contents by construction. */
+  def lshGuardedBandMassSql(maxDf: Long = bucketMaxDf): String =
+    s"""${lshBandSqlCtesRel(repRelSql)}
+       |SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS mass FROM (
+       |  SELECT band, band_hash, count(*) AS c
+       |  FROM bands GROUP BY band, band_hash)
+       |WHERE c <= $maxDf""".stripMargin
 
   def lshDupPairsSql(threshold: Double): String =
     s"""$lshCandSqlCtes,
@@ -1844,6 +1859,20 @@ object DedupOps {
     * THIS and prints it beside the uncontracted Σ n_b² so a planted
     * viral clique shows the gap. */
   def simhashRepBlockMassSql: String = simhashBlockMassSqlRel(repRelSql)
+
+  /** Guarded simhash cost model: Σ C(m,2) over COLD block buckets only
+    * (m ≤ `maxDf`) — what [[simhashContraction]]'s block joins actually
+    * enumerate under the hot-bucket guard; linear in distinct contents
+    * by construction (see [[lshGuardedBandMassSql]]). */
+  def simhashGuardedBlockMassSql(maxDf: Long = bucketMaxDf): String =
+    s"""WITH ${simhashSqlCteRel(repRelSql)},
+       |blocks AS (
+       |  SELECT bs.b AS blk, (simhash >> (bs.b * 15)) & 32767 AS v
+       |  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS b) bs
+       |)
+       |SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS mass FROM (
+       |  SELECT blk, v, count(*) AS c FROM blocks GROUP BY blk, v)
+       |WHERE c <= $maxDf""".stripMargin
 
   def simhashBlockMassSqlRel(rel: String): String =
     s"""WITH ${simhashSqlCteRel(rel)},

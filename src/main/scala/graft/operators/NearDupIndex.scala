@@ -18,7 +18,14 @@ import graft.operators.DedupOps.{lshBands, minhashCoeffs, minhashPrime,
   * copies the corpus holds):
   *   - `cliques` (fp, rep, weight): every distinct content's md5, its
   *     min-doc_id representative and copy count — the exact-dup check,
-  *     kept even for contents too short to sign;
+  *     kept even for contents too short to sign. `weight` counts the
+  *     copies IN THE EPOCH'S OWN BATCH only: a later batch's exact-
+  *     rejected copies of already-indexed content increment nothing
+  *     (the rejected batch is not stored), so cross-epoch corpus-wide
+  *     virality is NOT reconstructible from these rows — consumers
+  *     wanting that must accumulate the per-admission verdict stream
+  *     ([[admit]]'s `n_batch_copies` over every batch), where the
+  *     rejected copies are visible;
   *   - `sigs` (doc_id, m0..m15): the 16-permutation MinHash signature
   *     per signed rep;
   *   - `bands` (doc_id, band, band_hash): the 4 LSH band postings per
@@ -56,6 +63,24 @@ object NearDupIndex {
     * 8/16 = the 0.5 Jaccard working point of the x8 pipeline. */
   val defaultMinMatches = 8
 
+  /** Manifest entries carrying this prefix are TOMBSTONE epochs
+    * (retractions), not data epochs. */
+  private val TombPrefix = "tomb:"
+
+  /** One lock object per index root: every read-manifest → promote
+    * window (extend, retract, compact) runs under it, so a maintenance
+    * compaction beside a live streaming ingest can never promote a
+    * manifest built from a stale epoch list — the lost-epoch
+    * interleaving AtomicDir's same-v<N> loud failure does not cover.
+    * Cross-PROCESS writers are additionally caught by the CAS in
+    * [[promoteManifestCas]]. */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new Object)
+
   /** ppm per matching component: 1e6 / 16 exactly. */
   private val ppmPerMatch = 1000000L / numHashes
 
@@ -88,10 +113,20 @@ object NearDupIndex {
     * leftover of a crashed earlier attempt at the same name is removed,
     * and the staged dir atomically moves into place. Only after that
     * may the caller promote a manifest naming it. */
+  /** Epoch names embed in the hand-serialized manifest: an unvalidated
+    * name containing a quote or comma would silently corrupt it (split
+    * one entry into bogus paths, defeat the replay-idempotency
+    * `contains` check), so the public `extendEpoch` surface is fenced
+    * to a filesystem- and manifest-safe charset. */
+  private def requireSafeEpochName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9._-]+") && !name.startsWith("."),
+      s"epoch name '$name' must match [A-Za-z0-9._-]+ (no leading dot)")
+
   private def writeEpochNamed(cliques: DataFrame, sigs: DataFrame,
                               bands: DataFrame, root: String,
                               name: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    requireSafeEpochName(name)
     val stage = Paths.get(root, "epochs", s".stage-$name")
     deleteRecursively(stage)
     cliques.write.parquet(s"$stage/cliques")
@@ -120,6 +155,31 @@ object NearDupIndex {
     graft.core.AtomicDir.promote(root, staged.toString)
   }
 
+  /** The CURRENT pointer's raw token, "" when the index has never been
+    * promoted — the CAS witness for [[promoteManifestCas]]. */
+  private def currentToken(root: String): String = {
+    val p = java.nio.file.Paths.get(root, "CURRENT")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim
+    else ""
+  }
+
+  /** Compare-and-promote: refuses (loudly) when CURRENT moved since the
+    * caller read the manifest it derived `epochs` from — a cross-process
+    * writer landed in between, and promoting would silently drop its
+    * epoch from the live manifest. Same-process writers never get here
+    * concurrently ([[lockFor]]); the residual window between the check
+    * and the move is closed by AtomicDir's same-v<N> loud failure. */
+  private def promoteManifestCas(root: String, epochs: Seq[String],
+                                 expectToken: String): String = {
+    val now = currentToken(root)
+    require(now == expectToken,
+      s"concurrent index promotion at $root: CURRENT moved " +
+        s"'$expectToken' -> '$now' since the manifest was read; re-read " +
+        "and retry")
+    promoteManifest(root, epochs)
+  }
+
   /** The committed epoch list of the live version. */
   def committedEpochs(root: String): Seq[String] = {
     val cur = graft.core.AtomicDir.current(root)
@@ -133,24 +193,87 @@ object NearDupIndex {
   private case class Loaded(cliques: DataFrame, sigs: DataFrame,
                             bands: DataFrame)
 
+  /** The LIVE view of the index: the union of the committed data
+    * epochs with pending tombstones applied. A tombstone kills cliques
+    * (and their rep's sig/band postings) from data epochs committed
+    * BEFORE it only, so retracted content RE-ADMITTED by a later epoch
+    * is live again — even under a replay that reuses the original
+    * doc_ids. With no tombstones pending (the common state; [[compact]]
+    * folds them away physically) this is one multi-path parquet read
+    * per table; with tombstones pending, per-epoch reads carry the
+    * epoch position and the kill set is a broadcast anti-join (the
+    * tombstone set — takedowns — is small by nature). */
   private def load(spark: SparkSession, root: String): Loaded = {
     val eps = committedEpochs(root)
     require(eps.nonEmpty, s"empty index at $root")
+    val dataE = eps.filterNot(_.startsWith(TombPrefix))
+    require(dataE.nonEmpty, s"index at $root holds only tombstones")
+    // each tombstone applies to the data epochs committed before it
+    val tombs: Seq[(String, Int)] = eps.zipWithIndex.collect {
+      case (e, i) if e.startsWith(TombPrefix) =>
+        (e.stripPrefix(TombPrefix),
+          eps.take(i).count(!_.startsWith(TombPrefix)))
+    }
     def tbl(which: String): DataFrame =
-      spark.read.parquet(eps.map(e => s"$root/$e/$which"): _*)
-    Loaded(tbl("cliques"), tbl("sigs"), tbl("bands"))
+      spark.read.parquet(dataE.map(e => s"$root/$e/$which"): _*)
+    if (tombs.isEmpty)
+      return Loaded(tbl("cliques"), tbl("sigs"), tbl("bands"))
+    def posed(which: String): DataFrame = dataE.zipWithIndex.map {
+      case (e, i) => spark.read.parquet(s"$root/$e/$which")
+        .withColumn("__pos", lit(i))
+    }.reduce(_ unionByName _)
+    val tombFps = tombs.map { case (t, thresh) =>
+      spark.read.parquet(s"$root/$t/tombstones")
+        .select(col("fp"), lit(thresh).as("__thresh"))
+    }.reduce(_ unionByName _)
+    val posedCl = posed("cliques")
+    val dead = posedCl.as("c").join(broadcast(tombFps).as("t"),
+        col("c.fp") === col("t.fp") && col("c.__pos") < col("t.__thresh"))
+      .select(col("c.fp").as("fp"), col("c.rep").as("rep"),
+        col("c.__pos").as("__pos"))
+      .distinct()
+    def live(df: DataFrame, keys: Seq[String], kill: DataFrame): DataFrame =
+      df.join(broadcast(kill), keys :+ "__pos", "left_anti").drop("__pos")
+    val deadReps = dead.select(col("rep").as("doc_id"), col("__pos"))
+    Loaded(
+      live(posedCl, Seq("fp", "rep"), dead),
+      live(posed("sigs"), Seq("doc_id"), deadReps),
+      live(posed("bands"), Seq("doc_id"), deadReps))
   }
 
   // ---- public lifecycle ----------------------------------------------------
 
+  /** Admission tier (a) — the ONE exact-content gate, shared by the
+    * persisted index and [[DedupOps.incrementalDedup]] (x54)'s
+    * non-persisted corpus refresh: contract `keyed` `(doc_id,
+    * content_hash[, payload…])` to per-content minima and keep only
+    * contents whose hash is absent from `existingKeys`
+    * `(content_hash)`. Payload columns resolve to the min-doc_id copy's
+    * values. The existing side is touched exactly once — a narrow key
+    * projection feeding the anti-join (broadcast/Bloom when the batch,
+    * not the corpus, is small) — never pairwise. [[admit]]'s exact tier
+    * is this same relation in LABELED form (`dup_exact` rows kept for
+    * the verdict stream instead of anti-joined away). */
+  def exactAdmission(keyed: DataFrame, existingKeys: DataFrame): DataFrame = {
+    val payload = keyed.columns.filterNot(Set("doc_id", "content_hash")).toSeq
+    keyed
+      .join(existingKeys.select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        payload.map(c => min_by(col(c), col("doc_id")).as(c)): _*)
+  }
+
   /** Build and promote the initial index for a corpus. Returns the
     * promoted version path. */
   def buildIndex(df: DataFrame, root: String,
-                 text: Column = col("text")): String = {
-    val (cliques, sigs, bands) = signCorpus(df, text)
-    val ep = writeEpoch(cliques, sigs, bands, root)
-    promoteManifest(root, Seq(ep))
-  }
+                 text: Column = col("text")): String =
+    lockFor(root).synchronized {
+      val token = currentToken(root)
+      val (cliques, sigs, bands) = signCorpus(df, text)
+      val ep = writeEpoch(cliques, sigs, bands, root)
+      promoteManifestCas(root, Seq(ep), token)
+    }
 
   /** Admission verdicts for a batch against the LIVE index — one row
     * per DISTINCT incoming content (in-batch exact dups collapse to the
@@ -374,21 +497,54 @@ object NearDupIndex {
     * the COMMITTED manifest, which the crash did not advance. */
   def extendEpoch(incoming: DataFrame, root: String, epochName: String,
                   minMatches: Int = defaultMinMatches,
-                  text: Column = col("text")): Boolean = {
-    val committed = committedEpochs(root)
-    if (committed.contains(s"epochs/$epochName")) return false
-    val admitted = admit(incoming, root, minMatches, text)
-      .filter(col("verdict") === "admitted")
-      .select(col("content_hash").as("fp"))
-    val (inCl, inSigs, inBands) = signCorpus(incoming, text)
-    val cliques = inCl.join(admitted, Seq("fp"), "left_semi")
-    val reps = cliques.select(col("rep").as("doc_id"))
-    val ep = writeEpochNamed(cliques,
-      inSigs.join(reps, Seq("doc_id"), "left_semi"),
-      inBands.join(reps, Seq("doc_id"), "left_semi"), root, epochName)
-    promoteManifest(root, committed :+ ep)
-    true
-  }
+                  text: Column = col("text")): Boolean =
+    lockFor(root).synchronized {
+      requireSafeEpochName(epochName)
+      val token = currentToken(root)
+      val committed = committedEpochs(root)
+      if (committed.contains(s"epochs/$epochName")) false
+      else {
+        val admitted = admit(incoming, root, minMatches, text)
+          .filter(col("verdict") === "admitted")
+          .select(col("content_hash").as("fp"))
+        val (inCl, inSigs, inBands) = signCorpus(incoming, text)
+        val cliques = inCl.join(admitted, Seq("fp"), "left_semi")
+        val reps = cliques.select(col("rep").as("doc_id"))
+        val ep = writeEpochNamed(cliques,
+          inSigs.join(reps, Seq("doc_id"), "left_semi"),
+          inBands.join(reps, Seq("doc_id"), "left_semi"), root, epochName)
+        promoteManifestCas(root, committed :+ ep, token)
+        true
+      }
+    }
+
+  /** RETRACTION — the takedown/opt-out path a 100 TB index must have:
+    * writes a TOMBSTONE epoch naming the retracted content fingerprints
+    * and promotes a manifest carrying it (same stage → atomic-move →
+    * promote discipline as data epochs, so a crash at any instant
+    * leaves the old manifest live and complete). From that promotion
+    * on, [[admit]] treats the fingerprints as absent — identical
+    * content is RE-ADMITTABLE, and the retracted reps' band postings
+    * stop near-rejecting anybody. A tombstone applies only to epochs
+    * committed before it, so a re-admission is itself never killed.
+    * [[compact]] folds tombstones away physically (the retracted rows
+    * leave the disk). Returns the promoted version path. */
+  def retract(fps: DataFrame, root: String): String =
+    lockFor(root).synchronized {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val token = currentToken(root)
+      val committed = committedEpochs(root)
+      val name = "t" + java.util.UUID.randomUUID().toString.take(12)
+      val stage = Paths.get(root, "epochs", s".stage-$name")
+      deleteRecursively(stage)
+      fps.select(col("fp")).filter(col("fp").isNotNull).distinct()
+        .write.parquet(s"$stage/tombstones")
+      val dst = Paths.get(root, "epochs", name)
+      deleteRecursively(dst)
+      Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+      promoteManifestCas(root, committed :+ s"$TombPrefix" + s"epochs/$name",
+        token)
+    }
 
   /** Size-triggered epoch COMPACTION — the [[graft.streaming
     * .AnnIndexStream.compactIndex]] discipline for this index: a
@@ -402,16 +558,18 @@ object NearDupIndex {
     * resolve the old manifest (its epochs untouched) or the new one,
     * and prior versions survive for rollback. Returns the promoted
     * version path. */
-  def compact(spark: SparkSession, root: String): String = {
-    val idx = load(spark, root)
-    val name = "c" + java.util.UUID.randomUUID().toString.take(12)
-    val ep = writeEpochNamed(
-      idx.cliques.repartition(1).sortWithinPartitions("fp"),
-      idx.sigs.repartition(1).sortWithinPartitions("doc_id"),
-      idx.bands.repartition(1).sortWithinPartitions("band", "band_hash"),
-      root, name)
-    promoteManifest(root, Seq(ep))
-  }
+  def compact(spark: SparkSession, root: String): String =
+    lockFor(root).synchronized {
+      val token = currentToken(root)
+      val idx = load(spark, root) // tombstones applied -> folded away here
+      val name = "c" + java.util.UUID.randomUUID().toString.take(12)
+      val ep = writeEpochNamed(
+        idx.cliques.repartition(1).sortWithinPartitions("fp"),
+        idx.sigs.repartition(1).sortWithinPartitions("doc_id"),
+        idx.bands.repartition(1).sortWithinPartitions("band", "band_hash"),
+        root, name)
+      promoteManifestCas(root, Seq(ep), token)
+    }
 
   // ---- DuckDB twin ---------------------------------------------------------
 

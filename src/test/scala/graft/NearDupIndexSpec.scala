@@ -155,4 +155,86 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.readString(Paths.get(root, "v1", "manifest.json")) === v1,
       "prior version must survive promotion for rollback/audit")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("retract: content becomes re-admittable and stops near-rejecting") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    NearDupIndex.buildIndex(
+      Seq((1L, a12), (2L, b12)).toDF("doc_id", "text"), root)
+    val probe = Seq((10L, a12), (11L, a12near), (12L, b12))
+      .toDF("doc_id", "text")
+    val before = NearDupIndex.admit(probe, root).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(before === Map(10L -> "dup_exact", 11L -> "dup_near",
+      12L -> "dup_exact"), s"$before")
+    NearDupIndex.retract(Seq(md5hex(a12)).toDF("fp"), root)
+    val after = NearDupIndex.admit(probe, root).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(after(10L) === "admitted", "retracted content is re-admittable")
+    assert(after(11L) === "admitted",
+      "the retracted rep's band postings must stop near-rejecting")
+    assert(after(12L) === "dup_exact", "untouched content keeps rejecting")
+  }
+
+  test("re-admission after retraction is live — even under doc_id replay") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    NearDupIndex.buildIndex(Seq((1L, a12)).toDF("doc_id", "text"), root)
+    NearDupIndex.retract(Seq(md5hex(a12)).toDF("fp"), root)
+    // re-admit the SAME content under the ORIGINAL doc_id (replay shape):
+    // the tombstone applies to epochs before it only
+    assert(NearDupIndex.extendEpoch(
+      Seq((1L, a12)).toDF("doc_id", "text"), root, "readmit1"))
+    val got = NearDupIndex.admit(
+      Seq((30L, a12), (31L, a12near)).toDF("doc_id", "text"), root).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got === Map(30L -> "dup_exact", 31L -> "dup_near"),
+      s"re-admitted content must reject again: $got")
+  }
+
+  test("compact folds tombstones physically; surviving admissions bit-identical") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    NearDupIndex.buildIndex(
+      Seq((1L, a12), (2L, b12)).toDF("doc_id", "text"), root)
+    NearDupIndex.retract(Seq(md5hex(a12)).toDF("fp"), root)
+    val probe = Seq((20L, a12), (21L, b12), (22L, a12near))
+      .toDF("doc_id", "text")
+    val before = NearDupIndex.admit(probe, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("best_est_ppm")))).toMap
+    NearDupIndex.compact(spark, root)
+    val eps = NearDupIndex.committedEpochs(root)
+    assert(eps.size === 1 && !eps.head.startsWith("tomb:"),
+      s"tombstones must fold away at compaction: $eps")
+    val cl = spark.read.parquet(s"$root/${eps.head}/cliques")
+    assert(cl.filter(col("fp") === md5hex(a12)).isEmpty,
+      "the retracted content's row must leave the disk")
+    assert(cl.count() === 1L, "the survivor stays")
+    val after = NearDupIndex.admit(probe, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("best_est_ppm")))).toMap
+    assert(after === before, "compaction must not change any admission")
+  }
+
+  test("epoch names are fenced to a manifest-safe charset") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    NearDupIndex.buildIndex(Seq((1L, a12)).toDF("doc_id", "text"), root)
+    val bad = Seq("a,b", "a\"b", "", ".hidden", "a/b")
+    bad.foreach { name =>
+      intercept[IllegalArgumentException] {
+        NearDupIndex.extendEpoch(
+          Seq((9L, b12)).toDF("doc_id", "text"), root, name)
+      }
+    }
+  }
 }
