@@ -1089,18 +1089,25 @@ object SparkEntry {
     }),
 
     // x182 — video near-dup by sampled frames: the REAL 4 Hz schedule
-    // off the parsed stts frame rate, a clearly-marked stub standing in
-    // for the frame decode+perceptual hash, then time-aligned
+    // off the parsed stts frame rate, per-frame dHash over the x62
+    // PNG encode→decode→hash path (pixels synthesized per (group,
+    // tick) — the codec stand-in; hashing is real), then time-aligned
     // fingerprint pairing with the x78 max-df guard (n_viral_frames
     // rides every row) — completes the dedup family's video member
     "x182_video_frame_dup" -> ((s, dir) => {
       val meta = MultimodalOps.extractVideoMeta(
         MultimodalOps.synthVideoFixture(Tables.documents(s, dir)))
-      MultimodalOps.frameDupPairs(
-        MultimodalOps.videoFrameSchedule(meta)
-          .withColumn("frame_fp", MultimodalOps.stubFrameFingerprint(
-            col("doc_id"), col("q"))))
+      MultimodalOps.frameDupPairs(MultimodalOps.frameFingerprints(
+        MultimodalOps.videoFrameSchedule(meta)))
     }),
+
+    // x183 — cross-kernel verdict confusion: the x179 confusion-matrix
+    // pattern between the two near-dup kernels — over the union of
+    // both kernels' guarded candidate rep pairs, exact Jaccard verdict
+    // × exact Hamming verdict, 4 cells with rep-pair count and
+    // member-pair mass — which kernel is lying on this corpus
+    "x183_kernel_confusion" -> ((s, dir) =>
+      DedupOps.kernelConfusion(Tables.documents(s, dir))),
 
     // x64 — audio fingerprints over REAL decoded PCM: genuine WAV encode
     // → genuine 16-bit LE sample decode → 65-window energy-envelope
@@ -3038,6 +3045,7 @@ object SparkEntry {
     "x59_audio_meta" -> MultimodalOps.audioFixtureSql,
     "x60_video_meta" -> MultimodalOps.videoFixtureSql,
     "x182_video_frame_dup" -> MultimodalOps.videoFrameDupSql(),
+    "x183_kernel_confusion" -> DedupOps.kernelConfusionSql(),
     "x61_image_hashes" -> MultimodalOps.imageHashesSql,
     "x104_image_thumbnail" -> MultimodalOps.imageThumbSql,
     "x105_audio_decimate" -> MultimodalOps.audioSamplesSql(),

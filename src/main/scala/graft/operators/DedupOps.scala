@@ -1344,6 +1344,19 @@ object DedupOps {
       : (Contraction, DataFrame, DataFrame) = {
     require(maxDist <= 3,
       "4-block blocking is exact only for Hamming distance <= 3")
+    val (c, sims, cand) = simhashRepCandidates(df, text, state, maxDf)
+    (c, sims, cand.filter(col("hamming") <= maxDist))
+  }
+
+  /** The block-join candidate stage of [[simhashContraction]] WITHOUT
+    * the Hamming verdict: every guarded cold-block rep collision with
+    * its exact Hamming distance — the pair universe [[kernelConfusion]]
+    * judges both kernels over. The Hamming ≤ maxDist filter Catalyst
+    * pushes back inside each join when [[simhashContraction]] applies
+    * it, so the split costs nothing. */
+  private def simhashRepCandidates(df: DataFrame, text: Column,
+                                   state: IterState, maxDf: Long)
+      : (Contraction, DataFrame, DataFrame) = {
     val (c, flagged, _, sims) = simhashHot(df, text, state, maxDf)
     val blocked = (0 until 4).map { b =>
       // each pair is claimed by its FIRST COLD agreeing block only
@@ -1352,8 +1365,7 @@ object DedupOps {
       // pair-level distinct, which at bench scale was a full extra
       // shuffle of millions of candidate rows. A pair ALL of whose
       // agreeing blocks are hot is refused (the maxDf guard; audited
-      // by [[simhashGuardAudit]]). The Hamming filter also runs inside
-      // each join, before the union. Hot flags are equal whenever the
+      // by [[simhashGuardAudit]]). Hot flags are equal whenever the
       // block values are equal, so testing a's flag suffices.
       val firstMatch = (0 until b)
         .map(j => col(s"a.v$j") =!= col(s"b.v$j") || col(s"a.hot$j"))
@@ -1364,7 +1376,6 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id") && firstMatch)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-        .filter(col("hamming") <= maxDist)
     }.reduce(_ unionByName _)
     (c, sims, blocked.select("doc_a", "doc_b", "hamming"))
   }
@@ -1441,6 +1452,138 @@ object DedupOps {
     df.select(col("doc_id")).join(memberLabels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** x183: cross-KERNEL verdict confusion — the x179 confusion-matrix
+    * pattern applied between the two near-dup kernels. Over the union
+    * of both kernels' guarded candidate rep pairs (cold LSH band
+    * collisions ∪ cold simhash block collisions — the pairs either
+    * kernel would even look at), each pair is judged by BOTH ground
+    * metrics — exact shingle Jaccard ≥ `threshold` (the minhash
+    * kernel's verdict) and exact 60-bit Hamming ≤ `maxDist` (the
+    * simhash kernel's) — and the ≤4 cells report rep-pair count plus
+    * member-pair mass Σ w_a·w_b (how many doc-level pairs the cell
+    * stands for). The "which kernel is lying on this corpus" readout:
+    * a heavy (1,0) cell is shingle-level overlap the token-set simhash
+    * bits can't see (long shared spans, differently ordered); a heavy
+    * (0,1) cell is token-multiset similarity with little contiguous
+    * shingle overlap (short templates with in-place edits) — run it
+    * before trusting EITHER kernel's dedup bill on a new corpus.
+    *
+    * Scale shape: both candidate relations are the contracted,
+    * hot-bucket-guarded kernels (never doc×doc; the kernel tables pin
+    * once per session via [[memoPin]]), the verdicts are one
+    * pair-keyed Jaccard verification plus two signature equi-joins,
+    * the weights two clique-keyed joins, and the output a ≤4-row
+    * aggregate. A pair outside the minhash kernel's eligibility
+    * (either side under [[shingleWords]] words — empty shingle set)
+    * scores Jaccard 0 on both engines. */
+  def kernelConfusion(df: DataFrame, threshold: Double = 0.5,
+                      maxDist: Int = 3, text: Column = col("text"),
+                      state: IterState = Local,
+                      maxDf: Long = bucketMaxDf): DataFrame = {
+    val (_, _, lshCand) = lshContraction(df, text, state, maxDf)
+    val (c, sims, simCand) = simhashRepCandidates(df, text, state, maxDf)
+    val universe = lshCand
+      .unionByName(simCand.select("doc_a", "doc_b")).distinct()
+    val jac = jaccardFor(df, universe, text, state)
+    val w = c.cliques.select(col("rep"), col("weight"))
+    universe
+      .join(jac, Seq("doc_a", "doc_b"), "left")
+      .join(sims.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sig_a")), Seq("doc_a"))
+      .join(sims.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sig_b")), Seq("doc_b"))
+      .join(w.select(col("rep").as("doc_a"), col("weight").as("w_a")),
+        Seq("doc_a"))
+      .join(w.select(col("rep").as("doc_b"), col("weight").as("w_b")),
+        Seq("doc_b"))
+      .select(
+        when(coalesce(col("jaccard"), lit(0.0)) >= threshold, 1)
+          .otherwise(0).as("lsh_dup"),
+        when(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDist, 1)
+          .otherwise(0).as("simhash_dup"),
+        (col("w_a") * col("w_b")).as("mass"))
+      .groupBy("lsh_dup", "simhash_dup")
+      .agg(count(lit(1)).as("n_rep_pairs"),
+        sum(col("mass")).as("member_pair_mass"))
+  }
+
+  /** DuckDB twin of [[kernelConfusion]]: both kernels' guarded
+    * candidate sets rebuilt declaratively over the rep relation (cold
+    * buckets counted over distinct contents, exactly the contraction's
+    * rep-level count), exact Jaccard/Hamming verdicts, same ≤4-row
+    * aggregate. */
+  def kernelConfusionSql(threshold: Double = 0.5, maxDist: Int = 3,
+                         maxDf: Long = bucketMaxDf): String = {
+    val blkV = (side: String, j: Int) => s"(($side.simhash >> ${j * 15}) & 32767)"
+    val coldAgree = (0 until 4).map { j =>
+      s"""(${blkV("a", j)} = ${blkV("b", j)}
+         |      AND NOT EXISTS (SELECT 1 FROM kc_hot h
+         |        WHERE h.blk = $j AND h.v = ${blkV("a", j)}))""".stripMargin
+    }.mkString("\n    OR ")
+    s"""${lshBandSqlCtesRel(repRelSql)},
+       |${simhashSqlCteRel(repRelSql)},
+       |kc_cold AS (
+       |  SELECT band, band_hash FROM (
+       |    SELECT band, band_hash, count(*) AS c
+       |    FROM bands GROUP BY band, band_hash)
+       |  WHERE c <= $maxDf
+       |),
+       |kc_lcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN kc_cold c ON c.band = a.band AND c.band_hash = a.band_hash
+       |  JOIN bands b ON b.band = a.band AND b.band_hash = a.band_hash
+       |    AND a.doc_id < b.doc_id
+       |),
+       |kc_hot AS (
+       |  SELECT blk, v FROM (
+       |    SELECT bs.b AS blk, (simhash >> (bs.b * 15)) & 32767 AS v,
+       |      count(*) AS m
+       |    FROM sim, (SELECT unnest([0, 1, 2, 3]) AS b) bs
+       |    GROUP BY blk, v) WHERE m > $maxDf
+       |),
+       |kc_scand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |  WHERE $coldAgree
+       |),
+       |kc_univ AS (
+       |  SELECT doc_a, doc_b FROM kc_lcand
+       |  UNION
+       |  SELECT doc_a, doc_b FROM kc_scand
+       |),
+       |kc_sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |kc_jac AS (
+       |  SELECT u.doc_a, u.doc_b,
+       |    CAST(count(*) AS DOUBLE)
+       |      / CAST(za.n_sh + zb.n_sh - count(*) AS DOUBLE) AS jaccard
+       |  FROM kc_univ u
+       |  JOIN sh sa ON sa.doc_id = u.doc_a
+       |  JOIN sh sb ON sb.doc_id = u.doc_b AND sa.sh = sb.sh
+       |  JOIN kc_sizes za ON za.doc_id = u.doc_a
+       |  JOIN kc_sizes zb ON zb.doc_id = u.doc_b
+       |  GROUP BY u.doc_a, u.doc_b, za.n_sh, zb.n_sh
+       |),
+       |kc_w AS (
+       |  SELECT min(doc_id) AS rep, count(*) AS weight FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL GROUP BY text
+       |)
+       |SELECT
+       |  CASE WHEN coalesce(j.jaccard, 0) >= $threshold
+       |    THEN 1 ELSE 0 END AS lsh_dup,
+       |  CASE WHEN bit_count(xor(ia.simhash, ib.simhash)) <= $maxDist
+       |    THEN 1 ELSE 0 END AS simhash_dup,
+       |  CAST(count(*) AS BIGINT) AS n_rep_pairs,
+       |  CAST(sum(wa.weight * wb.weight) AS BIGINT) AS member_pair_mass
+       |FROM kc_univ u
+       |LEFT JOIN kc_jac j ON j.doc_a = u.doc_a AND j.doc_b = u.doc_b
+       |JOIN sim ia ON ia.doc_id = u.doc_a
+       |JOIN sim ib ON ib.doc_id = u.doc_b
+       |JOIN kc_w wa ON wa.rep = u.doc_a
+       |JOIN kc_w wb ON wb.rep = u.doc_b
+       |GROUP BY 1, 2""".stripMargin
   }
 
   /** x158: dedup threshold-sweep YIELD CURVE — before committing to a

@@ -539,17 +539,90 @@ object MultimodalOps {
         expr(s"(q * fps_milli) div ${hz * 1000}L").as("frame_idx"))
   }
 
-  /** STUB frame fingerprint — the decode stand-in: a real deployment
-    * decodes the sampled frame and perceptual-hashes it (the x62 dHash
-    * over real pixels, run per frame via a batched partition mapper);
-    * video codecs are absent in this container, so the fingerprint is
-    * a DETERMINISTIC FAKE keyed by the fixture's content group and the
-    * sample tick — content-at-instant, which is exactly the shape a
-    * real perceptual hash has. The schedule/schema/join plumbing
-    * around it is the real, tested part. */
-  def stubFrameFingerprint(docId: Column, q: Column): Column =
-    md5(concat_ws(":", (docId.cast("long") / 4L).cast("long"),
-      q.cast("long")))
+  /** Deterministic fixture frame pixel — the DECODE stand-in at pixel
+    * granularity (video codecs are absent in this container, so the
+    * codec's output is synthesized; everything downstream of it is
+    * real): the [[imagePixel]] xor-shift mix keyed by (content group,
+    * sample tick) — content-at-instant, so the group's re-encodes at
+    * different frame rates render the SAME frame at the same tick,
+    * which is exactly the invariant a real decoder gives time-aligned
+    * sampling. Exact BIGINT arithmetic replicated by
+    * [[videoFrameDupSql]]; keep the two in sync. Inputs are
+    * non-negative fixture ids, so every intermediate stays positive
+    * (no overflow, `/` and `%` agree with the twin's `//`/`%`). */
+  def framePixel(group: Long, q: Long, x: Int, y: Int): Int = {
+    val h0 = group * 1000003L + q * 777767L + x * 97L + y * 10007L
+    val h1 = h0 ^ (h0 >> 7)
+    val h2 = (h1 * 31L) ^ (h1 >> 11)
+    (h2 % 256L).toInt
+  }
+
+  val frameFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("q", LongType),
+    StructField("frame_fp", LongType)))
+
+  /** 64-bit dHash of one decoded frame on the canonical 9×8 grid — the
+    * x62 gradient hash ([[imageHashes]]'s dhash half) factored for
+    * per-frame use: nearest-neighbor sample onto 9×8, bit (y·8+x) set
+    * iff gray(x+1,y) > gray(x,y). */
+  private def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    def gray(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x * w / imageW, y * h / imageH)
+      (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
+    }
+    var dhash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) dhash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    dhash
+  }
+
+  /** x182 frame fingerprints over REAL perceptual hashing: for every
+    * (doc_id, q) row of [[videoFrameSchedule]], render the fixture
+    * frame ([[framePixel]] keyed by (doc_id div 4, q) — the synthesized
+    * decode), PNG-encode it with the JDK's real ImageIO writer, DECODE
+    * the bytes back, and dHash the decoded pixels — the exact x62
+    * encode→decode→hash path run per sampled frame in one
+    * partition-local loop (frame bytes never hit the driver; cost is
+    * linear in sampled frames). PNG is lossless, so a DuckDB oracle
+    * predicts the hash from the pixel function alone — any decoder or
+    * resample deviation breaks the match. */
+  def frameFingerprints(schedule: DataFrame): DataFrame = {
+    val session = schedule.sparkSession
+    val rdd = schedule
+      .select(col("doc_id").cast("long"), col("q").cast("long")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val q = r.getLong(1)
+        val img = new java.awt.image.BufferedImage(imageW, imageH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < imageH) {
+          var x = 0
+          while (x < imageW) {
+            val g = framePixel(id / 4L, q, x, y)
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream(256)
+        javax.imageio.ImageIO.write(img, "png", out)
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(out.toByteArray))
+        Row(id, q, dhash64(dec))
+      })
+    session.createDataFrame(rdd, frameFpSchema)
+  }
 
   /** x182: video near-dup pairs by sampled-frame fingerprints — the
     * video member of the dedup family (text x5–x10, image x62/x63,
@@ -596,7 +669,12 @@ object MultimodalOps {
   }
 
   /** DuckDB twin of the x182 composition (fixture meta formulas →
-    * schedule → stub fingerprint → guarded pairing). */
+    * schedule → per-frame dHash → guarded pairing): replays
+    * [[framePixel]] in closed form per distinct (content group, tick)
+    * and folds the 64 gradient bits exactly as [[imageHashesSqlCte]]
+    * does (bit 63 added as the signed minimum — DuckDB overflows on
+    * `1::BIGINT << 63`), thereby checking the whole PNG encode→decode→
+    * resample→hash round trip [[frameFingerprints]] runs. */
   def videoFrameDupSql(hz: Int = 4, minShared: Long = 2,
                        maxDf: Long = 64): String =
     s"""WITH vf_m AS (
@@ -612,11 +690,39 @@ object MultimodalOps {
        |      (n_frames * ${hz * 1000} - 1) // fps_milli)) AS q
        |  FROM vf_m WHERE n_frames > 0 AND fps_milli > 0
        |),
+       |vf_gq AS (SELECT DISTINCT doc_id // 4 AS grp, q FROM vf_s),
+       |vf_px AS (
+       |  SELECT grp, q, xs.x, ys.y,
+       |    xor(grp * 1000003 + q * 777767 + xs.x * 97 + ys.y * 10007,
+       |        (grp * 1000003 + q * 777767 + xs.x * 97 + ys.y * 10007)
+       |          >> 7) AS h1
+       |  FROM vf_gq
+       |  CROSS JOIN generate_series(0, ${imageW - 1}) AS xs(x)
+       |  CROSS JOIN generate_series(0, ${imageH - 1}) AS ys(y)
+       |),
+       |vf_pg AS (
+       |  SELECT grp, q, x, y,
+       |    CAST(xor(h1 * 31, h1 >> 11) % 256 AS INT) AS g
+       |  FROM vf_px
+       |),
+       |vf_db AS (
+       |  SELECT a.grp, a.q, a.y * 8 + a.x AS k,
+       |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+       |  FROM vf_pg a JOIN vf_pg b
+       |    ON a.grp = b.grp AND a.q = b.q AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 8
+       |),
+       |vf_dh AS (
+       |  SELECT grp, q,
+       |    CAST(sum(CASE WHEN bit = 1 AND k < 63
+       |        THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END)
+       |      + sum(CASE WHEN bit = 1 AND k = 63 THEN 1 ELSE 0 END)
+       |        * (-9223372036854775807 - 1) AS BIGINT) AS frame_fp
+       |  FROM vf_db GROUP BY grp, q
+       |),
        |vf_f AS (
-       |  SELECT doc_id,
-       |    md5(CAST(doc_id // 4 AS VARCHAR) || ':'
-       |      || CAST(q AS VARCHAR)) AS frame_fp
-       |  FROM vf_s
+       |  SELECT s.doc_id, d.frame_fp
+       |  FROM vf_s s JOIN vf_dh d ON d.grp = s.doc_id // 4 AND d.q = s.q
        |),
        |vf_df AS (SELECT frame_fp, count(*) AS df FROM vf_f
        |  GROUP BY frame_fp),

@@ -748,7 +748,11 @@ object SimilarityOps {
     * units (per-dim difference d = s_a·n_b − s_b·n_a summed as d² over
     * the COMMON denominator (n_a·n_b)² — one integer division per
     * source, never per dim), and the deltas of x163's self-dot and
-    * anisotropy readouts. A hot centroid_shift is a source whose
+    * anisotropy readouts. The common-denominator form is exact only
+    * when every dim of a source has the SAME row count in each
+    * release (fixed-length vectors); a RAGGED source — the `pos ≤
+    * len(embedding)` guard admits them — reports a NULL shift instead
+    * of a silently wrong one (both engines agree by construction). A hot centroid_shift is a source whose
     * content or embedder genuinely moved; a hot d_aniso_ppm with a
     * cold shift is mode collapse setting in — the re-embed / re-gate
     * decision per source.
@@ -783,10 +787,12 @@ object SimilarityOps {
         col("n_a"), col("n_b"))
       .groupBy("source")
       .agg(sum((col("d") * col("d")).cast(dec)).as("sd2"),
-        max(col("n_a")).as("na"), max(col("n_b")).as("nb"))
+        max(col("n_a")).as("na"), max(col("n_b")).as("nb"),
+        min(col("n_a")).as("na_min"), min(col("n_b")).as("nb_min"))
       .select(col("source"),
-        expr("CAST(sd2 div (CAST(na AS DECIMAL(38,0)) * nb * na * nb) " +
-          "AS BIGINT)").as("centroid_shift_q8"))
+        expr("CAST(CASE WHEN na = na_min AND nb = nb_min THEN " +
+          "sd2 div (CAST(na AS DECIMAL(38,0)) * nb * na * nb) " +
+          "END AS BIGINT)").as("centroid_shift_q8"))
     fin(pa, "a").join(fin(pb, "b"), Seq("source"))
       .join(shift, Seq("source"))
       .select(col("source"), col("n_docs_a"), col("n_docs_b"),
@@ -838,12 +844,14 @@ object SimilarityOps {
         "substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 1) > '7'")},
        |rd_shift AS (
        |  SELECT a.source,
-       |    CAST(sum((CAST(a.s AS HUGEINT) * b.n_rows
+       |    CAST(CASE WHEN min(a.n_rows) = max(a.n_rows)
+       |        AND min(b.n_rows) = max(b.n_rows) THEN
+       |      sum((CAST(a.s AS HUGEINT) * b.n_rows
        |          - CAST(b.s AS HUGEINT) * a.n_rows)
        |        * (CAST(a.s AS HUGEINT) * b.n_rows
        |          - CAST(b.s AS HUGEINT) * a.n_rows))
        |      // (CAST(max(a.n_rows) AS HUGEINT) * max(b.n_rows)
-       |          * max(a.n_rows) * max(b.n_rows)) AS BIGINT)
+       |          * max(a.n_rows) * max(b.n_rows)) END AS BIGINT)
        |      AS centroid_shift_q8
        |  FROM rda_dim a JOIN rdb_dim b
        |    ON a.source = b.source AND a.pos = b.pos

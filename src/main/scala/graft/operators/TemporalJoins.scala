@@ -105,7 +105,15 @@ object TemporalJoins {
     * row probes its own bucket and the next (its band spans at most two
     * buckets), so every qualifying pair meets exactly once and the exact
     * band predicate is evaluated only on same-bucket candidates.
-    */
+    *
+    * Scale: the PAIR RELATION is this operator's contract, and on a
+    * dense value axis it grows quadratically BY CONTRACT (~n²·width/
+    * range per key at fixed range — the sf1 smoke measures j16's pair
+    * output at ~100× for 10× rows). The plan never does worse than its
+    * output, but a consumer that only needs per-key statistics over
+    * the band (counts, sums, means) must NOT materialize pairs for
+    * them — [[valueBandStats]] (j18) computes the same aggregate with
+    * two range-frame windows, O(n log n) whatever the density. */
   def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftVal: String, rightVal: String, width: Double): DataFrame = {
     // The upper probe bucket is computed the same way the right side is

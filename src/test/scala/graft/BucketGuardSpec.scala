@@ -115,6 +115,31 @@ class BucketGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((aPairs & below).isEmpty, "m == maxDf + 1 is hot")
   }
 
+  test("kernelConfusion: agreement cell, clique-weighted mass, guarded universe") {
+    val s = spark
+    import s.implicits._
+    // weight 2 on doc 10: one exact copy, so B's rep pair carries
+    // member mass w_a * w_b = 2 while staying ONE rep pair
+    val docs = corpus().union(Seq((40L, corpus().filter(col("doc_id") === 10L)
+      .collect()(0).getString(1))).toDF("doc_id", "text")).localCheckpoint(true)
+    def cells(maxDf: Long) = DedupOps.kernelConfusion(docs, 0.5, 3, maxDf = maxDf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val open = cells(DedupOps.bucketMaxDf)
+    // repetition families have identical shingle AND word sets: their
+    // rep pairs are Jaccard 1.0 and Hamming 0 — the agreement cell.
+    // A (8 variants, cold at default) contributes C(8,2), B one pair.
+    val (agreeN, agreeMass) = open((1, 1))
+    assert(agreeN >= nA * (nA - 1) / 2 + 1)
+    assert(agreeMass >= agreeN + 1, "B's duplicated side must count twice")
+    open.values.foreach { case (n, m) => assert(m >= n) }
+    // at maxDf = 4 BOTH kernels refuse family A's buckets, so its 28
+    // pairs leave the judged universe entirely; B (2 members) survives
+    val (guardN, guardMass) = cells(4L)((1, 1))
+    assert(guardN >= 1 && guardN < agreeN - 20)
+    assert(guardMass >= guardN + 1)
+  }
+
   test("clusters attach hot-family members as singletons once their pairs are refused") {
     val docs = corpus().localCheckpoint(true)
     val clusters = DedupOps.simhashClusters(docs, 3, maxDf = 4L)

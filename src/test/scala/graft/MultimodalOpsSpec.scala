@@ -536,4 +536,29 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.head.getAs[Int]("n_samples") === 0)
     assert(bad.head.isNullAt(bad.head.fieldIndex("sampled_px")))
   }
+
+  test("frameFingerprints: PNG round trip reproduces the framePixel dHash") {
+    val s = spark; import s.implicits._
+    // the x62 pattern per sampled frame: the test predicts the dHash
+    // straight from the pixel function (PNG is lossless and the fixture
+    // is already 9x8, so encode->decode->sample is the identity)
+    def expected(id: Long, q: Long): Long = {
+      var dh = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (MultimodalOps.framePixel(id / 4, q, x + 1, y) >
+            MultimodalOps.framePixel(id / 4, q, x, y))
+          dh |= 1L << (y * 8 + x)
+      dh
+    }
+    val sched = Seq((0L, 0L), (0L, 3L), (1L, 0L), (5L, 0L), (8L, 2L))
+      .toDF("doc_id", "q")
+    val got = MultimodalOps.frameFingerprints(sched).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size === 5)
+    got.foreach { case ((id, q), fp) => assert(fp === expected(id, q)) }
+    // content-at-instant: same group + tick agree, anything else differs
+    assert(got((0L, 0L)) === got((1L, 0L)))
+    assert(got((0L, 0L)) !== got((5L, 0L)))
+    assert(got((0L, 0L)) !== got((0L, 3L)))
+  }
 }
