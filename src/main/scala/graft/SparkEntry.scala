@@ -91,6 +91,28 @@ object SparkEntry {
       root
     })
 
+  // x185's fixture: the SAME 80% build, then a tombstone epoch
+  // retracting every clique whose representative doc_id % 7 == 0 (the
+  // license-takedown shape) — the 20% batch then admits against the
+  // retracted index, so tombstone semantics (re-admittable exact tier,
+  // silenced postings) are oracle-gated, not just spec'd.
+  private val ndxRetractedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def ndxRetractedRoot(s: SparkSession, dir: String): String =
+    ndxRetractedCache.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ndx_t").toString
+      val indexed = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      graft.operators.NearDupIndex.buildIndex(indexed, root)
+      val fps = indexed
+        .filter(col("text").isNotNull && col("doc_id").isNotNull)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("rep"))
+        .filter(col("rep") % 7 === 0).select("fp")
+      graft.operators.NearDupIndex.retract(fps, root)
+      root
+    })
+
   // Trained BPE merge table: same train-once-per-(session, corpus)
   // contract as ivfModel; the generated DuckDB twins replay training
   // from the merge literals (BpeOps.trainSql / applyCountsSql).
@@ -1108,6 +1130,24 @@ object SparkEntry {
     // member-pair mass — which kernel is lying on this corpus
     "x183_kernel_confusion" -> ((s, dir) =>
       DedupOps.kernelConfusion(Tables.documents(s, dir))),
+
+    // x184 — hot-bucket contents report: WHAT the hot-bucket guard
+    // refused (x184 names it, simhashGuardAudit only counts it) — per
+    // hot block bucket, distinct contents, copy mass, exemplar rep.
+    // Gate runs maxDf=16 so the report is non-vacuous at sf0.01; the
+    // kernels' production default stays bucketMaxDf=128
+    "x184_hot_buckets" -> ((s, dir) =>
+      DedupOps.hotBucketReport(Tables.documents(s, dir), maxDf = 16L)),
+
+    // x185 — admission against a RETRACTED index: build on the 80%
+    // partition, tombstone every clique whose rep doc_id % 7 == 0
+    // (license takedown), then admit the 20% batch — retracted
+    // content is re-admittable and its postings stop near-rejecting,
+    // and the oracle models both by admission over surviving cliques
+    "x185_retracted_admission" -> ((s, dir) =>
+      graft.operators.NearDupIndex.admit(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        ndxRetractedRoot(s, dir))),
 
     // x64 — audio fingerprints over REAL decoded PCM: genuine WAV encode
     // → genuine 16-bit LE sample decode → 65-window energy-envelope
@@ -3046,6 +3086,9 @@ object SparkEntry {
     "x60_video_meta" -> MultimodalOps.videoFixtureSql,
     "x182_video_frame_dup" -> MultimodalOps.videoFrameDupSql(),
     "x183_kernel_confusion" -> DedupOps.kernelConfusionSql(),
+    "x184_hot_buckets" -> DedupOps.hotBucketReportSql(16L),
+    "x185_retracted_admission" ->
+      graft.operators.NearDupIndex.admissionSqlRetracted("rep % 7 = 0"),
     "x61_image_hashes" -> MultimodalOps.imageHashesSql,
     "x104_image_thumbnail" -> MultimodalOps.imageThumbSql,
     "x105_audio_decimate" -> MultimodalOps.audioSamplesSql(),

@@ -1380,6 +1380,66 @@ object DedupOps {
     (c, sims, blocked.select("doc_a", "doc_b", "hamming"))
   }
 
+  /** x184: hot-bucket CONTENTS report — the refused population made
+    * visible. [[simhashGuardAudit]] says HOW MUCH the guard refused;
+    * this says WHAT: one row per hot simhash block bucket (more than
+    * `maxDf` DISTINCT contents sharing a 15-bit block value) with its
+    * distinct-content count, total copy mass (Σ clique weights — how
+    * many raw docs sit behind the bucket), and the minimum rep doc_id
+    * as an exemplar to read. The triage view before touching the cap:
+    * a handful of huge buckets whose exemplars are one boilerplate
+    * family argue for a template-extraction pass (x72/x181) on that
+    * family; thousands of mid-size buckets argue for wider blocks or a
+    * higher cap fed by x180's ladder.
+    *
+    * Scale shape: the hot set is bounded by the key space (≤ 4·2¹⁵
+    * rows whatever the corpus) so it broadcasts; the block relation is
+    * 4 rows per rep; the aggregate is map-side-combinable. Nothing
+    * here gathers a bucket's members into one task — the groupBy's
+    * partial aggregation absorbs the very skew being reported. */
+  def hotBucketReport(df: DataFrame, text: Column = col("text"),
+                      state: IterState = Local,
+                      maxDf: Long = bucketMaxDf): DataFrame = {
+    val (c, _, hot, sims) = simhashHot(df, text, state, maxDf)
+    val blks = sims.select(col("doc_id"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("blk"),
+            simhashBlockOf(col("simhash"), j).as("v"))): _*)).as("bv"))
+      .select(col("doc_id"), col("bv.blk").as("blk"), col("bv.v").as("v"))
+    val w = c.cliques.select(col("rep").as("doc_id"), col("weight"))
+    blks.join(broadcast(hot.select("blk", "v")), Seq("blk", "v"))
+      .join(w, Seq("doc_id"))
+      .groupBy("blk", "v")
+      .agg(count(lit(1)).as("n_contents"),
+        sum(col("weight")).as("n_copies"),
+        min(col("doc_id")).as("exemplar_doc"))
+  }
+
+  /** DuckDB twin of [[hotBucketReport]]. */
+  def hotBucketReportSql(maxDf: Long = bucketMaxDf): String =
+    s"""WITH ${simhashSqlCteRel(repRelSql)},
+       |hb_w AS (
+       |  SELECT min(doc_id) AS doc_id, count(*) AS weight FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL GROUP BY text
+       |),
+       |hb_blocks AS (
+       |  SELECT doc_id, bs.b AS blk, (simhash >> (bs.b * 15)) & 32767 AS v
+       |  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS b) bs
+       |),
+       |hb_hot AS (
+       |  SELECT blk, v FROM (
+       |    SELECT blk, v, count(*) AS m FROM hb_blocks GROUP BY blk, v)
+       |  WHERE m > $maxDf
+       |)
+       |SELECT b.blk, b.v,
+       |  CAST(count(*) AS BIGINT) AS n_contents,
+       |  CAST(sum(w.weight) AS BIGINT) AS n_copies,
+       |  min(b.doc_id) AS exemplar_doc
+       |FROM hb_blocks b
+       |JOIN hb_hot USING (blk, v)
+       |JOIN hb_w w ON w.doc_id = b.doc_id
+       |GROUP BY b.blk, b.v""".stripMargin
+
   /** One-row audit of [[simhashContraction]]'s hot-bucket guard:
     * `(n_hot_buckets, hot_candidate_mass)` over the 4×15-bit block
     * buckets — see [[lshGuardAudit]] for the column semantics. */

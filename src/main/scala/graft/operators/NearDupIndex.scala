@@ -669,17 +669,48 @@ object NearDupIndex {
     .map(i => s"CASE WHEN si.m$i = se.m$i THEN 1 ELSE 0 END")
     .mkString(" + ")
 
+  /** DuckDB twin of [[admit]] against an index that has RETRACTED
+    * every clique whose representative satisfies `retractWhere` (a
+    * predicate over the clique's `rep` doc_id): a tombstoned
+    * fingerprint is absent for the exact tier (re-admittable) and its
+    * rep's postings stop near-rejecting — so the oracle is simply
+    * admission over the surviving cliques, everything (sigs, bands,
+    * probe) flowing from the filtered clique relation. */
+  def admissionSqlRetracted(retractWhere: String,
+                            minMatches: Int = defaultMinMatches): String =
+    s"""${admissionCtesWhere(retractWhere)}
+       |SELECT i.doc_id, i.fp AS content_hash,
+       |  CAST(i.weight AS BIGINT) AS n_batch_copies,
+       |  CASE WHEN e.fp IS NOT NULL THEN 'dup_exact'
+       |       WHEN b.best_matches >= $minMatches THEN 'dup_near'
+       |       ELSE 'admitted' END AS verdict,
+       |  CAST(coalesce(b.best_matches, 0) * $ppmPerMatch AS BIGINT)
+       |    AS best_est_ppm
+       |FROM ndx_in_cl i
+       |LEFT JOIN ndx_ex_cl e USING (fp)
+       |LEFT JOIN ndx_best b USING (doc_id)""".stripMargin
+
   /** Shared CTE prefix of the admission twins: clique/sig/band
-    * relations for both partitions and the best-estimate probe. */
-  private def admissionCtes: String = {
+    * relations for both partitions and the best-estimate probe.
+    * `retractWhere`, when non-empty, drops the existing cliques whose
+    * `rep` satisfies it (the tombstone twin — see
+    * [[admissionSqlRetracted]]). */
+  private def admissionCtes: String = admissionCtesWhere("")
+
+  private def admissionCtesWhere(retractWhere: String): String = {
     val est = (0 until numHashes)
       .map(i => s"CASE WHEN si.m$i = se.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
+    val exBase =
+      """SELECT md5(text) AS fp, min(doc_id) AS rep
+        |  FROM documents
+        |  WHERE doc_id % 5 <> 0 AND text IS NOT NULL AND doc_id IS NOT NULL
+        |  GROUP BY md5(text)""".stripMargin
+    val exCl =
+      if (retractWhere.isEmpty) exBase
+      else s"SELECT * FROM (\n  $exBase) WHERE NOT ($retractWhere)"
     s"""WITH ndx_ex_cl AS (
-       |  SELECT md5(text) AS fp, min(doc_id) AS rep
-       |  FROM documents
-       |  WHERE doc_id % 5 <> 0 AND text IS NOT NULL AND doc_id IS NOT NULL
-       |  GROUP BY md5(text)
+       |  $exCl
        |), ndx_in_cl AS (
        |  SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS weight
        |  FROM documents
