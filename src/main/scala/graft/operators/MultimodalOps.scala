@@ -557,11 +557,6 @@ object MultimodalOps {
     (h2 % 256L).toInt
   }
 
-  val frameFpSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("q", LongType),
-    StructField("frame_fp", LongType)))
-
   /** 64-bit dHash of one decoded frame on the canonical 9×8 grid — the
     * x62 gradient hash ([[imageHashes]]'s dhash half) factored for
     * per-frame use: nearest-neighbor sample onto 9×8, bit (y·8+x) set
@@ -591,37 +586,68 @@ object MultimodalOps {
     * frame ([[framePixel]] keyed by (doc_id div 4, q) — the synthesized
     * decode), PNG-encode it with the JDK's real ImageIO writer, DECODE
     * the bytes back, and dHash the decoded pixels — the exact x62
-    * encode→decode→hash path run per sampled frame in one
-    * partition-local loop (frame bytes never hit the driver; cost is
-    * linear in sampled frames). PNG is lossless, so a DuckDB oracle
-    * predicts the hash from the pixel function alone — any decoder or
-    * resample deviation breaks the match. */
+    * encode→decode→hash path (frame bytes never hit the driver). PNG
+    * is lossless, so a DuckDB oracle predicts the hash from the pixel
+    * function alone — any decoder or resample deviation breaks the
+    * match.
+    *
+    * Two deliberate cost moves, mirroring the twin's shape: frames are
+    * hashed per DISTINCT (content group, tick) and joined back onto
+    * the schedule (the fingerprint relation is group-sized, it
+    * broadcasts; re-encodes of the same footage never hash the same
+    * instant twice), and the codec pair is obtained ONCE per partition
+    * — `ImageIO.write/read`'s convenience lookups re-scan the plugin
+    * registry per call, which at 10⁴ frames dominated the pixels
+    * ~10:1. */
   def frameFingerprints(schedule: DataFrame): DataFrame = {
     val session = schedule.sparkSession
-    val rdd = schedule
-      .select(col("doc_id").cast("long"), col("q").cast("long")).rdd
-      .mapPartitions(_.map { r =>
-        val id = r.getLong(0)
-        val q = r.getLong(1)
-        val img = new java.awt.image.BufferedImage(imageW, imageH,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < imageH) {
-          var x = 0
-          while (x < imageW) {
-            val g = framePixel(id / 4L, q, x, y)
-            img.setRGB(x, y, (g << 16) | (g << 8) | g)
-            x += 1
+    val sched = schedule.select(col("doc_id").cast("long").as("doc_id"),
+      col("q").cast("long").as("q"))
+    val fpSchema = StructType(Seq(
+      StructField("grp", LongType),
+      StructField("q", LongType),
+      StructField("frame_fp", LongType)))
+    val rdd = sched.select(expr("doc_id div 4").as("grp"), col("q"))
+      .distinct().rdd
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.map { r =>
+          val grp = r.getLong(0)
+          val q = r.getLong(1)
+          val img = new java.awt.image.BufferedImage(imageW, imageH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < imageH) {
+            var x = 0
+            while (x < imageW) {
+              val g = framePixel(grp, q, x, y)
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          // explicit memory-cache streams: ImageIO.create*Stream
+          // defaults to DISK-backed cache files (one temp file per
+          // frame — the filesystem, not the codec, was the cost)
+          val bos = new java.io.ByteArrayOutputStream(256)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          reader.setInput(iis)
+          val dec = reader.read(0)
+          iis.close()
+          Row(grp, q, dhash64(dec))
         }
-        val out = new java.io.ByteArrayOutputStream(256)
-        javax.imageio.ImageIO.write(img, "png", out)
-        val dec = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(out.toByteArray))
-        Row(id, q, dhash64(dec))
-      })
-    session.createDataFrame(rdd, frameFpSchema)
+      }
+    sched.withColumn("grp", expr("doc_id div 4"))
+      .join(session.createDataFrame(rdd, fpSchema), Seq("grp", "q"))
+      .select(col("doc_id"), col("q"), col("frame_fp"))
   }
 
   /** x182: video near-dup pairs by sampled-frame fingerprints — the
@@ -780,6 +806,17 @@ object MultimodalOps {
     if (x == v && y == v) (g + 128) % 256 else g
   }
 
+  /** Process-wide ImageIO switch, referenced at the top of every
+    * decode/encode partition mapper (once per executor JVM): the
+    * convenience `ImageIO.read`/`write` and `createImage*Stream`
+    * default to DISK-backed stream caches — one temp file per image,
+    * and at 10³–10⁴ tiny frames per query the filesystem, not the
+    * codec, was the cost (x182 measured ~4× on exactly this). Memory
+    * caching is strictly right here: every image in the engine is a
+    * bounded thumbnail-class buffer. */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Image corpus with GENUINE PNG payloads: a 9×8 gray image whose
     * pixels come from [[imagePixel]], encoded by the JDK's real ImageIO
     * PNG writer. PNG is lossless, so the decode side recovers the exact
@@ -792,6 +829,7 @@ object MultimodalOps {
       StructField("payload", BinaryType)))
     val rdd = docs.select(col("doc_id").cast("long")).rdd
       .mapPartitions(_.map { r =>
+        imageIoMemCache
         val id = r.getLong(0)
         val img = new java.awt.image.BufferedImage(imageW, imageH,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -827,6 +865,7 @@ object MultimodalOps {
     val session = df.sparkSession
     val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
       .mapPartitions(_.map { r =>
+        imageIoMemCache
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         val img =
@@ -1275,6 +1314,7 @@ object MultimodalOps {
     val (tw, th) = (thumbW, thumbH)
     val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
       .mapPartitions(_.map { r =>
+        imageIoMemCache
         val id = r.getLong(0)
         val img =
           try javax.imageio.ImageIO.read(
