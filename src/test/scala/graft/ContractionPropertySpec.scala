@@ -170,4 +170,61 @@ class ContractionPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"seed=$seed")
     }
   }
+
+  test("kernelConfusion == uncontracted universe + ground verdicts, clique-weighted") {
+    for (seed <- 31L to 34L) {
+      val docs = corpus(seed, 24).localCheckpoint(true)
+      // a ≤36-rep corpus can't have a hot bucket at the default cap, so
+      // the guarded universe must equal this UNGUARDED re-derivation
+      assert(DedupOps.simhashGuardAudit(docs).collect()(0).getLong(0) === 0L)
+      assert(DedupOps.lshGuardAudit(docs).collect()(0).getLong(0) === 0L)
+      val cl = docs
+        .filter(col("text").isNotNull && col("doc_id").isNotNull)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("weight"))
+        .localCheckpoint(true)
+      val reps = docs.join(cl.select(col("rep").as("doc_id")),
+        Seq("doc_id"), "left_semi").localCheckpoint(true)
+      // uncontracted candidate universe at rep level: any shared LSH
+      // band bucket ∪ any agreeing 15-bit simhash block
+      val bands = DedupOps.lshBands(
+        DedupOps.minhashSignatures(reps).localCheckpoint(true))
+      val lcand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val sim = DedupOps.simhash(reps).localCheckpoint(true)
+      val blockOf = (c: org.apache.spark.sql.Column, j: Int) =>
+        shiftright(c, j * 15).bitwiseAND(lit(32767L))
+      val scand = sim.as("a").join(sim.as("b"),
+          col("a.doc_id") < col("b.doc_id") &&
+            (0 until 4).map(j => blockOf(col("a.simhash"), j) ===
+              blockOf(col("b.simhash"), j)).reduce(_ || _))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val univ = lcand.unionByName(scand).distinct().localCheckpoint(true)
+      val jac = DedupOps.jaccardFor(reps, univ, state = DedupOps.Unpinned)
+      val w = cl.select(col("rep"), col("weight"))
+      val want = rows(univ
+        .join(jac, Seq("doc_a", "doc_b"), "left")
+        .join(sim.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sig_a")), Seq("doc_a"))
+        .join(sim.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sig_b")), Seq("doc_b"))
+        .join(w.select(col("rep").as("doc_a"), col("weight").as("w_a")),
+          Seq("doc_a"))
+        .join(w.select(col("rep").as("doc_b"), col("weight").as("w_b")),
+          Seq("doc_b"))
+        .select(
+          when(coalesce(col("jaccard"), lit(0.0)) >= 0.5, 1)
+            .otherwise(0).as("lsh_dup"),
+          when(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3, 1)
+            .otherwise(0).as("simhash_dup"),
+          (col("w_a") * col("w_b")).as("mass"))
+        .groupBy("lsh_dup", "simhash_dup")
+        .agg(count(lit(1)).as("n_rep_pairs"),
+          sum(col("mass")).as("member_pair_mass")))
+      assert(rows(DedupOps.kernelConfusion(docs)) === want, s"seed=$seed")
+    }
+  }
 }
