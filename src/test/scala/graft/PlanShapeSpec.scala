@@ -77,6 +77,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "x10's contract is the expanded pair relation (expandRepPairs)")
   }
 
+  test("x184 hot-bucket report broadcasts the key-space-bounded hot set") {
+    // the hot set is <= 4*2^15 rows whatever the corpus, so attaching
+    // it to the 4-rows-per-rep block relation must be a broadcast hash
+    // join, never a shuffled join of the block relation
+    val plan = physicalPlan(
+      SparkEntry.queries("x184_hot_buckets")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot set should broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"x184:\n$plan")
+  }
+
   test("training selection (x19) is one scan + one shuffle with partial aggregation") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val plan = physicalPlan(graft.operators.TextOps.trainingSelection(docs))
