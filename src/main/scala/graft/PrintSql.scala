@@ -20,6 +20,7 @@ object PrintSql {
       case "containment_candidate_mass" =>
         graft.operators.DedupOps.guardedCandidateMassSql(16)
       case "retrieval_probe_mass" => graft.operators.RetrievalOps.probeMassSql()
+      case "index_skew" => graft.operators.NearDupIndex.indexSkewSql
       case other => sys.error(s"unknown sql name: $other")
     }
     println("-----BEGIN SQL-----")

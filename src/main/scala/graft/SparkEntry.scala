@@ -113,6 +113,39 @@ object SparkEntry {
       root
     })
 
+  // x186's fixture: the SAME 80% build EXTENDED by the 20% batch as a
+  // second epoch, so the rejections ledger (exact-rejected copies of
+  // epoch-1 content) is populated. Derived by FILESYSTEM COPY of the
+  // x174 index — the index is a deterministic function of the
+  // partition, so copying skips re-signing the 80% corpus — then one
+  // extendEpoch, which signs the batch only.
+  private val ndxLedgerCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def ndxLedgerRoot(s: SparkSession, dir: String): String =
+    ndxLedgerCache.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ndx_l").toString
+      copyTree(java.nio.file.Paths.get(ndxRoot(s, dir)),
+        java.nio.file.Paths.get(root))
+      graft.operators.NearDupIndex.extendEpoch(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        root, "b0")
+      root
+    })
+
+  private def copyTree(src: java.nio.file.Path,
+                       dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(src)
+    try walk.iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
   // Trained BPE merge table: same train-once-per-(session, corpus)
   // contract as ivfModel; the generated DuckDB twins replay training
   // from the merge literals (BpeOps.trainSql / applyCountsSql).
@@ -1386,6 +1419,25 @@ object SparkEntry {
       graft.operators.NearDupIndex.admissionAudit(
         docs.filter(col("doc_id") % 5 === 0), docs, ndxRoot(s, dir))
     }),
+
+    // x186 — corpus-wide virality off the index's rejections LEDGER:
+    // per live content, admitting-epoch copies + later exact-rejected
+    // copies; the oracle computes the DIRECT whole-corpus md5 count,
+    // so hash equality IS the ledger-loses-nothing proof (the x136
+    // refresh-equals-recompute discipline, applied to the index)
+    "x186_index_virality" -> ((s, dir) =>
+      graft.operators.NearDupIndex.virality(s, ndxLedgerRoot(s, dir))),
+
+    // x187 — GUARDED admission: index posting buckets holding more
+    // than maxBucket distinct contents (the template-family shape
+    // x180 profiles and x184 reports) drop out of the probe; the cap
+    // is never silent — n_hot_buckets rides every verdict row. The
+    // cap is deliberately at the gate corpus's own collision scale
+    // (x180: bucket sizes 1-3) so BOTH branches fire at both SFs.
+    "x187_guarded_admission" -> ((s, dir) =>
+      graft.operators.NearDupIndex.admitGuarded(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        ndxRoot(s, dir), maxBucket = 1L)),
 
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -3224,6 +3276,10 @@ object SparkEntry {
       graft.operators.NearDupIndex.admissionAuditSql(),
     "x180_index_skew" ->
       graft.operators.NearDupIndex.indexSkewSql,
+    "x186_index_virality" ->
+      graft.operators.NearDupIndex.viralitySql(),
+    "x187_guarded_admission" ->
+      graft.operators.NearDupIndex.admissionGuardedSql(maxBucket = 1L),
     "x55_winnowing_matches" -> TextOps.winnowingMatchesSql(),
     "x56_funnel" -> graft.operators.TemporalJoins.orderedFunnelSql(
       Seq("view", "click", "purchase"), "1 DAY"),

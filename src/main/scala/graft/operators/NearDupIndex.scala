@@ -21,11 +21,17 @@ import graft.operators.DedupOps.{lshBands, minhashCoeffs, minhashPrime,
   *     kept even for contents too short to sign. `weight` counts the
   *     copies IN THE EPOCH'S OWN BATCH only: a later batch's exact-
   *     rejected copies of already-indexed content increment nothing
-  *     (the rejected batch is not stored), so cross-epoch corpus-wide
-  *     virality is NOT reconstructible from these rows — consumers
-  *     wanting that must accumulate the per-admission verdict stream
-  *     ([[admit]]'s `n_batch_copies` over every batch), where the
-  *     rejected copies are visible;
+  *     here (the rejected batch is not stored) — they land in that
+  *     later epoch's `rejections` ledger instead;
+  *   - `rejections` (fp, n_rejected): the REJECTED-COPY LEDGER — per
+  *     indexed fingerprint, the batch copies this epoch's admission
+  *     exact-rejected against it. Σ(weight) + Σ(n_rejected) per fp
+  *     across the live epochs IS the corpus-wide copy count
+  *     ([[virality]] reads it; the x186 gate pins it equal to a direct
+  *     count over the whole corpus), so cross-epoch virality is
+  *     reconstructible from the index alone — no verdict-stream
+  *     accumulation needed. Near-rejected content is NOT ledgered: it
+  *     is distinct content (its own fp), not a copy of anything;
   *   - `sigs` (doc_id, m0..m15): the 16-permutation MinHash signature
   *     per signed rep;
   *   - `bands` (doc_id, band, band_hash): the 4 LSH band postings per
@@ -102,9 +108,15 @@ object NearDupIndex {
     (cliques, sigs, lshBands(sigs))
   }
 
+  /** Zero-row rejections ledger with the persisted schema. */
+  private def emptyRejections(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit(null).cast("string").as("fp"),
+      lit(0L).as("n_rejected"))
+
   private def writeEpoch(cliques: DataFrame, sigs: DataFrame,
-                         bands: DataFrame, root: String): String =
-    writeEpochNamed(cliques, sigs, bands, root,
+                         bands: DataFrame, rejections: DataFrame,
+                         root: String): String =
+    writeEpochNamed(cliques, sigs, bands, rejections, root,
       "e" + java.util.UUID.randomUUID().toString.take(12))
 
   /** Writes an epoch shard crash-safely under a FIXED name: tables are
@@ -123,8 +135,8 @@ object NearDupIndex {
       s"epoch name '$name' must match [A-Za-z0-9._-]+ (no leading dot)")
 
   private def writeEpochNamed(cliques: DataFrame, sigs: DataFrame,
-                              bands: DataFrame, root: String,
-                              name: String): String = {
+                              bands: DataFrame, rejections: DataFrame,
+                              root: String, name: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     requireSafeEpochName(name)
     val stage = Paths.get(root, "epochs", s".stage-$name")
@@ -132,6 +144,7 @@ object NearDupIndex {
     cliques.write.parquet(s"$stage/cliques")
     sigs.write.parquet(s"$stage/sigs")
     bands.write.parquet(s"$stage/bands")
+    rejections.write.parquet(s"$stage/rejections")
     val dst = Paths.get(root, "epochs", name)
     deleteRecursively(dst) // a crashed attempt that moved but never promoted
     Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
@@ -241,6 +254,43 @@ object NearDupIndex {
       live(posed("bands"), Seq("doc_id"), deadReps))
   }
 
+  /** Live rejections-ledger rows `(fp, n_rejected)` under the same
+    * tombstone discipline as [[load]]: a tombstone kills ledger rows
+    * written BEFORE it for its fingerprints (those copies were part of
+    * the taken-down content), while rows accrued after a re-admission
+    * stay. Epochs predating the ledger (no `rejections` dir) read as
+    * empty. */
+  private def loadRejections(spark: SparkSession, root: String): DataFrame = {
+    val eps = committedEpochs(root)
+    val dataE = eps.filterNot(_.startsWith(TombPrefix))
+    val tombs: Seq[(String, Int)] = eps.zipWithIndex.collect {
+      case (e, i) if e.startsWith(TombPrefix) =>
+        (e.stripPrefix(TombPrefix),
+          eps.take(i).count(!_.startsWith(TombPrefix)))
+    }
+    val present = dataE.zipWithIndex.filter { case (e, _) =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, e, "rejections"))
+    }
+    if (present.isEmpty) return emptyRejections(spark)
+    if (tombs.isEmpty)
+      return spark.read.parquet(
+        present.map { case (e, _) => s"$root/$e/rejections" }: _*)
+        .select(col("fp"), col("n_rejected"))
+    val posed = present.map { case (e, i) =>
+      spark.read.parquet(s"$root/$e/rejections").withColumn("__pos", lit(i))
+    }.reduce(_ unionByName _)
+    val tombFps = tombs.map { case (t, thresh) =>
+      spark.read.parquet(s"$root/$t/tombstones")
+        .select(col("fp"), lit(thresh).as("__thresh"))
+    }.reduce(_ unionByName _)
+    val dead = posed.as("r").join(broadcast(tombFps).as("t"),
+        col("r.fp") === col("t.fp") && col("r.__pos") < col("t.__thresh"))
+      .select(col("r.fp").as("fp"), col("r.__pos").as("__pos")).distinct()
+    posed.join(broadcast(dead), Seq("fp", "__pos"), "left_anti")
+      .select(col("fp"), col("n_rejected"))
+  }
+
   // ---- public lifecycle ----------------------------------------------------
 
   /** Admission tier (a) — the ONE exact-content gate, shared by the
@@ -271,7 +321,8 @@ object NearDupIndex {
     lockFor(root).synchronized {
       val token = currentToken(root)
       val (cliques, sigs, bands) = signCorpus(df, text)
-      val ep = writeEpoch(cliques, sigs, bands, root)
+      val ep = writeEpoch(cliques, sigs, bands,
+        emptyRejections(df.sparkSession), root)
       promoteManifestCas(root, Seq(ep), token)
     }
 
@@ -335,6 +386,49 @@ object NearDupIndex {
           .otherwise(lit("admitted")).as("verdict"),
         (coalesce(col("best_matches"), lit(0L)) * ppmPerMatch)
           .as("best_est_ppm"))
+  }
+
+  /** [[admit]] under the x78/x182 hot-bucket discipline, applied to the
+    * PROBE: index posting buckets holding more than `maxBucket` distinct
+    * contents (a boilerplate template family concentrating at one band
+    * value — x180's top size class, x184's refused population) are
+    * excluded from candidate pairing, so a template-heavy batch probing
+    * a template-heavy index pays O(|batch postings|) at those keys
+    * instead of |batch postings|·|bucket|. The cap is never silent:
+    * `n_hot_buckets` rides every verdict row — the count of the
+    * incoming rep's own postings that landed in excluded buckets, so a
+    * row admitted with collisions suppressed is visibly quarantinable
+    * (`n_hot_buckets > 0` and the estimate may under-read). The EXACT
+    * tier is untouched: a true exact dup is always rejected whatever
+    * buckets burn. Feed `maxBucket` from [[indexSkew]]'s ladder. */
+  def admitGuarded(incoming: DataFrame, root: String, maxBucket: Long,
+                   minMatches: Int = defaultMinMatches,
+                   text: Column = col("text")): DataFrame = {
+    val idx = load(incoming.sparkSession, root)
+    val (inCl, inSigs, inBands) = signCorpus(incoming, text)
+    val hot = idx.bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("m")).filter(col("m") > maxBucket)
+      .select("band", "band_hash")
+    val coldIn = inBands.join(broadcast(hot), Seq("band", "band_hash"),
+      "left_anti")
+    val nHot = inBands.join(broadcast(hot), Seq("band", "band_hash"),
+        "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
+    val best = bestEstimates(inSigs, coldIn, idx)
+    inCl
+      .select(col("rep").as("doc_id"), col("fp").as("content_hash"),
+        col("weight").as("n_batch_copies"))
+      .join(idx.cliques.select(col("fp").as("content_hash"),
+        lit(1).as("__exact")).distinct(), Seq("content_hash"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .join(nHot, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("content_hash"), col("n_batch_copies"),
+        when(col("__exact").isNotNull, lit("dup_exact"))
+          .when(col("best_matches") >= minMatches, lit("dup_near"))
+          .otherwise(lit("admitted")).as("verdict"),
+        (coalesce(col("best_matches"), lit(0L)) * ppmPerMatch)
+          .as("best_est_ppm"),
+        coalesce(col("n_hot"), lit(0L)).as("n_hot_buckets"))
   }
 
   /** x178: admission-threshold YIELD CURVE — x174 admits at ONE
@@ -504,15 +598,21 @@ object NearDupIndex {
       val committed = committedEpochs(root)
       if (committed.contains(s"epochs/$epochName")) false
       else {
-        val admitted = admit(incoming, root, minMatches, text)
-          .filter(col("verdict") === "admitted")
+        val verdicts = admit(incoming, root, minMatches, text)
+        val admitted = verdicts.filter(col("verdict") === "admitted")
           .select(col("content_hash").as("fp"))
+        // the ledger: exact-rejected batch copies, keyed by the indexed
+        // fingerprint they matched (== their own fp, by exactness)
+        val rejections = verdicts.filter(col("verdict") === "dup_exact")
+          .select(col("content_hash").as("fp"),
+            col("n_batch_copies").as("n_rejected"))
         val (inCl, inSigs, inBands) = signCorpus(incoming, text)
         val cliques = inCl.join(admitted, Seq("fp"), "left_semi")
         val reps = cliques.select(col("rep").as("doc_id"))
         val ep = writeEpochNamed(cliques,
           inSigs.join(reps, Seq("doc_id"), "left_semi"),
-          inBands.join(reps, Seq("doc_id"), "left_semi"), root, epochName)
+          inBands.join(reps, Seq("doc_id"), "left_semi"),
+          rejections, root, epochName)
         promoteManifestCas(root, committed :+ ep, token)
         true
       }
@@ -562,14 +662,78 @@ object NearDupIndex {
     lockFor(root).synchronized {
       val token = currentToken(root)
       val idx = load(spark, root) // tombstones applied -> folded away here
+      val rej = loadRejections(spark, root)
+        .groupBy("fp").agg(sum(col("n_rejected")).as("n_rejected"))
       val name = "c" + java.util.UUID.randomUUID().toString.take(12)
       val ep = writeEpochNamed(
         idx.cliques.repartition(1).sortWithinPartitions("fp"),
         idx.sigs.repartition(1).sortWithinPartitions("doc_id"),
         idx.bands.repartition(1).sortWithinPartitions("band", "band_hash"),
-        root, name)
+        rej, root, name)
       promoteManifestCas(root, Seq(ep), token)
     }
+
+  /** TIERED (tail) compaction — the bounded-cost maintenance a
+    * long-lived ingest actually runs: [[compact]] rewrites the WHOLE
+    * index, O(corpus), while a streaming admitter accretes many SMALL
+    * epochs on top of one big base. This merges only the maximal
+    * all-data SUFFIX of the manifest (the epochs committed after the
+    * last tombstone — exactly the accretion tail) into one epoch and
+    * leaves everything before it untouched on disk, so the cost is
+    * O(|tail|) however big the base grows. Merging the tail is
+    * semantics-free: its epochs hold DISJOINT fingerprints (each was
+    * admitted against all its predecessors) and no tombstone applies to
+    * any of them (tombstones only kill epochs committed before them).
+    * A no-op (tail shorter than 2 epochs) returns the live version
+    * unchanged. Same crash-anywhere discipline as every promotion. */
+  def compactTail(spark: SparkSession, root: String): String =
+    lockFor(root).synchronized {
+      val token = currentToken(root)
+      val eps = committedEpochs(root)
+      val lastTomb = eps.lastIndexWhere(_.startsWith(TombPrefix))
+      val tail = eps.drop(lastTomb + 1)
+      if (tail.size < 2) graft.core.AtomicDir.current(root)
+      else {
+        def tbl(which: String): DataFrame =
+          spark.read.parquet(tail.map(e => s"$root/$e/$which"): _*)
+        val rejPaths = tail.filter(e => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, e, "rejections")))
+        val rej =
+          if (rejPaths.isEmpty) emptyRejections(spark)
+          else spark.read
+            .parquet(rejPaths.map(e => s"$root/$e/rejections"): _*)
+            .groupBy("fp").agg(sum(col("n_rejected")).as("n_rejected"))
+        val name = "m" + java.util.UUID.randomUUID().toString.take(12)
+        val ep = writeEpochNamed(
+          tbl("cliques").repartition(1).sortWithinPartitions("fp"),
+          tbl("sigs").repartition(1).sortWithinPartitions("doc_id"),
+          tbl("bands").repartition(1)
+            .sortWithinPartitions("band", "band_hash"),
+          rej, root, name)
+        promoteManifestCas(root, eps.take(lastTomb + 1) :+ ep, token)
+      }
+    }
+
+  /** Corpus-wide VIRALITY from the index alone — per live distinct
+    * content: its representative, the copies its admitting epoch saw
+    * (`n_epoch_copies`) and the copies later batches exact-rejected
+    * against it (`n_rejected_later`, off the per-epoch rejections
+    * ledger), summing to the corpus-wide copy count `n_copies`. The
+    * x186 gate pins this equal to a DIRECT md5 count over the whole
+    * corpus — the refresh-equals-recompute proof that the ledger loses
+    * nothing across epochs. Scale: two contracted-table scans and one
+    * fp-keyed aggregate+join; the corpus text is never touched. */
+  def virality(spark: SparkSession, root: String): DataFrame = {
+    val idx = load(spark, root)
+    val rej = loadRejections(spark, root)
+      .groupBy("fp").agg(sum(col("n_rejected")).as("n_rej"))
+    val later = coalesce(col("n_rej"), lit(0L))
+    idx.cliques.join(rej, Seq("fp"), "left")
+      .select(col("rep"), col("fp"),
+        col("weight").as("n_epoch_copies"),
+        later.as("n_rejected_later"),
+        (col("weight") + later).as("n_copies"))
+  }
 
   // ---- DuckDB twin ---------------------------------------------------------
 
@@ -669,6 +833,81 @@ object NearDupIndex {
     .map(i => s"CASE WHEN si.m$i = se.m$i THEN 1 ELSE 0 END")
     .mkString(" + ")
 
+  /** DuckDB twin of [[virality]] over the gate's 80/20 fixture (index
+    * built on the 80%, the 20% batch admitted as a second epoch). The
+    * twin computes the DIRECT corpus-wide md5 count for every live
+    * fingerprint — so the gate's hash equality against the Spark side's
+    * ledger-accumulated numbers IS the proof that Σ weight + Σ rejected
+    * reconstructs the corpus exactly. Live = the 80% cliques plus the
+    * batch contents the admission actually admitted. */
+  def viralitySql(minMatches: Int = defaultMinMatches): String =
+    s"""$admissionCtes,
+       |vir_adm AS (
+       |  SELECT i.fp, i.doc_id AS rep, i.weight
+       |  FROM ndx_in_cl i
+       |  ANTI JOIN ndx_ex_cl e USING (fp)
+       |  LEFT JOIN ndx_best b USING (doc_id)
+       |  WHERE coalesce(b.best_matches, 0) < $minMatches
+       |),
+       |vir_live AS (
+       |  SELECT fp, rep, weight FROM ndx_ex_cl
+       |  UNION ALL
+       |  SELECT fp, rep, weight FROM vir_adm
+       |),
+       |vir_all AS (
+       |  SELECT md5(text) AS fp, count(*) AS copies
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |  GROUP BY md5(text)
+       |)
+       |SELECT l.rep, l.fp,
+       |  CAST(l.weight AS BIGINT) AS n_epoch_copies,
+       |  CAST(a.copies - l.weight AS BIGINT) AS n_rejected_later,
+       |  CAST(a.copies AS BIGINT) AS n_copies
+       |FROM vir_live l JOIN vir_all a USING (fp)""".stripMargin
+
+  /** DuckDB twin of [[admitGuarded]] over the same 80/20 split: hot
+    * buckets drop out of the candidate CTE, and each incoming rep
+    * carries the count of its own postings that hit them. */
+  def admissionGuardedSql(maxBucket: Long,
+                          minMatches: Int = defaultMinMatches): String =
+    s"""$admissionCtes,
+       |g_hot AS (
+       |  SELECT band, band_hash FROM ndx_ex_bands
+       |  GROUP BY band, band_hash HAVING count(*) > $maxBucket
+       |),
+       |g_cand AS (
+       |  SELECT DISTINCT i.doc_id, e.doc_id AS old_rep
+       |  FROM (SELECT b.* FROM ndx_in_bands b
+       |        ANTI JOIN g_hot h USING (band, band_hash)) i
+       |  JOIN ndx_ex_bands e
+       |    ON i.band = e.band AND i.band_hash = e.band_hash
+       |),
+       |g_best AS (
+       |  SELECT c.doc_id, max($estSql) AS best_matches
+       |  FROM g_cand c
+       |  JOIN ndx_in_sig si ON si.doc_id = c.doc_id
+       |  JOIN ndx_ex_sig se ON se.doc_id = c.old_rep
+       |  GROUP BY c.doc_id
+       |),
+       |g_nhot AS (
+       |  SELECT i.doc_id, count(*) AS n_hot
+       |  FROM ndx_in_bands i JOIN g_hot h USING (band, band_hash)
+       |  GROUP BY i.doc_id
+       |)
+       |SELECT i.doc_id, i.fp AS content_hash,
+       |  CAST(i.weight AS BIGINT) AS n_batch_copies,
+       |  CASE WHEN e.fp IS NOT NULL THEN 'dup_exact'
+       |       WHEN b.best_matches >= $minMatches THEN 'dup_near'
+       |       ELSE 'admitted' END AS verdict,
+       |  CAST(coalesce(b.best_matches, 0) * $ppmPerMatch AS BIGINT)
+       |    AS best_est_ppm,
+       |  CAST(coalesce(h.n_hot, 0) AS BIGINT) AS n_hot_buckets
+       |FROM ndx_in_cl i
+       |LEFT JOIN ndx_ex_cl e USING (fp)
+       |LEFT JOIN g_best b USING (doc_id)
+       |LEFT JOIN g_nhot h ON h.doc_id = i.doc_id""".stripMargin
+
   /** DuckDB twin of [[admit]] against an index that has RETRACTED
     * every clique whose representative satisfies `retractWhere` (a
     * predicate over the clique's `rep` doc_id): a tombstoned
@@ -702,7 +941,7 @@ object NearDupIndex {
       .map(i => s"CASE WHEN si.m$i = se.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     val exBase =
-      """SELECT md5(text) AS fp, min(doc_id) AS rep
+      """SELECT md5(text) AS fp, min(doc_id) AS rep, count(*) AS weight
         |  FROM documents
         |  WHERE doc_id % 5 <> 0 AND text IS NOT NULL AND doc_id IS NOT NULL
         |  GROUP BY md5(text)""".stripMargin

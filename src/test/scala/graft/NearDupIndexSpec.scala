@@ -224,6 +224,140 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after === before, "compaction must not change any admission")
   }
 
+  test("virality ledger: corpus-wide copy counts reconstruct across epochs") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    // epoch 1: a12 twice, b12 once
+    NearDupIndex.buildIndex(
+      Seq((1L, a12), (2L, a12), (3L, b12)).toDF("doc_id", "text"), root)
+    // epoch 2: three more a12 copies (exact-rejected -> ledger),
+    // one fresh admitted content
+    val fresh = "totally different words nobody used before in this " +
+      "corpus with plenty of fresh trigrams to shingle"
+    NearDupIndex.extend(
+      Seq((10L, a12), (11L, a12), (12L, a12), (13L, fresh))
+        .toDF("doc_id", "text"), root)
+    // epoch 3: one more a12, one more b12, one more fresh copy
+    NearDupIndex.extend(
+      Seq((20L, a12), (21L, b12), (22L, fresh)).toDF("doc_id", "text"), root)
+    val got = NearDupIndex.virality(spark, root).collect()
+      .map(r => r.getAs[Long]("rep") ->
+        ((r.getAs[Long]("n_epoch_copies"), r.getAs[Long]("n_rejected_later"),
+          r.getAs[Long]("n_copies")))).toMap
+    assert(got === Map(
+      1L -> ((2L, 4L, 6L)),   // a12: 2 in epoch 1, 3 + 1 rejected later
+      3L -> ((1L, 1L, 2L)),   // b12: 1 in epoch 1, 1 rejected in epoch 3
+      13L -> ((1L, 1L, 2L))), // fresh: admitted epoch 2, rejected epoch 3
+      s"ledger must reconstruct the direct corpus count: $got")
+    // compaction folds the ledger without losing a copy
+    NearDupIndex.compact(spark, root)
+    val after = NearDupIndex.virality(spark, root).collect()
+      .map(r => r.getAs[Long]("rep") -> r.getAs[Long]("n_copies")).toMap
+    assert(after === Map(1L -> 6L, 3L -> 2L, 13L -> 2L),
+      s"compaction must preserve corpus-wide counts: $after")
+  }
+
+  test("virality ledger respects retraction: taken-down copies leave the count") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    NearDupIndex.buildIndex(Seq((1L, a12)).toDF("doc_id", "text"), root)
+    NearDupIndex.extend(Seq((10L, a12)).toDF("doc_id", "text"), root) // ledgered
+    NearDupIndex.retract(Seq(md5hex(a12)).toDF("fp"), root)
+    // re-admit after the takedown; one more copy rejected on top
+    assert(NearDupIndex.extendEpoch(
+      Seq((20L, a12)).toDF("doc_id", "text"), root, "readmit"))
+    NearDupIndex.extend(Seq((30L, a12)).toDF("doc_id", "text"), root)
+    val got = NearDupIndex.virality(spark, root).collect()
+      .map(r => r.getAs[Long]("rep") ->
+        ((r.getAs[Long]("n_epoch_copies"), r.getAs[Long]("n_rejected_later"),
+          r.getAs[Long]("n_copies")))).toMap
+    // pre-takedown copies (doc 1's epoch weight AND doc 10's ledger row)
+    // are dead; the live lineage is the re-admission + one rejection
+    assert(got === Map(20L -> ((1L, 1L, 2L))),
+      s"tombstoned ledger rows must die with their cliques: $got")
+  }
+
+  test("compactTail merges only the post-tombstone tail; base epochs untouched") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    NearDupIndex.buildIndex(
+      Seq((1L, a12), (2L, b12)).toDF("doc_id", "text"), root)
+    NearDupIndex.retract(Seq(md5hex(b12)).toDF("fp"), root)
+    val fresh1 = "completely novel wording streak number one with enough " +
+      "distinct trigram material to shingle and sign"
+    val fresh2 = "second unrelated batch of words also long enough to " +
+      "shingle into brand new signature territory here"
+    NearDupIndex.extend(Seq((10L, fresh1), (11L, a12))
+      .toDF("doc_id", "text"), root) // a12 copy -> ledger row in the tail
+    NearDupIndex.extend(Seq((20L, fresh2)).toDF("doc_id", "text"), root)
+    val epsBefore = NearDupIndex.committedEpochs(root)
+    assert(epsBefore.size === 4, s"base + tomb + 2 tail epochs: $epsBefore")
+    val baseDir = java.nio.file.Paths.get(root, epsBefore.head)
+    val baseListing = Files.walk(baseDir).map(_.toString).sorted().toArray
+    val probe = Seq((30L, a12), (31L, b12), (32L, fresh1), (33L, fresh2),
+      (34L, a12near)).toDF("doc_id", "text")
+    val before = NearDupIndex.admit(probe, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("best_est_ppm")))).toMap
+    val virBefore = NearDupIndex.virality(spark, root).collect()
+      .map(r => r.getAs[Long]("rep") -> r.getAs[Long]("n_copies")).toMap
+    NearDupIndex.compactTail(spark, root)
+    val epsAfter = NearDupIndex.committedEpochs(root)
+    assert(epsAfter.size === 3 && epsAfter.take(2) === epsBefore.take(2),
+      s"tail merged to one epoch, prefix (base + tombstone) intact: $epsAfter")
+    assert(Files.walk(baseDir).map(_.toString).sorted().toArray
+      .sameElements(baseListing), "the base epoch's files must not move")
+    val after = NearDupIndex.admit(probe, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("best_est_ppm")))).toMap
+    assert(after === before, "tail compaction must not change any admission")
+    assert(before(31L)._1 === "admitted", "the retraction stays effective")
+    val virAfter = NearDupIndex.virality(spark, root).collect()
+      .map(r => r.getAs[Long]("rep") -> r.getAs[Long]("n_copies")).toMap
+    assert(virAfter === virBefore,
+      "tail compaction must preserve the ledger")
+    // idempotent no-op: one data epoch after the last tombstone remains
+    // un-mergeable... but here the tail IS one epoch now, so a second
+    // call must promote nothing
+    val cur = Files.readString(Paths.get(root, "CURRENT")).trim
+    NearDupIndex.compactTail(spark, root)
+    assert(Files.readString(Paths.get(root, "CURRENT")).trim === cur,
+      "a tail shorter than 2 epochs is a no-op")
+  }
+
+  test("admitGuarded: hot buckets stop pairing, audibly; exact tier untouched") {
+    val s = spark
+    import s.implicits._
+    // a template FAMILY: distinct contents sharing band values — the
+    // population the guard must refuse to pair against
+    val template = (0 until 16).map(i =>
+      (100L + i, a12 + " suffix" + i)) // one-word variants: near-dups
+    val root = freshRoot()
+    NearDupIndex.buildIndex(
+      (template :+ ((1L, b12))).toDF("doc_id", "text"), root)
+    val probe = Seq((200L, a12 + " suffix0"), // exact dup of family member
+      (201L, a12 + " suffixX"),               // near-dup of the family
+      (202L, b12 + " thirteen")               // near-dup of cold content
+    ).toDF("doc_id", "text")
+    val unguarded = NearDupIndex.admit(probe, root).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(unguarded(201L) === "dup_near" && unguarded(202L) === "dup_near",
+      s"both near-dups reject unguarded: $unguarded")
+    val guarded = NearDupIndex.admitGuarded(probe, root, maxBucket = 2L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("n_hot_buckets")))).toMap
+    assert(guarded(200L)._1 === "dup_exact",
+      s"the exact tier must reject whatever buckets burn: $guarded")
+    assert(guarded(201L)._1 === "admitted" && guarded(201L)._2 > 0L,
+      s"family collisions suppressed — and AUDITED via n_hot_buckets: $guarded")
+    assert(guarded(202L)._1 === "dup_near" && guarded(202L)._2 === 0L,
+      s"cold-bucket near-rejection still fires: $guarded")
+  }
+
   test("epoch names are fenced to a manifest-safe charset") {
     val s = spark
     import s.implicits._
