@@ -1439,6 +1439,16 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         ndxRoot(s, dir), maxBucket = 1L)),
 
+    // x188 — banding-scheme yield sweep: x171 prices signature LENGTH
+    // for the estimator, this prices how the same 16 components cut
+    // into LSH bands — per (b×r) scheme, probe candidate pairs vs
+    // near-rejects at the shipped threshold; the index side comes off
+    // the persisted sigs table, never re-signed
+    "x188_banding_yield" -> ((s, dir) =>
+      graft.operators.NearDupIndex.bandingYield(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        ndxRoot(s, dir))),
+
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") % 100 === 0)
@@ -3280,6 +3290,8 @@ object SparkEntry {
       graft.operators.NearDupIndex.viralitySql(),
     "x187_guarded_admission" ->
       graft.operators.NearDupIndex.admissionGuardedSql(maxBucket = 1L),
+    "x188_banding_yield" ->
+      graft.operators.NearDupIndex.bandingYieldSql(),
     "x55_winnowing_matches" -> TextOps.winnowingMatchesSql(),
     "x56_funnel" -> graft.operators.TemporalJoins.orderedFunnelSql(
       Seq("view", "click", "purchase"), "1 DAY"),

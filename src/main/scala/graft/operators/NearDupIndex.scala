@@ -506,6 +506,143 @@ object NearDupIndex {
       .agg(count(lit(1)).as("n_contents"), sum(col("weight")).as("n_copies"))
   }
 
+  /** The (bands × rows-per-band) splits [[bandingYield]] prices. The
+    * shipped scheme is (4,4); (8,2) and (2,8) bracket it on the
+    * recall-vs-probe-cost S-curve P(collide) = 1−(1−s^r)^b. r=1 is
+    * deliberately absent: single-component collision is so permissive
+    * it degenerates toward the all-pairs join the index exists to
+    * avoid. */
+  val bandingSchemes: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8))
+
+  /** x188: BANDING-SCHEME yield sweep — x171 prices how many signature
+    * components the ESTIMATOR needs; this prices how the SAME 16
+    * components should be cut into LSH bands, the index's other design
+    * knob: per scheme (b bands × r rows), the candidate rep pairs the
+    * probe would surface (the probe cost) and the non-exact incoming
+    * contents/copies whose best estimate over those candidates reaches
+    * `minMatches` (the recall at the shipped threshold — the estimator
+    * itself is scheme-independent, only candidate visibility moves).
+    * Read the smallest scheme whose near-reject yield matches the
+    * widest one: rows-per-band buys probe cost, bands buy recall.
+    *
+    * Scale: signatures are computed ONCE per side (the persisted index
+    * side comes off its `sigs` table — never re-signed); each scheme
+    * adds b postings per rep (Σb = 14 rows/rep) and its own bucket
+    * equi-join, everything downstream is pair-keyed then a ≤|schemes|
+    * aggregate. */
+  def bandingYield(incoming: DataFrame, root: String,
+                   minMatches: Int = defaultMinMatches,
+                   text: Column = col("text")): DataFrame = {
+    val idx = load(incoming.sparkSession, root)
+    val (inCl, inSigs, _) = signCorpus(incoming, text)
+    def postings(sigs: DataFrame): DataFrame = bandingSchemes.map {
+      case (b, r) =>
+        (0 until b).map { j =>
+          sigs.select(col("doc_id"), lit(b).as("n_bands"),
+            lit(j).as("band"),
+            md5(concat_ws(",", (j * r until (j + 1) * r)
+              .map(i => col(s"m$i").cast("string")): _*)).as("band_hash"))
+        }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+    val cand = postings(inSigs).as("i")
+      .join(postings(idx.sigs).as("e"),
+        col("i.n_bands") === col("e.n_bands") &&
+          col("i.band") === col("e.band") &&
+          col("i.band_hash") === col("e.band_hash"))
+      .select(col("i.n_bands").as("n_bands"), col("i.doc_id").as("doc_id"),
+        col("e.doc_id").as("old_rep"))
+      .distinct()
+    val matchCnt = (0 until numHashes)
+      .map(i => when(col(s"i_m$i") === col(s"e_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sigI = inSigs.select(col("doc_id") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"i_m$i")): _*)
+    val sigE = idx.sigs.select(col("doc_id").as("old_rep") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"e_m$i")): _*)
+    val est = cand.join(sigI, Seq("doc_id")).join(sigE, Seq("old_rep"))
+      .select(col("n_bands"), col("doc_id"), col("old_rep"),
+        matchCnt.as("mc"))
+    val nonExact = inCl
+      .join(idx.cliques.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .select(col("rep").as("doc_id"), col("weight"))
+    val best = est.groupBy("n_bands", "doc_id").agg(max(col("mc")).as("mm"))
+    val rejects = nonExact.join(best, Seq("doc_id"))
+      .filter(col("mm") >= minMatches)
+      .groupBy("n_bands")
+      .agg(count(lit(1)).as("n_near_contents"),
+        sum(col("weight")).as("n_near_copies"))
+    val pairs = est.groupBy("n_bands").agg(count(lit(1)).as("n_cand_pairs"))
+    val schemeRel = bandingSchemes.map { case (b, r) =>
+      incoming.sparkSession.range(1).select(lit(b).as("n_bands"),
+        lit(r).as("rows_per_band"))
+    }.reduce(_ unionByName _)
+    schemeRel.join(pairs, Seq("n_bands"), "left")
+      .join(rejects, Seq("n_bands"), "left")
+      .select(col("n_bands"), col("rows_per_band"),
+        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+        coalesce(col("n_near_contents"), lit(0L)).as("n_near_contents"),
+        coalesce(col("n_near_copies"), lit(0L)).as("n_near_copies"))
+  }
+
+  /** DuckDB twin of [[bandingYield]] over the gate's 80/20 split. */
+  def bandingYieldSql(minMatches: Int = defaultMinMatches): String = {
+    def posts(p: String): String = bandingSchemes.map { case (b, r) =>
+      (0 until b).map { j =>
+        val cols = (j * r until (j + 1) * r)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS n_bands, $j AS band, md5($cols) AS band_hash" +
+          s" FROM ${p}_sig"
+      }.mkString("\n  UNION ALL\n  ")
+    }.mkString("\n  UNION ALL\n  ")
+    val schemes = bandingSchemes.map { case (b, r) =>
+      s"SELECT $b AS n_bands, $r AS rows_per_band"
+    }.mkString(" UNION ALL ")
+    s"""$admissionCtes,
+       |bw_in_p AS (
+       |  ${posts("ndx_in")}
+       |),
+       |bw_ex_p AS (
+       |  ${posts("ndx_ex")}
+       |),
+       |bw_cand AS (
+       |  SELECT DISTINCT i.n_bands, i.doc_id, e.doc_id AS old_rep
+       |  FROM bw_in_p i JOIN bw_ex_p e
+       |    ON i.n_bands = e.n_bands AND i.band = e.band
+       |      AND i.band_hash = e.band_hash
+       |),
+       |bw_est AS (
+       |  SELECT c.n_bands, c.doc_id, c.old_rep, ($estSql) AS mc
+       |  FROM bw_cand c
+       |  JOIN ndx_in_sig si ON si.doc_id = c.doc_id
+       |  JOIN ndx_ex_sig se ON se.doc_id = c.old_rep
+       |),
+       |bw_pairs AS (
+       |  SELECT n_bands, CAST(count(*) AS BIGINT) AS n_cand_pairs
+       |  FROM bw_est GROUP BY n_bands
+       |),
+       |bw_best AS (
+       |  SELECT n_bands, doc_id, max(mc) AS mm FROM bw_est
+       |  GROUP BY n_bands, doc_id
+       |),
+       |bw_rej AS (
+       |  SELECT b.n_bands, CAST(count(*) AS BIGINT) AS n_near_contents,
+       |    CAST(sum(i.weight) AS BIGINT) AS n_near_copies
+       |  FROM ndx_in_cl i
+       |  ANTI JOIN ndx_ex_cl e USING (fp)
+       |  JOIN bw_best b ON b.doc_id = i.doc_id
+       |  WHERE b.mm >= $minMatches
+       |  GROUP BY b.n_bands
+       |),
+       |bw_schemes AS ($schemes)
+       |SELECT s.n_bands, s.rows_per_band,
+       |  CAST(coalesce(p.n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+       |  CAST(coalesce(r.n_near_contents, 0) AS BIGINT) AS n_near_contents,
+       |  CAST(coalesce(r.n_near_copies, 0) AS BIGINT) AS n_near_copies
+       |FROM bw_schemes s
+       |LEFT JOIN bw_pairs p USING (n_bands)
+       |LEFT JOIN bw_rej r USING (n_bands)""".stripMargin
+  }
+
   /** The bucket-size ladder of [[indexSkew]]: powers of two to 1024. */
   private val skewLadder: Seq[Long] =
     Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)

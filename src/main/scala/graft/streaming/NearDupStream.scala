@@ -27,13 +27,31 @@ import graft.operators.NearDupIndex
 object NearDupStream {
 
   /** Admission-gated ingest: one committed epoch per micro-batch.
-    * `stream` must carry (doc_id, text). */
+    * `stream` must carry (doc_id, text).
+    *
+    * `maintainEvery` > 0 bounds the manifest: whenever the post-commit
+    * accretion tail (the data epochs after the last tombstone) reaches
+    * that many epochs, [[NearDupIndex.compactTail]] merges it into one
+    * — O(|tail|), the base is never rewritten, so probe file-open cost
+    * stays bounded for a long-lived ingest. Safe under replay: tail
+    * compaction is semantics-free (admissions and the ledger are
+    * pinned bit-identical across it), and the trigger reads the
+    * manifest itself, not the batch id, so it self-regulates whatever
+    * the replay history looks like. */
   def ingest(stream: DataFrame, root: String, checkpointDir: String,
-             minMatches: Int = NearDupIndex.defaultMinMatches)
+             minMatches: Int = NearDupIndex.defaultMinMatches,
+             maintainEvery: Int = 0)
       : StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        NearDupIndex.extendEpoch(batch, root, s"b$id", minMatches); ()
+        NearDupIndex.extendEpoch(batch, root, s"b$id", minMatches)
+        if (maintainEvery > 0) {
+          val eps = NearDupIndex.committedEpochs(root)
+          val tail = eps.drop(eps.lastIndexWhere(_.startsWith("tomb:")) + 1)
+          if (tail.size >= maintainEvery)
+            NearDupIndex.compactTail(batch.sparkSession, root)
+        }
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -62,6 +62,48 @@ class NearDupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       32L -> "dup_exact"), s"everything ingested must now reject: $verdicts")
   }
 
+  test("maintainEvery bounds the manifest; admissions and virality unchanged") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = (0 until 6).map(i => s"document number $i carries its own " +
+      s"distinct wording variant so every batch admits fresh content $i")
+    def run(maintain: Int): (String, Seq[String]) = {
+      val root = Files.createTempDirectory(s"nds_m$maintain").toString
+      NearDupIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), root)
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.NearDupStream.ingest(
+        in.toDF().toDF("doc_id", "text"), root,
+        Files.createTempDirectory("nds_mck").toString,
+        maintainEvery = maintain)
+      try texts.zipWithIndex.foreach { case (t, i) =>
+        in.addData(Seq((10L + i, t), (100L + i, seed))) // fresh + rejected
+        q.processAllAvailable()
+      } finally q.stop()
+      (root, NearDupIndex.committedEpochs(root))
+    }
+    val (plainRoot, plainEps) = run(0)
+    val (maintRoot, maintEps) = run(3)
+    assert(plainEps.size === 7, s"unmaintained: seed + 6 epochs: $plainEps")
+    assert(maintEps.size <= 4,
+      s"maintained manifest must stay bounded: $maintEps")
+    val probe = (texts.zipWithIndex.map { case (t, i) => (200L + i, t) } :+
+      ((300L, seed)) :+ ((301L, novel2))).toDF("doc_id", "text")
+    def verdicts(root: String) = NearDupIndex.admit(probe, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("best_est_ppm")))).toMap
+    assert(verdicts(maintRoot) === verdicts(plainRoot),
+      "maintenance must not change any admission")
+    def vir(root: String) = NearDupIndex.virality(spark, root).collect()
+      .map(r => r.getAs[String]("fp") ->
+        ((r.getAs[Long]("n_epoch_copies"), r.getAs[Long]("n_copies")))).toMap
+    val vp = vir(plainRoot)
+    assert(vir(maintRoot) === vp, "maintenance must preserve the ledger")
+    // the seed content was exact-rejected once per micro-batch
+    assert(vp.values.exists(_ == ((1L, 7L))),
+      s"seed: 1 epoch copy + 6 ledgered rejections: $vp")
+  }
+
   test("replayed batch id is a no-op; crashed attempt rebuilds and commits") {
     val s = spark
     import s.implicits._
