@@ -89,6 +89,34 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("CartesianProduct"), s"x184:\n$plan")
   }
 
+  test("x186 virality reads the index alone — the corpus text is never scanned") {
+    // the ledger's whole point: corpus-wide copy counts WITHOUT touching
+    // the 100 TB corpus — the plan may scan only index parquet
+    // (cliques/rejections); any documents.parquet scan is a regression
+    // to the direct recount the oracle runs
+    val plan = physicalPlan(
+      SparkEntry.queries("x186_index_virality")(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      s"x186 must not rescan the corpus:\n$plan")
+    // (the rejections scan is present too, but long multi-path
+    // InMemoryFileIndex lists truncate in the plan string)
+    assert(plan.contains("cliques"),
+      s"x186 reads the contracted index tables:\n$plan")
+  }
+
+  test("x187 guarded admission attaches the hot set by broadcast") {
+    // the hot-bucket set is key-space-bounded (<= 4 bands x bucket
+    // keys above the cap) — excluding it from the probe and counting
+    // each rep's hot postings must both broadcast it, never shuffle
+    // the posting relation
+    val plan = physicalPlan(
+      SparkEntry.queries("x187_guarded_admission")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"x187:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot set should broadcast:\n$plan")
+  }
+
   test("training selection (x19) is one scan + one shuffle with partial aggregation") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val plan = physicalPlan(graft.operators.TextOps.trainingSelection(docs))
