@@ -93,11 +93,15 @@ object AnnIndexStream {
     * directory, never splicing. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                    newDir: String, targetRowsPerFile: Long,
-                   buckets: Int = 64): Unit = {
+                   buckets: Int = 64,
+                   dropVecIds: Option[DataFrame] = None): Unit = {
     require(targetRowsPerFile >= 1, s"targetRowsPerFile=$targetRowsPerFile")
     spark.read.parquet(s"$dir/centroids").repartition(1)
       .write.mode("errorifexists").parquet(s"$newDir/centroids")
-    val posts = spark.read.parquet(s"$dir/postings")
+    val all = spark.read.parquet(s"$dir/postings")
+    val posts = dropVecIds.fold(all)(kill => all.join(
+      broadcast(kill.select(col("vec_id").cast("long")).distinct()),
+      Seq("vec_id"), "left_anti"))
     val st = posts.agg(min(col("vec_id")).as("v0"), max(col("vec_id")).as("v1"))
     val ranked = graft.operators.TwoPhase.prefixed(
       posts.crossJoin(broadcast(st)),
@@ -146,4 +150,22 @@ object AnnIndexStream {
     * first; the sink dir stays where it was born. */
   def promoteIndex(root: String, newDir: String): String =
     graft.core.AtomicDir.promote(root, newDir)
+
+  /** VECTOR RETRACTION — the ANN-index half of the takedown path
+    * ([[graft.operators.NearDupIndex.retract]] is the signature-index
+    * half): rewrite the index WITHOUT the named vectors and promote the
+    * result. Retraction is deliberately a filtered [[compactIndex]] —
+    * the postings layout invariants (whole (list, file) groups, exact
+    * per-list file quotas) must hold on the survivor set anyway, and a
+    * takedown that re-files the lists costs one postings rewrite either
+    * way; the kill set (takedowns are small by nature) broadcasts into
+    * an anti-join ahead of the ranking, so dropped vectors never reach
+    * the shuffle. Queries probing through [[currentIndexDir]] stop
+    * seeing the vectors at promotion, atomically; prior versions keep
+    * them for rollback/audit until explicitly retired. */
+  def retractIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   newDir: String, vecIds: DataFrame,
+                   targetRowsPerFile: Long, buckets: Int = 64): Unit =
+    compactIndex(spark, dir, newDir, targetRowsPerFile, buckets,
+      dropVecIds = Some(vecIds))
 }

@@ -123,5 +123,24 @@ class AnnIndexStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pointer rewrite must leave no temp file")
     assert(new java.io.File(s"$streamed/postings/_spark_metadata").exists(),
       "the streaming sink epoch is never moved by promotion")
+
+    // ---- retraction: the takedown path — rewrite WITHOUT the named
+    // vectors (a filtered compaction), promote; probes stop seeing
+    // them atomically, prior versions keep them for rollback
+    val retractDir = s"$compactBase/retracted"
+    AnnIndexStream.retractIndex(spark, streamed, retractDir,
+      rows.map(_._1).filter(_ % 7 == 0).toIndexedSeq.toDF("vec_id"), target)
+    val offlineKept = java.nio.file.Files
+      .createTempDirectory("graft_idx_off2").toString
+    IvfOps.saveIndex(emb.filter(col("vec_id") % 7 =!= 0), model, offlineKept)
+    assert(postingSet(retractDir) === postingSet(offlineKept),
+      "retracted index == offline build over the survivor corpus")
+    val v3 = AnnIndexStream.promoteIndex(root, retractDir)
+    assert(AnnIndexStream.currentIndexDir(root) === v3)
+    val live = probe(AnnIndexStream.currentIndexDir(root))
+    assert(live.nonEmpty && live.forall { case (_, nid, _, _) => nid % 7 != 0 },
+      "no retracted vector may surface from the live index")
+    assert(probe(v2) === a,
+      "prior version keeps the retracted vectors for rollback/audit")
   }
 }
