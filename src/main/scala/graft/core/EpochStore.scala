@@ -1,0 +1,117 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Epoch-sharded manifest store — the commit protocol shared by the
+  * persisted incremental indexes ([[graft.operators.NearDupIndex]],
+  * [[graft.operators.SpanIndex]]): immutable epoch directories under
+  * `root/epochs/<name>/<table>` named by a versioned manifest that
+  * promotes through [[AtomicDir]], so EXTENSION writes are O(|epoch|)
+  * (never a corpus rewrite) and a crash at any instant leaves the live
+  * pointer resolving to a complete manifest whose epochs are all
+  * complete — an orphaned epoch dir is invisible garbage, never a
+  * half-read index.
+  *
+  * {{{
+  *   root/epochs/<name>/<table...>   — immutable shards
+  *   root/v<N>/manifest.json         — the committed epoch list
+  *   root/CURRENT                    — pointer (AtomicDir)
+  * }}}
+  *
+  * Concurrency: same-process writers serialize on [[lockFor]] (one
+  * lock per normalized root, so a maintenance compaction beside a live
+  * streaming ingest can never promote a manifest built from a stale
+  * epoch list); cross-process writers are caught by the CAS in
+  * [[promoteCas]] plus AtomicDir's loud same-v<N> failure. */
+object EpochStore {
+
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The per-root lock every read-manifest → promote window must run
+    * under. */
+  def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new Object)
+
+  /** The CURRENT pointer's raw token, "" when the store has never been
+    * promoted — the CAS witness for [[promoteCas]]. */
+  def currentToken(root: String): String = {
+    val p = java.nio.file.Paths.get(root, "CURRENT")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim
+    else ""
+  }
+
+  /** The committed manifest entries of the live version. Entries are
+    * `epochs/<name>` paths, possibly carrying an index-specific prefix
+    * (e.g. a tombstone marker) the caller interprets. */
+  def committedEpochs(root: String): Seq[String] = {
+    val cur = AtomicDir.current(root)
+    val raw = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(cur, "manifest.json")).trim
+    raw.stripPrefix("[").stripSuffix("]").split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+  }
+
+  /** Compare-and-promote a manifest naming `entries`: refuses (loudly)
+    * when CURRENT moved since the caller read the manifest it derived
+    * `entries` from — a cross-process writer landed in between, and
+    * promoting would silently drop its epoch from the live manifest.
+    * Same-process writers never get here concurrently ([[lockFor]]);
+    * the residual window between the check and the move is closed by
+    * AtomicDir's same-v<N> loud failure. */
+  def promoteCas(root: String, entries: Seq[String],
+                 expectToken: String): String = {
+    val now = currentToken(root)
+    require(now == expectToken,
+      s"concurrent index promotion at $root: CURRENT moved " +
+        s"'$expectToken' -> '$now' since the manifest was read; re-read " +
+        "and retry")
+    val staged = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(root), ".staging-")
+    java.nio.file.Files.writeString(staged.resolve("manifest.json"),
+      entries.map(e => "\"" + e + "\"").mkString("[", ",", "]") + "\n")
+    AtomicDir.promote(root, staged.toString)
+  }
+
+  /** Epoch names embed in the hand-serialized manifest: an unvalidated
+    * name containing a quote or comma would silently corrupt it (split
+    * one entry into bogus paths, defeat replay-idempotency `contains`
+    * checks), so every public write surface is fenced to a filesystem-
+    * and manifest-safe charset. */
+  def requireSafeEpochName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9._-]+") && !name.startsWith("."),
+      s"epoch name '$name' must match [A-Za-z0-9._-]+ (no leading dot)")
+
+  /** Writes an epoch shard crash-safely under a FIXED name: tables are
+    * staged to a dot-prefixed sibling (invisible to readers — epochs
+    * are only reached through the committed manifest anyway), any
+    * leftover of a crashed earlier attempt at the same name is removed,
+    * and the staged dir atomically moves into place. Only after that
+    * may the caller promote a manifest naming it. Returns the manifest
+    * entry `epochs/<name>`. */
+  def writeEpoch(root: String, name: String,
+                 tables: Seq[(String, DataFrame)]): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    requireSafeEpochName(name)
+    val stage = Paths.get(root, "epochs", s".stage-$name")
+    deleteRecursively(stage)
+    tables.foreach { case (t, df) => df.write.parquet(s"$stage/$t") }
+    val dst = Paths.get(root, "epochs", name)
+    deleteRecursively(dst) // a crashed attempt that moved but never promoted
+    Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+    s"epochs/$name"
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+}

@@ -73,19 +73,10 @@ object NearDupIndex {
     * (retractions), not data epochs. */
   private val TombPrefix = "tomb:"
 
-  /** One lock object per index root: every read-manifest → promote
-    * window (extend, retract, compact) runs under it, so a maintenance
-    * compaction beside a live streaming ingest can never promote a
-    * manifest built from a stale epoch list — the lost-epoch
-    * interleaving AtomicDir's same-v<N> loud failure does not cover.
-    * Cross-PROCESS writers are additionally caught by the CAS in
-    * [[promoteManifestCas]]. */
-  private val rootLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** The manifest/locking/promotion machinery lives in
+    * [[graft.core.EpochStore]], shared with [[SpanIndex]]. */
   private def lockFor(root: String): Object =
-    rootLocks.computeIfAbsent(
-      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
-      _ => new Object)
+    graft.core.EpochStore.lockFor(root)
 
   /** ppm per matching component: 1e6 / 16 exactly. */
   private val ppmPerMatch = 1000000L / numHashes
@@ -119,89 +110,23 @@ object NearDupIndex {
     writeEpochNamed(cliques, sigs, bands, rejections, root,
       "e" + java.util.UUID.randomUUID().toString.take(12))
 
-  /** Writes an epoch shard crash-safely under a FIXED name: tables are
-    * staged to a dot-prefixed sibling (invisible to readers — epochs
-    * are only reached through the committed manifest anyway), any
-    * leftover of a crashed earlier attempt at the same name is removed,
-    * and the staged dir atomically moves into place. Only after that
-    * may the caller promote a manifest naming it. */
-  /** Epoch names embed in the hand-serialized manifest: an unvalidated
-    * name containing a quote or comma would silently corrupt it (split
-    * one entry into bogus paths, defeat the replay-idempotency
-    * `contains` check), so the public `extendEpoch` surface is fenced
-    * to a filesystem- and manifest-safe charset. */
-  private def requireSafeEpochName(name: String): Unit =
-    require(name.matches("[A-Za-z0-9._-]+") && !name.startsWith("."),
-      s"epoch name '$name' must match [A-Za-z0-9._-]+ (no leading dot)")
-
   private def writeEpochNamed(cliques: DataFrame, sigs: DataFrame,
                               bands: DataFrame, rejections: DataFrame,
-                              root: String, name: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    requireSafeEpochName(name)
-    val stage = Paths.get(root, "epochs", s".stage-$name")
-    deleteRecursively(stage)
-    cliques.write.parquet(s"$stage/cliques")
-    sigs.write.parquet(s"$stage/sigs")
-    bands.write.parquet(s"$stage/bands")
-    rejections.write.parquet(s"$stage/rejections")
-    val dst = Paths.get(root, "epochs", name)
-    deleteRecursively(dst) // a crashed attempt that moved but never promoted
-    Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
-    s"epochs/$name"
-  }
+                              root: String, name: String): String =
+    graft.core.EpochStore.writeEpoch(root, name, Seq(
+      "cliques" -> cliques, "sigs" -> sigs, "bands" -> bands,
+      "rejections" -> rejections))
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
+  private def currentToken(root: String): String =
+    graft.core.EpochStore.currentToken(root)
 
-  private def promoteManifest(root: String, epochs: Seq[String]): String = {
-    val staged = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(root), ".staging-")
-    java.nio.file.Files.writeString(staged.resolve("manifest.json"),
-      epochs.map(e => "\"" + e + "\"").mkString("[", ",", "]") + "\n")
-    graft.core.AtomicDir.promote(root, staged.toString)
-  }
-
-  /** The CURRENT pointer's raw token, "" when the index has never been
-    * promoted — the CAS witness for [[promoteManifestCas]]. */
-  private def currentToken(root: String): String = {
-    val p = java.nio.file.Paths.get(root, "CURRENT")
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).trim
-    else ""
-  }
-
-  /** Compare-and-promote: refuses (loudly) when CURRENT moved since the
-    * caller read the manifest it derived `epochs` from — a cross-process
-    * writer landed in between, and promoting would silently drop its
-    * epoch from the live manifest. Same-process writers never get here
-    * concurrently ([[lockFor]]); the residual window between the check
-    * and the move is closed by AtomicDir's same-v<N> loud failure. */
   private def promoteManifestCas(root: String, epochs: Seq[String],
-                                 expectToken: String): String = {
-    val now = currentToken(root)
-    require(now == expectToken,
-      s"concurrent index promotion at $root: CURRENT moved " +
-        s"'$expectToken' -> '$now' since the manifest was read; re-read " +
-        "and retry")
-    promoteManifest(root, epochs)
-  }
+                                 expectToken: String): String =
+    graft.core.EpochStore.promoteCas(root, epochs, expectToken)
 
   /** The committed epoch list of the live version. */
-  def committedEpochs(root: String): Seq[String] = {
-    val cur = graft.core.AtomicDir.current(root)
-    val raw = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(cur, "manifest.json")).trim
-    raw.stripPrefix("[").stripSuffix("]").split(",")
-      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
-  }
+  def committedEpochs(root: String): Seq[String] =
+    graft.core.EpochStore.committedEpochs(root)
 
   private case class Loaded(cliques: DataFrame, sigs: DataFrame,
                             bands: DataFrame)
@@ -730,7 +655,7 @@ object NearDupIndex {
                   minMatches: Int = defaultMinMatches,
                   text: Column = col("text")): Boolean =
     lockFor(root).synchronized {
-      requireSafeEpochName(epochName)
+      graft.core.EpochStore.requireSafeEpochName(epochName)
       val token = currentToken(root)
       val committed = committedEpochs(root)
       if (committed.contains(s"epochs/$epochName")) false
@@ -768,19 +693,13 @@ object NearDupIndex {
     * leave the disk). Returns the promoted version path. */
   def retract(fps: DataFrame, root: String): String =
     lockFor(root).synchronized {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
       val token = currentToken(root)
       val committed = committedEpochs(root)
-      val name = "t" + java.util.UUID.randomUUID().toString.take(12)
-      val stage = Paths.get(root, "epochs", s".stage-$name")
-      deleteRecursively(stage)
-      fps.select(col("fp")).filter(col("fp").isNotNull).distinct()
-        .write.parquet(s"$stage/tombstones")
-      val dst = Paths.get(root, "epochs", name)
-      deleteRecursively(dst)
-      Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
-      promoteManifestCas(root, committed :+ s"$TombPrefix" + s"epochs/$name",
-        token)
+      val ep = graft.core.EpochStore.writeEpoch(root,
+        "t" + java.util.UUID.randomUUID().toString.take(12),
+        Seq("tombstones" -> fps.select(col("fp"))
+          .filter(col("fp").isNotNull).distinct()))
+      promoteManifestCas(root, committed :+ s"$TombPrefix$ep", token)
     }
 
   /** Size-triggered epoch COMPACTION — the [[graft.streaming
