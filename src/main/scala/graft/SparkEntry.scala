@@ -133,6 +133,20 @@ object SparkEntry {
       root
     })
 
+  // Persisted exact-substring index over the 80% partition — x189
+  // admits the 20% batch span-by-span against it; same build-once-per-
+  // (session, corpus) contract as ndxRoot.
+  private val spxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def spxRoot(s: SparkSession, dir: String): String =
+    spxCache.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_spx")
+        .toString
+      graft.operators.SpanIndex.buildIndex(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0), root)
+      root
+    })
+
   private def copyTree(src: java.nio.file.Path,
                        dst: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -1448,6 +1462,15 @@ object SparkEntry {
       graft.operators.NearDupIndex.bandingYield(
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         ndxRoot(s, dir))),
+
+    // x189 — span-level admission against the persisted exact-substring
+    // index: the 20% batch billed keep-first against the 80% corpus's
+    // window hashes (index precedence, in-batch min-doc_id), the x181
+    // bill made incremental — the indexed corpus text is never re-read
+    "x189_span_admission" -> ((s, dir) =>
+      graft.operators.SpanIndex.admitBill(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        spxRoot(s, dir))),
 
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -3292,6 +3315,8 @@ object SparkEntry {
       graft.operators.NearDupIndex.admissionGuardedSql(maxBucket = 1L),
     "x188_banding_yield" ->
       graft.operators.NearDupIndex.bandingYieldSql(),
+    "x189_span_admission" ->
+      graft.operators.SpanIndex.admissionSql(),
     "x55_winnowing_matches" -> TextOps.winnowingMatchesSql(),
     "x56_funnel" -> graft.operators.TemporalJoins.orderedFunnelSql(
       Seq("view", "click", "purchase"), "1 DAY"),

@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.EpochStore
+
+/** Persisted EXACT-SUBSTRING first-occurrence index — the incremental
+  * form of the keep-first span-dedup bill (x181): a continuously-growing
+  * corpus admits new shards span-by-span against 100 TB of ALREADY-SEEN
+  * window content without re-windowing it. This is the third dedup axis
+  * made incremental, beside the exact-content tier
+  * ([[NearDupIndex.exactAdmission]], x54) and the near-dup signature
+  * tier ([[NearDupIndex.admit]], x174): content identity / document
+  * similarity / span overlap.
+  *
+  * What persists (one table per epoch under the shared
+  * [[graft.core.EpochStore]] manifest protocol):
+  *   - `postings` (whash, first_doc): every DISTINCT w-token window
+  *     hash the corpus has seen, with the document that saw it first.
+  *     Epochs hold DISJOINT hashes by construction — an extension
+  *     stores only the batch's windows ABSENT from the index — so the
+  *     live postings relation is a plain epoch union and extension
+  *     writes are O(|new windows|), never a corpus rewrite.
+  *
+  * Admission ([[admitBill]]) prices a batch under the Lee et al. 2022
+  * keep-one policy with INDEX PRECEDENCE: a window already in the index
+  * was there first (whatever the batch's doc_ids), and within the batch
+  * the min-doc_id holder keeps; every other occurrence is a dup window,
+  * billed per document as the token mass under the UNION of its dup
+  * windows (the x181 ordered sweep, overlaps counted once). With the
+  * corpus committed before the batch, this equals the one-shot x181
+  * bill restricted to the batch — SpanIndexSpec pins that identity.
+  *
+  * Scale shape: the batch is windowed once (O(|batch tokens|) md5
+  * windows); the index is touched by ONE whash-keyed semi-join of the
+  * batch windows against the postings table — at deployment scale,
+  * bucket the compacted postings by whash so the probe co-locates —
+  * plus the batch-local first-occurrence aggregate and the doc-entity
+  * sweep window. The indexed corpus text is never re-read.
+  *
+  * Reference framing: the reference's staging pipeline admits whole
+  * files by exact hash (`FileDbDAL/FileHandler.py:42-165`); span-level
+  * admission has no reference counterpart — it exists for the
+  * training-data pipeline, where the unit of contamination is the
+  * span, not the file. */
+object SpanIndex {
+
+  /** Window width shared with the batch span family (x72/x73/x181). */
+  val defaultW = 8
+
+  private def lockFor(root: String) = EpochStore.lockFor(root)
+
+  /** The committed epoch list of the live version. */
+  def committedEpochs(root: String): Seq[String] =
+    EpochStore.committedEpochs(root)
+
+  /** The live postings relation `(whash, first_doc)`. */
+  private def load(spark: SparkSession, root: String): DataFrame = {
+    val eps = committedEpochs(root)
+    require(eps.nonEmpty, s"empty span index at $root")
+    spark.read.parquet(eps.map(e => s"$root/$e/postings"): _*)
+  }
+
+  /** Distinct first-occurrence postings of a relation's windows. */
+  private def firstOccurrences(df: DataFrame, w: Int,
+                               text: Column): DataFrame =
+    SubstringOps.windows(df, w, text)
+      .groupBy("whash").agg(min(col("doc_id")).as("first_doc"))
+
+  /** Build and promote the initial index. Returns the promoted version
+    * path. */
+  def buildIndex(df: DataFrame, root: String, w: Int = defaultW,
+                 text: Column = col("text")): String =
+    lockFor(root).synchronized {
+      val token = EpochStore.currentToken(root)
+      val ep = EpochStore.writeEpoch(root,
+        "e" + java.util.UUID.randomUUID().toString.take(12),
+        Seq("postings" -> firstOccurrences(df, w, text)))
+      EpochStore.promoteCas(root, Seq(ep), token)
+    }
+
+  /** The keep-first span bill of `incoming` against the LIVE index —
+    * one row per batch document with ≥1 window:
+    * `(doc_id, n_tokens, n_windows, n_dup_windows, tokens_cut,
+    * tokens_retained)`, x181's schema, where a window is dup when its
+    * hash is already INDEXED (index precedence) or first held by an
+    * EARLIER batch document. Σ tokens_retained is what this batch adds
+    * to the post-dedup corpus. */
+  def admitBill(incoming: DataFrame, root: String, w: Int = defaultW,
+                text: Column = col("text")): DataFrame = {
+    val idx = load(incoming.sparkSession, root).select(col("whash"))
+    val wins = graft.core.PinnedViews.pinned(
+      SubstringOps.windows(incoming, w, text))
+    val batchFirst = wins.groupBy("whash")
+      .agg(min(col("doc_id")).as("bfirst"))
+    val inIdx = wins.join(idx, Seq("whash"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val inBatch = wins.join(batchFirst, Seq("whash"))
+      .filter(col("bfirst") < col("doc_id"))
+      .select(col("doc_id"), col("pos"))
+    // a window can be dup on both grounds — union DISTINCT on position
+    val dup = inIdx.union(inBatch).distinct()
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val cut = dup
+      .withColumn("pme", max(col("pos") + (w - 1)).over(byDoc))
+      .select(col("doc_id"),
+        greatest(lit(0L), (col("pos") + (w - 1)) -
+          greatest(col("pos") - 1, coalesce(col("pme"), lit(0L)))).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("tokens_cut"),
+        count(lit(1)).as("n_dup_windows"))
+    val nw = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val toks = incoming.select(col("doc_id"),
+      size(TextOps.words(text)).cast("long").as("n_tokens"))
+    nw.join(toks, Seq("doc_id")).join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("tokens_cut"), lit(0L)).as("tokens_cut"),
+        (col("n_tokens") - coalesce(col("tokens_cut"), lit(0L)))
+          .as("tokens_retained"))
+  }
+
+  /** Commit the batch's NOVEL window hashes as a new epoch under a
+    * caller-chosen name — the idempotent-replay form (a name already
+    * committed is a completed batch: returns false untouched; the
+    * admitted set is a deterministic function of the COMMITTED
+    * manifest, so a crashed half-written attempt rebuilds exactly).
+    * The index grows by O(|novel windows|); nothing is rewritten. */
+  def extendEpoch(incoming: DataFrame, root: String, epochName: String,
+                  w: Int = defaultW, text: Column = col("text")): Boolean =
+    lockFor(root).synchronized {
+      EpochStore.requireSafeEpochName(epochName)
+      val token = EpochStore.currentToken(root)
+      val committed = committedEpochs(root)
+      if (committed.contains(s"epochs/$epochName")) false
+      else {
+        val idx = load(incoming.sparkSession, root).select(col("whash"))
+        val novel = firstOccurrences(incoming, w, text)
+          .join(idx, Seq("whash"), "left_anti")
+        val ep = EpochStore.writeEpoch(root, epochName,
+          Seq("postings" -> novel))
+        EpochStore.promoteCas(root, committed :+ ep, token)
+        true
+      }
+    }
+
+  /** [[extendEpoch]] under a generated name. Returns the promoted
+    * version path. */
+  def extend(incoming: DataFrame, root: String, w: Int = defaultW,
+             text: Column = col("text")): String = {
+    extendEpoch(incoming, root,
+      "e" + java.util.UUID.randomUUID().toString.take(12), w, text)
+    graft.core.AtomicDir.current(root)
+  }
+
+  /** Rewrite the committed epochs as ONE epoch sorted by probe key —
+    * epochs hold disjoint hashes, so the merge is a plain union; same
+    * crash-anywhere promotion discipline as extension. */
+  def compact(spark: SparkSession, root: String): String =
+    lockFor(root).synchronized {
+      val token = EpochStore.currentToken(root)
+      val all = load(spark, root)
+      val ep = EpochStore.writeEpoch(root,
+        "c" + java.util.UUID.randomUUID().toString.take(12),
+        Seq("postings" -> all.repartition(1).sortWithinPartitions("whash")))
+      EpochStore.promoteCas(root, Seq(ep), token)
+    }
+
+  // ---- DuckDB twin ---------------------------------------------------------
+
+  /** Static oracle for the gate's 80/20 split (indexed = doc_id % 5 <>
+    * 0, incoming = the rest): the whole build+admit replayed in SQL —
+    * the index is a deterministic function of the indexed partition. */
+  def admissionSql(w: Int = defaultW): String =
+    s"""WITH sx_ex_w AS (
+       |  SELECT md5(array_to_string(ws[i : i + ${w - 1}], ' ')) AS whash
+       |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - ${w - 1}))
+       |          AS i
+       |        FROM (SELECT string_split(trim(text), ' ') AS ws
+       |              FROM documents WHERE doc_id % 5 <> 0))
+       |),
+       |sx_idx AS (SELECT DISTINCT whash FROM sx_ex_w),
+       |sx_in_w AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(array_to_string(ws[i : i + ${w - 1}], ' ')) AS whash
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - ${w - 1})) AS i
+       |        FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws
+       |              FROM documents WHERE doc_id % 5 = 0))
+       |),
+       |sx_bf AS (
+       |  SELECT whash, min(doc_id) AS bfirst FROM sx_in_w GROUP BY whash
+       |),
+       |sx_dup AS (
+       |  SELECT DISTINCT v.doc_id, v.pos
+       |  FROM sx_in_w v
+       |  JOIN sx_bf b USING (whash)
+       |  LEFT JOIN sx_idx x USING (whash)
+       |  WHERE x.whash IS NOT NULL OR b.bfirst < v.doc_id
+       |),
+       |sx_s AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM sx_dup
+       |),
+       |sx_cut AS (
+       |  SELECT doc_id,
+       |    CAST(sum(greatest(0, (pos + ${w - 1})
+       |      - greatest(pos - 1, coalesce(pme, 0)))) AS BIGINT)
+       |      AS tokens_cut,
+       |    CAST(count(*) AS BIGINT) AS n_dup_windows
+       |  FROM sx_s GROUP BY doc_id
+       |),
+       |sx_nw AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+       |  FROM sx_in_w GROUP BY doc_id
+       |),
+       |sx_t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE doc_id % 5 = 0
+       |)
+       |SELECT n.doc_id, t.n_tokens, n.n_windows,
+       |  coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+       |  coalesce(c.tokens_cut, 0) AS tokens_cut,
+       |  t.n_tokens - coalesce(c.tokens_cut, 0) AS tokens_retained
+       |FROM sx_nw n
+       |JOIN sx_t t USING (doc_id)
+       |LEFT JOIN sx_cut c USING (doc_id)""".stripMargin
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{SpanIndex, SubstringOps}
+
+/** Persisted exact-substring first-occurrence index: the incremental
+  * keep-first bill must equal the one-shot x181 bill when the indexed
+  * corpus precedes the batch, epochs hold disjoint hashes, replay is a
+  * no-op by name, and the crash-anywhere promotion states hold. */
+class SpanIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // 12-word sentences over distinct vocabularies; w = 8 windows
+  private val a =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val b =
+    "one two three four five six seven eight nine ten eleven twelve"
+  private val c =
+    "red orange yellow green blue indigo violet cyan magenta umber teal jade"
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("spx_spec").toString
+
+  private def billMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_dup_windows"), r.getAs[Long]("tokens_cut"),
+        r.getAs[Long]("tokens_retained")))).toMap
+
+  test("incremental bill == one-shot x181 when the corpus precedes the batch") {
+    val s = spark
+    import s.implicits._
+    // corpus ids < batch ids, so x181's min-doc_id policy aligns with
+    // the index-precedence policy and the identity is exact
+    val corpus = Seq((1L, a), (2L, b), (3L, a + " " + b))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, a),                     // fully indexed: everything cut
+      (11L, c),                     // fully novel: nothing cut
+      (12L, c + " " + a),           // novel prefix + indexed suffix
+      (13L, c),                     // in-batch dup of 11
+      (14L, "hi")                   // under w tokens: no row
+    ).toDF("doc_id", "text")
+    val root = freshRoot()
+    SpanIndex.buildIndex(corpus, root)
+    val got = billMap(SpanIndex.admitBill(batch, root))
+    val oneShot = billMap(
+      SubstringOps.keepFirstSpanBill(corpus.unionByName(batch))
+        .filter(col("doc_id") >= 10L))
+    assert(got === oneShot,
+      s"incremental must replay the one-shot policy exactly:\n$got\nvs\n$oneShot")
+    assert(got(10L)._5 === 0L, s"fully indexed doc retains nothing: $got")
+    assert(got(11L)._4 === 0L, s"fully novel doc is never cut: $got")
+    assert(got(13L)._5 === 0L, s"in-batch dup of 11 retains nothing: $got")
+    assert(!got.contains(14L), "sub-window docs yield no bill row")
+  }
+
+  test("extension stores only novel hashes; epochs disjoint; replay no-op") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    SpanIndex.buildIndex(Seq((1L, a)).toDF("doc_id", "text"), root)
+    assert(SpanIndex.extendEpoch(
+      Seq((10L, a), (11L, b)).toDF("doc_id", "text"), root, "b0"))
+    val eps = SpanIndex.committedEpochs(root)
+    assert(eps.size === 2)
+    val e2 = spark.read.parquet(s"$root/${eps(1)}/postings")
+    // a's 5 windows are indexed; only b's 5 are novel, first held by 11
+    assert(e2.count() === 5L && e2.filter(col("first_doc") =!= 11L).isEmpty,
+      "the extension epoch holds exactly the novel hashes")
+    val all = spark.read.parquet(eps.map(e => s"$root/$e/postings"): _*)
+    assert(all.groupBy("whash").count().filter(col("count") > 1).isEmpty,
+      "no hash may be posted twice across epochs")
+    // replay: the committed name wins, nothing grows
+    assert(!SpanIndex.extendEpoch(
+      Seq((10L, a), (11L, b)).toDF("doc_id", "text"), root, "b0"))
+    assert(SpanIndex.committedEpochs(root) === eps)
+    // the next batch sees batch-0 admissions: b is now fully dup
+    val bill = billMap(SpanIndex.admitBill(
+      Seq((20L, b)).toDF("doc_id", "text"), root))
+    assert(bill(20L)._5 === 0L, s"earlier batch content must bill: $bill")
+  }
+
+  test("compact collapses epochs; bills identical; orphans invisible") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    SpanIndex.buildIndex(Seq((1L, a)).toDF("doc_id", "text"), root)
+    SpanIndex.extend(Seq((10L, b)).toDF("doc_id", "text"), root)
+    // crash between epoch write and promotion: orphan stays invisible
+    Files.createDirectories(Paths.get(root, "epochs", "eORPHAN", "postings"))
+    val probe = Seq((20L, a), (21L, b), (22L, c), (23L, a + " " + c))
+      .toDF("doc_id", "text")
+    val before = billMap(SpanIndex.admitBill(probe, root))
+    assert(before(20L)._5 === 0L && before(21L)._5 === 0L &&
+      before(22L)._4 === 0L, s"$before")
+    SpanIndex.compact(spark, root)
+    assert(SpanIndex.committedEpochs(root).size === 1)
+    assert(billMap(SpanIndex.admitBill(probe, root)) === before,
+      "compaction must not change any bill")
+  }
+}
