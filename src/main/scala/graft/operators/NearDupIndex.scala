@@ -732,22 +732,25 @@ object NearDupIndex {
   /** TIERED (tail) compaction — the bounded-cost maintenance a
     * long-lived ingest actually runs: [[compact]] rewrites the WHOLE
     * index, O(corpus), while a streaming admitter accretes many SMALL
-    * epochs on top of one big base. This merges only the maximal
-    * all-data SUFFIX of the manifest (the epochs committed after the
-    * last tombstone — exactly the accretion tail) into one epoch and
-    * leaves everything before it untouched on disk, so the cost is
-    * O(|tail|) however big the base grows. Merging the tail is
-    * semantics-free: its epochs hold DISJOINT fingerprints (each was
-    * admitted against all its predecessors) and no tombstone applies to
-    * any of them (tombstones only kill epochs committed before them).
-    * A no-op (tail shorter than 2 epochs) returns the live version
-    * unchanged. Same crash-anywhere discipline as every promotion. */
+    * epochs on top of one big base. This merges only the accretion
+    * TAIL — the all-data manifest suffix after the last tombstone,
+    * always excluding the first manifest entry (the protected BASE,
+    * typically the original [[buildIndex]] corpus) — into one epoch
+    * and leaves everything before it untouched on disk, so the cost is
+    * O(|tail|) however big the base grows, on every trigger. Merging
+    * the tail is semantics-free: its epochs hold DISJOINT fingerprints
+    * (each was admitted against all its predecessors) and no tombstone
+    * applies to any of them (tombstones only kill epochs committed
+    * before them). A no-op (tail shorter than 2 epochs) returns the
+    * live version unchanged. Same crash-anywhere discipline as every
+    * promotion. */
   def compactTail(spark: SparkSession, root: String): String =
     lockFor(root).synchronized {
       val token = currentToken(root)
       val eps = committedEpochs(root)
       val lastTomb = eps.lastIndexWhere(_.startsWith(TombPrefix))
-      val tail = eps.drop(lastTomb + 1)
+      val start = math.max(lastTomb + 1, 1)
+      val tail = eps.drop(start)
       if (tail.size < 2) graft.core.AtomicDir.current(root)
       else {
         def tbl(which: String): DataFrame =
@@ -766,7 +769,7 @@ object NearDupIndex {
           tbl("bands").repartition(1)
             .sortWithinPartitions("band", "band_hash"),
           rej, root, name)
-        promoteManifestCas(root, eps.take(lastTomb + 1) :+ ep, token)
+        promoteManifestCas(root, eps.take(start) :+ ep, token)
       }
     }
 

@@ -30,14 +30,15 @@ object NearDupStream {
     * `stream` must carry (doc_id, text).
     *
     * `maintainEvery` > 0 bounds the manifest: whenever the post-commit
-    * accretion tail (the data epochs after the last tombstone) reaches
-    * that many epochs, [[NearDupIndex.compactTail]] merges it into one
-    * — O(|tail|), the base is never rewritten, so probe file-open cost
-    * stays bounded for a long-lived ingest. Safe under replay: tail
-    * compaction is semantics-free (admissions and the ledger are
-    * pinned bit-identical across it), and the trigger reads the
-    * manifest itself, not the batch id, so it self-regulates whatever
-    * the replay history looks like. */
+    * accretion tail (the data epochs after the last tombstone,
+    * excluding the protected base — [[NearDupIndex.compactTail]]'s
+    * mergeable set) reaches that many epochs, compactTail merges it
+    * into one — O(|tail|), the base is never rewritten, so probe
+    * file-open cost stays bounded for a long-lived ingest. Safe under
+    * replay: tail compaction is semantics-free (admissions and the
+    * ledger are pinned bit-identical across it), and the trigger reads
+    * the manifest itself, not the batch id, so it self-regulates
+    * whatever the replay history looks like. */
   def ingest(stream: DataFrame, root: String, checkpointDir: String,
              minMatches: Int = NearDupIndex.defaultMinMatches,
              maintainEvery: Int = 0)
@@ -47,7 +48,8 @@ object NearDupStream {
         NearDupIndex.extendEpoch(batch, root, s"b$id", minMatches)
         if (maintainEvery > 0) {
           val eps = NearDupIndex.committedEpochs(root)
-          val tail = eps.drop(eps.lastIndexWhere(_.startsWith("tomb:")) + 1)
+          val tail = eps.drop(math.max(
+            eps.lastIndexWhere(_.startsWith("tomb:")) + 1, 1))
           if (tail.size >= maintainEvery)
             NearDupIndex.compactTail(batch.sparkSession, root)
         }

@@ -71,6 +71,9 @@ class NearDupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     def run(maintain: Int): (String, Seq[String]) = {
       val root = Files.createTempDirectory(s"nds_m$maintain").toString
       NearDupIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), root)
+      val base = NearDupIndex.committedEpochs(root).head
+      val baseListing = Files.walk(Paths.get(root, base))
+        .map[String](_.toString).sorted().toArray
       val in = MemoryStream[(Long, String)]
       val q = graft.streaming.NearDupStream.ingest(
         in.toDF().toDF("doc_id", "text"), root,
@@ -80,7 +83,11 @@ class NearDupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         in.addData(Seq((10L + i, t), (100L + i, seed))) // fresh + rejected
         q.processAllAvailable()
       } finally q.stop()
-      (root, NearDupIndex.committedEpochs(root))
+      val eps = NearDupIndex.committedEpochs(root)
+      assert(eps.head === base && Files.walk(Paths.get(root, base))
+        .map[String](_.toString).sorted().toArray.sameElements(baseListing),
+        "the base epoch is never rewritten by maintenance")
+      (root, eps)
     }
     val (plainRoot, plainEps) = run(0)
     val (maintRoot, maintEps) = run(3)
