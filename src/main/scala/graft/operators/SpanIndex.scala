@@ -170,6 +170,28 @@ object SpanIndex {
       EpochStore.promoteCas(root, Seq(ep), token)
     }
 
+  /** TIERED (tail) compaction — merge the accretion tail (every epoch
+    * after the protected first/base entry) into one epoch, leaving the
+    * base untouched on disk: O(|tail|) however big the base grows, the
+    * [[NearDupIndex.compactTail]] discipline. Semantics-free (epochs
+    * are hash-disjoint). A <2-epoch tail is a promoted-version no-op. */
+  def compactTail(spark: SparkSession, root: String): String =
+    lockFor(root).synchronized {
+      val token = EpochStore.currentToken(root)
+      val eps = committedEpochs(root)
+      val tail = eps.drop(1)
+      if (tail.size < 2) graft.core.AtomicDir.current(root)
+      else {
+        val merged = spark.read
+          .parquet(tail.map(e => s"$root/$e/postings"): _*)
+        val ep = EpochStore.writeEpoch(root,
+          "m" + java.util.UUID.randomUUID().toString.take(12),
+          Seq("postings" ->
+            merged.repartition(1).sortWithinPartitions("whash")))
+        EpochStore.promoteCas(root, Seq(eps.head, ep), token)
+      }
+    }
+
   // ---- DuckDB twin ---------------------------------------------------------
 
   /** Static oracle for the gate's 80/20 split (indexed = doc_id % 5 <>

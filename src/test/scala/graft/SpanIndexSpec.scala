@@ -96,6 +96,39 @@ class SpanIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bill(20L)._5 === 0L, s"earlier batch content must bill: $bill")
   }
 
+  test("streaming ingest: epochs per batch, bounded by maintenance, bills live") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = freshRoot()
+    SpanIndex.buildIndex(Seq((1L, a)).toDF("doc_id", "text"), root)
+    val base = SpanIndex.committedEpochs(root).head
+    val baseListing = Files.walk(Paths.get(root, base))
+      .map[String](_.toString).sorted().toArray
+    val texts = Seq(b, c, b + " " + c, a + " " + c)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.SpanStream.ingest(
+      in.toDF().toDF("doc_id", "text"), root,
+      Files.createTempDirectory("spx_ck").toString, maintainEvery = 2)
+    try texts.zipWithIndex.foreach { case (t, i) =>
+      in.addData(Seq((10L + i, t)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val eps = SpanIndex.committedEpochs(root)
+    assert(eps.head === base && eps.size <= 3,
+      s"manifest bounded, base first: $eps")
+    assert(Files.walk(Paths.get(root, base)).map[String](_.toString)
+      .sorted().toArray.sameElements(baseListing),
+      "maintenance never rewrites the base epoch")
+    // everything ingested (and the seed) now bills as fully dup
+    val bill = billMap(SpanIndex.admitBill(
+      (texts :+ a).zipWithIndex.map { case (t, i) => (50L + i, t) }
+        .toDF("doc_id", "text"), root))
+    assert(bill.values.forall(_._5 == 0L),
+      s"all ingested content must bill fully dup: $bill")
+  }
+
   test("compact collapses epochs; bills identical; orphans invisible") {
     val s = spark
     import s.implicits._
