@@ -12,16 +12,25 @@ import org.apache.spark.sql.functions._
   * corpus-side shuffle) would scale the admit time with the index and
   * blow the bound.
   *
-  * Usage: `runMain graft.IndexAdmitSmoke <corpusDir> <batchDir> <root>`
-  * — builds the index at `root` from `corpusDir/documents.parquet` if
-  * absent (build time reported, not bounded), then times
-  * `admit(batch)` best-of-2 and prints one JSON line:
-  * `{"build_s":…,"admit_s":…,"n_in":…,"n_admitted":…}`. */
+  * Usage: `runMain graft.IndexAdmitSmoke <corpusDir> <batchDir> <root>
+  * [near|span]` — builds the index at `root` from
+  * `corpusDir/documents.parquet` if absent (build time reported, not
+  * bounded), then times the admission best-of-2 and prints one JSON
+  * line: `{"build_s":…,"admit_s":…,"n_in":…,"n_admitted":…}`.
+  *
+  * Mode `span` probes [[graft.operators.SpanIndex.admitBill]] instead:
+  * its one index-sized term is a postings SCAN under a broadcast probe
+  * (no index-side shuffle), so the claim the smoke bounds is "grows at
+  * most with a cheap columnar scan of the postings", not
+  * size-invariance — tools/scale_smoke.py bounds the 10× ratio
+  * accordingly. `n_admitted` reports the batch docs billed ≥1 retained
+  * token. */
 object IndexAdmitSmoke {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: IndexAdmitSmoke <corpusDir> <batchDir> <root>")
-    val Array(corpusDir, batchDir, root) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: IndexAdmitSmoke <corpusDir> <batchDir> <root> [near|span]")
+    val Array(corpusDir, batchDir, root) = args.take(3)
+    val mode = if (args.length == 4) args(3) else "near"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "28")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,11 +42,13 @@ object IndexAdmitSmoke {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     val ndx = graft.operators.NearDupIndex
+    val spx = graft.operators.SpanIndex
     var buildS = 0.0
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "CURRENT"))) {
       val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
       val t0 = System.nanoTime()
-      ndx.buildIndex(corpus, root)
+      if (mode == "span") spx.buildIndex(corpus, root)
+      else ndx.buildIndex(corpus, root)
       buildS = (System.nanoTime() - t0) / 1e9
     }
     val batch = spark.read.parquet(s"$batchDir/documents.parquet")
@@ -45,8 +56,12 @@ object IndexAdmitSmoke {
     val nIn = batch.count()
     def admitOnce(): (Double, Long) = {
       val t0 = System.nanoTime()
-      val n = ndx.admit(batch, root)
-        .filter(col("verdict") === "admitted").count()
+      val n =
+        if (mode == "span")
+          spx.admitBill(batch, root)
+            .filter(col("tokens_retained") > 0L).count()
+        else ndx.admit(batch, root)
+          .filter(col("verdict") === "admitted").count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
     val runs = Seq(admitOnce(), admitOnce())

@@ -1472,6 +1472,35 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         spxRoot(s, dir))),
 
+    // x190 — cross-TIER admission confusion (the x183 pattern applied
+    // between the near-dup signature tier and the exact-span tier):
+    // per distinct incoming content, x174's verdict × whether x189
+    // bills ≥ half its tokens as already-seen spans. The
+    // (admitted, span_heavy) cell is remix/copy-paste content the
+    // signature tier admits whole — the population only span-level
+    // admission catches; (dup_near, !span_heavy) is paraphrase-shaped
+    // similarity without literal span reuse. One rep-keyed join of the
+    // two admission relations, ≤6-row aggregate.
+    "x190_admission_confusion" -> ((s, dir) => {
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      val near = graft.operators.NearDupIndex
+        .admit(batch, ndxRoot(s, dir))
+        .select(col("doc_id"), col("verdict"))
+      val span = graft.operators.SpanIndex
+        .admitBill(batch, spxRoot(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("tokens_cut"))
+      near.join(span, Seq("doc_id"), "left")
+        .select(col("verdict"),
+          when(coalesce(col("n_tokens"), lit(0L)) > 0L &&
+            col("tokens_cut") * 2 >= col("n_tokens"), 1).otherwise(0)
+            .as("span_heavy"),
+          coalesce(col("n_tokens"), lit(0L)).as("t"),
+          coalesce(col("tokens_cut"), lit(0L)).as("c"))
+        .groupBy("verdict", "span_heavy")
+        .agg(count(lit(1)).as("n_contents"), sum(col("t")).as("tokens"),
+          sum(col("c")).as("tokens_cut"))
+    }),
+
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") % 100 === 0)
@@ -3317,6 +3346,21 @@ object SparkEntry {
       graft.operators.NearDupIndex.bandingYieldSql(),
     "x189_span_admission" ->
       graft.operators.SpanIndex.admissionSql(),
+    "x190_admission_confusion" ->
+      s"""WITH xc_n AS (
+         |${graft.operators.NearDupIndex.admissionSql()}
+         |), xc_s AS (
+         |${graft.operators.SpanIndex.admissionSql()}
+         |)
+         |SELECT n.verdict,
+         |  CAST(CASE WHEN coalesce(s.n_tokens, 0) > 0
+         |    AND s.tokens_cut * 2 >= s.n_tokens THEN 1 ELSE 0 END
+         |    AS INTEGER) AS span_heavy,
+         |  CAST(count(*) AS BIGINT) AS n_contents,
+         |  CAST(sum(coalesce(s.n_tokens, 0)) AS BIGINT) AS tokens,
+         |  CAST(sum(coalesce(s.tokens_cut, 0)) AS BIGINT) AS tokens_cut
+         |FROM xc_n n LEFT JOIN xc_s s USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
     "x55_winnowing_matches" -> TextOps.winnowingMatchesSql(),
     "x56_funnel" -> graft.operators.TemporalJoins.orderedFunnelSql(
       Seq("view", "click", "purchase"), "1 DAY"),

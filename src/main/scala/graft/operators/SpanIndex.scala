@@ -68,6 +68,19 @@ object SpanIndex {
     SubstringOps.windows(df, w, text)
       .groupBy("whash").agg(min(col("doc_id")).as("first_doc"))
 
+  /** The index hashes the batch's windows actually touch — the ONE
+    * index-sized operation in admission/extension, shaped as a postings
+    * SCAN with a broadcast probe (the batch's distinct hashes are
+    * micro-batch-sized by contract) rather than a whash shuffle of the
+    * postings table: at 100 TB the index side moves zero bytes over the
+    * network, and every later join runs against this (≤ |batch hashes|)
+    * broadcastable result. */
+  private def matchedHashes(spark: SparkSession, root: String,
+                            wins: DataFrame): DataFrame =
+    load(spark, root).select(col("whash"))
+      .join(broadcast(wins.select(col("whash")).distinct()),
+        Seq("whash"), "left_semi")
+
   /** Build and promote the initial index. Returns the promoted version
     * path. */
   def buildIndex(df: DataFrame, root: String, w: Int = defaultW,
@@ -89,12 +102,12 @@ object SpanIndex {
     * to the post-dedup corpus. */
   def admitBill(incoming: DataFrame, root: String, w: Int = defaultW,
                 text: Column = col("text")): DataFrame = {
-    val idx = load(incoming.sparkSession, root).select(col("whash"))
     val wins = graft.core.PinnedViews.pinned(
       SubstringOps.windows(incoming, w, text))
     val batchFirst = wins.groupBy("whash")
       .agg(min(col("doc_id")).as("bfirst"))
-    val inIdx = wins.join(idx, Seq("whash"), "left_semi")
+    val matched = matchedHashes(incoming.sparkSession, root, wins)
+    val inIdx = wins.join(broadcast(matched), Seq("whash"), "left_semi")
       .select(col("doc_id"), col("pos"))
     val inBatch = wins.join(batchFirst, Seq("whash"))
       .filter(col("bfirst") < col("doc_id"))
@@ -138,9 +151,12 @@ object SpanIndex {
       val committed = committedEpochs(root)
       if (committed.contains(s"epochs/$epochName")) false
       else {
-        val idx = load(incoming.sparkSession, root).select(col("whash"))
-        val novel = firstOccurrences(incoming, w, text)
-          .join(idx, Seq("whash"), "left_anti")
+        val batchFirst = firstOccurrences(incoming, w, text)
+        // anti vs (index ∩ batch hashes) == anti vs index, batch-sized
+        val matched = matchedHashes(incoming.sparkSession, root,
+          batchFirst.select(col("whash")))
+        val novel = batchFirst.join(broadcast(matched), Seq("whash"),
+          "left_anti")
         val ep = EpochStore.writeEpoch(root, epochName,
           Seq("postings" -> novel))
         EpochStore.promoteCas(root, committed :+ ep, token)

@@ -57,6 +57,8 @@ SF1V = "/tmp/graft_sf1v"  # SF1 + a planted 10^4-copy viral dup clique
 SF1T = "/tmp/graft_sf1t"  # SF1 + 10^4 DISTINCT near-dup template variants
 NDX01 = "/tmp/graft_ndx_sm01"  # NearDupIndex roots for the admission row
 NDX1 = "/tmp/graft_ndx_sm1"
+SPX01 = "/tmp/graft_spx_sm01"  # SpanIndex roots for the span-admission row
+SPX1 = "/tmp/graft_spx_sm1"
 QUERIES = ["x159_cluster_dsir", "x161_cluster_policy",
            "x119_session_pagerank", "x23_dup_clusters", "x111_bpe_merges",
            "j16_band_join", "x83_cluster_split",
@@ -345,12 +347,12 @@ def printed_sql(name):
     return out.split("-----BEGIN SQL-----")[1].split("-----END SQL-----")[0]
 
 
-def admit_probe(corpus_dir, root):
+def admit_probe(corpus_dir, root, mode="near"):
     """Run graft.IndexAdmitSmoke (build-if-absent + best-of-2 admit of
     the FIXED sf0.01 batch) and return its JSON line."""
     out = subprocess.run(
         ["sbt", "-batch",
-         f"runMain graft.IndexAdmitSmoke {corpus_dir} {SF001} {root}"],
+         f"runMain graft.IndexAdmitSmoke {corpus_dir} {SF001} {root} {mode}"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         capture_output=True, text=True, check=True).stdout
     line = [ln.removeprefix("[info] ").strip()
@@ -362,7 +364,7 @@ def admit_probe(corpus_dir, root):
 def main():
     if "--regen" in sys.argv or not os.path.exists(f"{SF1T}/documents.parquet"):
         generate()
-        for root in (NDX01, NDX1):  # stale indexes follow their corpora
+        for root in (NDX01, NDX1, SPX01, SPX1):  # stale indexes follow their corpora
             subprocess.run(["rm", "-rf", root], check=True)
     # --cached: score the previous run's timings without re-benching
     # (bound/model changes re-judge old measurements instantly)
@@ -385,7 +387,9 @@ def main():
         b1t = bench(SF1T, "/tmp/graft_smoke_sf1t.json",
                     subsets=((TEMPLATE_QUERIES, "1"),))
         adm = {"sf01": admit_probe(SF01, NDX01),
-               "sf1": admit_probe(SF1, NDX1)}
+               "sf1": admit_probe(SF1, NDX1),
+               "spx_sf01": admit_probe(SF01, SPX01, "span"),
+               "spx_sf1": admit_probe(SF1, SPX1, "span")}
         with open("/tmp/graft_smoke_admit.json", "w") as f:
             json.dump(adm, f)
     pr = band_pairs(SF1) / max(band_pairs(SF01), 1)
@@ -549,6 +553,23 @@ def main():
         failures.append(
             f"index admission: {ar:.2f}x > 2x against a 10x index — a "
             f"corpus-sized term is hiding in the admit path")
+    # ---- span-index admission: the one index-sized term is a postings
+    # SCAN under a broadcast probe (no index-side shuffle), so the
+    # bound is "at most the linear scan share", not size-invariance —
+    # a whash shuffle of the postings (the regression this guards)
+    # would pay sort+exchange on 10x the rows and blow through.
+    if "spx_sf01" in adm:
+        s01, s1 = adm["spx_sf01"], adm["spx_sf1"]
+        sr = s1["admit_s"] / max(s01["admit_s"], 1e-3)
+        print(f"[admit] span-index: fixed sf0.01 batch (n_in={s01['n_in']}) "
+              f"vs postings size: sf0.1-built {s01['admit_s']:.2f}s, "
+              f"sf1-built {s1['admit_s']:.2f}s ({sr:.2f}x; billed-retaining "
+              f"{s01['n_admitted']}/{s1['n_admitted']})")
+        if sr > 12.0:
+            failures.append(
+                f"span admission: {sr:.2f}x > 12x (the linear postings-scan "
+                f"share) against a 10x index — the broadcast probe is not "
+                f"holding (an index-side shuffle crept in)")
     if failures:
         print("FAIL:", "; ".join(failures))
         sys.exit(1)
