@@ -794,6 +794,32 @@ object NearDupIndex {
         (col("weight") + later).as("n_copies"))
   }
 
+  /** Ops inventory of the live manifest — one row per entry, in
+    * manifest order: `(position, entry, kind, n_cliques, n_sigs,
+    * n_bands, n_rejections, n_tombstones)` (counts NULL where a table
+    * is absent). The first read an operator does before trusting,
+    * compacting, or debugging an index: which epochs are live, how big
+    * each is, where the tombstones sit. Driver-side row count ==
+    * manifest length — never corpus-sized. */
+  def stats(spark: SparkSession, root: String): DataFrame = {
+    val rows = committedEpochs(root).zipWithIndex.map { case (e, i) =>
+      val isTomb = e.startsWith(TombPrefix)
+      val path = e.stripPrefix(TombPrefix)
+      def cnt(t: String): Option[Long] = {
+        val p = java.nio.file.Paths.get(root, path, t)
+        if (java.nio.file.Files.exists(p))
+          Some(spark.read.parquet(p.toString).count())
+        else None
+      }
+      (i, path, if (isTomb) "tombstone" else "data",
+        cnt("cliques"), cnt("sigs"), cnt("bands"), cnt("rejections"),
+        cnt("tombstones"))
+    }
+    import spark.implicits._
+    rows.toDF("position", "entry", "kind", "n_cliques", "n_sigs",
+      "n_bands", "n_rejections", "n_tombstones")
+  }
+
   // ---- DuckDB twin ---------------------------------------------------------
 
   /** Sig + band CTEs (prefixed `p`) for the reps of `repRel`, which

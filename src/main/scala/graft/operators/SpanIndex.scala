@@ -43,7 +43,20 @@ import graft.core.EpochStore
   * files by exact hash (`FileDbDAL/FileHandler.py:42-165`); span-level
   * admission has no reference counterpart — it exists for the
   * training-data pipeline, where the unit of contamination is the
-  * span, not the file. */
+  * span, not the file.
+  *
+  * DELIBERATELY NO RETRACTION (unlike [[NearDupIndex.retract]]): a
+  * posting records "this window content has been seen", attributed to
+  * its FIRST holder only — later holders were billed and never posted.
+  * Tombstoning a taken-down document's postings would therefore
+  * un-see content that other (non-retracted) documents still carry,
+  * and re-deriving the next holder requires re-windowing the corpus —
+  * the O(corpus) operation this index exists to avoid. A takedown that
+  * must forget spans is a [[buildIndex]] rebuild over the surviving
+  * corpus (versioned promotion keeps the old index for rollback); a
+  * takedown that only removes the DOCUMENT needs nothing here — the
+  * index holds hashes, not text, and keeping its spans "seen" is
+  * usually the wanted dedup semantics. */
 object SpanIndex {
 
   /** Window width shared with the batch span family (x72/x73/x181). */
@@ -207,6 +220,17 @@ object SpanIndex {
         EpochStore.promoteCas(root, Seq(eps.head, ep), token)
       }
     }
+
+  /** Ops inventory of the live manifest — one row per epoch in
+    * manifest order: `(position, entry, n_postings)`. Manifest-sized,
+    * never corpus-sized. */
+  def stats(spark: SparkSession, root: String): DataFrame = {
+    val rows = committedEpochs(root).zipWithIndex.map { case (e, i) =>
+      (i, e, spark.read.parquet(s"$root/$e/postings").count())
+    }
+    import spark.implicits._
+    rows.toDF("position", "entry", "n_postings")
+  }
 
   // ---- DuckDB twin ---------------------------------------------------------
 

@@ -326,6 +326,11 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     NearDupIndex.compactTail(spark, root)
     assert(Files.readString(Paths.get(root, "CURRENT")).trim === cur,
       "a tail shorter than 2 epochs is a no-op")
+    // the ops inventory reads the same manifest: base, tombstone, merged
+    val st = NearDupIndex.stats(spark, root).collect()
+      .map(r => (r.getAs[Int]("position"), r.getAs[String]("kind")))
+    assert(st.toSeq === Seq((0, "data"), (1, "tombstone"), (2, "data")),
+      s"stats must mirror the manifest: ${st.toSeq}")
   }
 
   test("admitGuarded: hot buckets stop pairing, audibly; exact tier untouched") {

@@ -127,6 +127,10 @@ class SpanIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toDF("doc_id", "text"), root))
     assert(bill.values.forall(_._5 == 0L),
       s"all ingested content must bill fully dup: $bill")
+    val st = SpanIndex.stats(spark, root).collect()
+    assert(st.length === eps.size && st.map(_.getAs[Long]("n_postings")).sum
+      === spark.read.parquet(eps.map(e => s"$root/$e/postings"): _*).count(),
+      "stats must mirror the manifest and its posting masses")
   }
 
   test("compact collapses epochs; bills identical; orphans invisible") {
