@@ -99,6 +99,22 @@ object NearDupIndex {
     (cliques, sigs, lshBands(sigs))
   }
 
+  /** [[signCorpus]] through the session's [[graft.core.PinnedViews]]
+    * cache: the analytic probe surfaces (admit / yield / audit /
+    * guarded / banding) all sign the SAME batch — memoizing by
+    * semantic plan signs it once per session, the memoPin discipline
+    * of the dedup kernels. NOT used on the write paths
+    * (build/extendEpoch): a streaming ingest signs a DIFFERENT batch
+    * every micro-batch, and per-batch pins would accumulate in the
+    * session cache for the stream's lifetime. */
+  private def signCorpusPinned(df: DataFrame, text: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (cliques, sigs, bands) = signCorpus(df, text)
+    (graft.core.PinnedViews.pinned(cliques),
+      graft.core.PinnedViews.pinned(sigs),
+      graft.core.PinnedViews.pinned(bands))
+  }
+
   /** Zero-row rejections ledger with the persisted schema. */
   private def emptyRejections(spark: SparkSession): DataFrame =
     spark.range(0).select(lit(null).cast("string").as("fp"),
@@ -295,9 +311,15 @@ object NearDupIndex {
 
   def admit(incoming: DataFrame, root: String,
             minMatches: Int = defaultMinMatches,
-            text: Column = col("text")): DataFrame = {
+            text: Column = col("text")): DataFrame =
+    admitImpl(incoming, root, minMatches, text, pin = true)
+
+  private def admitImpl(incoming: DataFrame, root: String,
+                        minMatches: Int, text: Column,
+                        pin: Boolean): DataFrame = {
     val idx = load(incoming.sparkSession, root)
-    val (inCl, inSigs, inBands) = signCorpus(incoming, text)
+    val (inCl, inSigs, inBands) =
+      if (pin) signCorpusPinned(incoming, text) else signCorpus(incoming, text)
     val best = bestEstimates(inSigs, inBands, idx)
     inCl
       .select(col("rep").as("doc_id"), col("fp").as("content_hash"),
@@ -330,7 +352,7 @@ object NearDupIndex {
                    minMatches: Int = defaultMinMatches,
                    text: Column = col("text")): DataFrame = {
     val idx = load(incoming.sparkSession, root)
-    val (inCl, inSigs, inBands) = signCorpus(incoming, text)
+    val (inCl, inSigs, inBands) = signCorpusPinned(incoming, text)
     val hot = idx.bands.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("m")).filter(col("m") > maxBucket)
       .select("band", "band_hash")
@@ -373,7 +395,7 @@ object NearDupIndex {
   def admissionYield(incoming: DataFrame, root: String,
                      text: Column = col("text")): DataFrame = {
     val idx = load(incoming.sparkSession, root)
-    val (inCl, inSigs, inBands) = signCorpus(incoming, text)
+    val (inCl, inSigs, inBands) = signCorpusPinned(incoming, text)
     val best = bestEstimates(inSigs, inBands, idx)
     inCl.join(idx.cliques.select(col("fp")).distinct(), Seq("fp"),
         "left_anti")
@@ -408,7 +430,7 @@ object NearDupIndex {
                      threshold: Double = 0.5,
                      text: Column = col("text")): DataFrame = {
     val idx = load(incoming.sparkSession, root)
-    val (inCl, inSigs, inBands) = signCorpus(incoming, text)
+    val (inCl, inSigs, inBands) = signCorpusPinned(incoming, text)
     val pe = pairEstimates(inSigs, inBands, idx)
     val est = pe.groupBy("doc_id").agg(max(col("mc")).as("mm"))
     val exact = DedupOps.jaccardFor(corpus,
@@ -459,7 +481,7 @@ object NearDupIndex {
                    minMatches: Int = defaultMinMatches,
                    text: Column = col("text")): DataFrame = {
     val idx = load(incoming.sparkSession, root)
-    val (inCl, inSigs, _) = signCorpus(incoming, text)
+    val (inCl, inSigs, _) = signCorpusPinned(incoming, text)
     def postings(sigs: DataFrame): DataFrame = bandingSchemes.map {
       case (b, r) =>
         (0 until b).map { j =>
@@ -660,7 +682,8 @@ object NearDupIndex {
       val committed = committedEpochs(root)
       if (committed.contains(s"epochs/$epochName")) false
       else {
-        val verdicts = admit(incoming, root, minMatches, text)
+        val verdicts = admitImpl(incoming, root, minMatches, text,
+          pin = false)
         val admitted = verdicts.filter(col("verdict") === "admitted")
           .select(col("content_hash").as("fp"))
         // the ledger: exact-rejected batch copies, keyed by the indexed
