@@ -1501,6 +1501,15 @@ object SparkEntry {
           sum(col("c")).as("tokens_cut"))
     }),
 
+    // x191 — the shard-admission MANIFEST: the production entry point
+    // composing both persisted indexes in precedence order per distinct
+    // incoming content — reject_exact / reject_near / trim_spans /
+    // admit — the per-content decision a 100 TB ingest acts on
+    "x191_shard_admission" -> ((s, dir) =>
+      graft.operators.ShardAdmission.report(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        ndxRoot(s, dir), spxRoot(s, dir))),
+
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") % 100 === 0)
@@ -3346,6 +3355,8 @@ object SparkEntry {
       graft.operators.NearDupIndex.bandingYieldSql(),
     "x189_span_admission" ->
       graft.operators.SpanIndex.admissionSql(),
+    "x191_shard_admission" ->
+      graft.operators.ShardAdmission.reportSql(),
     "x190_admission_confusion" ->
       s"""WITH xc_n AS (
          |${graft.operators.NearDupIndex.admissionSql()}
