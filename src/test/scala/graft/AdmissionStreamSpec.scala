@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{NearDupIndex, ShardAdmission, SpanIndex}
+
+/** The full streaming ingest loop: per micro-batch a ShardAdmission
+  * manifest against the PRE-batch index state, then both indexes
+  * extended — with the replay guard that keeps a recomputed manifest
+  * from reading its own batch back out of the index. */
+class AdmissionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val seed =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val novel1 =
+    "one two three four five six seven eight nine ten eleven twelve"
+  private val novel2 = "red orange yellow green blue indigo violet cyan " +
+    "magenta umber teal jade"
+  private val novel3 = "north south east west upward downward inward " +
+    "outward forward backward leftward rightward"
+  private val novel4 = "oak elm ash birch maple cedar pine spruce willow " +
+    "poplar rowan yew"
+
+  private def roots(): (String, String, String) = (
+    Files.createTempDirectory("adm_ndx").toString,
+    Files.createTempDirectory("adm_spx").toString,
+    Files.createTempDirectory("adm_out").toString)
+
+  private def decisions(out: String, batch: Long) =
+    spark.read.parquet(s"$out/batch=$batch").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision"))
+      .toMap
+
+  test("manifests reflect the pre-batch state; later batches reject earlier content") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (ndx, spx, out) = roots()
+    val indexed = Seq((1L, seed), (2L, novel1), (3L, novel2))
+      .toDF("doc_id", "text")
+    NearDupIndex.buildIndex(indexed, ndx)
+    SpanIndex.buildIndex(indexed, spx)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.AdmissionStream.ingest(
+      in.toDF().toDF("doc_id", "text"), ndx, spx, out,
+      Files.createTempDirectory("adm_ck").toString)
+    // the remix: every token from indexed content, but no single
+    // indexed doc is similar enough to near-reject the whole — the
+    // population only the span tier prices
+    val remix = seed + " " + novel1 + " " + novel2
+    try {
+      in.addData(Seq((10L, seed), (11L, novel3), (12L, remix)))
+      q.processAllAvailable()
+      // batch 1: copies of batch-0 content + one genuinely new doc
+      in.addData(Seq((20L, novel3), (21L, seed), (22L, novel4)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val d0 = decisions(out, 0)
+    assert(d0(10L) === "reject_exact", s"seed copy rejects: $d0")
+    assert(d0(11L) === "admit", s"novel admits: $d0")
+    assert(d0(12L) === "trim_spans",
+      s"a doc made of indexed spans ships through trimming: $d0")
+    val d1 = decisions(out, 1)
+    assert(d1(20L) === "reject_exact",
+      s"batch-0 admission must reject its later copy: $d1")
+    assert(d1(21L) === "reject_exact" && d1(22L) === "admit", s"$d1")
+    // both indexes committed one epoch per batch
+    assert(NearDupIndex.committedEpochs(ndx).size === 3)
+    assert(SpanIndex.committedEpochs(spx).size === 3)
+  }
+
+  test("replay after index commits must not recompute the manifest") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (ndx, spx, out) = roots()
+    NearDupIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), ndx)
+    SpanIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), spx)
+    val batch = Seq((10L, novel1)).toDF("doc_id", "text")
+    // the crash shape: the prior attempt wrote the manifest and
+    // committed both index epochs, then died before the checkpoint —
+    // model it by doing exactly that by hand for batch id 0
+    ShardAdmission.report(batch, ndx, spx)
+      .write.mode("overwrite").parquet(s"$out/batch=0")
+    NearDupIndex.extendEpoch(batch, ndx, "b0")
+    SpanIndex.extendEpoch(batch, spx, "b0")
+    val before = decisions(out, 0)
+    assert(before === Map(10L -> "admit"), s"pre-crash manifest: $before")
+    val mtime = Files.getLastModifiedTime(
+      Paths.get(out, "batch=0", "_SUCCESS"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.AdmissionStream.ingest(
+      in.toDF().toDF("doc_id", "text"), ndx, spx, out,
+      Files.createTempDirectory("adm_ck2").toString)
+    try {
+      in.addData(Seq((10L, novel1))) // the replay of batch id 0
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(decisions(out, 0) === before,
+      "a replayed batch must keep the pre-batch-state manifest — a " +
+        "recompute would read its own content back as reject_exact")
+    assert(Files.getLastModifiedTime(Paths.get(out, "batch=0", "_SUCCESS"))
+      === mtime, "the manifest files must not be rewritten at all")
+    assert(NearDupIndex.committedEpochs(ndx).count(_.endsWith("/b0")) === 1)
+  }
+}
