@@ -682,17 +682,25 @@ object NearDupIndex {
       val committed = committedEpochs(root)
       if (committed.contains(s"epochs/$epochName")) false
       else {
-        val verdicts = admitImpl(incoming, root, minMatches, text,
-          pin = false)
-        val admitted = verdicts.filter(col("verdict") === "admitted")
-          .select(col("content_hash").as("fp"))
+        // sign ONCE and checkpoint (plain localCheckpoint, not the
+        // session pin cache — a stream signs a different batch every
+        // micro-batch, and these must be GC-reclaimable): the three
+        // epoch-table writes and the verdict derivation all reuse it
+        // instead of re-running md5+minhash per consumer
+        val (inCl0, inSigs0, inBands0) = signCorpus(incoming, text)
+        val inCl = inCl0.localCheckpoint(true)
+        val inSigs = inSigs0.localCheckpoint(true)
+        val inBands = inBands0.localCheckpoint(true)
+        val idx = load(incoming.sparkSession, root)
+        val best = bestEstimates(inSigs, inBands, idx)
+        val exact = idx.cliques.select(col("fp")).distinct()
         // the ledger: exact-rejected batch copies, keyed by the indexed
         // fingerprint they matched (== their own fp, by exactness)
-        val rejections = verdicts.filter(col("verdict") === "dup_exact")
-          .select(col("content_hash").as("fp"),
-            col("n_batch_copies").as("n_rejected"))
-        val (inCl, inSigs, inBands) = signCorpus(incoming, text)
-        val cliques = inCl.join(admitted, Seq("fp"), "left_semi")
+        val rejections = inCl.join(exact, Seq("fp"), "left_semi")
+          .select(col("fp"), col("weight").as("n_rejected"))
+        val cliques = inCl.join(exact, Seq("fp"), "left_anti")
+          .join(best.filter(col("best_matches") >= minMatches)
+            .select(col("doc_id").as("rep")), Seq("rep"), "left_anti")
         val reps = cliques.select(col("rep").as("doc_id"))
         val ep = writeEpochNamed(cliques,
           inSigs.join(reps, Seq("doc_id"), "left_semi"),
