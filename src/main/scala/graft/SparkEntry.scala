@@ -133,6 +133,21 @@ object SparkEntry {
       root
     })
 
+  // Persisted IVFADC index over the 80% embedding partition (frozen
+  // session quantizer) — x192 admits the 20% batch against its int8
+  // postings; build-once-per-(session, corpus) like ndxRoot.
+  private val annRootCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def annAdmitRoot(s: SparkSession, dir: String): String =
+    annRootCache.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_annr")
+        .toString
+      graft.operators.IvfOps.saveIndex(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0),
+        ivfModel(s, dir), root)
+      root
+    })
+
   // Persisted exact-substring index over the 80% partition — x189
   // admits the 20% batch span-by-span against it; same build-once-per-
   // (session, corpus) contract as ndxRoot.
@@ -1509,6 +1524,17 @@ object SparkEntry {
       graft.operators.ShardAdmission.report(
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         ndxRoot(s, dir), spxRoot(s, dir))),
+
+    // x192 — embedding-tier admission (incremental SemDeDup): the 20%
+    // embedding batch admitted against the persisted IVFADC index built
+    // on the 80% — per vector, best ADC neighbor among the probed
+    // lists, dup_embed at τ = the x52 semantic-dup working point; the
+    // fourth axis of the admission stack (content/signature/span/
+    // embedding), oracle = the trained-centroid dynamic replay
+    "x192_embed_admission" -> ((s, dir) =>
+      graft.operators.IvfOps.admitVectors(s, annAdmitRoot(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        tauMicro = 400000L, nProbe = ivfNProbe(s, dir))),
 
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -3435,6 +3461,9 @@ object SparkEntry {
         model, "vec_id % 100 = 0", k = 8, nProbe = np),
       "x24_ann_adc" -> graft.operators.IvfOps.adcTopKSql(
         model, "vec_id % 100 = 0", k = 8, nProbe = np),
+      "x192_embed_admission" -> graft.operators.IvfOps.admitVectorsSql(
+        model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
+        tauMicro = 400000L, nProbe = np),
       "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model),
       "x162_probe_yield" -> graft.operators.IvfOps.probeYieldCurveSql(
         model, "vec_id % 100 = 0"),

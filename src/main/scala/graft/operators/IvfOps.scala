@@ -1033,6 +1033,76 @@ object IvfOps {
       .filter(col("rank") <= k)
   }
 
+  /** x192: EMBEDDING-tier incremental admission — the fourth axis of
+    * the admission stack (exact content x54 / near-dup signatures x174
+    * / exact spans x189 / semantic duplicates HERE): an arriving
+    * embedding batch is admitted against the PERSISTED ANN index
+    * ([[saveIndex]] / [[graft.streaming.AnnIndexStream]]) — per
+    * incoming vector, its best ADC neighbor among the probed inverted
+    * lists, and `dup_embed` when that cosine reaches `tauMicro` (the
+    * incremental SemDeDup decision: the indexed corpus's floats are
+    * gone, the int8 code table answers). Vectors whose probes hit no
+    * candidate carry NULL anchor/cosine and admit.
+    *
+    * Scale: the [[adcTopKFromIndex]] shape verbatim — probes read only
+    * the postings table at nProbe lists per query, the index is never
+    * re-read at float precision, k=1 keeps the per-query state one
+    * row. Quantization error is one-sided (corpus only); read τ
+    * against x96/x171-style calibration before trusting it at scale. */
+  def admitVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   queries: DataFrame, tauMicro: Long,
+                   nProbe: Int): DataFrame = {
+    val best = adcTopKFromIndex(spark, dir, queries, k = 1, nProbe)
+      .select(col("query_id").as("vec_id"),
+        col("neighbor_id").as("anchor_id"),
+        floor(col("adc_cos") * lit(1e6) + lit(0.5)).cast("long")
+          .as("adc_cos_micro"))
+    queries.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("anchor_id"), col("adc_cos_micro"),
+        when(col("adc_cos_micro") >= tauMicro, lit("dup_embed"))
+          .otherwise(lit("admitted")).as("verdict"))
+  }
+
+  /** DuckDB twin of [[admitVectors]] for a trained model: the
+    * [[adcTopKSql]] replay restricted to a corpus partition (the
+    * indexed side) and a query partition (the batch), k=1. */
+  def admitVectorsSql(model: IvfModel, corpusFilter: String,
+                      queryFilter: String, tauMicro: Long,
+                      nProbe: Int): String = {
+    val qe = "CAST(p.qe AS DOUBLE[])"
+    s"""WITH codes AS (
+       |  ${SimilarityOps.quantizeEmbeddingsSql.replace("\n", "\n  ")}
+       |), ${centroidCtesSql(model)}, corpus_assign AS (
+       |  SELECT vec_id, cid AS centroid_id FROM sims
+       |  WHERE rn = 1 AND ($corpusFilter)
+       |), probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cid AS centroid_id
+       |  FROM sims WHERE ($queryFilter) AND rn <= $nProbe
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_dot_product(
+       |      list_transform($qe, x -> x / sqrt(list_dot_product($qe, $qe))),
+       |      CAST(cd.qcode AS DOUBLE[])) / 127.0, 9) AS adc_cos
+       |  FROM probes p
+       |  JOIN corpus_assign a USING (centroid_id)
+       |  JOIN codes cd ON cd.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id
+       |), best AS (
+       |  SELECT query_id, neighbor_id, adc_cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_cos DESC, neighbor_id) AS rk
+       |  FROM scored QUALIFY rk = 1
+       |)
+       |SELECT q.vec_id, CAST(b.neighbor_id AS BIGINT) AS anchor_id,
+       |  CAST(floor(b.adc_cos * 1000000.0 + 0.5) AS BIGINT)
+       |    AS adc_cos_micro,
+       |  CASE WHEN floor(b.adc_cos * 1000000.0 + 0.5) >= $tauMicro
+       |    THEN 'dup_embed' ELSE 'admitted' END AS verdict
+       |FROM (SELECT vec_id FROM embeddings WHERE ($queryFilter)) q
+       |LEFT JOIN best b ON b.query_id = q.vec_id""".stripMargin
+  }
+
   /** IVFADC: inverted-file candidate selection + Asymmetric Distance
     * Computation — the query stays float (unit-normalized), the corpus is
     * scored from the int8 code table of
