@@ -1536,6 +1536,18 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
         tauMicro = 400000L, nProbe = ivfNProbe(s, dir))),
 
+    // x193 — the FULL four-tier admission manifest: exact content /
+    // near-dup signature / semantic embedding / exact spans composed
+    // per distinct incoming content with precedence reject_exact >
+    // reject_near > reject_embed > trim_spans > admit — every
+    // persisted index touched exactly once
+    "x193_full_admission" -> ((s, dir) =>
+      graft.operators.ShardAdmission.reportFull(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        ndxRoot(s, dir), spxRoot(s, dir), annAdmitRoot(s, dir),
+        tauMicro = 400000L, nProbe = ivfNProbe(s, dir))),
+
     "x96_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") % 100 === 0)
@@ -3464,6 +3476,10 @@ object SparkEntry {
       "x192_embed_admission" -> graft.operators.IvfOps.admitVectorsSql(
         model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
         tauMicro = 400000L, nProbe = np),
+      "x193_full_admission" -> graft.operators.ShardAdmission
+        .reportFullSql(graft.operators.IvfOps.admitVectorsSql(
+          model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
+          tauMicro = 400000L, nProbe = np)),
       "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model),
       "x162_probe_yield" -> graft.operators.IvfOps.probeYieldCurveSql(
         model, "vec_id % 100 = 0"),

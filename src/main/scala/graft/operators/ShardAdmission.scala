@@ -52,6 +52,63 @@ object ShardAdmission {
         (t - c).as("tokens_retained"))
   }
 
+  /** The FULL stack — [[report]] plus the embedding tier
+    * ([[IvfOps.admitVectors]] against the persisted IVFADC index,
+    * joined doc_id = vec_id): precedence reject_exact > reject_near >
+    * reject_embed > trim_spans > admit, so a semantic duplicate that
+    * escaped both text tiers (a translation-shaped or heavily-edited
+    * copy) is caught before span accounting ships it. Contents without
+    * an embedding row skip the tier (NULL never rejects). One extra
+    * rep-keyed join; the embedding probe reads only int8 postings. */
+  def reportFull(batch: DataFrame, batchEmb: DataFrame,
+                 nearDupRoot: String, spanRoot: String, annRoot: String,
+                 tauMicro: Long, nProbe: Int,
+                 minMatches: Int = NearDupIndex.defaultMinMatches,
+                 w: Int = SpanIndex.defaultW,
+                 heavyNum: Int = 1, heavyDen: Int = 2,
+                 text: Column = col("text")): DataFrame = {
+    val base = report(batch, nearDupRoot, spanRoot, minMatches, w,
+      heavyNum, heavyDen, text)
+    val emb = IvfOps.admitVectors(batch.sparkSession, annRoot, batchEmb,
+        tauMicro, nProbe)
+      .select(col("vec_id").as("doc_id"),
+        col("anchor_id").as("embed_anchor_id"),
+        col("adc_cos_micro").as("embed_cos_micro"),
+        (col("verdict") === "dup_embed").as("__embed_dup"))
+    base.join(emb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("content_hash"), col("n_batch_copies"),
+        when(col("decision").isin("reject_exact", "reject_near"),
+          col("decision"))
+          .when(col("__embed_dup"), lit("reject_embed"))
+          .otherwise(col("decision")).as("decision"),
+        col("best_est_ppm"), col("embed_anchor_id"),
+        col("embed_cos_micro"), col("n_tokens"), col("tokens_cut"),
+        col("tokens_retained"))
+  }
+
+  /** DuckDB twin of [[reportFull]] over the gate's 80/20 split — the
+    * [[reportSql]] composition with the trained-centroid ADC replay
+    * nested as a third CTE. */
+  def reportFullSql(adcAdmitSql: String,
+                    minMatches: Int = NearDupIndex.defaultMinMatches,
+                    w: Int = SpanIndex.defaultW,
+                    heavyNum: Int = 1, heavyDen: Int = 2): String =
+    s"""WITH sa_base AS (
+       |${reportSql(minMatches, w, heavyNum, heavyDen)}
+       |), sa_e AS (
+       |${adcAdmitSql}
+       |)
+       |SELECT b.doc_id, b.content_hash, b.n_batch_copies,
+       |  CASE WHEN b.decision IN ('reject_exact', 'reject_near')
+       |         THEN b.decision
+       |       WHEN e.verdict = 'dup_embed' THEN 'reject_embed'
+       |       ELSE b.decision END AS decision,
+       |  b.best_est_ppm,
+       |  CAST(e.anchor_id AS BIGINT) AS embed_anchor_id,
+       |  CAST(e.adc_cos_micro AS BIGINT) AS embed_cos_micro,
+       |  b.n_tokens, b.tokens_cut, b.tokens_retained
+       |FROM sa_base b LEFT JOIN sa_e e ON e.vec_id = b.doc_id""".stripMargin
+
   /** DuckDB twin over the gate's 80/20 split: both tiers' static
     * replay twins nested as CTEs, composed by the same precedence. */
   def reportSql(minMatches: Int = NearDupIndex.defaultMinMatches,
