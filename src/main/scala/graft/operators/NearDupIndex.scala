@@ -309,10 +309,14 @@ object NearDupIndex {
     pairEstimates(inSigs, inBands, idx)
       .groupBy("doc_id").agg(max(col("mc")).as("best_matches"))
 
+  /** `pin = false` skips the session signing cache — REQUIRED for
+    * per-micro-batch callers ([[graft.streaming.AdmissionStream]]):
+    * each batch is a distinct plan, and its pin would sit in the
+    * session cache for the stream's lifetime. */
   def admit(incoming: DataFrame, root: String,
             minMatches: Int = defaultMinMatches,
-            text: Column = col("text")): DataFrame =
-    admitImpl(incoming, root, minMatches, text, pin = true)
+            text: Column = col("text"), pin: Boolean = true): DataFrame =
+    admitImpl(incoming, root, minMatches, text, pin)
 
   private def admitImpl(incoming: DataFrame, root: String,
                         minMatches: Int, text: Column,

@@ -36,9 +36,9 @@ object ShardAdmission {
              minMatches: Int = NearDupIndex.defaultMinMatches,
              w: Int = SpanIndex.defaultW,
              heavyNum: Int = 1, heavyDen: Int = 2,
-             text: Column = col("text")): DataFrame = {
-    val near = NearDupIndex.admit(batch, nearDupRoot, minMatches, text)
-    val span = SpanIndex.admitBill(batch, spanRoot, w, text)
+             text: Column = col("text"), pin: Boolean = true): DataFrame = {
+    val near = NearDupIndex.admit(batch, nearDupRoot, minMatches, text, pin)
+    val span = SpanIndex.admitBill(batch, spanRoot, w, text, pin)
       .select(col("doc_id"), col("n_tokens"), col("tokens_cut"))
     val t = coalesce(col("n_tokens"), lit(0L))
     val c = coalesce(col("tokens_cut"), lit(0L))

@@ -113,10 +113,15 @@ object SpanIndex {
     * hash is already INDEXED (index precedence) or first held by an
     * EARLIER batch document. Σ tokens_retained is what this batch adds
     * to the post-dedup corpus. */
+  /** `pin = false` skips the session window cache — required for
+    * per-micro-batch callers, same contract as
+    * [[NearDupIndex.admit]]'s flag. */
   def admitBill(incoming: DataFrame, root: String, w: Int = defaultW,
-                text: Column = col("text")): DataFrame = {
-    val wins = graft.core.PinnedViews.pinned(
-      SubstringOps.windows(incoming, w, text))
+                text: Column = col("text"), pin: Boolean = true): DataFrame = {
+    val wins0 = SubstringOps.windows(incoming, w, text)
+    val wins =
+      if (pin) graft.core.PinnedViews.pinned(wins0)
+      else wins0.localCheckpoint(true)
     val batchFirst = wins.groupBy("whash")
       .agg(min(col("doc_id")).as("bfirst"))
     val matched = matchedHashes(incoming.sparkSession, root, wins)

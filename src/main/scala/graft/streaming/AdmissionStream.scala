@@ -51,7 +51,8 @@ object AdmissionStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!NearDupIndex.committedEpochs(nearDupRoot)
             .contains(s"epochs/b$id"))
-          ShardAdmission.report(batch, nearDupRoot, spanRoot, minMatches, w)
+          ShardAdmission.report(batch, nearDupRoot, spanRoot, minMatches,
+              w, pin = false) // per-batch pins would outlive the batch
             .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         NearDupIndex.extendEpoch(batch, nearDupRoot, s"b$id", minMatches)
         SpanIndex.extendEpoch(batch, spanRoot, s"b$id", w)
