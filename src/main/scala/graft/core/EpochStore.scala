@@ -49,12 +49,55 @@ object EpochStore {
     * (e.g. a tombstone marker) the caller interprets. */
   def committedEpochs(root: String): Seq[String] = {
     val cur = AtomicDir.current(root)
-    val raw = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(cur, "manifest.json")).trim
-    raw.stripPrefix("[").stripSuffix("]").split(",")
+    parseStringArray(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(cur, "manifest.json")))
+  }
+
+  /** The hand-serialized JSON string-array format shared by the
+    * manifest and per-epoch `covered.json` (safe because every element
+    * passed [[requireSafeEpochName]]'s charset fence). */
+  private def parseStringArray(raw: String): Seq[String] =
+    raw.trim.stripPrefix("[").stripSuffix("]").split(",")
       .map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
+
+  /** The dir-resolvable `epochs/<name>` form of a manifest entry
+    * (index-specific prefixes such as a tombstone marker stripped). */
+  def entryPath(entry: String): String = {
+    val i = entry.indexOf("epochs/")
+    if (i >= 0) entry.substring(i) else entry
   }
+
+  /** The epoch names an entry COVERS — batch epochs a compaction folded
+    * into this merged epoch, read from its immutable `covered.json`
+    * (written by the compaction itself, so it travels with the epoch
+    * through every later promotion). Empty for ordinary epochs.
+    * Compactions union their inputs' covered lists before writing, so
+    * the stored list is already transitive. */
+  def coveredNames(root: String, entry: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(root, entryPath(entry), "covered.json")
+    if (java.nio.file.Files.exists(p))
+      parseStringArray(java.nio.file.Files.readString(p))
+    else Nil
+  }
+
+  /** Every epoch name the live manifest ACCOUNTS for: the entries
+    * themselves plus all names their compactions folded away. This —
+    * not the raw manifest — is what batch-replay idempotency must
+    * check: a streaming batch committed as `epochs/b<id>` stays
+    * accounted after a tail compaction merges it, so a crash between
+    * the compaction and the streaming checkpoint can never make the
+    * replay recompute a manifest against an index that already holds
+    * the batch. */
+  def accountedNames(root: String): Set[String] = {
+    val eps = committedEpochs(root)
+    (eps.map(entryPath) ++ eps.flatMap(e => coveredNames(root, e))).toSet
+  }
+
+  /** True when `epochs/<name>` is accounted for by the live manifest —
+    * committed directly or covered by a merged epoch. */
+  def isAccounted(root: String, entry: String): Boolean =
+    accountedNames(root).contains(entryPath(entry))
 
   /** Compare-and-promote a manifest naming `entries`: refuses (loudly)
     * when CURRENT moved since the caller read the manifest it derived
@@ -91,15 +134,25 @@ object EpochStore {
     * are only reached through the committed manifest anyway), any
     * leftover of a crashed earlier attempt at the same name is removed,
     * and the staged dir atomically moves into place. Only after that
-    * may the caller promote a manifest naming it. Returns the manifest
-    * entry `epochs/<name>`. */
+    * may the caller promote a manifest naming it. `covered`, when
+    * non-empty, is the list of epoch names this epoch subsumes (a
+    * compaction's inputs), persisted as `covered.json` inside the
+    * epoch for [[accountedNames]]. Returns the manifest entry
+    * `epochs/<name>`. */
   def writeEpoch(root: String, name: String,
-                 tables: Seq[(String, DataFrame)]): String = {
+                 tables: Seq[(String, DataFrame)],
+                 covered: Seq[String] = Nil): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     requireSafeEpochName(name)
+    covered.foreach(e =>
+      requireSafeEpochName(entryPath(e).stripPrefix("epochs/")))
     val stage = Paths.get(root, "epochs", s".stage-$name")
     deleteRecursively(stage)
     tables.foreach { case (t, df) => df.write.parquet(s"$stage/$t") }
+    if (covered.nonEmpty)
+      Files.writeString(stage.resolve("covered.json"),
+        covered.map(e => "\"" + entryPath(e) + "\"")
+          .distinct.mkString("[", ",", "]") + "\n")
     val dst = Paths.get(root, "epochs", name)
     deleteRecursively(dst) // a crashed attempt that moved but never promoted
     Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)

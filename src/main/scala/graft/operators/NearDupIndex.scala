@@ -73,6 +73,16 @@ object NearDupIndex {
     * (retractions), not data epochs. */
   private val TombPrefix = "tomb:"
 
+  /** Compaction write sizing: each output range-partition targets this
+    * many rows, so a 100 TB index rewrites across
+    * ceil(rows / target) parallel tasks (one task only when the table
+    * genuinely fits one — the sandbox case) instead of funnelling the
+    * corpus through a single writer. ~8M posting-sized rows ≈ a few
+    * hundred MB of parquet per file: scan-efficient, zone-map-friendly
+    * (each range-partition is sorted by the probe key, so its file
+    * carries a tight min/max that a broadcast probe prunes against). */
+  val defaultCompactRowsPerPartition: Long = 8L * 1000 * 1000
+
   /** The manifest/locking/promotion machinery lives in
     * [[graft.core.EpochStore]], shared with [[SpanIndex]]. */
   private def lockFor(root: String): Object =
@@ -671,12 +681,16 @@ object NearDupIndex {
 
   /** [[extend]] under a CALLER-CHOSEN epoch name — the idempotent-replay
     * form a streaming admitter needs ([[graft.streaming.NearDupStream]]
-    * names epochs by micro-batch id). A name already in the committed
-    * manifest is a completed batch: returns false untouched. A crashed
-    * earlier attempt (epoch staged or even moved into place, manifest
-    * never promoted) is rebuilt from scratch and atomically replaced —
-    * correct because the admitted set is a deterministic function of
-    * the COMMITTED manifest, which the crash did not advance. */
+    * names epochs by micro-batch id). A name already ACCOUNTED for by
+    * the committed manifest — present directly, or folded into a
+    * merged epoch by a compaction (its `covered.json`) — is a
+    * completed batch: returns false untouched, so a crash between a
+    * tail compaction and the streaming checkpoint cannot make the
+    * replay double-commit. A crashed earlier attempt (epoch staged or
+    * even moved into place, manifest never promoted) is rebuilt from
+    * scratch and atomically replaced — correct because the admitted
+    * set is a deterministic function of the COMMITTED manifest, which
+    * the crash did not advance. */
   def extendEpoch(incoming: DataFrame, root: String, epochName: String,
                   minMatches: Int = defaultMinMatches,
                   text: Column = col("text")): Boolean =
@@ -684,7 +698,7 @@ object NearDupIndex {
       graft.core.EpochStore.requireSafeEpochName(epochName)
       val token = currentToken(root)
       val committed = committedEpochs(root)
-      if (committed.contains(s"epochs/$epochName")) false
+      if (hasEpoch(root, epochName)) false
       else {
         // sign ONCE and checkpoint (plain localCheckpoint, not the
         // session pin cache — a stream signs a different batch every
@@ -737,30 +751,61 @@ object NearDupIndex {
       promoteManifestCas(root, committed :+ s"$TombPrefix$ep", token)
     }
 
+  /** Range-bucketed rewrite of one table: ceil(rows / target) output
+    * partitions, each globally range-disjoint in the probe key and
+    * sorted within, so every parquet file carries a tight key min/max
+    * a broadcast probe prunes against — and the write itself runs
+    * across that many parallel tasks, never one corpus-sized task.
+    * `rows` comes from the (already-counted) clique table to avoid a
+    * second corpus count per table; a `scale` multiplier adapts it for
+    * tables with a fixed fan-out (4 band postings per signed rep). */
+  private def ranged(df: DataFrame, rows: Long, target: Long,
+                     scale: Long, keys: Column*): DataFrame = {
+    val n = math.max(1L, (rows * scale + target - 1) / target)
+      .min(Int.MaxValue.toLong).toInt
+    df.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+  }
+
   /** Size-triggered epoch COMPACTION — the [[graft.streaming
     * .AnnIndexStream.compactIndex]] discipline for this index: a
     * long-lived ingest accretes one epoch (≥3 small parquet files) per
     * micro-batch, and every probe then pays file-open latency across
     * all of them. This rewrites the UNION of the committed epochs as
-    * ONE epoch (posting tables repartitioned modestly and sorted by
-    * their probe keys) and promotes a manifest naming only it — the
-    * same crash-anywhere guarantees as extension: the compacted epoch
-    * stages and atomically moves before the manifest promotes, readers
-    * resolve the old manifest (its epochs untouched) or the new one,
-    * and prior versions survive for rollback. Returns the promoted
-    * version path. */
-  def compact(spark: SparkSession, root: String): String =
+    * ONE epoch — each posting table RANGE-BUCKETED by its probe key
+    * into ceil(rows / `targetRows`) partitions and sorted within, so
+    * the rewrite parallelizes across the cluster (no corpus-sized
+    * single task) and every output file carries a tight probe-key
+    * min/max for scan pruning — and promotes a manifest naming only
+    * it, with the same crash-anywhere guarantees as extension: the
+    * compacted epoch stages and atomically moves before the manifest
+    * promotes, readers resolve the old manifest (its epochs untouched)
+    * or the new one, and prior versions survive for rollback. The
+    * folded epochs' names persist in the compacted epoch's
+    * `covered.json`, so a streaming batch's replay-idempotency check
+    * ([[graft.core.EpochStore.isAccounted]]) survives the fold.
+    * Returns the promoted version path. */
+  def compact(spark: SparkSession, root: String,
+              targetRows: Long = defaultCompactRowsPerPartition): String =
     lockFor(root).synchronized {
       val token = currentToken(root)
+      val eps = committedEpochs(root)
       val idx = load(spark, root) // tombstones applied -> folded away here
       val rej = loadRejections(spark, root)
         .groupBy("fp").agg(sum(col("n_rejected")).as("n_rejected"))
+      // one count sizes all three rewrites: sigs/bands are per signed
+      // rep (≤ cliques, = 4x sigs), so cliques' count bounds them
+      val nCl = idx.cliques.count()
       val name = "c" + java.util.UUID.randomUUID().toString.take(12)
-      val ep = writeEpochNamed(
-        idx.cliques.repartition(1).sortWithinPartitions("fp"),
-        idx.sigs.repartition(1).sortWithinPartitions("doc_id"),
-        idx.bands.repartition(1).sortWithinPartitions("band", "band_hash"),
-        rej, root, name)
+      val covered = eps.flatMap(e =>
+        graft.core.EpochStore.entryPath(e) +:
+          graft.core.EpochStore.coveredNames(root, e))
+      val ep = graft.core.EpochStore.writeEpoch(root, name, Seq(
+        "cliques" -> ranged(idx.cliques, nCl, targetRows, 1, col("fp")),
+        "sigs" -> ranged(idx.sigs, nCl, targetRows, 1, col("doc_id")),
+        "bands" -> ranged(idx.bands, nCl, targetRows, numBands.toLong,
+          col("band"), col("band_hash")),
+        "rejections" -> rej), covered)
       promoteManifestCas(root, Seq(ep), token)
     }
 
@@ -779,13 +824,12 @@ object NearDupIndex {
     * before them). A no-op (tail shorter than 2 epochs) returns the
     * live version unchanged. Same crash-anywhere discipline as every
     * promotion. */
-  def compactTail(spark: SparkSession, root: String): String =
+  def compactTail(spark: SparkSession, root: String,
+                  targetRows: Long = defaultCompactRowsPerPartition): String =
     lockFor(root).synchronized {
       val token = currentToken(root)
       val eps = committedEpochs(root)
-      val lastTomb = eps.lastIndexWhere(_.startsWith(TombPrefix))
-      val start = math.max(lastTomb + 1, 1)
-      val tail = eps.drop(start)
+      val tail = eps.drop(tailStart(eps))
       if (tail.size < 2) graft.core.AtomicDir.current(root)
       else {
         def tbl(which: String): DataFrame =
@@ -797,16 +841,42 @@ object NearDupIndex {
           else spark.read
             .parquet(rejPaths.map(e => s"$root/$e/rejections"): _*)
             .groupBy("fp").agg(sum(col("n_rejected")).as("n_rejected"))
+        val nCl = tbl("cliques").count() // O(|tail|), sizes the rewrite
         val name = "m" + java.util.UUID.randomUUID().toString.take(12)
-        val ep = writeEpochNamed(
-          tbl("cliques").repartition(1).sortWithinPartitions("fp"),
-          tbl("sigs").repartition(1).sortWithinPartitions("doc_id"),
-          tbl("bands").repartition(1)
-            .sortWithinPartitions("band", "band_hash"),
-          rej, root, name)
-        promoteManifestCas(root, eps.take(start) :+ ep, token)
+        val covered = tail.flatMap(e =>
+          graft.core.EpochStore.entryPath(e) +:
+            graft.core.EpochStore.coveredNames(root, e))
+        val ep = graft.core.EpochStore.writeEpoch(root, name, Seq(
+          "cliques" -> ranged(tbl("cliques"), nCl, targetRows, 1,
+            col("fp")),
+          "sigs" -> ranged(tbl("sigs"), nCl, targetRows, 1,
+            col("doc_id")),
+          "bands" -> ranged(tbl("bands"), nCl, targetRows,
+            numBands.toLong, col("band"), col("band_hash")),
+          "rejections" -> rej), covered)
+        promoteManifestCas(root, eps.take(tailStart(eps)) :+ ep, token)
       }
     }
+
+  /** First manifest position of the mergeable accretion TAIL: after
+    * the last tombstone, never the protected base (entry 0). */
+  private def tailStart(eps: Seq[String]): Int =
+    math.max(eps.lastIndexWhere(_.startsWith(TombPrefix)) + 1, 1)
+
+  /** Size of the accretion tail [[compactTail]] would merge — the
+    * maintenance trigger the streaming ingests read, exposed here so
+    * the tail-selection rule can never desynchronize from the
+    * compaction itself. */
+  def tailSize(root: String): Int = {
+    val eps = committedEpochs(root)
+    eps.size - tailStart(eps)
+  }
+
+  /** True when batch epoch `name` is accounted for by the live
+    * manifest — committed directly or folded into a merged epoch by a
+    * compaction. The replay-idempotency check for streaming callers. */
+  def hasEpoch(root: String, name: String): Boolean =
+    graft.core.EpochStore.isAccounted(root, s"epochs/$name")
 
   /** Corpus-wide VIRALITY from the index alone — per live distinct
     * content: its representative, the copies its admitting epoch saw

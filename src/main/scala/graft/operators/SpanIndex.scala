@@ -34,10 +34,12 @@ import graft.core.EpochStore
   *
   * Scale shape: the batch is windowed once (O(|batch tokens|) md5
   * windows); the index is touched by ONE whash-keyed semi-join of the
-  * batch windows against the postings table — at deployment scale,
-  * bucket the compacted postings by whash so the probe co-locates —
-  * plus the batch-local first-occurrence aggregate and the doc-entity
-  * sweep window. The indexed corpus text is never re-read.
+  * batch windows against the postings table — [[compact]]/
+  * [[compactTail]] range-bucket the postings by whash (parallel
+  * rewrite, per-file whash min/max), so the probe prunes files instead
+  * of scanning the corpus — plus the batch-local first-occurrence
+  * aggregate and the doc-entity sweep window. The indexed corpus text
+  * is never re-read.
   *
   * Reference framing: the reference's staging pipeline admits whole
   * files by exact hash (`FileDbDAL/FileHandler.py:42-165`); span-level
@@ -157,17 +159,19 @@ object SpanIndex {
 
   /** Commit the batch's NOVEL window hashes as a new epoch under a
     * caller-chosen name — the idempotent-replay form (a name already
-    * committed is a completed batch: returns false untouched; the
-    * admitted set is a deterministic function of the COMMITTED
-    * manifest, so a crashed half-written attempt rebuilds exactly).
-    * The index grows by O(|novel windows|); nothing is rewritten. */
+    * ACCOUNTED for — committed directly, or folded into a merged epoch
+    * by [[compactTail]]/[[compact]] — is a completed batch: returns
+    * false untouched; the admitted set is a deterministic function of
+    * the COMMITTED manifest, so a crashed half-written attempt
+    * rebuilds exactly). The index grows by O(|novel windows|); nothing
+    * is rewritten. */
   def extendEpoch(incoming: DataFrame, root: String, epochName: String,
                   w: Int = defaultW, text: Column = col("text")): Boolean =
     lockFor(root).synchronized {
       EpochStore.requireSafeEpochName(epochName)
       val token = EpochStore.currentToken(root)
       val committed = committedEpochs(root)
-      if (committed.contains(s"epochs/$epochName")) false
+      if (hasEpoch(root, epochName)) false
       else {
         val batchFirst = firstOccurrences(incoming, w, text)
         // anti vs (index ∩ batch hashes) == anti vs index, batch-sized
@@ -191,25 +195,53 @@ object SpanIndex {
     graft.core.AtomicDir.current(root)
   }
 
-  /** Rewrite the committed epochs as ONE epoch sorted by probe key —
-    * epochs hold disjoint hashes, so the merge is a plain union; same
-    * crash-anywhere promotion discipline as extension. */
-  def compact(spark: SparkSession, root: String): String =
+  /** Compaction write sizing, the [[NearDupIndex
+    * .defaultCompactRowsPerPartition]] rationale: ~8M postings per
+    * range-partition keeps each output file a few hundred MB, written
+    * by its own task. */
+  val defaultCompactRowsPerPartition: Long =
+    NearDupIndex.defaultCompactRowsPerPartition
+
+  /** Range-bucket the postings by whash into ceil(rows / target)
+    * sorted partitions — the whash-bucketed layout the header's scale
+    * note calls for: the rewrite parallelizes (no corpus-sized single
+    * task), and each parquet file carries a tight whash min/max the
+    * admission probe's broadcast semi-join prunes against. */
+  private def ranged(posts: DataFrame, rows: Long,
+                     target: Long): DataFrame = {
+    val n = math.max(1L, (rows + target - 1) / target)
+      .min(Int.MaxValue.toLong).toInt
+    posts.repartitionByRange(n, col("whash")).sortWithinPartitions("whash")
+  }
+
+  /** Rewrite the committed epochs as ONE epoch, range-bucketed and
+    * sorted by probe key ([[ranged]]) — epochs hold disjoint hashes,
+    * so the merge is a plain union; same crash-anywhere promotion
+    * discipline as extension. The folded epochs' names persist in the
+    * compacted epoch's `covered.json` so batch-replay idempotency
+    * survives the fold. */
+  def compact(spark: SparkSession, root: String,
+              targetRows: Long = defaultCompactRowsPerPartition): String =
     lockFor(root).synchronized {
       val token = EpochStore.currentToken(root)
+      val eps = committedEpochs(root)
       val all = load(spark, root)
+      val covered = eps.flatMap(e =>
+        EpochStore.entryPath(e) +: EpochStore.coveredNames(root, e))
       val ep = EpochStore.writeEpoch(root,
         "c" + java.util.UUID.randomUUID().toString.take(12),
-        Seq("postings" -> all.repartition(1).sortWithinPartitions("whash")))
+        Seq("postings" -> ranged(all, all.count(), targetRows)), covered)
       EpochStore.promoteCas(root, Seq(ep), token)
     }
 
   /** TIERED (tail) compaction — merge the accretion tail (every epoch
-    * after the protected first/base entry) into one epoch, leaving the
-    * base untouched on disk: O(|tail|) however big the base grows, the
-    * [[NearDupIndex.compactTail]] discipline. Semantics-free (epochs
-    * are hash-disjoint). A <2-epoch tail is a promoted-version no-op. */
-  def compactTail(spark: SparkSession, root: String): String =
+    * after the protected first/base entry) into one range-bucketed
+    * epoch, leaving the base untouched on disk: O(|tail|) however big
+    * the base grows, the [[NearDupIndex.compactTail]] discipline.
+    * Semantics-free (epochs are hash-disjoint); folded names persist
+    * in `covered.json`. A <2-epoch tail is a promoted-version no-op. */
+  def compactTail(spark: SparkSession, root: String,
+                  targetRows: Long = defaultCompactRowsPerPartition): String =
     lockFor(root).synchronized {
       val token = EpochStore.currentToken(root)
       val eps = committedEpochs(root)
@@ -218,13 +250,25 @@ object SpanIndex {
       else {
         val merged = spark.read
           .parquet(tail.map(e => s"$root/$e/postings"): _*)
+        val covered = tail.flatMap(e =>
+          EpochStore.entryPath(e) +: EpochStore.coveredNames(root, e))
         val ep = EpochStore.writeEpoch(root,
           "m" + java.util.UUID.randomUUID().toString.take(12),
-          Seq("postings" ->
-            merged.repartition(1).sortWithinPartitions("whash")))
+          Seq("postings" -> ranged(merged, merged.count(), targetRows)),
+          covered)
         EpochStore.promoteCas(root, Seq(eps.head, ep), token)
       }
     }
+
+  /** Size of the accretion tail [[compactTail]] would merge — the
+    * maintenance trigger streaming ingests read. */
+  def tailSize(root: String): Int =
+    math.max(committedEpochs(root).size - 1, 0)
+
+  /** True when batch epoch `name` is accounted for by the live
+    * manifest — committed directly or folded by a compaction. */
+  def hasEpoch(root: String, name: String): Boolean =
+    EpochStore.isAccounted(root, s"epochs/$name")
 
   /** Ops inventory of the live manifest — one row per epoch in
     * manifest order: `(position, entry, n_postings)`. Manifest-sized,

@@ -49,20 +49,19 @@ object AdmissionStream {
              maintainEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!NearDupIndex.committedEpochs(nearDupRoot)
-            .contains(s"epochs/b$id"))
+        // hasEpoch, not raw manifest membership: a tail compaction may
+        // have folded b<id> into a merged epoch (covered.json) — the
+        // replay must still skip the manifest recompute
+        if (!NearDupIndex.hasEpoch(nearDupRoot, s"b$id"))
           ShardAdmission.report(batch, nearDupRoot, spanRoot, minMatches,
               w, pin = false) // per-batch pins would outlive the batch
             .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         NearDupIndex.extendEpoch(batch, nearDupRoot, s"b$id", minMatches)
         SpanIndex.extendEpoch(batch, spanRoot, s"b$id", w)
         if (maintainEvery > 0) {
-          def tail(eps: Seq[String]): Int = eps.drop(math.max(
-            eps.lastIndexWhere(_.startsWith("tomb:")) + 1, 1)).size
-          if (tail(NearDupIndex.committedEpochs(nearDupRoot))
-              >= maintainEvery)
+          if (NearDupIndex.tailSize(nearDupRoot) >= maintainEvery)
             NearDupIndex.compactTail(batch.sparkSession, nearDupRoot)
-          if (tail(SpanIndex.committedEpochs(spanRoot)) >= maintainEvery)
+          if (SpanIndex.tailSize(spanRoot) >= maintainEvery)
             SpanIndex.compactTail(batch.sparkSession, spanRoot)
         }
         ()

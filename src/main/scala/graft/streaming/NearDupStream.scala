@@ -46,13 +46,9 @@ object NearDupStream {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         NearDupIndex.extendEpoch(batch, root, s"b$id", minMatches)
-        if (maintainEvery > 0) {
-          val eps = NearDupIndex.committedEpochs(root)
-          val tail = eps.drop(math.max(
-            eps.lastIndexWhere(_.startsWith("tomb:")) + 1, 1))
-          if (tail.size >= maintainEvery)
-            NearDupIndex.compactTail(batch.sparkSession, root)
-        }
+        if (maintainEvery > 0 &&
+            NearDupIndex.tailSize(root) >= maintainEvery)
+          NearDupIndex.compactTail(batch.sparkSession, root)
         ()
       }
       .option("checkpointLocation", checkpointDir)

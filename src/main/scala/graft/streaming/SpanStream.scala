@@ -31,8 +31,7 @@ object SpanStream {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         SpanIndex.extendEpoch(batch, root, s"b$id", w)
-        if (maintainEvery > 0 &&
-            SpanIndex.committedEpochs(root).drop(1).size >= maintainEvery)
+        if (maintainEvery > 0 && SpanIndex.tailSize(root) >= maintainEvery)
           SpanIndex.compactTail(batch.sparkSession, root)
         ()
       }

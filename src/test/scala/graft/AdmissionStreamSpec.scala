@@ -118,4 +118,55 @@ class AdmissionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       === mtime, "the manifest files must not be rewritten at all")
     assert(NearDupIndex.committedEpochs(ndx).count(_.endsWith("/b0")) === 1)
   }
+
+  test("replay after a tail compaction folded the batch epoch still skips " +
+      "the manifest recompute") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (ndx, spx, out) = roots()
+    NearDupIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), ndx)
+    SpanIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), spx)
+    // the crash shape the r15 ADVICE named: both batches' manifests and
+    // epochs committed, then a maintenance tail compaction folded the
+    // epoch NAMES away — and only then the process died, before the
+    // streaming checkpoint could commit. The replay must see b0/b1 as
+    // accounted (covered.json), not recompute manifests against an
+    // index that already holds their content.
+    val b0 = Seq((10L, novel1)).toDF("doc_id", "text")
+    val b1 = Seq((20L, novel2)).toDF("doc_id", "text")
+    ShardAdmission.report(b0, ndx, spx)
+      .write.mode("overwrite").parquet(s"$out/batch=0")
+    NearDupIndex.extendEpoch(b0, ndx, "b0")
+    SpanIndex.extendEpoch(b0, spx, "b0")
+    ShardAdmission.report(b1, ndx, spx)
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    NearDupIndex.extendEpoch(b1, ndx, "b1")
+    SpanIndex.extendEpoch(b1, spx, "b1")
+    NearDupIndex.compactTail(spark, ndx)
+    SpanIndex.compactTail(spark, spx)
+    assert(!NearDupIndex.committedEpochs(ndx).exists(_.endsWith("/b0")),
+      "precondition: the tail compaction folded the batch epochs")
+    val before0 = decisions(out, 0)
+    val before1 = decisions(out, 1)
+    assert(before0 === Map(10L -> "admit") &&
+      before1 === Map(20L -> "admit"), s"$before0 / $before1")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.AdmissionStream.ingest(
+      in.toDF().toDF("doc_id", "text"), ndx, spx, out,
+      Files.createTempDirectory("adm_ck3").toString)
+    try {
+      in.addData(Seq((10L, novel1))) // replayed batch id 0
+      q.processAllAvailable()
+      in.addData(Seq((20L, novel2))) // replayed batch id 1
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(decisions(out, 0) === before0 && decisions(out, 1) === before1,
+      "a folded batch's replay must keep the pre-batch-state manifest — " +
+        "recomputing would read its own content back as reject_exact")
+    // and the indexes must not double-commit: still base + one merged
+    assert(NearDupIndex.committedEpochs(ndx).size === 2 &&
+      SpanIndex.committedEpochs(spx).size === 2,
+      "replayed folded batches must not re-extend either index")
+  }
 }

@@ -333,6 +333,59 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stats must mirror the manifest: ${st.toSeq}")
   }
 
+  test("bucketed compaction: parallel rewrite, admissions bit-identical, " +
+      "covered batch names survive the fold") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    NearDupIndex.buildIndex(
+      Seq((1L, a12), (2L, b12)).toDF("doc_id", "text"), root)
+    val fresh1 = "completely novel wording streak number one with enough " +
+      "distinct trigram material to shingle and sign"
+    val fresh2 = "second unrelated batch of words also long enough to " +
+      "shingle into brand new signature territory here"
+    assert(NearDupIndex.extendEpoch(
+      Seq((10L, fresh1), (11L, a12)).toDF("doc_id", "text"), root, "b0"))
+    assert(NearDupIndex.extendEpoch(
+      Seq((20L, fresh2)).toDF("doc_id", "text"), root, "b1"))
+    val probe = Seq((30L, a12), (31L, fresh1), (32L, fresh2),
+      (33L, a12near)).toDF("doc_id", "text")
+    def admits() = NearDupIndex.admit(probe, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("best_est_ppm")))).toMap
+    def vir() = NearDupIndex.virality(spark, root).collect()
+      .map(r => r.getAs[Long]("rep") -> r.getAs[Long]("n_copies")).toMap
+    val (before, virBefore) = (admits(), vir())
+    // targetRows=1 forces one range-partition per row: the rewrite is
+    // genuinely parallel (multiple output files), the 100 TB shape
+    NearDupIndex.compactTail(spark, root, targetRows = 1L)
+    val eps = NearDupIndex.committedEpochs(root)
+    assert(eps.size === 2, s"base + merged tail: $eps")
+    def partFiles(tbl: String): Long =
+      Files.list(Paths.get(root, eps(1), tbl)).filter(
+        p => p.toString.endsWith(".parquet")).count()
+    assert(partFiles("bands") >= 2,
+      "a bucketed rewrite must produce multiple range-partition files")
+    assert(admits() === before && vir() === virBefore,
+      "bucketed tail compaction must not change admissions or the ledger")
+    // the merged epoch COVERS the folded batch names: replay idempotency
+    // survives the fold (the crash-between-compaction-and-checkpoint walk)
+    assert(NearDupIndex.hasEpoch(root, "b0") &&
+      NearDupIndex.hasEpoch(root, "b1"), "covered.json must name b0/b1")
+    assert(!NearDupIndex.extendEpoch(
+      Seq((10L, fresh1), (11L, a12)).toDF("doc_id", "text"), root, "b0"),
+      "a replayed folded batch must be a no-op")
+    assert(NearDupIndex.committedEpochs(root) === eps)
+    // a FULL compact carries coverage transitively through the merge
+    NearDupIndex.compact(spark, root, targetRows = 1L)
+    assert(NearDupIndex.committedEpochs(root).size === 1)
+    assert(NearDupIndex.hasEpoch(root, "b0") &&
+      NearDupIndex.hasEpoch(root, "b1"),
+      "full compaction must union its inputs' covered lists")
+    assert(admits() === before && vir() === virBefore,
+      "full bucketed compaction must not change admissions or the ledger")
+  }
+
   test("admitGuarded: hot buckets stop pairing, audibly; exact tier untouched") {
     val s = spark
     import s.implicits._

@@ -151,4 +151,41 @@ class SpanIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(billMap(SpanIndex.admitBill(probe, root)) === before,
       "compaction must not change any bill")
   }
+
+  test("bucketed compaction: parallel rewrite, bills identical, replay " +
+      "stays a no-op for folded batch names") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    SpanIndex.buildIndex(Seq((1L, a)).toDF("doc_id", "text"), root)
+    assert(SpanIndex.extendEpoch(Seq((10L, b)).toDF("doc_id", "text"),
+      root, "b0"))
+    assert(SpanIndex.extendEpoch(Seq((20L, c)).toDF("doc_id", "text"),
+      root, "b1"))
+    val probe = Seq((30L, a), (31L, b), (32L, c), (33L, a + " " + c))
+      .toDF("doc_id", "text")
+    val before = billMap(SpanIndex.admitBill(probe, root))
+    // targetRows=2 over the 10-posting tail: a genuinely multi-file
+    // range-bucketed rewrite, the 100 TB shape
+    SpanIndex.compactTail(spark, root, targetRows = 2L)
+    val eps = SpanIndex.committedEpochs(root)
+    assert(eps.size === 2, s"base + merged tail: $eps")
+    assert(Files.list(Paths.get(root, eps(1), "postings"))
+      .filter(p => p.toString.endsWith(".parquet")).count() >= 2,
+      "a bucketed rewrite must produce multiple range-partition files")
+    assert(billMap(SpanIndex.admitBill(probe, root)) === before,
+      "bucketed tail compaction must not change any bill")
+    assert(SpanIndex.hasEpoch(root, "b0") && SpanIndex.hasEpoch(root, "b1"),
+      "covered.json must keep the folded batch names accounted")
+    assert(!SpanIndex.extendEpoch(Seq((10L, b)).toDF("doc_id", "text"),
+      root, "b0"), "a replayed folded batch must be a no-op")
+    assert(SpanIndex.committedEpochs(root) === eps)
+    // full compact: coverage carries transitively through the merge
+    SpanIndex.compact(spark, root, targetRows = 2L)
+    assert(SpanIndex.committedEpochs(root).size === 1 &&
+      SpanIndex.hasEpoch(root, "b1"),
+      "full compaction must union its inputs' covered lists")
+    assert(billMap(SpanIndex.admitBill(probe, root)) === before,
+      "full bucketed compaction must not change any bill")
+  }
 }
