@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * One row per DISTINCT incoming content (the x174 contraction
   * granularity): `(doc_id, content_hash, n_batch_copies, decision,
-  * best_est_ppm, n_tokens, tokens_cut, tokens_retained)`. Span columns
-  * are 0 for sub-window docs (nothing to trim by construction).
+  * best_est_ppm, n_tokens, tokens_cut, tokens_retained)`. `n_tokens`
+  * comes from the batch itself (the span bill has no row for docs
+  * shorter than w tokens — sub-window docs still count their tokens,
+  * with `tokens_cut` 0: nothing to trim by construction).
   *
   * Scale: exactly the union of its parts — each index touched once
   * (the near-dup probe O(|batch| + collisions), the span probe one
@@ -39,10 +41,17 @@ object ShardAdmission {
              text: Column = col("text"), pin: Boolean = true): DataFrame = {
     val near = NearDupIndex.admit(batch, nearDupRoot, minMatches, text, pin)
     val span = SpanIndex.admitBill(batch, spanRoot, w, text, pin)
-      .select(col("doc_id"), col("n_tokens"), col("tokens_cut"))
+      .select(col("doc_id"), col("tokens_cut"))
+    // n_tokens comes from the BATCH, not the span bill: the bill has no
+    // row for docs shorter than w tokens, and coalescing those to 0
+    // would make "Σ tokens_retained = what the batch adds" undercount
+    // every short admitted doc. Same tokenization as the bill's.
+    val toks = batch.select(col("doc_id"),
+      size(TextOps.words(text)).cast("long").as("n_tokens"))
     val t = coalesce(col("n_tokens"), lit(0L))
     val c = coalesce(col("tokens_cut"), lit(0L))
-    near.join(span, Seq("doc_id"), "left")
+    near.join(toks, Seq("doc_id"), "left")
+      .join(span, Seq("doc_id"), "left")
       .select(col("doc_id"), col("content_hash"), col("n_batch_copies"),
         when(col("verdict") === "dup_exact", lit("reject_exact"))
           .when(col("verdict") === "dup_near", lit("reject_near"))
@@ -59,16 +68,18 @@ object ShardAdmission {
     * escaped both text tiers (a translation-shaped or heavily-edited
     * copy) is caught before span accounting ships it. Contents without
     * an embedding row skip the tier (NULL never rejects). One extra
-    * rep-keyed join; the embedding probe reads only int8 postings. */
+    * rep-keyed join; the embedding probe reads only int8 postings.
+    * `pin = false` bypasses the session signing caches — required for
+    * per-micro-batch callers, same contract as [[report]]. */
   def reportFull(batch: DataFrame, batchEmb: DataFrame,
                  nearDupRoot: String, spanRoot: String, annRoot: String,
                  tauMicro: Long, nProbe: Int,
                  minMatches: Int = NearDupIndex.defaultMinMatches,
                  w: Int = SpanIndex.defaultW,
                  heavyNum: Int = 1, heavyDen: Int = 2,
-                 text: Column = col("text")): DataFrame = {
+                 text: Column = col("text"), pin: Boolean = true): DataFrame = {
     val base = report(batch, nearDupRoot, spanRoot, minMatches, w,
-      heavyNum, heavyDen, text)
+      heavyNum, heavyDen, text, pin)
     val emb = IvfOps.admitVectors(batch.sparkSession, annRoot, batchEmb,
         tauMicro, nProbe)
       .select(col("vec_id").as("doc_id"),
@@ -118,19 +129,25 @@ object ShardAdmission {
        |${NearDupIndex.admissionSql(minMatches)}
        |), sa_s AS (
        |${SpanIndex.admissionSql(w)}
+       |), sa_t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE doc_id % 5 = 0
        |)
        |SELECT n.doc_id, n.content_hash, n.n_batch_copies,
        |  CASE WHEN n.verdict = 'dup_exact' THEN 'reject_exact'
        |       WHEN n.verdict = 'dup_near' THEN 'reject_near'
-       |       WHEN coalesce(s.n_tokens, 0) > 0
+       |       WHEN coalesce(t.n_tokens, 0) > 0
        |         AND coalesce(s.tokens_cut, 0) * $heavyDen
-       |           >= coalesce(s.n_tokens, 0) * $heavyNum
+       |           >= coalesce(t.n_tokens, 0) * $heavyNum
        |         THEN 'trim_spans'
        |       ELSE 'admit' END AS decision,
        |  n.best_est_ppm,
-       |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
        |  CAST(coalesce(s.tokens_cut, 0) AS BIGINT) AS tokens_cut,
-       |  CAST(coalesce(s.n_tokens, 0) - coalesce(s.tokens_cut, 0)
+       |  CAST(coalesce(t.n_tokens, 0) - coalesce(s.tokens_cut, 0)
        |    AS BIGINT) AS tokens_retained
-       |FROM sa_n n LEFT JOIN sa_s s USING (doc_id)""".stripMargin
+       |FROM sa_n n
+       |LEFT JOIN sa_t t USING (doc_id)
+       |LEFT JOIN sa_s s USING (doc_id)""".stripMargin
 }

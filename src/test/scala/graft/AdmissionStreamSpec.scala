@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -64,7 +65,8 @@ class AdmissionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // population only the span tier prices
     val remix = seed + " " + novel1 + " " + novel2
     try {
-      in.addData(Seq((10L, seed), (11L, novel3), (12L, remix)))
+      in.addData(Seq((10L, seed), (11L, novel3), (12L, remix),
+        (13L, "tiny doc"))) // sub-window: no span-bill row
       q.processAllAvailable()
       // batch 1: copies of batch-0 content + one genuinely new doc
       in.addData(Seq((20L, novel3), (21L, seed), (22L, novel4)))
@@ -75,6 +77,14 @@ class AdmissionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d0(11L) === "admit", s"novel admits: $d0")
     assert(d0(12L) === "trim_spans",
       s"a doc made of indexed spans ships through trimming: $d0")
+    // n_tokens comes from the batch, not the span bill: a doc shorter
+    // than w tokens still counts its tokens toward Σ tokens_retained
+    val short0 = spark.read.parquet(s"$out/batch=0")
+      .filter(col("doc_id") === 13L).collect().head
+    assert(short0.getAs[String]("decision") === "admit" &&
+      short0.getAs[Long]("n_tokens") === 2L &&
+      short0.getAs[Long]("tokens_retained") === 2L,
+      s"sub-window doc must carry its batch token count: $short0")
     val d1 = decisions(out, 1)
     assert(d1(20L) === "reject_exact",
       s"batch-0 admission must reject its later copy: $d1")
