@@ -162,6 +162,42 @@ object SparkEntry {
       root
     })
 
+  // Epoch-sharded ANN admission index over the 80% embeddings (same
+  // frozen session quantizer as annAdmitRoot) — x195 pins the layout
+  // invisible against x193's oracle.
+  private val annEpochCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def annEpochRoot(s: SparkSession, dir: String): String =
+    annEpochCache.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_anne").toString
+      graft.operators.AnnAdmitIndex.buildIndex(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0),
+        ivfModel(s, dir), root)
+      root
+    })
+
+  // Bucket-compacted twins of the x174/x189 indexes — x194 pins that
+  // the range-bucketed compaction (parallel multi-file rewrite +
+  // covered.json) is invisible to admission. targetRows are sized so
+  // the sf0.01 rewrite genuinely produces multiple range partitions.
+  private val compactedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+  private def compactedRoots(s: SparkSession, dir: String): (String, String) =
+    compactedCache.getOrElseUpdate((s, dir), {
+      val ndx = java.nio.file.Files
+        .createTempDirectory("graft_ndx_c").toString
+      val spx = java.nio.file.Files
+        .createTempDirectory("graft_spx_c").toString
+      copyTree(java.nio.file.Paths.get(ndxRoot(s, dir)),
+        java.nio.file.Paths.get(ndx))
+      copyTree(java.nio.file.Paths.get(spxRoot(s, dir)),
+        java.nio.file.Paths.get(spx))
+      graft.operators.NearDupIndex.compact(s, ndx, targetRows = 200L)
+      graft.operators.SpanIndex.compact(s, spx, targetRows = 5000L)
+      (ndx, spx)
+    })
+
   private def copyTree(src: java.nio.file.Path,
                        dst: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -1525,6 +1561,18 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         ndxRoot(s, dir), spxRoot(s, dir))),
 
+    // x194 — the x191 manifest against BUCKET-COMPACTED twins of both
+    // text indexes: the range-bucketed parallel compaction rewrite
+    // (covered.json, multi-file probe-key layout — the 100 TB
+    // maintenance shape) pinned invisible to admission by sharing
+    // x191's oracle verbatim
+    "x194_compacted_admission" -> ((s, dir) => {
+      val (ndx, spx) = compactedRoots(s, dir)
+      graft.operators.ShardAdmission.report(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        ndx, spx)
+    }),
+
     // x192 — embedding-tier admission (incremental SemDeDup): the 20%
     // embedding batch admitted against the persisted IVFADC index built
     // on the 80% — per vector, best ADC neighbor among the probed
@@ -1546,6 +1594,19 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
         ndxRoot(s, dir), spxRoot(s, dir), annAdmitRoot(s, dir),
+        tauMicro = 400000L, nProbe = ivfNProbe(s, dir))),
+
+    // x195 — x193's manifest with the embedding tier served by the
+    // EPOCH-SHARDED ANN admission index (AnnAdmitIndex: the text
+    // tiers' manifest lifecycle — b<id> epochs, covered.json,
+    // protected-base tail compaction — on the embedding tier, what
+    // the four-tier streaming loop composes). Oracle shared with x193
+    // verbatim: layout must be invisible to every decision
+    "x195_epoch_ann_admission" -> ((s, dir) =>
+      graft.operators.ShardAdmission.reportFullEpoch(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        ndxRoot(s, dir), spxRoot(s, dir), annEpochRoot(s, dir),
         tauMicro = 400000L, nProbe = ivfNProbe(s, dir))),
 
     "x96_ann_recall" -> ((s, dir) => {
@@ -3395,6 +3456,10 @@ object SparkEntry {
       graft.operators.SpanIndex.admissionSql(),
     "x191_shard_admission" ->
       graft.operators.ShardAdmission.reportSql(),
+    // same oracle as x191 BY DESIGN: a bucketed compaction of both
+    // indexes must be invisible to every admission decision
+    "x194_compacted_admission" ->
+      graft.operators.ShardAdmission.reportSql(),
     "x190_admission_confusion" ->
       s"""WITH xc_n AS (
          |${graft.operators.NearDupIndex.admissionSql()}
@@ -3477,6 +3542,12 @@ object SparkEntry {
         model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
         tauMicro = 400000L, nProbe = np),
       "x193_full_admission" -> graft.operators.ShardAdmission
+        .reportFullSql(graft.operators.IvfOps.admitVectorsSql(
+          model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
+          tauMicro = 400000L, nProbe = np)),
+      // same oracle as x193 BY DESIGN: the epoch-sharded ANN layout
+      // must answer identically to the flat saveIndex layout
+      "x195_epoch_ann_admission" -> graft.operators.ShardAdmission
         .reportFullSql(graft.operators.IvfOps.admitVectorsSql(
           model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
           tauMicro = 400000L, nProbe = np)),

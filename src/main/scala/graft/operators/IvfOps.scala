@@ -1016,9 +1016,19 @@ object IvfOps {
     * table. */
   def adcTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queries: DataFrame, k: Int, nProbe: Int,
-                       joinProbes: Boolean = false): DataFrame = {
-    val model = loadIndex(spark, dir)
-    val postings = spark.read.parquet(s"$dir/postings")
+                       joinProbes: Boolean = false): DataFrame =
+    adcTopKOverPostings(loadIndex(spark, dir),
+      spark.read.parquet(s"$dir/postings"), queries, k, nProbe, joinProbes)
+
+  /** The [[adcTopKFromIndex]] probe over an ALREADY-ASSEMBLED postings
+    * relation — the entry the epoch-sharded admission index
+    * ([[AnnAdmitIndex]]) uses, where the live postings are a manifest
+    * union rather than one directory. Plan shape is identical: probes
+    * broadcast into the nProbe touched lists, k bounds the per-query
+    * window. */
+  def adcTopKOverPostings(model: IvfModel, postings: DataFrame,
+                          queries: DataFrame, k: Int, nProbe: Int,
+                          joinProbes: Boolean = false): DataFrame = {
     val probes =
       if (joinProbes) probesViaJoin(queries, model, nProbe, unitNorm = true)
       else probesCollected(queries, model, nProbe, unitNorm = true)
@@ -1051,8 +1061,16 @@ object IvfOps {
     * against x96/x171-style calibration before trusting it at scale. */
   def admitVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
                    queries: DataFrame, tauMicro: Long,
-                   nProbe: Int): DataFrame = {
-    val best = adcTopKFromIndex(spark, dir, queries, k = 1, nProbe)
+                   nProbe: Int): DataFrame =
+    admitVectorsOver(loadIndex(spark, dir),
+      spark.read.parquet(s"$dir/postings"), queries, tauMicro, nProbe)
+
+  /** [[admitVectors]] over an already-assembled postings relation —
+    * the [[AnnAdmitIndex]] entry. */
+  def admitVectorsOver(model: IvfModel, postings: DataFrame,
+                       queries: DataFrame, tauMicro: Long,
+                       nProbe: Int): DataFrame = {
+    val best = adcTopKOverPostings(model, postings, queries, k = 1, nProbe)
       .select(col("query_id").as("vec_id"),
         col("neighbor_id").as("anchor_id"),
         floor(col("adc_cos") * lit(1e6) + lit(0.5)).cast("long")

@@ -80,8 +80,37 @@ object ShardAdmission {
                  text: Column = col("text"), pin: Boolean = true): DataFrame = {
     val base = report(batch, nearDupRoot, spanRoot, minMatches, w,
       heavyNum, heavyDen, text, pin)
-    val emb = IvfOps.admitVectors(batch.sparkSession, annRoot, batchEmb,
-        tauMicro, nProbe)
+    overlayEmbed(base, IvfOps.admitVectors(batch.sparkSession, annRoot,
+      batchEmb, tauMicro, nProbe))
+  }
+
+  /** [[reportFull]] with the embedding tier served by the
+    * epoch-sharded [[AnnAdmitIndex]] instead of the flat
+    * [[IvfOps.saveIndex]] layout — the form the FOUR-TIER streaming
+    * loop ([[graft.streaming.AdmissionStream.ingestFull]]) composes,
+    * where every tier shares the manifest lifecycle and the `b<id>`
+    * replay rule. Identical decision semantics. */
+  def reportFullEpoch(batch: DataFrame, batchEmb: DataFrame,
+                      nearDupRoot: String, spanRoot: String,
+                      annRoot: String, tauMicro: Long, nProbe: Int,
+                      minMatches: Int = NearDupIndex.defaultMinMatches,
+                      w: Int = SpanIndex.defaultW,
+                      heavyNum: Int = 1, heavyDen: Int = 2,
+                      text: Column = col("text"),
+                      pin: Boolean = true): DataFrame = {
+    val base = report(batch, nearDupRoot, spanRoot, minMatches, w,
+      heavyNum, heavyDen, text, pin)
+    overlayEmbed(base,
+      AnnAdmitIndex.admit(batchEmb, annRoot, tauMicro, nProbe))
+  }
+
+  /** Overlay the embedding tier's verdict relation `(vec_id,
+    * anchor_id, adc_cos_micro, verdict)` onto a two-tier [[report]]
+    * at the shared precedence: exact/near rejections stand,
+    * `dup_embed` pre-empts trim/admit. */
+  private def overlayEmbed(base: DataFrame,
+                           embVerdicts: DataFrame): DataFrame = {
+    val emb = embVerdicts
       .select(col("vec_id").as("doc_id"),
         col("anchor_id").as("embed_anchor_id"),
         col("adc_cos_micro").as("embed_cos_micro"),

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{NearDupIndex, ShardAdmission, SpanIndex}
+import graft.operators.{AnnAdmitIndex, NearDupIndex, ShardAdmission,
+  SpanIndex}
 
 /** The full production ingest loop, streaming: per micro-batch, emit
   * the [[ShardAdmission]] manifest for the arriving shard (the
@@ -63,6 +64,58 @@ object AdmissionStream {
             NearDupIndex.compactTail(batch.sparkSession, nearDupRoot)
           if (SpanIndex.tailSize(spanRoot) >= maintainEvery)
             SpanIndex.compactTail(batch.sparkSession, spanRoot)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** The FOUR-TIER loop: [[ingest]]'s discipline with the embedding
+    * tier composed in — per micro-batch, the
+    * [[ShardAdmission.reportFullEpoch]] manifest (exact > near >
+    * embed > trim > admit, reflecting the PRE-batch state of ALL FOUR
+    * indexes) and one `b<id>` epoch committed to each index: near-dup
+    * signatures, exact-substring windows, and the epoch-sharded ANN
+    * admission index ([[graft.operators.AnnAdmitIndex]] — admitted
+    * vectors int8-coded under the frozen quantizer).
+    *
+    * `stream` must carry (doc_id, text, embedding); rows with a NULL
+    * embedding skip the embedding tier (NULL never rejects) and are
+    * not posted to the ANN index.
+    *
+    * Replay guard, widened to all four tiers: the near-dup index is
+    * still the FIRST extension after the manifest write, so `b<id>`
+    * accounted there proves the manifest completed — the replay skips
+    * straight to the extends, each of which is an accounted-name
+    * no-op on every index (including through a compaction fold, via
+    * covered.json). `maintainEvery` runs ALL THREE indexes' tail
+    * compaction — bounded O(|tail|) maintenance on every tier, the
+    * base epochs never rewritten. */
+  def ingestFull(stream: DataFrame, nearDupRoot: String, spanRoot: String,
+                 annRoot: String, outDir: String, checkpointDir: String,
+                 tauMicro: Long, nProbe: Int,
+                 minMatches: Int = NearDupIndex.defaultMinMatches,
+                 w: Int = SpanIndex.defaultW,
+                 maintainEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val emb = batch.filter(col("embedding").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        if (!NearDupIndex.hasEpoch(nearDupRoot, s"b$id"))
+          ShardAdmission.reportFullEpoch(batch, emb, nearDupRoot,
+              spanRoot, annRoot, tauMicro, nProbe, minMatches, w,
+              pin = false)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        NearDupIndex.extendEpoch(batch, nearDupRoot, s"b$id", minMatches)
+        SpanIndex.extendEpoch(batch, spanRoot, s"b$id", w)
+        AnnAdmitIndex.extendEpoch(emb, annRoot, s"b$id", tauMicro, nProbe)
+        if (maintainEvery > 0) {
+          if (NearDupIndex.tailSize(nearDupRoot) >= maintainEvery)
+            NearDupIndex.compactTail(batch.sparkSession, nearDupRoot)
+          if (SpanIndex.tailSize(spanRoot) >= maintainEvery)
+            SpanIndex.compactTail(batch.sparkSession, spanRoot)
+          if (AnnAdmitIndex.tailSize(annRoot) >= maintainEvery)
+            AnnAdmitIndex.compactTail(batch.sparkSession, annRoot)
         }
         ()
       }

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{NearDupIndex, ShardAdmission, SpanIndex}
+import graft.operators.{AnnAdmitIndex, IvfOps, NearDupIndex,
+  ShardAdmission, SpanIndex}
 
 /** The full streaming ingest loop: per micro-batch a ShardAdmission
   * manifest against the PRE-batch index state, then both indexes
@@ -178,5 +179,77 @@ class AdmissionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(NearDupIndex.committedEpochs(ndx).size === 2 &&
       SpanIndex.committedEpochs(spx).size === 2,
       "replayed folded batches must not re-extend either index")
+  }
+
+  test("four-tier streaming: per-batch manifests equal the batch " +
+      "reportFullEpoch on the same arrival order; every tier extends") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = IvfOps.IvfModel(
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)))
+    val tau = 950000L
+    val e1 = Array(1.0, 0.0, 0.0)
+    val eNew = Array(0.0, 1.0, 0.0)
+    val eOrth = Array(0.1, 0.0, 1.0)
+    def buildRoots(): (String, String, String) = {
+      val ndx = Files.createTempDirectory("adm4_ndx").toString
+      val spx = Files.createTempDirectory("adm4_spx").toString
+      val ann = Files.createTempDirectory("adm4_ann").toString
+      NearDupIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), ndx)
+      SpanIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), spx)
+      AnnAdmitIndex.buildIndex(Seq((1L, e1)).toDF("vec_id", "embedding"),
+        model, ann)
+      (ndx, spx, ann)
+    }
+    // batch 0: a semantic dup of the seed under NOVEL text (only the
+    // embedding tier can catch it), a fully novel doc, an exact copy
+    // (text tier wins precedence over its dup embedding)
+    val b0 = Seq((10L, novel1, e1), (11L, novel3, eNew), (12L, seed, e1))
+    // batch 1: an exact copy of batch-0 text, and novel text whose
+    // embedding collides with batch-0's ADMITTED vector — proof the
+    // ANN tier extended per batch
+    val b1 = Seq((20L, novel3, eOrth), (21L, novel4, eNew))
+    val (ndx, spx, ann) = buildRoots()
+    val out = Files.createTempDirectory("adm4_out").toString
+    val in = MemoryStream[(Long, String, Array[Double])]
+    val q = graft.streaming.AdmissionStream.ingestFull(
+      in.toDF().toDF("doc_id", "text", "embedding"), ndx, spx, ann, out,
+      Files.createTempDirectory("adm4_ck").toString, tau, nProbe = 1)
+    try {
+      in.addData(b0); q.processAllAvailable()
+      in.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val d0 = decisions(out, 0)
+    assert(d0 === Map(10L -> "reject_embed", 11L -> "admit",
+      12L -> "reject_exact"), s"four-tier precedence: $d0")
+    val d1 = decisions(out, 1)
+    assert(d1 === Map(20L -> "reject_exact", 21L -> "reject_embed"),
+      s"later batches must see batch-0 content on every tier: $d1")
+    assert(Seq(NearDupIndex.committedEpochs(ndx),
+      SpanIndex.committedEpochs(spx),
+      AnnAdmitIndex.committedEpochs(ann)).forall(_.size === 3),
+      "one epoch per batch on every index")
+    // the streamed manifests must equal the BATCH composition replayed
+    // in the same arrival order on fresh roots
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("decision"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("tokens_retained")))).toMap
+    def streamed(batch: Long) =
+      manifest(spark.read.parquet(s"$out/batch=$batch"))
+    val (ndx2, spx2, ann2) = buildRoots()
+    def replay(rows: Seq[(Long, String, Array[Double])], id: Long) = {
+      val batch = rows.toDF("doc_id", "text", "embedding")
+      val emb = batch.select(col("doc_id").as("vec_id"), col("embedding"))
+      val m = manifest(ShardAdmission.reportFullEpoch(
+        batch, emb, ndx2, spx2, ann2, tau, nProbe = 1))
+      NearDupIndex.extendEpoch(batch, ndx2, s"b$id")
+      SpanIndex.extendEpoch(batch, spx2, s"b$id")
+      AnnAdmitIndex.extendEpoch(emb, ann2, s"b$id", tau, nProbe = 1)
+      m
+    }
+    assert(replay(b0, 0) === streamed(0) && replay(b1, 1) === streamed(1),
+      "streamed four-tier manifests must equal the batch composition")
   }
 }
