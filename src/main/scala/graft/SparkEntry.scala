@@ -162,6 +162,23 @@ object SparkEntry {
       root
     })
 
+  // x196's fixture: the x189 span index REBUILT WITHOUT the 80%
+  // partition's doc_id % 7 == 0 documents (the takedown runbook call)
+  // — derived by filesystem copy of spxRoot, then one rebuildWithout.
+  private val spxRebuiltCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def spxRebuiltRoot(s: SparkSession, dir: String): String =
+    spxRebuiltCache.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_spx_r").toString
+      copyTree(java.nio.file.Paths.get(spxRoot(s, dir)),
+        java.nio.file.Paths.get(root))
+      val indexed = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      graft.operators.SpanIndex.rebuildWithout(s, root,
+        indexed.filter(col("doc_id") % 7 === 0).select("doc_id"), indexed)
+      root
+    })
+
   // Epoch-sharded ANN admission index over the 80% embeddings (same
   // frozen session quantizer as annAdmitRoot) — x195 pins the layout
   // invisible against x193's oracle.
@@ -1595,6 +1612,18 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
         ndxRoot(s, dir), spxRoot(s, dir), annAdmitRoot(s, dir),
         tauMicro = 400000L, nProbe = ivfNProbe(s, dir))),
+
+    // x196 — span-tier TAKEDOWN: the x189 bill against an index
+    // rebuilt WITHOUT the % 7 == 0 documents (SpanIndex.rebuildWithout,
+    // the license-takedown runbook's one call on this tier). Windows
+    // held only by taken-down docs are re-admittable; windows other
+    // docs still carry stay seen, re-attributed to the next-earliest
+    // surviving holder — oracle = the admission replay over the
+    // surviving partition
+    "x196_span_takedown" -> ((s, dir) =>
+      graft.operators.SpanIndex.admitBill(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        spxRebuiltRoot(s, dir))),
 
     // x195 — x193's manifest with the embedding tier served by the
     // EPOCH-SHARDED ANN admission index (AnnAdmitIndex: the text
@@ -3454,6 +3483,8 @@ object SparkEntry {
       graft.operators.NearDupIndex.bandingYieldSql(),
     "x189_span_admission" ->
       graft.operators.SpanIndex.admissionSql(),
+    "x196_span_takedown" -> graft.operators.SpanIndex.admissionSql(
+      indexedWhere = "doc_id % 5 <> 0 AND doc_id % 7 <> 0"),
     "x191_shard_admission" ->
       graft.operators.ShardAdmission.reportSql(),
     // same oracle as x191 BY DESIGN: a bucketed compaction of both

@@ -54,8 +54,9 @@ import graft.core.EpochStore
   * un-see content that other (non-retracted) documents still carry,
   * and re-deriving the next holder requires re-windowing the corpus —
   * the O(corpus) operation this index exists to avoid. A takedown that
-  * must forget spans is a [[buildIndex]] rebuild over the surviving
-  * corpus (versioned promotion keeps the old index for rollback); a
+  * must forget spans is [[rebuildWithout]] — a one-call rebuild over
+  * the surviving corpus (versioned promotion keeps the old index for
+  * rollback, accounted batch names carry over); a
   * takedown that only removes the DOCUMENT needs nothing here — the
   * index holds hashes, not text, and keeping its spans "seen" is
   * usually the wanted dedup semantics. */
@@ -260,6 +261,45 @@ object SpanIndex {
       }
     }
 
+  /** TAKEDOWN rebuild — the documented escape hatch of the
+    * no-retraction contract (header), as one call: rebuild the index
+    * over the SURVIVING corpus (every document except `docIds`) and
+    * promote the result, so window content held ONLY by the
+    * taken-down documents is forgotten (re-admittable) while content
+    * other documents still carry stays seen — re-attributed to its
+    * next-earliest surviving holder, exactly what [[buildIndex]] over
+    * the filtered corpus would say. This is the O(corpus) operation
+    * the epochs exist to avoid; it runs as a deliberate takedown step,
+    * not maintenance (stop a live ingest first, resume after with a
+    * fresh checkpoint — the directory-swap discipline of
+    * [[graft.streaming.AnnIndexStream.compactIndex]]). Versioned
+    * promotion keeps every prior version in place for rollback/audit.
+    *
+    * The rebuilt epoch CARRIES the old manifest's accounted names
+    * (covered.json): a replayed pre-takedown batch stays a no-op — it
+    * must not re-admit exactly the content the takedown removed.
+    * Returns the promoted version path. */
+  def rebuildWithout(spark: SparkSession, root: String, docIds: DataFrame,
+                     corpus: DataFrame, w: Int = defaultW,
+                     text: Column = col("text"),
+                     targetRows: Long = defaultCompactRowsPerPartition)
+      : String =
+    lockFor(root).synchronized {
+      val token = EpochStore.currentToken(root)
+      val eps = committedEpochs(root)
+      val survivors = corpus.join(
+        broadcast(docIds.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti") // takedown sets are small by nature
+      val posts = firstOccurrences(survivors, w, text)
+      val covered = eps.flatMap(e =>
+        EpochStore.entryPath(e) +: EpochStore.coveredNames(root, e))
+      val ep = EpochStore.writeEpoch(root,
+        "r" + java.util.UUID.randomUUID().toString.take(12),
+        Seq("postings" -> ranged(posts, posts.count(), targetRows)),
+        covered)
+      EpochStore.promoteCas(root, Seq(ep), token)
+    }
+
   /** Size of the accretion tail [[compactTail]] would merge — the
     * maintenance trigger streaming ingests read. */
   def tailSize(root: String): Int =
@@ -283,16 +323,20 @@ object SpanIndex {
 
   // ---- DuckDB twin ---------------------------------------------------------
 
-  /** Static oracle for the gate's 80/20 split (indexed = doc_id % 5 <>
-    * 0, incoming = the rest): the whole build+admit replayed in SQL —
-    * the index is a deterministic function of the indexed partition. */
-  def admissionSql(w: Int = defaultW): String =
+  /** Static oracle for the gate's 80/20 split (indexed =
+    * `indexedWhere`, default the 80% partition; incoming = the rest):
+    * the whole build+admit replayed in SQL — the index is a
+    * deterministic function of the indexed partition.
+    * A narrower `indexedWhere` is also the [[rebuildWithout]] twin:
+    * the rebuilt index IS buildIndex over the surviving partition. */
+  def admissionSql(w: Int = defaultW,
+                   indexedWhere: String = "doc_id % 5 <> 0"): String =
     s"""WITH sx_ex_w AS (
        |  SELECT md5(array_to_string(ws[i : i + ${w - 1}], ' ')) AS whash
        |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - ${w - 1}))
        |          AS i
        |        FROM (SELECT string_split(trim(text), ' ') AS ws
-       |              FROM documents WHERE doc_id % 5 <> 0))
+       |              FROM documents WHERE $indexedWhere))
        |),
        |sx_idx AS (SELECT DISTINCT whash FROM sx_ex_w),
        |sx_in_w AS (

@@ -188,4 +188,50 @@ class SpanIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(billMap(SpanIndex.admitBill(probe, root)) === before,
       "full bucketed compaction must not change any bill")
   }
+
+  test("rebuildWithout == buildIndex over the surviving corpus; " +
+      "replayed pre-takedown batches stay no-ops") {
+    val s = spark
+    import s.implicits._
+    // doc 2 shares a's suffix windows with doc 1 and holds b alone
+    val corpus = Seq((1L, a), (2L, a + " " + b), (3L, c))
+      .toDF("doc_id", "text")
+    val root = freshRoot()
+    SpanIndex.buildIndex(Seq((1L, a)).toDF("doc_id", "text"), root)
+    assert(SpanIndex.extendEpoch(
+      Seq((2L, a + " " + b)).toDF("doc_id", "text"), root, "b0"))
+    assert(SpanIndex.extendEpoch(Seq((3L, c)).toDF("doc_id", "text"),
+      root, "b1"))
+    val versionsBefore = Files.list(Paths.get(root))
+      .map[String](_.getFileName.toString).sorted().toArray
+    // take down doc 1: a's own windows survive through doc 2 (next
+    // holder), the a->b straddle windows survive, c survives
+    SpanIndex.rebuildWithout(spark, root,
+      Seq(1L).toDF("doc_id"), corpus)
+    val eps = SpanIndex.committedEpochs(root)
+    assert(eps.size === 1, s"a rebuild is one fresh epoch: $eps")
+    // equality with buildIndex over the filtered corpus: postings AND
+    // a subsequent admission's bills
+    val ref = freshRoot()
+    SpanIndex.buildIndex(corpus.filter(col("doc_id") =!= 1L), ref)
+    def postings(r: String) = spark.read.parquet(
+        SpanIndex.committedEpochs(r).map(e => s"$r/$e/postings"): _*)
+      .collect().map(x => (x.getAs[String]("whash"),
+        x.getAs[Long]("first_doc"))).toSet
+    assert(postings(root) === postings(ref),
+      "rebuild-without must equal buildIndex over the survivors")
+    val probe = Seq((30L, a), (31L, b), (32L, c)).toDF("doc_id", "text")
+    assert(billMap(SpanIndex.admitBill(probe, root))
+      === billMap(SpanIndex.admitBill(probe, ref)),
+      "subsequent admission bills must be identical")
+    // rollback survives: every pre-takedown version dir is untouched
+    val versionsAfter = Files.list(Paths.get(root))
+      .map[String](_.getFileName.toString).sorted().toArray
+    assert(versionsBefore.forall(versionsAfter.contains),
+      "prior versions must stay for rollback")
+    // a replayed pre-takedown batch must NOT re-admit removed content
+    assert(!SpanIndex.extendEpoch(
+      Seq((2L, a + " " + b)).toDF("doc_id", "text"), root, "b0"),
+      "accounted names must carry through the rebuild")
+  }
 }
