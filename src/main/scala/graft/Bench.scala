@@ -99,7 +99,7 @@ object Bench {
     // comparisons divide by this first: a calib swing is the container,
     // not the code (round 8 ran ~1.5x slower than the builder's machine
     // and made four clean plans look like regressions).
-    val calib = {
+    def cpuCalib(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       spark.range(20000000L)
@@ -109,6 +109,34 @@ object Bench {
         .agg(expr("bit_xor(x)")).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // SECOND calibration axis — allocation/codec-heavy (string build →
+    // repeat → encode → digest): the ops the multimodal/digest family
+    // (x61/x62/x66) leans on. The r15 driver container was degraded in
+    // a mode the CPU-shuffle calib read as only 1.42x while codec-heavy
+    // queries ran 7-25x — with this axis IN the artifact, that round
+    // would have been attributable without a judge counter-bench.
+    def allocCalib(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(1500000L)
+        .select(sha1(encode(repeat(
+          md5(org.apache.spark.sql.functions.col("id").cast("string")), 8),
+          "utf-8")).as("d"))
+        .agg(expr("bit_xor(xxhash64(d))")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // `calib` stays the COLD first reading — its meaning is pinned by
+    // 15 rounds of cross-round adjusted-seconds comparisons (adjusted =
+    // raw / calib); silently warming it would shrink the denominator
+    // ~4x and make every r16 number read as a regression. The WARM
+    // re-reads (steady-state, the calib queries' own codegen paid) are
+    // what the MID-SWEEP readings compare against for the detachment
+    // check: |calib_mid / calib_warm - 1| >> noise means the container
+    // changed speed DURING the sweep.
+    val calib = cpuCalib()
+    val calibAlloc = allocCalib()
+    val calibWarm = cpuCalib()
+    val calibAllocWarm = allocCalib()
     // sorted-name iteration: SparkEntry.queries is a hash Map, so its
     // iteration order — and therefore which query pays any residual
     // first-touch cost — used to vary with the key set. Deterministic
@@ -122,9 +150,18 @@ object Bench {
     // the reported total; the driver's budget covers it at sf0.1.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
       .max(1)
-    val resultsFull = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // MID-SWEEP calibration re-read (both axes): a container that
+    // degrades DURING the sweep — the r15 driver shape — shows up as
+    // calib_mid detaching from calib, attributable inside the artifact
+    var calibMid = -1.0
+    var calibAllocMid = -1.0
+    val resultsFull = qlist.zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (qlist.size > 1 && i == qlist.size / 2) {
+          calibMid = cpuCalib(); calibAllocMid = allocCalib()
+        }
         val runs = (1 to rounds).map { _ =>
           val t0 = System.nanoTime()
           val outRows = try checksum(fn(spark, sfDir))
@@ -161,8 +198,14 @@ object Bench {
     // threw rather than one that returned empty
     val outRowsJson = resultsFull
       .map { case (k, _, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+    val calibs = s""""calib":${fmt(calib)},""" +
+      s""""calib_alloc":${fmt(calibAlloc)},""" +
+      s""""calib_warm":${fmt(calibWarm)},""" +
+      s""""calib_alloc_warm":${fmt(calibAllocWarm)},""" +
+      s""""calib_mid":${fmt(calibMid)},""" +
+      s""""calib_alloc_mid":${fmt(calibAllocMid)},"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      restricted + s""""calib":${fmt(calib)},"runs":$rounds,""" +
+      restricted + calibs + s""""runs":$rounds,""" +
       s""""rows":$rowsJson,""" +
       s""""queries":${qJson(results)},"out_rows":$outRowsJson,""" +
       s""""sf":"${jq(sfDir)}"}"""
@@ -182,7 +225,8 @@ object Bench {
     // char counts more than once); fixed fields incl. the ESCAPED paths
     // come off the top
     def bytes(s: String): Int = s.getBytes("UTF-8").length
-    val fixed = 180 + bytes(jq(outPath)) + bytes(jq(sfDir)) + restricted.length
+    val fixed = 180 + calibs.length +
+      bytes(jq(outPath)) + bytes(jq(sfDir)) + restricted.length
     val budget = 1800 - fixed // bytes for the queries map
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2
@@ -191,7 +235,7 @@ object Bench {
       if (used + w <= budget) { kept += ((k, v)); used += w }
     }
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      restricted + s""""calib":${fmt(calib)},"runs":$rounds,""" +
+      restricted + calibs + s""""runs":$rounds,""" +
       s""""queries_total":${results.size},"queries_shown":${kept.size},""" +
       s""""full":"${jq(outPath)}","queries":${qJson(kept)},"sf":"${jq(sfDir)}"}"""
     println(compact)

@@ -75,6 +75,40 @@ object SparkEntry {
       graft.operators.IvfOps.trainBounded(Tables.embeddings(s, dir),
         iterations = 3))
 
+  // Opt-in CROSS-RUN fixture cache (`SPARK_GRAFT_FIXTURE_CACHE=<dir>`):
+  // `run / fork := true` makes every `runMain graft.Verify` a fresh
+  // JVM, so the per-(session, corpus) index fixtures below are rebuilt
+  // on every local iteration — minutes of setup per re-run at sf0.01.
+  // With the env set, a fixture builds once into
+  // `<base>/<kind>_<corpus-key>` (staged + atomic move, so a killed
+  // build never half-exists) and later runs reuse it. ITERATION-ONLY:
+  // the driver never sets it, and a change to signing/index semantics
+  // requires wiping the cache dir — which is why it is not the default.
+  private def fixtureDir(kind: String, dir: String)
+                        (build: String => Unit): String =
+    sys.env.get("SPARK_GRAFT_FIXTURE_CACHE") match {
+      case None =>
+        val t = java.nio.file.Files
+          .createTempDirectory(s"graft_$kind").toString
+        build(t); t
+      case Some(base) =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val key = kind + "_" + java.lang.Long.toHexString(
+          dir.hashCode.toLong & 0xffffffffL)
+        val target = Paths.get(base, key)
+        if (Files.exists(target)) target.toString
+        else {
+          Files.createDirectories(Paths.get(base))
+          val stage = Files.createTempDirectory(Paths.get(base),
+            s".stage-$key-")
+          build(stage.toString)
+          try Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException |
+                       _: java.nio.file.DirectoryNotEmptyException => () }
+          target.toString
+        }
+    }
+
   // Persisted near-dup index over the 80% partition: built once per
   // (session, corpus) like ivfModel — x174/x178 both probe it, and a
   // bench round must not re-sign the corpus (or leak a fresh temp
@@ -83,12 +117,9 @@ object SparkEntry {
   private val ndxCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   private def ndxRoot(s: SparkSession, dir: String): String =
-    ndxCache.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files.createTempDirectory("graft_ndx")
-        .toString
+    ndxCache.getOrElseUpdate((s, dir), fixtureDir("ndx", dir) { root =>
       graft.operators.NearDupIndex.buildIndex(
         Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0), root)
-      root
     })
 
   // x185's fixture: the SAME 80% build, then a tombstone epoch
@@ -99,9 +130,8 @@ object SparkEntry {
   private val ndxRetractedCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   private def ndxRetractedRoot(s: SparkSession, dir: String): String =
-    ndxRetractedCache.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_ndx_t").toString
+    ndxRetractedCache.getOrElseUpdate((s, dir),
+        fixtureDir("ndx_t", dir) { root =>
       val indexed = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
       graft.operators.NearDupIndex.buildIndex(indexed, root)
       val fps = indexed
@@ -110,7 +140,7 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("rep"))
         .filter(col("rep") % 7 === 0).select("fp")
       graft.operators.NearDupIndex.retract(fps, root)
-      root
+      ()
     })
 
   // x186's fixture: the SAME 80% build EXTENDED by the 20% batch as a
@@ -122,15 +152,14 @@ object SparkEntry {
   private val ndxLedgerCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   private def ndxLedgerRoot(s: SparkSession, dir: String): String =
-    ndxLedgerCache.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_ndx_l").toString
+    ndxLedgerCache.getOrElseUpdate((s, dir),
+        fixtureDir("ndx_l", dir) { root =>
       copyTree(java.nio.file.Paths.get(ndxRoot(s, dir)),
         java.nio.file.Paths.get(root))
       graft.operators.NearDupIndex.extendEpoch(
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         root, "b0")
-      root
+      ()
     })
 
   // Persisted IVFADC index over the 80% embedding partition (frozen
@@ -139,13 +168,11 @@ object SparkEntry {
   private val annRootCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   private def annAdmitRoot(s: SparkSession, dir: String): String =
-    annRootCache.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files.createTempDirectory("graft_annr")
-        .toString
+    annRootCache.getOrElseUpdate((s, dir),
+        fixtureDir("annr", dir) { root =>
       graft.operators.IvfOps.saveIndex(
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0),
         ivfModel(s, dir), root)
-      root
     })
 
   // Persisted exact-substring index over the 80% partition — x189
@@ -154,12 +181,10 @@ object SparkEntry {
   private val spxCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   private def spxRoot(s: SparkSession, dir: String): String =
-    spxCache.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files.createTempDirectory("graft_spx")
-        .toString
+    spxCache.getOrElseUpdate((s, dir), fixtureDir("spx", dir) { root =>
       graft.operators.SpanIndex.buildIndex(
         Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0), root)
-      root
+      ()
     })
 
   // x196's fixture: the x189 span index REBUILT WITHOUT the 80%
@@ -168,15 +193,14 @@ object SparkEntry {
   private val spxRebuiltCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   private def spxRebuiltRoot(s: SparkSession, dir: String): String =
-    spxRebuiltCache.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_spx_r").toString
+    spxRebuiltCache.getOrElseUpdate((s, dir),
+        fixtureDir("spx_r", dir) { root =>
       copyTree(java.nio.file.Paths.get(spxRoot(s, dir)),
         java.nio.file.Paths.get(root))
       val indexed = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
       graft.operators.SpanIndex.rebuildWithout(s, root,
         indexed.filter(col("doc_id") % 7 === 0).select("doc_id"), indexed)
-      root
+      ()
     })
 
   // Epoch-sharded ANN admission index over the 80% embeddings (same
@@ -185,13 +209,12 @@ object SparkEntry {
   private val annEpochCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   private def annEpochRoot(s: SparkSession, dir: String): String =
-    annEpochCache.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_anne").toString
+    annEpochCache.getOrElseUpdate((s, dir),
+        fixtureDir("anne", dir) { root =>
       graft.operators.AnnAdmitIndex.buildIndex(
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0),
         ivfModel(s, dir), root)
-      root
+      ()
     })
 
   // Bucket-compacted twins of the x174/x189 indexes — x194 pins that
@@ -201,19 +224,51 @@ object SparkEntry {
   private val compactedCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, String)]
   private def compactedRoots(s: SparkSession, dir: String): (String, String) =
-    compactedCache.getOrElseUpdate((s, dir), {
-      val ndx = java.nio.file.Files
-        .createTempDirectory("graft_ndx_c").toString
-      val spx = java.nio.file.Files
-        .createTempDirectory("graft_spx_c").toString
-      copyTree(java.nio.file.Paths.get(ndxRoot(s, dir)),
-        java.nio.file.Paths.get(ndx))
-      copyTree(java.nio.file.Paths.get(spxRoot(s, dir)),
-        java.nio.file.Paths.get(spx))
-      graft.operators.NearDupIndex.compact(s, ndx, targetRows = 200L)
-      graft.operators.SpanIndex.compact(s, spx, targetRows = 5000L)
-      (ndx, spx)
-    })
+    compactedCache.getOrElseUpdate((s, dir), (
+      fixtureDir("ndx_c", dir) { ndx =>
+        copyTree(java.nio.file.Paths.get(ndxRoot(s, dir)),
+          java.nio.file.Paths.get(ndx))
+        graft.operators.NearDupIndex.compact(s, ndx, targetRows = 200L)
+        ()
+      },
+      fixtureDir("spx_c", dir) { spx =>
+        copyTree(java.nio.file.Paths.get(spxRoot(s, dir)),
+          java.nio.file.Paths.get(spx))
+        graft.operators.SpanIndex.compact(s, spx, targetRows = 5000L)
+        ()
+      }))
+
+  /** Force-build every heavy per-(session, corpus) fixture the query
+    * map depends on — index builds, model trainings — reporting each
+    * step through `log` BEFORE it starts. [[Verify]] runs this ahead
+    * of the dump sweep so (a) a driver-side timeout mid-setup leaves a
+    * diagnosable progress trail (which build was running, for how
+    * long) instead of an empty artifact, and (b) no query dump absorbs
+    * an index build into its own wall-clock. A failing fixture is
+    * logged and skipped — its dependent queries fail individually at
+    * dump time with their own messages. */
+  def prepareFixtures(s: SparkSession, dir: String,
+                      log: String => Unit): Unit = {
+    def step(name: String)(f: => Any): Unit = {
+      log(name)
+      try { f; () }
+      catch { case e: Throwable =>
+        log(s"$name FAILED: ${e.getMessage}") }
+    }
+    step("catalog")(cat(s, dir))
+    step("ivf_model")(ivfModel(s, dir))
+    step("ivf_model2")(ivfModel2(s, dir))
+    step("bpe_model")(bpeModel(s, dir))
+    step("bpe_pruned")(prunedBpeModel(s, dir))
+    step("neardup_index")(ndxRoot(s, dir))
+    step("neardup_retracted")(ndxRetractedRoot(s, dir))
+    step("neardup_ledger")(ndxLedgerRoot(s, dir))
+    step("ann_index")(annAdmitRoot(s, dir))
+    step("ann_epoch_index")(annEpochRoot(s, dir))
+    step("span_index")(spxRoot(s, dir))
+    step("span_rebuilt")(spxRebuiltRoot(s, dir))
+    step("compacted_indexes")(compactedRoots(s, dir))
+  }
 
   private def copyTree(src: java.nio.file.Path,
                        dst: java.nio.file.Path): Unit = {

@@ -3,7 +3,14 @@
 written by graft.Verify, run the corresponding oracle SQL in DuckDB over
 the same parquet tables and compare (rows sorted, columns sorted by name).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [mirrorJsonOut]
+
+When mirrorJsonOut is given, a driver-format per-query mirror is written
+there: {"queries": {name: {rows_match, schema_match, hash_match, rows}},
+"n_ok", "n_fail", "sf"} — the same field triple the driver's
+CORRECTNESS_r<N>.json carries, so the committed local mirror stays
+format-compatible with the artifact it mirrors (the r15 driver artifact
+came back empty and the mirror was the round's primary record).
 """
 import json, math, sys
 
@@ -44,7 +51,8 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, mirror_out=None):
+    mirror = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -61,6 +69,9 @@ def main(sf_dir, out_dir):
                 for row in got.select(*[f'"{c}"' for c in got_cols]).fetchall())
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            mirror[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "rows": None,
+                            "error": f"spark output unreadable: {e}"}
             n_bad += 1
             continue
         try:
@@ -69,6 +80,9 @@ def main(sf_dir, out_dir):
             if bad_types:
                 print(f"FAIL {name}: non-portable oracle column types: {bad_types}"
                       " (CAST the final projection to BIGINT/DOUBLE/VARCHAR/...)")
+                mirror[name] = {"rows_match": False, "schema_match": False,
+                                "hash_match": False, "rows": len(got_rows),
+                                "error": f"non-portable types: {bad_types}"}
                 n_bad += 1
                 continue
             exp_cols = sorted(exp.columns)
@@ -77,8 +91,15 @@ def main(sf_dir, out_dir):
                 for row in exp.select(*[f'"{c}"' for c in exp_cols]).fetchall())
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            mirror[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "rows": len(got_rows),
+                            "error": f"oracle sql error: {e}"}
             n_bad += 1
             continue
+        mirror[name] = {"rows_match": len(got_rows) == len(exp_rows),
+                        "schema_match": got_cols == exp_cols,
+                        "hash_match": got_rows == exp_rows,
+                        "rows": len(got_rows)}
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns differ\n  spark={got_cols}\n  duck ={exp_cols}")
             n_bad += 1
@@ -93,8 +114,14 @@ def main(sf_dir, out_dir):
             print(f"ok   {name} ({len(got_rows)} rows)")
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
+    if mirror_out:
+        json.dump({"sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
+                   "queries": mirror, "n_ok": n_ok, "n_fail": n_bad},
+                  open(mirror_out, "w"), indent=0, sort_keys=True)
+        print(f"mirror written: {mirror_out}")
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -33,33 +33,30 @@ fi
 step "2/5 full Verify + check at $SF001"
 VOUT=$(mktemp -d)
 sbt -batch "runMain graft.Verify $SF001 $VOUT" > /tmp/closing_verify.log 2>&1
-python3 tools/check.py "$SF001" "$VOUT" > /tmp/closing_check.log 2>&1
+# committed per-query mirror in the DRIVER's field format (VERDICT r15
+# item #2c): check.py writes {rows_match, schema_match, hash_match,
+# rows} per query, so when the driver's own artifact is empty or lost
+# the mirror is format-compatible with what it mirrors
+python3 tools/check.py "$SF001" "$VOUT" "CORRECTNESS_local_r${ROUND}.json" \
+  > /tmp/closing_check.log 2>&1
 NOK=$(grep -c "^ok " /tmp/closing_check.log || true)
 NFAIL=$(grep -c "^FAIL" /tmp/closing_check.log || true)
 echo "check.py: $NOK ok, $NFAIL FAIL"
 if [ "$NFAIL" != "0" ] || [ "$NOK" -lt 200 ]; then
   echo "FAIL: correctness gate:"; grep "^FAIL" /tmp/closing_check.log | head -20; FAIL=1
 fi
-# committed per-query mirror (VERDICT r12 item #3 / r13 item #5): the
-# local gate's row counts and ok/FAIL per query, so the judge can audit
-# correctness even when the driver's own artifact is empty or lost
-python3 - "$ROUND" <<'EOF' || FAIL=1
-import json, re, sys
-rows = {}
-for line in open("/tmp/closing_check.log"):
-    m = re.match(r"^(ok|FAIL)\s+(\S+)\s*(?:\((\d+) rows\))?", line)
-    if m:
-        rows[m.group(2).rstrip(":")] = {
-            "ok": m.group(1) == "ok",
-            "rows": int(m.group(3)) if m.group(3) else None}
-assert rows, "no check.py rows parsed"
-out = f"CORRECTNESS_local_r{sys.argv[1]}.json"
-json.dump({"sf": "sf0.01", "queries": rows,
-           "n_ok": sum(1 for v in rows.values() if v["ok"]),
-           "n_fail": sum(1 for v in rows.values() if not v["ok"])},
-          open(out, "w"), indent=0, sort_keys=True)
-print(f"{out}: {len(rows)} queries mirrored")
-EOF
+if [ ! -s "CORRECTNESS_local_r${ROUND}.json" ]; then
+  echo "FAIL: CORRECTNESS_local_r${ROUND}.json missing/empty"; FAIL=1
+fi
+# the heartbeat (VERDICT r15 item #2a): Verify appends one timestamped
+# event per phase/fixture/dump — commit it so a future zeroed driver
+# artifact is diagnosable from the repo alone
+if grep -q '"status":"done"' "$VOUT/verify_progress.json" 2>/dev/null; then
+  cp "$VOUT/verify_progress.json" "verify_progress_r${ROUND}.json"
+  echo "heartbeat: $(wc -l < verify_progress_r${ROUND}.json) events mirrored"
+else
+  echo "FAIL: verify_progress.json missing its terminal event"; FAIL=1
+fi
 rm -rf "$VOUT"
 
 step "3/5 regenerate PLANS.md"
