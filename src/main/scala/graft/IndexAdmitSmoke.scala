@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * Usage: `runMain graft.IndexAdmitSmoke <corpusDir> <batchDir> <root>
   * [near|span]` — builds the index at `root` from
   * `corpusDir/documents.parquet` if absent (build time reported, not
-  * bounded), then times the admission best-of-2 and prints one JSON
-  * line: `{"build_s":…,"admit_s":…,"n_in":…,"n_admitted":…}`.
+  * bounded), then times the admission best-of-2 plus one full
+  * bucketed compact of a copy, and prints one JSON line:
+  * `{"build_s":…,"admit_s":…,"n_in":…,"n_admitted":…,"compact_s":…,
+  * "compact_files":…}`.
   *
   * Mode `span` probes [[graft.operators.SpanIndex.admitBill]] instead:
   * its one index-sized term is a postings SCAN under a broadcast probe
@@ -66,8 +68,47 @@ object IndexAdmitSmoke {
     }
     val runs = Seq(admitOnce(), admitOnce())
     val best = runs.minBy(_._1)
+    // COMPACTION probe (VERDICT r15 item 1's measured half): full
+    // compact of a filesystem copy at the production default
+    // targetRows — the O(corpus) maintenance op, expected to scale
+    // ~linearly with the index (scale_smoke bounds the 10x ratio) and
+    // to write MULTIPLE range-partition files once a table outgrows
+    // one partition (the parallel-rewrite claim, true at sf1 for the
+    // span postings). The copy is timed out of band; only compact()
+    // itself is measured.
+    val croot = root + "_cprobe"
+    new ProcessBuilder("rm", "-rf", croot).inheritIO().start().waitFor()
+    copyTree(java.nio.file.Paths.get(root), java.nio.file.Paths.get(croot))
+    val t1 = System.nanoTime()
+    if (mode == "span") spx.compact(spark, croot)
+    else ndx.compact(spark, croot)
+    val compactS = (System.nanoTime() - t1) / 1e9
+    val dataTbl = if (mode == "span") "postings" else "bands"
+    val ep = (if (mode == "span") spx.committedEpochs(croot)
+              else ndx.committedEpochs(croot)).head
+    val nFiles = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(croot, ep, dataTbl))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    new ProcessBuilder("rm", "-rf", croot).inheritIO().start().waitFor()
     println(f"""{"build_s":$buildS%.2f,"admit_s":${best._1}%.3f,""" +
-      s""""n_in":$nIn,"n_admitted":${best._2}}""")
+      s""""n_in":$nIn,"n_admitted":${best._2},""" +
+      f""""compact_s":$compactS%.3f,"compact_files":$nFiles}""")
     spark.stop()
+  }
+
+  private def copyTree(src: java.nio.file.Path,
+                       dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(src)
+    try walk.iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
   }
 }

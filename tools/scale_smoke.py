@@ -570,6 +570,32 @@ def main():
                 f"span admission: {sr:.2f}x > 12x (the linear postings-scan "
                 f"share) against a 10x index — the broadcast probe is not "
                 f"holding (an index-side shuffle crept in)")
+    # ---- bucketed compaction cost (VERDICT r15 item 1): full compact
+    # is O(corpus) BY CONTRACT — the claim the r16 rewrite must prove
+    # is (a) it scales ~linearly with the index (no superlinear term
+    # snuck into the range shuffle) and (b) at sf1 the span postings
+    # outgrow one 8M-row partition, so the rewrite actually runs as
+    # MULTIPLE parallel tasks / output files — the no-corpus-sized-
+    # single-task property that cleared the weak.
+    for key, label, tbl in (("", "near-dup", "bands"),
+                            ("spx_", "span", "postings")):
+        c01, c1 = adm.get(f"{key}sf01", {}), adm.get(f"{key}sf1", {})
+        if "compact_s" not in c01 or "compact_s" not in c1:
+            continue
+        cr_ = c1["compact_s"] / max(c01["compact_s"], 1e-3)
+        print(f"[compact] {label}-index full compact vs index size: "
+              f"sf0.1 {c01['compact_s']:.2f}s ({c01['compact_files']} "
+              f"{tbl} files), sf1 {c1['compact_s']:.2f}s "
+              f"({c1['compact_files']} files) ({cr_:.2f}x)")
+        if cr_ > 20.0:
+            failures.append(
+                f"{label} compaction: {cr_:.2f}x > 20x on a 10x index — "
+                f"a superlinear term crept into the bucketed rewrite")
+        if label == "span" and c1.get("compact_files", 0) < 2:
+            failures.append(
+                "span compaction at sf1 wrote a single file — the "
+                "range-bucketed parallel rewrite is not engaging at the "
+                "production targetRows")
     if failures:
         print("FAIL:", "; ".join(failures))
         sys.exit(1)
