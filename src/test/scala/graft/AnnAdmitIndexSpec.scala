@@ -74,6 +74,23 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"earlier batch's admitted vector must anchor the rejection: $got2")
   }
 
+  test("empty embedding batch: admit returns no rows, extension commits " +
+      "an empty epoch, later probes unchanged — the all-null-embedding " +
+      "micro-batch a live stream will eventually deliver") {
+    val root = freshRoot()
+    AnnAdmitIndex.buildIndex(emb(1L -> Array(1.0, 0.0, 0.0)), model, root)
+    val none = emb().limit(0)
+    assert(AnnAdmitIndex.admit(none, root, tau, nProbe = 1).count() === 0L)
+    assert(AnnAdmitIndex.extendEpoch(none, root, "b0", tau, nProbe = 1))
+    assert(AnnAdmitIndex.committedEpochs(root).size === 2)
+    assert(!AnnAdmitIndex.extendEpoch(none, root, "b0", tau, nProbe = 1),
+      "replay of the empty batch stays a name no-op")
+    val got = verdicts(AnnAdmitIndex.admit(
+      emb(10L -> Array(1.0, 0.0, 0.0)), root, tau, nProbe = 1))
+    assert(got(10L) === (("dup_embed", Some(1L))),
+      s"probes through the empty epoch must still work: $got")
+  }
+
   test("tail compaction: base untouched, probes identical, covered " +
       "names keep replay a no-op; retraction via compact(dropVecIds)") {
     val root = freshRoot()
