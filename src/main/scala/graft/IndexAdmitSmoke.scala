@@ -76,12 +76,20 @@ object IndexAdmitSmoke {
     // one partition (the parallel-rewrite claim, true at sf1 for the
     // span postings). The copy is timed out of band; only compact()
     // itself is measured.
+    // `SPARK_GRAFT_COMPACT_TARGET` overrides targetRows so the smoke
+    // can demonstrate the multi-file rewrite at SANDBOX row counts
+    // (sf1's ~4.5M span postings sit under the 8M production default —
+    // the mechanics are identical, only the threshold moves); the
+    // emitted row count lets the caller assert files == ceil(rows/target)
+    val targetRows = sys.env.get("SPARK_GRAFT_COMPACT_TARGET")
+      .map(_.toLong)
+      .getOrElse(graft.operators.NearDupIndex.defaultCompactRowsPerPartition)
     val croot = root + "_cprobe"
     new ProcessBuilder("rm", "-rf", croot).inheritIO().start().waitFor()
     copyTree(java.nio.file.Paths.get(root), java.nio.file.Paths.get(croot))
     val t1 = System.nanoTime()
-    if (mode == "span") spx.compact(spark, croot)
-    else ndx.compact(spark, croot)
+    if (mode == "span") spx.compact(spark, croot, targetRows)
+    else ndx.compact(spark, croot, targetRows)
     val compactS = (System.nanoTime() - t1) / 1e9
     val dataTbl = if (mode == "span") "postings" else "bands"
     val ep = (if (mode == "span") spx.committedEpochs(croot)
@@ -92,10 +100,12 @@ object IndexAdmitSmoke {
       try s.filter(p => p.toString.endsWith(".parquet")).count()
       finally s.close()
     }
+    val nRows = spark.read.parquet(s"$croot/$ep/$dataTbl").count()
     new ProcessBuilder("rm", "-rf", croot).inheritIO().start().waitFor()
     println(f"""{"build_s":$buildS%.2f,"admit_s":${best._1}%.3f,""" +
       s""""n_in":$nIn,"n_admitted":${best._2},""" +
-      f""""compact_s":$compactS%.3f,"compact_files":$nFiles}""")
+      f""""compact_s":$compactS%.3f,"compact_files":$nFiles,""" +
+      s""""compact_rows":$nRows,"compact_target":$targetRows}""")
     spark.stop()
   }
 

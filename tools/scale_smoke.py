@@ -349,12 +349,17 @@ def printed_sql(name):
 
 def admit_probe(corpus_dir, root, mode="near"):
     """Run graft.IndexAdmitSmoke (build-if-absent + best-of-2 admit of
-    the FIXED sf0.01 batch) and return its JSON line."""
+    the FIXED sf0.01 batch + one full bucketed compact of a copy) and
+    return its JSON line. COMPACT_TARGET=1M (vs the 8M production
+    default) so sf1's ~4.5M span postings genuinely exceed one
+    partition — the multi-file parallel-rewrite demonstration at
+    sandbox row counts; the mechanics are threshold-independent."""
+    env = dict(os.environ, SPARK_GRAFT_COMPACT_TARGET="1000000")
     out = subprocess.run(
         ["sbt", "-batch",
          f"runMain graft.IndexAdmitSmoke {corpus_dir} {SF001} {root} {mode}"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        capture_output=True, text=True, check=True).stdout
+        capture_output=True, text=True, check=True, env=env).stdout
     line = [ln.removeprefix("[info] ").strip()
             for ln in out.splitlines()
             if ln.removeprefix("[info] ").strip().startswith('{"build_s"')][-1]
@@ -583,19 +588,25 @@ def main():
         if "compact_s" not in c01 or "compact_s" not in c1:
             continue
         cr_ = c1["compact_s"] / max(c01["compact_s"], 1e-3)
+        exp_files = -(-c1.get("compact_rows", 0)
+                      // max(c1.get("compact_target", 1), 1))
         print(f"[compact] {label}-index full compact vs index size: "
               f"sf0.1 {c01['compact_s']:.2f}s ({c01['compact_files']} "
               f"{tbl} files), sf1 {c1['compact_s']:.2f}s "
-              f"({c1['compact_files']} files) ({cr_:.2f}x)")
+              f"({c1['compact_files']} files over "
+              f"{c1.get('compact_rows', '?')} rows, expect {exp_files}) "
+              f"({cr_:.2f}x)")
         if cr_ > 20.0:
             failures.append(
                 f"{label} compaction: {cr_:.2f}x > 20x on a 10x index — "
                 f"a superlinear term crept into the bucketed rewrite")
-        if label == "span" and c1.get("compact_files", 0) < 2:
+        if (label == "span" and exp_files >= 2
+                and c1.get("compact_files", 0) < 2):
             failures.append(
-                "span compaction at sf1 wrote a single file — the "
-                "range-bucketed parallel rewrite is not engaging at the "
-                "production targetRows")
+                f"span compaction at sf1 wrote a single file for "
+                f"{c1.get('compact_rows')} rows at target "
+                f"{c1.get('compact_target')} — the range-bucketed "
+                f"parallel rewrite is not engaging")
     if failures:
         print("FAIL:", "; ".join(failures))
         sys.exit(1)
