@@ -26,11 +26,19 @@ import org.apache.spark.sql.functions._
   * most with a cheap columnar scan of the postings", not
   * size-invariance — tools/scale_smoke.py bounds the 10× ratio
   * accordingly. `n_admitted` reports the batch docs billed ≥1 retained
-  * token. */
+  * token.
+  *
+  * Mode `ann` probes the EMBEDDING tier ([[graft.operators
+  * .AnnAdmitIndex]]): builds the epoch index over the corpus's
+  * embeddings under a corpus-trained quantizer if absent, then times
+  * the SemDeDup admission of the fixed sf0.01 embedding batch — the
+  * index-sized term is a postings scan under broadcast probes (no
+  * index-side shuffle), the span-mode bound class. `n_admitted`
+  * reports vectors admitted at the x52 working point. */
 object IndexAdmitSmoke {
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: IndexAdmitSmoke <corpusDir> <batchDir> <root> [near|span]")
+      "usage: IndexAdmitSmoke <corpusDir> <batchDir> <root> [near|span|ann]")
     val Array(corpusDir, batchDir, root) = args.take(3)
     val mode = if (args.length == 4) args(3) else "near"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "28")
@@ -45,23 +53,42 @@ object IndexAdmitSmoke {
 
     val ndx = graft.operators.NearDupIndex
     val spx = graft.operators.SpanIndex
+    val anx = graft.operators.AnnAdmitIndex
+    // the x52/x192 gate working point. Expected yield asymmetry: the
+    // sf1 smoke index holds 10x clustered synthetic vectors, so the
+    // batch's max-cos rises with density and admissions can drop to 0
+    // — correct SemDeDup behavior, and irrelevant to the bound (the
+    // time claim is threshold-independent)
+    val tauMicro = 400000L
     var buildS = 0.0
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "CURRENT"))) {
-      val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
       val t0 = System.nanoTime()
-      if (mode == "span") spx.buildIndex(corpus, root)
-      else ndx.buildIndex(corpus, root)
+      if (mode == "ann") {
+        val emb = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+        anx.buildIndex(emb, graft.operators.IvfOps.trainBounded(emb), root)
+      } else {
+        val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
+        if (mode == "span") spx.buildIndex(corpus, root)
+        else ndx.buildIndex(corpus, root)
+      }
       buildS = (System.nanoTime() - t0) / 1e9
     }
-    val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+    val batch = spark.read.parquet(
+        if (mode == "ann") s"$batchDir/embeddings.parquet"
+        else s"$batchDir/documents.parquet")
       .localCheckpoint(true) // the batch read must not enter the timing
     val nIn = batch.count()
+    lazy val annNProbe = graft.operators.IvfOps.adaptiveNProbe(
+      anx.loadModel(spark, root).centroids.length)
     def admitOnce(): (Double, Long) = {
       val t0 = System.nanoTime()
       val n =
         if (mode == "span")
           spx.admitBill(batch, root)
             .filter(col("tokens_retained") > 0L).count()
+        else if (mode == "ann")
+          anx.admit(batch, root, tauMicro, annNProbe)
+            .filter(col("verdict") === "admitted").count()
         else ndx.admit(batch, root)
           .filter(col("verdict") === "admitted").count()
       ((System.nanoTime() - t0) / 1e9, n)
@@ -89,10 +116,12 @@ object IndexAdmitSmoke {
     copyTree(java.nio.file.Paths.get(root), java.nio.file.Paths.get(croot))
     val t1 = System.nanoTime()
     if (mode == "span") spx.compact(spark, croot, targetRows)
+    else if (mode == "ann") anx.compact(spark, croot, targetRows)
     else ndx.compact(spark, croot, targetRows)
     val compactS = (System.nanoTime() - t1) / 1e9
-    val dataTbl = if (mode == "span") "postings" else "bands"
+    val dataTbl = if (mode == "near") "bands" else "postings"
     val ep = (if (mode == "span") spx.committedEpochs(croot)
+              else if (mode == "ann") anx.committedEpochs(croot)
               else ndx.committedEpochs(croot)).head
     val nFiles = {
       val s = java.nio.file.Files.list(

@@ -1668,6 +1668,17 @@ object SparkEntry {
         ndxRoot(s, dir), spxRoot(s, dir), annAdmitRoot(s, dir),
         tauMicro = 400000L, nProbe = ivfNProbe(s, dir))),
 
+    // x197 — admission DASHBOARD: the x193 manifest rolled up per
+    // decision (contents, copy mass, token economics) — the ≤5-row
+    // readout an operator watches per arriving shard; Σ retained over
+    // admit+trim IS what the shard adds to the post-dedup corpus
+    "x197_admission_summary" -> ((s, dir) =>
+      graft.operators.ShardAdmission.summary(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        ndxRoot(s, dir), spxRoot(s, dir), annAdmitRoot(s, dir),
+        tauMicro = 400000L, nProbe = ivfNProbe(s, dir))),
+
     // x196 — span-tier TAKEDOWN: the x189 bill against an index
     // rebuilt WITHOUT the % 7 == 0 documents (SpanIndex.rebuildWithout,
     // the license-takedown runbook's one call on this tier). Windows
@@ -3635,6 +3646,10 @@ object SparkEntry {
       // must answer identically to the flat saveIndex layout
       "x195_epoch_ann_admission" -> graft.operators.ShardAdmission
         .reportFullSql(graft.operators.IvfOps.admitVectorsSql(
+          model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
+          tauMicro = 400000L, nProbe = np)),
+      "x197_admission_summary" -> graft.operators.ShardAdmission
+        .summarySql(graft.operators.IvfOps.admitVectorsSql(
           model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
           tauMicro = 400000L, nProbe = np)),
       "x35_cluster_stats" -> graft.operators.IvfOps.clusterStatsSql(model),

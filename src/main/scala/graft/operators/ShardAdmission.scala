@@ -126,6 +126,46 @@ object ShardAdmission {
         col("tokens_retained"))
   }
 
+  /** x197: the admission DASHBOARD — the manifest rolled up to the
+    * numbers an operator watches per arriving shard: one row per
+    * decision with distinct-content count, raw batch copy mass, and
+    * the token economics (total / cut / retained). Σ over the admit +
+    * trim rows of tokens_retained IS what the shard adds to the
+    * post-dedup corpus; the reject rows' n_batch_copies is the
+    * duplication pressure the indexes absorbed. One ≤5-row aggregate
+    * over [[reportFull]] — adds nothing to the probe cost. */
+  def summary(batch: DataFrame, batchEmb: DataFrame,
+              nearDupRoot: String, spanRoot: String, annRoot: String,
+              tauMicro: Long, nProbe: Int,
+              minMatches: Int = NearDupIndex.defaultMinMatches,
+              w: Int = SpanIndex.defaultW,
+              heavyNum: Int = 1, heavyDen: Int = 2,
+              text: Column = col("text")): DataFrame =
+    reportFull(batch, batchEmb, nearDupRoot, spanRoot, annRoot,
+      tauMicro, nProbe, minMatches, w, heavyNum, heavyDen, text)
+      .groupBy("decision")
+      .agg(count(lit(1)).as("n_contents"),
+        sum(col("n_batch_copies")).as("n_copies"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("tokens_cut")).as("tokens_cut"),
+        sum(col("tokens_retained")).as("tokens_retained"))
+
+  /** DuckDB twin of [[summary]] over the gate's 80/20 split. */
+  def summarySql(adcAdmitSql: String,
+                 minMatches: Int = NearDupIndex.defaultMinMatches,
+                 w: Int = SpanIndex.defaultW,
+                 heavyNum: Int = 1, heavyDen: Int = 2): String =
+    s"""WITH sa_full AS (
+       |${reportFullSql(adcAdmitSql, minMatches, w, heavyNum, heavyDen)}
+       |)
+       |SELECT decision,
+       |  CAST(count(*) AS BIGINT) AS n_contents,
+       |  CAST(sum(n_batch_copies) AS BIGINT) AS n_copies,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(tokens_cut) AS BIGINT) AS tokens_cut,
+       |  CAST(sum(tokens_retained) AS BIGINT) AS tokens_retained
+       |FROM sa_full GROUP BY decision""".stripMargin
+
   /** DuckDB twin of [[reportFull]] over the gate's 80/20 split — the
     * [[reportSql]] composition with the trained-centroid ADC replay
     * nested as a third CTE. */

@@ -59,6 +59,8 @@ NDX01 = "/tmp/graft_ndx_sm01"  # NearDupIndex roots for the admission row
 NDX1 = "/tmp/graft_ndx_sm1"
 SPX01 = "/tmp/graft_spx_sm01"  # SpanIndex roots for the span-admission row
 SPX1 = "/tmp/graft_spx_sm1"
+ANN01 = "/tmp/graft_ann_sm01"  # AnnAdmitIndex roots for the embed-tier row
+ANN1 = "/tmp/graft_ann_sm1"
 QUERIES = ["x159_cluster_dsir", "x161_cluster_policy",
            "x119_session_pagerank", "x23_dup_clusters", "x111_bpe_merges",
            "j16_band_join", "x83_cluster_split",
@@ -369,7 +371,7 @@ def admit_probe(corpus_dir, root, mode="near"):
 def main():
     if "--regen" in sys.argv or not os.path.exists(f"{SF1T}/documents.parquet"):
         generate()
-        for root in (NDX01, NDX1, SPX01, SPX1):  # stale indexes follow their corpora
+        for root in (NDX01, NDX1, SPX01, SPX1, ANN01, ANN1):  # stale indexes follow their corpora
             subprocess.run(["rm", "-rf", root], check=True)
     # --cached: score the previous run's timings without re-benching
     # (bound/model changes re-judge old measurements instantly)
@@ -394,7 +396,9 @@ def main():
         adm = {"sf01": admit_probe(SF01, NDX01),
                "sf1": admit_probe(SF1, NDX1),
                "spx_sf01": admit_probe(SF01, SPX01, "span"),
-               "spx_sf1": admit_probe(SF1, SPX1, "span")}
+               "spx_sf1": admit_probe(SF1, SPX1, "span"),
+               "ann_sf01": admit_probe(SF01, ANN01, "ann"),
+               "ann_sf1": admit_probe(SF1, ANN1, "ann")}
         with open("/tmp/graft_smoke_admit.json", "w") as f:
             json.dump(adm, f)
     pr = band_pairs(SF1) / max(band_pairs(SF01), 1)
@@ -575,6 +579,23 @@ def main():
                 f"span admission: {sr:.2f}x > 12x (the linear postings-scan "
                 f"share) against a 10x index — the broadcast probe is not "
                 f"holding (an index-side shuffle crept in)")
+    # ---- embedding-tier admission (the fourth persisted tier gets the
+    # same measured claim as the text tiers): the SemDeDup probe's one
+    # index-sized term is a postings scan under broadcast probes — the
+    # span-mode bound class (at most the linear scan share; an
+    # index-side shuffle would pay sort+exchange on 10x the rows).
+    if "ann_sf01" in adm:
+        n01, n1 = adm["ann_sf01"], adm["ann_sf1"]
+        nr = n1["admit_s"] / max(n01["admit_s"], 1e-3)
+        print(f"[admit] embed-tier: fixed sf0.01 batch (n_in={n01['n_in']}) "
+              f"vs postings size: sf0.1-built {n01['admit_s']:.2f}s, "
+              f"sf1-built {n1['admit_s']:.2f}s ({nr:.2f}x; admitted "
+              f"{n01['n_admitted']}/{n1['n_admitted']})")
+        if nr > 12.0:
+            failures.append(
+                f"embed admission: {nr:.2f}x > 12x (the linear postings-"
+                f"scan share) against a 10x index — the broadcast probe "
+                f"is not holding")
     # ---- bucketed compaction cost (VERDICT r15 item 1): full compact
     # is O(corpus) BY CONTRACT — the claim the r16 rewrite must prove
     # is (a) it scales ~linearly with the index (no superlinear term
@@ -583,7 +604,8 @@ def main():
     # MULTIPLE parallel tasks / output files — the no-corpus-sized-
     # single-task property that cleared the weak.
     for key, label, tbl in (("", "near-dup", "bands"),
-                            ("spx_", "span", "postings")):
+                            ("spx_", "span", "postings"),
+                            ("ann_", "embed", "postings")):
         c01, c1 = adm.get(f"{key}sf01", {}), adm.get(f"{key}sf1", {})
         if "compact_s" not in c01 or "compact_s" not in c1:
             continue
