@@ -252,4 +252,66 @@ class AdmissionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replay(b0, 0) === streamed(0) && replay(b1, 1) === streamed(1),
       "streamed four-tier manifests must equal the batch composition")
   }
+
+  test("four-tier maintenance: maintainEvery bounds ALL THREE manifests, " +
+      "base epochs untouched, decisions unchanged") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = IvfOps.IvfModel(
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)))
+    val ndx = Files.createTempDirectory("adm5_ndx").toString
+    val spx = Files.createTempDirectory("adm5_spx").toString
+    val ann = Files.createTempDirectory("adm5_ann").toString
+    NearDupIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), ndx)
+    SpanIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), spx)
+    AnnAdmitIndex.buildIndex(
+      Seq((1L, Array(1.0, 0.0, 0.0))).toDF("vec_id", "embedding"),
+      model, ann)
+    def baseOf(root: String) = EpochsOf(root).head
+    def EpochsOf(root: String) = graft.core.EpochStore.committedEpochs(root)
+    val bases = Seq(ndx, spx, ann).map(r => (r, baseOf(r)))
+    val listings = bases.map { case (r, b) =>
+      Files.walk(Paths.get(r, b)).map[String](_.toString).sorted().toArray }
+    val out = Files.createTempDirectory("adm5_out").toString
+    val batches = Seq(
+      Seq((10L, novel1, Array(0.0, 1.0, 0.0))),
+      Seq((20L, novel2, Array(0.1, 0.0, 1.0))),
+      Seq((30L, novel3, Array(0.0, 0.9, 0.1))),
+      Seq((40L, novel4, Array(0.7, 0.0, 0.7))))
+    val in = MemoryStream[(Long, String, Array[Double])]
+    val q = graft.streaming.AdmissionStream.ingestFull(
+      in.toDF().toDF("doc_id", "text", "embedding"), ndx, spx, ann, out,
+      Files.createTempDirectory("adm5_ck").toString, 950000L, nProbe = 1,
+      maintainEvery = 2)
+    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // each index accreted 4 batch epochs; maintenance folds whenever the
+    // tail reaches 2, so every manifest stays bounded at base + <=2
+    Seq(ndx, spx, ann).foreach { r =>
+      assert(EpochsOf(r).size <= 3, s"manifest bounded at $r: ${EpochsOf(r)}")
+    }
+    bases.zip(listings).foreach { case ((r, b), l) =>
+      assert(Files.walk(Paths.get(r, b)).map[String](_.toString)
+        .sorted().toArray.sameElements(l),
+        s"maintenance must never rewrite the base epoch of $r")
+    }
+    // every folded batch name stays accounted on every index
+    (0 to 3).foreach { i =>
+      assert(NearDupIndex.hasEpoch(ndx, s"b$i") &&
+        SpanIndex.hasEpoch(spx, s"b$i") &&
+        AnnAdmitIndex.hasEpoch(ann, s"b$i"),
+        s"b$i must stay accounted after maintenance")
+    }
+    // and the live state is unchanged: every ingested doc now rejects
+    val rb = batches.zipWithIndex.map { case (b, i) =>
+      (100L + i, b.head._2, b.head._3) }.toDF("doc_id", "text", "embedding")
+    val d = ShardAdmission.reportFullEpoch(rb,
+        rb.select(col("doc_id").as("vec_id"), col("embedding")),
+        ndx, spx, ann, 950000L, nProbe = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision"))
+      .toMap
+    assert(d.values.forall(_ == "reject_exact"),
+      s"ingested content must reject after maintenance: $d")
+  }
 }
