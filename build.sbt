@@ -16,6 +16,12 @@ run / fork := true
 // the trailer would land after (and crowd out) graft.Bench's emission.
 // Pass/fail still travels through the exit code.
 Global / showSuccess := false
+// Forked runMain output goes STRAIGHT to stdout, not through sbt's
+// logger: the logger prefixes every line with "[info] ", and the bench
+// driver's line parser rejects a JSON line wearing that prefix — its
+// BENCH artifact recorded "parsed": null every round the prefix was
+// there. StdoutOutput emits the child's bytes verbatim.
+run / outputStrategy := Some(StdoutOutput)
 Global / excludeLintKeys += showSuccess
 // forward stdin to forked mains (the interactive Shell needs it)
 run / connectInput := true

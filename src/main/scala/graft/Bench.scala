@@ -198,12 +198,17 @@ object Bench {
     // threw rather than one that returned empty
     val outRowsJson = resultsFull
       .map { case (k, _, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+    // mid-sweep readings that never ran (<=2-query sweep) emit as JSON
+    // null, not a -1.0 sentinel: a consumer computing the documented
+    // detachment ratio |calib_mid/calib_warm - 1| must see "absent", not
+    // a nonsense negative reading
+    def fmtOpt(v: Double): String = if (v < 0) "null" else fmt(v)
     val calibs = s""""calib":${fmt(calib)},""" +
       s""""calib_alloc":${fmt(calibAlloc)},""" +
       s""""calib_warm":${fmt(calibWarm)},""" +
       s""""calib_alloc_warm":${fmt(calibAllocWarm)},""" +
-      s""""calib_mid":${fmt(calibMid)},""" +
-      s""""calib_alloc_mid":${fmt(calibAllocMid)},"""
+      s""""calib_mid":${fmtOpt(calibMid)},""" +
+      s""""calib_alloc_mid":${fmtOpt(calibAllocMid)},"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       restricted + calibs + s""""runs":$rounds,""" +
       s""""rows":$rowsJson,""" +

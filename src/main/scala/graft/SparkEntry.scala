@@ -93,8 +93,14 @@ object SparkEntry {
         build(t); t
       case Some(base) =>
         import java.nio.file.{Files, Paths, StandardCopyOption}
-        val key = kind + "_" + java.lang.Long.toHexString(
-          dir.hashCode.toLong & 0xffffffffL)
+        // key by a STRONG digest of the normalized corpus path, not its
+        // 32-bit hashCode: two corpora whose paths collide would silently
+        // reuse the wrong cached index and corrupt every dependent result
+        val norm = Paths.get(dir).toAbsolutePath.normalize.toString
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(norm.getBytes("UTF-8"))
+          .take(12).map("%02x".format(_)).mkString
+        val key = s"${kind}_$sha"
         val target = Paths.get(base, key)
         if (Files.exists(target)) target.toString
         else {
@@ -104,9 +110,22 @@ object SparkEntry {
           build(stage.toString)
           try Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
           catch { case _: java.nio.file.FileAlreadyExistsException |
-                       _: java.nio.file.DirectoryNotEmptyException => () }
+                       _: java.nio.file.DirectoryNotEmptyException =>
+            // lost the build race: the winner's copy is in place — drop
+            // our staged duplicate instead of leaking a full index per race
+            deleteTree(stage)
+          }
           target.toString
         }
+    }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
     }
 
   // Persisted near-dup index over the 80% partition: built once per
@@ -248,12 +267,16 @@ object SparkEntry {
     * logged and skipped — its dependent queries fail individually at
     * dump time with their own messages. */
   def prepareFixtures(s: SparkSession, dir: String,
-                      log: String => Unit): Unit = {
+                      log: (String, String) => Unit): Unit = {
+    // (name, status) callback: a failed build beats as a FAILED STATUS on
+    // its own step, not as a new start event named "<step> FAILED: ..."
+    // — the heartbeat's reader filters on status, and a failure disguised
+    // as a start would read as a build still in flight
     def step(name: String)(f: => Any): Unit = {
-      log(name)
+      log(name, "start")
       try { f; () }
       catch { case e: Throwable =>
-        log(s"$name FAILED: ${e.getMessage}") }
+        log(name, s"failed: ${e.getMessage}") }
     }
     step("catalog")(cat(s, dir))
     step("ivf_model")(ivfModel(s, dir))

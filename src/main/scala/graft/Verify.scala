@@ -69,7 +69,7 @@ object Verify {
     // fixtures (index builds, model trainings) BEFORE the sweep, each
     // heartbeaten — a timeout here is attributable to its named step
     SparkEntry.prepareFixtures(spark, sfDir,
-      name => beat("setup", name, "start"))
+      (name, status) => beat("setup", name, status))
     beat("setup", "fixtures", "done")
     // SPARK_GRAFT_ONLY=q1,q2 restricts the dump for fast iteration; the
     // full oracle_sql.json is still written (check.py runs everything

@@ -88,11 +88,35 @@ object EpochStore {
     * accounted after a tail compaction merges it, so a crash between
     * the compaction and the streaming checkpoint can never make the
     * replay recompute a manifest against an index that already holds
-    * the batch. */
+    * the batch.
+    *
+    * Cached per root, keyed by the CURRENT token: covered lists grow
+    * transitively with the whole batch history (compactions union
+    * their inputs' lists forever), so recomputing this on every
+    * per-micro-batch idempotency probe is O(total batches ever) of
+    * driver file IO at streaming scale. A promoted version is
+    * immutable, so the set is a pure function of (root, token); the
+    * cache holds one entry per root (the live version — stale tokens
+    * are dead the instant a promotion lands). The read is guarded by
+    * a token re-read: a promotion racing between the manifest read
+    * and the token read would otherwise cache a newer epoch list
+    * under the older token. */
   def accountedNames(root: String): Set[String] = {
-    val eps = committedEpochs(root)
-    (eps.map(entryPath) ++ eps.flatMap(e => coveredNames(root, e))).toSet
+    val key = java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+    val token = currentToken(root)
+    val cached = accountedCache.get(key)
+    if (cached != null && cached._1 == token) cached._2
+    else {
+      val eps = committedEpochs(root)
+      val names =
+        (eps.map(entryPath) ++ eps.flatMap(e => coveredNames(root, e))).toSet
+      if (currentToken(root) == token) accountedCache.put(key, (token, names))
+      names
+    }
   }
+
+  private val accountedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Set[String])]()
 
   /** True when `epochs/<name>` is accounted for by the live manifest —
     * committed directly or covered by a merged epoch. */

@@ -24,11 +24,15 @@ import graft.core.EpochStore
   * shared replay rule, and maintenance that never rewrites the base.
   *
   * What persists:
-  *   - `root/centroids` — the frozen coarse quantizer (model identity
-  *     is what makes accumulated postings valid: a re-train swaps the
-  *     whole root, never splices — the [[IvfOps.saveIndex]] rule);
+  *   - `root/model/<gen>/centroids` — the coarse quantizer, IMMUTABLE
+  *     per generation and named by the manifest (entry `model/<gen>`):
+  *     model identity is what makes accumulated postings valid, so a
+  *     [[retrain]] writes a NEW generation + recoded postings and
+  *     swaps BOTH in one manifest promotion — never splices (the
+  *     [[IvfOps.saveIndex]] rule, made crash-atomic: a reader resolves
+  *     either (old model, old postings) or (new, new), never a mix);
   *   - `root/epochs/<name>/postings` (vec_id, centroid_id, qcode) —
-  *     int8-coded vectors under the frozen model, the
+  *     int8-coded vectors under that generation's model, the
   *     [[graft.streaming.AnnIndexStream.postings]] arithmetic
   *     (bit-exact with the offline builder).
   *
@@ -58,9 +62,48 @@ object AnnAdmitIndex {
   def committedEpochs(root: String): Seq[String] =
     EpochStore.committedEpochs(root)
 
-  /** The frozen coarse quantizer of the index at `root`. */
+  /** The live manifest's POSTINGS entries — the `model/<gen>`
+    * quantizer entry filtered out (ops-surface counterpart of the
+    * text tiers' committedEpochs). */
+  def postingsEntries(root: String): Seq[String] =
+    postingsEpochs(committedEpochs(root))
+
+  /** The manifest's POSTINGS entries — everything but the `model/<gen>`
+    * quantizer entry. */
+  private def postingsEpochs(eps: Seq[String]): Seq[String] =
+    eps.filterNot(_.startsWith("model/"))
+
+  private def modelEntries(eps: Seq[String]): Seq[String] =
+    eps.filter(_.startsWith("model/"))
+
+  /** Write a quantizer generation as an immutable `root/model/<gen>`
+    * dir (staged + atomic move, the [[EpochStore.writeEpoch]]
+    * discipline) and return its manifest entry. Unreferenced until a
+    * manifest naming it promotes — a crash leaves invisible garbage,
+    * never a half-read model. */
+  private def writeModel(spark: SparkSession, model: IvfOps.IvfModel,
+                         root: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val name = "g" + java.util.UUID.randomUUID().toString.take(12)
+    Files.createDirectories(Paths.get(root, "model"))
+    val stage = Paths.get(root, "model", s".stage-$name")
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("centroid_id", "cv")
+      .repartition(1).write.parquet(s"$stage/centroids")
+    Files.move(stage, Paths.get(root, "model", name),
+      StandardCopyOption.ATOMIC_MOVE)
+    s"model/$name"
+  }
+
+  /** The LIVE coarse quantizer of the index at `root` — the manifest's
+    * `model/<gen>` entry ([[retrain]] swaps it atomically with the
+    * recoded postings; `root/centroids` is the pre-generation legacy
+    * fallback). */
   def loadModel(spark: SparkSession, root: String): IvfOps.IvfModel = {
-    val rows = spark.read.parquet(s"$root/centroids")
+    val dir = modelEntries(committedEpochs(root)).lastOption
+      .map(e => s"$root/$e/centroids").getOrElse(s"$root/centroids")
+    val rows = spark.read.parquet(dir)
       .orderBy("centroid_id").collect()
     IvfOps.IvfModel(rows.map(
       _.getAs[scala.collection.Seq[Double]]("cv").toArray))
@@ -68,24 +111,24 @@ object AnnAdmitIndex {
 
   /** The live postings relation `(vec_id, centroid_id, qcode)`. */
   private def load(spark: SparkSession, root: String): DataFrame = {
-    val eps = committedEpochs(root)
+    val eps = postingsEpochs(committedEpochs(root))
     require(eps.nonEmpty, s"empty ANN admission index at $root")
     spark.read.parquet(eps.map(e => s"$root/$e/postings"): _*)
   }
 
   /** Build and promote the initial index over `emb` `(vec_id,
-    * embedding)` under `model` (frozen from this point on). Returns
-    * the promoted version path. */
+    * embedding)` under `model` (generation g0 — immutable until a
+    * [[retrain]] swaps it). Returns the promoted version path. */
   def buildIndex(emb: DataFrame, model: IvfOps.IvfModel,
                  root: String): String =
     lockFor(root).synchronized {
       val token = EpochStore.currentToken(root)
-      IvfOps.saveCentroids(emb.sparkSession, model, root)
+      val entry = writeModel(emb.sparkSession, model, root)
       val ep = EpochStore.writeEpoch(root,
         "e" + java.util.UUID.randomUUID().toString.take(12),
         Seq("postings" -> graft.streaming.AnnIndexStream
           .postings(emb, model)))
-      EpochStore.promoteCas(root, Seq(ep), token)
+      EpochStore.promoteCas(root, Seq(entry, ep), token)
     }
 
   /** Admission verdicts for an embedding batch against the LIVE index:
@@ -103,9 +146,31 @@ object AnnAdmitIndex {
     * text tiers: a name already accounted for (committed or folded by
     * a compaction) is a completed batch, returns false untouched; a
     * crashed half-written attempt rebuilds deterministically from the
-    * COMMITTED manifest. */
+    * COMMITTED manifest. Probes the live index once internally; a
+    * caller that already holds the batch's verdicts (the streaming
+    * loop, which computed them for the admission manifest) should pass
+    * them through [[extendEpochAdmitted]] instead — one ADC probe per
+    * batch, not two. */
   def extendEpoch(emb: DataFrame, root: String, epochName: String,
                   tauMicro: Long, nProbe: Int): Boolean =
+    lockFor(root).synchronized {
+      extendEpochAdmitted(emb, root, epochName,
+        admit(emb, root, tauMicro, nProbe)
+          .filter(col("verdict") === "admitted").select(col("vec_id")))
+    }
+
+  /** [[extendEpoch]] with the batch's ANN-tier verdicts PRECOMPUTED:
+    * `admittedIds` carries the `vec_id`s the LIVE (pre-batch) index
+    * admitted — the `verdict === "admitted"` rows of [[admit]], or
+    * equivalently the manifest rows a four-tier streaming loop just
+    * wrote (its persisted probe result), so the batch is ADC-probed
+    * once per micro-batch, mirroring the text tiers' PinnedViews
+    * batch-signing memoization. The relation is evaluated ONLY on the
+    * commit path — a replayed (accounted) name returns false without
+    * touching it, so a replay never probes an index that already
+    * contains the batch. */
+  def extendEpochAdmitted(emb: DataFrame, root: String, epochName: String,
+                          admittedIds: DataFrame): Boolean =
     lockFor(root).synchronized {
       EpochStore.requireSafeEpochName(epochName)
       val token = EpochStore.currentToken(root)
@@ -115,9 +180,7 @@ object AnnAdmitIndex {
         val spark = emb.sparkSession
         val model = loadModel(spark, root)
         val admitted = emb.join(
-          admit(emb, root, tauMicro, nProbe)
-            .filter(col("verdict") === "admitted").select(col("vec_id")),
-          Seq("vec_id"), "left_semi")
+          admittedIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
         val ep = EpochStore.writeEpoch(root, epochName,
           Seq("postings" -> graft.streaming.AnnIndexStream
             .postings(admitted, model)))
@@ -140,23 +203,91 @@ object AnnAdmitIndex {
     * (`dropVecIds` filters retracted vectors out on the way — the
     * takedown path, kill set broadcast into an anti-join). Folded
     * names persist in `covered.json`. Returns the promoted version
-    * path. */
+    * path.
+    *
+    * `retrainOver`: the float corpus `(vec_id, embedding)` — when
+    * given, the full compact ALSO re-trains the coarse quantizer at
+    * the corpus-aware k ([[retrain]]): the one O(corpus) maintenance
+    * op is already being paid, and riding the re-train on it is what
+    * keeps admission cost sub-linear as the index grows (a frozen
+    * k=√n₀ quantizer makes probed postings per query grow linearly
+    * with the corpus). */
   def compact(spark: SparkSession, root: String,
+              targetRows: Long = defaultCompactRowsPerPartition,
+              dropVecIds: Option[DataFrame] = None,
+              retrainOver: Option[DataFrame] = None): String =
+    retrainOver match {
+      case Some(corpus) => retrain(spark, root, corpus, targetRows, dropVecIds)
+      case None => lockFor(root).synchronized {
+        val token = EpochStore.currentToken(root)
+        val eps = committedEpochs(root)
+        val all = load(spark, root)
+        val kept = dropVecIds.fold(all)(kill => all.join(
+          broadcast(kill.select(col("vec_id").cast("long")).distinct()),
+          Seq("vec_id"), "left_anti"))
+        val covered = postingsEpochs(eps).flatMap(e =>
+          EpochStore.entryPath(e) +: EpochStore.coveredNames(root, e))
+        val ep = EpochStore.writeEpoch(root,
+          "c" + java.util.UUID.randomUUID().toString.take(12),
+          Seq("postings" -> ranged(kept, kept.count(), targetRows)), covered)
+        EpochStore.promoteCas(root, modelEntries(eps) :+ ep, token)
+      }
+    }
+
+  /** RE-TRAIN the coarse quantizer at the corpus-aware k and re-code
+    * every live posting under it — the maintenance op that clears the
+    * embed tier's scale hazard: extension accretes under the
+    * generation the index was built with, so k stays √n₀ while n
+    * grows and the probed postings per query (`nProbe · n/k`) grow
+    * LINEARLY with the corpus; re-training at `k =`
+    * [[IvfOps.adaptiveK]]`(N)` (via [[IvfOps.trainBounded]], the
+    * builder's own trainer) restores `nProbe · √N` probe mass.
+    *
+    * `corpusEmb` is the float corpus `(vec_id, embedding)` — the index
+    * holds only int8 codes, and a re-code from codes would compound
+    * quantization error; the lake still has the floats. Only vectors
+    * LIVE in the index (minus `dropVecIds`) are kept: the re-trained
+    * index covers exactly `live ∩ corpusEmb`, so the admission
+    * decisions accumulated so far keep their meaning and a takedown
+    * can ride the rewrite.
+    *
+    * Promotion is ONE manifest swap naming the new `model/<gen>` and
+    * the one recoded epoch: ADC decisions legitimately change under a
+    * new quantizer (that is the point), but a reader never sees a
+    * mixed state, and folded batch names stay accounted through
+    * `covered.json` (replay idempotency survives the re-train).
+    * Post-retrain the index is bit-identical to [[buildIndex]] over
+    * the same corpus with the same trainer (AnnAdmitIndexSpec pins
+    * it, plus a planted-dup recall floor).
+    *
+    * Cost model: training is Lloyd at k=√N — O(N^1.5·d / executors)
+    * flat assignment per round (the [[IvfOps.trainTwoLevel]] hierarchy
+    * is the documented cut to O(N^1.25·d) when that dominates); the
+    * re-code is one stateless corpus map; the write is the same
+    * range-bucketed parallel rewrite as [[compact]]. */
+  def retrain(spark: SparkSession, root: String, corpusEmb: DataFrame,
               targetRows: Long = defaultCompactRowsPerPartition,
               dropVecIds: Option[DataFrame] = None): String =
     lockFor(root).synchronized {
       val token = EpochStore.currentToken(root)
       val eps = committedEpochs(root)
-      val all = load(spark, root)
-      val kept = dropVecIds.fold(all)(kill => all.join(
+      val liveIds = load(spark, root).select(col("vec_id"))
+      val keptIds = dropVecIds.fold(liveIds)(kill => liveIds.join(
         broadcast(kill.select(col("vec_id").cast("long")).distinct()),
         Seq("vec_id"), "left_anti"))
-      val covered = eps.flatMap(e =>
+      val corpus = corpusEmb
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .join(keptIds, Seq("vec_id"), "left_semi")
+      val model = IvfOps.trainBounded(corpus)
+      val entry = writeModel(spark, model, root)
+      val coded = graft.streaming.AnnIndexStream.postings(corpus, model)
+      val covered = postingsEpochs(eps).flatMap(e =>
         EpochStore.entryPath(e) +: EpochStore.coveredNames(root, e))
       val ep = EpochStore.writeEpoch(root,
-        "c" + java.util.UUID.randomUUID().toString.take(12),
-        Seq("postings" -> ranged(kept, kept.count(), targetRows)), covered)
-      EpochStore.promoteCas(root, Seq(ep), token)
+        "t" + java.util.UUID.randomUUID().toString.take(12),
+        Seq("postings" -> ranged(coded, corpus.count(), targetRows)),
+        covered)
+      EpochStore.promoteCas(root, Seq(entry, ep), token)
     }
 
   /** TIERED (tail) compaction — merge the accretion tail (every epoch
@@ -171,7 +302,8 @@ object AnnAdmitIndex {
     lockFor(root).synchronized {
       val token = EpochStore.currentToken(root)
       val eps = committedEpochs(root)
-      val tail = eps.drop(1)
+      val posts = postingsEpochs(eps)
+      val tail = posts.drop(1)
       if (tail.size < 2) graft.core.AtomicDir.current(root)
       else {
         val merged = spark.read
@@ -182,24 +314,26 @@ object AnnAdmitIndex {
           "m" + java.util.UUID.randomUUID().toString.take(12),
           Seq("postings" -> ranged(merged, merged.count(), targetRows)),
           covered)
-        EpochStore.promoteCas(root, Seq(eps.head, ep), token)
+        EpochStore.promoteCas(root,
+          modelEntries(eps) ++ Seq(posts.head, ep), token)
       }
     }
 
   /** Size of the accretion tail [[compactTail]] would merge. */
   def tailSize(root: String): Int =
-    math.max(committedEpochs(root).size - 1, 0)
+    math.max(postingsEpochs(committedEpochs(root)).size - 1, 0)
 
   /** True when batch epoch `name` is accounted for by the live
     * manifest — committed directly or folded by a compaction. */
   def hasEpoch(root: String, name: String): Boolean =
     EpochStore.isAccounted(root, s"epochs/$name")
 
-  /** Ops inventory: one row per epoch in manifest order. */
+  /** Ops inventory: one row per POSTINGS epoch in manifest order. */
   def stats(spark: SparkSession, root: String): DataFrame = {
-    val rows = committedEpochs(root).zipWithIndex.map { case (e, i) =>
-      (i, e, spark.read.parquet(s"$root/$e/postings").count())
-    }
+    val rows = postingsEpochs(committedEpochs(root)).zipWithIndex
+      .map { case (e, i) =>
+        (i, e, spark.read.parquet(s"$root/$e/postings").count())
+      }
     import spark.implicits._
     rows.toDF("position", "entry", "n_postings")
   }

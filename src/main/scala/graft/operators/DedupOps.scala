@@ -1165,7 +1165,14 @@ object DedupOps {
         col("max_err_ppm"), col("n_pairs"))
   }
 
-  /** DuckDB twin of [[signatureYield]]. */
+  /** DuckDB twin of [[signatureYield]]. The shared candidate prefix is
+    * MATERIALIZED here (and only here): this twin re-reads `sh` three
+    * times (sizes, both sides of the intersection) and `sig`/`cand`
+    * twice each, and DuckDB's CTE inlining re-derives the whole
+    * minhash pipeline per reference — measured 2.6 s inlined vs 0.09 s
+    * materialized at sf0.01, identical rows. The other prefix
+    * consumers keep the plain form: their reference counts are lower
+    * and materialization measured net-neutral-to-worse there. */
   def signatureYieldSql: String = {
     val prefixes = Seq(2, 4, 8, 16)
     def nEq(p: Int) = (0 until p)
@@ -1185,7 +1192,9 @@ object DedupOps {
         "mean_err_ppm" -> s"CAST(se_$p // greatest(n_pairs, 1) AS BIGINT)",
         "max_err_ppm" -> s"mx_$p"))),
       Seq("n_pairs"), "sy_one")
-    s"""$lshCandSqlCtes,
+    val matPrefix = "\\b(sh|sig|bands|g_fp|g_cold|cand) AS \\(".r
+      .replaceAllIn(lshCandSqlCtes, m => s"${m.group(1)} AS MATERIALIZED (")
+    s"""$matPrefix,
        |sy_sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |sy_inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter

@@ -97,12 +97,29 @@ object ShardAdmission {
                       w: Int = SpanIndex.defaultW,
                       heavyNum: Int = 1, heavyDen: Int = 2,
                       text: Column = col("text"),
-                      pin: Boolean = true): DataFrame = {
-    val base = report(batch, nearDupRoot, spanRoot, minMatches, w,
-      heavyNum, heavyDen, text, pin)
-    overlayEmbed(base,
-      AnnAdmitIndex.admit(batchEmb, annRoot, tauMicro, nProbe))
-  }
+                      pin: Boolean = true): DataFrame =
+    reportFullWith(batch,
+      AnnAdmitIndex.admit(batchEmb, annRoot, tauMicro, nProbe),
+      nearDupRoot, spanRoot, minMatches, w, heavyNum, heavyDen, text, pin)
+
+  /** [[reportFullEpoch]] with the embedding tier's verdict relation
+    * `(vec_id, anchor_id, adc_cos_micro, verdict)` PRECOMPUTED by the
+    * caller — the single-probe form the four-tier streaming loop uses:
+    * it persists ONE [[AnnAdmitIndex.admit]] result per micro-batch
+    * and feeds it to both this manifest overlay and the ANN index
+    * extension, so the growing-with-the-corpus ADC probe runs once per
+    * batch, not twice (the text tiers' PinnedViews memoization,
+    * embedding form). Identical decision semantics to
+    * [[reportFullEpoch]] when `embVerdicts` is that probe's result. */
+  def reportFullWith(batch: DataFrame, embVerdicts: DataFrame,
+                     nearDupRoot: String, spanRoot: String,
+                     minMatches: Int = NearDupIndex.defaultMinMatches,
+                     w: Int = SpanIndex.defaultW,
+                     heavyNum: Int = 1, heavyDen: Int = 2,
+                     text: Column = col("text"),
+                     pin: Boolean = true): DataFrame =
+    overlayEmbed(report(batch, nearDupRoot, spanRoot, minMatches, w,
+      heavyNum, heavyDen, text, pin), embVerdicts)
 
   /** Overlay the embedding tier's verdict relation `(vec_id,
     * anchor_id, adc_cos_micro, verdict)` onto a two-tier [[report]]

@@ -146,15 +146,15 @@ object SpectralOps {
                            dim: Int = 64): String = {
     val corr = s"(list_dot_product(a.e, b.e) - a.dv * b.dv / vv) / " +
       s"(sqrt(a.ee - a.dv * a.dv / vv) * sqrt(b.ee - b.dv * b.dv / vv))"
-    s"""WITH cd_tc AS (
+    s"""WITH cd_tc AS MATERIALIZED (
        |  SELECT * FROM (
        |${topComponentSql(rounds, dim).replace("\n", "\n    ")}
        |  )
-       |), cd_v AS (
+       |), cd_v AS MATERIALIZED (
        |  SELECT list(CAST(v_micro AS DOUBLE) ORDER BY pos) AS v,
        |    CAST(greatest(sum(v_micro * v_micro), 1) AS BIGINT) AS vv
        |  FROM cd_tc
-       |), cd_f AS (
+       |), cd_f AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
        |    list_dot_product(CAST(embedding AS DOUBLE[]), v) AS dv,
        |    list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -174,38 +174,48 @@ object SpectralOps {
 
   /** DuckDB twin of [[topComponent]] — the iteration unrolled round by
     * round with identical shrink/normalize arithmetic (1-based DuckDB
-    * array index kept internal; output pos is 0-based). */
+    * array index kept internal; output pos is 0-based).
+    *
+    * Every unrolled CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    * and each round references its predecessors more than once
+    * (sp_w→sp_n+sp_s, sp_s→sp_q+sp_v), so inlining re-derives the
+    * whole upstream chain per reference — exponential in rounds.
+    * Measured at sf0.01: 53.9 s inlined vs 0.09 s materialized,
+    * identical rows; nested inside x128's pair join the inlined form
+    * was 620 s — 80% of the entire 265-query driver gate, the
+    * plausible cause of two straight empty CORRECTNESS artifacts. */
   def topComponentSql(rounds: Int = 4, dim: Int = 64): String = {
     def shrSql(c: String, by: String): String =
       s"CASE WHEN $c < 0 THEN -((-($c)) // $by) ELSE ($c) // $by END"
     val roundCtes = (1 to rounds).map { k =>
-      s"""sp_d$k AS (
+      s"""sp_d$k AS MATERIALIZED (
          |  SELECT m.vec_id, CAST(sum(m.x * v.v) AS BIGINT) AS d
          |  FROM sp_m m JOIN sp_v${k - 1} v USING (pos) GROUP BY m.vec_id),
-         |sp_ds$k AS (
+         |sp_ds$k AS MATERIALIZED (
          |  SELECT vec_id, ${shrSql("d", "1048576")} AS ds FROM sp_d$k),
-         |sp_w$k AS (
+         |sp_w$k AS MATERIALIZED (
          |  SELECT m.pos, CAST(sum(m.x * s.ds) AS BIGINT) AS w
          |  FROM sp_m m JOIN sp_ds$k s USING (vec_id) GROUP BY m.pos),
-         |sp_n$k AS (
+         |sp_n$k AS MATERIALIZED (
          |  SELECT greatest(max(abs(w)) // 1000000, 1) AS wscale FROM sp_w$k),
-         |sp_s$k AS (
+         |sp_s$k AS MATERIALIZED (
          |  SELECT pos, ${shrSql("w", "wscale")} AS sv FROM sp_w$k, sp_n$k),
-         |sp_q$k AS (SELECT CAST(sum(sv * sv) AS BIGINT) AS n2 FROM sp_s$k),
-         |sp_v$k AS (
+         |sp_q$k AS MATERIALIZED (
+         |  SELECT CAST(sum(sv * sv) AS BIGINT) AS n2 FROM sp_s$k),
+         |sp_v$k AS MATERIALIZED (
          |  SELECT pos, CASE WHEN n2 > 0 THEN
          |      CAST(floor(CAST(sv AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))
          |        * 1e6 + 0.5) AS BIGINT)
          |    ELSE 0 END AS v
          |  FROM sp_s$k, sp_q$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH sp_m AS (
+    s"""WITH sp_m AS MATERIALIZED (
        |  SELECT vec_id, ix.i - 1 AS pos,
        |    CAST(floor(CAST(embedding[ix.i] AS DOUBLE) * 1e4 + 0.5)
        |      AS BIGINT) AS x
        |  FROM embeddings, generate_series(1, $dim) AS ix(i)
        |  WHERE vec_id IS NOT NULL AND ix.i <= len(embedding)
-       |), sp_v0 AS (
+       |), sp_v0 AS MATERIALIZED (
        |  SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM sp_m
        |),
        |$roundCtes,

@@ -101,14 +101,27 @@ object AdmissionStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val emb = batch.filter(col("embedding").isNotNull)
           .select(col("doc_id").as("vec_id"), col("embedding"))
-        if (!NearDupIndex.hasEpoch(nearDupRoot, s"b$id"))
-          ShardAdmission.reportFullEpoch(batch, emb, nearDupRoot,
-              spanRoot, annRoot, tauMicro, nProbe, minMatches, w,
-              pin = false)
-            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
-        NearDupIndex.extendEpoch(batch, nearDupRoot, s"b$id", minMatches)
-        SpanIndex.extendEpoch(batch, spanRoot, s"b$id", w)
-        AnnAdmitIndex.extendEpoch(emb, annRoot, s"b$id", tauMicro, nProbe)
+        // ONE ADC probe per micro-batch: the embed-tier verdicts are
+        // computed against the PRE-batch index, persisted, and shared
+        // by the manifest overlay AND the ANN extension — the probe is
+        // the one per-batch cost that grows with the corpus, and the
+        // unmemoized form paid it twice (the text tiers' batch signing
+        // is memoized through PinnedViews; this is the embed analog).
+        // Evaluation is lazy: on a full replay neither consumer runs,
+        // so the probe never reads an index that already holds b<id>.
+        val verdicts = AnnAdmitIndex
+          .admit(emb, annRoot, tauMicro, nProbe).persist()
+        try {
+          if (!NearDupIndex.hasEpoch(nearDupRoot, s"b$id"))
+            ShardAdmission.reportFullWith(batch, verdicts, nearDupRoot,
+                spanRoot, minMatches, w, pin = false)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          NearDupIndex.extendEpoch(batch, nearDupRoot, s"b$id", minMatches)
+          SpanIndex.extendEpoch(batch, spanRoot, s"b$id", w)
+          AnnAdmitIndex.extendEpochAdmitted(emb, annRoot, s"b$id",
+            verdicts.filter(col("verdict") === "admitted")
+              .select(col("vec_id")))
+        } finally verdicts.unpersist()
         if (maintainEvery > 0) {
           if (NearDupIndex.tailSize(nearDupRoot) >= maintainEvery)
             NearDupIndex.compactTail(batch.sparkSession, nearDupRoot)

@@ -228,7 +228,7 @@ class AdmissionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"later batches must see batch-0 content on every tier: $d1")
     assert(Seq(NearDupIndex.committedEpochs(ndx),
       SpanIndex.committedEpochs(spx),
-      AnnAdmitIndex.committedEpochs(ann)).forall(_.size === 3),
+      AnnAdmitIndex.postingsEntries(ann)).forall(_.size === 3),
       "one epoch per batch on every index")
     // the streamed manifests must equal the BATCH composition replayed
     // in the same arrival order on fresh roots

@@ -58,7 +58,7 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(11L)._1 === "admitted" && got(12L)._1 === "admitted",
       s"$got")
     assert(AnnAdmitIndex.extendEpoch(batch, root, "b0", tau, nProbe = 1))
-    val eps = AnnAdmitIndex.committedEpochs(root)
+    val eps = AnnAdmitIndex.postingsEntries(root)
     assert(eps.size === 2)
     val posted = spark.read.parquet(s"$root/${eps(1)}/postings")
       .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -66,7 +66,7 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only ANN-admitted vectors may post (contraction): $posted")
     assert(!AnnAdmitIndex.extendEpoch(batch, root, "b0", tau, nProbe = 1),
       "a replayed batch name must be a no-op")
-    assert(AnnAdmitIndex.committedEpochs(root) === eps)
+    assert(AnnAdmitIndex.postingsEntries(root) === eps)
     // the next batch sees batch-0 admissions: 11's int8 twin rejects
     val got2 = verdicts(AnnAdmitIndex.admit(
       emb(20L -> Array(0.6, 0.8, 0.0)), root, tau, nProbe = 1))
@@ -82,7 +82,7 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val none = emb().limit(0)
     assert(AnnAdmitIndex.admit(none, root, tau, nProbe = 1).count() === 0L)
     assert(AnnAdmitIndex.extendEpoch(none, root, "b0", tau, nProbe = 1))
-    assert(AnnAdmitIndex.committedEpochs(root).size === 2)
+    assert(AnnAdmitIndex.postingsEntries(root).size === 2)
     assert(!AnnAdmitIndex.extendEpoch(none, root, "b0", tau, nProbe = 1),
       "replay of the empty batch stays a name no-op")
     val got = verdicts(AnnAdmitIndex.admit(
@@ -101,7 +101,7 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       root, "b0", tau, nProbe = 1))
     assert(AnnAdmitIndex.extendEpoch(emb(12L -> Array(0.1, 0.0, 1.0)),
       root, "b1", tau, nProbe = 1))
-    val base = AnnAdmitIndex.committedEpochs(root).head
+    val base = AnnAdmitIndex.postingsEntries(root).head
     val baseListing = Files.walk(Paths.get(root, base))
       .map[String](_.toString).sorted().toArray
     val probe = emb(30L -> Array(0.6, 0.8, 0.0),
@@ -112,7 +112,7 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before(30L)._1 === "dup_embed" && before(31L)._1 === "dup_embed"
       && before(32L)._1 === "dup_embed", s"$before")
     AnnAdmitIndex.compactTail(spark, root, targetRows = 1L)
-    val eps = AnnAdmitIndex.committedEpochs(root)
+    val eps = AnnAdmitIndex.postingsEntries(root)
     assert(eps.size === 2 && eps.head === base,
       s"base + merged tail: $eps")
     assert(Files.walk(Paths.get(root, base)).map[String](_.toString)
@@ -139,5 +139,133 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"survivors keep anchoring: $after")
     assert(AnnAdmitIndex.hasEpoch(root, "b0"),
       "coverage carries transitively through the full compact")
+  }
+
+  test("extendEpochAdmitted consumes the PRECOMPUTED verdict relation " +
+      "— no internal re-probe (the single-ADC-probe-per-batch contract " +
+      "of the streaming loop)") {
+    val root = freshRoot()
+    AnnAdmitIndex.buildIndex(emb(1L -> Array(1.0, 0.0, 0.0)), model, root)
+    // 10 is an EXACT copy of indexed 1: a re-probe would reject it.
+    // Passing it as "admitted" proves the extension trusts the given
+    // relation — the behavioral witness that the probe ran exactly
+    // where the caller ran it, not again inside the extension.
+    val batch = emb(10L -> Array(1.0, 0.0, 0.0),
+      11L -> Array(0.0, 1.0, 0.0))
+    val s = spark
+    import s.implicits._
+    assert(AnnAdmitIndex.extendEpochAdmitted(batch, root, "b0",
+      Seq(10L).toDF("vec_id")))
+    val posted = spark.read.parquet(
+        s"$root/${AnnAdmitIndex.postingsEntries(root)(1)}/postings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(posted === Set(10L),
+      s"the precomputed admit set must be posted verbatim: $posted")
+    assert(!AnnAdmitIndex.extendEpochAdmitted(batch, root, "b0",
+      Seq(11L).toDF("vec_id")),
+      "a replayed name stays a no-op without evaluating the relation")
+  }
+
+  // a 24-vector 3-d corpus with genuine cluster structure: three rays,
+  // small deterministic jitter — big enough for trainBounded's
+  // k = max(16, ceil(sqrt(n))) = 16 to differ loudly from the frozen
+  // 2-centroid build model
+  private def rayCorpus(n: Int, offset: Long = 0L) = {
+    val rays = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    emb((0 until n).map { i =>
+      val r = rays(i % 3)
+      val j = 0.01 * (i / 3)
+      (offset + i.toLong) -> Array(r(0) + j, r(1) + j * 2, r(2) + j * 3)
+    }: _*)
+  }
+
+  test("retrain: post-retrain index bit-identical to buildIndex over " +
+      "the live corpus at the corpus-aware k; generation + postings " +
+      "swap in ONE promotion; folded batch names stay accounted; " +
+      "takedown rides the rewrite") {
+    val root = freshRoot()
+    val base = rayCorpus(18)
+    val b0 = rayCorpus(6, offset = 100L)
+    AnnAdmitIndex.buildIndex(base, model, root) // frozen k=2 build model
+    assert(AnnAdmitIndex.extendEpoch(b0, root, "b0", tau, nProbe = 1))
+    assert(AnnAdmitIndex.loadModel(spark, root).centroids.length === 2)
+    // the lake's float corpus: everything ever offered (retrain keeps
+    // live ∩ corpus, so the un-admitted b0 vectors drop out on their
+    // own — they were never in the index)
+    val lake = base.union(b0)
+    AnnAdmitIndex.retrain(spark, root, lake, targetRows = 1000L)
+    // the live ids after extension, re-coded under the new model
+    val liveIds = spark.read.parquet(
+        s"$root/${AnnAdmitIndex.postingsEntries(root).head}/postings")
+      .select("vec_id")
+    val liveCorpus = lake.join(liveIds, Seq("vec_id"), "left_semi")
+    val model2 = AnnAdmitIndex.loadModel(spark, root)
+    assert(model2.centroids.length ===
+      graft.operators.IvfOps.adaptiveK(liveCorpus.count()),
+      "retrain must train at the corpus-aware k")
+    // bit-identity: a fresh buildIndex over the same corpus with the
+    // builder's own trainer produces the same postings relation
+    val root2 = freshRoot()
+    AnnAdmitIndex.buildIndex(liveCorpus,
+      graft.operators.IvfOps.trainBounded(liveCorpus), root2)
+    def dump(r: String) = spark.read.parquet(
+        AnnAdmitIndex.postingsEntries(r).map(e => s"$r/$e/postings"): _*)
+      .collect().map(x => (x.getLong(0), x.getInt(1),
+        x.getAs[scala.collection.Seq[Int]](2).toList)).sortBy(_._1).toList
+    assert(dump(root) === dump(root2),
+      "post-retrain index must equal buildIndex over the same corpus")
+    assert(AnnAdmitIndex.hasEpoch(root, "b0"),
+      "replay idempotency must survive the re-train (covered.json)")
+    assert(AnnAdmitIndex.committedEpochs(root).size === 2,
+      "one model generation + one recoded epoch after retrain")
+    // takedown riding the retrain rewrite: drop vec 0, its copy admits
+    AnnAdmitIndex.retrain(spark, root, lake, targetRows = 1000L,
+      dropVecIds = Some({ val s = spark; import s.implicits._
+        Seq(0L).toDF("vec_id") }))
+    val got = verdicts(AnnAdmitIndex.admit(
+      emb(900L -> Array(1.0, 0.0, 0.0)), root, tau,
+      nProbe = 8))
+    assert(got(900L)._2 !== Some(0L),
+      s"the dropped vector must stop anchoring: $got")
+  }
+
+  test("retrain restores sub-linear probe mass at a FIXED admission " +
+      "depth, with a planted-dup recall floor — the scale posture: " +
+      "frozen k=sqrt(n0) makes probed postings grow linearly with the " +
+      "corpus; k=adaptiveK(N) caps each list near N/k") {
+    val root = freshRoot()
+    val n = 120
+    val corpus = rayCorpus(n)
+    AnnAdmitIndex.buildIndex(corpus, model, root) // frozen k=2
+    def maxList(): Long = spark.read
+      .parquet(AnnAdmitIndex.postingsEntries(root)
+        .map(e => s"$root/$e/postings"): _*)
+      .groupBy("centroid_id").count()
+      .agg(org.apache.spark.sql.functions.max("count"))
+      .first().getLong(0)
+    // per-query probe mass is nProbe · (probed list sizes): the named
+    // sub-linear bound is nProbe · sizeCap(N) = nProbe · 4·sqrt(N)
+    // (trainBounded's enforced invariant). The frozen k=2 quantizer
+    // breaches the cap — its lists grow as N/2, the linear hazard —
+    // and retrain restores it.
+    val cap = graft.operators.IvfOps.sizeCap(n)
+    assert(maxList() > cap,
+      s"fixture must exhibit the hazard: frozen max list ${maxList()} " +
+        s"should exceed cap $cap")
+    AnnAdmitIndex.retrain(spark, root, corpus, targetRows = 1000L)
+    assert(maxList() <= cap,
+      s"post-retrain every inverted list must sit under sizeCap(N)=" +
+        s"$cap, bounding probe mass at nProbe·4·sqrt(N): ${maxList()}")
+    // recall floor at the fixed depth: every planted exact copy of an
+    // indexed vector is caught post-retrain
+    val planted = emb((0 until 12).map { i =>
+      val src = corpus.collect()(i * 7 % n)
+      (1000L + i) -> src.getAs[scala.collection.Seq[Double]]("embedding")
+        .toArray
+    }: _*)
+    val got = verdicts(AnnAdmitIndex.admit(planted, root, tau, nProbe = 8))
+    assert(got.values.forall(_._1 === "dup_embed"),
+      s"planted exact dups must all reject at the fixed depth: $got")
   }
 }

@@ -12,7 +12,7 @@ CORRECTNESS_r<N>.json carries, so the committed local mirror stays
 format-compatible with the artifact it mirrors (the r15 driver artifact
 came back empty and the mirror was the round's primary record).
 """
-import json, math, sys
+import json, math, sys, time
 
 import duckdb
 
@@ -59,7 +59,10 @@ def main(sf_dir, out_dir, mirror_out=None):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    timings = {}  # per-query oracle seconds: the driver-gate cost profile
+    t_all = time.perf_counter()
     for name, sql in sorted(oracle.items()):
+        t_q = time.perf_counter()
         try:
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -96,6 +99,7 @@ def main(sf_dir, out_dir, mirror_out=None):
                             "error": f"oracle sql error: {e}"}
             n_bad += 1
             continue
+        timings[name] = round(time.perf_counter() - t_q, 3)
         mirror[name] = {"rows_match": len(got_rows) == len(exp_rows),
                         "schema_match": got_cols == exp_cols,
                         "hash_match": got_rows == exp_rows,
@@ -111,12 +115,22 @@ def main(sf_dir, out_dir, mirror_out=None):
             print(f"  duck-only : {diff_b}")
             n_bad += 1
         else:
-            print(f"ok   {name} ({len(got_rows)} rows)")
+            print(f"ok   {name} ({len(got_rows)} rows, {timings[name]:.1f}s)")
             n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} failed")
+    total = time.perf_counter() - t_all
+    print(f"\n{n_ok} ok, {n_bad} failed, oracle wall {total:.1f}s")
+    # the driver-gate cost profile: when the round's CORRECTNESS artifact
+    # comes back empty, THIS is the suspect — the oracle compare expiring
+    # the driver's window. Slowest-first so the top offender is line one.
+    top = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    print("slowest oracles:")
+    for k, v in top:
+        print(f"  {v:7.1f}s  {k}")
     if mirror_out:
         json.dump({"sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
-                   "queries": mirror, "n_ok": n_ok, "n_fail": n_bad},
+                   "queries": mirror, "n_ok": n_ok, "n_fail": n_bad,
+                   "oracle_wall_sec": round(total, 1),
+                   "oracle_sec": timings},
                   open(mirror_out, "w"), indent=0, sort_keys=True)
         print(f"mirror written: {mirror_out}")
     return 1 if n_bad else 0
