@@ -14,6 +14,22 @@ import graft.operators.{IvfOps, SimilarityOps}
   * path and see new vectors at micro-batch latency; the float corpus is
   * never re-read.
   *
+  * WHICH LAYOUT WHEN (the embedding tier ships two): this FLAT layout
+  * serves the QUERY path — a topK/ADC index fed by a raw embedding
+  * stream, where the transactional file sink's `_spark_metadata`
+  * gives exactly-once without a foreachBatch and compaction is an
+  * offline epoch-close ([[compactIndex]]'s directory swap). The
+  * ADMISSION tier of the four-tier ingest loop is served by
+  * [[graft.operators.AnnAdmitIndex]] — the epoch-manifest layout —
+  * and that is the production path for admission: per-micro-batch
+  * `b<id>` epochs under the text tiers' shared replay rule,
+  * covered.json idempotency across compactions, protected-base tail
+  * maintenance, and [[graft.operators.AnnAdmitIndex.retrain]] (the
+  * quantizer re-train this layout's whole-directory swap can only do
+  * as a full offline rebuild). New admission surfaces should build on
+  * AnnAdmitIndex; this sink stays for x192-style query-serving
+  * deployments.
+  *
   * Shape: one stateless per-row map (broadcast K×dim centroids — no
   * join, no window, no state store), then Spark's transactional file
   * sink — the `_spark_metadata` manifest gives exactly-once file

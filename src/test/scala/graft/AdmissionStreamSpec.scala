@@ -314,4 +314,42 @@ class AdmissionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.values.forall(_ == "reject_exact"),
       s"ingested content must reject after maintenance: $d")
   }
+
+  test("x197 dashboard adds ZERO index reads over the x193 manifest — " +
+      "the <=5-row rollup cannot double-probe any tier (r16 bench-split " +
+      "attribution: a 5x cost delta between them is measurement, not " +
+      "plan)") {
+    val s = spark
+    import s.implicits._
+    val model = IvfOps.IvfModel(
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)))
+    val ndx = Files.createTempDirectory("adm6_ndx").toString
+    val spx = Files.createTempDirectory("adm6_spx").toString
+    val ann = Files.createTempDirectory("adm6_ann").toString
+    NearDupIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), ndx)
+    SpanIndex.buildIndex(Seq((1L, seed)).toDF("doc_id", "text"), spx)
+    IvfOps.saveIndex( // the FLAT layout x193/x197 probe
+      Seq((1L, Array(1.0, 0.0, 0.0))).toDF("vec_id", "embedding"),
+      model, ann)
+    val batch = Seq((10L, novel1), (11L, novel2)).toDF("doc_id", "text")
+    val emb = Seq((10L, Array(0.0, 1.0, 0.0)), (11L, Array(0.1, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    // count every data-read leaf in the FINAL adaptive plan: parquet
+    // scans plus pinned-view cache reads (pin=true may serve probe
+    // subtrees from InMemoryRelation — the invariant is that the
+    // rollup adds none of either kind)
+    def reads(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      ("Scan parquet".r.findAllIn(plan).length,
+        "InMemoryTableScan".r.findAllIn(plan).length)
+    }
+    val full = reads(ShardAdmission.reportFull(batch, emb, ndx, spx, ann,
+      tauMicro = 950000L, nProbe = 1))
+    val summ = reads(ShardAdmission.summary(batch, emb, ndx, spx, ann,
+      tauMicro = 950000L, nProbe = 1))
+    assert(summ === full,
+      s"summary (scans, cache reads) $summ must equal reportFull's $full")
+  }
 }

@@ -580,10 +580,16 @@ def main():
                 f"share) against a 10x index — the broadcast probe is not "
                 f"holding (an index-side shuffle crept in)")
     # ---- embedding-tier admission (the fourth persisted tier gets the
-    # same measured claim as the text tiers): the SemDeDup probe's one
-    # index-sized term is a postings scan under broadcast probes — the
-    # span-mode bound class (at most the linear scan share; an
-    # index-side shuffle would pay sort+exchange on 10x the rows).
+    # same measured claim as the text tiers): at the FIXED admission
+    # probe depth (IndexAdmitSmoke's SPARK_GRAFT_ANN_NPROBE contract)
+    # against a retrain-maintained k = adaptiveK(N) quantizer, probed
+    # candidate mass is nProbe*N/k = nProbe*sqrt(N) — sqrt(10) ~ 3.2x
+    # at a 10x index — plus the cheap columnar postings-scan share, so
+    # the bound is the text tiers' class. (The r16 reading bounded 12x
+    # and measured 6.03x because adaptiveNProbe(k) ~ k/4 pinned a
+    # constant probed FRACTION — N/4 candidates per query, linear in
+    # the corpus; the fixed-depth contract plus retrain-on-compact is
+    # the round-17 fix.)
     if "ann_sf01" in adm:
         n01, n1 = adm["ann_sf01"], adm["ann_sf1"]
         nr = n1["admit_s"] / max(n01["admit_s"], 1e-3)
@@ -591,11 +597,25 @@ def main():
               f"vs postings size: sf0.1-built {n01['admit_s']:.2f}s, "
               f"sf1-built {n1['admit_s']:.2f}s ({nr:.2f}x; admitted "
               f"{n01['n_admitted']}/{n1['n_admitted']})")
-        if nr > 12.0:
+        if nr > 4.0:
             failures.append(
-                f"embed admission: {nr:.2f}x > 12x (the linear postings-"
-                f"scan share) against a 10x index — the broadcast probe "
-                f"is not holding")
+                f"embed admission: {nr:.2f}x > 4x (sqrt-probe-mass + scan "
+                f"share) against a 10x index — the fixed-depth probe or "
+                f"the retrained k is not holding")
+        # retrain-on-compact: the maintenance op that KEEPS k at
+        # adaptiveK(N). Lloyd at k=sqrt(N) is O(N^1.5 d) by model —
+        # 31.6x at 10x data — paid at compaction cadence, never on the
+        # per-batch hot path; bound it against that model, not
+        # linearity.
+        if "retrain_s" in n01 and "retrain_s" in n1:
+            rr = n1["retrain_s"] / max(n01["retrain_s"], 1e-3)
+            print(f"[retrain] embed-tier retrain-on-compact: sf0.1 "
+                  f"{n01['retrain_s']:.2f}s, sf1 {n1['retrain_s']:.2f}s "
+                  f"({rr:.2f}x; <=40x, the O(N^1.5) Lloyd model)")
+            if rr > 40.0:
+                failures.append(
+                    f"embed retrain: {rr:.2f}x > 40x on a 10x corpus — "
+                    f"something beyond the N^1.5 training model crept in")
     # ---- bucketed compaction cost (VERDICT r15 item 1): full compact
     # is O(corpus) BY CONTRACT — the claim the r16 rewrite must prove
     # is (a) it scales ~linearly with the index (no superlinear term
