@@ -236,6 +236,26 @@ object SparkEntry {
       ()
     })
 
+  // x198's fixture: the x195 epoch index RETRAINED over its own live
+  // corpus — the maintenance call itself: k jumps from the session
+  // model's to adaptiveK(|80% partition|), every posting recoded from
+  // the floats, model + postings swapped in ONE promotion. Derived by
+  // filesystem copy of annEpochRoot, then one retrain; the oracle
+  // replays admission from the RETRAINED model's centroid literals
+  // (trainBounded is deterministic, so the dynamic oracle trains the
+  // identical model).
+  private val annRetrainedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def annRetrainedRoot(s: SparkSession, dir: String): String =
+    annRetrainedCache.getOrElseUpdate((s, dir),
+        fixtureDir("annt", dir) { root =>
+      copyTree(java.nio.file.Paths.get(annEpochRoot(s, dir)),
+        java.nio.file.Paths.get(root))
+      graft.operators.AnnAdmitIndex.retrain(s, root,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0))
+      ()
+    })
+
   // Bucket-compacted twins of the x174/x189 indexes — x194 pins that
   // the range-bucketed compaction (parallel multi-file rewrite +
   // covered.json) is invisible to admission. targetRows are sized so
@@ -288,6 +308,7 @@ object SparkEntry {
     step("neardup_ledger")(ndxLedgerRoot(s, dir))
     step("ann_index")(annAdmitRoot(s, dir))
     step("ann_epoch_index")(annEpochRoot(s, dir))
+    step("ann_retrained")(annRetrainedRoot(s, dir))
     step("span_index")(spxRoot(s, dir))
     step("span_rebuilt")(spxRebuiltRoot(s, dir))
     step("compacted_indexes")(compactedRoots(s, dir))
@@ -1720,6 +1741,19 @@ object SparkEntry {
     // protected-base tail compaction — on the embedding tier, what
     // the four-tier streaming loop composes). Oracle shared with x193
     // verbatim: layout must be invisible to every decision
+    // x198 — QUANTIZER RETRAIN, end-to-end: the 20% batch admitted
+    // against the x195 index after retrain-on-compact (k re-grown to
+    // adaptiveK(N), postings recoded, model+postings swapped in one
+    // promotion). Probe depth is the FIXED admission contract (8):
+    // probed mass nProbe·N/k = nProbe·√N under the maintained k. The
+    // oracle replays admission from the retrained model's literals —
+    // decisions legitimately differ from x192's (new quantizer, by
+    // design), and the twin must agree bit-for-bit on the new ones.
+    "x198_retrained_admission" -> ((s, dir) =>
+      graft.operators.AnnAdmitIndex.admit(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        annRetrainedRoot(s, dir), tauMicro = 400000L, nProbe = 8)),
+
     "x195_epoch_ann_admission" -> ((s, dir) =>
       graft.operators.ShardAdmission.reportFullEpoch(
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
@@ -3661,6 +3695,15 @@ object SparkEntry {
       "x192_embed_admission" -> graft.operators.IvfOps.admitVectorsSql(
         model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
         tauMicro = 400000L, nProbe = np),
+      // the RETRAINED model: trainBounded over the 80% partition is
+      // deterministic, so the oracle trains the identical model the
+      // fixture's retrain trained and replays admission from its
+      // literals at the fixed admission depth
+      "x198_retrained_admission" -> graft.operators.IvfOps.admitVectorsSql(
+        graft.operators.IvfOps.trainBounded(
+          Tables.embeddings(spark, sfDir).filter(col("vec_id") % 5 =!= 0)),
+        "vec_id % 5 <> 0", "vec_id % 5 = 0",
+        tauMicro = 400000L, nProbe = 8),
       "x193_full_admission" -> graft.operators.ShardAdmission
         .reportFullSql(graft.operators.IvfOps.admitVectorsSql(
           model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
