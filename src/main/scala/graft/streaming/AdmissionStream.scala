@@ -71,13 +71,18 @@ object AdmissionStream {
       .start()
 
   /** The FOUR-TIER loop: [[ingest]]'s discipline with the embedding
-    * tier composed in — per micro-batch, the
-    * [[ShardAdmission.reportFullEpoch]] manifest (exact > near >
+    * tier composed in — per micro-batch, ONE persisted ADC probe of
+    * the PRE-batch ANN index serves both the
+    * [[ShardAdmission.reportFullWith]] manifest (exact > near >
     * embed > trim > admit, reflecting the PRE-batch state of ALL FOUR
-    * indexes) and one `b<id>` epoch committed to each index: near-dup
-    * signatures, exact-substring windows, and the epoch-sharded ANN
-    * admission index ([[graft.operators.AnnAdmitIndex]] — admitted
-    * vectors int8-coded under the frozen quantizer).
+    * indexes) and the ANN extension
+    * ([[graft.operators.AnnAdmitIndex.extendEpochAdmitted]]), and one
+    * `b<id>` epoch commits to each index: near-dup signatures,
+    * exact-substring windows, and the epoch-sharded ANN admission
+    * index (admitted vectors int8-coded under the live quantizer
+    * generation; [[graft.operators.AnnAdmitIndex.retrain]] — ridden
+    * on full compaction — keeps that generation's k at adaptiveK(N)
+    * so the probe stays sub-linear in the corpus).
     *
     * `stream` must carry (doc_id, text, embedding); rows with a NULL
     * embedding skip the embedding tier (NULL never rejects) and are
