@@ -281,19 +281,39 @@ object IvfOps {
   }
 
   /** Driver-side probe lists — the query-few contract: tiny query sets
-    * skip the window shuffle entirely. */
+    * skip the window shuffle entirely. Returns the probe relation AND
+    * the distinct probed centroid ids: the ids are driver-known here,
+    * which is what lets the caller push `centroid_id IN (...)` into
+    * the index-side SCAN (a join key alone never reaches the parquet
+    * reader as a filter) — over a range-bucketed postings layout
+    * (files sorted by (centroid_id, vec_id) with tight row-group
+    * min/max) the probe then READS only the touched lists' row groups
+    * instead of scanning the index: the last linear-in-the-index term
+    * on the admission hot path becomes O(probed lists). */
   private def probesCollected(queries: DataFrame, model: IvfModel,
-                              nProbe: Int, unitNorm: Boolean): DataFrame = {
+                              nProbe: Int, unitNorm: Boolean)
+      : (DataFrame, Seq[Int]) = {
     val spark = queries.sparkSession
     import spark.implicits._
-    typed(queries).collect().flatMap { case (qid, qv) =>
+    val rows = typed(queries).collect().flatMap { case (qid, qv) =>
       val q = if (unitNorm) {
         val n = math.sqrt(SimilarityOps.dotLocal(qv, qv))
         qv.map(_ / n)
       } else qv
       model.nearest(qv, nProbe).map(cid => (qid, cid, q))
-    }.toSeq.toDF("query_id", "centroid_id", if (unitNorm) "qu" else "qe")
+    }
+    (rows.toSeq.toDF("query_id", "centroid_id",
+      if (unitNorm) "qu" else "qe"),
+      rows.map(_._2).distinct.sorted.toSeq)
   }
+
+  /** The probed-lists scan cut: restrict an index-side relation to the
+    * driver-known probed centroids. Identity under the subsequent
+    * inner equi-join on centroid_id; as a scan FILTER it pushes into
+    * the parquet reader (`PushedFilters: In(centroid_id, ...)`) and
+    * prunes row groups on the range-bucketed layout. */
+  private def probedOnly(rel: DataFrame, cids: Seq[Int]): DataFrame =
+    rel.filter(col("centroid_id").isin(cids.map(Int.box): _*))
 
   /** ANN top-K: probe the nProbe nearest inverted lists per query, exact
     * cosine inside the candidate set, rank with vec_id tiebreak.
@@ -301,10 +321,14 @@ object IvfOps {
     * — identical results, the shape for bulk query sets. */
   def topK(emb: DataFrame, queries: DataFrame, model: IvfModel,
            k: Int, nProbe: Int, joinProbes: Boolean = false): DataFrame = {
-    val assigned = assign(emb, model)
-    val probes =
-      if (joinProbes) probesViaJoin(queries, model, nProbe)
-      else probesCollected(queries, model, nProbe, unitNorm = false)
+    val (probes, assigned) =
+      if (joinProbes) (probesViaJoin(queries, model, nProbe),
+        assign(emb, model))
+      else {
+        val (p, cids) = probesCollected(queries, model, nProbe,
+          unitNorm = false)
+        (p, probedOnly(assign(emb, model), cids))
+      }
     assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1029,10 +1053,15 @@ object IvfOps {
   def adcTopKOverPostings(model: IvfModel, postings: DataFrame,
                           queries: DataFrame, k: Int, nProbe: Int,
                           joinProbes: Boolean = false): DataFrame = {
-    val probes =
-      if (joinProbes) probesViaJoin(queries, model, nProbe, unitNorm = true)
-      else probesCollected(queries, model, nProbe, unitNorm = true)
-    postings.join(broadcast(probes), Seq("centroid_id"))
+    val (probes, posts) =
+      if (joinProbes) (probesViaJoin(queries, model, nProbe,
+        unitNorm = true), postings)
+      else {
+        val (p, cids) = probesCollected(queries, model, nProbe,
+          unitNorm = true)
+        (p, probedOnly(postings, cids))
+      }
+    posts.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(SimilarityOps.dot(col("qu"), col("qcode").cast("array<double>"))
@@ -1143,10 +1172,15 @@ object IvfOps {
       .select(col("vec_id"), col("qcode"))
     val assigned = assign(emb, model).select(col("vec_id"), col("centroid_id"))
       .join(codes, Seq("vec_id"))
-    val probes =
-      if (joinProbes) probesViaJoin(queries, model, nProbe, unitNorm = true)
-      else probesCollected(queries, model, nProbe, unitNorm = true)
-    assigned.join(broadcast(probes), Seq("centroid_id"))
+    val (probes, cand) =
+      if (joinProbes) (probesViaJoin(queries, model, nProbe,
+        unitNorm = true), assigned)
+      else {
+        val (p, cids) = probesCollected(queries, model, nProbe,
+          unitNorm = true)
+        (p, probedOnly(assigned, cids))
+      }
+    cand.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(SimilarityOps.dot(col("qu"), col("qcode").cast("array<double>"))

@@ -268,4 +268,24 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.forall(_._1 === "dup_embed"),
       s"planted exact dups must all reject at the fixed depth: $got")
   }
+
+  test("admission probe pushes the probed-centroid set into the " +
+      "postings SCAN (PushedFilters In(centroid_id,...)) — row-group " +
+      "pruning on the range-bucketed layout: the probe reads the " +
+      "touched lists, not the index") {
+    val root = freshRoot()
+    AnnAdmitIndex.buildIndex(rayCorpus(24), root = root,
+      model = IvfOps.IvfModel(Array(
+        Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+        Array(0.0, 0.0, 1.0), Array(0.5, 0.5, 0.0))))
+    AnnAdmitIndex.compact(spark, root, targetRows = 1000L)
+    val df = AnnAdmitIndex.admit(
+      emb(500L -> Array(1.0, 0.0, 0.0)), root, tau, nProbe = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("PushedFilters: [In(centroid_id"),
+      s"the driver-known probed-centroid filter must reach the parquet " +
+        s"reader (join keys alone never do):\n$plan")
+  }
 }
