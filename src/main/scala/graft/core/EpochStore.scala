@@ -144,6 +144,39 @@ object EpochStore {
     AtomicDir.promote(root, staged.toString)
   }
 
+  /** Prune a compaction's covered-name list below a BATCH-ID
+    * watermark — the fix for covered lists growing transitively with
+    * the ENTIRE batch history (every compaction unions its inputs'
+    * lists forever, so replay-idempotency metadata was O(total
+    * batches ever) at streaming scale).
+    *
+    * Safety argument (the exactly-once contract of the streaming
+    * loop): `foreachBatch` runs batch ids serially, and when batch
+    * `id` is delivered every batch `< id` has its offsets committed
+    * to the checkpoint — Structured Streaming can only ever replay
+    * the in-flight id (or later), NEVER an earlier one. So a
+    * compaction running inside batch `id`'s maintenance may forget
+    * that `b<j>` (j < id) was absorbed: the replay that pruning
+    * could confuse is impossible by the checkpoint's own guarantee.
+    *
+    * With a floor, the kept set is EXACTLY `{epochs/b<j> : j ≥
+    * floor}` — non-batch names (prior merged epochs' own m- and
+    * c-prefixed names, which also accumulate one per compaction)
+    * carry no replay obligation and drop too, so covered.json is bounded at
+    * O(in-flight batches), i.e. O(1). Callers that extend under
+    * NON-`b<id>` epoch names and rely on their idempotency must not
+    * pass a floor; `None` keeps today's keep-everything behavior. */
+  def pruneCovered(names: Seq[String], floor: Option[Long]): Seq[String] =
+    floor match {
+      case None => names
+      case Some(f) =>
+        val B = "epochs/b([0-9]+)".r
+        names.filter(n => entryPath(n) match {
+          case B(id) => id.toLong >= f
+          case _ => false
+        })
+    }
+
   /** Epoch names embed in the hand-serialized manifest: an unvalidated
     * name containing a quote or comma would silently corrupt it (split
     * one entry into bogus paths, defeat replay-idempotency `contains`

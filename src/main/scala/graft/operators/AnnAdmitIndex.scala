@@ -296,9 +296,13 @@ object AnnAdmitIndex {
     * the base grows, the [[NearDupIndex.compactTail]] discipline.
     * Semantics-free: epochs hold disjoint vec_ids (each batch posted
     * only its own admitted vectors) and the probe is a plain union.
-    * A <2-epoch tail is a promoted-version no-op. */
+    * A <2-epoch tail is a promoted-version no-op. `coveredFloor`:
+    * checkpoint-watermark prune of the folded names
+    * ([[EpochStore.pruneCovered]]) — O(1) covered metadata for the
+    * streaming loop. */
   def compactTail(spark: SparkSession, root: String,
-                  targetRows: Long = defaultCompactRowsPerPartition): String =
+                  targetRows: Long = defaultCompactRowsPerPartition,
+                  coveredFloor: Option[Long] = None): String =
     lockFor(root).synchronized {
       val token = EpochStore.currentToken(root)
       val eps = committedEpochs(root)
@@ -308,8 +312,9 @@ object AnnAdmitIndex {
       else {
         val merged = spark.read
           .parquet(tail.map(e => s"$root/$e/postings"): _*)
-        val covered = tail.flatMap(e =>
-          EpochStore.entryPath(e) +: EpochStore.coveredNames(root, e))
+        val covered = EpochStore.pruneCovered(tail.flatMap(e =>
+          EpochStore.entryPath(e) +: EpochStore.coveredNames(root, e)),
+          coveredFloor)
         val ep = EpochStore.writeEpoch(root,
           "m" + java.util.UUID.randomUUID().toString.take(12),
           Seq("postings" -> ranged(merged, merged.count(), targetRows)),

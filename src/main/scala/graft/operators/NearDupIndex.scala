@@ -823,9 +823,16 @@ object NearDupIndex {
     * applies to any of them (tombstones only kill epochs committed
     * before them). A no-op (tail shorter than 2 epochs) returns the
     * live version unchanged. Same crash-anywhere discipline as every
-    * promotion. */
+    * promotion.
+    *
+    * `coveredFloor`: checkpoint-watermark prune of the folded-name
+    * list ([[graft.core.EpochStore.pruneCovered]]) — the streaming
+    * loop passes its current batch id so covered.json stays O(1)
+    * instead of growing with the whole batch history; safe because a
+    * batch below the checkpoint frontier can never replay. */
   def compactTail(spark: SparkSession, root: String,
-                  targetRows: Long = defaultCompactRowsPerPartition): String =
+                  targetRows: Long = defaultCompactRowsPerPartition,
+                  coveredFloor: Option[Long] = None): String =
     lockFor(root).synchronized {
       val token = currentToken(root)
       val eps = committedEpochs(root)
@@ -843,9 +850,10 @@ object NearDupIndex {
             .groupBy("fp").agg(sum(col("n_rejected")).as("n_rejected"))
         val nCl = tbl("cliques").count() // O(|tail|), sizes the rewrite
         val name = "m" + java.util.UUID.randomUUID().toString.take(12)
-        val covered = tail.flatMap(e =>
-          graft.core.EpochStore.entryPath(e) +:
-            graft.core.EpochStore.coveredNames(root, e))
+        val covered = graft.core.EpochStore.pruneCovered(
+          tail.flatMap(e =>
+            graft.core.EpochStore.entryPath(e) +:
+              graft.core.EpochStore.coveredNames(root, e)), coveredFloor)
         val ep = graft.core.EpochStore.writeEpoch(root, name, Seq(
           "cliques" -> ranged(tbl("cliques"), nCl, targetRows, 1,
             col("fp")),

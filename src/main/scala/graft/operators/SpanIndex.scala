@@ -240,9 +240,13 @@ object SpanIndex {
     * epoch, leaving the base untouched on disk: O(|tail|) however big
     * the base grows, the [[NearDupIndex.compactTail]] discipline.
     * Semantics-free (epochs are hash-disjoint); folded names persist
-    * in `covered.json`. A <2-epoch tail is a promoted-version no-op. */
+    * in `covered.json`. A <2-epoch tail is a promoted-version no-op.
+    * `coveredFloor`: checkpoint-watermark prune of the folded names
+    * ([[EpochStore.pruneCovered]]) — O(1) covered metadata for the
+    * streaming loop. */
   def compactTail(spark: SparkSession, root: String,
-                  targetRows: Long = defaultCompactRowsPerPartition): String =
+                  targetRows: Long = defaultCompactRowsPerPartition,
+                  coveredFloor: Option[Long] = None): String =
     lockFor(root).synchronized {
       val token = EpochStore.currentToken(root)
       val eps = committedEpochs(root)
@@ -251,8 +255,9 @@ object SpanIndex {
       else {
         val merged = spark.read
           .parquet(tail.map(e => s"$root/$e/postings"): _*)
-        val covered = tail.flatMap(e =>
-          EpochStore.entryPath(e) +: EpochStore.coveredNames(root, e))
+        val covered = EpochStore.pruneCovered(tail.flatMap(e =>
+          EpochStore.entryPath(e) +: EpochStore.coveredNames(root, e)),
+          coveredFloor)
         val ep = EpochStore.writeEpoch(root,
           "m" + java.util.UUID.randomUUID().toString.take(12),
           Seq("postings" -> ranged(merged, merged.count(), targetRows)),

@@ -60,10 +60,16 @@ object AdmissionStream {
         NearDupIndex.extendEpoch(batch, nearDupRoot, s"b$id", minMatches)
         SpanIndex.extendEpoch(batch, spanRoot, s"b$id", w)
         if (maintainEvery > 0) {
+          // coveredFloor = the in-flight batch id: every batch below it
+          // has committed offsets and can never replay, so its folded
+          // replay-idempotency name may be forgotten — covered.json
+          // stays O(1) instead of growing with the batch history
           if (NearDupIndex.tailSize(nearDupRoot) >= maintainEvery)
-            NearDupIndex.compactTail(batch.sparkSession, nearDupRoot)
+            NearDupIndex.compactTail(batch.sparkSession, nearDupRoot,
+              coveredFloor = Some(id))
           if (SpanIndex.tailSize(spanRoot) >= maintainEvery)
-            SpanIndex.compactTail(batch.sparkSession, spanRoot)
+            SpanIndex.compactTail(batch.sparkSession, spanRoot,
+              coveredFloor = Some(id))
         }
         ()
       }
@@ -128,12 +134,17 @@ object AdmissionStream {
               .select(col("vec_id")))
         } finally verdicts.unpersist()
         if (maintainEvery > 0) {
+          // coveredFloor = the in-flight batch id (see [[ingest]]):
+          // O(1) replay metadata on every tier
           if (NearDupIndex.tailSize(nearDupRoot) >= maintainEvery)
-            NearDupIndex.compactTail(batch.sparkSession, nearDupRoot)
+            NearDupIndex.compactTail(batch.sparkSession, nearDupRoot,
+              coveredFloor = Some(id))
           if (SpanIndex.tailSize(spanRoot) >= maintainEvery)
-            SpanIndex.compactTail(batch.sparkSession, spanRoot)
+            SpanIndex.compactTail(batch.sparkSession, spanRoot,
+              coveredFloor = Some(id))
           if (AnnAdmitIndex.tailSize(annRoot) >= maintainEvery)
-            AnnAdmitIndex.compactTail(batch.sparkSession, annRoot)
+            AnnAdmitIndex.compactTail(batch.sparkSession, annRoot,
+              coveredFloor = Some(id))
         }
         ()
       }
