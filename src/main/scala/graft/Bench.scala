@@ -201,8 +201,11 @@ object Bench {
     // mid-sweep readings that never ran (<=2-query sweep) emit as JSON
     // null, not a -1.0 sentinel: a consumer computing the documented
     // detachment ratio |calib_mid/calib_warm - 1| must see "absent", not
-    // a nonsense negative reading
-    def fmtOpt(v: Double): String = if (v < 0) "null" else fmt(v)
+    // a nonsense negative reading. Compare the EXACT sentinel — the
+    // alloc delta can in principle read genuinely negative (GC between
+    // the two MX readings), and that is a measurement to report, not
+    // an absence to hide
+    def fmtOpt(v: Double): String = if (v == -1.0) "null" else fmt(v)
     val calibs = s""""calib":${fmt(calib)},""" +
       s""""calib_alloc":${fmt(calibAlloc)},""" +
       s""""calib_warm":${fmt(calibWarm)},""" +

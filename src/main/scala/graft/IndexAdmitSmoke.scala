@@ -95,21 +95,50 @@ object IndexAdmitSmoke {
     // constant probed fraction (the r16 6.03x)
     val annNProbe = sys.env.get("SPARK_GRAFT_ANN_NPROBE")
       .map(_.toInt).getOrElse(8)
-    def admitOnce(): (Double, Long) = {
+    def admitOnce(b: org.apache.spark.sql.DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       val n =
         if (mode == "span")
-          spx.admitBill(batch, root)
+          spx.admitBill(b, root)
             .filter(col("tokens_retained") > 0L).count()
         else if (mode == "ann")
-          anx.admit(batch, root, tauMicro, annNProbe)
+          anx.admit(b, root, tauMicro, annNProbe)
             .filter(col("verdict") === "admitted").count()
-        else ndx.admit(batch, root)
+        else ndx.admit(b, root)
           .filter(col("verdict") === "admitted").count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    val runs = Seq(admitOnce(), admitOnce())
+    val runs = Seq(admitOnce(batch), admitOnce(batch))
     val best = runs.minBy(_._1)
+    // TRANSPOSED AXIS (VERDICT r17 item 2): the [admit] rows above fix
+    // n_in and scale the INDEX — which is exactly how the r17 driver-
+    // collect hazard stayed invisible. SPARK_GRAFT_NIN_SCALE=F holds
+    // the index fixed and scales the BATCH F× (id-shifted copies;
+    // text perturbed per copy so the near tier's distinct-content
+    // contraction cannot collapse the inflation; embeddings replicate
+    // as-is — admission probes per vector, no content dedup). For the
+    // embed tier F×500 crosses IvfOps.ProbeAuto's 8192 threshold, so
+    // this row exercises the DISTRIBUTED probe path end-to-end: the
+    // batch never collects to the driver, probes shuffle-join.
+    // Admission is O(|batch|) by claim, so the caller bounds the time
+    // ratio by ~the row growth; anything quadratic-in-batch (or a
+    // driver/broadcast structure sized by the batch) blows through.
+    val scaleF = sys.env.get("SPARK_GRAFT_NIN_SCALE").map(_.toInt).getOrElse(0)
+    val bigField = if (scaleF <= 1) "" else {
+      val shift = (i: Int) => lit(i.toLong * 1000000000L)
+      val big = (if (mode == "ann")
+        (0 until scaleF).map(i => batch.select(
+          (col("vec_id") + shift(i)).as("vec_id"), col("embedding")))
+      else
+        (0 until scaleF).map(i => batch.select(
+          (col("doc_id") + shift(i)).as("doc_id"),
+          concat(col("text"), lit(s" uq$i")).as("text"))))
+        .reduce(_.unionAll(_)).localCheckpoint(true)
+      val nBig = big.count()
+      val r = Seq(admitOnce(big), admitOnce(big)).minBy(_._1)
+      f""","admit_big_s":${r._1}%.3f,"n_in_big":$nBig,""" +
+        s""""n_admitted_big":${r._2}"""
+    }
     // COMPACTION probe (VERDICT r15 item 1's measured half): full
     // compact of a filesystem copy at the production default
     // targetRows — the O(corpus) maintenance op, expected to scale
@@ -164,7 +193,7 @@ object IndexAdmitSmoke {
       s""""n_in":$nIn,"n_admitted":${best._2},""" +
       f""""compact_s":$compactS%.3f,"compact_files":$nFiles,""" +
       s""""compact_rows":$nRows,"compact_target":$targetRows""" +
-      s"""$retrainField}""")
+      s"""$retrainField$bigField}""")
     spark.stop()
   }
 

@@ -90,29 +90,52 @@ object EpochStore {
     * replay recompute a manifest against an index that already holds
     * the batch.
     *
-    * Cached per root, keyed by the CURRENT token: covered lists grow
-    * transitively with the whole batch history (compactions union
-    * their inputs' lists forever), so recomputing this on every
-    * per-micro-batch idempotency probe is O(total batches ever) of
-    * driver file IO at streaming scale. A promoted version is
-    * immutable, so the set is a pure function of (root, token); the
-    * cache holds one entry per root (the live version — stale tokens
-    * are dead the instant a promotion lands). The read is guarded by
-    * a token re-read: a promotion racing between the manifest read
-    * and the token read would otherwise cache a newer epoch list
-    * under the older token. */
+    * Cached per root, keyed by the CURRENT token PLUS the manifest
+    * file's identity witness: covered lists grow transitively with
+    * the whole batch history (compactions union their inputs' lists
+    * forever), so recomputing this on every per-micro-batch
+    * idempotency probe is O(total batches ever) of driver file IO at
+    * streaming scale. A promoted version is immutable, so the set is
+    * a pure function of (root, version) — but the token alone is just
+    * `v<N>`, which RESTARTS at v1 when a root is deleted and rebuilt
+    * at the same path inside one JVM; a token-only key would then
+    * serve the DEAD index's accounted set and silently skip
+    * committing the rebuilt index's batches. The witness therefore
+    * also carries the live manifest.json's filesystem fileKey (inode
+    * identity — a rebuilt manifest is a different file) and mtime.
+    * The read is guarded by a witness re-read: a promotion racing
+    * between the manifest read and the witness read would otherwise
+    * cache a newer epoch list under the older witness. */
   def accountedNames(root: String): Set[String] = {
     val key = java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
-    val token = currentToken(root)
+    val witness = manifestWitness(root)
     val cached = accountedCache.get(key)
-    if (cached != null && cached._1 == token) cached._2
+    if (cached != null && cached._1 == witness) cached._2
     else {
       val eps = committedEpochs(root)
       val names =
         (eps.map(entryPath) ++ eps.flatMap(e => coveredNames(root, e))).toSet
-      if (currentToken(root) == token) accountedCache.put(key, (token, names))
+      if (manifestWitness(root) == witness)
+        accountedCache.put(key, (witness, names))
       names
     }
+  }
+
+  /** The live manifest's collision-proof identity: CURRENT token +
+    * the manifest file's fileKey (dev/inode — unique per file life,
+    * so a same-path rebuild can never alias) + mtime. Falls back to
+    * the bare token if the attribute read races a promotion — the
+    * re-read guard in [[accountedNames]] then simply declines to
+    * cache. */
+  private def manifestWitness(root: String): String = {
+    val token = currentToken(root)
+    if (token.isEmpty) token
+    else try {
+      val a = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(root, token, "manifest.json"),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"$token|${a.fileKey}|${a.lastModifiedTime.toMillis}"
+    } catch { case _: java.io.IOException => token }
   }
 
   private val accountedCache =
@@ -159,21 +182,30 @@ object EpochStore {
     * that `b<j>` (j < id) was absorbed: the replay that pruning
     * could confuse is impossible by the checkpoint's own guarantee.
     *
-    * With a floor, the kept set is EXACTLY `{epochs/b<j> : j ≥
-    * floor}` — non-batch names (prior merged epochs' own m- and
-    * c-prefixed names, which also accumulate one per compaction)
-    * carry no replay obligation and drop too, so covered.json is bounded at
-    * O(in-flight batches), i.e. O(1). Callers that extend under
-    * NON-`b<id>` epoch names and rely on their idempotency must not
-    * pass a floor; `None` keeps today's keep-everything behavior. */
+    * With a floor, the pruned-away set is EXACTLY the names the
+    * streaming loop generates and owns: `epochs/b<j>` with j < floor
+    * (committed batches the checkpoint can never replay) and the
+    * store-GENERATED maintenance names (`[cemrt]` + 12 uuid chars —
+    * prior builds/compactions/retrains, which accumulate one per
+    * maintenance op and carry no replay obligation). Anything ELSE —
+    * a caller's custom epoch name extended outside the `b<id>`
+    * convention — is kept conservatively: forgetting it would
+    * silently break that caller's replay idempotency, and a kept
+    * stray name costs O(1) bytes, so the failure polarity is
+    * remember-too-much, never forget. `None` keeps everything. */
   def pruneCovered(names: Seq[String], floor: Option[Long]): Seq[String] =
     floor match {
       case None => names
       case Some(f) =>
         val B = "epochs/b([0-9]+)".r
+        // the writeEpoch name shapes this library itself generates:
+        // e=build/extend, c=compact, m=tail-merge, r=rebuild, t=retrain,
+        // each + UUID.take(12) ([0-9a-f-])
+        val Gen = "epochs/[cemrt][0-9a-f-]{12}".r
         names.filter(n => entryPath(n) match {
           case B(id) => id.toLong >= f
-          case _ => false
+          case Gen() => false
+          case _ => true
         })
     }
 
@@ -216,7 +248,50 @@ object EpochStore {
     s"epochs/$name"
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  /** Explicit space reclamation for a store root — deletes every
+    * directory the LIVE manifest does not reference: retired `v<N>`
+    * version dirs, epoch dirs folded away by compactions or orphaned
+    * by crashed attempts, unreferenced `model/<gen>` quantizer
+    * generations ([[graft.operators.AnnAdmitIndex]]'s manifest
+    * entries resolve through the same path rule), and stale
+    * `.stage-*`/`.staging-*` leftovers. Without this, a long-lived
+    * root accumulates unbounded invisible garbage — every compaction
+    * retires an epoch dir and a version dir that nothing ever
+    * deletes. Rollback to prior versions is forfeited; run only when
+    * no reader can still hold an old CURRENT pointer (the
+    * [[AtomicDir]] deletion doctrine). Returns the number of
+    * directories removed. */
+  def gc(root: String): Int = lockFor(root).synchronized {
+    import scala.jdk.CollectionConverters._
+    val token = currentToken(root)
+    require(token.nonEmpty, s"gc on an unpromoted store at $root")
+    val referenced = committedEpochs(root).map(entryPath).toSet
+    val rootP = java.nio.file.Paths.get(root)
+    var removed = 0
+    def sweep(sub: String, keep: String => Boolean): Unit = {
+      val d = rootP.resolve(sub)
+      if (java.nio.file.Files.isDirectory(d)) {
+        val ls = java.nio.file.Files.list(d)
+        val names = try ls.iterator().asScala
+          .map(_.getFileName.toString).toList finally ls.close()
+        names.filterNot(keep).foreach { n =>
+          deleteRecursively(d.resolve(n)); removed += 1
+        }
+      }
+    }
+    sweep("epochs", n => referenced.contains(s"epochs/$n"))
+    sweep("model", n => referenced.contains(s"model/$n"))
+    val vPat = "v(\\d+)".r
+    sweep(".", {
+      case `token` => true
+      case vPat(_) => false
+      case n if n.startsWith(".staging-") => false
+      case _ => true // epochs/, model/, CURRENT, and any caller extras
+    })
+    removed
+  }
+
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(p)

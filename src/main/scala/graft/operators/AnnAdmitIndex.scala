@@ -46,8 +46,12 @@ import graft.core.EpochStore
   * near-dups both post in [[NearDupIndex]] — the batch is admitted
   * first, indexed second).
   *
-  * Scale shape: probes broadcast into nProbe lists per query
-  * (index-side bytes never shuffle); extension is O(|admitted batch|);
+  * Scale shape: per query only the nProbe touched lists are read
+  * (probed-cid scan cut), and the probe form follows the batch
+  * ([[IvfOps.ProbeAuto]]): small batches collect+broadcast, large
+  * ones build probes on the executors and shuffle-join — no driver-
+  * or broadcast-resident state grows with the batch. Extension is
+  * O(|admitted batch|);
   * [[compactTail]] merges only the accretion tail, range-bucketed by
   * (centroid_id, vec_id) so each output file serves whole list ranges
   * with a tight centroid_id min/max — parallel rewrite, no
@@ -80,13 +84,22 @@ object AnnAdmitIndex {
     * dir (staged + atomic move, the [[EpochStore.writeEpoch]]
     * discipline) and return its manifest entry. Unreferenced until a
     * manifest naming it promotes — a crash leaves invisible garbage,
-    * never a half-read model. */
+    * never a half-read model. Stale `.stage-*` leftovers of crashed
+    * prior attempts (random names, so unlike writeEpoch a retry never
+    * overwrites them) are swept here; retired generations and version
+    * dirs are reclaimed by the explicit [[gc]]. */
   private def writeModel(spark: SparkSession, model: IvfOps.IvfModel,
                          root: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
     import spark.implicits._
     val name = "g" + java.util.UUID.randomUUID().toString.take(12)
     Files.createDirectories(Paths.get(root, "model"))
+    val ls = Files.list(Paths.get(root, "model"))
+    try ls.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".stage-")).toList
+      .foreach(EpochStore.deleteRecursively)
+    finally ls.close()
     val stage = Paths.get(root, "model", s".stage-$name")
     model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("centroid_id", "cv")
@@ -133,12 +146,22 @@ object AnnAdmitIndex {
 
   /** Admission verdicts for an embedding batch against the LIVE index:
     * `(vec_id, anchor_id, adc_cos_micro, verdict)` with verdict ∈
-    * {admitted, dup_embed} — [[IvfOps.admitVectors]]' schema. */
+    * {admitted, dup_embed} — [[IvfOps.admitVectors]]' schema.
+    *
+    * `mode` is the probe form ([[IvfOps.ProbeMode]]): the default
+    * [[IvfOps.ProbeAuto]] makes the streaming hot path batch-scale-
+    * safe — above the collect threshold the batch's embeddings never
+    * reach the driver (only the ≤K distinct probed centroid ids do,
+    * keeping the postings-scan cut) and the probe relation
+    * shuffle-joins instead of broadcasting; below it the query-few
+    * collected plan is kept. Both forms return bit-identical verdicts
+    * (AnnAdmitIndexSpec pins it). */
   def admit(queries: DataFrame, root: String, tauMicro: Long,
-            nProbe: Int): DataFrame = {
+            nProbe: Int,
+            mode: IvfOps.ProbeMode = IvfOps.ProbeAuto()): DataFrame = {
     val spark = queries.sparkSession
     IvfOps.admitVectorsOver(loadModel(spark, root), load(spark, root),
-      queries, tauMicro, nProbe)
+      queries, tauMicro, nProbe, mode)
   }
 
   /** Commit the batch's ADMITTED vectors as a new epoch under a
@@ -168,7 +191,18 @@ object AnnAdmitIndex {
     * batch-signing memoization. The relation is evaluated ONLY on the
     * commit path — a replayed (accounted) name returns false without
     * touching it, so a replay never probes an index that already
-    * contains the batch. */
+    * contains the batch.
+    *
+    * TRUST BOUNDARY: the contraction invariant (only ANN-admitted
+    * vectors post) is enforced here by CALLER discipline, on purpose
+    * — re-probing inside the extension would defeat the one-probe-
+    * per-batch contract, and the left_semi below already guarantees
+    * nothing outside `emb` can post. A caller passing ids its own
+    * probe did not admit gets exactly what it asked for (the repair
+    * paths want that latitude); the streaming loop
+    * ([[graft.streaming.AdmissionStream.ingestFull]]) is the
+    * production caller and passes its persisted [[admit]] verdicts
+    * verbatim. */
   def extendEpochAdmitted(emb: DataFrame, root: String, epochName: String,
                           admittedIds: DataFrame): Boolean =
     lockFor(root).synchronized {
@@ -323,6 +357,13 @@ object AnnAdmitIndex {
           modelEntries(eps) ++ Seq(posts.head, ep), token)
       }
     }
+
+  /** Explicit space reclamation — [[EpochStore.gc]] over this root:
+    * retired `v<N>` dirs, folded/orphaned epoch dirs, unreferenced
+    * `model/<gen>` quantizer generations, stale staging leftovers.
+    * Run at retrain/compaction cadence once no reader can hold an old
+    * CURRENT pointer; rollback to prior versions is forfeited. */
+  def gc(root: String): Int = EpochStore.gc(root)
 
   /** Size of the accretion tail [[compactTail]] would merge. */
   def tailSize(root: String): Int =

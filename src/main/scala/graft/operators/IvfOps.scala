@@ -307,13 +307,112 @@ object IvfOps {
       rows.map(_._2).distinct.sorted.toSeq)
   }
 
+  /** DISTRIBUTED probe lists — the batch-scale path: one stateless
+    * per-row flatMap over the broadcast codebook, emitting the same
+    * `(query_id, centroid_id, qe|qu)` rows as [[probesCollected]]
+    * through the SAME arithmetic ([[IvfModel.nearest]] + the same
+    * normalization), so the two forms are bit-identical by
+    * construction — only WHERE the ranking runs differs (executors vs
+    * driver). The query side never reaches the driver; output is
+    * |batch|·nProbe rows with no |batch|·K intermediate (the
+    * [[probesViaJoin]] window shape explodes at K = √N — right for
+    * the K-row-broadcast rank-keeping surfaces like [[probeYieldCurve]],
+    * wrong for a production micro-batch against a large codebook). */
+  private def probesMapped(queries: DataFrame, model: IvfModel,
+                           nProbe: Int, unitNorm: Boolean): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    typed(queries).flatMap { case (qid, qv) =>
+      val q = if (unitNorm) {
+        val n = math.sqrt(SimilarityOps.dotLocal(qv, qv))
+        qv.map(_ / n)
+      } else qv
+      bc.value.nearest(qv, nProbe).map(cid => (qid, cid, q))
+    }.toDF("query_id", "centroid_id", if (unitNorm) "qu" else "qe")
+  }
+
+  /** The distinct probed centroid ids of a probe relation — ≤ K ints,
+    * driver-known however large the batch: what keeps the
+    * [[probedOnly]] scan cut alive on the [[ProbeDistributed]] path
+    * without ever collecting batch-sized (or embedding-carrying) rows.
+    * Sorted for a deterministic In-literal. */
+  private def distinctCids(probes: DataFrame): Seq[Int] =
+    probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+
+  /** Max width of the `In(centroid_id, …)` literal pushed into the
+    * postings scan. The probed-cid set is driver-known and bounded by
+    * K, but at 100 TB (K ≈ 3·10⁵ lists) a busy batch can probe most of
+    * them and a megabyte In-literal degrades planning and predicate
+    * evaluation; above this width [[probedOnly]] switches to a
+    * broadcast LEFT SEMI join on a K-bounded centroid-id relation —
+    * the same join-side pruning without the giant literal (and DPP-
+    * prunable where the layout partitions by centroid_id). */
+  private[graft] val defaultProbedInMax: Int = 10000
+
   /** The probed-lists scan cut: restrict an index-side relation to the
     * driver-known probed centroids. Identity under the subsequent
     * inner equi-join on centroid_id; as a scan FILTER it pushes into
     * the parquet reader (`PushedFilters: In(centroid_id, ...)`) and
-    * prunes row groups on the range-bucketed layout. */
-  private def probedOnly(rel: DataFrame, cids: Seq[Int]): DataFrame =
-    rel.filter(col("centroid_id").isin(cids.map(Int.box): _*))
+    * prunes row groups on the range-bucketed layout. Beyond `inMax`
+    * ids the literal form degrades and a broadcast semi-join carries
+    * the same cut (see [[defaultProbedInMax]]). */
+  private[graft] def probedOnly(rel: DataFrame, cids: Seq[Int],
+                                inMax: Int = defaultProbedInMax): DataFrame =
+    if (cids.size <= inMax)
+      rel.filter(col("centroid_id").isin(cids.map(Int.box): _*))
+    else {
+      val spark = rel.sparkSession
+      import spark.implicits._
+      rel.join(broadcast(cids.toDF("centroid_id")),
+        Seq("centroid_id"), "left_semi")
+    }
+
+  /** Probe-construction strategy for the postings-probing entries
+    * ([[adcTopKOverPostings]] / [[admitVectorsOver]] and the
+    * [[AnnAdmitIndex]] admission path on top of them). The two forms
+    * return bit-identical rows (AnnAdmitIndexSpec pins it); they
+    * differ in what crosses the driver and in join shape:
+    *
+    *   - [[ProbeCollected]] — the query-few contract: the batch's
+    *     float embeddings collect to the driver, rank against the
+    *     codebook there, and re-broadcast as the probe relation; the
+    *     probed-cid set falls out for free. Right for interactive /
+    *     small query sets; driver-memory-bound in |batch|.
+    *   - [[ProbeDistributed]] — the batch-scale path: probes built by
+    *     [[probesMapped]] on the executors, ONLY the ≤K distinct
+    *     probed centroid ids collected (for the [[probedOnly]] scan
+    *     cut), and the probe relation SHUFFLE-joined (sort-merge
+    *     pinned) into the postings — nothing driver- or
+    *     broadcast-resident grows with the batch. Costs one extra
+    *     distributed ranking pass (the cid-collect job re-ranks;
+    *     ~2× the assignment flops, no extra shuffle).
+    *   - [[ProbeAuto]] — resolve by measuring the query side once
+    *     (an early-stopping `limit(max+1).count()`): ≤ `collectMax`
+    *     rows → Collected, above → Distributed. The default for the
+    *     admission path, so a streaming micro-batch is batch-scale-
+    *     safe without a knob while oracle/test batches keep the
+    *     collected plan. */
+  sealed trait ProbeMode
+  case object ProbeCollected extends ProbeMode
+  case object ProbeDistributed extends ProbeMode
+  /** `collectMax` default: 8192 queries × 768-d doubles ≈ 50 MB on
+    * the driver — comfortably inside any driver heap; past that the
+    * distributed form's extra ranking pass is cheaper than the
+    * collect+broadcast anyway. */
+  final case class ProbeAuto(collectMax: Long = 8192L) extends ProbeMode
+
+  /** Resolve [[ProbeAuto]] against the live query side. */
+  private def resolveProbeMode(queries: DataFrame,
+                               mode: ProbeMode): ProbeMode = mode match {
+    case ProbeAuto(max) =>
+      val bound = math.min(max, Long.MaxValue - 1)
+      if (queries.select(lit(1)).limit((bound + 1).min(Int.MaxValue).toInt)
+            .count() > bound) ProbeDistributed
+      else ProbeCollected
+    case m => m
+  }
 
   /** ANN top-K: probe the nProbe nearest inverted lists per query, exact
     * cosine inside the candidate set, rank with vec_id tiebreak.
@@ -1040,28 +1139,34 @@ object IvfOps {
     * table. */
   def adcTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queries: DataFrame, k: Int, nProbe: Int,
-                       joinProbes: Boolean = false): DataFrame =
+                       mode: ProbeMode = ProbeAuto()): DataFrame =
     adcTopKOverPostings(loadIndex(spark, dir),
-      spark.read.parquet(s"$dir/postings"), queries, k, nProbe, joinProbes)
+      spark.read.parquet(s"$dir/postings"), queries, k, nProbe, mode)
 
   /** The [[adcTopKFromIndex]] probe over an ALREADY-ASSEMBLED postings
     * relation — the entry the epoch-sharded admission index
     * ([[AnnAdmitIndex]]) uses, where the live postings are a manifest
-    * union rather than one directory. Plan shape is identical: probes
-    * broadcast into the nProbe touched lists, k bounds the per-query
-    * window. */
+    * union rather than one directory. Both [[ProbeMode]] forms keep
+    * the probed-cid scan cut into the postings; they differ in whether
+    * the probe relation broadcasts (collected, query-few) or
+    * shuffle-joins (distributed, batch-scale — sort-merge pinned so
+    * neither the optimizer's static stats nor AQE can re-broadcast a
+    * relation whose size grows with the batch). */
   def adcTopKOverPostings(model: IvfModel, postings: DataFrame,
                           queries: DataFrame, k: Int, nProbe: Int,
-                          joinProbes: Boolean = false): DataFrame = {
-    val (probes, posts) =
-      if (joinProbes) (probesViaJoin(queries, model, nProbe,
-        unitNorm = true), postings)
-      else {
+                          mode: ProbeMode = ProbeAuto()): DataFrame = {
+    val joined = resolveProbeMode(queries, mode) match {
+      case ProbeCollected =>
         val (p, cids) = probesCollected(queries, model, nProbe,
           unitNorm = true)
-        (p, probedOnly(postings, cids))
-      }
-    posts.join(broadcast(probes), Seq("centroid_id"))
+        probedOnly(postings, cids).join(broadcast(p), Seq("centroid_id"))
+      case ProbeDistributed =>
+        val p = probesMapped(queries, model, nProbe, unitNorm = true)
+        probedOnly(postings, distinctCids(p))
+          .join(p.hint("merge"), Seq("centroid_id"))
+      case m => throw new IllegalStateException(s"unresolved probe mode $m")
+    }
+    joined
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(SimilarityOps.dot(col("qu"), col("qcode").cast("array<double>"))
@@ -1089,17 +1194,21 @@ object IvfOps {
     * row. Quantization error is one-sided (corpus only); read τ
     * against x96/x171-style calibration before trusting it at scale. */
   def admitVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   queries: DataFrame, tauMicro: Long,
-                   nProbe: Int): DataFrame =
+                   queries: DataFrame, tauMicro: Long, nProbe: Int,
+                   mode: ProbeMode = ProbeAuto()): DataFrame =
     admitVectorsOver(loadIndex(spark, dir),
-      spark.read.parquet(s"$dir/postings"), queries, tauMicro, nProbe)
+      spark.read.parquet(s"$dir/postings"), queries, tauMicro, nProbe, mode)
 
   /** [[admitVectors]] over an already-assembled postings relation —
-    * the [[AnnAdmitIndex]] entry. */
+    * the [[AnnAdmitIndex]] entry. `mode` picks the probe form
+    * ([[ProbeMode]]); the default [[ProbeAuto]] keeps a streaming
+    * micro-batch batch-scale-safe (nothing driver-resident grows with
+    * the batch) while small query sets keep the collected plan. */
   def admitVectorsOver(model: IvfModel, postings: DataFrame,
-                       queries: DataFrame, tauMicro: Long,
-                       nProbe: Int): DataFrame = {
-    val best = adcTopKOverPostings(model, postings, queries, k = 1, nProbe)
+                       queries: DataFrame, tauMicro: Long, nProbe: Int,
+                       mode: ProbeMode = ProbeAuto()): DataFrame = {
+    val best = adcTopKOverPostings(model, postings, queries, k = 1, nProbe,
+      mode)
       .select(col("query_id").as("vec_id"),
         col("neighbor_id").as("anchor_id"),
         floor(col("adc_cos") * lit(1e6) + lit(0.5)).cast("long")

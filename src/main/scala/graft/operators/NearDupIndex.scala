@@ -871,6 +871,12 @@ object NearDupIndex {
   private def tailStart(eps: Seq[String]): Int =
     math.max(eps.lastIndexWhere(_.startsWith(TombPrefix)) + 1, 1)
 
+  /** Explicit space reclamation — [[graft.core.EpochStore.gc]] over
+    * this root: retired `v<N>` dirs, folded/orphaned epoch dirs,
+    * stale staging leftovers. Run once no reader can hold an old
+    * CURRENT pointer; rollback to prior versions is forfeited. */
+  def gc(root: String): Int = graft.core.EpochStore.gc(root)
+
   /** Size of the accretion tail [[compactTail]] would merge — the
     * maintenance trigger the streaming ingests read, exposed here so
     * the tail-selection rule can never desynchronize from the

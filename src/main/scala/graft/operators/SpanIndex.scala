@@ -305,6 +305,12 @@ object SpanIndex {
       EpochStore.promoteCas(root, Seq(ep), token)
     }
 
+  /** Explicit space reclamation — [[EpochStore.gc]] over this root:
+    * retired `v<N>` dirs, folded/orphaned epoch dirs, stale staging
+    * leftovers. Run once no reader can hold an old CURRENT pointer;
+    * rollback to prior versions is forfeited. */
+  def gc(root: String): Int = EpochStore.gc(root)
+
   /** Size of the accretion tail [[compactTail]] would merge — the
     * maintenance trigger streaming ingests read. */
   def tailSize(root: String): Int =

@@ -269,6 +269,79 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"planted exact dups must all reject at the fixed depth: $got")
   }
 
+  test("Collected and Distributed probe forms return bit-identical " +
+      "verdicts — the contract that lets ProbeAuto flip a micro-batch " +
+      "to the batch-scale path without changing any decision") {
+    val root = freshRoot()
+    val fourCent = IvfOps.IvfModel(Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0), Array(0.5, 0.5, 0.0)))
+    AnnAdmitIndex.buildIndex(rayCorpus(24), fourCent, root)
+    val batch = rayCorpus(9, offset = 500L)
+    def rows(mode: IvfOps.ProbeMode) =
+      AnnAdmitIndex.admit(batch, root, tau, nProbe = 2, mode)
+        .collect().map(r => (r.getLong(0),
+          Option(r.getAs[java.lang.Long]("anchor_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("adc_cos_micro")).map(_.toLong),
+          r.getString(3))).sortBy(_._1).toList
+    val collected = rows(IvfOps.ProbeCollected)
+    assert(rows(IvfOps.ProbeDistributed) === collected,
+      "distributed probes must replay the collected decisions bit-for-bit")
+    assert(rows(IvfOps.ProbeAuto(collectMax = 4L)) === collected,
+      "Auto above threshold (9 > 4) rides the distributed form")
+    assert(rows(IvfOps.ProbeAuto(collectMax = 1000L)) === collected,
+      "Auto below threshold rides the collected form")
+  }
+
+  test("Distributed probe plan: nothing broadcast grows with the " +
+      "batch — probes shuffle-join (sort-merge pinned), the probed-cid " +
+      "cut still reaches the postings scan as a pushed filter") {
+    val root = freshRoot()
+    AnnAdmitIndex.buildIndex(rayCorpus(24), root = root,
+      model = IvfOps.IvfModel(Array(
+        Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+        Array(0.0, 0.0, 1.0), Array(0.5, 0.5, 0.0))))
+    AnnAdmitIndex.compact(spark, root, targetRows = 1000L)
+    val df = AnnAdmitIndex.admit(rayCorpus(9, offset = 500L), root, tau,
+      nProbe = 2, IvfOps.ProbeDistributed)
+    // the STATIC physical plan is the scale witness: at production
+    // sizes AQE sees a large probe relation and keeps this shape; at
+    // test sizes AQE may legitimately re-broadcast tiny runtime
+    // stages, so the pin reads the pre-adaptive plan
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"probe relation must shuffle-join the postings:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"no broadcast may carry a batch-sized relation:\n$plan")
+    assert(plan.contains("PushedFilters: [In(centroid_id"),
+      s"the ≤K probed-cid cut must still reach the parquet reader:\n$plan")
+    // and the decisions are the indexed-corpus truths
+    val got = verdicts(df)
+    assert(got.nonEmpty && got.values.forall(v =>
+      v._1 == "admitted" || v._1 == "dup_embed"))
+  }
+
+  test("probedOnly width guard: beyond inMax centroids the In-literal " +
+      "becomes a broadcast LEFT SEMI join on the cid relation — same " +
+      "rows, no megabyte literal in the plan at K ≈ 3e5") {
+    val s = spark
+    import s.implicits._
+    val posts = (0 until 12).map(i => (i.toLong, i % 4))
+      .toDF("vec_id", "centroid_id")
+    val cids = Seq(0, 2, 3)
+    val narrow = IvfOps.probedOnly(posts, cids, inMax = 2)
+    val wide = IvfOps.probedOnly(posts, cids, inMax = 100)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).sorted.toList
+    assert(ids(narrow) === ids(wide),
+      "both forms must keep exactly the probed lists")
+    val plan = narrow.queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+      s"above-width form must be a broadcast semi-join:\n$plan")
+    assert(!wide.queryExecution.sparkPlan.toString.contains("LeftSemi"),
+      "below-width form keeps the pushable In filter")
+  }
+
   test("admission probe pushes the probed-centroid set into the " +
       "postings SCAN (PushedFilters In(centroid_id,...)) — row-group " +
       "pruning on the range-bucketed layout: the probe reads the " +

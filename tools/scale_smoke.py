@@ -349,14 +349,22 @@ def printed_sql(name):
     return out.split("-----BEGIN SQL-----")[1].split("-----END SQL-----")[0]
 
 
-def admit_probe(corpus_dir, root, mode="near"):
+def admit_probe(corpus_dir, root, mode="near", nin_scale=0):
     """Run graft.IndexAdmitSmoke (build-if-absent + best-of-2 admit of
     the FIXED sf0.01 batch + one full bucketed compact of a copy) and
     return its JSON line. COMPACT_TARGET=1M (vs the 8M production
     default) so sf1's ~4.5M span postings genuinely exceed one
     partition — the multi-file parallel-rewrite demonstration at
-    sandbox row counts; the mechanics are threshold-independent."""
+    sandbox row counts; the mechanics are threshold-independent.
+    nin_scale>1 adds the TRANSPOSED measurement (fixed index, batch
+    inflated nin_scale x with distinct ids/contents) as admit_big_s /
+    n_in_big — the axis that would have caught the r17 driver-collect
+    hazard, and (for the embed tier at 100x500 rows) the end-to-end
+    exercise of the distributed probe path above ProbeAuto's 8192
+    threshold."""
     env = dict(os.environ, SPARK_GRAFT_COMPACT_TARGET="1000000")
+    if nin_scale > 1:
+        env["SPARK_GRAFT_NIN_SCALE"] = str(nin_scale)
     out = subprocess.run(
         ["sbt", "-batch",
          f"runMain graft.IndexAdmitSmoke {corpus_dir} {SF001} {root} {mode}"],
@@ -365,6 +373,21 @@ def admit_probe(corpus_dir, root, mode="near"):
     line = [ln.removeprefix("[info] ").strip()
             for ln in out.splitlines()
             if ln.removeprefix("[info] ").strip().startswith('{"build_s"')][-1]
+    return json.loads(line)
+
+
+def reliable_probe():
+    """Run graft.ReliableStateSmoke at SF1: prices the Local-vs-Reliable
+    IterState choice (VERDICT r17 item 5) on the two heaviest iterative
+    consumers — the insurance premium of preemption-proof iteration."""
+    out = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.ReliableStateSmoke {SF1}"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, check=True).stdout
+    line = [ln.removeprefix("[info] ").strip()
+            for ln in out.splitlines()
+            if ln.removeprefix("[info] ").strip()
+            .startswith('{"x119_local_s"')][-1]
     return json.loads(line)
 
 
@@ -394,13 +417,20 @@ def main():
         b1t = bench(SF1T, "/tmp/graft_smoke_sf1t.json",
                     subsets=((TEMPLATE_QUERIES, "1"),))
         adm = {"sf01": admit_probe(SF01, NDX01),
-               "sf1": admit_probe(SF1, NDX1),
+               "sf1": admit_probe(SF1, NDX1, nin_scale=100),
                "spx_sf01": admit_probe(SF01, SPX01, "span"),
-               "spx_sf1": admit_probe(SF1, SPX1, "span"),
+               "spx_sf1": admit_probe(SF1, SPX1, "span", nin_scale=100),
                "ann_sf01": admit_probe(SF01, ANN01, "ann"),
-               "ann_sf1": admit_probe(SF1, ANN1, "ann")}
+               "ann_sf1": admit_probe(SF1, ANN1, "ann", nin_scale=100)}
         with open("/tmp/graft_smoke_admit.json", "w") as f:
             json.dump(adm, f)
+    if ("--cached" in sys.argv
+            and os.path.exists("/tmp/graft_smoke_reliable.json")):
+        rel = json.load(open("/tmp/graft_smoke_reliable.json"))
+    else:
+        rel = reliable_probe()
+        with open("/tmp/graft_smoke_reliable.json", "w") as f:
+            json.dump(rel, f)
     pr = band_pairs(SF1) / max(band_pairs(SF01), 1)
     # since the hot-bucket guard, the dedup kernels enumerate COLD
     # buckets only: their true cost driver is the GUARDED mass
@@ -616,6 +646,47 @@ def main():
                 failures.append(
                     f"embed retrain: {rr:.2f}x > 40x on a 10x corpus — "
                     f"something beyond the N^1.5 training model crept in")
+    # ---- TRANSPOSED admission axis (VERDICT r17 item 2): FIXED sf1
+    # index, batch scaled 100x with distinct ids/contents. Admission
+    # is O(|batch|) by claim, so time may grow ~linearly with rows —
+    # the bound is 2x the row growth. What blows through: anything
+    # superlinear in the batch, or a driver/broadcast structure sized
+    # by the batch (the r17 embed-tier collect+broadcast hazard — at
+    # 100x500 rows the embed row crosses ProbeAuto's 8192 threshold
+    # and runs the distributed probe path end-to-end).
+    for key, label in (("", "near-dup"), ("spx_", "span"),
+                       ("ann_", "embed")):
+        c1 = adm.get(f"{key}sf1", {})
+        if "admit_big_s" not in c1:
+            continue
+        fgrow = c1["n_in_big"] / max(c1["n_in"], 1)
+        tr = c1["admit_big_s"] / max(c1["admit_s"], 1e-3)
+        print(f"[admit-T] {label}: fixed sf1 index, batch {c1['n_in']} -> "
+              f"{c1['n_in_big']} rows ({fgrow:.0f}x): {c1['admit_s']:.2f}s "
+              f"-> {c1['admit_big_s']:.2f}s ({tr:.2f}x; <={2 * fgrow:.0f}x "
+              f"= 2x linear; admitted {c1['n_admitted']}/"
+              f"{c1['n_admitted_big']})")
+        if tr > 2 * fgrow:
+            failures.append(
+                f"{label} admission vs batch size: {tr:.2f}x > 2x the "
+                f"{fgrow:.0f}x row growth — a superlinear-in-batch term "
+                f"(or batch-sized driver/broadcast state) crept in")
+    # ---- Reliable-vs-Local iteration state (VERDICT r17 item 5): the
+    # premium of preemption-proof iteration, priced at sf1 on the two
+    # heaviest iterative consumers. No tight bound — this row is a
+    # PRICE, not a guard — but >10x means the checkpoint store is
+    # pathological and the doctrine note needs revisiting.
+    for q in ("x119", "x127"):
+        if f"{q}_local_s" not in rel:
+            continue
+        prem = rel[f"{q}_reliable_s"] / max(rel[f"{q}_local_s"], 1e-3)
+        print(f"[reliable] {q}: Local {rel[f'{q}_local_s']:.2f}s, "
+              f"Reliable {rel[f'{q}_reliable_s']:.2f}s ({prem:.2f}x premium "
+              f"for preemption-proof rounds)")
+        if prem > 10.0:
+            failures.append(
+                f"{q} Reliable premium {prem:.2f}x > 10x — checkpoint-store "
+                f"writes are pathological at this scale")
     # ---- bucketed compaction cost (VERDICT r15 item 1): full compact
     # is O(corpus) BY CONTRACT — the claim the r16 rewrite must prove
     # is (a) it scales ~linearly with the index (no superlinear term
