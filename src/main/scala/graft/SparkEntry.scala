@@ -1700,6 +1700,18 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
         tauMicro = 400000L, nProbe = ivfNProbe(s, dir))),
 
+    // x199 — x192's admission FORCED through the DISTRIBUTED probe
+    // form (IvfOps.ProbeDistributed: probes built on the executors,
+    // only the ≤K distinct probed cids reach the driver, probe
+    // relation shuffle-joined) — the batch-scale path a production
+    // micro-batch takes above ProbeAuto's threshold, gated against
+    // the SAME oracle as x192: both forms must answer bit-identically
+    "x199_distributed_admission" -> ((s, dir) =>
+      graft.operators.IvfOps.admitVectors(s, annAdmitRoot(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        tauMicro = 400000L, nProbe = ivfNProbe(s, dir),
+        mode = graft.operators.IvfOps.ProbeDistributed)),
+
     // x193 — the FULL four-tier admission manifest: exact content /
     // near-dup signature / semantic embedding / exact spans composed
     // per distinct incoming content with precedence reject_exact >
@@ -3695,6 +3707,12 @@ object SparkEntry {
       "x192_embed_admission" -> graft.operators.IvfOps.admitVectorsSql(
         model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
         tauMicro = 400000L, nProbe = np),
+      // same oracle as x192 BY DESIGN: the distributed (batch-scale)
+      // probe form must answer identically to the collected form —
+      // the x18/x24 both-paths-gated doctrine on the admission tier
+      "x199_distributed_admission" -> graft.operators.IvfOps
+        .admitVectorsSql(model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
+          tauMicro = 400000L, nProbe = np),
       // the RETRAINED model: trainBounded over the 80% partition is
       // deterministic, so the oracle trains the identical model the
       // fixture's retrain trained and replays admission from its
