@@ -236,6 +236,38 @@ object SparkEntry {
       ()
     })
 
+  // x200's fixture: the x195 epoch index taken through the FULL
+  // maintenance lifecycle — two batch extensions (exact-content
+  // copies of indexed vectors under fresh ids: every one rejects as
+  // dup_embed, so the epochs commit EMPTY and the indexed content is
+  // unchanged by construction), a tail compaction folding them, then
+  // EpochStore.gc reclaiming the retired versions / folded epoch
+  // dirs. Admission decisions must be bit-identical to x195's — the
+  // oracle is x193's SQL verbatim, so the whole lifecycle is gated
+  // invisible end-to-end (x194's compaction-invisibility doctrine
+  // extended through gc).
+  private val annGcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def annGcRoot(s: SparkSession, dir: String): String =
+    annGcCache.getOrElseUpdate((s, dir),
+        fixtureDir("anng", dir) { root =>
+      copyTree(java.nio.file.Paths.get(annEpochRoot(s, dir)),
+        java.nio.file.Paths.get(root))
+      val indexed = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 5 =!= 0)
+      def copies(m: Int) = indexed.filter(col("vec_id") % 11 === m)
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          col("embedding"))
+      graft.operators.AnnAdmitIndex.extendEpoch(copies(0), root, "b0",
+        tauMicro = 400000L, nProbe = 8)
+      graft.operators.AnnAdmitIndex.extendEpoch(copies(1), root, "b1",
+        tauMicro = 400000L, nProbe = 8)
+      graft.operators.AnnAdmitIndex.compactTail(s, root,
+        targetRows = 1000000L)
+      graft.operators.AnnAdmitIndex.gc(root)
+      ()
+    })
+
   // x198's fixture: the x195 epoch index RETRAINED over its own live
   // corpus — the maintenance call itself: k jumps from the session
   // model's to adaptiveK(|80% partition|), every posting recoded from
@@ -308,6 +340,7 @@ object SparkEntry {
     step("neardup_ledger")(ndxLedgerRoot(s, dir))
     step("ann_index")(annAdmitRoot(s, dir))
     step("ann_epoch_index")(annEpochRoot(s, dir))
+    step("ann_gc")(annGcRoot(s, dir))
     step("ann_retrained")(annRetrainedRoot(s, dir))
     step("span_index")(spxRoot(s, dir))
     step("span_rebuilt")(spxRebuiltRoot(s, dir))
@@ -1771,6 +1804,20 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
         ndxRoot(s, dir), spxRoot(s, dir), annEpochRoot(s, dir),
+        tauMicro = 400000L, nProbe = ivfNProbe(s, dir))),
+
+    // x200 — x195's manifest against the ANN index AFTER the full
+    // maintenance lifecycle: two all-duplicate batch extensions
+    // (empty epochs — indexed content unchanged by construction), a
+    // tail compaction folding them, and EpochStore.gc reclaiming the
+    // retired versions + folded dirs. Oracle shared with x193/x195
+    // verbatim: extend → compact → gc must be invisible to every
+    // admission decision.
+    "x200_gc_admission" -> ((s, dir) =>
+      graft.operators.ShardAdmission.reportFullEpoch(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        ndxRoot(s, dir), spxRoot(s, dir), annGcRoot(s, dir),
         tauMicro = 400000L, nProbe = ivfNProbe(s, dir))),
 
     "x96_ann_recall" -> ((s, dir) => {
@@ -3729,6 +3776,13 @@ object SparkEntry {
       // same oracle as x193 BY DESIGN: the epoch-sharded ANN layout
       // must answer identically to the flat saveIndex layout
       "x195_epoch_ann_admission" -> graft.operators.ShardAdmission
+        .reportFullSql(graft.operators.IvfOps.admitVectorsSql(
+          model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
+          tauMicro = 400000L, nProbe = np)),
+      // same oracle again: extend -> tail-compact -> gc must be
+      // invisible to every admission decision (x194's doctrine
+      // extended through space reclamation)
+      "x200_gc_admission" -> graft.operators.ShardAdmission
         .reportFullSql(graft.operators.IvfOps.admitVectorsSql(
           model, "vec_id % 5 <> 0", "vec_id % 5 = 0",
           tauMicro = 400000L, nProbe = np)),
