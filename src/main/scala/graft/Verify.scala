@@ -70,6 +70,7 @@ object Verify {
     // heartbeaten — a timeout here is attributable to its named step
     SparkEntry.prepareFixtures(spark, sfDir,
       (name, status) => beat("setup", name, status))
+    graft.core.TransientPins.drain(spark) // fixture-build round state
     beat("setup", "fixtures", "done")
     // SPARK_GRAFT_ONLY=q1,q2 restricts the dump for fast iteration; the
     // full oracle_sql.json is still written (check.py runs everything
@@ -87,6 +88,11 @@ object Verify {
             try {
               fn(spark, sfDir).coalesce(1).write.mode("overwrite")
                 .parquet(s"$outDir/$name")
+              // release this dump's transient iteration checkpoints —
+              // without it the 268-dump sweep accumulates dead round
+              // state until GC, squeezing execution memory for every
+              // later dump (same measured effect as the bench sweep)
+              graft.core.TransientPins.drain(spark)
               beat("query", name, "ok")
             } catch { case e: Throwable =>
               beat("query", name, s"failed: ${e.getMessage}")

@@ -706,9 +706,9 @@ object NearDupIndex {
         // epoch-table writes and the verdict derivation all reuse it
         // instead of re-running md5+minhash per consumer
         val (inCl0, inSigs0, inBands0) = signCorpus(incoming, text)
-        val inCl = inCl0.localCheckpoint(true)
-        val inSigs = inSigs0.localCheckpoint(true)
-        val inBands = inBands0.localCheckpoint(true)
+        val inCl = graft.core.TransientPins.track(inCl0.localCheckpoint(true))
+        val inSigs = graft.core.TransientPins.track(inSigs0.localCheckpoint(true))
+        val inBands = graft.core.TransientPins.track(inBands0.localCheckpoint(true))
         val idx = load(incoming.sparkSession, root)
         val best = bestEstimates(inSigs, inBands, idx)
         val exact = idx.cliques.select(col("fp")).distinct()

@@ -147,6 +147,7 @@ object SearchOps {
       col("file_id").as("n_file_id"), col("name").as("n_name"),
       col("size").as("n_size"), col("md5_hash").as("n_md5"), col("sha1_hash").as("n_sha1"))
       .localCheckpoint(true)
+    graft.core.TransientPins.track(n) // per-invocation needle pin
 
     // identity branch: file rows match by file_id — restricted to files,
     // because vw_ll dir rows share the sentinel file_id=0 (a dir needle

@@ -124,7 +124,7 @@ object SpanIndex {
     val wins0 = SubstringOps.windows(incoming, w, text)
     val wins =
       if (pin) graft.core.PinnedViews.pinned(wins0)
-      else wins0.localCheckpoint(true)
+      else graft.core.TransientPins.track(wins0.localCheckpoint(true))
     val batchFirst = wins.groupBy("whash")
       .agg(min(col("doc_id")).as("bfirst"))
     val matched = matchedHashes(incoming.sparkSession, root, wins)
