@@ -1016,8 +1016,14 @@ object SparkEntry {
     "j15_asof_join" -> ((s, dir) =>
       graft.operators.TemporalJoins.purchaseClickAsOf(Tables.events(s, dir))),
 
+    // round 18: the gate's output is the per-type aggregate, so the plan
+    // is the O(n log n) window form (valueBandPairsAgg) — bit-identical
+    // to the pair join it replaces (argument at the operator; the DuckDB
+    // oracle STAYS the pair join, proving it on every driver SF). The
+    // pair-materializing valueBandPairs remains the operator for pair
+    // consumers, spec-covered by TemporalJoinsSpec.
     "j16_band_join" -> ((s, dir) =>
-      graft.operators.TemporalJoins.valueBandPairs(Tables.events(s, dir))),
+      graft.operators.TemporalJoins.valueBandPairsAgg(Tables.events(s, dir))),
 
     "t1_dirs_to_crawl" -> ((s, dir) =>
       ScheduleOps.dirsToCrawl(cat(s, dir).directoryControl,

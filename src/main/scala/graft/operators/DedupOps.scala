@@ -687,8 +687,18 @@ object DedupOps {
   def containmentPairs(df: DataFrame, minShared: Long = 3, maxDf: Long = 16,
                        text: Column = col("text"),
                        state: IterState = Local): DataFrame = {
+    // round 18 (guide §2.3 narrower types): the pinned relation feeds
+    // FOUR shingle-keyed exchanges (df aggregate, candidate self-join
+    // probe+build, two intersection joins) — hash the ~24-char shingle
+    // string to one LongType right after generation so every exchange
+    // and the pin itself carry 8 bytes per shingle instead of 30+. The
+    // shingle is internal-only here (output columns are counts/ratios);
+    // equality classes are unchanged up to xxhash64 injectivity on the
+    // corpus's shingle set (same envelope as the windows() fastHash —
+    // the DuckDB twin keeps raw strings, so the gate proves equality).
     val sh = state.pin(
-      df.select(col("doc_id"), explode(array_distinct(shingles(text))).as("sh")))
+      df.select(col("doc_id"), explode(array_distinct(shingles(text))).as("sh0"))
+        .select(col("doc_id"), xxhash64(col("sh0")).as("sh")))
     val byDf = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val guarded = byDf
       .filter(col("df") >= 2 && col("df") <= maxDf)

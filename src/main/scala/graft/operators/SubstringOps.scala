@@ -38,14 +38,35 @@ object SubstringOps {
     * `when` branch emits nothing — no pushdown-prone pre-filter). The
     * token array is materialized once per row and referenced three
     * times (guard, sequence bound, slice), so CollapseProject keeps the
-    * projection boundary and the text is tokenized once. */
+    * projection boundary and the text is tokenized once.
+    *
+    * `fastHash` (round 18, guide §2.3 narrower types + §1.2 per-task
+    * work): consumers whose whash is INTERNAL — equality classes only,
+    * never output, never persisted — take `xxhash64` chained over the
+    * w tokens (one LongType column) instead of `md5(array_join(...))`
+    * (a 32-char hex string): no per-window gram-string allocation, no
+    * crypto digest, and the whash-keyed exchange — the one corpus-sized
+    * shuffle every consumer has — carries 8 bytes instead of 32+.
+    * Per-element seed chaining is boundary-unambiguous (("ab","c") and
+    * ("a","bc") hash differently), so no separator is needed. Results
+    * are identical as long as the hash is injective on the corpus's
+    * window set (birthday bound ~n²/2⁶⁵: ~10⁻⁷ at sf0.1's ~10⁶ windows;
+    * at 10¹³ windows expect a few thousand colliding pairs — for span/
+    * contamination REPORTS that is noise of the order production 64-bit
+    * fingerprints already accept; the DuckDB twins keep md5, so every
+    * driver SF proves the equality end-to-end). Consumers whose hash IS
+    * the contract — x95's report column, the SpanIndex persisted
+    * postings, the streaming decontamination state — stay on md5. */
   private[graft] def windows(df: DataFrame, w: Int, text: Column,
-                             keyNames: Seq[String] = Seq("doc_id")): DataFrame = {
+                             keyNames: Seq[String] = Seq("doc_id"),
+                             fastHash: Boolean = false): DataFrame = {
     val ws = col("ws")
+    def whashOf(i: Column): Column =
+      if (fastHash) xxhash64((0 until w).map(j => element_at(ws, i + j)): _*)
+      else md5(array_join(slice(ws, i, lit(w)), " "))
     val win = explode(when(size(ws) >= w,
       transform(sequence(lit(1), size(ws) - (w - 1)), i =>
-        struct(i.cast("long").as("pos"),
-          md5(array_join(slice(ws, i, lit(w)), " ")).as("whash")))))
+        struct(i.cast("long").as("pos"), whashOf(i).as("whash")))))
     val keys = keyNames.map(col)
     df.select(keys :+ words(text).as("ws"): _*)
       .select(keys :+ win.as("wn"): _*)
@@ -62,7 +83,7 @@ object SubstringOps {
     * inside it. All arithmetic is integer — engine-exact. */
   def dupSpans(df: DataFrame, w: Int = 8,
                text: Column = col("text")): DataFrame = {
-    val wins = windows(df, w, text)
+    val wins = windows(df, w, text, fastHash = true) // whash internal-only
     val shared = wins.select(col("doc_id"), col("whash")).distinct()
       .groupBy("whash").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -157,7 +178,8 @@ object SubstringOps {
     * else is doc-keyed. Integer arithmetic throughout. */
   def keepFirstSpanBill(df: DataFrame, w: Int = 8,
                         text: Column = col("text")): DataFrame = {
-    val wins = graft.core.PinnedViews.pinned(windows(df, w, text))
+    val wins = graft.core.PinnedViews.pinned(
+      windows(df, w, text, fastHash = true)) // whash internal-only
     val first = wins.groupBy("whash").agg(min(col("doc_id")).as("first_doc"))
     val dup = wins.join(first, Seq("whash"))
       .filter(col("doc_id") > col("first_doc"))
@@ -296,7 +318,8 @@ object SubstringOps {
     * ultra-viral boilerplate the numbers deliberately ignore. */
   def sourceOverlap(df: DataFrame, w: Int = 8, maxSources: Int = 64,
                     text: Column = col("text")): DataFrame = {
-    val sw = windows(df.filter(col("source").isNotNull), w, text, Seq("source"))
+    val sw = windows(df.filter(col("source").isNotNull), w, text, Seq("source"),
+        fastHash = true) // whash internal-only
       .select(col("source"), col("whash")).distinct()
     val byWindow = sw.groupBy("whash").agg(count(lit(1)).as("n_src"))
     val shared = byWindow
@@ -374,10 +397,10 @@ object SubstringOps {
     * out (both engines agree). */
   def ngramDecontamination(df: DataFrame, evalPred: Column, w: Int = 8,
                            text: Column = col("text")): DataFrame = {
-    val evalWins = windows(df.filter(evalPred), w, text)
+    val evalWins = windows(df.filter(evalPred), w, text, fastHash = true)
       .select(col("whash")).distinct()
       .select(col("whash"), lit(1).as("__hit"))
-    windows(df.filter(!evalPred), w, text)
+    windows(df.filter(!evalPred), w, text, fastHash = true)
       .join(broadcast(evalWins), Seq("whash"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
@@ -544,11 +567,11 @@ object SubstringOps {
     * All arithmetic integer — engine-exact. */
   def contaminationRuns(df: DataFrame, evalPred: Column, w: Int = 8,
                         text: Column = col("text")): DataFrame = {
-    val evalWins = windows(df.filter(evalPred), w, text)
+    val evalWins = windows(df.filter(evalPred), w, text, fastHash = true)
       .select(col("whash")).distinct()
       .select(col("whash"), lit(1).as("__hit"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val flagged = windows(df.filter(!evalPred), w, text)
+    val flagged = windows(df.filter(!evalPred), w, text, fastHash = true)
       .join(broadcast(evalWins), Seq("whash"), "left_outer")
       .select(col("doc_id"), col("pos"),
         when(col("__hit").isNotNull, 1L).otherwise(0L).as("hit"))

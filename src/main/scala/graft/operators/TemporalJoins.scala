@@ -351,6 +351,73 @@ object TemporalJoins {
         sum(col("gap_l")).cast("double").as("sum_gap"))
   }
 
+  /** j16's PLAN form (round 18): [[valueBandPairs]]' aggregate without
+    * materializing the pair relation — the guide-§1.2 "don't compute
+    * things you throw away" rewrite the [[bandJoin]] scaladoc itself
+    * prescribes for statistics consumers. The j16 gate's OUTPUT is the
+    * per-type (n_pairs, sum_gap) aggregate only, so the ~10M-pair join
+    * at sf0.1 (the bench's top query for two rounds) collapses to
+    * [[valueBandStats]]' halo-bucketed range-frame window: one sort per
+    * (type, value-bucket) partition, O(n log n) whatever the band
+    * density — at 100 TB the difference between a feasible statistic
+    * and a quadratic pair blowup.
+    *
+    * BIT-EXACT equality with the join form (the DuckDB oracle stays the
+    * pair join verbatim, so the gate proves it on every driver SF):
+    *   - pair set: the frame bound `value <= v + width` is the same
+    *     IEEE add as the join predicate (j18's argument); ties and self
+    *     (`r > l` in the join) are counted out via the tie-partition
+    *     count, and null type/value rows are dropped up front exactly
+    *     as the join's null-rejecting predicates drop them.
+    *   - gap sum: the join form sums `floor((r−l)·1e6 + 0.5)` per pair;
+    *     here each row carries `m = floor(value·1e6 + 0.5)` once and an
+    *     anchor contributes `Σ m(r) − cnt·m(l)`. On 6-dp-representable
+    *     values (the corpus contract TemporalJoinsSpec pins, and the
+    *     same assumption the join form's own micro-quantization already
+    *     rides) `floor((r−l)·1e6+0.5) = m(r) − m(l)` exactly, so the
+    *     BIGINT totals — and therefore the one final double division —
+    *     are identical bit for bit. Σ|gap_micro| ≤ pairs·width·1e6, the
+    *     join form's own overflow envelope, unchanged.
+    *   - a type with zero in-band pairs is absent from the join form's
+    *     output (no pair rows to group); `n_pairs > 0` reproduces that.
+    *
+    * Parallelism: partitioned by (type, value-bucket) with width-halo
+    * copies — [[valueBandStats]]' machinery, not by type alone (5 types
+    * = 5 tasks forever is the 100 TB wall the round-11 doctrine bans). */
+  def valueBandPairsAgg(events: DataFrame, width: Double = 0.5,
+                        bucketWidth: Double = 32.0): DataFrame = {
+    require(bucketWidth >= width, "bucketWidth must be >= width")
+    val mic = floor(col("value") * lit(1e6) + lit(0.5))
+    val bkt = floor(col("value") / bucketWidth).cast("long")
+    // halo eligibility: provable superset of cross-bucket reachability
+    // under the frame's own IEEE add — see valueBandStats' derivation
+    val haloEligible = col("value") <= bkt * bucketWidth + lit(width)
+    val copies = when(haloEligible,
+        array(struct(bkt.as("b"), lit(true).as("anchor")),
+          struct((bkt - 1).as("b"), lit(false).as("anchor"))))
+      .otherwise(array(struct(bkt.as("b"), lit(true).as("anchor"))))
+    val over = s"OVER (PARTITION BY event_type, __b ORDER BY value " +
+      s"RANGE BETWEEN CURRENT ROW AND $width FOLLOWING)"
+    events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("value"), mic.as("__m"),
+        explode(copies).as("c"))
+      .select(col("event_type"), col("value"), col("__m"),
+        col("c.b").as("__b"), col("c.anchor").as("__anchor"))
+      .selectExpr("event_type", "value", "__m", "__anchor",
+        s"count(1) $over AS cnt_win",
+        s"sum(__m) $over AS sum_win",
+        "count(1) OVER (PARTITION BY event_type, __b, value) AS cnt_eq")
+      .filter(col("__anchor")) // halo copies feed frames, never anchor one
+      .selectExpr("event_type",
+        "cnt_win - cnt_eq AS n_pairs_l",
+        "sum_win - __m * cnt_win AS gap_l")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_pairs_l")).as("n_pairs"),
+        (sum(col("gap_l")).cast("double") / lit(1e6)).as("sum_gap"))
+      .filter(col("n_pairs") > 0)
+  }
+
   def valueBandStatsSql(width: Double = 0.5): String =
     s"""WITH w AS (
        |  SELECT event_type, value,

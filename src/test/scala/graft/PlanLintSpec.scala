@@ -135,6 +135,14 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
         "value-band) timeline, spread by the band grid"),
       "__b,event_type,value" -> ("same interleave sub-partitioned by the " +
         "value column — strictly finer groups")),
+    // round 18: j16 rides the same halo-bucketed machinery (its plan form
+    // is valueBandPairsAgg) — identical partition keys, identical bound
+    "j16_band_join" -> Map(
+      "__b,event_type" -> ("the ordered running-interleave IS the as-of/" +
+        "band operator (merge_asof partitioning); group = one (type, " +
+        "value-band) timeline, spread by the band grid"),
+      "__b,event_type,value" -> ("same interleave sub-partitioned by the " +
+        "value column — strictly finer groups")),
     "x100_proto_prune" -> Map(
       "centroid_id" -> ("one IVF posting list (K≈√n lists, E|list|=√n, " +
         "k-means balance is the training objective); the per-member " +

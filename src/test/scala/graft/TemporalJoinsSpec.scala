@@ -200,6 +200,38 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mid === joinForm)
   }
 
+  test("valueBandPairsAgg (j16's plan form) equals valueBandPairs exactly, incl. shape") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 400L).map { i =>
+      val v = math.floor(rnd.nextDouble() * 1000) / 100
+      (if (i % 3 == 0) "a" else "b", i, if (i % 7 == 0) 1.25 else v)
+    }
+    val df = rows.map { case (t, _, v) => (t, v) }.toDF("event_type", "value")
+    def toMap(out: Array[org.apache.spark.sql.Row]) =
+      out.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val joinForm = toMap(TemporalJoins.valueBandPairs(df).collect())
+    // default, tight (every band spans a bucket edge), and misaligned
+    // bucket widths must all reproduce the join form bit for bit
+    assert(toMap(TemporalJoins.valueBandPairsAgg(df).collect()) === joinForm)
+    assert(toMap(TemporalJoins.valueBandPairsAgg(df, 0.5, 0.5).collect()) === joinForm)
+    assert(toMap(TemporalJoins.valueBandPairsAgg(df, 0.5, 1.25).collect()) === joinForm)
+    assert(joinForm.values.map(_._1).sum > 0)
+    // shape parity: a pairless type is OMITTED (join form has no row for
+    // it), unlike valueBandStats' zero row; nulls drop like the join's
+    // null-rejecting predicates
+    val edge = Seq(("a", math.nextDown(32.0)), ("a", 32.5), ("lonely", 5.0),
+        (null.asInstanceOf[String], 1.0))
+      .toDF("event_type", "value")
+      .unionAll(Seq(("a", null.asInstanceOf[java.lang.Double]))
+        .toDF("event_type", "value"))
+    val aggOut = toMap(TemporalJoins.valueBandPairsAgg(edge, 0.5, 32.0).collect())
+    val joinOut = toMap(TemporalJoins.valueBandPairs(edge, 0.5).collect())
+    assert(aggOut === joinOut)
+    assert(aggOut.contains("a") && !aggOut.contains("lonely"))
+  }
+
   test("valueBandStats: ulp-edge boundary pair survives the halo cut; pairless types report zero") {
     val s = spark
     import s.implicits._
