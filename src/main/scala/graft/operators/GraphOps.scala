@@ -45,9 +45,23 @@ object GraphOps {
     * rows per node map-side before the shuffle), and uniform hash
     * selection preserves the hub structure downstream consumers rank on
     * (GraphOpsSpec pins top-hub preservation on the fixture). Default
-    * 0 = uncapped — the gate SFs run the exact graph. */
+    * 0 = uncapped — the gate SFs run the exact graph.
+    *
+    * Round 18 (guide §2.4 remove shuffles outright): the RESULT rides
+    * the session-scoped [[graft.core.PinnedViews]] memo (via
+    * [[DedupOps.memoPin]], so `Reliable`/`Unpinned` semantics are
+    * unchanged). Every consumer references the pair relation through
+    * several branches (degree aggregate + per-side joins + round
+    * seeds), and without the pin each branch re-ran the WHOLE
+    * sessionize→interval-join→distinct pipeline — measured at sf0.1:
+    * x119 spent ~3 of its 5.5 s re-deriving edges it already had. Six
+    * gate queries (x119/x123/x130/x132/x170/x175) share one
+    * derivation per session — the same sign-once/probe-many shape as
+    * the dedup contraction kernels, and the production posture at
+    * 100 TB (the edge set is derived once, then analyzed many ways). */
   def overlapPairs(events: DataFrame, gapMinutes: Int = 30,
-                   maxDegree: Int = 0): DataFrame = {
+                   maxDegree: Int = 0,
+                   state: IterState = Local): DataFrame = {
     val sess = graft.core.PinnedViews.pinned(
       graft.streaming.EventStreams.userSessions(events, gapMinutes)
         .select(col("user_id"), col("session_start_epoch"),
@@ -56,9 +70,10 @@ object GraphOps {
       col("session_start_epoch").as("s_a"), col("session_end_epoch").as("e_a"))
     val b = sess.select(col("user_id").as("u_b"),
       col("session_start_epoch").as("s_b"), col("session_end_epoch").as("e_b"))
-    val pairs = TemporalJoins.intervalJoin(a, b, "s_a", "e_a", "s_b", "e_b",
+    val pairs0 = TemporalJoins.intervalJoin(a, b, "s_a", "e_a", "s_b", "e_b",
         3600L, col("u_a") < col("u_b"))
       .select(col("u_a"), col("u_b")).distinct()
+    val pairs = DedupOps.memoPin(state)(pairs0)
     if (maxDegree <= 0) pairs
     else {
       import org.apache.spark.sql.expressions.Window
@@ -79,6 +94,20 @@ object GraphOps {
     }
   }
 
+  /** Degree relation + degree-annotated edge relation of an undirected
+    * pair set, derived from ONE pinned traversal: `deg` is pinned first
+    * (node-sized), `ed` joins the pinned degrees back onto the edges —
+    * so the pair relation is scanned twice but DERIVED once, and every
+    * downstream branch (round seeds, final join-backs) reads pinned
+    * state instead of re-deriving the edge pipeline (guide §2.4). */
+  private def degreeEdges(pairs: DataFrame, state: IterState)
+      : (DataFrame, DataFrame) = {
+    val edges = pairs.select(col("u_a").as("src"), col("u_b").as("dst"))
+      .union(pairs.select(col("u_b").as("src"), col("u_a").as("dst")))
+    val deg = state.pin(edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    (deg, state.pin(edges.join(deg, "src")))
+  }
+
   /** Integer PageRank over an undirected pair relation `(u_a, u_b)`;
     * returns the top-`k` hubs as (user_id, degree, pagerank).
     *
@@ -89,11 +118,10 @@ object GraphOps {
                unit: Long = 1000000000000L,
                state: IterState = Local): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"iterations=$iterations")
-    val edges = pairs.select(col("u_a").as("src"), col("u_b").as("dst"))
-      .union(pairs.select(col("u_b").as("src"), col("u_a").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) pinned once: every round joins rank onto THIS
-    val ed = state.pin(edges.join(deg, "src"))
+    // deg pinned alongside ed (round 18): r's seed and the final
+    // join-back used to re-derive deg — and with it the whole edge
+    // pipeline — once each; both now read the pinned relation
+    val (deg, ed) = degreeEdges(pairs, state)
     val base = 15L * unit / 100L
     var r = deg.select(col("src").as("id"), lit(unit).as("score"))
     for (_ <- 1 to iterations) {
@@ -116,7 +144,7 @@ object GraphOps {
   def sessionPageRank(events: DataFrame, gapMinutes: Int = 30,
                       iterations: Int = 6, topK: Int = 20,
                       state: IterState = Local): DataFrame =
-    pageRank(overlapPairs(events, gapMinutes), iterations, topK,
+    pageRank(overlapPairs(events, gapMinutes, state = state), iterations, topK,
       state = state)
 
   /** Degree-ordered triangle counting (Schank & Wagner 2005; the
@@ -137,16 +165,20 @@ object GraphOps {
     *
     * Output: top-`k` users by triangle participation —
     * (user_id, degree, n_triangles), ties broken by user_id. */
-  def triangleParticipation(pairs: DataFrame, topK: Int = 20): DataFrame = {
-    val deg = pairs.select(col("u_a").as("u")).union(
+  def triangleParticipation(pairs: DataFrame, topK: Int = 20,
+                            state: IterState = Local): DataFrame = {
+    // deg feeds three branches and oriented three (wedge build+probe,
+    // closing) — pinned (round 18, guide §2.4) so each is derived once
+    // instead of once per consumer branch
+    val deg = state.pin(pairs.select(col("u_a").as("u")).union(
         pairs.select(col("u_b").as("u")))
-      .groupBy("u").agg(count(lit(1)).as("deg"))
+      .groupBy("u").agg(count(lit(1)).as("deg")))
     // orient (a, b) from (deg, id)-smaller to larger; carry the dst's
     // rank key so the wedge ordering below is row-local
     val withDeg = pairs
       .join(deg.select(col("u").as("u_a"), col("deg").as("deg_a")), "u_a")
       .join(deg.select(col("u").as("u_b"), col("deg").as("deg_b")), "u_b")
-    val oriented = withDeg.select(
+    val oriented = state.pin(withDeg.select(
       when(col("deg_a") < col("deg_b") ||
            (col("deg_a") === col("deg_b") && col("u_a") < col("u_b")),
         col("u_a")).otherwise(col("u_b")).as("src"),
@@ -155,7 +187,7 @@ object GraphOps {
         col("u_b")).otherwise(col("u_a")).as("dst"),
       when(col("deg_a") < col("deg_b") ||
            (col("deg_a") === col("deg_b") && col("u_a") < col("u_b")),
-        col("deg_b")).otherwise(col("deg_a")).as("dst_deg"))
+        col("deg_b")).otherwise(col("deg_a")).as("dst_deg")))
     val e1 = oriented.select(col("src"), col("dst").as("v"),
       col("dst_deg").as("dv"))
     val e2 = oriented.select(col("src"), col("dst").as("w"),
@@ -264,7 +296,7 @@ object GraphOps {
   def sessionCommunityCohesion(events: DataFrame, gapMinutes: Int = 30,
                                rounds: Int = 4, topK: Int = 20,
                                state: IterState = Local): DataFrame =
-    communityCohesion(overlapPairs(events, gapMinutes), rounds, topK, state)
+    communityCohesion(overlapPairs(events, gapMinutes, state = state), rounds, topK, state)
 
   /** x175: inter-community TRAFFIC MATRIX — x170 says whether each
     * community is internally dense; this says WITH WHOM it talks: for
@@ -308,7 +340,7 @@ object GraphOps {
   def sessionCommunityTraffic(events: DataFrame, gapMinutes: Int = 30,
                               rounds: Int = 4,
                               state: IterState = Local): DataFrame =
-    communityTraffic(overlapPairs(events, gapMinutes), rounds, state)
+    communityTraffic(overlapPairs(events, gapMinutes, state = state), rounds, state)
 
   /** DuckDB twin of [[sessionCommunityTraffic]] — x170's unrolled LP
     * CTEs finished through the canonicalized cell aggregate. */
@@ -463,7 +495,7 @@ object GraphOps {
   def sessionKCore(events: DataFrame, gapMinutes: Int = 30, k: Int = 3,
                    rounds: Int = 8, topK: Int = 20,
                    state: IterState = Local): DataFrame =
-    kCore(overlapPairs(events, gapMinutes), k, rounds, topK, state)
+    kCore(overlapPairs(events, gapMinutes, state = state), k, rounds, topK, state)
 
   /** DuckDB twin of [[sessionKCore]] — the peel unrolled. */
   def sessionKCoreSql(gapMinutes: Int = 30, k: Int = 3, rounds: Int = 8,
@@ -507,7 +539,7 @@ object GraphOps {
   def sessionCommunities(events: DataFrame, gapMinutes: Int = 30,
                          rounds: Int = 4, topK: Int = 20,
                          state: IterState = Local): DataFrame =
-    labelCommunities(overlapPairs(events, gapMinutes), rounds, topK, state)
+    labelCommunities(overlapPairs(events, gapMinutes, state = state), rounds, topK, state)
 
   /** DuckDB twin of [[sessionCommunities]] — rounds unrolled, the mode
     * pick as the same (count desc, label asc) rank-1. */
@@ -551,8 +583,10 @@ object GraphOps {
     * graph — "which user trios are repeatedly co-active", the cohesion
     * read beside x119's centrality read. */
   def sessionTriangles(events: DataFrame, gapMinutes: Int = 30,
-                       topK: Int = 20): DataFrame =
-    triangleParticipation(overlapPairs(events, gapMinutes), topK)
+                       topK: Int = 20,
+                       state: IterState = Local): DataFrame =
+    triangleParticipation(overlapPairs(events, gapMinutes, state = state),
+      topK, state)
 
   /** DuckDB twin of [[sessionTriangles]] — same orientation and wedge
     * closure over the inequality-join edge set. */
