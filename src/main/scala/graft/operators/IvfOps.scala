@@ -1166,15 +1166,30 @@ object IvfOps {
           .join(p.hint("merge"), Seq("centroid_id"))
       case m => throw new IllegalStateException(s"unresolved probe mode $m")
     }
-    joined
+    val scored = joined
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(SimilarityOps.dot(col("qu"), col("qcode").cast("array<double>"))
           / 127d, 9).as("adc_cos"))
-      .withColumn("rank", row_number().over(
+    if (k == 1)
+      // k=1 (the admission path): argmax-rank-1 as a max(struct)
+      // aggregate instead of a row_number window (the round-11
+      // doctrine, applied round 18) — map-side partials collapse each
+      // query's candidate list BEFORE the exchange, so a query whose
+      // probes hit a viral posting list never buffers its whole
+      // candidate set in one window task. Identical pick: max on
+      // (adc_cos, -neighbor_id) = best cosine, ties to the smallest
+      // neighbor id, exactly the window's (desc, asc) order.
+      scored.groupBy(col("query_id"))
+        .agg(max(struct(col("adc_cos"), (-col("neighbor_id")).as("negid")))
+          .as("m"))
+        .select(col("query_id"), (-col("m.negid")).as("neighbor_id"),
+          col("m.adc_cos").as("adc_cos"), lit(1).as("rank"))
+    else
+      scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adc_cos").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+        .filter(col("rank") <= k)
   }
 
   /** x192: EMBEDDING-tier incremental admission — the fourth axis of

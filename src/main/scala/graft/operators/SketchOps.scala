@@ -204,10 +204,14 @@ object SketchOps {
                           w: Int = 1024): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 16 && w <= 65536, s"d=$d w=$w")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val ca = a.select(aKey.cast("string").as("k"))
-      .groupBy("k").agg(count(lit(1)).as("cnt"))
-    val cb = b.select(bKey.cast("string").as("k"))
-      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    // per-key count tables each feed THREE consumers (CMS counters, the
+    // 1-row totals, the exact inner product) — pinned (round 18, guide
+    // §2.4) so the big-side scans+aggregations run once per invocation,
+    // not once per branch; both tables are key-cardinality-sized
+    val ca = DedupOps.Local.pin(a.select(aKey.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt")))
+    val cb = DedupOps.Local.pin(b.select(bKey.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt")))
     val ta = cmsCounters(ca, d, w)
     val tb = cmsCounters(cb, d, w).withColumnRenamed("counter", "counter_b")
     val est = ta.join(broadcast(tb), Seq("row_i", "bucket"))
