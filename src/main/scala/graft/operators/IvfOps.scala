@@ -1045,13 +1045,17 @@ object IvfOps {
   def semDedupManifest(docs: DataFrame, emb: DataFrame, model: IvfModel,
                        tau: Double,
                        state: DedupOps.IterState = DedupOps.Local): DataFrame = {
-    val drops = semDedup(emb, model, tau)
+    // drops feeds the cluster edge source AND the final evidence join;
+    // labeled feeds the per-cluster argmax AND the final spine — pinned
+    // (round 18, guide §2.4) so the ADC drop scan and the quality
+    // scoring run once per invocation, not once per consumer branch
+    val drops = state.pin(semDedup(emb, model, tau))
     val pairs = drops.select(col("anchor_id").as("doc_a"),
       col("vec_id").as("doc_b"))
     val clusters = DedupOps.dupClusters(docs, pairs, state = state)
     val scored = docs.select(col("doc_id"),
       TextOps.qualityScoreCol(col("text")).as("quality_score"))
-    val labeled = clusters.join(scored, "doc_id")
+    val labeled = state.pin(clusters.join(scored, "doc_id"))
     val perCluster = labeled.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
         max(struct(col("quality_score"), (-col("doc_id")).as("__nd")))

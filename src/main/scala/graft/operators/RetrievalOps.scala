@@ -242,12 +242,17 @@ object RetrievalOps {
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(TextOps.words(col("text"))).as(Seq("pos", "token")))
-    val matrix = toks.groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"), min(col("pos")).as("fpos"))
+    // matrix feeds three branches (df aggregate, the stats join, the
+    // corpus totals) and withStats two (query-term fleet, scoring) —
+    // pinned (round 18, guide §2.4) so the corpus is tokenized and
+    // aggregated once per invocation, not once per branch
+    val matrix = graft.operators.DedupOps.Local.pin(
+      toks.groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"), min(col("pos")).as("fpos")))
     val dfCounts = matrix.groupBy("token").agg(count(lit(1)).as("dfr"))
-    val withStats = matrix
+    val withStats = graft.operators.DedupOps.Local.pin(matrix
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
-      .join(dfCounts, Seq("token"))
+      .join(dfCounts, Seq("token")))
     val corpus = matrix.agg(
       countDistinct(col("doc_id")).as("n_docs"),
       sum(col("tf")).as("sum_dl"))
