@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for optimization rounds: times labeled sub-stages of
+  * a query under the bench's exact session shape. Not part of the driver
+  * contract; keep out of artifacts. */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def checksum(df: org.apache.spark.sql.DataFrame): Long = {
+      val r = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(expr("bit_xor(h)"), count(lit(1))).collect()
+      if (r.nonEmpty && !r(0).isNullAt(1)) r(0).getLong(1) else 0L
+    }
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    val ev = graft.core.Tables.events(spark, dir)
+    t("warm events scan")(ev.count())
+    t("calib")(spark.range(20000000L)
+      .select((col("id") % 4096L).as("k"), xxhash64(col("id")).as("h"))
+      .groupBy("k").agg(expr("bit_xor(h) AS x")).agg(expr("bit_xor(x)")).collect())
+    t("sessions (no pin)")(
+      graft.streaming.EventStreams.userSessions(ev, 30).count())
+    t("overlapPairs (includes session pin build)")(
+      graft.operators.GraphOps.overlapPairs(ev).count())
+    t("overlapPairs again (pin warm)")(
+      graft.operators.GraphOps.overlapPairs(ev).count())
+    t("x119 pageRank full")(checksum(
+      graft.operators.GraphOps.sessionPageRank(ev)))
+    graft.core.TransientPins.drain(spark)
+    t("x119 pageRank again")(checksum(
+      graft.operators.GraphOps.sessionPageRank(ev)))
+    graft.core.TransientPins.drain(spark)
+    t("x123 triangles")(checksum(
+      graft.operators.GraphOps.sessionTriangles(ev)))
+    graft.core.TransientPins.drain(spark)
+    t("x132 kcore")(checksum(
+      graft.operators.GraphOps.sessionKCore(ev)))
+    graft.core.TransientPins.drain(spark)
+
+    // ---- admission stack sub-stages (x193 shape) ----
+    val batch = graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+    val bemb = graft.core.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 5 === 0)
+    val ndx = SparkEntry.ndxRoot(spark, dir)
+    val spx = SparkEntry.spxRoot(spark, dir)
+    val ann = SparkEntry.annAdmitRoot(spark, dir)
+    val np = SparkEntry.ivfNProbe(spark, dir)
+    t("near admit (cold pins)")(checksum(
+      graft.operators.NearDupIndex.admit(batch, ndx)))
+    t("near admit (warm)")(checksum(
+      graft.operators.NearDupIndex.admit(batch, ndx)))
+    t("span bill (cold pins)")(checksum(
+      graft.operators.SpanIndex.admitBill(batch, spx)))
+    t("span bill (warm)")(checksum(
+      graft.operators.SpanIndex.admitBill(batch, spx)))
+    t("ann admitVectors")(checksum(
+      graft.operators.IvfOps.admitVectors(spark, ann, bemb, 400000L, np)))
+    t("ann admitVectors again")(checksum(
+      graft.operators.IvfOps.admitVectors(spark, ann, bemb, 400000L, np)))
+    t("report (2-tier)")(checksum(
+      graft.operators.ShardAdmission.report(batch, ndx, spx)))
+    t("x193 reportFull")(checksum(
+      graft.operators.ShardAdmission.reportFull(batch, bemb, ndx, spx, ann,
+        400000L, np)))
+    t("x193 reportFull again")(checksum(
+      graft.operators.ShardAdmission.reportFull(batch, bemb, ndx, spx, ann,
+        400000L, np)))
+    graft.core.TransientPins.drain(spark)
+    spark.stop()
+  }
+}

@@ -63,7 +63,7 @@ object SparkEntry {
   // gated probe count is COUPLED to the model's k (constant probed
   // fraction): a fixed nProbe silently decays recall as k grows with
   // sqrt(n) — measured 0.73 -> 0.49 avg recall@8 at the sf0.1 k=45
-  private def ivfNProbe(s: SparkSession, dir: String): Int =
+  private[graft] def ivfNProbe(s: SparkSession, dir: String): Int =
     graft.operators.IvfOps.adaptiveNProbe(ivfModel(s, dir).centroids.length)
   // the "retrained" codebook for x173: one extra Lloyd round from the
   // SAME deterministic seed lineage — the in-place refresh an ANN
@@ -135,7 +135,7 @@ object SparkEntry {
   // of the partition, so reuse cannot change any result.
   private val ndxCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
-  private def ndxRoot(s: SparkSession, dir: String): String =
+  private[graft] def ndxRoot(s: SparkSession, dir: String): String =
     ndxCache.getOrElseUpdate((s, dir), fixtureDir("ndx", dir) { root =>
       graft.operators.NearDupIndex.buildIndex(
         Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0), root)
@@ -186,7 +186,7 @@ object SparkEntry {
   // postings; build-once-per-(session, corpus) like ndxRoot.
   private val annRootCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
-  private def annAdmitRoot(s: SparkSession, dir: String): String =
+  private[graft] def annAdmitRoot(s: SparkSession, dir: String): String =
     annRootCache.getOrElseUpdate((s, dir),
         fixtureDir("annr", dir) { root =>
       graft.operators.IvfOps.saveIndex(
@@ -199,7 +199,7 @@ object SparkEntry {
   // (session, corpus) contract as ndxRoot.
   private val spxCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
-  private def spxRoot(s: SparkSession, dir: String): String =
+  private[graft] def spxRoot(s: SparkSession, dir: String): String =
     spxCache.getOrElseUpdate((s, dir), fixtureDir("spx", dir) { root =>
       graft.operators.SpanIndex.buildIndex(
         Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0), root)
