@@ -33,6 +33,46 @@ object Prof {
     t("calib")(spark.range(20000000L)
       .select((col("id") % 4096L).as("k"), xxhash64(col("id")).as("h"))
       .groupBy("k").agg(expr("bit_xor(h) AS x")).agg(expr("bit_xor(x)")).collect())
+
+    // ---- x159 decomposition ----
+    val docs = graft.core.Tables.documents(spark, dir)
+    t("warm docs scan")(docs.count())
+    t("x23 simhashClusters")(checksum(
+      graft.operators.DedupOps.simhashClusters(docs, 3)))
+    graft.core.TransientPins.drain(spark)
+    t("x97 dsirWeights")(checksum(
+      graft.operators.CurationOps.dsirWeights(docs)))
+    graft.core.TransientPins.drain(spark)
+    t("x97 dsirWeights warm")(checksum(
+      graft.operators.CurationOps.dsirWeights(docs)))
+    graft.core.TransientPins.drain(spark)
+    t("x159 full")(checksum(
+      graft.operators.CurationOps.clusterCorrectedDsir(docs)))
+    graft.core.TransientPins.drain(spark)
+    t("x159 full warm")(checksum(
+      graft.operators.CurationOps.clusterCorrectedDsir(docs)))
+    graft.core.TransientPins.drain(spark)
+    // dsir sub-stages
+    locally {
+      val toks = graft.operators.TextOps.wordsRe(col("text"))
+      val feats = concat(toks,
+        graft.functions.TextExpressions.wsBigramsFast(col("text")))
+      val mat = docs
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("lang").isNotNull)
+        .select(col("doc_id"), (col("lang") === lit("en")).as("tgt"),
+          explode(feats).as("feat"))
+        .select(col("doc_id"), col("tgt"),
+          coalesce(graft.functions.HashFunctions.polyHash52Fast(col("feat")) %
+            lit(4096L), lit(0L)).as("bucket"))
+        .groupBy("doc_id", "tgt", "bucket").agg(count(lit(1)).as("occ"))
+      t("dsir mat only")(mat.groupBy().agg(count(lit(1))).collect())
+      t("dsir mat only again")(mat.groupBy().agg(count(lit(1))).collect())
+      t("dsir explode only")(docs
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("lang").isNotNull)
+        .select(explode(feats).as("feat")).groupBy().count().collect())
+    }
     t("sessions (no pin)")(
       graft.streaming.EventStreams.userSessions(ev, 30).count())
     t("overlapPairs (includes session pin build)")(

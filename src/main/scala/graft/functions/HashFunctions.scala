@@ -1,7 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic, engine-portable hashing helpers.
   *
@@ -69,6 +73,34 @@ object HashFunctions {
         h => mix(mix(h, mixK1), mixK2)))
   }
 
+  /** One compiled fold per STRING for [[polyHash52]] — same code-point
+    * semantics as the HOF form (PolyHashParitySpec pins equality incl.
+    * multi-byte and empty input; empty folds to 0 through the mix with
+    * no special case). The HOF form evaluates a lambda per character
+    * with a boxed sequence/transform allocation per row — measured 6×
+    * the whole feature-matrix cost on the DSIR family, which hashes
+    * every unigram+bigram of the corpus. */
+  def polyHash52Utf8(u: UTF8String): Long = {
+    val s = u.toString
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * polyB + cp) % polyP
+      i += Character.charCount(cp)
+    }
+    h = (h & (mixM - 1)) * mixK1 + (h >>> 26)
+    (h & (mixM - 1)) * mixK2 + (h >>> 26)
+  }
+
+  /** Native-expression Column form of [[polyHash52]] — use THIS on hot
+    * paths; the HOF form is the parity/oracle reference. */
+  def polyHash52Fast(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+    column(PolyHash52Expr(expression(c)))
+  }
+
   /** DuckDB SQL snippet twin of [[polyHash52]] — keep in sync.
     * (`generate_series(1, 0)` is EMPTY in DuckDB, so the empty string
     * folds over the prepended seed alone → 0, matching the guard.)
@@ -92,4 +124,24 @@ object HashFunctions {
 
   def hash60Sql(expr: String, seed: Int): String =
     hash60Sql(s"concat('$seed|', CAST($expr AS VARCHAR))")
+}
+
+/** Native one-pass [[HashFunctions.polyHash52]] over a string — one
+  * compiled code-point fold per row (the WinnowExpressions pattern),
+  * replacing a per-character lambda evaluation. Null → null
+  * (nullIntolerant), matching the HOF form. */
+case class PolyHash52Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashFunctions.polyHash52Utf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashFunctions.polyHash52Utf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash52Expr =
+    copy(child = newChild)
+  override def prettyName: String = "poly_hash52"
 }

@@ -66,7 +66,7 @@ object CurationOps {
       // filter would fix reuse too, but costs a second hash evaluation
       // per feature row (Filter and Project don't share subexpressions)
       .select(col("doc_id"), col("tgt"),
-        coalesce(HashFunctions.polyHash52(col("feat")) % lit(buckets.toLong),
+        coalesce(HashFunctions.polyHash52Fast(col("feat")) % lit(buckets.toLong),
           lit(0L)).as("bucket"))
       .groupBy("doc_id", "tgt", "bucket").agg(count(lit(1)).as("occ"))
     val cnt = mat.groupBy("bucket").agg(
@@ -1117,7 +1117,7 @@ object CurationOps {
       .select((col("lang") === lit(targetLang)).as("tgt"),
         explode(feats).as("feat"))
       .select(col("tgt"),
-        coalesce(HashFunctions.polyHash52(col("feat")) % lit(buckets.toLong),
+        coalesce(HashFunctions.polyHash52Fast(col("feat")) % lit(buckets.toLong),
           lit(0L)).as("bucket"))
     val cnt = mat.groupBy("bucket").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
@@ -1155,7 +1155,7 @@ object CurationOps {
     df.filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), explode(feats).as("feat"))
       .select(col("doc_id"),
-        coalesce(HashFunctions.polyHash52(col("feat")) % lit(buckets.toLong),
+        coalesce(HashFunctions.polyHash52Fast(col("feat")) % lit(buckets.toLong),
           lit(0L)).as("bucket"))
       .join(broadcast(weights), Seq("bucket"), "left_outer")
       .groupBy("doc_id")

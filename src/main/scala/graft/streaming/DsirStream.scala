@@ -36,7 +36,7 @@ object DsirStream {
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), col("ts"), explode(feats).as("feat"))
       .select(col("doc_id"), col("ts"),
-        coalesce(HashFunctions.polyHash52(col("feat")) % lit(buckets.toLong),
+        coalesce(HashFunctions.polyHash52Fast(col("feat")) % lit(buckets.toLong),
           lit(0L)).as("bucket"))
       .join(broadcast(weights), Seq("bucket"), "left_outer")
       .groupBy(col("doc_id"), col("ts"))
