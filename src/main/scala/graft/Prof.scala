@@ -73,6 +73,16 @@ object Prof {
           col("lang").isNotNull)
         .select(explode(feats).as("feat")).groupBy().count().collect())
     }
+    // windows() kernel share
+    locally {
+      def wins(fast: Boolean) = graft.operators.SubstringOps.windows(
+        docs, 8, col("text"), fastHash = fast)
+      t("windows fastHash build")(checksum(wins(true)))
+      t("windows fastHash build again")(checksum(wins(true)))
+      t("windows md5 build")(checksum(wins(false)))
+      t("x72 dupSpans full")(checksum(
+        graft.operators.SubstringOps.dupSpans(docs)))
+    }
     t("sessions (no pin)")(
       graft.streaming.EventStreams.userSessions(ev, 30).count())
     t("overlapPairs (includes session pin build)")(

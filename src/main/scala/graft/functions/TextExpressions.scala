@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -112,6 +113,64 @@ object TextUtils {
     }
     new GenericArrayData(out)
   }
+
+  /** All w-token window hashes of a token array in ONE compiled pass:
+    * element i (0-based) equals
+    * `xxhash64(toks[i], toks[i+1], …, toks[i+w-1])` — Spark's seed
+    * chaining exactly (seed 42, each element's hash seeds the next;
+    * null elements keep the running seed, like XxHash64.eval).
+    * Fewer than w tokens → empty array (the caller's explode emits
+    * nothing, same as the `when(size>=w, …)` HOF guard). Exists because
+    * a `transform(sequence(…), i -> xxhash64(element_at…))` lambda is
+    * evaluated INTERPRETED per window — boxing + per-element
+    * element_at — on the hottest kernel of the exact-substring family
+    * (WindowHashParitySpec pins equality with the HOF form). */
+  def windowHashes(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    val m = if (n >= w) n - w + 1 else 0
+    if (m == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = i
+      val e = i + w
+      while (j < e) {
+        val s = toks(j)
+        if (s != null)
+          h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Native one-pass w-token window hash array — see
+  * [[TextUtils.windowHashes]]. */
+case class WindowHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w > 0, s"w=$w")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextUtils.windowHashes(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextUtils.windowHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "window_hashes"
 }
 
 case class WsTokenCountExpr(child: Expression) extends UnaryExpression {
@@ -194,4 +253,9 @@ object TextExpressions {
     * lambda-free so duplicate plan subtrees stay exchange-reusable. */
   def wsBigramsFast(text: Column): Column =
     column(WsBigramsExpr(expression(text)))
+
+  /** Codegen'd w-token window hash array (0-based; chained xxhash64 per
+    * window, seed 42); < w tokens → empty array; null array → null. */
+  def windowHashes(toks: Column, w: Int): Column =
+    column(WindowHashesExpr(expression(toks), w))
 }

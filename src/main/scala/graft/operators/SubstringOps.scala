@@ -61,16 +61,43 @@ object SubstringOps {
                              keyNames: Seq[String] = Seq("doc_id"),
                              fastHash: Boolean = false): DataFrame = {
     val ws = col("ws")
-    def whashOf(i: Column): Column =
-      if (fastHash) xxhash64((0 until w).map(j => element_at(ws, i + j)): _*)
-      else md5(array_join(slice(ws, i, lit(w)), " "))
+    val keys = keyNames.map(col)
+    if (fastHash) {
+      // round 18 second pass (guide §4): the HOF-lambda formulation
+      // (`transform(sequence(…), i -> xxhash64(element_at…))`) is
+      // evaluated INTERPRETED per window — the native expression
+      // computes the identical chained-xxhash64 array in one compiled
+      // pass per row (WindowHashParitySpec pins value equality)
+      df.select(keys :+ words(text).as("ws"): _*)
+        .select(keys :+ posexplode(
+          graft.functions.TextExpressions.windowHashes(ws, w))
+          .as(Seq("p0", "whash")): _*)
+        .select(keys ++ Seq((col("p0") + 1).cast("long").as("pos"),
+          col("whash")): _*)
+    } else {
+      def whashOf(i: Column): Column = md5(array_join(slice(ws, i, lit(w)), " "))
+      val win = explode(when(size(ws) >= w,
+        transform(sequence(lit(1), size(ws) - (w - 1)), i =>
+          struct(i.cast("long").as("pos"), whashOf(i).as("whash")))))
+      df.select(keys :+ words(text).as("ws"): _*)
+        .select(keys :+ win.as("wn"): _*)
+        .select(keys ++ Seq(col("wn.pos"), col("wn.whash")): _*)
+    }
+  }
+
+  /** The HOF-lambda reference of the fastHash window kernel — parity
+    * target for WindowHashParitySpec, not a query path. */
+  private[graft] def windowsFastHof(df: DataFrame, w: Int, text: Column)
+      : DataFrame = {
+    val ws = col("ws")
     val win = explode(when(size(ws) >= w,
       transform(sequence(lit(1), size(ws) - (w - 1)), i =>
-        struct(i.cast("long").as("pos"), whashOf(i).as("whash")))))
-    val keys = keyNames.map(col)
-    df.select(keys :+ words(text).as("ws"): _*)
-      .select(keys :+ win.as("wn"): _*)
-      .select(keys ++ Seq(col("wn.pos"), col("wn.whash")): _*)
+        struct(i.cast("long").as("pos"),
+          xxhash64((0 until w).map(j => element_at(ws, i + j)): _*)
+            .as("whash")))))
+    df.select(col("doc_id"), words(text).as("ws"))
+      .select(col("doc_id"), win.as("wn"))
+      .select(col("doc_id"), col("wn.pos"), col("wn.whash"))
   }
 
   /** x72: maximal duplicated spans per document. A window is duplicated
