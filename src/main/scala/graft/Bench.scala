@@ -186,9 +186,17 @@ object Bench {
         // otherwise report out_rows -1 with a misleadingly quick time)
         val ok = runs.filter(_._2 != -1L)
         val best = (if (ok.nonEmpty) ok else runs).minBy(_._1)
-        (name, best._1, best._2)
+        // run 1's wall time rides alongside best-of-N (additions-only,
+        // round-19): queries that derive a session-memoized relation
+        // (PinnedViews — the graph family's pair relation, the dedup
+        // contraction kernels) pay the derivation exactly once, in run 1
+        // of the FIRST sharing query; min() then reports memo-warm time
+        // for that query and every later sharer. first_run is the
+        // cold-side reading that makes the amortization visible in the
+        // artifact instead of under-pricing six queries silently.
+        (name, best._1, best._2, runs.head._1)
       }
-    val results = resultsFull.map { case (n, s, _) => (n, s) }
+    val results = resultsFull.map { case (n, s, _, _) => (n, s) }
     // 3-decimal timings: the driver captures a bounded tail of stdout and
     // parses the last JSON line — full-precision doubles push the line past
     // that window (BENCH_r01/r02 recorded parsed:null). Locale.ROOT keeps
@@ -210,7 +218,13 @@ object Bench {
     // result volume for output-bound queries); -1 marks a query that
     // threw rather than one that returned empty
     val outRowsJson = resultsFull
-      .map { case (k, _, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+      .map { case (k, _, r, _) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+    // first_run: run 1's seconds per query (see resultsFull) — the
+    // cold-side price of anything session-memoized; "queries" stays
+    // best-of-N so every existing consumer/comparison is untouched
+    val firstRunJson = resultsFull
+      .map { case (k, _, _, f) => "\"" + k + "\":" + fmt(f) }
+      .mkString("{", ",", "}")
     // mid-sweep readings that never ran (<=2-query sweep) emit as JSON
     // null, not a -1.0 sentinel: a consumer computing the documented
     // detachment ratio |calib_mid/calib_warm - 1| must see "absent", not
@@ -229,6 +243,7 @@ object Bench {
       restricted + calibs + s""""runs":$rounds,""" +
       s""""rows":$rowsJson,""" +
       s""""queries":${qJson(results)},"out_rows":$outRowsJson,""" +
+      s""""first_run":$firstRunJson,""" +
       s""""sf":"${jq(sfDir)}"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }

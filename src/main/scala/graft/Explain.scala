@@ -69,6 +69,11 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("PLANS.md")
+    // per-query dump mode (optimization-round evidence files):
+    //   runMain graft.Explain <sfDir> <outDir> <name1,name2,...> [suffix]
+    // writes <outDir>/<name><suffix>.txt per query, e.g. suffix "_before"
+    val subset = args.lift(2).map(_.split(",").toSeq)
+    val suffix = args.lift(3).getOrElse("")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -76,6 +81,19 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    subset.foreach { names =>
+      Files.createDirectories(Paths.get(out))
+      names.foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val p = Paths.get(out, s"$name$suffix.txt")
+        Files.writeString(p, plan)
+        println(s"[explain] wrote $p")
+      }
+      spark.stop()
+      return
+    }
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of every gate query\n\n")
     sb.append(s"Generated by `graft.Explain` on `$sfDir`. These are the shapes\n")

@@ -43,6 +43,14 @@ object TransientPins {
   // own-thread exact.
   private val queues = TrieMap
     .empty[(SparkContext, Long), ConcurrentLinkedQueue[RDD[_]]]
+  // weak owner handles so drain can tell a live pool thread's queue
+  // (must not touch: in-flight state) from a DEAD thread's (safe to
+  // release: its invocations ended with it) — without pinning Thread
+  // objects alive ourselves. Round-19 ADVICE fix: queues keyed by
+  // threads that died while the context lived used to leak both the
+  // map entry and any pins registered after that thread's last drain.
+  private val owners = TrieMap
+    .empty[(SparkContext, Long), java.lang.ref.WeakReference[Thread]]
 
   /** Register `df`'s checkpoint RDD(s) as transient; returns `df`.
     * Call on the RESULT of `localCheckpoint(true)` — the analyzed plan
@@ -54,6 +62,8 @@ object TransientPins {
     if (rdds.nonEmpty) {
       val key = (df.sparkSession.sparkContext, Thread.currentThread().getId)
       val q = queues.getOrElseUpdate(key, new ConcurrentLinkedQueue[RDD[_]])
+      owners.putIfAbsent(key,
+        new java.lang.ref.WeakReference(Thread.currentThread()))
       rdds.foreach(q.add)
     }
     df
@@ -79,8 +89,30 @@ object TransientPins {
         k
     }
     // drop queues owned by stopped contexts so a JVM creating many
-    // sessions doesn't accumulate empty queues
-    queues.keys.filter(_._1.isStopped).foreach(queues.remove)
+    // sessions doesn't accumulate empty queues; release queues owned by
+    // DEAD threads too (a pool thread that registered pins and exited
+    // without a final drain — its invocations ended with it, so nothing
+    // drained here can be in flight)
+    queues.keys.filter(_._1.isStopped).foreach { k =>
+      queues.remove(k); owners.remove(k)
+    }
+    queues.keys.filterNot(k => k._2 == key._2).foreach { k =>
+      // dead ONLY when an owner handle exists and its thread is gone —
+      // a queue seen in the instant between creation and owner
+      // registration must read as live (draining a live thread's
+      // in-flight pins is fatal; leaking one sweep is free)
+      val dead = owners.get(k).exists(r =>
+        Option(r.get()).forall(!_.isAlive))
+      if (dead) queues.remove(k).foreach { q =>
+        var rdd = q.poll()
+        while (rdd != null) {
+          try rdd.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+          rdd = q.poll()
+        }
+        owners.remove(k)
+      }
+    }
     n
   }
 }

@@ -113,13 +113,29 @@ object AnnAdmitIndex {
     * `model/<gen>` entry ([[retrain]] swaps it atomically with the
     * recoded postings; `root/centroids` is the pre-generation legacy
     * fallback). */
+  // quantizer generations are IMMUTABLE once promoted (writeModel's
+  // stage+atomic-move; retrain writes a NEW generation) — so the
+  // driver-side collect of a generation's centroids is safe to cache
+  // per (session, resolved dir): round 19, drops one collect job from
+  // every admission query against the same live model. The legacy
+  // root/centroids fallback has no immutability contract and is never
+  // cached.
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IvfOps.IvfModel]
+
   def loadModel(spark: SparkSession, root: String): IvfOps.IvfModel = {
-    val dir = modelEntries(committedEpochs(root)).lastOption
-      .map(e => s"$root/$e/centroids").getOrElse(s"$root/centroids")
-    val rows = spark.read.parquet(dir)
-      .orderBy("centroid_id").collect()
-    IvfOps.IvfModel(rows.map(
-      _.getAs[scala.collection.Seq[Double]]("cv").toArray))
+    def readAt(dir: String): IvfOps.IvfModel = {
+      val rows = spark.read.parquet(dir)
+        .orderBy("centroid_id").collect()
+      IvfOps.IvfModel(rows.map(
+        _.getAs[scala.collection.Seq[Double]]("cv").toArray))
+    }
+    modelEntries(committedEpochs(root)).lastOption match {
+      case Some(e) =>
+        modelCache.getOrElseUpdate((spark, s"$root/$e/centroids"),
+          readAt(s"$root/$e/centroids"))
+      case None => readAt(s"$root/centroids")
+    }
   }
 
   /** The live postings relation `(vec_id, centroid_id, qcode)`. */
@@ -158,10 +174,20 @@ object AnnAdmitIndex {
     * (AnnAdmitIndexSpec pins it). */
   def admit(queries: DataFrame, root: String, tauMicro: Long,
             nProbe: Int,
-            mode: IvfOps.ProbeMode = IvfOps.ProbeAuto()): DataFrame = {
+            mode: IvfOps.ProbeMode = IvfOps.ProbeAuto(),
+            pin: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
-    IvfOps.admitVectorsOver(loadModel(spark, root), load(spark, root),
-      queries, tauMicro, nProbe, mode)
+    val out = IvfOps.admitVectorsOver(loadModel(spark, root),
+      load(spark, root), queries, tauMicro, nProbe, mode)
+    // PROBE-ONCE (round 19, guide §2.1): batch-sized verdict relation,
+    // deterministic in (batch plan, model literals, live postings
+    // paths, τ, nProbe, resolved probe form) — all of which are IN the
+    // canonicalized plan key, so the collected and distributed probe
+    // forms never share an entry and a retrain/extension/gc (new
+    // generation literals / epoch paths) can never serve stale rows.
+    // pin=false for per-micro-batch callers (the streaming loop
+    // persists its own copy), same contract as the text tiers.
+    if (pin) graft.core.PinnedViews.pinned(out) else out
   }
 
   /** Commit the batch's ADMITTED vectors as a new epoch under a
@@ -177,8 +203,11 @@ object AnnAdmitIndex {
   def extendEpoch(emb: DataFrame, root: String, epochName: String,
                   tauMicro: Long, nProbe: Int): Boolean =
     lockFor(root).synchronized {
+      // pin=false: the internal probe is consumed once right here, and
+      // an extension loop would otherwise grow one session-memo entry
+      // per epoch (each keyed by the previous epoch set's paths)
       extendEpochAdmitted(emb, root, epochName,
-        admit(emb, root, tauMicro, nProbe)
+        admit(emb, root, tauMicro, nProbe, pin = false)
           .filter(col("verdict") === "admitted").select(col("vec_id")))
     }
 

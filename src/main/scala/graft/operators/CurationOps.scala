@@ -50,7 +50,8 @@ object CurationOps {
     * model memory fixed at any vocabulary size — the reason DSIR hashes
     * at all. */
   def dsirWeights(df: DataFrame, targetLang: String = "en",
-                  buckets: Int = 4096): DataFrame = {
+                  buckets: Int = 4096,
+                  state: DedupOps.IterState = DedupOps.Local): DataFrame = {
     val toks = TextOps.wordsRe(col("text"))
     val feats = concat(toks, TextExpressions.wsBigramsFast(col("text")))
     val mat = df
@@ -79,13 +80,20 @@ object CurationOps {
         log((col("ct") + lit(1L)).cast("double") / (col("tt").cast("double") + b)) -
         log((col("cr") + lit(1L)).cast("double") / (col("tr").cast("double") + b)))
         .as("w_micro"))
-    mat.join(broadcast(w), "bucket")
+    // SCORE-ONCE (round 19, guide §2.1): the weight relation is narrow
+    // (4 columns × |docs|) and a deterministic function of (corpus
+    // plan, targetLang, buckets); x97 and x159 both derive it from the
+    // identical plan, so under Local the corpus tokenize+model+score
+    // runs once per session and the second consumer reads the pinned
+    // rows — the x23-kernel sign-once discipline applied to the DSIR
+    // model. memoPin: Unpinned stays plan-only, Reliable checkpoints.
+    DedupOps.memoPin(state)(mat.join(broadcast(w), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("occ")).as("n_feats"),
         sum(col("occ") * col("w_micro")).as("dsir_micro"))
       .select(col("doc_id"), col("n_feats"), col("dsir_micro"),
         (col("dsir_micro").cast("double") /
-          (col("n_feats").cast("double") * lit(1e6))).as("dsir_avg"))
+          (col("n_feats").cast("double") * lit(1e6))).as("dsir_avg")))
   }
 
   /** DuckDB twin of [[dsirWeights]] — same snap-then-sum contract. */
@@ -167,7 +175,7 @@ object CurationOps {
     val share = clusters.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("sz"),
         expr("1000000L div sz").as("share_micro"))
-    val dsir = dsirWeights(df, targetLang, buckets)
+    val dsir = dsirWeights(df, targetLang, buckets, state)
       .select(col("doc_id"), col("dsir_micro"))
     df.filter(col("doc_id").isNotNull && col("source").isNotNull &&
         col("text").isNotNull && col("lang").isNotNull)

@@ -58,6 +58,38 @@ object DedupOps {
     def pin(df: DataFrame): DataFrame = df
   }
 
+  /** Pin `df` hash-partitioned on `cols` — and KEEP the partitioning
+    * visible to the planner across the checkpoint. `localCheckpoint`
+    * erases outputPartitioning (Spark 4 publishes UnknownPartitioning on
+    * the LogicalRDD leaf even under an explicit repartition), so every
+    * downstream join/aggregate keyed on `cols` would re-shuffle rows the
+    * pin already laid out. The explicit partition count is what makes
+    * the re-declared metadata truthful: AQE never coalesces a
+    * user-numbered repartition, so rows sit at murmur3(cols) % n exactly
+    * as declared (see [[org.apache.spark.sql.graftbridge.Bridge
+    * .declareHashPartitioning]] for the contract). Under [[Unpinned]]
+    * the repartition node itself carries the partitioning — same plan
+    * shape, no checkpoint. */
+  private[graft] def pinPartitioned(state: IterState, df: DataFrame,
+                                    cols: String*): DataFrame = {
+    // SCALE-ADAPTIVE partition count (guide §2.2): derived from the
+    // plan's own size estimate at ~64 MB per partition, capped by the
+    // session's configured shuffle parallelism (the cluster knob) —
+    // never a constant, which would be tuned for exactly one of local
+    // mode or the cluster. The floor keeps tiny local inputs on ONE
+    // task instead of `cap` near-empty ones; AQE cannot do this
+    // coalescing for us because only an explicit user count keeps the
+    // declared murmur3(cols) % n layout truthful (AQE merges adjacent
+    // reducer partitions, which is NOT hash-modulo any smaller n).
+    val cap = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(64L << 20)
+    val n = ((bytes + target - 1) / target).max(1).min(cap).toInt
+    val pinned = state.pin(df.repartition(n, cols.map(col): _*))
+    org.apache.spark.sql.graftbridge.Bridge
+      .declareHashPartitioning(pinned, cols, n)
+  }
+
   // ---- exact --------------------------------------------------------------
 
   /** Exact-duplicate groups by content hash: one row per distinct content,

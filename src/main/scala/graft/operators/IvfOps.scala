@@ -1048,8 +1048,17 @@ object IvfOps {
     // drops feeds the cluster edge source AND the final evidence join;
     // labeled feeds the per-cluster argmax AND the final spine — pinned
     // (round 18, guide §2.4) so the ADC drop scan and the quality
-    // scoring run once per invocation, not once per consumer branch
-    val drops = state.pin(semDedup(emb, model, tau))
+    // scoring run once per invocation, not once per consumer branch.
+    // drops goes through memoPin (round 19): a per-invocation state.pin
+    // put a FRESH LogicalRDD leaf under the pairs plan, so every
+    // componentLabels memoPin below missed the session memo and each
+    // invocation permanently accumulated a new set of Borůvka-round
+    // pins that TransientPins.drain never releases (they are PinnedViews
+    // entries) — the same in-sweep storage squeeze round 18 fixed,
+    // reintroduced one query at a time. Memo-keyed on the canonicalized
+    // semDedup plan (emb scan + model literals — stable per session),
+    // the kernel is pinned once and every later invocation reuses it.
+    val drops = DedupOps.memoPin(state)(semDedup(emb, model, tau))
     val pairs = drops.select(col("anchor_id").as("doc_a"),
       col("vec_id").as("doc_b"))
     val clusters = DedupOps.dupClusters(docs, pairs, state = state)
@@ -1214,9 +1223,16 @@ object IvfOps {
     * against x96/x171-style calibration before trusting it at scale. */
   def admitVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
                    queries: DataFrame, tauMicro: Long, nProbe: Int,
-                   mode: ProbeMode = ProbeAuto()): DataFrame =
-    admitVectorsOver(loadIndex(spark, dir),
+                   mode: ProbeMode = ProbeAuto(),
+                   pin: Boolean = true): DataFrame = {
+    val out = admitVectorsOver(loadIndex(spark, dir),
       spark.read.parquet(s"$dir/postings"), queries, tauMicro, nProbe, mode)
+    // PROBE-ONCE (round 19, guide §2.1) — the [[AnnAdmitIndex.admit]]
+    // contract on the flat saveIndex layout: batch-sized, plan-keyed
+    // (probe form, model literals, postings paths all in the key).
+    // pin=false for per-micro-batch callers.
+    if (pin) graft.core.PinnedViews.pinned(out) else out
+  }
 
   /** [[admitVectors]] over an already-assembled postings relation —
     * the [[AnnAdmitIndex]] entry. `mode` picks the probe form

@@ -72,19 +72,28 @@ object LayoutOps {
     * max_a, min_b, max_b, cov_a_ppm, cov_b_ppm). */
   def zoneMapAudit(df: DataFrame, dimA: Column, dimB: Column,
                    tieCols: Seq[Column], files: Int = 16,
-                   buckets: Int = 64): DataFrame = {
+                   buckets: Int = 64,
+                   state: DedupOps.IterState = DedupOps.Local): DataFrame = {
     require(files >= 2 && files <= 4096, s"files=$files")
     val base = df.select((dimA.cast("long").as("a") +: dimB.cast("long").as("b") +:
       tieCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }): _*)
     val stats = base.agg(min(col("a")).as("ga0"), max(col("a")).as("ga1"),
       min(col("b")).as("gb0"), max(col("b")).as("gb1"),
       count(lit(1)).as("gn"))
-    val scaled = base.crossJoin(broadcast(stats))
+    // the scaled/Morton-keyed fact is consumed THREE times downstream
+    // (TwoPhase's bucket-count pass, its rank pass, and the final
+    // audit columns) — pinned per invocation (round 19, guide §2.1/§6)
+    // it is evaluated ONCE: one stats scan + one keyed scan of the
+    // fact instead of three scans each re-running the crossJoin and
+    // the 8-step spread ladder. The pin is the NARROW key relation
+    // (two dims + grid keys + tiebreak), the same materialize-once a
+    // real OPTIMIZE rewrite performs before laying files out.
+    val scaled = state.pin(base.crossJoin(broadcast(stats))
       .select(col("a"), col("b"), col("ga0"), col("ga1"), col("gb0"), col("gb1"), col("gn"),
         expr("((a - ga0) * 65535L) div greatest(ga1 - ga0, 1L)").as("ua"),
         expr("((b - gb0) * 65535L) div greatest(gb1 - gb0, 1L)").as("ub"),
         struct(tieCols.indices.map(i => col(s"t$i")): _*).as("tie"))
-      .withColumn("z", shiftleft(spread(col("ua")), 1).bitwiseOR(spread(col("ub"))))
+      .withColumn("z", shiftleft(spread(col("ua")), 1).bitwiseOR(spread(col("ub")))))
     // both layouts from one explode of a layout tag (a union of two
     // globally-sorted branches would read the fact once per branch);
     // exact per-layout ranks via TwoPhase — the linear key lives on the

@@ -335,7 +335,7 @@ object NearDupIndex {
     val (inCl, inSigs, inBands) =
       if (pin) signCorpusPinned(incoming, text) else signCorpus(incoming, text)
     val best = bestEstimates(inSigs, inBands, idx)
-    inCl
+    val out = inCl
       .select(col("rep").as("doc_id"), col("fp").as("content_hash"),
         col("weight").as("n_batch_copies"))
       .join(idx.cliques.select(col("fp").as("content_hash"),
@@ -347,6 +347,16 @@ object NearDupIndex {
           .otherwise(lit("admitted")).as("verdict"),
         (coalesce(col("best_matches"), lit(0L)) * ppmPerMatch)
           .as("best_est_ppm"))
+    // PROBE-ONCE (round 19, guide §2.1): the verdict relation is a
+    // deterministic, batch-sized function of (batch plan, live index
+    // paths, minMatches) — the manifest consumers (x174/x190/x191/
+    // x193/x194/x195/x197/x200) all derive from the identical plan, so
+    // under the session signing discipline the index probe runs ONCE
+    // per (batch, index) and every later consumer reads the ≤|batch|
+    // pinned rows. Keyed by canonicalized plan: an extension/compaction
+    // /retraction changes the epoch path set, so a mutated index can
+    // never serve a stale verdict. pin=false (streaming) is untouched.
+    if (pin) graft.core.PinnedViews.pinned(out) else out
   }
 
   /** [[admit]] under the x78/x182 hot-bucket discipline, applied to the

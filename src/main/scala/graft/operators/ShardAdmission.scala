@@ -81,7 +81,7 @@ object ShardAdmission {
     val base = report(batch, nearDupRoot, spanRoot, minMatches, w,
       heavyNum, heavyDen, text, pin)
     overlayEmbed(base, IvfOps.admitVectors(batch.sparkSession, annRoot,
-      batchEmb, tauMicro, nProbe))
+      batchEmb, tauMicro, nProbe, pin = pin))
   }
 
   /** [[reportFull]] with the embedding tier served by the
@@ -99,7 +99,7 @@ object ShardAdmission {
                       text: Column = col("text"),
                       pin: Boolean = true): DataFrame =
     reportFullWith(batch,
-      AnnAdmitIndex.admit(batchEmb, annRoot, tauMicro, nProbe),
+      AnnAdmitIndex.admit(batchEmb, annRoot, tauMicro, nProbe, pin = pin),
       nearDupRoot, spanRoot, minMatches, w, heavyNum, heavyDen, text, pin)
 
   /** [[reportFullEpoch]] with the embedding tier's verdict relation

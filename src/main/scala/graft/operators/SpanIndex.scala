@@ -150,12 +150,21 @@ object SpanIndex {
     val nw = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
     val toks = incoming.select(col("doc_id"),
       size(TextOps.words(text)).cast("long").as("n_tokens"))
-    nw.join(toks, Seq("doc_id")).join(cut, Seq("doc_id"), "left")
+    val out = nw.join(toks, Seq("doc_id")).join(cut, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("tokens_cut"), lit(0L)).as("tokens_cut"),
         (col("n_tokens") - coalesce(col("tokens_cut"), lit(0L)))
           .as("tokens_retained"))
+    // PROBE-ONCE (round 19, guide §2.1): the bill is a deterministic,
+    // batch-sized function of (batch plan, live postings paths, w) and
+    // the manifest consumers (x189/x190/x191/x193/x194/x195/x196/x197/
+    // x200) build the identical plan — one postings scan per (batch,
+    // index) per session, every later consumer reads the pinned rows.
+    // Plan-keyed, so extension/compaction (new epoch paths) and the
+    // rebuilt/compacted fixture roots key separately; pin=false
+    // (streaming) bypasses as before.
+    if (pin) graft.core.PinnedViews.pinned(out) else out
   }
 
   /** Commit the batch's NOVEL window hashes as a new epoch under a

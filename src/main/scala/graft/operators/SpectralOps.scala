@@ -52,12 +52,21 @@ object SpectralOps {
                    state: IterState = Local): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds=$rounds")
     val dec = org.apache.spark.sql.types.DecimalType(19, 0)
-    val m = state.pin(emb
+    // co-partition the matrix ONCE on the key every round re-keys by:
+    // d's groupBy(vec_id) and the m⋈ds re-projection join both need
+    // hashpartitioning(vec_id), so pinning the layout once removes each
+    // round's two fact-sized Exchanges of m outright — the per-round
+    // shuffles left are the 64-row pos aggregate and the 1-row
+    // scale/norm aggregates (guide §2.4: operations keyed the same way
+    // share one exchange; here it is paid once at pin time for ALL
+    // rounds). Row-level results are unchanged: every aggregate is an
+    // exact integer sum, so partition placement cannot move a bit.
+    val m = DedupOps.pinPartitioned(state, emb
       .filter(col("vec_id").isNotNull)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "ev")))
       .select(col("vec_id"), col("pos"),
         floor(col("ev").cast("double") * lit(1e4) + lit(0.5)).cast("long")
-          .as("x")))
+          .as("x")), "vec_id")
     var v = m.select(col("pos")).distinct()
       .select(col("pos"), lit(1000000L).as("v"))
     var lambda: DataFrame = null
@@ -74,18 +83,31 @@ object SpectralOps {
             lit(0.5)).cast("long").as("lambda_unit"))
       }
       val ds = d.select(col("vec_id"), expr(shr("d", "1048576L")).as("ds"))
-      val w = m.join(ds, Seq("vec_id"))
-        .groupBy("pos").agg(sum(col("x") * col("ds")).as("w"))
+      // shuffle_hash on the co-partitioned doc-sized side: with m's pin
+      // carrying hashpartitioning(vec_id) this joins exchange-free AND
+      // sort-free (SMJ would re-sort the whole matrix every round); the
+      // per-partition build side is 1/P of the doc vector — bounded
+      val w = state.pin(m.join(ds.hint("shuffle_hash"), Seq("vec_id"))
+        .groupBy("pos").agg(sum(col("x") * col("ds")).as("w")))
+      // PIN THE 64-ROW w, DERIVE v LAZILY (round 19): the round's one
+      // eager job is the matrix walk ending in the dim-sized aggregate.
+      // Pinning v instead (the round-18 shape) made the same job execute
+      // the w subtree ~3× — the scale and n2 broadcast builds each
+      // re-ran it, and once the fact Exchanges were gone there was no
+      // ReusedExchange node left to dedupe them (measured: x127 3.4 s →
+      // 9.1 s on the co-partitioning change alone). With w pinned, the
+      // scale/n2/v algebra is 64-row arithmetic wherever it is
+      // re-derived, and each round performs exactly ONE pass over m.
       val scale = w.agg(greatest(expr("max(abs(w)) div 1000000L"), lit(1L))
         .as("wscale"))
       val sRel = w.crossJoin(broadcast(scale))
         .select(col("pos"), expr(shr("w", "wscale")).as("sv"))
       val n2 = sRel.agg(sum(col("sv") * col("sv")).as("n2"))
-      v = state.pin(sRel.crossJoin(broadcast(n2)).select(col("pos"),
+      v = sRel.crossJoin(broadcast(n2)).select(col("pos"),
         when(col("n2") > 0L,
           floor(col("sv").cast("double") /
             sqrt(col("n2").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
-          .otherwise(lit(0L)).as("v")))
+          .otherwise(lit(0L)).as("v"))
     }
     v.crossJoin(broadcast(lambda))
       .select(col("pos").cast("long").as("pos"), col("v").as("v_micro"),

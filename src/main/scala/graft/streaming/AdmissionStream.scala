@@ -121,7 +121,7 @@ object AdmissionStream {
         // Evaluation is lazy: on a full replay neither consumer runs,
         // so the probe never reads an index that already holds b<id>.
         val verdicts = AnnAdmitIndex
-          .admit(emb, annRoot, tauMicro, nProbe).persist()
+          .admit(emb, annRoot, tauMicro, nProbe, pin = false).persist()
         try {
           if (!NearDupIndex.hasEpoch(nearDupRoot, s"b$id"))
             ShardAdmission.reportFullWith(batch, verdicts, nearDupRoot,

@@ -302,8 +302,11 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
         Array(0.0, 0.0, 1.0), Array(0.5, 0.5, 0.0))))
     AnnAdmitIndex.compact(spark, root, targetRows = 1000L)
+    // pin=false: the plan contract under test IS the probe plan — the
+    // pinned form would expose only its materialized LogicalRDD leaf
+    // (the identical tree, executed at pin time)
     val df = AnnAdmitIndex.admit(rayCorpus(9, offset = 500L), root, tau,
-      nProbe = 2, IvfOps.ProbeDistributed)
+      nProbe = 2, IvfOps.ProbeDistributed, pin = false)
     // the STATIC physical plan is the scale witness: at production
     // sizes AQE sees a large probe relation and keeps this shape; at
     // test sizes AQE may legitimately re-broadcast tiny runtime
@@ -319,6 +322,29 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = verdicts(df)
     assert(got.nonEmpty && got.values.forall(v =>
       v._1 == "admitted" || v._1 == "dup_embed"))
+  }
+
+  test("pin=true memoizes the verdict per (batch, index) — and an " +
+      "extension keys a FRESH entry, never a stale verdict") {
+    val root = freshRoot()
+    AnnAdmitIndex.buildIndex(rayCorpus(24), root = root,
+      model = IvfOps.IvfModel(Array(
+        Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+        Array(0.0, 0.0, 1.0), Array(0.5, 0.5, 0.0))))
+    val batch = rayCorpus(9, offset = 500L)
+    val a = AnnAdmitIndex.admit(batch, root, tau, nProbe = 2)
+    val b = AnnAdmitIndex.admit(batch, root, tau, nProbe = 2)
+    // probe-once: the second call serves the SAME pinned relation
+    assert(a.queryExecution.analyzed
+      .sameResult(b.queryExecution.analyzed))
+    assert(verdicts(a) === verdicts(b))
+    // mutate the index: the live epoch set (and so the plan key)
+    // changes — the memo must not serve the pre-extension verdicts
+    AnnAdmitIndex.extendEpoch(rayCorpus(5, offset = 900L), root,
+      "bmemo", tauMicro = tau, nProbe = 2)
+    val c = AnnAdmitIndex.admit(batch, root, tau, nProbe = 2)
+    assert(!a.queryExecution.analyzed
+      .sameResult(c.queryExecution.analyzed))
   }
 
   test("probedOnly width guard: beyond inMax centroids the In-literal " +
@@ -352,8 +378,10 @@ class AnnAdmitIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
         Array(0.0, 0.0, 1.0), Array(0.5, 0.5, 0.0))))
     AnnAdmitIndex.compact(spark, root, targetRows = 1000L)
+    // pin=false: assert on the probe plan itself, not the pinned leaf
     val df = AnnAdmitIndex.admit(
-      emb(500L -> Array(1.0, 0.0, 0.0)), root, tau, nProbe = 2)
+      emb(500L -> Array(1.0, 0.0, 0.0)), root, tau, nProbe = 2,
+      pin = false)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)

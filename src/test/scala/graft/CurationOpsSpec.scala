@@ -127,7 +127,10 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("dsirWeights plan: ONE corpus tokenization feeds both model and scoring") {
     val docs = Tables.documents(spark, sfDir)
-    val df = CurationOps.dsirWeights(docs)
+    // Unpinned: the reuse contract under test is the construction plan
+    // — the Local memo (round 19) would expose only its pinned leaf
+    val df = CurationOps.dsirWeights(docs,
+      state = graft.operators.DedupOps.Unpinned)
     df.collect() // AQE: reuse only visible post-execution
     // slice off the "== Initial Plan ==" echo — only the final plan counts
     val plan = df.queryExecution.executedPlan.toString

@@ -789,9 +789,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("zone-map audit (x126): no layout-only window over the fact; ntile replaced by two-phase ranks") {
     val li = graft.core.Tables.lineitem(spark, sfDir)
+    // Unpinned: the structural contract under test is the CONSTRUCTION
+    // plan — the Local pin (round 19) would expose only its
+    // materialized leaf (the identical tree, executed at pin time)
     val plan = physicalPlan(graft.operators.LayoutOps.zoneMapAudit(li,
       col("l_partkey"), col("l_suppkey"),
-      Seq(col("l_orderkey"), col("l_linenumber"))))
+      Seq(col("l_orderkey"), col("l_linenumber")),
+      state = graft.operators.DedupOps.Unpinned))
     // scale truth (this pin once asserted `exchanges === 1`, which
     // locked IN the 2-task layout window): `layout` has two values, so
     // any window partitioned on it alone sorts half the exploded fact

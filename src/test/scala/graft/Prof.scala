@@ -22,12 +22,35 @@ object Prof {
         .agg(expr("bit_xor(h)"), count(lit(1))).collect()
       if (r.nonEmpty && !r(0).isNullAt(1)) r(0).getLong(1) else 0L
     }
+    // per-job wall times inside each labeled block (SPARK_GRAFT_PROF_JOBS=1)
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long)]
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+    if (sys.env.contains("SPARK_GRAFT_PROF_JOBS"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStarts.put(j.jobId, (System.nanoTime(),
+            Option(j.properties.getProperty("callSite.short")).getOrElse("?")))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = jobStarts.remove(j.jobId)
+          if (s != null) jobLog.add((j.jobId, s._2, System.nanoTime() - s._1))
+        }
+      })
     def t[A](label: String)(f: => A): A = {
+      jobLog.clear()
       val t0 = System.nanoTime()
       val r = f
       println(f"[prof] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      if (sys.env.contains("SPARK_GRAFT_PROF_JOBS")) {
+        Thread.sleep(50)
+        val it = jobLog.iterator()
+        while (it.hasNext) { val (id, site, ns) = it.next()
+          println(f"[prof]     job $id%4d ${ns / 1e9}%7.3f s  $site") }
+      }
       r
     }
+    val only = sys.env.get("SPARK_GRAFT_PROF_ONLY")
+    def section(name: String)(body: => Unit): Unit =
+      if (only.forall(_.split(",").contains(name))) body
     val ev = graft.core.Tables.events(spark, dir)
     t("warm events scan")(ev.count())
     t("calib")(spark.range(20000000L)
@@ -37,6 +60,7 @@ object Prof {
     // ---- x159 decomposition ----
     val docs = graft.core.Tables.documents(spark, dir)
     t("warm docs scan")(docs.count())
+    section("x159") {
     t("x23 simhashClusters")(checksum(
       graft.operators.DedupOps.simhashClusters(docs, 3)))
     graft.core.TransientPins.drain(spark)
@@ -73,6 +97,8 @@ object Prof {
           col("lang").isNotNull)
         .select(explode(feats).as("feat")).groupBy().count().collect())
     }
+    }
+    section("windows") {
     // windows() kernel share
     locally {
       def wins(fast: Boolean) = graft.operators.SubstringOps.windows(
@@ -83,6 +109,8 @@ object Prof {
       t("x72 dupSpans full")(checksum(
         graft.operators.SubstringOps.dupSpans(docs)))
     }
+    }
+    section("graph") {
     t("sessions (no pin)")(
       graft.streaming.EventStreams.userSessions(ev, 30).count())
     t("overlapPairs (includes session pin build)")(
@@ -101,7 +129,9 @@ object Prof {
     t("x132 kcore")(checksum(
       graft.operators.GraphOps.sessionKCore(ev)))
     graft.core.TransientPins.drain(spark)
+    }
 
+    section("admission") {
     // ---- admission stack sub-stages (x193 shape) ----
     val batch = graft.core.Tables.documents(spark, dir)
       .filter(col("doc_id") % 5 === 0)
@@ -132,6 +162,7 @@ object Prof {
       graft.operators.ShardAdmission.reportFull(batch, bemb, ndx, spx, ann,
         400000L, np)))
     graft.core.TransientPins.drain(spark)
+    }
     spark.stop()
   }
 }

@@ -89,6 +89,22 @@ class SpectralOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Local state (co-partitioned pin) equals the reference exactly") {
+    // the round-19 shape: m pinned via pinPartitioned + declared
+    // hashpartitioning(vec_id), per-round w pinned — placement must not
+    // move a bit of the exact integer arithmetic
+    val vecs = planted(40, 8)
+    val rows = SpectralOps.topComponent(embDf(vecs), rounds = 4)
+      .collect().sortBy(_.getLong(0))
+    val (refV, refLam) = reference(vecs, 4)
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val pos = r.getLong(0).toInt
+      assert(r.getAs[Long]("v_micro") === refV(pos))
+      assert(r.getAs[Long]("lambda_unit") === refLam)
+    }
+  }
+
   test("a planted dominant direction is recovered (|cos| > 0.99)") {
     val vecs = planted(60, 16)
     val rows = SpectralOps.topComponent(embDf(vecs), rounds = 4,
